@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated test tables (TESTDATA.md).
+  *
+  * Each table is a single parquet file under the scale-factor dir. At
+  * 100 TB these would be partitioned/bucketed catalog tables; the API
+  * below keeps call-sites agnostic (name -> DataFrame) so swapping to
+  * `spark.table` is a one-line change.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    if (name == "events") loadEvents(spark, sfDir)
+    else spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects. Read it as a long (legacy conf) and surface it as a
+    * micros TimestampType column — same truncation DuckDB applies when
+    * casting timestamp_ns to timestamp.
+    */
+  private def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import org.apache.spark.sql.functions._
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Register every table as a temp view so `spark.sql` can reference it
+    * by name — mirrors how the reference's compiled SQL names relations.
+    */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+}
+
+/** One benchmark/correctness query: a Spark DataFrame program plus (when
+  * SQL-expressible) an equivalent DuckDB SQL text for the oracle check.
+  */
+final case class QueryDef(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object QueryDef {
+  def apply(name: String, oracle: String)(
+      run: (SparkSession, String) => DataFrame): QueryDef =
+    QueryDef(name, run, Some(oracle))
+
+  def noOracle(name: String)(
+      run: (SparkSession, String) => DataFrame): QueryDef =
+    QueryDef(name, run, None)
+}
