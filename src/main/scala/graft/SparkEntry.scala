@@ -12,7 +12,10 @@ object SparkEntry {
     queries_registry
 
   private def queries_registry: Seq[QueryDef] =
-    graft.queries.Relational.queries
+    graft.queries.Relational.queries ++
+      graft.queries.TextOps.queries ++
+      graft.queries.Similarity.queries ++
+      graft.queries.Events.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

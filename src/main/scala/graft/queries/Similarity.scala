@@ -1,0 +1,173 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor surface over `embeddings` (64-dim
+  * float vectors).
+  *
+  * Oracle determinism: scores are computed in double (per-element
+  * products are IEEE-identical in both engines; the 64-term summation
+  * order differs only at ~1e-16 relative), then rounded to 6 decimals
+  * BEFORE ranking — both engines rank identical rounded values, and
+  * rounding-induced ties break on vec_id. (Decimal-sum was tried and
+  * rejected: double→decimal casts at scale 12 round shortest-repr in
+  * Spark vs exact-binary in DuckDB and diverge ~1e-4 of the time.)
+  *
+  * Scale path: q30 (brute force) is O(Q·N) with the corpus broadcast —
+  * fine when Q·N fits a stage or as a per-bucket kernel; q31 (IVF,
+  * probe=1) is the 100 TB topology: assign every vector to its nearest
+  * centroid (tiny broadcast), then search only the query's own cell —
+  * the candidate join keys on the cell id, so it shuffles instead of
+  * cross-joining. Swapping the deterministic stand-in centroids for
+  * k-means output changes recall, not the plan shape.
+  */
+object Similarity {
+
+  /** Double dot product between two float-array columns, inside
+    * whole-stage codegen — `functions.aggregate`, no UDF.
+    */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => {
+        val d = x.cast("double") - y.cast("double")
+        d * d
+      }),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  /** DuckDB twin of dot(): positional list indexing over a 1..64 range. */
+  private def duckDot(a: String, b: String): String =
+    s"SUM(CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE))"
+
+  private def duckSqDist(a: String, b: String): String =
+    s"""SUM((CAST($a.embedding[i] AS DOUBLE) - CAST($b.embedding[i] AS DOUBLE))
+       |    * (CAST($a.embedding[i] AS DOUBLE) - CAST($b.embedding[i] AS DOUBLE)))""".stripMargin
+
+  private def loadEmb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  val queries: Seq[QueryDef] = Seq(
+
+    // Vector norms — sanity kernel shared by both ANN variants.
+    QueryDef(
+      "q29_vector_norms",
+      s"""SELECT vec_id,
+         |       CAST(ROUND(${duckDot("e", "e")}, 6) AS DOUBLE) AS sq_norm,
+         |       CAST(len(embedding) AS BIGINT) AS dim
+         |FROM embeddings e CROSS JOIN (SELECT unnest(range(1, 65)) AS i) idx
+         |GROUP BY vec_id, len(embedding)
+         |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      loadEmb(s, dir)
+        .select(
+          col("vec_id"),
+          round(dot(col("embedding"), col("embedding")), 6).as("sq_norm"),
+          size(col("embedding")).cast("long").as("dim"))
+        .orderBy("vec_id")
+    },
+
+    // Brute-force top-5 cosine neighbors for query vectors vec_id < 10.
+    QueryDef(
+      "q30_knn_bruteforce",
+      s"""WITH idx AS (SELECT unnest(range(1, 65)) AS i),
+         |dots AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |         CAST(ROUND(${duckDot("q", "c")}
+         |                    / SQRT(${duckDot("q", "q")} * ${duckDot("c", "c")}),
+         |                    6) AS DOUBLE) AS cosine
+         |  FROM embeddings q
+         |  JOIN embeddings c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+         |  CROSS JOIN idx
+         |  GROUP BY q.vec_id, c.vec_id
+         |)
+         |SELECT qid, cid, cosine,
+         |       CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS BIGINT) AS rn
+         |FROM dots
+         |QUALIFY rn <= 5
+         |ORDER BY qid, rn""".stripMargin) { (s, dir) =>
+      val emb = loadEmb(s, dir)
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val c = emb.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val dots = q.join(broadcast(c), col("cid") =!= col("qid"))
+        .select(col("qid"), col("cid"),
+          round(dot(col("qv"), col("cv"))
+            / sqrt(dot(col("qv"), col("qv")) * dot(col("cv"), col("cv"))), 6)
+            .as("cosine"))
+      val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid"))
+      dots
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 5)
+        .orderBy("qid", "rn")
+    },
+
+    // IVF-style ANN, probe=1: centroids = vec_id % 97 == 0 (stand-in
+    // for k-means; deterministic), assign all vectors to their nearest
+    // centroid by squared L2, then top-3 within the query's own cell.
+    QueryDef(
+      "q31_ivf_topk",
+      s"""WITH idx AS (SELECT unnest(range(1, 65)) AS i),
+         |cents AS (SELECT vec_id AS cent_id, embedding FROM embeddings
+         |          WHERE vec_id % 97 = 0),
+         |d2 AS (
+         |  SELECT e.vec_id, c.cent_id,
+         |         CAST(ROUND(${duckSqDist("e", "c")}, 6) AS DOUBLE) AS sqdist
+         |  FROM embeddings e CROSS JOIN cents c CROSS JOIN idx
+         |  GROUP BY e.vec_id, c.cent_id
+         |), assign AS (
+         |  SELECT vec_id, cent_id FROM (
+         |    SELECT vec_id, cent_id,
+         |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sqdist, cent_id) AS rn
+         |    FROM d2) t WHERE rn = 1
+         |), pairs AS (
+         |  SELECT qa.vec_id AS qid, ca.vec_id AS cid, qa.cent_id AS cell,
+         |         CAST(ROUND(${duckSqDist("q", "c")}, 6) AS DOUBLE) AS sqdist
+         |  FROM assign qa
+         |  JOIN assign ca ON qa.cent_id = ca.cent_id AND qa.vec_id <> ca.vec_id
+         |  JOIN embeddings q ON q.vec_id = qa.vec_id
+         |  JOIN embeddings c ON c.vec_id = ca.vec_id
+         |  CROSS JOIN idx
+         |  WHERE qa.vec_id < 10
+         |  GROUP BY qa.vec_id, ca.vec_id, qa.cent_id
+         |)
+         |SELECT qid, cid, cell, sqdist,
+         |       CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sqdist, cid) AS BIGINT) AS rn
+         |FROM pairs
+         |QUALIFY rn <= 3
+         |ORDER BY qid, rn""".stripMargin) { (s, dir) =>
+      val emb = loadEmb(s, dir)
+      val cents = emb.filter(col("vec_id") % 97 === 0)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("centv"))
+      val d2 = emb.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cent_id"),
+          round(sqDist(col("embedding"), col("centv")), 6).as("sqdist"))
+      val wAssign = Window.partitionBy("vec_id").orderBy(col("sqdist"), col("cent_id"))
+      val assign = d2.withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1).select("vec_id", "cent_id")
+      val withVec = assign.join(emb, "vec_id")
+      val qside = withVec.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("cent_id").as("cell"),
+          col("embedding").as("qv"))
+      val cside = withVec
+        .select(col("vec_id").as("cid"), col("cent_id").as("ccell"),
+          col("embedding").as("cv"))
+      val pairs = qside.join(cside,
+          col("cell") === col("ccell") && col("cid") =!= col("qid"))
+        .select(col("qid"), col("cid"), col("cell"),
+          round(sqDist(col("qv"), col("cv")), 6).as("sqdist"))
+      val w = Window.partitionBy("qid").orderBy(col("sqdist"), col("cid"))
+      pairs.withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select("qid", "cid", "cell", "sqdist", "rn")
+        .orderBy("qid", "rn")
+    }
+  )
+}

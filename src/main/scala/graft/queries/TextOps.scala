@@ -1,0 +1,320 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Text-analysis + deduplication operators over the `documents` table —
+  * the LLM-training-pipeline surface (SURVEY.md §7 `ext`).
+  *
+  * Scale stance: every operator is a pure shuffle-on-doc_id or
+  * shuffle-on-token pipeline — no driver-side collection, no cross
+  * product except the LSH-bucket-restricted candidate join, which is the
+  * standard way MinHash dedup survives 100 TB (bucket join ≪ n²).
+  *
+  * Oracle parity notes: hashes must match DuckDB, so portable md5 hex
+  * strings are used (lexicographic MIN over md5 is a valid min-wise
+  * hash family — seeds salt the input). The production fast path would
+  * swap md5 → xxhash64 (one-line change, same topology).
+  */
+object TextOps {
+
+  /** words(text) — documents.text is space-separated lowercase tokens. */
+  private val wordsCol = split(col("text"), " ")
+
+  /** Distinct 3-word shingles computed per-row — a native Catalyst
+    * expression (graft.functions.Shingles): no window, no shuffle, and
+    * ~100× faster than the interpreted higher-order-function
+    * formulation `array_distinct(transform(sequence(...), ...))`.
+    */
+  private def shingles3(w: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.TextExprs.shingles(w, 3)
+
+  val queries: Seq[QueryDef] = Seq(
+
+    // Token counting + basic stats per doc (whitespace tokenizer).
+    QueryDef(
+      "q21_token_stats",
+      """SELECT doc_id,
+        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
+        |       CAST(n_chars AS BIGINT) AS n_chars,
+        |       CAST(LENGTH(text) AS BIGINT) AS measured_chars
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          size(wordsCol).cast("long").as("n_tokens"),
+          size(array_distinct(wordsCol)).cast("long").as("n_distinct_tokens"),
+          col("n_chars").cast("long").as("n_chars"),
+          length(col("text")).cast("long").as("measured_chars"))
+        .orderBy("doc_id")
+    },
+
+    // Quality scoring: type/token ratio, mean word length, stopword
+    // ratio — the length/punct/stopword heuristics of C4-style filters.
+    QueryDef(
+      "q22_quality_score",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+        |), st AS (
+        |  SELECT doc_id,
+        |         COUNT(*) AS n,
+        |         COUNT(DISTINCT w) AS n_distinct,
+        |         SUM(LENGTH(w)) AS char_sum,
+        |         SUM(CASE WHEN w IN ('the','a','of','and','in') THEN 1 ELSE 0 END) AS n_stop
+        |  FROM tok GROUP BY doc_id
+        |)
+        |SELECT doc_id,
+        |       CAST(n AS BIGINT) AS n_tokens,
+        |       CAST(ROUND(CAST(n_distinct AS DECIMAL(20,6)) / n, 4) AS DOUBLE) AS ttr,
+        |       CAST(ROUND(CAST(char_sum AS DECIMAL(20,6)) / n, 4) AS DOUBLE) AS mean_word_len,
+        |       CAST(ROUND(CAST(n_stop AS DECIMAL(20,6)) / n, 4) AS DOUBLE) AS stopword_ratio
+        |FROM st ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val dec6 = (c: org.apache.spark.sql.Column) =>
+        c.cast(org.apache.spark.sql.types.DecimalType(20, 6))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), explode(wordsCol).as("w"))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("w")).as("n_distinct"),
+          sum(length(col("w"))).as("char_sum"),
+          sum(when(col("w").isin("the", "a", "of", "and", "in"), 1).otherwise(0))
+            .as("n_stop"))
+        .select(
+          col("doc_id"),
+          col("n").as("n_tokens"),
+          round(dec6(col("n_distinct")) / col("n"), 4).cast("double").as("ttr"),
+          round(dec6(col("char_sum")) / col("n"), 4).cast("double").as("mean_word_len"),
+          round(dec6(col("n_stop")) / col("n"), 4).cast("double").as("stopword_ratio"))
+        .orderBy("doc_id")
+    },
+
+    // Language-ID by keyword-evidence argmax (n-gram-heuristic family):
+    // score each candidate language by marker-token hits, pick the best
+    // (deterministic tie-break: count desc, then lang asc).
+    QueryDef(
+      "q23_lang_id",
+      """WITH markers(w, cand) AS (
+        |  VALUES ('the','en'), ('and','en'), ('of','en'),
+        |         ('el','es'), ('la','es'), ('de','es'),
+        |         ('der','de'), ('und','de'), ('die','de'),
+        |         ('le','fr'), ('et','fr'), ('les','fr')
+        |), tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+        |), hits AS (
+        |  SELECT doc_id, cand, COUNT(*) AS c
+        |  FROM tok JOIN markers USING (w)
+        |  GROUP BY doc_id, cand
+        |), best AS (
+        |  SELECT doc_id, cand, c,
+        |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, cand) AS rn
+        |  FROM hits
+        |)
+        |SELECT d.doc_id,
+        |       COALESCE(b.cand, 'unknown') AS pred_lang,
+        |       CAST(COALESCE(b.c, 0) AS BIGINT) AS evidence
+        |FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
+        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val markers = s.createDataFrame(Seq(
+        ("the", "en"), ("and", "en"), ("of", "en"),
+        ("el", "es"), ("la", "es"), ("de", "es"),
+        ("der", "de"), ("und", "de"), ("die", "de"),
+        ("le", "fr"), ("et", "fr"), ("les", "fr"))).toDF("w", "cand")
+      val hits = docs.select(col("doc_id"), explode(wordsCol).as("w"))
+        .join(broadcast(markers), "w")
+        .groupBy("doc_id", "cand").agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("doc_id").orderBy(col("c").desc, col("cand"))
+      val best = hits.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      docs.join(best, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          coalesce(col("cand"), lit("unknown")).as("pred_lang"),
+          coalesce(col("c"), lit(0L)).cast("long").as("evidence"))
+        .orderBy("doc_id")
+    },
+
+    // Document fingerprinting: md5 over normalized text (lowercase,
+    // alnum+space only, collapsed whitespace) — the canonical-form hash
+    // used before exact dedup.
+    QueryDef(
+      "q24_fingerprint",
+      """SELECT doc_id,
+        |       MD5(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]', '', 'g'),
+        |                               ' +', ' ', 'g'))) AS fingerprint
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          md5(trim(regexp_replace(
+            regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+            " +", " "))).as("fingerprint"))
+        .orderBy("doc_id")
+    },
+
+    // Exact dedup: hash-groupBy on the fingerprint; survivors = min
+    // doc_id per group. At 100 TB this is one shuffle on a 16-byte key.
+    QueryDef(
+      "q25_dedup_exact",
+      """WITH fp AS (
+        |  SELECT doc_id, MD5(LOWER(text)) AS fingerprint FROM documents
+        |)
+        |SELECT fingerprint,
+        |       CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_copies
+        |FROM fp GROUP BY fingerprint
+        |ORDER BY keep_doc_id""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), md5(lower(col("text"))).as("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))
+        .orderBy("keep_doc_id")
+    },
+
+    // Near-dup candidates by 3-word-shingle Jaccard. Pairs meet only
+    // through a shared shingle (inverted-index join — no n² cross
+    // product); Jaccard = |A∩B| / (|A|+|B|−|A∩B|) in exact integer
+    // arithmetic, final ratio as rounded double.
+    QueryDef(
+      "q26_ngram_jaccard_pairs",
+      """WITH tok AS (
+        |  SELECT doc_id, w, pos FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+        |           generate_subscripts(string_split(text, ' '), 1) AS pos
+        |    FROM documents) t
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |         w || ' ' || LEAD(w, 1) OVER win || ' ' || LEAD(w, 2) OVER win AS shingle
+        |  FROM tok
+        |  WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+        |  QUALIFY LEAD(w, 2) OVER win IS NOT NULL
+        |), card AS (
+        |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+        |), pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id
+        |)
+        |SELECT doc_a, doc_b,
+        |       CAST(ROUND(CAST(common AS DECIMAL(20,6)) / (ca.n + cb.n - common), 4) AS DOUBLE) AS jaccard
+        |FROM pairs
+        |JOIN card ca ON ca.doc_id = doc_a
+        |JOIN card cb ON cb.doc_id = doc_b
+        |WHERE CAST(common AS DECIMAL(20,6)) / (ca.n + cb.n - common) >= 0.2
+        |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      val dec6 = (c: org.apache.spark.sql.Column) =>
+        c.cast(org.apache.spark.sql.types.DecimalType(20, 6))
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), shingles3(wordsCol).as("shs"))
+      val sh = docs.select(col("doc_id"), explode(col("shs")).as("shingle"))
+      val card = docs.select(col("doc_id"), size(col("shs")).cast("long").as("n"))
+      val a = sh.as("a"); val b = sh.as("b")
+      val pairs = a.join(b,
+          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("common"))
+      val jac = dec6(col("common")) / (col("ca.n") + col("cb.n") - col("common"))
+      pairs
+        .join(card.as("ca"), col("ca.doc_id") === col("doc_a"))
+        .join(card.as("cb"), col("cb.doc_id") === col("doc_b"))
+        .filter(jac >= 0.2)
+        .select(col("doc_a"), col("doc_b"),
+          round(jac, 4).cast("double").as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // MinHash + LSH: 12 min-wise hashes (md5 with per-seed salt,
+    // lexicographic min — portable across engines), banded 4×3; docs
+    // sharing a band bucket are near-dup candidates. This is the
+    // topology that replaces q26's inverted-index join at 100 TB: the
+    // candidate set shrinks from shared-any-shingle to shared-band.
+    QueryDef(
+      "q27_minhash_lsh_candidates",
+      """WITH tok AS (
+        |  SELECT doc_id, w, pos FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+        |           generate_subscripts(string_split(text, ' '), 1) AS pos
+        |    FROM documents) t
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |         w || ' ' || LEAD(w, 1) OVER win || ' ' || LEAD(w, 2) OVER win AS shingle
+        |  FROM tok
+        |  WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+        |  QUALIFY LEAD(w, 2) OVER win IS NOT NULL
+        |), seeds AS (SELECT unnest(range(12)) AS seed
+        |), sig AS (
+        |  SELECT doc_id, seed, MIN(MD5(shingle || '#' || seed)) AS minh
+        |  FROM sh CROSS JOIN seeds
+        |  GROUP BY doc_id, seed
+        |), bands AS (
+        |  SELECT doc_id, seed // 3 AS band,
+        |         MD5(STRING_AGG(minh, ',' ORDER BY seed)) AS band_key
+        |  FROM sig GROUP BY doc_id, seed // 3
+        |)
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |FROM bands a JOIN bands b
+        |  ON a.band = b.band AND a.band_key = b.band_key
+        | AND a.doc_id < b.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      val sh = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), explode(shingles3(wordsCol)).as("shingle"))
+      // all 12 min-hashes in ONE aggregation pass (no seed explode):
+      val minAggs = (0 until 12).map(j =>
+        min(md5(concat(col("shingle"), lit(s"#$j")))).as(s"h$j"))
+      val sig = sh.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+      val bandStructs = (0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          md5(concat_ws(",", col(s"h${3 * b}"), col(s"h${3 * b + 1}"),
+            col(s"h${3 * b + 2}"))).as("band_key")))
+      val bands = sig
+        .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"),
+          col("bk.band_key").as("band_key"))
+      bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band")
+            && col("a.band_key") === col("b.band_key")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // SimHash (32-bit variant): one bit per md5-hex position, set by
+    // majority vote over the doc's distinct tokens. Exact-equal
+    // fingerprints are duplicate candidates; Hamming-near pairs would be
+    // found by banding the bitstring the same way as q27.
+    QueryDef(
+      "q28_simhash",
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+        |), bits AS (
+        |  SELECT doc_id, i,
+        |         CASE WHEN SUM(CASE WHEN STRPOS('0123456789abcdef',
+        |                       SUBSTR(MD5(w), CAST(i AS INT), 1)) - 1 >= 8
+        |                  THEN 1 ELSE -1 END) >= 0
+        |              THEN '1' ELSE '0' END AS bit
+        |  FROM tok CROSS JOIN (SELECT unnest(range(1, 33)) AS i) pos
+        |  GROUP BY doc_id, i
+        |)
+        |SELECT doc_id, STRING_AGG(bit, '' ORDER BY i) AS simhash
+        |FROM bits GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val tok = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), explode(array_distinct(wordsCol)).as("w"))
+        .select(col("doc_id"), md5(col("w")).as("h"))
+      // all 32 bit-majorities in ONE aggregation pass (no position explode):
+      val bitAggs = (1 to 32).map(i =>
+        when(sum(when(
+          instr(lit("0123456789abcdef"), substring(col("h"), i, 1)) - 1 >= 8,
+          1).otherwise(-1)) >= 0, "1").otherwise("0").as(s"b$i"))
+      tok.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
+        .select(col("doc_id"),
+          concat((1 to 32).map(i => col(s"b$i")): _*).as("simhash"))
+        .orderBy("doc_id")
+    }
+  )
+}

@@ -1,0 +1,17 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge for building public `Column`s from custom Catalyst
+  * expressions. Spark 4 moved Column construction behind
+  * `private[sql] classic.ExpressionUtils`; this shim re-exports the two
+  * conversions graft needs. Lives in the org.apache.spark.sql package
+  * purely for access — contains no Spark-internal logic.
+  */
+object graftshim {
+  def toColumn(e: Expression): Column =
+    classic.ExpressionUtils.column(e)
+
+  def toExpression(c: Column): Expression =
+    classic.ExpressionUtils.expression(c)
+}
