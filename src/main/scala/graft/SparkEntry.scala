@@ -15,7 +15,8 @@ object SparkEntry {
     graft.queries.Relational.queries ++
       graft.queries.TextOps.queries ++
       graft.queries.Similarity.queries ++
-      graft.queries.Events.queries
+      graft.queries.Events.queries ++
+      graft.queries.Framework.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,208 @@
+package graft.core
+
+/** Typed resource model — the Spark-native equivalent of the reference
+  * manifest's node universe (dbt-core `core/dbt/contracts/graph/nodes.py`,
+  * `core/dbt/artifacts/resources/types.py:18-46` NodeType enum).
+  *
+  * One sealed ADT instead of dataclass + dict soup; `uniqueId` matches
+  * the reference's `<type>.<package>.<name>` convention so artifacts
+  * stay shape-compatible.
+  */
+
+/** Node config after cascade resolution — reference `NodeConfig`
+  * (`core/dbt/artifacts/resources/v1/config.py:46-124`).
+  */
+final case class NodeConfig(
+    materialized: String = "view",
+    incrementalStrategy: Option[String] = None, // append|merge|delete+insert|insert_overwrite
+    uniqueKey: Seq[String] = Nil,
+    onSchemaChange: String = "ignore", // ignore|append_new_columns|sync_all_columns|fail
+    fullRefresh: Boolean = false,
+    preHook: Seq[String] = Nil,
+    postHook: Seq[String] = Nil,
+    enabled: Boolean = true,
+    alias: Option[String] = None,
+    schema: Option[String] = None,
+    database: Option[String] = None,
+    tags: Set[String] = Set.empty,
+    meta: Map[String, String] = Map.empty,
+    partitionBy: Seq[String] = Nil,
+    contractEnforced: Boolean = false,
+    severity: String = "error", // tests: error|warn
+    warnIf: String = "!= 0",
+    errorIf: String = "!= 0",
+    failCalc: String = "count(*)",
+    limit: Option[Int] = None,
+    where: Option[String] = None,
+    storeFailures: Boolean = false) {
+
+  /** Cascade merge — `other` (more specific) wins per-field; tags and
+    * hooks append (reference merge behaviors Append/Clobber,
+    * `config.py:77-124`).
+    */
+  def merge(other: NodeConfig, defaults: NodeConfig = NodeConfig()): NodeConfig =
+    NodeConfig(
+      materialized = if (other.materialized != defaults.materialized) other.materialized else materialized,
+      incrementalStrategy = other.incrementalStrategy.orElse(incrementalStrategy),
+      uniqueKey = if (other.uniqueKey.nonEmpty) other.uniqueKey else uniqueKey,
+      onSchemaChange = if (other.onSchemaChange != defaults.onSchemaChange) other.onSchemaChange else onSchemaChange,
+      fullRefresh = other.fullRefresh || fullRefresh,
+      preHook = preHook ++ other.preHook,
+      postHook = postHook ++ other.postHook,
+      enabled = other.enabled && enabled,
+      alias = other.alias.orElse(alias),
+      schema = other.schema.orElse(schema),
+      database = other.database.orElse(database),
+      tags = tags ++ other.tags,
+      meta = meta ++ other.meta,
+      partitionBy = if (other.partitionBy.nonEmpty) other.partitionBy else partitionBy,
+      contractEnforced = other.contractEnforced || contractEnforced,
+      severity = if (other.severity != defaults.severity) other.severity else severity,
+      warnIf = if (other.warnIf != defaults.warnIf) other.warnIf else warnIf,
+      errorIf = if (other.errorIf != defaults.errorIf) other.errorIf else errorIf,
+      failCalc = if (other.failCalc != defaults.failCalc) other.failCalc else failCalc,
+      limit = other.limit.orElse(limit),
+      where = other.where.orElse(where),
+      storeFailures = other.storeFailures || storeFailures)
+}
+
+final case class ColumnInfo(
+    name: String,
+    dataType: Option[String] = None,
+    description: String = "",
+    tests: Seq[GenericTestRef] = Nil)
+
+/** A generic test attached via schema YAML — reference `TestBuilder`
+  * (`core/dbt/parser/generic_test_builders.py:69-120`).
+  */
+final case class GenericTestRef(
+    testName: String, // unique | not_null | accepted_values | relationships | <custom>
+    kwargs: Map[String, String] = Map.empty,
+    config: NodeConfig = NodeConfig())
+
+sealed trait Node {
+  def name: String
+  def config: NodeConfig
+  def dependsOn: Seq[String] // unique ids, filled by ref-resolution
+  def resourceType: String
+  def uniqueId: String = s"$resourceType.graft.$name"
+}
+
+final case class ModelNode(
+    name: String,
+    rawSql: String,
+    config: NodeConfig = NodeConfig(),
+    columns: Seq[ColumnInfo] = Nil,
+    dependsOn: Seq[String] = Nil,
+    refs: Seq[String] = Nil,
+    sources: Seq[(String, String)] = Nil) extends Node {
+  val resourceType = "model"
+}
+
+final case class SourceNode(
+    sourceName: String,
+    name: String,
+    /** Physical location: parquet path or catalog table. */
+    path: String,
+    loadedAtField: Option[String] = None,
+    freshnessWarnAfterSec: Option[Long] = None,
+    freshnessErrorAfterSec: Option[Long] = None,
+    config: NodeConfig = NodeConfig()) extends Node {
+  val resourceType = "source"
+  def dependsOn: Seq[String] = Nil
+  override def uniqueId: String = s"source.graft.$sourceName.$name"
+}
+
+final case class SeedNode(
+    name: String,
+    /** Inline CSV content (reference loads from file; content-inlined
+      * here — the loader supplies file contents).
+      */
+    csv: String,
+    delimiter: String = ",",
+    columnTypes: Map[String, String] = Map.empty,
+    config: NodeConfig = NodeConfig()) extends Node {
+  val resourceType = "seed"
+  def dependsOn: Seq[String] = Nil
+}
+
+/** Snapshot strategies — reference `SnapshotConfig`
+  * (`core/dbt/artifacts/resources/v1/snapshot.py:11-60`).
+  */
+sealed trait SnapshotStrategy
+final case class TimestampStrategy(updatedAt: String) extends SnapshotStrategy
+final case class CheckStrategy(checkCols: Option[Seq[String]]) extends SnapshotStrategy // None = all
+
+final case class SnapshotNode(
+    name: String,
+    rawSql: String,
+    uniqueKey: Seq[String],
+    strategy: SnapshotStrategy,
+    invalidateHardDeletes: Boolean = false,
+    config: NodeConfig = NodeConfig(materialized = "snapshot"),
+    dependsOn: Seq[String] = Nil,
+    refs: Seq[String] = Nil,
+    sources: Seq[(String, String)] = Nil) extends Node {
+  val resourceType = "snapshot"
+}
+
+/** A data test node: generic (instantiated from YAML) or singular
+  * (a standalone SQL file).
+  */
+final case class TestNode(
+    name: String,
+    rawSql: String, // SELECT returning failing rows
+    config: NodeConfig = NodeConfig(materialized = "test"),
+    dependsOn: Seq[String] = Nil,
+    refs: Seq[String] = Nil,
+    sources: Seq[(String, String)] = Nil) extends Node {
+  val resourceType = "test"
+}
+
+/** Unit test — fixture inputs replace refs, expect rows diffed
+  * (reference `core/dbt/artifacts/resources/v1/unit_test_definition.py`).
+  */
+final case class UnitTestNode(
+    name: String,
+    model: String,
+    given: Map[String, Seq[Map[String, Any]]], // ref/source name -> rows
+    expect: Seq[Map[String, Any]],
+    config: NodeConfig = NodeConfig(),
+    dependsOn: Seq[String] = Nil) extends Node {
+  val resourceType = "unit_test"
+}
+
+/** The manifest: typed universe of all resources (reference
+  * `core/dbt/contracts/graph/manifest.py:807+`).
+  */
+final case class Manifest(nodes: Map[String, Node]) {
+  def models: Map[String, ModelNode] = collect { case m: ModelNode => m }
+  def seeds: Map[String, SeedNode] = collect { case s: SeedNode => s }
+  def snapshots: Map[String, SnapshotNode] = collect { case s: SnapshotNode => s }
+  def tests: Map[String, TestNode] = collect { case t: TestNode => t }
+  def sources: Map[String, SourceNode] = collect { case s: SourceNode => s }
+  def unitTests: Map[String, UnitTestNode] = collect { case u: UnitTestNode => u }
+
+  private def collect[T <: Node](pf: PartialFunction[Node, T]): Map[String, T] =
+    nodes.collect { case (id, n) if pf.isDefinedAt(n) => id -> pf(n) }
+
+  def byName(name: String): Option[Node] = nodes.values.find(_.name == name)
+
+  def resolveRef(name: String): Option[Node] =
+    nodes.values.find(n => n.name == name &&
+      (n.resourceType == "model" || n.resourceType == "seed" || n.resourceType == "snapshot"))
+
+  def resolveSource(sourceName: String, tableName: String): Option[SourceNode] =
+    nodes.values.collectFirst {
+      case s: SourceNode if s.sourceName == sourceName && s.name == tableName => s
+    }
+
+  def parentMap: Map[String, Set[String]] =
+    nodes.map { case (id, n) => id -> n.dependsOn.toSet }
+
+  def childMap: Map[String, Set[String]] = {
+    val pairs = for ((id, n) <- nodes.toSeq; p <- n.dependsOn) yield p -> id
+    pairs.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      .withDefaultValue(Set.empty)
+  }
+}

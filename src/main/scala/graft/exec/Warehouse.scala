@@ -1,0 +1,90 @@
+package graft.exec
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Spark-backed warehouse: the role the external database plays for the
+  * reference (its `adapter`), played here by versioned parquet
+  * directories + session temp views.
+  *
+  * Write protocol (SURVEY §7 hard-part 1 — crash-consistent without a
+  * transaction log dependency):
+  *   - every write lands in a fresh `"$root/$name/v$N"` directory;
+  *   - the relation's visible state is a list of directories (replace →
+  *     one dir; append → previous list + new dir, a mini commit log);
+  *   - registration happens only after the parquet commit succeeds, so
+  *     readers never observe partial data;
+  *   - at cluster scale the same layout works on object storage
+  *     (directory commit = parquet `_SUCCESS`), and `append` avoids
+  *     rewriting history — O(delta), not O(table).
+  *
+  * Relations are exposed to SQL as temp views named `name` so rendered
+  * model SQL can reference them like warehouse tables.
+  */
+final class Warehouse(val spark: SparkSession, val root: String) {
+
+  private final case class RelState(paths: Seq[String], nextVersion: Int, isView: Boolean)
+
+  private val relations = scala.collection.mutable.Map[String, RelState]()
+  private val lock = new Object
+
+  def exists(name: String): Boolean = lock.synchronized(relations.contains(name))
+
+  def isView(name: String): Boolean =
+    lock.synchronized(relations.get(name).exists(_.isView))
+
+  def read(name: String): DataFrame = {
+    val st = lock.synchronized(relations.getOrElse(name,
+      throw new IllegalArgumentException(s"unknown relation: $name")))
+    if (st.isView) spark.table(name)
+    else spark.read.parquet(st.paths: _*)
+  }
+
+  /** Replace the relation's content atomically (new version dir). */
+  def writeTable(name: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
+    val v = lock.synchronized(relations.get(name).map(_.nextVersion).getOrElse(0))
+    val path = s"$root/$name/v$v"
+    val writer = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+      .parquet(path)
+    lock.synchronized {
+      relations(name) = RelState(Seq(path), v + 1, isView = false)
+      spark.read.parquet(path).createOrReplaceTempView(name)
+    }
+  }
+
+  /** Append a delta (new commit dir; no rewrite of existing data). */
+  def appendTable(name: String, df: DataFrame): Unit = {
+    val st = lock.synchronized(relations.get(name)).getOrElse {
+      return writeTable(name, df)
+    }
+    val path = s"$root/$name/v${st.nextVersion}"
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+    lock.synchronized {
+      val newPaths = st.paths :+ path
+      relations(name) = RelState(newPaths, st.nextVersion + 1, isView = false)
+      spark.read.parquet(newPaths: _*).createOrReplaceTempView(name)
+    }
+  }
+
+  /** Register a (lazy) view — Catalyst composes the plan into
+    * consumers, so cross-model filter pushdown comes free (better than
+    * the reference's opaque-text views; SURVEY §4 "ephemeral inlining").
+    */
+  def createView(name: String, df: DataFrame): Unit = lock.synchronized {
+    df.createOrReplaceTempView(name)
+    relations(name) = RelState(Nil, relations.get(name).map(_.nextVersion).getOrElse(0), isView = true)
+  }
+
+  def drop(name: String): Unit = lock.synchronized {
+    relations.remove(name)
+    spark.catalog.dropTempView(name)
+  }
+
+  def list: Seq[String] = lock.synchronized(relations.keys.toSeq.sorted)
+
+  /** Register an external parquet path as a source relation view. */
+  def registerSource(name: String, df: DataFrame): Unit = lock.synchronized {
+    df.createOrReplaceTempView(name)
+    relations(name) = RelState(Nil, 0, isView = true)
+  }
+}

@@ -1,0 +1,275 @@
+package graft.parse
+
+import graft.core._
+import graft.render.Template
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Project loader: directory of model/seed/snapshot/test files + YAML
+  * metadata → Manifest. Mirrors the reference's parse phase
+  * (`core/dbt/parser/manifest.py:325-467`): read files, per-type
+  * parsers, schema-YAML patching, ref/source resolution into
+  * depends_on ids.
+  *
+  * Layout (dbt-compatible subset): dbt_project.yml (name, vars,
+  * models config tree with +key syntax); models dir with .sql files
+  * (config block + templated SELECT) and .yml schema docs (sources,
+  * model columns/tests); seeds dir with .csv; snapshots dir with .sql
+  * (config block carries strategy/unique_key); tests dir with .sql
+  * singular tests.
+  */
+object ProjectLoader {
+
+  final case class Project(
+      name: String,
+      vars: Map[String, String],
+      manifest: Manifest)
+
+  def load(projectDir: String): Project = {
+    val root = Paths.get(projectDir)
+    val yaml = new org.yaml.snakeyaml.Yaml()
+
+    // ---- dbt_project.yml
+    val projFile = root.resolve("dbt_project.yml")
+    val projCfg: Map[String, Any] =
+      if (Files.exists(projFile))
+        Option(yaml.load[java.util.Map[String, Any]](Files.readString(projFile)))
+          .map(_.asScala.toMap).getOrElse(Map.empty)
+      else Map.empty
+    val projName = projCfg.getOrElse("name", "graft").toString
+    val vars = projCfg.get("vars") match {
+      case Some(m: java.util.Map[_, _]) =>
+        m.asScala.map { case (k, v) => k.toString -> v.toString }.toMap
+      case _ => Map.empty[String, String]
+    }
+    val modelDefaults = projCfg.get("models") match {
+      case Some(m: java.util.Map[_, _]) => configFromTree(m.asScala.toMap.map {
+        case (k, v) => k.toString -> v })
+      case _ => NodeConfig()
+    }
+
+    val nodes = scala.collection.mutable.ArrayBuffer[Node]()
+
+    // ---- schema YAML (sources + model metadata) anywhere under models/
+    val schemaDocs = listFiles(root.resolve("models"), ".yml") ++
+      listFiles(root.resolve("models"), ".yaml") ++
+      listFiles(root, ".yml").filter(_.getFileName.toString != "dbt_project.yml")
+    var modelPatches = Map.empty[String, (Seq[ColumnInfo], Seq[GenericTestRef], NodeConfig)]
+    for (f <- schemaDocs.distinct) {
+      val doc = Option(yaml.load[java.util.Map[String, Any]](Files.readString(f)))
+        .map(_.asScala.toMap).getOrElse(Map.empty)
+      doc.get("sources") match {
+        case Some(ss: java.util.List[_]) =>
+          for (s <- ss.asScala) {
+            val sm = s.asInstanceOf[java.util.Map[String, Any]].asScala
+            val sourceName = sm("name").toString
+            for (t <- sm.getOrElse("tables", new java.util.ArrayList[Any]())
+                .asInstanceOf[java.util.List[_]].asScala) {
+              val tm = t.asInstanceOf[java.util.Map[String, Any]].asScala
+              val fresh = tm.get("freshness")
+                .map(_.asInstanceOf[java.util.Map[String, Any]].asScala)
+              nodes += SourceNode(
+                sourceName = sourceName,
+                name = tm("name").toString,
+                path = tm.getOrElse("path", "").toString,
+                loadedAtField = tm.get("loaded_at_field").map(_.toString),
+                freshnessWarnAfterSec = fresh.flatMap(_.get("warn_after_sec")).map(_.toString.toLong),
+                freshnessErrorAfterSec = fresh.flatMap(_.get("error_after_sec")).map(_.toString.toLong))
+            }
+          }
+        case _ =>
+      }
+      doc.get("models") match {
+        case Some(ms: java.util.List[_]) =>
+          for (m <- ms.asScala) {
+            val mm = m.asInstanceOf[java.util.Map[String, Any]].asScala
+            val mname = mm("name").toString
+            val cols = mm.get("columns").map(_.asInstanceOf[java.util.List[_]].asScala.map { c =>
+              val cm = c.asInstanceOf[java.util.Map[String, Any]].asScala
+              ColumnInfo(
+                name = cm("name").toString,
+                dataType = cm.get("data_type").map(_.toString),
+                tests = cm.get("tests").map(parseTests).getOrElse(Nil))
+            }.toSeq).getOrElse(Nil)
+            val modelTests = mm.get("tests").map(parseTests).getOrElse(Nil)
+            val cfg = mm.get("config")
+              .map(c => configFromKwargs(c.asInstanceOf[java.util.Map[String, Any]]
+                .asScala.map { case (k, v) => k.toString -> stringify(v) }.toMap))
+              .getOrElse(NodeConfig())
+            modelPatches += mname -> ((cols, modelTests, cfg))
+          }
+        case _ =>
+      }
+    }
+
+    // ---- model .sql files
+    for (f <- listFiles(root.resolve("models"), ".sql")) {
+      val raw = Files.readString(f)
+      val name = stripExt(f)
+      val (kwargs, _) = Template.extractConfig(raw)
+      val fileCfg = configFromKwargs(kwargs)
+      val (patchCols, patchTests, patchCfg) =
+        modelPatches.getOrElse(name, (Nil, Nil, NodeConfig()))
+      // cascade: project defaults < schema yml < in-file config
+      val cfg = modelDefaults.merge(patchCfg).merge(fileCfg)
+      nodes += ModelNode(
+        name = name, rawSql = raw, config = cfg, columns = patchCols,
+        refs = Template.extractRefs(raw), sources = Template.extractSources(raw))
+      // generic tests from schema yml
+      for (c <- patchCols; t <- c.tests)
+        nodes += buildGenericTest(name, Some(c.name), t)
+      for (t <- patchTests)
+        nodes += buildGenericTest(name, None, t)
+    }
+
+    // ---- seeds
+    for (f <- listFiles(root.resolve("seeds"), ".csv")) {
+      nodes += SeedNode(name = stripExt(f), csv = Files.readString(f),
+        config = NodeConfig(materialized = "seed"))
+    }
+
+    // ---- snapshots
+    for (f <- listFiles(root.resolve("snapshots"), ".sql")) {
+      val raw = Files.readString(f)
+      val (kwargs, _) = Template.extractConfig(raw)
+      val strategy = kwargs.getOrElse("strategy", "timestamp") match {
+        case "timestamp" => TimestampStrategy(kwargs("updated_at"))
+        case "check" =>
+          CheckStrategy(kwargs.get("check_cols").filterNot(_ == "all")
+            .map(_.split(",").map(_.trim).toSeq))
+        case other => throw new IllegalArgumentException(s"unknown snapshot strategy: $other")
+      }
+      nodes += SnapshotNode(
+        name = stripExt(f), rawSql = raw,
+        uniqueKey = kwargs.getOrElse("unique_key", "id").split(",").map(_.trim).toSeq,
+        strategy = strategy,
+        invalidateHardDeletes = kwargs.get("invalidate_hard_deletes").exists(_.toBoolean),
+        refs = Template.extractRefs(raw), sources = Template.extractSources(raw))
+    }
+
+    // ---- singular tests
+    for (f <- listFiles(root.resolve("tests"), ".sql")) {
+      val raw = Files.readString(f)
+      val (kwargs, _) = Template.extractConfig(raw)
+      nodes += TestNode(
+        name = stripExt(f), rawSql = raw,
+        config = NodeConfig(materialized = "test").merge(configFromKwargs(kwargs)),
+        refs = Template.extractRefs(raw), sources = Template.extractSources(raw))
+    }
+
+    Project(projName, vars, link(Manifest(nodes.map(n => n.uniqueId -> n).toMap)))
+  }
+
+  /** Ref/source name resolution → depends_on unique ids (reference
+    * `process_refs`, `manifest.py:1274-1304`).
+    */
+  def link(m: Manifest): Manifest = {
+    def deps(refs: Seq[String], sources: Seq[(String, String)], existing: Seq[String]): Seq[String] = {
+      val refIds = refs.map(r => m.resolveRef(r).map(_.uniqueId)
+        .getOrElse(throw new IllegalArgumentException(s"unresolved ref: $r")))
+      val srcIds = sources.map { case (s, t) => m.resolveSource(s, t).map(_.uniqueId)
+        .getOrElse(throw new IllegalArgumentException(s"unresolved source: $s.$t")) }
+      (existing ++ refIds ++ srcIds).distinct
+    }
+    Manifest(m.nodes.map {
+      case (id, n: ModelNode) => id -> n.copy(dependsOn = deps(n.refs, n.sources, n.dependsOn))
+      case (id, n: SnapshotNode) => id -> n.copy(dependsOn = deps(n.refs, n.sources, n.dependsOn))
+      case (id, n: TestNode) => id -> n.copy(dependsOn = deps(n.refs, n.sources, n.dependsOn))
+      case (id, n) => id -> n
+    })
+  }
+
+  // ------------------------------------------------------------- helpers
+
+  private def parseTests(raw: Any): Seq[GenericTestRef] =
+    raw.asInstanceOf[java.util.List[_]].asScala.map {
+      case s: String => GenericTestRef(s)
+      case m: java.util.Map[_, _] =>
+        val (tname, args) = m.asScala.head
+        val kwargs = args match {
+          case am: java.util.Map[_, _] =>
+            am.asScala.map { case (k, v) => k.toString -> stringify(v) }.toMap
+          case _ => Map.empty[String, String]
+        }
+        GenericTestRef(tname.toString, kwargs,
+          configFromKwargs(kwargs.filter { case (k, _) => configKeys(k) }))
+      case other => throw new IllegalArgumentException(s"bad test spec: $other")
+    }.toSeq
+
+  def buildGenericTest(model: String, column: Option[String], t: GenericTestRef): TestNode = {
+    // name synthesis mirrors reference TestBuilder
+    // (core/dbt/parser/generic_test_builders.py:26-66)
+    val parts = Seq(t.testName, model) ++ column.toSeq ++
+      t.kwargs.get("values").map(_.replaceAll("[^A-Za-z0-9]", "_")).toSeq
+    val sql = graft.exec.Materializer.genericTestSql(
+      t.testName, s"{{ ref('$model') }}", column.getOrElse(""),
+      t.kwargs.map { case (k, v) => k -> (
+        // `to: ref('parent')` in YAML → template ref
+        if (k == "to") v else v) })
+    TestNode(name = parts.mkString("_"), rawSql = sql,
+      config = NodeConfig(materialized = "test").merge(t.config),
+      refs = Template.extractRefs(sql))
+  }
+
+  private val configKeys = Set("severity", "where", "limit", "store_failures",
+    "warn_if", "error_if", "fail_calc")
+
+  private def stringify(v: Any): String = v match {
+    case l: java.util.List[_] => l.asScala.map(_.toString).mkString(",")
+    case other => String.valueOf(other)
+  }
+
+  /** `+key: value` config tree at the top level of `models:` —
+    * per-directory nesting is flattened into one defaults config for
+    * the subset loader.
+    */
+  private def configFromTree(tree: Map[String, Any]): NodeConfig = {
+    val flat = scala.collection.mutable.Map[String, String]()
+    def walk(m: Map[String, Any]): Unit = m.foreach {
+      case (k, v) if k.startsWith("+") => flat(k.drop(1)) = stringify(v)
+      case (_, v: java.util.Map[_, _]) =>
+        walk(v.asScala.toMap.map { case (k2, v2) => k2.toString -> v2 })
+      case _ =>
+    }
+    walk(tree)
+    configFromKwargs(flat.toMap)
+  }
+
+  /** kwargs (from `{{ config(...) }}` or YAML) → NodeConfig. */
+  def configFromKwargs(kw: Map[String, String]): NodeConfig = {
+    val base = NodeConfig()
+    NodeConfig(
+      materialized = kw.getOrElse("materialized", base.materialized),
+      incrementalStrategy = kw.get("incremental_strategy"),
+      uniqueKey = kw.get("unique_key").map(_.split(",").map(_.trim).toSeq).getOrElse(Nil),
+      onSchemaChange = kw.getOrElse("on_schema_change", base.onSchemaChange),
+      fullRefresh = kw.get("full_refresh").exists(_.toBoolean),
+      preHook = kw.get("pre_hook").map(Seq(_)).getOrElse(Nil),
+      postHook = kw.get("post_hook").map(Seq(_)).getOrElse(Nil),
+      enabled = kw.get("enabled").forall(_.toBoolean),
+      alias = kw.get("alias"),
+      schema = kw.get("schema"),
+      database = kw.get("database"),
+      tags = kw.get("tags").map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty),
+      partitionBy = kw.get("partition_by").map(_.split(",").map(_.trim).toSeq).getOrElse(Nil),
+      contractEnforced = kw.get("contract_enforced").exists(_.toBoolean),
+      severity = kw.getOrElse("severity", base.severity),
+      warnIf = kw.getOrElse("warn_if", base.warnIf),
+      errorIf = kw.getOrElse("error_if", base.errorIf),
+      failCalc = kw.getOrElse("fail_calc", base.failCalc),
+      limit = kw.get("limit").map(_.toInt),
+      where = kw.get("where"),
+      storeFailures = kw.get("store_failures").exists(_.toBoolean))
+  }
+
+  private def listFiles(dir: Path, ext: String): Seq[Path] =
+    if (!Files.exists(dir)) Nil
+    else Files.walk(dir).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.toString.endsWith(ext))
+      .toSeq.sortBy(_.toString)
+
+  private def stripExt(p: Path): String = {
+    val fn = p.getFileName.toString
+    fn.substring(0, fn.lastIndexOf('.'))
+  }
+}

@@ -1,0 +1,286 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.core._
+import graft.exec.Materializer
+import graft.run.Engine
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Framework-operator correctness queries: each runs a REAL engine
+  * flow (materializations, snapshots, tests, seeds) against a scratch
+  * warehouse and returns the resulting relation; the DuckDB oracle
+  * computes the expected end-state independently (closed-form SQL over
+  * the same inputs). This is how SURVEY §2A operators plug into the
+  * driver's hash-compare gate (SURVEY §2 "declared-query contract").
+  */
+object Framework {
+
+  private def scratch(): String =
+    java.nio.file.Files.createTempDirectory("graft_wh").toString
+
+  /** Frozen clocks: batch k commits at 2000-01-01 + k days UTC. */
+  private def clockAt(day: Int): Materializer.Clock =
+    () => java.sql.Timestamp.valueOf(java.time.LocalDateTime
+      .of(2000, 1, 1 + day, 0, 0, 0))
+
+  private val ts99 = "TIMESTAMP '1999-01-01 00:00:00'"
+
+  val queries: Seq[QueryDef] = Seq(
+
+    // A7 snapshot SCD2, timestamp strategy: 3 scripted batches over
+    // orders (update %10=0 at batch1, update %10=1 at batch2, hard
+    // delete %10=2 at batch2, insert %10=3 from batch1). Oracle writes
+    // the expected end-state in closed form.
+    QueryDef(
+      "m01_snapshot_scd2",
+      s"""WITH base AS (
+         |  SELECT o_orderkey AS id, o_orderstatus AS status,
+         |         o_orderdate AS base_ts, o_orderkey % 10 AS grp
+         |  FROM orders
+         |)
+         |-- timestamp-strategy subtlety: an update only supersedes when its
+         |-- updated_at EXCEEDS the stored one, so rows whose base_ts is
+         |-- already past the scripted change timestamp stay open untouched.
+         |SELECT id, status, dbt_updated_at, dbt_valid_from, dbt_valid_to FROM (
+         |  -- original versions
+         |  SELECT id, status, base_ts AS dbt_updated_at, base_ts AS dbt_valid_from,
+         |         CASE WHEN grp = 0 AND base_ts < $ts99 + INTERVAL 1 DAY
+         |                THEN $ts99 + INTERVAL 1 DAY
+         |              WHEN grp = 1 AND base_ts < $ts99 + INTERVAL 2 DAY
+         |                THEN $ts99 + INTERVAL 2 DAY
+         |              WHEN grp = 2 THEN TIMESTAMP '2000-01-03 00:00:00'
+         |              ELSE NULL END AS dbt_valid_to
+         |  FROM base WHERE grp <> 3
+         |  UNION ALL
+         |  -- updated versions opened at their change timestamps
+         |  SELECT id, 'U1', $ts99 + INTERVAL 1 DAY, $ts99 + INTERVAL 1 DAY, NULL
+         |  FROM base WHERE grp = 0 AND base_ts < $ts99 + INTERVAL 1 DAY
+         |  UNION ALL
+         |  SELECT id, 'U2', $ts99 + INTERVAL 2 DAY, $ts99 + INTERVAL 2 DAY, NULL
+         |  FROM base WHERE grp = 1 AND base_ts < $ts99 + INTERVAL 2 DAY
+         |  UNION ALL
+         |  -- late inserts (first seen at batch 1, payload unchanged)
+         |  SELECT id, status, base_ts, base_ts, NULL FROM base WHERE grp = 3
+         |) v
+         |ORDER BY id, dbt_valid_from""".stripMargin) { (s, dir) =>
+      val wh = scratch()
+      graft.Tables.registerAll(s, dir)
+      def batchView(k: Int): String = {
+        // payload + updated_at as deterministic functions of batch no.
+        val sql =
+          s"""SELECT o_orderkey AS id,
+             |  CASE WHEN o_orderkey % 10 = 0 AND $k >= 1 THEN 'U1'
+             |       WHEN o_orderkey % 10 = 1 AND $k >= 2 THEN 'U2'
+             |       ELSE o_orderstatus END AS status,
+             |  CASE WHEN o_orderkey % 10 = 0 AND $k >= 1
+             |         THEN TIMESTAMP '1999-01-02 00:00:00'
+             |       WHEN o_orderkey % 10 = 1 AND $k >= 2
+             |         THEN TIMESTAMP '1999-01-03 00:00:00'
+             |       ELSE o_orderdate END AS updated_at
+             |FROM orders
+             |WHERE NOT (o_orderkey % 10 = 2 AND $k >= 2)
+             |  AND NOT (o_orderkey % 10 = 3 AND $k = 0)""".stripMargin
+        s.sql(sql).createOrReplaceTempView(s"m01_src")
+        "SELECT * FROM m01_src"
+      }
+      val eng = new Engine(s, Manifest(Map.empty), wh)
+      (0 to 2).foreach { k =>
+        Materializer.snapshot(eng.wh, "m01_snap", batchView(k), Seq("id"),
+          TimestampStrategy("updated_at"), invalidateHardDeletes = true, clockAt(k))
+      }
+      eng.wh.read("m01_snap")
+        .select("id", "status", "dbt_updated_at", "dbt_valid_from", "dbt_valid_to")
+        .orderBy("id", "dbt_valid_from")
+    },
+
+    // A3 incremental merge: batch1 = pre-1997 orders; batch2 = the rest
+    // plus "late updates" (keys %100=0 re-arrive doubled). Final state
+    // must equal: batch2 row where present, else batch1 row.
+    QueryDef(
+      "m02_incremental_merge",
+      """WITH b1 AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |), b2 AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CAST(CAST(o_totalprice AS DECIMAL(20,4)) * 2 AS DOUBLE) AS o_totalprice
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' OR o_orderkey % 100 = 0
+        |)
+        |SELECT o_orderkey, o_custkey, o_totalprice FROM b2
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_totalprice FROM b1
+        |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM b2)
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val wh = scratch()
+      graft.Tables.registerAll(s, dir)
+      val eng = new Engine(s, Manifest(Map.empty), wh)
+      val b1 =
+        """SELECT o_orderkey, o_custkey, o_totalprice
+          |FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'""".stripMargin
+      val b2 =
+        """SELECT o_orderkey, o_custkey,
+          |       CAST(CAST(o_totalprice AS DECIMAL(20,4)) * 2 AS DOUBLE) AS o_totalprice
+          |FROM orders
+          |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' OR o_orderkey % 100 = 0""".stripMargin
+      Materializer.incremental(eng.wh, "m02_inc", b1, b1, "merge",
+        Seq("o_orderkey"), "ignore", Nil, fullRefresh = false)
+      Materializer.incremental(eng.wh, "m02_inc", b1, b2, "merge",
+        Seq("o_orderkey"), "ignore", Nil, fullRefresh = false)
+      eng.wh.read("m02_inc").orderBy("o_orderkey")
+    },
+
+    // A3 insert_overwrite: partition-level replacement by month.
+    QueryDef(
+      "m03_insert_overwrite",
+      """WITH full_t AS (
+        |  SELECT o_orderkey, CAST(YEAR(o_orderdate) AS BIGINT) AS yr, o_totalprice
+        |  FROM orders
+        |), delta AS (
+        |  SELECT o_orderkey, CAST(1998 AS BIGINT) AS yr,
+        |         CAST(0.0 AS DOUBLE) AS o_totalprice
+        |  FROM orders WHERE YEAR(o_orderdate) = 1998 AND o_orderkey % 2 = 0
+        |)
+        |SELECT * FROM (
+        |  SELECT * FROM full_t WHERE yr <> 1998
+        |  UNION ALL SELECT * FROM delta) t
+        |ORDER BY o_orderkey, yr""".stripMargin) { (s, dir) =>
+      val wh = scratch()
+      graft.Tables.registerAll(s, dir)
+      val eng = new Engine(s, Manifest(Map.empty), wh)
+      val full =
+        """SELECT o_orderkey, CAST(YEAR(o_orderdate) AS BIGINT) AS yr, o_totalprice
+          |FROM orders""".stripMargin
+      val delta =
+        """SELECT o_orderkey, CAST(1998 AS BIGINT) AS yr, CAST(0.0 AS DOUBLE) AS o_totalprice
+          |FROM orders WHERE YEAR(o_orderdate) = 1998 AND o_orderkey % 2 = 0""".stripMargin
+      Materializer.incremental(eng.wh, "m03_iow", full, delta, "insert_overwrite",
+        Nil, "ignore", Seq("yr"), fullRefresh = false)
+      Materializer.incremental(eng.wh, "m03_iow", full, delta, "insert_overwrite",
+        Nil, "ignore", Seq("yr"), fullRefresh = false)
+      eng.wh.read("m03_iow").select("o_orderkey", "yr", "o_totalprice")
+        .orderBy("o_orderkey", "yr")
+    },
+
+    // A9/A10 generic tests: the built-in four, evaluated through the
+    // engine's test wrapper; oracle recomputes each failure count.
+    QueryDef(
+      "m04_generic_tests",
+      """SELECT 'accepted_values_status' AS test_name,
+        |       CAST((SELECT COUNT(*) FROM (
+        |         SELECT o_orderstatus FROM orders GROUP BY o_orderstatus
+        |         HAVING o_orderstatus NOT IN ('O','F')) t) AS BIGINT) AS failures
+        |UNION ALL
+        |SELECT 'not_null_custkey',
+        |       CAST((SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL) AS BIGINT)
+        |UNION ALL
+        |SELECT 'relationships_orders_customer',
+        |       CAST((SELECT COUNT(*) FROM orders o LEFT JOIN customer c
+        |             ON c.c_custkey = o.o_custkey
+        |             WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL) AS BIGINT)
+        |UNION ALL
+        |SELECT 'unique_orderkey',
+        |       CAST((SELECT COUNT(*) FROM (
+        |         SELECT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL
+        |         GROUP BY o_orderkey HAVING COUNT(*) > 1) t) AS BIGINT)
+        |ORDER BY test_name""".stripMargin) { (s, dir) =>
+      val wh = scratch()
+      graft.Tables.registerAll(s, dir)
+      val eng = new Engine(s, Manifest(Map.empty), wh)
+      val specs = Seq(
+        ("unique_orderkey", Materializer.genericTestSql("unique", "orders", "o_orderkey", Map.empty)),
+        ("not_null_custkey", Materializer.genericTestSql("not_null", "orders", "o_custkey", Map.empty)),
+        ("accepted_values_status", Materializer.genericTestSql(
+          "accepted_values", "orders", "o_orderstatus", Map("values" -> "O,F"))),
+        ("relationships_orders_customer", Materializer.genericTestSql(
+          "relationships", "orders", "o_custkey", Map("to" -> "customer", "field" -> "c_custkey"))))
+      val rows = specs.map { case (nm, sql) =>
+        val (_, failures) = Materializer.runTest(eng.wh,
+          TestNode(nm, sql, NodeConfig(materialized = "test", severity = "warn")))
+        (nm, failures)
+      }
+      import s.implicits._
+      rows.toDF("test_name", "failures").orderBy("test_name")
+    },
+
+    // A8 seed: inline CSV with type overrides; oracle = VALUES literal.
+    QueryDef(
+      "m05_seed",
+      """SELECT * FROM (VALUES
+        |  ('US', 'United States', CAST(331 AS BIGINT), CAST(9.83 AS DOUBLE)),
+        |  ('DE', 'Germany', CAST(83 AS BIGINT), CAST(0.36 AS DOUBLE)),
+        |  ('JP', 'Japan', CAST(126 AS BIGINT), CAST(0.38 AS DOUBLE))
+        |) t(code, name, pop, area)
+        |ORDER BY code""".stripMargin) { (s, dir) =>
+      val wh = scratch()
+      val eng = new Engine(s, Manifest(Map.empty), wh)
+      Materializer.seed(eng.wh, SeedNode("m05_codes",
+        "code,name,pop,area\nUS,United States,331,9.83\nDE,Germany,83,0.36\nJP,Japan,126,0.38\n",
+        columnTypes = Map("pop" -> "bigint", "area" -> "double")))
+      eng.wh.read("m05_codes").orderBy("code")
+    },
+
+    // A1/A2/A5/A24/A25: a full mini-project end to end — source →
+    // ephemeral staging (CTE-inlined) → view → incremental table, with
+    // var substitution; returns the final table. Oracle is the composed
+    // plain SQL.
+    QueryDef(
+      "m06_project_run",
+      """SELECT o_custkey,
+        |       CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS spend
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |GROUP BY o_custkey
+        |ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+      val projDir = java.nio.file.Files.createTempDirectory("m06_proj")
+      def write(rel: String, content: String): Unit = {
+        val p = projDir.resolve(rel)
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.writeString(p, content)
+      }
+      write("dbt_project.yml", "name: m06\nvars:\n  cutoff: '1996-01-01 00:00:00'\n")
+      write("models/sources.yml",
+        s"""sources:
+           |  - name: main
+           |    tables:
+           |      - name: orders
+           |        path: $dir/orders.parquet
+           |""".stripMargin)
+      write("models/stg_orders.sql",
+        """{{ config(materialized='ephemeral') }}
+          |SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+          |FROM {{ source('main', 'orders') }}""".stripMargin)
+      write("models/mid_orders.sql",
+        """SELECT * FROM {{ ref('stg_orders') }}
+          |WHERE o_orderdate >= TIMESTAMP '{{ var('cutoff') }}'""".stripMargin)
+      write("models/m06_fct.sql",
+        """{{ config(materialized='incremental', incremental_strategy='merge', unique_key='o_custkey') }}
+          |SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+          |       CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS spend
+          |FROM {{ ref('mid_orders') }}
+          |GROUP BY o_custkey""".stripMargin)
+      val eng = Engine.fromProject(s, projDir.toString, scratch())
+      val results = eng.run(threads = 2)
+      require(results.forall(_.status == "success"),
+        s"m06 run failed: ${results.filterNot(_.status == "success").mkString("; ")}")
+      eng.wh.read("m06_fct").orderBy("o_custkey")
+    },
+
+    // A14 freshness: age of orders vs a frozen clock, closed-form.
+    QueryDef(
+      "m07_freshness",
+      """SELECT CAST(DATE_DIFF('second', MAX(o_orderdate),
+        |                      TIMESTAMP '2000-01-01 00:00:00') AS BIGINT) AS age_sec
+        |FROM orders""".stripMargin) { (s, dir) =>
+      val wh = scratch()
+      graft.Tables.registerAll(s, dir)
+      val eng = new Engine(s, Manifest(Map.empty), wh)
+      val (_, age) = Materializer.freshness(eng.wh, "orders", "o_orderdate",
+        Some(3600), Some(86400), clockAt(0))
+      import s.implicits._
+      Seq(age.toLong).toDF("age_sec")
+    }
+  )
+}

@@ -1,0 +1,124 @@
+package graft.render
+
+import scala.util.matching.Regex
+
+/** Minimal Jinja-subset renderer — the template surface dbt models
+  * actually exercise at run time (see SURVEY.md §7.4): `{{ ref() }}`,
+  * `{{ source() }}`, `{{ this }}`, `{{ var() }}`,
+  * `{% if is_incremental() %}...[{% else %}...]{% endif %}`, and
+  * parse-time `{{ config(...) }}` extraction. Mirrors the reference's
+  * fast static-extraction path (`dbt_extractor`,
+  * `core/dbt/parser/models.py:27,385-405`) rather than full Jinja —
+  * full Jinja parity is explicitly out of scope (SURVEY §7 risk 3).
+  */
+object Template {
+
+  private val refRe: Regex =
+    """\{\{\s*ref\(\s*['"]([^'"]+)['"]\s*\)\s*\}\}""".r
+  private val sourceRe: Regex =
+    """\{\{\s*source\(\s*['"]([^'"]+)['"]\s*,\s*['"]([^'"]+)['"]\s*\)\s*\}\}""".r
+  private val thisRe: Regex = """\{\{\s*this\s*\}\}""".r
+  private val varRe: Regex =
+    """\{\{\s*var\(\s*['"]([^'"]+)['"]\s*(?:,\s*['"]?([^'")]*)['"]?)?\s*\)\s*\}\}""".r
+  private val configRe: Regex =
+    """(?s)\{\{\s*config\s*\((.*?)\)\s*\}\}""".r
+  private val ifIncrRe: Regex =
+    """(?s)\{%\s*if\s+is_incremental\(\)\s*%\}(.*?)(?:\{%\s*else\s*%\}(.*?))?\{%\s*endif\s*%\}""".r
+
+  /** Parse-time: names of every `ref('x')` in the template. */
+  def extractRefs(sql: String): Seq[String] =
+    refRe.findAllMatchIn(sql).map(_.group(1)).toSeq.distinct
+
+  /** Parse-time: every `source('a','b')` pair. */
+  def extractSources(sql: String): Seq[(String, String)] =
+    sourceRe.findAllMatchIn(sql).map(m => (m.group(1), m.group(2))).toSeq.distinct
+
+  /** Parse-time: `{{ config(...) }}` kwargs, and the SQL with the
+    * config call removed. Values keep their literal text (quotes
+    * stripped); list values become comma-joined.
+    */
+  def extractConfig(sql: String): (Map[String, String], String) = {
+    val kwargs = configRe.findFirstMatchIn(sql)
+      .map(m => parseKwargs(m.group(1)))
+      .getOrElse(Map.empty)
+    (kwargs, configRe.replaceAllIn(sql, ""))
+  }
+
+  /** Tiny kwargs parser: `k='v', k2=123, k3=true, k4=['a','b']`. */
+  private[render] def parseKwargs(s: String): Map[String, String] = {
+    val out = scala.collection.mutable.LinkedHashMap[String, String]()
+    var i = 0
+    def skipWs(): Unit = while (i < s.length && s(i).isWhitespace) i += 1
+    while (i < s.length) {
+      skipWs()
+      val keyStart = i
+      while (i < s.length && s(i) != '=') i += 1
+      if (i >= s.length) return out.toMap
+      val key = s.substring(keyStart, i).trim
+      i += 1 // '='
+      skipWs()
+      val value = new StringBuilder
+      if (i < s.length && (s(i) == '\'' || s(i) == '"')) {
+        val q = s(i); i += 1
+        while (i < s.length && s(i) != q) { value += s(i); i += 1 }
+        i += 1
+      } else if (i < s.length && s(i) == '[') {
+        i += 1
+        val items = scala.collection.mutable.ArrayBuffer[String]()
+        while (i < s.length && s(i) != ']') {
+          skipWs()
+          if (s(i) == '\'' || s(i) == '"') {
+            val q = s(i); i += 1
+            val item = new StringBuilder
+            while (i < s.length && s(i) != q) { item += s(i); i += 1 }
+            i += 1
+            items += item.toString
+          } else if (s(i) == ',') i += 1
+          else i += 1
+        }
+        i += 1
+        value ++= items.mkString(",")
+      } else {
+        while (i < s.length && s(i) != ',') { value += s(i); i += 1 }
+      }
+      out(key) = value.toString.trim
+      skipWs()
+      if (i < s.length && s(i) == ',') i += 1
+    }
+    out.toMap
+  }
+
+  /** Runtime render context (reference `RuntimeRefResolver`,
+    * `core/dbt/context/providers.py:498-583`).
+    */
+  final case class Context(
+      resolveRef: String => String,
+      resolveSource: (String, String) => String,
+      thisRelation: String,
+      vars: Map[String, String] = Map.empty,
+      isIncremental: Boolean = false)
+
+  /** Render a model body to executable Spark SQL. */
+  def render(sql: String, ctx: Context): String = {
+    var out = configRe.replaceAllIn(sql, "")
+    out = ifIncrRe.replaceAllIn(out, m => {
+      val branch =
+        if (ctx.isIncremental) m.group(1)
+        else Option(m.group(2)).getOrElse("")
+      Regex.quoteReplacement(branch)
+    })
+    out = refRe.replaceAllIn(out, m =>
+      Regex.quoteReplacement(ctx.resolveRef(m.group(1))))
+    out = sourceRe.replaceAllIn(out, m =>
+      Regex.quoteReplacement(ctx.resolveSource(m.group(1), m.group(2))))
+    out = thisRe.replaceAllIn(out, Regex.quoteReplacement(ctx.thisRelation))
+    out = varRe.replaceAllIn(out, m => {
+      val name = m.group(1)
+      val dflt = Option(m.group(2))
+      Regex.quoteReplacement(
+        ctx.vars.get(name).orElse(dflt).getOrElse(
+          throw new IllegalArgumentException(s"undefined var: $name")))
+    })
+    out.trim
+  }
+}

@@ -1,0 +1,353 @@
+package graft.run
+
+import graft.core._
+import graft.exec.{Materializer, Warehouse}
+import graft.graph.{Dag, GraphQueue, Selector}
+import graft.parse.ProjectLoader
+import graft.render.Template
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.util.concurrent.{ConcurrentLinkedQueue, Executors, TimeUnit}
+import scala.jdk.CollectionConverters._
+
+/** The engine: manifest → DAG → per-node compile + materialize,
+  * scheduled over a thread pool with release-on-done semantics — the
+  * Spark-native equivalent of the reference's task layer
+  * (`core/dbt/task/{run,test,seed,snapshot,build}.py` +
+  * `task/runnable.py:254-298` thread pool).
+  *
+  * Each node runs inside a Spark job group named by its unique id, so
+  * a failing node's jobs can be cancelled without touching siblings
+  * (reference fail-fast, `runnable.py:238-251`).
+  */
+final class Engine(
+    val spark: SparkSession,
+    val manifest: Manifest,
+    val warehouseRoot: String,
+    val vars: Map[String, String] = Map.empty,
+    val clock: Materializer.Clock = Materializer.systemClock,
+    val emptyMode: Boolean = false) {
+
+  val wh = new Warehouse(spark, warehouseRoot)
+  private val dag = Dag.fromManifest(manifest)
+  private val runStartedAt = clock()
+  val invocationId: String = java.util.UUID.randomUUID().toString
+
+  // register sources as views up front (they're external inputs)
+  manifest.sources.values.foreach { s =>
+    if (s.path.nonEmpty)
+      wh.registerSource(relationName(s), spark.read.parquet(s.path))
+  }
+
+  /** Physical relation name (reference `generate_name` /
+    * relation_name: alias wins, schema prefixes).
+    */
+  def relationName(n: Node): String = n match {
+    case s: SourceNode => s"src_${s.sourceName}_${s.name}"
+    case other =>
+      val base = other.config.alias.getOrElse(other.name)
+      other.config.schema.map(s => s"${s}_$base").getOrElse(base)
+  }
+
+  // ------------------------------------------------------------ compile
+
+  /** Render a node's SQL with runtime ref/source resolution; ephemeral
+    * refs resolve to `__dbt__cte__<name>` and their (recursively
+    * rendered) bodies are spliced into the consumer's WITH clause —
+    * the reference's only SQL-level rewrite
+    * (`core/dbt/compilation.py:302-392,540-608`).
+    */
+  def compile(node: Node, isIncremental: Boolean = false): String = {
+    val (raw, refs) = node match {
+      case m: ModelNode => (m.rawSql, m.refs)
+      case s: SnapshotNode => (s.rawSql, s.refs)
+      case t: TestNode => (t.rawSql, t.refs)
+      case other => throw new IllegalArgumentException(s"not compilable: ${other.uniqueId}")
+    }
+    val ephemeralDeps = scala.collection.mutable.LinkedHashMap[String, String]()
+
+    def resolveRef(name: String): String =
+      manifest.resolveRef(name) match {
+        case Some(m: ModelNode) if m.config.materialized == "ephemeral" =>
+          val cteName = s"__dbt__cte__$name"
+          if (!ephemeralDeps.contains(cteName)) {
+            ephemeralDeps(cteName) = "" // reserve slot (cycle-safe ordering)
+            ephemeralDeps(cteName) = renderBody(m.rawSql, relationName(m))
+          }
+          cteName
+        case Some(n) =>
+          val rel = relationName(n)
+          if (emptyMode) s"(SELECT * FROM $rel LIMIT 0) __empty_$rel" else rel
+        case None => throw new IllegalArgumentException(s"unresolved ref: $name")
+      }
+
+    def resolveSource(s: String, t: String): String =
+      manifest.resolveSource(s, t) match {
+        case Some(src) =>
+          val rel = relationName(src)
+          if (emptyMode) s"(SELECT * FROM $rel LIMIT 0) __empty_$rel" else rel
+        case None => throw new IllegalArgumentException(s"unresolved source: $s.$t")
+      }
+
+    def renderBody(sql: String, thisRel: String): String =
+      Template.render(sql, Template.Context(
+        resolveRef, resolveSource, thisRel, vars, isIncremental))
+
+    val body = renderBody(raw, relationName(node))
+    spliceCtes(body, ephemeralDeps.toSeq)
+  }
+
+  /** Inject ephemeral CTEs, merging with an existing WITH clause. */
+  private def spliceCtes(sql: String, ctes: Seq[(String, String)]): String =
+    if (ctes.isEmpty) sql
+    else {
+      val cteList = ctes.map { case (n, b) => s"$n AS (\n$b\n)" }.mkString(", ")
+      val trimmed = sql.trim
+      // strip a leading WITH and re-attach its CTE list after ours
+      val withRe = "(?is)^\\s*WITH\\s+(.*)$".r
+      trimmed match {
+        case withRe(rest) => s"WITH $cteList, $rest"
+        case _ => s"WITH $cteList\n$trimmed"
+      }
+    }
+
+  // ---------------------------------------------------------------- run
+
+  /** Execute selected nodes over `threads` workers. Returns results in
+    * completion order. `resourceTypes` filters what executes (run vs
+    * test vs build); dependencies still gate scheduling.
+    */
+  def run(
+      select: Seq[String] = Nil,
+      exclude: Seq[String] = Nil,
+      threads: Int = 4,
+      resourceTypes: Set[String] = Set("model", "seed", "snapshot"),
+      failFast: Boolean = false,
+      fullRefresh: Boolean = false): Seq[Materializer.Result] = {
+
+    val selected0 = Selector.select(manifest, dag, select, exclude)
+    // executing a node requires its ancestors' relations to exist; the
+    // reference expects them pre-built unless selected — here sources
+    // are always available and we only schedule selected nodes.
+    val selected = selected0.filter(id =>
+      manifest.nodes.get(id).exists(n => resourceTypes.contains(n.resourceType)))
+    val queue = new GraphQueue(dag, selected)
+    val results = new ConcurrentLinkedQueue[Materializer.Result]()
+    val pool = Executors.newFixedThreadPool(threads)
+    val failed = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+    def worker(): Unit = {
+      var continue = true
+      while (continue && !(failFast && failed.get())) {
+        queue.poll() match {
+          case Some(id) =>
+            val t0 = System.nanoTime()
+            val node = manifest.nodes(id)
+            spark.sparkContext.setJobGroup(id, s"graft: $id", interruptOnCancel = true)
+            try {
+              runNode(node, fullRefresh)
+              results.add(Materializer.Result(id, "success",
+                elapsedSec = (System.nanoTime() - t0) / 1e9))
+              queue.markDone(id)
+            } catch {
+              case e: Throwable =>
+                failed.set(true)
+                results.add(Materializer.Result(id, "error",
+                  message = String.valueOf(e.getMessage),
+                  elapsedSec = (System.nanoTime() - t0) / 1e9))
+                val skipped = queue.markFailed(id)
+                skipped.foreach(sid => results.add(
+                  Materializer.Result(sid, "skipped",
+                    message = s"upstream failure: $id")))
+            } finally spark.sparkContext.clearJobGroup()
+          case None =>
+            if (queue.isComplete) continue = false
+            else Thread.sleep(5)
+        }
+      }
+    }
+
+    val futures = (1 to threads).map(_ => pool.submit(new Runnable {
+      def run(): Unit = worker()
+    }))
+    futures.foreach(_.get())
+    pool.shutdown()
+    pool.awaitTermination(60, TimeUnit.SECONDS)
+    results.asScala.toSeq
+  }
+
+  private def runNode(node: Node, fullRefreshFlag: Boolean): Unit = node match {
+    case m: ModelNode =>
+      runHooks(m.config.preHook)
+      m.config.materialized match {
+        case "view" => Materializer.view(wh, relationName(m), compile(m))
+        case "table" =>
+          Materializer.table(wh, relationName(m), compile(m), m.config.partitionBy)
+        case "incremental" =>
+          Materializer.incremental(wh, relationName(m),
+            renderedFull = compile(m, isIncremental = false),
+            renderedIncremental = compile(m, isIncremental = true),
+            strategy = m.config.incrementalStrategy.getOrElse("merge"),
+            uniqueKey = m.config.uniqueKey,
+            onSchemaChange = m.config.onSchemaChange,
+            partitionBy = m.config.partitionBy,
+            fullRefresh = fullRefreshFlag || m.config.fullRefresh)
+        case "ephemeral" => () // never materialized (inlined at consumers)
+        case other =>
+          throw new IllegalArgumentException(s"unknown materialization: $other")
+      }
+      runHooks(m.config.postHook)
+    case s: SeedNode => Materializer.seed(wh, s)
+    case s: SnapshotNode =>
+      Materializer.snapshot(wh, relationName(s), compile(s),
+        s.uniqueKey, s.strategy, s.invalidateHardDeletes, clock)
+    case t: TestNode =>
+      val (status, failures) = Materializer.runTest(wh, t.copy(rawSql = compile(t)))
+      if (status == "fail")
+        throw new IllegalStateException(s"test ${t.name} failed ($failures failures)")
+    case _: SourceNode => ()
+    case u: UnitTestNode => runUnitTestNode(u)
+  }
+
+  private def runHooks(hooks: Seq[String]): Unit =
+    hooks.foreach(h => spark.sql(Template.render(h, Template.Context(
+      n => relationName(manifest.resolveRef(n).get),
+      (s, t) => relationName(manifest.resolveSource(s, t).get),
+      "", vars, isIncremental = false))))
+
+  /** `dbt test`: data tests (+ unit tests) only. */
+  def test(select: Seq[String] = Nil, threads: Int = 4): Seq[Materializer.Result] = {
+    val selected = Selector.select(manifest, dag, select)
+      .filter(id => manifest.nodes.get(id).exists(n =>
+        n.resourceType == "test" || n.resourceType == "unit_test"))
+    selected.toSeq.sorted.map { id =>
+      val t0 = System.nanoTime()
+      manifest.nodes(id) match {
+        case t: TestNode =>
+          try {
+            val (status, failures) = Materializer.runTest(wh, t.copy(rawSql = compile(t)))
+            Materializer.Result(id, status, s"$failures failures",
+              rowsAffected = failures, elapsedSec = (System.nanoTime() - t0) / 1e9)
+          } catch {
+            case e: Throwable =>
+              Materializer.Result(id, "error", String.valueOf(e.getMessage))
+          }
+        case u: UnitTestNode =>
+          try {
+            runUnitTestNode(u)
+            Materializer.Result(id, "pass", elapsedSec = (System.nanoTime() - t0) / 1e9)
+          } catch {
+            case e: Throwable => Materializer.Result(id, "fail", String.valueOf(e.getMessage))
+          }
+        case other => Materializer.Result(id, "error", s"not a test: ${other.uniqueId}")
+      }
+    }
+  }
+
+  private def runUnitTestNode(u: UnitTestNode): Unit = {
+    val model = manifest.resolveRef(u.model).getOrElse(
+      throw new IllegalArgumentException(s"unit test ${u.name}: unknown model ${u.model}")) match {
+      case m: ModelNode => m
+      case other => throw new IllegalArgumentException(s"unit test target not a model: ${other.uniqueId}")
+    }
+    // fixture views replace real refs: render with resolver → fixture names
+    val fixtureViews = u.given.map { case (refName, rows) =>
+      val viewName = s"__utf_${u.name}_$refName"
+      (refName, viewName, rowsToDf(rows))
+    }.toSeq
+    val sql = Template.render(model.rawSql, Template.Context(
+      name => fixtureViews.find(_._1 == name).map(_._2)
+        .getOrElse(relationName(manifest.resolveRef(name).get)),
+      (s, t) => fixtureViews.find(_._1 == s"$s.$t").map(_._2)
+        .getOrElse(relationName(manifest.resolveSource(s, t).get)),
+      relationName(model), vars, isIncremental = false))
+    val diff = Materializer.runUnitTest(spark, sql,
+      fixtureViews.map(f => f._2 -> f._3).toMap, rowsToDf(u.expect))
+    diff.foreach(msg => throw new IllegalStateException(s"unit test ${u.name}: $msg"))
+  }
+
+  private def rowsToDf(rows: Seq[Map[String, Any]]): DataFrame = {
+    require(rows.nonEmpty, "unit test fixture needs at least one row")
+    val cols = rows.head.keys.toSeq
+    val data = rows.map(r => org.apache.spark.sql.Row(cols.map(c => r.getOrElse(c, null)): _*))
+    val fields = cols.map { c =>
+      val sample = rows.flatMap(r => Option(r.getOrElse(c, null))).headOption
+      val dt = sample match {
+        case Some(_: Int) | Some(_: Long) => org.apache.spark.sql.types.LongType
+        case Some(_: Double) => org.apache.spark.sql.types.DoubleType
+        case Some(_: java.sql.Timestamp) => org.apache.spark.sql.types.TimestampType
+        case _ => org.apache.spark.sql.types.StringType
+      }
+      org.apache.spark.sql.types.StructField(c, dt)
+    }
+    val norm = rows.map(r => org.apache.spark.sql.Row(cols.zip(fields).map { case (c, f) =>
+      val v = r.getOrElse(c, null)
+      (v, f.dataType) match {
+        case (null, _) => null
+        case (i: Int, org.apache.spark.sql.types.LongType) => i.toLong
+        case (other, org.apache.spark.sql.types.StringType) => String.valueOf(other)
+        case (other, _) => other
+      }
+    }: _*))
+    spark.createDataFrame(norm.asJava, org.apache.spark.sql.types.StructType(fields))
+  }
+
+  /** `dbt build`: seeds+models+snapshots+tests in one DAG, with tests
+    * gating downstream nodes (reference test-edge augmentation,
+    * `core/dbt/compilation.py:193-244`): a test runs as soon as its
+    * inputs exist, and a *failing* (error-severity) test stops
+    * descendants because the test node raises.
+    */
+  def build(select: Seq[String] = Nil, threads: Int = 4): Seq[Materializer.Result] = {
+    // augment: each non-test child of a tested node also depends on the test
+    val testsByParent = manifest.tests.values.flatMap(t =>
+      t.dependsOn.map(p => p -> t.uniqueId)).groupBy(_._1)
+    val augmented = Manifest(manifest.nodes.map {
+      case (id, n) if n.resourceType != "test" && n.resourceType != "source" =>
+        val extra = n.dependsOn.flatMap(p => testsByParent.getOrElse(p, Nil).map(_._2))
+        id -> (n match {
+          case m: ModelNode => m.copy(dependsOn = (m.dependsOn ++ extra).distinct)
+          case s: SnapshotNode => s.copy(dependsOn = (s.dependsOn ++ extra).distinct)
+          case other => other
+        })
+      case kv => kv
+    })
+    val eng = new Engine(spark, augmented, warehouseRoot, vars, clock)
+    eng.run(select, threads = threads,
+      resourceTypes = Set("model", "seed", "snapshot", "test", "unit_test"))
+  }
+
+  /** `dbt show --inline` (reference `core/dbt/task/show.py:22-62`). */
+  def show(inlineSql: String, limit: Int = 5): DataFrame = {
+    val rendered = Template.render(inlineSql, Template.Context(
+      n => relationName(manifest.resolveRef(n).getOrElse(
+        throw new IllegalArgumentException(s"unresolved ref: $n"))),
+      (s, t) => relationName(manifest.resolveSource(s, t).get),
+      "", vars, isIncremental = false))
+    spark.sql(rendered).limit(limit)
+  }
+
+  /** Source freshness for all sources with a loaded_at_field. */
+  def sourceFreshness(): Map[String, (String, Double)] =
+    manifest.sources.values.flatMap { s =>
+      s.loadedAtField.map { f =>
+        s.uniqueId -> Materializer.freshness(wh, relationName(s), f,
+          s.freshnessWarnAfterSec, s.freshnessErrorAfterSec, clock)
+      }
+    }.toMap
+
+  /** `dbt ls` (reference list task): selected unique ids, topo order. */
+  def ls(select: Seq[String] = Nil, exclude: Seq[String] = Nil): Seq[String] = {
+    val sel = Selector.select(manifest, dag, select, exclude)
+    dag.topoSort.filter(sel.contains)
+  }
+}
+
+object Engine {
+  /** Load a project directory and build an engine over it. */
+  def fromProject(spark: SparkSession, projectDir: String, warehouseRoot: String,
+      vars: Map[String, String] = Map.empty,
+      clock: Materializer.Clock = Materializer.systemClock): Engine = {
+    val proj = ProjectLoader.load(projectDir)
+    new Engine(spark, proj.manifest, warehouseRoot, proj.vars ++ vars, clock)
+  }
+}

@@ -1,0 +1,352 @@
+package graft.run
+
+import graft.SparkSpec
+import graft.core._
+import graft.exec.Materializer
+import java.nio.file.{Files, Paths}
+
+/** End-to-end project runs against a temp warehouse — the equivalent of
+  * the reference's tests/functional suites (project fixture + run_dbt +
+  * relation assertions, `core/dbt/tests/fixtures/project.py`).
+  */
+class EngineSpec extends SparkSpec {
+
+  private def writeProject(files: Map[String, String]): String = {
+    val dir = Paths.get(tmpDir("graft_proj"))
+    files.foreach { case (rel, content) =>
+      val p = dir.resolve(rel)
+      Files.createDirectories(p.getParent)
+      Files.writeString(p, content)
+    }
+    dir.toString
+  }
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def baseProject: Map[String, String] = Map(
+    "dbt_project.yml" ->
+      s"""name: demo
+         |vars:
+         |  cutoff: '1996-01-01'
+         |""".stripMargin,
+    "models/sources.yml" ->
+      s"""sources:
+         |  - name: main
+         |    tables:
+         |      - name: orders
+         |        path: $sf/orders.parquet
+         |        loaded_at_field: o_orderdate
+         |      - name: customer
+         |        path: $sf/customer.parquet
+         |""".stripMargin,
+    "models/stg_orders.sql" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+        |FROM {{ source('main', 'orders') }}
+        |WHERE o_orderdate >= '{{ var('cutoff') }}'""".stripMargin,
+    "models/fct_spend.sql" ->
+      """{{ config(materialized='table') }}
+        |SELECT o_custkey, count(*) AS n_orders, sum(o_totalprice) AS spend
+        |FROM {{ ref('stg_orders') }} GROUP BY o_custkey""".stripMargin,
+    "models/schema.yml" ->
+      """models:
+        |  - name: fct_spend
+        |    columns:
+        |      - name: o_custkey
+        |        tests: [unique, not_null]
+        |""".stripMargin)
+
+  test("view + table + tests end to end") {
+    val eng = Engine.fromProject(spark, writeProject(baseProject), tmpDir("wh"))
+    val results = eng.run(threads = 2)
+    assert(results.forall(_.status == "success"), results.mkString("\n"))
+    assert(eng.wh.isView("stg_orders"))
+    assert(!eng.wh.isView("fct_spend"))
+    val fct = eng.wh.read("fct_spend")
+    assert(fct.count() > 0)
+    val testResults = eng.test()
+    assert(testResults.nonEmpty && testResults.forall(_.status == "pass"),
+      testResults.mkString("\n"))
+  }
+
+  test("failing test reports fail and failing-rows sql works") {
+    val proj = baseProject + ("models/schema.yml" ->
+      """models:
+        |  - name: fct_spend
+        |    columns:
+        |      - name: n_orders
+        |        tests: [unique]
+        |""".stripMargin)
+    val eng = Engine.fromProject(spark, writeProject(proj), tmpDir("wh"))
+    eng.run()
+    val testResults = eng.test()
+    assert(testResults.exists(_.status == "fail"), testResults.mkString("\n"))
+  }
+
+  test("ephemeral models inline as CTEs") {
+    val proj = baseProject +
+      ("models/stg_orders.sql" ->
+        """{{ config(materialized='ephemeral') }}
+          |SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+          |FROM {{ source('main', 'orders') }}""".stripMargin)
+    val eng = Engine.fromProject(spark, writeProject(proj), tmpDir("wh"))
+    val fct = eng.manifest.byName("fct_spend").get
+    val sql = eng.compile(fct)
+    assert(sql.contains("__dbt__cte__stg_orders"))
+    val results = eng.run()
+    assert(results.forall(_.status == "success"), results.mkString("\n"))
+    assert(!eng.wh.exists("stg_orders")) // never materialized
+    assert(eng.wh.read("fct_spend").count() > 0)
+  }
+
+  test("incremental merge: two batches equal full rebuild") {
+    val whDir = tmpDir("wh")
+    val proj = Map(
+      "dbt_project.yml" -> "name: incr\n",
+      "models/sources.yml" ->
+        s"""sources:
+           |  - name: main
+           |    tables:
+           |      - name: orders
+           |        path: $sf/orders.parquet
+           |""".stripMargin,
+      "models/inc_orders.sql" ->
+        """{{ config(materialized='incremental', incremental_strategy='merge', unique_key='o_orderkey') }}
+          |SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+          |FROM {{ source('main', 'orders') }}
+          |{% if is_incremental() %}
+          |WHERE o_orderdate > (SELECT max(o_orderdate) FROM {{ this }})
+          |{% endif %}""".stripMargin)
+    val eng = Engine.fromProject(spark, writeProject(proj), whDir)
+    // batch 1: full build (first run ignores is_incremental branch)
+    eng.run()
+    val afterFirst = eng.wh.read("inc_orders").count()
+    // batch 2: incremental run picks up nothing new (same source) but
+    // must keep the table identical
+    eng.run()
+    val afterSecond = eng.wh.read("inc_orders").count()
+    val expected = spark.read.parquet(s"$sf/orders.parquet").count()
+    assert(afterFirst === expected)
+    assert(afterSecond === expected)
+  }
+
+  test("incremental append adds delta commits") {
+    val whDir = tmpDir("wh")
+    import org.apache.spark.sql.functions._
+    val eng = new Engine(spark, Manifest(Map.empty), whDir)
+    val base = spark.range(5).select(col("id"), lit("a").as("tag"))
+    eng.wh.writeTable("t_app", base)
+    eng.wh.appendTable("t_app", spark.range(5, 8).select(col("id"), lit("b").as("tag")))
+    assert(eng.wh.read("t_app").count() === 8)
+    // replace resets the commit log
+    eng.wh.writeTable("t_app", base)
+    assert(eng.wh.read("t_app").count() === 5)
+  }
+
+  test("snapshot SCD2: timestamp strategy with update, insert, hard delete") {
+    val whDir = tmpDir("wh")
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    var t = 0L
+    val clock: Materializer.Clock = () => { new java.sql.Timestamp(86400000L * (10 + t)) }
+    val eng = new Engine(spark, Manifest(Map.empty), whDir, clock = clock)
+
+    def ts(day: Int) = new java.sql.Timestamp(86400000L * day)
+    val day1 = Seq((1L, "alice", ts(1)), (2L, "bob", ts(1)))
+      .toDF("id", "name", "updated_at")
+    day1.createOrReplaceTempView("snap_src")
+    Materializer.snapshot(eng.wh, "snap", "SELECT * FROM snap_src",
+      Seq("id"), TimestampStrategy("updated_at"),
+      invalidateHardDeletes = true, clock)
+    val s1 = eng.wh.read("snap")
+    assert(s1.count() === 2)
+    assert(s1.filter(col("dbt_valid_to").isNull).count() === 2)
+
+    // day 2: alice renamed (newer ts), bob unchanged, carol inserted
+    t = 1
+    Seq((1L, "alicia", ts(2)), (2L, "bob", ts(1)), (3L, "carol", ts(2)))
+      .toDF("id", "name", "updated_at").createOrReplaceTempView("snap_src")
+    Materializer.snapshot(eng.wh, "snap", "SELECT * FROM snap_src",
+      Seq("id"), TimestampStrategy("updated_at"),
+      invalidateHardDeletes = true, clock)
+    val s2 = eng.wh.read("snap")
+    assert(s2.count() === 4) // alice closed + alicia open + bob open + carol open
+    assert(s2.filter(col("dbt_valid_to").isNull).count() === 3)
+    val aliceRows = s2.filter(col("id") === 1).orderBy("dbt_valid_from").collect()
+    assert(aliceRows.length === 2)
+    assert(aliceRows(0).getAs[java.sql.Timestamp]("dbt_valid_to") === ts(2))
+    assert(aliceRows(1).getAs[java.sql.Timestamp]("dbt_valid_to") === null)
+
+    // day 3: bob hard-deleted
+    t = 2
+    Seq((1L, "alicia", ts(2)), (3L, "carol", ts(2)))
+      .toDF("id", "name", "updated_at").createOrReplaceTempView("snap_src")
+    Materializer.snapshot(eng.wh, "snap", "SELECT * FROM snap_src",
+      Seq("id"), TimestampStrategy("updated_at"),
+      invalidateHardDeletes = true, clock)
+    val s3 = eng.wh.read("snap")
+    assert(s3.filter(col("id") === 2 && col("dbt_valid_to").isNotNull).count() === 1)
+    assert(s3.filter(col("dbt_valid_to").isNull).count() === 2)
+  }
+
+  test("snapshot check strategy detects column changes null-safely") {
+    val whDir = tmpDir("wh")
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val clock: Materializer.Clock = () => new java.sql.Timestamp(1000000000L)
+    val eng = new Engine(spark, Manifest(Map.empty), whDir, clock = clock)
+    Seq((1L, Some("x")), (2L, None: Option[String])).toDF("id", "v")
+      .createOrReplaceTempView("chk_src")
+    Materializer.snapshot(eng.wh, "chk", "SELECT * FROM chk_src",
+      Seq("id"), CheckStrategy(Some(Seq("v"))), invalidateHardDeletes = false, clock)
+    // change: null -> 'y' must register as a change (null-safe compare)
+    val clock2: Materializer.Clock = () => new java.sql.Timestamp(2000000000L)
+    Seq((1L, Some("x")), (2L, Some("y"))).toDF("id", "v")
+      .createOrReplaceTempView("chk_src")
+    Materializer.snapshot(eng.wh, "chk", "SELECT * FROM chk_src",
+      Seq("id"), CheckStrategy(Some(Seq("v"))), invalidateHardDeletes = false, clock2)
+    val out = eng.wh.read("chk")
+    assert(out.count() === 3)
+    assert(out.filter(col("id") === 2 && col("dbt_valid_to").isNotNull).count() === 1)
+    assert(out.filter(col("id") === 2 && col("dbt_valid_to").isNull)
+      .select("v").head().getString(0) === "y")
+  }
+
+  test("seed with column_types and delimiter") {
+    val whDir = tmpDir("wh")
+    val eng = new Engine(spark, Manifest(Map.empty), whDir)
+    val node = SeedNode("country_codes",
+      "code|name|pop\nUS|United States|331\nDE|Germany|83\n",
+      delimiter = "|", columnTypes = Map("pop" -> "bigint"))
+    Materializer.seed(eng.wh, node)
+    val df = eng.wh.read("country_codes")
+    assert(df.count() === 2)
+    assert(df.schema("pop").dataType.typeName === "long")
+  }
+
+  test("unit test: fixtures replace refs, diff detected") {
+    val proj = baseProject
+    val eng0 = Engine.fromProject(spark, writeProject(proj), tmpDir("wh"))
+    val ut = UnitTestNode(
+      name = "ut_fct_spend",
+      model = "fct_spend",
+      given = Map("stg_orders" -> Seq(
+        Map("o_custkey" -> 7L, "o_totalprice" -> 10.0),
+        Map("o_custkey" -> 7L, "o_totalprice" -> 5.0))),
+      expect = Seq(Map("o_custkey" -> 7L, "n_orders" -> 2L, "spend" -> 15.0)))
+    val manifest2 = Manifest(eng0.manifest.nodes + (ut.uniqueId -> ut))
+    val eng = new Engine(spark, manifest2, tmpDir("wh2"))
+    val res = eng.test(select = Seq("ut_fct_spend"))
+    assert(res.head.status === "pass", res.mkString("\n"))
+
+    val bad = ut.copy(name = "ut_bad",
+      expect = Seq(Map("o_custkey" -> 7L, "n_orders" -> 99L, "spend" -> 15.0)))
+    val eng2 = new Engine(spark,
+      Manifest(eng0.manifest.nodes + (bad.uniqueId -> bad)), tmpDir("wh3"))
+    assert(eng2.test(select = Seq("ut_bad")).head.status === "fail")
+  }
+
+  test("source freshness thresholds") {
+    val eng = Engine.fromProject(spark, writeProject(baseProject), tmpDir("wh"))
+    // clock far in the future -> stale
+    val stale = new Engine(spark, eng.manifest, tmpDir("wh2"),
+      clock = () => java.sql.Timestamp.valueOf("2020-01-01 00:00:00"))
+    val fresh = stale.sourceFreshness()
+    assert(fresh.nonEmpty)
+    // orders max(o_orderdate) is ~1998; 2020 clock means very stale age
+    assert(fresh.values.head._2 > 0)
+  }
+
+  test("build: failing test blocks downstream models") {
+    val proj = Map(
+      "dbt_project.yml" -> "name: blocky\n",
+      "models/sources.yml" ->
+        s"""sources:
+           |  - name: main
+           |    tables:
+           |      - name: orders
+           |        path: $sf/orders.parquet
+           |""".stripMargin,
+      "models/m1.sql" ->
+        // o_orderstatus is NOT unique -> unique test fails
+        "SELECT o_orderstatus FROM {{ source('main', 'orders') }}",
+      "models/m2.sql" ->
+        "{{ config(materialized='table') }}\nSELECT count(*) AS n FROM {{ ref('m1') }}",
+      "models/schema.yml" ->
+        """models:
+          |  - name: m1
+          |    columns:
+          |      - name: o_orderstatus
+          |        tests: [unique]
+          |""".stripMargin)
+    val eng = Engine.fromProject(spark, writeProject(proj), tmpDir("wh"))
+    val results = eng.build()
+    val byId = results.map(r => r.uniqueId -> r.status).toMap
+    assert(byId.exists { case (id, st) => id.contains("unique_m1") && st == "error" })
+    assert(byId.exists { case (id, st) => id == "model.graft.m2" && st == "skipped" })
+  }
+
+  test("show with inline sql and limit") {
+    val eng = Engine.fromProject(spark, writeProject(baseProject), tmpDir("wh"))
+    eng.run()
+    val df = eng.show("SELECT * FROM {{ ref('fct_spend') }} ORDER BY o_custkey", limit = 3)
+    assert(df.count() === 3)
+  }
+
+  test("ls returns topo-ordered selection") {
+    val eng = Engine.fromProject(spark, writeProject(baseProject), tmpDir("wh"))
+    val ids = eng.ls(Seq("+fct_spend"))
+    assert(ids.indexOf("model.graft.stg_orders") < ids.indexOf("model.graft.fct_spend"))
+  }
+
+  test("on_schema_change variants") {
+    val whDir = tmpDir("wh")
+    import org.apache.spark.sql.functions._
+    val eng = new Engine(spark, Manifest(Map.empty), whDir)
+    spark.range(3).select(col("id"), lit("x").as("a")).createOrReplaceTempView("osc_src1")
+    spark.range(3, 5).select(col("id"), lit("y").as("a"), lit(1L).as("b"))
+      .createOrReplaceTempView("osc_src2")
+
+    // ignore: new column b dropped
+    Materializer.incremental(eng.wh, "osc1", "SELECT * FROM osc_src1",
+      "SELECT * FROM osc_src2", "append", Nil, "ignore", Nil, fullRefresh = false)
+    Materializer.incremental(eng.wh, "osc1", "SELECT * FROM osc_src1",
+      "SELECT * FROM osc_src2", "append", Nil, "ignore", Nil, fullRefresh = false)
+    assert(eng.wh.read("osc1").columns.toSet === Set("id", "a"))
+
+    // append_new_columns: b appears, null for old rows
+    Materializer.incremental(eng.wh, "osc2", "SELECT * FROM osc_src1",
+      "SELECT * FROM osc_src2", "append", Nil, "append_new_columns", Nil, fullRefresh = false)
+    Materializer.incremental(eng.wh, "osc2", "SELECT * FROM osc_src1",
+      "SELECT * FROM osc_src2", "append", Nil, "append_new_columns", Nil, fullRefresh = false)
+    val osc2 = eng.wh.read("osc2")
+    assert(osc2.columns.toSet === Set("id", "a", "b"))
+    assert(osc2.filter(col("b").isNull).count() === 3)
+
+    // fail: throws
+    Materializer.incremental(eng.wh, "osc3", "SELECT * FROM osc_src1",
+      "SELECT * FROM osc_src2", "append", Nil, "fail", Nil, fullRefresh = false)
+    assertThrows[IllegalStateException](
+      Materializer.incremental(eng.wh, "osc3", "SELECT * FROM osc_src1",
+        "SELECT * FROM osc_src2", "append", Nil, "fail", Nil, fullRefresh = false))
+  }
+
+  test("insert_overwrite replaces only delta partitions") {
+    val whDir = tmpDir("wh")
+    import org.apache.spark.sql.functions._
+    val eng = new Engine(spark, Manifest(Map.empty), whDir)
+    spark.range(6).select(col("id"), (col("id") % 3).as("part"))
+      .createOrReplaceTempView("iow_full")
+    // delta: only part=1, with shifted ids
+    spark.range(100, 102).select(col("id"), lit(1L).as("part"))
+      .createOrReplaceTempView("iow_delta")
+    Materializer.incremental(eng.wh, "iow", "SELECT * FROM iow_full",
+      "SELECT * FROM iow_delta", "insert_overwrite", Nil, "ignore",
+      Seq("part"), fullRefresh = false)
+    Materializer.incremental(eng.wh, "iow", "SELECT * FROM iow_full",
+      "SELECT * FROM iow_delta", "insert_overwrite", Nil, "ignore",
+      Seq("part"), fullRefresh = false)
+    val out = eng.wh.read("iow")
+    assert(out.filter(col("part") === 1).count() === 2) // replaced
+    assert(out.filter(col("part") =!= 1).count() === 4) // untouched
+  }
+}
