@@ -172,6 +172,32 @@ final case class UnitTestNode(
   val resourceType = "unit_test"
 }
 
+/** What a code-model body sees (dbt.ref/source/config equivalent for
+  * A28 Python models; implemented by the engine).
+  */
+trait ModelApi {
+  def spark: org.apache.spark.sql.SparkSession
+  def ref(name: String): org.apache.spark.sql.DataFrame
+  def source(src: String, table: String): org.apache.spark.sql.DataFrame
+  def variable(name: String, default: String = null): String
+}
+
+/** Code model — the analog of the reference's Python models (A28,
+  * `def model(dbt, session)`, `core/dbt/parser/models.py:30-140`). On
+  * Spark a native win: the body is already a DataFrame program, typed
+  * at compile time; refs/sources are declared (the reference extracts
+  * them from the Python AST).
+  */
+final case class ScalaModelNode(
+    name: String,
+    declaredRefs: Seq[String],
+    declaredSources: Seq[(String, String)],
+    body: ModelApi => org.apache.spark.sql.DataFrame,
+    config: NodeConfig = NodeConfig(materialized = "table"),
+    dependsOn: Seq[String] = Nil) extends Node {
+  val resourceType = "model"
+}
+
 /** The manifest: typed universe of all resources (reference
   * `core/dbt/contracts/graph/manifest.py:807+`).
   */
@@ -186,16 +212,19 @@ final case class Manifest(nodes: Map[String, Node]) {
   private def collect[T <: Node](pf: PartialFunction[Node, T]): Map[String, T] =
     nodes.collect { case (id, n) if pf.isDefinedAt(n) => id -> pf(n) }
 
+  // name indexes: linking is O(n) instead of O(n^2) on big projects
+  @transient private lazy val refIndex: Map[String, Node] =
+    nodes.values.filter(n => Set("model", "seed", "snapshot")(n.resourceType))
+      .map(n => n.name -> n).toMap
+  @transient private lazy val sourceIndex: Map[(String, String), SourceNode] =
+    nodes.values.collect { case s: SourceNode => (s.sourceName, s.name) -> s }.toMap
+
   def byName(name: String): Option[Node] = nodes.values.find(_.name == name)
 
-  def resolveRef(name: String): Option[Node] =
-    nodes.values.find(n => n.name == name &&
-      (n.resourceType == "model" || n.resourceType == "seed" || n.resourceType == "snapshot"))
+  def resolveRef(name: String): Option[Node] = refIndex.get(name)
 
   def resolveSource(sourceName: String, tableName: String): Option[SourceNode] =
-    nodes.values.collectFirst {
-      case s: SourceNode if s.sourceName == sourceName && s.name == tableName => s
-    }
+    sourceIndex.get((sourceName, tableName))
 
   def parentMap: Map[String, Set[String]] =
     nodes.map { case (id, n) => id -> n.dependsOn.toSet }

@@ -93,6 +93,18 @@ object Selector {
 
   private val spec = """^(@)?(?:(\d*)(\+))?([^+]+?)(?:(\+)(\d*))?$""".r
 
+  /** state:modified / state:new need the `--state` manifest
+    * (reference `StateSelectorMethod`, `selector_methods.py:609-788`).
+    */
+  private val stateManifestTL = new ThreadLocal[Option[Manifest]] {
+    override def initialValue(): Option[Manifest] = None
+  }
+
+  def withState[T](state: Manifest)(f: => T): T = {
+    stateManifestTL.set(Some(state))
+    try f finally stateManifestTL.set(None)
+  }
+
   def select(manifest: Manifest, dag: Dag, include: Seq[String],
       exclude: Seq[String] = Nil): Set[String] = {
     val base =
@@ -149,8 +161,35 @@ object Selector {
       }.toSet
     case Array("resource_type", rt) =>
       manifest.nodes.collect { case (id, n) if n.resourceType == rt => id }.toSet
+    case Array("state", which) =>
+      val state = stateManifestTL.get().getOrElse(
+        throw new IllegalArgumentException("state: selector needs a --state manifest (Selector.withState)"))
+      which match {
+        case "new" => manifest.nodes.keySet -- state.nodes.keySet
+        case "modified" =>
+          manifest.nodes.collect {
+            case (id, n) if !state.nodes.get(id).exists(same(_, n)) => id
+          }.toSet
+        case other =>
+          throw new IllegalArgumentException(s"unsupported state method: $other")
+      }
     case Array(m, _) =>
       throw new IllegalArgumentException(s"unsupported selection method: $m")
+  }
+
+  /** Node equivalence for state:modified — raw code + config
+    * (reference compares content checksums).
+    */
+  private def same(a: Node, b: Node): Boolean = (a, b) match {
+    case (x: graft.core.ModelNode, y: graft.core.ModelNode) =>
+      x.rawSql == y.rawSql && x.config == y.config
+    case (x: graft.core.SnapshotNode, y: graft.core.SnapshotNode) =>
+      x.rawSql == y.rawSql && x.config == y.config &&
+        x.strategy == y.strategy && x.uniqueKey == y.uniqueKey
+    case (x: graft.core.TestNode, y: graft.core.TestNode) =>
+      x.rawSql == y.rawSql && x.config == y.config
+    case (x: graft.core.SeedNode, y: graft.core.SeedNode) => x.csv == y.csv
+    case (x, y) => x == y
   }
 }
 

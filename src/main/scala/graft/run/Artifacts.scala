@@ -1,0 +1,138 @@
+package graft.run
+
+import graft.core._
+import graft.exec.Materializer
+import java.nio.file.{Files, Paths}
+
+/** Artifact writers — shape-compatible subsets of the reference's
+  * `target/manifest.json` (schema v12), `run_results.json` (v6) and
+  * `catalog.json` (v1) (`core/dbt/artifacts/schemas/...`). Hand-rolled
+  * JSON (no external deps beyond the Spark classpath).
+  */
+object Artifacts {
+
+  private def esc(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+  private def q(s: String): String = "\"" + esc(s) + "\""
+  private def obj(fields: Seq[(String, String)]): String =
+    fields.map { case (k, v) => s"${q(k)}: $v" }.mkString("{", ", ", "}")
+  private def arr(items: Seq[String]): String = items.mkString("[", ", ", "]")
+
+  def writeRunResults(
+      path: String,
+      results: Seq[Materializer.Result],
+      invocationId: String,
+      generatedAt: java.sql.Timestamp): Unit = {
+    val items = results.map { r =>
+      obj(Seq(
+        "unique_id" -> q(r.uniqueId),
+        "status" -> q(r.status),
+        "message" -> q(r.message),
+        "execution_time" -> r.elapsedSec.toString,
+        "rows_affected" -> r.rowsAffected.toString,
+        "adapter_response" -> obj(Nil),
+        "timing" -> arr(Nil),
+        "thread_id" -> q("main"),
+        "failures" -> (if (r.status == "fail") "1" else "null")))
+    }
+    val doc = obj(Seq(
+      "metadata" -> obj(Seq(
+        "dbt_schema_version" -> q("https://schemas.getdbt.com/dbt/run-results/v6.json"),
+        "generated_at" -> q(generatedAt.toInstant.toString),
+        "invocation_id" -> q(invocationId))),
+      "results" -> arr(items),
+      "elapsed_time" -> results.map(_.elapsedSec).sum.toString,
+      "args" -> obj(Nil)))
+    write(path, doc)
+  }
+
+  def writeManifest(path: String, manifest: Manifest,
+      generatedAt: java.sql.Timestamp, invocationId: String): Unit = {
+    def nodeJson(n: Node): String = {
+      val base = Seq(
+        "unique_id" -> q(n.uniqueId),
+        "name" -> q(n.name),
+        "resource_type" -> q(n.resourceType),
+        "package_name" -> q("graft"),
+        "depends_on" -> obj(Seq("nodes" -> arr(n.dependsOn.map(q)))),
+        "config" -> obj(Seq(
+          "materialized" -> q(n.config.materialized),
+          "enabled" -> n.config.enabled.toString,
+          "tags" -> arr(n.config.tags.toSeq.sorted.map(q)))),
+        "tags" -> arr(n.config.tags.toSeq.sorted.map(q)))
+      val extra = n match {
+        case m: ModelNode => Seq("raw_code" -> q(m.rawSql))
+        case s: SnapshotNode => Seq("raw_code" -> q(s.rawSql))
+        case t: TestNode => Seq("raw_code" -> q(t.rawSql))
+        case _ => Nil
+      }
+      obj(base ++ extra)
+    }
+    val (sources, others) = manifest.nodes.partition(_._2.resourceType == "source")
+    val doc = obj(Seq(
+      "metadata" -> obj(Seq(
+        "dbt_schema_version" -> q("https://schemas.getdbt.com/dbt/manifest/v12.json"),
+        "generated_at" -> q(generatedAt.toInstant.toString),
+        "invocation_id" -> q(invocationId),
+        "project_name" -> q("graft"))),
+      "nodes" -> obj(others.toSeq.sortBy(_._1).map { case (id, n) => id -> nodeJson(n) }),
+      "sources" -> obj(sources.toSeq.sortBy(_._1).map { case (id, n) => id -> nodeJson(n) }),
+      "parent_map" -> obj(manifest.parentMap.toSeq.sortBy(_._1).map {
+        case (id, ps) => id -> arr(ps.toSeq.sorted.map(q)) }),
+      "child_map" -> obj(manifest.nodes.keys.toSeq.sorted.map { id =>
+        id -> arr(manifest.childMap.getOrElse(id, Set.empty).toSeq.sorted.map(q)) })))
+    write(path, doc)
+  }
+
+  /** `docs generate` catalog: relations + columns from the live
+    * warehouse (reference `core/dbt/task/docs/generate.py`).
+    */
+  def writeCatalog(path: String, wh: graft.exec.Warehouse,
+      generatedAt: java.sql.Timestamp): Unit = {
+    val nodes = wh.list.map { name =>
+      val df = wh.read(name)
+      val cols = df.schema.fields.zipWithIndex.map { case (f, i) =>
+        f.name -> obj(Seq(
+          "type" -> q(f.dataType.sql),
+          "index" -> (i + 1).toString,
+          "name" -> q(f.name),
+          "comment" -> "null"))
+      }
+      name -> obj(Seq(
+        "metadata" -> obj(Seq(
+          "type" -> q(if (wh.isView(name)) "view" else "table"),
+          "schema" -> q("main"),
+          "name" -> q(name))),
+        "columns" -> obj(cols.toSeq),
+        "stats" -> obj(Nil)))
+    }
+    val doc = obj(Seq(
+      "metadata" -> obj(Seq(
+        "dbt_schema_version" -> q("https://schemas.getdbt.com/dbt/catalog/v1.json"),
+        "generated_at" -> q(generatedAt.toInstant.toString))),
+      "nodes" -> obj(nodes),
+      "sources" -> obj(Nil),
+      "errors" -> "null"))
+    write(path, doc)
+  }
+
+  /** Read statuses back from run_results.json (for `retry`). */
+  def readRunStatuses(path: String): Map[String, String] = {
+    val txt = Files.readString(Paths.get(path))
+    val entry = """"unique_id":\s*"([^"]+)"[^}]*?"status":\s*"([^"]+)"""".r
+    entry.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2)).toMap
+  }
+
+  private def write(path: String, content: String): Unit = {
+    val p = Paths.get(path)
+    if (p.getParent != null) Files.createDirectories(p.getParent)
+    Files.writeString(p, content)
+  }
+}

@@ -28,6 +28,13 @@ final class Engine(
     val emptyMode: Boolean = false) {
 
   val wh = new Warehouse(spark, warehouseRoot)
+
+  /** `--defer`: refs to relations not built in this warehouse resolve
+    * to the state engine's relations (reference `favor_state`,
+    * `core/dbt/context/providers.py:552-570`).
+    */
+  @volatile var deferEngine: Option[Engine] = None
+
   private val dag = Dag.fromManifest(manifest)
   private val runStartedAt = clock()
   val invocationId: String = java.util.UUID.randomUUID().toString
@@ -76,6 +83,9 @@ final class Engine(
           cteName
         case Some(n) =>
           val rel = relationName(n)
+          if (!wh.exists(rel))
+            deferEngine.filter(_.wh.exists(rel))
+              .foreach(de => wh.registerSource(rel, de.wh.read(rel)))
           if (emptyMode) s"(SELECT * FROM $rel LIMIT 0) __empty_$rel" else rel
         case None => throw new IllegalArgumentException(s"unresolved ref: $name")
       }
@@ -176,6 +186,10 @@ final class Engine(
   }
 
   private def runNode(node: Node, fullRefreshFlag: Boolean): Unit = node match {
+    case sm: ScalaModelNode =>
+      runHooks(sm.config.preHook)
+      ScalaModel.run(this, sm)
+      runHooks(sm.config.postHook)
     case m: ModelNode =>
       runHooks(m.config.preHook)
       m.config.materialized match {
@@ -340,6 +354,54 @@ final class Engine(
     val sel = Selector.select(manifest, dag, select, exclude)
     dag.topoSort.filter(sel.contains)
   }
+
+  // ----------------------------------------------------------- artifacts
+
+  /** Write target/ artifacts (reference A33): run_results.json,
+    * manifest.json, catalog.json.
+    */
+  def writeArtifacts(targetDir: String, results: Seq[Materializer.Result]): Unit = {
+    Artifacts.writeRunResults(s"$targetDir/run_results.json", results,
+      invocationId, runStartedAt)
+    Artifacts.writeManifest(s"$targetDir/manifest.json", manifest,
+      runStartedAt, invocationId)
+    Artifacts.writeCatalog(s"$targetDir/catalog.json", wh, runStartedAt)
+  }
+
+  /** `dbt retry` (reference `core/dbt/task/retry.py:66-145`): re-run
+    * only nodes that errored/failed/skipped per a previous
+    * run_results.json.
+    */
+  def retry(runResultsPath: String, threads: Int = 4): Seq[Materializer.Result] = {
+    val statuses = Artifacts.readRunStatuses(runResultsPath)
+    val rerun = statuses.collect {
+      case (id, st) if Set("error", "fail", "skipped")(st) => id }.toSeq
+    if (rerun.isEmpty) Nil
+    else run(select = rerun, threads = threads,
+      resourceTypes = Set("model", "seed", "snapshot", "test", "unit_test"))
+  }
+
+  /** `state:modified`-style selection against a state manifest
+    * (reference A23): run with the DSL, e.g.
+    * `runWithState(state, Seq("state:modified+"))`.
+    */
+  def runWithState(state: Manifest, select: Seq[String],
+      threads: Int = 4): Seq[Materializer.Result] =
+    Selector.withState(state) { run(select = select, threads = threads) }
+
+  def lsWithState(state: Manifest, select: Seq[String]): Seq[String] =
+    Selector.withState(state) { ls(select) }
+
+  /** `dbt clone` (reference `core/dbt/task/clone.py:18-155`): copy
+    * relations from another engine's warehouse into this one. Parquet
+    * version dirs make this a pointer copy (re-register paths) — the
+    * zero-copy-clone analog; set `deep = true` to rewrite data.
+    */
+  def cloneFrom(other: Engine, names: Seq[String], deep: Boolean = false): Unit =
+    names.foreach { n =>
+      if (deep) wh.writeTable(n, other.wh.read(n))
+      else wh.registerSource(n, other.wh.read(n))
+    }
 }
 
 object Engine {

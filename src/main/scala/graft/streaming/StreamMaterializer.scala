@@ -1,0 +1,77 @@
+package graft.streaming
+
+import graft.exec.Warehouse
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Structured Streaming surface (SURVEY §2 B22 — absent in the
+  * reference, which approximates streams with manual incremental
+  * micro-batches; here the real thing, wired through the same
+  * materialization layer).
+  *
+  * The batch twins of these shapes are oracle-checked as
+  * q32/q33/q34; streaming specs assert stream-vs-batch equivalence on
+  * the same input, which is the property that matters.
+  */
+object StreamMaterializer {
+
+  /** File-source stream over an events-shaped directory. At cluster
+    * scale the source would be Kafka; file source keeps the exact same
+    * downstream plan.
+    */
+  def readEvents(spark: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "4")
+      .parquet(dir)
+
+  /** Tumbling-window counts with a watermark (late data beyond 2h
+    * dropped); state is bounded by the watermark — the 100 TB
+    * requirement for unbounded streams.
+    */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(20, 4)))
+          .cast("double").as("sum_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Session windows (30-minute gap) per user — the streaming twin of
+    * q33's lag+cumsum sessionization.
+    */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"))
+
+  /** Stream dedup bounded by watermark (streaming twin of q34). */
+  def dedupFirstEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+
+  /** Drive a streaming DataFrame into the warehouse through
+    * foreachBatch → the same materialization layer (append commits per
+    * micro-batch). Returns the running query; callers stop it.
+    */
+  def writeToWarehouse(wh: Warehouse, name: String, stream: DataFrame,
+      checkpointDir: String, outputMode: String = "append"): StreamingQuery =
+    stream.writeStream
+      .outputMode(outputMode)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (outputMode == "complete") wh.writeTable(name, batch)
+        else wh.appendTable(name, batch)
+      }
+      .start()
+}

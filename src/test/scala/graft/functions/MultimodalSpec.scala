@@ -1,0 +1,48 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+
+  private lazy val assets = Multimodal.assetsFromDocuments(
+    graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")).cache()
+
+  test("asset table schema: binary payload + typed metadata") {
+    assert(assets.schema("content").dataType.typeName === "binary")
+    assert(assets.schema("meta").dataType.typeName === "struct")
+    assert(assets.count() > 0)
+  }
+
+  test("feature extraction is deterministic and distributed") {
+    val f1 = Multimodal.extractFeatures(assets)
+    assert(f1.head().feature.length === 8)
+    // checksum matches md5 of payload computed independently via SQL
+    val viaSql = assets.select(col("asset_id"), md5(col("content")).as("sum"))
+    val joined = f1.toDF().join(viaSql, "asset_id")
+      .filter(col("checksum") =!= col("sum"))
+    assert(joined.count() === 0)
+    // n_bytes equals utf8 length of the source text
+    val bad = f1.toDF().join(
+      graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+        .select(col("doc_id").as("asset_id"), octet_length(col("text")).as("len")),
+      "asset_id").filter(col("n_bytes") =!= col("len"))
+    assert(bad.count() === 0)
+  }
+
+  test("chunk sampling keeps every stride-th chunk") {
+    val chunks = Multimodal.sampleChunks(assets, chunkBytes = 32, stride = 2)
+    assert(chunks.count() > 0)
+    // indices are all even (stride 2)
+    assert(chunks.filter(col("chunk_index") % 2 =!= 0).count() === 0)
+    // chunk payloads never exceed the chunk size
+    assert(chunks.filter(octet_length(col("chunk")) > 32).count() === 0)
+  }
+
+  test("byte-budget repartitioning") {
+    val sized = assets.withColumn("n_bytes", octet_length(col("content")).cast("long"))
+    val rep = Multimodal.repartitionByBytes(sized, "n_bytes", targetBytes = 4096)
+    assert(rep.rdd.getNumPartitions >= 1)
+    assert(rep.count() === assets.count())
+  }
+}

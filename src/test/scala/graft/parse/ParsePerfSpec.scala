@@ -1,0 +1,35 @@
+package graft.parse
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+
+/** Parse/plan performance against the reference's only published
+  * numbers: `dbt parse` over performance/projects/01_2000_simple_models
+  * = 2000 trivial models, mean 44.19-71.64 s across dbt 1.2-1.4.6
+  * (BASELINE.md). Port target: ≤ 5 s on a single JVM.
+  */
+class ParsePerfSpec extends AnyFunSuite {
+
+  test("parse 2000-model project under 5 seconds") {
+    val dir = Files.createTempDirectory("perf2000")
+    Files.createDirectories(dir.resolve("models"))
+    Files.writeString(dir.resolve("dbt_project.yml"), "name: perf\n")
+    // mirror of the reference's 01_2000_simple_models: each model is a
+    // trivial select; chain every 10th to exercise ref-linking
+    (0 until 2000).foreach { i =>
+      val body =
+        if (i % 10 == 0 || i == 0) s"SELECT $i AS id, 'x' AS payload"
+        else s"SELECT * FROM {{ ref('m_${i - 1}') }}"
+      Files.writeString(dir.resolve(s"models/m_$i.sql"), body)
+    }
+    val t0 = System.nanoTime()
+    val proj = ProjectLoader.load(dir.toString)
+    val dag = graft.graph.Dag.fromManifest(proj.manifest)
+    val order = dag.topoSort
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    info(f"parsed+linked+sorted 2000 models in $elapsed%.2f s (reference: 44-72 s)")
+    assert(proj.manifest.models.size === 2000)
+    assert(order.size === 2000)
+    assert(elapsed < 5.0, f"parse took $elapsed%.2f s, target < 5 s")
+  }
+}

@@ -1,0 +1,120 @@
+package graft.run
+
+import graft.SparkSpec
+import graft.core._
+import graft.exec.Materializer
+import java.nio.file.{Files, Paths}
+
+/** Artifacts, retry, state:modified, defer, clone, Scala models. */
+class TasksSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def mkManifest(extra: Node*): Manifest = {
+    val src = SourceNode("main", "orders", s"$sf/orders.parquet")
+    val stg = ModelNode("t_stg", "SELECT o_orderkey, o_custkey, o_totalprice FROM {{ source('main','orders') }}",
+      refs = Nil, sources = Seq(("main", "orders")))
+    val fct = ModelNode("t_fct",
+      "SELECT o_custkey, count(*) AS n FROM {{ ref('t_stg') }} GROUP BY o_custkey",
+      config = NodeConfig(materialized = "table"), refs = Seq("t_stg"))
+    graft.parse.ProjectLoader.link(Manifest(
+      (Seq(src, stg, fct) ++ extra).map(n => n.uniqueId -> n).toMap))
+  }
+
+  test("artifacts: run_results, manifest, catalog written and readable") {
+    val eng = new Engine(spark, mkManifest(), tmpDir("wh"))
+    val results = eng.run()
+    val target = tmpDir("target")
+    eng.writeArtifacts(target, results)
+    val rr = Files.readString(Paths.get(s"$target/run_results.json"))
+    assert(rr.contains("model.graft.t_fct") && rr.contains("\"success\""))
+    val mf = Files.readString(Paths.get(s"$target/manifest.json"))
+    assert(mf.contains("\"parent_map\"") && mf.contains("source.graft.main.orders"))
+    val cat = Files.readString(Paths.get(s"$target/catalog.json"))
+    assert(cat.contains("t_fct"))
+    // retry round-trip: statuses parse back
+    val statuses = Artifacts.readRunStatuses(s"$target/run_results.json")
+    assert(statuses.values.forall(_ == "success"))
+  }
+
+  test("retry re-runs only failed/skipped nodes") {
+    val bad = ModelNode("t_bad", "SELECT * FROM nonexistent_relation_xyz",
+      config = NodeConfig(materialized = "table"))
+    val down = ModelNode("t_down", "SELECT * FROM {{ ref('t_bad') }}",
+      config = NodeConfig(materialized = "table"), refs = Seq("t_bad"))
+    val eng = new Engine(spark, mkManifest(bad, down), tmpDir("wh"))
+    val results = eng.run()
+    val byId = results.map(r => r.uniqueId -> r.status).toMap
+    assert(byId("model.graft.t_bad") === "error")
+    assert(byId("model.graft.t_down") === "skipped")
+    val target = tmpDir("target")
+    eng.writeArtifacts(target, results)
+    // fix the model by swapping manifests, then retry
+    val fixed = ModelNode("t_bad", "SELECT 1 AS x",
+      config = NodeConfig(materialized = "table"))
+    val down2 = ModelNode("t_down", "SELECT * FROM {{ ref('t_bad') }}",
+      config = NodeConfig(materialized = "table"), refs = Seq("t_bad"))
+    val eng2 = new Engine(spark, mkManifest(fixed, down2), tmpDir("wh2"))
+    val retried = eng2.retry(s"$target/run_results.json")
+    val retriedIds = retried.map(_.uniqueId).toSet
+    assert(retriedIds === Set("model.graft.t_bad", "model.graft.t_down"))
+    assert(retried.forall(_.status == "success"), retried.mkString(";"))
+  }
+
+  test("state:modified and state:new selection") {
+    val m1 = mkManifest()
+    val changed = ModelNode("t_fct",
+      "SELECT o_custkey, count(*) AS n, 1 AS v2 FROM {{ ref('t_stg') }} GROUP BY o_custkey",
+      config = NodeConfig(materialized = "table"), refs = Seq("t_stg"))
+    val added = ModelNode("t_new", "SELECT 1 AS one")
+    val m2 = graft.parse.ProjectLoader.link(Manifest(
+      m1.nodes - "model.graft.t_fct" +
+        (changed.uniqueId -> changed) + (added.uniqueId -> added)))
+    val eng = new Engine(spark, m2, tmpDir("wh"))
+    // state:modified includes changed AND new nodes (dbt semantics)
+    val modified = eng.lsWithState(m1, Seq("state:modified"))
+    assert(modified.toSet === Set("model.graft.t_fct", "model.graft.t_new"))
+    val fresh = eng.lsWithState(m1, Seq("state:new"))
+    assert(fresh === Seq("model.graft.t_new"))
+    // state:modified+ includes downstream
+    val plus = eng.lsWithState(m1, Seq("state:modified+"))
+    assert(plus.contains("model.graft.t_fct"))
+  }
+
+  test("defer resolves unbuilt refs to the state engine") {
+    // state engine builds everything
+    val stateEng = new Engine(spark, mkManifest(), tmpDir("wh_state"))
+    assert(stateEng.run().forall(_.status == "success"))
+    // dev engine: only run t_fct, defer t_stg to state
+    val devEng = new Engine(spark, mkManifest(), tmpDir("wh_dev"))
+    devEng.deferEngine = Some(stateEng)
+    val res = devEng.run(select = Seq("t_fct"))
+    assert(res.map(_.status).toSet === Set("success"), res.mkString(";"))
+    assert(devEng.wh.read("t_fct").count() > 0)
+  }
+
+  test("clone re-registers relations from another warehouse") {
+    val src = new Engine(spark, mkManifest(), tmpDir("wh_a"))
+    src.run()
+    val dst = new Engine(spark, Manifest(Map.empty), tmpDir("wh_b"))
+    dst.cloneFrom(src, Seq("t_fct"))
+    assert(dst.wh.read("t_fct").count() === src.wh.read("t_fct").count())
+  }
+
+  test("scala model: typed DataFrame body with refs") {
+    import org.apache.spark.sql.functions._
+    val sm = ScalaModelNode(
+      name = "t_scala",
+      declaredRefs = Seq("t_fct"),
+      declaredSources = Nil,
+      body = ctx => ctx.ref("t_fct").agg(sum("n").as("total")))
+    val base = mkManifest()
+    val linked = ScalaModel.link(sm, base)
+    val eng = new Engine(spark, Manifest(base.nodes + (linked.uniqueId -> linked)),
+      tmpDir("wh"))
+    val res = eng.run()
+    assert(res.forall(_.status == "success"), res.mkString(";"))
+    val total = eng.wh.read("t_scala").head().getLong(0)
+    assert(total === spark.read.parquet(s"$sf/orders.parquet").count())
+  }
+}
