@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -20,9 +20,21 @@ import org.apache.spark.unsafe.types.UTF8String
   * `array_distinct(transform(...))` produces.
   */
 case class Shingles(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  /** Codegen: call into this expression object. A plain CodegenFallback
+    * would eject the WHOLE stage from whole-stage codegen (every
+    * downstream expression in the stage then runs interpreted — md5
+    * chains got 5-10× slower); delegating via a reference object keeps
+    * the stage compiled.
+    */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shinglesExpr", this, classOf[Shingles].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (${classOf[ArrayData].getName}) $ref.nullSafeEval($c);")
+  }
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]

@@ -227,11 +227,16 @@ object TextOps {
         .orderBy("doc_a", "doc_b")
     },
 
-    // MinHash + LSH: 12 min-wise hashes (md5 with per-seed salt,
-    // lexicographic min — portable across engines), banded 4×3; docs
-    // sharing a band bucket are near-dup candidates. This is the
-    // topology that replaces q26's inverted-index join at 100 TB: the
-    // candidate set shrinks from shared-any-shingle to shared-band.
+    // MinHash + LSH: 12 min-wise hash values banded 4×3; docs sharing a
+    // band bucket are near-dup candidates. This is the topology that
+    // replaces q26's inverted-index join at 100 TB: the candidate set
+    // shrinks from shared-any-shingle to shared-band.
+    //
+    // Hash family: 3 salted md5 digests per shingle, each split into
+    // four 8-hex-char words → 12 independent min-wise hashes at 1/4 the
+    // digest cost (md5 allocates a MessageDigest per call in Spark —
+    // the dominant cost of the naive 12-digest formulation). Min is
+    // lexicographic over hex strings — portable to DuckDB verbatim.
     QueryDef(
       "q27_minhash_lsh_candidates",
       """WITH tok AS (
@@ -247,7 +252,9 @@ object TextOps {
         |  QUALIFY LEAD(w, 2) OVER win IS NOT NULL
         |), seeds AS (SELECT unnest(range(12)) AS seed
         |), sig AS (
-        |  SELECT doc_id, seed, MIN(MD5(shingle || '#' || seed)) AS minh
+        |  SELECT doc_id, seed,
+        |         MIN(SUBSTR(MD5(shingle || '#' || (seed // 4)),
+        |                    (seed % 4) * 8 + 1, 8)) AS minh
         |  FROM sh CROSS JOIN seeds
         |  GROUP BY doc_id, seed
         |), bands AS (
@@ -262,9 +269,12 @@ object TextOps {
         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
       val sh = Tables.load(s, dir, "documents")
         .select(col("doc_id"), explode(shingles3(wordsCol)).as("shingle"))
+        // 3 digests computed once per row, reused by 4 words each
+        .select(col("doc_id") +: (0 until 3).map(b =>
+          md5(concat(col("shingle"), lit(s"#$b"))).as(s"d$b")): _*)
       // all 12 min-hashes in ONE aggregation pass (no seed explode):
       val minAggs = (0 until 12).map(j =>
-        min(md5(concat(col("shingle"), lit(s"#$j")))).as(s"h$j"))
+        min(substring(col(s"d${j / 4}"), (j % 4) * 8 + 1, 8)).as(s"h$j"))
       val sig = sh.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
       val bandStructs = (0 until 4).map(b =>
         struct(lit(b).as("band"),

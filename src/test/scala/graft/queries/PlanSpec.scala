@@ -1,0 +1,57 @@
+package graft.queries
+
+import graft.{SparkSpec, SparkEntry}
+
+/** Plan-shape assertions — the 100 TB discipline checks: filters reach
+  * the parquet scan, small dims broadcast, top-k avoids a global sort,
+  * scans read only needed columns. A green result here is what makes
+  * the sf0.1 numbers predictive of cluster behavior.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q01: filter pushdown + column pruning reach the scan") {
+    val p = plan("q01_scan_filter")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("l_shipdate"), p)
+    // pruned read schema: only the 5 needed columns, not all 11
+    assert(!p.contains("l_returnflag"), "scan should not read unused columns")
+  }
+
+  test("q03: small dims broadcast, no shuffle for nation/region") {
+    val p = plan("q03_revenue_per_nation")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q12: global top-k plans TakeOrderedAndProject (no full sort)") {
+    val p = plan("q12_top10_orders")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q02: aggregation is partial+final (map-side combine)") {
+    val p = plan("q02_agg_pricing_summary")
+    assert(p.contains("HashAggregate"), p)
+    // partial agg appears below the exchange: two HashAggregate levels
+    assert(p.split("HashAggregate").length > 2, p)
+  }
+
+  test("q05: anti join planned as broadcast or shuffled hash") {
+    val p = plan("q05_customers_without_orders")
+    assert(p.contains("LeftAnti"), p)
+  }
+
+  test("whole-stage codegen active on the scan-agg path") {
+    // AQE finalizes the plan lazily; execute first, then inspect
+    val df = SparkEntry.queries("q02_agg_pricing_summary")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark WholeStageCodegen stages in simpleString
+    assert(p.contains("*("), p)
+  }
+}
