@@ -1,0 +1,97 @@
+package graft.exec
+
+import graft.SparkSpec
+import graft.core._
+import graft.run.Engine
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based checks (SURVEY §5 port strategy): SCD2 invariants —
+  * validity intervals partition time per key, exactly one open row per
+  * live key — and incremental merge ≡ full rebuild, across randomized
+  * mutation scripts. (Bare scalacheck Gen with explicit seeds — the
+  * scalatest bridge artifact isn't on the offline classpath.)
+  */
+class PropertySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val keyCount = 12
+
+  /** A batch = per-key (present?, payloadVersion). */
+  private val batchGen: Gen[Seq[(Long, Boolean, Int)]] =
+    Gen.sequence[Seq[(Long, Boolean, Int)], (Long, Boolean, Int)](
+      (1L to keyCount).map(k =>
+        for {
+          present <- Gen.frequency(4 -> true, 1 -> false)
+          ver <- Gen.choose(0, 3)
+        } yield (k, present, ver)))
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).map(i => g.apply(Gen.Parameters.default, Seed(42L + i))
+      .getOrElse(fail("generator produced no value")))
+
+  test("SCD2 check-strategy invariants hold under random mutation scripts") {
+    samples(Gen.listOfN(3, batchGen), 8).foreach { batches =>
+      val wh = new Engine(spark, Manifest(Map.empty), tmpDir("prop_wh")).wh
+      var t = 0
+      batches.foreach { batch =>
+        val rows = batch.collect { case (k, true, ver) => (k, s"v$ver") }
+        if (rows.nonEmpty) {
+          rows.toDF("id", "payload").createOrReplaceTempView("prop_src")
+          val clock: Materializer.Clock =
+            () => new java.sql.Timestamp(1000000000L + t * 86400000L)
+          Materializer.snapshot(wh, "prop_snap", "SELECT * FROM prop_src",
+            Seq("id"), CheckStrategy(Some(Seq("payload"))),
+            invalidateHardDeletes = true, clock)
+          t += 1
+        }
+      }
+      if (wh.exists("prop_snap")) {
+        val snap = wh.read("prop_snap").cache()
+        try {
+          // at most one open row per key
+          val openDupes = snap.filter(col("dbt_valid_to").isNull)
+            .groupBy("id").count().filter(col("count") > 1).count()
+          assert(openDupes === 0, "more than one open row for a key")
+          // intervals never invert
+          assert(snap.filter(col("dbt_valid_to") < col("dbt_valid_from")).count() === 0)
+          // closed intervals don't overlap per key: sort by valid_from,
+          // each next valid_from >= previous valid_to
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("id").orderBy("dbt_valid_from")
+          val overlaps = snap
+            .withColumn("prev_to", lag("dbt_valid_to", 1).over(w))
+            .filter(col("prev_to").isNotNull && col("dbt_valid_from") < col("prev_to"))
+            .count()
+          assert(overlaps === 0, "overlapping validity intervals")
+        } finally snap.unpersist()
+      }
+    }
+  }
+
+  test("incremental merge over random batches equals full rebuild of latest state") {
+    samples(Gen.listOfN(3, batchGen), 8).foreach { batches =>
+      val wh = new Engine(spark, Manifest(Map.empty), tmpDir("prop_wh2")).wh
+      // latest-wins reference state maintained in plain Scala
+      val expected = scala.collection.mutable.Map[Long, String]()
+      var wrote = false
+      batches.foreach { batch =>
+        val rows = batch.collect { case (k, true, ver) => (k, s"v$ver") }
+        if (rows.nonEmpty) {
+          rows.foreach { case (k, v) => expected(k) = v }
+          rows.toDF("id", "payload").createOrReplaceTempView("prop_inc_src")
+          Materializer.incremental(wh, "prop_inc",
+            "SELECT * FROM prop_inc_src", "SELECT * FROM prop_inc_src",
+            "merge", Seq("id"), "ignore", Nil, fullRefresh = false)
+          wrote = true
+        }
+      }
+      if (wrote) {
+        val actual = wh.read("prop_inc").as[(Long, String)].collect().toMap
+        assert(actual === expected.toMap)
+      }
+    }
+  }
+}
