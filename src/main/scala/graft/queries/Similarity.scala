@@ -26,23 +26,23 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Double dot product between two float-array columns, inside
-    * whole-stage codegen — `functions.aggregate`, no UDF.
+  /** Native codegen-friendly kernels (graft.functions.VectorExprs):
+    * the `aggregate(zip_with(...))` formulation runs interpreted per
+    * element and dominated ANN wall-clock. Same left-to-right summation
+    * order, so values are bit-identical.
     */
   private def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, x) => acc + x)
+    graft.functions.VectorExprs.arrayDot(a, b)
 
   private def sqDist(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => {
-        val d = x.cast("double") - y.cast("double")
-        d * d
-      }),
-      lit(0.0),
-      (acc, x) => acc + x)
+    graft.functions.VectorExprs.arraySqDist(a, b)
+
+  /** embeddings spread across cores before the O(N·C) distance sweeps —
+    * single small parquet file would otherwise single-thread them.
+    */
+  private def embParallel(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+      .repartition(s.sparkContext.defaultParallelism)
 
   /** DuckDB twin of dot(): positional list indexing over a 1..64 range. */
   private def duckDot(a: String, b: String): String =
@@ -66,7 +66,7 @@ object Similarity {
          |FROM embeddings e CROSS JOIN (SELECT unnest(range(1, 65)) AS i) idx
          |GROUP BY vec_id, len(embedding)
          |ORDER BY vec_id""".stripMargin) { (s, dir) =>
-      loadEmb(s, dir)
+      embParallel(s, dir)
         .select(
           col("vec_id"),
           round(dot(col("embedding"), col("embedding")), 6).as("sq_norm"),
@@ -93,7 +93,7 @@ object Similarity {
          |FROM dots
          |QUALIFY rn <= 5
          |ORDER BY qid, rn""".stripMargin) { (s, dir) =>
-      val emb = loadEmb(s, dir)
+      val emb = embParallel(s, dir)
       val q = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       val c = emb.select(col("vec_id").as("cid"), col("embedding").as("cv"))
@@ -143,7 +143,7 @@ object Similarity {
          |FROM pairs
          |QUALIFY rn <= 3
          |ORDER BY qid, rn""".stripMargin) { (s, dir) =>
-      val emb = loadEmb(s, dir)
+      val emb = embParallel(s, dir)
       val cents = emb.filter(col("vec_id") % 97 === 0)
         .select(col("vec_id").as("cent_id"), col("embedding").as("centv"))
       val d2 = emb.crossJoin(broadcast(cents))

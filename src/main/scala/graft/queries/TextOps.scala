@@ -22,6 +22,17 @@ object TextOps {
   /** words(text) — documents.text is space-separated lowercase tokens. */
   private val wordsCol = split(col("text"), " ")
 
+  /** documents, spread across the cluster BEFORE row expansion: the
+    * table is one small parquet file → one scan partition, which would
+    * single-thread every explode/hash stage downstream. Repartitioning
+    * ~300-byte rows is O(MB); the expansion after it is the real work.
+    * Same rule at 100 TB: parallelism must be established on the
+    * compressed representation.
+    */
+  private def docs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.load(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+
   /** Distinct 3-word shingles computed per-row — a native Catalyst
     * expression (graft.functions.Shingles): no window, no shuffle, and
     * ~100× faster than the interpreted higher-order-function
@@ -42,7 +53,7 @@ object TextOps {
         |       CAST(LENGTH(text) AS BIGINT) AS measured_chars
         |FROM documents
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      Tables.load(s, dir, "documents")
+      docs(s, dir)
         .select(
           col("doc_id"),
           size(wordsCol).cast("long").as("n_tokens"),
@@ -74,7 +85,7 @@ object TextOps {
         |FROM st ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val dec6 = (c: org.apache.spark.sql.Column) =>
         c.cast(org.apache.spark.sql.types.DecimalType(20, 6))
-      Tables.load(s, dir, "documents")
+      docs(s, dir)
         .select(col("doc_id"), explode(wordsCol).as("w"))
         .groupBy("doc_id")
         .agg(
@@ -118,18 +129,18 @@ object TextOps {
         |       CAST(COALESCE(b.c, 0) AS BIGINT) AS evidence
         |FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
-      val docs = Tables.load(s, dir, "documents")
+      val d = docs(s, dir)
       val markers = s.createDataFrame(Seq(
         ("the", "en"), ("and", "en"), ("of", "en"),
         ("el", "es"), ("la", "es"), ("de", "es"),
         ("der", "de"), ("und", "de"), ("die", "de"),
         ("le", "fr"), ("et", "fr"), ("les", "fr"))).toDF("w", "cand")
-      val hits = docs.select(col("doc_id"), explode(wordsCol).as("w"))
+      val hits = d.select(col("doc_id"), explode(wordsCol).as("w"))
         .join(broadcast(markers), "w")
         .groupBy("doc_id", "cand").agg(count(lit(1)).as("c"))
       val w = Window.partitionBy("doc_id").orderBy(col("c").desc, col("cand"))
       val best = hits.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      docs.join(best, Seq("doc_id"), "left")
+      d.join(best, Seq("doc_id"), "left")
         .select(
           col("doc_id"),
           coalesce(col("cand"), lit("unknown")).as("pred_lang"),
@@ -147,7 +158,7 @@ object TextOps {
         |                               ' +', ' ', 'g'))) AS fingerprint
         |FROM documents
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      Tables.load(s, dir, "documents")
+      docs(s, dir)
         .select(
           col("doc_id"),
           md5(trim(regexp_replace(
@@ -168,7 +179,7 @@ object TextOps {
         |       CAST(COUNT(*) AS BIGINT) AS n_copies
         |FROM fp GROUP BY fingerprint
         |ORDER BY keep_doc_id""".stripMargin) { (s, dir) =>
-      Tables.load(s, dir, "documents")
+      docs(s, dir)
         .select(col("doc_id"), md5(lower(col("text"))).as("fingerprint"))
         .groupBy("fingerprint")
         .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))
@@ -208,10 +219,10 @@ object TextOps {
         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
       val dec6 = (c: org.apache.spark.sql.Column) =>
         c.cast(org.apache.spark.sql.types.DecimalType(20, 6))
-      val docs = Tables.load(s, dir, "documents")
+      val withShs = docs(s, dir)
         .select(col("doc_id"), shingles3(wordsCol).as("shs"))
-      val sh = docs.select(col("doc_id"), explode(col("shs")).as("shingle"))
-      val card = docs.select(col("doc_id"), size(col("shs")).cast("long").as("n"))
+      val sh = withShs.select(col("doc_id"), explode(col("shs")).as("shingle"))
+      val card = withShs.select(col("doc_id"), size(col("shs")).cast("long").as("n"))
       val a = sh.as("a"); val b = sh.as("b")
       val pairs = a.join(b,
           col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
@@ -267,7 +278,7 @@ object TextOps {
         |  ON a.band = b.band AND a.band_key = b.band_key
         | AND a.doc_id < b.doc_id
         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
-      val sh = Tables.load(s, dir, "documents")
+      val sh = docs(s, dir)
         .select(col("doc_id"), explode(shingles3(wordsCol)).as("shingle"))
         // 3 digests computed once per row, reused by 4 words each
         .select(col("doc_id") +: (0 until 3).map(b =>
@@ -313,7 +324,7 @@ object TextOps {
         |SELECT doc_id, STRING_AGG(bit, '' ORDER BY i) AS simhash
         |FROM bits GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val tok = Tables.load(s, dir, "documents")
+      val tok = docs(s, dir)
         .select(col("doc_id"), explode(array_distinct(wordsCol)).as("w"))
         .select(col("doc_id"), md5(col("w")).as("h"))
       // all 32 bit-majorities in ONE aggregation pass (no position explode):
