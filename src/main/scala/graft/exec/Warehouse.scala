@@ -82,6 +82,21 @@ final class Warehouse(val spark: SparkSession, val root: String) {
 
   def list: Seq[String] = lock.synchronized(relations.keys.toSeq.sorted)
 
+  /** Compact a relation's commit log into one version dir (the
+    * OPTIMIZE analog): repeated appends accumulate small files/dirs;
+    * compaction rewrites once and resets the log. Readers registered
+    * before the compact keep their old snapshot (paths are immutable).
+    */
+  def compact(name: String, targetPartitions: Int = 0): Unit = {
+    val df0 = read(name)
+    val df = if (targetPartitions > 0) df0.repartition(targetPartitions) else df0
+    writeTable(name, df)
+  }
+
+  /** Commit-log length (for compaction policies / tests). */
+  def commitCount(name: String): Int =
+    lock.synchronized(relations.get(name).map(_.paths.size).getOrElse(0))
+
   /** Register an external parquet path as a source relation view. */
   def registerSource(name: String, df: DataFrame): Unit = lock.synchronized {
     df.createOrReplaceTempView(name)

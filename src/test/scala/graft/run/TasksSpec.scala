@@ -101,6 +101,20 @@ class TasksSpec extends SparkSpec {
     assert(dst.wh.read("t_fct").count() === src.wh.read("t_fct").count())
   }
 
+  test("warehouse compact collapses the commit log, content unchanged") {
+    import org.apache.spark.sql.functions._
+    val eng = new Engine(spark, Manifest(Map.empty), tmpDir("wh"))
+    eng.wh.writeTable("cmp", spark.range(10).toDF("id"))
+    (1 to 3).foreach(i =>
+      eng.wh.appendTable("cmp", spark.range(10L * i, 10L * i + 5).toDF("id")))
+    assert(eng.wh.commitCount("cmp") === 4)
+    val before = eng.wh.read("cmp").agg(sum("id")).head().getLong(0)
+    eng.wh.compact("cmp", targetPartitions = 2)
+    assert(eng.wh.commitCount("cmp") === 1)
+    assert(eng.wh.read("cmp").agg(sum("id")).head().getLong(0) === before)
+    assert(eng.wh.read("cmp").count() === 25)
+  }
+
   test("scala model: typed DataFrame body with refs") {
     import org.apache.spark.sql.functions._
     val sm = ScalaModelNode(
