@@ -172,6 +172,36 @@ final case class UnitTestNode(
   val resourceType = "unit_test"
 }
 
+/** Exposure — downstream-use metadata node (A29; reference
+  * `core/dbt/contracts/graph/nodes.py:1282`): parsed + linked into the
+  * DAG, never executed.
+  */
+final case class ExposureNode(
+    name: String,
+    exposureType: String = "dashboard", // dashboard|notebook|analysis|ml|application
+    owner: String = "",
+    url: String = "",
+    refs: Seq[String] = Nil,
+    config: NodeConfig = NodeConfig(),
+    dependsOn: Seq[String] = Nil) extends Node {
+  val resourceType = "exposure"
+}
+
+/** Metric — semantic-layer metadata (A29); `calculation` is a SQL
+  * aggregate over the referenced model, compilable to a Spark query
+  * (Engine.queryMetric).
+  */
+final case class MetricNode(
+    name: String,
+    model: String,
+    calculation: String, // e.g. "sum(spend)"
+    dimensions: Seq[String] = Nil,
+    filter: Option[String] = None,
+    config: NodeConfig = NodeConfig(),
+    dependsOn: Seq[String] = Nil) extends Node {
+  val resourceType = "metric"
+}
+
 /** What a code-model body sees (dbt.ref/source/config equivalent for
   * A28 Python models; implemented by the engine).
   */

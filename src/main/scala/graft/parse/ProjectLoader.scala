@@ -79,6 +79,36 @@ object ProjectLoader {
           }
         case _ =>
       }
+      doc.get("exposures") match {
+        case Some(es: java.util.List[_]) =>
+          for (e <- es.asScala) {
+            val em = e.asInstanceOf[java.util.Map[String, Any]].asScala
+            nodes += ExposureNode(
+              name = em("name").toString,
+              exposureType = em.getOrElse("type", "dashboard").toString,
+              owner = em.getOrElse("owner", "").toString,
+              url = em.getOrElse("url", "").toString,
+              refs = em.get("depends_on").map(
+                _.asInstanceOf[java.util.List[_]].asScala.map(_.toString).toSeq)
+                .getOrElse(Nil))
+          }
+        case _ =>
+      }
+      doc.get("metrics") match {
+        case Some(ms: java.util.List[_]) =>
+          for (m <- ms.asScala) {
+            val mm = m.asInstanceOf[java.util.Map[String, Any]].asScala
+            nodes += MetricNode(
+              name = mm("name").toString,
+              model = mm("model").toString,
+              calculation = mm("calculation").toString,
+              dimensions = mm.get("dimensions").map(
+                _.asInstanceOf[java.util.List[_]].asScala.map(_.toString).toSeq)
+                .getOrElse(Nil),
+              filter = mm.get("filter").map(_.toString))
+          }
+        case _ =>
+      }
       doc.get("models") match {
         case Some(ms: java.util.List[_]) =>
           for (m <- ms.asScala) {
@@ -175,6 +205,8 @@ object ProjectLoader {
       case (id, n: ModelNode) => id -> n.copy(dependsOn = deps(n.refs, n.sources, n.dependsOn))
       case (id, n: SnapshotNode) => id -> n.copy(dependsOn = deps(n.refs, n.sources, n.dependsOn))
       case (id, n: TestNode) => id -> n.copy(dependsOn = deps(n.refs, n.sources, n.dependsOn))
+      case (id, n: ExposureNode) => id -> n.copy(dependsOn = deps(n.refs, Nil, n.dependsOn))
+      case (id, n: MetricNode) => id -> n.copy(dependsOn = deps(Seq(n.model), Nil, n.dependsOn))
       case (id, n) => id -> n
     })
   }

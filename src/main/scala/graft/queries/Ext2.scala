@@ -1,0 +1,98 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Extension batch 2: embedding-cosine near-dup pairs and regex
+  * (BPE-ish) tokenization.
+  */
+object Ext2 {
+
+  val queries: Seq[QueryDef] = Seq(
+
+    // Embedding-cosine near-duplicate pairs: candidate generation via
+    // IVF cells (same assignment as q31) then exact cosine ≥ threshold
+    // inside each cell — the embedding-space analog of MinHash-band
+    // candidates. No Q×N cross product; the join keys on the cell.
+    QueryDef(
+      "q41_cosine_near_dup",
+      s"""WITH idx AS (SELECT unnest(range(1, 65)) AS i),
+         |cents AS (SELECT vec_id AS cent_id, embedding FROM embeddings
+         |          WHERE vec_id % 97 = 0),
+         |d2 AS (
+         |  SELECT e.vec_id, c.cent_id,
+         |         SUM((CAST(e.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))
+         |             * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))) AS sqdist
+         |  FROM embeddings e CROSS JOIN cents c CROSS JOIN idx
+         |  GROUP BY e.vec_id, c.cent_id
+         |), assign AS (
+         |  SELECT vec_id, cent_id FROM (
+         |    SELECT vec_id, cent_id,
+         |           ROW_NUMBER() OVER (PARTITION BY vec_id
+         |                              ORDER BY ROUND(sqdist, 6), cent_id) AS rn
+         |    FROM d2) t WHERE rn = 1
+         |), pairs AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cent_id AS cell,
+         |         ROUND(SUM(CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE))
+         |               / SQRT(SUM(CAST(ea.embedding[i] AS DOUBLE) * CAST(ea.embedding[i] AS DOUBLE))
+         |                      * SUM(CAST(eb.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE))),
+         |               6) AS cosine
+         |  FROM assign a
+         |  JOIN assign b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+         |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+         |  JOIN embeddings eb ON eb.vec_id = b.vec_id
+         |  CROSS JOIN idx
+         |  GROUP BY a.vec_id, b.vec_id, a.cent_id
+         |)
+         |SELECT vec_a, vec_b, cell, CAST(cosine AS DOUBLE) AS cosine
+         |FROM pairs WHERE cosine >= 0.2
+         |ORDER BY vec_a, vec_b""".stripMargin) { (s, dir) =>
+      val dot = graft.functions.VectorExprs.arrayDot _
+      val sq = graft.functions.VectorExprs.arraySqDist _
+      val emb = Tables.load(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism)
+      val cents = emb.filter(col("vec_id") % 97 === 0)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("centv"))
+      val d2 = emb.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cent_id"),
+          round(sq(col("embedding"), col("centv")), 6).as("sqdist"))
+      val wAssign = Window.partitionBy("vec_id").orderBy(col("sqdist"), col("cent_id"))
+      val assign = d2.withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1).select("vec_id", "cent_id")
+      val withVec = assign.join(emb, "vec_id")
+      val aSide = withVec.select(col("vec_id").as("vec_a"),
+        col("cent_id").as("cell"), col("embedding").as("va"))
+      val bSide = withVec.select(col("vec_id").as("vec_b"),
+        col("cent_id").as("cellb"), col("embedding").as("vb"))
+      val cosine = round(
+        dot(col("va"), col("vb"))
+          / sqrt(dot(col("va"), col("va")) * dot(col("vb"), col("vb"))), 6)
+      aSide.join(bSide,
+          col("cell") === col("cellb") && col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"), col("cell"), cosine.as("cosine"))
+        .filter(col("cosine") >= 0.2)
+        .orderBy("vec_a", "vec_b")
+    },
+
+    // BPE-ish regex tokenization: letter runs / digit runs / single
+    // punctuation as separate tokens (the pre-tokenizer split most BPE
+    // vocabularies assume), vs the whitespace count of q21.
+    QueryDef(
+      "q42_regex_tokens",
+      """SELECT doc_id,
+        |       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens,
+        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(
+          col("doc_id"),
+          size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+            .cast("long").as("n_bpe_tokens"),
+          size(split(col("text"), " ")).cast("long").as("n_ws_tokens"))
+        .orderBy("doc_id")
+    }
+  )
+}

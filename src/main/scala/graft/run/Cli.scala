@@ -1,0 +1,114 @@
+package graft.run
+
+import org.apache.spark.sql.SparkSession
+
+/** Command-line entry point — the analog of the reference's CLI /
+  * in-process `dbtRunner.invoke` (`core/dbt/cli/main.py:38-96`).
+  *
+  * Usage:
+  * {{{
+  *   graft.run.Cli <command> --project <dir> --warehouse <dir>
+  *       [--select a b] [--exclude c] [--threads N] [--vars k=v,...]
+  *       [--full-refresh] [--target <dir>] [--inline "<sql>"] [--limit N]
+  * }}}
+  * Commands: run, test, build, seed, snapshot, ls, compile, show,
+  * freshness, retry, docs.
+  */
+object Cli {
+
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) { println(usage); sys.exit(2) }
+    val command = args.head
+    val opts = parseOpts(args.tail.toList)
+    val projectDir = opts.getOrElse("project",
+      sys.error("--project <dir> is required"))
+    val warehouseDir = opts.getOrElse("warehouse",
+      java.nio.file.Files.createTempDirectory("graft_wh").toString)
+    val targetDir = opts.getOrElse("target", s"$projectDir/target")
+    val threads = opts.getOrElse("threads", "4").toInt
+    val select = opts.get("select").map(_.split("\\s+").toSeq).getOrElse(Nil)
+    val exclude = opts.get("exclude").map(_.split("\\s+").toSeq).getOrElse(Nil)
+    val vars = opts.get("vars").map(_.split(",").map { kv =>
+      val Array(k, v) = kv.split("=", 2); k -> v
+    }.toMap).getOrElse(Map.empty)
+
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val engine = Engine.fromProject(spark, projectDir, warehouseDir, vars)
+    def report(results: Seq[graft.exec.Materializer.Result]): Unit = {
+      results.foreach(r => println(f"${r.status.toUpperCase}%-8s ${r.uniqueId} (${r.elapsedSec}%.2fs) ${r.message}"))
+      engine.writeArtifacts(targetDir, results)
+      if (results.exists(r => r.status == "error" || r.status == "fail")) sys.exit(1)
+    }
+
+    command match {
+      case "run" => report(engine.run(select, exclude, threads,
+        fullRefresh = opts.contains("full-refresh")))
+      case "seed" => report(engine.run(select, exclude, threads,
+        resourceTypes = Set("seed")))
+      case "snapshot" => report(engine.run(select, exclude, threads,
+        resourceTypes = Set("snapshot")))
+      case "test" => report(engine.test(select, threads))
+      case "build" => report(engine.build(select, threads))
+      case "ls" => engine.ls(select, exclude).foreach(println)
+      case "compile" =>
+        engine.ls(select, exclude)
+          .flatMap(id => engine.manifest.nodes.get(id))
+          .collect { case m: graft.core.ModelNode => m }
+          .foreach { m =>
+            val out = java.nio.file.Paths.get(s"$targetDir/compiled/${m.name}.sql")
+            java.nio.file.Files.createDirectories(out.getParent)
+            java.nio.file.Files.writeString(out, engine.compile(m))
+            println(s"compiled ${m.name} -> $out")
+          }
+      case "show" =>
+        engine.show(opts.getOrElse("inline", sys.error("--inline '<sql>' required")),
+          opts.getOrElse("limit", "5").toInt).show(truncate = false)
+      case "freshness" =>
+        engine.sourceFreshness().toSeq.sortBy(_._1).foreach {
+          case (id, (status, age)) => println(f"$status%-6s $id age=${age}%.0fs")
+        }
+      case "retry" => report(engine.retry(s"$targetDir/run_results.json", threads))
+      case "docs" =>
+        graft.run.Artifacts.writeCatalog(s"$targetDir/catalog.json",
+          engine.wh, new java.sql.Timestamp(System.currentTimeMillis()))
+        println(s"wrote $targetDir/catalog.json")
+      case other =>
+        println(s"unknown command: $other\n$usage"); sys.exit(2)
+    }
+    spark.stop()
+  }
+
+  private def parseOpts(args: List[String]): Map[String, String] = {
+    @annotation.tailrec
+    def loop(rest: List[String], acc: Map[String, String]): Map[String, String] =
+      rest match {
+        case Nil => acc
+        case flag :: tail if flag.startsWith("--") =>
+          val key = flag.drop(2)
+          tail match {
+            case v :: t2 if !v.startsWith("--") =>
+              // greedily absorb space-separated values (for --select a b)
+              val (vals, t3) = t2.span(x => !x.startsWith("--"))
+              loop(t3, acc + (key -> (v +: vals).mkString(" ")))
+            case _ => loop(tail, acc + (key -> "true"))
+          }
+        case _ :: tail => loop(tail, acc)
+      }
+    loop(args, Map.empty)
+  }
+
+  private val usage: String =
+    """usage: graft.run.Cli <run|test|build|seed|snapshot|ls|compile|show|freshness|retry|docs>
+      |  --project <dir> [--warehouse <dir>] [--target <dir>] [--threads N]
+      |  [--select a b] [--exclude c] [--vars k=v,...] [--full-refresh]
+      |  [--inline "<sql>"] [--limit N]""".stripMargin
+}

@@ -219,7 +219,31 @@ final class Engine(
       if (status == "fail")
         throw new IllegalStateException(s"test ${t.name} failed ($failures failures)")
     case _: SourceNode => ()
+    case _: ExposureNode => () // metadata-only (A29)
+    case _: MetricNode => () // metadata-only; compiled on demand via queryMetric
     case u: UnitTestNode => runUnitTestNode(u)
+  }
+
+  /** Compile a metric to a Spark query over its model (A29 optional
+    * path): SELECT dims…, calculation FROM model [WHERE filter]
+    * GROUP BY dims.
+    */
+  def queryMetric(name: String): DataFrame = {
+    val metric = manifest.nodes.values.collectFirst {
+      case m: MetricNode if m.name == name => m
+    }.getOrElse(throw new IllegalArgumentException(s"unknown metric: $name"))
+    val model = manifest.resolveRef(metric.model).getOrElse(
+      throw new IllegalArgumentException(s"metric $name: unknown model ${metric.model}"))
+    val rel = relationName(model)
+    val dims = metric.dimensions
+    val where = metric.filter.map(f => s" WHERE $f").getOrElse("")
+    val sql =
+      if (dims.isEmpty)
+        s"SELECT ${metric.calculation} AS ${metric.name} FROM $rel$where"
+      else
+        s"""SELECT ${dims.mkString(", ")}, ${metric.calculation} AS ${metric.name}
+           |FROM $rel$where GROUP BY ${dims.mkString(", ")}""".stripMargin
+    spark.sql(sql)
   }
 
   private def runHooks(hooks: Seq[String]): Unit =

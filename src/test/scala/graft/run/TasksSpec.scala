@@ -101,6 +101,50 @@ class TasksSpec extends SparkSpec {
     assert(dst.wh.read("t_fct").count() === src.wh.read("t_fct").count())
   }
 
+  test("exposures and metrics: parsed, linked, metric compiles to a query") {
+    val projDir = java.nio.file.Paths.get(tmpDir("expo_proj"))
+    def write(rel: String, content: String): Unit = {
+      val p = projDir.resolve(rel)
+      Files.createDirectories(p.getParent)
+      Files.writeString(p, content)
+    }
+    write("dbt_project.yml", "name: expo\n")
+    write("models/sources.yml",
+      s"""sources:
+         |  - name: main
+         |    tables:
+         |      - name: orders
+         |        path: $sf/orders.parquet
+         |exposures:
+         |  - name: exec_dashboard
+         |    type: dashboard
+         |    owner: data-team
+         |    depends_on: [spend]
+         |metrics:
+         |  - name: total_spend
+         |    model: spend
+         |    calculation: sum(total)
+         |    dimensions: [o_custkey]
+         |""".stripMargin)
+    write("models/spend.sql",
+      """{{ config(materialized='table') }}
+        |SELECT o_custkey, sum(o_totalprice) AS total
+        |FROM {{ source('main','orders') }} GROUP BY o_custkey""".stripMargin)
+    val eng = Engine.fromProject(spark, projDir.toString, tmpDir("wh"))
+    // exposure + metric are in the DAG, downstream of the model
+    val expo = eng.manifest.nodes("exposure.graft.exec_dashboard")
+    assert(expo.dependsOn === Seq("model.graft.spend"))
+    val met = eng.manifest.nodes("metric.graft.total_spend")
+    assert(met.dependsOn === Seq("model.graft.spend"))
+    // run does not materialize them, and metric compiles on demand
+    val results = eng.run()
+    assert(results.forall(_.status == "success"), results.mkString(";"))
+    assert(!eng.wh.exists("exec_dashboard"))
+    val df = eng.queryMetric("total_spend")
+    assert(df.columns.toSet === Set("o_custkey", "total_spend"))
+    assert(df.count() > 0)
+  }
+
   test("warehouse compact collapses the commit log, content unchanged") {
     import org.apache.spark.sql.functions._
     val eng = new Engine(spark, Manifest(Map.empty), tmpDir("wh"))
