@@ -272,7 +272,12 @@ object ProjectLoader {
     val base = NodeConfig()
     NodeConfig(
       materialized = kw.getOrElse("materialized", base.materialized),
-      incrementalStrategy = kw.get("incremental_strategy"),
+      // microbatch carries its event-time column in the strategy string
+      incrementalStrategy = kw.get("incremental_strategy").map {
+        case "microbatch" =>
+          s"microbatch:${kw.getOrElse("event_time", "event_time")}"
+        case s => s
+      },
       uniqueKey = kw.get("unique_key").map(_.split(",").map(_.trim).toSeq).getOrElse(Nil),
       onSchemaChange = kw.getOrElse("on_schema_change", base.onSchemaChange),
       fullRefresh = kw.get("full_refresh").exists(_.toBoolean),

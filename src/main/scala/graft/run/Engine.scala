@@ -192,6 +192,9 @@ final class Engine(
       runHooks(sm.config.postHook)
     case m: ModelNode =>
       runHooks(m.config.preHook)
+      if (m.config.contractEnforced)
+        Materializer.enforceContract(
+          spark.sql(compile(m)), relationName(m), m.columns)
       m.config.materialized match {
         case "view" => Materializer.view(wh, relationName(m), compile(m))
         case "table" =>

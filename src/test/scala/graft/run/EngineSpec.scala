@@ -330,6 +330,58 @@ class EngineSpec extends SparkSpec {
         "SELECT * FROM osc_src2", "append", Nil, "fail", Nil, fullRefresh = false))
   }
 
+  test("microbatch strategy replaces exactly the delta's day buckets") {
+    val whDir = tmpDir("wh")
+    import org.apache.spark.sql.functions._
+    val eng = new Engine(spark, Manifest(Map.empty), whDir)
+    def ts(day: Int) = s"TIMESTAMP '2024-01-0$day 10:00:00'"
+    spark.sql(
+      s"""SELECT * FROM VALUES (1, ${ts(1)}, 10.0), (2, ${ts(1)}, 20.0),
+         |(3, ${ts(2)}, 30.0), (4, ${ts(3)}, 40.0) AS t(id, ev, v)""".stripMargin)
+      .createOrReplaceTempView("mb_full")
+    // delta: re-delivers day 2 with corrected values + new day 4
+    spark.sql(
+      s"""SELECT * FROM VALUES (3, ${ts(2)}, 99.0), (5, ${ts(4)}, 50.0)
+         |AS t(id, ev, v)""".stripMargin)
+      .createOrReplaceTempView("mb_delta")
+    Materializer.incremental(eng.wh, "mb", "SELECT * FROM mb_full",
+      "SELECT * FROM mb_delta", "microbatch:ev", Nil, "ignore", Nil, fullRefresh = false)
+    Materializer.incremental(eng.wh, "mb", "SELECT * FROM mb_full",
+      "SELECT * FROM mb_delta", "microbatch:ev", Nil, "ignore", Nil, fullRefresh = false)
+    val out = eng.wh.read("mb")
+    assert(out.count() === 5) // day1: 2 rows, day2: replaced 1 row, day3: 1, day4: 1
+    assert(out.filter(col("id") === 3)
+      .select(col("v").cast("double")).head().getDouble(0) === 99.0)
+    // idempotence: re-running the same window changes nothing
+    Materializer.incremental(eng.wh, "mb", "SELECT * FROM mb_full",
+      "SELECT * FROM mb_delta", "microbatch:ev", Nil, "ignore", Nil, fullRefresh = false)
+    assert(eng.wh.read("mb").count() === 5)
+  }
+
+  test("contract enforcement: type mismatch and not_null violations abort") {
+    val whDir = tmpDir("wh")
+    val eng = new Engine(spark, Manifest(Map.empty), whDir)
+    import org.apache.spark.sql.functions._
+    val good = spark.range(3).select(col("id"), lit("x").as("name"))
+    val cols = Seq(
+      ColumnInfo("id", dataType = Some("bigint"),
+        tests = Seq(GenericTestRef("not_null"))),
+      ColumnInfo("name", dataType = Some("string")))
+    Materializer.enforceContract(good, "ok", cols) // passes
+    // type mismatch
+    val badType = spark.range(3).select(col("id").cast("int").as("id"), lit("x").as("name"))
+    assertThrows[IllegalStateException](
+      Materializer.enforceContract(badType, "bad_type", cols))
+    // undeclared column
+    val extra = good.withColumn("surprise", lit(1))
+    assertThrows[IllegalStateException](
+      Materializer.enforceContract(extra, "extra_col", cols))
+    // not_null violation
+    val withNull = spark.sql("SELECT * FROM VALUES (CAST(NULL AS BIGINT), 'x') AS t(id, name)")
+    assertThrows[IllegalStateException](
+      Materializer.enforceContract(withNull, "null_id", cols))
+  }
+
   test("insert_overwrite replaces only delta partitions") {
     val whDir = tmpDir("wh")
     import org.apache.spark.sql.functions._
