@@ -223,7 +223,11 @@ object TextOps {
         .select(col("doc_id"), shingles3(wordsCol).as("shs"))
       val sh = withShs.select(col("doc_id"), explode(col("shs")).as("shingle"))
       val card = withShs.select(col("doc_id"), size(col("shs")).cast("long").as("n"))
-      val a = sh.as("a"); val b = sh.as("b")
+      // shuffle-hash, not broadcast: the exploded shingle table is the
+      // big side of its own self-join — broadcasting it measures worse
+      // here and is impossible at 100 TB; hash-partitioning by shingle
+      // scales linearly.
+      val a = sh.as("a"); val b = sh.hint("shuffle_hash").as("b")
       val pairs = a.join(b,
           col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

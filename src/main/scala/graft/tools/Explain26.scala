@@ -9,19 +9,23 @@ object Explain26 {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.1"
     def time(label: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime(); val n = f
-      println(f"$label: $n rows, ${(System.nanoTime()-t0)/1e9}%.2fs")
+      (1 to 2).foreach { p =>
+        val t0 = System.nanoTime(); val n = f
+        println(f"$label pass$p: $n rows, ${(System.nanoTime()-t0)/1e9}%.2fs")
+      }
     }
     val w = split(col("text"), " ")
     val shs = graft.functions.TextExprs.shingles(w, 3)
-    val docs = spark.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), shs.as("shs"))
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .repartition(32).select(col("doc_id"), shs.as("shs"))
     val sh = docs.select(col("doc_id"), explode(col("shs")).as("shingle"))
-    time("sh")(sh.count())
-    val pairs = sh.as("a").join(sh.as("b"),
-      col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+    def agg(j: org.apache.spark.sql.DataFrame) = j
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("common"))
-    time("pairs")(pairs.count())
+    val cond = col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id")
+    time("broadcast")(agg(sh.as("a").join(broadcast(sh).as("b"), cond)).count())
+    time("shuffle_hash")(agg(sh.as("a").join(sh.hint("shuffle_hash").as("b"), cond)).count())
+    time("merge")(agg(sh.as("a").join(sh.hint("merge").as("b"), cond)).count())
     spark.stop()
   }
 }
