@@ -23,7 +23,9 @@ object ProjectLoader {
   final case class Project(
       name: String,
       vars: Map[String, String],
-      manifest: Manifest)
+      manifest: Manifest,
+      onRunStart: Seq[String] = Nil,
+      onRunEnd: Seq[String] = Nil)
 
   def load(projectDir: String): Project = {
     val root = Paths.get(projectDir)
@@ -187,7 +189,13 @@ object ProjectLoader {
         refs = Template.extractRefs(raw), sources = Template.extractSources(raw))
     }
 
-    Project(projName, vars, link(Manifest(nodes.map(n => n.uniqueId -> n).toMap)))
+    def hookList(key: String): Seq[String] = projCfg.get(key) match {
+      case Some(l: java.util.List[_]) => l.asScala.map(_.toString).toSeq
+      case Some(s: String) => Seq(s)
+      case _ => Nil
+    }
+    Project(projName, vars, link(Manifest(nodes.map(n => n.uniqueId -> n).toMap)),
+      onRunStart = hookList("on-run-start"), onRunEnd = hookList("on-run-end"))
   }
 
   /** Ref/source name resolution → depends_on unique ids (reference

@@ -25,7 +25,9 @@ final class Engine(
     val warehouseRoot: String,
     val vars: Map[String, String] = Map.empty,
     val clock: Materializer.Clock = Materializer.systemClock,
-    val emptyMode: Boolean = false) {
+    val emptyMode: Boolean = false,
+    val runStartHooks: Seq[String] = Nil,
+    val runEndHooks: Seq[String] = Nil) {
 
   val wh = new Warehouse(spark, warehouseRoot)
 
@@ -140,6 +142,8 @@ final class Engine(
     // are always available and we only schedule selected nodes.
     val selected = selected0.filter(id =>
       manifest.nodes.get(id).exists(n => resourceTypes.contains(n.resourceType)))
+    // on-run-start hooks (reference `task/run.py:434-440`)
+    runHooks(runStartHooks)
     val queue = new GraphQueue(dag, selected)
     val results = new ConcurrentLinkedQueue[Materializer.Result]()
     val pool = Executors.newFixedThreadPool(threads)
@@ -182,6 +186,8 @@ final class Engine(
     futures.foreach(_.get())
     pool.shutdown()
     pool.awaitTermination(60, TimeUnit.SECONDS)
+    // on-run-end hooks (reference `task/run.py:442-463`)
+    runHooks(runEndHooks)
     results.asScala.toSeq
   }
 
@@ -352,7 +358,8 @@ final class Engine(
         })
       case kv => kv
     })
-    val eng = new Engine(spark, augmented, warehouseRoot, vars, clock)
+    val eng = new Engine(spark, augmented, warehouseRoot, vars, clock,
+      runStartHooks = runStartHooks, runEndHooks = runEndHooks)
     eng.run(select, threads = threads,
       resourceTypes = Set("model", "seed", "snapshot", "test", "unit_test"))
   }
@@ -437,6 +444,7 @@ object Engine {
       vars: Map[String, String] = Map.empty,
       clock: Materializer.Clock = Materializer.systemClock): Engine = {
     val proj = ProjectLoader.load(projectDir)
-    new Engine(spark, proj.manifest, warehouseRoot, proj.vars ++ vars, clock)
+    new Engine(spark, proj.manifest, warehouseRoot, proj.vars ++ vars, clock,
+      runStartHooks = proj.onRunStart, runEndHooks = proj.onRunEnd)
   }
 }

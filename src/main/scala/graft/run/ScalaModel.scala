@@ -38,11 +38,30 @@ object ScalaModel {
     node.copy(dependsOn = (node.dependsOn ++ refIds ++ srcIds).distinct)
   }
 
-  /** Execute: run body, materialize per config. */
+  /** Execute: run body, materialize per config.
+    *
+    * `streaming_table`: the body returns a STREAMING DataFrame
+    * (readStream source); it is drained into the warehouse with an
+    * AvailableNow trigger — processes everything available, then stops,
+    * so downstream batch nodes in the same DAG run see complete data.
+    * Checkpoints live under the warehouse, so a later engine run
+    * resumes incrementally (exactly-once per micro-batch commit).
+    */
   def run(engine: Engine, node: ScalaModelNode): Unit = {
     val df = node.body(new ModelCtx(engine))
     node.config.materialized match {
       case "view" => engine.wh.createView(engine.relationName(node), df)
+      case "streaming_table" =>
+        require(df.isStreaming, s"${node.name}: streaming_table body must return a streaming DataFrame")
+        val rel = engine.relationName(node)
+        val q = graft.streaming.StreamMaterializer.writeToWarehouse(
+          engine.wh, rel, df,
+          checkpointDir = s"${engine.warehouseRoot}/_checkpoints/$rel")
+        q.awaitTermination()
+        // a stream that emitted nothing still needs the relation to exist
+        if (!engine.wh.exists(rel))
+          engine.wh.writeTable(rel, engine.spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), df.schema))
       case _ => engine.wh.writeTable(engine.relationName(node), df,
         node.config.partitionBy)
     }

@@ -159,6 +159,70 @@ class TasksSpec extends SparkSpec {
     assert(eng.wh.read("cmp").count() === 25)
   }
 
+  test("streaming model node feeds downstream batch model in one DAG run") {
+    import org.apache.spark.sql.functions._
+    // streamable copy of events (micros timestamps)
+    val evDir = tmpDir("ev_stream")
+    graft.Tables.load(spark, sf, "events").repartition(2)
+      .write.mode("overwrite").parquet(evDir)
+    val schema = spark.read.parquet(evDir).schema
+    // dedup stream (emits immediately — unlike windowed aggs, no tail
+    // windows withheld by the watermark, so totals are exactly
+    // comparable to batch)
+    val streamNode = ScalaModelNode(
+      name = "t_stream_firsts",
+      declaredRefs = Nil, declaredSources = Nil,
+      body = ctx => graft.streaming.StreamMaterializer.dedupFirstEvents(
+        ctx.spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(evDir)),
+      config = NodeConfig(materialized = "streaming_table"))
+    val downstream = ModelNode("t_stream_rollup",
+      "SELECT event_type, count(*) AS n_keys FROM {{ ref('t_stream_firsts') }} GROUP BY event_type",
+      config = NodeConfig(materialized = "table"), refs = Seq("t_stream_firsts"))
+    val manifest = graft.parse.ProjectLoader.link(Manifest(
+      Seq(streamNode: Node, downstream: Node).map(n => n.uniqueId -> n).toMap))
+    val eng = new Engine(spark, manifest, tmpDir("wh"))
+    val results = eng.run(threads = 1)
+    assert(results.forall(_.status == "success"), results.mkString(";"))
+    val rollup = eng.wh.read("t_stream_rollup")
+    assert(rollup.count() > 0)
+    // streamed distinct-(user,event_type) counts equal the batch ones
+    val batch = spark.read.parquet(evDir)
+      .select("user_id", "event_type").distinct()
+      .groupBy("event_type").agg(count(lit(1)).as("n_keys"))
+    val joined = rollup.as("s").join(batch.as("b"), Seq("event_type"), "full")
+      .filter(!(col("s.n_keys") <=> col("b.n_keys")))
+    assert(joined.count() === 0)
+  }
+
+  test("project-level on-run-start/end hooks execute around the run") {
+    val projDir = java.nio.file.Paths.get(tmpDir("hook_proj"))
+    def write(rel: String, content: String): Unit = {
+      val p = projDir.resolve(rel)
+      Files.createDirectories(p.getParent)
+      Files.writeString(p, content)
+    }
+    write("dbt_project.yml",
+      """name: hooky
+        |on-run-start: "CREATE OR REPLACE TEMP VIEW run_started AS SELECT 1 AS x"
+        |on-run-end:
+        |  - "CREATE OR REPLACE TEMP VIEW run_ended AS SELECT 2 AS x"
+        |""".stripMargin)
+    write("models/sources.yml",
+      s"""sources:
+         |  - name: main
+         |    tables:
+         |      - name: orders
+         |        path: $sf/orders.parquet
+         |""".stripMargin)
+    write("models/hk.sql", "SELECT count(*) AS n FROM {{ source('main','orders') }}")
+    val eng = Engine.fromProject(spark, projDir.toString, tmpDir("wh"))
+    val results = eng.run()
+    assert(results.forall(_.status == "success"), results.mkString(";"))
+    assert(spark.sql("SELECT x FROM run_started").head().getInt(0) === 1)
+    assert(spark.sql("SELECT x FROM run_ended").head().getInt(0) === 2)
+  }
+
   test("scala model: typed DataFrame body with refs") {
     import org.apache.spark.sql.functions._
     val sm = ScalaModelNode(
