@@ -93,6 +93,25 @@ object Ext2 {
             .cast("long").as("n_bpe_tokens"),
           size(split(col("text"), " ")).cast("long").as("n_ws_tokens"))
         .orderBy("doc_id")
+    },
+
+    // Winnowing near-dup candidates: rolling-hash k-gram fingerprints
+    // (Schleimer et al. SIGMOD'03) selected by window-min, inverted-
+    // index join on shared fingerprints. The hash family is engine-
+    // specific → rows-only driver check; invariants are spec-tested
+    // (WinnowSpec).
+    QueryDef.noOracle("q43_winnow_candidates") { (s, dir) =>
+      val fps = Tables.load(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
+          explode(graft.functions.Winnow.winnowFingerprint(col("text"), 8, 16))
+            .as("fp"))
+      fps.as("a").join(fps.hint("shuffle_hash").as("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("shared_fps"))
+        .filter(col("shared_fps") >= 3)
+        .orderBy("doc_a", "doc_b")
     }
   )
 }

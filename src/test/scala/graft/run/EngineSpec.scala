@@ -292,6 +292,17 @@ class EngineSpec extends SparkSpec {
     assert(df.count() === 3)
   }
 
+  test("--empty mode resolves refs/sources to LIMIT 0 relations") {
+    val eng0 = Engine.fromProject(spark, writeProject(baseProject), tmpDir("wh"))
+    val empty = new Engine(spark, eng0.manifest, tmpDir("wh_e"),
+      vars = eng0.vars, emptyMode = true)
+    val results = empty.run(threads = 1)
+    assert(results.forall(_.status == "success"), results.mkString(";"))
+    // tables built, but with zero rows (schema-only dry run)
+    assert(empty.wh.read("fct_spend").count() === 0)
+    assert(empty.wh.read("fct_spend").columns.contains("spend"))
+  }
+
   test("ls returns topo-ordered selection") {
     val eng = Engine.fromProject(spark, writeProject(baseProject), tmpDir("wh"))
     val ids = eng.ls(Seq("+fct_spend"))
