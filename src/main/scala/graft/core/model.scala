@@ -27,6 +27,8 @@ final case class NodeConfig(
     tags: Set[String] = Set.empty,
     meta: Map[String, String] = Map.empty,
     partitionBy: Seq[String] = Nil,
+    bucketBy: Seq[String] = Nil,
+    numBuckets: Int = 0,
     contractEnforced: Boolean = false,
     severity: String = "error", // tests: error|warn
     warnIf: String = "!= 0",
@@ -56,6 +58,8 @@ final case class NodeConfig(
       tags = tags ++ other.tags,
       meta = meta ++ other.meta,
       partitionBy = if (other.partitionBy.nonEmpty) other.partitionBy else partitionBy,
+      bucketBy = if (other.bucketBy.nonEmpty) other.bucketBy else bucketBy,
+      numBuckets = if (other.numBuckets != 0) other.numBuckets else numBuckets,
       contractEnforced = other.contractEnforced || contractEnforced,
       severity = if (other.severity != defaults.severity) other.severity else severity,
       warnIf = if (other.warnIf != defaults.warnIf) other.warnIf else warnIf,

@@ -22,7 +22,8 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 final class Warehouse(val spark: SparkSession, val root: String) {
 
-  private final case class RelState(paths: Seq[String], nextVersion: Int, isView: Boolean)
+  private final case class RelState(paths: Seq[String], nextVersion: Int,
+      isView: Boolean, isCatalog: Boolean = false)
 
   private val relations = scala.collection.mutable.Map[String, RelState]()
   private val lock = new Object
@@ -35,7 +36,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
   def read(name: String): DataFrame = {
     val st = lock.synchronized(relations.getOrElse(name,
       throw new IllegalArgumentException(s"unknown relation: $name")))
-    if (st.isView) spark.table(name)
+    if (st.isView || st.isCatalog) spark.table(name)
     else spark.read.parquet(st.paths: _*)
   }
 
@@ -101,5 +102,40 @@ final class Warehouse(val spark: SparkSession, val root: String) {
   def registerSource(name: String, df: DataFrame): Unit = lock.synchronized {
     df.createOrReplaceTempView(name)
     relations(name) = RelState(Nil, 0, isView = true)
+  }
+
+  /** Bucketed catalog table: hash-bucketed + sorted by `bucketBy`, so
+    * downstream equi-joins/aggregations on those keys run with NO
+    * shuffle (Catalyst recognizes the bucketing as satisfying the
+    * required distribution). This is the knob that removes the big-fact
+    * join shuffle at 100 TB — bucket orders and lineitem by orderkey
+    * once, join free forever. Uses the session catalog (bucketing
+    * metadata lives there, not in plain parquet dirs).
+    */
+  def writeBucketedTable(name: String, df: DataFrame,
+      bucketBy: Seq[String], numBuckets: Int): Unit = {
+    require(bucketBy.nonEmpty && numBuckets > 0,
+      s"$name: bucketed write needs bucket columns and a bucket count")
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    // the in-memory catalog forgets tables across sessions but their
+    // managed location persists — clear it or CTAS refuses the name
+    val loc = new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, name)
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(loc)
+    }
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, bucketBy.head, bucketBy.tail: _*)
+      .sortBy(bucketBy.head, bucketBy.tail: _*)
+      .saveAsTable(name)
+    lock.synchronized {
+      relations(name) = RelState(Nil,
+        relations.get(name).map(_.nextVersion).getOrElse(0),
+        isView = false, isCatalog = true)
+    }
   }
 }

@@ -297,6 +297,8 @@ object ProjectLoader {
       database = kw.get("database"),
       tags = kw.get("tags").map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty),
       partitionBy = kw.get("partition_by").map(_.split(",").map(_.trim).toSeq).getOrElse(Nil),
+      bucketBy = kw.get("bucket_by").map(_.split(",").map(_.trim).toSeq).getOrElse(Nil),
+      numBuckets = kw.get("num_buckets").map(_.toInt).getOrElse(0),
       contractEnforced = kw.get("contract_enforced").exists(_.toBoolean),
       severity = kw.getOrElse("severity", base.severity),
       warnIf = kw.getOrElse("warn_if", base.warnIf),

@@ -204,7 +204,11 @@ final class Engine(
       m.config.materialized match {
         case "view" => Materializer.view(wh, relationName(m), compile(m))
         case "table" =>
-          Materializer.table(wh, relationName(m), compile(m), m.config.partitionBy)
+          if (m.config.bucketBy.nonEmpty)
+            wh.writeBucketedTable(relationName(m), spark.sql(compile(m)),
+              m.config.bucketBy, math.max(1, m.config.numBuckets))
+          else
+            Materializer.table(wh, relationName(m), compile(m), m.config.partitionBy)
         case "incremental" =>
           Materializer.incremental(wh, relationName(m),
             renderedFull = compile(m, isIncremental = false),

@@ -145,6 +145,26 @@ class TasksSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("bucketed tables join without a shuffle") {
+    import org.apache.spark.sql.functions._
+    val eng = new Engine(spark, Manifest(Map.empty), tmpDir("wh"))
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val lineitem = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    eng.wh.writeBucketedTable("b_orders", orders, Seq("o_orderkey"), 4)
+    eng.wh.writeBucketedTable("b_lineitem",
+      lineitem.withColumnRenamed("l_orderkey", "o_orderkey"), Seq("o_orderkey"), 4)
+    val joined = eng.wh.read("b_orders")
+      .join(eng.wh.read("b_lineitem"), "o_orderkey")
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join should not shuffle:\n$plan")
+    // and the result is correct
+    assert(joined.count() === lineitem.count())
+  }
+
   test("warehouse compact collapses the commit log, content unchanged") {
     import org.apache.spark.sql.functions._
     val eng = new Engine(spark, Manifest(Map.empty), tmpDir("wh"))
