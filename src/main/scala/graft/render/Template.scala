@@ -96,7 +96,14 @@ object Template {
       resolveSource: (String, String) => String,
       thisRelation: String,
       vars: Map[String, String] = Map.empty,
-      isIncremental: Boolean = false)
+      isIncremental: Boolean = false,
+      /** context builtins (A26 subset): run_started_at, invocation_id,
+        * target.name … — substituted as `{{ name }}`.
+        */
+      builtins: Map[String, String] = Map.empty)
+
+  private val builtinRe: Regex =
+    """\{\{\s*([a-z_][a-z0-9_.]*)\s*\}\}""".r
 
   /** Render a model body to executable Spark SQL. */
   def render(sql: String, ctx: Context): String = {
@@ -119,6 +126,11 @@ object Template {
         ctx.vars.get(name).orElse(dflt).getOrElse(
           throw new IllegalArgumentException(s"undefined var: $name")))
     })
+    if (ctx.builtins.nonEmpty)
+      out = builtinRe.replaceAllIn(out, m =>
+        ctx.builtins.get(m.group(1))
+          .map(Regex.quoteReplacement)
+          .getOrElse(Regex.quoteReplacement(m.matched)))
     out.trim
   }
 }

@@ -41,6 +41,12 @@ final class Engine(
   private val runStartedAt = clock()
   val invocationId: String = java.util.UUID.randomUUID().toString
 
+  /** A26 context builtins available as `{{ name }}` in model SQL. */
+  def contextBuiltins: Map[String, String] = Map(
+    "run_started_at" -> runStartedAt.toInstant.toString,
+    "invocation_id" -> invocationId,
+    "target.name" -> "default")
+
   // register sources as views up front (they're external inputs)
   manifest.sources.values.foreach { s =>
     if (s.path.nonEmpty)
@@ -102,7 +108,8 @@ final class Engine(
 
     def renderBody(sql: String, thisRel: String): String =
       Template.render(sql, Template.Context(
-        resolveRef, resolveSource, thisRel, vars, isIncremental))
+        resolveRef, resolveSource, thisRel, vars, isIncremental,
+        builtins = contextBuiltins))
 
     val body = renderBody(raw, relationName(node))
     spliceCtes(body, ephemeralDeps.toSeq)

@@ -292,6 +292,53 @@ class EngineSpec extends SparkSpec {
     assert(df.count() === 3)
   }
 
+  test("store_failures persists failing rows to the audit table") {
+    val eng = new Engine(spark, Manifest(Map.empty), tmpDir("wh"))
+    import org.apache.spark.sql.functions._
+    spark.range(6).select((col("id") % 3).as("k"))
+      .createOrReplaceTempView("sf_dup")
+    val t = TestNode("dupes",
+      Materializer.genericTestSql("unique", "sf_dup", "k", Map.empty),
+      NodeConfig(materialized = "test", severity = "warn", storeFailures = true))
+    val (status, failures) = Materializer.runTest(eng.wh, t)
+    assert(status === "warn")
+    assert(failures === 3)
+    val audit = eng.wh.read("dbt_test__audit__dupes")
+    assert(audit.count() === 3)
+  }
+
+  test("on_schema_change sync_all_columns adopts the delta's schema") {
+    val eng = new Engine(spark, Manifest(Map.empty), tmpDir("wh"))
+    import org.apache.spark.sql.functions._
+    spark.range(3).select(col("id"), lit("x").as("a"), lit(9L).as("gone"))
+      .createOrReplaceTempView("sync_src1")
+    spark.range(3, 5).select(col("id"), lit("y").as("a"), lit(1L).as("b"))
+      .createOrReplaceTempView("sync_src2")
+    Materializer.incremental(eng.wh, "sync1", "SELECT * FROM sync_src1",
+      "SELECT * FROM sync_src2", "append", Nil, "sync_all_columns", Nil, fullRefresh = false)
+    Materializer.incremental(eng.wh, "sync1", "SELECT * FROM sync_src1",
+      "SELECT * FROM sync_src2", "append", Nil, "sync_all_columns", Nil, fullRefresh = false)
+    val out = eng.wh.read("sync1")
+    assert(out.columns.toSet === Set("id", "a", "b")) // 'gone' dropped, 'b' added
+    assert(out.count() === 5)
+  }
+
+  test("context builtins render in model SQL") {
+    val clock: Materializer.Clock =
+      () => java.sql.Timestamp.valueOf("2001-02-03 04:05:06")
+    val src = SourceNode("main", "orders", s"$sf/orders.parquet")
+    val m = ModelNode("bi_model",
+      "SELECT '{{ invocation_id }}' AS inv, '{{ run_started_at }}' AS started, count(*) AS n FROM {{ source('main','orders') }}",
+      config = NodeConfig(materialized = "table"), sources = Seq(("main", "orders")))
+    val manifest = graft.parse.ProjectLoader.link(Manifest(
+      Seq(src: graft.core.Node, m: graft.core.Node).map(n => n.uniqueId -> n).toMap))
+    val eng = new Engine(spark, manifest, tmpDir("wh"), clock = clock)
+    assert(eng.run().forall(_.status == "success"))
+    val row = eng.wh.read("bi_model").head()
+    assert(row.getString(0) === eng.invocationId)
+    assert(row.getString(1).startsWith("2001-02-03T04:05:06"))
+  }
+
   test("--empty mode resolves refs/sources to LIMIT 0 relations") {
     val eng0 = Engine.fromProject(spark, writeProject(baseProject), tmpDir("wh"))
     val empty = new Engine(spark, eng0.manifest, tmpDir("wh_e"),
