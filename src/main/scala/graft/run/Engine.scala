@@ -270,7 +270,7 @@ final class Engine(
     hooks.foreach(h => spark.sql(Template.render(h, Template.Context(
       n => relationName(manifest.resolveRef(n).get),
       (s, t) => relationName(manifest.resolveSource(s, t).get),
-      "", vars, isIncremental = false))))
+      "", vars, isIncremental = false, builtins = contextBuiltins))))
 
   /** `dbt test`: data tests (+ unit tests) only. */
   def test(select: Seq[String] = Nil, threads: Int = 4): Seq[Materializer.Result] = {
@@ -381,7 +381,7 @@ final class Engine(
       n => relationName(manifest.resolveRef(n).getOrElse(
         throw new IllegalArgumentException(s"unresolved ref: $n"))),
       (s, t) => relationName(manifest.resolveSource(s, t).get),
-      "", vars, isIncremental = false))
+      "", vars, isIncremental = false, builtins = contextBuiltins))
     spark.sql(rendered).limit(limit)
   }
 
