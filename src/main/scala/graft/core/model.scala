@@ -15,6 +15,7 @@ package graft.core
 final case class NodeConfig(
     materialized: String = "view",
     incrementalStrategy: Option[String] = None, // append|merge|delete+insert|insert_overwrite
+    incrementalPredicates: Seq[String] = Nil,
     uniqueKey: Seq[String] = Nil,
     onSchemaChange: String = "ignore", // ignore|append_new_columns|sync_all_columns|fail
     fullRefresh: Boolean = false,
@@ -46,6 +47,7 @@ final case class NodeConfig(
     NodeConfig(
       materialized = if (other.materialized != defaults.materialized) other.materialized else materialized,
       incrementalStrategy = other.incrementalStrategy.orElse(incrementalStrategy),
+      incrementalPredicates = if (other.incrementalPredicates.nonEmpty) other.incrementalPredicates else incrementalPredicates,
       uniqueKey = if (other.uniqueKey.nonEmpty) other.uniqueKey else uniqueKey,
       onSchemaChange = if (other.onSchemaChange != defaults.onSchemaChange) other.onSchemaChange else onSchemaChange,
       fullRefresh = other.fullRefresh || fullRefresh,

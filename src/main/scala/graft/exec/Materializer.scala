@@ -58,7 +58,14 @@ object Materializer {
       uniqueKey: Seq[String],
       onSchemaChange: String,
       partitionBy: Seq[String],
-      fullRefresh: Boolean): Unit = {
+      fullRefresh: Boolean,
+      /** `incremental_predicates` (dbt feature): SQL predicates that
+        * bound which TARGET rows are merge-eligible — rows outside the
+        * predicate are carried over untouched without being scanned
+        * against the delta. At 100 TB this turns a full-table merge
+        * into a recent-partition merge.
+        */
+      incrementalPredicates: Seq[String] = Nil): Unit = {
 
     if (!wh.exists(name) || fullRefresh) {
       wh.writeTable(name, wh.spark.sql(renderedFull), partitionBy)
@@ -86,10 +93,18 @@ object Materializer {
         // (merge and delete+insert coincide when the delta carries full
         // rows — dbt's default built-ins do exactly this.)
         require(uniqueKey.nonEmpty, s"$name: $strategy needs unique_key")
-        val keep = targetAligned.join(
+        val (eligible, carried) =
+          if (incrementalPredicates.isEmpty) (targetAligned, None)
+          else {
+            val pred = incrementalPredicates.map(p => s"($p)").mkString(" AND ")
+            (targetAligned.filter(expr(pred)),
+              Some(targetAligned.filter(!expr(pred))))
+          }
+        val keep = eligible.join(
           delta.select(uniqueKey.map(col): _*).distinct(), uniqueKey, "left_anti")
+        val merged = keep.unionByName(conformTo(keep.schema, delta))
         wh.writeTable(name,
-          keep.unionByName(conformTo(keep.schema, delta)), partitionBy)
+          carried.map(c => merged.unionByName(c)).getOrElse(merged), partitionBy)
 
       case "insert_overwrite" =>
         require(partitionBy.nonEmpty, s"$name: insert_overwrite needs partition_by")

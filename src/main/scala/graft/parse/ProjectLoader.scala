@@ -286,6 +286,8 @@ object ProjectLoader {
           s"microbatch:${kw.getOrElse("event_time", "event_time")}"
         case s => s
       },
+      // kept whole: predicates may contain commas
+      incrementalPredicates = kw.get("incremental_predicates").map(Seq(_)).getOrElse(Nil),
       uniqueKey = kw.get("unique_key").map(_.split(",").map(_.trim).toSeq).getOrElse(Nil),
       onSchemaChange = kw.getOrElse("on_schema_change", base.onSchemaChange),
       fullRefresh = kw.get("full_refresh").exists(_.toBoolean),

@@ -47,6 +47,26 @@ final class Engine(
     "invocation_id" -> invocationId,
     "target.name" -> "default")
 
+  /** Single factory for render contexts — every render site (compile,
+    * hooks, show, unit tests) goes through here so builtins/vars can't
+    * diverge between sites again.
+    */
+  def renderContext(
+      resolveRef: String => String = defaultRefResolver,
+      resolveSource: (String, String) => String = defaultSourceResolver,
+      thisRelation: String = "",
+      isIncremental: Boolean = false): Template.Context =
+    Template.Context(resolveRef, resolveSource, thisRelation, vars,
+      isIncremental, builtins = contextBuiltins)
+
+  private def defaultRefResolver: String => String =
+    n => relationName(manifest.resolveRef(n).getOrElse(
+      throw new IllegalArgumentException(s"unresolved ref: $n")))
+
+  private def defaultSourceResolver: (String, String) => String =
+    (s, t) => relationName(manifest.resolveSource(s, t).getOrElse(
+      throw new IllegalArgumentException(s"unresolved source: $s.$t")))
+
   // register sources as views up front (they're external inputs)
   manifest.sources.values.foreach { s =>
     if (s.path.nonEmpty)
@@ -107,9 +127,8 @@ final class Engine(
       }
 
     def renderBody(sql: String, thisRel: String): String =
-      Template.render(sql, Template.Context(
-        resolveRef, resolveSource, thisRel, vars, isIncremental,
-        builtins = contextBuiltins))
+      Template.render(sql,
+        renderContext(resolveRef, resolveSource, thisRel, isIncremental))
 
     val body = renderBody(raw, relationName(node))
     spliceCtes(body, ephemeralDeps.toSeq)
@@ -224,7 +243,8 @@ final class Engine(
             uniqueKey = m.config.uniqueKey,
             onSchemaChange = m.config.onSchemaChange,
             partitionBy = m.config.partitionBy,
-            fullRefresh = fullRefreshFlag || m.config.fullRefresh)
+            fullRefresh = fullRefreshFlag || m.config.fullRefresh,
+            incrementalPredicates = m.config.incrementalPredicates)
         case "ephemeral" => () // never materialized (inlined at consumers)
         case other =>
           throw new IllegalArgumentException(s"unknown materialization: $other")
@@ -267,10 +287,7 @@ final class Engine(
   }
 
   private def runHooks(hooks: Seq[String]): Unit =
-    hooks.foreach(h => spark.sql(Template.render(h, Template.Context(
-      n => relationName(manifest.resolveRef(n).get),
-      (s, t) => relationName(manifest.resolveSource(s, t).get),
-      "", vars, isIncremental = false, builtins = contextBuiltins))))
+    hooks.foreach(h => spark.sql(Template.render(h, renderContext())))
 
   /** `dbt test`: data tests (+ unit tests) only. */
   def test(select: Seq[String] = Nil, threads: Int = 4): Seq[Materializer.Result] = {
@@ -312,12 +329,12 @@ final class Engine(
       val viewName = s"__utf_${u.name}_$refName"
       (refName, viewName, rowsToDf(rows))
     }.toSeq
-    val sql = Template.render(model.rawSql, Template.Context(
-      name => fixtureViews.find(_._1 == name).map(_._2)
+    val sql = Template.render(model.rawSql, renderContext(
+      resolveRef = name => fixtureViews.find(_._1 == name).map(_._2)
         .getOrElse(relationName(manifest.resolveRef(name).get)),
-      (s, t) => fixtureViews.find(_._1 == s"$s.$t").map(_._2)
+      resolveSource = (s, t) => fixtureViews.find(_._1 == s"$s.$t").map(_._2)
         .getOrElse(relationName(manifest.resolveSource(s, t).get)),
-      relationName(model), vars, isIncremental = false))
+      thisRelation = relationName(model)))
     val diff = Materializer.runUnitTest(spark, sql,
       fixtureViews.map(f => f._2 -> f._3).toMap, rowsToDf(u.expect))
     diff.foreach(msg => throw new IllegalStateException(s"unit test ${u.name}: $msg"))
@@ -377,11 +394,7 @@ final class Engine(
 
   /** `dbt show --inline` (reference `core/dbt/task/show.py:22-62`). */
   def show(inlineSql: String, limit: Int = 5): DataFrame = {
-    val rendered = Template.render(inlineSql, Template.Context(
-      n => relationName(manifest.resolveRef(n).getOrElse(
-        throw new IllegalArgumentException(s"unresolved ref: $n"))),
-      (s, t) => relationName(manifest.resolveSource(s, t).get),
-      "", vars, isIncremental = false, builtins = contextBuiltins))
+    val rendered = Template.render(inlineSql, renderContext())
     spark.sql(rendered).limit(limit)
   }
 

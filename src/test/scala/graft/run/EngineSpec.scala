@@ -292,6 +292,33 @@ class EngineSpec extends SparkSpec {
     assert(df.count() === 3)
   }
 
+  test("incremental_predicates bound the merge-eligible target rows") {
+    val eng = new Engine(spark, Manifest(Map.empty), tmpDir("wh"))
+    import org.apache.spark.sql.functions._
+    spark.sql(
+      """SELECT * FROM VALUES (1, 'old', 2020), (2, 'old', 2024), (3, 'old', 2024)
+        |AS t(id, v, yr)""".stripMargin).createOrReplaceTempView("ip_full")
+    // delta updates keys 1 and 2 — but only yr >= 2024 target rows are
+    // merge-eligible, so key 1's 2020 row must survive untouched
+    spark.sql(
+      """SELECT * FROM VALUES (1, 'new', 2024), (2, 'new', 2024)
+        |AS t(id, v, yr)""".stripMargin).createOrReplaceTempView("ip_delta")
+    Materializer.incremental(eng.wh, "ip", "SELECT * FROM ip_full",
+      "SELECT * FROM ip_delta", "merge", Seq("id"), "ignore", Nil,
+      fullRefresh = false, incrementalPredicates = Seq("yr >= 2024"))
+    Materializer.incremental(eng.wh, "ip", "SELECT * FROM ip_full",
+      "SELECT * FROM ip_delta", "merge", Seq("id"), "ignore", Nil,
+      fullRefresh = false, incrementalPredicates = Seq("yr >= 2024"))
+    val out = eng.wh.read("ip")
+    // key1: old 2020 row kept (outside predicate) + new 2024 row inserted
+    assert(out.filter(col("id") === 1).count() === 2)
+    // key2: replaced in place
+    assert(out.filter(col("id") === 2).count() === 1)
+    assert(out.filter(col("id") === 2).select("v").head().getString(0) === "new")
+    // key3: untouched
+    assert(out.filter(col("id") === 3 && col("v") === "old").count() === 1)
+  }
+
   test("store_failures persists failing rows to the audit table") {
     val eng = new Engine(spark, Manifest(Map.empty), tmpDir("wh"))
     import org.apache.spark.sql.functions._
