@@ -27,6 +27,8 @@ final case class NodeConfig(
     database: Option[String] = None,
     tags: Set[String] = Set.empty,
     meta: Map[String, String] = Map.empty,
+    group: Option[String] = None,
+    access: String = "protected", // private|protected|public (A24)
     partitionBy: Seq[String] = Nil,
     bucketBy: Seq[String] = Nil,
     numBuckets: Int = 0,
@@ -59,6 +61,8 @@ final case class NodeConfig(
       database = other.database.orElse(database),
       tags = tags ++ other.tags,
       meta = meta ++ other.meta,
+      group = other.group.orElse(group),
+      access = if (other.access != defaults.access) other.access else access,
       partitionBy = if (other.partitionBy.nonEmpty) other.partitionBy else partitionBy,
       bucketBy = if (other.bucketBy.nonEmpty) other.bucketBy else bucketBy,
       numBuckets = if (other.numBuckets != 0) other.numBuckets else numBuckets,

@@ -179,6 +179,15 @@ object ProjectLoader {
         refs = Template.extractRefs(raw), sources = Template.extractSources(raw))
     }
 
+    // ---- analyses: compiled, never executed (reference NodeType.Analysis)
+    for (f <- listFiles(root.resolve("analyses"), ".sql")) {
+      val raw = Files.readString(f)
+      nodes += ModelNode(
+        name = stripExt(f), rawSql = raw,
+        config = NodeConfig(materialized = "analysis"),
+        refs = Template.extractRefs(raw), sources = Template.extractSources(raw))
+    }
+
     // ---- singular tests
     for (f <- listFiles(root.resolve("tests"), ".sql")) {
       val raw = Files.readString(f)
@@ -298,6 +307,8 @@ object ProjectLoader {
       schema = kw.get("schema"),
       database = kw.get("database"),
       tags = kw.get("tags").map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty),
+      group = kw.get("group"),
+      access = kw.getOrElse("access", base.access),
       partitionBy = kw.get("partition_by").map(_.split(",").map(_.trim).toSeq).getOrElse(Nil),
       bucketBy = kw.get("bucket_by").map(_.split(",").map(_.trim).toSeq).getOrElse(Nil),
       numBuckets = kw.get("num_buckets").map(_.toInt).getOrElse(0),

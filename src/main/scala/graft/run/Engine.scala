@@ -102,6 +102,12 @@ final class Engine(
 
     def resolveRef(name: String): String =
       manifest.resolveRef(name) match {
+        case Some(m: ModelNode)
+            if m.config.access == "private" && m.config.group != node.config.group =>
+          // A24 access enforcement (reference providers.py:525-544)
+          throw new IllegalArgumentException(
+            s"ref to private model '$name' (group ${m.config.group.getOrElse("-")}) " +
+              s"from group ${node.config.group.getOrElse("-")} is not allowed")
         case Some(m: ModelNode) if m.config.materialized == "ephemeral" =>
           val cteName = s"__dbt__cte__$name"
           if (!ephemeralDeps.contains(cteName)) {
@@ -246,6 +252,7 @@ final class Engine(
             fullRefresh = fullRefreshFlag || m.config.fullRefresh,
             incrementalPredicates = m.config.incrementalPredicates)
         case "ephemeral" => () // never materialized (inlined at consumers)
+        case "analysis" => () // compiled only (reference analysis nodes)
         case other =>
           throw new IllegalArgumentException(s"unknown materialization: $other")
       }

@@ -292,6 +292,39 @@ class EngineSpec extends SparkSpec {
     assert(df.count() === 3)
   }
 
+  test("private model access is enforced across groups") {
+    val src = SourceNode("main", "orders", s"$sf/orders.parquet")
+    val priv = ModelNode("sec_private",
+      "SELECT o_orderkey FROM {{ source('main','orders') }}",
+      config = NodeConfig(group = Some("finance"), access = "private"),
+      sources = Seq(("main", "orders")))
+    val sameGroup = ModelNode("sec_same",
+      "SELECT * FROM {{ ref('sec_private') }}",
+      config = NodeConfig(group = Some("finance"), materialized = "table"),
+      refs = Seq("sec_private"))
+    val otherGroup = ModelNode("sec_other",
+      "SELECT * FROM {{ ref('sec_private') }}",
+      config = NodeConfig(group = Some("marketing"), materialized = "table"),
+      refs = Seq("sec_private"))
+    val manifest = graft.parse.ProjectLoader.link(Manifest(
+      Seq[Node](src, priv, sameGroup, otherGroup).map(n => n.uniqueId -> n).toMap))
+    val eng = new Engine(spark, manifest, tmpDir("wh"))
+    eng.compile(sameGroup) // same group: fine
+    val e = intercept[IllegalArgumentException](eng.compile(otherGroup))
+    assert(e.getMessage.contains("private"))
+  }
+
+  test("analyses compile but never materialize") {
+    val proj = baseProject + ("analyses/an_orders.sql" ->
+      "SELECT count(*) FROM {{ ref('stg_orders') }}")
+    val eng = Engine.fromProject(spark, writeProject(proj), tmpDir("wh"))
+    val an = eng.manifest.byName("an_orders").get
+    assert(eng.compile(an).contains("stg_orders"))
+    val results = eng.run()
+    assert(results.forall(_.status == "success"), results.mkString(";"))
+    assert(!eng.wh.exists("an_orders"))
+  }
+
   test("incremental_predicates bound the merge-eligible target rows") {
     val eng = new Engine(spark, Manifest(Map.empty), tmpDir("wh"))
     import org.apache.spark.sql.functions._
