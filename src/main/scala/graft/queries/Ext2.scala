@@ -95,6 +95,37 @@ object Ext2 {
         .orderBy("doc_id")
     },
 
+    // PII scan: per-doc counts of email/phone/ssn-shaped substrings
+    // plus an aggregate flag — the redaction-pipeline pre-pass. The
+    // synthetic corpus is clean, so expected counts are zero; the
+    // oracle still verifies the regex machinery end-to-end.
+    QueryDef(
+      "q44_pii_scan",
+      """SELECT doc_id,
+        |       CAST(len(regexp_extract_all(text,
+        |            '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+        |       CAST(len(regexp_extract_all(text,
+        |            '\d{3}[-.]\d{3}[-.]\d{4}')) AS BIGINT) AS n_phones,
+        |       CAST(len(regexp_extract_all(text,
+        |            '\d{3}-\d{2}-\d{4}')) AS BIGINT) AS n_ssn_like,
+        |       (len(regexp_extract_all(text,
+        |            '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) > 0) AS has_pii
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val phone = "\\d{3}[-.]\\d{3}[-.]\\d{4}"
+      val ssn = "\\d{3}-\\d{2}-\\d{4}"
+      Tables.load(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(
+          col("doc_id"),
+          size(expr(s"regexp_extract_all(text, '$email', 0)")).cast("long").as("n_emails"),
+          size(expr(s"regexp_extract_all(text, '$phone', 0)")).cast("long").as("n_phones"),
+          size(expr(s"regexp_extract_all(text, '$ssn', 0)")).cast("long").as("n_ssn_like"),
+          (size(expr(s"regexp_extract_all(text, '$email', 0)")) > 0).as("has_pii"))
+        .orderBy("doc_id")
+    },
+
     // Winnowing near-dup candidates: rolling-hash k-gram fingerprints
     // (Schleimer et al. SIGMOD'03) selected by window-min, inverted-
     // index join on shared fingerprints. The hash family is engine-
@@ -106,7 +137,17 @@ object Ext2 {
         .select(col("doc_id"),
           explode(graft.functions.Winnow.winnowFingerprint(col("text"), 8, 16))
             .as("fp"))
-      fps.as("a").join(fps.hint("shuffle_hash").as("b"),
+      // stop-fingerprint cap: a fingerprint present in many documents
+      // (boilerplate/common phrases) contributes quadratically many
+      // candidate pairs and no dedup signal — cap posting-list document
+      // frequency before the join (the winnowing-dedup standard; same
+      // role as dropping stopword shingles in MinHash pipelines).
+      val rare = fps.groupBy("fp")
+        .agg(countDistinct("doc_id").as("df"))
+        .filter(col("df").between(2, 20))
+        .select("fp")
+      val fpsRare = fps.join(rare.hint("shuffle_hash"), "fp")
+      fpsRare.as("a").join(fpsRare.hint("shuffle_hash").as("b"),
           col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .agg(count(lit(1)).as("shared_fps"))
