@@ -126,6 +126,63 @@ object Ext2 {
         .orderBy("doc_id")
     },
 
+    // Column profiling — the data-quality sweep a pipeline runs before
+    // training ingestion: per-column null count, distinct count, min,
+    // max (stringly-typed so one schema fits all columns).
+    QueryDef(
+      "q45_profile_orders",
+      """SELECT col_name,
+        |       CAST(n_nulls AS BIGINT) AS n_nulls,
+        |       CAST(n_distinct AS BIGINT) AS n_distinct,
+        |       min_val, max_val
+        |FROM (
+        |  SELECT 'o_custkey' AS col_name,
+        |         COUNT(*) - COUNT(o_custkey) AS n_nulls,
+        |         COUNT(DISTINCT o_custkey) AS n_distinct,
+        |         CAST(MIN(o_custkey) AS VARCHAR) AS min_val,
+        |         CAST(MAX(o_custkey) AS VARCHAR) AS max_val FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderkey', COUNT(*) - COUNT(o_orderkey),
+        |         COUNT(DISTINCT o_orderkey),
+        |         CAST(MIN(o_orderkey) AS VARCHAR), CAST(MAX(o_orderkey) AS VARCHAR) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', COUNT(*) - COUNT(o_orderstatus),
+        |         COUNT(DISTINCT o_orderstatus),
+        |         MIN(o_orderstatus), MAX(o_orderstatus) FROM orders
+        |) t ORDER BY col_name""".stripMargin) { (s, dir) =>
+      val ord = Tables.load(s, dir, "orders")
+      def profile(c: String, asString: Boolean) = {
+        val v = col(c)
+        ord.agg(
+          (count(lit(1)) - count(v)).as("n_nulls"),
+          countDistinct(v).as("n_distinct"),
+          min(v).cast("string").as("min_val"),
+          max(v).cast("string").as("max_val"))
+          .select(lit(c).as("col_name"), col("n_nulls"), col("n_distinct"),
+            col("min_val"), col("max_val"))
+      }
+      profile("o_custkey", asString = false)
+        .unionByName(profile("o_orderkey", asString = false))
+        .unionByName(profile("o_orderstatus", asString = true))
+        .orderBy("col_name")
+    },
+
+    // Stratified sampling — per-language document sampling fractions
+    // (`sampleBy`), the class-balancing primitive for training-set
+    // assembly. Sampling is seed-dependent and engine-specific →
+    // rows-only check; the spec-level invariant is that per-stratum
+    // sample sizes track the requested fractions.
+    QueryDef.noOracle("q46_stratified_sample") { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val fractions = Map("en" -> 0.5, "es" -> 0.25, "de" -> 0.25, "fr" -> 0.1)
+        .withDefaultValue(0.1)
+      val langs = docs.select("lang").distinct().collect().map(_.getString(0))
+      docs.stat.sampleBy("lang",
+          langs.map(l => l -> fractions(l)).toMap, seed = 42L)
+        .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
+        .orderBy("lang")
+    },
+
     // Winnowing near-dup candidates: rolling-hash k-gram fingerprints
     // (Schleimer et al. SIGMOD'03) selected by window-min, inverted-
     // index join on shared fingerprints. The hash family is engine-
