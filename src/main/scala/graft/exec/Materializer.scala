@@ -263,14 +263,26 @@ object Materializer {
       return
     }
 
-    val snap = wh.read(name)
-    val dataCols = src.columns.toSeq
+    val snap0 = wh.read(name)
+    // snapshot schema evolution (reference: snapshots add new columns
+    // as they appear): widen the existing table with new source
+    // columns, null-fill source-dropped columns — history rows keep
+    // nulls for columns that didn't exist when they were captured.
+    val metaCols = Seq("dbt_updated_at", "dbt_scd_id", "dbt_valid_from", "dbt_valid_to")
+    val snapDataCols = snap0.columns.toSeq.filterNot(metaCols.contains)
+    val newCols = src.columns.toSeq.filterNot(snapDataCols.contains)
+    val droppedCols = snapDataCols.filterNot(src.columns.contains)
+    val snap = newCols.foldLeft(snap0)((t, c) =>
+      t.withColumn(c, lit(null).cast(src.schema(c).dataType)))
+    val srcAligned = droppedCols.foldLeft(srcStamped)((d, c) =>
+      d.withColumn(c, lit(null).cast(snap0.schema(c).dataType)))
+    val dataCols = (snapDataCols ++ newCols).distinct
     val current = snap.filter(col("dbt_valid_to").isNull)
     val history = snap.filter(col("dbt_valid_to").isNotNull)
 
     // change detection joins current-to-source on the business key;
     // dbt_scd_id equality means "unchanged" (it hashes key + change set)
-    val srcKeyed = srcStamped.select(
+    val srcKeyed = srcAligned.select(
       (dataCols.map(col) ++ Seq(col("dbt_updated_at"), col("dbt_scd_id"),
         col("dbt_valid_from"), col("dbt_valid_to"))): _*)
 

@@ -56,6 +56,21 @@ class DagSpec extends AnyFunSuite {
       .map(_.stripPrefix("model.graft.")) === Set("b", "d"))
   }
 
+  test("selector: resource_type and source methods") {
+    val src = graft.core.SourceNode("main", "raw_orders", "/dev/null")
+    val m2 = Manifest(manifest.nodes + (src.uniqueId -> (src: Node)))
+    val d2 = Dag.fromManifest(m2)
+    assert(Selector.select(m2, d2, Seq("resource_type:source"))
+      === Set("source.graft.main.raw_orders"))
+    assert(Selector.select(m2, d2, Seq("source:main"))
+      === Set("source.graft.main.raw_orders"))
+    assert(Selector.select(m2, d2, Seq("source:main.raw_orders"))
+      === Set("source.graft.main.raw_orders"))
+    assert(Selector.select(m2, d2, Seq("resource_type:model")).size === 5)
+    assertThrows[IllegalArgumentException](
+      Selector.select(m2, d2, Seq("unknown_method:x")))
+  }
+
   test("@ operator: descendants plus their ancestors") {
     val sel = Selector.select(manifest, dag, Seq("@c")).map(_.stripPrefix("model.graft."))
     assert(sel === Set("a", "b", "c", "d", "e"))

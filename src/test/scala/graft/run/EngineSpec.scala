@@ -188,6 +188,31 @@ class EngineSpec extends SparkSpec {
     assert(s3.filter(col("dbt_valid_to").isNull).count() === 2)
   }
 
+  test("snapshot schema evolution: new source column widens the table") {
+    val whDir = tmpDir("wh")
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val clock1: Materializer.Clock = () => new java.sql.Timestamp(1000000000L)
+    val eng = new Engine(spark, Manifest(Map.empty), whDir, clock = clock1)
+    Seq((1L, "x")).toDF("id", "v").createOrReplaceTempView("se_src")
+    Materializer.snapshot(eng.wh, "se_snap", "SELECT * FROM se_src",
+      Seq("id"), CheckStrategy(Some(Seq("v"))), invalidateHardDeletes = false, clock1)
+    // source gains a column and the row changes
+    val clock2: Materializer.Clock = () => new java.sql.Timestamp(2000000000L)
+    Seq((1L, "y", 42L)).toDF("id", "v", "extra").createOrReplaceTempView("se_src")
+    Materializer.snapshot(eng.wh, "se_snap", "SELECT * FROM se_src",
+      Seq("id"), CheckStrategy(Some(Seq("v"))), invalidateHardDeletes = false, clock2)
+    val out = eng.wh.read("se_snap")
+    assert(out.columns.contains("extra"))
+    assert(out.count() === 2)
+    val open = out.filter(col("dbt_valid_to").isNull).head()
+    assert(open.getAs[String]("v") === "y")
+    assert(open.getAs[Long]("extra") === 42L)
+    // the historical row has null for the new column
+    assert(out.filter(col("dbt_valid_to").isNotNull)
+      .select("extra").head().isNullAt(0))
+  }
+
   test("snapshot check strategy detects column changes null-safely") {
     val whDir = tmpDir("wh")
     import org.apache.spark.sql.functions._
