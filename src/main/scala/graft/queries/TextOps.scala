@@ -219,10 +219,14 @@ object TextOps {
         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
       val dec6 = (c: org.apache.spark.sql.Column) =>
         c.cast(org.apache.spark.sql.types.DecimalType(20, 6))
-      val withShs = docs(s, dir)
+      // each exploded row carries its doc's shingle cardinality, so the
+      // pair aggregation can compute Jaccard directly — no separate
+      // per-doc cardinality joins afterwards (they cost two more joins
+      // over the 1M-pair stream)
+      val sh = docs(s, dir)
         .select(col("doc_id"), shingles3(wordsCol).as("shs"))
-      val sh = withShs.select(col("doc_id"), explode(col("shs")).as("shingle"))
-      val card = withShs.select(col("doc_id"), size(col("shs")).cast("long").as("n"))
+        .select(col("doc_id"), size(col("shs")).cast("long").as("n"),
+          explode(col("shs")).as("shingle"))
       // shuffle-hash, not broadcast: the exploded shingle table is the
       // big side of its own self-join — broadcasting it measures worse
       // here and is impossible at 100 TB; hash-partitioning by shingle
@@ -230,12 +234,11 @@ object TextOps {
       val a = sh.as("a"); val b = sh.hint("shuffle_hash").as("b")
       val pairs = a.join(b,
           col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.n").as("na"), col("b.n").as("nb"))
         .agg(count(lit(1)).as("common"))
-      val jac = dec6(col("common")) / (col("ca.n") + col("cb.n") - col("common"))
+      val jac = dec6(col("common")) / (col("na") + col("nb") - col("common"))
       pairs
-        .join(card.as("ca"), col("ca.doc_id") === col("doc_a"))
-        .join(card.as("cb"), col("cb.doc_id") === col("doc_b"))
         .filter(jac >= 0.2)
         .select(col("doc_a"), col("doc_b"),
           round(jac, 4).cast("double").as("jaccard"))

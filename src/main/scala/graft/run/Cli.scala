@@ -87,7 +87,7 @@ object Cli {
     spark.stop()
   }
 
-  private def parseOpts(args: List[String]): Map[String, String] = {
+  private[run] def parseOpts(args: List[String]): Map[String, String] = {
     @annotation.tailrec
     def loop(rest: List[String], acc: Map[String, String]): Map[String, String] =
       rest match {

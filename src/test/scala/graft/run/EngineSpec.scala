@@ -317,6 +317,35 @@ class EngineSpec extends SparkSpec {
     assert(df.count() === 3)
   }
 
+  test("project-level snapshots and seeds load and run") {
+    import org.apache.spark.sql.functions._
+    val proj = Map(
+      "dbt_project.yml" -> "name: snapproj\n",
+      "models/sources.yml" ->
+        s"""sources:
+           |  - name: main
+           |    tables:
+           |      - name: orders
+           |        path: $sf/orders.parquet
+           |""".stripMargin,
+      "seeds/regions.csv" -> "region_code,region_label\n1,east\n2,west\n",
+      "snapshots/orders_snap.sql" ->
+        """{{ config(strategy='timestamp', unique_key='o_orderkey', updated_at='o_orderdate') }}
+          |SELECT o_orderkey, o_orderstatus, o_orderdate
+          |FROM {{ source('main','orders') }}""".stripMargin)
+    val eng = Engine.fromProject(spark, writeProject(proj), tmpDir("wh"),
+      clock = () => java.sql.Timestamp.valueOf("2020-01-01 00:00:00"))
+    val results = eng.run()
+    assert(results.forall(_.status == "success"), results.mkString(";"))
+    assert(eng.wh.read("regions").count() === 2)
+    val snap = eng.wh.read("orders_snap")
+    assert(snap.columns.contains("dbt_scd_id"))
+    assert(snap.filter(col("dbt_valid_to").isNull).count() === snap.count())
+    // second run with same source: no new versions
+    eng.run()
+    assert(eng.wh.read("orders_snap").count() === snap.count())
+  }
+
   test("private model access is enforced across groups") {
     val src = SourceNode("main", "orders", s"$sf/orders.parquet")
     val priv = ModelNode("sec_private",
