@@ -27,7 +27,8 @@ final class Engine(
     val clock: Materializer.Clock = Materializer.systemClock,
     val emptyMode: Boolean = false,
     val runStartHooks: Seq[String] = Nil,
-    val runEndHooks: Seq[String] = Nil) {
+    val runEndHooks: Seq[String] = Nil,
+    val namespace: String = "") {
 
   val wh = new Warehouse(spark, warehouseRoot)
 
@@ -74,13 +75,20 @@ final class Engine(
   }
 
   /** Physical relation name (reference `generate_name` /
-    * relation_name: alias wins, schema prefixes).
+    * relation_name: alias wins, schema prefixes). The engine
+    * `namespace` prefixes every relation because Spark temp views are
+    * session-global — two engines sharing one SparkSession would
+    * otherwise collide on same-named models (the reference gets this
+    * isolation for free from per-target database schemas).
     */
-  def relationName(n: Node): String = n match {
-    case s: SourceNode => s"src_${s.sourceName}_${s.name}"
-    case other =>
-      val base = other.config.alias.getOrElse(other.name)
-      other.config.schema.map(s => s"${s}_$base").getOrElse(base)
+  def relationName(n: Node): String = {
+    val ns = if (namespace.isEmpty) "" else s"${namespace}__"
+    n match {
+      case s: SourceNode => s"${ns}src_${s.sourceName}_${s.name}"
+      case other =>
+        val base = other.config.alias.getOrElse(other.name)
+        ns + other.config.schema.map(s => s"${s}_$base").getOrElse(base)
+    }
   }
 
   // ------------------------------------------------------------ compile
@@ -118,8 +126,13 @@ final class Engine(
         case Some(n) =>
           val rel = relationName(n)
           if (!wh.exists(rel))
-            deferEngine.filter(_.wh.exists(rel))
-              .foreach(de => wh.registerSource(rel, de.wh.read(rel)))
+            // defer lookup maps the NODE through the state engine's own
+            // relationName — its namespace/schema may differ from ours
+            deferEngine.foreach { de =>
+              val stateRel = de.relationName(n)
+              if (de.wh.exists(stateRel))
+                wh.registerSource(rel, de.wh.read(stateRel))
+            }
           if (emptyMode) s"(SELECT * FROM $rel LIMIT 0) __empty_$rel" else rel
         case None => throw new IllegalArgumentException(s"unresolved ref: $name")
       }
@@ -333,7 +346,9 @@ final class Engine(
     }
     // fixture views replace real refs: render with resolver → fixture names
     val fixtureViews = u.given.map { case (refName, rows) =>
-      val viewName = s"__utf_${u.name}_$refName"
+      val viewName =
+        if (namespace.isEmpty) s"__utf_${u.name}_$refName"
+        else s"__utf_${namespace}_${u.name}_$refName"
       (refName, viewName, rowsToDf(rows))
     }.toSeq
     val sql = Template.render(model.rawSql, renderContext(
@@ -348,29 +363,36 @@ final class Engine(
   }
 
   private def rowsToDf(rows: Seq[Map[String, Any]]): DataFrame = {
+    import org.apache.spark.sql.types._
     require(rows.nonEmpty, "unit test fixture needs at least one row")
     val cols = rows.head.keys.toSeq
-    val data = rows.map(r => org.apache.spark.sql.Row(cols.map(c => r.getOrElse(c, null)): _*))
     val fields = cols.map { c =>
       val sample = rows.flatMap(r => Option(r.getOrElse(c, null))).headOption
       val dt = sample match {
-        case Some(_: Int) | Some(_: Long) => org.apache.spark.sql.types.LongType
-        case Some(_: Double) => org.apache.spark.sql.types.DoubleType
-        case Some(_: java.sql.Timestamp) => org.apache.spark.sql.types.TimestampType
-        case _ => org.apache.spark.sql.types.StringType
+        case Some(_: Int) | Some(_: Long) => LongType
+        case Some(_: Double) | Some(_: Float) => DoubleType
+        case Some(_: Boolean) => BooleanType
+        case Some(_: java.sql.Timestamp) => TimestampType
+        case Some(_: java.sql.Date) | Some(_: java.time.LocalDate) => DateType
+        case Some(_: BigDecimal) | Some(_: java.math.BigDecimal) => DecimalType(38, 18)
+        case _ => StringType
       }
-      org.apache.spark.sql.types.StructField(c, dt)
+      StructField(c, dt)
     }
     val norm = rows.map(r => org.apache.spark.sql.Row(cols.zip(fields).map { case (c, f) =>
       val v = r.getOrElse(c, null)
       (v, f.dataType) match {
         case (null, _) => null
-        case (i: Int, org.apache.spark.sql.types.LongType) => i.toLong
-        case (other, org.apache.spark.sql.types.StringType) => String.valueOf(other)
+        case (i: Int, LongType) => i.toLong
+        case (fl: Float, DoubleType) => fl.toDouble
+        case (d: java.time.LocalDate, DateType) => java.sql.Date.valueOf(d)
+        case (d: BigDecimal, _: DecimalType) => d.bigDecimal.setScale(18)
+        case (d: java.math.BigDecimal, _: DecimalType) => d.setScale(18)
+        case (other, StringType) => String.valueOf(other)
         case (other, _) => other
       }
     }: _*))
-    spark.createDataFrame(norm.asJava, org.apache.spark.sql.types.StructType(fields))
+    spark.createDataFrame(norm.asJava, StructType(fields))
   }
 
   /** `dbt build`: seeds+models+snapshots+tests in one DAG, with tests
@@ -394,7 +416,8 @@ final class Engine(
       case kv => kv
     })
     val eng = new Engine(spark, augmented, warehouseRoot, vars, clock,
-      runStartHooks = runStartHooks, runEndHooks = runEndHooks)
+      runStartHooks = runStartHooks, runEndHooks = runEndHooks,
+      namespace = namespace)
     eng.run(select, threads = threads,
       resourceTypes = Set("model", "seed", "snapshot", "test", "unit_test"))
   }
@@ -473,9 +496,11 @@ object Engine {
   /** Load a project directory and build an engine over it. */
   def fromProject(spark: SparkSession, projectDir: String, warehouseRoot: String,
       vars: Map[String, String] = Map.empty,
-      clock: Materializer.Clock = Materializer.systemClock): Engine = {
+      clock: Materializer.Clock = Materializer.systemClock,
+      namespace: String = ""): Engine = {
     val proj = ProjectLoader.load(projectDir)
     new Engine(spark, proj.manifest, warehouseRoot, proj.vars ++ vars, clock,
-      runStartHooks = proj.onRunStart, runEndHooks = proj.onRunEnd)
+      runStartHooks = proj.onRunStart, runEndHooks = proj.onRunEnd,
+      namespace = namespace)
   }
 }

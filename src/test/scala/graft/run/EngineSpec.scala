@@ -573,4 +573,52 @@ class EngineSpec extends SparkSpec {
     assert(out.filter(col("part") === 1).count() === 2) // replaced
     assert(out.filter(col("part") =!= 1).count() === 4) // untouched
   }
+
+  test("namespaces isolate two engines on one SparkSession") {
+    // same model names, same session; only the namespace differs —
+    // without prefixes the second run would clobber the first's views
+    val projA = writeProject(baseProject)
+    val engA = Engine.fromProject(spark, projA, tmpDir("whA"), namespace = "enva")
+    val engB = Engine.fromProject(spark, writeProject(baseProject +
+      ("dbt_project.yml" -> "name: demo\nvars:\n  cutoff: '1998-01-01'\n")),
+      tmpDir("whB"), namespace = "envb")
+    assert(engA.run().forall(_.status == "success"))
+    assert(engB.run().forall(_.status == "success"))
+    assert(engA.wh.read("enva__fct_spend").count() > 0)
+    assert(engB.wh.read("envb__fct_spend").count() > 0)
+    // later cutoff -> fewer qualifying orders, and A's views survived
+    // B's run (no clobbering)
+    val oA = engA.wh.read("enva__stg_orders").count()
+    val oB = engB.wh.read("envb__stg_orders").count()
+    assert(oA > oB && oB > 0, s"oA=$oA oB=$oB")
+    // defer across namespaces: an empty engine deferring to A resolves
+    // A's relations through A's namespace
+    val engC = Engine.fromProject(spark, projA, tmpDir("whC"), namespace = "envc")
+    engC.deferEngine = Some(engA)
+    val sql = engC.compile(engC.manifest.resolveRef("fct_spend").get)
+    assert(sql.contains("envc__stg_orders"))
+    assert(engC.wh.exists("envc__stg_orders")) // registered from A's data
+  }
+
+  test("unit test fixtures infer boolean, date, decimal columns") {
+    val proj = baseProject + ("models/flags.sql" ->
+      """SELECT o_custkey, is_big, day, amt
+        |FROM {{ ref('stg_flags') }} WHERE is_big""".stripMargin,
+      "models/stg_flags.sql" ->
+      "SELECT 1 AS o_custkey, true AS is_big, DATE '2020-01-01' AS day, CAST(1 AS DECIMAL(38,18)) AS amt")
+    val eng0 = Engine.fromProject(spark, writeProject(proj), tmpDir("wh"))
+    val ut = UnitTestNode(
+      name = "ut_flags", model = "flags",
+      given = Map("stg_flags" -> Seq(
+        Map("o_custkey" -> 1L, "is_big" -> true,
+          "day" -> java.sql.Date.valueOf("2020-02-02"), "amt" -> BigDecimal(7.5)),
+        Map("o_custkey" -> 2L, "is_big" -> false,
+          "day" -> java.sql.Date.valueOf("2020-03-03"), "amt" -> BigDecimal(1.25)))),
+      expect = Seq(Map("o_custkey" -> 1L, "is_big" -> true,
+        "day" -> java.sql.Date.valueOf("2020-02-02"), "amt" -> BigDecimal(7.5))))
+    val eng = new Engine(spark,
+      Manifest(eng0.manifest.nodes + (ut.uniqueId -> ut)), tmpDir("wh2"))
+    val res = eng.test(select = Seq("ut_flags"))
+    assert(res.head.status === "pass", res.mkString("\n"))
+  }
 }
