@@ -342,8 +342,9 @@ object Materializer {
   /** CSV seed (reference `core/dbt/context/providers.py:957-981`:
     * agate inference + `column_types` overrides + custom delimiter).
     */
-  def seed(wh: Warehouse, node: SeedNode): Long = {
+  def seed(wh: Warehouse, node: SeedNode, relName: String = ""): Long = {
     val spark = wh.spark
+    val name = if (relName.isEmpty) node.name else relName
     val tmp = java.nio.file.Files.createTempFile(s"seed_${node.name}", ".csv")
     java.nio.file.Files.writeString(tmp, node.csv)
     try {
@@ -353,7 +354,7 @@ object Materializer {
         .option("inferSchema", "true")
         .csv(tmp.toString)
       for ((c, t) <- node.columnTypes) df = df.withColumn(c, col(c).cast(t))
-      wh.writeTable(node.name, df)
+      wh.writeTable(name, df)
       -1L
     } finally java.nio.file.Files.deleteIfExists(tmp)
   }

@@ -98,6 +98,33 @@ final class Warehouse(val spark: SparkSession, val root: String) {
   def commitCount(name: String): Int =
     lock.synchronized(relations.get(name).map(_.paths.size).getOrElse(0))
 
+  /** Row count of a parquet-backed relation from file footers only —
+    * the driver-side metadata read that plays the role of the
+    * warehouse cursor's `rows_affected` (reference adapter response).
+    * No Spark job: O(#files) footer reads, so it stays cheap even when
+    * the data itself is huge. Views fall back to -1 (unknown) rather
+    * than triggering a scan.
+    */
+  def rowCount(name: String): Long = {
+    val st = lock.synchronized(relations.getOrElse(name,
+      throw new IllegalArgumentException(s"unknown relation: $name")))
+    if (st.isView || st.isCatalog || st.paths.isEmpty) -1L
+    else {
+      val conf = spark.sparkContext.hadoopConfiguration
+      st.paths.iterator.map { p =>
+        val path = new org.apache.hadoop.fs.Path(p)
+        val fs = path.getFileSystem(conf)
+        val files = fs.listStatus(path).iterator
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        files.map { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf)
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try reader.getRecordCount finally reader.close()
+        }.sum
+      }.sum
+    }
+  }
+
   /** Register an external parquet path as a source relation view. */
   def registerSource(name: String, df: DataFrame): Unit = lock.synchronized {
     df.createOrReplaceTempView(name)

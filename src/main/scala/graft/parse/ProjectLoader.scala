@@ -25,7 +25,8 @@ object ProjectLoader {
       vars: Map[String, String],
       manifest: Manifest,
       onRunStart: Seq[String] = Nil,
-      onRunEnd: Seq[String] = Nil)
+      onRunEnd: Seq[String] = Nil,
+      macros: Map[String, Template.MacroDef] = Map.empty)
 
   def load(projectDir: String): Project = {
     val root = Paths.get(projectDir)
@@ -203,8 +204,14 @@ object ProjectLoader {
       case Some(s: String) => Seq(s)
       case _ => Nil
     }
+    // ---- macros/*.sql (A25 subset; invoked via run-operation, A16)
+    val macros = listFiles(root.resolve("macros"), ".sql")
+      .flatMap(f => Template.extractMacros(Files.readString(f)))
+      .map(m => m.name -> m).toMap
+
     Project(projName, vars, link(Manifest(nodes.map(n => n.uniqueId -> n).toMap)),
-      onRunStart = hookList("on-run-start"), onRunEnd = hookList("on-run-end"))
+      onRunStart = hookList("on-run-start"), onRunEnd = hookList("on-run-end"),
+      macros = macros)
   }
 
   /** Ref/source name resolution → depends_on unique ids (reference

@@ -25,6 +25,48 @@ object Template {
   private val ifIncrRe: Regex =
     """(?s)\{%\s*if\s+is_incremental\(\)\s*%\}(.*?)(?:\{%\s*else\s*%\}(.*?))?\{%\s*endif\s*%\}""".r
 
+  /** A25/A16 macro subset: `{% macro name(a, b='x') %}body{% endmacro %}`.
+    * Bodies are SQL text whose `{{ param }}` placeholders bind at
+    * invocation (reference macro blocks,
+    * `core/dbt/clients/jinja.py:191-210`; run-operation
+    * `core/dbt/task/run_operation.py`).
+    */
+  final case class MacroDef(
+      name: String,
+      params: Seq[(String, Option[String])], // (name, default)
+      body: String)
+
+  private val macroRe: Regex =
+    """(?s)\{%\s*macro\s+(\w+)\s*\((.*?)\)\s*%\}(.*?)\{%\s*endmacro\s*%\}""".r
+
+  def extractMacros(text: String): Seq[MacroDef] =
+    macroRe.findAllMatchIn(text).map { m =>
+      val params = m.group(2).split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { p =>
+        p.split("=", 2) match {
+          case Array(n, d) => n.trim -> Some(d.trim.stripPrefix("'").stripSuffix("'")
+            .stripPrefix("\"").stripSuffix("\""))
+          case Array(n) => n.trim -> None
+        }
+      }
+      MacroDef(m.group(1), params, m.group(3).trim)
+    }.toSeq
+
+  /** Bind invocation args into a macro body: params become vars-style
+    * `{{ name }}` substitutions; unknown args and missing required
+    * params are errors (reference kwargs validation).
+    */
+  def bindMacro(m: MacroDef, args: Map[String, String]): String = {
+    val unknown = args.keySet -- m.params.map(_._1).toSet
+    require(unknown.isEmpty, s"macro ${m.name}: unknown args ${unknown.mkString(",")}")
+    val bound = m.params.map { case (n, dflt) =>
+      n -> args.getOrElse(n, dflt.getOrElse(
+        throw new IllegalArgumentException(s"macro ${m.name}: missing arg $n")))
+    }
+    bound.foldLeft(m.body) { case (sql, (n, v)) =>
+      sql.replaceAll(s"""\\{\\{\\s*$n\\s*\\}\\}""", Regex.quoteReplacement(v))
+    }
+  }
+
   /** Parse-time: names of every `ref('x')` in the template. */
   def extractRefs(sql: String): Seq[String] =
     refRe.findAllMatchIn(sql).map(_.group(1)).toSeq.distinct
@@ -100,10 +142,17 @@ object Template {
       /** context builtins (A26 subset): run_started_at, invocation_id,
         * target.name … — substituted as `{{ name }}`.
         */
-      builtins: Map[String, String] = Map.empty)
+      builtins: Map[String, String] = Map.empty,
+      /** A27 result slots: `{{ load_result('main').rows_affected }}` —
+        * slot → field → value (reference `store_result`/`load_result`,
+        * `core/dbt/context/providers.py:859-981`).
+        */
+      results: Map[String, Map[String, String]] = Map.empty)
 
   private val builtinRe: Regex =
     """\{\{\s*([a-z_][a-z0-9_.]*)\s*\}\}""".r
+  private val loadResultRe: Regex =
+    """\{\{\s*load_result\(\s*['"]([^'"]+)['"]\s*\)\.([a-z_]+)\s*\}\}""".r
 
   /** Render a model body to executable Spark SQL. */
   def render(sql: String, ctx: Context): String = {
@@ -125,6 +174,13 @@ object Template {
       Regex.quoteReplacement(
         ctx.vars.get(name).orElse(dflt).getOrElse(
           throw new IllegalArgumentException(s"undefined var: $name")))
+    })
+    out = loadResultRe.replaceAllIn(out, m => {
+      val (slot, field) = (m.group(1), m.group(2))
+      val v = ctx.results.get(slot).flatMap(_.get(field)).getOrElse(
+        throw new IllegalArgumentException(
+          s"load_result('$slot').$field: no such result slot/field"))
+      Regex.quoteReplacement(v)
     })
     if (ctx.builtins.nonEmpty)
       out = builtinRe.replaceAllIn(out, m =>

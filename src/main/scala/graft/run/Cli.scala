@@ -77,6 +77,14 @@ object Cli {
           case (id, (status, age)) => println(f"$status%-6s $id age=${age}%.0fs")
         }
       case "retry" => report(engine.retry(s"$targetDir/run_results.json", threads))
+      case "run-operation" =>
+        val macroName = args.tail.headOption.filterNot(_.startsWith("--"))
+          .getOrElse(sys.error("run-operation <macro-name> required"))
+        val opArgs = opts.get("args").map(_.split(",").map { kv =>
+          val Array(k, v) = kv.split("=", 2); k -> v
+        }.toMap).getOrElse(Map.empty)
+        engine.runOperation(macroName, opArgs)
+          .lastOption.foreach(_.show(truncate = false))
       case "docs" =>
         graft.run.Artifacts.writeCatalog(s"$targetDir/catalog.json",
           engine.wh, new java.sql.Timestamp(System.currentTimeMillis()))
@@ -107,8 +115,9 @@ object Cli {
   }
 
   private val usage: String =
-    """usage: graft.run.Cli <run|test|build|seed|snapshot|ls|compile|show|freshness|retry|docs>
+    """usage: graft.run.Cli <run|test|build|seed|snapshot|ls|compile|show|freshness|retry|docs|run-operation>
       |  --project <dir> [--warehouse <dir>] [--target <dir>] [--threads N]
       |  [--select a b] [--exclude c] [--vars k=v,...] [--full-refresh]
-      |  [--inline "<sql>"] [--limit N]""".stripMargin
+      |  [--inline "<sql>"] [--limit N]
+      |  run-operation <macro> [--args k=v,...]""".stripMargin
 }

@@ -28,7 +28,8 @@ final class Engine(
     val emptyMode: Boolean = false,
     val runStartHooks: Seq[String] = Nil,
     val runEndHooks: Seq[String] = Nil,
-    val namespace: String = "") {
+    val namespace: String = "",
+    val macros: Map[String, Template.MacroDef] = Map.empty) {
 
   val wh = new Warehouse(spark, warehouseRoot)
 
@@ -56,9 +57,27 @@ final class Engine(
       resolveRef: String => String = defaultRefResolver,
       resolveSource: (String, String) => String = defaultSourceResolver,
       thisRelation: String = "",
-      isIncremental: Boolean = false): Template.Context =
+      isIncremental: Boolean = false,
+      results: Map[String, Map[String, String]] = Map.empty): Template.Context =
     Template.Context(resolveRef, resolveSource, thisRelation, vars,
-      isIncremental, builtins = contextBuiltins)
+      isIncremental, builtins = contextBuiltins, results = results)
+
+  // ------------------------------------------------- A27 result registry
+
+  /** Per-node named result slots (reference `store_result` /
+    * `load_result`, `core/dbt/context/providers.py:859-981`):
+    * materializations store a `main` slot; post-hooks read it as
+    * `{{ load_result('main').rows_affected }}`.
+    */
+  private val resultSlots =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, Map[String, String]]]()
+
+  def storeResult(nodeId: String, slot: String, fields: Map[String, String]): Unit =
+    resultSlots.compute(nodeId, (_, prev) =>
+      Option(prev).getOrElse(Map.empty) + (slot -> fields))
+
+  def loadResult(nodeId: String, slot: String): Option[Map[String, String]] =
+    Option(resultSlots.get(nodeId)).flatMap(_.get(slot))
 
   private def defaultRefResolver: String => String =
     n => relationName(manifest.resolveRef(n).getOrElse(
@@ -269,11 +288,26 @@ final class Engine(
         case other =>
           throw new IllegalArgumentException(s"unknown materialization: $other")
       }
-      runHooks(m.config.postHook)
-    case s: SeedNode => Materializer.seed(wh, s)
+      if (Set("table", "incremental", "view")(m.config.materialized)) {
+        val rel = relationName(m)
+        storeResult(m.uniqueId, "main", Map(
+          "status" -> "SUCCESS",
+          "relation" -> rel,
+          "rows_affected" -> wh.rowCount(rel).toString))
+      }
+      runHooks(m.config.postHook,
+        Option(resultSlots.get(m.uniqueId)).getOrElse(Map.empty))
+    case s: SeedNode =>
+      Materializer.seed(wh, s, relationName(s))
+      storeResult(s.uniqueId, "main", Map("status" -> "SUCCESS",
+        "relation" -> relationName(s),
+        "rows_affected" -> wh.rowCount(relationName(s)).toString))
     case s: SnapshotNode =>
       Materializer.snapshot(wh, relationName(s), compile(s),
         s.uniqueKey, s.strategy, s.invalidateHardDeletes, clock)
+      storeResult(s.uniqueId, "main", Map("status" -> "SUCCESS",
+        "relation" -> relationName(s),
+        "rows_affected" -> wh.rowCount(relationName(s)).toString))
     case t: TestNode =>
       val (status, failures) = Materializer.runTest(wh, t.copy(rawSql = compile(t)))
       if (status == "fail")
@@ -306,8 +340,30 @@ final class Engine(
     spark.sql(sql)
   }
 
-  private def runHooks(hooks: Seq[String]): Unit =
-    hooks.foreach(h => spark.sql(Template.render(h, renderContext())))
+  /** `dbt run-operation <macro> --args {…}` (A16, reference
+    * `core/dbt/task/run_operation.py`): bind args into the named
+    * macro, render with the engine context (refs/sources/vars resolve
+    * normally), execute each `;`-separated statement. Returns one
+    * DataFrame per statement (last one is what `show`-style callers
+    * want). Statement splitting is textual — semicolons inside string
+    * literals are not supported in macro bodies (subset by design,
+    * SURVEY §7.4).
+    */
+  def runOperation(name: String, args: Map[String, String] = Map.empty): Seq[DataFrame] = {
+    val m = macros.getOrElse(name,
+      throw new IllegalArgumentException(s"unknown macro: $name"))
+    val rendered = Template.render(Template.bindMacro(m, args), renderContext())
+    val stmts = rendered.split(";").map(_.trim).filter(_.nonEmpty)
+    val out = stmts.map(spark.sql)
+    storeResult(s"operation.$name", "main", Map("status" -> "SUCCESS",
+      "statements" -> stmts.length.toString))
+    out.toSeq
+  }
+
+  private def runHooks(hooks: Seq[String],
+      results: Map[String, Map[String, String]] = Map.empty): Unit =
+    hooks.foreach(h =>
+      spark.sql(Template.render(h, renderContext(results = results))))
 
   /** `dbt test`: data tests (+ unit tests) only. */
   def test(select: Seq[String] = Nil, threads: Int = 4): Seq[Materializer.Result] = {
@@ -501,6 +557,6 @@ object Engine {
     val proj = ProjectLoader.load(projectDir)
     new Engine(spark, proj.manifest, warehouseRoot, proj.vars ++ vars, clock,
       runStartHooks = proj.onRunStart, runEndHooks = proj.onRunEnd,
-      namespace = namespace)
+      namespace = namespace, macros = proj.macros)
   }
 }

@@ -49,4 +49,30 @@ class TemplateSpec extends AnyFunSuite {
     assert(Template.extractRefs(sql) === Seq("a", "b"))
     assert(Template.extractSources(sql) === Seq(("s", "t")))
   }
+
+  test("macro extraction and arg binding") {
+    val text =
+      """{% macro grant_select(rel, role='reader') %}
+        |GRANT SELECT ON {{ rel }} TO {{ role }}
+        |{% endmacro %}
+        |{% macro vacuum(rel) %}VACUUM {{ rel }}{% endmacro %}""".stripMargin
+    val ms = Template.extractMacros(text)
+    assert(ms.map(_.name) === Seq("grant_select", "vacuum"))
+    assert(ms.head.params === Seq("rel" -> None, "role" -> Some("reader")))
+    assert(Template.bindMacro(ms.head, Map("rel" -> "t1")) ===
+      "GRANT SELECT ON t1 TO reader")
+    assert(Template.bindMacro(ms.head, Map("rel" -> "t1", "role" -> "admin")) ===
+      "GRANT SELECT ON t1 TO admin")
+    assertThrows[IllegalArgumentException](Template.bindMacro(ms.head, Map.empty))
+    assertThrows[IllegalArgumentException](
+      Template.bindMacro(ms.head, Map("rel" -> "t1", "nope" -> "x")))
+  }
+
+  test("load_result renders slot fields and errors on unknown slots") {
+    val c = ctx.copy(results = Map("main" -> Map("rows_affected" -> "42")))
+    assert(Template.render(
+      "SELECT {{ load_result('main').rows_affected }} AS n", c) === "SELECT 42 AS n")
+    assertThrows[IllegalArgumentException](
+      Template.render("SELECT {{ load_result('other').rows_affected }}", c))
+  }
 }

@@ -243,6 +243,63 @@ class TasksSpec extends SparkSpec {
     assert(spark.sql("SELECT x FROM run_ended").head().getInt(0) === 2)
   }
 
+  test("run-operation invokes a project macro with args") {
+    val projDir = java.nio.file.Paths.get(tmpDir("macro_proj"))
+    def write(rel: String, content: String): Unit = {
+      val p = projDir.resolve(rel)
+      Files.createDirectories(p.getParent)
+      Files.writeString(p, content)
+    }
+    write("dbt_project.yml", "name: macroproj\n")
+    write("models/sources.yml",
+      s"""sources:
+         |  - name: main
+         |    tables:
+         |      - name: orders
+         |        path: $sf/orders.parquet
+         |""".stripMargin)
+    write("macros/ops.sql",
+      """{% macro order_count_snapshot(view_name, status='O') %}
+        |CREATE OR REPLACE TEMP VIEW {{ view_name }} AS
+        |SELECT count(*) AS n FROM {{ source('main','orders') }}
+        |WHERE o_orderstatus = '{{ status }}';
+        |SELECT * FROM {{ view_name }}
+        |{% endmacro %}""".stripMargin)
+    val eng = Engine.fromProject(spark, projDir.toString, tmpDir("wh"))
+    val dfs = eng.runOperation("order_count_snapshot", Map("view_name" -> "op_out"))
+    assert(dfs.length === 2)
+    val n = spark.table("op_out").head().getLong(0)
+    assert(n > 0)
+    assert(dfs.last.head().getLong(0) === n)
+    // default arg applied; explicit override changes the result
+    eng.runOperation("order_count_snapshot",
+      Map("view_name" -> "op_out_f", "status" -> "F"))
+    assert(spark.table("op_out_f").head().getLong(0) !== n)
+    assertThrows[IllegalArgumentException](eng.runOperation("nope"))
+  }
+
+  test("result registry: post-hook reads load_result('main').rows_affected") {
+    val audited = ModelNode("t_audited",
+      "SELECT o_custkey, count(*) AS n FROM {{ ref('t_stg') }} GROUP BY o_custkey",
+      config = NodeConfig(materialized = "table",
+        postHook = Seq(
+          "CREATE OR REPLACE TEMP VIEW t_audit AS " +
+            "SELECT CAST({{ load_result('main').rows_affected }} AS BIGINT) AS rows_written, " +
+            "'{{ load_result('main').relation }}' AS rel")),
+      refs = Seq("t_stg"))
+    val eng = new Engine(spark, mkManifest(audited), tmpDir("wh"))
+    val results = eng.run()
+    assert(results.forall(_.status == "success"), results.mkString(";"))
+    val written = eng.wh.read("t_audited").count()
+    val audit = spark.table("t_audit").head()
+    assert(audit.getLong(0) === written)
+    assert(audit.getString(1) === "t_audited")
+    // programmatic surface too
+    val slot = eng.loadResult(audited.uniqueId, "main").get
+    assert(slot("rows_affected").toLong === written)
+    assert(slot("status") === "SUCCESS")
+  }
+
   test("scala model: typed DataFrame body with refs") {
     import org.apache.spark.sql.functions._
     val sm = ScalaModelNode(
