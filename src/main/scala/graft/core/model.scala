@@ -18,6 +18,7 @@ final case class NodeConfig(
     incrementalPredicates: Seq[String] = Nil,
     uniqueKey: Seq[String] = Nil,
     onSchemaChange: String = "ignore", // ignore|append_new_columns|sync_all_columns|fail
+    onConfigurationChange: String = "apply", // apply|continue|fail (A6, MV drift)
     fullRefresh: Boolean = false,
     preHook: Seq[String] = Nil,
     postHook: Seq[String] = Nil,
@@ -52,6 +53,7 @@ final case class NodeConfig(
       incrementalPredicates = if (other.incrementalPredicates.nonEmpty) other.incrementalPredicates else incrementalPredicates,
       uniqueKey = if (other.uniqueKey.nonEmpty) other.uniqueKey else uniqueKey,
       onSchemaChange = if (other.onSchemaChange != defaults.onSchemaChange) other.onSchemaChange else onSchemaChange,
+      onConfigurationChange = if (other.onConfigurationChange != defaults.onConfigurationChange) other.onConfigurationChange else onConfigurationChange,
       fullRefresh = other.fullRefresh || fullRefresh,
       preHook = preHook ++ other.preHook,
       postHook = postHook ++ other.postHook,

@@ -42,6 +42,53 @@ object Materializer {
     -1L
   }
 
+  // --------------------------------------------- materialized view (A6)
+
+  /** Spark has no managed materialized views, so an MV is a table plus
+    * a persisted definition fingerprint; every run refreshes the data.
+    * When the definition drifts, `on_configuration_change` decides
+    * (reference `OnConfigurationChangeOption`, `config.py:107-109`):
+    * apply = recreate under the new definition, continue = keep the
+    * stale MV untouched, fail = abort the run. Returns the action
+    * taken ("create" | "refresh" | "apply" | "continue").
+    */
+  def materializedView(wh: Warehouse, name: String, sql: String,
+      onConfigurationChange: String): String = {
+    val defFile = java.nio.file.Paths.get(wh.root, s"$name.mvdef")
+    val newDef = java.security.MessageDigest.getInstance("MD5")
+      .digest(sql.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val oldDef =
+      if (java.nio.file.Files.exists(defFile))
+        Some(java.nio.file.Files.readString(defFile).trim)
+      else None
+    def write(): Unit = {
+      table(wh, name, sql)
+      java.nio.file.Files.createDirectories(defFile.getParent)
+      java.nio.file.Files.writeString(defFile, newDef)
+    }
+    oldDef match {
+      case None => write(); "create"
+      case Some(d) if d == newDef => write(); "refresh"
+      case Some(_) => onConfigurationChange match {
+        case "apply" => write(); "apply"
+        case "continue" =>
+          // keep serving the stale definition; re-register if this
+          // session hasn't seen the relation yet
+          if (!wh.exists(name)) {
+            val vdirs = new java.io.File(wh.root, name).listFiles()
+            if (vdirs != null && vdirs.nonEmpty)
+              wh.registerSource(name,
+                wh.spark.read.parquet(vdirs.map(_.toString).sorted.last))
+          }
+          "continue"
+        case "fail" => throw new IllegalStateException(
+          s"materialized view $name: configuration changed and on_configuration_change=fail")
+        case other => throw new IllegalArgumentException(
+          s"unknown on_configuration_change: $other")
+      }
+    }
+  }
+
   // --------------------------------------------------------- incremental
 
   /** Incremental materialization (reference strategies pinned by

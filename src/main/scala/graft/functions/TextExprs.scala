@@ -67,7 +67,47 @@ case class Shingles(child: Expression, n: Int)
 }
 
 object Shingles {
-  private val space = UTF8String.fromString(" ")
+  private[functions] val space = UTF8String.fromString(" ")
+}
+
+/** ALL n-word shingles in order, multiplicity kept — the non-distinct
+  * sibling of [[Shingles]], for repetition statistics (top-n-gram
+  * frequency needs counts, which dedup would destroy). Same codegen
+  * delegation, same single-pass eval.
+  */
+case class NGrams(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ngramsExpr", this, classOf[NGrams].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (${classOf[ArrayData].getName}) $ref.nullSafeEval($c);")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val len = arr.numElements()
+    if (len < n) return new GenericArrayData(Array.empty[Any])
+    val words = new Array[UTF8String](len)
+    var i = 0
+    while (i < len) { words(i) = arr.getUTF8String(i); i += 1 }
+    val out = new Array[Any](len - n + 1)
+    i = 0
+    while (i <= len - n) {
+      val parts = new Array[UTF8String](n)
+      var j = 0
+      while (j < n) { parts(j) = words(i + j); j += 1 }
+      out(i) = UTF8String.concatWs(Shingles.space, parts: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NGrams =
+    copy(child = newChild)
+
+  override def prettyName: String = "ngrams"
 }
 
 object TextExprs {
@@ -84,4 +124,8 @@ object TextExprs {
   /** Column API: distinct n-word shingles of a split-words array. */
   def shingles(words: Column, n: Int = 3): Column =
     graftshim.toColumn(Shingles(graftshim.toExpression(words), n))
+
+  /** Column API: all n-word shingles, multiplicity kept. */
+  def ngrams(words: Column, n: Int): Column =
+    graftshim.toColumn(NGrams(graftshim.toExpression(words), n))
 }

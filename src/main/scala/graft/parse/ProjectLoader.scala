@@ -306,6 +306,7 @@ object ProjectLoader {
       incrementalPredicates = kw.get("incremental_predicates").map(Seq(_)).getOrElse(Nil),
       uniqueKey = kw.get("unique_key").map(_.split(",").map(_.trim).toSeq).getOrElse(Nil),
       onSchemaChange = kw.getOrElse("on_schema_change", base.onSchemaChange),
+      onConfigurationChange = kw.getOrElse("on_configuration_change", base.onConfigurationChange),
       fullRefresh = kw.get("full_refresh").exists(_.toBoolean),
       preHook = kw.get("pre_hook").map(Seq(_)).getOrElse(Nil),
       postHook = kw.get("post_hook").map(Seq(_)).getOrElse(Nil),

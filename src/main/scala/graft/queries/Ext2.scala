@@ -183,6 +183,69 @@ object Ext2 {
         .orderBy("lang")
     },
 
+    // Repetition quality metrics (Gopher-style filters, Rae et al.
+    // 2021 §A1.1): fraction of all bigram slots taken by the single
+    // most frequent bigram, and fraction of trigram slots occupied by
+    // repeats. High values = boilerplate/spam docs a training pipeline
+    // drops. Total n-gram slots come free as n_tokens-(n-1); only the
+    // top-bigram count needs an explode+count, and the distinct-trigram
+    // count reuses the native Shingles expression (no second explode).
+    QueryDef(
+      "q47_repetition_metrics",
+      """WITH base AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3
+        |), bgc AS (
+        |  SELECT doc_id, b, COUNT(*) AS c FROM (
+        |    SELECT doc_id,
+        |           unnest(list_transform(range(1, len(w)),
+        |                                 i -> w[i] || ' ' || w[i+1])) AS b
+        |    FROM base) t GROUP BY doc_id, b
+        |), topbg AS (
+        |  SELECT doc_id, MAX(c) AS top_bigram_n FROM bgc GROUP BY doc_id
+        |), tri AS (
+        |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+        |         len(list_distinct(list_transform(range(1, len(w) - 1),
+        |             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS n_distinct_tri
+        |  FROM base
+        |)
+        |SELECT t.doc_id,
+        |       t.n_tokens,
+        |       CAST(b.top_bigram_n AS BIGINT) AS top_bigram_n,
+        |       CAST(ROUND(CAST(b.top_bigram_n AS DECIMAL(20,6)) / (t.n_tokens - 1), 4)
+        |            AS DOUBLE) AS top_bigram_frac,
+        |       CAST(ROUND(CAST(t.n_tokens - 2 - t.n_distinct_tri AS DECIMAL(20,6))
+        |                  / (t.n_tokens - 2), 4) AS DOUBLE) AS dup_trigram_frac
+        |FROM tri t JOIN topbg b USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+      import graft.functions.TextExprs
+      val dec6 = (c: org.apache.spark.sql.Column) =>
+        c.cast(org.apache.spark.sql.types.DecimalType(20, 6))
+      val base = Tables.load(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 3)
+      val tri = base.select(
+        col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        size(TextExprs.shingles(col("w"), 3)).as("n_distinct_tri"))
+      val topbg = base
+        .select(col("doc_id"), explode(TextExprs.ngrams(col("w"), 2)).as("b"))
+        .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max("c").as("top_bigram_n"))
+      tri.join(topbg, "doc_id")
+        .select(
+          col("doc_id"),
+          col("n_tokens"),
+          col("top_bigram_n").cast("long").as("top_bigram_n"),
+          round(dec6(col("top_bigram_n")) / (col("n_tokens") - 1), 4)
+            .cast("double").as("top_bigram_frac"),
+          round(dec6(col("n_tokens") - 2 - col("n_distinct_tri"))
+            / (col("n_tokens") - 2), 4)
+            .cast("double").as("dup_trigram_frac"))
+        .orderBy("doc_id")
+    },
+
     // Winnowing near-dup candidates: rolling-hash k-gram fingerprints
     // (Schleimer et al. SIGMOD'03) selected by window-min, inverted-
     // index join on shared fingerprints. The hash family is engine-

@@ -283,12 +283,15 @@ final class Engine(
             partitionBy = m.config.partitionBy,
             fullRefresh = fullRefreshFlag || m.config.fullRefresh,
             incrementalPredicates = m.config.incrementalPredicates)
+        case "materialized_view" =>
+          Materializer.materializedView(wh, relationName(m), compile(m),
+            m.config.onConfigurationChange)
         case "ephemeral" => () // never materialized (inlined at consumers)
         case "analysis" => () // compiled only (reference analysis nodes)
         case other =>
           throw new IllegalArgumentException(s"unknown materialization: $other")
       }
-      if (Set("table", "incremental", "view")(m.config.materialized)) {
+      if (Set("table", "incremental", "view", "materialized_view")(m.config.materialized)) {
         val rel = relationName(m)
         storeResult(m.uniqueId, "main", Map(
           "status" -> "SUCCESS",

@@ -243,6 +243,31 @@ class TasksSpec extends SparkSpec {
     assert(spark.sql("SELECT x FROM run_ended").head().getInt(0) === 2)
   }
 
+  test("materialized_view: refresh, then apply/continue/fail on drift") {
+    import graft.exec.Materializer
+    val eng = new Engine(spark, mkManifest(), tmpDir("wh"))
+    val v1 = "SELECT 1 AS x"
+    val v2 = "SELECT 2 AS x"
+    assert(Materializer.materializedView(eng.wh, "mv1", v1, "apply") === "create")
+    assert(eng.wh.read("mv1").head().getInt(0) === 1)
+    // same definition -> refresh (data recomputed, no drift)
+    assert(Materializer.materializedView(eng.wh, "mv1", v1, "apply") === "refresh")
+    // drifted definition
+    assert(Materializer.materializedView(eng.wh, "mv1", v2, "apply") === "apply")
+    assert(eng.wh.read("mv1").head().getInt(0) === 2)
+    assert(Materializer.materializedView(eng.wh, "mv1", v1, "continue") === "continue")
+    assert(eng.wh.read("mv1").head().getInt(0) === 2) // stale kept
+    assertThrows[IllegalStateException](
+      Materializer.materializedView(eng.wh, "mv1", v1, "fail"))
+    // engine path: model with materialized='materialized_view' runs
+    val mv = ModelNode("t_mv",
+      "SELECT o_custkey, count(*) AS n FROM {{ ref('t_stg') }} GROUP BY o_custkey",
+      config = NodeConfig(materialized = "materialized_view"), refs = Seq("t_stg"))
+    val eng2 = new Engine(spark, mkManifest(mv), tmpDir("wh2"))
+    assert(eng2.run().forall(_.status == "success"))
+    assert(eng2.wh.read("t_mv").count() > 0)
+  }
+
   test("run-operation invokes a project macro with args") {
     val projDir = java.nio.file.Paths.get(tmpDir("macro_proj"))
     def write(rel: String, content: String): Unit = {
