@@ -246,6 +246,103 @@ object Ext2 {
         .orderBy("doc_id")
     },
 
+    // Duplicate-group assembly: near-dup PAIRS (q26's shingle-Jaccard
+    // edges) → CONNECTED COMPONENTS via min-label propagation, the step
+    // that turns pairwise candidates into a retention policy (keep the
+    // lowest doc_id per group, drop the rest). Spark side is the
+    // standard scalable CC loop: iterate `label := min(label over
+    // neighbors ∪ self)` to fixpoint — each round one shuffle join, no
+    // driver-side graph; lineage truncated per round (localCheckpoint
+    // here; a reliable checkpoint dir on a real cluster). Rounds needed
+    // = component diameter, which for dedup clusters is tiny. Oracle =
+    // DuckDB recursive CTE computing the same fixpoint.
+    QueryDef(
+      "q48_dedup_groups",
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, w, pos FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+        |           generate_subscripts(string_split(text, ' '), 1) AS pos
+        |    FROM documents) t
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |         w || ' ' || LEAD(w, 1) OVER win || ' ' || LEAD(w, 2) OVER win AS shingle
+        |  FROM tok
+        |  WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+        |  QUALIFY LEAD(w, 2) OVER win IS NOT NULL
+        |), card AS (
+        |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+        |), pairs AS (
+        |  SELECT doc_a, doc_b FROM (
+        |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+        |    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |    GROUP BY a.doc_id, b.doc_id) p
+        |  JOIN card ca ON ca.doc_id = doc_a
+        |  JOIN card cb ON cb.doc_id = doc_b
+        |  WHERE CAST(common AS DECIMAL(20,6)) / (ca.n + cb.n - common) >= 0.2
+        |), edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL
+        |  SELECT doc_b, doc_a FROM pairs
+        |), reach(node, label) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+        |), comp AS (
+        |  SELECT node AS doc_id, MIN(label) AS group_id FROM reach GROUP BY node
+        |)
+        |SELECT c.doc_id,
+        |       CAST(c.group_id AS BIGINT) AS group_id,
+        |       CAST(g.group_size AS BIGINT) AS group_size,
+        |       c.doc_id = c.group_id AS keep
+        |FROM comp c
+        |JOIN (SELECT group_id, COUNT(*) AS group_size FROM comp GROUP BY group_id) g
+        |  USING (group_id)
+        |ORDER BY c.doc_id""".stripMargin) { (s, dir) =>
+      import graft.functions.TextExprs
+      val dec6 = (c: org.apache.spark.sql.Column) =>
+        c.cast(org.apache.spark.sql.types.DecimalType(20, 6))
+      val sh = Tables.load(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
+          TextExprs.shingles(split(col("text"), " "), 3).as("shs"))
+        .select(col("doc_id"), size(col("shs")).cast("long").as("n"),
+          explode(col("shs")).as("shingle"))
+      val a = sh.as("a"); val b = sh.hint("shuffle_hash").as("b")
+      val pairs = a.join(b,
+          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.n").as("na"), col("b.n").as("nb"))
+        .agg(count(lit(1)).as("common"))
+        .filter(dec6(col("common")) / (col("na") + col("nb") - col("common")) >= 0.2)
+        .select("doc_a", "doc_b")
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .localCheckpoint()
+      var labels = edges.select(col("src").as("node")).distinct()
+        .withColumn("label", col("node")).localCheckpoint()
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0 && rounds < 50) {
+        val prop = edges.join(labels, col("src") === col("node"))
+          .select(col("dst").as("node"), col("label"))
+          .union(labels)
+          .groupBy("node").agg(min("label").as("label"))
+          .localCheckpoint()
+        changed = prop.as("p")
+          .join(labels.withColumnRenamed("label", "old").as("l"), "node")
+          .filter(col("label") =!= col("old")).count()
+        labels = prop
+        rounds += 1
+      }
+      val comp = labels.select(col("node").as("doc_id"), col("label").as("group_id"))
+      val sizes = comp.groupBy("group_id").agg(count(lit(1)).as("group_size"))
+      comp.join(sizes, "group_id")
+        .select(col("doc_id"), col("group_id"),
+          col("group_size").cast("long").as("group_size"),
+          (col("doc_id") === col("group_id")).as("keep"))
+        .orderBy("doc_id")
+    },
+
     // Winnowing near-dup candidates: rolling-hash k-gram fingerprints
     // (Schleimer et al. SIGMOD'03) selected by window-min, inverted-
     // index join on shared fingerprints. The hash family is engine-
