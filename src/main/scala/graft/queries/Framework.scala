@@ -16,8 +16,28 @@ import org.apache.spark.sql.functions._
   */
 object Framework {
 
-  private def scratch(): String =
-    java.nio.file.Files.createTempDirectory("graft_wh").toString
+  /** Scratch warehouses must outlive the returned (lazy) DataFrame —
+    * the driver writes it to parquet after the query function returns —
+    * so cleanup happens at JVM exit, not eagerly.
+    */
+  private val scratchDirs = new java.util.concurrent.ConcurrentLinkedQueue[java.io.File]()
+  private lazy val cleanupHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      scratchDirs.forEach { root =>
+        def rm(f: java.io.File): Unit = {
+          val children = f.listFiles()
+          if (children != null) children.foreach(rm)
+          f.delete(): Unit
+        }
+        rm(root)
+      }))
+
+  private def scratch(): String = {
+    cleanupHook
+    val dir = java.nio.file.Files.createTempDirectory("graft_wh")
+    scratchDirs.add(dir.toFile)
+    dir.toString
+  }
 
   /** Frozen clocks: batch k commits at 2000-01-01 + k days UTC. */
   private def clockAt(day: Int): Materializer.Clock =
@@ -235,6 +255,7 @@ object Framework {
         |GROUP BY o_custkey
         |ORDER BY o_custkey""".stripMargin) { (s, dir) =>
       val projDir = java.nio.file.Files.createTempDirectory("m06_proj")
+      scratchDirs.add(projDir.toFile)
       def write(rel: String, content: String): Unit = {
         val p = projDir.resolve(rel)
         java.nio.file.Files.createDirectories(p.getParent)
