@@ -110,6 +110,78 @@ case class NGrams(child: Expression, n: Int) extends UnaryExpression {
   override def prettyName: String = "ngrams"
 }
 
+/** All unordered pairs from a posting list of `(doc_id, n)` structs —
+  * the pair-generation kernel of inverted-index dedup. Given the
+  * collect_list of documents sharing one shingle, emits
+  * `(doc_a, na, doc_b, nb)` for every i<j with `doc_a < doc_b`
+  * normalized, so the downstream pair aggregation is
+  * order-independent even though collect_list order is not
+  * deterministic.
+  *
+  * Replaces the exploded-postings SELF-JOIN formulation: that plan
+  * scans + shingles the corpus twice and shuffles both join sides;
+  * this one scans once and shuffles once (groupBy shingle) before the
+  * pair agg. Same output-pair multiset — a shingle shared by k docs
+  * contributes k(k-1)/2 pair rows either way.
+  */
+case class PairCombos(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.{LongType, StructField, StructType}
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("doc_a", LongType, nullable = false),
+    StructField("na", LongType, nullable = false),
+    StructField("doc_b", LongType, nullable = false),
+    StructField("nb", LongType, nullable = false))), containsNull = false)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pairCombosExpr", this, classOf[PairCombos].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (${classOf[ArrayData].getName}) $ref.nullSafeEval($c);")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val k = arr.numElements()
+    val ids = new Array[Long](k)
+    val ns = new Array[Long](k)
+    var i = 0
+    while (i < k) {
+      val row = arr.getStruct(i, 2)
+      ids(i) = row.getLong(0)
+      ns(i) = row.getLong(1)
+      i += 1
+    }
+    val out = new Array[Any](k * (k - 1) / 2)
+    var idx = 0
+    i = 0
+    while (i < k) {
+      var j = i + 1
+      while (j < k) {
+        val r = new GenericInternalRow(4)
+        if (ids(i) < ids(j)) {
+          r.update(0, ids(i)); r.update(1, ns(i))
+          r.update(2, ids(j)); r.update(3, ns(j))
+        } else {
+          r.update(0, ids(j)); r.update(1, ns(j))
+          r.update(2, ids(i)); r.update(3, ns(i))
+        }
+        out(idx) = r.asInstanceOf[InternalRow]
+        idx += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PairCombos =
+    copy(child = newChild)
+
+  override def prettyName: String = "pair_combos"
+}
+
 object TextExprs {
   /** Register SQL-callable functions; idempotent per session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -128,4 +200,8 @@ object TextExprs {
   /** Column API: all n-word shingles, multiplicity kept. */
   def ngrams(words: Column, n: Int): Column =
     graftshim.toColumn(NGrams(graftshim.toExpression(words), n))
+
+  /** Column API: unordered pairs of a `(doc_id, n)` posting list. */
+  def pairCombos(postings: Column): Column =
+    graftshim.toColumn(PairCombos(graftshim.toExpression(postings)))
 }

@@ -298,21 +298,9 @@ object Ext2 {
         |JOIN (SELECT group_id, COUNT(*) AS group_size FROM comp GROUP BY group_id) g
         |  USING (group_id)
         |ORDER BY c.doc_id""".stripMargin) { (s, dir) =>
-      import graft.functions.TextExprs
       val dec6 = (c: org.apache.spark.sql.Column) =>
         c.cast(org.apache.spark.sql.types.DecimalType(20, 6))
-      val sh = Tables.load(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"),
-          TextExprs.shingles(split(col("text"), " "), 3).as("shs"))
-        .select(col("doc_id"), size(col("shs")).cast("long").as("n"),
-          explode(col("shs")).as("shingle"))
-      val a = sh.as("a"); val b = sh.hint("shuffle_hash").as("b")
-      val pairs = a.join(b,
-          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          col("a.n").as("na"), col("b.n").as("nb"))
-        .agg(count(lit(1)).as("common"))
+      val pairs = TextOps.shingleOverlapPairs(s, dir)
         .filter(dec6(col("common")) / (col("na") + col("nb") - col("common")) >= 0.2)
         .select("doc_a", "doc_b")
       val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))

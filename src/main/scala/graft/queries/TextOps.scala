@@ -41,6 +41,29 @@ object TextOps {
   private def shingles3(w: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     graft.functions.TextExprs.shingles(w, 3)
 
+  /** Shared shingle-overlap pair counts for q26/q48: inverted index by
+    * shingle → posting lists → native PairCombos emits the i<j pairs →
+    * one pair aggregation. Columns: doc_a, doc_b, na, nb, common.
+    * One corpus scan and two shuffles (postings groupBy, pair groupBy);
+    * the previous self-join formulation scanned + shingled twice and
+    * shuffled three times. Per-doc shingle cardinalities ride along in
+    * the posting structs, so no cardinality joins afterwards.
+    */
+  private[queries] def shingleOverlapPairs(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val sh = docs(s, dir)
+      .select(col("doc_id"), shingles3(wordsCol).as("shs"))
+      .select(col("doc_id"), size(col("shs")).cast("long").as("n"),
+        explode(col("shs")).as("shingle"))
+    sh.groupBy("shingle")
+      .agg(collect_list(struct(col("doc_id"), col("n"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(graft.functions.TextExprs.pairCombos(col("ds"))).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        col("p.na").as("na"), col("p.nb").as("nb"))
+      .agg(count(lit(1)).as("common"))
+  }
+
   val queries: Seq[QueryDef] = Seq(
 
     // Token counting + basic stats per doc (whitespace tokenizer).
@@ -219,24 +242,7 @@ object TextOps {
         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
       val dec6 = (c: org.apache.spark.sql.Column) =>
         c.cast(org.apache.spark.sql.types.DecimalType(20, 6))
-      // each exploded row carries its doc's shingle cardinality, so the
-      // pair aggregation can compute Jaccard directly — no separate
-      // per-doc cardinality joins afterwards (they cost two more joins
-      // over the 1M-pair stream)
-      val sh = docs(s, dir)
-        .select(col("doc_id"), shingles3(wordsCol).as("shs"))
-        .select(col("doc_id"), size(col("shs")).cast("long").as("n"),
-          explode(col("shs")).as("shingle"))
-      // shuffle-hash, not broadcast: the exploded shingle table is the
-      // big side of its own self-join — broadcasting it measures worse
-      // here and is impossible at 100 TB; hash-partitioning by shingle
-      // scales linearly.
-      val a = sh.as("a"); val b = sh.hint("shuffle_hash").as("b")
-      val pairs = a.join(b,
-          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          col("a.n").as("na"), col("b.n").as("nb"))
-        .agg(count(lit(1)).as("common"))
+      val pairs = shingleOverlapPairs(s, dir)
       val jac = dec6(col("common")) / (col("na") + col("nb") - col("common"))
       pairs
         .filter(jac >= 0.2)
