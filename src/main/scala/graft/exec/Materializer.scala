@@ -120,6 +120,9 @@ object Materializer {
     }
     val target = wh.read(name)
     val delta0 = wh.spark.sql(renderedIncremental)
+    // the raw delta's column set, before alignSchemas null-pads it —
+    // merge vs delete+insert diverge on columns the delta doesn't carry
+    val deltaCols = delta0.columns.toSet
     val (targetAligned, delta) =
       alignSchemas(wh, name, target, delta0, onSchemaChange)
 
@@ -136,9 +139,13 @@ object Materializer {
             partitionBy)
 
       case "merge" | "delete+insert" | "default" =>
-        // whole-row upsert: delta rows win on unique_key, others kept.
-        // (merge and delete+insert coincide when the delta carries full
-        // rows — dbt's default built-ins do exactly this.)
+        // upsert on unique_key. With a FULL-row delta, merge and
+        // delete+insert coincide (dbt's built-ins do exactly this).
+        // With a PARTIAL-column delta they diverge the way warehouse
+        // MERGE vs DELETE+INSERT do (the merge_update_columns shape):
+        // merge updates only the columns the delta carries, keeping
+        // target values for the rest; delete+insert replaces the whole
+        // row, null-filling absent columns.
         require(uniqueKey.nonEmpty, s"$name: $strategy needs unique_key")
         val (eligible, carried) =
           if (incrementalPredicates.isEmpty) (targetAligned, None)
@@ -147,9 +154,24 @@ object Materializer {
             (targetAligned.filter(expr(pred)),
               Some(targetAligned.filter(!expr(pred))))
           }
-        val keep = eligible.join(
-          delta.select(uniqueKey.map(col): _*).distinct(), uniqueKey, "left_anti")
-        val merged = keep.unionByName(conformTo(keep.schema, delta))
+        val deltaKeys = delta.select(uniqueKey.map(col): _*).distinct()
+        val keep = eligible.join(deltaKeys, uniqueKey, "left_anti")
+        val partialMerge = strategy != "delete+insert" &&
+          targetAligned.columns.exists(c => !deltaCols.contains(c))
+        val merged =
+          if (partialMerge) {
+            val updated = eligible.as("t").join(delta.as("d"), uniqueKey, "inner")
+              .select(targetAligned.columns.toSeq.map { c =>
+                if (uniqueKey.contains(c)) col(c)
+                else if (deltaCols.contains(c))
+                  col(s"d.$c").cast(targetAligned.schema(c).dataType).as(c)
+                else col(s"t.$c").as(c)
+              }: _*)
+            val inserts = conformTo(keep.schema,
+              delta.join(eligible.select(uniqueKey.map(col): _*).distinct(),
+                uniqueKey, "left_anti"))
+            keep.unionByName(updated).unionByName(inserts)
+          } else keep.unionByName(conformTo(keep.schema, delta))
         wh.writeTable(name,
           carried.map(c => merged.unionByName(c)).getOrElse(merged), partitionBy)
 

@@ -66,6 +66,53 @@ object TextOps {
 
   val queries: Seq[QueryDef] = Seq(
 
+    // TF-IDF-style salient terms: per (doc, term) weight = tf × N/df
+    // as an EXACT decimal ratio — same ranking family as tf·ln(N/df)
+    // (ln is monotone in N/df) without transcendental functions, whose
+    // last-ulp bits differ between engines. Top-3 terms per doc,
+    // rounded-score ranking with a term tie-break (oracle portability
+    // rules). The topology is the inverted-index staple: one tf agg,
+    // one df agg, broadcast-join df (term vocabulary ≪ corpus), rank
+    // inside each doc partition.
+    QueryDef(
+      "q49_tfidf_top_terms",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+        |), tf AS (
+        |  SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY doc_id, w
+        |), df AS (
+        |  SELECT w, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY w
+        |), n AS (SELECT COUNT(*) AS n_docs FROM documents
+        |), scored AS (
+        |  SELECT tf.doc_id, tf.w,
+        |         ROUND(CAST(tf.tf AS DECIMAL(20,6)) * (SELECT n_docs FROM n) / df.df, 4)
+        |           AS score
+        |  FROM tf JOIN df USING (w)
+        |)
+        |SELECT doc_id, w AS term, CAST(score AS DOUBLE) AS score, CAST(rn AS BIGINT) AS rn
+        |FROM (
+        |  SELECT doc_id, w, score,
+        |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, w) AS rn
+        |  FROM scored) t
+        |WHERE rn <= 3
+        |ORDER BY doc_id, rn""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      val nDocs = d.count()
+      val tok = d.select(col("doc_id"), explode(wordsCol).as("w"))
+      val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val df = tok.groupBy("w").agg(countDistinct("doc_id").as("df"))
+      val scored = tf.join(broadcast(df), "w")
+        .select(col("doc_id"), col("w"),
+          round(col("tf").cast(org.apache.spark.sql.types.DecimalType(20, 6))
+            * lit(nDocs) / col("df"), 4).as("score"))
+      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("w"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("w").as("term"),
+          col("score").cast("double").as("score"), col("rn").cast("long").as("rn"))
+        .orderBy("doc_id", "rn")
+    },
+
     // Token counting + basic stats per doc (whitespace tokenizer).
     QueryDef(
       "q21_token_stats",

@@ -123,6 +123,32 @@ object Artifacts {
     write(path, doc)
   }
 
+  /** `sources.json` (freshness v3 subset, reference
+    * `core/dbt/artifacts/schemas/freshness`): one entry per checked
+    * source with status and age seconds.
+    */
+  def writeSources(path: String,
+      freshness: Map[String, (String, Double)],
+      generatedAt: java.sql.Timestamp, invocationId: String): Unit = {
+    val items = freshness.toSeq.sortBy(_._1).map { case (id, (status, age)) =>
+      obj(Seq(
+        "unique_id" -> q(id),
+        "status" -> q(status),
+        "max_loaded_at_time_ago_in_s" -> age.toString,
+        "criteria" -> obj(Nil),
+        "adapter_response" -> obj(Nil),
+        "timing" -> arr(Nil)))
+    }
+    val doc = obj(Seq(
+      "metadata" -> obj(Seq(
+        "dbt_schema_version" -> q("https://schemas.getdbt.com/dbt/sources/v3.json"),
+        "generated_at" -> q(generatedAt.toInstant.toString),
+        "invocation_id" -> q(invocationId))),
+      "results" -> arr(items),
+      "elapsed_time" -> "0.0"))
+    write(path, doc)
+  }
+
   /** Read statuses back from run_results.json (for `retry`). */
   def readRunStatuses(path: String): Map[String, String] = {
     val txt = Files.readString(Paths.get(path))

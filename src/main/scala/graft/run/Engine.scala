@@ -513,6 +513,10 @@ final class Engine(
     Artifacts.writeManifest(s"$targetDir/manifest.json", manifest,
       runStartedAt, invocationId)
     Artifacts.writeCatalog(s"$targetDir/catalog.json", wh, runStartedAt)
+    val fresh = sourceFreshness()
+    if (fresh.nonEmpty)
+      Artifacts.writeSources(s"$targetDir/sources.json", fresh,
+        runStartedAt, invocationId)
   }
 
   /** `dbt retry` (reference `core/dbt/task/retry.py:66-145`): re-run

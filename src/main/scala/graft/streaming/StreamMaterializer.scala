@@ -59,6 +59,29 @@ object StreamMaterializer {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
 
+  /** Custom keyed state (B22 `flatMapGroupsWithState`): per-user
+    * running event count, one update row emitted per key per
+    * micro-batch. The pattern for state Spark's built-in windows can't
+    * express (counters, custom sessionization, CDC folding); state is
+    * per-key and partitioned by the group key, so it scales with
+    * distinct users, not events.
+    */
+  def runningUserCounts(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").cast("long").as[Long])
+      .groupByKey(identity)
+      .flatMapGroupsWithState[Long, (Long, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[Long], state: GroupState[Long]) =>
+          val total = state.getOption.getOrElse(0L) + rows.size
+          state.update(total)
+          Iterator((user, total))
+      }
+      .toDF("user_id", "running_n")
+  }
+
   /** Drive a streaming DataFrame into the warehouse through
     * foreachBatch → the same materialization layer (append commits per
     * micro-batch). Returns the running query; callers stop it.

@@ -574,6 +574,40 @@ class EngineSpec extends SparkSpec {
     assert(out.filter(col("part") =!= 1).count() === 4) // untouched
   }
 
+  test("partial-column delta: merge keeps target values, delete+insert nulls them") {
+    import org.apache.spark.sql.functions._
+    def mkTarget(eng: Engine, rel: String): Unit = {
+      spark.sql("SELECT * FROM VALUES (1L,'a',10L),(2L,'b',20L) AS t(id,name,score)")
+        .createOrReplaceTempView(s"${rel}_full")
+      // partial delta: id+score only (no name)
+      spark.sql("SELECT * FROM VALUES (2L,99L),(3L,30L) AS t(id,score)")
+        .createOrReplaceTempView(s"${rel}_delta")
+      Materializer.incremental(eng.wh, rel, s"SELECT * FROM ${rel}_full",
+        s"SELECT * FROM ${rel}_delta", strategy = rel.takeRight(1) match {
+          case "m" => "merge"
+          case _ => "delete+insert"
+        }, uniqueKey = Seq("id"), onSchemaChange = "ignore",
+        partitionBy = Nil, fullRefresh = false)
+      Materializer.incremental(eng.wh, rel, s"SELECT * FROM ${rel}_full",
+        s"SELECT * FROM ${rel}_delta", strategy = rel.takeRight(1) match {
+          case "m" => "merge"
+          case _ => "delete+insert"
+        }, uniqueKey = Seq("id"), onSchemaChange = "ignore",
+        partitionBy = Nil, fullRefresh = false)
+    }
+    val eng = new Engine(spark, Manifest(Map.empty), tmpDir("wh"))
+    mkTarget(eng, "pc_m")
+    val m = eng.wh.read("pc_m").orderBy("id").collect()
+    assert(m.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    assert(m(1).getString(1) === "b")   // merge kept the target's name
+    assert(m(1).getLong(2) === 99L)     // but took the delta's score
+    assert(m(2).isNullAt(1))            // fresh insert has no name
+    mkTarget(eng, "pc_d")
+    val d = eng.wh.read("pc_d").orderBy("id").collect()
+    assert(d(1).isNullAt(1))            // delete+insert nulled the name
+    assert(d(1).getLong(2) === 99L)
+  }
+
   test("namespaces isolate two engines on one SparkSession") {
     // same model names, same session; only the namespace differs —
     // without prefixes the second run would clobber the first's views

@@ -35,6 +35,17 @@ class TasksSpec extends SparkSpec {
     // retry round-trip: statuses parse back
     val statuses = Artifacts.readRunStatuses(s"$target/run_results.json")
     assert(statuses.values.forall(_ == "success"))
+    // sources.json appears when a source declares loaded_at_field
+    val src2 = SourceNode("main", "orders", s"$sf/orders.parquet",
+      loadedAtField = Some("o_orderdate"))
+    val eng2 = new Engine(spark,
+      graft.parse.ProjectLoader.link(Manifest(Map(src2.uniqueId -> src2))),
+      tmpDir("wh2"))
+    val target2 = tmpDir("target2")
+    eng2.writeArtifacts(target2, Nil)
+    val sj = Files.readString(Paths.get(s"$target2/sources.json"))
+    assert(sj.contains("source.graft.main.orders") &&
+      sj.contains("max_loaded_at_time_ago_in_s"))
   }
 
   test("retry re-runs only failed/skipped nodes") {

@@ -69,6 +69,27 @@ class StreamingSpec extends SparkSpec {
     assert(out.select("user_id", "event_type").distinct().count() === batchKeys)
   }
 
+  test("flatMapGroupsWithState running counts converge to batch totals") {
+    val dir = eventsDir
+    val schema = spark.read.parquet(dir).schema
+    val wh = new Engine(spark, Manifest(Map.empty), tmpDir("wh")).wh
+    val q = StreamMaterializer.writeToWarehouse(
+      wh, "stream_running",
+      StreamMaterializer.runningUserCounts(
+        StreamMaterializer.readEvents(spark, dir, schema)),
+      tmpDir("ckpt"), outputMode = "update")
+    q.awaitTermination(120000)
+    // the log of update rows ends, per user, at the batch total
+    val last = wh.read("stream_running")
+      .groupBy("user_id").agg(max("running_n").as("final_n"))
+    val batch = spark.read.parquet(dir)
+      .groupBy("user_id").agg(count(lit(1)).as("total"))
+    val mismatch = last.join(batch, "user_id")
+      .filter(col("final_n") =!= col("total"))
+    assert(mismatch.count() === 0)
+    assert(last.count() === batch.count())
+  }
+
   test("session windows produce bounded per-user sessions") {
     val dir = eventsDir
     val schema = spark.read.parquet(dir).schema
