@@ -167,7 +167,12 @@ final case class TestNode(
     config: NodeConfig = NodeConfig(materialized = "test"),
     dependsOn: Seq[String] = Nil,
     refs: Seq[String] = Nil,
-    sources: Seq[(String, String)] = Nil) extends Node {
+    sources: Seq[(String, String)] = Nil,
+    /** generic-test macro name (unique/not_null/…) when synthesized
+      * from schema YAML; None for singular tests — drives the
+      * test_type:/test_name: selectors (A22).
+      */
+    genericTest: Option[String] = None) extends Node {
   val resourceType = "test"
 }
 

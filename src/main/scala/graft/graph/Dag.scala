@@ -143,9 +143,23 @@ object Selector {
       case _ => method(manifest, atom)
     }
 
-  /** Selection methods (subset of `MethodName`,
-    * `selector_methods.py:45-66`): bare name / fqn, tag:, source:,
-    * resource_type:, path not applicable (no files).
+  /** result: selection needs the previous run's statuses
+    * (reference `ResultSelectorMethod`); provided like state.
+    */
+  private val resultsTL = new ThreadLocal[Option[Map[String, String]]] {
+    override def initialValue(): Option[Map[String, String]] = None
+  }
+
+  def withResults[T](statuses: Map[String, String])(f: => T): T = {
+    resultsTL.set(Some(statuses))
+    try f finally resultsTL.set(None)
+  }
+
+  /** Selection methods (`MethodName`, `selector_methods.py:45-66`):
+    * bare name / fqn, tag:, source:, resource_type:, group:, access:,
+    * config.<key>:, test_type:, test_name:, exposure:, metric:,
+    * state:, result:; path/file/package n/a (single in-memory
+    * package, no source files at run time).
     */
   private def method(manifest: Manifest, body: String): Set[String] = body.split(":", 2) match {
     case Array(name) =>
@@ -173,8 +187,55 @@ object Selector {
         case other =>
           throw new IllegalArgumentException(s"unsupported state method: $other")
       }
+    case Array("group", g) =>
+      manifest.nodes.collect {
+        case (id, n) if n.config.group.contains(g) => id }.toSet
+    case Array("access", a) =>
+      manifest.nodes.collect {
+        case (id, n) if n.config.access == a && n.resourceType == "model" => id }.toSet
+    case Array(m, v) if m.startsWith("config.") =>
+      val key = m.stripPrefix("config.")
+      manifest.nodes.collect {
+        case (id, n) if configValue(n.config, key).contains(v) => id }.toSet
+    case Array("test_type", t) =>
+      manifest.nodes.collect {
+        case (id, n: graft.core.TestNode)
+          if (t == "generic" && n.genericTest.isDefined) ||
+             (t == "singular" && n.genericTest.isEmpty) => id
+        case (id, n) if t == "unit" && n.resourceType == "unit_test" => id
+      }.toSet
+    case Array("test_name", tn) =>
+      manifest.nodes.collect {
+        case (id, n: graft.core.TestNode) if n.genericTest.contains(tn) => id }.toSet
+    case Array("exposure", e) =>
+      manifest.nodes.collect {
+        case (id, n: graft.core.ExposureNode) if n.name == e => id }.toSet
+    case Array("metric", mn) =>
+      manifest.nodes.collect {
+        case (id, n: graft.core.MetricNode) if n.name == mn => id }.toSet
+    case Array("result", status) =>
+      val results = resultsTL.get().getOrElse(
+        throw new IllegalArgumentException(
+          "result: selector needs previous statuses (Selector.withResults)"))
+      results.collect { case (id, st) if st == status => id }.toSet
     case Array(m, _) =>
       throw new IllegalArgumentException(s"unsupported selection method: $m")
+  }
+
+  /** Stringly-typed config lookup for `config.<key>:<value>` (the
+    * reference matches on the rendered config dict the same way).
+    */
+  private def configValue(c: graft.core.NodeConfig, key: String): Set[String] = key match {
+    case "materialized" => Set(c.materialized)
+    case "incremental_strategy" => c.incrementalStrategy.toSet
+    case "schema" => c.schema.toSet
+    case "alias" => c.alias.toSet
+    case "group" => c.group.toSet
+    case "access" => Set(c.access)
+    case "severity" => Set(c.severity)
+    case "on_schema_change" => Set(c.onSchemaChange)
+    case "tags" => c.tags
+    case _ => Set.empty
   }
 
   /** Node equivalence for state:modified — raw code + config

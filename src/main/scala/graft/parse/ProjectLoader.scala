@@ -264,7 +264,8 @@ object ProjectLoader {
         if (k == "to") v else v) })
     TestNode(name = parts.mkString("_"), rawSql = sql,
       config = NodeConfig(materialized = "test").merge(t.config),
-      refs = Template.extractRefs(sql))
+      refs = Template.extractRefs(sql),
+      genericTest = Some(t.testName))
   }
 
   private val configKeys = Set("severity", "where", "limit", "store_failures",

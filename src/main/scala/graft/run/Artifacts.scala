@@ -111,7 +111,14 @@ object Artifacts {
           "schema" -> q("main"),
           "name" -> q(name))),
         "columns" -> obj(cols.toSeq),
-        "stats" -> obj(Nil)))
+        "stats" -> {
+          // row counts from parquet footers (no scan); views = unknown
+          val n = wh.rowCount(name)
+          if (n < 0) obj(Nil)
+          else obj(Seq("row_count" -> obj(Seq(
+            "id" -> q("row_count"), "label" -> q("Row Count"),
+            "value" -> n.toString, "include" -> "true"))))
+        }))
     }
     val doc = obj(Seq(
       "metadata" -> obj(Seq(

@@ -71,6 +71,36 @@ class DagSpec extends AnyFunSuite {
       Selector.select(m2, d2, Seq("unknown_method:x")))
   }
 
+  test("selector: group/access/config/test/exposure/metric/result methods") {
+    val grouped = ModelNode("g1", "SELECT 1",
+      config = NodeConfig(materialized = "table", group = Some("finance"),
+        access = "private", schema = Some("mart")))
+    val gtest = TestNode("unique_g1_id", "SELECT id FROM g1 GROUP BY id HAVING count(*)>1",
+      genericTest = Some("unique"))
+    val stest = TestNode("assert_positive", "SELECT * FROM g1 WHERE id < 0")
+    val expo = ExposureNode("weekly_dash", refs = Seq("g1"))
+    val metric = MetricNode("revenue", "g1", "sum(x)")
+    val m2 = Manifest(manifest.nodes ++ Seq(
+      grouped, gtest, stest, expo, metric).map(n => n.uniqueId -> (n: Node)))
+    val d2 = Dag.fromManifest(m2)
+    def sel(inc: String*) = Selector.select(m2, d2, inc.toSeq)
+    assert(sel("group:finance") === Set("model.graft.g1"))
+    assert(sel("access:private") === Set("model.graft.g1"))
+    assert(sel("config.materialized:table") === Set("model.graft.g1"))
+    assert(sel("config.schema:mart") === Set("model.graft.g1"))
+    assert(sel("test_type:generic") === Set(gtest.uniqueId))
+    assert(sel("test_type:singular") === Set(stest.uniqueId))
+    assert(sel("test_name:unique") === Set(gtest.uniqueId))
+    assert(sel("exposure:weekly_dash") === Set(expo.uniqueId))
+    assert(sel("metric:revenue") === Set(metric.uniqueId))
+    assertThrows[IllegalArgumentException](sel("result:error"))
+    val byResult = Selector.withResults(Map(
+      "model.graft.g1" -> "error", "model.graft.a" -> "success")) {
+      sel("result:error")
+    }
+    assert(byResult === Set("model.graft.g1"))
+  }
+
   test("@ operator: descendants plus their ancestors") {
     val sel = Selector.select(manifest, dag, Seq("@c")).map(_.stripPrefix("model.graft."))
     assert(sel === Set("a", "b", "c", "d", "e"))
