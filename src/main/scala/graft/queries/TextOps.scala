@@ -100,7 +100,10 @@ object TextOps {
       val nDocs = d.count()
       val tok = d.select(col("doc_id"), explode(wordsCol).as("w"))
       val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-      val df = tok.groupBy("w").agg(countDistinct("doc_id").as("df"))
+      // df from tf, not from tok: tf is already unique per (doc, term),
+      // so a plain count per term = document frequency — and the
+      // corpus explode runs once, not twice
+      val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
       val scored = tf.join(broadcast(df), "w")
         .select(col("doc_id"), col("w"),
           round(col("tf").cast(org.apache.spark.sql.types.DecimalType(20, 6))
@@ -199,22 +202,33 @@ object TextOps {
         |       CAST(COALESCE(b.c, 0) AS BIGINT) AS evidence
         |FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
-      val d = docs(s, dir)
-      val markers = s.createDataFrame(Seq(
-        ("the", "en"), ("and", "en"), ("of", "en"),
-        ("el", "es"), ("la", "es"), ("de", "es"),
-        ("der", "de"), ("und", "de"), ("die", "de"),
-        ("le", "fr"), ("et", "fr"), ("les", "fr"))).toDF("w", "cand")
-      val hits = d.select(col("doc_id"), explode(wordsCol).as("w"))
-        .join(broadcast(markers), "w")
-        .groupBy("doc_id", "cand").agg(count(lit(1)).as("c"))
-      val w = Window.partitionBy("doc_id").orderBy(col("c").desc, col("cand"))
-      val best = hits.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      d.join(best, Seq("doc_id"), "left")
+      // one-pass plan: no marker join, no per-(doc,lang) shuffle, no
+      // window — per-doc sums of 4 codegen'd isin predicates, argmax
+      // via struct-greatest. rank encodes the cand-ASC tie-break as a
+      // MAX (alphabetically-first lang gets the highest rank), matching
+      // the oracle's ORDER BY c DESC, cand. One shuffle total.
+      val tok = docs(s, dir).select(col("doc_id"), explode(wordsCol).as("w"))
+      val hit = (ws: Seq[String]) =>
+        sum(when(col("w").isin(ws: _*), 1).otherwise(0))
+      val agg = tok.groupBy("doc_id").agg(
+        hit(Seq("der", "und", "die")).as("c_de"),
+        hit(Seq("the", "and", "of")).as("c_en"),
+        hit(Seq("el", "la", "de")).as("c_es"),
+        hit(Seq("le", "et", "les")).as("c_fr"))
+      val best = greatest(
+        struct(col("c_de").as("c"), lit(3).as("r")),
+        struct(col("c_en").as("c"), lit(2).as("r")),
+        struct(col("c_es").as("c"), lit(1).as("r")),
+        struct(col("c_fr").as("c"), lit(0).as("r")))
+      agg.select(col("doc_id"), best.as("best"))
         .select(
           col("doc_id"),
-          coalesce(col("cand"), lit("unknown")).as("pred_lang"),
-          coalesce(col("c"), lit(0L)).cast("long").as("evidence"))
+          when(col("best.c") === 0, "unknown").otherwise(
+            when(col("best.r") === 3, "de")
+              .when(col("best.r") === 2, "en")
+              .when(col("best.r") === 1, "es")
+              .otherwise("fr")).as("pred_lang"),
+          col("best.c").cast("long").as("evidence"))
         .orderBy("doc_id")
     },
 
