@@ -168,6 +168,74 @@ object Similarity {
         .filter(col("rn") <= 3)
         .select("qid", "cid", "cell", "sqdist", "rn")
         .orderBy("qid", "rn")
+    },
+
+    // IVF, nprobe=2: queries search their TWO nearest cells — the
+    // standard recall knob (missed neighbors usually sit just across a
+    // cell boundary). Database side stays rn=1-assigned, so cells are
+    // disjoint and candidates can't duplicate; the probe fan-out
+    // multiplies candidate volume by ~2, not the shuffle count. Same
+    // plan as q31 otherwise: tiny centroid broadcast, candidate join
+    // keyed on the cell id.
+    QueryDef(
+      "q50_ivf_probe2",
+      s"""WITH idx AS (SELECT unnest(range(1, 65)) AS i),
+         |cents AS (SELECT vec_id AS cent_id, embedding FROM embeddings
+         |          WHERE vec_id % 97 = 0),
+         |d2 AS (
+         |  SELECT e.vec_id, c.cent_id,
+         |         CAST(ROUND(${duckSqDist("e", "c")}, 6) AS DOUBLE) AS sqdist
+         |  FROM embeddings e CROSS JOIN cents c CROSS JOIN idx
+         |  GROUP BY e.vec_id, c.cent_id
+         |), ranked AS (
+         |  SELECT vec_id, cent_id,
+         |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sqdist, cent_id) AS rn
+         |  FROM d2
+         |), assign AS (
+         |  SELECT vec_id, cent_id FROM ranked WHERE rn = 1
+         |), probe AS (
+         |  SELECT vec_id, cent_id FROM ranked WHERE rn <= 2 AND vec_id < 10
+         |), pairs AS (
+         |  SELECT qa.vec_id AS qid, ca.vec_id AS cid, ca.cent_id AS cell,
+         |         CAST(ROUND(${duckSqDist("q", "c")}, 6) AS DOUBLE) AS sqdist
+         |  FROM probe qa
+         |  JOIN assign ca ON qa.cent_id = ca.cent_id AND qa.vec_id <> ca.vec_id
+         |  JOIN embeddings q ON q.vec_id = qa.vec_id
+         |  JOIN embeddings c ON c.vec_id = ca.vec_id
+         |  CROSS JOIN idx
+         |  GROUP BY qa.vec_id, ca.vec_id, ca.cent_id
+         |)
+         |SELECT qid, cid, cell, sqdist,
+         |       CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sqdist, cid) AS BIGINT) AS rn
+         |FROM pairs
+         |QUALIFY rn <= 3
+         |ORDER BY qid, rn""".stripMargin) { (s, dir) =>
+      val emb = embParallel(s, dir)
+      val cents = emb.filter(col("vec_id") % 97 === 0)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("centv"))
+      val d2 = emb.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cent_id"),
+          round(sqDist(col("embedding"), col("centv")), 6).as("sqdist"))
+      val wAssign = Window.partitionBy("vec_id").orderBy(col("sqdist"), col("cent_id"))
+      val ranked = d2.withColumn("rn", row_number().over(wAssign))
+      val assign = ranked.filter(col("rn") === 1).select("vec_id", "cent_id")
+      val probe = ranked.filter(col("rn") <= 2 && col("vec_id") < 10)
+        .select("vec_id", "cent_id")
+      val qside = probe.join(emb, "vec_id")
+        .select(col("vec_id").as("qid"), col("cent_id").as("cell"),
+          col("embedding").as("qv"))
+      val cside = assign.join(emb, "vec_id")
+        .select(col("vec_id").as("cid"), col("cent_id").as("ccell"),
+          col("embedding").as("cv"))
+      val pairs = qside.join(cside,
+          col("cell") === col("ccell") && col("cid") =!= col("qid"))
+        .select(col("qid"), col("cid"), col("ccell").as("cell"),
+          round(sqDist(col("qv"), col("cv")), 6).as("sqdist"))
+      val w = Window.partitionBy("qid").orderBy(col("sqdist"), col("cid"))
+      pairs.withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select("qid", "cid", "cell", "sqdist", "rn")
+        .orderBy("qid", "rn")
     }
   )
 }
