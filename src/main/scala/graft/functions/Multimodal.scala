@@ -85,6 +85,27 @@ object Multimodal {
       }
   }
 
+  /** STUB resize: recompute target metadata (aspect-preserving fit
+    * into a bounding box) and re-derive a payload of proportional
+    * size. A real deployment swaps the payload body for a codec
+    * resize; the metadata math and schema flow are the real thing.
+    */
+  def resizeStub(assets: DataFrame, maxW: Int, maxH: Int): DataFrame =
+    assets
+      .withColumn("__scale", least(
+        lit(maxW.toDouble) / col("meta.width"),
+        lit(maxH.toDouble) / col("meta.height"),
+        lit(1.0)))
+      // payload shrinks with area (scale²), floor 1 byte — computed
+      // BEFORE meta is replaced so the scale refers to the original
+      .withColumn("content", expr(
+        "substring(content, 1, cast(greatest(1.0, length(content) * __scale * __scale) as int))"))
+      .withColumn("meta", struct(
+        floor(col("meta.width") * col("__scale")).cast("int").as("width"),
+        floor(col("meta.height") * col("__scale")).cast("int").as("height"),
+        col("meta.duration_ms")))
+      .drop("__scale")
+
   /** Frame/chunk sampling: slice the payload into fixed-size chunks and
     * keep every `stride`-th one (the video-frame-sampling shape) —
     * explode stays on executors, output rows carry small slices.

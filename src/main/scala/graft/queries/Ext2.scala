@@ -331,6 +331,32 @@ object Ext2 {
         .orderBy("doc_id")
     },
 
+    // Multimodal pipeline end-to-end under the oracle gate: documents →
+    // binary assets (utf8 payload stand-ins) → per-partition feature
+    // extraction (`mapPartitions`, the mapInPandas shape) → per-media
+    // rollup. Checksums are md5-hex (portable), byte lengths are ascii
+    // char counts — so the REAL extraction path is hash-compared, only
+    // the codec inside it is stubbed.
+    QueryDef(
+      "q51_multimodal_rollup",
+      """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+        |            WHEN doc_id % 3 = 1 THEN 'audio/wav'
+        |            ELSE 'video/mp4' END AS media_type,
+        |       CAST(COUNT(*) AS BIGINT) AS n_assets,
+        |       CAST(SUM(LENGTH(text)) AS BIGINT) AS total_bytes,
+        |       MIN(MD5(text)) AS min_checksum
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val assets = graft.functions.Multimodal.assetsFromDocuments(
+        Tables.load(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism))
+      graft.functions.Multimodal.extractFeatures(assets).toDF()
+        .groupBy("media_type")
+        .agg(count(lit(1)).as("n_assets"),
+          sum("n_bytes").cast("long").as("total_bytes"),
+          min("checksum").as("min_checksum"))
+        .orderBy("media_type")
+    },
+
     // Winnowing near-dup candidates: rolling-hash k-gram fingerprints
     // (Schleimer et al. SIGMOD'03) selected by window-min, inverted-
     // index join on shared fingerprints. The hash family is engine-

@@ -30,6 +30,25 @@ class MultimodalSpec extends SparkSpec {
     assert(bad.count() === 0)
   }
 
+  test("resize stub fits metadata into the box and shrinks payloads") {
+    val resized = Multimodal.resizeStub(assets, maxW = 64, maxH = 48)
+    val bad = resized.filter(col("meta.width") > 64 || col("meta.height") > 48)
+    assert(bad.count() === 0)
+    // no payload grows, none vanishes
+    val joined = resized.select(col("asset_id"),
+        octet_length(col("content")).as("after"))
+      .join(assets.select(col("asset_id"),
+        octet_length(col("content")).as("before")), "asset_id")
+    assert(joined.filter(col("after") > col("before")).count() === 0)
+    assert(joined.filter(col("after") < 1).count() === 0)
+    // already-small assets are untouched (scale clamps at 1.0)
+    val small = Multimodal.resizeStub(assets, maxW = 10000, maxH = 10000)
+      .select(col("asset_id"), octet_length(col("content")).as("after"))
+      .join(assets.select(col("asset_id"),
+        octet_length(col("content")).as("before")), "asset_id")
+    assert(small.filter(col("after") =!= col("before")).count() === 0)
+  }
+
   test("chunk sampling keeps every stride-th chunk") {
     val chunks = Multimodal.sampleChunks(assets, chunkBytes = 32, stride = 2)
     assert(chunks.count() > 0)
