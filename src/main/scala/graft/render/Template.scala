@@ -153,6 +153,12 @@ object Template {
     """\{\{\s*([a-z_][a-z0-9_.]*)\s*\}\}""".r
   private val loadResultRe: Regex =
     """\{\{\s*load_result\(\s*['"]([^'"]+)['"]\s*\)\.([a-z_]+)\s*\}\}""".r
+  private val envVarRe: Regex =
+    """\{\{\s*env_var\(\s*['"]([^'"]+)['"]\s*(?:,\s*['"]([^'"]*)['"])?\s*\)\s*\}\}""".r
+  private val localMd5Re: Regex =
+    """\{\{\s*local_md5\(\s*['"]([^'"]*)['"]\s*\)\s*\}\}""".r
+  private val logRe: Regex =
+    """\{\{\s*(?:log|print)\(\s*['"]([^'"]*)['"][^)]*\)\s*\}\}""".r
 
   /** Render a model body to executable Spark SQL. */
   def render(sql: String, ctx: Context): String = {
@@ -175,6 +181,16 @@ object Template {
         ctx.vars.get(name).orElse(dflt).getOrElse(
           throw new IllegalArgumentException(s"undefined var: $name")))
     })
+    // A26 function-style builtins (reference `core/dbt/context/base.py`)
+    out = envVarRe.replaceAllIn(out, m => {
+      val v = sys.env.get(m.group(1)).orElse(Option(m.group(2))).getOrElse(
+        throw new IllegalArgumentException(s"env_var ${m.group(1)} is undefined"))
+      Regex.quoteReplacement(v)
+    })
+    out = localMd5Re.replaceAllIn(out, m => Regex.quoteReplacement(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(m.group(1).getBytes("UTF-8")).map("%02x".format(_)).mkString))
+    out = logRe.replaceAllIn(out, m => { System.err.println(s"[graft] ${m.group(1)}"); "" })
     out = loadResultRe.replaceAllIn(out, m => {
       val (slot, field) = (m.group(1), m.group(2))
       val v = ctx.results.get(slot).flatMap(_.get(field)).getOrElse(

@@ -47,7 +47,9 @@ final class Engine(
   def contextBuiltins: Map[String, String] = Map(
     "run_started_at" -> runStartedAt.toInstant.toString,
     "invocation_id" -> invocationId,
-    "target.name" -> "default")
+    "target.name" -> "default",
+    "thread_id" -> Thread.currentThread().getName,
+    "dbt_version" -> "1.9.0-graft")
 
   /** Single factory for render contexts — every render site (compile,
     * hooks, show, unit tests) goes through here so builtins/vars can't

@@ -68,6 +68,19 @@ class TemplateSpec extends AnyFunSuite {
       Template.bindMacro(ms.head, Map("rel" -> "t1", "nope" -> "x")))
   }
 
+  test("env_var, local_md5 and log builtins") {
+    assert(Template.render("SELECT '{{ env_var('GRAFT_NO_SUCH', 'fallback') }}'", ctx)
+      === "SELECT 'fallback'")
+    assertThrows[IllegalArgumentException](
+      Template.render("{{ env_var('GRAFT_NO_SUCH') }}", ctx))
+    val home = sys.env("HOME")
+    assert(Template.render("{{ env_var('HOME') }}", ctx) === home)
+    assert(Template.render("SELECT '{{ local_md5('abc') }}'", ctx)
+      === "SELECT '900150983cd24fb0d6963f7d28e17f72'")
+    assert(Template.render("SELECT 1 {{ log('building', info=true) }}", ctx)
+      === "SELECT 1")
+  }
+
   test("load_result renders slot fields and errors on unknown slots") {
     val c = ctx.copy(results = Map("main" -> Map("rows_affected" -> "42")))
     assert(Template.render(
