@@ -16,6 +16,8 @@ final case class NodeConfig(
     materialized: String = "view",
     incrementalStrategy: Option[String] = None, // append|merge|delete+insert|insert_overwrite
     incrementalPredicates: Seq[String] = Nil,
+    mergeUpdateColumns: Seq[String] = Nil, // merge updates ONLY these
+    mergeExcludeColumns: Seq[String] = Nil, // merge updates all BUT these
     uniqueKey: Seq[String] = Nil,
     onSchemaChange: String = "ignore", // ignore|append_new_columns|sync_all_columns|fail
     onConfigurationChange: String = "apply", // apply|continue|fail (A6, MV drift)
@@ -51,6 +53,8 @@ final case class NodeConfig(
       materialized = if (other.materialized != defaults.materialized) other.materialized else materialized,
       incrementalStrategy = other.incrementalStrategy.orElse(incrementalStrategy),
       incrementalPredicates = if (other.incrementalPredicates.nonEmpty) other.incrementalPredicates else incrementalPredicates,
+      mergeUpdateColumns = if (other.mergeUpdateColumns.nonEmpty) other.mergeUpdateColumns else mergeUpdateColumns,
+      mergeExcludeColumns = if (other.mergeExcludeColumns.nonEmpty) other.mergeExcludeColumns else mergeExcludeColumns,
       uniqueKey = if (other.uniqueKey.nonEmpty) other.uniqueKey else uniqueKey,
       onSchemaChange = if (other.onSchemaChange != defaults.onSchemaChange) other.onSchemaChange else onSchemaChange,
       onConfigurationChange = if (other.onConfigurationChange != defaults.onConfigurationChange) other.onConfigurationChange else onConfigurationChange,

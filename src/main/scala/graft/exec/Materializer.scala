@@ -112,7 +112,13 @@ object Materializer {
         * against the delta. At 100 TB this turns a full-table merge
         * into a recent-partition merge.
         */
-      incrementalPredicates: Seq[String] = Nil): Unit = {
+      incrementalPredicates: Seq[String] = Nil,
+      /** merge_update_columns / merge_exclude_columns (dbt merge
+        * configs): bound which columns WHEN MATCHED updates; inserts
+        * always carry full delta rows.
+        */
+      mergeUpdateColumns: Seq[String] = Nil,
+      mergeExcludeColumns: Seq[String] = Nil): Unit = {
 
     if (!wh.exists(name) || fullRefresh) {
       wh.writeTable(name, wh.spark.sql(renderedFull), partitionBy)
@@ -156,14 +162,18 @@ object Materializer {
           }
         val deltaKeys = delta.select(uniqueKey.map(col): _*).distinct()
         val keep = eligible.join(deltaKeys, uniqueKey, "left_anti")
+        val updatable = (if (mergeUpdateColumns.nonEmpty)
+          mergeUpdateColumns.toSet.intersect(deltaCols) else deltaCols) --
+          mergeExcludeColumns -- uniqueKey
         val partialMerge = strategy != "delete+insert" &&
-          targetAligned.columns.exists(c => !deltaCols.contains(c))
+          targetAligned.columns.exists(c =>
+            !updatable.contains(c) && !uniqueKey.contains(c))
         val merged =
           if (partialMerge) {
             val updated = eligible.as("t").join(delta.as("d"), uniqueKey, "inner")
               .select(targetAligned.columns.toSeq.map { c =>
                 if (uniqueKey.contains(c)) col(c)
-                else if (deltaCols.contains(c))
+                else if (updatable.contains(c))
                   col(s"d.$c").cast(targetAligned.schema(c).dataType).as(c)
                 else col(s"t.$c").as(c)
               }: _*)

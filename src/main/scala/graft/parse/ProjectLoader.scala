@@ -305,6 +305,10 @@ object ProjectLoader {
       },
       // kept whole: predicates may contain commas
       incrementalPredicates = kw.get("incremental_predicates").map(Seq(_)).getOrElse(Nil),
+      mergeUpdateColumns = kw.get("merge_update_columns")
+        .map(_.split(",").map(_.trim).toSeq).getOrElse(Nil),
+      mergeExcludeColumns = kw.get("merge_exclude_columns")
+        .map(_.split(",").map(_.trim).toSeq).getOrElse(Nil),
       uniqueKey = kw.get("unique_key").map(_.split(",").map(_.trim).toSeq).getOrElse(Nil),
       onSchemaChange = kw.getOrElse("on_schema_change", base.onSchemaChange),
       onConfigurationChange = kw.getOrElse("on_configuration_change", base.onConfigurationChange),

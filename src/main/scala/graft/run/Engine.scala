@@ -284,7 +284,9 @@ final class Engine(
             onSchemaChange = m.config.onSchemaChange,
             partitionBy = m.config.partitionBy,
             fullRefresh = fullRefreshFlag || m.config.fullRefresh,
-            incrementalPredicates = m.config.incrementalPredicates)
+            incrementalPredicates = m.config.incrementalPredicates,
+            mergeUpdateColumns = m.config.mergeUpdateColumns,
+            mergeExcludeColumns = m.config.mergeExcludeColumns)
         case "materialized_view" =>
           Materializer.materializedView(wh, relationName(m), compile(m),
             m.config.onConfigurationChange)

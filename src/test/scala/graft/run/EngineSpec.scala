@@ -608,6 +608,31 @@ class EngineSpec extends SparkSpec {
     assert(d(1).getLong(2) === 99L)
   }
 
+  test("merge_update_columns bounds what WHEN MATCHED touches") {
+    import org.apache.spark.sql.functions._
+    val eng = new Engine(spark, Manifest(Map.empty), tmpDir("wh"))
+    spark.sql("SELECT * FROM VALUES (1L,'a',10L),(2L,'b',20L) AS t(id,name,score)")
+      .createOrReplaceTempView("muc_full")
+    // full-row delta, but only `score` is declared updatable
+    spark.sql("SELECT * FROM VALUES (2L,'ZZZ',99L),(3L,'c',30L) AS t(id,name,score)")
+      .createOrReplaceTempView("muc_delta")
+    for (_ <- 1 to 2)
+      Materializer.incremental(eng.wh, "muc", "SELECT * FROM muc_full",
+        "SELECT * FROM muc_delta", "merge", Seq("id"), "ignore", Nil,
+        fullRefresh = false, mergeUpdateColumns = Seq("score"))
+    val rows = eng.wh.read("muc").orderBy("id").collect()
+    assert(rows(1).getString(1) === "b")  // name NOT updated
+    assert(rows(1).getLong(2) === 99L)    // score updated
+    assert(rows(2).getString(1) === "c")  // insert carries full row
+    // exclude flavor: everything but name
+    for (_ <- 1 to 2)
+      Materializer.incremental(eng.wh, "mec", "SELECT * FROM muc_full",
+        "SELECT * FROM muc_delta", "merge", Seq("id"), "ignore", Nil,
+        fullRefresh = false, mergeExcludeColumns = Seq("name"))
+    val rows2 = eng.wh.read("mec").orderBy("id").collect()
+    assert(rows2(1).getString(1) === "b" && rows2(1).getLong(2) === 99L)
+  }
+
   test("namespaces isolate two engines on one SparkSession") {
     // same model names, same session; only the namespace differs —
     // without prefixes the second run would clobber the first's views
