@@ -189,7 +189,14 @@ final case class UnitTestNode(
     given: Map[String, Seq[Map[String, Any]]], // ref/source name -> rows
     expect: Seq[Map[String, Any]],
     config: NodeConfig = NodeConfig(),
-    dependsOn: Seq[String] = Nil) extends Node {
+    dependsOn: Seq[String] = Nil,
+    /** fixture-scoped overrides (reference `UnitTestOverrides`,
+      * `unit_test_definition.py:40-44`): vars and env_vars replace the
+      * project's values for this test's render only. Macro overrides
+      * n/a (materializations are Scala strategies here).
+      */
+    overrideVars: Map[String, String] = Map.empty,
+    overrideEnvVars: Map[String, String] = Map.empty) extends Node {
   val resourceType = "unit_test"
 }
 

@@ -147,7 +147,11 @@ object Template {
         * slot → field → value (reference `store_result`/`load_result`,
         * `core/dbt/context/providers.py:859-981`).
         */
-      results: Map[String, Map[String, String]] = Map.empty)
+      results: Map[String, Map[String, String]] = Map.empty,
+      /** env_var values that shadow the process environment (unit-test
+        * overrides, A13).
+        */
+      envOverrides: Map[String, String] = Map.empty)
 
   private val builtinRe: Regex =
     """\{\{\s*([a-z_][a-z0-9_.]*)\s*\}\}""".r
@@ -183,8 +187,10 @@ object Template {
     })
     // A26 function-style builtins (reference `core/dbt/context/base.py`)
     out = envVarRe.replaceAllIn(out, m => {
-      val v = sys.env.get(m.group(1)).orElse(Option(m.group(2))).getOrElse(
-        throw new IllegalArgumentException(s"env_var ${m.group(1)} is undefined"))
+      val v = ctx.envOverrides.get(m.group(1))
+        .orElse(sys.env.get(m.group(1)))
+        .orElse(Option(m.group(2))).getOrElse(
+          throw new IllegalArgumentException(s"env_var ${m.group(1)} is undefined"))
       Regex.quoteReplacement(v)
     })
     out = localMd5Re.replaceAllIn(out, m => Regex.quoteReplacement(

@@ -419,7 +419,9 @@ final class Engine(
         .getOrElse(relationName(manifest.resolveRef(name).get)),
       resolveSource = (s, t) => fixtureViews.find(_._1 == s"$s.$t").map(_._2)
         .getOrElse(relationName(manifest.resolveSource(s, t).get)),
-      thisRelation = relationName(model)))
+      thisRelation = relationName(model))
+      // fixture-scoped overrides shadow project vars / process env
+      .copy(vars = vars ++ u.overrideVars, envOverrides = u.overrideEnvVars))
     val diff = Materializer.runUnitTest(spark, sql,
       fixtureViews.map(f => f._2 -> f._3).toMap, rowsToDf(u.expect))
     diff.foreach(msg => throw new IllegalStateException(s"unit test ${u.name}: $msg"))

@@ -659,6 +659,38 @@ class EngineSpec extends SparkSpec {
     assert(engC.wh.exists("envc__stg_orders")) // registered from A's data
   }
 
+  test("unit test overrides shadow project vars and env vars") {
+    val proj = baseProject + ("models/cutoffed.sql" ->
+      """SELECT o_custkey FROM {{ ref('stg_orders') }}
+        |WHERE o_orderdate >= '{{ var('cutoff') }}'
+        |  AND '{{ env_var('GRAFT_UT_FLAG', 'off') }}' = 'on'""".stripMargin)
+    val eng0 = Engine.fromProject(spark, writeProject(proj), tmpDir("wh"))
+    val rows = Seq(
+      Map("o_custkey" -> 1L, "o_orderdate" -> java.sql.Timestamp.valueOf("1997-06-01 00:00:00")),
+      Map("o_custkey" -> 2L, "o_orderdate" -> java.sql.Timestamp.valueOf("1990-01-01 00:00:00")))
+    // overridden cutoff excludes the 1997 row too; env flag turns the query on
+    val ut = UnitTestNode(
+      name = "ut_cutoff", model = "cutoffed",
+      given = Map("stg_orders" -> rows),
+      expect = Seq(Map("o_custkey" -> 99L)),
+      overrideVars = Map("cutoff" -> "1998-01-01"),
+      overrideEnvVars = Map("GRAFT_UT_FLAG" -> "on"))
+    // expect no rows -> expect fixture with a row must FAIL; then the
+    // correct empty expectation is impossible to express with rows, so
+    // assert via the passing variant: cutoff override keeps only nothing,
+    // while the project cutoff (1996) would keep custkey 1
+    val engFail = new Engine(spark,
+      Manifest(eng0.manifest.nodes + (ut.uniqueId -> ut)), tmpDir("wh2"))
+    assert(engFail.test(select = Seq("ut_cutoff")).head.status === "fail")
+    val utPass = ut.copy(name = "ut_cutoff2",
+      overrideVars = Map("cutoff" -> "1995-01-01"),
+      expect = Seq(Map("o_custkey" -> 1L)))
+    val engPass = new Engine(spark,
+      Manifest(eng0.manifest.nodes + (utPass.uniqueId -> utPass)), tmpDir("wh3"))
+    val res = engPass.test(select = Seq("ut_cutoff2"))
+    assert(res.head.status === "pass", res.mkString("\n"))
+  }
+
   test("unit test fixtures infer boolean, date, decimal columns") {
     val proj = baseProject + ("models/flags.sql" ->
       """SELECT o_custkey, is_big, day, amt
