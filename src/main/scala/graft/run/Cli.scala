@@ -70,8 +70,12 @@ object Cli {
             println(s"compiled ${m.name} -> $out")
           }
       case "show" =>
-        engine.show(opts.getOrElse("inline", sys.error("--inline '<sql>' required")),
-          opts.getOrElse("limit", "5").toInt).show(truncate = false)
+        val limit = opts.getOrElse("limit", "5").toInt
+        (opts.get("inline"), select.headOption) match {
+          case (Some(sql), _) => engine.show(sql, limit).show(truncate = false)
+          case (None, Some(model)) => engine.showModel(model, limit).show(truncate = false)
+          case _ => sys.error("show needs --inline '<sql>' or --select <model>")
+        }
       case "freshness" =>
         engine.sourceFreshness().toSeq.sortBy(_._1).foreach {
           case (id, (status, age)) => println(f"$status%-6s $id age=${age}%.0fs")

@@ -493,6 +493,18 @@ final class Engine(
     spark.sql(rendered).limit(limit)
   }
 
+  /** `dbt show --select <model>`: preview a model's compiled SQL with
+    * an injected limit — upstream relations must already exist, as in
+    * the reference.
+    */
+  def showModel(name: String, limit: Int = 5): DataFrame =
+    manifest.resolveRef(name) match {
+      case Some(m: ModelNode) => spark.sql(compile(m)).limit(limit)
+      case Some(other) => throw new IllegalArgumentException(
+        s"show: ${other.uniqueId} is not a model")
+      case None => throw new IllegalArgumentException(s"show: unknown model $name")
+    }
+
   /** Source freshness for all sources with a loaded_at_field. */
   def sourceFreshness(): Map[String, (String, Double)] =
     manifest.sources.values.flatMap { s =>

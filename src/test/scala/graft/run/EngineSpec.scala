@@ -315,6 +315,8 @@ class EngineSpec extends SparkSpec {
     eng.run()
     val df = eng.show("SELECT * FROM {{ ref('fct_spend') }} ORDER BY o_custkey", limit = 3)
     assert(df.count() === 3)
+    assert(eng.showModel("fct_spend", limit = 4).count() === 4)
+    assertThrows[IllegalArgumentException](eng.showModel("nope"))
   }
 
   test("project-level snapshots and seeds load and run") {
