@@ -46,6 +46,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), p)
   }
 
+  test("q49: document-frequency side broadcasts, no cartesian anywhere") {
+    val p = plan("q49_tfidf_top_terms")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q26: posting-list pair topology has no join at all") {
+    // the pair kernel is groupBy→explode→groupBy: any Join operator
+    // would mean the old double-scan self-join crept back in
+    val p = plan("q26_ngram_jaccard_pairs")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("pair_combos") || p.contains("PairCombos") ||
+      p.contains("Generate"), p)
+  }
+
+  test("q51: multimodal extraction stays a single mapPartitions pipeline") {
+    val p = plan("q51_multimodal_rollup")
+    assert(p.contains("MapPartitions"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("whole-stage codegen active on the scan-agg path") {
     // AQE finalizes the plan lazily; execute first, then inspect
     val df = SparkEntry.queries("q02_agg_pricing_summary")(spark, sf)
