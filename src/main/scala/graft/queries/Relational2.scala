@@ -112,6 +112,45 @@ object Relational2 {
         .orderBy("o_orderstatus")
     },
 
+    // Skew-safe JOIN: the join-side sibling of q39's salted aggregate.
+    // 6M lineitems collapse onto 5 hot keys — a plain shuffle join
+    // sends each hot key to ONE reducer (5 of 32 cores busy at
+    // 100 TB). Salting: each fact row gets a deterministic salt, the
+    // dim is replicated once per salt value, the join keys on
+    // (key, salt) → 40 evenly-loaded partitions. The dim is NOT
+    // broadcast on purpose — the pattern exists for dims too big to
+    // broadcast; shuffle-hash is forced to keep the demo honest. The
+    // oracle checks the salted plan equals the plain join.
+    QueryDef(
+      "q52_salted_join",
+      """WITH dim(hot_key, label) AS (
+        |  VALUES (0, 'alpha'), (1, 'bravo'), (2, 'charlie'), (3, 'delta'), (4, 'echo')
+        |)
+        |SELECT label,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS total_qty
+        |FROM lineitem JOIN dim ON l_orderkey % 5 = hot_key
+        |GROUP BY label ORDER BY label""".stripMargin) { (s, dir) =>
+      val labels = Seq("alpha", "bravo", "charlie", "delta", "echo")
+      val nSalts = 8
+      val dim = s.createDataFrame(labels.zipWithIndex.map { case (l, k) => (k.toLong, l) })
+        .toDF("hot_key", "label")
+      val dimSalted = dim.crossJoin(
+        s.range(nSalts).select(col("id").cast("int").as("salt")))
+      val li = Tables.load(s, dir, "lineitem")
+        .select(
+          (col("l_orderkey") % 5).as("hot_key"),
+          (col("l_linenumber") % nSalts).cast("int").as("salt"),
+          col("l_quantity"))
+      li.join(dimSalted.hint("shuffle_hash"), Seq("hot_key", "salt"))
+        .groupBy("label")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(20, 4)))
+            .cast("double").as("total_qty"))
+        .orderBy("label")
+    },
+
     // B14: correlated EXISTS / NOT EXISTS pair.
     QueryDef(
       "q40_exists_correlated",
