@@ -20,7 +20,14 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * Relations are exposed to SQL as temp views named `name` so rendered
   * model SQL can reference them like warehouse tables.
   */
-final class Warehouse(val spark: SparkSession, val root: String) {
+final class Warehouse(val spark: SparkSession, val root: String,
+    /** Auto-compaction threshold: when an append pushes a relation's
+      * commit log past this many directories, it is rewritten into one
+      * (the background-OPTIMIZE policy small-file mitigation needs at
+      * scale). 0 disables — appends stay O(delta) forever and
+      * compaction is manual via [[compact]].
+      */
+    val maxCommits: Int = 0) {
 
   private final case class RelState(paths: Seq[String], nextVersion: Int,
       isView: Boolean, isCatalog: Boolean = false)
@@ -65,6 +72,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       relations(name) = RelState(newPaths, st.nextVersion + 1, isView = false)
       spark.read.parquet(newPaths: _*).createOrReplaceTempView(name)
     }
+    if (maxCommits > 0 && commitCount(name) > maxCommits) compact(name)
   }
 
   /** Register a (lazy) view — Catalyst composes the plan into

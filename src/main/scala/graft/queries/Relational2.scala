@@ -151,6 +151,28 @@ object Relational2 {
         .orderBy("label")
     },
 
+    // B9 exact percentiles: sort-based `percentile` (Spark) vs
+    // `quantile_cont` (DuckDB) — both interpolate a + (b-a)·frac at
+    // pos = q·(n-1). l_quantity holds small integers and q is a
+    // quarter-fraction, so every intermediate is exactly representable
+    // and the doubles compare bit-equal with no rounding dance. (The
+    // approximate sketch variant is q38.)
+    QueryDef(
+      "q53_percentiles",
+      """SELECT l_returnflag,
+        |       CAST(quantile_cont(l_quantity, 0.25) AS DOUBLE) AS p25_qty,
+        |       CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE) AS median_qty,
+        |       CAST(quantile_cont(l_quantity, 0.75) AS DOUBLE) AS p75_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_quantity, 0.25)").as("p25_qty"),
+          expr("percentile(l_quantity, 0.5)").as("median_qty"),
+          expr("percentile(l_quantity, 0.75)").as("p75_qty"))
+        .orderBy("l_returnflag")
+    },
+
     // B14: correlated EXISTS / NOT EXISTS pair.
     QueryDef(
       "q40_exists_correlated",

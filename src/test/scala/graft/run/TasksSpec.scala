@@ -188,6 +188,13 @@ class TasksSpec extends SparkSpec {
     assert(eng.wh.commitCount("cmp") === 1)
     assert(eng.wh.read("cmp").agg(sum("id")).head().getLong(0) === before)
     assert(eng.wh.read("cmp").count() === 25)
+    // auto-compaction: appends past maxCommits collapse the log
+    val wh2 = new graft.exec.Warehouse(spark, tmpDir("wh_auto"), maxCommits = 3)
+    wh2.writeTable("ac", spark.range(10).toDF("id"))
+    (1 to 5).foreach(i =>
+      wh2.appendTable("ac", spark.range(10L * i, 10L * i + 5).toDF("id")))
+    assert(wh2.commitCount("ac") <= 3, s"log=${wh2.commitCount("ac")}")
+    assert(wh2.read("ac").count() === 35)
   }
 
   test("streaming model node feeds downstream batch model in one DAG run") {
