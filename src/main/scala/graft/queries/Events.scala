@@ -86,6 +86,81 @@ object Events {
           date_trunc("day", col("ts")).as("day"))
         .agg(min("event_id").cast("long").as("first_event_id"))
         .orderBy("user_id", "event_type", "day")
+    },
+
+    // B11 frames: per-customer running spend over an explicit
+    // ROWS BETWEEN frame. Tie-free ordering (date, orderkey) keeps the
+    // cumulative sums deterministic; decimal cumsum is exact in both
+    // engines. Key restriction bounds the verified output, not the
+    // computation shape.
+    QueryDef(
+      "q54_running_spend",
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(ROW_NUMBER() OVER w AS BIGINT) AS order_seq,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4)))
+        |            OVER (PARTITION BY o_custkey
+        |                  ORDER BY o_orderdate, o_orderkey
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            AS DOUBLE) AS running_spend
+        |FROM orders WHERE o_custkey < 50
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, order_seq""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      val frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.load(s, dir, "orders")
+        .filter(col("o_custkey") < 50)
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          row_number().over(w).cast("long").as("order_seq"),
+          sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(20, 4)))
+            .over(frame).cast("double").as("running_spend"))
+        .orderBy("o_custkey", "order_seq")
+    },
+
+    // Event funnel: users progressing view → click → purchase in
+    // temporal order — each step's earliest qualifying timestamp must
+    // follow the previous step's. The per-step min-reduce keeps every
+    // stage a groupBy (no window over the raw event log), and step
+    // tables shrink monotonically, so the joins get cheaper as the
+    // funnel deepens — the scalable funnel topology.
+    QueryDef(
+      "q55_event_funnel",
+      """WITH v AS (
+        |  SELECT user_id, MIN(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id
+        |), c AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t2
+        |  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+        |  WHERE e.event_type = 'click' GROUP BY e.user_id
+        |), p AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t3
+        |  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+        |  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+        |)
+        |SELECT step, CAST(n AS BIGINT) AS n_users FROM (
+        |  SELECT 'step1_view' AS step, COUNT(*) AS n FROM v
+        |  UNION ALL SELECT 'step2_click', COUNT(*) FROM c
+        |  UNION ALL SELECT 'step3_purchase', COUNT(*) FROM p
+        |) t ORDER BY step""".stripMargin) { (s, dir) =>
+      val ev = Tables.load(s, dir, "events").select("user_id", "event_type", "ts")
+      def step(of: String, after: org.apache.spark.sql.DataFrame,
+          afterCol: String, out: String) =
+        ev.filter(col("event_type") === of)
+          .join(after, Seq("user_id"))
+          .filter(col("ts") > col(afterCol))
+          .groupBy("user_id").agg(min("ts").as(out))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      val c = step("click", v, "t1", "t2")
+      val p = step("purchase", c, "t2", "t3")
+      def cnt(df: org.apache.spark.sql.DataFrame, label: String) =
+        df.agg(count(lit(1)).cast("long").as("n_users"))
+          .select(lit(label).as("step"), col("n_users"))
+      cnt(v, "step1_view")
+        .unionByName(cnt(c, "step2_click"))
+        .unionByName(cnt(p, "step3_purchase"))
+        .orderBy("step")
     }
   )
 }
