@@ -67,6 +67,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("partitioned warehouse tables prune partitions at the scan") {
+    import org.apache.spark.sql.functions._
+    val wh = new graft.exec.Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("plan_wh").toString)
+    wh.writeTable("events_part",
+      graft.Tables.load(spark, sf, "events")
+        .withColumn("day", to_date(col("ts"))),
+      partitionBy = Seq("day"))
+    val filtered = wh.read("events_part")
+      .filter(col("day") === "2024-01-02")
+    val p = filtered.queryExecution.executedPlan.toString
+    // Catalyst turns the day predicate into a PartitionFilter — only
+    // that directory is listed/read, the rest never open
+    assert(p.contains("PartitionFilters: [") && p.contains("day"), p)
+    assert(filtered.count() > 0)
+  }
+
   test("whole-stage codegen active on the scan-agg path") {
     // AQE finalizes the plan lazily; execute first, then inspect
     val df = SparkEntry.queries("q02_agg_pricing_summary")(spark, sf)
