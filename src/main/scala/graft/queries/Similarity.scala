@@ -236,6 +236,71 @@ object Similarity {
         .filter(col("rn") <= 3)
         .select("qid", "cid", "cell", "sqdist", "rn")
         .orderBy("qid", "rn")
+    },
+
+    // Sign-random-projection LSH (Charikar 2002): 8 deterministic
+    // ±1 hyperplanes (signs seeded from md5 parity, identical in both
+    // engines) → 8-bit signature → bucket-equality join = candidate
+    // pairs → exact cosine verify. The third ANN topology next to IVF
+    // (q31/q50): no centroids, no training, candidates shuffle on the
+    // signature. Projection dots are rounded to 6 decimals BEFORE the
+    // sign so engine summation order can't flip a boundary bit.
+    QueryDef(
+      "q56_srp_lsh_candidates",
+      s"""WITH idx AS (SELECT unnest(range(1, 65)) AS i),
+         |bits AS (SELECT unnest(range(8)) AS j),
+         |signs AS (
+         |  SELECT i, j, CASE WHEN STRPOS('01234567', SUBSTR(MD5(i || 'x' || j), 1, 1)) > 0
+         |               THEN 1.0 ELSE -1.0 END AS sgn
+         |  FROM idx CROSS JOIN bits
+         |), proj AS (
+         |  SELECT e.vec_id, s.j,
+         |         ROUND(SUM(CAST(e.embedding[s.i] AS DOUBLE) * s.sgn), 6) AS dot
+         |  FROM embeddings e CROSS JOIN signs s GROUP BY e.vec_id, s.j
+         |), sig AS (
+         |  SELECT vec_id,
+         |         STRING_AGG(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS sig
+         |  FROM proj GROUP BY vec_id
+         |), pairs AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.sig AS sig
+         |  FROM sig a JOIN sig b ON a.sig = b.sig AND a.vec_id < b.vec_id
+         |), scored AS (
+         |  SELECT p.vec_a, p.vec_b, p.sig,
+         |         ROUND(${duckDot("ea", "eb")}
+         |               / SQRT(${duckDot("ea", "ea")} * ${duckDot("eb", "eb")}), 6) AS cosine
+         |  FROM pairs p
+         |  JOIN embeddings ea ON ea.vec_id = p.vec_a
+         |  JOIN embeddings eb ON eb.vec_id = p.vec_b
+         |  CROSS JOIN idx
+         |  GROUP BY p.vec_a, p.vec_b, p.sig
+         |)
+         |SELECT vec_a, vec_b, sig, CAST(cosine AS DOUBLE) AS cosine
+         |FROM scored WHERE cosine >= 0.2
+         |ORDER BY vec_a, vec_b""".stripMargin) { (s, dir) =>
+      def md5hex(t: String): String = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      // hyperplane j, dimension i (1-indexed like the SQL): ±1 by the
+      // first md5 hex char's parity — data-independent, tiny, exact
+      val signs: Seq[Array[Float]] = (0 until 8).map(j =>
+        (1 to 64).map(i =>
+          if ("01234567".contains(md5hex(s"${i}x$j").charAt(0))) 1.0f else -1.0f
+        ).toArray)
+      val emb = embParallel(s, dir)
+      val bitCols = signs.map(arr =>
+        when(round(dot(col("embedding"), typedLit(arr)), 6) >= 0, "1").otherwise("0"))
+      val sig = emb.select(col("vec_id"), col("embedding"),
+        concat(bitCols: _*).as("sig"))
+      val aSide = sig.select(col("vec_id").as("vec_a"), col("embedding").as("va"),
+        col("sig"))
+      val bSide = sig.select(col("vec_id").as("vec_b"), col("embedding").as("vb"),
+        col("sig").as("sigb"))
+      val cosine = round(
+        dot(col("va"), col("vb"))
+          / sqrt(dot(col("va"), col("va")) * dot(col("vb"), col("vb"))), 6)
+      aSide.join(bSide, col("sig") === col("sigb") && col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"), col("sig"), cosine.as("cosine"))
+        .filter(col("cosine") >= 0.2)
+        .orderBy("vec_a", "vec_b")
     }
   )
 }
