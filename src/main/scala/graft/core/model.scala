@@ -123,6 +123,7 @@ final case class SourceNode(
     loadedAtField: Option[String] = None,
     freshnessWarnAfterSec: Option[Long] = None,
     freshnessErrorAfterSec: Option[Long] = None,
+    freshnessFilter: Option[String] = None,
     config: NodeConfig = NodeConfig()) extends Node {
   val resourceType = "source"
   def dependsOn: Seq[String] = Nil

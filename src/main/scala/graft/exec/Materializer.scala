@@ -535,9 +535,18 @@ object Materializer {
       loadedAtField: String,
       warnAfterSec: Option[Long],
       errorAfterSec: Option[Long],
-      clock: Clock): (String, Double) = {
-    val maxLoaded = wh.spark.table(relation)
+      clock: Clock,
+      /** optional row filter applied before the max (reference
+        * `loaded_at_query`/`filter`, `freshness.py:118-121`).
+        */
+      filter: Option[String] = None): (String, Double) = {
+    val base = wh.spark.table(relation)
+    val maxLoaded = filter.fold(base)(f => base.filter(expr(f)))
       .agg(max(col(loadedAtField).cast("timestamp"))).head().getTimestamp(0)
+    // no rows (or all-null loaded_at) = never loaded → infinitely stale
+    if (maxLoaded == null)
+      return (if (errorAfterSec.isDefined || warnAfterSec.isEmpty) "error" else "warn",
+        Double.PositiveInfinity)
     val age = (clock().getTime - maxLoaded.getTime) / 1000.0
     val status =
       if (errorAfterSec.exists(age > _)) "error"

@@ -77,6 +77,7 @@ object ProjectLoader {
                 path = tm.getOrElse("path", "").toString,
                 loadedAtField = tm.get("loaded_at_field").map(_.toString),
                 freshnessWarnAfterSec = fresh.flatMap(_.get("warn_after_sec")).map(_.toString.toLong),
+                freshnessFilter = fresh.flatMap(_.get("filter")).map(_.toString),
                 freshnessErrorAfterSec = fresh.flatMap(_.get("error_after_sec")).map(_.toString.toLong))
             }
           }

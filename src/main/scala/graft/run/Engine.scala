@@ -510,7 +510,8 @@ final class Engine(
     manifest.sources.values.flatMap { s =>
       s.loadedAtField.map { f =>
         s.uniqueId -> Materializer.freshness(wh, relationName(s), f,
-          s.freshnessWarnAfterSec, s.freshnessErrorAfterSec, clock)
+          s.freshnessWarnAfterSec, s.freshnessErrorAfterSec, clock,
+          s.freshnessFilter)
       }
     }.toMap
 

@@ -279,6 +279,22 @@ class EngineSpec extends SparkSpec {
     assert(fresh.nonEmpty)
     // orders max(o_orderdate) is ~1998; 2020 clock means very stale age
     assert(fresh.values.head._2 > 0)
+    // freshness filter restricts the max to the filtered subset:
+    // only pre-1995 rows considered -> strictly older max -> larger age
+    val unfilteredAge = fresh.values.head._2
+    val filteredAge = Materializer.freshness(stale.wh,
+      stale.relationName(stale.manifest.resolveSource("main", "orders").get),
+      "o_orderdate", None, None,
+      () => java.sql.Timestamp.valueOf("2020-01-01 00:00:00"),
+      filter = Some("o_orderdate < TIMESTAMP '1998-01-01 00:00:00'"))._2
+    assert(filteredAge > unfilteredAge)
+    // empty filtered subset = never loaded -> infinitely stale error
+    val (emptyStatus, emptyAge) = Materializer.freshness(stale.wh,
+      stale.relationName(stale.manifest.resolveSource("main", "orders").get),
+      "o_orderdate", None, Some(60L),
+      () => java.sql.Timestamp.valueOf("2020-01-01 00:00:00"),
+      filter = Some("o_orderdate < TIMESTAMP '1900-01-01 00:00:00'"))
+    assert(emptyStatus === "error" && emptyAge.isPosInfinity)
   }
 
   test("build: failing test blocks downstream models") {
