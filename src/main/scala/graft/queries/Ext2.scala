@@ -303,32 +303,88 @@ object Ext2 {
       val pairs = TextOps.shingleOverlapPairs(s, dir)
         .filter(dec6(col("common")) / (col("na") + col("nb") - col("common")) >= 0.2)
         .select("doc_a", "doc_b")
-      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-        .localCheckpoint()
-      var labels = edges.select(col("src").as("node")).distinct()
-        .withColumn("label", col("node")).localCheckpoint()
-      var changed = 1L
-      var rounds = 0
-      while (changed > 0 && rounds < 50) {
-        val prop = edges.join(labels, col("src") === col("node"))
-          .select(col("dst").as("node"), col("label"))
-          .union(labels)
-          .groupBy("node").agg(min("label").as("label"))
-          .localCheckpoint()
-        changed = prop.as("p")
-          .join(labels.withColumnRenamed("label", "old").as("l"), "node")
-          .filter(col("label") =!= col("old")).count()
-        labels = prop
-        rounds += 1
-      }
-      val comp = labels.select(col("node").as("doc_id"), col("label").as("group_id"))
+      val comp = TextOps.connectedComponents(pairs)
       val sizes = comp.groupBy("group_id").agg(count(lit(1)).as("group_size"))
       comp.join(sizes, "group_id")
         .select(col("doc_id"), col("group_id"),
           col("group_size").cast("long").as("group_size"),
           (col("doc_id") === col("group_id")).as("keep"))
         .orderBy("doc_id")
+    },
+
+    // The dedup RETENTION POLICY end to end — what a training pipeline
+    // actually ships: exact dedup first (md5 fingerprint, keep lowest
+    // doc_id), then near-dup connected components over the SURVIVORS
+    // (shingle-Jaccard edges → min-label groups, keep lowest per
+    // group). Output = per-language surviving corpus counts. Staging
+    // exact-dedup first shrinks the expensive pair join's input — the
+    // order every production dedup uses.
+    QueryDef(
+      "q57_dedup_retention",
+      """WITH RECURSIVE fp AS (
+        |  SELECT doc_id, lang, text, MD5(LOWER(text)) AS fingerprint FROM documents
+        |), exact_kept AS (
+        |  SELECT doc_id, lang, text FROM (
+        |    SELECT doc_id, lang, text,
+        |           ROW_NUMBER() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+        |    FROM fp) t WHERE rn = 1
+        |), tok AS (
+        |  SELECT doc_id, w, pos FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+        |           generate_subscripts(string_split(text, ' '), 1) AS pos
+        |    FROM exact_kept) t
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |         w || ' ' || LEAD(w, 1) OVER win || ' ' || LEAD(w, 2) OVER win AS shingle
+        |  FROM tok
+        |  WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+        |  QUALIFY LEAD(w, 2) OVER win IS NOT NULL
+        |), card AS (
+        |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+        |), pairs AS (
+        |  SELECT doc_a, doc_b FROM (
+        |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+        |    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |    GROUP BY a.doc_id, b.doc_id) p
+        |  JOIN card ca ON ca.doc_id = doc_a
+        |  JOIN card cb ON cb.doc_id = doc_b
+        |  WHERE CAST(common AS DECIMAL(20,6)) / (ca.n + cb.n - common) >= 0.2
+        |), edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs
+        |), reach(node, label) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+        |), comp AS (
+        |  SELECT node AS doc_id, MIN(label) AS group_id FROM reach GROUP BY node
+        |), surviving AS (
+        |  SELECT k.doc_id, k.lang FROM exact_kept k
+        |  LEFT JOIN comp c ON c.doc_id = k.doc_id
+        |  WHERE c.doc_id IS NULL OR c.group_id = k.doc_id
+        |)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_surviving
+        |FROM surviving GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.load(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+      val wFp = Window.partitionBy(md5(lower(col("text")))).orderBy("doc_id")
+      val exactKept = d
+        .withColumn("rn", row_number().over(wFp))
+        .filter(col("rn") === 1)
+        .select("doc_id", "lang", "text")
+        .localCheckpoint() // reused by pairs AND the final anti side
+      val dec6 = (c: org.apache.spark.sql.Column) =>
+        c.cast(org.apache.spark.sql.types.DecimalType(20, 6))
+      val pairs = TextOps.shingleOverlapPairsOf(exactKept)
+        .filter(dec6(col("common")) / (col("na") + col("nb") - col("common")) >= 0.2)
+        .select("doc_a", "doc_b")
+      val comp = TextOps.connectedComponents(pairs)
+      val surviving = exactKept.join(comp, Seq("doc_id"), "left")
+        .filter(col("group_id").isNull || col("group_id") === col("doc_id"))
+      surviving.groupBy("lang")
+        .agg(count(lit(1)).as("n_surviving"))
+        .orderBy("lang")
     },
 
     // Multimodal pipeline end-to-end under the oracle gate: documents →

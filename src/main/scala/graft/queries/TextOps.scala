@@ -50,8 +50,15 @@ object TextOps {
     * the posting structs, so no cardinality joins afterwards.
     */
   private[queries] def shingleOverlapPairs(
-      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
-    val sh = docs(s, dir)
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    shingleOverlapPairsOf(docs(s, dir))
+
+  /** Same pair kernel over an arbitrary (doc_id, text) corpus slice —
+    * q57 runs it on the exact-dedup survivors only.
+    */
+  private[queries] def shingleOverlapPairsOf(
+      corpus: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val sh = corpus
       .select(col("doc_id"), shingles3(wordsCol).as("shs"))
       .select(col("doc_id"), size(col("shs")).cast("long").as("n"),
         explode(col("shs")).as("shingle"))
@@ -62,6 +69,36 @@ object TextOps {
       .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
         col("p.na").as("na"), col("p.nb").as("nb"))
       .agg(count(lit(1)).as("common"))
+  }
+
+  /** Min-label propagation to fixpoint over undirected (doc_a, doc_b)
+    * edges → (doc_id, group_id = min doc of the component). One
+    * shuffle join per round, rounds = component diameter; lineage cut
+    * per round via localCheckpoint (reliable checkpoint dir on a real
+    * cluster). Shared by q48/q57.
+    */
+  private[queries] def connectedComponents(
+      pairs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val prop = edges.join(labels, col("src") === col("node"))
+        .select(col("dst").as("node"), col("label"))
+        .union(labels)
+        .groupBy("node").agg(min("label").as("label"))
+        .localCheckpoint()
+      changed = prop.as("p")
+        .join(labels.withColumnRenamed("label", "old").as("l"), "node")
+        .filter(col("label") =!= col("old")).count()
+      labels = prop
+      rounds += 1
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("group_id"))
   }
 
   val queries: Seq[QueryDef] = Seq(
