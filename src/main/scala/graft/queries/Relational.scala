@@ -239,7 +239,7 @@ object Relational {
       "q11_top3_orders_with_lag",
       """SELECT * FROM (
         |  SELECT o_custkey, o_orderkey,
-        |         CAST(o_totalprice AS DECIMAL(20,4)) AS price,
+        |         CAST(CAST(o_totalprice AS DECIMAL(20,4)) AS DOUBLE) AS price,
         |         ROW_NUMBER() OVER w AS rn,
         |         CAST(COALESCE(LAG(CAST(o_totalprice AS DECIMAL(20,4))) OVER w, 0) AS DOUBLE) AS prev_price,
         |         CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4)))
@@ -255,7 +255,10 @@ object Relational {
       Tables.load(s, dir, "orders")
         .select(
           col("o_custkey"), col("o_orderkey"),
-          dec(col("o_totalprice")).as("price"),
+          // DECIMAL(20,4) renders differently between Spark and DuckDB under the
+          // driver's hash normalization; the value is exact at scale 4, so the
+          // DOUBLE conversion is the same round-to-nearest on both engines.
+          dec(col("o_totalprice")).cast("double").as("price"),
           row_number().over(w).as("rn"),
           coalesce(lag(dec(col("o_totalprice")), 1).over(w), lit(0))
             .cast("double").as("prev_price"),
