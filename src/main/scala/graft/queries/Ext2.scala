@@ -252,9 +252,10 @@ object Ext2 {
     // lowest doc_id per group, drop the rest). Spark side is the
     // standard scalable CC loop: iterate `label := min(label over
     // neighbors ∪ self)` to fixpoint — each round one shuffle join, no
-    // driver-side graph; lineage truncated per round (localCheckpoint
-    // here; a reliable checkpoint dir on a real cluster). Rounds needed
-    // = component diameter, which for dedup clusters is tiny. Oracle =
+    // driver-side graph; each round reliably materialized (parquet
+    // scratch dir; HDFS/object storage on a real cluster) with the
+    // convergence tally folded into the same job. Rounds needed =
+    // component diameter, which for dedup clusters is tiny. Oracle =
     // DuckDB recursive CTE computing the same fixpoint.
     QueryDef(
       "q48_dedup_groups",
@@ -271,10 +272,13 @@ object Ext2 {
         |  QUALIFY LEAD(w, 2) OVER win IS NOT NULL
         |), card AS (
         |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+        |), ok AS (
+        |  SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 128
         |), pairs AS (
         |  SELECT doc_a, doc_b FROM (
         |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
         |    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |    JOIN ok ON ok.shingle = a.shingle
         |    GROUP BY a.doc_id, b.doc_id) p
         |  JOIN card ca ON ca.doc_id = doc_a
         |  JOIN card cb ON cb.doc_id = doc_b
@@ -341,10 +345,13 @@ object Ext2 {
         |  QUALIFY LEAD(w, 2) OVER win IS NOT NULL
         |), card AS (
         |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+        |), ok AS (
+        |  SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 128
         |), pairs AS (
         |  SELECT doc_a, doc_b FROM (
         |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
         |    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |    JOIN ok ON ok.shingle = a.shingle
         |    GROUP BY a.doc_id, b.doc_id) p
         |  JOIN card ca ON ca.doc_id = doc_a
         |  JOIN card cb ON cb.doc_id = doc_b
@@ -373,7 +380,10 @@ object Ext2 {
         .withColumn("rn", row_number().over(wFp))
         .filter(col("rn") === 1)
         .select("doc_id", "lang", "text")
-        .localCheckpoint() // reused by pairs AND the final anti side
+        // reused by pairs AND the final anti side; cache (not
+        // localCheckpoint) so a lost block recomputes from lineage
+        // instead of failing the job
+        .persist()
       val dec6 = (c: org.apache.spark.sql.Column) =>
         c.cast(org.apache.spark.sql.types.DecimalType(20, 6))
       val pairs = TextOps.shingleOverlapPairsOf(exactKept)

@@ -53,6 +53,18 @@ object TextOps {
       s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
     shingleOverlapPairsOf(docs(s, dir))
 
+  /** Stop-shingle document-frequency cap for the pair kernel. A shingle
+    * shared by more than this many documents (boilerplate, common
+    * phrases) contributes O(df²) candidate pairs and no dedup signal —
+    * its posting list is dropped BEFORE pair expansion, bounding any
+    * single posting list's pair fan-out at cap²/2 regardless of corpus
+    * size. Per-doc shingle cardinalities (`n`) are computed before the
+    * cap, so Jaccard denominators are unaffected. The same cap is in
+    * every consuming oracle SQL (q26/q48/q57), so semantics match
+    * engine-for-engine. 128 is >5× the max observed df at sf0.1 (25).
+    */
+  private[queries] val StopShingleDf = 128
+
   /** Same pair kernel over an arbitrary (doc_id, text) corpus slice —
     * q57 runs it on the exact-dedup survivors only.
     */
@@ -64,7 +76,7 @@ object TextOps {
         explode(col("shs")).as("shingle"))
     sh.groupBy("shingle")
       .agg(collect_list(struct(col("doc_id"), col("n"))).as("ds"))
-      .filter(size(col("ds")) >= 2)
+      .filter(size(col("ds")).between(2, StopShingleDf))
       .select(explode(graft.functions.TextExprs.pairCombos(col("ds"))).as("p"))
       .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
         col("p.na").as("na"), col("p.nb").as("nb"))
@@ -73,30 +85,64 @@ object TextOps {
 
   /** Min-label propagation to fixpoint over undirected (doc_a, doc_b)
     * edges → (doc_id, group_id = min doc of the component). One
-    * shuffle join per round, rounds = component diameter; lineage cut
-    * per round via localCheckpoint (reliable checkpoint dir on a real
-    * cluster). Shared by q48/q57.
+    * shuffle join per round, rounds = component diameter. Shared by
+    * q48/q57.
+    *
+    * Cluster-hardened vs the localCheckpoint formulation:
+    * (1) each round materializes to parquet in a scratch dir and reads
+    * back — a RELIABLE lineage cut (on a cluster the dir is HDFS/object
+    * storage), so a lost executor costs a re-read of the last round,
+    * not a from-scratch recompute of every prior round (localCheckpoint
+    * pins executor-local blocks; `Dataset.checkpoint` runs a second
+    * recompute job for the write);
+    * (2) ONE job per round — each node's previous label rides through
+    * the propagation aggregation (`min` over neighbor labels ∪ self,
+    * with `old` carried on the self row only) and the convergence tally
+    * is an accumulator tap inside the same write job, not a second
+    * join+count action. Accumulator over-count on task retry only costs
+    * one extra round; a converged round reports 0 changes regardless of
+    * retries, so termination is exact.
     */
   private[queries] def connectedComponents(
       pairs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node")).localCheckpoint()
+    val spark = pairs.sparkSession
+    val ckRoot = java.nio.file.Files.createTempDirectory("graft-cc").toString
+    def materialize(df: org.apache.spark.sql.DataFrame,
+        name: String): org.apache.spark.sql.DataFrame = {
+      df.write.mode("overwrite").parquet(s"$ckRoot/$name")
+      spark.read.parquet(s"$ckRoot/$name")
+    }
+    val edges = materialize(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))),
+      "edges")
+    var labels = materialize(
+      edges.select(col("src").as("node")).distinct()
+        .withColumn("label", col("node")),
+      "labels_0")
+    val labelType = labels.schema("label").dataType
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 50) {
-      val prop = edges.join(labels, col("src") === col("node"))
-        .select(col("dst").as("node"), col("label"))
-        .union(labels)
-        .groupBy("node").agg(min("label").as("label"))
-        .localCheckpoint()
-      changed = prop.as("p")
-        .join(labels.withColumnRenamed("label", "old").as("l"), "node")
-        .filter(col("label") =!= col("old")).count()
-      labels = prop
+      val acc = spark.sparkContext.longAccumulator(s"cc-changed-r$rounds")
+      val fromNeighbors = edges.join(labels, col("src") === col("node"))
+        .select(col("dst").as("node"), col("label"),
+          lit(null).cast(labelType).as("old"))
+      val self = labels.select(col("node"), col("label"),
+        col("label").as("old"))
+      // accumulator tap rides INSIDE the write plan (a `Dataset.rdd`
+      // detour would register a second execution per round); the udf
+      // column is materialized by the parquet write, costing nothing
+      // beyond the write itself
+      val tallyChanged = udf { chg: Boolean => if (chg) acc.add(1); chg }
+      val prop = fromNeighbors.union(self)
+        .groupBy("node")
+        .agg(min("label").as("label"), min("old").as("old"))
+        .withColumn("chg", tallyChanged(col("label") =!= col("old")))
+        .select("node", "label", "chg")
       rounds += 1
+      labels = materialize(prop, s"labels_$rounds").select("node", "label")
+      changed = acc.value
     }
     labels.select(col("node").as("doc_id"), col("label").as("group_id"))
   }
@@ -326,9 +372,12 @@ object TextOps {
         |  QUALIFY LEAD(w, 2) OVER win IS NOT NULL
         |), card AS (
         |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+        |), ok AS (
+        |  SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 128
         |), pairs AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  JOIN ok ON ok.shingle = a.shingle
         |  GROUP BY a.doc_id, b.doc_id
         |)
         |SELECT doc_a, doc_b,

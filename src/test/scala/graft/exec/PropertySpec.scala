@@ -95,40 +95,6 @@ class PropertySpec extends SparkSpec {
     }
   }
 
-  test("property: q48 min-label propagation yields valid components") {
-    // random undirected edge sets → the q48 loop's invariants: both
-    // endpoints of every edge share a group, each group's id is its
-    // minimum member, every edge-touched node is labelled
-    val edgeGen = Gen.listOfN(25, for {
-      a <- Gen.choose(0L, 14L); b <- Gen.choose(0L, 14L) if a != b
-    } yield if (a < b) (a, b) else (b, a))
-    for (seedN <- 1 to 4) {
-      val edgesSeq = edgeGen.apply(Gen.Parameters.default, Seed(seedN.toLong))
-        .get.distinct
-      val pairs = edgesSeq.toDF("doc_a", "doc_b")
-      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      var labels = edges.select(col("src").as("node")).distinct()
-        .withColumn("label", col("node")).localCheckpoint()
-      var changed = 1L
-      while (changed > 0) {
-        val prop = edges.join(labels, col("src") === col("node"))
-          .select(col("dst").as("node"), col("label"))
-          .union(labels)
-          .groupBy("node").agg(min("label").as("label")).localCheckpoint()
-        changed = prop.as("p")
-          .join(labels.withColumnRenamed("label", "old").as("l"), "node")
-          .filter(col("label") =!= col("old")).count()
-        labels = prop
-      }
-      val lbl = labels.as[(Long, Long)].collect().toMap
-      assert(lbl.keySet === edgesSeq.flatMap(e => Seq(e._1, e._2)).toSet)
-      // endpoints agree
-      edgesSeq.foreach { case (a, b) =>
-        assert(lbl(a) === lbl(b), s"seed $seedN: edge ($a,$b) split") }
-      // group id = min member
-      lbl.groupBy(_._2).foreach { case (g, members) =>
-        assert(members.keys.min === g, s"seed $seedN: group $g min mismatch") }
-    }
-  }
+  // (the q48 min-label propagation property test moved to
+  // graft.queries.TextOpsSpec, where it runs the real kernel)
 }
