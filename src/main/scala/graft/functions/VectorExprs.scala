@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftshim
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Native vector kernels over float-array columns. The declarative
   * `aggregate(zip_with(a, b, (x,y) => x*y), 0d, _+_)` formulation runs
@@ -19,6 +19,22 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   */
 abstract class VectorBinary extends BinaryExpression {
   override def dataType: DataType = DoubleType
+
+  /** Element accessor resolved from the child's array element type —
+    * float arrays (raw embeddings) and double arrays (k-means
+    * centroids: per-dim means) both widen to double, so mixed-type
+    * distance sweeps stay in one native kernel.
+    */
+  protected def getter(e: Expression): (ArrayData, Int) => Double =
+    e.dataType match {
+      case ArrayType(FloatType, _)  => (a, i) => a.getFloat(i).toDouble
+      case ArrayType(DoubleType, _) => (a, i) => a.getDouble(i)
+      case other => throw new IllegalArgumentException(
+        s"vector kernel needs array<float|double>, got $other")
+    }
+
+  @transient protected lazy val getL: (ArrayData, Int) => Double = getter(left)
+  @transient protected lazy val getR: (ArrayData, Int) => Double = getter(right)
 
   protected def kernel(a: ArrayData, b: ArrayData): Double
 
@@ -38,7 +54,7 @@ case class ArrayDot(left: Expression, right: Expression) extends VectorBinary {
     val n = math.min(a.numElements(), b.numElements())
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    while (i < n) { acc += getL(a, i) * getR(b, i); i += 1 }
     acc
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): ArrayDot =
@@ -53,7 +69,7 @@ case class ArraySqDist(left: Expression, right: Expression) extends VectorBinary
     var acc = 0.0
     var i = 0
     while (i < n) {
-      val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
+      val d = getL(a, i) - getR(b, i)
       acc += d * d
       i += 1
     }

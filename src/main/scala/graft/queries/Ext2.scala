@@ -12,34 +12,43 @@ object Ext2 {
   val queries: Seq[QueryDef] = Seq(
 
     // Embedding-cosine near-duplicate pairs: candidate generation via
-    // IVF cells (same assignment as q31) then exact cosine ≥ threshold
-    // inside each cell — the embedding-space analog of MinHash-band
-    // candidates. No Q×N cross product; the join keys on the cell.
+    // IVF cells (k-means assignment shared with q31/q50) then exact
+    // cosine ≥ threshold inside each cell — the embedding-space analog
+    // of MinHash-band candidates. No Q×N cross product; the join keys
+    // on (cell, sub-band): cells above MaxCellPairFanout are split by
+    // the 8-bit SRP signature so one hot cell (near-identical
+    // embeddings — exactly the dedup case) can't go quadratic.
     QueryDef(
       "q41_cosine_near_dup",
-      s"""WITH idx AS (SELECT unnest(range(1, 65)) AS i),
-         |cents AS (SELECT vec_id AS cent_id, embedding FROM embeddings
-         |          WHERE vec_id % 97 = 0),
-         |d2 AS (
-         |  SELECT e.vec_id, c.cent_id,
-         |         SUM((CAST(e.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))
-         |             * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))) AS sqdist
-         |  FROM embeddings e CROSS JOIN cents c CROSS JOIN idx
-         |  GROUP BY e.vec_id, c.cent_id
-         |), assign AS (
-         |  SELECT vec_id, cent_id FROM (
-         |    SELECT vec_id, cent_id,
-         |           ROW_NUMBER() OVER (PARTITION BY vec_id
-         |                              ORDER BY ROUND(sqdist, 6), cent_id) AS rn
-         |    FROM d2) t WHERE rn = 1
+      s"""WITH ${Similarity.duckKmeans},
+         |bits AS (SELECT unnest(range(8)) AS j),
+         |sgn AS (
+         |  SELECT i, j, CASE WHEN STRPOS('01234567', SUBSTR(MD5(i || 'x' || j), 1, 1)) > 0
+         |               THEN 1.0 ELSE -1.0 END AS sgn
+         |  FROM idx CROSS JOIN bits
+         |), proj AS (
+         |  SELECT e.vec_id, s.j,
+         |         ROUND(SUM(CAST(e.embedding[s.i] AS DOUBLE) * s.sgn), 6) AS dot
+         |  FROM embeddings e CROSS JOIN sgn s GROUP BY e.vec_id, s.j
+         |), sig AS (
+         |  SELECT vec_id,
+         |         STRING_AGG(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS sig
+         |  FROM proj GROUP BY vec_id
+         |), sizes AS (SELECT cent_id, COUNT(*) AS cn FROM assign GROUP BY cent_id
+         |), keyed AS (
+         |  SELECT a.vec_id, a.cent_id,
+         |         CAST(a.cent_id AS VARCHAR) || '#' ||
+         |         CASE WHEN sz.cn > ${Similarity.MaxCellPairFanout}
+         |              THEN g.sig ELSE '' END AS jkey
+         |  FROM assign a
+         |  JOIN sizes sz ON sz.cent_id = a.cent_id
+         |  JOIN sig g ON g.vec_id = a.vec_id
          |), pairs AS (
          |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cent_id AS cell,
-         |         ROUND(SUM(CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE))
-         |               / SQRT(SUM(CAST(ea.embedding[i] AS DOUBLE) * CAST(ea.embedding[i] AS DOUBLE))
-         |                      * SUM(CAST(eb.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE))),
-         |               6) AS cosine
-         |  FROM assign a
-         |  JOIN assign b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+         |         ROUND(${Similarity.duckDot("ea", "eb")}
+         |               / SQRT(${Similarity.duckDot("ea", "ea")}
+         |                      * ${Similarity.duckDot("eb", "eb")}), 6) AS cosine
+         |  FROM keyed a JOIN keyed b ON a.jkey = b.jkey AND a.vec_id < b.vec_id
          |  JOIN embeddings ea ON ea.vec_id = a.vec_id
          |  JOIN embeddings eb ON eb.vec_id = b.vec_id
          |  CROSS JOIN idx
@@ -48,29 +57,11 @@ object Ext2 {
          |SELECT vec_a, vec_b, cell, CAST(cosine AS DOUBLE) AS cosine
          |FROM pairs WHERE cosine >= 0.2
          |ORDER BY vec_a, vec_b""".stripMargin) { (s, dir) =>
-      val dot = graft.functions.VectorExprs.arrayDot _
-      val sq = graft.functions.VectorExprs.arraySqDist _
-      val emb = Tables.load(s, dir, "embeddings")
-        .repartition(s.sparkContext.defaultParallelism)
-      val cents = emb.filter(col("vec_id") % 97 === 0)
-        .select(col("vec_id").as("cent_id"), col("embedding").as("centv"))
-      val d2 = emb.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("cent_id"),
-          round(sq(col("embedding"), col("centv")), 6).as("sqdist"))
-      val wAssign = Window.partitionBy("vec_id").orderBy(col("sqdist"), col("cent_id"))
-      val assign = d2.withColumn("rn", row_number().over(wAssign))
-        .filter(col("rn") === 1).select("vec_id", "cent_id")
-      val withVec = assign.join(emb, "vec_id")
-      val aSide = withVec.select(col("vec_id").as("vec_a"),
-        col("cent_id").as("cell"), col("embedding").as("va"))
-      val bSide = withVec.select(col("vec_id").as("vec_b"),
-        col("cent_id").as("cellb"), col("embedding").as("vb"))
-      val cosine = round(
-        dot(col("va"), col("vb"))
-          / sqrt(dot(col("va"), col("va")) * dot(col("vb"), col("vb"))), 6)
-      aSide.join(bSide,
-          col("cell") === col("cellb") && col("vec_a") < col("vec_b"))
-        .select(col("vec_a"), col("vec_b"), col("cell"), cosine.as("cosine"))
+      val emb = Similarity.embDouble(s, dir)
+      val cents = Similarity.kmeansCentroids(emb)
+      val withVec = Similarity.nearestCell(emb, cents).join(emb, "vec_id")
+        .select(col("vec_id"), col("cent_id").as("cell"), col("embedding"))
+      Similarity.subBandedCellPairs(withVec, Similarity.MaxCellPairFanout)
         .filter(col("cosine") >= 0.2)
         .orderBy("vec_a", "vec_b")
     },

@@ -44,16 +44,161 @@ object Similarity {
     Tables.load(s, dir, "embeddings")
       .repartition(s.sparkContext.defaultParallelism)
 
+  /** Cell-size threshold above which q41's pair join sub-bands by SRP
+    * signature — see subBandedCellPairs. Same literal in the oracle
+    * SQL. Far above the sf0.1 max cell size, so small-SF results are
+    * unchanged; at 100 TB it is the skew ceiling. */
+  private[queries] val MaxCellPairFanout = 512
+
   /** DuckDB twin of dot(): positional list indexing over a 1..64 range. */
-  private def duckDot(a: String, b: String): String =
+  private[queries] def duckDot(a: String, b: String): String =
     s"SUM(CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE))"
 
-  private def duckSqDist(a: String, b: String): String =
+  private[queries] def duckSqDist(a: String, b: String): String =
     s"""SUM((CAST($a.embedding[i] AS DOUBLE) - CAST($b.embedding[i] AS DOUBLE))
        |    * (CAST($a.embedding[i] AS DOUBLE) - CAST($b.embedding[i] AS DOUBLE)))""".stripMargin
 
   private def loadEmb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
+
+  /** embeddings as array<double> (float→double widening is exact on
+    * both engines; kernels and the SQL twins all compute in double).
+    */
+  private[queries] def embDouble(s: SparkSession, dir: String): DataFrame =
+    embParallel(s, dir)
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+
+  /** Deterministic Lloyd k-means: 2 fixed iterations from fixed seeds
+    * (`vec_id % 97 == 0`, ~N/97 cells), per-dim means ROUNDED to 6
+    * decimals before reuse — raw double means differ between engines
+    * by summation order; the rounded values rank identically (oracle
+    * portability rules). Empty cells drop, exactly as in the SQL twin.
+    *
+    * Scale shape: each iteration is one broadcast distance sweep
+    * (centroids ≪ corpus) + one (cell, dim)-keyed mean — no collect,
+    * no driver loop beyond the fixed iteration count.
+    */
+  private[queries] def kmeansCentroids(embD: DataFrame): DataFrame = {
+    var cents = embD.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("centv"))
+    for (_ <- 1 to 2) {
+      cents = nearestCell(embD, cents).join(embD, "vec_id")
+        .select(col("cent_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("cent_id", "pos").agg(round(avg("v"), 6).as("m"))
+        .groupBy("cent_id")
+        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cent_id"), col("pm.m").as("centv"))
+    }
+    cents
+  }
+
+  /** Cells ranked per vector by rounded sqdist, ties on cent_id —
+    * rn = 1 is the IVF assignment, rn ≤ p the probe set. */
+  private[queries] def cellRanks(embD: DataFrame, cents: DataFrame): DataFrame = {
+    val d2 = embD.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"),
+        round(sqDist(col("embedding"), col("centv")), 6).as("sqdist"))
+    val w = Window.partitionBy("vec_id").orderBy(col("sqdist"), col("cent_id"))
+    d2.withColumn("rn", row_number().over(w))
+  }
+
+  private[queries] def nearestCell(embD: DataFrame, cents: DataFrame): DataFrame =
+    cellRanks(embD, cents).filter(col("rn") === 1).select("vec_id", "cent_id")
+
+  /** SRP hyperplane j, dimension i: ±1 by md5 parity — data-
+    * independent, identical in both engines. Shared by q56 and the
+    * q41 sub-band skew guard. */
+  private[queries] def srpSigns: Seq[Array[Float]] = {
+    def md5hex(t: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    (0 until 8).map(j =>
+      (1 to 64).map(i =>
+        if ("01234567".contains(md5hex(s"${i}x$j").charAt(0))) 1.0f else -1.0f
+      ).toArray)
+  }
+
+  /** 8-bit SRP signature column over `embedding`. */
+  private[queries] def srpSigCol: Column =
+    concat(srpSigns.map(arr =>
+      when(round(graft.functions.VectorExprs.arrayDot(
+        col("embedding"), typedLit(arr)), 6) >= 0, "1").otherwise("0")): _*)
+
+  /** Cell-restricted cosine candidate pairs with a skew guard: a cell
+    * larger than `cap` is sub-banded by the 8-bit SRP signature, so
+    * the equi-join key becomes (cell, band) and one hot cell can't go
+    * quadratic — near-identical vectors (the dedup case) share sign
+    * bits, so they stay co-bucketed while the fan-out drops ~256×.
+    * Input: (vec_id, cell, embedding). Output: (vec_a, vec_b, cell,
+    * cosine) — unthresholded.
+    */
+  private[queries] def subBandedCellPairs(
+      withVec: DataFrame, cap: Int): DataFrame = {
+    val sizes = withVec.groupBy("cell").agg(count(lit(1)).as("cn"))
+    val keyed = withVec.join(sizes, "cell")
+      .withColumn("jkey", concat(col("cell").cast("string"), lit("#"),
+        when(col("cn") > cap, srpSigCol).otherwise(lit(""))))
+    val aSide = keyed.select(col("vec_id").as("vec_a"), col("cell"),
+      col("embedding").as("va"), col("jkey"))
+    val bSide = keyed.select(col("vec_id").as("vec_b"),
+      col("embedding").as("vb"), col("jkey").as("jkeyb"))
+    val cosine = round(
+      dot(col("va"), col("vb"))
+        / sqrt(dot(col("va"), col("va")) * dot(col("vb"), col("vb"))), 6)
+    aSide.join(bSide, col("jkey") === col("jkeyb") && col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), col("cell"), cosine.as("cosine"))
+  }
+
+  /** Shared oracle CTE prefix: the same fixed-seed 2-iteration k-means
+    * in DuckDB SQL — same 6-decimal rounding, same tie-breaks. Ends
+    * with `cents`(cent_id, i, v) as per-dim rows, `ranked`(vec_id,
+    * cent_id, rn) and `assign`(vec_id, cent_id).
+    */
+  private[queries] val duckKmeans: String =
+    s"""idx AS (SELECT unnest(range(1, 65)) AS i),
+       |c0 AS (SELECT vec_id AS cent_id, embedding FROM embeddings
+       |       WHERE vec_id % 97 = 0),
+       |d0 AS (
+       |  SELECT e.vec_id, c.cent_id, ROUND(${duckSqDist("e", "c")}, 6) AS sqdist
+       |  FROM embeddings e CROSS JOIN c0 c CROSS JOIN idx
+       |  GROUP BY e.vec_id, c.cent_id
+       |), a0 AS (
+       |  SELECT vec_id, cent_id FROM (
+       |    SELECT vec_id, cent_id,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sqdist, cent_id) AS rn
+       |    FROM d0) t WHERE rn = 1
+       |), c1 AS (
+       |  SELECT a.cent_id, i.i, ROUND(AVG(CAST(e.embedding[i.i] AS DOUBLE)), 6) AS v
+       |  FROM a0 a JOIN embeddings e ON e.vec_id = a.vec_id CROSS JOIN idx i
+       |  GROUP BY a.cent_id, i.i
+       |), d1 AS (
+       |  SELECT e.vec_id, c.cent_id,
+       |         ROUND(SUM((CAST(e.embedding[c.i] AS DOUBLE) - c.v)
+       |                   * (CAST(e.embedding[c.i] AS DOUBLE) - c.v)), 6) AS sqdist
+       |  FROM embeddings e CROSS JOIN c1 c
+       |  GROUP BY e.vec_id, c.cent_id
+       |), a1 AS (
+       |  SELECT vec_id, cent_id FROM (
+       |    SELECT vec_id, cent_id,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sqdist, cent_id) AS rn
+       |    FROM d1) t WHERE rn = 1
+       |), cents AS (
+       |  SELECT a.cent_id, i.i, ROUND(AVG(CAST(e.embedding[i.i] AS DOUBLE)), 6) AS v
+       |  FROM a1 a JOIN embeddings e ON e.vec_id = a.vec_id CROSS JOIN idx i
+       |  GROUP BY a.cent_id, i.i
+       |), d2 AS (
+       |  SELECT e.vec_id, c.cent_id,
+       |         ROUND(SUM((CAST(e.embedding[c.i] AS DOUBLE) - c.v)
+       |                   * (CAST(e.embedding[c.i] AS DOUBLE) - c.v)), 6) AS sqdist
+       |  FROM embeddings e CROSS JOIN cents c
+       |  GROUP BY e.vec_id, c.cent_id
+       |), ranked AS (
+       |  SELECT vec_id, cent_id,
+       |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sqdist, cent_id) AS rn
+       |  FROM d2
+       |), assign AS (
+       |  SELECT vec_id, cent_id FROM ranked WHERE rn = 1
+       |)""".stripMargin
 
   val queries: Seq[QueryDef] = Seq(
 
@@ -109,25 +254,12 @@ object Similarity {
         .orderBy("qid", "rn")
     },
 
-    // IVF-style ANN, probe=1: centroids = vec_id % 97 == 0 (stand-in
-    // for k-means; deterministic), assign all vectors to their nearest
+    // IVF-style ANN, probe=1: centroids from the deterministic 2-round
+    // k-means (duckKmeans twin), assign all vectors to their nearest
     // centroid by squared L2, then top-3 within the query's own cell.
     QueryDef(
       "q31_ivf_topk",
-      s"""WITH idx AS (SELECT unnest(range(1, 65)) AS i),
-         |cents AS (SELECT vec_id AS cent_id, embedding FROM embeddings
-         |          WHERE vec_id % 97 = 0),
-         |d2 AS (
-         |  SELECT e.vec_id, c.cent_id,
-         |         CAST(ROUND(${duckSqDist("e", "c")}, 6) AS DOUBLE) AS sqdist
-         |  FROM embeddings e CROSS JOIN cents c CROSS JOIN idx
-         |  GROUP BY e.vec_id, c.cent_id
-         |), assign AS (
-         |  SELECT vec_id, cent_id FROM (
-         |    SELECT vec_id, cent_id,
-         |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sqdist, cent_id) AS rn
-         |    FROM d2) t WHERE rn = 1
-         |), pairs AS (
+      s"""WITH $duckKmeans, pairs AS (
          |  SELECT qa.vec_id AS qid, ca.vec_id AS cid, qa.cent_id AS cell,
          |         CAST(ROUND(${duckSqDist("q", "c")}, 6) AS DOUBLE) AS sqdist
          |  FROM assign qa
@@ -143,15 +275,9 @@ object Similarity {
          |FROM pairs
          |QUALIFY rn <= 3
          |ORDER BY qid, rn""".stripMargin) { (s, dir) =>
-      val emb = embParallel(s, dir)
-      val cents = emb.filter(col("vec_id") % 97 === 0)
-        .select(col("vec_id").as("cent_id"), col("embedding").as("centv"))
-      val d2 = emb.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("cent_id"),
-          round(sqDist(col("embedding"), col("centv")), 6).as("sqdist"))
-      val wAssign = Window.partitionBy("vec_id").orderBy(col("sqdist"), col("cent_id"))
-      val assign = d2.withColumn("rn", row_number().over(wAssign))
-        .filter(col("rn") === 1).select("vec_id", "cent_id")
+      val emb = embDouble(s, dir)
+      val cents = kmeansCentroids(emb)
+      val assign = nearestCell(emb, cents)
       val withVec = assign.join(emb, "vec_id")
       val qside = withVec.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("cent_id").as("cell"),
@@ -179,21 +305,7 @@ object Similarity {
     // keyed on the cell id.
     QueryDef(
       "q50_ivf_probe2",
-      s"""WITH idx AS (SELECT unnest(range(1, 65)) AS i),
-         |cents AS (SELECT vec_id AS cent_id, embedding FROM embeddings
-         |          WHERE vec_id % 97 = 0),
-         |d2 AS (
-         |  SELECT e.vec_id, c.cent_id,
-         |         CAST(ROUND(${duckSqDist("e", "c")}, 6) AS DOUBLE) AS sqdist
-         |  FROM embeddings e CROSS JOIN cents c CROSS JOIN idx
-         |  GROUP BY e.vec_id, c.cent_id
-         |), ranked AS (
-         |  SELECT vec_id, cent_id,
-         |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sqdist, cent_id) AS rn
-         |  FROM d2
-         |), assign AS (
-         |  SELECT vec_id, cent_id FROM ranked WHERE rn = 1
-         |), probe AS (
+      s"""WITH $duckKmeans, probe AS (
          |  SELECT vec_id, cent_id FROM ranked WHERE rn <= 2 AND vec_id < 10
          |), pairs AS (
          |  SELECT qa.vec_id AS qid, ca.vec_id AS cid, ca.cent_id AS cell,
@@ -210,14 +322,9 @@ object Similarity {
          |FROM pairs
          |QUALIFY rn <= 3
          |ORDER BY qid, rn""".stripMargin) { (s, dir) =>
-      val emb = embParallel(s, dir)
-      val cents = emb.filter(col("vec_id") % 97 === 0)
-        .select(col("vec_id").as("cent_id"), col("embedding").as("centv"))
-      val d2 = emb.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("cent_id"),
-          round(sqDist(col("embedding"), col("centv")), 6).as("sqdist"))
-      val wAssign = Window.partitionBy("vec_id").orderBy(col("sqdist"), col("cent_id"))
-      val ranked = d2.withColumn("rn", row_number().over(wAssign))
+      val emb = embDouble(s, dir)
+      val cents = kmeansCentroids(emb)
+      val ranked = cellRanks(emb, cents)
       val assign = ranked.filter(col("rn") === 1).select("vec_id", "cent_id")
       val probe = ranked.filter(col("rn") <= 2 && col("vec_id") < 10)
         .select("vec_id", "cent_id")
@@ -277,19 +384,10 @@ object Similarity {
          |SELECT vec_a, vec_b, sig, CAST(cosine AS DOUBLE) AS cosine
          |FROM scored WHERE cosine >= 0.2
          |ORDER BY vec_a, vec_b""".stripMargin) { (s, dir) =>
-      def md5hex(t: String): String = java.security.MessageDigest.getInstance("MD5")
-        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      // hyperplane j, dimension i (1-indexed like the SQL): ±1 by the
-      // first md5 hex char's parity — data-independent, tiny, exact
-      val signs: Seq[Array[Float]] = (0 until 8).map(j =>
-        (1 to 64).map(i =>
-          if ("01234567".contains(md5hex(s"${i}x$j").charAt(0))) 1.0f else -1.0f
-        ).toArray)
-      val emb = embParallel(s, dir)
-      val bitCols = signs.map(arr =>
-        when(round(dot(col("embedding"), typedLit(arr)), 6) >= 0, "1").otherwise("0"))
-      val sig = emb.select(col("vec_id"), col("embedding"),
-        concat(bitCols: _*).as("sig"))
+      // hyperplanes from the shared srpSigns helper (also the q41
+      // sub-band guard): ±1 by md5 parity — data-independent, exact
+      val sig = embParallel(s, dir).select(col("vec_id"), col("embedding"),
+        srpSigCol.as("sig"))
       val aSide = sig.select(col("vec_id").as("vec_a"), col("embedding").as("va"),
         col("sig"))
       val bSide = sig.select(col("vec_id").as("vec_b"), col("embedding").as("vb"),

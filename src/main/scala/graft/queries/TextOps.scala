@@ -155,8 +155,10 @@ object TextOps {
     // last-ulp bits differ between engines. Top-3 terms per doc,
     // rounded-score ranking with a term tie-break (oracle portability
     // rules). The topology is the inverted-index staple: one tf agg,
-    // one df agg, broadcast-join df (term vocabulary ≪ corpus), rank
-    // inside each doc partition.
+    // one df agg, hint-free (AQE-planned) tf⋈df join — the vocabulary
+    // is unbounded at 100 TB, so no forced broadcast — and n_docs
+    // folded in as a 1-row aggregate cross join, not a driver count()
+    // job. Rank inside each doc partition.
     QueryDef(
       "q49_tfidf_top_terms",
       """WITH tok AS (
@@ -180,17 +182,20 @@ object TextOps {
         |WHERE rn <= 3
         |ORDER BY doc_id, rn""".stripMargin) { (s, dir) =>
       val d = docs(s, dir)
-      val nDocs = d.count()
       val tok = d.select(col("doc_id"), explode(wordsCol).as("w"))
       val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
       // df from tf, not from tok: tf is already unique per (doc, term),
       // so a plain count per term = document frequency — and the
       // corpus explode runs once, not twice
       val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
-      val scored = tf.join(broadcast(df), "w")
+      // corpus size as a 1-row aggregate folded in by cross join: no
+      // separate driver count() job, and the 1-row side broadcasts for
+      // free (BroadcastNestedLoopJoin) at any scale
+      val n = d.groupBy().agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(df, "w").crossJoin(n)
         .select(col("doc_id"), col("w"),
           round(col("tf").cast(org.apache.spark.sql.types.DecimalType(20, 6))
-            * lit(nDocs) / col("df"), 4).as("score"))
+            * col("n_docs") / col("df"), 4).as("score"))
       val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("w"))
       scored.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)

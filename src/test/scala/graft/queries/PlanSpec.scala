@@ -46,10 +46,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), p)
   }
 
-  test("q49: document-frequency side broadcasts, no cartesian anywhere") {
-    val p = plan("q49_tfidf_top_terms")
-    assert(p.contains("BroadcastHashJoin"), p)
+  test("q49: joins hint-free, n_docs folded via 1-row broadcast cross join") {
+    val df = SparkEntry.queries("q49_tfidf_top_terms")(spark, sf)
+    // no forced broadcast: the term vocabulary is unbounded at 100 TB —
+    // the optimizer picks the tf⋈df strategy from stats (AQE at runtime)
+    assert(!df.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "q49 must not force a join strategy")
+    val p = df.queryExecution.executedPlan.toString
+    // the 1-row corpus-size aggregate rides a BroadcastNestedLoopJoin —
+    // free at any scale; a CartesianProduct would mean the fold broke
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
+    // and no separate count() job: n_docs is part of this one plan
+    assert(p.contains("count"), p)
   }
 
   test("q26: posting-list pair topology has no join at all") {
