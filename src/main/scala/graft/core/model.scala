@@ -110,9 +110,25 @@ final case class ModelNode(
     config: NodeConfig = NodeConfig(),
     columns: Seq[ColumnInfo] = Nil,
     dependsOn: Seq[String] = Nil,
+    /** ref specs: plain `name`, or `name.v<N>` for a pinned ref —
+      * the same encoding the reference uses in versioned unique ids.
+      */
     refs: Seq[String] = Nil,
-    sources: Seq[(String, String)] = Nil) extends Node {
+    sources: Seq[(String, String)] = Nil,
+    /** Model versions (reference `nodes.py:448-470`): a versioned
+      * model is one node per version, all sharing `name`; unpinned
+      * refs resolve to the latest version.
+      */
+    version: Option[Int] = None,
+    latestVersion: Option[Int] = None,
+    /** project-relative source file, for path:/file: selectors. */
+    originPath: String = "") extends Node {
   val resourceType = "model"
+  override def uniqueId: String =
+    version.map(v => s"$resourceType.graft.$name.v$v")
+      .getOrElse(s"$resourceType.graft.$name")
+  def isLatestVersion: Boolean =
+    version.isDefined && version == latestVersion
 }
 
 final case class SourceNode(
@@ -138,7 +154,8 @@ final case class SeedNode(
     csv: String,
     delimiter: String = ",",
     columnTypes: Map[String, String] = Map.empty,
-    config: NodeConfig = NodeConfig()) extends Node {
+    config: NodeConfig = NodeConfig(),
+    originPath: String = "") extends Node {
   val resourceType = "seed"
   def dependsOn: Seq[String] = Nil
 }
@@ -159,7 +176,8 @@ final case class SnapshotNode(
     config: NodeConfig = NodeConfig(materialized = "snapshot"),
     dependsOn: Seq[String] = Nil,
     refs: Seq[String] = Nil,
-    sources: Seq[(String, String)] = Nil) extends Node {
+    sources: Seq[(String, String)] = Nil,
+    originPath: String = "") extends Node {
   val resourceType = "snapshot"
 }
 
@@ -177,7 +195,8 @@ final case class TestNode(
       * from schema YAML; None for singular tests — drives the
       * test_type:/test_name: selectors (A22).
       */
-    genericTest: Option[String] = None) extends Node {
+    genericTest: Option[String] = None,
+    originPath: String = "") extends Node {
   val resourceType = "test"
 }
 
@@ -231,6 +250,43 @@ final case class MetricNode(
   val resourceType = "metric"
 }
 
+/** Semantic model — metric-layer metadata over one model (reference
+  * `core/dbt/artifacts/resources/v1/semantic_model.py`): entities
+  * (join keys), dimensions (group-by columns), measures (aggregations
+  * that metrics build on). Parsed + linked into the DAG, never
+  * executed.
+  */
+final case class SemanticModelNode(
+    name: String,
+    model: String, // ref name
+    description: String = "",
+    /** (name, type) — type: primary|foreign|unique|natural. */
+    entities: Seq[(String, String)] = Nil,
+    /** (name, type) — type: categorical|time. */
+    dimensions: Seq[(String, String)] = Nil,
+    /** (name, agg, expr) — e.g. ("revenue", "sum", "price * qty"). */
+    measures: Seq[(String, String, String)] = Nil,
+    config: NodeConfig = NodeConfig(),
+    dependsOn: Seq[String] = Nil) extends Node {
+  val resourceType = "semantic_model"
+}
+
+/** Saved query — a named, reusable metric request (reference
+  * `core/dbt/artifacts/resources/v1/saved_query.py`): metrics +
+  * group-bys + where, exportable. Metadata only; `Engine.querySaved`
+  * compiles it through the metric layer.
+  */
+final case class SavedQueryNode(
+    name: String,
+    metrics: Seq[String],
+    groupBy: Seq[String] = Nil,
+    where: Option[String] = None,
+    description: String = "",
+    config: NodeConfig = NodeConfig(),
+    dependsOn: Seq[String] = Nil) extends Node {
+  val resourceType = "saved_query"
+}
+
 /** What a code-model body sees (dbt.ref/source/config equivalent for
   * A28 Python models; implemented by the engine).
   */
@@ -274,13 +330,38 @@ final case class Manifest(nodes: Map[String, Node]) {
   // name indexes: linking is O(n) instead of O(n^2) on big projects
   @transient private lazy val refIndex: Map[String, Node] =
     nodes.values.filter(n => Set("model", "seed", "snapshot")(n.resourceType))
-      .map(n => n.name -> n).toMap
+      .collect { case n if !n.isInstanceOf[ModelNode] ||
+        n.asInstanceOf[ModelNode].version.isEmpty => n.name -> n }.toMap
+  @transient private lazy val versionIndex: Map[(String, Int), ModelNode] =
+    nodes.values.collect {
+      case m: ModelNode if m.version.isDefined => (m.name, m.version.get) -> m
+    }.toMap
+  /** Unpinned refs to a versioned family resolve here: the node whose
+    * version == latest_version, else the highest version (reference
+    * unpinned-ref resolution, `nodes.py:448-470`). */
+  @transient private lazy val latestIndex: Map[String, ModelNode] =
+    nodes.values.collect { case m: ModelNode if m.version.isDefined => m }
+      .groupBy(_.name).map { case (n, vs) =>
+        n -> vs.find(_.isLatestVersion).getOrElse(vs.maxBy(_.version.get))
+      }
   @transient private lazy val sourceIndex: Map[(String, String), SourceNode] =
     nodes.values.collect { case s: SourceNode => (s.sourceName, s.name) -> s }.toMap
 
   def byName(name: String): Option[Node] = nodes.values.find(_.name == name)
 
-  def resolveRef(name: String): Option[Node] = refIndex.get(name)
+  def resolveRef(name: String): Option[Node] =
+    latestIndex.get(name).orElse(refIndex.get(name))
+
+  /** Resolve a ref spec: `name` (unpinned → latest version for
+    * versioned families) or `name.v<N>` (pinned). */
+  def resolveRefSpec(spec: String): Option[Node] = {
+    val pinned = """^(.*)\.v(\d+)$""".r
+    spec match {
+      case pinned(nm, v) =>
+        versionIndex.get((nm, v.toInt)).orElse(resolveRef(spec))
+      case _ => resolveRef(spec)
+    }
+  }
 
   def resolveSource(sourceName: String, tableName: String): Option[SourceNode] =
     sourceIndex.get((sourceName, tableName))

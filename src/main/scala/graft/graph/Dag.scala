@@ -106,15 +106,42 @@ object Selector {
   }
 
   def select(manifest: Manifest, dag: Dag, include: Seq[String],
-      exclude: Seq[String] = Nil): Set[String] = {
+      exclude: Seq[String] = Nil,
+      indirectSelection: String = "eager"): Set[String] = {
     val base =
       if (include.isEmpty) dag.nodes
       else include.map(term => selectUnion(manifest, dag, term)).reduce(_ union _)
     val excluded =
       if (exclude.isEmpty) Set.empty[String]
       else exclude.map(term => selectUnion(manifest, dag, term)).reduce(_ union _)
-    base -- excluded
+    expandIndirect(manifest, dag, base -- excluded, indirectSelection)
   }
+
+  /** Indirect selection (reference `selector.py:220-280`): tests and
+    * unit tests of selected nodes join the selection without being
+    * named. `eager` (default) — any tested parent selected; `cautious`
+    * — ALL of the test's parents selected; `buildable` — all parents
+    * selected or ancestors of selected nodes; `empty` — only directly
+    * selected tests run.
+    */
+  private def expandIndirect(manifest: Manifest, dag: Dag,
+      sel: Set[String], mode: String): Set[String] =
+    if (mode == "empty") sel
+    else {
+      lazy val withAncestors = sel ++ sel.flatMap(dag.ancestors(_))
+      val extra = manifest.nodes.collect {
+        case (id, n) if !sel(id) &&
+            (n.resourceType == "test" || n.resourceType == "unit_test") &&
+            n.dependsOn.nonEmpty && (mode match {
+              case "cautious" => n.dependsOn.forall(sel)
+              case "buildable" => n.dependsOn.forall(withAncestors)
+              case "eager" => n.dependsOn.exists(sel)
+              case other => throw new IllegalArgumentException(
+                s"unknown indirect selection mode: $other")
+            }) => id
+      }
+      sel ++ extra
+    }
 
   /** One CLI token: comma-separated atoms intersect. */
   private def selectUnion(manifest: Manifest, dag: Dag, term: String): Set[String] =
@@ -155,16 +182,53 @@ object Selector {
     try f finally resultsTL.set(None)
   }
 
+  /** source_status: needs current freshness statuses (reference
+    * `SourceStatusSelectorMethod`); provided like state/results.
+    */
+  private val sourceStatusTL = new ThreadLocal[Option[Map[String, String]]] {
+    override def initialValue(): Option[Map[String, String]] = None
+  }
+
+  def withSourceStatus[T](statuses: Map[String, String])(f: => T): T = {
+    sourceStatusTL.set(Some(statuses))
+    try f finally sourceStatusTL.set(None)
+  }
+
+  /** project-relative origin file of a node, "" when synthesized. */
+  private def originOf(n: Node): String = n match {
+    case m: graft.core.ModelNode => m.originPath
+    case s: graft.core.SeedNode => s.originPath
+    case s: graft.core.SnapshotNode => s.originPath
+    case t: graft.core.TestNode => t.originPath
+    case _ => ""
+  }
+
+  /** fnmatch-style glob → regex (`*` and `?`, like the reference's
+    * path selector). */
+  private def globRe(p: String): scala.util.matching.Regex =
+    p.flatMap {
+      case '*' => ".*"
+      case '?' => "."
+      case c if "\\.[]{}()+-^$|".contains(c) => "\\" + c
+      case c => c.toString
+    }.r
+
   /** Selection methods (`MethodName`, `selector_methods.py:45-66`):
-    * bare name / fqn, tag:, source:, resource_type:, group:, access:,
-    * config.<key>:, test_type:, test_name:, exposure:, metric:,
-    * state:, result:; path/file/package n/a (single in-memory
-    * package, no source files at run time).
+    * bare name / fqn (incl. `name.v<N>`), tag:, source:,
+    * resource_type:, group:, access:, config.<key>:, test_type:,
+    * test_name:, exposure:, metric:, semantic_model:, saved_query:,
+    * unit_test:, version:, path:, file:, package:, state:, result:,
+    * source_status:.
     */
   private def method(manifest: Manifest, body: String): Set[String] = body.split(":", 2) match {
     case Array(name) =>
       manifest.nodes.collect {
-        case (id, n) if n.name == name || id == name => id
+        case (id, n) if n.name == name || id == name ||
+          (n match { // versioned-model shorthand: `m.v2`
+            case mv: graft.core.ModelNode =>
+              mv.version.exists(v => s"${mv.name}.v$v" == name)
+            case _ => false
+          }) => id
       }.toSet
     case Array("tag", t) =>
       manifest.nodes.collect {
@@ -213,6 +277,59 @@ object Selector {
     case Array("metric", mn) =>
       manifest.nodes.collect {
         case (id, n: graft.core.MetricNode) if n.name == mn => id }.toSet
+    case Array("semantic_model", sm) =>
+      manifest.nodes.collect {
+        case (id, n: graft.core.SemanticModelNode) if n.name == sm => id }.toSet
+    case Array("saved_query", sq) =>
+      manifest.nodes.collect {
+        case (id, n: graft.core.SavedQueryNode) if n.name == sq => id }.toSet
+    case Array("unit_test", u) =>
+      manifest.nodes.collect {
+        case (id, n) if n.resourceType == "unit_test" &&
+          (n.name == u || id == u) => id }.toSet
+    case Array("version", v) =>
+      manifest.nodes.collect {
+        case (id, n: graft.core.ModelNode) if (v match {
+          case "none" => n.version.isEmpty
+          case "latest" => n.isLatestVersion
+          case "old" =>
+            n.version.exists(ver => n.latestVersion.exists(ver < _))
+          case "prerelease" =>
+            n.version.exists(ver => n.latestVersion.exists(ver > _))
+          case num if num.nonEmpty && num.forall(_.isDigit) =>
+            n.version.contains(num.toInt)
+          case _ => false
+        }) => id }.toSet
+    case Array("path", p) =>
+      val re = globRe(p)
+      val prefix = p.stripSuffix("/") + "/"
+      manifest.nodes.collect {
+        case (id, n) if {
+          val op = originOf(n)
+          // exact file, glob match, or anything under the directory
+          op.nonEmpty && (op == p || re.matches(op) || op.startsWith(prefix))
+        } => id }.toSet
+    case Array("file", fn) =>
+      manifest.nodes.collect {
+        case (id, n) if {
+          val op = originOf(n)
+          op.nonEmpty && {
+            val base = op.substring(op.lastIndexOf('/') + 1)
+            base == fn || base.replaceAll("\\.[^.]+$", "") == fn
+          }
+        } => id }.toSet
+    case Array("package", p) =>
+      // unique ids are <type>.<package>.<name>; this engine is a
+      // single-package project ("graft") but the method matches the
+      // manifest's actual package segments
+      manifest.nodes.collect {
+        case (id, n) if n.uniqueId.split("\\.").lift(1).contains(p) => id
+      }.toSet
+    case Array("source_status", st) =>
+      val statuses = sourceStatusTL.get().getOrElse(
+        throw new IllegalArgumentException(
+          "source_status: selector needs freshness statuses (Selector.withSourceStatus)"))
+      statuses.collect { case (id, s) if s == st => id }.toSet
     case Array("result", status) =>
       val results = resultsTL.get().getOrElse(
         throw new IllegalArgumentException(

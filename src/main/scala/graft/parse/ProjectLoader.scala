@@ -52,6 +52,9 @@ object ProjectLoader {
     }
 
     val nodes = scala.collection.mutable.ArrayBuffer[Node]()
+    // family name -> (declared version numbers, latest_version)
+    var modelVersions = Map.empty[String, (Set[Int], Option[Int])]
+    def relPath(f: Path): String = root.relativize(f).toString
 
     // ---- schema YAML (sources + model metadata) anywhere under models/
     val schemaDocs = listFiles(root.resolve("models"), ".yml") ++
@@ -131,15 +134,80 @@ object ProjectLoader {
                 .asScala.map { case (k, v) => k.toString -> stringify(v) }.toMap))
               .getOrElse(NodeConfig())
             modelPatches += mname -> ((cols, modelTests, cfg))
+            // model versions (reference versioned-model YAML):
+            //   versions: [{v: 1}, {v: 2}]  latest_version: 2
+            // files are named <name>_v<N>.sql
+            mm.get("versions").foreach { vs =>
+              val declared = vs.asInstanceOf[java.util.List[_]].asScala.map {
+                case vm: java.util.Map[_, _] =>
+                  vm.asScala.map { case (k, v) => k.toString -> v }
+                    .getOrElse("v", throw new IllegalArgumentException(
+                      s"model $mname: version entry needs v:")).toString.toInt
+                case v => v.toString.toInt
+              }.toSet
+              val latest = mm.get("latest_version").map(_.toString.toInt)
+                .orElse(if (declared.nonEmpty) Some(declared.max) else None)
+              modelVersions += mname -> ((declared, latest))
+            }
+          }
+        case _ =>
+      }
+      doc.get("semantic_models") match {
+        case Some(ss: java.util.List[_]) =>
+          for (s <- ss.asScala) {
+            val sm = s.asInstanceOf[java.util.Map[String, Any]].asScala
+            def pairs(key: String, tkey: String): Seq[(String, String)] =
+              sm.get(key).map(_.asInstanceOf[java.util.List[_]].asScala.map { e =>
+                val em = e.asInstanceOf[java.util.Map[String, Any]].asScala
+                em("name").toString -> em.getOrElse(tkey, "").toString
+              }.toSeq).getOrElse(Nil)
+            val measures = sm.get("measures")
+              .map(_.asInstanceOf[java.util.List[_]].asScala.map { e =>
+                val em = e.asInstanceOf[java.util.Map[String, Any]].asScala
+                (em("name").toString, em.getOrElse("agg", "sum").toString,
+                  em.getOrElse("expr", em("name").toString).toString)
+              }.toSeq).getOrElse(Nil)
+            nodes += SemanticModelNode(
+              name = sm("name").toString,
+              model = refName(sm("model").toString),
+              description = sm.getOrElse("description", "").toString,
+              entities = pairs("entities", "type"),
+              dimensions = pairs("dimensions", "type"),
+              measures = measures)
+          }
+        case _ =>
+      }
+      doc.get("saved_queries") match {
+        case Some(qs: java.util.List[_]) =>
+          for (q <- qs.asScala) {
+            val qm = q.asInstanceOf[java.util.Map[String, Any]].asScala
+            def strs(key: String): Seq[String] =
+              qm.get(key).map(_.asInstanceOf[java.util.List[_]].asScala
+                .map(_.toString).toSeq).getOrElse(Nil)
+            nodes += SavedQueryNode(
+              name = qm("name").toString,
+              metrics = strs("metrics"),
+              groupBy = strs("group_by"),
+              where = qm.get("where").map(_.toString),
+              description = qm.getOrElse("description", "").toString)
           }
         case _ =>
       }
     }
 
     // ---- model .sql files
+    val versionedFile = """^(.*)_v(\d+)$""".r
     for (f <- listFiles(root.resolve("models"), ".sql")) {
       val raw = Files.readString(f)
-      val name = stripExt(f)
+      val stem = stripExt(f)
+      // <family>_v<N>.sql with a declared `versions:` entry for the
+      // family → a versioned node of that family
+      val (name, version) = stem match {
+        case versionedFile(fam, v)
+            if modelVersions.get(fam).exists(_._1.contains(v.toInt)) =>
+          (fam, Some(v.toInt))
+        case _ => (stem, None)
+      }
       val (kwargs, _) = Template.extractConfig(raw)
       val fileCfg = configFromKwargs(kwargs)
       val (patchCols, patchTests, patchCfg) =
@@ -148,18 +216,24 @@ object ProjectLoader {
       val cfg = modelDefaults.merge(patchCfg).merge(fileCfg)
       nodes += ModelNode(
         name = name, rawSql = raw, config = cfg, columns = patchCols,
-        refs = Template.extractRefs(raw), sources = Template.extractSources(raw))
-      // generic tests from schema yml
-      for (c <- patchCols; t <- c.tests)
-        nodes += buildGenericTest(name, Some(c.name), t)
-      for (t <- patchTests)
-        nodes += buildGenericTest(name, None, t)
+        refs = Template.extractRefs(raw), sources = Template.extractSources(raw),
+        version = version,
+        latestVersion = version.flatMap(_ => modelVersions(name)._2),
+        originPath = relPath(f))
+      // generic tests from schema yml attach once, to the unversioned
+      // node or the latest version (an unpinned ref resolves there)
+      if (version.isEmpty || version == modelVersions(name)._2) {
+        for (c <- patchCols; t <- c.tests)
+          nodes += buildGenericTest(name, Some(c.name), t)
+        for (t <- patchTests)
+          nodes += buildGenericTest(name, None, t)
+      }
     }
 
     // ---- seeds
     for (f <- listFiles(root.resolve("seeds"), ".csv")) {
       nodes += SeedNode(name = stripExt(f), csv = Files.readString(f),
-        config = NodeConfig(materialized = "seed"))
+        config = NodeConfig(materialized = "seed"), originPath = relPath(f))
     }
 
     // ---- snapshots
@@ -178,7 +252,8 @@ object ProjectLoader {
         uniqueKey = kwargs.getOrElse("unique_key", "id").split(",").map(_.trim).toSeq,
         strategy = strategy,
         invalidateHardDeletes = kwargs.get("invalidate_hard_deletes").exists(_.toBoolean),
-        refs = Template.extractRefs(raw), sources = Template.extractSources(raw))
+        refs = Template.extractRefs(raw), sources = Template.extractSources(raw),
+        originPath = relPath(f))
     }
 
     // ---- analyses: compiled, never executed (reference NodeType.Analysis)
@@ -197,7 +272,8 @@ object ProjectLoader {
       nodes += TestNode(
         name = stripExt(f), rawSql = raw,
         config = NodeConfig(materialized = "test").merge(configFromKwargs(kwargs)),
-        refs = Template.extractRefs(raw), sources = Template.extractSources(raw))
+        refs = Template.extractRefs(raw), sources = Template.extractSources(raw),
+        originPath = relPath(f))
     }
 
     def hookList(key: String): Seq[String] = projCfg.get(key) match {
@@ -215,16 +291,25 @@ object ProjectLoader {
       macros = macros)
   }
 
+  /** `m` or `ref('m')`/`ref('m', v=2)` (braces optional) → ref spec. */
+  private def refName(v: String): String =
+    Template.extractRefs(s"{{ $v }}").headOption.getOrElse(v)
+
   /** Ref/source name resolution → depends_on unique ids (reference
-    * `process_refs`, `manifest.py:1274-1304`).
+    * `process_refs`, `manifest.py:1274-1304`). Refs are specs — pinned
+    * `name.v<N>` resolves to that version, plain names to the latest.
     */
   def link(m: Manifest): Manifest = {
     def deps(refs: Seq[String], sources: Seq[(String, String)], existing: Seq[String]): Seq[String] = {
-      val refIds = refs.map(r => m.resolveRef(r).map(_.uniqueId)
+      val refIds = refs.map(r => m.resolveRefSpec(r).map(_.uniqueId)
         .getOrElse(throw new IllegalArgumentException(s"unresolved ref: $r")))
       val srcIds = sources.map { case (s, t) => m.resolveSource(s, t).map(_.uniqueId)
         .getOrElse(throw new IllegalArgumentException(s"unresolved source: $s.$t")) }
       (existing ++ refIds ++ srcIds).distinct
+    }
+    def metricIds(names: Seq[String]): Seq[String] = names.map { mn =>
+      m.nodes.values.collectFirst { case n: MetricNode if n.name == mn => n.uniqueId }
+        .getOrElse(throw new IllegalArgumentException(s"unresolved metric: $mn"))
     }
     Manifest(m.nodes.map {
       case (id, n: ModelNode) => id -> n.copy(dependsOn = deps(n.refs, n.sources, n.dependsOn))
@@ -232,6 +317,8 @@ object ProjectLoader {
       case (id, n: TestNode) => id -> n.copy(dependsOn = deps(n.refs, n.sources, n.dependsOn))
       case (id, n: ExposureNode) => id -> n.copy(dependsOn = deps(n.refs, Nil, n.dependsOn))
       case (id, n: MetricNode) => id -> n.copy(dependsOn = deps(Seq(n.model), Nil, n.dependsOn))
+      case (id, n: SemanticModelNode) => id -> n.copy(dependsOn = deps(Seq(n.model), Nil, n.dependsOn))
+      case (id, n: SavedQueryNode) => id -> n.copy(dependsOn = (n.dependsOn ++ metricIds(n.metrics)).distinct)
       case (id, n) => id -> n
     })
   }

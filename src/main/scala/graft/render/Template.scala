@@ -13,8 +13,14 @@ import scala.util.matching.Regex
   */
 object Template {
 
+  /** `ref('m')` or pinned `ref('m', v=2)` / `ref('m', version=2)`
+    * (reference versioned-ref syntax) — pinned refs pass the spec
+    * `m.v2` to the resolver. */
   private val refRe: Regex =
-    """\{\{\s*ref\(\s*['"]([^'"]+)['"]\s*\)\s*\}\}""".r
+    """\{\{\s*ref\(\s*['"]([^'"]+)['"]\s*(?:,\s*(?:v|version)\s*=\s*(\d+)\s*)?\)\s*\}\}""".r
+
+  private def refSpec(m: Regex.Match): String =
+    m.group(1) + Option(m.group(2)).map(v => s".v$v").getOrElse("")
   private val sourceRe: Regex =
     """\{\{\s*source\(\s*['"]([^'"]+)['"]\s*,\s*['"]([^'"]+)['"]\s*\)\s*\}\}""".r
   private val thisRe: Regex = """\{\{\s*this\s*\}\}""".r
@@ -67,9 +73,9 @@ object Template {
     }
   }
 
-  /** Parse-time: names of every `ref('x')` in the template. */
+  /** Parse-time: every `ref(...)` as a spec — `x` or `x.v2`. */
   def extractRefs(sql: String): Seq[String] =
-    refRe.findAllMatchIn(sql).map(_.group(1)).toSeq.distinct
+    refRe.findAllMatchIn(sql).map(refSpec).toSeq.distinct
 
   /** Parse-time: every `source('a','b')` pair. */
   def extractSources(sql: String): Seq[(String, String)] =
@@ -174,7 +180,7 @@ object Template {
       Regex.quoteReplacement(branch)
     })
     out = refRe.replaceAllIn(out, m =>
-      Regex.quoteReplacement(ctx.resolveRef(m.group(1))))
+      Regex.quoteReplacement(ctx.resolveRef(refSpec(m))))
     out = sourceRe.replaceAllIn(out, m =>
       Regex.quoteReplacement(ctx.resolveSource(m.group(1), m.group(2))))
     out = thisRe.replaceAllIn(out, Regex.quoteReplacement(ctx.thisRelation))

@@ -68,9 +68,23 @@ object Artifacts {
           "tags" -> arr(n.config.tags.toSeq.sorted.map(q)))),
         "tags" -> arr(n.config.tags.toSeq.sorted.map(q)))
       val extra = n match {
-        case m: ModelNode => Seq("raw_code" -> q(m.rawSql))
+        case m: ModelNode => Seq("raw_code" -> q(m.rawSql)) ++
+          m.version.map(v => "version" -> v.toString) ++
+          m.latestVersion.map(lv => "latest_version" -> lv.toString)
         case s: SnapshotNode => Seq("raw_code" -> q(s.rawSql))
         case t: TestNode => Seq("raw_code" -> q(t.rawSql))
+        case s: SemanticModelNode => Seq(
+          "model" -> q(s.model),
+          "entities" -> arr(s.entities.map { case (en, et) =>
+            obj(Seq("name" -> q(en), "type" -> q(et))) }),
+          "dimensions" -> arr(s.dimensions.map { case (dn, dt) =>
+            obj(Seq("name" -> q(dn), "type" -> q(dt))) }),
+          "measures" -> arr(s.measures.map { case (mn, ma, me) =>
+            obj(Seq("name" -> q(mn), "agg" -> q(ma), "expr" -> q(me))) }))
+        case s: SavedQueryNode => Seq(
+          "metrics" -> arr(s.metrics.map(q)),
+          "group_by" -> arr(s.groupBy.map(q))) ++
+          s.where.map(w => "where" -> q(w))
         case _ => Nil
       }
       obj(base ++ extra)

@@ -82,7 +82,7 @@ final class Engine(
     Option(resultSlots.get(nodeId)).flatMap(_.get(slot))
 
   private def defaultRefResolver: String => String =
-    n => relationName(manifest.resolveRef(n).getOrElse(
+    n => relationName(manifest.resolveRefSpec(n).getOrElse(
       throw new IllegalArgumentException(s"unresolved ref: $n")))
 
   private def defaultSourceResolver: (String, String) => String =
@@ -107,7 +107,13 @@ final class Engine(
     n match {
       case s: SourceNode => s"${ns}src_${s.sourceName}_${s.name}"
       case other =>
-        val base = other.config.alias.getOrElse(other.name)
+        // versioned models render as <name>_v<N> unless aliased
+        // (reference versioned relation naming)
+        val vSuffix = other match {
+          case m: ModelNode => m.version.map(v => s"_v$v").getOrElse("")
+          case _ => ""
+        }
+        val base = other.config.alias.getOrElse(other.name + vSuffix)
         ns + other.config.schema.map(s => s"${s}_$base").getOrElse(base)
     }
   }
@@ -130,7 +136,7 @@ final class Engine(
     val ephemeralDeps = scala.collection.mutable.LinkedHashMap[String, String]()
 
     def resolveRef(name: String): String =
-      manifest.resolveRef(name) match {
+      manifest.resolveRefSpec(name) match {
         case Some(m: ModelNode)
             if m.config.access == "private" && m.config.group != node.config.group =>
           // A24 access enforcement (reference providers.py:525-544)
@@ -200,9 +206,10 @@ final class Engine(
       threads: Int = 4,
       resourceTypes: Set[String] = Set("model", "seed", "snapshot"),
       failFast: Boolean = false,
-      fullRefresh: Boolean = false): Seq[Materializer.Result] = {
+      fullRefresh: Boolean = false,
+      indirectSelection: String = "eager"): Seq[Materializer.Result] = {
 
-    val selected0 = Selector.select(manifest, dag, select, exclude)
+    val selected0 = Selector.select(manifest, dag, select, exclude, indirectSelection)
     // executing a node requires its ancestors' relations to exist; the
     // reference expects them pre-built unless selected — here sources
     // are always available and we only schedule selected nodes.
@@ -322,6 +329,8 @@ final class Engine(
     case _: SourceNode => ()
     case _: ExposureNode => () // metadata-only (A29)
     case _: MetricNode => () // metadata-only; compiled on demand via queryMetric
+    case _: SemanticModelNode => () // metadata-only (A29)
+    case _: SavedQueryNode => () // metadata-only; compiled via querySaved
     case u: UnitTestNode => runUnitTestNode(u)
   }
 
@@ -344,6 +353,34 @@ final class Engine(
       else
         s"""SELECT ${dims.mkString(", ")}, ${metric.calculation} AS ${metric.name}
            |FROM $rel$where GROUP BY ${dims.mkString(", ")}""".stripMargin
+    spark.sql(sql)
+  }
+
+  /** Compile a saved query (A29): its metrics' aggregations over the
+    * shared model, grouped by the query's group-bys, with the saved
+    * where AND each metric's own filter.
+    */
+  def querySaved(name: String): DataFrame = {
+    val sq = manifest.nodes.values.collectFirst {
+      case s: SavedQueryNode if s.name == name => s
+    }.getOrElse(throw new IllegalArgumentException(s"unknown saved query: $name"))
+    val metrics = sq.metrics.map(mn => manifest.nodes.values.collectFirst {
+      case m: MetricNode if m.name == mn => m
+    }.getOrElse(throw new IllegalArgumentException(
+      s"saved query $name: unknown metric $mn")))
+    val models = metrics.map(_.model).distinct
+    require(models.size == 1,
+      s"saved query $name: metrics span multiple models (${models.mkString(", ")})")
+    val model = manifest.resolveRef(models.head).getOrElse(
+      throw new IllegalArgumentException(s"saved query $name: unknown model ${models.head}"))
+    val rel = relationName(model)
+    val aggs = metrics.map(m => s"${m.calculation} AS ${m.name}")
+    val conds = (sq.where.toSeq ++ metrics.flatMap(_.filter)).distinct
+    val where = if (conds.isEmpty) "" else conds.mkString(" WHERE (", ") AND (", ")")
+    val sql =
+      if (sq.groupBy.isEmpty) s"SELECT ${aggs.mkString(", ")} FROM $rel$where"
+      else s"""SELECT ${sq.groupBy.mkString(", ")}, ${aggs.mkString(", ")}
+              |FROM $rel$where GROUP BY ${sq.groupBy.mkString(", ")}""".stripMargin
     spark.sql(sql)
   }
 
@@ -416,7 +453,7 @@ final class Engine(
     }.toSeq
     val sql = Template.render(model.rawSql, renderContext(
       resolveRef = name => fixtureViews.find(_._1 == name).map(_._2)
-        .getOrElse(relationName(manifest.resolveRef(name).get)),
+        .getOrElse(relationName(manifest.resolveRefSpec(name).get)),
       resolveSource = (s, t) => fixtureViews.find(_._1 == s"$s.$t").map(_._2)
         .getOrElse(relationName(manifest.resolveSource(s, t).get)),
       thisRelation = relationName(model))
@@ -466,7 +503,8 @@ final class Engine(
     * inputs exist, and a *failing* (error-severity) test stops
     * descendants because the test node raises.
     */
-  def build(select: Seq[String] = Nil, threads: Int = 4): Seq[Materializer.Result] = {
+  def build(select: Seq[String] = Nil, threads: Int = 4,
+      indirectSelection: String = "eager"): Seq[Materializer.Result] = {
     // augment: each non-test child of a tested node also depends on the test
     val testsByParent = manifest.tests.values.flatMap(t =>
       t.dependsOn.map(p => p -> t.uniqueId)).groupBy(_._1)
@@ -484,7 +522,8 @@ final class Engine(
       runStartHooks = runStartHooks, runEndHooks = runEndHooks,
       namespace = namespace)
     eng.run(select, threads = threads,
-      resourceTypes = Set("model", "seed", "snapshot", "test", "unit_test"))
+      resourceTypes = Set("model", "seed", "snapshot", "test", "unit_test"),
+      indirectSelection = indirectSelection)
   }
 
   /** `dbt show --inline` (reference `core/dbt/task/show.py:22-62`). */
@@ -516,8 +555,9 @@ final class Engine(
     }.toMap
 
   /** `dbt ls` (reference list task): selected unique ids, topo order. */
-  def ls(select: Seq[String] = Nil, exclude: Seq[String] = Nil): Seq[String] = {
-    val sel = Selector.select(manifest, dag, select, exclude)
+  def ls(select: Seq[String] = Nil, exclude: Seq[String] = Nil,
+      indirectSelection: String = "eager"): Seq[String] = {
+    val sel = Selector.select(manifest, dag, select, exclude, indirectSelection)
     dag.topoSort.filter(sel.contains)
   }
 

@@ -101,6 +101,87 @@ class DagSpec extends AnyFunSuite {
     assert(byResult === Set("model.graft.g1"))
   }
 
+  test("selector: version method and versioned-name shorthand") {
+    val v1 = ModelNode("rev", "SELECT 1", version = Some(1), latestVersion = Some(2))
+    val v2 = ModelNode("rev", "SELECT 2", version = Some(2), latestVersion = Some(2))
+    val v3 = ModelNode("rev", "SELECT 3", version = Some(3), latestVersion = Some(2))
+    val m2 = Manifest(manifest.nodes ++ Seq(v1, v2, v3).map(n => n.uniqueId -> (n: Node)))
+    val d2 = Dag.fromManifest(m2)
+    def sel(inc: String*) = Selector.select(m2, d2, inc.toSeq)
+    assert(v1.uniqueId === "model.graft.rev.v1")
+    assert(sel("rev.v1") === Set("model.graft.rev.v1")) // shorthand
+    assert(sel("rev") === Set("model.graft.rev.v1", "model.graft.rev.v2",
+      "model.graft.rev.v3")) // family name selects every version
+    assert(sel("version:1") === Set("model.graft.rev.v1"))
+    assert(sel("version:latest") === Set("model.graft.rev.v2"))
+    assert(sel("version:old") === Set("model.graft.rev.v1"))
+    assert(sel("version:prerelease") === Set("model.graft.rev.v3"))
+    assert(sel("version:none") === manifest.nodes.keySet)
+    // unpinned ref resolution: latest_version wins over max version
+    assert(m2.resolveRef("rev").map(_.uniqueId) === Some("model.graft.rev.v2"))
+    assert(m2.resolveRefSpec("rev.v3").map(_.uniqueId) === Some("model.graft.rev.v3"))
+  }
+
+  test("selector: path, file, package methods") {
+    val stg = ModelNode("p_stg", "SELECT 1", originPath = "models/staging/p_stg.sql")
+    val mrt = ModelNode("p_mart", "SELECT 1", originPath = "models/marts/p_mart.sql")
+    val m2 = Manifest(manifest.nodes ++ Seq(stg, mrt).map(n => n.uniqueId -> (n: Node)))
+    val d2 = Dag.fromManifest(m2)
+    def sel(inc: String*) = Selector.select(m2, d2, inc.toSeq)
+    assert(sel("path:models/staging") === Set(stg.uniqueId)) // directory
+    assert(sel("path:models/marts/p_mart.sql") === Set(mrt.uniqueId)) // exact
+    assert(sel("path:models/*/p_*.sql") === Set(stg.uniqueId, mrt.uniqueId)) // glob
+    assert(sel("file:p_stg.sql") === Set(stg.uniqueId))
+    assert(sel("file:p_mart") === Set(mrt.uniqueId)) // extension optional
+    assert(sel("package:graft").contains(stg.uniqueId)) // single-package project
+    assert(sel("package:nope") === Set.empty)
+  }
+
+  test("selector: unit_test, semantic_model, saved_query, source_status methods") {
+    val ut = UnitTestNode("ut_rows", "b", given = Map.empty, expect = Nil,
+      dependsOn = Seq("model.graft.b"))
+    val sm = SemanticModelNode("sem_orders", "b", dependsOn = Seq("model.graft.b"))
+    val sq = SavedQueryNode("weekly_rev", metrics = Seq("rev_total"))
+    val src = SourceNode("main", "raw_orders", "/dev/null")
+    val m2 = Manifest(manifest.nodes ++
+      Seq(ut, sm, sq, src).map(n => n.uniqueId -> (n: Node)))
+    val d2 = Dag.fromManifest(m2)
+    def sel(inc: String*) = Selector.select(m2, d2, inc.toSeq)
+    assert(sel("unit_test:ut_rows") === Set(ut.uniqueId))
+    assert(sel("resource_type:unit_test") === Set(ut.uniqueId))
+    assert(sel("semantic_model:sem_orders") === Set(sm.uniqueId))
+    assert(sel("saved_query:weekly_rev") === Set(sq.uniqueId))
+    assertThrows[IllegalArgumentException](sel("source_status:error"))
+    val stale = Selector.withSourceStatus(Map(
+      src.uniqueId -> "error", "other" -> "pass")) { sel("source_status:error") }
+    assert(stale === Set(src.uniqueId))
+  }
+
+  test("indirect selection: eager, cautious, buildable, empty") {
+    // b depends on a; the relationship test touches BOTH a and b
+    val relTest = TestNode("rel_b_a", "SELECT 1",
+      dependsOn = Seq("model.graft.b", "model.graft.a"),
+      genericTest = Some("relationships"))
+    val m2 = Manifest(manifest.nodes + (relTest.uniqueId -> (relTest: Node)))
+    val d2 = Dag.fromManifest(m2)
+    def sel(mode: String, inc: String*) =
+      Selector.select(m2, d2, inc.toSeq, indirectSelection = mode)
+    // eager (default): any tested parent selected pulls the test in
+    assert(sel("eager", "b").contains(relTest.uniqueId))
+    assert(Selector.select(m2, d2, Seq("b")).contains(relTest.uniqueId))
+    // cautious: requires ALL the test's parents selected
+    assert(!sel("cautious", "b").contains(relTest.uniqueId))
+    assert(sel("cautious", "a", "b").contains(relTest.uniqueId))
+    // buildable: parents may also be ancestors of selected nodes —
+    // a is an ancestor of b, so selecting b suffices
+    assert(sel("buildable", "b").contains(relTest.uniqueId))
+    assert(!sel("buildable", "a").contains(relTest.uniqueId)) // b not covered
+    // empty: only directly selected tests run
+    assert(!sel("empty", "b").contains(relTest.uniqueId))
+    assert(sel("empty", "rel_b_a") === Set(relTest.uniqueId))
+    assertThrows[IllegalArgumentException](sel("bogus", "b"))
+  }
+
   test("@ operator: descendants plus their ancestors") {
     val sel = Selector.select(manifest, dag, Seq("@c")).map(_.stripPrefix("model.graft."))
     assert(sel === Set("a", "b", "c", "d", "e"))

@@ -156,6 +156,147 @@ class TasksSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("model versions: pinned/unpinned refs, relation names, artifacts") {
+    val projDir = java.nio.file.Paths.get(tmpDir("ver_proj"))
+    def write(rel: String, content: String): Unit = {
+      val p = projDir.resolve(rel)
+      Files.createDirectories(p.getParent)
+      Files.writeString(p, content)
+    }
+    write("dbt_project.yml", "name: verproj\n")
+    write("models/schema.yml",
+      s"""sources:
+         |  - name: main
+         |    tables:
+         |      - name: orders
+         |        path: $sf/orders.parquet
+         |models:
+         |  - name: rev
+         |    latest_version: 2
+         |    versions:
+         |      - v: 1
+         |      - v: 2
+         |    columns:
+         |      - name: o_custkey
+         |        tests: [not_null]
+         |""".stripMargin)
+    write("models/rev_v1.sql",
+      "SELECT o_custkey, o_totalprice AS rev FROM {{ source('main','orders') }}")
+    write("models/rev_v2.sql",
+      "SELECT o_custkey, o_totalprice * 2 AS rev FROM {{ source('main','orders') }}")
+    write("models/uses_latest.sql", "SELECT sum(rev) AS s FROM {{ ref('rev') }}")
+    write("models/uses_pinned.sql", "SELECT sum(rev) AS s FROM {{ ref('rev', v=1) }}")
+    val eng = Engine.fromProject(spark, projDir.toString, tmpDir("wh"))
+    val m = eng.manifest
+    // one node per version, with version metadata
+    val v1 = m.nodes("model.graft.rev.v1").asInstanceOf[ModelNode]
+    val v2 = m.nodes("model.graft.rev.v2").asInstanceOf[ModelNode]
+    assert(v1.version === Some(1) && v1.latestVersion === Some(2))
+    assert(!v1.isLatestVersion && v2.isLatestVersion)
+    // unpinned ref -> latest; pinned ref -> that version
+    assert(m.nodes("model.graft.uses_latest").dependsOn === Seq("model.graft.rev.v2"))
+    assert(m.nodes("model.graft.uses_pinned").dependsOn === Seq("model.graft.rev.v1"))
+    // schema tests attach once, to the latest version
+    val tests = m.nodes.values.filter(_.resourceType == "test").toSeq
+    assert(tests.map(_.dependsOn) === Seq(Seq("model.graft.rev.v2")))
+    // run: versioned relations are name_vN, downstream reads resolve
+    val results = eng.run()
+    assert(results.forall(_.status == "success"), results.mkString(";"))
+    assert(eng.wh.exists("rev_v1") && eng.wh.exists("rev_v2"))
+    val latest = eng.wh.read("uses_latest").head().getDouble(0)
+    val pinned = eng.wh.read("uses_pinned").head().getDouble(0)
+    assert(math.abs(latest - 2 * pinned) < 0.01, s"latest=$latest pinned=$pinned")
+    // version: selector drives ls; eager mode (default) also pulls in
+    // the attached test, empty mode doesn't
+    assert(eng.ls(Seq("version:latest")) ===
+      Seq("model.graft.rev.v2", "test.graft.not_null_rev_o_custkey"))
+    assert(eng.ls(Seq("version:latest"), indirectSelection = "empty") ===
+      Seq("model.graft.rev.v2"))
+    assert(eng.ls(Seq("rev.v1"), indirectSelection = "empty") ===
+      Seq("model.graft.rev.v1"))
+    // manifest artifact carries version metadata
+    val target = tmpDir("ver_target")
+    eng.writeArtifacts(target, results)
+    val mf = Files.readString(Paths.get(s"$target/manifest.json"))
+    assert(mf.contains("\"model.graft.rev.v1\"") && mf.contains("\"latest_version\": 2"))
+  }
+
+  test("semantic models and saved queries: parse, link, compile, artifacts") {
+    val projDir = java.nio.file.Paths.get(tmpDir("sem_proj"))
+    def write(rel: String, content: String): Unit = {
+      val p = projDir.resolve(rel)
+      Files.createDirectories(p.getParent)
+      Files.writeString(p, content)
+    }
+    write("dbt_project.yml", "name: semproj\n")
+    write("models/schema.yml",
+      s"""sources:
+         |  - name: main
+         |    tables:
+         |      - name: orders
+         |        path: $sf/orders.parquet
+         |metrics:
+         |  - name: total_rev
+         |    model: spend
+         |    calculation: sum(total)
+         |  - name: big_orders
+         |    model: spend
+         |    calculation: count(*)
+         |    filter: total > 1000
+         |semantic_models:
+         |  - name: sem_spend
+         |    model: ref('spend')
+         |    entities:
+         |      - name: o_custkey
+         |        type: primary
+         |    dimensions:
+         |      - name: status
+         |        type: categorical
+         |    measures:
+         |      - name: total
+         |        agg: sum
+         |        expr: total
+         |saved_queries:
+         |  - name: rev_by_status
+         |    metrics: [total_rev]
+         |    group_by: [status]
+         |    where: status IS NOT NULL
+         |""".stripMargin)
+    write("models/spend.sql",
+      """{{ config(materialized='table') }}
+        |SELECT o_custkey, o_orderstatus AS status, sum(o_totalprice) AS total
+        |FROM {{ source('main','orders') }} GROUP BY o_custkey, o_orderstatus""".stripMargin)
+    val eng = Engine.fromProject(spark, projDir.toString, tmpDir("wh"))
+    val m = eng.manifest
+    // both node types parsed and linked downstream of their model/metrics
+    val sem = m.nodes("semantic_model.graft.sem_spend").asInstanceOf[SemanticModelNode]
+    assert(sem.dependsOn === Seq("model.graft.spend"))
+    assert(sem.entities === Seq(("o_custkey", "primary")))
+    assert(sem.measures === Seq(("total", "sum", "total")))
+    val sq = m.nodes("saved_query.graft.rev_by_status").asInstanceOf[SavedQueryNode]
+    assert(sq.dependsOn === Seq("metric.graft.total_rev"))
+    // selectors find them
+    assert(eng.ls(Seq("semantic_model:sem_spend")) === Seq(sem.uniqueId))
+    assert(eng.ls(Seq("saved_query:rev_by_status")) === Seq(sq.uniqueId))
+    // run materializes only the model; saved query compiles on demand
+    val results = eng.run()
+    assert(results.forall(_.status == "success"), results.mkString(";"))
+    assert(!eng.wh.exists("sem_spend") && !eng.wh.exists("rev_by_status"))
+    val df = eng.querySaved("rev_by_status")
+    assert(df.columns.toSet === Set("status", "total_rev"))
+    assert(df.count() > 0)
+    // metric filters AND into the saved where
+    val df2 = eng.querySaved("rev_by_status") // smoke: repeatable
+    assert(df2.count() === df.count())
+    assertThrows[IllegalArgumentException](eng.querySaved("nope"))
+    // manifest artifact carries the semantic fields
+    val target = tmpDir("sem_target")
+    eng.writeArtifacts(target, results)
+    val mf = Files.readString(Paths.get(s"$target/manifest.json"))
+    assert(mf.contains("semantic_model.graft.sem_spend") && mf.contains("\"agg\": \"sum\""))
+    assert(mf.contains("saved_query.graft.rev_by_status"))
+  }
+
   test("bucketed tables join without a shuffle") {
     import org.apache.spark.sql.functions._
     val eng = new Engine(spark, Manifest(Map.empty), tmpDir("wh"))
