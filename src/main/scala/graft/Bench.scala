@@ -40,28 +40,39 @@ object Bench {
 
     val headline = SparkEntry.allQueries.filter(_.name.startsWith("q"))
 
-    // warm-up: sequential, untimed
-    headline.foreach(q =>
-      try q.run(spark, sfDir).count() catch { case _: Throwable => })
+    // Sink: a `noop`-format write consumes every row through the FULL
+    // physical plan — unlike `count()`, which lets Catalyst drop each
+    // query's final global sort and under-measures ordered queries.
+    def drain(q: QueryDef): Unit =
+      q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
 
-    // timed pass: concurrent batch
+    // warm-up: sequential, untimed
+    headline.foreach(q => try drain(q) catch { case _: Throwable => })
+
+    // timed pass: concurrent batch; failures are surfaced, not timed
     val pool = Executors.newFixedThreadPool(concurrency)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     val t0 = System.nanoTime()
     val futures = headline.map { q =>
       Future {
         val s = System.nanoTime()
-        try { q.run(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        q.name -> (System.nanoTime() - s) / 1e9
+        try { drain(q); (q.name, (System.nanoTime() - s) / 1e9, true) }
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}")
+            (q.name, (System.nanoTime() - s) / 1e9, false)
+        }
       }
     }
     val results = Await.result(Future.sequence(futures), Duration.Inf)
     val total = (System.nanoTime() - t0) / 1e9
     pool.shutdown()
 
-    val qs = results.map { case (k, v) => s""""$k":$v""" }
+    val qs = results.collect { case (k, v, true) => s""""$k":$v""" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","concurrency":$concurrency,"note":"value=batch wall-clock after warm-up; per-query times overlap"}""")
+    val failed = results.collect { case (k, _, false) => s""""$k"""" }
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","concurrency":$concurrency,"note":"value=batch wall-clock after warm-up; per-query times overlap; sink=noop write (order-preserving)"}""")
     spark.stop()
   }
 }

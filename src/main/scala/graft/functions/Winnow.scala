@@ -28,27 +28,38 @@ case class WinnowFingerprint(child: Expression, k: Int, w: Int)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  private val B = 1000003L // polynomial base (public-domain constant choice)
+  // Polynomial hash over Z/M with M = 2^31-1 (Mersenne prime) and base
+  // B = 1000003. Mod-prime (not wrapping-64-bit) arithmetic is chosen
+  // deliberately: any engine with 64-bit integers can replay the exact
+  // hash family (sum of byte*B^j mod M never exceeds 2^43), which is
+  // what lets q43's oracle recompute these fingerprints in portable
+  // SQL. 31-bit fingerprints admit ~2^-31 per-pair collisions — noise
+  // for candidate GENERATION, where downstream verification filters
+  // false positives anyway.
+  private val B = 1000003L
+  private val M = 2147483647L
 
   override def nullSafeEval(input: Any): Any = {
     val bytes = input.asInstanceOf[UTF8String].getBytes
     val n = bytes.length
     if (n < k) return new GenericArrayData(Array.empty[Any])
-    // rolling hashes of all k-grams
+    // rolling hashes of all k-grams, each normalized into [0, M)
     val m = n - k + 1
     val hashes = new Array[Long](m)
     var h = 0L
-    var pow = 1L // B^(k-1)
+    var pow = 1L // B^(k-1) mod M
     var i = 0
     while (i < k) {
-      h = h * B + (bytes(i) & 0xff)
-      if (i < k - 1) pow *= B
+      h = (h * B + (bytes(i) & 0xff)) % M
+      if (i < k - 1) pow = pow * B % M
       i += 1
     }
     hashes(0) = h
     i = 1
     while (i < m) {
-      h = (h - (bytes(i - 1) & 0xff) * pow) * B + (bytes(i + k - 1) & 0xff)
+      val t = (h - (bytes(i - 1) & 0xff) * pow) % M // in (-M, M)
+      h = (t * B + (bytes(i + k - 1) & 0xff)) % M
+      if (h < 0) h += M
       hashes(i) = h
       i += 1
     }

@@ -160,17 +160,34 @@ object Ext2 {
 
     // Stratified sampling — per-language document sampling fractions
     // (`sampleBy`), the class-balancing primitive for training-set
-    // assembly. Sampling is seed-dependent and engine-specific →
-    // rows-only check; the spec-level invariant is that per-stratum
-    // sample sizes track the requested fractions.
-    QueryDef.noOracle("q46_stratified_sample") { (s, dir) =>
+    // assembly. The sampled rows are seed-dependent and engine-specific,
+    // so the oracled output is the statistical INVARIANT instead: each
+    // stratum's sample size must sit within 6 binomial standard
+    // deviations of n·p (P[violation] < 1e-8 per stratum). The oracle
+    // recomputes the deterministic side (per-lang totals) and asserts
+    // the bound holds — a real hash check on sampler health rather than
+    // a rows-only count.
+    QueryDef(
+      "q46_stratified_sample",
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_total,
+        |       TRUE AS within_bounds
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
       val fractions = Map("en" -> 0.5, "es" -> 0.25, "de" -> 0.25, "fr" -> 0.1)
         .withDefaultValue(0.1)
       val langs = docs.select("lang").distinct().collect().map(_.getString(0))
-      docs.stat.sampleBy("lang",
-          langs.map(l => l -> fractions(l)).toMap, seed = 42L)
+      val fracMap = langs.map(l => l -> fractions(l)).toMap
+      val sampled = docs.stat.sampleBy("lang", fracMap, seed = 42L)
         .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
+      import s.implicits._
+      val fracDf = broadcast(fracMap.toSeq.toDF("lang", "p"))
+      docs.groupBy("lang").agg(count(lit(1)).as("n_total"))
+        .join(fracDf, "lang")
+        .join(sampled, Seq("lang"), "left")
+        .select(col("lang"), col("n_total"),
+          (abs(coalesce(col("n_sampled"), lit(0L)) - col("n_total") * col("p")) <=
+            lit(6.0) * sqrt(col("n_total") * col("p") * (lit(1.0) - col("p"))) + lit(1.0))
+            .as("within_bounds"))
         .orderBy("lang")
     },
 
@@ -416,10 +433,45 @@ object Ext2 {
 
     // Winnowing near-dup candidates: rolling-hash k-gram fingerprints
     // (Schleimer et al. SIGMOD'03) selected by window-min, inverted-
-    // index join on shared fingerprints. The hash family is engine-
-    // specific → rows-only driver check; invariants are spec-tested
-    // (WinnowSpec).
-    QueryDef.noOracle("q43_winnow_candidates") { (s, dir) =>
+    // index join on shared fingerprints. The hash family is portable
+    // mod-(2^31-1) polynomial arithmetic (see Winnow.scala), so the
+    // oracle recomputes the exact fingerprints in SQL: per-position
+    // k-gram hashes via precomputed powers of the base B=1000003 mod M
+    // (57298384 = B^7 mod M, ... descending to B^0), window-min
+    // selection, then the same df-capped inverted-index pair join.
+    // Invariants additionally spec-tested (WinnowSpec).
+    QueryDef(
+      "q43_winnow_candidates",
+      """WITH h AS (
+        |  SELECT doc_id,
+        |         list_transform(range(1, length(text) - 8 + 2), i ->
+        |           (  ord(substr(text, i,     1))::BIGINT * 57298384
+        |            + ord(substr(text, i + 1, 1))::BIGINT * 2061642598
+        |            + ord(substr(text, i + 2, 1))::BIGINT * 1953433226
+        |            + ord(substr(text, i + 3, 1))::BIGINT * 1604566856
+        |            + ord(substr(text, i + 4, 1))::BIGINT * 1049561761
+        |            + ord(substr(text, i + 5, 1))::BIGINT * 1426104154
+        |            + ord(substr(text, i + 6, 1))::BIGINT * 1000003
+        |            + ord(substr(text, i + 7, 1))::BIGINT) % 2147483647) AS hs
+        |  FROM documents WHERE length(text) >= 8
+        |), sel AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(hs) <= 16 THEN [list_min(hs)]
+        |              ELSE list_distinct(list_transform(range(1, len(hs) - 16 + 2),
+        |                     s -> list_min(hs[s:s+15]))) END AS fps
+        |  FROM h
+        |), fp AS (
+        |  SELECT doc_id, unnest(fps) AS fp FROM sel
+        |), rare AS (
+        |  SELECT fp FROM fp GROUP BY fp HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 20
+        |), fr AS (
+        |  SELECT f.doc_id, f.fp FROM fp f JOIN rare USING (fp)
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(COUNT(*) AS BIGINT) AS shared_fps
+        |FROM fr a JOIN fr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 3
+        |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
       val fps = Tables.load(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"),
