@@ -57,6 +57,44 @@ object Template {
       MacroDef(m.group(1), params, m.group(3).trim)
     }.toSeq
 
+  /** A16 `{% call statement('name', fetch_result=true) %}sql{% endcall %}`
+    * blocks (reference statement call blocks,
+    * `core/dbt/clients/jinja.py` + the adapters' `statement` macro):
+    * the inner SQL executes against the warehouse and its result lands
+    * in the named result slot, so a later statement in the same macro
+    * body can read `{{ load_result('name').rows_affected }}`.
+    */
+  sealed trait MacroSegment
+  final case class CallStatement(slot: String, fetchResult: Boolean,
+      sql: String) extends MacroSegment
+  final case class SqlText(sql: String) extends MacroSegment
+
+  private val callStatementRe: Regex =
+    ("""(?s)\{%\s*call\s+statement\(\s*['"]([^'"]+)['"]\s*""" +
+      """(?:,\s*fetch_result\s*=\s*(?i:(true|false))\s*)?""" +
+      """(?:,\s*auto_begin\s*=\s*(?i:true|false)\s*)?\)\s*%\}""" +
+      """(.*?)\{%\s*endcall\s*%\}""").r
+
+  /** Split a macro body into an ordered sequence of call-statement
+    * blocks and plain SQL text between them. Plain segments keep their
+    * own `;`-separated multi-statement semantics.
+    */
+  def segmentMacroBody(body: String): Seq[MacroSegment] = {
+    val out = scala.collection.mutable.ArrayBuffer[MacroSegment]()
+    var last = 0
+    for (m <- callStatementRe.findAllMatchIn(body)) {
+      val before = body.substring(last, m.start).trim
+      if (before.nonEmpty) out += SqlText(before)
+      out += CallStatement(m.group(1),
+        Option(m.group(2)).exists(_.equalsIgnoreCase("true")),
+        m.group(3).trim)
+      last = m.end
+    }
+    val tail = body.substring(last).trim
+    if (tail.nonEmpty) out += SqlText(tail)
+    out.toSeq
+  }
+
   /** Bind invocation args into a macro body: params become vars-style
     * `{{ name }}` substitutions; unknown args and missing required
     * params are errors (reference kwargs validation).

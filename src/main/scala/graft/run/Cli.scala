@@ -93,6 +93,16 @@ object Cli {
         graft.run.Artifacts.writeCatalog(s"$targetDir/catalog.json",
           engine.wh, new java.sql.Timestamp(System.currentTimeMillis()))
         println(s"wrote $targetDir/catalog.json")
+      case "deps" =>
+        // Out of scope per SURVEY §2 A32 — fail with a direct
+        // explanation rather than "unknown command" (reference
+        // `core/dbt/deps/` resolves hub packages; target environments
+        // here have no network egress).
+        System.err.println(
+          """graft deps: package management is not supported (SURVEY §2 A32).
+            |Vendor any package's models/macros directly into this project's
+            |model paths; hub/git package resolution is intentionally absent.""".stripMargin)
+        sys.exit(2)
       case other =>
         println(s"unknown command: $other\n$usage"); sys.exit(2)
     }

@@ -386,21 +386,47 @@ final class Engine(
 
   /** `dbt run-operation <macro> --args {…}` (A16, reference
     * `core/dbt/task/run_operation.py`): bind args into the named
-    * macro, render with the engine context (refs/sources/vars resolve
-    * normally), execute each `;`-separated statement. Returns one
-    * DataFrame per statement (last one is what `show`-style callers
-    * want). Statement splitting is textual — semicolons inside string
-    * literals are not supported in macro bodies (subset by design,
-    * SURVEY §7.4).
+    * macro, then process its body in order. `{% call statement('s',
+    * fetch_result=true) %}…{% endcall %}` blocks execute eagerly and
+    * store `rows_affected`/`first_value` into result slot `s`, which
+    * LATER statements in the same body read via
+    * `{{ load_result('s').rows_affected }}` — each segment renders
+    * against the registry as it stood when the segment ran, matching
+    * the reference's in-order Jinja side effects. Plain segments keep
+    * `;`-separated multi-statement semantics (semicolons inside string
+    * literals unsupported — subset by design, SURVEY §7.4). Returns one
+    * DataFrame per executed statement.
     */
   def runOperation(name: String, args: Map[String, String] = Map.empty): Seq[DataFrame] = {
     val m = macros.getOrElse(name,
       throw new IllegalArgumentException(s"unknown macro: $name"))
-    val rendered = Template.render(Template.bindMacro(m, args), renderContext())
-    val stmts = rendered.split(";").map(_.trim).filter(_.nonEmpty)
-    val out = stmts.map(spark.sql)
-    storeResult(s"operation.$name", "main", Map("status" -> "SUCCESS",
-      "statements" -> stmts.length.toString))
+    val bound = Template.bindMacro(m, args)
+    val opId = s"operation.$name"
+    resultSlots.remove(opId) // slots are per-invocation, never stale
+    def opResults: Map[String, Map[String, String]] =
+      Option(resultSlots.get(opId)).getOrElse(Map.empty)
+    val out = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    var nStatements = 0
+    Template.segmentMacroBody(bound).foreach {
+      case Template.CallStatement(slot, fetch, sql) =>
+        val df = spark.sql(Template.render(sql, renderContext(results = opResults)))
+        nStatements += 1
+        val fields = Map("status" -> "SUCCESS") ++ (if (fetch) {
+          val rows = df.limit(10001).collect()
+          Map("rows_affected" -> rows.length.toString) ++
+            rows.headOption.filter(_.length > 0)
+              .map(r => "first_value" -> String.valueOf(r.get(0)))
+        } else Map.empty)
+        storeResult(opId, slot, fields)
+        out += df
+      case Template.SqlText(sql) =>
+        val rendered = Template.render(sql, renderContext(results = opResults))
+        val stmts = rendered.split(";").map(_.trim).filter(_.nonEmpty)
+        nStatements += stmts.length
+        out ++= stmts.map(spark.sql)
+    }
+    storeResult(opId, "main", Map("status" -> "SUCCESS",
+      "statements" -> nStatements.toString))
     out.toSeq
   }
 

@@ -462,6 +462,42 @@ class TasksSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](eng.runOperation("nope"))
   }
 
+  test("run-operation: {% call statement %} blocks feed load_result in-order") {
+    val projDir = java.nio.file.Paths.get(tmpDir("callstmt_proj"))
+    def write(rel: String, content: String): Unit = {
+      val p = projDir.resolve(rel)
+      Files.createDirectories(p.getParent)
+      Files.writeString(p, content)
+    }
+    write("dbt_project.yml", "name: callstmtproj\n")
+    write("models/sources.yml",
+      s"""sources:
+         |  - name: main
+         |    tables:
+         |      - name: orders
+         |        path: $sf/orders.parquet
+         |""".stripMargin)
+    write("macros/guard.sql",
+      """{% macro audit_orders(view_name) %}
+        |{% call statement('order_stats', fetch_result=true) %}
+        |SELECT count(*) AS n FROM {{ source('main','orders') }}
+        |{% endcall %}
+        |CREATE OR REPLACE TEMP VIEW {{ view_name }} AS
+        |SELECT {{ load_result('order_stats').rows_affected }} AS fetched_rows,
+        |       {{ load_result('order_stats').first_value }} AS order_count
+        |{% endmacro %}""".stripMargin)
+    val eng = Engine.fromProject(spark, projDir.toString, tmpDir("wh"))
+    val dfs = eng.runOperation("audit_orders", Map("view_name" -> "audit_out"))
+    assert(dfs.length === 2) // the call statement + the view DDL
+    val expected = spark.read.parquet(s"$sf/orders.parquet").count()
+    val row = spark.table("audit_out").head()
+    assert(row.getAs[Number](0).longValue === 1L) // the aggregate returned one row
+    assert(row.getAs[Number](1).longValue === expected)
+    // registry is per-invocation: a second run re-executes cleanly
+    eng.runOperation("audit_orders", Map("view_name" -> "audit_out2"))
+    assert(spark.table("audit_out2").head().getAs[Number](1).longValue === expected)
+  }
+
   test("result registry: post-hook reads load_result('main').rows_affected") {
     val audited = ModelNode("t_audited",
       "SELECT o_custkey, count(*) AS n FROM {{ ref('t_stg') }} GROUP BY o_custkey",
