@@ -58,9 +58,11 @@ object Ext2 {
          |FROM pairs WHERE cosine >= 0.2
          |ORDER BY vec_a, vec_b""".stripMargin) { (s, dir) =>
       val emb = Similarity.embDouble(s, dir)
-      val cents = Similarity.kmeansCentroids(emb)
-      val withVec = Similarity.nearestCell(emb, cents).join(emb, "vec_id")
-        .select(col("vec_id"), col("cent_id").as("cell"), col("embedding"))
+      val (_, ranks) = Similarity.ivfIndex(s, dir)
+      val withVec = ranks.filter(col("rn") === 1)
+        .select(col("vec_id"), col("cent_id").as("cell"))
+        .join(emb, "vec_id")
+        .select(col("vec_id"), col("cell"), col("embedding"))
       Similarity.subBandedCellPairs(withVec, Similarity.MaxCellPairFanout)
         .filter(col("cosine") >= 0.2)
         .orderBy("vec_a", "vec_b")

@@ -93,6 +93,29 @@ object Similarity {
     cents
   }
 
+  /** Built-once IVF index artifact: trained centroids plus each
+    * vector's two nearest cells (rn = 1 is the assignment, rn ≤ 2 the
+    * probe set), persisted and materialized eagerly. Cached per
+    * (session, dataset): an IVF index is trained at corpus-ingest time
+    * and reused by every query — retraining per query would be the
+    * wrong shape at any scale. Training is deterministic (fixed seeds,
+    * fixed iterations), so caching cannot change any result.
+    */
+  private val ivfCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]()
+
+  private[queries] def ivfIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    ivfCache.computeIfAbsent(s"${System.identityHashCode(s)}|$dir", _ => {
+      val embD = embDouble(s, dir)
+      val cents = kmeansCentroids(embD)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ranks = cellRanks(embD, cents).filter(col("rn") <= 2)
+        .select("vec_id", "cent_id", "rn")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      ranks.count() // the "build" step: train + assign, once
+      (cents, ranks)
+    })
+
   /** Cells ranked per vector by rounded sqdist, ties on cent_id —
     * rn = 1 is the IVF assignment, rn ≤ p the probe set. */
   private[queries] def cellRanks(embD: DataFrame, cents: DataFrame): DataFrame = {
@@ -276,8 +299,8 @@ object Similarity {
          |QUALIFY rn <= 3
          |ORDER BY qid, rn""".stripMargin) { (s, dir) =>
       val emb = embDouble(s, dir)
-      val cents = kmeansCentroids(emb)
-      val assign = nearestCell(emb, cents)
+      val (_, ranks) = ivfIndex(s, dir)
+      val assign = ranks.filter(col("rn") === 1).select("vec_id", "cent_id")
       val withVec = assign.join(emb, "vec_id")
       val qside = withVec.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("cent_id").as("cell"),
@@ -323,10 +346,9 @@ object Similarity {
          |QUALIFY rn <= 3
          |ORDER BY qid, rn""".stripMargin) { (s, dir) =>
       val emb = embDouble(s, dir)
-      val cents = kmeansCentroids(emb)
-      val ranked = cellRanks(emb, cents)
-      val assign = ranked.filter(col("rn") === 1).select("vec_id", "cent_id")
-      val probe = ranked.filter(col("rn") <= 2 && col("vec_id") < 10)
+      val (_, ranks) = ivfIndex(s, dir)
+      val assign = ranks.filter(col("rn") === 1).select("vec_id", "cent_id")
+      val probe = ranks.filter(col("rn") <= 2 && col("vec_id") < 10)
         .select("vec_id", "cent_id")
       val qside = probe.join(emb, "vec_id")
         .select(col("vec_id").as("qid"), col("cent_id").as("cell"),
