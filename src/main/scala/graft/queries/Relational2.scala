@@ -77,14 +77,26 @@ object Relational2 {
         .orderBy("day")
     },
 
-    // B9 sketches: approx_count_distinct (HLL). Approximation is
-    // engine-specific → no SQL oracle; driver records rows-only.
-    QueryDef.noOracle("q38_approx_distinct") { (s, dir) =>
+    // B9 sketches: approx_count_distinct (HLL). The sketch estimate is
+    // engine-specific, so the oracled output is the accuracy INVARIANT:
+    // the HLL++ estimate at rsd=0.02 must land within ±10% (5 relative
+    // standard deviations) of the exact distinct count. The oracle
+    // recomputes the exact side and asserts the bound — a real hash
+    // check on sketch health instead of a rows-only count.
+    QueryDef(
+      "q38_approx_distinct",
+      """SELECT l_returnflag,
+        |       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+        |       TRUE AS within_tolerance
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
       Tables.load(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
           approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
           countDistinct(col("l_orderkey")).as("exact_orders"))
+        .select(col("l_returnflag"), col("exact_orders"),
+          (abs(col("approx_orders") - col("exact_orders"))
+            <= col("exact_orders") * lit(0.10)).as("within_tolerance"))
         .orderBy("l_returnflag")
     },
 
