@@ -495,6 +495,37 @@ object Ext2 {
         .agg(count(lit(1)).as("shared_fps"))
         .filter(col("shared_fps") >= 3)
         .orderBy("doc_a", "doc_b")
+    },
+
+    // Benchmark decontamination (GPT-3 appendix C / PaLM-style): flag
+    // training documents sharing any 4-word n-gram with a held-out
+    // eval set (here: doc_id % 50 == 0 stands in for the benchmark
+    // corpus). The eval n-gram set is BROADCAST — eval suites are
+    // tiny against a 100 TB corpus, so the scan-side join is the
+    // correct scale shape (no shuffle of the training grams). Distinct
+    // grams per doc, so n_shared counts distinct contaminated grams.
+    QueryDef(
+      "q58_decontamination",
+      """WITH g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |           range(1, len(string_split(text, ' ')) - 4 + 2),
+        |           i -> array_to_string(string_split(text, ' ')[i:i+3], ' ')))) AS g
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 4
+        |), ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 50 = 0),
+        |tr AS (SELECT doc_id, g FROM g WHERE doc_id % 50 <> 0)
+        |SELECT tr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+        |FROM tr JOIN ev USING (g)
+        |GROUP BY tr.doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val grams = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(graft.functions.TextExprs.ngrams(
+            split(col("text"), " "), 4))).as("g"))
+      val evalGrams = grams.filter(col("doc_id") % 50 === 0)
+        .select("g").distinct()
+      grams.filter(col("doc_id") % 50 =!= 0)
+        .join(broadcast(evalGrams), "g")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+        .orderBy("doc_id")
     }
   )
 }

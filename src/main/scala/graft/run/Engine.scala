@@ -33,6 +33,11 @@ final class Engine(
 
   val wh = new Warehouse(spark, warehouseRoot)
 
+  // model SQL can call the graft native kernels (shingles, array_dot,
+  // winnow_fingerprint, …) — same surface as
+  // spark.sql.extensions=graft.plans.GraftExtensions
+  graft.plans.GraftExtensions.installInto(spark)
+
   /** `--defer`: refs to relations not built in this warehouse resolve
     * to the state engine's relations (reference `favor_state`,
     * `core/dbt/context/providers.py:552-570`).
