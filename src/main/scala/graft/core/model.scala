@@ -313,10 +313,24 @@ final case class ScalaModelNode(
   val resourceType = "model"
 }
 
+/** A named selector from selectors.yml (reference
+  * `core/dbt/config/selectors.py`, `core/dbt/contracts/selection.py`):
+  * the YAML definition is flattened at parse time into the string DSL
+  * (union = separate entries, intersection = comma-joined atoms) plus
+  * exclusions, so resolution reuses the one selection engine.
+  */
+final case class SelectorDef(
+    name: String,
+    select: Seq[String],
+    exclude: Seq[String] = Nil,
+    isDefault: Boolean = false,
+    description: String = "")
+
 /** The manifest: typed universe of all resources (reference
   * `core/dbt/contracts/graph/manifest.py:807+`).
   */
-final case class Manifest(nodes: Map[String, Node]) {
+final case class Manifest(nodes: Map[String, Node],
+    selectors: Map[String, SelectorDef] = Map.empty) {
   def models: Map[String, ModelNode] = collect { case m: ModelNode => m }
   def seeds: Map[String, SeedNode] = collect { case s: SeedNode => s }
   def snapshots: Map[String, SnapshotNode] = collect { case s: SnapshotNode => s }

@@ -221,6 +221,9 @@ object Selector {
     * source_status:.
     */
   private def method(manifest: Manifest, body: String): Set[String] = body.split(":", 2) match {
+    // explicit `fqn:` = the bare-atom name match (reference MethodName.FQN
+    // is the default method, selectable explicitly in selectors.yml)
+    case Array("fqn", name) => method(manifest, name)
     case Array(name) =>
       manifest.nodes.collect {
         case (id, n) if n.name == name || id == name ||

@@ -286,9 +286,80 @@ object ProjectLoader {
       .flatMap(f => Template.extractMacros(Files.readString(f)))
       .map(m => m.name -> m).toMap
 
-    Project(projName, vars, link(Manifest(nodes.map(n => n.uniqueId -> n).toMap)),
+    // ---- selectors.yml (named selectors; reference
+    // `core/dbt/config/selectors.py` + `contracts/selection.py`)
+    val selectorsFile = root.resolve("selectors.yml")
+    val selectorDefs: Map[String, SelectorDef] =
+      if (!Files.exists(selectorsFile)) Map.empty
+      else Option(yaml.load[java.util.Map[String, Any]](
+          Files.readString(selectorsFile)))
+        .map(_.asScala.toMap).getOrElse(Map.empty[String, Any])
+        .get("selectors") match {
+        case Some(l: java.util.List[_]) => l.asScala.map { item =>
+          val m = item.asInstanceOf[java.util.Map[_, _]].asScala
+            .map { case (k, v) => k.toString -> v }.toMap
+          val name = m.getOrElse("name",
+            sys.error("selectors.yml: each selector needs a name")).toString
+          val (sel, exc) = parseSelectorDef(m.getOrElse("definition",
+            sys.error(s"selector $name: missing definition")))
+          name -> SelectorDef(name, sel, exc,
+            isDefault = m.get("default").exists(_.toString == "true"),
+            description = m.get("description").map(_.toString).getOrElse(""))
+        }.toMap
+        case _ => Map.empty[String, SelectorDef]
+      }
+
+    Project(projName, vars,
+      link(Manifest(nodes.map(n => n.uniqueId -> n).toMap))
+        .copy(selectors = selectorDefs),
       onRunStart = hookList("on-run-start"), onRunEnd = hookList("on-run-end"),
       macros = macros)
+  }
+
+  /** Flatten a selectors.yml definition into string-DSL args: the
+    * everyday grammar — a bare string, `{method, value}` (with the
+    * graph-operator flags childrens_parents/parents/children and
+    * depths), `{union: [...]}`, `{intersection: [...]}` of flat atoms,
+    * and `{exclude: [...]}` entries inside either list. Union inside
+    * intersection is rejected (subset by design — the string DSL has
+    * no grouping).
+    */
+  private[parse] def parseSelectorDef(d: Any): (Seq[String], Seq[String]) = d match {
+    case s: String => (Seq(s), Nil)
+    case m: java.util.Map[_, _] =>
+      val mm = m.asScala.map { case (k, v) => k.toString -> v }.toMap
+      def items(key: String): Seq[Any] = mm(key) match {
+        case l: java.util.List[_] => l.asScala.toSeq.map(x => x: Any)
+        case one => Seq(one)
+      }
+      if (mm.contains("union")) {
+        val parts = items("union").map(parseSelectorDef)
+        (parts.flatMap(_._1), parts.flatMap(_._2))
+      } else if (mm.contains("intersection")) {
+        val parts = items("intersection").map(parseSelectorDef)
+        val atoms = parts.flatMap(_._1)
+        require(atoms.forall(!_.contains(",")),
+          "selectors.yml: union nested inside intersection is not supported")
+        (Seq(atoms.mkString(",")), parts.flatMap(_._2))
+      } else if (mm.contains("exclude")) {
+        val parts = items("exclude").map(parseSelectorDef)
+        (Nil, parts.flatMap(_._1) ++ parts.flatMap(_._2))
+      } else if (mm.contains("method")) {
+        val value = mm.getOrElse("value",
+          sys.error("selectors.yml: method entry needs a value")).toString
+        def flag(k: String) = mm.get(k).exists(_.toString == "true")
+        val atPre = if (flag("childrens_parents")) "@" else ""
+        val parPre =
+          if (flag("parents"))
+            mm.get("parents_depth").map(d => s"$d+").getOrElse("+")
+          else ""
+        val chiSuf =
+          if (flag("children"))
+            mm.get("children_depth").map(d => s"+$d").getOrElse("+")
+          else ""
+        (Seq(s"$atPre$parPre${mm("method")}:$value$chiSuf"), Nil)
+      } else sys.error(s"selectors.yml: unsupported definition $mm")
+    case other => sys.error(s"selectors.yml: unsupported definition $other")
   }
 
   /** `m` or `ref('m')`/`ref('m', v=2)` (braces optional) → ref spec. */

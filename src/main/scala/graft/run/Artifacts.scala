@@ -101,7 +101,14 @@ object Artifacts {
       "parent_map" -> obj(manifest.parentMap.toSeq.sortBy(_._1).map {
         case (id, ps) => id -> arr(ps.toSeq.sorted.map(q)) }),
       "child_map" -> obj(manifest.nodes.keys.toSeq.sorted.map { id =>
-        id -> arr(manifest.childMap.getOrElse(id, Set.empty).toSeq.sorted.map(q)) })))
+        id -> arr(manifest.childMap.getOrElse(id, Set.empty).toSeq.sorted.map(q)) }),
+      "selectors" -> obj(manifest.selectors.toSeq.sortBy(_._1).map {
+        case (name, s) => name -> obj(Seq(
+          "name" -> q(s.name),
+          "default" -> s.isDefault.toString,
+          "select" -> arr(s.select.map(q)),
+          "exclude" -> arr(s.exclude.map(q)),
+          "description" -> q(s.description))) })))
     write(path, doc)
   }
 

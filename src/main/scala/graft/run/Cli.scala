@@ -26,8 +26,8 @@ object Cli {
       java.nio.file.Files.createTempDirectory("graft_wh").toString)
     val targetDir = opts.getOrElse("target", s"$projectDir/target")
     val threads = opts.getOrElse("threads", "4").toInt
-    val select = opts.get("select").map(_.split("\\s+").toSeq).getOrElse(Nil)
-    val exclude = opts.get("exclude").map(_.split("\\s+").toSeq).getOrElse(Nil)
+    val rawSelect = opts.get("select").map(_.split("\\s+").toSeq).getOrElse(Nil)
+    val rawExclude = opts.get("exclude").map(_.split("\\s+").toSeq).getOrElse(Nil)
     val vars = opts.get("vars").map(_.split(",").map { kv =>
       val Array(k, v) = kv.split("=", 2); k -> v
     }.toMap).getOrElse(Map.empty)
@@ -43,6 +43,16 @@ object Cli {
     spark.sparkContext.setLogLevel("WARN")
 
     val engine = Engine.fromProject(spark, projectDir, warehouseDir, vars)
+    // --selector resolves a selectors.yml name; with no selection flags
+    // at all, the default: true selector (if any) applies — reference
+    // behavior for named selectors.
+    val (select, exclude) = opts.get("selector") match {
+      case Some(n) => engine.namedSelector(n)
+      case None if rawSelect.isEmpty && rawExclude.isEmpty =>
+        engine.defaultSelector.map(d => (d.select, d.exclude))
+          .getOrElse((Nil, Nil))
+      case None => (rawSelect, rawExclude)
+    }
     def report(results: Seq[graft.exec.Materializer.Result]): Unit = {
       results.foreach(r => println(f"${r.status.toUpperCase}%-8s ${r.uniqueId} (${r.elapsedSec}%.2fs) ${r.message}"))
       engine.writeArtifacts(targetDir, results)
@@ -131,7 +141,7 @@ object Cli {
   private val usage: String =
     """usage: graft.run.Cli <run|test|build|seed|snapshot|ls|compile|show|freshness|retry|docs|run-operation>
       |  --project <dir> [--warehouse <dir>] [--target <dir>] [--threads N]
-      |  [--select a b] [--exclude c] [--vars k=v,...] [--full-refresh]
+      |  [--select a b] [--exclude c] [--selector <name>] [--vars k=v,...] [--full-refresh]
       |  [--inline "<sql>"] [--limit N]
       |  run-operation <macro> [--args k=v,...]""".stripMargin
 }

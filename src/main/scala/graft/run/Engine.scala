@@ -79,6 +79,20 @@ final class Engine(
   private val resultSlots =
     new java.util.concurrent.ConcurrentHashMap[String, Map[String, Map[String, String]]]()
 
+  /** selectors.yml resolution (reference `--selector` flag,
+    * `core/dbt/config/selectors.py`): a named selector expands to its
+    * flattened (select, exclude) DSL args; the `default: true`
+    * selector applies when a task gets no selection flags at all.
+    */
+  def namedSelector(name: String): (Seq[String], Seq[String]) =
+    manifest.selectors.get(name).map(s => (s.select, s.exclude)).getOrElse(
+      throw new IllegalArgumentException(s"unknown selector: $name" +
+        (if (manifest.selectors.isEmpty) " (no selectors.yml in project)"
+         else s" (defined: ${manifest.selectors.keys.toSeq.sorted.mkString(", ")})")))
+
+  def defaultSelector: Option[graft.core.SelectorDef] =
+    manifest.selectors.values.find(_.isDefault)
+
   def storeResult(nodeId: String, slot: String, fields: Map[String, String]): Unit =
     resultSlots.compute(nodeId, (_, prev) =>
       Option(prev).getOrElse(Map.empty) + (slot -> fields))

@@ -462,6 +462,68 @@ class TasksSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](eng.runOperation("nope"))
   }
 
+  test("selectors.yml: named selectors parse, resolve, and serialize") {
+    val projDir = java.nio.file.Paths.get(tmpDir("selectors_proj"))
+    def write(rel: String, content: String): Unit = {
+      val p = projDir.resolve(rel)
+      Files.createDirectories(p.getParent)
+      Files.writeString(p, content)
+    }
+    write("dbt_project.yml", "name: selproj\n")
+    write("models/sources.yml",
+      s"""sources:
+         |  - name: main
+         |    tables:
+         |      - name: orders
+         |        path: $sf/orders.parquet
+         |""".stripMargin)
+    write("models/stg.sql",
+      "{{ config(tags=['staging']) }}\nSELECT * FROM {{ source('main','orders') }}")
+    write("models/fct.sql",
+      "{{ config(tags=['nightly'], materialized='table') }}\n" +
+        "SELECT o_custkey, count(*) AS n FROM {{ ref('stg') }} GROUP BY o_custkey")
+    write("models/other.sql", "SELECT 1 AS x")
+    write("selectors.yml",
+      """selectors:
+        |  - name: nightly_only
+        |    description: tagged nightly
+        |    definition: "tag:nightly"
+        |  - name: staged
+        |    default: true
+        |    definition:
+        |      union:
+        |        - method: tag
+        |          value: staging
+        |          children: true
+        |        - exclude:
+        |            - fqn:other
+        |  - name: both_tags
+        |    definition:
+        |      intersection:
+        |        - tag:staging
+        |        - tag:nightly
+        |""".stripMargin)
+    val eng = Engine.fromProject(spark, projDir.toString, tmpDir("wh"))
+    // string definition
+    assert(eng.namedSelector("nightly_only") === (Seq("tag:nightly"), Nil))
+    // union with method flags + exclude; default flagged
+    assert(eng.namedSelector("staged") === (Seq("tag:staging+"), Seq("fqn:other")))
+    assert(eng.defaultSelector.map(_.name) === Some("staged"))
+    // intersection flattens to the comma DSL
+    assert(eng.namedSelector("both_tags") === (Seq("tag:staging,tag:nightly"), Nil))
+    // resolution end-to-end: staged = staging + its children, minus other
+    val (sel, exc) = eng.namedSelector("staged")
+    val ids = eng.ls(sel, exc)
+    assert(ids.contains("model.graft.stg") && ids.contains("model.graft.fct"))
+    assert(!ids.exists(_.contains("other")))
+    assertThrows[IllegalArgumentException](eng.namedSelector("nope"))
+    // manifest artifact carries the selectors
+    val target = tmpDir("sel_target")
+    eng.writeArtifacts(target, Nil)
+    val mf = Files.readString(Paths.get(s"$target/manifest.json"))
+    assert(mf.contains("\"selectors\"") && mf.contains("nightly_only"))
+  }
+
   test("run-operation: {% call statement %} blocks feed load_result in-order") {
     val projDir = java.nio.file.Paths.get(tmpDir("callstmt_proj"))
     def write(rel: String, content: String): Unit = {
