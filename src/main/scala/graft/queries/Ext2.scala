@@ -21,39 +21,7 @@ object Ext2 {
     QueryDef(
       "q41_cosine_near_dup",
       s"""WITH ${Similarity.duckKmeans},
-         |bits AS (SELECT unnest(range(8)) AS j),
-         |sgn AS (
-         |  SELECT i, j, CASE WHEN STRPOS('01234567', SUBSTR(MD5(i || 'x' || j), 1, 1)) > 0
-         |               THEN 1.0 ELSE -1.0 END AS sgn
-         |  FROM idx CROSS JOIN bits
-         |), proj AS (
-         |  SELECT e.vec_id, s.j,
-         |         ROUND(SUM(CAST(e.embedding[s.i] AS DOUBLE) * s.sgn), 6) AS dot
-         |  FROM embeddings e CROSS JOIN sgn s GROUP BY e.vec_id, s.j
-         |), sig AS (
-         |  SELECT vec_id,
-         |         STRING_AGG(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS sig
-         |  FROM proj GROUP BY vec_id
-         |), sizes AS (SELECT cent_id, COUNT(*) AS cn FROM assign GROUP BY cent_id
-         |), keyed AS (
-         |  SELECT a.vec_id, a.cent_id,
-         |         CAST(a.cent_id AS VARCHAR) || '#' ||
-         |         CASE WHEN sz.cn > ${Similarity.MaxCellPairFanout}
-         |              THEN g.sig ELSE '' END AS jkey
-         |  FROM assign a
-         |  JOIN sizes sz ON sz.cent_id = a.cent_id
-         |  JOIN sig g ON g.vec_id = a.vec_id
-         |), pairs AS (
-         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cent_id AS cell,
-         |         ROUND(${Similarity.duckDot("ea", "eb")}
-         |               / SQRT(${Similarity.duckDot("ea", "ea")}
-         |                      * ${Similarity.duckDot("eb", "eb")}), 6) AS cosine
-         |  FROM keyed a JOIN keyed b ON a.jkey = b.jkey AND a.vec_id < b.vec_id
-         |  JOIN embeddings ea ON ea.vec_id = a.vec_id
-         |  JOIN embeddings eb ON eb.vec_id = b.vec_id
-         |  CROSS JOIN idx
-         |  GROUP BY a.vec_id, b.vec_id, a.cent_id
-         |)
+         |${Similarity.duckSubBandPairs}
          |SELECT vec_a, vec_b, cell, CAST(cosine AS DOUBLE) AS cosine
          |FROM pairs WHERE cosine >= 0.2
          |ORDER BY vec_a, vec_b""".stripMargin) { (s, dir) =>
@@ -526,6 +494,90 @@ object Ext2 {
         .join(broadcast(evalGrams), "g")
         .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
         .orderBy("doc_id")
+    },
+
+    // SemDeDup-style embedding dedup retention (Abbas et al. 2023):
+    // within-IVF-cell cosine candidates above a threshold → connected
+    // components → keep the lowest vec_id per group; report per-cell
+    // retention. Same candidate topology as q41 (cell-restricted,
+    // sub-banded), same CC machinery as q48 — composition, not new
+    // kernels. Threshold 0.3 because the synthetic embeddings are
+    // near-orthogonal (max pairwise cosine ~0.51); production would
+    // run ~0.95 on real model embeddings.
+    QueryDef(
+      "q59_semantic_dedup",
+      s"""WITH RECURSIVE ${Similarity.duckKmeans},
+         |${Similarity.duckSubBandPairs},
+         |dup AS (SELECT vec_a, vec_b FROM pairs WHERE cosine >= 0.3
+         |), edges AS (
+         |  SELECT vec_a AS src, vec_b AS dst FROM dup
+         |  UNION ALL SELECT vec_b, vec_a FROM dup
+         |), reach(node, label) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+         |), comp AS (
+         |  SELECT node, MIN(label) AS label FROM reach GROUP BY node
+         |), removed AS (SELECT node FROM comp WHERE node <> label)
+         |SELECT a.cent_id AS cell,
+         |       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         |       CAST(COUNT(r.node) AS BIGINT) AS n_removed,
+         |       CAST(COUNT(*) - COUNT(r.node) AS BIGINT) AS n_kept
+         |FROM assign a LEFT JOIN removed r ON r.node = a.vec_id
+         |GROUP BY a.cent_id ORDER BY cell""".stripMargin) { (s, dir) =>
+      val emb = Similarity.embDouble(s, dir)
+      val (_, ranks) = Similarity.ivfIndex(s, dir)
+      val assign = ranks.filter(col("rn") === 1)
+        .select(col("vec_id"), col("cent_id").as("cell"))
+      val withVec = assign.join(emb, "vec_id")
+        .select(col("vec_id"), col("cell"), col("embedding"))
+      val dup = Similarity.subBandedCellPairs(withVec, Similarity.MaxCellPairFanout)
+        .filter(col("cosine") >= 0.3)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      val removed = TextOps.connectedComponents(dup)
+        .filter(col("doc_id") =!= col("group_id"))
+        .select(col("doc_id").as("vec_id"), lit(1).as("rm"))
+      assign.join(removed, Seq("vec_id"), "left")
+        .groupBy("cell").agg(
+          count(lit(1)).as("n_vecs"),
+          count(col("rm")).as("n_removed"),
+          (count(lit(1)) - count(col("rm"))).as("n_kept"))
+        .orderBy("cell")
+    },
+
+    // Corpus mixing via deterministic hash-mod sampling: each language
+    // keeps `keep_bp`/10000 of its documents, selected by md5(doc_id)
+    // bucket — reproducible across engines, cluster sizes, and row
+    // orders (unlike seed-based RNG sampling, whose draw depends on
+    // partitioning). THE production shape for assembling weighted
+    // training mixtures; fully oracle-checkable because the hash is
+    // exact on both sides.
+    QueryDef(
+      "q60_corpus_mixing",
+      """WITH w(lang, keep_bp) AS (
+        |  VALUES ('en', 5000), ('es', 2500), ('de', 2500), ('fr', 1000), ('zh', 1000)
+        |), k AS (
+        |  SELECT d.lang,
+        |         CASE WHEN CAST(('0x' || SUBSTR(MD5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |                   % 10000 < w.keep_bp
+        |              THEN 1 ELSE 0 END AS kept
+        |  FROM documents d JOIN w ON w.lang = d.lang
+        |)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_total,
+        |       CAST(SUM(kept) AS BIGINT) AS n_kept
+        |FROM k GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val weights = Seq(("en", 5000), ("es", 2500), ("de", 2500),
+        ("fr", 1000), ("zh", 1000)).toDF("lang", "keep_bp")
+      Tables.load(s, dir, "documents")
+        .join(broadcast(weights), "lang")
+        .withColumn("kept",
+          when(expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint)")
+            % 10000 < col("keep_bp"), 1).otherwise(0))
+        .groupBy("lang").agg(
+          count(lit(1)).as("n_total"),
+          sum("kept").cast("long").as("n_kept"))
+        .orderBy("lang")
     }
   )
 }

@@ -116,6 +116,46 @@ object Similarity {
       (cents, ranks)
     })
 
+  /** Oracle twin of `subBandedCellPairs`: SRP signatures, cell sizes,
+    * sub-banded join keys and the unthresholded within-key cosine
+    * pairs. Expects `idx`/`assign` from [[duckKmeans]] in scope; ends
+    * with `pairs`(vec_a, vec_b, cell, cosine). Shared by q41/q59.
+    */
+  private[queries] val duckSubBandPairs: String =
+    s"""bits AS (SELECT unnest(range(8)) AS j),
+       |sgn AS (
+       |  SELECT i, j, CASE WHEN STRPOS('01234567', SUBSTR(MD5(i || 'x' || j), 1, 1)) > 0
+       |               THEN 1.0 ELSE -1.0 END AS sgn
+       |  FROM idx CROSS JOIN bits
+       |), proj AS (
+       |  SELECT e.vec_id, s.j,
+       |         ROUND(SUM(CAST(e.embedding[s.i] AS DOUBLE) * s.sgn), 6) AS dot
+       |  FROM embeddings e CROSS JOIN sgn s GROUP BY e.vec_id, s.j
+       |), sig AS (
+       |  SELECT vec_id,
+       |         STRING_AGG(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS sig
+       |  FROM proj GROUP BY vec_id
+       |), sizes AS (SELECT cent_id, COUNT(*) AS cn FROM assign GROUP BY cent_id
+       |), keyed AS (
+       |  SELECT a.vec_id, a.cent_id,
+       |         CAST(a.cent_id AS VARCHAR) || '#' ||
+       |         CASE WHEN sz.cn > $MaxCellPairFanout
+       |              THEN g.sig ELSE '' END AS jkey
+       |  FROM assign a
+       |  JOIN sizes sz ON sz.cent_id = a.cent_id
+       |  JOIN sig g ON g.vec_id = a.vec_id
+       |), pairs AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cent_id AS cell,
+       |         ROUND(${duckDot("ea", "eb")}
+       |               / SQRT(${duckDot("ea", "ea")}
+       |                      * ${duckDot("eb", "eb")}), 6) AS cosine
+       |  FROM keyed a JOIN keyed b ON a.jkey = b.jkey AND a.vec_id < b.vec_id
+       |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+       |  JOIN embeddings eb ON eb.vec_id = b.vec_id
+       |  CROSS JOIN idx
+       |  GROUP BY a.vec_id, b.vec_id, a.cent_id
+       |)""".stripMargin
+
   /** Cells ranked per vector by rounded sqdist, ties on cent_id —
     * rn = 1 is the IVF assignment, rn ≤ p the probe set. */
   private[queries] def cellRanks(embD: DataFrame, cents: DataFrame): DataFrame = {
