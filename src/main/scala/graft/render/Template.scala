@@ -197,6 +197,14 @@ object Template {
         */
       envOverrides: Map[String, String] = Map.empty)
 
+  /** `{% set name = <literal> %}` — string/number literals only (the
+    * reference binds arbitrary Jinja expressions; query-valued sets are
+    * out of scope with the rest of full Jinja, SURVEY §7.4). A later
+    * `set` of the same name wins, matching reassignment semantics.
+    */
+  private val setRe: Regex =
+    """\{%\s*set\s+(\w+)\s*=\s*(?:'([^']*)'|"([^"]*)"|([-\d.]+))\s*%\}""".r
+
   private val builtinRe: Regex =
     """\{\{\s*([a-z_][a-z0-9_.]*)\s*\}\}""".r
   private val loadResultRe: Regex =
@@ -211,6 +219,13 @@ object Template {
   /** Render a model body to executable Spark SQL. */
   def render(sql: String, ctx: Context): String = {
     var out = configRe.replaceAllIn(sql, "")
+    val sets = setRe.findAllMatchIn(out).map(m => m.group(1) ->
+      Option(m.group(2)).orElse(Option(m.group(3))).getOrElse(m.group(4))).toMap
+    out = setRe.replaceAllIn(out, "")
+    sets.foreach { case (n, v) =>
+      out = out.replaceAll("""\{\{\s*""" + n + """\s*\}\}""",
+        Regex.quoteReplacement(v))
+    }
     out = ifIncrRe.replaceAllIn(out, m => {
       val branch =
         if (ctx.isIncremental) m.group(1)

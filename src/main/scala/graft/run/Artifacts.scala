@@ -112,6 +112,30 @@ object Artifacts {
     write(path, doc)
   }
 
+  /** `docs generate` lineage graph as GraphViz DOT — the plain-text
+    * analog of the reference's interactive site (the site itself is
+    * out of scope; the lineage graph it renders is not). Nodes are
+    * shaped by resource type; edges follow the parent map.
+    */
+  def writeLineageDot(path: String, manifest: Manifest): Unit = {
+    def shape(rt: String): String = rt match {
+      case "source" => "cds"
+      case "seed" => "cylinder"
+      case "test" | "unit_test" => "note"
+      case "exposure" | "metric" | "semantic_model" | "saved_query" => "oval"
+      case _ => "box"
+    }
+    val sb = new StringBuilder("digraph graft {\n  rankdir=LR;\n  node [fontsize=10];\n")
+    manifest.nodes.toSeq.sortBy(_._1).foreach { case (id, n) =>
+      sb.append(s"""  "$id" [label="${n.name}" shape=${shape(n.resourceType)}];\n""")
+    }
+    manifest.parentMap.toSeq.sortBy(_._1).foreach { case (child, parents) =>
+      parents.toSeq.sorted.foreach(p => sb.append(s"""  "$p" -> "$child";\n"""))
+    }
+    sb.append("}\n")
+    write(path, sb.toString)
+  }
+
   /** `docs generate` catalog: relations + columns from the live
     * warehouse (reference `core/dbt/task/docs/generate.py`).
     */

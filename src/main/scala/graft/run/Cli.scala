@@ -102,7 +102,9 @@ object Cli {
       case "docs" =>
         graft.run.Artifacts.writeCatalog(s"$targetDir/catalog.json",
           engine.wh, new java.sql.Timestamp(System.currentTimeMillis()))
-        println(s"wrote $targetDir/catalog.json")
+        graft.run.Artifacts.writeLineageDot(s"$targetDir/graph.dot",
+          engine.manifest)
+        println(s"wrote $targetDir/catalog.json and $targetDir/graph.dot")
       case "deps" =>
         // Out of scope per SURVEY §2 A32 — fail with a direct
         // explanation rather than "unknown command" (reference

@@ -93,6 +93,20 @@ class PlanSpec extends SparkSpec {
     assert(filtered.count() > 0)
   }
 
+  test("q58: eval gram set broadcast against the training-side scan") {
+    // the 100 TB shape: the tiny held-out set ships to the corpus
+    // scan's side, never shuffling the training grams by key
+    val p = plan("q58_decontamination")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q60: mixing weights broadcast; sampling needs no shuffle before agg") {
+    val p = plan("q60_corpus_mixing")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("whole-stage codegen active on the scan-agg path") {
     // AQE finalizes the plan lazily; execute first, then inspect
     val df = SparkEntry.queries("q02_agg_pricing_summary")(spark, sf)

@@ -81,6 +81,19 @@ class TemplateSpec extends AnyFunSuite {
       === "SELECT 1")
   }
 
+  test("set: literal assignments substitute downstream, reassignment wins") {
+    assert(Template.render(
+      "{% set status = 'O' %}SELECT * FROM t WHERE s = '{{ status }}'", ctx)
+      === "SELECT * FROM t WHERE s = 'O'")
+    assert(Template.render(
+      "{% set lim = 10 %}SELECT * FROM t LIMIT {{ lim }}", ctx)
+      === "SELECT * FROM t LIMIT 10")
+    // later set of the same name wins
+    assert(Template.render(
+      "{% set x = 'a' %}{% set x = \"b\" %}SELECT '{{ x }}'", ctx)
+      === "SELECT 'b'")
+  }
+
   test("load_result renders slot fields and errors on unknown slots") {
     val c = ctx.copy(results = Map("main" -> Map("rows_affected" -> "42")))
     assert(Template.render(

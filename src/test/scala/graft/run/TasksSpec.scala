@@ -32,6 +32,10 @@ class TasksSpec extends SparkSpec {
     assert(mf.contains("\"parent_map\"") && mf.contains("source.graft.main.orders"))
     val cat = Files.readString(Paths.get(s"$target/catalog.json"))
     assert(cat.contains("t_fct"))
+    Artifacts.writeLineageDot(s"$target/graph.dot", eng.manifest)
+    val dot = Files.readString(Paths.get(s"$target/graph.dot"))
+    assert(dot.contains("\"model.graft.t_stg\" -> \"model.graft.t_fct\""))
+    assert(dot.contains("shape=cds")) // sources shaped distinctly
     // retry round-trip: statuses parse back
     val statuses = Artifacts.readRunStatuses(s"$target/run_results.json")
     assert(statuses.values.forall(_ == "success"))
