@@ -9,7 +9,7 @@ import org.apache.spark.sql.SparkSession
   * {{{
   *   graft.run.Cli <command> --project <dir> --warehouse <dir>
   *       [--select a b] [--exclude c] [--threads N] [--vars k=v,...]
-  *       [--full-refresh] [--target <dir>] [--inline "<sql>"] [--limit N]
+  *       [--full-refresh] [--target <dir>] [--inline "<sql>"] [--limit N] [--empty]
   * }}}
   * Commands: run, test, build, seed, snapshot, ls, compile, show,
   * freshness, retry, docs.
@@ -42,7 +42,8 @@ object Cli {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val engine = Engine.fromProject(spark, projectDir, warehouseDir, vars)
+    val engine = Engine.fromProject(spark, projectDir, warehouseDir, vars,
+      emptyMode = opts.contains("empty"))
     // --selector resolves a selectors.yml name; with no selection flags
     // at all, the default: true selector (if any) applies — reference
     // behavior for named selectors.
@@ -87,7 +88,7 @@ object Cli {
           case _ => sys.error("show needs --inline '<sql>' or --select <model>")
         }
       case "freshness" =>
-        engine.sourceFreshness().toSeq.sortBy(_._1).foreach {
+        engine.sourceFreshness(select).toSeq.sortBy(_._1).foreach {
           case (id, (status, age)) => println(f"$status%-6s $id age=${age}%.0fs")
         }
       case "retry" => report(engine.retry(s"$targetDir/run_results.json", threads))
@@ -144,6 +145,6 @@ object Cli {
     """usage: graft.run.Cli <run|test|build|seed|snapshot|ls|compile|show|freshness|retry|docs|run-operation>
       |  --project <dir> [--warehouse <dir>] [--target <dir>] [--threads N]
       |  [--select a b] [--exclude c] [--selector <name>] [--vars k=v,...] [--full-refresh]
-      |  [--inline "<sql>"] [--limit N]
+      |  [--inline "<sql>"] [--limit N] [--empty]
       |  run-operation <macro> [--args k=v,...]""".stripMargin
 }

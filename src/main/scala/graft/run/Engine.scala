@@ -590,14 +590,18 @@ final class Engine(
     }
 
   /** Source freshness for all sources with a loaded_at_field. */
-  def sourceFreshness(): Map[String, (String, Double)] =
-    manifest.sources.values.flatMap { s =>
+  def sourceFreshness(select: Seq[String] = Nil): Map[String, (String, Double)] = {
+    val scope: Set[String] =
+      if (select.isEmpty) manifest.sources.keySet
+      else Selector.select(manifest, dag, select)
+    manifest.sources.values.filter(s => scope.contains(s.uniqueId)).flatMap { s =>
       s.loadedAtField.map { f =>
         s.uniqueId -> Materializer.freshness(wh, relationName(s), f,
           s.freshnessWarnAfterSec, s.freshnessErrorAfterSec, clock,
           s.freshnessFilter)
       }
     }.toMap
+  }
 
   /** `dbt ls` (reference list task): selected unique ids, topo order. */
   def ls(select: Seq[String] = Nil, exclude: Seq[String] = Nil,
@@ -664,9 +668,11 @@ object Engine {
   def fromProject(spark: SparkSession, projectDir: String, warehouseRoot: String,
       vars: Map[String, String] = Map.empty,
       clock: Materializer.Clock = Materializer.systemClock,
-      namespace: String = ""): Engine = {
+      namespace: String = "",
+      emptyMode: Boolean = false): Engine = {
     val proj = ProjectLoader.load(projectDir)
     new Engine(spark, proj.manifest, warehouseRoot, proj.vars ++ vars, clock,
+      emptyMode = emptyMode,
       runStartHooks = proj.onRunStart, runEndHooks = proj.onRunEnd,
       namespace = namespace, macros = proj.macros)
   }
