@@ -578,6 +578,43 @@ object Ext2 {
           count(lit(1)).as("n_total"),
           sum("kept").cast("long").as("n_kept"))
         .orderBy("lang")
+    },
+
+    // Sequence packing: assign documents to fixed 2048-token training
+    // windows by cumulative token offset — the batch-assembly step
+    // between a cleaned corpus and a trainer. Packing is PER SHARD
+    // (doc_id % 8): the running sum partitions by shard, so at 100 TB
+    // each shard packs independently (one window partition each) with
+    // no global ordering bottleneck; shard count scales with the
+    // cluster, and assignment stays deterministic.
+    QueryDef(
+      "q61_sequence_packing",
+      """WITH t AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), c AS (
+        |  SELECT shard, doc_id, n_tokens,
+        |         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS off
+        |  FROM t
+        |)
+        |SELECT shard, CAST(FLOOR(off / 2048.0) AS BIGINT) AS pack_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+        |FROM c GROUP BY shard, pack_id
+        |ORDER BY shard, pack_id""".stripMargin) { (s, dir) =>
+      val t = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      val w = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t.withColumn("off", sum("n_tokens").over(w) - col("n_tokens"))
+        .groupBy(col("shard"),
+          floor(col("off") / 2048.0).cast("long").as("pack_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("n_tokens"))
+        .orderBy("shard", "pack_id")
     }
   )
 }
