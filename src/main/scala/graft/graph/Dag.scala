@@ -245,11 +245,28 @@ object Selector {
     case Array("state", which) =>
       val state = stateManifestTL.get().getOrElse(
         throw new IllegalArgumentException("state: selector needs a --state manifest (Selector.withState)"))
+      // reference state_checks (`selector_methods.py:736-751`): a node
+      // missing from the comparison manifest counts as modified under
+      // every `modified*` variant, matching check_modified_content
       which match {
         case "new" => manifest.nodes.keySet -- state.nodes.keySet
+        case "old" =>
+          manifest.nodes.keySet.intersect(state.nodes.keySet)
         case "modified" =>
           manifest.nodes.collect {
             case (id, n) if !state.nodes.get(id).exists(same(_, n)) => id
+          }.toSet
+        case "unmodified" =>
+          manifest.nodes.collect {
+            case (id, n) if state.nodes.get(id).exists(same(_, n)) => id
+          }.toSet
+        case "modified.body" =>
+          manifest.nodes.collect {
+            case (id, n) if !state.nodes.get(id).exists(sameBody(_, n)) => id
+          }.toSet
+        case "modified.configs" =>
+          manifest.nodes.collect {
+            case (id, n) if !state.nodes.get(id).exists(_.config == n.config) => id
           }.toSet
         case other =>
           throw new IllegalArgumentException(s"unsupported state method: $other")
@@ -361,6 +378,16 @@ object Selector {
   /** Node equivalence for state:modified — raw code + config
     * (reference compares content checksums).
     */
+  /** `modified.body` comparison: definition text only, config ignored
+    * (reference `same_body`). */
+  private def sameBody(a: Node, b: Node): Boolean = (a, b) match {
+    case (x: graft.core.ModelNode, y: graft.core.ModelNode) => x.rawSql == y.rawSql
+    case (x: graft.core.SnapshotNode, y: graft.core.SnapshotNode) => x.rawSql == y.rawSql
+    case (x: graft.core.TestNode, y: graft.core.TestNode) => x.rawSql == y.rawSql
+    case (x: graft.core.SeedNode, y: graft.core.SeedNode) => x.csv == y.csv
+    case (x, y) => same(x, y)
+  }
+
   private def same(a: Node, b: Node): Boolean = (a, b) match {
     case (x: graft.core.ModelNode, y: graft.core.ModelNode) =>
       x.rawSql == y.rawSql && x.config == y.config

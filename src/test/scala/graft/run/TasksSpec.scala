@@ -94,6 +94,23 @@ class TasksSpec extends SparkSpec {
     // state:modified+ includes downstream
     val plus = eng.lsWithState(m1, Seq("state:modified+"))
     assert(plus.contains("model.graft.t_fct"))
+    // old = present in both manifests; unmodified = old minus changed
+    val old = eng.lsWithState(m1, Seq("state:old"))
+    assert(old.contains("model.graft.t_stg") && !old.contains("model.graft.t_new"))
+    val unmod = eng.lsWithState(m1, Seq("state:unmodified"))
+    assert(unmod.contains("model.graft.t_stg"))
+    assert(!unmod.contains("model.graft.t_fct") && !unmod.contains("model.graft.t_new"))
+    // config-only change: modified.configs catches it, modified.body doesn't
+    val reconfig = ModelNode("t_fct",
+      "SELECT o_custkey, count(*) AS n, 1 AS v2 FROM {{ ref('t_stg') }} GROUP BY o_custkey",
+      config = NodeConfig(materialized = "view"), refs = Seq("t_stg"))
+    val m3 = graft.parse.ProjectLoader.link(Manifest(
+      m2.nodes + (reconfig.uniqueId -> reconfig)))
+    val eng3 = new Engine(spark, m3, tmpDir("wh3"))
+    val byConfig = eng3.lsWithState(m2, Seq("state:modified.configs"))
+    assert(byConfig === Seq("model.graft.t_fct"))
+    val byBody = eng3.lsWithState(m2, Seq("state:modified.body"))
+    assert(!byBody.contains("model.graft.t_fct"))
   }
 
   test("defer resolves unbuilt refs to the state engine") {
