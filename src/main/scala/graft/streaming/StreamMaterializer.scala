@@ -82,6 +82,28 @@ object StreamMaterializer {
       .toDF("user_id", "running_n")
   }
 
+  /** Stream-stream interval self-join (B22): click attribution — each
+    * click joins the same user's preceding view within 24 hours. Both
+    * sides carry watermarks ≥ the join interval, so Spark evicts join
+    * state once a view can no longer match: state size is bounded by
+    * (interval × event rate), not stream history — the requirement for
+    * an unbounded 100 TB stream. Inner-join matches emit eagerly (no
+    * watermark wait), so results equal the batch twin exactly.
+    */
+  def viewClickAttribution(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", "26 hours")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "26 hours")
+    views.join(clicks,
+        col("v_user") === col("c_user") &&
+          col("click_ts") >= col("view_ts") &&
+          col("click_ts") <= col("view_ts") + expr("INTERVAL 24 HOURS"))
+      .select(col("v_user").as("user_id"), col("view_ts"), col("click_ts"))
+  }
+
   /** Drive a streaming DataFrame into the warehouse through
     * foreachBatch → the same materialization layer (append commits per
     * micro-batch). Returns the running query; callers stop it.

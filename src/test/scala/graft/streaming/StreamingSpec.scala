@@ -90,6 +90,36 @@ class StreamingSpec extends SparkSpec {
     assert(last.count() === batch.count())
   }
 
+  test("stream-stream interval join equals the batch attribution join") {
+    val dir = eventsDir
+    val schema = spark.read.parquet(dir).schema
+    val wh = new Engine(spark, Manifest(Map.empty), tmpDir("wh_ss")).wh
+    val q = StreamMaterializer.writeToWarehouse(
+      wh, "stream_attrib",
+      StreamMaterializer.viewClickAttribution(
+        StreamMaterializer.readEvents(spark, dir, schema)),
+      tmpDir("ckpt_ss"))
+    q.awaitTermination(120000)
+    val streamed = wh.read("stream_attrib")
+    val ev = spark.read.parquet(dir)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+    val batch = views.join(clicks,
+      col("v_user") === col("c_user") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr("INTERVAL 24 HOURS"))
+    assert(streamed.count() === batch.count())
+    assert(streamed.count() > 0)
+    // every streamed pair is a real batch pair (no duplicates/phantoms)
+    val extra = streamed.join(batch,
+      streamed("user_id") === batch("v_user") &&
+        streamed("view_ts") === batch("view_ts") &&
+        streamed("click_ts") === batch("click_ts"), "left_anti")
+    assert(extra.count() === 0)
+  }
+
   test("session windows produce bounded per-user sessions") {
     val dir = eventsDir
     val schema = spark.read.parquet(dir).schema
