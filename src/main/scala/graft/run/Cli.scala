@@ -25,6 +25,45 @@ object Cli {
     val warehouseDir = opts.getOrElse("warehouse",
       java.nio.file.Files.createTempDirectory("graft_wh").toString)
     val targetDir = opts.getOrElse("target", s"$projectDir/target")
+
+    // Spark-free commands handled before a session exists, so they are
+    // cheap and safe to call from anywhere (reference `init`/`clean`).
+    command match {
+      case "init" =>
+        val root = java.nio.file.Paths.get(projectDir)
+        def scaffold(rel: String, content: String): Unit = {
+          val p = root.resolve(rel)
+          java.nio.file.Files.createDirectories(p.getParent)
+          if (!java.nio.file.Files.exists(p))
+            java.nio.file.Files.writeString(p, content)
+        }
+        scaffold("dbt_project.yml",
+          s"""name: ${root.getFileName}
+             |vars: {}
+             |""".stripMargin)
+        scaffold("models/example.sql",
+          "{{ config(materialized='view') }}\nSELECT 1 AS id\n")
+        scaffold("models/schema.yml",
+          """models:
+            |  - name: example
+            |    columns:
+            |      - name: id
+            |        tests: [not_null]
+            |""".stripMargin)
+        println(s"initialized project at $projectDir")
+        return
+      case "clean" =>
+        def rm(p: java.nio.file.Path): Unit =
+          if (java.nio.file.Files.exists(p)) {
+            java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+              .forEach(f => java.nio.file.Files.delete(f))
+            println(s"cleaned $p")
+          }
+        rm(java.nio.file.Paths.get(targetDir))
+        return
+      case _ => ()
+    }
+
     val threads = opts.getOrElse("threads", "4").toInt
     val rawSelect = opts.get("select").map(_.split("\\s+").toSeq).getOrElse(Nil)
     val rawExclude = opts.get("exclude").map(_.split("\\s+").toSeq).getOrElse(Nil)
@@ -92,6 +131,34 @@ object Cli {
           case (id, (status, age)) => println(f"$status%-6s $id age=${age}%.0fs")
         }
       case "retry" => report(engine.retry(s"$targetDir/run_results.json", threads))
+      case "parse" =>
+        // manifest without executing anything (reference `dbt parse`)
+        engine.writeArtifacts(targetDir, Nil)
+        println(s"wrote $targetDir/manifest.json " +
+          s"(${engine.manifest.nodes.size} nodes)")
+      case "debug" =>
+        println(s"project:   $projectDir")
+        println(s"warehouse: $warehouseDir")
+        println(s"nodes:     ${engine.manifest.nodes.size} " +
+          engine.manifest.nodes.values.groupBy(_.resourceType)
+            .map { case (t, ns) => s"$t=${ns.size}" }.toSeq.sorted.mkString("(", " ", ")"))
+        println(s"selectors: ${engine.manifest.selectors.keys.toSeq.sorted.mkString(", ")}")
+        println(s"spark:     ${spark.version} master=${spark.sparkContext.master}")
+        println("connection: ok")
+      case "clone" =>
+        // reference `dbt clone`: relations from a state warehouse into
+        // this one — pointer clone by default, --deep copies data
+        val stateWh = opts.getOrElse("state-warehouse",
+          sys.error("clone needs --state-warehouse <dir>"))
+        val stateEng = Engine.fromProject(spark, projectDir, stateWh, vars)
+        val names =
+          (if (select.isEmpty) engine.ls(Nil, Nil) else engine.ls(select, exclude))
+            .flatMap(id => engine.manifest.nodes.get(id))
+            .filter(n => n.resourceType == "model" || n.resourceType == "seed")
+            .map(_.name)
+            .filter(n => stateEng.wh.list.contains(n))
+        engine.cloneFrom(stateEng, names, deep = opts.contains("deep"))
+        println(s"cloned ${names.size} relations: ${names.mkString(", ")}")
       case "run-operation" =>
         val macroName = args.tail.headOption.filterNot(_.startsWith("--"))
           .getOrElse(sys.error("run-operation <macro-name> required"))
@@ -142,9 +209,10 @@ object Cli {
   }
 
   private val usage: String =
-    """usage: graft.run.Cli <run|test|build|seed|snapshot|ls|compile|show|freshness|retry|docs|run-operation>
+    """usage: graft.run.Cli <run|test|build|seed|snapshot|ls|compile|show|freshness|retry|docs|run-operation|parse|debug|clone|init|clean>
       |  --project <dir> [--warehouse <dir>] [--target <dir>] [--threads N]
       |  [--select a b] [--exclude c] [--selector <name>] [--vars k=v,...] [--full-refresh]
       |  [--inline "<sql>"] [--limit N] [--empty]
-      |  run-operation <macro> [--args k=v,...]""".stripMargin
+      |  run-operation <macro> [--args k=v,...]
+      |  clone --state-warehouse <dir> [--deep]""".stripMargin
 }

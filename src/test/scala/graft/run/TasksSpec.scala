@@ -483,6 +483,23 @@ class TasksSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](eng.runOperation("nope"))
   }
 
+  test("cli init scaffolds a loadable project; clean removes target") {
+    val dir = tmpDir("init_proj")
+    Cli.main(Array("init", "--project", dir))
+    assert(Files.exists(Paths.get(s"$dir/dbt_project.yml")))
+    val eng = Engine.fromProject(spark, dir, tmpDir("wh_init"))
+    assert(eng.manifest.models.values.exists(_.name == "example"))
+    assert(eng.run().forall(_.status == "success"))
+    eng.writeArtifacts(s"$dir/target", Nil)
+    assert(Files.exists(Paths.get(s"$dir/target/manifest.json")))
+    Cli.main(Array("clean", "--project", dir))
+    assert(!Files.exists(Paths.get(s"$dir/target")))
+    // init never clobbers an existing file
+    Files.writeString(Paths.get(s"$dir/models/example.sql"), "SELECT 2 AS id")
+    Cli.main(Array("init", "--project", dir))
+    assert(Files.readString(Paths.get(s"$dir/models/example.sql")) === "SELECT 2 AS id")
+  }
+
   test("selectors.yml: named selectors parse, resolve, and serialize") {
     val projDir = java.nio.file.Paths.get(tmpDir("selectors_proj"))
     def write(rel: String, content: String): Unit = {
