@@ -9,9 +9,11 @@ import org.apache.spark.sql.types._
   * functions (`mapPartitions` — the Scala analog of `mapInPandas`,
   * same batch-at-a-time shape).
   *
-  * The actual codec step is STUBBED (no image/audio libraries in this
-  * environment): `decodeStub` derives deterministic pseudo-features
-  * from the bytes. Everything around it — schema, batching,
+  * Images are handled by a REAL codec ([[Multimodal.ImageCodec]] —
+  * JDK-native javax.imageio PNG/JPEG decode, channel-mean features,
+  * bilinear resize; no external libraries). Audio/video remain STUBBED
+  * (`decodeStub`: the JDK ships no such codecs) with identical
+  * plumbing. Everything around the codec — schema, batching,
   * partitioning, metadata propagation — is real and is what matters at
   * 100 TB: rows carry ~MB payloads, so operators must (a) never
   * collect, (b) repartition by byte budget not row count, (c) keep
@@ -131,5 +133,146 @@ object Multimodal {
     val total = assets.agg(sum(col(sizeCol))).head().getLong(0)
     val parts = math.max(1, math.min(10000, (total / math.max(1L, targetBytes)).toInt))
     assets.repartition(parts)
+  }
+
+  // ------------------------------------------------------- real images
+
+  /** REAL image codec path — JDK-native `javax.imageio`, zero external
+    * dependencies: PNG encode/decode, per-channel mean features, and
+    * aspect-preserving resize. This replaces the stub for
+    * `image/png`; audio/video remain stubbed (the JDK ships no such
+    * codecs) with identical plumbing.
+    */
+  object ImageCodec {
+    locally {
+      System.setProperty("java.awt.headless", "true")
+      javax.imageio.ImageIO.setUseCache(false) // no executor disk cache
+    }
+
+    /** Deterministic synthetic PNG (hash-noise raster) — real bytes a
+      * real decoder reads back; the testable stand-in for stored blobs.
+      */
+    def encodePng(width: Int, height: Int, seed: Long): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val h = (x * 31L + y * 131L + seed) * 0x9E3779B97F4A7C15L
+          img.setRGB(x, y, ((h >>> 40) & 0xFFFFFF).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    final case class ImageMeta(width: Int, height: Int,
+        meanR: Double, meanG: Double, meanB: Double)
+
+    /** Decode + per-channel means; None for undecodable bytes (the
+      * corrupt-blob row a real pipeline must tolerate, not crash on).
+      */
+    def decode(bytes: Array[Byte]): Option[ImageMeta] =
+      try Option(javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))).map { img =>
+        val w = img.getWidth
+        val h = img.getHeight
+        var (r, g, b) = (0L, 0L, 0L)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        ImageMeta(w, h, r.toDouble / n, g.toDouble / n, b.toDouble / n)
+      } catch { case _: Exception => None }
+
+    /** Aspect-preserving fit into (maxW, maxH), bilinear, re-encoded
+      * as PNG; never upscales. None if the input doesn't decode.
+      */
+    def resize(bytes: Array[Byte], maxW: Int, maxH: Int): Option[Array[Byte]] =
+      try Option(javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))).map { img =>
+        val scale = math.min(1.0,
+          math.min(maxW.toDouble / img.getWidth, maxH.toDouble / img.getHeight))
+        val (tw, th) = (math.max(1, (img.getWidth * scale).toInt),
+          math.max(1, (img.getHeight * scale).toInt))
+        val out = new java.awt.image.BufferedImage(
+          tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g2 = out.createGraphics()
+        g2.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g2.drawImage(img, 0, 0, tw, th, null)
+        g2.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        bos.toByteArray
+      } catch { case _: Exception => None }
+  }
+
+  /** Real-PNG asset table: payload is an actual encoded image whose
+    * dimensions ride in `meta` (seeded from doc_id — deterministic).
+    */
+  def imageAssetsFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rows = docs.select(col("doc_id"), col("n_chars").cast("int"))
+      .as[(Long, Int)]
+      .mapPartitions(_.map { case (id, nChars) =>
+        val w = nChars % 24 + 8
+        val h = nChars % 16 + 8
+        (id, "image/png", ImageCodec.encodePng(w, h, id), w, h)
+      })
+      .toDF("asset_id", "media_type", "content", "w", "h")
+    rows.select(col("asset_id"), col("media_type"), col("content"),
+      struct(col("w").as("width"), col("h").as("height"),
+        lit(0L).as("duration_ms")).as("meta"))
+  }
+
+  final case class ImageFeatures(
+      asset_id: Long, width: Int, height: Int,
+      mean_r: Double, mean_g: Double, mean_b: Double, decoded: Boolean)
+
+  /** Per-partition REAL decode: one codec loop per partition, corrupt
+    * rows surfaced as decoded=false instead of failing the job.
+    */
+  def extractImageFeatures(assets: DataFrame): Dataset[ImageFeatures] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select("asset_id", "content").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        ImageCodec.decode(bytes) match {
+          case Some(m) =>
+            ImageFeatures(id, m.width, m.height, m.meanR, m.meanG, m.meanB, decoded = true)
+          case None => ImageFeatures(id, -1, -1, 0, 0, 0, decoded = false)
+        }
+      })
+  }
+
+  /** Per-partition REAL resize into a bounding box; payload and meta
+    * both updated from the actually-decoded dimensions.
+    */
+  def resizeImages(assets: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select("asset_id", "media_type", "content")
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, mt, bytes) =>
+        ImageCodec.resize(bytes, maxW, maxH).flatMap(out =>
+          ImageCodec.decode(out).map(m => (id, mt, out, m.width, m.height)))
+      })
+      .toDF("asset_id", "media_type", "content", "w", "h")
+      .select(col("asset_id"), col("media_type"), col("content"),
+        struct(col("w").as("width"), col("h").as("height"),
+          lit(0L).as("duration_ms")).as("meta"))
   }
 }

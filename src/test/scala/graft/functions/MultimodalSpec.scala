@@ -64,4 +64,39 @@ class MultimodalSpec extends SparkSpec {
     assert(rep.rdd.getNumPartitions >= 1)
     assert(rep.count() === assets.count())
   }
+
+  test("real image codec: png round-trip, features, corrupt-row tolerance") {
+    val png = Multimodal.ImageCodec.encodePng(20, 12, seed = 7L)
+    assert(png.length > 8 &&
+      (png(1) & 0xff) == 'P' && (png(2) & 0xff) == 'N' && (png(3) & 0xff) == 'G')
+    val meta = Multimodal.ImageCodec.decode(png).get
+    assert(meta.width === 20 && meta.height === 12)
+    // hash-noise raster: channel means sit near mid-range
+    assert(meta.meanR > 64 && meta.meanR < 192)
+    assert(Multimodal.ImageCodec.decode("not an image".getBytes) === None)
+    // determinism: same seed, same bytes
+    assert(Multimodal.ImageCodec.encodePng(20, 12, 7L).toSeq === png.toSeq)
+  }
+
+  test("real image pipeline: distributed decode + resize with true dims") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents").limit(30)
+    val imgs = Multimodal.imageAssetsFromDocuments(docs)
+    val feats = Multimodal.extractImageFeatures(imgs).toDF()
+    assert(feats.count() === 30)
+    assert(feats.filter(col("decoded") === false).count() === 0)
+    // decoded dims equal the metadata dims the encoder declared
+    val mismatch = feats.join(imgs, "asset_id")
+      .filter(col("width") =!= col("meta.width") ||
+        col("height") =!= col("meta.height"))
+    assert(mismatch.count() === 0)
+    // real resize: no result exceeds the box, none upscaled
+    val small = Multimodal.resizeImages(imgs, maxW = 10, maxH = 10)
+    val dims = Multimodal.extractImageFeatures(small).toDF()
+    assert(dims.count() === 30)
+    assert(dims.filter(col("width") > 10 || col("height") > 10).count() === 0)
+    // channel means survive the downscale approximately (bilinear)
+    val joined = feats.select(col("asset_id"), col("mean_r").as("r0"))
+      .join(dims.select(col("asset_id"), col("mean_r").as("r1")), "asset_id")
+    assert(joined.filter(abs(col("r0") - col("r1")) > 40).count() === 0)
+  }
 }
