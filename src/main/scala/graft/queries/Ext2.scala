@@ -615,6 +615,27 @@ object Ext2 {
         .agg(count(lit(1)).as("n_docs"),
           sum("n_tokens").as("n_tokens"))
         .orderBy("shard", "pack_id")
+    },
+
+    // REAL image decode under the oracle gate: documents → actual PNG
+    // payloads (JDK-native encoder, dims seeded from n_chars) → per-
+    // partition javax.imageio decode. The oracle PREDICTS the encoder's
+    // dimensions arithmetically; the Spark side must genuinely decode
+    // each PNG to report them — a decoder bug (or corrupt payload,
+    // decoded=false) breaks the hash.
+    QueryDef(
+      "q62_image_decode",
+      """SELECT doc_id AS asset_id,
+        |       CAST(n_chars % 24 + 8 AS INT) AS width,
+        |       CAST(n_chars % 16 + 8 AS INT) AS height,
+        |       TRUE AS decoded
+        |FROM documents ORDER BY asset_id""".stripMargin) { (s, dir) =>
+      val imgs = graft.functions.Multimodal.imageAssetsFromDocuments(
+        Tables.load(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism))
+      graft.functions.Multimodal.extractImageFeatures(imgs).toDF()
+        .select(col("asset_id"), col("width"), col("height"), col("decoded"))
+        .orderBy("asset_id")
     }
   )
 }
