@@ -219,6 +219,93 @@ object Multimodal {
       } catch { case _: Exception => None }
   }
 
+  /** REAL audio codec path — JDK-native `javax.sound.sampled` WAV
+    * support (the one audio format the JDK ships): 16-bit mono PCM
+    * encode, header+format decode, RMS loudness. Video remains the
+    * only stubbed modality.
+    */
+  object AudioCodec {
+
+    /** Deterministic synthetic WAV: hash-noise 16-bit mono PCM. */
+    def encodeWav(nFrames: Int, sampleRate: Int, seed: Long): Array[Byte] = {
+      val pcm = new Array[Byte](nFrames * 2)
+      var i = 0
+      while (i < nFrames) {
+        val h = (i * 2654435761L + seed) * 0x9E3779B97F4A7C15L
+        val s = ((h >>> 48) & 0xFFFF).toShort
+        pcm(2 * i) = (s & 0xff).toByte
+        pcm(2 * i + 1) = (s >> 8).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        sampleRate.toFloat, 16, 1, true, false)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    final case class AudioMeta(sampleRate: Int, nFrames: Long,
+        durationMs: Long, rms: Double)
+
+    /** Decode WAV format + frames; RMS over the 16-bit samples. None
+      * for undecodable bytes.
+      */
+    def decode(bytes: Array[Byte]): Option[AudioMeta] =
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val fmt = in.getFormat
+        val nFrames = in.getFrameLength
+        val pcm = in.readAllBytes()
+        var sum = 0.0
+        var i = 0
+        while (i + 1 < pcm.length) {
+          val s = ((pcm(i) & 0xff) | (pcm(i + 1) << 8)).toShort
+          sum += s.toDouble * s
+          i += 2
+        }
+        val n = math.max(1, pcm.length / 2)
+        Some(AudioMeta(fmt.getSampleRate.toInt, nFrames,
+          nFrames * 1000L / fmt.getSampleRate.toLong,
+          math.sqrt(sum / n) / 32768.0))
+      } catch { case _: Exception => None }
+  }
+
+  /** Real-WAV asset table: 8 kHz mono, n_chars*8 frames → duration_ms
+    * = n_chars exactly (what q63's oracle predicts arithmetically).
+    */
+  def audioAssetsFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("n_chars").cast("int"))
+      .as[(Long, Int)]
+      .mapPartitions(_.map { case (id, nChars) =>
+        (id, "audio/wav", AudioCodec.encodeWav(nChars * 8, 8000, id))
+      })
+      .toDF("asset_id", "media_type", "content")
+  }
+
+  final case class AudioFeatures(
+      asset_id: Long, sample_rate: Int, n_frames: Long,
+      duration_ms: Long, rms: Double, decoded: Boolean)
+
+  /** Per-partition REAL WAV decode, corrupt rows surfaced not thrown. */
+  def extractAudioFeatures(assets: DataFrame): Dataset[AudioFeatures] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select("asset_id", "content").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        AudioCodec.decode(bytes) match {
+          case Some(m) => AudioFeatures(id, m.sampleRate, m.nFrames,
+            m.durationMs, m.rms, decoded = true)
+          case None => AudioFeatures(id, -1, -1L, -1L, 0.0, decoded = false)
+        }
+      })
+  }
+
   /** Real-PNG asset table: payload is an actual encoded image whose
     * dimensions ride in `meta` (seeded from doc_id — deterministic).
     */

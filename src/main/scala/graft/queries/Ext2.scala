@@ -636,6 +636,28 @@ object Ext2 {
       graft.functions.Multimodal.extractImageFeatures(imgs).toDF()
         .select(col("asset_id"), col("width"), col("height"), col("decoded"))
         .orderBy("asset_id")
+    },
+
+    // REAL WAV decode under the oracle gate (same invariant shape as
+    // q62): documents → actual 8 kHz 16-bit PCM WAV payloads →
+    // javax.sound decode. duration_ms = n_chars by construction
+    // (n_chars*8 frames at 8 kHz), so the oracle predicts every field
+    // the decoder must read from the real header.
+    QueryDef(
+      "q63_audio_decode",
+      """SELECT doc_id AS asset_id,
+        |       CAST(8000 AS INT) AS sample_rate,
+        |       CAST(n_chars * 8 AS BIGINT) AS n_frames,
+        |       CAST(n_chars AS BIGINT) AS duration_ms,
+        |       TRUE AS decoded
+        |FROM documents ORDER BY asset_id""".stripMargin) { (s, dir) =>
+      val wavs = graft.functions.Multimodal.audioAssetsFromDocuments(
+        Tables.load(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism))
+      graft.functions.Multimodal.extractAudioFeatures(wavs).toDF()
+        .select(col("asset_id"), col("sample_rate"), col("n_frames"),
+          col("duration_ms"), col("decoded"))
+        .orderBy("asset_id")
     }
   )
 }

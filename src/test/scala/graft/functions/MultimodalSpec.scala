@@ -78,6 +78,18 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.ImageCodec.encodePng(20, 12, 7L).toSeq === png.toSeq)
   }
 
+  test("real audio codec: wav round-trip, duration math, rms sanity") {
+    val wav = Multimodal.AudioCodec.encodeWav(nFrames = 1600, sampleRate = 8000, seed = 5L)
+    assert(new String(wav, 0, 4, "ASCII") === "RIFF")
+    val meta = Multimodal.AudioCodec.decode(wav).get
+    assert(meta.sampleRate === 8000 && meta.nFrames === 1600L)
+    assert(meta.durationMs === 200L) // 1600 frames @ 8 kHz
+    // hash-noise samples: rms near uniform-distribution expectation
+    assert(meta.rms > 0.4 && meta.rms < 0.7, meta.rms.toString)
+    assert(Multimodal.AudioCodec.decode("junk".getBytes) === None)
+    assert(Multimodal.AudioCodec.encodeWav(1600, 8000, 5L).toSeq === wav.toSeq)
+  }
+
   test("real image pipeline: distributed decode + resize with true dims") {
     val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents").limit(30)
     val imgs = Multimodal.imageAssetsFromDocuments(docs)
