@@ -302,6 +302,121 @@ object Framework {
         Some(3600), Some(86400), clockAt(0))
       import s.implicits._
       Seq(age.toLong).toDF("age_sec")
+    },
+
+    // A24 model versions end-to-end under the oracle: a two-version
+    // model family where the UNPINNED consumer must resolve to the
+    // latest version (v2, doubled revenue) and the PINNED consumer to
+    // v1 — the oracle computes both in closed form from orders, so a
+    // wrong resolution (either direction) breaks the hash.
+    QueryDef(
+      "m08_versioned_refs",
+      """SELECT 'latest' AS which, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(o_totalprice * 2 AS DECIMAL(20,4))) AS DOUBLE) AS total
+        |FROM orders
+        |UNION ALL
+        |SELECT 'pinned', CAST(COUNT(*) AS BIGINT),
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE)
+        |FROM orders
+        |ORDER BY which""".stripMargin) { (s, dir) =>
+      val projDir = java.nio.file.Files.createTempDirectory("m08_proj")
+      def write(rel: String, content: String): Unit = {
+        val p = projDir.resolve(rel)
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.writeString(p, content)
+      }
+      write("dbt_project.yml", "name: m08proj\n")
+      write("models/schema.yml",
+        s"""sources:
+           |  - name: main
+           |    tables:
+           |      - name: orders
+           |        path: $dir/orders.parquet
+           |models:
+           |  - name: m08_rev
+           |    latest_version: 2
+           |    versions:
+           |      - v: 1
+           |      - v: 2
+           |""".stripMargin)
+      write("models/m08_rev_v1.sql",
+        "SELECT o_custkey, o_totalprice AS rev FROM {{ source('main','orders') }}")
+      write("models/m08_rev_v2.sql",
+        "SELECT o_custkey, o_totalprice * 2 AS rev FROM {{ source('main','orders') }}")
+      write("models/m08_latest.sql",
+        """SELECT 'latest' AS which, CAST(COUNT(*) AS BIGINT) AS n,
+          |       CAST(SUM(CAST(rev AS DECIMAL(20,4))) AS DOUBLE) AS total
+          |FROM {{ ref('m08_rev') }}""".stripMargin)
+      write("models/m08_pinned.sql",
+        """SELECT 'pinned' AS which, CAST(COUNT(*) AS BIGINT) AS n,
+          |       CAST(SUM(CAST(rev AS DECIMAL(20,4))) AS DOUBLE) AS total
+          |FROM {{ ref('m08_rev', v=1) }}""".stripMargin)
+      val eng = Engine.fromProject(s, projDir.toString, scratch())
+      val results = eng.run(threads = 2)
+      require(results.forall(_.status == "success"),
+        s"m08 run failed: ${results.filterNot(_.status == "success").mkString("; ")}")
+      eng.wh.read("m08_latest").unionByName(eng.wh.read("m08_pinned"))
+        .orderBy("which")
+    },
+
+    // A16 `{% call statement %}` under the oracle: the macro's first
+    // statement counts orders into a result slot; the second renders
+    // `load_result` fields into a view. Wrong in-order side effects (or
+    // a stale slot) break the hash against the closed-form count.
+    QueryDef(
+      "m09_call_statement",
+      """SELECT CAST(1 AS INT) AS fetched_rows,
+        |       CAST(COUNT(*) AS BIGINT) AS order_count
+        |FROM orders""".stripMargin) { (s, dir) =>
+      val projDir = java.nio.file.Files.createTempDirectory("m09_proj")
+      def write(rel: String, content: String): Unit = {
+        val p = projDir.resolve(rel)
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.writeString(p, content)
+      }
+      write("dbt_project.yml", "name: m09proj\n")
+      write("models/schema.yml",
+        s"""sources:
+           |  - name: main
+           |    tables:
+           |      - name: orders
+           |        path: $dir/orders.parquet
+           |""".stripMargin)
+      write("macros/m09.sql",
+        """{% macro m09_audit(view_name) %}
+          |{% call statement('cnt', fetch_result=true) %}
+          |SELECT COUNT(*) AS n FROM {{ source('main','orders') }}
+          |{% endcall %}
+          |CREATE OR REPLACE TEMP VIEW {{ view_name }} AS
+          |SELECT CAST({{ load_result('cnt').rows_affected }} AS INT) AS fetched_rows,
+          |       CAST({{ load_result('cnt').first_value }} AS BIGINT) AS order_count
+          |{% endmacro %}""".stripMargin)
+      val eng = Engine.fromProject(s, projDir.toString, scratch())
+      eng.runOperation("m09_audit", Map("view_name" -> "m09_out"))
+      s.table("m09_out")
+    },
+
+    // A11 store_failures under the oracle: an accepted_values test
+    // restricted to ('O','F') fails on status 'P'; the persisted audit
+    // table must contain exactly the closed-form failing group.
+    QueryDef(
+      "m10_store_failures",
+      """SELECT o_orderstatus AS value_field,
+        |       CAST(COUNT(*) AS BIGINT) AS n_records
+        |FROM orders GROUP BY o_orderstatus
+        |HAVING o_orderstatus NOT IN ('O', 'F')
+        |ORDER BY value_field""".stripMargin) { (s, dir) =>
+      val wh = scratch()
+      graft.Tables.registerAll(s, dir)
+      val eng = new Engine(s, Manifest(Map.empty), wh)
+      val test = TestNode("m10_accepted",
+        Materializer.genericTestSql("accepted_values", "orders",
+          "o_orderstatus", Map("values" -> "O,F")),
+        config = NodeConfig(storeFailures = true),
+        genericTest = Some("accepted_values"))
+      val (status, failures) = Materializer.runTest(eng.wh, test)
+      require(status != "pass" && failures > 0, s"expected failures, got $status")
+      eng.wh.read("dbt_test__audit__m10_accepted").orderBy("value_field")
     }
   )
 }
