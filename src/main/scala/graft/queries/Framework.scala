@@ -417,6 +417,33 @@ object Framework {
       val (status, failures) = Materializer.runTest(eng.wh, test)
       require(status != "pass" && failures > 0, s"expected failures, got $status")
       eng.wh.read("dbt_test__audit__m10_accepted").orderBy("value_field")
+    },
+
+    // A4 on_schema_change=append_new_columns under the oracle: batch 2
+    // arrives with an extra column; rows from batch 1 must survive with
+    // NULL in the new column, batch-2 rows carry real values — the
+    // closed form is a CASE split on the batch predicate.
+    QueryDef(
+      "m11_schema_evolution",
+      """SELECT o_orderkey,
+        |       o_orderstatus,
+        |       CASE WHEN o_orderkey % 2 = 1
+        |            THEN CAST(o_totalprice AS DOUBLE) END AS extra
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val wh = scratch()
+      graft.Tables.registerAll(s, dir)
+      val eng = new Engine(s, Manifest(Map.empty), wh)
+      val b1 = "SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 2 = 0"
+      val b2 = """SELECT o_orderkey, o_orderstatus,
+                 |       CAST(o_totalprice AS DOUBLE) AS extra
+                 |FROM orders WHERE o_orderkey % 2 = 1""".stripMargin
+      Materializer.incremental(eng.wh, "m11_evo", b1, b1, "append",
+        Nil, "append_new_columns", Nil, fullRefresh = false)
+      Materializer.incremental(eng.wh, "m11_evo", b1, b2, "append",
+        Nil, "append_new_columns", Nil, fullRefresh = false)
+      eng.wh.read("m11_evo")
+        .select("o_orderkey", "o_orderstatus", "extra")
+        .orderBy("o_orderkey")
     }
   )
 }
