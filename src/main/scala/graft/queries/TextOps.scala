@@ -116,9 +116,14 @@ object TextOps {
       pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))),
       "edges")
+    // initialize at the 1-hop min (node ∪ neighbors) — the first
+    // propagation round folded into the same aggregation that would
+    // otherwise just dedup the node list; saves one write+read round
     var labels = materialize(
-      edges.select(col("src").as("node")).distinct()
-        .withColumn("label", col("node")),
+      edges.groupBy(col("src"))
+        .agg(min(col("dst")).as("mind"))
+        .select(col("src").as("node"),
+          least(col("src"), col("mind")).as("label")),
       "labels_0")
     val labelType = labels.schema("label").dataType
     var changed = 1L

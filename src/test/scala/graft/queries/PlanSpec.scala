@@ -107,6 +107,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q61: packing window is shard-partitioned, not a global sort") {
+    // the 100 TB shape: running sums partition by shard so no single
+    // task owns the whole corpus ordering
+    val p = plan("q61_sequence_packing")
+    assert(p.contains("hashpartitioning(shard"), p)
+  }
+
   test("whole-stage codegen active on the scan-agg path") {
     // AQE finalizes the plan lazily; execute first, then inspect
     val df = SparkEntry.queries("q02_agg_pricing_summary")(spark, sf)
