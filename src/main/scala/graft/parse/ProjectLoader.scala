@@ -337,10 +337,9 @@ object ProjectLoader {
         (parts.flatMap(_._1), parts.flatMap(_._2))
       } else if (mm.contains("intersection")) {
         val parts = items("intersection").map(parseSelectorDef)
-        val atoms = parts.flatMap(_._1)
-        require(atoms.forall(!_.contains(",")),
+        require(parts.forall(p => p._1.size == 1 && !p._1.head.contains(",")),
           "selectors.yml: union nested inside intersection is not supported")
-        (Seq(atoms.mkString(",")), parts.flatMap(_._2))
+        (Seq(parts.flatMap(_._1).mkString(",")), parts.flatMap(_._2))
       } else if (mm.contains("exclude")) {
         val parts = items("exclude").map(parseSelectorDef)
         (Nil, parts.flatMap(_._1) ++ parts.flatMap(_._2))
