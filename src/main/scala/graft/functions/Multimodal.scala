@@ -9,11 +9,14 @@ import org.apache.spark.sql.types._
   * functions (`mapPartitions` — the Scala analog of `mapInPandas`,
   * same batch-at-a-time shape).
   *
-  * Images are handled by a REAL codec ([[Multimodal.ImageCodec]] —
-  * JDK-native javax.imageio PNG/JPEG decode, channel-mean features,
-  * bilinear resize; no external libraries). Audio/video remain STUBBED
-  * (`decodeStub`: the JDK ships no such codecs) with identical
-  * plumbing. Everything around the codec — schema, batching,
+  * All three modalities are handled by REAL codecs, zero external
+  * libraries: images via [[Multimodal.ImageCodec]] (javax.imageio
+  * PNG/JPEG decode, channel-mean features, bilinear resize), audio via
+  * [[Multimodal.AudioCodec]] (javax.sound WAV), video via
+  * [[Multimodal.VideoCodec]] (hand-parsed Y4M/YUV4MPEG2 — the
+  * uncompressed ffmpeg/x264 interchange format). `decodeStub` remains
+  * as the generic opaque-bytes path. Everything around the codec —
+  * schema, batching,
   * partitioning, metadata propagation — is real and is what matters at
   * 100 TB: rows carry ~MB payloads, so operators must (a) never
   * collect, (b) repartition by byte budget not row count, (c) keep
@@ -140,8 +143,7 @@ object Multimodal {
   /** REAL image codec path — JDK-native `javax.imageio`, zero external
     * dependencies: PNG encode/decode, per-channel mean features, and
     * aspect-preserving resize. This replaces the stub for
-    * `image/png`; audio/video remain stubbed (the JDK ships no such
-    * codecs) with identical plumbing.
+    * `image/png`.
     */
   object ImageCodec {
     locally {
@@ -221,8 +223,7 @@ object Multimodal {
 
   /** REAL audio codec path — JDK-native `javax.sound.sampled` WAV
     * support (the one audio format the JDK ships): 16-bit mono PCM
-    * encode, header+format decode, RMS loudness. Video remains the
-    * only stubbed modality.
+    * encode, header+format decode, RMS loudness.
     */
   object AudioCodec {
 
@@ -302,6 +303,184 @@ object Multimodal {
           case Some(m) => AudioFeatures(id, m.sampleRate, m.nFrames,
             m.durationMs, m.rms, decoded = true)
           case None => AudioFeatures(id, -1, -1L, -1L, 0.0, decoded = false)
+        }
+      })
+  }
+
+  /** REAL video codec path — Y4M (YUV4MPEG2), the uncompressed
+    * interchange format of the mjpegtools/x264/ffmpeg toolchain: a
+    * plain-ASCII stream header (`YUV4MPEG2 W.. H.. F25:1 .. C444`)
+    * followed by `FRAME` markers and raw YUV planes. Parsed by hand —
+    * zero dependencies. Crucially the Y4M header carries NO frame
+    * count: the only way to report `n_frames` is to walk the stream
+    * frame by frame, so a decode that "cheats" off the header cannot
+    * pass the oracle.
+    */
+  object VideoCodec {
+
+    /** Deterministic synthetic Y4M: C444 (full-res U/V planes, no
+      * even-dimension constraint), hash-noise pixels.
+      */
+    def encodeY4m(width: Int, height: Int, nFrames: Int,
+        fpsNum: Int, fpsDen: Int, seed: Long): Array[Byte] = {
+      val header =
+        s"YUV4MPEG2 W$width H$height F$fpsNum:$fpsDen Ip A1:1 C444\n"
+          .getBytes("US-ASCII")
+      val marker = "FRAME\n".getBytes("US-ASCII")
+      val planeSize = width * height
+      val bos = new java.io.ByteArrayOutputStream(
+        header.length + nFrames * (marker.length + 3 * planeSize))
+      bos.write(header)
+      var f = 0
+      while (f < nFrames) {
+        bos.write(marker)
+        val buf = new Array[Byte](3 * planeSize)
+        var i = 0
+        while (i < buf.length) {
+          val h = ((f.toLong << 32) + i * 31L + seed) * 0x9E3779B97F4A7C15L
+          buf(i) = ((h >>> 56) & 0xff).toByte
+          i += 1
+        }
+        bos.write(buf)
+        f += 1
+      }
+      bos.toByteArray
+    }
+
+    final case class VideoMeta(width: Int, height: Int,
+        fpsNum: Int, fpsDen: Int, nFrames: Int, durationMs: Long,
+        meanLuma: Double)
+
+    /** Parse header + walk every frame (marker check, plane sizes,
+      * truncation check) accumulating mean luma; None for anything
+      * malformed — the corrupt-blob row a pipeline tolerates.
+      */
+    def decode(bytes: Array[Byte]): Option[VideoMeta] =
+      try {
+        val nl = bytes.indexOf('\n'.toByte)
+        if (nl < 9) None
+        else {
+          val toks = new String(bytes, 0, nl, "US-ASCII").split(" ")
+          if (toks(0) != "YUV4MPEG2") None
+          else {
+            var w = -1; var h = -1; var fn = 25; var fd = 1
+            var cs = "C420jpeg"
+            toks.iterator.drop(1).filter(_.nonEmpty).foreach { t =>
+              t.charAt(0) match {
+                case 'W' => w = t.substring(1).toInt
+                case 'H' => h = t.substring(1).toInt
+                case 'F' =>
+                  val p = t.substring(1).split(":")
+                  fn = p(0).toInt; fd = p(1).toInt
+                case 'C' => cs = t
+                case _   => ()
+              }
+            }
+            val frameBytes =
+              if (w <= 0 || h <= 0 || fn <= 0 || fd <= 0) -1
+              else if (cs.startsWith("C444")) 3 * w * h
+              else if (cs.startsWith("C422")) 2 * w * h
+              else if (cs.startsWith("C420"))
+                w * h + 2 * (((w + 1) / 2) * ((h + 1) / 2))
+              else -1
+            if (frameBytes <= 0) None
+            else {
+              var pos = nl + 1
+              var frames = 0
+              var lumaSum = 0L
+              var bad = false
+              while (!bad && pos < bytes.length) {
+                var e = pos
+                while (e < bytes.length && bytes(e) != '\n') e += 1
+                if (e - pos < 5 || e >= bytes.length ||
+                    new String(bytes, pos, 5, "US-ASCII") != "FRAME" ||
+                    e + 1 + frameBytes > bytes.length) bad = true
+                else {
+                  pos = e + 1
+                  var i = 0
+                  val n = w * h
+                  while (i < n) { lumaSum += bytes(pos + i) & 0xff; i += 1 }
+                  pos += frameBytes
+                  frames += 1
+                }
+              }
+              if (bad || frames == 0) None
+              else Some(VideoMeta(w, h, fn, fd, frames,
+                frames * 1000L * fd / fn,
+                lumaSum.toDouble / (frames.toLong * w * h)))
+            }
+          }
+        }
+      } catch { case _: Exception => None }
+
+    /** Frame sampling over the real stream: every `stride`-th frame's
+      * (index, mean luma) — the video analog of [[sampleChunks]], but
+      * aligned to actual frame boundaries.
+      */
+    def sampleFrames(bytes: Array[Byte], stride: Int): Seq[(Int, Double)] =
+      decode(bytes) match {
+        case None => Nil
+        case Some(m) =>
+          val frameBytes = 3 * m.width * m.height // decode() accepted ⇒ C444 here
+          val nl = bytes.indexOf('\n'.toByte)
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+          var pos = nl + 1
+          var f = 0
+          while (pos < bytes.length) {
+            var e = pos
+            while (e < bytes.length && bytes(e) != '\n') e += 1
+            pos = e + 1
+            if (f % stride == 0 && pos + frameBytes <= bytes.length) {
+              var luma = 0L
+              var i = 0
+              val n = m.width * m.height
+              while (i < n) { luma += bytes(pos + i) & 0xff; i += 1 }
+              out += ((f, luma.toDouble / n))
+            }
+            pos += frameBytes
+            f += 1
+          }
+          out.toSeq
+      }
+  }
+
+  /** Real-Y4M asset table: per-doc dimensions/frame-count seeded from
+    * n_chars (what q64's oracle predicts), 25 fps → duration_ms =
+    * n_frames * 40 exactly.
+    */
+  def videoAssetsFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("n_chars").cast("int"))
+      .as[(Long, Int)]
+      .mapPartitions(_.map { case (id, nChars) =>
+        val w = nChars % 16 + 8
+        val h = nChars % 12 + 8
+        val nf = nChars % 10 + 2
+        (id, "video/y4m", VideoCodec.encodeY4m(w, h, nf, 25, 1, id))
+      })
+      .toDF("asset_id", "media_type", "content")
+  }
+
+  final case class VideoFeatures(
+      asset_id: Long, width: Int, height: Int, n_frames: Long,
+      duration_ms: Long, n_sampled: Long, decoded: Boolean)
+
+  /** Per-partition REAL Y4M decode + stride-2 frame sampling; corrupt
+    * rows surfaced as decoded=false, never thrown.
+    */
+  def extractVideoFeatures(assets: DataFrame): Dataset[VideoFeatures] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select("asset_id", "content").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        VideoCodec.decode(bytes) match {
+          case Some(m) =>
+            val sampled = VideoCodec.sampleFrames(bytes, stride = 2)
+            VideoFeatures(id, m.width, m.height, m.nFrames.toLong,
+              m.durationMs, sampled.size.toLong, decoded = true)
+          case None =>
+            VideoFeatures(id, -1, -1, -1L, -1L, 0L, decoded = false)
         }
       })
   }

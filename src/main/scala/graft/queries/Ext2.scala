@@ -658,6 +658,33 @@ object Ext2 {
         .select(col("asset_id"), col("sample_rate"), col("n_frames"),
           col("duration_ms"), col("decoded"))
         .orderBy("asset_id")
+    },
+
+    // REAL video decode under the oracle gate: documents → actual Y4M
+    // (YUV4MPEG2) streams, hand-parsed per partition. The Y4M header
+    // carries NO frame count, so n_frames can only come from walking
+    // the stream frame-by-frame — exactly what the decoder does; the
+    // oracle predicts the encoder's geometry arithmetically
+    // (25 fps → duration_ms = n_frames*40; stride-2 sampling →
+    // n_sampled = ceil(n_frames/2)).
+    QueryDef(
+      "q64_video_decode",
+      """SELECT doc_id AS asset_id,
+        |       CAST(n_chars % 16 + 8 AS INT) AS width,
+        |       CAST(n_chars % 12 + 8 AS INT) AS height,
+        |       CAST(n_chars % 10 + 2 AS BIGINT) AS n_frames,
+        |       CAST((n_chars % 10 + 2) * 40 AS BIGINT) AS duration_ms,
+        |       CAST(CEIL((n_chars % 10 + 2) / 2.0) AS BIGINT) AS n_sampled,
+        |       TRUE AS decoded
+        |FROM documents ORDER BY asset_id""".stripMargin) { (s, dir) =>
+      val vids = graft.functions.Multimodal.videoAssetsFromDocuments(
+        Tables.load(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism))
+      graft.functions.Multimodal.extractVideoFeatures(vids).toDF()
+        .select(col("asset_id"), col("width"), col("height"),
+          col("n_frames"), col("duration_ms"), col("n_sampled"),
+          col("decoded"))
+        .orderBy("asset_id")
     }
   )
 }
