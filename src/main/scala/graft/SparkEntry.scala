@@ -18,6 +18,7 @@ object SparkEntry {
       graft.queries.Similarity.queries ++
       graft.queries.Events.queries ++
       graft.queries.Ext2.queries ++
+      graft.queries.Curation.queries ++
       graft.queries.Framework.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

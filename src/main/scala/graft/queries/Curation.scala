@@ -1,0 +1,151 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+/** Corpus-curation selection operators — the layer between a cleaned
+  * corpus and a training mix: per-domain top-k retention, token-budget
+  * selection, and cross-batch incremental dedup.
+  *
+  * Reference scope: these generalize the reference's model-selection /
+  * test-selection batch flows (dbt has no corpus layer); the ops
+  * themselves follow the public C4/Gopher/RefinedWeb curation recipes.
+  *
+  * 100 TB stance: every query here shuffles once on its grouping key
+  * (source / lang / fingerprint) and aggregates map-side first where
+  * possible. Per-group windows assume group cardinality ≫ executor
+  * count (domains, languages) so no single partition is hot; the
+  * incremental-dedup join is O(batch) against a bucketed corpus index,
+  * never a corpus rescan.
+  */
+object Curation {
+
+  private def dec6(c: Column): Column = c.cast(DecimalType(20, 6))
+
+  /** Exact-decimal type/token-ratio score (q22's portable formula) on
+    * (doc_id, source, lang, n_tokens, score) — decimal end-to-end so
+    * Spark and DuckDB order ties identically.
+    */
+  private def scored(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+    val st = d.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), countDistinct(col("w")).as("nd"))
+    d.select(col("doc_id"), col("source"), col("lang"))
+      .join(st, "doc_id")
+      .select(col("doc_id"), col("source"), col("lang"),
+        col("n").as("n_tokens"),
+        round(dec6(col("nd")) / col("n"), 4).as("score"))
+  }
+
+  /** Shared oracle CTE computing the same score in DuckDB. */
+  private val duckScored =
+    """tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+      |), st AS (
+      |  SELECT doc_id, COUNT(*) AS n, COUNT(DISTINCT w) AS nd
+      |  FROM tok GROUP BY doc_id
+      |), sc AS (
+      |  SELECT d.doc_id, d.source, d.lang, st.n AS n_tokens,
+      |         ROUND(CAST(st.nd AS DECIMAL(20,6)) / st.n, 4) AS score
+      |  FROM documents d JOIN st ON d.doc_id = st.doc_id
+      |)""".stripMargin
+
+  val queries: Seq[QueryDef] = Seq(
+
+    // Per-domain top-k selection: keep the k highest-quality documents
+    // from every source domain — the "best pages per site" retention
+    // rule. One shuffle on source; the rank window sorts within each
+    // domain only (domains ≫ executors at scale, so no hot partition).
+    QueryDef(
+      "q65_domain_topk",
+      s"""WITH $duckScored, r AS (
+         |  SELECT source, doc_id, score,
+         |         ROW_NUMBER() OVER (PARTITION BY source
+         |           ORDER BY score DESC, doc_id) AS rank
+         |  FROM sc
+         |)
+         |SELECT source, doc_id, CAST(rank AS BIGINT) AS rank,
+         |       CAST(score AS DOUBLE) AS score
+         |FROM r WHERE rank <= 5
+         |ORDER BY source, rank""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("source")
+        .orderBy(col("score").desc, col("doc_id"))
+      scored(s, dir)
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("source"), col("doc_id"), col("rank"),
+          col("score").cast("double").as("score"))
+        .orderBy("source", "rank")
+    },
+
+    // Token-budget selection: per language, admit documents in
+    // descending-quality order until a 20k-token budget is exhausted
+    // (a document is admitted iff it STARTS under budget — q61's
+    // packing rule). This is the data-mixing step that turns "weights
+    // per language" into an actual document set. Cumulative window per
+    // lang; the budget comparison stays inside the window projection,
+    // so the whole query is one shuffle + one window pass.
+    QueryDef(
+      "q66_token_budget_selection",
+      s"""WITH $duckScored, c AS (
+         |  SELECT lang, doc_id, n_tokens,
+         |         SUM(n_tokens) OVER (PARTITION BY lang
+         |           ORDER BY score DESC, doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |           - n_tokens AS off
+         |  FROM sc
+         |)
+         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+         |FROM c WHERE off < 20000
+         |GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("lang")
+        .orderBy(col("score").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      scored(s, dir)
+        .withColumn("off", sum("n_tokens").over(w) - col("n_tokens"))
+        .filter(col("off") < 20000)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+        .orderBy("lang")
+    },
+
+    // Cross-batch incremental dedup: dedup an INCOMING batch (10% of
+    // docs stand in as "new") against the EXISTING corpus fingerprint
+    // index, then within itself (keep-min) — the production shape for
+    // continuous ingestion: each round costs O(batch), never a corpus
+    // rescan. The fingerprint is the md5 of the first 40 chars (the
+    // "leading boilerplate" rule — pages sharing an opening template
+    // collapse), so the anti-join genuinely removes rows at every SF.
+    // At 100 TB the corpus index is a bucketed md5 table, so only the
+    // batch shuffles into corpus buckets; here Spark plans a shuffled
+    // LeftAnti on the 16-byte key.
+    QueryDef(
+      "q67_incremental_dedup",
+      """WITH f AS (
+        |  SELECT doc_id, md5(substring(text, 1, 40)) AS fp FROM documents
+        |),
+        |corpus AS (SELECT fp FROM f WHERE doc_id % 10 <> 9),
+        |batch AS (SELECT doc_id, fp FROM f WHERE doc_id % 10 = 9),
+        |fresh AS (
+        |  SELECT b.doc_id, b.fp FROM batch b
+        |  WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = b.fp)
+        |)
+        |SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, fp
+        |FROM fresh GROUP BY fp ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val f = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), md5(substring(col("text"), 1, 40)).as("fp"))
+      val corpus = f.filter(col("doc_id") % 10 =!= 9).select("fp")
+      val batch = f.filter(col("doc_id") % 10 === 9)
+      batch.join(corpus, Seq("fp"), "left_anti")
+        .groupBy("fp")
+        .agg(min("doc_id").as("doc_id"))
+        .select(col("doc_id"), col("fp"))
+        .orderBy("doc_id")
+    }
+  )
+}

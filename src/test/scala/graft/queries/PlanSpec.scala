@@ -114,6 +114,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(shard"), p)
   }
 
+  test("q65: top-k rank window partitions by source, not a global sort") {
+    val p = plan("q65_domain_topk")
+    assert(p.contains("hashpartitioning(source"), p)
+  }
+
+  test("q67: incremental dedup plans an anti join on the fingerprint") {
+    val p = plan("q67_incremental_dedup")
+    assert(p.contains("LeftAnti"), p)
+    // keep-min is a partial+final agg, not a window over the batch
+    assert(p.contains("partial_min"), p)
+  }
+
   test("whole-stage codegen active on the scan-agg path") {
     // AQE finalizes the plan lazily; execute first, then inspect
     val df = SparkEntry.queries("q02_agg_pricing_summary")(spark, sf)
