@@ -316,7 +316,8 @@ final case class ScalaModelNode(
 /** A named selector from selectors.yml (reference
   * `core/dbt/config/selectors.py`, `core/dbt/contracts/selection.py`):
   * the YAML definition is flattened at parse time into the string DSL
-  * (union = separate entries, intersection = comma-joined atoms) plus
+  * in disjunctive normal form (union = separate entries, intersection
+  * = comma-joined atoms, nested combinations distributed) plus
   * exclusions, so resolution reuses the one selection engine.
   */
 final case class SelectorDef(

@@ -319,10 +319,14 @@ object ProjectLoader {
   /** Flatten a selectors.yml definition into string-DSL args: the
     * everyday grammar — a bare string, `{method, value}` (with the
     * graph-operator flags childrens_parents/parents/children and
-    * depths), `{union: [...]}`, `{intersection: [...]}` of flat atoms,
-    * and `{exclude: [...]}` entries inside either list. Union inside
-    * intersection is rejected (subset by design — the string DSL has
-    * no grouping).
+    * depths), `{union: [...]}`, `{intersection: [...]}`, and
+    * `{exclude: [...]}` entries inside either list. Arbitrary
+    * union/intersection nesting is normalized to disjunctive normal
+    * form — the string DSL IS a union of comma-joined intersections,
+    * so `intersection(A, union(B, C))` distributes to `A,B` + `A,C`.
+    * Excludes float to the definition's global exclude set (set
+    * difference applies after selection, reference
+    * `core/dbt/graph/cli.py` SelectionDifference).
     */
   private[parse] def parseSelectorDef(d: Any): (Seq[String], Seq[String]) = d match {
     case s: String => (Seq(s), Nil)
@@ -337,9 +341,16 @@ object ProjectLoader {
         (parts.flatMap(_._1), parts.flatMap(_._2))
       } else if (mm.contains("intersection")) {
         val parts = items("intersection").map(parseSelectorDef)
-        require(parts.forall(p => p._1.size == 1 && !p._1.head.contains(",")),
-          "selectors.yml: union nested inside intersection is not supported")
-        (Seq(parts.flatMap(_._1).mkString(",")), parts.flatMap(_._2))
+        // DNF expansion: one term per combination of nested-union
+        // branches. Real selector definitions are tiny; cap the
+        // product so a pathological yaml can't explode.
+        val sels = parts.map(_._1).filter(_.nonEmpty)
+        val product = sels.foldLeft(Seq("")) { (acc, terms) =>
+          for { a <- acc; t <- terms } yield if (a.isEmpty) t else s"$a,$t"
+        }
+        require(product.size <= 64,
+          s"selectors.yml: intersection expands to ${product.size} terms (max 64)")
+        (product.filter(_.nonEmpty), parts.flatMap(_._2))
       } else if (mm.contains("exclude")) {
         val parts = items("exclude").map(parseSelectorDef)
         (Nil, parts.flatMap(_._1) ++ parts.flatMap(_._2))

@@ -57,13 +57,43 @@ class SelectorDefSpec extends AnyFunSuite {
         |""".stripMargin) === (Seq("tag:a,tag:b"), Nil))
   }
 
-  test("union nested inside intersection is rejected") {
-    val e = intercept[Exception](parse(
+  test("union nested inside intersection distributes (DNF)") {
+    assert(parse(
       """intersection:
         |  - tag:a
         |  - union: [tag:b, tag:c]
-        |""".stripMargin))
-    assert(e.getMessage.contains("not supported"))
+        |""".stripMargin) === (Seq("tag:a,tag:b", "tag:a,tag:c"), Nil))
+    // two nested unions: full cross product, left-to-right
+    assert(parse(
+      """intersection:
+        |  - union: [tag:a, tag:b]
+        |  - union: [tag:c, tag:d]
+        |""".stripMargin) ===
+      (Seq("tag:a,tag:c", "tag:a,tag:d", "tag:b,tag:c", "tag:b,tag:d"), Nil))
+    // intersection nested inside the union branch flattens into each term
+    assert(parse(
+      """intersection:
+        |  - tag:a
+        |  - union:
+        |      - intersection: [tag:b, tag:c]
+        |      - tag:d
+        |""".stripMargin) === (Seq("tag:a,tag:b,tag:c", "tag:a,tag:d"), Nil))
+    // exclude inside an intersection floats to the global exclude set
+    assert(parse(
+      """intersection:
+        |  - tag:a
+        |  - exclude: [tag:skip]
+        |""".stripMargin) === (Seq("tag:a"), Seq("tag:skip")))
+  }
+
+  test("pathological intersection expansion is capped") {
+    val wide = "union: [t:1, t:2, t:3, t:4, t:5, t:6, t:7, t:8, t:9]"
+    val e = intercept[Exception](parse(
+      s"""intersection:
+         |  - $wide
+         |  - $wide
+         |""".stripMargin))
+    assert(e.getMessage.contains("max 64"))
   }
 
   test("method without value is an error") {
