@@ -146,6 +146,42 @@ object Curation {
         .agg(min("doc_id").as("doc_id"))
         .select(col("doc_id"), col("fp"))
         .orderBy("doc_id")
+    },
+
+    // C4-style filter battery WITH REASONS: every document gets a
+    // keep/drop decision plus which rules fired — the auditable form
+    // production curation needs (you can't tune thresholds on a filter
+    // that only says "dropped"). All rules are single-pass arithmetic
+    // over the scored aggregate; one shuffle on doc_id, codegen'd
+    // predicates, no data-dependent branching.
+    QueryDef(
+      "q68_filter_battery",
+      s"""WITH $duckScored
+         |SELECT doc_id,
+         |       (n_tokens < 20) AS too_short,
+         |       (score < 0.55) AS low_diversity,
+         |       (n_tokens > 90) AS too_long,
+         |       NOT (n_tokens < 20 OR score < 0.55 OR n_tokens > 90)
+         |         AS keep,
+         |       CONCAT_WS(',',
+         |         CASE WHEN n_tokens < 20 THEN 'too_short' END,
+         |         CASE WHEN score < 0.55 THEN 'low_diversity' END,
+         |         CASE WHEN n_tokens > 90 THEN 'too_long' END) AS reasons
+         |FROM sc ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val tooShort = col("n_tokens") < 20
+      val lowDiv = col("score") < 0.55
+      val tooLong = col("n_tokens") > 90
+      scored(s, dir)
+        .select(col("doc_id"),
+          tooShort.as("too_short"),
+          lowDiv.as("low_diversity"),
+          tooLong.as("too_long"),
+          (!(tooShort || lowDiv || tooLong)).as("keep"),
+          concat_ws(",",
+            when(tooShort, "too_short"),
+            when(lowDiv, "low_diversity"),
+            when(tooLong, "too_long")).as("reasons"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -41,6 +41,56 @@ object TextOps {
   private def shingles3(w: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     graft.functions.TextExprs.shingles(w, 3)
 
+  /** MinHash-LSH bands (doc_id, band, band_key) — q27's hash family:
+    * 3 salted md5 digests per shingle split into four 8-hex words → 12
+    * min-wise hashes in ONE aggregation pass → 4 bands of 3. Shared by
+    * q27 (all-pairs candidates) and q69 (batch-vs-corpus incremental).
+    */
+  private def minhashBands(d: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val sh = d
+      .select(col("doc_id"), explode(shingles3(wordsCol)).as("shingle"))
+      // 3 digests computed once per row, reused by 4 words each
+      .select(col("doc_id") +: (0 until 3).map(b =>
+        md5(concat(col("shingle"), lit(s"#$b"))).as(s"d$b")): _*)
+    // all 12 min-hashes in ONE aggregation pass (no seed explode):
+    val minAggs = (0 until 12).map(j =>
+      min(substring(col(s"d${j / 4}"), (j % 4) * 8 + 1, 8)).as(s"h$j"))
+    val sig = sh.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+    val bandStructs = (0 until 4).map(b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws(",", col(s"h${3 * b}"), col(s"h${3 * b + 1}"),
+          col(s"h${3 * b + 2}"))).as("band_key")))
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"),
+        col("bk.band_key").as("band_key"))
+  }
+
+  /** The same bands in DuckDB SQL, replayed verbatim (CTE `bands`). */
+  private val duckBands =
+    """tok AS (
+      |  SELECT doc_id, w, pos FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+      |           generate_subscripts(string_split(text, ' '), 1) AS pos
+      |    FROM documents) t
+      |), sh AS (
+      |  SELECT DISTINCT doc_id,
+      |         w || ' ' || LEAD(w, 1) OVER win || ' ' || LEAD(w, 2) OVER win AS shingle
+      |  FROM tok
+      |  WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+      |  QUALIFY LEAD(w, 2) OVER win IS NOT NULL
+      |), seeds AS (SELECT unnest(range(12)) AS seed
+      |), sig AS (
+      |  SELECT doc_id, seed,
+      |         MIN(SUBSTR(MD5(shingle || '#' || (seed // 4)),
+      |                    (seed % 4) * 8 + 1, 8)) AS minh
+      |  FROM sh CROSS JOIN seeds
+      |  GROUP BY doc_id, seed
+      |), bands AS (
+      |  SELECT doc_id, seed // 3 AS band,
+      |         MD5(STRING_AGG(minh, ',' ORDER BY seed)) AS band_key
+      |  FROM sig GROUP BY doc_id, seed // 3
+      |)""".stripMargin
+
   /** Shared shingle-overlap pair counts for q26/q48: inverted index by
     * shingle → posting lists → native PairCombos emits the i<j pairs →
     * one pair aggregation. Columns: doc_a, doc_b, na, nb, common.
@@ -430,51 +480,13 @@ object TextOps {
     // lexicographic over hex strings — portable to DuckDB verbatim.
     QueryDef(
       "q27_minhash_lsh_candidates",
-      """WITH tok AS (
-        |  SELECT doc_id, w, pos FROM (
-        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w,
-        |           generate_subscripts(string_split(text, ' '), 1) AS pos
-        |    FROM documents) t
-        |), sh AS (
-        |  SELECT DISTINCT doc_id,
-        |         w || ' ' || LEAD(w, 1) OVER win || ' ' || LEAD(w, 2) OVER win AS shingle
-        |  FROM tok
-        |  WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
-        |  QUALIFY LEAD(w, 2) OVER win IS NOT NULL
-        |), seeds AS (SELECT unnest(range(12)) AS seed
-        |), sig AS (
-        |  SELECT doc_id, seed,
-        |         MIN(SUBSTR(MD5(shingle || '#' || (seed // 4)),
-        |                    (seed % 4) * 8 + 1, 8)) AS minh
-        |  FROM sh CROSS JOIN seeds
-        |  GROUP BY doc_id, seed
-        |), bands AS (
-        |  SELECT doc_id, seed // 3 AS band,
-        |         MD5(STRING_AGG(minh, ',' ORDER BY seed)) AS band_key
-        |  FROM sig GROUP BY doc_id, seed // 3
-        |)
-        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |FROM bands a JOIN bands b
-        |  ON a.band = b.band AND a.band_key = b.band_key
-        | AND a.doc_id < b.doc_id
-        |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
-      val sh = docs(s, dir)
-        .select(col("doc_id"), explode(shingles3(wordsCol)).as("shingle"))
-        // 3 digests computed once per row, reused by 4 words each
-        .select(col("doc_id") +: (0 until 3).map(b =>
-          md5(concat(col("shingle"), lit(s"#$b"))).as(s"d$b")): _*)
-      // all 12 min-hashes in ONE aggregation pass (no seed explode):
-      val minAggs = (0 until 12).map(j =>
-        min(substring(col(s"d${j / 4}"), (j % 4) * 8 + 1, 8)).as(s"h$j"))
-      val sig = sh.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
-      val bandStructs = (0 until 4).map(b =>
-        struct(lit(b).as("band"),
-          md5(concat_ws(",", col(s"h${3 * b}"), col(s"h${3 * b + 1}"),
-            col(s"h${3 * b + 2}"))).as("band_key")))
-      val bands = sig
-        .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
-        .select(col("doc_id"), col("bk.band").as("band"),
-          col("bk.band_key").as("band_key"))
+      s"""WITH $duckBands
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.band_key = b.band_key
+         | AND a.doc_id < b.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      val bands = minhashBands(docs(s, dir))
       bands.as("a").join(bands.as("b"),
           col("a.band") === col("b.band")
             && col("a.band_key") === col("b.band_key")
@@ -482,6 +494,42 @@ object TextOps {
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
         .orderBy("doc_a", "doc_b")
+    },
+
+    // Incremental NEAR-dup dedup: flag each doc of an INCOMING batch
+    // (doc_id % 10 = 9 stands in as "new") that shares any LSH band
+    // bucket with the EXISTING corpus — q67's continuous-ingestion
+    // shape upgraded from exact to near-duplicate. In production the
+    // corpus bands are a persisted bucketed index, so each round costs
+    // O(batch): only the batch's bands shuffle into corpus buckets
+    // (left-semi on the 16-byte band key); the corpus is never
+    // re-scanned, let alone re-hashed.
+    QueryDef(
+      "q69_incremental_near_dup",
+      s"""WITH $duckBands,
+         |hits AS (
+         |  SELECT DISTINCT b.doc_id
+         |  FROM bands b JOIN bands c
+         |    ON b.band = c.band AND b.band_key = c.band_key
+         |   AND c.doc_id % 10 <> 9
+         |  WHERE b.doc_id % 10 = 9
+         |)
+         |SELECT t.doc_id, (h.doc_id IS NOT NULL) AS near_dup
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 9) t
+         |LEFT JOIN hits h ON t.doc_id = h.doc_id
+         |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+      val bands = minhashBands(docs(s, dir))
+      val corpusBands = bands.filter(col("doc_id") % 10 =!= 9)
+        .select("band", "band_key")
+      val hits = bands.filter(col("doc_id") % 10 === 9)
+        .join(corpusBands, Seq("band", "band_key"), "left_semi")
+        .select("doc_id").distinct()
+        .withColumn("near_dup", lit(true))
+      docs(s, dir).filter(col("doc_id") % 10 === 9).select("doc_id")
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("near_dup"), lit(false)).as("near_dup"))
+        .orderBy("doc_id")
     },
 
     // SimHash (32-bit variant): one bit per md5-hex position, set by

@@ -126,6 +126,11 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_min"), p)
   }
 
+  test("q69: incremental near-dup probes corpus bands via semi join") {
+    val p = plan("q69_incremental_near_dup")
+    assert(p.contains("LeftSemi"), p)
+  }
+
   test("whole-stage codegen active on the scan-agg path") {
     // AQE finalizes the plan lazily; execute first, then inspect
     val df = SparkEntry.queries("q02_agg_pricing_summary")(spark, sf)
