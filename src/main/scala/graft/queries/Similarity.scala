@@ -461,6 +461,52 @@ object Similarity {
         .select(col("vec_a"), col("vec_b"), col("sig"), cosine.as("cosine"))
         .filter(col("cosine") >= 0.2)
         .orderBy("vec_a", "vec_b")
+    },
+
+    // Int8 scalar quantization — the vector-compression step that makes
+    // 100 TB ANN affordable: per-dimension min/max codebook (one
+    // map-side-partial pass), then code = floor((x-mn)/(mx-mn)*255)
+    // per dim (floor, not round — .5-prone double rounds diverge
+    // between engines). The 64-row codebook broadcasts; the only
+    // shuffle is the per-vector re-aggregation. Output: exact integer
+    // code checksums (any code bit off moves both), plus the
+    // midpoint-reconstruction error bound |x - x'| ≤ step/2 verified
+    // per dim on the Spark side — TRUE on the oracle side, the
+    // invariant-oracle pattern (q38/q46).
+    QueryDef(
+      "q70_int8_quantization",
+      """WITH u AS (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |         generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings
+        |), st AS (
+        |  SELECT i, MIN(x) AS mn, MAX(x) AS mx FROM u GROUP BY i
+        |), c AS (
+        |  SELECT u.vec_id,
+        |         CAST(FLOOR((u.x - st.mn) / (st.mx - st.mn) * 255) AS BIGINT) AS code
+        |  FROM u JOIN st ON u.i = st.i
+        |)
+        |SELECT vec_id,
+        |       CAST(SUM(code) AS BIGINT) AS code_l1,
+        |       CAST(SUM(code * code) AS BIGINT) AS code_l2,
+        |       TRUE AS within_bound
+        |FROM c GROUP BY vec_id ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      val u = embDouble(s, dir)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i0", "x")))
+        .select(col("vec_id"), (col("i0") + 1).as("i"), col("x"))
+      val st = u.groupBy("i").agg(min("x").as("mn"), max("x").as("mx"))
+      u.join(broadcast(st), "i")
+        .withColumn("step", (col("mx") - col("mn")) / 255)
+        .withColumn("code",
+          floor((col("x") - col("mn")) / (col("mx") - col("mn")) * 255))
+        .withColumn("ok",
+          abs(col("x") - (col("mn") + (col("code") + 0.5) * col("step")))
+            <= col("step") * 0.500001)
+        .groupBy("vec_id")
+        .agg(sum("code").cast("long").as("code_l1"),
+          sum(col("code") * col("code")).cast("long").as("code_l2"),
+          expr("bool_and(ok)").as("within_bound"))
+        .orderBy("vec_id")
     }
   )
 }

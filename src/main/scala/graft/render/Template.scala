@@ -197,13 +197,40 @@ object Template {
         */
       envOverrides: Map[String, String] = Map.empty)
 
-  /** `{% set name = <literal> %}` — string/number literals only (the
-    * reference binds arbitrary Jinja expressions; query-valued sets are
-    * out of scope with the rest of full Jinja, SURVEY §7.4). A later
-    * `set` of the same name wins, matching reassignment semantics.
+  /** `{% set name = <expr> %}` — literals, context calls, and `~`
+    * concatenation. Non-literal pieces re-wrap as `{{ piece }}` so the
+    * normal render passes (ref/source/var/env_var/builtins/…) resolve
+    * them; Jinja string concatenation is exactly textual adjacency
+    * once each piece renders. Query-valued sets remain out of scope
+    * with the rest of full Jinja (SURVEY §7.4). A later `set` of the
+    * same name wins, matching reassignment semantics.
     */
   private val setRe: Regex =
-    """\{%\s*set\s+(\w+)\s*=\s*(?:'([^']*)'|"([^"]*)"|([-\d.]+))\s*%\}""".r
+    """\{%\s*set\s+(\w+)\s*=\s*(.+?)\s*%\}""".r
+
+  /** One set RHS → replacement text: split on top-level `~`, inline
+    * literal pieces, mustache-wrap everything else.
+    */
+  private def setReplacement(rhs: String): String = {
+    val pieces = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var q: Char = 0
+    rhs.foreach { ch =>
+      if (q != 0) { cur += ch; if (ch == q) q = 0 }
+      else if (ch == '\'' || ch == '"') { q = ch; cur += ch }
+      else if (ch == '~') { pieces += cur.toString; cur.clear() }
+      else cur += ch
+    }
+    pieces += cur.toString
+    pieces.map(_.trim).map { p =>
+      if (p.length >= 2 &&
+          ((p.head == '\'' && p.last == '\'') ||
+            (p.head == '"' && p.last == '"')))
+        p.substring(1, p.length - 1)
+      else if (p.matches("""[-\d.]+""")) p
+      else s"{{ $p }}"
+    }.mkString
+  }
 
   private val builtinRe: Regex =
     """\{\{\s*([a-z_][a-z0-9_.]*)\s*\}\}""".r
@@ -219,10 +246,21 @@ object Template {
   /** Render a model body to executable Spark SQL. */
   def render(sql: String, ctx: Context): String = {
     var out = configRe.replaceAllIn(sql, "")
-    val sets = setRe.findAllMatchIn(out).map(m => m.group(1) ->
-      Option(m.group(2)).orElse(Option(m.group(3))).getOrElse(m.group(4))).toMap
+    // document order matters: a later RHS may reference an earlier set
+    // variable, and a later set of the same name wins
+    val orderedSets = setRe.findAllMatchIn(out)
+      .map(m => m.group(1) -> m.group(2)).toSeq
     out = setRe.replaceAllIn(out, "")
-    sets.foreach { case (n, v) =>
+    val bindings = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    orderedSets.foreach { case (n, rhs) =>
+      var rep = setReplacement(rhs)
+      bindings.foreach { case (pn, pv) =>
+        rep = rep.replaceAll("""\{\{\s*""" + pn + """\s*\}\}""",
+          Regex.quoteReplacement(pv))
+      }
+      bindings(n) = rep
+    }
+    bindings.foreach { case (n, v) =>
       out = out.replaceAll("""\{\{\s*""" + n + """\s*\}\}""",
         Regex.quoteReplacement(v))
     }

@@ -94,6 +94,29 @@ class TemplateSpec extends AnyFunSuite {
       === "SELECT 'b'")
   }
 
+  test("set: expression RHS — context calls, concatenation, chaining") {
+    // var() call as RHS resolves through the normal var pass
+    assert(Template.render(
+      "{% set d = var('start') %}SELECT * FROM t WHERE d > '{{ d }}'", ctx)
+      === "SELECT * FROM t WHERE d > '2020-01-01'")
+    // ref() as RHS resolves to the relation name
+    assert(Template.render(
+      "{% set rel = ref('stg') %}SELECT * FROM {{ rel }}", ctx)
+      === "SELECT * FROM rel_stg")
+    // ~ concatenation: literal and call pieces splice adjacently
+    assert(Template.render(
+      "{% set tbl = 'pre_' ~ var('start') ~ '_post' %}SELECT '{{ tbl }}'", ctx)
+      === "SELECT 'pre_2020-01-01_post'")
+    // a later set may reference an earlier one
+    assert(Template.render(
+      "{% set a = 'x' %}{% set b = a ~ 'y' %}SELECT '{{ b }}'", ctx)
+      === "SELECT 'xy'")
+    // this as RHS
+    assert(Template.render(
+      "{% set t = this %}DELETE FROM {{ t }}", ctx)
+      === "DELETE FROM this_table")
+  }
+
   test("load_result renders slot fields and errors on unknown slots") {
     val c = ctx.copy(results = Map("main" -> Map("rows_affected" -> "42")))
     assert(Template.render(
