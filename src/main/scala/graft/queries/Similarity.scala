@@ -156,6 +156,68 @@ object Similarity {
        |  GROUP BY a.vec_id, b.vec_id, a.cent_id
        |)""".stripMargin
 
+  /** Product-quantization sub-codebook: dims [lo..hi] of every vector,
+    * seeded from vec_id < 16 (k = 16 per subspace), ONE Lloyd
+    * refinement, then final (code, distortion) per vector — rounded
+    * distances, cid tie-break, exactly the duckKmeans discipline.
+    */
+  private def pqSubCodes(embD: DataFrame, sIdx: Int, lo: Int, hi: Int): DataFrame = {
+    val sub = embD.select(col("vec_id"),
+      slice(col("embedding"), lo, hi - lo + 1).as("sub"))
+    val seed = sub.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("sub").as("cv"))
+    def assign(cb: DataFrame): DataFrame = {
+      val d = sub.crossJoin(broadcast(cb))
+        .select(col("vec_id"), col("cid"),
+          round(sqDist(col("sub"), col("cv")), 6).as("sqdist"))
+      val w = Window.partitionBy("vec_id").orderBy(col("sqdist"), col("cid"))
+      d.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    }
+    val cb1 = assign(seed).join(sub, "vec_id")
+      .select(col("cid"), posexplode(col("sub")).as(Seq("pos", "v")))
+      .groupBy("cid", "pos").agg(round(avg("v"), 6).as("m"))
+      .groupBy("cid")
+      .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cid"), col("pm.m").as("cv"))
+    assign(cb1).select(col("vec_id"), col("cid").as(s"code$sIdx"),
+      col("sqdist").as(s"dist$sIdx"))
+  }
+
+  /** DuckDB twin of [[pqSubCodes]] for subspace `s` over dims
+    * [lo..hi]; ends with CTE `code_$s`(vec_id, code$s, dist$s).
+    */
+  private def duckPqSub(s: Int, lo: Int, hi: Int): String =
+    s"""idx$s AS (SELECT unnest(range($lo, ${hi + 1})) AS i),
+       |d0_$s AS (
+       |  SELECT e.vec_id, c.vec_id AS cid,
+       |         ROUND(SUM((CAST(e.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))
+       |                   * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))), 6) AS sqdist
+       |  FROM embeddings e
+       |  CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 16) c
+       |  CROSS JOIN idx$s
+       |  GROUP BY e.vec_id, c.vec_id
+       |), a0_$s AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sqdist, cid) AS rn
+       |    FROM d0_$s) t WHERE rn = 1
+       |), cb_$s AS (
+       |  SELECT a.cid, i.i, ROUND(AVG(CAST(e.embedding[i.i] AS DOUBLE)), 6) AS v
+       |  FROM a0_$s a JOIN embeddings e ON e.vec_id = a.vec_id CROSS JOIN idx$s i
+       |  GROUP BY a.cid, i.i
+       |), df_$s AS (
+       |  SELECT e.vec_id, c.cid,
+       |         ROUND(SUM((CAST(e.embedding[c.i] AS DOUBLE) - c.v)
+       |                   * (CAST(e.embedding[c.i] AS DOUBLE) - c.v)), 6) AS sqdist
+       |  FROM embeddings e CROSS JOIN cb_$s c
+       |  GROUP BY e.vec_id, c.cid
+       |), code_$s AS (
+       |  SELECT vec_id, cid AS code$s, sqdist AS dist$s FROM (
+       |    SELECT vec_id, cid, sqdist,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sqdist, cid) AS rn
+       |    FROM df_$s) t WHERE rn = 1
+       |)""".stripMargin
+
   /** Cells ranked per vector by rounded sqdist, ties on cent_id —
     * rn = 1 is the IVF assignment, rn ≤ p the probe set. */
   private[queries] def cellRanks(embD: DataFrame, cents: DataFrame): DataFrame = {
@@ -506,6 +568,32 @@ object Similarity {
         .agg(sum("code").cast("long").as("code_l1"),
           sum(col("code") * col("code")).cast("long").as("code_l2"),
           expr("bool_and(ok)").as("within_bound"))
+        .orderBy("vec_id")
+    },
+
+    // Product quantization: 64 dims → 2 subspaces × 16-centroid
+    // codebooks (seeded, one Lloyd refinement — the q31 k-means
+    // discipline per subspace), each vector encoded as (code0, code1)
+    // = 8 bits — a 512× compression of the float32 vector, the
+    // memory-resident form ANN serves at 100 TB (ADC then scans codes
+    // with a 2×16 lookup table instead of touching raw vectors).
+    // Codebooks broadcast; training is two broadcast sweeps + one
+    // (cid, dim) mean per subspace; encoding is one broadcast sweep.
+    // distortion = dist0 + dist1 (each rounded-6, so the sum is the
+    // same double on both engines).
+    QueryDef(
+      "q71_pq_codes",
+      s"""WITH ${duckPqSub(0, 1, 32)},
+         |${duckPqSub(1, 33, 64)}
+         |SELECT a.vec_id, a.code0, b.code1,
+         |       CAST(a.dist0 + b.dist1 AS DOUBLE) AS distortion
+         |FROM code_0 a JOIN code_1 b ON a.vec_id = b.vec_id
+         |ORDER BY a.vec_id""".stripMargin) { (s, dir) =>
+      val embD = embDouble(s, dir)
+      pqSubCodes(embD, 0, 1, 32)
+        .join(pqSubCodes(embD, 1, 33, 64), "vec_id")
+        .select(col("vec_id"), col("code0"), col("code1"),
+          (col("dist0") + col("dist1")).cast("double").as("distortion"))
         .orderBy("vec_id")
     }
   )

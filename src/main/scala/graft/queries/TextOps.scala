@@ -532,6 +532,38 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    // BPE merge-candidate counting: corpus-wide adjacent-pair counts,
+    // top 20 — the inner statistic of byte-pair-encoding vocabulary
+    // training (each BPE round merges the argmax pair and recounts).
+    // Pairs come from the native non-distinct NGrams expression (one
+    // codegen'd pass, no window); the count is a partial+final hash
+    // agg and the top-20 a TakeOrdered — at 100 TB the pair space is
+    // vocab², far smaller than the corpus, so the shuffle carries only
+    // (pair, partial count) rows.
+    QueryDef(
+      "q72_bpe_pair_counts",
+      """WITH tok AS (
+        |  SELECT doc_id, w, pos FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+        |           generate_subscripts(string_split(text, ' '), 1) AS pos
+        |    FROM documents) t
+        |), pairs AS (
+        |  SELECT w || ' ' || LEAD(w) OVER win AS pair
+        |  FROM tok
+        |  WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+        |  QUALIFY LEAD(w) OVER win IS NOT NULL
+        |)
+        |SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM pairs GROUP BY pair
+        |ORDER BY n DESC, pair LIMIT 20""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .select(explode(
+          graft.functions.TextExprs.ngrams(wordsCol, 2)).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(20)
+    },
+
     // SimHash (32-bit variant): one bit per md5-hex position, set by
     // majority vote over the doc's distinct tokens. Exact-equal
     // fingerprints are duplicate candidates; Hamming-near pairs would be
