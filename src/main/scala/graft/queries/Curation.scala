@@ -182,6 +182,145 @@ object Curation {
             when(lowDiv, "low_diversity"),
             when(tooLong, "too_long")).as("reasons"))
         .orderBy("doc_id")
+    },
+
+    // Paragraph-level dedup statistics (CCNet's unit of dedup is the
+    // paragraph, not the document): segment every document into
+    // fixed 16-token pseudo-paragraphs, hash each, and report what
+    // fraction of a document's segments also occur in ANOTHER document.
+    // The production decision built on this is "drop the duplicated
+    // paragraphs, keep the novel remainder" — strictly finer-grained
+    // than q25's whole-doc dedup. Scale shape: one shuffle on the
+    // 16-byte segment hash (document frequency), one on doc_id (the
+    // rollup); segmentation itself is a per-row codegen'd lambda, and
+    // nothing pairs up — paragraph dedup is frequency-based, so it
+    // never risks the O(df²) blowup of pairwise kernels.
+    QueryDef(
+      "q74_paragraph_dedup",
+      """WITH segs AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |           range(0, (len(string_split(text, ' ')) - 1) // 16 + 1),
+        |           k -> MD5(array_to_string(
+        |                  string_split(text, ' ')[k*16+1 : k*16+16], ' ')))) AS h
+        |  FROM documents
+        |), dfc AS (
+        |  SELECT h, COUNT(DISTINCT doc_id) AS df FROM segs GROUP BY h
+        |)
+        |SELECT s.doc_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_segments,
+        |       CAST(SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segments,
+        |       CAST(ROUND(CAST(SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS DECIMAL(20,6))
+        |                  / COUNT(*), 4) AS DOUBLE) AS dup_ratio
+        |FROM segs s JOIN dfc d ON s.h = d.h
+        |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val segs = Tables.load(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .withColumn("ks",
+          sequence(lit(0), ((size(col("ws")) - 1) / 16).cast("int")))
+        .select(col("doc_id"), explode(transform(col("ks"),
+          k => md5(array_join(slice(col("ws"), k * 16 + 1, lit(16)), " ")))).as("h"))
+      val dfc = segs.select("h", "doc_id").distinct()
+        .groupBy("h").agg(count(lit(1)).as("df"))
+      segs.join(dfc, "h")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_segments"),
+          sum(when(col("df") >= 2, 1).otherwise(0)).cast("long").as("n_dup_segments"))
+        .select(col("doc_id"), col("n_segments"), col("n_dup_segments"),
+          round(dec6(col("n_dup_segments")) / col("n_segments"), 4)
+            .cast("double").as("dup_ratio"))
+        .orderBy("doc_id")
+    },
+
+    // Temperature-weighted corpus mixing (the multilingual-sampling
+    // rule from mBERT/XLM-R: sample language l with probability
+    // ∝ p_l^α, α = 0.5): per-language keep rates derived from corpus
+    // counts — low-resource languages are up-weighted, dominant ones
+    // down-weighted — then document selection by the q60 deterministic
+    // md5-bucket rule, so the draw is reproducible across engines,
+    // cluster sizes, and row orders. Target volume = 40% of the corpus.
+    // Portability: sqrt is IEEE-correctly-rounded (identical in both
+    // engines), per-language weights round to 6 decimals, and the
+    // weight SUM runs in decimal (order-independent) — the one
+    // double-sum this query would otherwise have.
+    QueryDef(
+      "q75_temperature_mixing",
+      """WITH pl AS (
+        |  SELECT lang, COUNT(*) AS n, ROUND(SQRT(COUNT(*)), 6) AS w
+        |  FROM documents GROUP BY lang
+        |), tot AS (
+        |  SELECT CAST(SUM(CAST(w AS DECIMAL(20,6))) AS DOUBLE) AS wsum,
+        |         CAST(SUM(n) AS BIGINT) AS ntot
+        |  FROM pl
+        |), bp AS (
+        |  SELECT pl.lang, pl.n,
+        |         CAST(LEAST(10000, FLOOR(10000.0 * 0.4 * ntot * w / wsum / n)) AS BIGINT) AS keep_bp
+        |  FROM pl CROSS JOIN tot
+        |), k AS (
+        |  SELECT d.lang, b.keep_bp,
+        |         CASE WHEN CAST(('0x' || SUBSTR(MD5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |                   % 10000 < b.keep_bp
+        |              THEN 1 ELSE 0 END AS kept
+        |  FROM documents d JOIN bp b ON b.lang = d.lang
+        |)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_total,
+        |       CAST(MAX(keep_bp) AS BIGINT) AS keep_bp,
+        |       CAST(SUM(kept) AS BIGINT) AS n_kept
+        |FROM k GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      val pl = d.groupBy("lang")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("w", round(sqrt(col("n")), 6))
+      val tot = pl.groupBy().agg(
+        sum(col("w").cast(DecimalType(20, 6))).cast("double").as("wsum"),
+        sum(col("n")).cast("long").as("ntot"))
+      // same association order as the SQL: ((((10000.0*0.4)*ntot)*w)/wsum)/n
+      val bp = pl.crossJoin(tot)
+        .select(col("lang"),
+          least(lit(10000L),
+            floor(lit(10000.0) * lit(0.4) * col("ntot") * col("w")
+              / col("wsum") / col("n"))).cast("long").as("keep_bp"))
+      d.join(broadcast(bp), "lang")
+        .withColumn("kept",
+          when(expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint)")
+            % 10000 < col("keep_bp"), 1).otherwise(0))
+        .groupBy("lang").agg(
+          count(lit(1)).as("n_total"),
+          max("keep_bp").as("keep_bp"),
+          sum("kept").cast("long").as("n_kept"))
+        .orderBy("lang")
+    },
+
+    // RAG chunking: overlapping sliding windows of 32 tokens at stride
+    // 24 (8-token overlap so no retrieval boundary splits a fact),
+    // each chunk with a stable content hash — the corpus→vector-store
+    // transform of a retrieval pipeline. Pure per-row codegen'd lambda
+    // work: at 100 TB this is a map-only stage (the ORDER BY here is
+    // presentation; production writes chunks partitioned by doc hash).
+    QueryDef(
+      "q76_rag_chunking",
+      """WITH c AS (
+        |  SELECT doc_id,
+        |         unnest(range(0, (len(string_split(text, ' ')) - 1) // 24 + 1)) AS k,
+        |         string_split(text, ' ') AS ws
+        |  FROM documents
+        |)
+        |SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx,
+        |       CAST(len(ws[k*24+1 : k*24+32]) AS BIGINT) AS chunk_tokens,
+        |       MD5(array_to_string(ws[k*24+1 : k*24+32], ' ')) AS chunk_hash
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .withColumn("k",
+          explode(sequence(lit(0), ((size(col("ws")) - 1) / 24).cast("int"))))
+        .select(col("doc_id"), col("k").cast("long").as("chunk_idx"),
+          size(slice(col("ws"), col("k") * 24 + 1, lit(32))).cast("long")
+            .as("chunk_tokens"),
+          md5(array_join(slice(col("ws"), col("k") * 24 + 1, lit(32)), " "))
+            .as("chunk_hash"))
+        .orderBy("doc_id", "chunk_idx")
     }
   )
 }

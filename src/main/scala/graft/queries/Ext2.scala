@@ -496,6 +496,48 @@ object Ext2 {
         .orderBy("doc_id")
     },
 
+    // Bloom-filter decontamination — q58's topology when even the eval
+    // FINGERPRINT SET is too big to broadcast as rows: build a Bloom
+    // filter over the eval-side fingerprints (distributed aggregation,
+    // `DataFrame.stat.bloomFilter`), broadcast the bits, and flag train
+    // docs by membership probe. At 100 TB this is THE pre-filter shape:
+    // the probe is a map-only scan (no join, no shuffle), and the few
+    // false positives feed an exact verify join on the survivors only.
+    // The filter's bit pattern is engine-specific, so the oracled
+    // output is the exact-hit column (deterministic on both sides) plus
+    // the Bloom guarantee as an invariant: NO FALSE NEGATIVES — every
+    // exact hit must probe true (`no_false_negative` ≡ TRUE on the
+    // oracle side; any lost hit flips the hash). Fingerprint = md5 of
+    // the 40-char leading boilerplate (q67's rule), so hits exist at
+    // every SF.
+    QueryDef(
+      "q78_bloom_decontamination",
+      """WITH f AS (
+        |  SELECT doc_id, MD5(SUBSTRING(text, 1, 40)) AS fp FROM documents
+        |), ev AS (SELECT DISTINCT fp FROM f WHERE doc_id % 50 = 0)
+        |SELECT f.doc_id,
+        |       EXISTS (SELECT 1 FROM ev WHERE ev.fp = f.fp) AS exact_hit,
+        |       TRUE AS no_false_negative
+        |FROM f WHERE doc_id % 50 <> 0
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val f = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), md5(substring(col("text"), 1, 40)).as("fp"))
+      val evalFps = f.filter(col("doc_id") % 50 === 0).select("fp").distinct()
+      // expectedNumItems sized generously for the test SFs; production
+      // sizes it from the eval corpus count (one cheap agg beforehand)
+      val bloom = evalFps.stat.bloomFilter("fp", 100000L, 0.01)
+      val bloomB = s.sparkContext.broadcast(bloom)
+      val mightContain = udf((x: String) => bloomB.value.mightContain(x))
+      f.filter(col("doc_id") % 50 =!= 0)
+        .join(evalFps.withColumn("in_eval", lit(true)), Seq("fp"), "left")
+        .select(col("doc_id"),
+          coalesce(col("in_eval"), lit(false)).as("exact_hit"),
+          // the invariant: a bloom miss on an exact hit = broken filter
+          (mightContain(col("fp")) || !coalesce(col("in_eval"), lit(false)))
+            .as("no_false_negative"))
+        .orderBy("doc_id")
+    },
+
     // SemDeDup-style embedding dedup retention (Abbas et al. 2023):
     // within-IVF-cell cosine candidates above a threshold → connected
     // components → keep the lowest vec_id per group; report per-cell

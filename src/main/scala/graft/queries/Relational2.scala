@@ -89,11 +89,18 @@ object Relational2 {
         |       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
         |       TRUE AS within_tolerance
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      // Pre-distinct, then sketch + count over the distinct pairs: a
+      // HLL register depends only on the SET of values, so the
+      // estimate is identical — but mixing countDistinct with another
+      // aggregate in one pass forces an Expand (2 projections of every
+      // input row through the shuffle). This shape map-side-partials
+      // the distinct instead: strictly less shuffled data, same result.
       Tables.load(s, dir, "lineitem")
+        .select("l_returnflag", "l_orderkey").distinct()
         .groupBy("l_returnflag")
         .agg(
           approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
-          countDistinct(col("l_orderkey")).as("exact_orders"))
+          count(lit(1)).as("exact_orders"))
         .select(col("l_returnflag"), col("exact_orders"),
           (abs(col("approx_orders") - col("exact_orders"))
             <= col("exact_orders") * lit(0.10)).as("within_tolerance"))

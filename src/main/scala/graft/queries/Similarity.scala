@@ -160,8 +160,12 @@ object Similarity {
     * seeded from vec_id < 16 (k = 16 per subspace), ONE Lloyd
     * refinement, then final (code, distortion) per vector — rounded
     * distances, cid tie-break, exactly the duckKmeans discipline.
+    * Returns (codebook (cid, cv), codes (vec_id, code$sIdx,
+    * dist$sIdx)) — q71 consumes the codes, q73's ADC search needs the
+    * codebook too (the query-side lookup table is built against it).
     */
-  private def pqSubCodes(embD: DataFrame, sIdx: Int, lo: Int, hi: Int): DataFrame = {
+  private def pqSubspace(
+      embD: DataFrame, sIdx: Int, lo: Int, hi: Int): (DataFrame, DataFrame) = {
     val sub = embD.select(col("vec_id"),
       slice(col("embedding"), lo, hi - lo + 1).as("sub"))
     val seed = sub.filter(col("vec_id") < 16)
@@ -179,9 +183,13 @@ object Similarity {
       .groupBy("cid")
       .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
       .select(col("cid"), col("pm.m").as("cv"))
-    assign(cb1).select(col("vec_id"), col("cid").as(s"code$sIdx"),
+    val codes = assign(cb1).select(col("vec_id"), col("cid").as(s"code$sIdx"),
       col("sqdist").as(s"dist$sIdx"))
+    (cb1, codes)
   }
+
+  private def pqSubCodes(embD: DataFrame, sIdx: Int, lo: Int, hi: Int): DataFrame =
+    pqSubspace(embD, sIdx, lo, hi)._2
 
   /** DuckDB twin of [[pqSubCodes]] for subspace `s` over dims
     * [lo..hi]; ends with CTE `code_$s`(vec_id, code$s, dist$s).
@@ -595,6 +603,73 @@ object Similarity {
         .select(col("vec_id"), col("code0"), col("code1"),
           (col("dist0") + col("dist1")).cast("double").as("distortion"))
         .orderBy("vec_id")
+    },
+
+    // PQ asymmetric-distance (ADC) top-k search — the serving half of
+    // product quantization (Jégou et al. 2011): each query builds a
+    // 2×16 lookup table of EXACT squared distances from its sub-vectors
+    // to every codebook centroid, then scans candidate CODES only —
+    // adc(q, x) = lut0[code0(x)] + lut1[code1(x)]. The corpus's raw
+    // floats are never touched at query time; the scan side is 2 bytes
+    // per vector, which is why a 100 TB corpus serves from RAM. Plan
+    // shape: the LUTs (queries × 16 rows per subspace) BROADCAST onto
+    // the code table, so candidate generation is two map-side hash
+    // joins — no shuffle of the corpus codes; the only shuffle is the
+    // per-query top-3 window. Distances are each rounded to 6 decimals
+    // (the q30/q31 discipline), so their sum is the same double in both
+    // engines; ties break on cid.
+    QueryDef(
+      "q73_pq_adc_topk",
+      s"""WITH ${duckPqSub(0, 1, 32)},
+         |${duckPqSub(1, 33, 64)},
+         |lut0 AS (
+         |  SELECT q.vec_id AS qid, c.cid AS c0,
+         |         ROUND(SUM((CAST(q.embedding[c.i] AS DOUBLE) - c.v)
+         |                   * (CAST(q.embedding[c.i] AS DOUBLE) - c.v)), 6) AS d0
+         |  FROM embeddings q CROSS JOIN cb_0 c
+         |  WHERE q.vec_id < 10 GROUP BY q.vec_id, c.cid
+         |), lut1 AS (
+         |  SELECT q.vec_id AS qid, c.cid AS c1,
+         |         ROUND(SUM((CAST(q.embedding[c.i] AS DOUBLE) - c.v)
+         |                   * (CAST(q.embedding[c.i] AS DOUBLE) - c.v)), 6) AS d1
+         |  FROM embeddings q CROSS JOIN cb_1 c
+         |  WHERE q.vec_id < 10 GROUP BY q.vec_id, c.cid
+         |), adc AS (
+         |  SELECT l0.qid, a.vec_id AS cid, l0.d0 + l1.d1 AS adc
+         |  FROM code_0 a
+         |  JOIN code_1 b ON a.vec_id = b.vec_id
+         |  JOIN lut0 l0 ON l0.c0 = a.code0
+         |  JOIN lut1 l1 ON l1.qid = l0.qid AND l1.c1 = b.code1
+         |  WHERE a.vec_id <> l0.qid
+         |)
+         |SELECT qid, cid, CAST(adc AS DOUBLE) AS adc,
+         |       CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, cid) AS BIGINT) AS rn
+         |FROM adc
+         |QUALIFY rn <= 3
+         |ORDER BY qid, rn""".stripMargin) { (s, dir) =>
+      val embD = embDouble(s, dir)
+      val (cb0, codes0) = pqSubspace(embD, 0, 1, 32)
+      val (cb1, codes1) = pqSubspace(embD, 1, 33, 64)
+      val codes = codes0.join(codes1, "vec_id")
+        .select("vec_id", "code0", "code1")
+      def lut(cb: DataFrame, lo: Int, len: Int, qCol: String, cCol: String, dCol: String) =
+        embD.filter(col("vec_id") < 10)
+          .select(col("vec_id").as(qCol), slice(col("embedding"), lo, len).as("qs"))
+          .crossJoin(broadcast(cb))
+          .select(col(qCol), col("cid").as(cCol),
+            round(sqDist(col("qs"), col("cv")), 6).as(dCol))
+      val adc = codes
+        .join(broadcast(lut(cb0, 1, 32, "qid", "c0", "d0")), col("code0") === col("c0"))
+        .join(broadcast(lut(cb1, 33, 32, "qid2", "c1", "d1")),
+          col("qid") === col("qid2") && col("code1") === col("c1"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("cid"),
+          (col("d0") + col("d1")).as("adc"))
+      val w = Window.partitionBy("qid").orderBy(col("adc"), col("cid"))
+      adc.withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select(col("qid"), col("cid"), col("adc").cast("double").as("adc"), col("rn"))
+        .orderBy("qid", "rn")
     }
   )
 }

@@ -46,7 +46,9 @@ object TextOps {
     * min-wise hashes in ONE aggregation pass → 4 bands of 3. Shared by
     * q27 (all-pairs candidates) and q69 (batch-vs-corpus incremental).
     */
-  private def minhashBands(d: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  /** Wide MinHash signature (doc_id, h0..h11) — the banding input and
+    * q77's agreement-estimate input. */
+  private def minhashSig(d: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val sh = d
       .select(col("doc_id"), explode(shingles3(wordsCol)).as("shingle"))
       // 3 digests computed once per row, reused by 4 words each
@@ -55,7 +57,11 @@ object TextOps {
     // all 12 min-hashes in ONE aggregation pass (no seed explode):
     val minAggs = (0 until 12).map(j =>
       min(substring(col(s"d${j / 4}"), (j % 4) * 8 + 1, 8)).as(s"h$j"))
-    val sig = sh.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+    sh.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+  }
+
+  private def minhashBands(d: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val sig = minhashSig(d)
     val bandStructs = (0 until 4).map(b =>
       struct(lit(b).as("band"),
         md5(concat_ws(",", col(s"h${3 * b}"), col(s"h${3 * b + 1}"),
@@ -596,6 +602,82 @@ object TextOps {
         .select(col("doc_id"),
           concat((1 to 32).map(i => col(s"b$i")): _*).as("simhash"))
         .orderBy("doc_id")
+    },
+
+    // MinHash Jaccard ESTIMATE vs ground truth: for every LSH candidate
+    // pair, the fraction of agreeing signature positions (the unbiased
+    // MinHash estimator, E[matches/k] = J) next to the exact shingle
+    // Jaccard — the estimator-calibration report a production dedup
+    // pipeline runs before picking k and the band layout (at 100 TB
+    // you tune k on a sample exactly like this, never on the corpus).
+    // Everything is deterministic — the signatures are the q27 hash
+    // family and the exact side is the q26 pair kernel — so the oracle
+    // checks estimate AND truth bit-for-bit. Candidates absent from
+    // the df-capped pair kernel surface exact_jaccard = 0 (boilerplate-
+    // only overlap carries no dedup signal by construction).
+    QueryDef(
+      "q77_minhash_jaccard_estimate",
+      s"""WITH $duckBands,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_key = b.band_key
+         |   AND a.doc_id < b.doc_id
+         |), agree AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |         SUM(CASE WHEN sa.minh = sb.minh THEN 1 ELSE 0 END) AS n_agree
+         |  FROM cand c
+         |  JOIN sig sa ON sa.doc_id = c.doc_a
+         |  JOIN sig sb ON sb.doc_id = c.doc_b AND sb.seed = sa.seed
+         |  GROUP BY c.doc_a, c.doc_b
+         |), card AS (
+         |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+         |), ok AS (
+         |  SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 128
+         |), cm AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  JOIN ok ON ok.shingle = a.shingle
+         |  GROUP BY a.doc_id, b.doc_id
+         |)
+         |SELECT g.doc_a, g.doc_b, CAST(g.n_agree AS BIGINT) AS n_agree,
+         |       CAST(ROUND(CAST(g.n_agree AS DECIMAL(20,6)) / 12, 4) AS DOUBLE) AS est_jaccard,
+         |       COALESCE(CAST(ROUND(CAST(cm.common AS DECIMAL(20,6))
+         |                           / (ca.n + cb.n - cm.common), 4) AS DOUBLE), 0.0) AS exact_jaccard
+         |FROM agree g
+         |JOIN card ca ON ca.doc_id = g.doc_a
+         |JOIN card cb ON cb.doc_id = g.doc_b
+         |LEFT JOIN cm ON cm.doc_a = g.doc_a AND cm.doc_b = g.doc_b
+         |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val dec6 = (c: org.apache.spark.sql.Column) =>
+        c.cast(org.apache.spark.sql.types.DecimalType(20, 6))
+      val d = docs(s, dir)
+      val sig = minhashSig(d)
+      val bands = minhashBands(d)
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band")
+            && col("a.band_key") === col("b.band_key")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val sa = sig.select(col("doc_id").as("doc_a") +:
+        (0 until 12).map(j => col(s"h$j").as(s"a$j")): _*)
+      val sb = sig.select(col("doc_id").as("doc_b") +:
+        (0 until 12).map(j => col(s"h$j").as(s"b$j")): _*)
+      val nAgree = (0 until 12)
+        .map(j => when(col(s"a$j") === col(s"b$j"), 1).otherwise(0))
+        .reduce(_ + _)
+      val agree = cand.join(sa, "doc_a").join(sb, "doc_b")
+        .select(col("doc_a"), col("doc_b"), nAgree.cast("long").as("n_agree"))
+      val exact = shingleOverlapPairs(s, dir)
+        .select(col("doc_a"), col("doc_b"),
+          round(dec6(col("common")) / (col("na") + col("nb") - col("common")), 4)
+            .cast("double").as("exact_j"))
+      agree.join(exact, Seq("doc_a", "doc_b"), "left")
+        .select(col("doc_a"), col("doc_b"), col("n_agree"),
+          round(dec6(col("n_agree")) / 12, 4).cast("double").as("est_jaccard"),
+          coalesce(col("exact_j"), lit(0.0)).as("exact_jaccard"))
+        .orderBy("doc_a", "doc_b")
     }
   )
 }

@@ -1,0 +1,108 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.functions._
+
+/** Round-4 operator invariants: PQ-ADC search, paragraph dedup,
+  * temperature mixing, RAG chunking, MinHash estimator calibration,
+  * Bloom decontamination. Cross-checked against independent formulas
+  * (token counts, exact joins) rather than re-running the same code.
+  */
+class Round4Spec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.01"
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("q73: ADC LUTs broadcast; exactly top-3 per query, adc ascending") {
+    val df = run("q73_pq_adc_topk")
+    val p = df.queryExecution.executedPlan.toString
+    // the code scan joins the per-query lookup tables map-side — the
+    // corpus codes must not shuffle to meet a 10×16-row LUT
+    assert(p.contains("BroadcastHashJoin"), p)
+    val rows = df.collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size === 10 && byQ.values.forall(_.length === 3))
+    byQ.values.foreach { g =>
+      val sorted = g.sortBy(_.getLong(3))
+      assert(sorted.map(_.getDouble(2)).sliding(2).forall(w => w(0) <= w(1)),
+        "adc must be non-decreasing in rank")
+    }
+  }
+
+  test("q74: segment count = ceil(n_tokens/16); ratios within [0,1]") {
+    val seg = run("q74_paragraph_dedup")
+    val tok = run("q21_token_stats").select(col("doc_id"), col("n_tokens"))
+    val joined = seg.join(tok, "doc_id")
+      .select(col("n_segments"), col("n_tokens"),
+        col("n_dup_segments"), col("dup_ratio")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val (nSeg, nTok) = (r.getLong(0), r.getLong(1))
+      assert(nSeg === (nTok + 15) / 16, s"nSeg=$nSeg nTok=$nTok")
+      assert(r.getLong(2) <= nSeg)
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+  }
+
+  test("q75: temperature flattens — smallest lang keeps at a rate >= largest") {
+    val rows = run("q75_temperature_mixing").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    rows.foreach { case (_, total, bp, kept) =>
+      assert(bp >= 0 && bp <= 10000)
+      assert(kept <= total)
+    }
+    val smallest = rows.minBy(_._2)
+    val largest = rows.maxBy(_._2)
+    assert(smallest._3 >= largest._3,
+      s"sqrt-temperature must up-weight the small language: $smallest vs $largest")
+  }
+
+  test("q76: chunk count = floor((n-1)/24)+1; 32-cap; full coverage") {
+    val ch = run("q76_rag_chunking")
+    val perDoc = ch.groupBy("doc_id").agg(
+      count(lit(1)).as("n_chunks"),
+      max("chunk_tokens").as("max_ct"),
+      sum("chunk_tokens").as("sum_ct"))
+    val tok = run("q21_token_stats").select(col("doc_id"), col("n_tokens"))
+    perDoc.join(tok, "doc_id").collect().foreach { r =>
+      val (nCh, maxCt, nTok) = (r.getLong(1), r.getLong(2), r.getLong(4))
+      assert(nCh === (nTok - 1) / 24 + 1, s"nCh=$nCh nTok=$nTok")
+      assert(maxCt <= 32)
+      // stride 24 < size 32 ⇒ windows cover every token at least once:
+      // sum of chunk lengths >= n_tokens
+      assert(r.getLong(3) >= nTok)
+    }
+  }
+
+  test("q77: candidate set = q27's; estimator within 12-hash resolution") {
+    val est = run("q77_minhash_jaccard_estimate")
+    val cand = run("q27_minhash_lsh_candidates")
+    assert(est.select("doc_a", "doc_b").except(cand).isEmpty
+      && cand.except(est.select("doc_a", "doc_b")).isEmpty,
+      "q77 must score exactly the LSH candidate pairs")
+    est.collect().foreach { r =>
+      val nAgree = r.getLong(2)
+      assert(nAgree >= 0 && nAgree <= 12)
+      assert(math.abs(r.getDouble(3) - nAgree / 12.0) < 1e-3)
+    }
+  }
+
+  test("q78: no false negatives; false-positive count near the 1% design point") {
+    val rows = run("q78_bloom_decontamination").collect()
+    assert(rows.forall(_.getBoolean(2)), "bloom filter lost an exact hit")
+    // recompute the probe side to measure the fp rate the query doesn't
+    // expose (bit patterns are engine-specific, so it can't be oracled)
+    val f = graft.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), md5(substring(col("text"), 1, 40)).as("fp"))
+    val bloom = f.filter(col("doc_id") % 50 === 0)
+      .select("fp").distinct().stat.bloomFilter("fp", 100000L, 0.01)
+    val train = f.filter(col("doc_id") % 50 =!= 0).collect()
+    val exactHits = rows.count(_.getBoolean(1))
+    val bloomHits = train.count(r => bloom.mightContain(r.getString(1)))
+    val falsePos = bloomHits - exactHits
+    assert(falsePos >= 0)
+    assert(falsePos <= math.max(10, train.length / 20),
+      s"fp rate far above design: $falsePos of ${train.length}")
+  }
+}
