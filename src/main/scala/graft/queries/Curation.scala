@@ -292,6 +292,105 @@ object Curation {
         .orderBy("lang")
     },
 
+    // q74 APPLIED: drop every duplicated pseudo-paragraph except its
+    // first occurrence (min doc_id keeps it — CCNet's keep-first rule),
+    // then re-emit each document's cleaned form: surviving-segment
+    // count, surviving token count, and the md5 of the re-joined text.
+    // This is the transform q74 only reports on. Same two shuffles
+    // (segment-hash df, then per-doc rollup); the re-join is an
+    // order-preserving collect_list over ≤ a few dozen segments per
+    // doc — bounded by document length, never by corpus size.
+    QueryDef(
+      "q79_paragraph_dedup_apply",
+      """WITH segs AS (
+        |  SELECT doc_id, k,
+        |         array_to_string(ws[k*16+1 : k*16+16], ' ') AS seg
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws,
+        |               unnest(range(0, (len(string_split(text, ' ')) - 1) // 16 + 1)) AS k
+        |        FROM documents) t
+        |), dfc AS (
+        |  SELECT MD5(seg) AS h, COUNT(DISTINCT doc_id) AS df,
+        |         MIN(doc_id) AS keeper
+        |  FROM segs GROUP BY MD5(seg)
+        |), kept AS (
+        |  SELECT s.doc_id, s.k, s.seg
+        |  FROM segs s JOIN dfc d ON d.h = MD5(s.seg)
+        |  WHERE d.df = 1 OR s.doc_id = d.keeper
+        |), agg AS (
+        |  SELECT doc_id, COUNT(*) AS n_kept_segments,
+        |         SUM(len(string_split(seg, ' '))) AS n_tokens_kept,
+        |         MD5(STRING_AGG(seg, ' ' ORDER BY k)) AS cleaned_hash
+        |  FROM kept GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |       CAST(COALESCE(a.n_kept_segments, 0) AS BIGINT) AS n_kept_segments,
+        |       CAST(COALESCE(a.n_tokens_kept, 0) AS BIGINT) AS n_tokens_kept,
+        |       COALESCE(a.cleaned_hash, MD5('')) AS cleaned_hash
+        |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val segs = Tables.load(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .withColumn("ks",
+          sequence(lit(0), ((size(col("ws")) - 1) / 16).cast("int")))
+        .select(col("doc_id"), posexplode(transform(col("ks"),
+          k => array_join(slice(col("ws"), k * 16 + 1, lit(16)), " ")))
+          .as(Seq("k", "seg")))
+        .withColumn("h", md5(col("seg")))
+      val dfc = segs.groupBy("h").agg(
+        countDistinct("doc_id").as("df"), min("doc_id").as("keeper"))
+      val agg = segs.join(dfc, "h")
+        .filter(col("df") === 1 || col("doc_id") === col("keeper"))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_kept_segments"),
+          sum(size(split(col("seg"), " "))).cast("long").as("n_tokens_kept"),
+          md5(array_join(
+            sort_array(collect_list(struct(col("k"), col("seg")))).getField("seg"),
+            " ")).as("cleaned_hash"))
+      Tables.load(s, dir, "documents").select("doc_id")
+        .join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_kept_segments"), lit(0L)).as("n_kept_segments"),
+          coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"),
+          coalesce(col("cleaned_hash"), md5(lit(""))).as("cleaned_hash"))
+        .orderBy("doc_id")
+    },
+
+    // Dataset card: the per-(lang, source) profile sheet published with
+    // a training corpus — counts, token volume, and the quartiles of
+    // document length. Exact interpolated percentiles are engine-
+    // portable here because token counts are small integers and the
+    // quantiles are quarter fractions (the q53 rule). One shuffle on
+    // the (lang, source) grid; percentile is a full-sort-free
+    // aggregate on both engines.
+    QueryDef(
+      "q80_dataset_card",
+      """WITH t AS (
+        |  SELECT lang, source, len(string_split(text, ' ')) AS n_tokens
+        |  FROM documents
+        |)
+        |SELECT lang, source,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |       CAST(quantile_cont(n_tokens, 0.25) AS DOUBLE) AS p25_tokens,
+        |       CAST(quantile_cont(n_tokens, 0.50) AS DOUBLE) AS p50_tokens,
+        |       CAST(quantile_cont(n_tokens, 0.75) AS DOUBLE) AS p75_tokens
+        |FROM t GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("lang"), col("source"),
+          size(split(col("text"), " ")).as("n_tokens"))
+        .groupBy("lang", "source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_tokens").cast("long").as("total_tokens"),
+          expr("percentile(n_tokens, 0.25)").as("p25_tokens"),
+          expr("percentile(n_tokens, 0.50)").as("p50_tokens"),
+          expr("percentile(n_tokens, 0.75)").as("p75_tokens"))
+        .orderBy("lang", "source")
+    },
+
     // RAG chunking: overlapping sliding windows of 32 tokens at stride
     // 24 (8-token overlap so no retrieval boundary splits a fact),
     // each chunk with a stable content hash — the corpus→vector-store

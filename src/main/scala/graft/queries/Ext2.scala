@@ -575,8 +575,12 @@ object Ext2 {
         .select(col("vec_id"), col("cell"), col("embedding"))
       val dup = Similarity.subBandedCellPairs(withVec, Similarity.MaxCellPairFanout)
         .filter(col("cosine") >= 0.3)
-        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
-      val removed = TextOps.connectedComponents(dup)
+        .select(col("cell").as("key"), col("vec_a").as("doc_a"),
+          col("vec_b").as("doc_b"))
+      // candidate pairs are cell-restricted, so components cannot cross
+      // cells: one grouped union-find pass replaces the distributed CC
+      // fixpoint (same labels, no per-round materialization)
+      val removed = TextOps.partitionedComponents(dup)
         .filter(col("doc_id") =!= col("group_id"))
         .select(col("doc_id").as("vec_id"), lit(1).as("rm"))
       assign.join(removed, Seq("vec_id"), "left")

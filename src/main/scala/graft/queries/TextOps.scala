@@ -218,6 +218,50 @@ object TextOps {
     labels.select(col("node").as("doc_id"), col("label").as("group_id"))
   }
 
+  /** Connected components for PARTITIONED edge sets: when every edge's
+    * endpoints share a partition key (q59's cosine pairs are
+    * cell-restricted by construction — candidates only form inside an
+    * IVF cell), components cannot cross keys, so the fixpoint
+    * degenerates to ONE shuffle on the key + a per-key union-find.
+    * That replaces O(log diameter) join+materialize rounds with a
+    * single grouped pass. The imperative kernel is safe because key
+    * groups are bounded (the sub-band cap bounds cell fan-out);
+    * `mapGroups` is exactly Spark's per-group imperative escape hatch.
+    * Input: (key, doc_a, doc_b) longs. Output: (doc_id, group_id =
+    * component-min) — identical to [[connectedComponents]] on the same
+    * edges, cheaper by construction.
+    */
+  private[queries] def partitionedComponents(
+      edges: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val sp = edges.sparkSession
+    import sp.implicits._
+    edges.select(col("key").cast("long"), col("doc_a").cast("long"),
+        col("doc_b").cast("long"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x // path compression
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        val nodes = scala.collection.mutable.SortedSet.empty[Long]
+        it.foreach { case (_, a, b) =>
+          nodes += a; nodes += b
+          val (ra, rb) = (find(a), find(b))
+          // min-label union: the larger root points at the smaller, so
+          // every root is its component's minimum — same labels as the
+          // distributed min-propagation fixpoint
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        nodes.iterator.map(n => (n, find(n)))
+      }
+      .toDF("doc_id", "group_id")
+  }
+
   val queries: Seq[QueryDef] = Seq(
 
     // TF-IDF-style salient terms: per (doc, term) weight = tf × N/df

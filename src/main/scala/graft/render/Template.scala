@@ -232,6 +232,74 @@ object Template {
     }.mkString
   }
 
+  /** A25 `{% for %}` subset — the SQL-generation loop dbt models use
+    * for pivot columns and shard unions (reference compiled-SQL loops;
+    * full Jinja stays out of scope, SURVEY §7.4):
+    * `{% for x in ['a', 'b', 2] %}…{{ x }}…{% endfor %}` and
+    * `{% for x in var('xs') %}` (vars hold comma-joined lists). Inside
+    * the body: `{{ x }}`, `{{ loop.index }}`/`{{ loop.index0 }}`, and
+    * separator conditionals `{% if not loop.last %},{% endif %}` /
+    * `{% if loop.first %}…{% endif %}` / `{% if loop.last %}…{% endif %}`.
+    * Loops do not nest (single pass, like the rest of the renderer).
+    */
+  private val forRe: Regex =
+    ("""(?s)\{%\s*for\s+(\w+)\s+in\s+""" +
+      """(\[[^\]]*\]|var\(\s*['"][^'"]+['"]\s*\))\s*%\}""" +
+      """(.*?)\{%\s*endfor\s*%\}""").r
+  private val forVarRe: Regex = """var\(\s*['"]([^'"]+)['"]\s*\)""".r
+  private val loopCondRe: Regex =
+    """(?s)\{%\s*if\s+(not\s+)?loop\.(first|last)\s*%\}(.*?)\{%\s*endif\s*%\}""".r
+
+  private def parseListItems(src: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < src.length) {
+      val ch = src(i)
+      if (ch == '\'' || ch == '"') {
+        val q = ch; i += 1
+        val sb = new StringBuilder
+        while (i < src.length && src(i) != q) { sb += src(i); i += 1 }
+        i += 1
+        out += sb.toString
+      } else if (ch == ',' || ch.isWhitespace) i += 1
+      else {
+        val sb = new StringBuilder
+        while (i < src.length && src(i) != ',') { sb += src(i); i += 1 }
+        val bare = sb.toString.trim
+        if (bare.nonEmpty) out += bare
+      }
+    }
+    out.toSeq
+  }
+
+  private def expandFor(out: String, ctx: Context): String =
+    forRe.replaceAllIn(out, m => {
+      val (v, listSrc, body) = (m.group(1), m.group(2), m.group(3))
+      val items =
+        if (listSrc.startsWith("[")) parseListItems(listSrc.substring(1, listSrc.length - 1))
+        else {
+          val name = forVarRe.findFirstMatchIn(listSrc).get.group(1)
+          ctx.vars.getOrElse(name,
+            throw new IllegalArgumentException(s"for-loop var: undefined var $name"))
+            .split(",").map(_.trim).toSeq
+        }
+      val expanded = items.zipWithIndex.map { case (item, idx) =>
+        val (first, last) = (idx == 0, idx == items.length - 1)
+        var b = body
+        b = loopCondRe.replaceAllIn(b, mm => {
+          val actual = if (mm.group(2) == "first") first else last
+          val keep = if (mm.group(1) == null) actual else !actual
+          Regex.quoteReplacement(if (keep) mm.group(3) else "")
+        })
+        b = b.replaceAll("""\{\{\s*""" + v + """\s*\}\}""",
+          Regex.quoteReplacement(item))
+        b = b.replaceAll("""\{\{\s*loop\.index\s*\}\}""", (idx + 1).toString)
+        b = b.replaceAll("""\{\{\s*loop\.index0\s*\}\}""", idx.toString)
+        b
+      }
+      Regex.quoteReplacement(expanded.mkString)
+    })
+
   private val builtinRe: Regex =
     """\{\{\s*([a-z_][a-z0-9_.]*)\s*\}\}""".r
   private val loadResultRe: Regex =
@@ -264,6 +332,7 @@ object Template {
       out = out.replaceAll("""\{\{\s*""" + n + """\s*\}\}""",
         Regex.quoteReplacement(v))
     }
+    out = expandFor(out, ctx)
     out = ifIncrRe.replaceAllIn(out, m => {
       val branch =
         if (ctx.isIncremental) m.group(1)

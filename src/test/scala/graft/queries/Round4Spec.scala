@@ -88,6 +88,23 @@ class Round4Spec extends SparkSpec {
     }
   }
 
+  test("partitionedComponents == distributed CC fixpoint on cell-keyed edges") {
+    import spark.implicits._
+    // 3 cells; chains, a triangle, and a 2-cycle — incl. a chain whose
+    // min enters late (stresses min-label propagation)
+    val edges = Seq(
+      (1L, 10L, 11L), (1L, 11L, 12L), (1L, 12L, 3L),
+      (2L, 20L, 21L), (2L, 21L, 22L), (2L, 20L, 22L),
+      (3L, 31L, 30L)
+    ).toDF("key", "doc_a", "doc_b")
+    val grouped = TextOps.partitionedComponents(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fixpoint = TextOps.connectedComponents(edges.drop("key"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(grouped === fixpoint)
+    assert(grouped.contains((10L, 3L)), "chain min must reach every node")
+  }
+
   test("q78: no false negatives; false-positive count near the 1% design point") {
     val rows = run("q78_bloom_decontamination").collect()
     assert(rows.forall(_.getBoolean(2)), "bloom filter lost an exact hit")

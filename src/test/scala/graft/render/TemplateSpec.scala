@@ -117,6 +117,38 @@ class TemplateSpec extends AnyFunSuite {
       === "DELETE FROM this_table")
   }
 
+  test("for-loop expands literal lists with separator conditionals") {
+    val sql =
+      "SELECT {% for c in ['a', 'b', 'c'] %}sum({{ c }}) AS {{ c }}_sum{% if not loop.last %}, {% endif %}{% endfor %} FROM t"
+    assert(Template.render(sql, ctx)
+      === "SELECT sum(a) AS a_sum, sum(b) AS b_sum, sum(c) AS c_sum FROM t")
+  }
+
+  test("for-loop: loop.index / loop.first / loop.last and shard unions") {
+    val sql =
+      "{% for s in [0, 1] %}{% if not loop.first %} UNION ALL {% endif %}SELECT {{ loop.index0 }} AS shard FROM t_{{ s }}{% endfor %}"
+    assert(Template.render(sql, ctx)
+      === "SELECT 0 AS shard FROM t_0 UNION ALL SELECT 1 AS shard FROM t_1")
+    assert(Template.render(
+      "{% for x in ['p'] %}{{ loop.index }}:{{ x }}{% if loop.last %}!{% endif %}{% endfor %}", ctx)
+      === "1:p!")
+  }
+
+  test("for-loop iterates a var()-held comma list; body passes still render") {
+    val c = ctx.copy(vars = ctx.vars + ("cols" -> "x,y"))
+    assert(Template.render(
+      "{% for c in var('cols') %}{{ c }}@{{ var('start') }};{% endfor %}", c)
+      === "x@2020-01-01;y@2020-01-01;")
+    assertThrows[IllegalArgumentException](
+      Template.render("{% for c in var('nope') %}{{ c }}{% endfor %}", ctx))
+  }
+
+  test("for-loop body can reference set vars and refs") {
+    assert(Template.render(
+      "{% set pre = 'col_' %}{% for c in ['a'] %}{{ pre }}{{ c }} FROM {{ ref('m') }}{% endfor %}", ctx)
+      === "col_a FROM rel_m")
+  }
+
   test("load_result renders slot fields and errors on unknown slots") {
     val c = ctx.copy(results = Map("main" -> Map("rows_affected" -> "42")))
     assert(Template.render(
