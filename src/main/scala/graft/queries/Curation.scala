@@ -357,6 +357,62 @@ object Curation {
         .orderBy("doc_id")
     },
 
+    // Duplicate-span coverage (the exact-substring dedup statistic of
+    // Lee et al. 2022): slide an 8-token gram over every position of
+    // every document and report the fraction of positions whose gram
+    // also occurs in ANOTHER document. Position-level and
+    // alignment-free, so it catches shifted duplication q74's fixed
+    // segments miss — the statistic behind "cut duplicated spans, keep
+    // the rest". Scale shape: grams collapse to md5 keys before the
+    // document-frequency shuffle (16-byte keys, linear in corpus
+    // positions — the suffix-array equivalent at cluster scale), then
+    // one rollup on doc_id; no pair expansion anywhere.
+    QueryDef(
+      "q81_dup_span_coverage",
+      """WITH g AS (
+        |  SELECT doc_id, MD5(array_to_string(ws[i:i+7], ' ')) AS h
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) t,
+        |       unnest(range(1, len(ws) - 8 + 2)) u(i)
+        |  WHERE len(ws) >= 8
+        |), dfc AS (
+        |  SELECT h, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY h
+        |), per AS (
+        |  SELECT g.doc_id, COUNT(*) AS n_positions,
+        |         SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS n_dup
+        |  FROM g JOIN dfc d ON d.h = g.h
+        |  GROUP BY g.doc_id
+        |)
+        |SELECT d.doc_id,
+        |       CAST(COALESCE(p.n_positions, 0) AS BIGINT) AS n_positions,
+        |       CAST(COALESCE(p.n_dup, 0) AS BIGINT) AS n_dup_positions,
+        |       COALESCE(CAST(ROUND(CAST(p.n_dup AS DECIMAL(20,6)) / p.n_positions, 4)
+        |                     AS DOUBLE), 0.0) AS dup_coverage
+        |FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val g = Tables.load(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
+          explode(graft.functions.TextExprs.ngrams(split(col("text"), " "), 8))
+            .as("gram"))
+        .select(col("doc_id"), md5(col("gram")).as("h"))
+      val dfc = g.select("h", "doc_id").distinct()
+        .groupBy("h").agg(count(lit(1)).as("df"))
+      val per = g.join(dfc, "h")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_positions"),
+          sum(when(col("df") >= 2, 1).otherwise(0)).cast("long").as("n_dup"))
+        .select(col("doc_id"), col("n_positions"), col("n_dup"),
+          round(dec6(col("n_dup")) / col("n_positions"), 4)
+            .cast("double").as("cov"))
+      Tables.load(s, dir, "documents").select("doc_id")
+        .join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_positions"), lit(0L)).as("n_positions"),
+          coalesce(col("n_dup"), lit(0L)).as("n_dup_positions"),
+          coalesce(col("cov"), lit(0.0)).as("dup_coverage"))
+        .orderBy("doc_id")
+    },
+
     // Dataset card: the per-(lang, source) profile sheet published with
     // a training corpus — counts, token volume, and the quartiles of
     // document length. Exact interpolated percentiles are engine-

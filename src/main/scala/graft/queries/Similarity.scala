@@ -191,6 +191,28 @@ object Similarity {
   private def pqSubCodes(embD: DataFrame, sIdx: Int, lo: Int, hi: Int): DataFrame =
     pqSubspace(embD, sIdx, lo, hi)._2
 
+  /** Built-once PQ index (both subspaces' codebooks + codes), cached
+    * per (session, dataset) like the IVF index: PQ training runs at
+    * corpus-ingest time; q71 (encode), q73 (ADC search) and q82 (index
+    * health) read the same artifact. Deterministic training, so the
+    * cache cannot change results.
+    */
+  private val pqCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame, DataFrame, DataFrame)]()
+
+  private[queries] def pqIndex(
+      s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame, DataFrame) =
+    pqCache.computeIfAbsent(s"${System.identityHashCode(s)}|$dir", _ => {
+      val embD = embDouble(s, dir)
+      val (cb0, codes0raw) = pqSubspace(embD, 0, 1, 32)
+      val (cb1, codes1raw) = pqSubspace(embD, 1, 33, 64)
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val codes0 = codes0raw.persist(lvl)
+      val codes1 = codes1raw.persist(lvl)
+      codes0.count(); codes1.count() // the "train + encode" step, once
+      (cb0, codes0, cb1, codes1)
+    })
+
   /** DuckDB twin of [[pqSubCodes]] for subspace `s` over dims
     * [lo..hi]; ends with CTE `code_$s`(vec_id, code$s, dist$s).
     */
@@ -597,9 +619,8 @@ object Similarity {
          |       CAST(a.dist0 + b.dist1 AS DOUBLE) AS distortion
          |FROM code_0 a JOIN code_1 b ON a.vec_id = b.vec_id
          |ORDER BY a.vec_id""".stripMargin) { (s, dir) =>
-      val embD = embDouble(s, dir)
-      pqSubCodes(embD, 0, 1, 32)
-        .join(pqSubCodes(embD, 1, 33, 64), "vec_id")
+      val (_, codes0, _, codes1) = pqIndex(s, dir)
+      codes0.join(codes1, "vec_id")
         .select(col("vec_id"), col("code0"), col("code1"),
           (col("dist0") + col("dist1")).cast("double").as("distortion"))
         .orderBy("vec_id")
@@ -648,8 +669,7 @@ object Similarity {
          |QUALIFY rn <= 3
          |ORDER BY qid, rn""".stripMargin) { (s, dir) =>
       val embD = embDouble(s, dir)
-      val (cb0, codes0) = pqSubspace(embD, 0, 1, 32)
-      val (cb1, codes1) = pqSubspace(embD, 1, 33, 64)
+      val (cb0, codes0, cb1, codes1) = pqIndex(s, dir)
       val codes = codes0.join(codes1, "vec_id")
         .select("vec_id", "code0", "code1")
       def lut(cb: DataFrame, lo: Int, len: Int, qCol: String, cCol: String, dCol: String) =
@@ -670,6 +690,46 @@ object Similarity {
         .filter(col("rn") <= 3)
         .select(col("qid"), col("cid"), col("adc").cast("double").as("adc"), col("rn"))
         .orderBy("qid", "rn")
+    },
+
+    // ANN index health report: per-IVF-cell occupancy joined with the
+    // PQ reconstruction error of the cell's members — the dashboard an
+    // index operator watches before shipping a corpus index (oversized
+    // cells → probe latency spikes; high distortion cells → recall
+    // loss; both are re-train triggers). Pure composition of the two
+    // cached index artifacts (IVF assignment, PQ codes): one shuffle
+    // on the cell id. Distortions sum in decimal (each addend is a
+    // rounded-6 double, so the decimal cast is exact on both engines).
+    QueryDef(
+      "q82_ann_index_report",
+      s"""WITH $duckKmeans,
+         |${duckPqSub(0, 1, 32)},
+         |${duckPqSub(1, 33, 64)},
+         |dist AS (
+         |  SELECT a.vec_id,
+         |         CAST(a.dist0 AS DECIMAL(20,6)) + CAST(b.dist1 AS DECIMAL(20,6)) AS distortion
+         |  FROM code_0 a JOIN code_1 b ON a.vec_id = b.vec_id
+         |)
+         |SELECT g.cent_id AS cell,
+         |       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         |       CAST(SUM(d.distortion) AS DOUBLE) AS total_distortion,
+         |       CAST(MAX(d.distortion) AS DOUBLE) AS max_distortion
+         |FROM assign g JOIN dist d ON d.vec_id = g.vec_id
+         |GROUP BY g.cent_id ORDER BY cell""".stripMargin) { (s, dir) =>
+      val dec6 = (c: Column) => c.cast(org.apache.spark.sql.types.DecimalType(20, 6))
+      val (_, ranks) = ivfIndex(s, dir)
+      val assign = ranks.filter(col("rn") === 1)
+        .select(col("vec_id"), col("cent_id").as("cell"))
+      val (_, codes0, _, codes1) = pqIndex(s, dir)
+      val dist = codes0.join(codes1, "vec_id")
+        .select(col("vec_id"),
+          (dec6(col("dist0")) + dec6(col("dist1"))).as("distortion"))
+      assign.join(dist, "vec_id")
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum("distortion").cast("double").as("total_distortion"),
+          max("distortion").cast("double").as("max_distortion"))
+        .orderBy("cell")
     }
   )
 }
