@@ -35,6 +35,14 @@ final case class NodeConfig(
     partitionBy: Seq[String] = Nil,
     bucketBy: Seq[String] = Nil,
     numBuckets: Int = 0,
+    /** Range-cluster the table's files on these columns at write time
+      * (repartitionByRange + sortWithinPartitions): every parquet file
+      * covers a disjoint value range, so min/max footer stats prune
+      * scans on these columns — the sort-key lever of a 100 TB table
+      * layout (Delta/Iceberg `OPTIMIZE ... ZORDER/SORT BY` analog).
+      * `bucket_by` (join co-location) takes precedence when both set.
+      */
+    clusterBy: Seq[String] = Nil,
     contractEnforced: Boolean = false,
     severity: String = "error", // tests: error|warn
     warnIf: String = "!= 0",
@@ -72,6 +80,7 @@ final case class NodeConfig(
       partitionBy = if (other.partitionBy.nonEmpty) other.partitionBy else partitionBy,
       bucketBy = if (other.bucketBy.nonEmpty) other.bucketBy else bucketBy,
       numBuckets = if (other.numBuckets != 0) other.numBuckets else numBuckets,
+      clusterBy = if (other.clusterBy.nonEmpty) other.clusterBy else clusterBy,
       contractEnforced = other.contractEnforced || contractEnforced,
       severity = if (other.severity != defaults.severity) other.severity else severity,
       warnIf = if (other.warnIf != defaults.warnIf) other.warnIf else warnIf,

@@ -36,9 +36,10 @@ object Materializer {
 
   // --------------------------------------------------------------- table
 
-  def table(wh: Warehouse, name: String, sql: String, partitionBy: Seq[String] = Nil): Long = {
+  def table(wh: Warehouse, name: String, sql: String, partitionBy: Seq[String] = Nil,
+      clusterBy: Seq[String] = Nil): Long = {
     val df = wh.spark.sql(sql)
-    wh.writeTable(name, df, partitionBy)
+    wh.writeTable(name, df, partitionBy, clusterBy)
     -1L
   }
 

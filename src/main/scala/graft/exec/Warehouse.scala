@@ -47,11 +47,25 @@ final class Warehouse(val spark: SparkSession, val root: String,
     else spark.read.parquet(st.paths: _*)
   }
 
-  /** Replace the relation's content atomically (new version dir). */
-  def writeTable(name: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
+  /** Replace the relation's content atomically (new version dir).
+    * `clusterBy` range-clusters the files on the given columns
+    * (repartitionByRange + sortWithinPartitions): each parquet file
+    * then covers a disjoint value range, so footer min/max stats prune
+    * scans filtering on those columns — the Delta/Iceberg
+    * `OPTIMIZE ... SORT BY` analog, and the cheap half of the 100 TB
+    * layout story (bucketing co-locates joins; clustering prunes
+    * scans).
+    */
+  def writeTable(name: String, df: DataFrame, partitionBy: Seq[String] = Nil,
+      clusterBy: Seq[String] = Nil): Unit = {
     val v = lock.synchronized(relations.get(name).map(_.nextVersion).getOrElse(0))
     val path = s"$root/$name/v$v"
-    val writer = df.write.mode(SaveMode.Overwrite)
+    val clustered =
+      if (clusterBy.nonEmpty) {
+        val cols = clusterBy.map(org.apache.spark.sql.functions.col)
+        df.repartitionByRange(cols: _*).sortWithinPartitions(cols: _*)
+      } else df
+    val writer = clustered.write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(path)
     lock.synchronized {

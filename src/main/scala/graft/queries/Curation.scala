@@ -447,6 +447,47 @@ object Curation {
         .orderBy("lang", "source")
     },
 
+    // Vocabulary OOV rate: fix the vocabulary at the corpus's top-100
+    // tokens (frequency desc, token asc — deterministic on both
+    // engines) and report each document's out-of-vocabulary fraction —
+    // the coverage check run before freezing a tokenizer vocab, and a
+    // quality signal (gibberish → high OOV). Scale shape: the vocab is
+    // tiny by construction (top-k of a map-side-combined frequency
+    // agg), so the membership probe is a broadcast join onto the token
+    // stream; one shuffle for frequencies, one for the per-doc rollup.
+    QueryDef(
+      "q83_oov_rate",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+        |), freq AS (
+        |  SELECT w, COUNT(*) AS c FROM tok GROUP BY w
+        |), vocab AS (
+        |  SELECT w FROM freq ORDER BY c DESC, w LIMIT 100
+        |), per AS (
+        |  SELECT t.doc_id, COUNT(*) AS n,
+        |         SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS n_oov
+        |  FROM tok t LEFT JOIN vocab v ON v.w = t.w
+        |  GROUP BY t.doc_id
+        |)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+        |       CAST(n_oov AS BIGINT) AS n_oov,
+        |       CAST(ROUND(CAST(n_oov AS DECIMAL(20,6)) / n, 4) AS DOUBLE) AS oov_rate
+        |FROM per ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val tok = Tables.load(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val vocab = tok.groupBy("w").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w")).limit(100)
+        .select(col("w"), lit(true).as("in_vocab"))
+      tok.join(broadcast(vocab), Seq("w"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("in_vocab").isNull, 1).otherwise(0)).cast("long").as("n_oov"))
+        .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+          round(dec6(col("n_oov")) / col("n_tokens"), 4).cast("double").as("oov_rate"))
+        .orderBy("doc_id")
+    },
+
     // RAG chunking: overlapping sliding windows of 32 tokens at stride
     // 24 (8-token overlap so no retrieval boundary splits a fact),
     // each chunk with a stable content hash — the corpus→vector-store

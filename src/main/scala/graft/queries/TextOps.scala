@@ -747,6 +747,50 @@ object TextOps {
           round(dec6(col("n_agree")) / 12, 4).cast("double").as("est_jaccard"),
           coalesce(col("exact_j"), lit(0.0)).as("exact_jaccard"))
         .orderBy("doc_a", "doc_b")
+    },
+
+    // Cross-source duplication matrix: count LSH near-dup candidate
+    // pairs per (source, source) — the provenance dashboard that shows
+    // which feeds mirror each other (syndication, scrapes of scrapes).
+    // Off-diagonal mass means cross-source dedup must run BEFORE
+    // per-source mixing weights are trusted. Pair order normalizes by
+    // least/greatest so the matrix is upper-triangular. Scale shape:
+    // candidates come from the cached band index (no pairwise scan);
+    // the source lookup is a doc_id-keyed join (at 100 TB the source
+    // column rides inside the band index instead — same topology, one
+    // fewer join).
+    QueryDef(
+      "q84_cross_source_dup_matrix",
+      s"""WITH $duckBands,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_key = b.band_key
+         |   AND a.doc_id < b.doc_id
+         |)
+         |SELECT LEAST(da.source, db.source) AS source_a,
+         |       GREATEST(da.source, db.source) AS source_b,
+         |       CAST(COUNT(*) AS BIGINT) AS n_pairs
+         |FROM cand c
+         |JOIN documents da ON da.doc_id = c.doc_a
+         |JOIN documents db ON db.doc_id = c.doc_b
+         |GROUP BY 1, 2
+         |ORDER BY source_a, source_b""".stripMargin) { (s, dir) =>
+      val bands = corpusBands(s, dir)
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band")
+            && col("a.band_key") === col("b.band_key")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val src = docs(s, dir).select(col("doc_id"), col("source"))
+      cand
+        .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+        .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+        .groupBy(least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("source_a", "source_b")
     }
   )
 }

@@ -300,7 +300,8 @@ final class Engine(
             wh.writeBucketedTable(relationName(m), spark.sql(compile(m)),
               m.config.bucketBy, math.max(1, m.config.numBuckets))
           else
-            Materializer.table(wh, relationName(m), compile(m), m.config.partitionBy)
+            Materializer.table(wh, relationName(m), compile(m),
+              m.config.partitionBy, m.config.clusterBy)
         case "incremental" =>
           Materializer.incremental(wh, relationName(m),
             renderedFull = compile(m, isIncremental = false),

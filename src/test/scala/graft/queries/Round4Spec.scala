@@ -88,6 +88,32 @@ class Round4Spec extends SparkSpec {
     }
   }
 
+  test("q84: matrix mass equals the q27 candidate-pair count") {
+    val matrixTotal = run("q84_cross_source_dup_matrix")
+      .agg(sum("n_pairs")).collect()(0).getLong(0)
+    val candTotal = run("q27_minhash_lsh_candidates").count()
+    assert(matrixTotal === candTotal,
+      s"every candidate pair must land in exactly one matrix bucket: $matrixTotal vs $candTotal")
+  }
+
+  test("q83: OOV bounds; corpus OOV mass matches an independent vocab probe") {
+    val rows = run("q83_oov_rate").collect()
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+    // independent recomputation: total OOV tokens = total tokens minus
+    // occurrences of the top-100 vocabulary
+    import spark.implicits._
+    val tok = graft.Tables.load(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+    val freq = tok.groupBy("w").count()
+    val vocabMass = freq.orderBy(col("count").desc, col("w")).limit(100)
+      .agg(sum("count")).collect()(0).getLong(0)
+    val totalMass = tok.count()
+    assert(rows.map(_.getLong(2)).sum === totalMass - vocabMass)
+  }
+
   test("partitionedComponents == distributed CC fixpoint on cell-keyed edges") {
     import spark.implicits._
     // 3 cells; chains, a triangle, and a 2-cycle — incl. a chain whose

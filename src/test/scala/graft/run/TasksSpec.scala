@@ -338,6 +338,38 @@ class TasksSpec extends SparkSpec {
     assert(joined.count() === lineitem.count())
   }
 
+  test("cluster_by writes range-disjoint files (footer-prunable layout)") {
+    import org.apache.spark.sql.functions._
+    val eng = new Engine(spark, Manifest(Map.empty), tmpDir("wh"))
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_orderdate", "o_totalprice")
+    // sf0.001 is small enough that AQE correctly coalesces to ONE file;
+    // pin the partition count so the multi-file layout is observable
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.get(coalesceKey)
+    spark.conf.set(coalesceKey, "false")
+    try eng.wh.writeTable("c_orders", orders, clusterBy = Seq("o_orderdate"))
+    finally spark.conf.set(coalesceKey, prev)
+    // content unchanged
+    assert(eng.wh.read("c_orders").count() === orders.count())
+    // every parquet file covers a DISJOINT o_orderdate range — the
+    // property min/max footer pruning needs
+    val dir = new java.io.File(s"${eng.wh.root}/c_orders/v0")
+    val files = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length > 1, "expected multiple range-clustered files")
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f.getAbsolutePath)
+        .agg(min("o_orderdate").cast("string"),
+          max("o_orderdate").cast("string")).head()
+      (r.getString(0), r.getString(1)) // ISO timestamps sort lexically
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) =>
+        assert(hi <= lo2, s"file ranges overlap: $hi > $lo2")
+      case _ =>
+    }
+  }
+
   test("warehouse compact collapses the commit log, content unchanged") {
     import org.apache.spark.sql.functions._
     val eng = new Engine(spark, Manifest(Map.empty), tmpDir("wh"))
