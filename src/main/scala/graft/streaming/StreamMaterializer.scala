@@ -104,6 +104,37 @@ object StreamMaterializer {
       .select(col("v_user").as("user_id"), col("view_ts"), col("click_ts"))
   }
 
+  /** Streaming curation ingest — the continuous-ingestion form of the
+    * q67/q68 batch flows, as ONE pipeline: each incoming document is
+    * quality-filtered (stateless battery: token count + type/token
+    * ratio), deduplicated against the EXISTING corpus fingerprint
+    * index (stream-static left-anti join — the index is the static
+    * side, so a micro-batch costs O(batch), never a corpus rescan),
+    * then deduplicated within the stream itself (first fingerprint
+    * occurrence wins; state keyed by the 16-byte fingerprint persists
+    * across micro-batches). Production bounds the dedup state with an
+    * ingest-time watermark + `dropDuplicatesWithinWatermark`; the
+    * documents table has no event time, so state here is unbounded by
+    * corpus design (one row per distinct fingerprint — the same size
+    * as the fingerprint index itself).
+    *
+    * Works identically on a batch DataFrame (the streaming plan is the
+    * batch plan micro-batched), which is exactly what the equivalence
+    * spec asserts.
+    */
+  def curationIngest(docs: DataFrame, corpusFps: DataFrame): DataFrame = {
+    val ws = split(col("text"), " ")
+    docs
+      .withColumn("n_tokens", size(ws))
+      .withColumn("ttr", size(array_distinct(ws)).cast("double") / size(ws))
+      .withColumn("fp", md5(substring(col("text"), 1, 40)))
+      .filter(col("n_tokens") >= 20 && col("n_tokens") <= 90
+        && col("ttr") >= 0.55)
+      .join(corpusFps, Seq("fp"), "left_anti")
+      .dropDuplicates("fp")
+      .select(col("doc_id"), col("fp"), col("n_tokens"))
+  }
+
   /** Drive a streaming DataFrame into the warehouse through
     * foreachBatch → the same materialization layer (append commits per
     * micro-batch). Returns the running query; callers stop it.

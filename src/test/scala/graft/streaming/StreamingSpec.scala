@@ -51,6 +51,37 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() > 0)
   }
 
+  test("streaming curation ingest equals the batch filter+dedup flow") {
+    // several files => several micro-batches => the cross-batch dedup
+    // state and the stream-static anti-join are actually exercised
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val dir = tmpDir("docs_stream")
+    docs.repartition(4).write.mode("overwrite").parquet(dir)
+    val corpusFps = docs.filter(col("doc_id") % 10 =!= 9)
+      .select(md5(substring(col("text"), 1, 40)).as("fp")).distinct()
+    val wh = new Engine(spark, Manifest(Map.empty), tmpDir("wh")).wh
+
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+      .filter(col("doc_id") % 10 === 9) // the incoming batch slice
+    val q = StreamMaterializer.writeToWarehouse(
+      wh, "ingested",
+      StreamMaterializer.curationIngest(stream, corpusFps),
+      tmpDir("ckpt"), outputMode = "append")
+    q.awaitTermination(120000)
+
+    val batchTwin = StreamMaterializer.curationIngest(
+      docs.filter(col("doc_id") % 10 === 9), corpusFps)
+
+    // which doc_id survives a fingerprint group depends on arrival
+    // order, so equivalence is on the FINGERPRINT SET (and counts)
+    val got = wh.read("ingested").select("fp").collect().map(_.getString(0)).toSet
+    val want = batchTwin.select("fp").collect().map(_.getString(0)).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+    assert(wh.read("ingested").count() === got.size, "one row per fingerprint")
+  }
+
   test("streaming dedup emits at most one row per key within watermark") {
     val dir = eventsDir
     val schema = spark.read.parquet(dir).schema
