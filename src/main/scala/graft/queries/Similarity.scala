@@ -730,6 +730,71 @@ object Similarity {
           sum("distortion").cast("double").as("total_distortion"),
           max("distortion").cast("double").as("max_distortion"))
         .orderBy("cell")
+    },
+
+    // Label-agreement eval of the IVF retriever: for each query, the
+    // fraction of its top-3 same-cell neighbors sharing the query's
+    // class label — the standard ground-truth-free retrieval-quality
+    // probe when embeddings carry labels (kNN classification accuracy
+    // as an index metric). Completes the ANN lifecycle: train (q31),
+    // serve (q73), monitor capacity/distortion (q82), monitor QUALITY
+    // (q85) — regression here fires before users notice recall loss.
+    // Same candidate topology as q31 (cell-keyed join, cached index);
+    // labels ride a vec_id-keyed join.
+    QueryDef(
+      "q85_ann_label_recall",
+      s"""WITH $duckKmeans, pairs AS (
+         |  SELECT qa.vec_id AS qid, ca.vec_id AS cid,
+         |         CAST(ROUND(${duckSqDist("q", "c")}, 6) AS DOUBLE) AS sqdist
+         |  FROM assign qa
+         |  JOIN assign ca ON qa.cent_id = ca.cent_id AND qa.vec_id <> ca.vec_id
+         |  JOIN embeddings q ON q.vec_id = qa.vec_id
+         |  JOIN embeddings c ON c.vec_id = ca.vec_id
+         |  CROSS JOIN idx
+         |  WHERE qa.vec_id < 10
+         |  GROUP BY qa.vec_id, ca.vec_id
+         |), top3 AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT qid, cid,
+         |           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sqdist, cid) AS rn
+         |    FROM pairs) t WHERE rn <= 3
+         |)
+         |SELECT t.qid, CAST(eq.label AS BIGINT) AS label,
+         |       CAST(SUM(CASE WHEN ec.label = eq.label THEN 1 ELSE 0 END) AS BIGINT) AS n_same,
+         |       CAST(ROUND(CAST(SUM(CASE WHEN ec.label = eq.label THEN 1 ELSE 0 END)
+         |                       AS DECIMAL(20,6)) / COUNT(*), 4) AS DOUBLE) AS match_rate
+         |FROM top3 t
+         |JOIN embeddings eq ON eq.vec_id = t.qid
+         |JOIN embeddings ec ON ec.vec_id = t.cid
+         |GROUP BY t.qid, eq.label
+         |ORDER BY qid""".stripMargin) { (s, dir) =>
+      val dec6 = (c: Column) => c.cast(org.apache.spark.sql.types.DecimalType(20, 6))
+      val emb = embDouble(s, dir)
+      val (_, ranks) = ivfIndex(s, dir)
+      val assign = ranks.filter(col("rn") === 1).select("vec_id", "cent_id")
+      val withVec = assign.join(emb, "vec_id")
+      val qside = withVec.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("cent_id").as("cell"),
+          col("embedding").as("qv"))
+      val cside = withVec
+        .select(col("vec_id").as("cid"), col("cent_id").as("ccell"),
+          col("embedding").as("cv"))
+      val pairs = qside.join(cside,
+          col("cell") === col("ccell") && col("cid") =!= col("qid"))
+        .select(col("qid"), col("cid"),
+          round(sqDist(col("qv"), col("cv")), 6).as("sqdist"))
+      val w = Window.partitionBy("qid").orderBy(col("sqdist"), col("cid"))
+      val top3 = pairs.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3).select("qid", "cid")
+      val labels = loadEmb(s, dir).select(col("vec_id"), col("label"))
+      val same = when(col("clabel") === col("qlabel"), 1).otherwise(0)
+      top3
+        .join(labels.select(col("vec_id").as("qid"), col("label").as("qlabel")), "qid")
+        .join(labels.select(col("vec_id").as("cid"), col("label").as("clabel")), "cid")
+        .groupBy(col("qid"), col("qlabel").cast("long").as("label"))
+        .agg(sum(same).cast("long").as("n_same"),
+          round(dec6(sum(same)) / count(lit(1)), 4).cast("double").as("match_rate"))
+        .orderBy("qid")
     }
   )
 }
