@@ -354,17 +354,20 @@ object Ext2 {
       val d = Tables.load(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism)
       val wFp = Window.partitionBy(md5(lower(col("text")))).orderBy("doc_id")
-      val exactKept = d
-        .withColumn("rn", row_number().over(wFp))
-        .filter(col("rn") === 1)
-        .select("doc_id", "lang", "text")
-        // reused by pairs AND the final anti side; cache (not
-        // localCheckpoint) so a lost block recomputes from lineage
-        // instead of failing the job
-        .persist()
+      // both ingest artifacts (exact-dedup survivors, their near-dup
+      // candidate table) are deterministic → built once per (session,
+      // dataset) like the corpus-wide kernels; the survivors feed the
+      // pair build AND the final anti side
+      val exactKept = TextOps.cachedIndex(
+          s"exact-kept|${System.identityHashCode(s)}|$dir")(
+        d.withColumn("rn", row_number().over(wFp))
+          .filter(col("rn") === 1)
+          .select("doc_id", "lang", "text"))
       val dec6 = (c: org.apache.spark.sql.Column) =>
         c.cast(org.apache.spark.sql.types.DecimalType(20, 6))
-      val pairs = TextOps.shingleOverlapPairsOf(exactKept)
+      val pairs = TextOps.cachedIndex(
+          s"survivor-pairs|${System.identityHashCode(s)}|$dir")(
+        TextOps.shingleOverlapPairsOf(exactKept))
         .filter(dec6(col("common")) / (col("na") + col("nb") - col("common")) >= 0.2)
         .select("doc_a", "doc_b")
       val comp = TextOps.connectedComponents(pairs)

@@ -53,7 +53,7 @@ object TextOps {
   private val indexCache =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
 
-  private def cachedIndex(key: String)(
+  private[queries] def cachedIndex(key: String)(
       build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     indexCache.computeIfAbsent(key, _ => {
       val df = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
