@@ -749,6 +749,79 @@ object TextOps {
         .orderBy("doc_a", "doc_b")
     },
 
+    // TRUE iterative BPE training (Sennrich et al. 2016), 5 merge
+    // rounds: count corpus-frequency-weighted adjacent character-unit
+    // pairs over the vocabulary, merge the argmax pair everywhere,
+    // recount — each round's statistics see the previous round's
+    // merges, exactly like a production tokenizer trainer (q72 only
+    // ranks round-1 candidates). The per-round argmax is a 1-row
+    // collect — legitimate driver state, the merge table IS
+    // driver-resident in every BPE trainer — and the apply step is a
+    // space-guarded non-regex replace (identical left-to-right
+    // non-overlapping semantics in Spark and DuckDB). Scale shape:
+    // rounds iterate over the DISTINCT-WORD table (vocabulary-sized,
+    // ≪ corpus) carrying corpus frequencies — the corpus is scanned
+    // once for the frequency table, never again. The oracle unrolls
+    // the same 5 rounds as generated CTE stages.
+    QueryDef(
+      "q86_bpe_train",
+      {
+        def iter(k: Int): String = {
+          val prev = s"sp${k - 1}"
+          s"""u$k AS (
+             |  SELECT w, f, unnest(string_split(trim(spell), ' ')) AS u,
+             |         generate_subscripts(string_split(trim(spell), ' '), 1) AS pos
+             |  FROM $prev
+             |), pr$k AS (
+             |  SELECT u || ' ' || LEAD(u) OVER (PARTITION BY w ORDER BY pos) AS p, f
+             |  FROM u$k QUALIFY LEAD(u) OVER (PARTITION BY w ORDER BY pos) IS NOT NULL
+             |), agg$k AS (SELECT p, SUM(f) AS c FROM pr$k GROUP BY p
+             |), b$k AS (SELECT p FROM agg$k ORDER BY c DESC, p LIMIT 1
+             |), sp$k AS (
+             |  SELECT w, f,
+             |         REPLACE(spell, ' ' || b$k.p || ' ',
+             |                 ' ' || REPLACE(b$k.p, ' ', '') || ' ') AS spell
+             |  FROM $prev CROSS JOIN b$k
+             |)""".stripMargin
+        }
+        s"""WITH tok AS (
+           |  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+           |), freq AS (
+           |  SELECT w, COUNT(*) AS f FROM tok GROUP BY w
+           |), sp0 AS (
+           |  SELECT w, f,
+           |         ' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' ' AS spell
+           |  FROM freq
+           |),
+           |${(1 to 5).map(iter).mkString(",\n")}
+           |SELECT w AS word, trim(spell) AS merged_spell,
+           |       CAST(len(string_split(trim(spell), ' ')) AS BIGINT) AS n_units
+           |FROM sp5 ORDER BY word""".stripMargin
+      }) { (s, dir) =>
+      val freq = docs(s, dir)
+        .select(explode(wordsCol).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("f"))
+      var spells = freq.select(col("w"), col("f"),
+        concat(lit(" "), trim(regexp_replace(col("w"), "(.)", "$1 ")), lit(" "))
+          .as("spell"))
+      for (_ <- 1 to 5) {
+        val units = split(trim(col("spell")), " ")
+        val best = spells
+          .select(col("f"),
+            explode(graft.functions.TextExprs.ngrams(units, 2)).as("p"))
+          .groupBy("p").agg(sum("f").as("c"))
+          .orderBy(col("c").desc, col("p")).limit(1)
+          .collect()(0).getString(0)
+        val merged = best.replace(" ", "")
+        spells = spells.withColumn("spell",
+          expr(s"replace(spell, ' $best ', ' $merged ')"))
+      }
+      spells
+        .select(col("w").as("word"), trim(col("spell")).as("merged_spell"),
+          size(split(trim(col("spell")), " ")).cast("long").as("n_units"))
+        .orderBy("word")
+    },
+
     // Cross-source duplication matrix: count LSH near-dup candidate
     // pairs per (source, source) — the provenance dashboard that shows
     // which feeds mirror each other (syndication, scrapes of scrapes).
