@@ -131,6 +131,22 @@ class Round4Spec extends SparkSpec {
     assert(grouped.contains((10L, 3L)), "chain min must reach every node")
   }
 
+  test("q86: five BPE merges strictly shrink the weighted unit count") {
+    val freq = graft.Tables.load(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+    val out = run("q86_bpe_train")
+      .join(freq, col("word") === col("w"))
+    val r = out.agg(
+      sum(col("f") * col("n_units")),
+      sum(col("f") * length(col("word")))).collect()(0)
+    val (after, before) = (r.getLong(0), r.getLong(1))
+    // each of the 5 merge rounds replaces >= 1 weighted pair occurrence
+    assert(after <= before - 5, s"after=$after before=$before")
+    // and no word gained units
+    assert(out.filter(col("n_units") > length(col("word"))).count() === 0)
+  }
+
   test("q78: no false negatives; false-positive count near the 1% design point") {
     val rows = run("q78_bloom_decontamination").collect()
     assert(rows.forall(_.getBoolean(2)), "bloom filter lost an exact hit")
