@@ -413,6 +413,47 @@ object Curation {
         .orderBy("doc_id")
     },
 
+    // Deterministic train/val/test split (80/10/10 by md5 bucket —
+    // the q60 hash-mod rule): the split a document lands in is a pure
+    // function of its id, so it is identical across engines, cluster
+    // sizes, re-runs, and corpus growth (new docs never move old ones
+    // between splits — the property that keeps eval sets uncontaminated
+    // as the corpus is re-ingested). Reported per (lang, split) with
+    // token volumes; the assignment itself is a map-only stage.
+    QueryDef(
+      "q87_train_val_test_split",
+      """WITH a AS (
+        |  SELECT lang,
+        |         CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |           % 100 AS bucket,
+        |         len(string_split(text, ' ')) AS n_tokens
+        |  FROM documents
+        |), s AS (
+        |  SELECT lang,
+        |         CASE WHEN bucket < 80 THEN 'train'
+        |              WHEN bucket < 90 THEN 'val'
+        |              ELSE 'test' END AS split,
+        |         n_tokens
+        |  FROM a
+        |)
+        |SELECT lang, split,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+        |FROM s GROUP BY lang, split
+        |ORDER BY lang, split""".stripMargin) { (s, dir) =>
+      val bucket = expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint)") % 100
+      Tables.load(s, dir, "documents")
+        .select(col("lang"),
+          when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+            .as("split"),
+          size(split(col("text"), " ")).as("n_tokens"))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").cast("long").as("n_tokens"))
+        .orderBy("lang", "split")
+    },
+
     // Dataset card: the per-(lang, source) profile sheet published with
     // a training corpus — counts, token volume, and the quartiles of
     // document length. Exact interpolated percentiles are engine-
