@@ -454,6 +454,40 @@ object Curation {
         .orderBy("lang", "split")
     },
 
+    // Length-bucketed batching report: assign documents to power-of-two
+    // length buckets and account the padding waste each bucket pays
+    // (bucket capacity minus true length, summed) — the statistic that
+    // decides between bucketed batching and q61-style packing in a
+    // trainer's input pipeline (padding waste is pure wasted FLOPs).
+    // Map-only assignment + one shuffle on the 5-row bucket grid.
+    QueryDef(
+      "q89_length_bucketing",
+      """WITH t AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents
+        |), b AS (
+        |  SELECT doc_id, n,
+        |         CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32
+        |              WHEN n <= 64 THEN 64 WHEN n <= 128 THEN 128
+        |              ELSE 256 END AS bucket
+        |  FROM t
+        |)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(n) AS BIGINT) AS n_tokens,
+        |       CAST(SUM(bucket - n) AS BIGINT) AS padding_waste
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, dir) =>
+      val n = size(split(col("text"), " "))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), n.as("n"),
+          when(n <= 16, 16).when(n <= 32, 32).when(n <= 64, 64)
+            .when(n <= 128, 128).otherwise(256).as("bucket"))
+        .groupBy(col("bucket").cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n").cast("long").as("n_tokens"),
+          sum(col("bucket") - col("n")).cast("long").as("padding_waste"))
+        .orderBy("bucket")
+    },
+
     // Dataset card: the per-(lang, source) profile sheet published with
     // a training corpus — counts, token volume, and the quartiles of
     // document length. Exact interpolated percentiles are engine-

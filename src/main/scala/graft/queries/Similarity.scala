@@ -795,6 +795,56 @@ object Similarity {
         .agg(sum(same).cast("long").as("n_same"),
           round(dec6(sum(same)) / count(lit(1)), 4).cast("double").as("match_rate"))
         .orderBy("qid")
+    },
+
+    // Hard-negative mining for contrastive training (DPR/Contriever
+    // recipe): for each query, the CLOSEST same-cell vectors whose
+    // class label DIFFERS — near in embedding space, wrong in label —
+    // exactly the negatives that make a contrastive batch
+    // informative. Same cell-keyed candidate topology as q31/q85 over
+    // the cached index; the label filter rides the candidate join, so
+    // no extra shuffle. Top-2 per query by rounded distance, cid
+    // tie-break.
+    QueryDef(
+      "q88_hard_negatives",
+      s"""WITH $duckKmeans, pairs AS (
+         |  SELECT qa.vec_id AS qid, ca.vec_id AS cid,
+         |         CAST(ROUND(${duckSqDist("q", "c")}, 6) AS DOUBLE) AS sqdist
+         |  FROM assign qa
+         |  JOIN assign ca ON qa.cent_id = ca.cent_id AND qa.vec_id <> ca.vec_id
+         |  JOIN embeddings q ON q.vec_id = qa.vec_id
+         |  JOIN embeddings c ON c.vec_id = ca.vec_id
+         |  CROSS JOIN idx
+         |  WHERE qa.vec_id < 10 AND c.label <> q.label
+         |  GROUP BY qa.vec_id, ca.vec_id
+         |)
+         |SELECT qid, cid, sqdist,
+         |       CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sqdist, cid) AS BIGINT) AS rn
+         |FROM pairs
+         |QUALIFY rn <= 2
+         |ORDER BY qid, rn""".stripMargin) { (s, dir) =>
+      val emb = embDouble(s, dir)
+      val (_, ranks) = ivfIndex(s, dir)
+      val labels = loadEmb(s, dir).select(col("vec_id"), col("label"))
+      val assign = ranks.filter(col("rn") === 1).select("vec_id", "cent_id")
+      val withVec = assign.join(emb, "vec_id").join(labels, "vec_id")
+      val qside = withVec.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("cent_id").as("cell"),
+          col("embedding").as("qv"), col("label").as("qlabel"))
+      val cside = withVec
+        .select(col("vec_id").as("cid"), col("cent_id").as("ccell"),
+          col("embedding").as("cv"), col("label").as("clabel"))
+      val pairs = qside.join(cside,
+          col("cell") === col("ccell") && col("cid") =!= col("qid")
+            && col("clabel") =!= col("qlabel"))
+        .select(col("qid"), col("cid"),
+          round(sqDist(col("qv"), col("cv")), 6).as("sqdist"))
+      val w = Window.partitionBy("qid").orderBy(col("sqdist"), col("cid"))
+      pairs.withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 2)
+        .select(col("qid"), col("cid"), col("sqdist").cast("double").as("sqdist"),
+          col("rn"))
+        .orderBy("qid", "rn")
     }
   )
 }
