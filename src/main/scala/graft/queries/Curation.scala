@@ -563,6 +563,112 @@ object Curation {
         .orderBy("doc_id")
     },
 
+    // Linear quality-classifier gate (the fasttext-classifier filter
+    // shape of CCNet/RefinedWeb, with the model reduced to its scoring
+    // arithmetic): a fixed, shipped weight vector applied to portable
+    // per-doc features — token count, type/token ratio, mean word
+    // length — entirely in DECIMAL, so the score, the keep decision,
+    // and every tie are bit-identical across engines and cluster
+    // layouts (a classifier whose decisions drift between engines
+    // contaminates A/B comparisons). The feature pass is q22's
+    // aggregate; the score is a map-only projection. At 100 TB the
+    // real model's embedding lookup replaces the feature columns; the
+    // decision topology — score, threshold, audit columns — is this.
+    QueryDef(
+      "q92_quality_classifier",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+        |), f AS (
+        |  SELECT doc_id, COUNT(*) AS n, COUNT(DISTINCT w) AS nd,
+        |         SUM(len(w)) AS chars
+        |  FROM tok GROUP BY doc_id
+        |), feat AS (
+        |  SELECT doc_id, n,
+        |         CAST(ROUND(CAST(nd AS DECIMAL(20,6)) / n, 4) AS DECIMAL(12,6)) AS ttr,
+        |         CAST(ROUND(CAST(chars AS DECIMAL(20,6)) / n, 4) AS DECIMAL(12,6)) AS mwl
+        |  FROM f
+        |), sc AS (
+        |  SELECT doc_id, n, ttr, mwl,
+        |         CAST('-1.2' AS DECIMAL(12,6))
+        |           + CAST('0.016' AS DECIMAL(12,6)) * n
+        |           + CAST('2.5' AS DECIMAL(12,6)) * ttr
+        |           - CAST('0.3' AS DECIMAL(12,6)) * mwl AS score
+        |  FROM feat
+        |)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+        |       CAST(ttr AS DOUBLE) AS ttr, CAST(mwl AS DOUBLE) AS mwl,
+        |       CAST(ROUND(score, 4) AS DOUBLE) AS score,
+        |       (score > 0) AS keep
+        |FROM sc ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val f = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n"), countDistinct(col("w")).as("nd"),
+          sum(length(col("w"))).as("chars"))
+      val feat = f.select(col("doc_id"), col("n"),
+        round(dec6(col("nd")) / col("n"), 4).cast(DecimalType(12, 6)).as("ttr"),
+        round(dec6(col("chars")) / col("n"), 4).cast(DecimalType(12, 6)).as("mwl"))
+      val w0 = lit(BigDecimal("-1.2")).cast(DecimalType(12, 6))
+      val w1 = lit(BigDecimal("0.016")).cast(DecimalType(12, 6))
+      val w2 = lit(BigDecimal("2.5")).cast(DecimalType(12, 6))
+      val w3 = lit(BigDecimal("0.3")).cast(DecimalType(12, 6))
+      feat
+        .withColumn("score", w0 + w1 * col("n") + w2 * col("ttr") - w3 * col("mwl"))
+        .select(col("doc_id"), col("n").cast("long").as("n_tokens"),
+          col("ttr").cast("double").as("ttr"),
+          col("mwl").cast("double").as("mwl"),
+          round(col("score"), 4).cast("double").as("score"),
+          (col("score") > 0).as("keep"))
+        .orderBy("doc_id")
+    },
+
+    // Train/val/test split-leakage audit: cross q87's deterministic
+    // split assignment with q67's boilerplate fingerprint and report,
+    // per split pair, how many fingerprints appear on BOTH sides and
+    // how many documents carry them — the eval-contamination check run
+    // before any benchmark number is trusted (a doc duplicated into
+    // train and test silently inflates eval). Scale shape: one shuffle
+    // on the 16-byte fingerprint (per-(fp, split) rollup), then a
+    // self-join on fp over the collapsed table — vocabulary-sized, not
+    // corpus-sized — and a 3-row matrix aggregate.
+    QueryDef(
+      "q93_split_leakage",
+      """WITH a AS (
+        |  SELECT doc_id,
+        |         CASE WHEN CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |                   % 100 < 80 THEN 'train'
+        |              WHEN CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |                   % 100 < 90 THEN 'val'
+        |              ELSE 'test' END AS split,
+        |         MD5(SUBSTRING(text, 1, 40)) AS fp
+        |  FROM documents
+        |), g AS (
+        |  SELECT fp, split, COUNT(*) AS n FROM a GROUP BY fp, split
+        |)
+        |SELECT x.split AS split_a, y.split AS split_b,
+        |       CAST(COUNT(*) AS BIGINT) AS n_shared_fps,
+        |       CAST(SUM(x.n) AS BIGINT) AS n_docs_a,
+        |       CAST(SUM(y.n) AS BIGINT) AS n_docs_b
+        |FROM g x JOIN g y ON x.fp = y.fp AND x.split < y.split
+        |GROUP BY x.split, y.split
+        |ORDER BY split_a, split_b""".stripMargin) { (s, dir) =>
+      val bucket = expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint)") % 100
+      val a = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+            .as("split"),
+          md5(substring(col("text"), 1, 40)).as("fp"))
+      val g = a.groupBy("fp", "split").agg(count(lit(1)).as("n"))
+      g.as("x").join(g.as("y"),
+          col("x.fp") === col("y.fp") && col("x.split") < col("y.split"))
+        .groupBy(col("x.split").as("split_a"), col("y.split").as("split_b"))
+        .agg(count(lit(1)).as("n_shared_fps"),
+          sum(col("x.n")).cast("long").as("n_docs_a"),
+          sum(col("y.n")).cast("long").as("n_docs_b"))
+        .orderBy("split_a", "split_b")
+    },
+
     // RAG chunking: overlapping sliding windows of 32 tokens at stride
     // 24 (8-token overlap so no retrieval boundary splits a fact),
     // each chunk with a stable content hash — the corpus→vector-store

@@ -288,6 +288,72 @@ object TextOps {
       .toDF("doc_id", "group_id")
   }
 
+  /** Trained BPE spell table (w, f, spell) after 5 merge rounds — the
+    * q86 trainer factored out so encode-side queries (q90) apply the
+    * SAME merge table the trainer produced, exactly like a production
+    * tokenizer ships one merges.txt. Built once per (session, dataset)
+    * under the index-cache discipline: the training loop is
+    * deterministic, so caching cannot change any result.
+    */
+  private[queries] def bpeSpells(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    cachedIndex(s"bpe|${System.identityHashCode(s)}|$dir") {
+      val freq = docs(s, dir)
+        .select(explode(wordsCol).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("f"))
+      var spells = freq.select(col("w"), col("f"),
+        concat(lit(" "), trim(regexp_replace(col("w"), "(.)", "$1 ")), lit(" "))
+          .as("spell"))
+      for (_ <- 1 to 5) {
+        val units = split(trim(col("spell")), " ")
+        val best = spells
+          .select(col("f"),
+            explode(graft.functions.TextExprs.ngrams(units, 2)).as("p"))
+          .groupBy("p").agg(sum("f").as("c"))
+          .orderBy(col("c").desc, col("p")).limit(1)
+          .collect()(0).getString(0)
+        val merged = best.replace(" ", "")
+        spells = spells.withColumn("spell",
+          expr(s"replace(spell, ' $best ', ' $merged ')"))
+      }
+      spells
+    }
+
+  /** The same 5 training rounds unrolled as DuckDB CTE stages (chain
+    * `tok → freq → sp0 → … → sp5`); consuming oracles append their own
+    * SELECT over `sp5`. Shared by q86 (trainer output) and q90 (encode).
+    */
+  private[queries] val duckBpeChain: String = {
+    def iter(k: Int): String = {
+      val prev = s"sp${k - 1}"
+      s"""u$k AS (
+         |  SELECT w, f, unnest(string_split(trim(spell), ' ')) AS u,
+         |         generate_subscripts(string_split(trim(spell), ' '), 1) AS pos
+         |  FROM $prev
+         |), pr$k AS (
+         |  SELECT u || ' ' || LEAD(u) OVER (PARTITION BY w ORDER BY pos) AS p, f
+         |  FROM u$k QUALIFY LEAD(u) OVER (PARTITION BY w ORDER BY pos) IS NOT NULL
+         |), agg$k AS (SELECT p, SUM(f) AS c FROM pr$k GROUP BY p
+         |), b$k AS (SELECT p FROM agg$k ORDER BY c DESC, p LIMIT 1
+         |), sp$k AS (
+         |  SELECT w, f,
+         |         REPLACE(spell, ' ' || b$k.p || ' ',
+         |                 ' ' || REPLACE(b$k.p, ' ', '') || ' ') AS spell
+         |  FROM $prev CROSS JOIN b$k
+         |)""".stripMargin
+    }
+    s"""tok AS (
+       |  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+       |), freq AS (
+       |  SELECT w, COUNT(*) AS f FROM tok GROUP BY w
+       |), sp0 AS (
+       |  SELECT w, f,
+       |         ' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' ' AS spell
+       |  FROM freq
+       |),
+       |${(1 to 5).map(iter).mkString(",\n")}""".stripMargin
+  }
+
   val queries: Seq[QueryDef] = Seq(
 
     // TF-IDF-style salient terms: per (doc, term) weight = tf × N/df
@@ -765,61 +831,123 @@ object TextOps {
     // the same 5 rounds as generated CTE stages.
     QueryDef(
       "q86_bpe_train",
-      {
-        def iter(k: Int): String = {
-          val prev = s"sp${k - 1}"
-          s"""u$k AS (
-             |  SELECT w, f, unnest(string_split(trim(spell), ' ')) AS u,
-             |         generate_subscripts(string_split(trim(spell), ' '), 1) AS pos
-             |  FROM $prev
-             |), pr$k AS (
-             |  SELECT u || ' ' || LEAD(u) OVER (PARTITION BY w ORDER BY pos) AS p, f
-             |  FROM u$k QUALIFY LEAD(u) OVER (PARTITION BY w ORDER BY pos) IS NOT NULL
-             |), agg$k AS (SELECT p, SUM(f) AS c FROM pr$k GROUP BY p
-             |), b$k AS (SELECT p FROM agg$k ORDER BY c DESC, p LIMIT 1
-             |), sp$k AS (
-             |  SELECT w, f,
-             |         REPLACE(spell, ' ' || b$k.p || ' ',
-             |                 ' ' || REPLACE(b$k.p, ' ', '') || ' ') AS spell
-             |  FROM $prev CROSS JOIN b$k
-             |)""".stripMargin
-        }
-        s"""WITH tok AS (
-           |  SELECT unnest(string_split(text, ' ')) AS w FROM documents
-           |), freq AS (
-           |  SELECT w, COUNT(*) AS f FROM tok GROUP BY w
-           |), sp0 AS (
-           |  SELECT w, f,
-           |         ' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' ' AS spell
-           |  FROM freq
-           |),
-           |${(1 to 5).map(iter).mkString(",\n")}
-           |SELECT w AS word, trim(spell) AS merged_spell,
-           |       CAST(len(string_split(trim(spell), ' ')) AS BIGINT) AS n_units
-           |FROM sp5 ORDER BY word""".stripMargin
-      }) { (s, dir) =>
-      val freq = docs(s, dir)
-        .select(explode(wordsCol).as("w"))
-        .groupBy("w").agg(count(lit(1)).as("f"))
-      var spells = freq.select(col("w"), col("f"),
-        concat(lit(" "), trim(regexp_replace(col("w"), "(.)", "$1 ")), lit(" "))
-          .as("spell"))
-      for (_ <- 1 to 5) {
-        val units = split(trim(col("spell")), " ")
-        val best = spells
-          .select(col("f"),
-            explode(graft.functions.TextExprs.ngrams(units, 2)).as("p"))
-          .groupBy("p").agg(sum("f").as("c"))
-          .orderBy(col("c").desc, col("p")).limit(1)
-          .collect()(0).getString(0)
-        val merged = best.replace(" ", "")
-        spells = spells.withColumn("spell",
-          expr(s"replace(spell, ' $best ', ' $merged ')"))
-      }
-      spells
+      s"""WITH $duckBpeChain
+         |SELECT w AS word, trim(spell) AS merged_spell,
+         |       CAST(len(string_split(trim(spell), ' ')) AS BIGINT) AS n_units
+         |FROM sp5 ORDER BY word""".stripMargin) { (s, dir) =>
+      bpeSpells(s, dir)
         .select(col("w").as("word"), trim(col("spell")).as("merged_spell"),
           size(split(trim(col("spell")), " ")).cast("long").as("n_units"))
         .orderBy("word")
+    },
+
+    // BPE ENCODE (the serving half of q86's trainer): apply the trained
+    // merge table to the corpus and report each document's subword unit
+    // count, character volume, and chars-per-unit compression — the
+    // number a tokenizer team actually tracks when it decides whether 5
+    // more merge rounds are worth it. Production shape exactly: the
+    // merge table is trained once (cached artifact, q86's build), the
+    // encode is a vocabulary-table join onto the token stream — the
+    // corpus is never re-segmented per query, and the per-word spell
+    // lookup is the standard "encode via word→units dictionary" fast
+    // path every real tokenizer uses for whitespace-pretokenized text.
+    // One shuffle on the join key (vocab) + one per-doc rollup.
+    QueryDef(
+      "q90_bpe_encode",
+      s"""WITH $duckBpeChain,
+         |spn AS (
+         |  SELECT w, len(string_split(trim(spell), ' ')) AS nu FROM sp5
+         |), dtok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+         |)
+         |SELECT t.doc_id,
+         |       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |       CAST(SUM(s.nu) AS BIGINT) AS n_bpe_units,
+         |       CAST(SUM(len(t.w)) AS BIGINT) AS n_chars,
+         |       CAST(ROUND(CAST(SUM(len(t.w)) AS DECIMAL(20,6)) / SUM(s.nu), 4)
+         |            AS DOUBLE) AS chars_per_unit
+         |FROM dtok t JOIN spn s ON s.w = t.w
+         |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val spn = bpeSpells(s, dir)
+        .select(col("w"), size(split(trim(col("spell")), " ")).as("nu"))
+      docs(s, dir)
+        .select(col("doc_id"), explode(wordsCol).as("w"))
+        .join(spn, "w")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum("nu").cast("long").as("n_bpe_units"),
+          sum(length(col("w"))).cast("long").as("n_chars"))
+        .select(col("doc_id"), col("n_tokens"), col("n_bpe_units"), col("n_chars"),
+          round(col("n_chars").cast(org.apache.spark.sql.types.DecimalType(20, 6))
+            / col("n_bpe_units"), 4).cast("double").as("chars_per_unit"))
+        .orderBy("doc_id")
+    },
+
+    // Bigram-LM surprisal filter: train a corpus bigram model (pair
+    // counts + left-context counts) and score every document by its
+    // mean INVERSE transition probability c(w1)/c(w1 w2) — the
+    // deterministic stand-in for perplexity (monotone in it for fixed
+    // doc length; a KenLM-style filter without transcendentals, so both
+    // engines agree bit-for-bit). High score = improbable transitions =
+    // gibberish / boilerplate-free-association — the CCNet quality
+    // paging signal. Portability: each term is an IEEE double division
+    // (correctly rounded, identical in both engines) rounded to 6
+    // decimals and summed in DECIMAL (order-independent); the mean is
+    // one final double division rounded to 4. Scale shape: the "model"
+    // is two frequency tables (pair-space ≪ corpus), the scoring pass
+    // is two joins keyed on them, and nothing pairs up — one corpus
+    // scan, three hash-agg shuffles.
+    QueryDef(
+      "q91_bigram_surprisal",
+      """WITH tok AS (
+        |  SELECT doc_id, w, pos FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+        |           generate_subscripts(string_split(text, ' '), 1) AS pos
+        |    FROM documents) t
+        |), bi AS (
+        |  SELECT doc_id, w AS l, w || ' ' || LEAD(w) OVER win AS p
+        |  FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+        |  QUALIFY LEAD(w) OVER win IS NOT NULL
+        |), c12 AS (
+        |  SELECT p, COUNT(*) AS c12 FROM bi GROUP BY p
+        |), cl AS (
+        |  SELECT string_split(p, ' ')[1] AS l, SUM(c12) AS cl
+        |  FROM c12 GROUP BY 1
+        |), term AS (
+        |  SELECT b.doc_id,
+        |         CAST(ROUND(CAST(cl.cl AS DOUBLE) / c12.c12, 6)
+        |              AS DECIMAL(20,6)) AS t
+        |  FROM bi b JOIN c12 ON c12.p = b.p JOIN cl ON cl.l = b.l
+        |), per AS (
+        |  SELECT doc_id, COUNT(*) AS n, SUM(t) AS s FROM term GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |       CAST(COALESCE(per.n, 0) AS BIGINT) AS n_bigrams,
+        |       COALESCE(CAST(ROUND(CAST(per.s AS DOUBLE) / per.n, 4) AS DOUBLE),
+        |                0.0) AS mean_inv_prob
+        |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val bi = docs(s, dir)
+        .select(col("doc_id"),
+          explode(graft.functions.TextExprs.ngrams(wordsCol, 2)).as("p"))
+        .withColumn("l", substring_index(col("p"), " ", 1))
+      val c12 = bi.groupBy("p").agg(count(lit(1)).as("c12"))
+      val cl = c12
+        .groupBy(substring_index(col("p"), " ", 1).as("l"))
+        .agg(sum("c12").as("cl"))
+      val per = bi.join(c12, "p").join(cl, "l")
+        .withColumn("t",
+          round(col("cl").cast("double") / col("c12"), 6)
+            .cast(org.apache.spark.sql.types.DecimalType(20, 6)))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n"), sum("t").as("s"))
+      docs(s, dir).select("doc_id")
+        .join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n"), lit(0L)).cast("long").as("n_bigrams"),
+          coalesce(round(col("s").cast("double") / col("n"), 4), lit(0.0))
+            .as("mean_inv_prob"))
+        .orderBy("doc_id")
     },
 
     // Cross-source duplication matrix: count LSH near-dup candidate

@@ -147,6 +147,68 @@ class Round4Spec extends SparkSpec {
     assert(out.filter(col("n_units") > length(col("word"))).count() === 0)
   }
 
+  test("q90: encode totals equal the trainer's weighted unit count") {
+    val enc = run("q90_bpe_encode")
+    // corpus-wide subword units via the encode path...
+    val encUnits = enc.agg(sum("n_bpe_units")).collect()(0).getLong(0)
+    // ...must equal the trainer's frequency-weighted per-word units
+    val freq = graft.Tables.load(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+    val trainUnits = run("q86_bpe_train")
+      .join(freq, col("word") === col("w"))
+      .agg(sum(col("f") * col("n_units"))).collect()(0).getLong(0)
+    assert(encUnits === trainUnits,
+      s"encode/train disagree on corpus units: $encUnits vs $trainUnits")
+    enc.collect().foreach { r =>
+      val (nTok, nUnits, nChars) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nUnits >= nTok, "every word is at least one unit")
+      assert(nUnits <= nChars, "merging never exceeds character count")
+      assert(r.getDouble(4) >= 1.0, "chars per unit >= 1 by construction")
+    }
+  }
+
+  test("q91: bigram count = n_tokens - 1; inverse probability >= 1") {
+    val sur = run("q91_bigram_surprisal")
+    val tok = run("q21_token_stats").select(col("doc_id"), col("n_tokens"))
+    sur.join(tok, "doc_id").collect().foreach { r =>
+      assert(r.getLong(1) === r.getLong(3) - 1,
+        "one bigram per adjacent token pair")
+      // c(w1) >= c(w1 w2) for every transition, so the mean inverse
+      // transition probability can never drop below 1
+      if (r.getLong(1) > 0) assert(r.getDouble(2) >= 1.0)
+    }
+  }
+
+  test("q92: decision consistent with an independent double recompute") {
+    val rows = run("q92_quality_classifier").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, ttr, mwl) = (r.getLong(1), r.getDouble(2), r.getDouble(3))
+      assert(ttr >= 0.0 && ttr <= 1.0)
+      assert(mwl > 0.0)
+      val recomputed = -1.2 + 0.016 * n + 2.5 * ttr - 0.3 * mwl
+      // the query rounds its score to 4 decimals; allow the half-step
+      assert(math.abs(r.getDouble(4) - recomputed) < 5.1e-5,
+        s"score drifted from its published weights: ${r.getDouble(4)} vs $recomputed")
+      // away from the rounding boundary, keep must track the score sign
+      if (math.abs(r.getDouble(4)) > 1e-3)
+        assert(r.getBoolean(5) === (r.getDouble(4) > 0.0),
+          "keep must be exactly score > 0")
+    }
+  }
+
+  test("q93: leakage exists at this SF and doc counts bound fp counts") {
+    val rows = run("q93_split_leakage").collect()
+    assert(rows.nonEmpty, "boilerplate fingerprints must collide across splits")
+    assert(rows.length <= 3)
+    rows.foreach { r =>
+      val (nFp, na, nb) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nFp > 0 && na >= nFp && nb >= nFp,
+        "each shared fingerprint contributes at least one doc per side")
+    }
+  }
+
   test("q78: no false negatives; false-positive count near the 1% design point") {
     val rows = run("q78_bloom_decontamination").collect()
     assert(rows.forall(_.getBoolean(2)), "bloom filter lost an exact hit")
