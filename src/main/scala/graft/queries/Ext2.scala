@@ -527,16 +527,30 @@ object Ext2 {
         .select(col("doc_id"), md5(substring(col("text"), 1, 40)).as("fp"))
       val evalFps = f.filter(col("doc_id") % 50 === 0).select("fp").distinct()
       // expectedNumItems sized generously for the test SFs; production
-      // sizes it from the eval corpus count (one cheap agg beforehand)
-      val bloom = evalFps.stat.bloomFilter("fp", 100000L, 0.01)
-      val bloomB = s.sparkContext.broadcast(bloom)
-      val mightContain = udf((x: String) => bloomB.value.mightContain(x))
+      // sizes it from the eval corpus count (one cheap agg beforehand).
+      // The filter is built over xxhash64(fp) longs so the probe can be
+      // Spark's native BloomFilterMightContain expression (codegen'd —
+      // the same probe Catalyst injects for runtime row filtering),
+      // instead of a per-row Scala UDF: put(putLong) and probe
+      // (mightContainLong) share one hash family by construction.
+      val bloom = evalFps.select(xxhash64(col("fp")).as("hv"))
+        .stat.bloomFilter("hv", 100000L, 0.01)
+      val bloomBytes = {
+        val bos = new java.io.ByteArrayOutputStream()
+        bloom.writeTo(bos)
+        bos.toByteArray
+      }
+      val probe = org.apache.spark.sql.graftshim.toColumn(
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          org.apache.spark.sql.catalyst.expressions.Literal(
+            bloomBytes, org.apache.spark.sql.types.BinaryType),
+          org.apache.spark.sql.graftshim.toExpression(xxhash64(col("fp")))))
       f.filter(col("doc_id") % 50 =!= 0)
         .join(evalFps.withColumn("in_eval", lit(true)), Seq("fp"), "left")
         .select(col("doc_id"),
           coalesce(col("in_eval"), lit(false)).as("exact_hit"),
           // the invariant: a bloom miss on an exact hit = broken filter
-          (mightContain(col("fp")) || !coalesce(col("in_eval"), lit(false)))
+          (probe || !coalesce(col("in_eval"), lit(false)))
             .as("no_false_negative"))
         .orderBy("doc_id")
     },
