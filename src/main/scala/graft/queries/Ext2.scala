@@ -9,6 +9,48 @@ import org.apache.spark.sql.expressions.Window
   */
 object Ext2 {
 
+  /** q48's oracle pipeline (shingle pairs → Jaccard ≥ 0.2 edges →
+    * recursive-CTE components), factored through `comp (doc_id,
+    * group_id)` so retention variants (q48 keep-min, q97 keep-best)
+    * share one definition. Must be opened with `WITH RECURSIVE`.
+    */
+  private[queries] val duckDedupGroups =
+    """tok AS (
+      |  SELECT doc_id, w, pos FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+      |           generate_subscripts(string_split(text, ' '), 1) AS pos
+      |    FROM documents) t
+      |), sh AS (
+      |  SELECT DISTINCT doc_id,
+      |         w || ' ' || LEAD(w, 1) OVER win || ' ' || LEAD(w, 2) OVER win AS shingle
+      |  FROM tok
+      |  WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+      |  QUALIFY LEAD(w, 2) OVER win IS NOT NULL
+      |), card AS (
+      |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+      |), ok AS (
+      |  SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 128
+      |), pairs AS (
+      |  SELECT doc_a, doc_b FROM (
+      |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+      |    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |    JOIN ok ON ok.shingle = a.shingle
+      |    GROUP BY a.doc_id, b.doc_id) p
+      |  JOIN card ca ON ca.doc_id = doc_a
+      |  JOIN card cb ON cb.doc_id = doc_b
+      |  WHERE CAST(common AS DECIMAL(20,6)) / (ca.n + cb.n - common) >= 0.2
+      |), edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |  UNION ALL
+      |  SELECT doc_b, doc_a FROM pairs
+      |), reach(node, label) AS (
+      |  SELECT DISTINCT src, src FROM edges
+      |  UNION
+      |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+      |), comp AS (
+      |  SELECT node AS doc_id, MIN(label) AS group_id FROM reach GROUP BY node
+      |)""".stripMargin
+
   val queries: Seq[QueryDef] = Seq(
 
     // Embedding-cosine near-duplicate pairs: candidate generation via
@@ -76,14 +118,70 @@ object Ext2 {
       val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
       val phone = "\\d{3}[-.]\\d{3}[-.]\\d{4}"
       val ssn = "\\d{3}-\\d{2}-\\d{4}"
+      // NB: patterns go through lit(), never expr() — the SQL string
+      // parser consumes regex backslash escapes
+      def hits(pat: String) =
+        size(regexp_extract_all(col("text"), lit(pat), lit(0)))
       Tables.load(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism)
         .select(
           col("doc_id"),
-          size(expr(s"regexp_extract_all(text, '$email', 0)")).cast("long").as("n_emails"),
-          size(expr(s"regexp_extract_all(text, '$phone', 0)")).cast("long").as("n_phones"),
-          size(expr(s"regexp_extract_all(text, '$ssn', 0)")).cast("long").as("n_ssn_like"),
-          (size(expr(s"regexp_extract_all(text, '$email', 0)")) > 0).as("has_pii"))
+          hits(email).cast("long").as("n_emails"),
+          hits(phone).cast("long").as("n_phones"),
+          hits(ssn).cast("long").as("n_ssn_like"),
+          (hits(email) > 0).as("has_pii"))
+        .orderBy("doc_id")
+    },
+
+    // Redaction APPLY (the transform q44 only scans for): replace
+    // email/phone/SSN shapes with typed sentinels plus a configurable
+    // denylist term (here the stand-in secret token 'key', whole-word)
+    // — production redaction is always PII regexes + a tenant denylist.
+    // Emits the redaction count and the cleaned text's hash, the
+    // audit columns a compliance pipeline stores instead of diffs.
+    // Map-only over the corpus: four codegen'd regexp passes per row,
+    // no shuffle until the presentation sort.
+    QueryDef(
+      "q94_redact_apply",
+      """WITH red AS (
+        |  SELECT doc_id,
+        |         len(regexp_extract_all(text,
+        |             '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}|\d{3}[-.]\d{3}[-.]\d{4}|\d{3}-\d{2}-\d{4}|\bkey\b'))
+        |           AS n_redacted,
+        |         regexp_replace(
+        |           regexp_replace(
+        |             regexp_replace(
+        |               regexp_replace(text,
+        |                 '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+        |               '\d{3}[-.]\d{3}[-.]\d{4}', '[PHONE]', 'g'),
+        |             '\d{3}-\d{2}-\d{4}', '[SSN]', 'g'),
+        |           '\bkey\b', '[TERM]', 'g') AS cleaned
+        |  FROM documents
+        |)
+        |SELECT doc_id, CAST(n_redacted AS BIGINT) AS n_redacted,
+        |       (n_redacted > 0) AS changed,
+        |       MD5(cleaned) AS cleaned_hash
+        |FROM red ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val phone = "\\d{3}[-.]\\d{3}[-.]\\d{4}"
+      val ssn = "\\d{3}-\\d{2}-\\d{4}"
+      val term = "\\bkey\\b"
+      val all = s"$email|$phone|$ssn|$term"
+      Tables.load(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit(all), lit(0))).cast("long")
+            .as("n_redacted"),
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(col("text"), email, "[EMAIL]"),
+                phone, "[PHONE]"),
+              ssn, "[SSN]"),
+            term, "[TERM]").as("cleaned"))
+        .select(col("doc_id"), col("n_redacted"),
+          (col("n_redacted") > 0).as("changed"),
+          md5(col("cleaned")).as("cleaned_hash"))
         .orderBy("doc_id")
     },
 
@@ -237,60 +335,64 @@ object Ext2 {
     // DuckDB recursive CTE computing the same fixpoint.
     QueryDef(
       "q48_dedup_groups",
-      """WITH RECURSIVE tok AS (
-        |  SELECT doc_id, w, pos FROM (
-        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w,
-        |           generate_subscripts(string_split(text, ' '), 1) AS pos
-        |    FROM documents) t
-        |), sh AS (
-        |  SELECT DISTINCT doc_id,
-        |         w || ' ' || LEAD(w, 1) OVER win || ' ' || LEAD(w, 2) OVER win AS shingle
-        |  FROM tok
-        |  WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
-        |  QUALIFY LEAD(w, 2) OVER win IS NOT NULL
-        |), card AS (
-        |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
-        |), ok AS (
-        |  SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 128
-        |), pairs AS (
-        |  SELECT doc_a, doc_b FROM (
-        |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
-        |    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |    JOIN ok ON ok.shingle = a.shingle
-        |    GROUP BY a.doc_id, b.doc_id) p
-        |  JOIN card ca ON ca.doc_id = doc_a
-        |  JOIN card cb ON cb.doc_id = doc_b
-        |  WHERE CAST(common AS DECIMAL(20,6)) / (ca.n + cb.n - common) >= 0.2
-        |), edges AS (
-        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-        |  UNION ALL
-        |  SELECT doc_b, doc_a FROM pairs
-        |), reach(node, label) AS (
-        |  SELECT DISTINCT src, src FROM edges
-        |  UNION
-        |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
-        |), comp AS (
-        |  SELECT node AS doc_id, MIN(label) AS group_id FROM reach GROUP BY node
-        |)
-        |SELECT c.doc_id,
-        |       CAST(c.group_id AS BIGINT) AS group_id,
-        |       CAST(g.group_size AS BIGINT) AS group_size,
-        |       c.doc_id = c.group_id AS keep
-        |FROM comp c
-        |JOIN (SELECT group_id, COUNT(*) AS group_size FROM comp GROUP BY group_id) g
-        |  USING (group_id)
-        |ORDER BY c.doc_id""".stripMargin) { (s, dir) =>
-      val dec6 = (c: org.apache.spark.sql.Column) =>
-        c.cast(org.apache.spark.sql.types.DecimalType(20, 6))
-      val pairs = TextOps.shingleOverlapPairs(s, dir)
-        .filter(dec6(col("common")) / (col("na") + col("nb") - col("common")) >= 0.2)
-        .select("doc_a", "doc_b")
-      val comp = TextOps.connectedComponents(pairs)
+      s"""WITH RECURSIVE $duckDedupGroups
+         |SELECT c.doc_id,
+         |       CAST(c.group_id AS BIGINT) AS group_id,
+         |       CAST(g.group_size AS BIGINT) AS group_size,
+         |       c.doc_id = c.group_id AS keep
+         |FROM comp c
+         |JOIN (SELECT group_id, COUNT(*) AS group_size FROM comp GROUP BY group_id) g
+         |  USING (group_id)
+         |ORDER BY c.doc_id""".stripMargin) { (s, dir) =>
+      val comp = TextOps.dedupComponents(s, dir)
       val sizes = comp.groupBy("group_id").agg(count(lit(1)).as("group_size"))
       comp.join(sizes, "group_id")
         .select(col("doc_id"), col("group_id"),
           col("group_size").cast("long").as("group_size"),
           (col("doc_id") === col("group_id")).as("keep"))
+        .orderBy("doc_id")
+    },
+
+    // Quality-aware dedup retention: same near-dup groups as q48, but
+    // the survivor is the HIGHEST-QUALITY member (type/token-ratio
+    // score, tie → lowest doc_id) instead of the lowest id — the
+    // retention rule production pipelines actually want: near-dup
+    // clusters usually contain one clean original and N degraded
+    // scrapes, and keep-min keeps whichever was crawled first. Reads
+    // the cached group index and the q22 score; one score join + one
+    // per-group rank window (groups ≫ executors, no hot partition).
+    QueryDef(
+      "q97_dedup_keep_best",
+      s"""WITH RECURSIVE $duckDedupGroups,
+         |sc AS (
+         |  SELECT doc_id,
+         |         ROUND(CAST(COUNT(DISTINCT w) AS DECIMAL(20,6)) / COUNT(*), 4)
+         |           AS score
+         |  FROM tok GROUP BY doc_id
+         |), r AS (
+         |  SELECT c.doc_id, c.group_id, sc.score,
+         |         ROW_NUMBER() OVER (PARTITION BY c.group_id
+         |           ORDER BY sc.score DESC, c.doc_id) AS rn
+         |  FROM comp c JOIN sc ON sc.doc_id = c.doc_id
+         |)
+         |SELECT doc_id, CAST(group_id AS BIGINT) AS group_id,
+         |       CAST(score AS DOUBLE) AS score, (rn = 1) AS keep_best
+         |FROM r ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val dec6 = (c: org.apache.spark.sql.Column) =>
+        c.cast(org.apache.spark.sql.types.DecimalType(20, 6))
+      val sc = Tables.load(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("doc_id")
+        .agg(round(dec6(countDistinct(col("w"))) / count(lit(1)), 4).as("score"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("group_id").orderBy(col("score").desc, col("doc_id"))
+      TextOps.dedupComponents(s, dir)
+        .join(sc, "doc_id")
+        .withColumn("rn", row_number().over(w))
+        .select(col("doc_id"), col("group_id"),
+          col("score").cast("double").as("score"),
+          (col("rn") === 1).as("keep_best"))
         .orderBy("doc_id")
     },
 

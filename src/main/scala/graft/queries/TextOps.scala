@@ -354,6 +354,72 @@ object TextOps {
        |${(1 to 5).map(iter).mkString(",\n")}""".stripMargin
   }
 
+  /** Per-doc language prediction (doc_id, pred_lang, evidence) — q23's
+    * marker-argmax in one aggregation pass, factored so the confusion
+    * audit (q95) scores the SAME predictor q23 reports.
+    */
+  private[queries] def langPred(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val tok = docs(s, dir).select(col("doc_id"), explode(wordsCol).as("w"))
+    val hit = (ws: Seq[String]) =>
+      sum(when(col("w").isin(ws: _*), 1).otherwise(0))
+    val agg = tok.groupBy("doc_id").agg(
+      hit(Seq("der", "und", "die")).as("c_de"),
+      hit(Seq("the", "and", "of")).as("c_en"),
+      hit(Seq("el", "la", "de")).as("c_es"),
+      hit(Seq("le", "et", "les")).as("c_fr"))
+    val best = greatest(
+      struct(col("c_de").as("c"), lit(3).as("r")),
+      struct(col("c_en").as("c"), lit(2).as("r")),
+      struct(col("c_es").as("c"), lit(1).as("r")),
+      struct(col("c_fr").as("c"), lit(0).as("r")))
+    agg.select(col("doc_id"), best.as("best"))
+      .select(
+        col("doc_id"),
+        when(col("best.c") === 0, "unknown").otherwise(
+          when(col("best.r") === 3, "de")
+            .when(col("best.r") === 2, "en")
+            .when(col("best.r") === 1, "es")
+            .otherwise("fr")).as("pred_lang"),
+        col("best.c").cast("long").as("evidence"))
+  }
+
+  /** The q23 predictor as DuckDB CTEs (`markers → tok → hits → best`);
+    * consumers join `best` (rn = 1) against `documents`. */
+  private[queries] val duckLangPred =
+    """markers(w, cand) AS (
+      |  VALUES ('the','en'), ('and','en'), ('of','en'),
+      |         ('el','es'), ('la','es'), ('de','es'),
+      |         ('der','de'), ('und','de'), ('die','de'),
+      |         ('le','fr'), ('et','fr'), ('les','fr')
+      |), tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+      |), hits AS (
+      |  SELECT doc_id, cand, COUNT(*) AS c
+      |  FROM tok JOIN markers USING (w)
+      |  GROUP BY doc_id, cand
+      |), best AS (
+      |  SELECT doc_id, cand, c,
+      |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, cand) AS rn
+      |  FROM hits
+      |)""".stripMargin
+
+  /** Near-dup group labels (doc_id, group_id) at the q48 Jaccard ≥ 0.2
+    * threshold — the CC fixpoint over the cached pair kernel, itself
+    * cached per (session, dataset): the dedup-group index is built once
+    * at corpus ingest, and every retention policy (q48's keep-min,
+    * q97's keep-best) reads it.
+    */
+  private[queries] def dedupComponents(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    cachedIndex(s"cc02|${System.identityHashCode(s)}|$dir") {
+      val pairs = shingleOverlapPairs(s, dir)
+        .filter(col("common").cast(org.apache.spark.sql.types.DecimalType(20, 6))
+          / (col("na") + col("nb") - col("common")) >= 0.2)
+        .select("doc_a", "doc_b")
+      connectedComponents(pairs)
+    }
+
   val queries: Seq[QueryDef] = Seq(
 
     // TF-IDF-style salient terms: per (doc, term) weight = tf × N/df
@@ -502,29 +568,80 @@ object TextOps {
       // via struct-greatest. rank encodes the cand-ASC tie-break as a
       // MAX (alphabetically-first lang gets the highest rank), matching
       // the oracle's ORDER BY c DESC, cand. One shuffle total.
-      val tok = docs(s, dir).select(col("doc_id"), explode(wordsCol).as("w"))
-      val hit = (ws: Seq[String]) =>
-        sum(when(col("w").isin(ws: _*), 1).otherwise(0))
-      val agg = tok.groupBy("doc_id").agg(
-        hit(Seq("der", "und", "die")).as("c_de"),
-        hit(Seq("the", "and", "of")).as("c_en"),
-        hit(Seq("el", "la", "de")).as("c_es"),
-        hit(Seq("le", "et", "les")).as("c_fr"))
-      val best = greatest(
-        struct(col("c_de").as("c"), lit(3).as("r")),
-        struct(col("c_en").as("c"), lit(2).as("r")),
-        struct(col("c_es").as("c"), lit(1).as("r")),
-        struct(col("c_fr").as("c"), lit(0).as("r")))
-      agg.select(col("doc_id"), best.as("best"))
-        .select(
-          col("doc_id"),
-          when(col("best.c") === 0, "unknown").otherwise(
-            when(col("best.r") === 3, "de")
-              .when(col("best.r") === 2, "en")
-              .when(col("best.r") === 1, "es")
-              .otherwise("fr")).as("pred_lang"),
-          col("best.c").cast("long").as("evidence"))
-        .orderBy("doc_id")
+      langPred(s, dir).orderBy("doc_id")
+    },
+
+    // Language-label audit: confusion matrix of the corpus's DECLARED
+    // language column against q23's predictor — the label-noise check
+    // run before per-language mixing weights (q75) or splits (q87) are
+    // trusted; off-diagonal mass = mislabeled feeds or a weak
+    // predictor. One extra 20-cell rollup on top of the predictor's
+    // single shuffle.
+    QueryDef(
+      "q95_langid_confusion",
+      s"""WITH $duckLangPred,
+         |pred AS (
+         |  SELECT d.doc_id, d.lang, COALESCE(b.cand, 'unknown') AS pred_lang
+         |  FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
+         |)
+         |SELECT lang, pred_lang,
+         |       CAST(COUNT(*) AS BIGINT) AS n_docs
+         |FROM pred GROUP BY lang, pred_lang
+         |ORDER BY lang, pred_lang""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents").select(col("doc_id"), col("lang"))
+        .join(langPred(s, dir).select("doc_id", "pred_lang"), "doc_id")
+        .groupBy("lang", "pred_lang")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "pred_lang")
+    },
+
+    // Vocabulary head-coverage curve: what fraction of all token
+    // occurrences the top-10/100/1000 types cover — the Zipf statistic
+    // that sizes a tokenizer vocabulary (if 1000 types cover 99%, a
+    // 50k vocab is wasted capacity). Scale shape: the frequency table
+    // is map-side combined; the ranking window runs over the VOCABULARY
+    // (≪ corpus) with a global order — at 100 TB rank the head by
+    // filtering c >= threshold first, same 3-row output. Tie-break
+    // freq desc then token asc (deterministic on both engines).
+    QueryDef(
+      "q96_vocab_coverage",
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+        |), freq AS (
+        |  SELECT w, COUNT(*) AS c FROM tok GROUP BY w
+        |), r AS (
+        |  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rn FROM freq
+        |), tot AS (
+        |  SELECT SUM(c) AS t, COUNT(*) AS v FROM freq
+        |), ks(k) AS (VALUES (10), (100), (1000))
+        |SELECT CAST(k AS BIGINT) AS k,
+        |       CAST(LEAST(k, tot.v) AS BIGINT) AS vocab_used,
+        |       CAST(COALESCE(SUM(CASE WHEN r.rn <= k THEN c END), 0) AS BIGINT)
+        |         AS covered_tokens,
+        |       CAST(ROUND(CAST(COALESCE(SUM(CASE WHEN r.rn <= k THEN c END), 0)
+        |                       AS DECIMAL(20,6)) / MAX(tot.t), 4) AS DOUBLE)
+        |         AS coverage
+        |FROM ks CROSS JOIN tot LEFT JOIN r ON r.rn <= k
+        |GROUP BY k, tot.v ORDER BY k""".stripMargin) { (s, dir) =>
+      val freq = docs(s, dir)
+        .select(explode(wordsCol).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val r = freq.select(col("c"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("c").desc, col("w"))).as("rn"))
+      val tot = freq.agg(sum("c").as("t"), count(lit(1)).as("v"))
+      val ks = s.range(1, 4).select(
+        pow(lit(10), col("id")).cast("long").as("k"))
+      ks.crossJoin(tot)
+        .join(r, col("rn") <= col("k"), "left")
+        .groupBy(col("k"), col("v"), col("t"))
+        .agg(coalesce(sum("c"), lit(0L)).as("cov"))
+        .select(col("k"),
+          least(col("k"), col("v")).cast("long").as("vocab_used"),
+          col("cov").cast("long").as("covered_tokens"),
+          round(col("cov").cast(org.apache.spark.sql.types.DecimalType(20, 6))
+            / col("t"), 4).cast("double").as("coverage"))
+        .orderBy("k")
     },
 
     // Document fingerprinting: md5 over normalized text (lowercase,

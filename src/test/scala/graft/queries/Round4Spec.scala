@@ -209,6 +209,61 @@ class Round4Spec extends SparkSpec {
     }
   }
 
+  test("q94: redaction count equals an independent token probe") {
+    val rows = run("q94_redact_apply").collect()
+    // the corpus has no PII shapes, so every redaction is the denylist
+    // term — recompute occurrences by exact token equality
+    val expected = graft.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        size(filter(split(col("text"), " "), _ === "key")).cast("long").as("k"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.exists(_.getLong(1) > 0), "denylist term must fire at this SF")
+    rows.foreach { r =>
+      assert(r.getLong(1) === expected(r.getLong(0)))
+      assert(r.getBoolean(2) === (r.getLong(1) > 0))
+    }
+  }
+
+  test("q95: confusion matrix mass = corpus size; labels and preds bounded") {
+    val rows = run("q95_langid_confusion").collect()
+    val total = rows.map(_.getLong(2)).sum
+    assert(total === graft.Tables.load(spark, sf, "documents").count())
+    val langs = Set("de", "en", "es", "fr", "unknown")
+    rows.foreach { r =>
+      assert(langs.contains(r.getString(1)), r.getString(1))
+      assert(r.getLong(2) > 0)
+    }
+  }
+
+  test("q96: coverage is monotone in k and bounded by 1") {
+    val rows = run("q96_vocab_coverage").collect().sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq === Seq(10L, 100L, 1000L))
+    val covs = rows.map(_.getDouble(3))
+    assert(covs.sliding(2).forall(w => w(0) <= w(1)), covs.mkString(","))
+    assert(covs.forall(c => c > 0.0 && c <= 1.0))
+    rows.foreach(r => assert(r.getLong(1) <= r.getLong(0)))
+  }
+
+  test("q97: same groups as q48; exactly one best per group; best maximizes score") {
+    val best = run("q97_dedup_keep_best")
+    val q48 = run("q48_dedup_groups")
+    assert(best.select("doc_id", "group_id")
+      .except(q48.select("doc_id", "group_id")).isEmpty
+      && q48.select("doc_id", "group_id")
+        .except(best.select("doc_id", "group_id")).isEmpty,
+      "keep-best must rank exactly q48's components")
+    val perGroup = best.groupBy("group_id").agg(
+      sum(when(col("keep_best"), 1).otherwise(0)).as("n_best"),
+      max("score").as("mx"))
+    perGroup.collect().foreach(r => assert(r.getLong(1) === 1L))
+    val kept = best.filter(col("keep_best"))
+      .select(col("group_id"), col("score").as("kept_score"))
+    kept.join(perGroup, "group_id").collect().foreach { r =>
+      assert(r.getDouble(1) === r.getDouble(3),
+        "the kept doc must carry the group's max score")
+    }
+  }
+
   test("q78: no false negatives; false-positive count near the 1% design point") {
     val rows = run("q78_bloom_decontamination").collect()
     assert(rows.forall(_.getBoolean(2)), "bloom filter lost an exact hit")
