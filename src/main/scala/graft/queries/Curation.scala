@@ -669,6 +669,90 @@ object Curation {
         .orderBy("split_a", "split_b")
     },
 
+    // Corpus snapshot diff — the dataset-versioning primitive: compare
+    // two corpus versions (v1 = docs outside one shard; v2 = all docs,
+    // with one shard's text "re-crawled", i.e. mutated) and report
+    // added / removed / changed / unchanged document counts by content
+    // hash. This is what an ingestion pipeline publishes with every
+    // corpus release so downstream training knows whether a re-run is
+    // warranted — dbt's state:modified applied to data instead of
+    // code. One full-outer join on doc_id comparing 16-byte hashes;
+    // at 100 TB both sides are the fingerprint INDEX (id, md5), never
+    // the text.
+    QueryDef(
+      "q98_snapshot_diff",
+      """WITH v1 AS (
+        |  SELECT doc_id, MD5(text) AS h FROM documents WHERE doc_id % 10 <> 7
+        |), v2 AS (
+        |  SELECT doc_id,
+        |         MD5(CASE WHEN doc_id % 20 = 4 THEN text || ' recrawled'
+        |                  ELSE text END) AS h
+        |  FROM documents
+        |), d AS (
+        |  SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+        |         CASE WHEN v1.doc_id IS NULL THEN 'added'
+        |              WHEN v2.doc_id IS NULL THEN 'removed'
+        |              WHEN v1.h <> v2.h THEN 'changed'
+        |              ELSE 'unchanged' END AS status
+        |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+        |)
+        |SELECT status, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |FROM d GROUP BY status ORDER BY status""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val v1 = docs.filter(col("doc_id") % 10 =!= 7)
+        .select(col("doc_id"), md5(col("text")).as("h1"))
+      val v2 = docs.select(col("doc_id"),
+        md5(when(col("doc_id") % 20 === 4, concat(col("text"), lit(" recrawled")))
+          .otherwise(col("text"))).as("h2"))
+      v1.join(v2, Seq("doc_id"), "full_outer")
+        .select(
+          when(col("h1").isNull, "added")
+            .when(col("h2").isNull, "removed")
+            .when(col("h1") =!= col("h2"), "changed")
+            .otherwise("unchanged").as("status"))
+        .groupBy("status").agg(count(lit(1)).as("n_docs"))
+        .orderBy("status")
+    },
+
+    // Epoch plan: turn q75-style mixture weights into per-language
+    // REPETITION factors against a fixed token budget — the
+    // data-recipe arithmetic behind "web 1.1 epochs, books 2.4
+    // epochs": target_tokens(l) = budget × w_l / Σw, epochs =
+    // target/actual available tokens. Everything in decimal except
+    // the final reported ratios (rounded doubles), so the plan is
+    // identical on every engine. Input statistics are one map-side
+    // agg; the plan itself is a 5-row computation.
+    QueryDef(
+      "q99_epoch_plan",
+      """WITH pl AS (
+        |  SELECT lang, COUNT(*) AS n_docs,
+        |         SUM(len(string_split(text, ' '))) AS n_tokens,
+        |         ROUND(SQRT(SUM(len(string_split(text, ' ')))), 6) AS w
+        |  FROM documents GROUP BY lang
+        |), tot AS (
+        |  SELECT CAST(SUM(CAST(w AS DECIMAL(20,6))) AS DOUBLE) AS wsum FROM pl
+        |)
+        |SELECT lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |       CAST(FLOOR(200000.0 * w / wsum) AS BIGINT) AS target_tokens,
+        |       CAST(ROUND(FLOOR(200000.0 * w / wsum) / n_tokens, 4) AS DOUBLE)
+        |         AS epochs
+        |FROM pl CROSS JOIN tot ORDER BY lang""".stripMargin) { (s, dir) =>
+      val pl = Tables.load(s, dir, "documents")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " "))).as("n_tokens"))
+        .withColumn("w", round(sqrt(col("n_tokens")), 6))
+      val tot = pl.agg(
+        sum(col("w").cast(DecimalType(20, 6))).cast("double").as("wsum"))
+      pl.crossJoin(tot)
+        .select(col("lang"), col("n_tokens").cast("long").as("n_tokens"),
+          floor(lit(200000.0) * col("w") / col("wsum")).cast("long")
+            .as("target_tokens"),
+          round(floor(lit(200000.0) * col("w") / col("wsum")) / col("n_tokens"), 4)
+            .cast("double").as("epochs"))
+        .orderBy("lang")
+    },
+
     // RAG chunking: overlapping sliding windows of 32 tokens at stride
     // 24 (8-token overlap so no retrieval boundary splits a fact),
     // each chunk with a stable content hash — the corpus→vector-store

@@ -264,6 +264,36 @@ class Round4Spec extends SparkSpec {
     }
   }
 
+  test("q98: diff classes partition both corpus versions") {
+    val m = run("q98_snapshot_diff").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = graft.Tables.load(spark, sf, "documents").count()
+    // v2 = all docs: added + changed + unchanged = |v2|
+    assert(m.getOrElse("added", 0L) + m.getOrElse("changed", 0L)
+      + m.getOrElse("unchanged", 0L) === total)
+    // v1 drops shard doc_id%10==7; those ids are exactly the "added" set
+    val shard = graft.Tables.load(spark, sf, "documents")
+      .filter(col("doc_id") % 10 === 7).count()
+    assert(m.getOrElse("added", 0L) === shard)
+    // the mutated shard (doc_id%20==4) is disjoint from the dropped one
+    val mutated = graft.Tables.load(spark, sf, "documents")
+      .filter(col("doc_id") % 20 === 4).count()
+    assert(m.getOrElse("changed", 0L) === mutated)
+    assert(m.getOrElse("removed", 0L) === 0L)
+  }
+
+  test("q99: targets sum to ~budget and epochs = target/actual") {
+    val rows = run("q99_epoch_plan").collect()
+    val targetSum = rows.map(_.getLong(2)).sum
+    // floor() loses < 1 token per language
+    assert(targetSum <= 200000L && targetSum > 200000L - rows.length)
+    rows.foreach { r =>
+      val expect = r.getLong(2).toDouble / r.getLong(1)
+      assert(math.abs(r.getDouble(3) - expect) < 5.1e-5)
+      assert(r.getDouble(3) > 0.0)
+    }
+  }
+
   test("q78: no false negatives; false-positive count near the 1% design point") {
     val rows = run("q78_bloom_decontamination").collect()
     assert(rows.forall(_.getBoolean(2)), "bloom filter lost an exact hit")
