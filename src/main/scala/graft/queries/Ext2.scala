@@ -67,13 +67,7 @@ object Ext2 {
          |SELECT vec_a, vec_b, cell, CAST(cosine AS DOUBLE) AS cosine
          |FROM pairs WHERE cosine >= 0.2
          |ORDER BY vec_a, vec_b""".stripMargin) { (s, dir) =>
-      val emb = Similarity.embDouble(s, dir)
-      val (_, ranks) = Similarity.ivfIndex(s, dir)
-      val withVec = ranks.filter(col("rn") === 1)
-        .select(col("vec_id"), col("cent_id").as("cell"))
-        .join(emb, "vec_id")
-        .select(col("vec_id"), col("cell"), col("embedding"))
-      Similarity.subBandedCellPairs(withVec, Similarity.MaxCellPairFanout)
+      Similarity.cellPairIndex(s, dir)
         .filter(col("cosine") >= 0.2)
         .orderBy("vec_a", "vec_b")
     },
@@ -686,13 +680,10 @@ object Ext2 {
          |       CAST(COUNT(*) - COUNT(r.node) AS BIGINT) AS n_kept
          |FROM assign a LEFT JOIN removed r ON r.node = a.vec_id
          |GROUP BY a.cent_id ORDER BY cell""".stripMargin) { (s, dir) =>
-      val emb = Similarity.embDouble(s, dir)
       val (_, ranks) = Similarity.ivfIndex(s, dir)
       val assign = ranks.filter(col("rn") === 1)
         .select(col("vec_id"), col("cent_id").as("cell"))
-      val withVec = assign.join(emb, "vec_id")
-        .select(col("vec_id"), col("cell"), col("embedding"))
-      val dup = Similarity.subBandedCellPairs(withVec, Similarity.MaxCellPairFanout)
+      val dup = Similarity.cellPairIndex(s, dir)
         .filter(col("cosine") >= 0.3)
         .select(col("cell").as("key"), col("vec_a").as("doc_a"),
           col("vec_b").as("doc_b"))

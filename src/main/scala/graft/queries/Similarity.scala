@@ -116,6 +116,41 @@ object Similarity {
       (cents, ranks)
     })
 
+  /** Built-once unthresholded cell-pair cosine table (vec_a, vec_b,
+    * cell, cosine) over the IVF assignment — the embedding-dedup
+    * candidate index. q41 (≥ 0.2) and q59 (≥ 0.3) are threshold
+    * filters over this one artifact; production materializes it at
+    * ingest next to the IVF index itself. Deterministic build, so
+    * caching cannot change results. Double-checked + synchronized for
+    * the same reason as TextOps.cachedIndex (the build reads the
+    * cached IVF index; keep this map free of nested computeIfAbsent).
+    */
+  private val cellPairCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private[queries] def cellPairIndex(s: SparkSession, dir: String): DataFrame = {
+    val key = s"${System.identityHashCode(s)}|$dir"
+    val hit = cellPairCache.get(key)
+    if (hit != null) hit
+    else cellPairCache.synchronized {
+      val again = cellPairCache.get(key)
+      if (again != null) again
+      else {
+        val emb = embDouble(s, dir)
+        val (_, ranks) = ivfIndex(s, dir)
+        val withVec = ranks.filter(col("rn") === 1)
+          .select(col("vec_id"), col("cent_id").as("cell"))
+          .join(emb, "vec_id")
+          .select(col("vec_id"), col("cell"), col("embedding"))
+        val df = subBandedCellPairs(withVec, MaxCellPairFanout)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        df.count()
+        cellPairCache.put(key, df)
+        df
+      }
+    }
+  }
+
   /** Oracle twin of `subBandedCellPairs`: SRP signatures, cell sizes,
     * sub-banded join keys and the unthresholded within-key cosine
     * pairs. Expects `idx`/`assign` from [[duckKmeans]] in scope; ends

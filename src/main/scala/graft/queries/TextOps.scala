@@ -53,13 +53,29 @@ object TextOps {
   private val indexCache =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
 
+  /** NB: double-checked + synchronized rather than computeIfAbsent —
+    * index builds NEST (the CC group index builds on the pair-kernel
+    * index), and a nested computeIfAbsent on one ConcurrentHashMap
+    * throws "Recursive update". The monitor is reentrant, so a build
+    * may cache-build its own inputs; concurrent first-builders of
+    * different indexes serialize, which only affects the one warm-up
+    * pass.
+    */
   private[queries] def cachedIndex(key: String)(
-      build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    indexCache.computeIfAbsent(key, _ => {
-      val df = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      df.count() // the "build" step, once
-      df
-    })
+      build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val hit = indexCache.get(key)
+    if (hit != null) hit
+    else indexCache.synchronized {
+      val again = indexCache.get(key)
+      if (again != null) again
+      else {
+        val df = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        df.count() // the "build" step, once
+        indexCache.put(key, df)
+        df
+      }
+    }
+  }
 
   /** Wide MinHash signature (doc_id, h0..h11) — q27's hash family: 3
     * salted md5 digests per shingle split into four 8-hex words → 12
@@ -1047,15 +1063,19 @@ object TextOps {
       val bi = docs(s, dir)
         .select(col("doc_id"),
           explode(graft.functions.TextExprs.ngrams(wordsCol, 2)).as("p"))
-        .withColumn("l", substring_index(col("p"), " ", 1))
       val c12 = bi.groupBy("p").agg(count(lit(1)).as("c12"))
       val cl = c12
         .groupBy(substring_index(col("p"), " ", 1).as("l"))
         .agg(sum("c12").as("cl"))
-      val per = bi.join(c12, "p").join(cl, "l")
-        .withColumn("t",
+      // fold the model into ONE vocabulary-level term table (pair →
+      // rounded inverse probability) so the corpus-scale bigram stream
+      // joins once, not twice — the c12⋈cl join is pair-vocab-sized
+      val term = c12
+        .join(cl, substring_index(col("p"), " ", 1) === col("l"))
+        .select(col("p"),
           round(col("cl").cast("double") / col("c12"), 6)
-            .cast(org.apache.spark.sql.types.DecimalType(20, 6)))
+            .cast(org.apache.spark.sql.types.DecimalType(20, 6)).as("t"))
+      val per = bi.join(term, "p")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n"), sum("t").as("s"))
       docs(s, dir).select("doc_id")
