@@ -1087,6 +1087,81 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    // HELD-OUT surprisal (q87 × q91, the composition that makes the
+    // statistic honest): train the bigram model on the TRAIN split
+    // only, score val/test documents against it — unseen transitions
+    // back off to 10× the left-context unigram inverse probability
+    // (a stupid-backoff-shaped penalty, exact rational arithmetic).
+    // In-corpus scoring (q91) flatters memorized text; held-out
+    // scoring is what a perplexity FILTER actually deploys, and the
+    // train/score asymmetry is the same join topology — the model
+    // tables just come from a split-filtered scan. Left-context
+    // counts unseen in training back off to a flat 1000 penalty.
+    QueryDef(
+      "q100_heldout_surprisal",
+      """WITH b AS (
+        |  SELECT doc_id,
+        |         CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |           % 100 AS bucket
+        |  FROM documents
+        |), tok AS (
+        |  SELECT t.doc_id, b.bucket, w, pos FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+        |           generate_subscripts(string_split(text, ' '), 1) AS pos
+        |    FROM documents) t JOIN b ON b.doc_id = t.doc_id
+        |), bi AS (
+        |  SELECT doc_id, bucket, w AS l, w || ' ' || LEAD(w) OVER win AS p
+        |  FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+        |  QUALIFY LEAD(w) OVER win IS NOT NULL
+        |), c12 AS (
+        |  SELECT p, COUNT(*) AS c12 FROM bi WHERE bucket < 80 GROUP BY p
+        |), cl AS (
+        |  SELECT string_split(p, ' ')[1] AS l, SUM(c12) AS cl
+        |  FROM c12 GROUP BY 1
+        |), term AS (
+        |  SELECT e.doc_id,
+        |         CAST(ROUND(CASE
+        |           WHEN c12.c12 IS NOT NULL THEN CAST(cl.cl AS DOUBLE) / c12.c12
+        |           WHEN cl.cl IS NOT NULL THEN 10.0 * cl.cl
+        |           ELSE 1000.0 END, 6) AS DECIMAL(20,6)) AS t
+        |  FROM bi e
+        |  LEFT JOIN c12 ON c12.p = e.p
+        |  LEFT JOIN cl ON cl.l = e.l
+        |  WHERE e.bucket >= 80
+        |), per AS (
+        |  SELECT doc_id, COUNT(*) AS n, SUM(t) AS s FROM term GROUP BY doc_id
+        |)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_bigrams,
+        |       CAST(ROUND(CAST(s AS DOUBLE) / n, 4) AS DOUBLE) AS mean_surprisal
+        |FROM per ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val bucket = expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint)") % 100
+      val bi = docs(s, dir)
+        .withColumn("bucket", bucket)
+        .select(col("doc_id"), col("bucket"),
+          explode(graft.functions.TextExprs.ngrams(wordsCol, 2)).as("p"))
+        .withColumn("l", substring_index(col("p"), " ", 1))
+      val train = bi.filter(col("bucket") < 80)
+      val c12 = train.groupBy("p").agg(count(lit(1)).as("c12"))
+      val cl = c12
+        .groupBy(substring_index(col("p"), " ", 1).as("l"))
+        .agg(sum("c12").as("cl"))
+      val term = bi.filter(col("bucket") >= 80)
+        .join(c12, Seq("p"), "left")
+        .join(cl, Seq("l"), "left")
+        .withColumn("t",
+          round(
+            when(col("c12").isNotNull, col("cl").cast("double") / col("c12"))
+              .when(col("cl").isNotNull, lit(10.0) * col("cl"))
+              .otherwise(lit(1000.0)), 6)
+            .cast(org.apache.spark.sql.types.DecimalType(20, 6)))
+      term.groupBy("doc_id")
+        .agg(count(lit(1)).as("n"), sum("t").as("s"))
+        .select(col("doc_id"), col("n").cast("long").as("n_bigrams"),
+          round(col("s").cast("double") / col("n"), 4).as("mean_surprisal"))
+        .orderBy("doc_id")
+    },
+
     // Cross-source duplication matrix: count LSH near-dup candidate
     // pairs per (source, source) — the provenance dashboard that shows
     // which feeds mirror each other (syndication, scrapes of scrapes).

@@ -294,6 +294,30 @@ class Round4Spec extends SparkSpec {
     }
   }
 
+  test("q100: scores exactly the val/test docs; held-out >= in-corpus surprisal") {
+    val held = run("q100_heldout_surprisal")
+    // scored docs = exactly the non-train split members with >= 2 tokens
+    val bucket = expr(
+      "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint)") % 100
+    val expected = graft.Tables.load(spark, sf, "documents")
+      .filter(bucket >= 80 && size(split(col("text"), " ")) >= 2)
+      .select("doc_id")
+    assert(held.select("doc_id").except(expected).isEmpty
+      && expected.except(held.select("doc_id")).isEmpty)
+    // held-out scoring can only look worse than in-corpus scoring:
+    // every transition's train count <= its full-corpus count, and
+    // unseen transitions pay the backoff premium
+    val both = held.select(col("doc_id"), col("mean_surprisal").as("ho"))
+      .join(run("q91_bigram_surprisal")
+        .select(col("doc_id"), col("mean_inv_prob").as("ic")), "doc_id")
+    // (not strictly per-doc — train-table denominators shrink too — so
+    // assert on the mean, where the backoff premium dominates)
+    val r = both.agg(avg("ho"), avg("ic")).collect()(0)
+    assert(r.getDouble(0) >= r.getDouble(1),
+      s"held-out mean ${r.getDouble(0)} vs in-corpus ${r.getDouble(1)}")
+    held.collect().foreach(x => assert(x.getDouble(2) >= 1.0))
+  }
+
   test("q78: no false negatives; false-positive count near the 1% design point") {
     val rows = run("q78_bloom_decontamination").collect()
     assert(rows.forall(_.getBoolean(2)), "bloom filter lost an exact hit")
