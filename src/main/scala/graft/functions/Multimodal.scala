@@ -504,6 +504,82 @@ object Multimodal {
         lit(0L).as("duration_ms")).as("meta"))
   }
 
+  /** "Thumbnail farm" asset table: a SMALL space of distinct rasters
+    * (width/height/seed each drawn from a few residues) re-published
+    * under many asset ids — the syndicated-thumbnail situation visual
+    * dedup exists for. Content is a pure function of
+    * (n_chars%4, n_chars%3, doc_id%5), so an oracle can predict which
+    * assets are pixel-identical without decoding anything.
+    */
+  def thumbnailAssets(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("n_chars").cast("int"))
+      .as[(Long, Int)]
+      .mapPartitions(_.map { case (id, nChars) =>
+        val w = nChars % 4 + 8
+        val h = nChars % 3 + 8
+        (id, "image/png", ImageCodec.encodePng(w, h, id % 5), w, h)
+      })
+      .toDF("asset_id", "media_type", "content", "w", "h")
+      .select(col("asset_id"), col("media_type"), col("content"),
+        struct(col("w").as("width"), col("h").as("height"),
+          lit(0L).as("duration_ms")).as("meta"))
+  }
+
+  /** 64-bit perceptual average-hash over a REAL decode: 8×8 block-mean
+    * grid, each cell thresholded against the global mean. All-integer
+    * arithmetic (cellSum·nTotal vs totalSum·nCell cross-multiplication,
+    * no doubles, no platform-dependent resampling), so the hash is
+    * bit-identical on every JVM/partitioning — pixel-identical inputs
+    * hash equal by construction, and 64 bits keep distinct rasters
+    * apart. Returned as 16-hex; None when the payload doesn't decode.
+    */
+  def aHash64(bytes: Array[Byte]): Option[String] =
+    try Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))).map { img =>
+      val w = img.getWidth
+      val h = img.getHeight
+      val cellSum = new Array[Long](64)
+      val cellN = new Array[Long](64)
+      var y = 0
+      while (y < h) {
+        val cy = y * 8 / h
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y)
+          val gray = ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+          val c = cy * 8 + x * 8 / w
+          cellSum(c) += gray
+          cellN(c) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val totalSum = cellSum.sum
+      val nTotal = w.toLong * h
+      var bits = 0L
+      var c = 0
+      while (c < 64) {
+        if (cellSum(c) * nTotal >= totalSum * cellN(c)) bits |= (1L << c)
+        c += 1
+      }
+      f"$bits%016x"
+    } catch { case _: Exception => None }
+
+  /** Per-partition real decode → perceptual hash; undecodable rows are
+    * dropped (they cannot be visually deduped).
+    */
+  def imagePHashes(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select("asset_id", "content").as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        aHash64(bytes).map(hx => (id, hx))
+      })
+      .toDF("asset_id", "phash")
+  }
+
   final case class ImageFeatures(
       asset_id: Long, width: Int, height: Int,
       mean_r: Double, mean_g: Double, mean_b: Double, decoded: Boolean)

@@ -794,6 +794,40 @@ object Ext2 {
         .orderBy("asset_id")
     },
 
+    // Visual dedup by perceptual hash over REAL decodes: the thumbnail
+    // corpus publishes a small space of distinct rasters under many
+    // asset ids (syndicated thumbnails); every asset is PNG-decoded and
+    // aHashed (8×8 block means, integer-exact), then grouped by hash —
+    // keep-min retention exactly like q25, but the key comes from
+    // pixels, not text. The oracle predicts pixel-identity from the
+    // generator's residues ((n_chars%4, n_chars%3, doc_id%5) ↔ raster),
+    // so the gate fails if the decoder or the hash ever diverges from
+    // true pixel equality. Scale shape: decode+hash is a map-only
+    // partition pass; one shuffle on the 16-hex key.
+    QueryDef(
+      "q101_image_phash_dedup",
+      """SELECT doc_id AS asset_id,
+        |       CAST(MIN(doc_id) OVER (PARTITION BY n_chars % 4,
+        |              n_chars % 3, doc_id % 5) AS BIGINT) AS group_id,
+        |       CAST(COUNT(*) OVER (PARTITION BY n_chars % 4,
+        |              n_chars % 3, doc_id % 5) AS BIGINT) AS group_size,
+        |       doc_id <> MIN(doc_id) OVER (PARTITION BY n_chars % 4,
+        |              n_chars % 3, doc_id % 5) AS is_dup
+        |FROM documents ORDER BY asset_id""".stripMargin) { (s, dir) =>
+      val assets = graft.functions.Multimodal.thumbnailAssets(
+        Tables.load(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism))
+      val hashes = graft.functions.Multimodal.imagePHashes(assets)
+      val groups = hashes.groupBy("phash").agg(
+        min("asset_id").as("group_id"),
+        count(lit(1)).as("group_size"))
+      hashes.join(groups, "phash")
+        .select(col("asset_id"), col("group_id"),
+          col("group_size").cast("long").as("group_size"),
+          (col("asset_id") =!= col("group_id")).as("is_dup"))
+        .orderBy("asset_id")
+    },
+
     // REAL WAV decode under the oracle gate (same invariant shape as
     // q62): documents → actual 8 kHz 16-bit PCM WAV payloads →
     // javax.sound decode. duration_ms = n_chars by construction

@@ -318,6 +318,28 @@ class Round4Spec extends SparkSpec {
     held.collect().foreach(x => assert(x.getDouble(2) >= 1.0))
   }
 
+  test("q101: phash groups are exactly pixel-identity groups") {
+    val out = run("q101_image_phash_dedup")
+    val docs = graft.Tables.load(spark, sf, "documents")
+    assert(out.count() === docs.count())
+    // group count must equal the generator's distinct raster count
+    val distinctRasters = docs
+      .select((col("n_chars") % 4).as("a"), (col("n_chars") % 3).as("b"),
+        (col("doc_id") % 5).as("c")).distinct().count()
+    assert(out.select("group_id").distinct().count() === distinctRasters)
+    // every group's members carry byte-identical payloads (decode-free
+    // cross-check of the decode-based grouping)
+    val assets = graft.functions.Multimodal.thumbnailAssets(docs)
+      .select(col("asset_id"), md5(col("content")).as("cm"))
+    val perGroup = out.join(assets, "asset_id")
+      .groupBy("group_id").agg(countDistinct("cm").as("n_payloads"))
+    assert(perGroup.filter(col("n_payloads") =!= 1).count() === 0)
+    // keep-min accounting
+    val n = out.count()
+    val dups = out.filter(col("is_dup")).count()
+    assert(dups === n - distinctRasters)
+  }
+
   test("q78: no false negatives; false-positive count near the 1% design point") {
     val rows = run("q78_bloom_decontamination").collect()
     assert(rows.forall(_.getBoolean(2)), "bloom filter lost an exact hit")
