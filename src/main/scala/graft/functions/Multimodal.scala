@@ -289,6 +289,70 @@ object Multimodal {
       .toDF("asset_id", "media_type", "content")
   }
 
+  /** Audio "thumbnail farm": a small space of distinct clips
+    * ((n_chars%6, doc_id%5) → waveform) re-published under many asset
+    * ids — jingles/idents syndicated across feeds; the audio analog of
+    * [[thumbnailAssets]], sample-identity predictable by residue.
+    */
+  def audioThumbnails(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("n_chars").cast("int"))
+      .as[(Long, Int)]
+      .mapPartitions(_.map { case (id, nChars) =>
+        (id, "audio/wav",
+          AudioCodec.encodeWav((nChars % 6 + 2) * 400, 8000, id % 5))
+      })
+      .toDF("asset_id", "media_type", "content")
+  }
+
+  /** 64-bit audio energy fingerprint over a REAL decode: 64 equal
+    * sample windows, each window's |sample| sum thresholded against
+    * the global mean by integer cross-multiplication — the same
+    * platform-exact construction as [[aHash64]], over PCM instead of
+    * pixels. Sample-identical clips fingerprint equal by construction.
+    */
+  def audioFingerprint64(bytes: Array[Byte]): Option[String] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val pcm = in.readAllBytes()
+      val n = pcm.length / 2
+      if (n < 64) None
+      else {
+        val winSum = new Array[Long](64)
+        val winN = new Array[Long](64)
+        var i = 0
+        while (i < n) {
+          val s = ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort
+          val w = i * 64 / n
+          winSum(w) += math.abs(s.toInt)
+          winN(w) += 1
+          i += 1
+        }
+        val totalSum = winSum.sum
+        var bits = 0L
+        var w = 0
+        while (w < 64) {
+          if (winSum(w) * n >= totalSum * winN(w)) bits |= (1L << w)
+          w += 1
+        }
+        Some(f"$bits%016x")
+      }
+    } catch { case _: Exception => None }
+
+  /** Per-partition real decode → audio fingerprint; undecodable or
+    * too-short rows dropped. */
+  def audioFingerprints(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select("asset_id", "content").as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        audioFingerprint64(bytes).map(fp => (id, fp))
+      })
+      .toDF("asset_id", "afp")
+  }
+
   final case class AudioFeatures(
       asset_id: Long, sample_rate: Int, n_frames: Long,
       duration_ms: Long, rms: Double, decoded: Boolean)

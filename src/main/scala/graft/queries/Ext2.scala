@@ -850,6 +850,37 @@ object Ext2 {
         .orderBy("asset_id")
     },
 
+    // Audio fingerprint dedup — q101's retention policy for sound:
+    // syndicated clips (the audioThumbnails farm) are WAV-decoded,
+    // energy-fingerprinted (64 integer-exact windows), and grouped by
+    // fingerprint with keep-min retention. Oracle predicts
+    // sample-identity from the generator residues, so a decoder or
+    // fingerprint divergence from true sample equality fails the gate.
+    // Map-only decode pass + one shuffle on the fingerprint key.
+    QueryDef(
+      "q102_audio_fingerprint_dedup",
+      """SELECT doc_id AS asset_id,
+        |       CAST(MIN(doc_id) OVER (PARTITION BY n_chars % 6, doc_id % 5)
+        |            AS BIGINT) AS group_id,
+        |       CAST(COUNT(*) OVER (PARTITION BY n_chars % 6, doc_id % 5)
+        |            AS BIGINT) AS group_size,
+        |       doc_id <> MIN(doc_id) OVER (PARTITION BY n_chars % 6, doc_id % 5)
+        |         AS is_dup
+        |FROM documents ORDER BY asset_id""".stripMargin) { (s, dir) =>
+      val assets = graft.functions.Multimodal.audioThumbnails(
+        Tables.load(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism))
+      val fps = graft.functions.Multimodal.audioFingerprints(assets)
+      val groups = fps.groupBy("afp").agg(
+        min("asset_id").as("group_id"),
+        count(lit(1)).as("group_size"))
+      fps.join(groups, "afp")
+        .select(col("asset_id"), col("group_id"),
+          col("group_size").cast("long").as("group_size"),
+          (col("asset_id") =!= col("group_id")).as("is_dup"))
+        .orderBy("asset_id")
+    },
+
     // REAL video decode under the oracle gate: documents → actual Y4M
     // (YUV4MPEG2) streams, hand-parsed per partition. The Y4M header
     // carries NO frame count, so n_frames can only come from walking

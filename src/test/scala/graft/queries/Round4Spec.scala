@@ -340,6 +340,22 @@ class Round4Spec extends SparkSpec {
     assert(dups === n - distinctRasters)
   }
 
+  test("q102: fingerprint groups are exactly sample-identity groups") {
+    val out = run("q102_audio_fingerprint_dedup")
+    val docs = graft.Tables.load(spark, sf, "documents")
+    assert(out.count() === docs.count())
+    val distinctClips = docs
+      .select((col("n_chars") % 6).as("a"), (col("doc_id") % 5).as("b"))
+      .distinct().count()
+    assert(out.select("group_id").distinct().count() === distinctClips)
+    // byte-identical payload cross-check, like q101's
+    val assets = graft.functions.Multimodal.audioThumbnails(docs)
+      .select(col("asset_id"), md5(col("content")).as("cm"))
+    val perGroup = out.join(assets, "asset_id")
+      .groupBy("group_id").agg(countDistinct("cm").as("n_payloads"))
+    assert(perGroup.filter(col("n_payloads") =!= 1).count() === 0)
+  }
+
   test("q78: no false negatives; false-positive count near the 1% design point") {
     val rows = run("q78_bloom_decontamination").collect()
     assert(rows.forall(_.getBoolean(2)), "bloom filter lost an exact hit")
