@@ -526,6 +526,50 @@ object Multimodal {
       .toDF("asset_id", "media_type", "content")
   }
 
+  /** Video "thumbnail farm": distinct clips drawn from a small residue
+    * space ((n_chars%3, n_chars%2, n_chars%4, doc_id%5) → stream),
+    * re-published under many asset ids — the looping-clip/syndicated-
+    * promo case; stream-identity predictable by residue.
+    */
+  def videoThumbnails(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("n_chars").cast("int"))
+      .as[(Long, Int)]
+      .mapPartitions(_.map { case (id, nChars) =>
+        val w = nChars % 3 + 8
+        val h = nChars % 2 + 8
+        val nf = nChars % 4 + 2
+        (id, "video/y4m", VideoCodec.encodeY4m(w, h, nf, 25, 1, id % 5))
+      })
+      .toDF("asset_id", "media_type", "content")
+  }
+
+  /** Content signature over a REAL stream walk: geometry plus every
+    * frame's mean luma (fixed 6-decimal formatting) hashed to md5 —
+    * the per-frame-feature signature family video dedup uses. Walks
+    * all frames (stride 1); None when the stream doesn't decode.
+    */
+  def videoSignature(bytes: Array[Byte]): Option[String] =
+    VideoCodec.decode(bytes).map { m =>
+      val frames = VideoCodec.sampleFrames(bytes, 1)
+        .map { case (i, luma) => f"$i:$luma%.6f" }.mkString(";")
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s"${m.width}x${m.height};$frames".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+    }
+
+  /** Per-partition real stream walk → signature; undecodable dropped. */
+  def videoSignatures(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select("asset_id", "content").as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        videoSignature(bytes).map(sg => (id, sg))
+      })
+      .toDF("asset_id", "vsig")
+  }
+
   final case class VideoFeatures(
       asset_id: Long, width: Int, height: Int, n_frames: Long,
       duration_ms: Long, n_sampled: Long, decoded: Boolean)

@@ -881,6 +881,38 @@ object Ext2 {
         .orderBy("asset_id")
     },
 
+    // Video signature dedup — completing the multimodal dedup trio
+    // (q101 pixels, q102 samples, here streams): each clip's REAL Y4M
+    // walk yields a per-frame luma signature, grouped with keep-min
+    // retention; the oracle predicts stream identity from the
+    // generator residues. Frame-level features (not byte hashes) are
+    // what production video dedup signatures are built from, so a
+    // container-level difference with identical frames still collides
+    // — exactly the desired semantics. Map-only walk + one shuffle.
+    QueryDef(
+      "q103_video_signature_dedup",
+      """SELECT doc_id AS asset_id,
+        |       CAST(MIN(doc_id) OVER w AS BIGINT) AS group_id,
+        |       CAST(COUNT(*) OVER w AS BIGINT) AS group_size,
+        |       doc_id <> MIN(doc_id) OVER w AS is_dup
+        |FROM documents
+        |WINDOW w AS (PARTITION BY n_chars % 3, n_chars % 2,
+        |             n_chars % 4, doc_id % 5)
+        |ORDER BY asset_id""".stripMargin) { (s, dir) =>
+      val assets = graft.functions.Multimodal.videoThumbnails(
+        Tables.load(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism))
+      val sigs = graft.functions.Multimodal.videoSignatures(assets)
+      val groups = sigs.groupBy("vsig").agg(
+        min("asset_id").as("group_id"),
+        count(lit(1)).as("group_size"))
+      sigs.join(groups, "vsig")
+        .select(col("asset_id"), col("group_id"),
+          col("group_size").cast("long").as("group_size"),
+          (col("asset_id") =!= col("group_id")).as("is_dup"))
+        .orderBy("asset_id")
+    },
+
     // REAL video decode under the oracle gate: documents → actual Y4M
     // (YUV4MPEG2) streams, hand-parsed per partition. The Y4M header
     // carries NO frame count, so n_frames can only come from walking

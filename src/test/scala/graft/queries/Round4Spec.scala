@@ -356,6 +356,22 @@ class Round4Spec extends SparkSpec {
     assert(perGroup.filter(col("n_payloads") =!= 1).count() === 0)
   }
 
+  test("q103: signature groups are exactly stream-identity groups") {
+    val out = run("q103_video_signature_dedup")
+    val docs = graft.Tables.load(spark, sf, "documents")
+    assert(out.count() === docs.count())
+    val distinctClips = docs
+      .select((col("n_chars") % 3).as("a"), (col("n_chars") % 2).as("b"),
+        (col("n_chars") % 4).as("c"), (col("doc_id") % 5).as("d"))
+      .distinct().count()
+    assert(out.select("group_id").distinct().count() === distinctClips)
+    val assets = graft.functions.Multimodal.videoThumbnails(docs)
+      .select(col("asset_id"), md5(col("content")).as("cm"))
+    val perGroup = out.join(assets, "asset_id")
+      .groupBy("group_id").agg(countDistinct("cm").as("n_payloads"))
+    assert(perGroup.filter(col("n_payloads") =!= 1).count() === 0)
+  }
+
   test("q78: no false negatives; false-positive count near the 1% design point") {
     val rows = run("q78_bloom_decontamination").collect()
     assert(rows.forall(_.getBoolean(2)), "bloom filter lost an exact hit")
