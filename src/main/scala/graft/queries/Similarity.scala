@@ -344,6 +344,15 @@ object Similarity {
     * with `cents`(cent_id, i, v) as per-dim rows, `ranked`(vec_id,
     * cent_id, rn) and `assign`(vec_id, cent_id).
     */
+  /** The same k-means chain trained over an arbitrary relation (CTE
+    * name) instead of the full `embeddings` table — incremental-update
+    * oracles train on the pre-existing corpus only. The base string
+    * only uses "embeddings" as a table reference, so a blanket
+    * substitution is exact.
+    */
+  private[queries] def duckKmeansOn(rel: String): String =
+    duckKmeans.replace("embeddings", rel)
+
   private[queries] val duckKmeans: String =
     s"""idx AS (SELECT unnest(range(1, 65)) AS i),
        |c0 AS (SELECT vec_id AS cent_id, embedding FROM embeddings
@@ -880,6 +889,64 @@ object Similarity {
         .select(col("qid"), col("cid"), col("sqdist").cast("double").as("sqdist"),
           col("rn"))
         .orderBy("qid", "rn")
+    },
+
+    // Incremental IVF index maintenance — the MAINTAIN step of the ANN
+    // lifecycle (train q31, serve q73, capacity q82, quality q85):
+    // a new vector batch (10% of the corpus stands in as "arrived
+    // later") is assigned to centroids trained on the EXISTING corpus
+    // only, without retraining — per-cell base/new counts and growth
+    // ratios are the signal that schedules the actual retrain (skewed
+    // growth = drifted centroids). Scale shape: training sweeps only
+    // the historical corpus (already done at ingest in production —
+    // recomputed here so the oracle can replay it); the incremental
+    // step is ONE broadcast distance sweep over the batch, O(batch),
+    // never a corpus rescan.
+    QueryDef(
+      "q104_ivf_incremental_update",
+      s"""WITH emb_old AS (
+         |  SELECT * FROM embeddings WHERE vec_id % 10 <> 9
+         |), ${duckKmeansOn("emb_old")},
+         |newv AS (SELECT * FROM embeddings WHERE vec_id % 10 = 9),
+         |ndist AS (
+         |  SELECT e.vec_id, c.cent_id,
+         |         ROUND(SUM((CAST(e.embedding[c.i] AS DOUBLE) - c.v)
+         |                   * (CAST(e.embedding[c.i] AS DOUBLE) - c.v)), 6) AS sqdist
+         |  FROM newv e CROSS JOIN cents c
+         |  GROUP BY e.vec_id, c.cent_id
+         |), nassign AS (
+         |  SELECT vec_id, cent_id FROM (
+         |    SELECT vec_id, cent_id,
+         |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sqdist, cent_id) AS rn
+         |    FROM ndist) t WHERE rn = 1
+         |), base AS (
+         |  SELECT cent_id, COUNT(*) AS n_base FROM assign GROUP BY cent_id
+         |), nb AS (
+         |  SELECT cent_id, COUNT(*) AS n_new FROM nassign GROUP BY cent_id
+         |)
+         |SELECT b.cent_id AS cell,
+         |       CAST(b.n_base AS BIGINT) AS n_base,
+         |       CAST(COALESCE(nb.n_new, 0) AS BIGINT) AS n_new,
+         |       CAST(ROUND(CAST(COALESCE(nb.n_new, 0) AS DECIMAL(20,6))
+         |                  / b.n_base, 4) AS DOUBLE) AS growth
+         |FROM base b LEFT JOIN nb ON nb.cent_id = b.cent_id
+         |ORDER BY cell""".stripMargin) { (s, dir) =>
+      val embD = embDouble(s, dir)
+      val old = embD.filter(col("vec_id") % 10 =!= 9)
+      val fresh = embD.filter(col("vec_id") % 10 === 9)
+      val cents = kmeansCentroids(old)
+      val base = nearestCell(old, cents)
+        .groupBy("cent_id").agg(count(lit(1)).as("n_base"))
+      val added = nearestCell(fresh, cents)
+        .groupBy("cent_id").agg(count(lit(1)).as("n_new"))
+      base.join(added, Seq("cent_id"), "left")
+        .select(col("cent_id").as("cell"),
+          col("n_base").cast("long").as("n_base"),
+          coalesce(col("n_new"), lit(0L)).cast("long").as("n_new"),
+          round(coalesce(col("n_new"), lit(0L))
+            .cast(org.apache.spark.sql.types.DecimalType(20, 6))
+            / col("n_base"), 4).cast("double").as("growth"))
+        .orderBy("cell")
     }
   )
 }

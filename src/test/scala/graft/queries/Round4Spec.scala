@@ -372,6 +372,19 @@ class Round4Spec extends SparkSpec {
     assert(perGroup.filter(col("n_payloads") =!= 1).count() === 0)
   }
 
+  test("q104: every base and new vector lands in exactly one cell") {
+    val rows = run("q104_ivf_incremental_update").collect()
+    assert(rows.nonEmpty)
+    val emb = graft.Tables.load(spark, sf, "embeddings")
+    val nOld = emb.filter(col("vec_id") % 10 =!= 9).count()
+    val nNew = emb.filter(col("vec_id") % 10 === 9).count()
+    assert(rows.map(_.getLong(1)).sum === nOld,
+      "base assignment must partition the historical corpus")
+    assert(rows.map(_.getLong(2)).sum === nNew,
+      "incremental assignment must partition the batch")
+    rows.foreach(r => assert(r.getDouble(3) >= 0.0))
+  }
+
   test("q78: no false negatives; false-positive count near the 1% design point") {
     val rows = run("q78_bloom_decontamination").collect()
     assert(rows.forall(_.getBoolean(2)), "bloom filter lost an exact hit")
