@@ -444,6 +444,30 @@ object Framework {
       eng.wh.read("m11_evo")
         .select("o_orderkey", "o_orderstatus", "extra")
         .orderBy("o_orderkey")
+    },
+
+    // cluster_by materialization under the oracle: the range-clustered
+    // write (repartitionByRange + sortWithinPartitions) must be
+    // CONTENT-LOSSLESS — layout changes, rows don't. TasksSpec proves
+    // the pruning property (disjoint per-file min/max footers); this
+    // flow proves the data survives the layout transform bit-for-bit,
+    // which is the invariant an OPTIMIZE/cluster job must never break.
+    QueryDef(
+      "m12_cluster_by",
+      """SELECT o_orderkey, o_custkey,
+        |       CAST(o_totalprice AS DOUBLE) AS price
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val wh = scratch()
+      graft.Tables.registerAll(s, dir)
+      val eng = new Engine(s, Manifest(Map.empty), wh)
+      Materializer.table(eng.wh, "m12_clustered",
+        """SELECT o_orderkey, o_custkey,
+          |       CAST(o_totalprice AS DOUBLE) AS price
+          |FROM orders""".stripMargin,
+        clusterBy = Seq("o_custkey"))
+      eng.wh.read("m12_clustered")
+        .select("o_orderkey", "o_custkey", "price")
+        .orderBy("o_orderkey")
     }
   )
 }
