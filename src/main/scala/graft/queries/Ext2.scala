@@ -786,9 +786,11 @@ object Ext2 {
         |       CAST(n_chars % 16 + 8 AS INT) AS height,
         |       TRUE AS decoded
         |FROM documents ORDER BY asset_id""".stripMargin) { (s, dir) =>
-      val imgs = graft.functions.Multimodal.imageAssetsFromDocuments(
-        Tables.load(s, dir, "documents")
-          .repartition(s.sparkContext.defaultParallelism))
+      val imgs = TextOps.cachedIndex(
+        s"imgassets|${System.identityHashCode(s)}|$dir")(
+        graft.functions.Multimodal.imageAssetsFromDocuments(
+          Tables.load(s, dir, "documents")
+            .repartition(s.sparkContext.defaultParallelism)))
       graft.functions.Multimodal.extractImageFeatures(imgs).toDF()
         .select(col("asset_id"), col("width"), col("height"), col("decoded"))
         .orderBy("asset_id")
@@ -814,9 +816,11 @@ object Ext2 {
         |       doc_id <> MIN(doc_id) OVER (PARTITION BY n_chars % 4,
         |              n_chars % 3, doc_id % 5) AS is_dup
         |FROM documents ORDER BY asset_id""".stripMargin) { (s, dir) =>
-      val assets = graft.functions.Multimodal.thumbnailAssets(
-        Tables.load(s, dir, "documents")
-          .repartition(s.sparkContext.defaultParallelism))
+      val assets = TextOps.cachedIndex(
+        s"imgthumbs|${System.identityHashCode(s)}|$dir")(
+        graft.functions.Multimodal.thumbnailAssets(
+          Tables.load(s, dir, "documents")
+            .repartition(s.sparkContext.defaultParallelism)))
       val hashes = graft.functions.Multimodal.imagePHashes(assets)
       val groups = hashes.groupBy("phash").agg(
         min("asset_id").as("group_id"),
@@ -841,9 +845,11 @@ object Ext2 {
         |       CAST(n_chars AS BIGINT) AS duration_ms,
         |       TRUE AS decoded
         |FROM documents ORDER BY asset_id""".stripMargin) { (s, dir) =>
-      val wavs = graft.functions.Multimodal.audioAssetsFromDocuments(
-        Tables.load(s, dir, "documents")
-          .repartition(s.sparkContext.defaultParallelism))
+      val wavs = TextOps.cachedIndex(
+        s"wavassets|${System.identityHashCode(s)}|$dir")(
+        graft.functions.Multimodal.audioAssetsFromDocuments(
+          Tables.load(s, dir, "documents")
+            .repartition(s.sparkContext.defaultParallelism)))
       graft.functions.Multimodal.extractAudioFeatures(wavs).toDF()
         .select(col("asset_id"), col("sample_rate"), col("n_frames"),
           col("duration_ms"), col("decoded"))
@@ -867,9 +873,11 @@ object Ext2 {
         |       doc_id <> MIN(doc_id) OVER (PARTITION BY n_chars % 6, doc_id % 5)
         |         AS is_dup
         |FROM documents ORDER BY asset_id""".stripMargin) { (s, dir) =>
-      val assets = graft.functions.Multimodal.audioThumbnails(
-        Tables.load(s, dir, "documents")
-          .repartition(s.sparkContext.defaultParallelism))
+      val assets = TextOps.cachedIndex(
+        s"wavthumbs|${System.identityHashCode(s)}|$dir")(
+        graft.functions.Multimodal.audioThumbnails(
+          Tables.load(s, dir, "documents")
+            .repartition(s.sparkContext.defaultParallelism)))
       val fps = graft.functions.Multimodal.audioFingerprints(assets)
       val groups = fps.groupBy("afp").agg(
         min("asset_id").as("group_id"),
@@ -899,9 +907,11 @@ object Ext2 {
         |WINDOW w AS (PARTITION BY n_chars % 3, n_chars % 2,
         |             n_chars % 4, doc_id % 5)
         |ORDER BY asset_id""".stripMargin) { (s, dir) =>
-      val assets = graft.functions.Multimodal.videoThumbnails(
-        Tables.load(s, dir, "documents")
-          .repartition(s.sparkContext.defaultParallelism))
+      val assets = TextOps.cachedIndex(
+        s"vidthumbs|${System.identityHashCode(s)}|$dir")(
+        graft.functions.Multimodal.videoThumbnails(
+          Tables.load(s, dir, "documents")
+            .repartition(s.sparkContext.defaultParallelism)))
       val sigs = graft.functions.Multimodal.videoSignatures(assets)
       val groups = sigs.groupBy("vsig").agg(
         min("asset_id").as("group_id"),
@@ -930,9 +940,11 @@ object Ext2 {
         |       CAST(CEIL((n_chars % 10 + 2) / 2.0) AS BIGINT) AS n_sampled,
         |       TRUE AS decoded
         |FROM documents ORDER BY asset_id""".stripMargin) { (s, dir) =>
-      val vids = graft.functions.Multimodal.videoAssetsFromDocuments(
-        Tables.load(s, dir, "documents")
-          .repartition(s.sparkContext.defaultParallelism))
+      val vids = TextOps.cachedIndex(
+        s"vidassets|${System.identityHashCode(s)}|$dir")(
+        graft.functions.Multimodal.videoAssetsFromDocuments(
+          Tables.load(s, dir, "documents")
+            .repartition(s.sparkContext.defaultParallelism)))
       graft.functions.Multimodal.extractVideoFeatures(vids).toDF()
         .select(col("asset_id"), col("width"), col("height"),
           col("n_frames"), col("duration_ms"), col("n_sampled"),
