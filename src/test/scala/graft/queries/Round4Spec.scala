@@ -114,6 +114,43 @@ class Round4Spec extends SparkSpec {
     assert(rows.map(_.getLong(2)).sum === totalMass - vocabMass)
   }
 
+  test("partitionedComponents == CC fixpoint on RANDOM cell-keyed graphs") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // random graphs: 3 cells, nodes drawn per cell, random edge sets —
+    // stresses chains, cycles, singleton merges, and late-arriving
+    // minimum labels far beyond the fixed case below
+    val edgeGen: Gen[List[(Long, Long, Long)]] =
+      Gen.listOfN(40, for {
+        cell <- Gen.choose(1L, 3L)
+        a <- Gen.choose(0L, 14L)
+        b0 <- Gen.choose(0L, 13L)
+      } yield {
+        val b = if (b0 >= a) b0 + 1 else b0 // b != a, no filter retries
+        (cell, cell * 100 + a, cell * 100 + b)
+      })
+    def brute(edges: Seq[(Long, Long, Long)]): Set[(Long, Long)] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r
+      }
+      edges.foreach { case (_, a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      edges.flatMap(e => Seq(e._2, e._3)).toSet.map((n: Long) => (n, find(n)))
+    }
+    (0 until 4).foreach { i =>
+      val edges = edgeGen(Gen.Parameters.default, Seed(1234L + i))
+        .getOrElse(fail("generator produced no value"))
+      val df = edges.toDF("key", "doc_a", "doc_b")
+      val grouped = TextOps.partitionedComponents(df)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(grouped === brute(edges), s"random graph $i diverged")
+    }
+  }
+
   test("partitionedComponents == distributed CC fixpoint on cell-keyed edges") {
     import spark.implicits._
     // 3 cells; chains, a triangle, and a 2-cycle — incl. a chain whose
