@@ -595,6 +595,62 @@ object Ext2 {
         .orderBy("doc_id")
     },
 
+    // Decontamination APPLY — the drop decision q58 only scores: train
+    // docs sharing >= 3 distinct 4-grams with the eval set are removed,
+    // and the surviving corpus is reported per language with token
+    // volumes — the "what did decontamination cost us" sheet published
+    // next to an eval release. Same broadcast-gram topology as q58 plus
+    // one per-lang rollup; docs too short to carry grams are clean by
+    // definition (LEFT join, zero overlap).
+    QueryDef(
+      "q105_decontaminate_apply",
+      """WITH g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |           range(1, len(string_split(text, ' ')) - 4 + 2),
+        |           i -> array_to_string(string_split(text, ' ')[i:i+3], ' ')))) AS g
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 4
+        |), ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 50 = 0),
+        |tr AS (SELECT doc_id, g FROM g WHERE doc_id % 50 <> 0),
+        |sh AS (
+        |  SELECT tr.doc_id, COUNT(*) AS ns FROM tr JOIN ev USING (g)
+        |  GROUP BY tr.doc_id
+        |), t AS (
+        |  SELECT d.lang, len(string_split(d.text, ' ')) AS nt,
+        |         COALESCE(sh.ns, 0) AS ns
+        |  FROM documents d LEFT JOIN sh ON sh.doc_id = d.doc_id
+        |  WHERE d.doc_id % 50 <> 0
+        |)
+        |SELECT lang,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(CASE WHEN ns >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |       CAST(SUM(CASE WHEN ns < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       CAST(SUM(CASE WHEN ns < 3 THEN nt ELSE 0 END) AS BIGINT) AS tokens_kept
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      val grams = Tables.load(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
+          explode(array_distinct(graft.functions.TextExprs.ngrams(
+            split(col("text"), " "), 4))).as("g"))
+      val evalGrams = grams.filter(col("doc_id") % 50 === 0)
+        .select("g").distinct()
+      val shared = grams.filter(col("doc_id") % 50 =!= 0)
+        .join(broadcast(evalGrams), "g")
+        .groupBy("doc_id").agg(count(lit(1)).as("ns"))
+      Tables.load(s, dir, "documents")
+        .filter(col("doc_id") % 50 =!= 0)
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).as("nt"))
+        .join(shared, Seq("doc_id"), "left")
+        .withColumn("ns", coalesce(col("ns"), lit(0L)))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("ns") >= 3, 1).otherwise(0)).cast("long").as("n_dropped"),
+          sum(when(col("ns") < 3, 1).otherwise(0)).cast("long").as("n_kept"),
+          sum(when(col("ns") < 3, col("nt")).otherwise(0)).cast("long")
+            .as("tokens_kept"))
+        .orderBy("lang")
+    },
+
     // Bloom-filter decontamination — q58's topology when even the eval
     // FINGERPRINT SET is too big to broadcast as rows: build a Bloom
     // filter over the eval-side fingerprints (distributed aggregation,

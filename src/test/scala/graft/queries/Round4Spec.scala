@@ -422,6 +422,19 @@ class Round4Spec extends SparkSpec {
     rows.foreach(r => assert(r.getDouble(3) >= 0.0))
   }
 
+  test("q105: drop/keep partitions the train split; dropped = q58 docs over threshold") {
+    val rows = run("q105_decontaminate_apply").collect()
+    val nTrain = graft.Tables.load(spark, sf, "documents")
+      .filter(col("doc_id") % 50 =!= 0).count()
+    assert(rows.map(_.getLong(1)).sum === nTrain)
+    rows.foreach(r => assert(r.getLong(2) + r.getLong(3) === r.getLong(1)))
+    // cross-check against q58's overlap scores
+    val q58drop = run("q58_decontamination")
+      .filter(col("n_shared") >= 3).count()
+    assert(rows.map(_.getLong(2)).sum === q58drop,
+      "dropped docs must be exactly q58's over-threshold docs")
+  }
+
   test("q78: no false negatives; false-positive count near the 1% design point") {
     val rows = run("q78_bloom_decontamination").collect()
     assert(rows.forall(_.getBoolean(2)), "bloom filter lost an exact hit")
