@@ -161,6 +161,52 @@ object Events {
         .unionByName(cnt(c, "step2_click"))
         .unionByName(cnt(p, "step3_purchase"))
         .orderBy("step")
+    },
+
+    // Retention cohorts — the product-analytics staple: users cohorted
+    // by first-activity week, per-week return rates thereafter. Both
+    // engines truncate weeks to Monday, so cohort keys and day diffs
+    // (all multiples of 7) agree exactly; the rate is a decimal ratio
+    // rounded to 4. Scale shape: one user-keyed min-reduce (cohort),
+    // one distinct on (user, week) — both map-side combinable — and a
+    // cohort-grid rollup; no window over the raw event log.
+    QueryDef(
+      "q106_retention_cohorts",
+      """WITH e AS (
+        |  SELECT user_id, DATE_TRUNC('week', CAST(ts AS TIMESTAMP)) AS wk
+        |  FROM events
+        |), coh AS (
+        |  SELECT user_id, MIN(wk) AS cohort FROM e GROUP BY user_id
+        |), act AS (
+        |  SELECT DISTINCT e.user_id, coh.cohort, e.wk
+        |  FROM e JOIN coh USING (user_id)
+        |), sz AS (
+        |  SELECT cohort, COUNT(*) AS cohort_size FROM coh GROUP BY cohort
+        |)
+        |SELECT a.cohort AS cohort_week,
+        |       CAST(DATE_DIFF('day', CAST(a.cohort AS DATE), CAST(a.wk AS DATE)) // 7
+        |            AS BIGINT) AS week_offset,
+        |       CAST(COUNT(*) AS BIGINT) AS n_active,
+        |       CAST(MAX(sz.cohort_size) AS BIGINT) AS cohort_size,
+        |       CAST(ROUND(CAST(COUNT(*) AS DECIMAL(20,6)) / MAX(sz.cohort_size), 4)
+        |            AS DOUBLE) AS retention
+        |FROM act a JOIN sz ON sz.cohort = a.cohort
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val e = Tables.load(s, dir, "events")
+        .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      val coh = e.groupBy("user_id").agg(min("wk").as("cohort"))
+      val act = e.join(coh, "user_id")
+        .select("user_id", "cohort", "wk").distinct()
+      val sz = coh.groupBy("cohort").agg(count(lit(1)).as("cohort_size"))
+      act.join(sz, "cohort")
+        .groupBy(col("cohort").as("cohort_week"),
+          floor(datediff(col("wk"), col("cohort")) / 7).cast("long")
+            .as("week_offset"))
+        .agg(count(lit(1)).as("n_active"),
+          max("cohort_size").cast("long").as("cohort_size"),
+          round(count(lit(1)).cast(org.apache.spark.sql.types.DecimalType(20, 6))
+            / max("cohort_size"), 4).cast("double").as("retention"))
+        .orderBy("cohort_week", "week_offset")
     }
   )
 }

@@ -136,6 +136,42 @@ object Artifacts {
     write(path, sb.toString)
   }
 
+  /** `docs generate` static lineage page: a single self-contained HTML
+    * file — no scripts, no external assets — rendering each node with
+    * its type, description, and upstream/downstream links (anchor
+    * navigation). The dependency-free counterpart of the reference's
+    * docs site: everything its lineage view answers ("what feeds
+    * this?", "what breaks if I change it?") is one click here, and the
+    * file ships anywhere a parquet file does.
+    */
+  def writeLineageHtml(path: String, manifest: Manifest): Unit = {
+    def esc(s: String): String = s.replace("&", "&amp;")
+      .replace("<", "&lt;").replace(">", "&gt;").replace("\"", "&quot;")
+    val childMap: Map[String, Seq[String]] = manifest.parentMap.toSeq
+      .flatMap { case (c, ps) => ps.toSeq.map(_ -> c) }
+      .groupBy(_._1).map { case (p, cs) => p -> cs.map(_._2).sorted }
+    def links(ids: Seq[String]): String =
+      if (ids.isEmpty) "<em>none</em>"
+      else ids.map(i => s"""<a href="#${esc(i)}">${esc(i)}</a>""").mkString(", ")
+    val sb = new StringBuilder
+    sb.append("<!DOCTYPE html><html><head><meta charset=\"utf-8\">")
+    sb.append(s"<title>graft lineage — ${esc(manifest.nodes.size.toString)} nodes</title>")
+    sb.append("<style>body{font-family:sans-serif;margin:2em}" +
+      "section{border:1px solid #ccc;border-radius:4px;padding:.6em 1em;margin:.5em 0}" +
+      "h2{margin:.2em 0;font-size:1em}.rt{color:#666;font-size:.85em}</style>")
+    sb.append("</head><body><h1>graft lineage</h1>")
+    manifest.nodes.toSeq.sortBy(_._1).foreach { case (id, n) =>
+      val parents = manifest.parentMap.getOrElse(id, Set.empty).toSeq.sorted
+      sb.append(s"""<section id="${esc(id)}"><h2>${esc(n.name)} """ +
+        s"""<span class="rt">(${esc(n.resourceType)})</span></h2>""")
+      sb.append(s"<div>upstream: ${links(parents)}</div>")
+      sb.append(s"<div>downstream: ${links(childMap.getOrElse(id, Nil))}</div>")
+      sb.append("</section>")
+    }
+    sb.append("</body></html>")
+    write(path, sb.toString)
+  }
+
   /** `docs generate` catalog: relations + columns from the live
     * warehouse (reference `core/dbt/task/docs/generate.py`).
     */

@@ -172,7 +172,10 @@ object Cli {
           engine.wh, new java.sql.Timestamp(System.currentTimeMillis()))
         graft.run.Artifacts.writeLineageDot(s"$targetDir/graph.dot",
           engine.manifest)
-        println(s"wrote $targetDir/catalog.json and $targetDir/graph.dot")
+        graft.run.Artifacts.writeLineageHtml(s"$targetDir/index.html",
+          engine.manifest)
+        println(s"wrote $targetDir/catalog.json, $targetDir/graph.dot" +
+          s" and $targetDir/index.html")
       case "deps" =>
         // Out of scope per SURVEY §2 A32 — fail with a direct
         // explanation rather than "unknown command" (reference

@@ -36,6 +36,14 @@ class TasksSpec extends SparkSpec {
     val dot = Files.readString(Paths.get(s"$target/graph.dot"))
     assert(dot.contains("\"model.graft.t_stg\" -> \"model.graft.t_fct\""))
     assert(dot.contains("shape=cds")) // sources shaped distinctly
+    Artifacts.writeLineageHtml(s"$target/index.html", eng.manifest)
+    val html = Files.readString(Paths.get(s"$target/index.html"))
+    // the fct section links upstream to stg; stg lists fct downstream
+    assert(html.contains("id=\"model.graft.t_fct\"")
+      && html.contains("href=\"#model.graft.t_stg\""))
+    assert(html.contains("id=\"model.graft.t_stg\"")
+      && html.contains("href=\"#model.graft.t_fct\""))
+    assert(!html.contains("<script"), "static page must stay script-free")
     // retry round-trip: statuses parse back
     val statuses = Artifacts.readRunStatuses(s"$target/run_results.json")
     assert(statuses.values.forall(_ == "success"))
