@@ -217,6 +217,121 @@ object Relational2 {
           |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
           |                  AND o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
           |ORDER BY bucket""".stripMargin)
+    },
+
+    // TPC-H Q7 shape (volume shipping): bilateral trade revenue between
+    // two nation pairs by year — a 6-way join (lineitem → orders →
+    // customer + lineitem → supplier, each to nation) with the classic
+    // cross-pair predicate. Deep-join planning exercise: the two tiny
+    // nation dims broadcast, the fact-side joins shuffle on their keys,
+    // and Catalyst orders them; revenue in exact decimal (q03's rule).
+    QueryDef(
+      "q107_volume_shipping",
+      """SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+        |       CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4))
+        |                * (1 - CAST(l_discount AS DECIMAL(20,4)))) AS DOUBLE)
+        |         AS revenue
+        |FROM lineitem
+        |JOIN orders   ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation ns ON ns.n_nationkey = s_nationkey
+        |JOIN nation nc ON nc.n_nationkey = c_nationkey
+        |WHERE (ns.n_name = 'NATION_18' AND nc.n_name = 'NATION_19')
+        |   OR (ns.n_name = 'NATION_19' AND nc.n_name = 'NATION_18')
+        |GROUP BY 1, 2, 3
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin) { (s, dir) =>
+      val dec = (c: org.apache.spark.sql.Column) =>
+        c.cast(org.apache.spark.sql.types.DecimalType(20, 4))
+      val li = Tables.load(s, dir, "lineitem")
+      val ord = Tables.load(s, dir, "orders")
+      val cust = Tables.load(s, dir, "customer")
+      val supp = Tables.load(s, dir, "supplier")
+      val ns = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").as("ns_key"), col("n_name").as("supp_nation"))
+      val nc = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").as("nc_key"), col("n_name").as("cust_nation"))
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(cust, ord("o_custkey") === cust("c_custkey"))
+        .join(supp, li("l_suppkey") === supp("s_suppkey"))
+        .join(broadcast(ns), col("s_nationkey") === col("ns_key"))
+        .join(broadcast(nc), col("c_nationkey") === col("nc_key"))
+        .filter((col("supp_nation") === "NATION_18" && col("cust_nation") === "NATION_19")
+          || (col("supp_nation") === "NATION_19" && col("cust_nation") === "NATION_18"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast("double").as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+
+    // TPC-H Q8 shape (national market share): one nation's share of a
+    // market region's revenue per year — the deepest join in the suite
+    // (lineitem → orders → customer → nation → region + lineitem →
+    // part + lineitem → supplier → nation), with the share computed as
+    // a conditional-sum ratio in one aggregation pass (no self-join).
+    // Exact decimal sums; the final ratio is one rounded double
+    // division (identical on both engines).
+    QueryDef(
+      "q108_market_share",
+      """WITH base AS (
+        |  SELECT EXTRACT(year FROM l_shipdate) AS o_year,
+        |         CAST(l_extendedprice AS DECIMAL(20,4))
+        |           * (1 - CAST(l_discount AS DECIMAL(20,4))) AS volume,
+        |         ns.n_name AS supp_nation
+        |  FROM lineitem
+        |  JOIN orders   ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation nc ON nc.n_nationkey = c_nationkey
+        |  JOIN region   ON r_regionkey = nc.n_regionkey
+        |  JOIN part     ON p_partkey = l_partkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN nation ns ON ns.n_nationkey = s_nationkey
+        |  WHERE r_name = 'EUROPE' AND p_size <= 25
+        |)
+        |SELECT CAST(o_year AS BIGINT) AS o_year,
+        |       CAST(SUM(CASE WHEN supp_nation = 'NATION_13' THEN volume
+        |                     ELSE CAST(0 AS DECIMAL(20,4)) END) AS DOUBLE)
+        |         AS nation_volume,
+        |       CAST(SUM(volume) AS DOUBLE) AS total_volume,
+        |       CAST(ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_13' THEN volume
+        |                               ELSE CAST(0 AS DECIMAL(20,4)) END) AS DOUBLE)
+        |                  / CAST(SUM(volume) AS DOUBLE), 4) AS DOUBLE) AS mkt_share
+        |FROM base GROUP BY o_year ORDER BY o_year""".stripMargin) { (s, dir) =>
+      val dec = (c: org.apache.spark.sql.Column) =>
+        c.cast(org.apache.spark.sql.types.DecimalType(20, 4))
+      val li = Tables.load(s, dir, "lineitem")
+      val ord = Tables.load(s, dir, "orders")
+      val cust = Tables.load(s, dir, "customer")
+      val part = Tables.load(s, dir, "part")
+      val supp = Tables.load(s, dir, "supplier")
+      val nc = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").as("nc_key"), col("n_regionkey").as("nc_reg"))
+      val ns = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").as("ns_key"), col("n_name").as("supp_nation"))
+      val reg = Tables.load(s, dir, "region")
+      val base = li
+        .join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(cust, ord("o_custkey") === cust("c_custkey"))
+        .join(broadcast(nc), col("c_nationkey") === col("nc_key"))
+        .join(broadcast(reg), col("nc_reg") === col("r_regionkey"))
+        .join(part, li("l_partkey") === part("p_partkey"))
+        .join(supp, li("l_suppkey") === supp("s_suppkey"))
+        .join(broadcast(ns), col("s_nationkey") === col("ns_key"))
+        .filter(col("r_name") === "EUROPE" && col("p_size") <= 25)
+        .select(year(col("l_shipdate")).as("o_year"),
+          (dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .as("volume"),
+          col("supp_nation"))
+      val german = sum(when(col("supp_nation") === "NATION_13", col("volume"))
+        .otherwise(lit(0).cast(org.apache.spark.sql.types.DecimalType(20, 4))))
+      base.groupBy(col("o_year").cast("long").as("o_year"))
+        .agg(german.cast("double").as("nation_volume"),
+          sum(col("volume")).cast("double").as("total_volume"),
+          round(german.cast("double") / sum(col("volume")).cast("double"), 4)
+            .cast("double").as("mkt_share"))
+        .orderBy("o_year")
     }
   )
 }

@@ -29,6 +29,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q107/q108: deep TPC-H joins broadcast every dim, no cartesian") {
+    Seq("q107_volume_shipping", "q108_market_share").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q: $p")
+      assert(!p.contains("CartesianProduct"), s"$q must not plan a cartesian")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: all joins are equi")
+    }
+  }
+
   test("q12: global top-k plans TakeOrderedAndProject (no full sort)") {
     val p = plan("q12_top10_orders")
     assert(p.contains("TakeOrderedAndProject"), p)
