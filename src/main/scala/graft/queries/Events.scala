@@ -207,6 +207,45 @@ object Events {
           round(count(lit(1)).cast(org.apache.spark.sql.types.DecimalType(20, 6))
             / max("cohort_size"), 4).cast("double").as("retention"))
         .orderBy("cohort_week", "week_offset")
+    },
+
+    // Inter-event-time distribution: quartiles of the gap (whole
+    // seconds) between a user's consecutive events, per event type —
+    // the arrival-process profile that sizes session-gap thresholds
+    // (q33's 30 min) and streaming watermarks. Gaps are floored to
+    // integer seconds, so quartile interpolation (quarter fractions of
+    // integers) is exact in both engines — the q53/q80 portability
+    // rule. One per-user window pass + one per-type aggregate.
+    QueryDef(
+      "q109_inter_event_times",
+      """WITH g AS (
+        |  SELECT event_type,
+        |         CAST(DATE_DIFF('microseconds', LAG(ts) OVER w, ts) // 1000000
+        |              AS BIGINT) AS gap_s
+        |  FROM (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+        |               event_id FROM events) e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |  QUALIFY LAG(ts) OVER w IS NOT NULL
+        |)
+        |SELECT event_type,
+        |       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+        |       CAST(quantile_cont(gap_s, 0.25) AS DOUBLE) AS p25_s,
+        |       CAST(quantile_cont(gap_s, 0.50) AS DOUBLE) AS p50_s,
+        |       CAST(quantile_cont(gap_s, 0.75) AS DOUBLE) AS p75_s
+        |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("gap_s",
+          ((unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+            / 1000000L).cast("long"))
+        .filter(col("gap_s").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_gaps"),
+          expr("percentile(gap_s, 0.25)").as("p25_s"),
+          expr("percentile(gap_s, 0.50)").as("p50_s"),
+          expr("percentile(gap_s, 0.75)").as("p75_s"))
+        .orderBy("event_type")
     }
   )
 }
