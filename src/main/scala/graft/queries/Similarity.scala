@@ -934,7 +934,10 @@ object Similarity {
       val embD = embDouble(s, dir)
       val old = embD.filter(col("vec_id") % 10 =!= 9)
       val fresh = embD.filter(col("vec_id") % 10 === 9)
-      val cents = kmeansCentroids(old)
+      // the historical-corpus index is itself a built-once artifact —
+      // deterministic training, so caching cannot change the result
+      val cents = TextOps.cachedIndex(
+        s"kmold|${System.identityHashCode(s)}|$dir")(kmeansCentroids(old))
       val base = nearestCell(old, cents)
         .groupBy("cent_id").agg(count(lit(1)).as("n_base"))
       val added = nearestCell(fresh, cents)
