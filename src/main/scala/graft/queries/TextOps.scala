@@ -1162,6 +1162,69 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    // LSH banding quality: precision/recall of the MinHash candidate
+    // set against ground-truth shingle-Jaccard pairs (>= 0.2) — THE
+    // metric that tunes band/row layout before a corpus-scale dedup
+    // run (q77 calibrates the estimator; this scores the retrieval).
+    // Both sides are deterministic (cached band index, cached pair
+    // kernel), so precision and recall oracle bit-for-bit. One-row
+    // report; the joins are candidate-set-sized, not corpus-sized.
+    QueryDef(
+      "q110_lsh_quality",
+      s"""WITH $duckBands,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_key = b.band_key
+         |   AND a.doc_id < b.doc_id
+         |), card AS (
+         |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+         |), ok AS (
+         |  SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 128
+         |), cm AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  JOIN ok ON ok.shingle = a.shingle
+         |  GROUP BY a.doc_id, b.doc_id
+         |), truth AS (
+         |  SELECT cm.doc_a, cm.doc_b FROM cm
+         |  JOIN card ca ON ca.doc_id = cm.doc_a
+         |  JOIN card cb ON cb.doc_id = cm.doc_b
+         |  WHERE CAST(common AS DECIMAL(20,6)) / (ca.n + cb.n - common) >= 0.2
+         |), hits AS (
+         |  SELECT c.doc_a, c.doc_b FROM cand c
+         |  JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+         |)
+         |SELECT CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidates,
+         |       CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_true_pairs,
+         |       CAST((SELECT COUNT(*) FROM hits) AS BIGINT) AS n_hits,
+         |       CAST(ROUND(CAST((SELECT COUNT(*) FROM hits) AS DECIMAL(20,6))
+         |                  / (SELECT COUNT(*) FROM cand), 4) AS DOUBLE) AS precision,
+         |       CAST(ROUND(CAST((SELECT COUNT(*) FROM hits) AS DECIMAL(20,6))
+         |                  / (SELECT COUNT(*) FROM truth), 4) AS DOUBLE) AS recall""".stripMargin) { (s, dir) =>
+      val dec6 = (c: org.apache.spark.sql.Column) =>
+        c.cast(org.apache.spark.sql.types.DecimalType(20, 6))
+      val bands = corpusBands(s, dir)
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band")
+            && col("a.band_key") === col("b.band_key")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val truth = shingleOverlapPairs(s, dir)
+        .filter(dec6(col("common")) / (col("na") + col("nb") - col("common")) >= 0.2)
+        .select("doc_a", "doc_b")
+      val hits = cand.join(truth, Seq("doc_a", "doc_b"))
+      val counts = cand.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(truth.agg(count(lit(1)).as("n_true_pairs")))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+      counts.select(col("n_candidates"), col("n_true_pairs"), col("n_hits"),
+        round(dec6(col("n_hits")) / col("n_candidates"), 4).cast("double")
+          .as("precision"),
+        round(dec6(col("n_hits")) / col("n_true_pairs"), 4).cast("double")
+          .as("recall"))
+    },
+
     // Cross-source duplication matrix: count LSH near-dup candidate
     // pairs per (source, source) — the provenance dashboard that shows
     // which feeds mirror each other (syndication, scrapes of scrapes).

@@ -435,6 +435,24 @@ class Round4Spec extends SparkSpec {
       "dropped docs must be exactly q58's over-threshold docs")
   }
 
+  test("q110: hits bound candidates and truth; counts match q27/q48 inputs") {
+    val r = run("q110_lsh_quality").collect()(0)
+    val (nCand, nTruth, nHits) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nHits <= nCand && nHits <= nTruth)
+    assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+    // the candidate universe is exactly q27's
+    assert(nCand === run("q27_minhash_lsh_candidates").count())
+    // truth is the q48 edge set (same kernel, same threshold): a
+    // component of k nodes needs at least k-1 edges, so truth pairs
+    // must cover sum(k-1) over the non-singleton components
+    val comp = run("q48_dedup_groups").filter(col("group_size") > 1)
+    val nodesInDup = comp.count()
+    val nGroups = comp.select("group_id").distinct().count()
+    assert(nTruth >= nodesInDup - nGroups,
+      s"spanning-tree bound violated: $nTruth < $nodesInDup - $nGroups")
+  }
+
   test("q78: no false negatives; false-positive count near the 1% design point") {
     val rows = run("q78_bloom_decontamination").collect()
     assert(rows.forall(_.getBoolean(2)), "bloom filter lost an exact hit")
