@@ -753,6 +753,54 @@ object Curation {
         .orderBy("lang")
     },
 
+    // Quality drift across corpus versions (q98's snapshot diff ×
+    // q92's classifier): per source, the mean quality score of the
+    // previous version vs the re-crawled one and the delta — the
+    // monitoring sheet that catches a degrading feed BEFORE it enters
+    // a training mix. The "re-crawl" mutation appends boilerplate to
+    // one shard (doc_id % 20 == 4), measurably lowering its
+    // type/token-ratio. Exact decimal feature math throughout; two
+    // map-side-combined aggregates over the versioned scan.
+    QueryDef(
+      "q111_quality_drift",
+      """WITH v AS (
+        |  SELECT doc_id, source, text AS t1,
+        |         CASE WHEN doc_id % 20 = 4
+        |              THEN text || ' the the the the'
+        |              ELSE text END AS t2
+        |  FROM documents
+        |), f AS (
+        |  SELECT doc_id, source,
+        |         ROUND(CAST(len(list_distinct(string_split(t1, ' '))) AS DECIMAL(20,6))
+        |               / len(string_split(t1, ' ')), 4) AS s1,
+        |         ROUND(CAST(len(list_distinct(string_split(t2, ' '))) AS DECIMAL(20,6))
+        |               / len(string_split(t2, ' ')), 4) AS s2
+        |  FROM v
+        |)
+        |SELECT source,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(ROUND(CAST(SUM(s1) AS DOUBLE) / COUNT(*), 4) AS DOUBLE) AS mean_v1,
+        |       CAST(ROUND(CAST(SUM(s2) AS DOUBLE) / COUNT(*), 4) AS DOUBLE) AS mean_v2,
+        |       CAST(ROUND(CAST(SUM(s2) AS DOUBLE) / COUNT(*)
+        |                  - CAST(SUM(s1) AS DOUBLE) / COUNT(*), 4) AS DOUBLE) AS drift
+        |FROM f GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val t2 = when(col("doc_id") % 20 === 4,
+        concat(col("text"), lit(" the the the the"))).otherwise(col("text"))
+      def ttr(t: Column) =
+        round(dec6(size(array_distinct(split(t, " ")))) / size(split(t, " ")), 4)
+      val f = Tables.load(s, dir, "documents")
+        .select(col("source"), ttr(col("text")).as("s1"), ttr(t2).as("s2"))
+      f.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("s1").as("sum1"), sum("s2").as("sum2"))
+        .select(col("source"), col("n_docs"),
+          round(col("sum1").cast("double") / col("n_docs"), 4).as("mean_v1"),
+          round(col("sum2").cast("double") / col("n_docs"), 4).as("mean_v2"),
+          round(col("sum2").cast("double") / col("n_docs")
+            - col("sum1").cast("double") / col("n_docs"), 4).as("drift"))
+        .orderBy("source")
+    },
+
     // RAG chunking: overlapping sliding windows of 32 tokens at stride
     // 24 (8-token overlap so no retrieval boundary splits a fact),
     // each chunk with a stable content hash — the corpus→vector-store

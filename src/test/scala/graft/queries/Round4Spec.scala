@@ -453,6 +453,20 @@ class Round4Spec extends SparkSpec {
       s"spanning-tree bound violated: $nTruth < $nodesInDup - $nGroups")
   }
 
+  test("q111: boilerplate injection can only lower mean quality") {
+    val rows = run("q111_quality_drift").collect()
+    assert(rows.nonEmpty)
+    // appending repeated stopwords lowers the type/token ratio of every
+    // mutated doc, so no source's mean may rise
+    rows.foreach { r =>
+      assert(r.getDouble(4) <= 1e-9,
+        s"drift must be <= 0 for ${r.getString(0)}: ${r.getDouble(4)}")
+      assert(math.abs(r.getDouble(3) - r.getDouble(2) - r.getDouble(4)) < 2e-4)
+    }
+    // and at least one source contains a mutated doc at this SF
+    assert(rows.exists(_.getDouble(4) < 0.0))
+  }
+
   test("q78: no false negatives; false-positive count near the 1% design point") {
     val rows = run("q78_bloom_decontamination").collect()
     assert(rows.forall(_.getBoolean(2)), "bloom filter lost an exact hit")
