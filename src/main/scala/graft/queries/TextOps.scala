@@ -420,6 +420,47 @@ object TextOps {
       |  FROM hits
       |)""".stripMargin
 
+  /** Per-doc 32-bit SimHash (doc_id, simhash as a '0'/'1' string) —
+    * q28's one-pass bit-majority aggregation, factored so the
+    * Hamming-banded near-pair search (q112) fingerprints with exactly
+    * the function q28 reports. Cached per (session, dataset): the
+    * fingerprint table is an ingest artifact like the MinHash
+    * signature.
+    */
+  private[queries] def simhashes(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    cachedIndex(s"simhash|${System.identityHashCode(s)}|$dir") {
+      val tok = docs(s, dir)
+        .select(col("doc_id"), explode(array_distinct(wordsCol)).as("w"))
+        .select(col("doc_id"), md5(col("w")).as("h"))
+      // all 32 bit-majorities in ONE aggregation pass (no position explode):
+      val bitAggs = (1 to 32).map(i =>
+        when(sum(when(
+          instr(lit("0123456789abcdef"), substring(col("h"), i, 1)) - 1 >= 8,
+          1).otherwise(-1)) >= 0, "1").otherwise("0").as(s"b$i"))
+      tok.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
+        .select(col("doc_id"),
+          concat((1 to 32).map(i => col(s"b$i")): _*).as("simhash"))
+    }
+
+  /** The same fingerprint in DuckDB (CTE chain ending `sh2(doc_id,
+    * simhash)`); shared by q28 and q112. */
+  private[queries] val duckSimhash =
+    """stok AS (
+      |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+      |), sbits AS (
+      |  SELECT doc_id, i,
+      |         CASE WHEN SUM(CASE WHEN STRPOS('0123456789abcdef',
+      |                       SUBSTR(MD5(w), CAST(i AS INT), 1)) - 1 >= 8
+      |                  THEN 1 ELSE -1 END) >= 0
+      |              THEN '1' ELSE '0' END AS bit
+      |  FROM stok CROSS JOIN (SELECT unnest(range(1, 33)) AS i) pos
+      |  GROUP BY doc_id, i
+      |), sh2 AS (
+      |  SELECT doc_id, STRING_AGG(bit, '' ORDER BY i) AS simhash
+      |  FROM sbits GROUP BY doc_id
+      |)""".stripMargin
+
   /** Near-dup group labels (doc_id, group_id) at the q48 Jaccard ≥ 0.2
     * threshold — the CC fixpoint over the cached pair kernel, itself
     * cached per (session, dataset): the dedup-group index is built once
@@ -845,31 +886,89 @@ object TextOps {
     // found by banding the bitstring the same way as q27.
     QueryDef(
       "q28_simhash",
-      """WITH tok AS (
-        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
-        |), bits AS (
-        |  SELECT doc_id, i,
-        |         CASE WHEN SUM(CASE WHEN STRPOS('0123456789abcdef',
-        |                       SUBSTR(MD5(w), CAST(i AS INT), 1)) - 1 >= 8
-        |                  THEN 1 ELSE -1 END) >= 0
-        |              THEN '1' ELSE '0' END AS bit
-        |  FROM tok CROSS JOIN (SELECT unnest(range(1, 33)) AS i) pos
-        |  GROUP BY doc_id, i
-        |)
-        |SELECT doc_id, STRING_AGG(bit, '' ORDER BY i) AS simhash
-        |FROM bits GROUP BY doc_id
-        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val tok = docs(s, dir)
-        .select(col("doc_id"), explode(array_distinct(wordsCol)).as("w"))
-        .select(col("doc_id"), md5(col("w")).as("h"))
-      // all 32 bit-majorities in ONE aggregation pass (no position explode):
-      val bitAggs = (1 to 32).map(i =>
-        when(sum(when(
-          instr(lit("0123456789abcdef"), substring(col("h"), i, 1)) - 1 >= 8,
-          1).otherwise(-1)) >= 0, "1").otherwise("0").as(s"b$i"))
-      tok.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
+      s"""WITH $duckSimhash
+         |SELECT doc_id, simhash FROM sh2
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      simhashes(s, dir).orderBy("doc_id")
+    },
+
+    // Incremental SimHash dedup probe — the dedup step q28's
+    // fingerprints exist for, in its production (streaming-ingest)
+    // shape: an incoming batch (doc_id % 10 == 9) probes the EXISTING
+    // fingerprint index; candidates share >= 1 exact 8-bit band (the
+    // pigeonhole guarantee: any pair within Hamming 3 must), the true
+    // Hamming distance is verified on candidates only, and each batch
+    // doc reports its nearest index neighbor (tie → lowest doc_id)
+    // with an is_dup verdict at Hamming <= 6. Output is batch-sized,
+    // the join is band-bucketed — never all-pairs, O(batch) per
+    // ingest round like q67/q69.
+    QueryDef(
+      "q112_simhash_incremental",
+      s"""WITH $duckSimhash,
+         |idx AS (SELECT doc_id, simhash FROM sh2 WHERE doc_id % 10 <> 9),
+         |batch AS (SELECT doc_id, simhash FROM sh2 WHERE doc_id % 10 = 9),
+         |ib AS (
+         |  SELECT doc_id, b, SUBSTR(simhash, b * 8 + 1, 8) AS bits
+         |  FROM idx CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bb
+         |), bb2 AS (
+         |  SELECT doc_id, b, SUBSTR(simhash, b * 8 + 1, 8) AS bits
+         |  FROM batch CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bb
+         |), cand AS (
+         |  SELECT DISTINCT q.doc_id AS qid, i.doc_id AS nid
+         |  FROM bb2 q JOIN ib i ON q.b = i.b AND q.bits = i.bits
+         |), ham AS (
+         |  SELECT c.qid, c.nid,
+         |         CAST(len(list_filter(range(1, 33),
+         |              i -> SUBSTR(sq.simhash, CAST(i AS INT), 1)
+         |                   <> SUBSTR(si.simhash, CAST(i AS INT), 1))) AS BIGINT)
+         |           AS hamming
+         |  FROM cand c
+         |  JOIN batch sq ON sq.doc_id = c.qid
+         |  JOIN idx si ON si.doc_id = c.nid
+         |), best AS (
+         |  SELECT qid, nid, hamming,
+         |         ROW_NUMBER() OVER (PARTITION BY qid
+         |           ORDER BY hamming, nid) AS rn
+         |  FROM ham
+         |)
+         |SELECT b.doc_id,
+         |       CAST(COALESCE(s.nid, -1) AS BIGINT) AS nn_doc,
+         |       CAST(COALESCE(s.hamming, -1) AS BIGINT) AS hamming,
+         |       COALESCE(s.hamming <= 6, FALSE) AS is_dup
+         |FROM batch b LEFT JOIN best s ON s.qid = b.doc_id AND s.rn = 1
+         |ORDER BY b.doc_id""".stripMargin) { (s, dir) =>
+      val sh = simhashes(s, dir)
+      val idx = sh.filter(col("doc_id") % 10 =!= 9)
+      val batch = sh.filter(col("doc_id") % 10 === 9)
+      def bandsOf(df: org.apache.spark.sql.DataFrame) = {
+        val bandStructs = (0 until 4).map(b =>
+          struct(lit(b).as("b"), substring(col("simhash"), b * 8 + 1, 8).as("bits")))
+        df.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+          .select(col("doc_id"), col("bk.b").as("b"), col("bk.bits").as("bits"))
+      }
+      val cand = bandsOf(batch).as("q").join(bandsOf(idx).as("i"),
+          col("q.b") === col("i.b") && col("q.bits") === col("i.bits"))
+        .select(col("q.doc_id").as("qid"), col("i.doc_id").as("nid"))
+        .distinct()
+      val sq = batch.select(col("doc_id").as("qid"), col("simhash").as("hq"))
+      val si = idx.select(col("doc_id").as("nid"), col("simhash").as("hi"))
+      val hamming = (1 to 32)
+        .map(i => when(substring(col("hq"), i, 1) =!= substring(col("hi"), i, 1), 1)
+          .otherwise(0))
+        .reduce(_ + _)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("hamming"), col("nid"))
+      val best = cand.join(sq, "qid").join(si, "nid")
+        .select(col("qid"), col("nid"), hamming.cast("long").as("hamming"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+      batch.select(col("doc_id"))
+        .join(best.select(col("qid").as("doc_id"), col("nid"), col("hamming")),
+          Seq("doc_id"), "left")
         .select(col("doc_id"),
-          concat((1 to 32).map(i => col(s"b$i")): _*).as("simhash"))
+          coalesce(col("nid"), lit(-1L)).cast("long").as("nn_doc"),
+          coalesce(col("hamming"), lit(-1L)).cast("long").as("hamming"),
+          coalesce(col("hamming") <= 6, lit(false)).as("is_dup"))
         .orderBy("doc_id")
     },
 

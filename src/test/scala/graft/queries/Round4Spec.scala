@@ -467,6 +467,37 @@ class Round4Spec extends SparkSpec {
     assert(rows.exists(_.getDouble(4) < 0.0))
   }
 
+  test("q112: probe covers the batch; reported neighbor is truly nearest") {
+    val rows = run("q112_simhash_incremental").collect()
+    val batch = graft.Tables.load(spark, sf, "documents")
+      .filter(col("doc_id") % 10 === 9).count()
+    assert(rows.length.toLong === batch)
+    rows.foreach { r =>
+      val (nn, ham, dup) = (r.getLong(1), r.getLong(2), r.getBoolean(3))
+      assert((nn == -1L) == (ham == -1L))
+      if (ham >= 0) {
+        assert(nn % 10 !== 9L, "neighbor must come from the index side")
+        assert(dup === (ham <= 6))
+      } else assert(!dup)
+    }
+    // brute-force verify a few probes against ALL index fingerprints:
+    // band candidates may miss only pairs at Hamming > 3, so a
+    // reported distance <= 3 must be the global minimum
+    val sh = run("q28_simhash").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def hd(a: String, b: String) = a.zip(b).count(p => p._1 != p._2)
+    val idx = sh.filter(_._1 % 10 != 9)
+    rows.take(10).foreach { r =>
+      val mine = sh(r.getLong(0))
+      val globalMin = idx.values.map(hd(mine, _)).min
+      if (r.getLong(2) >= 0 && r.getLong(2) <= 3)
+        assert(r.getLong(2) === globalMin,
+          s"doc ${r.getLong(0)}: reported ${r.getLong(2)} vs global $globalMin")
+      else
+        assert(globalMin > 3, "a <=3 neighbor may never be missed (pigeonhole)")
+    }
+  }
+
   test("q78: no false negatives; false-positive count near the 1% design point") {
     val rows = run("q78_bloom_decontamination").collect()
     assert(rows.forall(_.getBoolean(2)), "bloom filter lost an exact hit")
