@@ -209,14 +209,31 @@ final case class TestNode(
   val resourceType = "test"
 }
 
+/** One unit-test fixture in any of the reference's three formats
+  * (`unit_test_definition.py:25-28` UnitTestFormat: Dict | CSV | SQL).
+  */
+sealed trait UnitFixture
+/** `format: dict` — YAML row maps (the default). */
+final case class DictRows(rows: Seq[Map[String, Any]]) extends UnitFixture
+/** `format: csv` — inline CSV with a header row; types inferred like
+  * seeds. */
+final case class CsvRows(csv: String) extends UnitFixture
+/** `format: sql` — a literal SELECT producing the fixture rows. */
+final case class SqlRows(sql: String) extends UnitFixture
+
 /** Unit test — fixture inputs replace refs, expect rows diffed
   * (reference `core/dbt/artifacts/resources/v1/unit_test_definition.py`).
   */
 final case class UnitTestNode(
     name: String,
     model: String,
-    given: Map[String, Seq[Map[String, Any]]], // ref/source name -> rows
+    given: Map[String, Seq[Map[String, Any]]], // ref/source name -> dict rows
     expect: Seq[Map[String, Any]],
+    /** csv/sql `given` fixtures (A13); merged over `given` — a name
+      * present in both resolves here. */
+    givenFixtures: Map[String, UnitFixture] = Map.empty,
+    /** csv/sql `expect` fixture; when set, wins over `expect`. */
+    expectFixture: Option[UnitFixture] = None,
     config: NodeConfig = NodeConfig(),
     dependsOn: Seq[String] = Nil,
     /** fixture-scoped overrides (reference `UnitTestOverrides`,

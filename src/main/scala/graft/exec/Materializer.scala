@@ -329,7 +329,7 @@ object Materializer {
         (col(ua).cast("timestamp"), col(ua).cast("string"))
       case CheckStrategy(colsOpt) =>
         val cs = colsOpt.getOrElse(src.columns.toSeq.filterNot(uniqueKey.contains))
-        (now, concat_ws("|", cs.map(c => coalesce(col(c).cast("string"), lit(" "))): _*))
+        (now, concat_ws("|", cs.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*))
     }
 
     val srcStamped = src

@@ -337,7 +337,11 @@ object Multimodal {
           if (winSum(w) * n >= totalSum * winN(w)) bits |= (1L << w)
           w += 1
         }
-        Some(f"$bits%016x")
+        // sample count appended for the same reason aHash64 appends
+        // dims: the threshold-against-mean bits are structured, and the
+        // clip length separates the residue space structurally
+        // (sample-identical clips always share n, so no group splits)
+        Some(f"$bits%016x|$n")
       }
     } catch { case _: Exception => None }
 
@@ -672,7 +676,11 @@ object Multimodal {
         if (cellSum(c) * nTotal >= totalSum * cellN(c)) bits |= (1L << c)
         c += 1
       }
-      f"$bits%016x"
+      // dims appended: the thresholded-block hash is structured, so two
+      // different-geometry rasters could in principle share a bit
+      // pattern; WxH makes the dedup key structurally separate them
+      // (pixel-identical rasters always share dims, so no group splits)
+      f"$bits%016x|${w}x$h"
     } catch { case _: Exception => None }
 
   /** Per-partition real decode → perceptual hash; undecodable rows are

@@ -699,15 +699,17 @@ object Curation {
         |SELECT status, CAST(COUNT(*) AS BIGINT) AS n_docs
         |FROM d GROUP BY status ORDER BY status""".stripMargin) { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
+      // presence markers, not hash nullity: a NULL text would null the
+      // md5 and misclassify a present row (oracle checks row presence)
       val v1 = docs.filter(col("doc_id") % 10 =!= 7)
-        .select(col("doc_id"), md5(col("text")).as("h1"))
+        .select(col("doc_id"), md5(col("text")).as("h1"), lit(true).as("in_v1"))
       val v2 = docs.select(col("doc_id"),
         md5(when(col("doc_id") % 20 === 4, concat(col("text"), lit(" recrawled")))
-          .otherwise(col("text"))).as("h2"))
+          .otherwise(col("text"))).as("h2"), lit(true).as("in_v2"))
       v1.join(v2, Seq("doc_id"), "full_outer")
         .select(
-          when(col("h1").isNull, "added")
-            .when(col("h2").isNull, "removed")
+          when(col("in_v1").isNull, "added")
+            .when(col("in_v2").isNull, "removed")
             .when(col("h1") =!= col("h2"), "changed")
             .otherwise("unchanged").as("status"))
         .groupBy("status").agg(count(lit(1)).as("n_docs"))

@@ -468,6 +468,60 @@ object Framework {
       eng.wh.read("m12_clustered")
         .select("o_orderkey", "o_custkey", "price")
         .orderBy("o_orderkey")
+    },
+
+    // A7 hard-delete + revival parity — the reference's scripted
+    // invalidate-hard-deletes sequence (`tests/functional/
+    // simple_snapshot/test_hard_delete_snapshot.py`): snapshot all rows,
+    // hard-delete two key groups (their rows close at the snapshot
+    // clock), then REVIVE one group with a fresh updated_at — revived
+    // keys must open a NEW version (the old closed row stays closed),
+    // the never-revived group stays invalidated, everyone else stays
+    // open and untouched. This is the SCD2 edge that bites real users:
+    // a revived key has no open row, so it must re-enter through the
+    // insert path, not the change path.
+    QueryDef(
+      "m14_snapshot_hard_delete",
+      """WITH base AS (
+        |  SELECT o_orderkey AS id, o_orderstatus AS status,
+        |         o_orderdate AS ts, o_orderkey % 10 AS grp
+        |  FROM orders
+        |)
+        |SELECT id, status, dbt_updated_at, dbt_valid_from, dbt_valid_to FROM (
+        |  -- original versions: open unless hard-deleted at batch 1
+        |  SELECT id, status, ts AS dbt_updated_at, ts AS dbt_valid_from,
+        |         CASE WHEN grp IN (6, 7)
+        |              THEN TIMESTAMP '2000-01-02 00:00:00' END AS dbt_valid_to
+        |  FROM base
+        |  UNION ALL
+        |  -- revived versions: new open rows at the revival updated_at
+        |  SELECT id, 'RV', TIMESTAMP '1999-06-01 00:00:00',
+        |         TIMESTAMP '1999-06-01 00:00:00', NULL
+        |  FROM base WHERE grp = 6
+        |) v
+        |ORDER BY id, dbt_valid_from""".stripMargin) { (s, dir) =>
+      val wh = scratch()
+      graft.Tables.registerAll(s, dir)
+      val eng = new Engine(s, Manifest(Map.empty), wh)
+      val all =
+        """SELECT o_orderkey AS id, o_orderstatus AS status,
+          |       o_orderdate AS updated_at
+          |FROM orders""".stripMargin
+      val afterDelete = s"$all WHERE NOT (o_orderkey % 10 IN (6, 7))"
+      val withRevived =
+        s"""$afterDelete
+           |UNION ALL
+           |SELECT o_orderkey AS id, 'RV' AS status,
+           |       TIMESTAMP '1999-06-01 00:00:00' AS updated_at
+           |FROM orders WHERE o_orderkey % 10 = 6""".stripMargin
+      Seq(all, afterDelete, withRevived).zipWithIndex.foreach { case (sql, k) =>
+        Materializer.snapshot(eng.wh, "m14_snap", sql, Seq("id"),
+          TimestampStrategy("updated_at"), invalidateHardDeletes = true,
+          clockAt(k))
+      }
+      eng.wh.read("m14_snap")
+        .select("id", "status", "dbt_updated_at", "dbt_valid_from", "dbt_valid_to")
+        .orderBy("id", "dbt_valid_from")
     }
   )
 }

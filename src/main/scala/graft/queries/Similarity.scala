@@ -104,35 +104,44 @@ object Similarity {
   private val ivfCache =
     new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]()
 
-  private[queries] def ivfIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) =
-    ivfCache.computeIfAbsent(s"${System.identityHashCode(s)}|$dir", _ => {
-      val embD = embDouble(s, dir)
-      val cents = kmeansCentroids(embD)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val ranks = cellRanks(embD, cents).filter(col("rn") <= 2)
-        .select("vec_id", "cent_id", "rn")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      ranks.count() // the "build" step: train + assign, once
-      (cents, ranks)
-    })
+  private[queries] def ivfIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val key = s"${IndexCache.sessionKey(s)}|$dir"
+    val hit = ivfCache.get(key)
+    if (hit != null) hit
+    else IndexCache.buildLock.synchronized {
+      val again = ivfCache.get(key)
+      if (again != null) again
+      else {
+        val embD = embDouble(s, dir)
+        val cents = kmeansCentroids(embD)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val ranks = cellRanks(embD, cents).filter(col("rn") <= 2)
+          .select("vec_id", "cent_id", "rn")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        ranks.count() // the "build" step: train + assign, once
+        ivfCache.put(key, (cents, ranks))
+        (cents, ranks)
+      }
+    }
+  }
 
   /** Built-once unthresholded cell-pair cosine table (vec_a, vec_b,
     * cell, cosine) over the IVF assignment — the embedding-dedup
     * candidate index. q41 (≥ 0.2) and q59 (≥ 0.3) are threshold
     * filters over this one artifact; production materializes it at
     * ingest next to the IVF index itself. Deterministic build, so
-    * caching cannot change results. Double-checked + synchronized for
-    * the same reason as TextOps.cachedIndex (the build reads the
-    * cached IVF index; keep this map free of nested computeIfAbsent).
+    * caching cannot change results. All first-builds serialize on the
+    * one IndexCache.buildLock monitor (nested builds stay reentrant;
+    * no cross-cache lock-order hazard).
     */
   private val cellPairCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   private[queries] def cellPairIndex(s: SparkSession, dir: String): DataFrame = {
-    val key = s"${System.identityHashCode(s)}|$dir"
+    val key = s"${IndexCache.sessionKey(s)}|$dir"
     val hit = cellPairCache.get(key)
     if (hit != null) hit
-    else cellPairCache.synchronized {
+    else IndexCache.buildLock.synchronized {
       val again = cellPairCache.get(key)
       if (again != null) again
       else {
@@ -236,17 +245,27 @@ object Similarity {
     new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame, DataFrame, DataFrame)]()
 
   private[queries] def pqIndex(
-      s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame, DataFrame) =
-    pqCache.computeIfAbsent(s"${System.identityHashCode(s)}|$dir", _ => {
-      val embD = embDouble(s, dir)
-      val (cb0, codes0raw) = pqSubspace(embD, 0, 1, 32)
-      val (cb1, codes1raw) = pqSubspace(embD, 1, 33, 64)
-      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-      val codes0 = codes0raw.persist(lvl)
-      val codes1 = codes1raw.persist(lvl)
-      codes0.count(); codes1.count() // the "train + encode" step, once
-      (cb0, codes0, cb1, codes1)
-    })
+      s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val key = s"${IndexCache.sessionKey(s)}|$dir"
+    val hit = pqCache.get(key)
+    if (hit != null) hit
+    else IndexCache.buildLock.synchronized {
+      val again = pqCache.get(key)
+      if (again != null) again
+      else {
+        val embD = embDouble(s, dir)
+        val (cb0, codes0raw) = pqSubspace(embD, 0, 1, 32)
+        val (cb1, codes1raw) = pqSubspace(embD, 1, 33, 64)
+        val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        val codes0 = codes0raw.persist(lvl)
+        val codes1 = codes1raw.persist(lvl)
+        codes0.count(); codes1.count() // the "train + encode" step, once
+        val built = (cb0, codes0, cb1, codes1)
+        pqCache.put(key, built)
+        built
+      }
+    }
+  }
 
   /** DuckDB twin of [[pqSubCodes]] for subspace `s` over dims
     * [lo..hi]; ends with CTE `code_$s`(vec_id, code$s, dist$s).
@@ -347,11 +366,13 @@ object Similarity {
   /** The same k-means chain trained over an arbitrary relation (CTE
     * name) instead of the full `embeddings` table — incremental-update
     * oracles train on the pre-existing corpus only. The base string
-    * only uses "embeddings" as a table reference, so a blanket
-    * substitution is exact.
+    * only uses "embeddings" as a table reference; the word-boundary
+    * regex keeps a future identifier merely CONTAINING the substring
+    * (alias, column, comment) from being silently rewritten.
     */
   private[queries] def duckKmeansOn(rel: String): String =
-    duckKmeans.replace("embeddings", rel)
+    duckKmeans.replaceAll("\\bembeddings\\b",
+      java.util.regex.Matcher.quoteReplacement(rel))
 
   private[queries] val duckKmeans: String =
     s"""idx AS (SELECT unnest(range(1, 65)) AS i),
@@ -937,7 +958,7 @@ object Similarity {
       // the historical-corpus index is itself a built-once artifact —
       // deterministic training, so caching cannot change the result
       val cents = TextOps.cachedIndex(
-        s"kmold|${System.identityHashCode(s)}|$dir")(kmeansCentroids(old))
+        s"kmold|${IndexCache.sessionKey(s)}|$dir")(kmeansCentroids(old))
       val base = nearestCell(old, cents)
         .groupBy("cent_id").agg(count(lit(1)).as("n_base"))
       val added = nearestCell(fresh, cents)

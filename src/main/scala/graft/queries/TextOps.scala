@@ -56,16 +56,18 @@ object TextOps {
   /** NB: double-checked + synchronized rather than computeIfAbsent —
     * index builds NEST (the CC group index builds on the pair-kernel
     * index), and a nested computeIfAbsent on one ConcurrentHashMap
-    * throws "Recursive update". The monitor is reentrant, so a build
-    * may cache-build its own inputs; concurrent first-builders of
-    * different indexes serialize, which only affects the one warm-up
-    * pass.
+    * throws "Recursive update". The shared IndexCache.buildLock
+    * monitor is reentrant, so a build may cache-build its own inputs —
+    * including inputs guarded by the Similarity caches, which use the
+    * same monitor (no cross-cache lock-order hazard); concurrent
+    * first-builders of different indexes serialize, which only affects
+    * the one warm-up pass.
     */
   private[queries] def cachedIndex(key: String)(
       build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val hit = indexCache.get(key)
     if (hit != null) hit
-    else indexCache.synchronized {
+    else IndexCache.buildLock.synchronized {
       val again = indexCache.get(key)
       if (again != null) again
       else {
@@ -96,7 +98,7 @@ object TextOps {
   /** Corpus MinHash signature, built once per (session, dataset). */
   private def corpusSig(
       s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
-    cachedIndex(s"sig|${System.identityHashCode(s)}|$dir")(minhashSig(docs(s, dir)))
+    cachedIndex(s"sig|${IndexCache.sessionKey(s)}|$dir")(minhashSig(docs(s, dir)))
 
   /** LSH bands derived from the cached signature — the derivation is a
     * cheap per-row explode, so only the signature itself persists. */
@@ -148,7 +150,7 @@ object TextOps {
     */
   private[queries] def shingleOverlapPairs(
       s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
-    cachedIndex(s"pairs|${System.identityHashCode(s)}|$dir")(
+    cachedIndex(s"pairs|${IndexCache.sessionKey(s)}|$dir")(
       shingleOverlapPairsOf(docs(s, dir)))
 
   /** Stop-shingle document-frequency cap for the pair kernel. A shingle
@@ -313,7 +315,7 @@ object TextOps {
     */
   private[queries] def bpeSpells(
       s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
-    cachedIndex(s"bpe|${System.identityHashCode(s)}|$dir") {
+    cachedIndex(s"bpe|${IndexCache.sessionKey(s)}|$dir") {
       val freq = docs(s, dir)
         .select(explode(wordsCol).as("w"))
         .groupBy("w").agg(count(lit(1)).as("f"))
@@ -429,7 +431,7 @@ object TextOps {
     */
   private[queries] def simhashes(
       s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
-    cachedIndex(s"simhash|${System.identityHashCode(s)}|$dir") {
+    cachedIndex(s"simhash|${IndexCache.sessionKey(s)}|$dir") {
       val tok = docs(s, dir)
         .select(col("doc_id"), explode(array_distinct(wordsCol)).as("w"))
         .select(col("doc_id"), md5(col("w")).as("h"))
@@ -469,7 +471,7 @@ object TextOps {
     */
   private[queries] def dedupComponents(
       s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
-    cachedIndex(s"cc02|${System.identityHashCode(s)}|$dir") {
+    cachedIndex(s"cc02|${IndexCache.sessionKey(s)}|$dir") {
       val pairs = shingleOverlapPairs(s, dir)
         .filter(col("common").cast(org.apache.spark.sql.types.DecimalType(20, 6))
           / (col("na") + col("nb") - col("common")) >= 0.2)

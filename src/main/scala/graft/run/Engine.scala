@@ -490,12 +490,17 @@ final class Engine(
       case m: ModelNode => m
       case other => throw new IllegalArgumentException(s"unit test target not a model: ${other.uniqueId}")
     }
-    // fixture views replace real refs: render with resolver → fixture names
-    val fixtureViews = u.given.map { case (refName, rows) =>
+    // fixture views replace real refs: render with resolver → fixture
+    // names. All three reference formats (dict/csv/sql,
+    // `unit_test_definition.py:25-28`) land here as DataFrames.
+    val allGiven: Map[String, UnitFixture] =
+      u.given.map { case (k, rows) => k -> (DictRows(rows): UnitFixture) } ++
+        u.givenFixtures
+    val fixtureViews = allGiven.map { case (refName, fixture) =>
       val viewName =
         if (namespace.isEmpty) s"__utf_${u.name}_$refName"
         else s"__utf_${namespace}_${u.name}_$refName"
-      (refName, viewName, rowsToDf(rows))
+      (refName, viewName, fixtureToDf(fixture))
     }.toSeq
     val sql = Template.render(model.rawSql, renderContext(
       resolveRef = name => fixtureViews.find(_._1 == name).map(_._2)
@@ -505,9 +510,23 @@ final class Engine(
       thisRelation = relationName(model))
       // fixture-scoped overrides shadow project vars / process env
       .copy(vars = vars ++ u.overrideVars, envOverrides = u.overrideEnvVars))
+    val expectDf = u.expectFixture.map(fixtureToDf)
+      .getOrElse(rowsToDf(u.expect))
     val diff = Materializer.runUnitTest(spark, sql,
-      fixtureViews.map(f => f._2 -> f._3).toMap, rowsToDf(u.expect))
+      fixtureViews.map(f => f._2 -> f._3).toMap, expectDf)
     diff.foreach(msg => throw new IllegalStateException(s"unit test ${u.name}: $msg"))
+  }
+
+  private def fixtureToDf(f: UnitFixture): DataFrame = f match {
+    case DictRows(rows) => rowsToDf(rows)
+    case CsvRows(csv) =>
+      // same inference path as seeds (header + inferSchema), no temp
+      // file: Spark reads CSV straight from an in-memory Dataset
+      import spark.implicits._
+      spark.read.option("header", "true").option("inferSchema", "true")
+        .csv(spark.createDataset(csv.linesIterator.filter(_.nonEmpty).toSeq))
+    case SqlRows(sql) =>
+      spark.sql(Template.render(sql, renderContext()))
   }
 
   private def rowsToDf(rows: Seq[Map[String, Any]]): DataFrame = {

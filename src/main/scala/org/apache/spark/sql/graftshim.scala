@@ -14,4 +14,10 @@ object graftshim {
 
   def toExpression(c: Column): Expression =
     classic.ExpressionUtils.expression(c)
+
+  /** Stable per-session UUID (`private[sql]` on classic.SparkSession):
+    * the index caches key on it because identity hashes can be reused
+    * after a session is GC'd.
+    */
+  def sessionUUID(s: classic.SparkSession): String = s.sessionUUID
 }

@@ -270,6 +270,59 @@ class EngineSpec extends SparkSpec {
     assert(eng2.test(select = Seq("ut_bad")).head.status === "fail")
   }
 
+  test("unit test: csv given/expect fixtures (A13 format: csv)") {
+    val proj = baseProject
+    val eng0 = Engine.fromProject(spark, writeProject(proj), tmpDir("wh"))
+    val ut = UnitTestNode(
+      name = "ut_csv",
+      model = "fct_spend",
+      given = Map.empty, expect = Nil,
+      givenFixtures = Map("stg_orders" -> CsvRows(
+        "o_custkey,o_totalprice\n7,10.0\n7,5.0\n")),
+      expectFixture = Some(CsvRows("o_custkey,n_orders,spend\n7,2,15.0\n")))
+    val eng = new Engine(spark,
+      Manifest(eng0.manifest.nodes + (ut.uniqueId -> ut)), tmpDir("wh2"))
+    assert(eng.test(select = Seq("ut_csv")).head.status === "pass")
+
+    val bad = ut.copy(name = "ut_csv_bad",
+      expectFixture = Some(CsvRows("o_custkey,n_orders,spend\n7,99,15.0\n")))
+    val eng2 = new Engine(spark,
+      Manifest(eng0.manifest.nodes + (bad.uniqueId -> bad)), tmpDir("wh3"))
+    assert(eng2.test(select = Seq("ut_csv_bad")).head.status === "fail")
+  }
+
+  test("unit test: sql given/expect fixtures (A13 format: sql)") {
+    val proj = baseProject
+    val eng0 = Engine.fromProject(spark, writeProject(proj), tmpDir("wh"))
+    val ut = UnitTestNode(
+      name = "ut_sql",
+      model = "fct_spend",
+      given = Map.empty, expect = Nil,
+      givenFixtures = Map("stg_orders" -> SqlRows(
+        """SELECT CAST(7 AS BIGINT) AS o_custkey, CAST(10.0 AS DOUBLE) AS o_totalprice
+          |UNION ALL
+          |SELECT CAST(7 AS BIGINT), CAST(5.0 AS DOUBLE)""".stripMargin)),
+      expectFixture = Some(SqlRows(
+        """SELECT CAST(7 AS BIGINT) AS o_custkey, CAST(2 AS BIGINT) AS n_orders,
+          |       CAST(15.0 AS DOUBLE) AS spend""".stripMargin)))
+    val eng = new Engine(spark,
+      Manifest(eng0.manifest.nodes + (ut.uniqueId -> ut)), tmpDir("wh2"))
+    assert(eng.test(select = Seq("ut_sql")).head.status === "pass")
+
+    // mixed formats: dict given + sql expect, and sql given can seed
+    // from a csv-given sibling name without collision
+    val mixed = ut.copy(name = "ut_mixed",
+      given = Map.empty,
+      givenFixtures = Map("stg_orders" -> CsvRows(
+        "o_custkey,o_totalprice\n7,10.0\n7,5.0\n")),
+      expectFixture = Some(SqlRows(
+        """SELECT CAST(7 AS BIGINT) AS o_custkey, CAST(2 AS BIGINT) AS n_orders,
+          |       CAST(15.0 AS DOUBLE) AS spend""".stripMargin)))
+    val eng3 = new Engine(spark,
+      Manifest(eng0.manifest.nodes + (mixed.uniqueId -> mixed)), tmpDir("wh4"))
+    assert(eng3.test(select = Seq("ut_mixed")).head.status === "pass")
+  }
+
   test("source freshness thresholds") {
     val eng = Engine.fromProject(spark, writeProject(baseProject), tmpDir("wh"))
     // clock far in the future -> stale
