@@ -8,15 +8,22 @@ import scala.concurrent.duration.Duration
 /** Benchmark main (driver contract): runs the headline analytical
   * queries on SPARK_GRAFT_SF_DIR and prints ONE JSON line.
   *
-  * Methodology:
-  *  - one sequential warm-up pass (JIT + codegen compilation — at
-  *    sf0.1 janino compilation alone is ~10 s across the suite and
-  *    would otherwise be billed to the queries);
-  *  - timed pass submits queries over a small concurrent pool (FAIR
-  *    scheduler). Spark is a multi-query engine; batch wall-clock with
-  *    modest concurrency is its honest single-node throughput number.
-  *    `value` = timed-pass wall-clock; per-query numbers are each
-  *    query's own wall time inside the batch (they overlap).
+  * Methodology — three passes, so one-time costs can't masquerade as
+  * query regressions (the r4 attribution problem: cache builds and
+  * queue time landed on whichever concurrent query arrived first):
+  *
+  *  1. COLD sequential pass (`cold_first_pass`): JIT + codegen
+  *     compilation + every built-once index/asset-table build, each
+  *     billed to its first toucher. `index_build_sec` ≈ cold total −
+  *     warm-solo total = the one-time warm-up work.
+  *  2. WARM SOLO sequential pass (`per_query_warm_solo`): each query
+  *     alone on a quiet JVM — THE per-query number to compare across
+  *     rounds.
+  *  3. CONCURRENT batch (`value` + `queries`): FAIR-scheduled pool,
+  *     Spark's honest single-node throughput number; per-query times
+  *     overlap and are reported for completeness only.
+  *
+  * SPARK_GRAFT_BENCH_MODE=batch skips pass 2 for quick local loops.
   *
   * Framework m-queries (engine runs against scratch warehouses) are
   * correctness fixtures gated by Verify, not throughput queries —
@@ -27,6 +34,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val concurrency = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONCURRENCY", "4").toInt
+    val mode = sys.env.getOrElse("SPARK_GRAFT_BENCH_MODE", "full") // full | batch
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -46,10 +54,31 @@ object Bench {
     def drain(q: QueryDef): Unit =
       q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
 
-    // warm-up: sequential, untimed
-    headline.foreach(q => try drain(q) catch { case _: Throwable => })
+    def timedPass(): Seq[(String, Double, Boolean)] = headline.map { q =>
+      val s = System.nanoTime()
+      try { drain(q); (q.name, (System.nanoTime() - s) / 1e9, true) }
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}")
+          (q.name, (System.nanoTime() - s) / 1e9, false)
+      }
+    }
 
-    // timed pass: concurrent batch; failures are surfaced, not timed
+    // pass 1: cold sequential (JIT + index builds, per first toucher)
+    val coldT0 = System.nanoTime()
+    val cold = timedPass()
+    val coldTotal = (System.nanoTime() - coldT0) / 1e9
+
+    // pass 2: warm solo sequential — the comparable per-query numbers
+    val (solo, soloTotal) =
+      if (mode == "batch") (Nil, 0.0)
+      else {
+        val t = System.nanoTime()
+        val r = timedPass()
+        (r, (System.nanoTime() - t) / 1e9)
+      }
+
+    // pass 3: concurrent batch — the headline throughput number
     val pool = Executors.newFixedThreadPool(concurrency)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     val t0 = System.nanoTime()
@@ -68,11 +97,14 @@ object Bench {
     val total = (System.nanoTime() - t0) / 1e9
     pool.shutdown()
 
-    val qs = results.collect { case (k, v, true) => s""""$k":$v""" }
-      .mkString("{", ",", "}")
+    def qmap(rs: Seq[(String, Double, Boolean)]): String =
+      rs.collect { case (k, v, true) => s""""$k":$v""" }.mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => s""""$k"""" }
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","concurrency":$concurrency,"note":"value=batch wall-clock after warm-up; per-query times overlap; sink=noop write (order-preserving)"}""")
+    val soloPart =
+      if (mode == "batch") ""
+      else s""""per_query_warm_solo":${qmap(solo)},"warm_solo_wall":$soloTotal,"index_build_sec":${math.max(0.0, coldTotal - soloTotal)},"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${qmap(results)},$soloPart"cold_first_pass_wall":$coldTotal,"failed":$failed,"sf":"$sfDir","concurrency":$concurrency,"note":"value=concurrent batch wall after cold+solo passes; per_query_warm_solo=comparable per-query numbers; batch per-query times overlap; sink=noop write (order-preserving)"}""")
     spark.stop()
   }
 }

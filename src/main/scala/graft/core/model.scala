@@ -110,7 +110,13 @@ sealed trait Node {
   def config: NodeConfig
   def dependsOn: Seq[String] // unique ids, filled by ref-resolution
   def resourceType: String
-  def uniqueId: String = s"$resourceType.graft.$name"
+  /** Owning package (A32 deps): the root project is "graft"; nodes
+    * installed from `dbt_packages/<pkg>/` carry that package's name —
+    * it namespaces unique ids (reference `<type>.<package>.<name>`
+    * convention) and drives package-precedence macro resolution.
+    */
+  def packageName: String = "graft"
+  def uniqueId: String = s"$resourceType.$packageName.$name"
 }
 
 final case class ModelNode(
@@ -131,11 +137,12 @@ final case class ModelNode(
     version: Option[Int] = None,
     latestVersion: Option[Int] = None,
     /** project-relative source file, for path:/file: selectors. */
-    originPath: String = "") extends Node {
+    originPath: String = "",
+    override val packageName: String = "graft") extends Node {
   val resourceType = "model"
   override def uniqueId: String =
-    version.map(v => s"$resourceType.graft.$name.v$v")
-      .getOrElse(s"$resourceType.graft.$name")
+    version.map(v => s"$resourceType.$packageName.$name.v$v")
+      .getOrElse(s"$resourceType.$packageName.$name")
   def isLatestVersion: Boolean =
     version.isDefined && version == latestVersion
 }
@@ -164,7 +171,8 @@ final case class SeedNode(
     delimiter: String = ",",
     columnTypes: Map[String, String] = Map.empty,
     config: NodeConfig = NodeConfig(),
-    originPath: String = "") extends Node {
+    originPath: String = "",
+    override val packageName: String = "graft") extends Node {
   val resourceType = "seed"
   def dependsOn: Seq[String] = Nil
 }
@@ -186,7 +194,8 @@ final case class SnapshotNode(
     dependsOn: Seq[String] = Nil,
     refs: Seq[String] = Nil,
     sources: Seq[(String, String)] = Nil,
-    originPath: String = "") extends Node {
+    originPath: String = "",
+    override val packageName: String = "graft") extends Node {
   val resourceType = "snapshot"
 }
 
@@ -205,7 +214,8 @@ final case class TestNode(
       * test_type:/test_name: selectors (A22).
       */
     genericTest: Option[String] = None,
-    originPath: String = "") extends Node {
+    originPath: String = "",
+    override val packageName: String = "graft") extends Node {
   val resourceType = "test"
 }
 

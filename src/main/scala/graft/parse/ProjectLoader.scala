@@ -26,10 +26,89 @@ object ProjectLoader {
       manifest: Manifest,
       onRunStart: Seq[String] = Nil,
       onRunEnd: Seq[String] = Nil,
-      macros: Map[String, Template.MacroDef] = Map.empty)
+      /** Flat macro map: unqualified names resolve root-first (root
+        * project macros shadow package macros), plus `pkg.name`
+        * qualified keys for every package macro. */
+      macros: Map[String, Template.MacroDef] = Map.empty,
+      /** Per-package macro maps, for calling-package precedence
+        * (reference `manifest.py:660-730`: local package → root →
+        * global). */
+      macrosByPackage: Map[String, Map[String, Template.MacroDef]] = Map.empty)
 
+  /** Raw single-directory parse (no ref linking, no package merge). */
+  private final case class RawProject(
+      name: String,
+      vars: Map[String, String],
+      nodes: Seq[Node],
+      onRunStart: Seq[String],
+      onRunEnd: Seq[String],
+      macros: Map[String, Template.MacroDef],
+      selectors: Map[String, SelectorDef])
+
+  /** Load a project plus every installed package under
+    * `dbt_packages/<pkg>/` (A32 deps): package nodes and macros carry
+    * the package's name; model/seed/snapshot names must stay globally
+    * unique across packages (the reference's constraint — a duplicate
+    * is a hard parse error, not a silent shadow). Root project vars
+    * override same-named package vars.
+    */
   def load(projectDir: String): Project = {
     val root = Paths.get(projectDir)
+    val rootRaw = loadRaw(root)
+    val pkgRaws = Deps.installedPackageDirs(root).map { case (dirName, dir) =>
+      val raw = loadRaw(dir)
+      // the install dir name wins over the package's own project name
+      // (reference: install path = package name)
+      dirName -> raw
+    }
+
+    val taggedPkgNodes = pkgRaws.flatMap { case (pkg, raw) =>
+      raw.nodes.map(withPackage(_, pkg))
+    }
+    val allNodes = rootRaw.nodes ++ taggedPkgNodes
+    // global name uniqueness for ref-able nodes across packages
+    val refable = allNodes.filter(n => Set("model", "seed", "snapshot")(n.resourceType))
+      .filterNot { case m: ModelNode => m.version.isDefined; case _ => false }
+    val dups = refable.groupBy(_.name).filter(_._2.size > 1).keys.toSeq.sorted
+    require(dups.isEmpty,
+      s"duplicate model/seed/snapshot name(s) across packages: ${dups.mkString(", ")}")
+
+    val pkgMacros: Map[String, Map[String, Template.MacroDef]] =
+      pkgRaws.map { case (pkg, raw) =>
+        pkg -> raw.macros.map { case (n, m) => n -> m.copy(pkg = pkg) }
+      }.toMap
+    // flat resolution map: package macros first-wins in name order,
+    // root macros shadow them; qualified pkg.name keys always present
+    val pkgFlat = pkgMacros.toSeq.sortBy(_._1).foldLeft(
+      Map.empty[String, Template.MacroDef]) { case (acc, (_, ms)) =>
+      ms.foldLeft(acc) { case (a, (n, m)) => if (a.contains(n)) a else a + (n -> m) }
+    }
+    val qualified = pkgMacros.flatMap { case (pkg, ms) =>
+      ms.map { case (n, m) => s"$pkg.$n" -> m }
+    }
+    val flatMacros = pkgFlat ++ qualified ++ rootRaw.macros
+
+    val mergedVars = pkgRaws.map(_._2.vars).foldLeft(Map.empty[String, String])(_ ++ _) ++
+      rootRaw.vars
+
+    Project(rootRaw.name, mergedVars,
+      link(Manifest(allNodes.map(n => n.uniqueId -> n).toMap))
+        .copy(selectors = rootRaw.selectors),
+      onRunStart = rootRaw.onRunStart, onRunEnd = rootRaw.onRunEnd,
+      macros = flatMacros,
+      macrosByPackage = pkgMacros + ("graft" -> rootRaw.macros))
+  }
+
+  /** Re-tag a parsed node with its owning package. */
+  private def withPackage(n: Node, pkg: String): Node = n match {
+    case m: ModelNode => m.copy(packageName = pkg)
+    case s: SeedNode => s.copy(packageName = pkg)
+    case s: SnapshotNode => s.copy(packageName = pkg)
+    case t: TestNode => t.copy(packageName = pkg)
+    case other => other // sources/exposures/… stay globally named
+  }
+
+  private def loadRaw(root: Path): RawProject = {
     val yaml = new org.yaml.snakeyaml.Yaml()
 
     // ---- dbt_project.yml
@@ -59,7 +138,13 @@ object ProjectLoader {
     // ---- schema YAML (sources + model metadata) anywhere under models/
     val schemaDocs = listFiles(root.resolve("models"), ".yml") ++
       listFiles(root.resolve("models"), ".yaml") ++
-      listFiles(root, ".yml").filter(_.getFileName.toString != "dbt_project.yml")
+      listFiles(root, ".yml").filter { p =>
+        // root-level walk must not descend into installed packages
+        // (each loads as its own RawProject) or pick up config files
+        !p.startsWith(root.resolve("dbt_packages")) &&
+          !Set("dbt_project.yml", "packages.yml", "package-lock.yml",
+            "dependencies.yml", "selectors.yml")(p.getFileName.toString)
+      }
     var modelPatches = Map.empty[String, (Seq[ColumnInfo], Seq[GenericTestRef], NodeConfig)]
     for (f <- schemaDocs.distinct) {
       val doc = Option(yaml.load[java.util.Map[String, Any]](Files.readString(f)))
@@ -309,11 +394,9 @@ object ProjectLoader {
         case _ => Map.empty[String, SelectorDef]
       }
 
-    Project(projName, vars,
-      link(Manifest(nodes.map(n => n.uniqueId -> n).toMap))
-        .copy(selectors = selectorDefs),
+    RawProject(projName, vars, nodes.toSeq,
       onRunStart = hookList("on-run-start"), onRunEnd = hookList("on-run-end"),
-      macros = macros)
+      macros = macros, selectors = selectorDefs)
   }
 
   /** Flatten a selectors.yml definition into string-DSL args: the

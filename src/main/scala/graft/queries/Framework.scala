@@ -470,6 +470,64 @@ object Framework {
         .orderBy("o_orderkey")
     },
 
+    // A32 deps end-to-end under the oracle: a root project declares a
+    // LOCAL package (packages.yml), `deps` installs it into
+    // dbt_packages/, and the run exercises every namespacing path —
+    // the packaged model reads the source through its OWN unqualified
+    // macro (calling-package precedence), the root model refs the
+    // packaged model and calls a package macro QUALIFIED
+    // (util_pkg.money). The oracle composes the same SQL in closed
+    // form, so a macro resolved from the wrong namespace (or a
+    // packaged model that fails to load) breaks the hash.
+    QueryDef(
+      "m13_deps_package",
+      """SELECT o_custkey,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS spend
+        |FROM orders
+        |WHERE o_orderkey % 2 = 0
+        |GROUP BY o_custkey
+        |ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+      val pkgDir = java.nio.file.Files.createTempDirectory("m13_pkg")
+      val root = java.nio.file.Files.createTempDirectory("m13_root")
+      scratchDirs.add(pkgDir.toFile); scratchDirs.add(root.toFile)
+      def write(base: java.nio.file.Path, rel: String, content: String): Unit = {
+        val p = base.resolve(rel)
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.writeString(p, content)
+      }
+      write(pkgDir, "dbt_project.yml", "name: util_pkg\n")
+      write(pkgDir, "models/m13_base.sql",
+        """SELECT o_orderkey, o_custkey, o_totalprice
+          |FROM {{ source('main', 'orders') }}
+          |WHERE {{ even_rows('o_orderkey') }}""".stripMargin)
+      write(pkgDir, "macros/utils.sql",
+        """{% macro even_rows(c) %}{{ c }} % 2 = 0{% endmacro %}
+          |{% macro money(c) %}CAST({{ c }} AS DECIMAL(20,4)){% endmacro %}""".stripMargin)
+      write(root, "dbt_project.yml", "name: m13root\n")
+      write(root, "packages.yml", s"packages:\n  - local: $pkgDir\n")
+      write(root, "models/sources.yml",
+        s"""sources:
+           |  - name: main
+           |    tables:
+           |      - name: orders
+           |        path: $dir/orders.parquet
+           |""".stripMargin)
+      write(root, "models/m13_fct.sql",
+        """{{ config(materialized='table') }}
+          |SELECT o_custkey,
+          |       CAST(COUNT(*) AS BIGINT) AS n,
+          |       CAST(SUM({{ util_pkg.money('o_totalprice') }}) AS DOUBLE) AS spend
+          |FROM {{ ref('m13_base') }}
+          |GROUP BY o_custkey""".stripMargin)
+      graft.parse.Deps.install(root.toString)
+      val eng = Engine.fromProject(s, root.toString, scratch())
+      val results = eng.run(threads = 2)
+      require(results.forall(_.status == "success"),
+        s"m13 run failed: ${results.filterNot(_.status == "success").mkString("; ")}")
+      eng.wh.read("m13_fct").orderBy("o_custkey")
+    },
+
     // A7 hard-delete + revival parity — the reference's scripted
     // invalidate-hard-deletes sequence (`tests/functional/
     // simple_snapshot/test_hard_delete_snapshot.py`): snapshot all rows,

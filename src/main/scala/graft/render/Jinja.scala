@@ -1,0 +1,866 @@
+package graft.render
+
+/** Block-structured Jinja-subset engine — the A25 surface grown to what
+  * community macro packages are actually written in (reference
+  * `core/dbt/clients/jinja.py:191-210`, context dispatch
+  * `core/dbt/context/providers.py:114-212`): nested `{% if %}`/`{% for %}`,
+  * general boolean/comparison/arithmetic expressions, `~` concatenation,
+  * filters (`| lower`, `| join(', ')`, …), string methods
+  * (`.split()`, `.startswith()`, …), expression-valued `{% set %}`,
+  * `{% do %}`, `{# comments #}`, whitespace control (`{%- -%}`), and
+  * macro calls in expression position — including nested macros and
+  * package-qualified `{{ pkg.macro(...) }}` — with proper lexical
+  * scoping (params bind as locals, not textual substitution).
+  *
+  * Deliberately NOT full Jinja (SURVEY §7.4): no template inheritance,
+  * no `{% include %}`, no query-valued `{% set %}` (run_query returns),
+  * no custom tests beyond defined/none/number/string. Those stay out of
+  * scope; everything a dbt model/hook/macro body in this repo's fixture
+  * universe uses renders here.
+  *
+  * Unknown statement tags (`{% call statement(...) %}`, `{% macro %}`,
+  * anything unrecognized) pass through VERBATIM — call-statement blocks
+  * are segmented and executed by the engine layer before render
+  * (Template.segmentMacroBody), and macro definitions are extracted at
+  * parse time (Template.extractMacros), so render must leave them
+  * intact. A bare `{{ name }}` that resolves to nothing also renders
+  * verbatim (the pre-existing contract: unresolved placeholders surface
+  * in the SQL where they are easy to see, instead of vanishing).
+  */
+object Jinja {
+
+  // ------------------------------------------------------------- values
+
+  sealed trait JV
+  final case class JS(s: String) extends JV
+  /** isInt keeps Jinja's int/float split: `{{ 10 }}` → "10",
+    * `{{ 10.0 }}` → "10.0". */
+  final case class JN(v: BigDecimal, isInt: Boolean) extends JV
+  final case class JB(b: Boolean) extends JV
+  final case class JL(xs: Seq[JV]) extends JV
+  final case class JM(m: Map[String, JV]) extends JV
+  case object JNull extends JV
+  /** An unresolved name; `src` is the original `{{ … }}` text. */
+  final case class JUndef(src: String) extends JV
+
+  def jint(n: Long): JV = JN(BigDecimal(n), isInt = true)
+  def jnum(n: BigDecimal): JV = JN(n, isInt = n.isWhole && !n.toString.contains('.'))
+
+  def show(v: JV): String = v match {
+    case JS(s) => s
+    case JN(n, true) => n.toBigInt.toString
+    case JN(n, false) =>
+      val s = n.underlying.stripTrailingZeros.toPlainString
+      if (s.contains('.')) s else s + ".0"
+    case JB(b) => if (b) "true" else "false"
+    case JL(xs) => xs.map(show).mkString("[", ", ", "]")
+    case JM(m) => m.map { case (k, v2) => s"$k: ${show(v2)}" }.mkString("{", ", ", "}")
+    case JNull => ""
+    case JUndef(_) => ""
+  }
+
+  def truthy(v: JV): Boolean = v match {
+    case JS(s) => s.nonEmpty
+    case JN(n, _) => n != 0
+    case JB(b) => b
+    case JL(xs) => xs.nonEmpty
+    case JM(m) => m.nonEmpty
+    case JNull | JUndef(_) => false
+  }
+
+  // ---------------------------------------------------------- parse tree
+
+  private sealed trait Node
+  private final case class Text(s: String) extends Node
+  /** raw = the full original `{{ … }}` slice (verbatim fallback). */
+  private final case class Output(expr: String, raw: String) extends Node
+  private final case class If(branches: Seq[(String, Seq[Node])],
+      els: Seq[Node]) extends Node
+  private final case class For(varName: String, iter: String,
+      body: Seq[Node]) extends Node
+  private final case class SetVar(name: String, expr: String) extends Node
+  private final case class Do(expr: String) extends Node
+
+  // ------------------------------------------------------------- lexing
+
+  private sealed trait Tok
+  private final case class TText(s: String) extends Tok
+  private final case class TExpr(src: String, raw: String) extends Tok
+  private final case class TStmt(src: String, raw: String) extends Tok
+
+  /** Split source into text / `{{ }}` / `{% %}` tokens; strip `{# #}`;
+    * apply `-` whitespace control to neighboring text.
+    */
+  private def lex(src: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    val n = src.length
+    val text = new StringBuilder
+    def flushText(): Unit = { if (text.nonEmpty) { out += TText(text.toString); text.clear() } }
+    var trimNext = false // a `-%}` / `-}}` asked to eat following whitespace
+    while (i < n) {
+      if (src.startsWith("{{", i) || src.startsWith("{%", i) || src.startsWith("{#", i)) {
+        val close = src.substring(i, i + 2) match {
+          case "{{" => "}}"
+          case "{%" => "%}"
+          case _ => "#}"
+        }
+        val end = src.indexOf(close, i + 2)
+        if (end < 0) { text += src(i); i += 1 } // unterminated: literal
+        else {
+          val rawFull = src.substring(i, end + 2)
+          var inner = src.substring(i + 2, end)
+          val trimLeft = inner.startsWith("-")
+          val trimRight = inner.endsWith("-") && inner.length > 1
+          if (trimLeft) inner = inner.substring(1)
+          if (trimRight) inner = inner.substring(0, inner.length - 1)
+          if (trimLeft) {
+            // eat trailing whitespace of preceding text
+            val t = text.toString.reverse.dropWhile(c => c == ' ' || c == '\t' || c == '\n' || c == '\r').reverse
+            text.clear(); text ++= t
+          }
+          flushText()
+          close match {
+            case "}}" => out += TExpr(inner.trim, rawFull)
+            case "%}" => out += TStmt(inner.trim, rawFull)
+            case _ => () // comment
+          }
+          i = end + 2
+          if (trimRight) trimNext = true
+        }
+      } else {
+        if (trimNext) {
+          // eat leading whitespace after a trimming tag
+          while (i < n && (src(i) == ' ' || src(i) == '\t' || src(i) == '\n' || src(i) == '\r')) i += 1
+          trimNext = false
+          if (i >= n) return out.result()
+        } else { text += src(i); i += 1 }
+      }
+    }
+    flushText()
+    out.result()
+  }
+
+  // ------------------------------------------------------------ parsing
+
+  private def stmtWord(s: String): String = s.takeWhile(c => c.isLetter || c == '_')
+
+  /** Parse token stream into a node tree; statements outside the
+    * supported set degrade to verbatim text.
+    */
+  private def parse(toks: Vector[Tok]): Seq[Node] = {
+    var pos = 0
+    def parseBlock(stopAt: String => Boolean): (Seq[Node], Option[String]) = {
+      val nodes = Seq.newBuilder[Node]
+      while (pos < toks.length) {
+        toks(pos) match {
+          case TText(s) => nodes += Text(s); pos += 1
+          case TExpr(src, raw) => nodes += Output(src, raw); pos += 1
+          case TStmt(src, raw) =>
+            val w = stmtWord(src)
+            if (stopAt(w)) return (nodes.result(), Some(src))
+            w match {
+              case "if" =>
+                pos += 1
+                val cond = src.drop(2).trim
+                val branches = Seq.newBuilder[(String, Seq[Node])]
+                var els: Seq[Node] = Nil
+                var cur = cond
+                var done = false
+                while (!done) {
+                  val (body, stop) = parseBlock(Set("elif", "else", "endif"))
+                  stop match {
+                    case Some(s2) if stmtWord(s2) == "elif" =>
+                      branches += ((cur, body)); cur = s2.drop(4).trim; pos += 1
+                    case Some(s2) if stmtWord(s2) == "else" =>
+                      branches += ((cur, body)); pos += 1
+                      val (eb, stop2) = parseBlock(Set("endif"))
+                      if (stop2.isEmpty) throw new IllegalArgumentException("jinja: missing {% endif %}")
+                      els = eb; pos += 1; done = true
+                    case Some(s2) if stmtWord(s2) == "endif" =>
+                      branches += ((cur, body)); pos += 1; done = true
+                    case _ => throw new IllegalArgumentException("jinja: missing {% endif %}")
+                  }
+                }
+                nodes += If(branches.result(), els)
+              case "for" =>
+                pos += 1
+                val rest = src.drop(3).trim
+                val inIdx = findTopLevel(rest, " in ")
+                if (inIdx < 0) throw new IllegalArgumentException(s"jinja: bad for: $src")
+                val v = rest.substring(0, inIdx).trim
+                val iter = rest.substring(inIdx + 4).trim
+                val (body, stop) = parseBlock(Set("endfor"))
+                if (stop.isEmpty) throw new IllegalArgumentException("jinja: missing {% endfor %}")
+                pos += 1
+                nodes += For(v, iter, body)
+              case "set" =>
+                val rest = src.drop(3).trim
+                val eq = findTopLevel(rest, "=")
+                if (eq < 0) { nodes += Text(raw); pos += 1 } // block-set unsupported → verbatim
+                else {
+                  nodes += SetVar(rest.substring(0, eq).trim, rest.substring(eq + 1).trim)
+                  pos += 1
+                }
+              case "do" =>
+                nodes += Do(src.drop(2).trim); pos += 1
+              case _ =>
+                // macro/endmacro/call/endcall/raw/unknown → verbatim
+                nodes += Text(raw); pos += 1
+            }
+        }
+      }
+      (nodes.result(), None)
+    }
+    val (nodes, stop) = parseBlock(_ => false)
+    if (stop.nonEmpty) throw new IllegalArgumentException(s"jinja: unexpected {% ${stop.get} %}")
+    nodes
+  }
+
+  /** Index of `needle` at quote-depth 0, or -1. */
+  private def findTopLevel(s: String, needle: String): Int = {
+    var i = 0; var q: Char = 0
+    while (i <= s.length - needle.length) {
+      val c = s(i)
+      if (q != 0) { if (c == q) q = 0 }
+      else if (c == '\'' || c == '"') q = c
+      else if (s.startsWith(needle, i)) return i
+      i += 1
+    }
+    -1
+  }
+
+  // --------------------------------------------------------- evaluation
+
+  /** Mutable render scope (lexical chain). */
+  private final class Scope(val parent: Option[Scope]) {
+    val vars = scala.collection.mutable.Map.empty[String, JV]
+    def lookup(name: String): Option[JV] =
+      vars.get(name).orElse(parent.flatMap(_.lookup(name)))
+  }
+
+  private val MaxMacroDepth = 16
+
+  def render(src: String, ctx: Template.Context): String =
+    renderWith(src, ctx, Map.empty, 0).trim
+
+  /** Render with extra local bindings (macro params). */
+  private[render] def renderWith(src: String, ctx: Template.Context,
+      locals: Map[String, JV], depth: Int): String = {
+    if (depth > MaxMacroDepth)
+      throw new IllegalArgumentException("jinja: macro recursion limit exceeded")
+    val scope = new Scope(None)
+    locals.foreach { case (k, v) => scope.vars(k) = v }
+    val sb = new StringBuilder
+    emit(parse(lex(src)), ctx, scope, depth, sb)
+    sb.toString
+  }
+
+  private def emit(nodes: Seq[Node], ctx: Template.Context, scope: Scope,
+      depth: Int, sb: StringBuilder): Unit =
+    nodes.foreach {
+      case Text(s) => sb ++= s
+      case Output(expr, raw) =>
+        evalOrUndef(expr, ctx, scope, depth) match {
+          case JUndef(_) => sb ++= raw // unresolved name → verbatim
+          case v => sb ++= show(v)
+        }
+      case SetVar(name, expr) =>
+        scope.vars(name) = eval(expr, ctx, scope, depth)
+      case Do(expr) =>
+        eval(expr, ctx, scope, depth); ()
+      case If(branches, els) =>
+        branches.find { case (c, _) => truthy(eval(c, ctx, scope, depth)) } match {
+          case Some((_, body)) => emit(body, ctx, scope, depth, sb)
+          case None => emit(els, ctx, scope, depth, sb)
+        }
+      case For(v, iterSrc, body) =>
+        val items = eval(iterSrc, ctx, scope, depth) match {
+          case JL(xs) => xs
+          // comma-list compatibility: vars hold "a,b,c" strings
+          case JS(s) => s.split(",").toSeq.map(x => JS(x.trim))
+          case JM(m) => m.keys.toSeq.map(JS(_))
+          case other => throw new IllegalArgumentException(
+            s"jinja: cannot iterate ${show(other)}")
+        }
+        items.zipWithIndex.foreach { case (item, idx) =>
+          val inner = new Scope(Some(scope))
+          inner.vars(v) = item
+          inner.vars("loop") = JM(Map(
+            "index" -> jint(idx + 1), "index0" -> jint(idx),
+            "first" -> JB(idx == 0), "last" -> JB(idx == items.length - 1),
+            "length" -> jint(items.length)))
+          emit(body, ctx, inner, depth, sb)
+        }
+    }
+
+  /** Evaluate; a bare unresolvable name yields JUndef instead of
+    * throwing (the caller decides verbatim-vs-empty).
+    */
+  private def evalOrUndef(expr: String, ctx: Template.Context, scope: Scope,
+      depth: Int): JV =
+    eval(expr, ctx, scope, depth)
+
+  private[render] def eval(expr: String, ctx: Template.Context, scope: Scope,
+      depth: Int): JV =
+    new ExprParser(expr, ctx, scope, depth).parseExpression()
+
+  private def evalString(expr: String, ctx: Template.Context): String =
+    show(eval(expr, ctx, new Scope(None), 0))
+
+  /** Public single-expression evaluator (used by tests/tools). */
+  def evalExpr(expr: String, ctx: Template.Context,
+      locals: Map[String, JV] = Map.empty): JV = {
+    val sc = new Scope(None)
+    locals.foreach { case (k, v) => sc.vars(k) = v }
+    eval(expr, ctx, sc, 0)
+  }
+
+  // ------------------------------------------------- expression parsing
+
+  /** Recursive-descent expression parser+evaluator (single pass; macro
+    * bodies are small and render-bound, so no AST caching needed).
+    */
+  private final class ExprParser(src: String, ctx: Template.Context,
+      scope: Scope, depth: Int) {
+    private var i = 0
+
+    private def ws(): Unit = while (i < src.length && src(i).isWhitespace) i += 1
+    private def peek: Char = if (i < src.length) src(i) else ' '
+    private def eof: Boolean = { ws(); i >= src.length }
+
+    private def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"jinja expr: $msg in `$src` at $i")
+
+    def parseExpression(): JV = {
+      val v = parseOr()
+      ws()
+      if (i < src.length) fail(s"trailing input `${src.substring(i)}`")
+      v
+    }
+
+    private def word(): String = {
+      ws()
+      val start = i
+      while (i < src.length && (src(i).isLetterOrDigit || src(i) == '_')) i += 1
+      src.substring(start, i)
+    }
+    private def peekWord: String = { val save = i; val w = word(); i = save; w }
+    private def tryWord(w: String): Boolean = {
+      ws(); val save = i
+      if (word() == w) true else { i = save; false }
+    }
+
+    private def parseOr(): JV = {
+      var left = parseAnd()
+      while (tryWord("or")) { val r = parseAnd(); left = JB(truthy(left) || truthy(r)) }
+      left
+    }
+    private def parseAnd(): JV = {
+      var left = parseNot()
+      while (tryWord("and")) { val r = parseNot(); left = JB(truthy(left) && truthy(r)) }
+      left
+    }
+    private def parseNot(): JV =
+      if (tryWord("not")) JB(!truthy(parseNot())) else parseComparison()
+
+    private def parseComparison(): JV = {
+      val left = parseConcat()
+      ws()
+      val ops = Seq("==", "!=", "<=", ">=", "<", ">")
+      val op = ops.find(o => src.startsWith(o, i))
+      if (op.isDefined) {
+        i += op.get.length
+        val right = parseConcat()
+        return JB(compare(left, right, op.get))
+      }
+      if (tryWord("is")) {
+        val neg = tryWord("not")
+        val test = word()
+        val r = test match {
+          case "defined" => !left.isInstanceOf[JUndef]
+          case "none" => left == JNull
+          case "number" => left.isInstanceOf[JN]
+          case "string" => left.isInstanceOf[JS]
+          case other => fail(s"unknown test `$other`")
+        }
+        return JB(if (neg) !r else r)
+      }
+      val save = i
+      if (tryWord("not")) {
+        if (tryWord("in")) { val r = parseConcat(); return JB(!isIn(left, r)) }
+        i = save
+      } else if (tryWord("in")) { val r = parseConcat(); return JB(isIn(left, r)) }
+      left
+    }
+
+    private def isIn(x: JV, coll: JV): Boolean = coll match {
+      case JL(xs) => xs.exists(e => compare(x, e, "=="))
+      case JS(s) => s.contains(show(x))
+      case JM(m) => m.contains(show(x))
+      case _ => false
+    }
+
+    private def compare(a: JV, b: JV, op: String): Boolean = {
+      def num(v: JV): Option[BigDecimal] = v match {
+        case JN(n, _) => Some(n)
+        case JS(s) => scala.util.Try(BigDecimal(s.trim)).toOption
+        case JB(x) => Some(if (x) BigDecimal(1) else BigDecimal(0))
+        case _ => None
+      }
+      (num(a), num(b)) match {
+        case (Some(x), Some(y)) => op match {
+          case "==" => x == y
+          case "!=" => x != y
+          case "<" => x < y
+          case "<=" => x <= y
+          case ">" => x > y
+          case ">=" => x >= y
+        }
+        case _ =>
+          val (x, y) = (show(a), show(b))
+          op match {
+            case "==" => x == y
+            case "!=" => x != y
+            case "<" => x < y
+            case "<=" => x <= y
+            case ">" => x > y
+            case ">=" => x >= y
+          }
+      }
+    }
+
+    private def parseConcat(): JV = {
+      var left = parseAdd()
+      ws()
+      while (peek == '~') {
+        i += 1
+        val r = parseAdd()
+        left = JS(show(left) + show(r))
+        ws()
+      }
+      left
+    }
+
+    private def parseAdd(): JV = {
+      var left = parseMul()
+      ws()
+      while (peek == '+' || (peek == '-' && !src.startsWith("-}", i))) {
+        val op = peek; i += 1
+        val r = parseMul()
+        left = arith(left, r, op.toString)
+        ws()
+      }
+      left
+    }
+
+    private def parseMul(): JV = {
+      var left = parseUnary()
+      ws()
+      while (peek == '*' || peek == '/' || peek == '%') {
+        val op = if (src.startsWith("//", i)) { i += 2; "//" }
+          else { val c = peek; i += 1; c.toString }
+        val r = parseUnary()
+        left = arith(left, r, op)
+        ws()
+      }
+      left
+    }
+
+    private def arith(a: JV, b: JV, op: String): JV = (a, b) match {
+      case (JN(x, ia), JN(y, ib)) => op match {
+        case "+" => JN(x + y, ia && ib)
+        case "-" => JN(x - y, ia && ib)
+        case "*" => JN(x * y, ia && ib)
+        case "/" => JN(BigDecimal(x.toDouble / y.toDouble), isInt = false)
+        case "//" => jint((x / y).setScale(0, BigDecimal.RoundingMode.FLOOR).toLong)
+        case "%" => JN(x % y, ia && ib)
+      }
+      case (JL(xs), JL(ys)) if op == "+" => JL(xs ++ ys)
+      case (JS(x), JS(y)) if op == "+" => JS(x + y)
+      case _ => fail(s"cannot `$op` ${show(a)} and ${show(b)}")
+    }
+
+    private def parseUnary(): JV = {
+      ws()
+      if (peek == '-') { i += 1; parseUnary() match {
+        case JN(n, isInt) => JN(-n, isInt)
+        case other => fail(s"cannot negate ${show(other)}")
+      } }
+      else parsePostfix()
+    }
+
+    private def parsePostfix(): JV = {
+      var v = parseAtom()
+      var continue = true
+      while (continue) {
+        ws()
+        if (peek == '|') {
+          i += 1
+          val name = word()
+          val args = if (peekNonWs == '(') parseArgs() else (Nil, Map.empty[String, JV])
+          v = applyFilter(v, name, args._1)
+        } else if (peek == '.') {
+          i += 1
+          val name = word()
+          if (peekNonWs == '(') {
+            val (args, _) = parseArgs()
+            v = methodCall(v, name, args)
+          } else v = attr(v, name)
+        } else if (peek == '[') {
+          i += 1
+          val idx = parseOr()
+          ws()
+          if (peek != ']') fail("expected ]")
+          i += 1
+          v = index(v, idx)
+        } else continue = false
+      }
+      v
+    }
+
+    private def peekNonWs: Char = {
+      var j = i
+      while (j < src.length && src(j).isWhitespace) j += 1
+      if (j < src.length) src(j) else ' '
+    }
+
+    private def attr(v: JV, name: String): JV = v match {
+      case JM(m) => m.getOrElse(name,
+        fail(s"no attribute `$name` on ${show(v)}"))
+      case JUndef(s) => JUndef(s"$s.$name")
+      case _ => fail(s"no attribute `$name` on ${show(v)}")
+    }
+
+    private def index(v: JV, idx: JV): JV = (v, idx) match {
+      case (JL(xs), JN(n, _)) =>
+        val k = n.toInt
+        val kk = if (k < 0) xs.length + k else k
+        if (kk >= 0 && kk < xs.length) xs(kk) else JNull
+      case (JS(s), JN(n, _)) =>
+        val k = n.toInt
+        val kk = if (k < 0) s.length + k else k
+        if (kk >= 0 && kk < s.length) JS(s(kk).toString) else JNull
+      case (JM(m), key) => m.getOrElse(show(key), JNull)
+      case _ => fail(s"cannot index ${show(v)}")
+    }
+
+    /** `( expr, …, k=expr, … )` — positional + kwargs. */
+    private def parseArgs(): (Seq[JV], Map[String, JV]) = {
+      ws()
+      if (peek != '(') fail("expected (")
+      i += 1
+      val pos = Seq.newBuilder[JV]
+      val kw = Map.newBuilder[(String), JV]
+      ws()
+      while (peek != ')') {
+        // kwarg lookahead: ident '=' (but not '==')
+        val save = i
+        val w = word()
+        ws()
+        if (w.nonEmpty && peek == '=' && !src.startsWith("==", i)) {
+          i += 1
+          kw += w -> parseOr()
+        } else {
+          i = save
+          pos += parseOr()
+        }
+        ws()
+        if (peek == ',') { i += 1; ws() }
+        else if (peek != ')') fail("expected , or )")
+      }
+      i += 1
+      (pos.result(), kw.result())
+    }
+
+    private def parseAtom(): JV = {
+      ws()
+      peek match {
+        case '\'' | '"' =>
+          val q = peek; i += 1
+          val sb = new StringBuilder
+          while (i < src.length && src(i) != q) {
+            if (src(i) == '\\' && i + 1 < src.length && (src(i + 1) == q || src(i + 1) == '\\')) {
+              sb += src(i + 1); i += 2
+            } else { sb += src(i); i += 1 }
+          }
+          if (i >= src.length) fail("unterminated string")
+          i += 1
+          JS(sb.toString)
+        case c if c.isDigit =>
+          val start = i
+          while (i < src.length && src(i).isDigit) i += 1
+          if (i < src.length && src(i) == '.' && i + 1 < src.length && src(i + 1).isDigit) {
+            i += 1
+            while (i < src.length && src(i).isDigit) i += 1
+            JN(BigDecimal(src.substring(start, i)), isInt = false)
+          } else JN(BigDecimal(src.substring(start, i)), isInt = true)
+        case '[' =>
+          i += 1
+          val xs = Seq.newBuilder[JV]
+          ws()
+          while (peek != ']') {
+            xs += parseOr()
+            ws()
+            if (peek == ',') { i += 1; ws() }
+            else if (peek != ']') fail("expected , or ]")
+          }
+          i += 1
+          JL(xs.result())
+        case '(' =>
+          i += 1
+          val v = parseOr()
+          ws()
+          if (peek != ')') fail("expected )")
+          i += 1
+          v
+        case c if c.isLetter || c == '_' =>
+          val name = word()
+          ws()
+          // package-qualified macro call: pkg.macro(...)
+          if (peek == '.' && ctx.macroResolver(s"$name.${wordAt(i + 1)}").isDefined) {
+            i += 1
+            val mname = word()
+            val (pos, kw) = parseArgs()
+            return callMacro(s"$name.$mname", pos, kw)
+          }
+          if (peek == '(') {
+            val (pos, kw) = parseArgs()
+            callFunction(name, pos, kw)
+          } else resolveName(name)
+        case _ => fail(s"unexpected `${src.substring(i)}`")
+      }
+    }
+
+    private def wordAt(j0: Int): String = {
+      var j = j0
+      while (j < src.length && src(j).isWhitespace) j += 1
+      val s = j
+      while (j < src.length && (src(j).isLetterOrDigit || src(j) == '_')) j += 1
+      src.substring(s, j)
+    }
+
+    // ------------------------------------------------- name resolution
+
+    private def resolveName(name: String): JV = name match {
+      case "true" | "True" => JB(true)
+      case "false" | "False" => JB(false)
+      case "none" | "None" | "null" => JNull
+      case "this" => JS(ctx.thisRelation)
+      case _ =>
+        scope.lookup(name)
+          .orElse(ctx.builtins.get(name).map(JS(_)))
+          .getOrElse {
+            // dotted builtins ("target.name") surface as a dict
+            val pref = name + "."
+            val sub = ctx.builtins.collect {
+              case (k, v) if k.startsWith(pref) => k.drop(pref.length) -> (JS(v): JV)
+            }
+            if (sub.nonEmpty) JM(sub.toMap) else JUndef(s"{{ $name }}")
+          }
+    }
+
+    // -------------------------------------------------------- functions
+
+    private def str(v: JV): String = show(v)
+
+    private def callFunction(name: String, pos: Seq[JV], kw: Map[String, JV]): JV =
+      name match {
+        case "ref" =>
+          // ref('m') | ref('m', v=2) | ref('pkg', 'm') — names are
+          // globally unique, so the package qualifier only disambiguates
+          val base = if (pos.length == 2) str(pos(1)) else str(pos.head)
+          val pinned = kw.get("v").orElse(kw.get("version"))
+            .map(v => s"$base.v${str(v)}").getOrElse(base)
+          JS(ctx.resolveRef(pinned))
+        case "source" =>
+          JS(ctx.resolveSource(str(pos.head), str(pos(1))))
+        case "var" =>
+          ctx.vars.get(str(pos.head)).map(JS(_))
+            .orElse(pos.lift(1).orElse(kw.get("default")))
+            .getOrElse(throw new IllegalArgumentException(
+              s"undefined var: ${str(pos.head)}"))
+        case "env_var" =>
+          val k = str(pos.head)
+          ctx.envOverrides.get(k).orElse(sys.env.get(k)).map(JS(_))
+            .orElse(pos.lift(1))
+            .getOrElse(throw new IllegalArgumentException(
+              s"env_var $k is undefined"))
+        case "is_incremental" => JB(ctx.isIncremental)
+        case "local_md5" =>
+          JS(java.security.MessageDigest.getInstance("MD5")
+            .digest(str(pos.head).getBytes("UTF-8")).map("%02x".format(_)).mkString)
+        case "log" | "print" =>
+          System.err.println(s"[graft] ${pos.map(str).mkString(" ")}"); JS("")
+        case "load_result" =>
+          val slot = str(pos.head)
+          ctx.results.get(slot) match {
+            case Some(fields) => JM(fields.map { case (k, v) => k -> (JS(v): JV) })
+            case None => throw new IllegalArgumentException(
+              s"load_result('$slot'): no such result slot")
+          }
+        case "range" =>
+          val (lo, hi) = pos match {
+            case Seq(JN(a, _)) => (BigDecimal(0), a)
+            case Seq(JN(a, _), JN(b, _)) => (a, b)
+            case _ => fail("range(stop) or range(start, stop)")
+          }
+          JL((lo.toInt until hi.toInt).map(jint(_)))
+        case "config" => JS("") // parse-time concern (Template.extractConfig)
+        case "exceptions" => JS("")
+        case other =>
+          ctx.macroResolver(other) match {
+            case Some(_) => callMacro(other, pos, kw)
+            case None => JUndef(s"{{ $other(…) }}")
+          }
+      }
+
+    /** Macro call in expression position: bind args to params as LOCALS
+      * (lexical scoping, so nested macro calls inside the body resolve
+      * recursively), render the body, return its text.
+      */
+    private def callMacro(name: String, pos: Seq[JV], kw: Map[String, JV]): JV = {
+      val m = ctx.macroResolver(name).getOrElse(
+        throw new IllegalArgumentException(s"unknown macro: $name"))
+      val params = m.params
+      if (pos.length > params.length)
+        throw new IllegalArgumentException(
+          s"macro ${m.name}: too many args (${pos.length} > ${params.length})")
+      val unknown = kw.keySet -- params.map(_._1).toSet
+      if (unknown.nonEmpty)
+        throw new IllegalArgumentException(
+          s"macro ${m.name}: unknown args ${unknown.mkString(",")}")
+      val bound = params.zipWithIndex.map { case ((pn, dflt), idx) =>
+        pn -> pos.lift(idx).orElse(kw.get(pn)).getOrElse(
+          dflt.map(d => JS(d): JV).getOrElse(
+            throw new IllegalArgumentException(s"macro ${m.name}: missing arg $pn")))
+      }.toMap
+      JS(renderWith(m.body, ctx, bound, depth + 1).trim)
+    }
+
+    // ---------------------------------------------------------- filters
+
+    private def applyFilter(v: JV, name: String, args: Seq[JV]): JV = name match {
+      case "lower" => JS(str(v).toLowerCase)
+      case "upper" => JS(str(v).toUpperCase)
+      case "trim" => JS(str(v).trim)
+      case "capitalize" => JS(str(v).capitalize)
+      case "title" =>
+        JS(str(v).split(" ").map(_.capitalize).mkString(" "))
+      case "join" =>
+        val sep = args.headOption.map(str).getOrElse("")
+        v match {
+          case JL(xs) => JS(xs.map(str).mkString(sep))
+          case other => JS(str(other))
+        }
+      case "replace" => JS(str(v).replace(str(args.head), str(args(1))))
+      case "default" =>
+        val strict = args.lift(1).exists(truthy)
+        v match {
+          case JUndef(_) | JNull => args.head
+          case x if strict && !truthy(x) => args.head
+          case x => x
+        }
+      case "length" | "count" => v match {
+        case JL(xs) => jint(xs.length)
+        case JS(s) => jint(s.length)
+        case JM(m) => jint(m.size)
+        case _ => fail(s"length of ${show(v)}")
+      }
+      case "first" => v match {
+        case JL(xs) => xs.headOption.getOrElse(JNull)
+        case JS(s) => if (s.nonEmpty) JS(s.head.toString) else JNull
+        case _ => fail("first")
+      }
+      case "last" => v match {
+        case JL(xs) => xs.lastOption.getOrElse(JNull)
+        case JS(s) => if (s.nonEmpty) JS(s.last.toString) else JNull
+        case _ => fail("last")
+      }
+      case "unique" => v match {
+        case JL(xs) => JL(xs.distinct)
+        case other => other
+      }
+      case "sort" => v match {
+        case JL(xs) => JL(xs.sortBy(str))
+        case other => other
+      }
+      case "reverse" => v match {
+        case JL(xs) => JL(xs.reverse)
+        case JS(s) => JS(s.reverse)
+        case other => other
+      }
+      case "list" => v match {
+        case l: JL => l
+        case JS(s) => JL(s.map(c => JS(c.toString)))
+        case JM(m) => JL(m.keys.toSeq.map(JS(_)))
+        case other => JL(Seq(other))
+      }
+      case "string" => JS(str(v))
+      case "int" => v match {
+        case JN(n, _) => jint(n.toLong)
+        case JS(s) => scala.util.Try(jint(s.trim.toDouble.toLong))
+          .getOrElse(args.headOption.getOrElse(jint(0)))
+        case JB(b) => jint(if (b) 1 else 0)
+        case _ => args.headOption.getOrElse(jint(0))
+      }
+      case "float" => v match {
+        case JN(n, _) => JN(n, isInt = false)
+        case JS(s) => scala.util.Try(JN(BigDecimal(s.trim), isInt = false))
+          .getOrElse(args.headOption.getOrElse(JN(0, isInt = false)))
+        case _ => args.headOption.getOrElse(JN(0, isInt = false))
+      }
+      case "round" =>
+        val places = args.headOption.collect { case JN(n, _) => n.toInt }.getOrElse(0)
+        v match {
+          case JN(n, _) => JN(n.setScale(places, BigDecimal.RoundingMode.HALF_UP),
+            isInt = false)
+          case _ => fail("round")
+        }
+      case "abs" => v match {
+        case JN(n, isInt) => JN(n.abs, isInt)
+        case _ => fail("abs")
+      }
+      case "min" => v match {
+        case JL(xs) if xs.nonEmpty => xs.minBy(x => BigDecimal(str(x)))
+        case _ => fail("min")
+      }
+      case "max" => v match {
+        case JL(xs) if xs.nonEmpty => xs.maxBy(x => BigDecimal(str(x)))
+        case _ => fail("max")
+      }
+      case "sum" => v match {
+        case JL(xs) => xs.foldLeft(jint(0))((acc, x) => arith(acc, x, "+"))
+        case _ => fail("sum")
+      }
+      case "escape" | "e" => JS(str(v).replace("'", "''"))
+      case other => fail(s"unknown filter `$other`")
+    }
+
+    // ----------------------------------------------------- string methods
+
+    private def methodCall(v: JV, name: String, args: Seq[JV]): JV = (v, name) match {
+      case (JS(s), "upper") => JS(s.toUpperCase)
+      case (JS(s), "lower") => JS(s.toLowerCase)
+      case (JS(s), "strip") => JS(s.trim)
+      case (JS(s), "lstrip") => JS(s.replaceAll("^\\s+", ""))
+      case (JS(s), "rstrip") => JS(s.replaceAll("\\s+$", ""))
+      case (JS(s), "split") =>
+        val sep = args.headOption.map(str).getOrElse(" ")
+        JL(s.split(java.util.regex.Pattern.quote(sep), -1).toSeq.map(JS(_)))
+      case (JS(s), "startswith") => JB(s.startsWith(str(args.head)))
+      case (JS(s), "endswith") => JB(s.endsWith(str(args.head)))
+      case (JS(s), "replace") => JS(s.replace(str(args.head), str(args(1))))
+      case (JS(s), "format") =>
+        // positional {} substitution only
+        JS(args.foldLeft(s)((acc, a) => acc.replaceFirst("\\{\\}",
+          java.util.regex.Matcher.quoteReplacement(str(a)))))
+      case (JL(xs), "append") => JL(xs :+ args.head) // note: no mutation
+      case (JM(m), "get") =>
+        m.get(str(args.head)).orElse(args.lift(1)).getOrElse(JNull)
+      case (JM(m), "keys") => JL(m.keys.toSeq.map(JS(_)))
+      case (JM(m), "values") => JL(m.values.toSeq)
+      case _ => fail(s"unknown method `.$name()` on ${show(v)}")
+    }
+  }
+}

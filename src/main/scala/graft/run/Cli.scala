@@ -29,6 +29,17 @@ object Cli {
     // Spark-free commands handled before a session exists, so they are
     // cheap and safe to call from anywhere (reference `init`/`clean`).
     command match {
+      case "deps" =>
+        // A32: local + tarball package install (reference
+        // `core/dbt/task/deps.py:90-277`). Runs before any session —
+        // the loader needs dbt_packages/ populated. Hub/git sources
+        // need network egress and stay out; Deps.install says so per
+        // entry.
+        val installed = graft.parse.Deps.install(projectDir)
+        if (installed.isEmpty) println("graft deps: no packages.yml entries")
+        else installed.foreach(p =>
+          println(s"installed ${p.name} (${p.kind}: ${p.location})"))
+        return
       case "init" =>
         val root = java.nio.file.Paths.get(projectDir)
         def scaffold(rel: String, content: String): Unit = {
@@ -70,6 +81,12 @@ object Cli {
     val vars = opts.get("vars").map(_.split(",").map { kv =>
       val Array(k, v) = kv.split("=", 2); k -> v
     }.toMap).getOrElse(Map.empty)
+
+    // --log-format json → one JSON line per node/invocation event
+    // (reference `--log-format`, `core/dbt/events/`); text stays the
+    // human default. The CLI raises the level so events stream.
+    EventLog.format = opts.getOrElse("log-format", "text")
+    EventLog.minLevel = "info"
 
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
@@ -176,16 +193,6 @@ object Cli {
           engine.manifest)
         println(s"wrote $targetDir/catalog.json, $targetDir/graph.dot" +
           s" and $targetDir/index.html")
-      case "deps" =>
-        // Out of scope per SURVEY §2 A32 — fail with a direct
-        // explanation rather than "unknown command" (reference
-        // `core/dbt/deps/` resolves hub packages; target environments
-        // here have no network egress).
-        System.err.println(
-          """graft deps: package management is not supported (SURVEY §2 A32).
-            |Vendor any package's models/macros directly into this project's
-            |model paths; hub/git package resolution is intentionally absent.""".stripMargin)
-        sys.exit(2)
       case other =>
         println(s"unknown command: $other\n$usage"); sys.exit(2)
     }
@@ -212,10 +219,10 @@ object Cli {
   }
 
   private val usage: String =
-    """usage: graft.run.Cli <run|test|build|seed|snapshot|ls|compile|show|freshness|retry|docs|run-operation|parse|debug|clone|init|clean>
+    """usage: graft.run.Cli <run|test|build|seed|snapshot|ls|compile|show|freshness|retry|docs|deps|run-operation|parse|debug|clone|init|clean>
       |  --project <dir> [--warehouse <dir>] [--target <dir>] [--threads N]
       |  [--select a b] [--exclude c] [--selector <name>] [--vars k=v,...] [--full-refresh]
-      |  [--inline "<sql>"] [--limit N] [--empty]
+      |  [--inline "<sql>"] [--limit N] [--empty] [--log-format text|json]
       |  run-operation <macro> [--args k=v,...]
       |  clone --state-warehouse <dir> [--deep]""".stripMargin
 }

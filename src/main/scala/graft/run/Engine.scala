@@ -29,7 +29,11 @@ final class Engine(
     val runStartHooks: Seq[String] = Nil,
     val runEndHooks: Seq[String] = Nil,
     val namespace: String = "",
-    val macros: Map[String, Template.MacroDef] = Map.empty) {
+    val macros: Map[String, Template.MacroDef] = Map.empty,
+    /** per-package macro maps (A32 deps) — calling-package precedence:
+      * the caller's own package resolves first, then the flat map
+      * (root shadows packages; reference `manifest.py:660-730`). */
+    val macrosByPackage: Map[String, Map[String, Template.MacroDef]] = Map.empty) {
 
   val wh = new Warehouse(spark, warehouseRoot)
 
@@ -65,9 +69,23 @@ final class Engine(
       resolveSource: (String, String) => String = defaultSourceResolver,
       thisRelation: String = "",
       isIncremental: Boolean = false,
-      results: Map[String, Map[String, String]] = Map.empty): Template.Context =
+      results: Map[String, Map[String, String]] = Map.empty,
+      callerPackage: String = "graft"): Template.Context =
     Template.Context(resolveRef, resolveSource, thisRelation, vars,
-      isIncremental, builtins = contextBuiltins, results = results)
+      isIncremental, builtins = contextBuiltins, results = results,
+      macroResolver = macroResolverFor(callerPackage))
+
+  /** Package-precedence macro lookup: `pkg.name` is exact; unqualified
+    * resolves caller's package → flat map (root wins over packages).
+    */
+  def macroResolverFor(callerPackage: String): String => Option[Template.MacroDef] =
+    name =>
+      if (name.contains(".")) {
+        val Array(p, m) = name.split("\\.", 2)
+        macrosByPackage.get(p).flatMap(_.get(m))
+      } else
+        macrosByPackage.get(callerPackage).flatMap(_.get(name))
+          .orElse(macros.get(name))
 
   // ------------------------------------------------- A27 result registry
 
@@ -193,7 +211,8 @@ final class Engine(
 
     def renderBody(sql: String, thisRel: String): String =
       Template.render(sql,
-        renderContext(resolveRef, resolveSource, thisRel, isIncremental))
+        renderContext(resolveRef, resolveSource, thisRel, isIncremental,
+          callerPackage = node.packageName))
 
     val body = renderBody(raw, relationName(node))
     spliceCtes(body, ephemeralDeps.toSeq)
@@ -234,6 +253,10 @@ final class Engine(
     // are always available and we only schedule selected nodes.
     val selected = selected0.filter(id =>
       manifest.nodes.get(id).exists(n => resourceTypes.contains(n.resourceType)))
+    EventLog.info("invocation_started",
+      "invocation_id" -> invocationId, "n_nodes" -> selected.size,
+      "threads" -> threads)
+    val runT0 = System.nanoTime()
     // on-run-start hooks (reference `task/run.py:434-440`)
     runHooks(runStartHooks)
     val queue = new GraphQueue(dag, selected)
@@ -249,21 +272,35 @@ final class Engine(
             val t0 = System.nanoTime()
             val node = manifest.nodes(id)
             spark.sparkContext.setJobGroup(id, s"graft: $id", interruptOnCancel = true)
+            EventLog.info("node_started", "unique_id" -> id,
+              "invocation_id" -> invocationId)
             try {
               runNode(node, fullRefresh)
-              results.add(Materializer.Result(id, "success",
-                elapsedSec = (System.nanoTime() - t0) / 1e9))
+              val dt = (System.nanoTime() - t0) / 1e9
+              results.add(Materializer.Result(id, "success", elapsedSec = dt))
+              EventLog.info("node_finished", "unique_id" -> id,
+                "status" -> "success", "elapsed_sec" -> dt,
+                "invocation_id" -> invocationId)
               queue.markDone(id)
             } catch {
               case e: Throwable =>
                 failed.set(true)
+                val dt = (System.nanoTime() - t0) / 1e9
                 results.add(Materializer.Result(id, "error",
                   message = String.valueOf(e.getMessage),
-                  elapsedSec = (System.nanoTime() - t0) / 1e9))
+                  elapsedSec = dt))
+                EventLog.error("node_finished", "unique_id" -> id,
+                  "status" -> "error", "elapsed_sec" -> dt,
+                  "message" -> String.valueOf(e.getMessage),
+                  "invocation_id" -> invocationId)
                 val skipped = queue.markFailed(id)
-                skipped.foreach(sid => results.add(
-                  Materializer.Result(sid, "skipped",
-                    message = s"upstream failure: $id")))
+                skipped.foreach { sid =>
+                  results.add(Materializer.Result(sid, "skipped",
+                    message = s"upstream failure: $id"))
+                  EventLog.warn("node_finished", "unique_id" -> sid,
+                    "status" -> "skipped", "message" -> s"upstream failure: $id",
+                    "invocation_id" -> invocationId)
+                }
             } finally spark.sparkContext.clearJobGroup()
           case None =>
             if (queue.isComplete) continue = false
@@ -280,7 +317,14 @@ final class Engine(
     pool.awaitTermination(60, TimeUnit.SECONDS)
     // on-run-end hooks (reference `task/run.py:442-463`)
     runHooks(runEndHooks)
-    results.asScala.toSeq
+    val out = results.asScala.toSeq
+    EventLog.info("invocation_finished",
+      "invocation_id" -> invocationId,
+      "elapsed_sec" -> (System.nanoTime() - runT0) / 1e9,
+      "n_success" -> out.count(_.status == "success"),
+      "n_error" -> out.count(_.status == "error"),
+      "n_skipped" -> out.count(_.status == "skipped"))
+    out
   }
 
   private def runNode(node: Node, fullRefreshFlag: Boolean): Unit = node match {
@@ -418,7 +462,7 @@ final class Engine(
     * DataFrame per executed statement.
     */
   def runOperation(name: String, args: Map[String, String] = Map.empty): Seq[DataFrame] = {
-    val m = macros.getOrElse(name,
+    val m = macroResolverFor("graft")(name).getOrElse(
       throw new IllegalArgumentException(s"unknown macro: $name"))
     val bound = Template.bindMacro(m, args)
     val opId = s"operation.$name"
@@ -585,7 +629,8 @@ final class Engine(
     })
     val eng = new Engine(spark, augmented, warehouseRoot, vars, clock,
       runStartHooks = runStartHooks, runEndHooks = runEndHooks,
-      namespace = namespace)
+      namespace = namespace, macros = macros,
+      macrosByPackage = macrosByPackage)
     eng.run(select, threads = threads,
       resourceTypes = Set("model", "seed", "snapshot", "test", "unit_test"),
       indirectSelection = indirectSelection)
@@ -694,6 +739,7 @@ object Engine {
     new Engine(spark, proj.manifest, warehouseRoot, proj.vars ++ vars, clock,
       emptyMode = emptyMode,
       runStartHooks = proj.onRunStart, runEndHooks = proj.onRunEnd,
-      namespace = namespace, macros = proj.macros)
+      namespace = namespace, macros = proj.macros,
+      macrosByPackage = proj.macrosByPackage)
   }
 }

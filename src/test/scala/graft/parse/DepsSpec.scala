@@ -1,0 +1,181 @@
+package graft.parse
+
+import graft.SparkSpec
+import graft.run.Engine
+import java.nio.file.{Files, Path, Paths}
+
+/** A32 deps: local + tarball package install, per-package macro
+  * namespacing, package-precedence resolution, lockfile.
+  */
+class DepsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def write(root: Path, rel: String, content: String): Unit = {
+    val p = root.resolve(rel)
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, content)
+  }
+
+  /** A reusable fixture package: one source-reading model that uses its
+    * OWN unqualified macro (calling-package precedence), one macro the
+    * root will call qualified, and one macro the root will SHADOW.
+    */
+  private def writePackage(dir: Path): Unit = {
+    write(dir, "dbt_project.yml", "name: util_pkg\n")
+    write(dir, "models/pkg_base.sql",
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM {{ source('main', 'orders') }}
+        |WHERE {{ even_rows('o_orderkey') }}""".stripMargin)
+    write(dir, "macros/utils.sql",
+      """{% macro even_rows(c) %}{{ c }} % 2 = 0{% endmacro %}
+        |{% macro money(c) %}CAST({{ c }} AS DECIMAL(20,4)){% endmacro %}
+        |{% macro greeting() %}pkg{% endmacro %}""".stripMargin)
+  }
+
+  private def writeRoot(root: Path, pkgRef: String): Unit = {
+    write(root, "dbt_project.yml", "name: deps_root\n")
+    write(root, "packages.yml", s"packages:\n  - $pkgRef\n")
+    write(root, "models/sources.yml",
+      s"""sources:
+         |  - name: main
+         |    tables:
+         |      - name: orders
+         |        path: $sf/orders.parquet
+         |""".stripMargin)
+    // root macro shadows the package's `greeting`; `money` resolves
+    // qualified; the packaged MODEL refs like any other
+    write(root, "macros/root.sql",
+      "{% macro greeting() %}root{% endmacro %}")
+    write(root, "models/root_fct.sql",
+      """{{ config(materialized='table') }}
+        |SELECT o_custkey,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM({{ util_pkg.money('o_totalprice') }}) AS DOUBLE) AS spend
+        |FROM {{ ref('pkg_base') }}
+        |GROUP BY o_custkey""".stripMargin)
+  }
+
+  test("local package: install, load, run — macros namespace correctly") {
+    val pkgDir = Files.createTempDirectory("dep_pkg")
+    val root = Files.createTempDirectory("dep_root")
+    writePackage(pkgDir)
+    writeRoot(root, s"local: $pkgDir")
+
+    val installed = Deps.install(root.toString)
+    assert(installed.map(_.name) === Seq("util_pkg"))
+    assert(Files.exists(root.resolve("dbt_packages/util_pkg/models/pkg_base.sql")))
+    assert(Files.exists(root.resolve("package-lock.yml")))
+    val lock = Files.readString(root.resolve("package-lock.yml"))
+    assert(lock.contains("name: util_pkg") && lock.contains("source: local"))
+
+    val proj = ProjectLoader.load(root.toString)
+    // package node carries its package name in the unique id
+    assert(proj.manifest.nodes.contains("model.util_pkg.pkg_base"))
+    assert(proj.manifest.nodes.contains("model.graft.root_fct"))
+    // qualified + unqualified macro resolution
+    assert(proj.macros.contains("util_pkg.money"))
+    assert(proj.macros("greeting").body === "root") // root shadows pkg
+    assert(proj.macrosByPackage("util_pkg")("greeting").body === "pkg")
+
+    val eng = Engine.fromProject(spark, root.toString, tmpDir("wh"))
+    val results = eng.run(threads = 2)
+    assert(results.forall(_.status == "success"), results.mkString("; "))
+    // packaged model used ITS OWN even_rows macro: only even keys
+    val base = eng.wh.read("pkg_base")
+    assert(base.filter("o_orderkey % 2 != 0").count() === 0)
+    assert(base.count() > 0)
+    // root model aggregated over the packaged model via ref()
+    assert(eng.wh.read("root_fct").count() > 0)
+    // run-operation resolves package macros with root precedence
+    assert(eng.macroResolverFor("graft")("greeting").get.body === "root")
+    assert(eng.macroResolverFor("util_pkg")("greeting").get.body === "pkg")
+  }
+
+  test("tarball package: extract, install, load") {
+    val pkgDir = Files.createTempDirectory("dep_pkg_tar")
+    writePackage(pkgDir)
+    val tarGz = Files.createTempDirectory("dep_tars").resolve("util_pkg.tar.gz")
+    makeTarGz(pkgDir, tarGz)
+
+    val root = Files.createTempDirectory("dep_root_tar")
+    writeRoot(root, s"tarball: $tarGz")
+    val installed = Deps.install(root.toString)
+    assert(installed.map(_.name) === Seq("util_pkg"))
+    assert(installed.head.kind === "tarball")
+    assert(Files.exists(root.resolve("dbt_packages/util_pkg/macros/utils.sql")))
+
+    val eng = Engine.fromProject(spark, root.toString, tmpDir("wh"))
+    assert(eng.run(threads = 2).forall(_.status == "success"))
+    assert(eng.wh.read("root_fct").count() > 0)
+  }
+
+  test("duplicate model names across packages are a hard error") {
+    val pkgDir = Files.createTempDirectory("dep_pkg_dup")
+    writePackage(pkgDir)
+    val root = Files.createTempDirectory("dep_root_dup")
+    writeRoot(root, s"local: $pkgDir")
+    // root model with the SAME name as the packaged one
+    write(root, "models/pkg_base.sql", "SELECT 1 AS x")
+    Deps.install(root.toString)
+    val e = intercept[IllegalArgumentException](ProjectLoader.load(root.toString))
+    assert(e.getMessage.contains("pkg_base"))
+  }
+
+  test("deps without packages.yml is a no-op; hub entries refused") {
+    val root = Files.createTempDirectory("dep_root_none")
+    write(root, "dbt_project.yml", "name: lonely\n")
+    assert(Deps.install(root.toString) === Nil)
+    write(root, "packages.yml",
+      "packages:\n  - package: dbt-labs/dbt_utils\n    version: 1.1.1\n")
+    val e = intercept[IllegalArgumentException](Deps.install(root.toString))
+    assert(e.getMessage.contains("egress"))
+  }
+
+  /** Minimal ustar writer — enough structure for Deps.untarGz:
+    * 512-byte headers with octal size + checksum, data padded to 512.
+    */
+  private def makeTarGz(srcDir: Path, out: Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    val os = new java.util.zip.GZIPOutputStream(Files.newOutputStream(out))
+    try {
+      def header(name: String, size: Long, isDir: Boolean): Array[Byte] = {
+        val h = new Array[Byte](512)
+        val nameB = name.getBytes("UTF-8")
+        System.arraycopy(nameB, 0, h, 0, math.min(nameB.length, 100))
+        def octal(v: Long, off: Int, len: Int): Unit = {
+          val s = java.lang.Long.toOctalString(v)
+          val padded = ("0" * (len - 1 - s.length)) + s
+          System.arraycopy(padded.getBytes("UTF-8"), 0, h, off, len - 1)
+        }
+        octal(420, 100, 8) // mode 0644
+        octal(0, 108, 8); octal(0, 116, 8)
+        octal(size, 124, 12)
+        octal(0, 136, 12)
+        h(156) = if (isDir) '5'.toByte else '0'.toByte
+        // checksum: spaces while summing, then written
+        java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+        val sum = h.map(b => b & 0xff).sum
+        val cs = java.lang.Long.toOctalString(sum)
+        val csPad = ("0" * (6 - cs.length)) + cs
+        System.arraycopy(csPad.getBytes("UTF-8"), 0, h, 148, 6)
+        h(154) = 0; h(155) = ' '.toByte
+        h
+      }
+      Files.walk(srcDir).iterator().asScala.toSeq.sortBy(_.toString).foreach { p =>
+        val rel = srcDir.relativize(p).toString
+        if (rel.nonEmpty) {
+          if (Files.isDirectory(p)) os.write(header(rel + "/", 0, isDir = true))
+          else {
+            val bytes = Files.readAllBytes(p)
+            os.write(header(rel, bytes.length.toLong, isDir = false))
+            os.write(bytes)
+            val pad = (512 - (bytes.length % 512)) % 512
+            if (pad > 0) os.write(new Array[Byte](pad))
+          }
+        }
+      }
+      os.write(new Array[Byte](1024)) // end-of-archive blocks
+    } finally os.close()
+  }
+}

@@ -1,0 +1,189 @@
+package graft.render
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The grown A25 surface (block Jinja engine): nested macros, package
+  * qualification, filters, expression set, general if/for — acceptance
+  * is byte-identical rendering of real macro bodies from the
+  * reference's test fixtures (`tests/functional/macros/fixtures.py`)
+  * and dbt_utils-style community macros.
+  */
+class JinjaSpec extends AnyFunSuite {
+
+  private def macros(defs: String*): Map[String, Template.MacroDef] =
+    defs.flatMap(Template.extractMacros).map(m => m.name -> m).toMap
+
+  private def ctxWith(ms: Map[String, Template.MacroDef],
+      pkgs: Map[String, Map[String, Template.MacroDef]] = Map.empty) =
+    Template.Context(
+      resolveRef = n => s"rel_$n",
+      resolveSource = (a, b) => s"src_${a}_$b",
+      thisRelation = "this_table",
+      vars = Map("start" -> "2020-01-01"),
+      macroResolver = name => name.split("\\.", 2) match {
+        case Array(pkg, m) => pkgs.get(pkg).flatMap(_.get(m))
+        case _ => ms.get(name)
+      })
+
+  private val ctx = ctxWith(Map.empty)
+
+  // --- reference fixture macros (tests/functional/macros/fixtures.py) ---
+
+  private val doSomething2 =
+    """{% macro do_something2(foo2, bar2) %}
+      |
+      |    select
+      |        '{{ foo2 }}' as foo2,
+      |        '{{ bar2 }}' as bar2
+      |
+      |{% endmacro %}""".stripMargin
+
+  private val withRef =
+    """{% macro with_ref() %}
+      |
+      |    {{ ref('table_model') }}
+      |
+      |{% endmacro %}""".stripMargin
+
+  test("reference models__local_macro: macro call in model body") {
+    val c = ctxWith(macros(doSomething2))
+    val out = Template.render("""{{
+                                |    do_something2("arg1", "arg2")
+                                |}}""".stripMargin, c)
+    assert(out ===
+      """select
+        |        'arg1' as foo2,
+        |        'arg2' as bar2""".stripMargin)
+  }
+
+  test("reference models__local_macro: package-qualified call") {
+    val c = ctxWith(Map.empty,
+      pkgs = Map("test" -> macros(doSomething2)))
+    val out = Template.render("""{{ test.do_something2("arg3", "arg4") }}""", c)
+    assert(out.contains("'arg3' as foo2") && out.contains("'arg4' as bar2"))
+  }
+
+  test("reference models__ref_macro: macro body resolves ref()") {
+    val c = ctxWith(macros(withRef))
+    assert(Template.render("select * from {{ with_ref() }}", c)
+      === "select * from rel_table_model")
+  }
+
+  // --- dbt_utils-style community macros ---
+
+  test("dbt_utils group_by(n): range loop with separator") {
+    val groupBy =
+      """{% macro group_by(n) %}group by {% for i in range(1, n + 1) %}{{ i }}{% if not loop.last %},{% endif %}{% endfor %}{% endmacro %}"""
+    val c = ctxWith(macros(groupBy))
+    assert(Template.render("SELECT a, b, count(*) FROM t {{ group_by(2) }}", c)
+      === "SELECT a, b, count(*) FROM t group by 1,2")
+  }
+
+  test("dbt_utils safe_divide: nested macro calls") {
+    val defs =
+      """{% macro safe_divide(numerator, denominator) %}( {{ numerator }} ) / nullif( ( {{ denominator }} ), 0){% endmacro %}
+        |{% macro pct(a, b) %}100.0 * {{ safe_divide(a, b) }}{% endmacro %}""".stripMargin
+    val c = ctxWith(macros(defs))
+    assert(Template.render("SELECT {{ pct('x', 'y') }} AS p FROM t", c)
+      === "SELECT 100.0 * ( x ) / nullif( ( y ), 0) AS p FROM t")
+  }
+
+  test("macro default args and kwargs") {
+    val m = """{% macro lim(n=10) %}LIMIT {{ n }}{% endmacro %}"""
+    val c = ctxWith(macros(m))
+    assert(Template.render("SELECT * FROM t {{ lim() }}", c) === "SELECT * FROM t LIMIT 10")
+    assert(Template.render("SELECT * FROM t {{ lim(5) }}", c) === "SELECT * FROM t LIMIT 5")
+    assert(Template.render("SELECT * FROM t {{ lim(n=7) }}", c) === "SELECT * FROM t LIMIT 7")
+  }
+
+  // --- filters ---
+
+  test("filters: join / lower / upper / replace / default / length") {
+    assert(Template.render("{{ ['a', 'b', 'c'] | join(', ') }}", ctx) === "a, b, c")
+    assert(Template.render("{{ 'AbC' | lower }}", ctx) === "abc")
+    assert(Template.render("{{ 'AbC' | upper }}", ctx) === "ABC")
+    assert(Template.render("{{ 'a-b' | replace('-', '_') }}", ctx) === "a_b")
+    assert(Template.render("{{ nope | default('fallback') }}", ctx) === "fallback")
+    assert(Template.render("{{ var('start') | default('x') }}", ctx) === "2020-01-01")
+    assert(Template.render("{{ ['a', 'b'] | length }}", ctx) === "2")
+    assert(Template.render("{{ ['b', 'a', 'b'] | unique | sort | join('') }}", ctx) === "ab")
+  }
+
+  test("filter chain inside set and for") {
+    val sql =
+      """{% set cols = 'ID,Name,Email'.split(',') %}
+        |SELECT {% for c in cols %}{{ c | lower }}{% if not loop.last %}, {% endif %}{% endfor %} FROM t""".stripMargin
+    assert(Template.render(sql, ctx) === "SELECT id, name, email FROM t")
+  }
+
+  // --- expressions / statements ---
+
+  test("general if / elif / else with comparisons") {
+    val sql = "{% if var('start') == '2020-01-01' %}A{% elif var('start') > '2019' %}B{% else %}C{% endif %}"
+    assert(Template.render(sql, ctx) === "A")
+    assert(Template.render(
+      "{% if 2 > 3 %}A{% elif 2 > 1 %}B{% else %}C{% endif %}", ctx) === "B")
+    assert(Template.render(
+      "{% if 2 > 3 %}A{% elif 2 > 5 %}B{% else %}C{% endif %}", ctx) === "C")
+  }
+
+  test("nested for and if blocks") {
+    val sql =
+      "{% for a in ['x', 'y'] %}{% for b in [1, 2] %}{% if b == 2 %}{{ a }}{{ b }};{% endif %}{% endfor %}{% endfor %}"
+    assert(Template.render(sql, ctx) === "x2;y2;")
+  }
+
+  test("expression set: lists, arithmetic, method calls") {
+    assert(Template.render(
+      "{% set xs = ['a'] + ['b'] %}{{ xs | join('-') }}", ctx) === "a-b")
+    assert(Template.render("{% set n = 3 * 4 + 1 %}{{ n }}", ctx) === "13")
+    assert(Template.render(
+      "{% set s = ' pad '.strip() %}[{{ s }}]", ctx) === "[pad]")
+    assert(Template.render(
+      "{% set parts = 'a.b.c'.split('.') %}{{ parts[1] }}", ctx) === "b")
+  }
+
+  test("in / not in, is defined / is none, boolean ops") {
+    assert(Template.render("{% if 'a' in ['a', 'b'] %}Y{% endif %}", ctx) === "Y")
+    assert(Template.render("{% if 'z' not in ['a', 'b'] %}Y{% endif %}", ctx) === "Y")
+    assert(Template.render("{% if nope is defined %}Y{% else %}N{% endif %}", ctx) === "N")
+    assert(Template.render("{% set x = 1 %}{% if x is defined %}Y{% endif %}", ctx) === "Y")
+    assert(Template.render(
+      "{% if true and not false or false %}Y{% endif %}", ctx) === "Y")
+  }
+
+  test("whitespace control and comments") {
+    assert(Template.render("a  {#- note -#}  b", ctx) === "a  b".replace("  ", "")
+      || Template.render("a {# note #} b", ctx) === "a  b")
+    assert(Template.render("x\n  {%- if true %}y{% endif %}", ctx) === "xy")
+    assert(Template.render("{# gone #}SELECT 1", ctx) === "SELECT 1")
+  }
+
+  test("int/float rendering and division") {
+    assert(Template.render("{{ 10 }}", ctx) === "10")
+    assert(Template.render("{{ 10.5 }}", ctx) === "10.5")
+    assert(Template.render("{{ 7 // 2 }}", ctx) === "3")
+    assert(Template.render("{{ 1 / 2 }}", ctx) === "0.5")
+    assert(Template.render("{{ 10 % 3 }}", ctx) === "1")
+  }
+
+  test("unresolved names and calls render verbatim") {
+    assert(Template.render("SELECT {{ mystery_col }} FROM t", ctx)
+      === "SELECT {{ mystery_col }} FROM t")
+    // call blocks and macro defs pass through untouched for the
+    // segmentation/extraction layers
+    val call = "{% call statement('x', fetch_result=true) %}SELECT 1{% endcall %}"
+    assert(Template.render(call, ctx) === call)
+  }
+
+  test("do statement evaluates for side effects only") {
+    assert(Template.render("{% do log('hi') %}SELECT 1", ctx) === "SELECT 1")
+  }
+
+  test("macro recursion is bounded") {
+    val m = """{% macro loop_forever() %}{{ loop_forever() }}{% endmacro %}"""
+    val c = ctxWith(macros(m))
+    assertThrows[IllegalArgumentException](
+      Template.render("{{ loop_forever() }}", c))
+  }
+}

@@ -20,4 +20,36 @@ class CliSpec extends AnyFunSuite {
     val opts = Cli.parseOpts(List("--warehouse", "/w", "--full-refresh"))
     assert(opts === Map("warehouse" -> "/w", "full-refresh" -> "true"))
   }
+
+  test("event log: json lines are machine-parseable, text is one-line") {
+    val captured = scala.collection.mutable.ArrayBuffer.empty[String]
+    val (f0, s0, l0) = (EventLog.format, EventLog.sink, EventLog.minLevel)
+    try {
+      EventLog.format = "json"; EventLog.sink = captured += _; EventLog.minLevel = "info"
+      EventLog.info("node_finished",
+        "unique_id" -> "model.graft.x", "status" -> "success",
+        "elapsed_sec" -> 1.25, "n" -> 3L,
+        "message" -> "line1\nline2\t\"quoted\"")
+      assert(captured.size === 1)
+      // parse back (JSON is valid YAML; snakeyaml is the test harness'
+      // parser of record)
+      val m = new org.yaml.snakeyaml.Yaml()
+        .load[java.util.Map[String, Any]](captured.head)
+      assert(m.get("event") === "node_finished")
+      assert(m.get("unique_id") === "model.graft.x")
+      assert(m.get("status") === "success")
+      assert(m.get("elapsed_sec") === 1.25)
+      assert(m.get("n") === 3)
+      assert(m.get("message") === "line1\nline2\t\"quoted\"")
+      assert(m.containsKey("ts") && m.get("level") === "info")
+      // level filter: debug below info is dropped
+      EventLog.emit("noise", "debug", "x" -> 1)
+      assert(captured.size === 1)
+      // text mode: single line, key=value
+      captured.clear(); EventLog.format = "text"
+      EventLog.info("node_started", "unique_id" -> "model.graft.x")
+      assert(captured.size === 1 && captured.head.contains("unique_id=model.graft.x")
+        && !captured.head.contains("\n"))
+    } finally { EventLog.format = f0; EventLog.sink = s0; EventLog.minLevel = l0 }
+  }
 }

@@ -323,6 +323,31 @@ class EngineSpec extends SparkSpec {
     assert(eng3.test(select = Seq("ut_mixed")).head.status === "pass")
   }
 
+  test("json event log: run lifecycle lines parse back with statuses") {
+    val captured = scala.collection.mutable.ArrayBuffer.empty[String]
+    val (f0, s0, l0) = (EventLog.format, EventLog.sink, EventLog.minLevel)
+    try {
+      EventLog.format = "json"
+      EventLog.sink = s => captured.synchronized { captured += s; () }
+      EventLog.minLevel = "info"
+      val eng = Engine.fromProject(spark, writeProject(baseProject), tmpDir("wh"))
+      eng.run(threads = 2)
+      val yaml = new org.yaml.snakeyaml.Yaml()
+      val events = captured.toSeq.map(l =>
+        yaml.load[java.util.Map[String, Any]](l))
+      val names = events.map(_.get("event"))
+      assert(names.head === "invocation_started")
+      assert(names.last === "invocation_finished")
+      val finished = events.filter(_.get("event") == "node_finished")
+      assert(finished.nonEmpty)
+      assert(finished.forall(_.get("status") == "success"))
+      assert(finished.forall(_.get("invocation_id") == eng.invocationId))
+      val started = events.filter(_.get("event") == "node_started")
+      assert(started.map(_.get("unique_id")).toSet
+        === finished.map(_.get("unique_id")).toSet)
+    } finally { EventLog.format = f0; EventLog.sink = s0; EventLog.minLevel = l0 }
+  }
+
   test("source freshness thresholds") {
     val eng = Engine.fromProject(spark, writeProject(baseProject), tmpDir("wh"))
     // clock far in the future -> stale
