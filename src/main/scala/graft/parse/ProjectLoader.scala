@@ -237,6 +237,52 @@ object ProjectLoader {
           }
         case _ =>
       }
+      // A13 unit tests from schema YAML (reference
+      // `core/dbt/parser/unit_tests.py`; fixture formats
+      // `unit_test_definition.py:25-28`: dict | csv | sql)
+      doc.get("unit_tests") match {
+        case Some(us: java.util.List[_]) =>
+          for (u <- us.asScala) {
+            val um = u.asInstanceOf[java.util.Map[String, Any]].asScala
+            def fixtureOf(m: scala.collection.Map[String, Any]): UnitFixture =
+              m.get("format").map(_.toString).getOrElse("dict") match {
+                case "csv" => CsvRows(m.getOrElse("rows", "").toString)
+                case "sql" => SqlRows(m.getOrElse("rows", "").toString)
+                case _ => DictRows(m.getOrElse("rows", new java.util.ArrayList[Any]())
+                  .asInstanceOf[java.util.List[_]].asScala.toSeq.map(r =>
+                    r.asInstanceOf[java.util.Map[String, Any]].asScala.toMap))
+              }
+            // `input: ref('m')` / `input: source('s','t')` → fixture key
+            def inputKey(v: String): String = {
+              val srcs = Template.extractSources(s"{{ $v }}")
+              if (srcs.nonEmpty) s"${srcs.head._1}.${srcs.head._2}" else refName(v)
+            }
+            val given = um.getOrElse("given", new java.util.ArrayList[Any]())
+              .asInstanceOf[java.util.List[_]].asScala.toSeq.map { g =>
+                val gm = g.asInstanceOf[java.util.Map[String, Any]].asScala
+                inputKey(gm("input").toString) -> fixtureOf(gm)
+              }.toMap
+            val expect = fixtureOf(um.getOrElse("expect",
+              new java.util.HashMap[String, Any]())
+              .asInstanceOf[java.util.Map[String, Any]].asScala)
+            val overrides = um.get("overrides")
+              .map(_.asInstanceOf[java.util.Map[String, Any]].asScala)
+            def overrideMap(key: String): Map[String, String] =
+              overrides.flatMap(_.get(key))
+                .map(_.asInstanceOf[java.util.Map[String, Any]].asScala
+                  .map { case (k, v) => k.toString -> String.valueOf(v) }.toMap)
+                .getOrElse(Map.empty)
+            nodes += UnitTestNode(
+              name = um("name").toString,
+              model = refName(um("model").toString),
+              given = Map.empty, expect = Nil,
+              givenFixtures = given,
+              expectFixture = Some(expect),
+              overrideVars = overrideMap("vars"),
+              overrideEnvVars = overrideMap("env_vars"))
+          }
+        case _ =>
+      }
       doc.get("semantic_models") match {
         case Some(ss: java.util.List[_]) =>
           for (s <- ss.asScala) {
@@ -483,6 +529,7 @@ object ProjectLoader {
       case (id, n: MetricNode) => id -> n.copy(dependsOn = deps(Seq(n.model), Nil, n.dependsOn))
       case (id, n: SemanticModelNode) => id -> n.copy(dependsOn = deps(Seq(n.model), Nil, n.dependsOn))
       case (id, n: SavedQueryNode) => id -> n.copy(dependsOn = (n.dependsOn ++ metricIds(n.metrics)).distinct)
+      case (id, n: UnitTestNode) => id -> n.copy(dependsOn = deps(Seq(n.model), Nil, n.dependsOn))
       case (id, n) => id -> n
     })
   }

@@ -832,6 +832,51 @@ object Curation {
           md5(array_join(slice(col("ws"), col("k") * 24 + 1, lit(32)), " "))
             .as("chunk_hash"))
         .orderBy("doc_id", "chunk_idx")
+    },
+
+    // PII scrubbing — the redaction pass every training corpus gets
+    // before release: find emails/phone numbers, replace with typed
+    // placeholder tokens, report per-doc match counts and the redacted
+    // content hash. The corpus is synthetic, so the PII is INJECTED
+    // deterministically first (doc_id%3+1 emails + 1 phone per doc);
+    // the oracle predicts the counts in closed form while both engines
+    // must agree byte-for-byte on the redacted text (md5) — a regex
+    // dialect divergence (RE2 vs Java) or a replace-first-vs-all bug
+    // fails the gate. Scale shape: pure per-row codegen'd regex work,
+    // map-only, no shuffle; at 100 TB this pass is I/O-bound exactly
+    // as it should be.
+    QueryDef(
+      "q113_pii_redaction",
+      """WITH e AS (
+        |  SELECT doc_id,
+        |         text || repeat(' u' || doc_id || '@example.com',
+        |                        CAST(doc_id % 3 + 1 AS INT))
+        |              || ' call +1-555-'
+        |              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |       CAST(doc_id % 3 + 1 AS BIGINT) AS n_emails,
+        |       CAST(1 AS BIGINT) AS n_phones,
+        |       MD5(regexp_replace(
+        |             regexp_replace(t, '[a-z0-9]+@[a-z]+\.[a-z]+', '[EMAIL]', 'g'),
+        |             '\+1-555-[0-9]{4}', '[PHONE]', 'g')) AS redacted_md5
+        |FROM e ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val emailRe = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+      val phoneRe = "\\+1-555-[0-9]{4}"
+      Tables.load(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("t", concat(col("text"),
+          expr("repeat(concat(' u', doc_id, '@example.com'), CAST(doc_id % 3 + 1 AS INT))"),
+          lit(" call +1-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .select(col("doc_id"),
+          regexp_count(col("t"), lit(emailRe)).cast("long").as("n_emails"),
+          regexp_count(col("t"), lit(phoneRe)).cast("long").as("n_phones"),
+          md5(regexp_replace(
+            regexp_replace(col("t"), emailRe, "[EMAIL]"),
+            phoneRe, "[PHONE]")).as("redacted_md5"))
+        .orderBy("doc_id")
     }
   )
 }

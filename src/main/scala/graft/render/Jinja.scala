@@ -12,11 +12,19 @@ package graft.render
   * package-qualified `{{ pkg.macro(...) }}` — with proper lexical
   * scoping (params bind as locals, not textual substitution).
   *
+  * Also covered: `{% set x %}…{% endset %}` block form, `run_query()`
+  * with an agate-shaped result (columns/rows), `{{ return(v) }}`
+  * carrying typed values out of macros, `adapter.dispatch('x')`
+  * resolving the spark__x/default__x chain to a first-class macro
+  * value, and `exceptions.raise_compiler_error/warn` — the surface
+  * dbt's documented dynamic-SQL macros (get_column_values et al.) are
+  * written against.
+  *
   * Deliberately NOT full Jinja (SURVEY §7.4): no template inheritance,
-  * no `{% include %}`, no query-valued `{% set %}` (run_query returns),
-  * no custom tests beyond defined/none/number/string. Those stay out of
-  * scope; everything a dbt model/hook/macro body in this repo's fixture
-  * universe uses renders here.
+  * no `{% include %}`, no custom tests beyond
+  * defined/none/number/string. Those stay out of scope; everything a
+  * dbt model/hook/macro body in this repo's fixture universe uses
+  * renders here.
   *
   * Unknown statement tags (`{% call statement(...) %}`, `{% macro %}`,
   * anything unrecognized) pass through VERBATIM — call-statement blocks
@@ -42,6 +50,14 @@ object Jinja {
   case object JNull extends JV
   /** An unresolved name; `src` is the original `{{ … }}` text. */
   final case class JUndef(src: String) extends JV
+  /** A first-class macro value — what `adapter.dispatch('x')` returns
+    * and a `{% set m = ... %}` can hold; calling it renders the body. */
+  final case class JMacro(m: Template.MacroDef) extends JV
+
+  /** `{{ return(v) }}` inside a macro body — non-local exit carrying a
+    * VALUE (so macros can return lists, not just text), caught at the
+    * macro-call boundary (reference `return()` context member). */
+  final case class MacroReturn(value: JV) extends RuntimeException
 
   def jint(n: Long): JV = JN(BigDecimal(n), isInt = true)
   def jnum(n: BigDecimal): JV = JN(n, isInt = n.isWhole && !n.toString.contains('.'))
@@ -57,6 +73,7 @@ object Jinja {
     case JM(m) => m.map { case (k, v2) => s"$k: ${show(v2)}" }.mkString("{", ", ", "}")
     case JNull => ""
     case JUndef(_) => ""
+    case JMacro(m) => s"<macro ${m.name}>"
   }
 
   def truthy(v: JV): Boolean = v match {
@@ -66,6 +83,7 @@ object Jinja {
     case JL(xs) => xs.nonEmpty
     case JM(m) => m.nonEmpty
     case JNull | JUndef(_) => false
+    case JMacro(_) => true
   }
 
   // ---------------------------------------------------------- parse tree
@@ -79,6 +97,8 @@ object Jinja {
   private final case class For(varName: String, iter: String,
       body: Seq[Node]) extends Node
   private final case class SetVar(name: String, expr: String) extends Node
+  /** `{% set x %}…{% endset %}` — body renders to a string. */
+  private final case class SetBlock(name: String, body: Seq[Node]) extends Node
   private final case class Do(expr: String) extends Node
 
   // ------------------------------------------------------------- lexing
@@ -197,8 +217,15 @@ object Jinja {
               case "set" =>
                 val rest = src.drop(3).trim
                 val eq = findTopLevel(rest, "=")
-                if (eq < 0) { nodes += Text(raw); pos += 1 } // block-set unsupported → verbatim
-                else {
+                if (eq < 0) {
+                  // block form: {% set name %}body{% endset %}
+                  pos += 1
+                  val (body, stop) = parseBlock(Set("endset"))
+                  if (stop.isEmpty)
+                    throw new IllegalArgumentException("jinja: missing {% endset %}")
+                  pos += 1
+                  nodes += SetBlock(rest, body)
+                } else {
                   nodes += SetVar(rest.substring(0, eq).trim, rest.substring(eq + 1).trim)
                   pos += 1
                 }
@@ -267,6 +294,10 @@ object Jinja {
         }
       case SetVar(name, expr) =>
         scope.vars(name) = eval(expr, ctx, scope, depth)
+      case SetBlock(name, body) =>
+        val inner = new StringBuilder
+        emit(body, ctx, scope, depth, inner)
+        scope.vars(name) = JS(inner.toString.trim)
       case Do(expr) =>
         eval(expr, ctx, scope, depth); ()
       case If(branches, els) =>
@@ -514,6 +545,10 @@ object Jinja {
           if (peek != ']') fail("expected ]")
           i += 1
           v = index(v, idx)
+        } else if (peek == '(' && v.isInstanceOf[JMacro]) {
+          // immediate call of a macro value: adapter.dispatch('x')(args)
+          val (pos, kw) = parseArgs()
+          v = invokeMacro(v.asInstanceOf[JMacro].m, pos, kw)
         } else continue = false
       }
       v
@@ -617,6 +652,36 @@ object Jinja {
         case c if c.isLetter || c == '_' =>
           val name = word()
           ws()
+          // adapter.dispatch('x'[, 'pkg']) → a first-class macro value
+          // (reference `core/dbt/context/providers.py:114-212`): the
+          // spark__x / default__x implementation chain.
+          if (name == "adapter" && peek == '.' && wordAt(i + 1) == "dispatch") {
+            i += 1; word()
+            val (pos, _) = parseArgs()
+            val base = str(pos.head)
+            val pkgPre = pos.lift(1).map(p => s"${str(p)}.").getOrElse("")
+            val target = Seq(s"${pkgPre}spark__$base", s"spark__$base",
+              s"${pkgPre}default__$base", s"default__$base")
+              .flatMap(n => ctx.macroResolver(n)).headOption
+              .getOrElse(throw new IllegalArgumentException(
+                s"adapter.dispatch('$base'): no spark__/default__ implementation"))
+            return JMacro(target)
+          }
+          // exceptions.raise_compiler_error / exceptions.warn
+          if (name == "exceptions" && peek == '.') {
+            i += 1
+            val m = word()
+            val (pos, _) = parseArgs()
+            m match {
+              case "raise_compiler_error" =>
+                throw new IllegalArgumentException(
+                  s"compiler error: ${pos.headOption.map(str).getOrElse("")}")
+              case "warn" =>
+                System.err.println(s"[graft] WARNING: ${pos.headOption.map(str).getOrElse("")}")
+                return JS("")
+              case other => fail(s"unknown exceptions.$other")
+            }
+          }
           // package-qualified macro call: pkg.macro(...)
           if (peek == '.' && ctx.macroResolver(s"$name.${wordAt(i + 1)}").isDefined) {
             i += 1
@@ -626,7 +691,11 @@ object Jinja {
           }
           if (peek == '(') {
             val (pos, kw) = parseArgs()
-            callFunction(name, pos, kw)
+            // a local holding a macro value is callable: {{ m(...) }}
+            scope.lookup(name) match {
+              case Some(JMacro(m)) => invokeMacro(m, pos, kw)
+              case _ => callFunction(name, pos, kw)
+            }
           } else resolveName(name)
         case _ => fail(s"unexpected `${src.substring(i)}`")
       }
@@ -647,6 +716,9 @@ object Jinja {
       case "false" | "False" => JB(false)
       case "none" | "None" | "null" => JNull
       case "this" => JS(ctx.thisRelation)
+      // render IS the execute phase here (no separate parse render);
+      // reference `execute` context flag
+      case "execute" => JB(true)
       case _ =>
         scope.lookup(name)
           .orElse(ctx.builtins.get(name).map(JS(_)))
@@ -706,6 +778,26 @@ object Jinja {
             case _ => fail("range(stop) or range(start, stop)")
           }
           JL((lo.toInt until hi.toInt).map(jint(_)))
+        case "return" =>
+          // non-local macro exit carrying the VALUE (lists included)
+          throw MacroReturn(pos.headOption.getOrElse(JNull))
+        case "run_query" =>
+          // reference `run_query` context member: execute SQL mid-render
+          // and expose an agate-shaped result (columns/rows) to the
+          // template — the dynamic-SQL-from-data primitive community
+          // macros (get_column_values & co.) are written against.
+          val runner = ctx.queryRunner.getOrElse(
+            throw new IllegalArgumentException(
+              "run_query is not available in this render context"))
+          val (cols, rows) = runner(str(pos.head))
+          val colVals = cols.zipWithIndex.map { case (cn, ci) =>
+            JM(Map("name" -> JS(cn),
+              "values" -> JL(rows.map(r => r(ci))))): JV
+          }
+          JM(Map(
+            "columns" -> JL(colVals),
+            "rows" -> JL(rows.map(r => JL(r))),
+            "data" -> JL(rows.map(r => JL(r)))))
         case "config" => JS("") // parse-time concern (Template.extractConfig)
         case "exceptions" => JS("")
         case other =>
@@ -719,9 +811,12 @@ object Jinja {
       * (lexical scoping, so nested macro calls inside the body resolve
       * recursively), render the body, return its text.
       */
-    private def callMacro(name: String, pos: Seq[JV], kw: Map[String, JV]): JV = {
-      val m = ctx.macroResolver(name).getOrElse(
-        throw new IllegalArgumentException(s"unknown macro: $name"))
+    private def callMacro(name: String, pos: Seq[JV], kw: Map[String, JV]): JV =
+      invokeMacro(ctx.macroResolver(name).getOrElse(
+        throw new IllegalArgumentException(s"unknown macro: $name")), pos, kw)
+
+    private def invokeMacro(m: Template.MacroDef, pos: Seq[JV],
+        kw: Map[String, JV]): JV = {
       val params = m.params
       if (pos.length > params.length)
         throw new IllegalArgumentException(
@@ -735,7 +830,8 @@ object Jinja {
           dflt.map(d => JS(d): JV).getOrElse(
             throw new IllegalArgumentException(s"macro ${m.name}: missing arg $pn")))
       }.toMap
-      JS(renderWith(m.body, ctx, bound, depth + 1).trim)
+      try JS(renderWith(m.body, ctx, bound, depth + 1).trim)
+      catch { case MacroReturn(v) => v } // {{ return(v) }} carries the value out
     }
 
     // ---------------------------------------------------------- filters
@@ -859,6 +955,9 @@ object Jinja {
       case (JM(m), "get") =>
         m.get(str(args.head)).orElse(args.lift(1)).getOrElse(JNull)
       case (JM(m), "keys") => JL(m.keys.toSeq.map(JS(_)))
+      // an agate-ish column object ({name, values}) answers .values()
+      // with its value LIST, not the dict's values
+      case (JM(m), "values") if m.contains("values") => m("values")
       case (JM(m), "values") => JL(m.values.toSeq)
       case _ => fail(s"unknown method `.$name()` on ${show(v)}")
     }

@@ -202,7 +202,13 @@ object Template {
         * package-precedence resolution here (reference
         * `manifest.py:660-730`); default = no macros.
         */
-      macroResolver: String => Option[MacroDef] = _ => None)
+      macroResolver: String => Option[MacroDef] = _ => None,
+      /** `run_query(sql)` hook (reference run_query context member):
+        * returns (column names, rows as typed template values). The
+        * engine installs a Spark-backed runner; None = run_query
+        * unavailable (parse-only contexts).
+        */
+      queryRunner: Option[String => (Seq[String], Seq[Seq[Jinja.JV]])] = None)
 
   /** Render a model body to executable Spark SQL — the full block
     * engine ([[Jinja]]): nested if/for, general expressions, filters,

@@ -193,6 +193,14 @@ object Cli {
           engine.manifest)
         println(s"wrote $targetDir/catalog.json, $targetDir/graph.dot" +
           s" and $targetDir/index.html")
+        // --serve: block on a local static server over target/
+        // (reference `dbt docs serve`, core/dbt/task/docs/serve.py)
+        if (opts.contains("serve")) {
+          val port = opts.getOrElse("port", "8080").toInt
+          val server = DocsServer.serve(targetDir, port)
+          println(s"serving docs at http://127.0.0.1:${server.getAddress.getPort}/ (ctrl-c to stop)")
+          Thread.currentThread().join()
+        }
       case other =>
         println(s"unknown command: $other\n$usage"); sys.exit(2)
     }

@@ -73,7 +73,33 @@ final class Engine(
       callerPackage: String = "graft"): Template.Context =
     Template.Context(resolveRef, resolveSource, thisRelation, vars,
       isIncremental, builtins = contextBuiltins, results = results,
-      macroResolver = macroResolverFor(callerPackage))
+      macroResolver = macroResolverFor(callerPackage),
+      queryRunner = Some(sparkQueryRunner))
+
+  /** run_query backing: execute against the session, cap rows (the
+    * reference streams agate tables; templates only ever consume small
+    * dimension lists), convert cells to typed template values.
+    */
+  private def sparkQueryRunner(sql: String): (Seq[String], Seq[Seq[graft.render.Jinja.JV]]) = {
+    import graft.render.Jinja._
+    val df = spark.sql(sql).limit(10001)
+    val rows = df.collect()
+    require(rows.length <= 10000,
+      "run_query: result exceeds 10000 rows — templates should only consume small lists")
+    val cols = df.columns.toSeq
+    (cols, rows.toSeq.map(_.toSeq.map {
+      case null => JNull
+      case b: Boolean => JB(b)
+      case n: Byte => jint(n.toLong)
+      case n: Short => jint(n.toLong)
+      case n: Int => jint(n.toLong)
+      case n: Long => jint(n)
+      case n: Float => JN(BigDecimal(n.toDouble), isInt = false)
+      case n: Double => JN(BigDecimal(n), isInt = false)
+      case d: java.math.BigDecimal => JN(BigDecimal(d), isInt = false)
+      case other => JS(String.valueOf(other))
+    }))
+  }
 
   /** Package-precedence macro lookup: `pkg.name` is exact; unqualified
     * resolves caller's package → flat map (root wins over packages).

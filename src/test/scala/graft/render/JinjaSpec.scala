@@ -186,4 +186,83 @@ class JinjaSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](
       Template.render("{{ loop_forever() }}", c))
   }
+
+  // --- run_query / return / dispatch / block set (dynamic SQL) ---
+
+  /** The dbt docs' canonical run_query macro, body VERBATIM — block
+    * set, run_query, execute flag, `.columns[0].values()`, return().
+    */
+  private val getPaymentMethods =
+    """{% macro get_payment_methods() %}
+      |{% set payment_methods_query %}
+      |select distinct payment_method from app_data.payments order by 1
+      |{% endset %}
+      |{% set results = run_query(payment_methods_query) %}
+      |{% if execute %}
+      |{% set results_list = results.columns[0].values() %}
+      |{% else %}
+      |{% set results_list = [] %}
+      |{% endif %}
+      |{{ return(results_list) }}
+      |{% endmacro %}""".stripMargin
+
+  private def fakeRunner(expectSql: String, cols: Seq[String],
+      rows: Seq[Seq[Jinja.JV]]): Option[String => (Seq[String], Seq[Seq[Jinja.JV]])] =
+    Some { sql =>
+      assert(sql.trim === expectSql, s"unexpected run_query sql: $sql")
+      (cols, rows)
+    }
+
+  test("dbt docs get_payment_methods macro runs verbatim") {
+    val c = ctxWith(macros(getPaymentMethods)).copy(
+      queryRunner = fakeRunner(
+        "select distinct payment_method from app_data.payments order by 1",
+        Seq("payment_method"),
+        Seq(Seq(Jinja.JS("bank_transfer")), Seq(Jinja.JS("credit_card")))))
+    // returned LIST feeds a for-loop — the pivot-column use case
+    val sql =
+      """select
+        |{% for m in get_payment_methods() %}  sum(case when payment_method = '{{ m }}' then amount end) as {{ m }}_amount{% if not loop.last %},
+        |{% endif %}{% endfor %}
+        |from app_data.payments""".stripMargin
+    val out = Template.render(sql, c)
+    assert(out.contains("as bank_transfer_amount,"))
+    assert(out.contains("as credit_card_amount"))
+    assert(!out.contains("{%"))
+  }
+
+  test("adapter.dispatch resolves spark__ over default__ and is callable") {
+    val defs =
+      """{% macro concat_ws_like(a, b) %}{{ return(adapter.dispatch('concat_ws_like')(a, b)) }}{% endmacro %}
+        |{% macro default__concat_ws_like(a, b) %}{{ a }} || {{ b }}{% endmacro %}
+        |{% macro spark__concat_ws_like(a, b) %}concat({{ a }}, {{ b }}){% endmacro %}""".stripMargin
+    val c = ctxWith(macros(defs))
+    assert(Template.render("SELECT {{ concat_ws_like('x', 'y') }}", c)
+      === "SELECT concat(x, y)")
+    // without a spark__ impl the default__ chain resolves
+    val defaultOnly =
+      """{% macro only_def(a) %}{{ return(adapter.dispatch('only_def')(a)) }}{% endmacro %}
+        |{% macro default__only_def(a) %}D:{{ a }}{% endmacro %}""".stripMargin
+    val c2 = ctxWith(macros(defaultOnly))
+    assert(Template.render("{{ only_def('q') }}", c2) === "D:q")
+  }
+
+  test("dispatched macro value can be held in a set variable") {
+    val defs =
+      """{% macro default__impl() %}IMPL{% endmacro %}""".stripMargin
+    val c = ctxWith(macros(defs))
+    assert(Template.render(
+      "{% set m = adapter.dispatch('impl') %}{{ m() }}", c) === "IMPL")
+  }
+
+  test("exceptions.raise_compiler_error throws; warn does not") {
+    val e = intercept[IllegalArgumentException](
+      Template.render("{% do exceptions.raise_compiler_error('bad model') %}", ctx))
+    assert(e.getMessage.contains("bad model"))
+    assert(Template.render("{% do exceptions.warn('heads up') %}ok", ctx) === "ok")
+  }
+
+  test("return() outside any macro surfaces as an error") {
+    assertThrows[Jinja.MacroReturn](Template.render("{{ return(1) }}", ctx))
+  }
 }

@@ -21,6 +21,28 @@ class CliSpec extends AnyFunSuite {
     assert(opts === Map("warehouse" -> "/w", "full-refresh" -> "true"))
   }
 
+  test("docs server: serves generated files, 404s outside the root") {
+    val dir = java.nio.file.Files.createTempDirectory("docs_srv")
+    java.nio.file.Files.writeString(dir.resolve("index.html"), "<html>lineage</html>")
+    java.nio.file.Files.writeString(dir.resolve("catalog.json"), "{\"nodes\":{}}")
+    val server = DocsServer.serve(dir.toString, 0)
+    try {
+      val port = server.getAddress.getPort
+      def get(path: String): (Int, String) = {
+        val conn = new java.net.URL(s"http://127.0.0.1:$port$path")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        val code = conn.getResponseCode
+        val is = if (code == 200) conn.getInputStream else conn.getErrorStream
+        val body = new String(is.readAllBytes(), "UTF-8")
+        (code, body)
+      }
+      assert(get("/") === ((200, "<html>lineage</html>")))
+      assert(get("/catalog.json")._1 === 200)
+      assert(get("/nope.html")._1 === 404)
+      assert(get("/../etc/passwd")._1 === 404) // path traversal stays inside root
+    } finally server.stop(0)
+  }
+
   test("event log: json lines are machine-parseable, text is one-line") {
     val captured = scala.collection.mutable.ArrayBuffer.empty[String]
     val (f0, s0, l0) = (EventLog.format, EventLog.sink, EventLog.minLevel)

@@ -323,6 +323,55 @@ class EngineSpec extends SparkSpec {
     assert(eng3.test(select = Seq("ut_mixed")).head.status === "pass")
   }
 
+  test("unit test: parsed from schema YAML (dict given, csv expect, overrides)") {
+    val proj = baseProject + ("models/unit_tests.yml" ->
+      """unit_tests:
+        |  - name: ut_yaml_spend
+        |    model: fct_spend
+        |    given:
+        |      - input: ref('stg_orders')
+        |        rows:
+        |          - {o_custkey: 7, o_totalprice: 10.0}
+        |          - {o_custkey: 7, o_totalprice: 5.0}
+        |    expect:
+        |      format: csv
+        |      rows: |
+        |        o_custkey,n_orders,spend
+        |        7,2,15.0
+        |""".stripMargin)
+    val eng = Engine.fromProject(spark, writeProject(proj), tmpDir("wh"))
+    val ut = eng.manifest.unitTests.values.find(_.name == "ut_yaml_spend")
+    assert(ut.isDefined, "unit_tests YAML did not parse")
+    assert(ut.get.givenFixtures.contains("stg_orders"))
+    // unit test depends on its model (build-edge ordering)
+    assert(ut.get.dependsOn === Seq("model.graft.fct_spend"))
+    val res = eng.test(select = Seq("ut_yaml_spend"))
+    assert(res.size === 1 && res.head.status === "pass", res.mkString("; "))
+  }
+
+  test("run_query macro drives a data-dependent pivot model end-to-end") {
+    val proj = baseProject ++ Map(
+      "macros/dyn.sql" ->
+        """{% macro order_statuses() %}
+          |{% set q %}select distinct o_orderstatus from {{ source('main','orders') }} order by 1{% endset %}
+          |{% set r = run_query(q) %}
+          |{{ return(r.columns[0].values()) }}
+          |{% endmacro %}""".stripMargin,
+      "models/pivot_status.sql" ->
+        """{{ config(materialized='table') }}
+          |select {% for s in order_statuses() %}sum(case when o_orderstatus = '{{ s }}' then 1 else 0 end) as n_{{ s }}{% if not loop.last %}, {% endif %}{% endfor %}
+          |from {{ source('main', 'orders') }}""".stripMargin)
+    val eng = Engine.fromProject(spark, writeProject(proj), tmpDir("wh"))
+    val res = eng.run(threads = 2)
+    assert(res.forall(_.status == "success"), res.mkString("; "))
+    val out = eng.wh.read("pivot_status")
+    // one pivot column per DISTINCT status actually present in the data
+    val statuses = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderstatus").distinct().collect().map(_.getString(0)).sorted
+    assert(out.columns.toSeq === statuses.map(s => s"n_$s").toSeq)
+    assert(out.count() === 1)
+  }
+
   test("json event log: run lifecycle lines parse back with statuses") {
     val captured = scala.collection.mutable.ArrayBuffer.empty[String]
     val (f0, s0, l0) = (EventLog.format, EventLog.sink, EventLog.minLevel)
