@@ -367,24 +367,34 @@ object ProjectLoader {
         config = NodeConfig(materialized = "seed"), originPath = relPath(f))
     }
 
-    // ---- snapshots
+    // ---- snapshots: either `{% snapshot name %}…{% endsnapshot %}`
+    // blocks (the reference's syntax, several per file —
+    // `tests/functional/simple_snapshot/fixtures.py`) or a bare .sql
+    // file named after its snapshot (config block carries the strategy)
+    val snapshotBlockRe =
+      """(?s)\{%-?\s*snapshot\s+(\w+)\s*-?%\}(.*?)\{%-?\s*endsnapshot\s*-?%\}""".r
     for (f <- listFiles(root.resolve("snapshots"), ".sql")) {
-      val raw = Files.readString(f)
-      val (kwargs, _) = Template.extractConfig(raw)
-      val strategy = kwargs.getOrElse("strategy", "timestamp") match {
-        case "timestamp" => TimestampStrategy(kwargs("updated_at"))
-        case "check" =>
-          CheckStrategy(kwargs.get("check_cols").filterNot(_ == "all")
-            .map(_.split(",").map(_.trim).toSeq))
-        case other => throw new IllegalArgumentException(s"unknown snapshot strategy: $other")
+      val fileRaw = Files.readString(f)
+      val blocks = snapshotBlockRe.findAllMatchIn(fileRaw)
+        .map(m => m.group(1) -> m.group(2).trim).toSeq
+      val entries = if (blocks.nonEmpty) blocks else Seq(stripExt(f) -> fileRaw)
+      for ((snapName, raw) <- entries) {
+        val (kwargs, _) = Template.extractConfig(raw)
+        val strategy = kwargs.getOrElse("strategy", "timestamp") match {
+          case "timestamp" => TimestampStrategy(kwargs("updated_at"))
+          case "check" =>
+            CheckStrategy(kwargs.get("check_cols").filterNot(_ == "all")
+              .map(_.split(",").map(_.trim).toSeq))
+          case other => throw new IllegalArgumentException(s"unknown snapshot strategy: $other")
+        }
+        nodes += SnapshotNode(
+          name = snapName, rawSql = raw,
+          uniqueKey = kwargs.getOrElse("unique_key", "id").split(",").map(_.trim).toSeq,
+          strategy = strategy,
+          invalidateHardDeletes = kwargs.get("invalidate_hard_deletes").exists(_.toBoolean),
+          refs = Template.extractRefs(raw), sources = Template.extractSources(raw),
+          originPath = relPath(f))
       }
-      nodes += SnapshotNode(
-        name = stripExt(f), rawSql = raw,
-        uniqueKey = kwargs.getOrElse("unique_key", "id").split(",").map(_.trim).toSeq,
-        strategy = strategy,
-        invalidateHardDeletes = kwargs.get("invalidate_hard_deletes").exists(_.toBoolean),
-        refs = Template.extractRefs(raw), sources = Template.extractSources(raw),
-        originPath = relPath(f))
     }
 
     // ---- analyses: compiled, never executed (reference NodeType.Analysis)

@@ -45,7 +45,10 @@ object Jinja {
     * `{{ 10.0 }}` → "10.0". */
   final case class JN(v: BigDecimal, isInt: Boolean) extends JV
   final case class JB(b: Boolean) extends JV
-  final case class JL(xs: Seq[JV]) extends JV
+  /** Lists are MUTABLE buffers: `{% do xs.append(v) %}` is the dbt
+    * macro idiom for accumulating (dbt_utils star/pivot/…), and it
+    * must be visible through the variable that holds the list. */
+  final case class JL(xs: scala.collection.mutable.Buffer[JV]) extends JV
   final case class JM(m: Map[String, JV]) extends JV
   case object JNull extends JV
   /** An unresolved name; `src` is the original `{{ … }}` text. */
@@ -58,6 +61,8 @@ object Jinja {
     * VALUE (so macros can return lists, not just text), caught at the
     * macro-call boundary (reference `return()` context member). */
   final case class MacroReturn(value: JV) extends RuntimeException
+
+  def jlist(xs: Seq[JV]): JL = JL(scala.collection.mutable.ArrayBuffer(xs: _*))
 
   def jint(n: Long): JV = JN(BigDecimal(n), isInt = true)
   def jnum(n: BigDecimal): JV = JN(n, isInt = n.isWhole && !n.toString.contains('.'))
@@ -357,7 +362,7 @@ object Jinja {
     private var i = 0
 
     private def ws(): Unit = while (i < src.length && src(i).isWhitespace) i += 1
-    private def peek: Char = if (i < src.length) src(i) else ' '
+    private def peek: Char = if (i < src.length) src(i) else '\u0000'
     private def eof: Boolean = { ws(); i >= src.length }
 
     private def fail(msg: String): Nothing =
@@ -530,7 +535,7 @@ object Jinja {
           i += 1
           val name = word()
           val args = if (peekNonWs == '(') parseArgs() else (Nil, Map.empty[String, JV])
-          v = applyFilter(v, name, args._1)
+          v = applyFilter(v, name, args._1, args._2)
         } else if (peek == '.') {
           i += 1
           val name = word()
@@ -557,7 +562,7 @@ object Jinja {
     private def peekNonWs: Char = {
       var j = i
       while (j < src.length && src(j).isWhitespace) j += 1
-      if (j < src.length) src(j) else ' '
+      if (j < src.length) src(j) else '\u0000'
     }
 
     private def attr(v: JV, name: String): JV = v match {
@@ -641,7 +646,7 @@ object Jinja {
             else if (peek != ']') fail("expected , or ]")
           }
           i += 1
-          JL(xs.result())
+          jlist(xs.result())
         case '(' =>
           i += 1
           val v = parseOr()
@@ -666,6 +671,16 @@ object Jinja {
               .getOrElse(throw new IllegalArgumentException(
                 s"adapter.dispatch('$base'): no spark__/default__ implementation"))
             return JMacro(target)
+          }
+          // other adapter metadata methods route to the engine's API
+          // (get_columns_in_relation, …)
+          if (name == "adapter" && peek == '.') {
+            i += 1
+            val m = word()
+            val (pos, _) = parseArgs()
+            val api = ctx.adapterApi.getOrElse(throw new IllegalArgumentException(
+              s"adapter.$m is not available in this render context"))
+            return api(m, pos)
           }
           // exceptions.raise_compiler_error / exceptions.warn
           if (name == "exceptions" && peek == '.') {
@@ -777,7 +792,7 @@ object Jinja {
             case Seq(JN(a, _), JN(b, _)) => (a, b)
             case _ => fail("range(stop) or range(start, stop)")
           }
-          JL((lo.toInt until hi.toInt).map(jint(_)))
+          jlist((lo.toInt until hi.toInt).map(jint(_)))
         case "return" =>
           // non-local macro exit carrying the VALUE (lists included)
           throw MacroReturn(pos.headOption.getOrElse(JNull))
@@ -792,12 +807,12 @@ object Jinja {
           val (cols, rows) = runner(str(pos.head))
           val colVals = cols.zipWithIndex.map { case (cn, ci) =>
             JM(Map("name" -> JS(cn),
-              "values" -> JL(rows.map(r => r(ci))))): JV
+              "values" -> jlist(rows.map(r => r(ci))))): JV
           }
           JM(Map(
-            "columns" -> JL(colVals),
-            "rows" -> JL(rows.map(r => JL(r))),
-            "data" -> JL(rows.map(r => JL(r)))))
+            "columns" -> jlist(colVals),
+            "rows" -> jlist(rows.map(r => jlist(r))),
+            "data" -> jlist(rows.map(r => jlist(r)))))
         case "config" => JS("") // parse-time concern (Template.extractConfig)
         case "exceptions" => JS("")
         case other =>
@@ -825,9 +840,17 @@ object Jinja {
       if (unknown.nonEmpty)
         throw new IllegalArgumentException(
           s"macro ${m.name}: unknown args ${unknown.mkString(",")}")
+      // defaults evaluate as EXPRESSIONS ([] → empty list, 10 → int,
+      // none → null); extractMacros strips quotes from string defaults,
+      // so an unresolvable bare word falls back to its literal text
+      def defaultValue(d: String): JV =
+        try new ExprParser(d, ctx, scope, depth).parseExpression() match {
+          case JUndef(_) => JS(d)
+          case v => v
+        } catch { case _: IllegalArgumentException => JS(d) }
       val bound = params.zipWithIndex.map { case ((pn, dflt), idx) =>
         pn -> pos.lift(idx).orElse(kw.get(pn)).getOrElse(
-          dflt.map(d => JS(d): JV).getOrElse(
+          dflt.map(defaultValue).getOrElse(
             throw new IllegalArgumentException(s"macro ${m.name}: missing arg $pn")))
       }.toMap
       try JS(renderWith(m.body, ctx, bound, depth + 1).trim)
@@ -836,7 +859,27 @@ object Jinja {
 
     // ---------------------------------------------------------- filters
 
-    private def applyFilter(v: JV, name: String, args: Seq[JV]): JV = name match {
+    private def applyFilter(v: JV, name: String, args: Seq[JV],
+        kw: Map[String, JV] = Map.empty): JV = name match {
+      // map("lower") applies a filter per element; map(attribute=k)
+      // projects an attribute/index per element — the agate-row idiom
+      case "map" => v match {
+        case JL(xs) =>
+          kw.get("attribute") match {
+            case Some(attr) => jlist(xs.toSeq.map {
+              case JM(m) => m.getOrElse(show(attr), JNull)
+              case JL(row) =>
+                val k = attr match { case JN(n, _) => n.toInt case _ => -1 }
+                if (k >= 0 && k < row.length) row(k) else JNull
+              case other => other
+            })
+            case None =>
+              val f = args.headOption.map(show).getOrElse(
+                fail("map needs a filter name or attribute="))
+              jlist(xs.toSeq.map(x => applyFilter(x, f, Nil)))
+          }
+        case other => fail(s"map over ${show(other)}")
+      }
       case "lower" => JS(str(v).toLowerCase)
       case "upper" => JS(str(v).toUpperCase)
       case "trim" => JS(str(v).trim)
@@ -888,9 +931,9 @@ object Jinja {
       }
       case "list" => v match {
         case l: JL => l
-        case JS(s) => JL(s.map(c => JS(c.toString)))
-        case JM(m) => JL(m.keys.toSeq.map(JS(_)))
-        case other => JL(Seq(other))
+        case JS(s) => jlist(s.map(c => JS(c.toString)))
+        case JM(m) => jlist(m.keys.toSeq.map(JS(_)))
+        case other => jlist(Seq(other))
       }
       case "string" => JS(str(v))
       case "int" => v match {
@@ -943,7 +986,7 @@ object Jinja {
       case (JS(s), "rstrip") => JS(s.replaceAll("\\s+$", ""))
       case (JS(s), "split") =>
         val sep = args.headOption.map(str).getOrElse(" ")
-        JL(s.split(java.util.regex.Pattern.quote(sep), -1).toSeq.map(JS(_)))
+        jlist(s.split(java.util.regex.Pattern.quote(sep), -1).toSeq.map(JS(_)))
       case (JS(s), "startswith") => JB(s.startsWith(str(args.head)))
       case (JS(s), "endswith") => JB(s.endsWith(str(args.head)))
       case (JS(s), "replace") => JS(s.replace(str(args.head), str(args(1))))
@@ -951,14 +994,18 @@ object Jinja {
         // positional {} substitution only
         JS(args.foldLeft(s)((acc, a) => acc.replaceFirst("\\{\\}",
           java.util.regex.Matcher.quoteReplacement(str(a)))))
-      case (JL(xs), "append") => JL(xs :+ args.head) // note: no mutation
+      case (JL(xs), "append") => xs += args.head; JNull
+      case (JL(xs), "extend") =>
+        args.head match { case JL(ys) => xs ++= ys; JNull; case o => xs += o; JNull }
+      case (JL(xs), "pop") =>
+        if (xs.isEmpty) JNull else xs.remove(xs.length - 1)
       case (JM(m), "get") =>
         m.get(str(args.head)).orElse(args.lift(1)).getOrElse(JNull)
-      case (JM(m), "keys") => JL(m.keys.toSeq.map(JS(_)))
+      case (JM(m), "keys") => jlist(m.keys.toSeq.map(JS(_)))
       // an agate-ish column object ({name, values}) answers .values()
       // with its value LIST, not the dict's values
       case (JM(m), "values") if m.contains("values") => m("values")
-      case (JM(m), "values") => JL(m.values.toSeq)
+      case (JM(m), "values") => jlist(m.values.toSeq)
       case _ => fail(s"unknown method `.$name()` on ${show(v)}")
     }
   }

@@ -208,7 +208,14 @@ object Template {
         * engine installs a Spark-backed runner; None = run_query
         * unavailable (parse-only contexts).
         */
-      queryRunner: Option[String => (Seq[String], Seq[Seq[Jinja.JV]])] = None)
+      queryRunner: Option[String => (Seq[String], Seq[Seq[Jinja.JV]])] = None,
+      /** adapter.<method>(args) dispatcher for metadata methods —
+        * get_columns_in_relation et al. (reference adapter wrapper,
+        * `core/dbt/context/providers.py:215-380`). `dispatch` is
+        * handled by the engine grammar itself; everything else lands
+        * here. None = no adapter metadata available.
+        */
+      adapterApi: Option[(String, Seq[Jinja.JV]) => Jinja.JV] = None)
 
   /** Render a model body to executable Spark SQL — the full block
     * engine ([[Jinja]]): nested if/for, general expressions, filters,

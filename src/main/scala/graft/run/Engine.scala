@@ -74,7 +74,31 @@ final class Engine(
     Template.Context(resolveRef, resolveSource, thisRelation, vars,
       isIncremental, builtins = contextBuiltins, results = results,
       macroResolver = macroResolverFor(callerPackage),
-      queryRunner = Some(sparkQueryRunner))
+      queryRunner = Some(sparkQueryRunner),
+      adapterApi = Some(adapterCall))
+
+  /** adapter metadata methods templates can call (reference adapter
+    * wrapper, `core/dbt/context/providers.py:215-380`): column objects
+    * expose name/column/dtype, matching what dbt_utils-style macros
+    * (`star`, `pivot`) read.
+    */
+  private def adapterCall(method: String, args: Seq[graft.render.Jinja.JV]): graft.render.Jinja.JV = {
+    import graft.render.Jinja._
+    method match {
+      case "get_columns_in_relation" =>
+        val rel = graft.render.Jinja.show(args.head)
+        jlist(spark.table(rel).schema.fields.toSeq.map(f =>
+          JM(Map(
+            "name" -> JS(f.name), "column" -> JS(f.name),
+            "dtype" -> JS(f.dataType.simpleString),
+            "data_type" -> JS(f.dataType.simpleString),
+            "quoted" -> JS(s"`${f.name}`")))))
+      case "quote" => JS(s"`${graft.render.Jinja.show(args.head)}`")
+      case "type" => JS("spark")
+      case other =>
+        throw new IllegalArgumentException(s"adapter.$other is not implemented")
+    }
+  }
 
   /** run_query backing: execute against the session, cap rows (the
     * reference streams agate tables; templates only ever consume small

@@ -265,4 +265,44 @@ class JinjaSpec extends AnyFunSuite {
   test("return() outside any macro surfaces as an error") {
     assertThrows[Jinja.MacroReturn](Template.render("{{ return(1) }}", ctx))
   }
+
+  /** dbt_utils `star` in its real shape: dispatch + column metadata +
+    * list accumulation via `do append` + map filter + list default.
+    */
+  test("dbt_utils star macro shape: adapter columns, do-append, map filter") {
+    val starDefs =
+      """{% macro star(from, except=[]) %}{{ return(adapter.dispatch('star')(from, except)) }}{% endmacro %}
+        |{% macro default__star(from, except=[]) %}
+        |{%- set include_cols = [] -%}
+        |{%- set cols = adapter.get_columns_in_relation(from) -%}
+        |{%- set except_lower = except | map("lower") | list -%}
+        |{%- for col in cols -%}
+        |{%- if col.column | lower not in except_lower -%}
+        |{%- do include_cols.append(col.column) -%}
+        |{%- endif -%}
+        |{%- endfor -%}
+        |{{ return(include_cols | join(', ')) }}
+        |{% endmacro %}""".stripMargin
+    val fakeAdapter: (String, Seq[Jinja.JV]) => Jinja.JV = {
+      case ("get_columns_in_relation", Seq(Jinja.JS("rel_stg"))) =>
+        Jinja.jlist(Seq("Id", "Name", "Secret").map(n =>
+          Jinja.JM(Map("column" -> Jinja.JS(n), "name" -> Jinja.JS(n)))))
+      case (m, a) => fail(s"unexpected adapter call $m($a)")
+    }
+    val c = ctxWith(macros(starDefs)).copy(adapterApi = Some(fakeAdapter))
+    assert(Template.render(
+      "SELECT {{ star(ref('stg'), except=['secret']) }} FROM {{ ref('stg') }}", c)
+      === "SELECT Id, Name FROM rel_stg")
+    // no except → all columns
+    assert(Template.render("SELECT {{ star(ref('stg')) }}", c)
+      === "SELECT Id, Name, Secret")
+  }
+
+  test("list mutation via do append is visible through the holding var") {
+    assert(Template.render(
+      "{% set xs = [] %}{% do xs.append('a') %}{% do xs.append('b') %}{{ xs | join('-') }}",
+      ctx) === "a-b")
+    assert(Template.render(
+      "{% set xs = [1] %}{% do xs.extend([2, 3]) %}{{ xs | sum }}", ctx) === "6")
+  }
 }

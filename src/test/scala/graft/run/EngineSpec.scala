@@ -372,6 +372,55 @@ class EngineSpec extends SparkSpec {
     assert(out.count() === 1)
   }
 
+  test("star macro over live relation metadata, end to end") {
+    val proj = baseProject ++ Map(
+      "macros/star.sql" ->
+        """{% macro star(from, except=[]) %}
+          |{%- set include_cols = [] -%}
+          |{%- set cols = adapter.get_columns_in_relation(from) -%}
+          |{%- set except_lower = except | map("lower") | list -%}
+          |{%- for col in cols -%}
+          |{%- if col.column | lower not in except_lower -%}
+          |{%- do include_cols.append(col.column) -%}
+          |{%- endif -%}
+          |{%- endfor -%}
+          |{{ return(include_cols | join(', ')) }}
+          |{% endmacro %}""".stripMargin,
+      "models/slim_orders.sql" ->
+        """{{ config(materialized='table') }}
+          |SELECT {{ star(ref('stg_orders'), except=['o_orderdate']) }}
+          |FROM {{ ref('stg_orders') }}""".stripMargin)
+    val eng = Engine.fromProject(spark, writeProject(proj), tmpDir("wh"))
+    val res = eng.run(threads = 2)
+    assert(res.forall(_.status == "success"), res.mkString("; "))
+    assert(eng.wh.read("slim_orders").columns.toSeq
+      === Seq("o_orderkey", "o_custkey", "o_totalprice"))
+  }
+
+  test("snapshot blocks: several {% snapshot %} definitions per file") {
+    val proj = baseProject + ("snapshots/snaps.sql" ->
+      """{% snapshot snap_orders %}
+        |{{ config(strategy='timestamp', unique_key='o_orderkey', updated_at='o_orderdate') }}
+        |SELECT o_orderkey, o_orderstatus, o_orderdate FROM {{ source('main', 'orders') }}
+        |{% endsnapshot %}
+        |
+        |{% snapshot snap_orders_check %}
+        |{{ config(strategy='check', unique_key='o_orderkey', check_cols='o_orderstatus') }}
+        |SELECT o_orderkey, o_orderstatus FROM {{ source('main', 'orders') }}
+        |{% endsnapshot %}""".stripMargin)
+    val eng = Engine.fromProject(spark, writeProject(proj), tmpDir("wh"))
+    val snaps = eng.manifest.snapshots.values.map(_.name).toSeq.sorted
+    assert(snaps === Seq("snap_orders", "snap_orders_check"))
+    val ts = eng.manifest.snapshots.values.find(_.name == "snap_orders").get
+    assert(ts.strategy === TimestampStrategy("o_orderdate"))
+    assert(ts.uniqueKey === Seq("o_orderkey"))
+    val res = eng.run(resourceTypes = Set("model", "seed", "snapshot"), threads = 2)
+    assert(res.forall(_.status == "success"), res.mkString("; "))
+    val snap = eng.wh.read("snap_orders")
+    assert(snap.columns.contains("dbt_valid_from"))
+    assert(snap.filter("dbt_valid_to IS NULL").count() > 0)
+  }
+
   test("json event log: run lifecycle lines parse back with statuses") {
     val captured = scala.collection.mutable.ArrayBuffer.empty[String]
     val (f0, s0, l0) = (EventLog.format, EventLog.sink, EventLog.minLevel)
