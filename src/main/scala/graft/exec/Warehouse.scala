@@ -35,6 +35,44 @@ final class Warehouse(val spark: SparkSession, val root: String,
   private val relations = scala.collection.mutable.Map[String, RelState]()
   private val lock = new Object
 
+  // ---- durability: recover parquet-backed relations from disk.
+  // Each table write records its current commit list in
+  // `$root/$name/_commits`; a NEW Warehouse over an existing root
+  // replays those manifests, so a separate process (retry, defer,
+  // state:modified against a prior run's warehouse) sees the same
+  // relations. Views and catalog tables are session-scoped and do not
+  // recover. The _commits file is the tiny "table metadata" analog of
+  // a real lakehouse log — written AFTER the parquet commit, so a
+  // crash between the two leaves the previous (consistent) state.
+  locally {
+    val rootDir = new java.io.File(root)
+    val dirs = Option(rootDir.listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory)
+    for (d <- dirs) {
+      val cf = new java.io.File(d, "_commits")
+      if (cf.isFile) {
+        val paths = java.nio.file.Files.readAllLines(cf.toPath).iterator()
+        val live = scala.jdk.CollectionConverters
+          .IteratorHasAsScala(paths).asScala
+          .map(v => s"$root/${d.getName}/$v")
+          .filter(p => new java.io.File(p).isDirectory).toSeq
+        if (live.nonEmpty) {
+          val nextV = live.map(_.split('/').last.stripPrefix("v").toInt).max + 1
+          relations(d.getName) = RelState(live, nextV, isView = false)
+          spark.read.parquet(live: _*).createOrReplaceTempView(d.getName)
+        }
+      }
+    }
+  }
+
+  private def writeCommits(name: String, paths: Seq[String]): Unit = {
+    val f = java.nio.file.Paths.get(root, name, "_commits")
+    java.nio.file.Files.createDirectories(f.getParent)
+    java.nio.file.Files.writeString(f,
+      paths.map(_.split('/').last).mkString("\n"))
+    ()
+  }
+
   def exists(name: String): Boolean = lock.synchronized(relations.contains(name))
 
   def isView(name: String): Boolean =
@@ -71,6 +109,7 @@ final class Warehouse(val spark: SparkSession, val root: String,
     lock.synchronized {
       relations(name) = RelState(Seq(path), v + 1, isView = false)
       spark.read.parquet(path).createOrReplaceTempView(name)
+      writeCommits(name, Seq(path))
     }
   }
 
@@ -85,6 +124,7 @@ final class Warehouse(val spark: SparkSession, val root: String,
       val newPaths = st.paths :+ path
       relations(name) = RelState(newPaths, st.nextVersion + 1, isView = false)
       spark.read.parquet(newPaths: _*).createOrReplaceTempView(name)
+      writeCommits(name, newPaths)
     }
     if (maxCommits > 0 && commitCount(name) > maxCommits) compact(name)
   }
@@ -101,6 +141,9 @@ final class Warehouse(val spark: SparkSession, val root: String,
   def drop(name: String): Unit = lock.synchronized {
     relations.remove(name)
     spark.catalog.dropTempView(name)
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(root, name, "_commits"))
+    ()
   }
 
   def list: Seq[String] = lock.synchronized(relations.keys.toSeq.sorted)

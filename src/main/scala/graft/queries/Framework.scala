@@ -528,6 +528,185 @@ object Framework {
       eng.wh.read("m13_fct").orderBy("o_custkey")
     },
 
+    // A23 state:modified under the oracle: v2 of a two-model project
+    // textually modifies ONLY the base model (its batch literal flips
+    // 1→2); `state:modified` against the v1 manifest must re-run base
+    // and NOT the downstream agg. The returned union makes both sides
+    // of that boundary data-visible: base rows must carry batch 2
+    // (re-ran), agg rows must still carry batch 1 aggregates (did not
+    // re-run). Wrong selection in either direction breaks the hash.
+    QueryDef(
+      "m15_state_modified",
+      """SELECT 'agg' AS part, CAST(1 AS BIGINT) AS batch,
+        |       CAST(COUNT(*) AS BIGINT) AS n
+        |FROM orders WHERE o_orderkey % 4 = 0
+        |UNION ALL
+        |SELECT 'base', CAST(2 AS BIGINT), CAST(COUNT(*) AS BIGINT)
+        |FROM orders WHERE o_orderkey % 4 = 0
+        |ORDER BY part""".stripMargin) { (s, dir) =>
+      def project(batch: Int): Map[String, String] = Map(
+        "dbt_project.yml" -> "name: m15\n",
+        "models/sources.yml" ->
+          s"""sources:
+             |  - name: main
+             |    tables:
+             |      - name: orders
+             |        path: $dir/orders.parquet
+             |""".stripMargin,
+        "models/m15_base.sql" ->
+          s"""{{ config(materialized='table') }}
+             |SELECT o_orderkey, CAST($batch AS BIGINT) AS batch
+             |FROM {{ source('main', 'orders') }} WHERE o_orderkey % 4 = 0""".stripMargin,
+        "models/m15_agg.sql" ->
+          """{{ config(materialized='table') }}
+            |SELECT MIN(batch) AS batch, CAST(COUNT(*) AS BIGINT) AS n
+            |FROM {{ ref('m15_base') }}""".stripMargin)
+      def writeProj(files: Map[String, String]): String = {
+        val d = java.nio.file.Files.createTempDirectory("m15_proj")
+        scratchDirs.add(d.toFile)
+        files.foreach { case (rel, c) =>
+          val p = d.resolve(rel)
+          java.nio.file.Files.createDirectories(p.getParent)
+          java.nio.file.Files.writeString(p, c)
+        }
+        d.toString
+      }
+      val wh = scratch()
+      val eng1 = Engine.fromProject(s, writeProj(project(1)), wh)
+      require(eng1.run(threads = 2).forall(_.status == "success"), "m15 v1 run failed")
+      val eng2 = Engine.fromProject(s, writeProj(project(2)), wh)
+      val res = eng2.runWithState(eng1.manifest, Seq("state:modified"), threads = 2)
+      require(res.forall(_.status == "success"), s"m15 v2 run failed: $res")
+      require(res.map(_.uniqueId) == Seq("model.graft.m15_base"),
+        s"state:modified selected ${res.map(_.uniqueId)} (want only m15_base)")
+      import s.implicits._
+      eng2.wh.read("m15_agg")
+        .select(lit("agg").as("part"), col("batch"), col("n"))
+        .unionByName(eng2.wh.read("m15_base")
+          .agg(min("batch").as("batch"), count(lit(1)).as("n"))
+          .select(lit("base").as("part"), col("batch"), col("n")))
+        .orderBy("part")
+    },
+
+    // A15 hooks under the oracle: on-run-start creates the audit
+    // table; the model's pre-hook logs phase order; its post-hook reads
+    // the A27 result registry ({{ load_result('main').rows_affected }})
+    // and appends the row count; on-run-end stamps completion. The
+    // returned audit trail is closed-form (phases in order + the
+    // count), so a hook firing out of order, not at all, or reading a
+    // stale result slot breaks the hash.
+    QueryDef(
+      "m16_hooks_audit",
+      """SELECT * FROM (
+        |  SELECT 'run_start' AS phase, CAST(0 AS BIGINT) AS val
+        |  UNION ALL
+        |  SELECT 'pre_hook', CAST(0 AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'post_hook',
+        |         CAST((SELECT COUNT(*) FROM orders WHERE o_orderkey % 3 = 0) AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'run_end', CAST(0 AS BIGINT)
+        |) t ORDER BY phase""".stripMargin) { (s, dir) =>
+      val projDir = java.nio.file.Files.createTempDirectory("m16_proj")
+      scratchDirs.add(projDir.toFile)
+      def write(rel: String, content: String): Unit = {
+        val p = projDir.resolve(rel)
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.writeString(p, content)
+      }
+      // each phase derives a NEW view from the previous one (a temp
+      // view cannot be redefined from itself — recursive view)
+      write("dbt_project.yml",
+        """name: m16
+          |on-run-start: "CREATE OR REPLACE TEMP VIEW m16_a0 AS SELECT 'run_start' AS phase, CAST(0 AS BIGINT) AS val"
+          |on-run-end: "CREATE OR REPLACE TEMP VIEW m16_a3 AS SELECT * FROM m16_a2 UNION ALL SELECT 'run_end', CAST(0 AS BIGINT)"
+          |""".stripMargin)
+      write("models/sources.yml",
+        s"""sources:
+           |  - name: main
+           |    tables:
+           |      - name: orders
+           |        path: $dir/orders.parquet
+           |""".stripMargin)
+      write("models/m16_m.sql",
+        """{{ config(materialized='table',
+          |   pre_hook="CREATE OR REPLACE TEMP VIEW m16_a1 AS SELECT * FROM m16_a0 UNION ALL SELECT 'pre_hook', CAST(0 AS BIGINT)",
+          |   post_hook="CREATE OR REPLACE TEMP VIEW m16_a2 AS SELECT * FROM m16_a1 UNION ALL SELECT 'post_hook', CAST({{ load_result('main').rows_affected }} AS BIGINT)") }}
+          |SELECT o_orderkey FROM {{ source('main', 'orders') }}
+          |WHERE o_orderkey % 3 = 0""".stripMargin)
+      val eng = Engine.fromProject(s, projDir.toString, scratch())
+      val res = eng.run(threads = 1)
+      require(res.forall(_.status == "success"), s"m16 run failed: $res")
+      s.table("m16_a3").orderBy("phase")
+    },
+
+    // A20 build with test-blocking edges under the oracle: two
+    // parallel chains — a PASSING test gates child_ok (must build), a
+    // FAILING error-severity test gates child_blocked (must be
+    // SKIPPED). The result reports each child's existence in the
+    // warehouse, so a build that ignores test edges (child_blocked
+    // exists) or over-blocks (child_ok missing) breaks the hash.
+    QueryDef(
+      "m17_build_test_edges",
+      """SELECT * FROM (
+        |  SELECT 'child_blocked' AS child, CAST(0 AS BIGINT) AS built
+        |  UNION ALL
+        |  SELECT 'child_ok', CAST(1 AS BIGINT)
+        |) t ORDER BY child""".stripMargin) { (s, dir) =>
+      val projDir = java.nio.file.Files.createTempDirectory("m17_proj")
+      scratchDirs.add(projDir.toFile)
+      def write(rel: String, content: String): Unit = {
+        val p = projDir.resolve(rel)
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.writeString(p, content)
+      }
+      write("dbt_project.yml", "name: m17\n")
+      write("models/sources.yml",
+        s"""sources:
+           |  - name: main
+           |    tables:
+           |      - name: orders
+           |        path: $dir/orders.parquet
+           |""".stripMargin)
+      write("models/base_ok.sql",
+        """{{ config(materialized='table') }}
+          |SELECT o_orderkey FROM {{ source('main', 'orders') }}""".stripMargin)
+      write("models/base_bad.sql",
+        """{{ config(materialized='table') }}
+          |SELECT o_orderstatus FROM {{ source('main', 'orders') }}""".stripMargin)
+      write("models/child_ok.sql",
+        """{{ config(materialized='table') }}
+          |SELECT COUNT(*) AS n FROM {{ ref('base_ok') }}""".stripMargin)
+      write("models/child_blocked.sql",
+        """{{ config(materialized='table') }}
+          |SELECT COUNT(*) AS n FROM {{ ref('base_bad') }}""".stripMargin)
+      write("models/schema.yml",
+        """models:
+          |  - name: base_ok
+          |    columns:
+          |      - name: o_orderkey
+          |        tests: [unique]
+          |  - name: base_bad
+          |    columns:
+          |      - name: o_orderstatus
+          |        tests: [unique]
+          |""".stripMargin)
+      val eng = Engine.fromProject(s, projDir.toString, scratch())
+      val res = eng.build(threads = 2)
+      val byId = res.map(r => r.uniqueId -> r.status).toMap
+      require(byId.exists { case (id, st) => id.contains("unique_base_bad") && st == "error" },
+        s"m17: expected the base_bad unique test to fail: $res")
+      // build() executes in its own engine scope; node statuses are the
+      // observable contract (skipped = never materialized)
+      import s.implicits._
+      Seq(
+        ("child_blocked",
+          if (byId.get("model.graft.child_blocked").contains("success")) 1L else 0L),
+        ("child_ok",
+          if (byId.get("model.graft.child_ok").contains("success")) 1L else 0L))
+        .toDF("child", "built").orderBy("child")
+    },
+
     // A7 hard-delete + revival parity — the reference's scripted
     // invalidate-hard-deletes sequence (`tests/functional/
     // simple_snapshot/test_hard_delete_snapshot.py`): snapshot all rows,
