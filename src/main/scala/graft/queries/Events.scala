@@ -246,6 +246,64 @@ object Events {
           expr("percentile(gap_s, 0.50)").as("p50_s"),
           expr("percentile(gap_s, 0.75)").as("p75_s"))
         .orderBy("event_type")
+    },
+
+    // Ordered funnel: signup → first view AFTER the signup → first
+    // purchase AFTER that view, per user — the product-analytics
+    // staple that needs ORDER, not mere co-occurrence (a purchase
+    // before signup must not count). Each step is one shuffle on
+    // user_id over a monotonically SHRINKING survivor set, so at
+    // 100 TB the step tables quickly become broadcast-small while the
+    // big events scan happens exactly once per step filter (AQE flips
+    // the join side automatically). Conversion is double division of
+    // exact integer counts — IEEE-identical on both engines.
+    QueryDef(
+      "q114_funnel",
+      """WITH s1 AS (
+        |  SELECT user_id, MIN(ts) AS t1 FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id
+        |), s2 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+        |  JOIN s1 ON s1.user_id = e.user_id AND e.ts > s1.t1
+        |  WHERE e.event_type = 'view' GROUP BY e.user_id
+        |), s3 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+        |  JOIN s2 ON s2.user_id = e.user_id AND e.ts > s2.t2
+        |  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+        |), counts AS (
+        |  SELECT 'step1_signup' AS step, CAST(COUNT(*) AS BIGINT) AS n_users FROM s1
+        |  UNION ALL
+        |  SELECT 'step2_view', CAST(COUNT(*) AS BIGINT) FROM s2
+        |  UNION ALL
+        |  SELECT 'step3_purchase', CAST(COUNT(*) AS BIGINT) FROM s3
+        |), base AS (SELECT n_users AS n1 FROM counts WHERE step = 'step1_signup')
+        |SELECT step, n_users,
+        |       CAST(ROUND(100.0 * n_users / n1, 4) AS DOUBLE) AS conversion_pct
+        |FROM counts CROSS JOIN base
+        |ORDER BY step""".stripMargin) { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val s1 = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      val s2 = ev.filter(col("event_type") === "view")
+        .join(s1, "user_id").filter(col("ts") > col("t1"))
+        .groupBy("user_id").agg(min("ts").as("t2"))
+      val s3 = ev.filter(col("event_type") === "purchase")
+        .join(s2, "user_id").filter(col("ts") > col("t2"))
+        .groupBy("user_id").agg(min("ts").as("t3"))
+      val counts = s1.agg(count(lit(1)).as("n_users"))
+        .select(lit("step1_signup").as("step"), col("n_users"))
+        .unionByName(s2.agg(count(lit(1)).as("n_users"))
+          .select(lit("step2_view").as("step"), col("n_users")))
+        .unionByName(s3.agg(count(lit(1)).as("n_users"))
+          .select(lit("step3_purchase").as("step"), col("n_users")))
+      val base = counts.filter(col("step") === "step1_signup")
+        .select(col("n_users").as("n1"))
+      counts.crossJoin(base)
+        .select(col("step"), col("n_users"),
+          round(lit(100.0) * col("n_users") / col("n1"), 4)
+            .cast("double").as("conversion_pct"))
+        .orderBy("step")
     }
   )
 }

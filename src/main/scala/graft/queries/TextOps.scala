@@ -1117,6 +1117,43 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    // Tokenizer fertility per language — BPE units per word, the
+    // multilingual-pipeline health metric (a tokenizer trained on one
+    // language mix "taxes" underrepresented languages with higher
+    // fertility, inflating their effective sequence lengths and
+    // training cost). Same trained merges as q86/q90 (the cached
+    // 5-round BPE chain); one words→spell join keyed on the tiny
+    // vocabulary, then a per-language aggregate — the vocab side
+    // broadcasts at any corpus scale.
+    QueryDef(
+      "q115_tokenizer_fertility",
+      s"""WITH $duckBpeChain,
+         |spn AS (
+         |  SELECT w, len(string_split(trim(spell), ' ')) AS nu FROM sp5
+         |), dtok AS (
+         |  SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents
+         |)
+         |SELECT t.lang,
+         |       CAST(COUNT(*) AS BIGINT) AS n_words,
+         |       CAST(SUM(s.nu) AS BIGINT) AS n_bpe_units,
+         |       CAST(ROUND(CAST(SUM(s.nu) AS DECIMAL(20,6)) / COUNT(*), 4)
+         |            AS DOUBLE) AS fertility
+         |FROM dtok t JOIN spn s ON s.w = t.w
+         |GROUP BY t.lang ORDER BY t.lang""".stripMargin) { (s, dir) =>
+      val spn = bpeSpells(s, dir)
+        .select(col("w"), size(split(trim(col("spell")), " ")).as("nu"))
+      docs(s, dir)
+        .select(col("lang"), explode(wordsCol).as("w"))
+        .join(spn, "w")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_words"),
+          sum("nu").cast("long").as("n_bpe_units"))
+        .select(col("lang"), col("n_words"), col("n_bpe_units"),
+          round(col("n_bpe_units").cast(org.apache.spark.sql.types.DecimalType(20, 6))
+            / col("n_words"), 4).cast("double").as("fertility"))
+        .orderBy("lang")
+    },
+
     // Bigram-LM surprisal filter: train a corpus bigram model (pair
     // counts + left-context counts) and score every document by its
     // mean INVERSE transition probability c(w1)/c(w1 w2) — the
