@@ -56,10 +56,10 @@ object ProjectLoader {
     val root = Paths.get(projectDir)
     val rootRaw = loadRaw(root)
     val pkgRaws = Deps.installedPackageDirs(root).map { case (dirName, dir) =>
-      val raw = loadRaw(dir)
-      // the install dir name wins over the package's own project name
-      // (reference: install path = package name)
-      dirName -> raw
+      // root dbt_project.yml `models: <pkg>:` scoping applies over the
+      // package's own defaults; the install dir name wins over the
+      // package's own project name (reference: install path = pkg name)
+      dirName -> loadRaw(dir, rootScopeFor(root, dirName))
     }
 
     val taggedPkgNodes = pkgRaws.flatMap { case (pkg, raw) =>
@@ -108,7 +108,84 @@ object ProjectLoader {
     case other => other // sources/exposures/… stay globally named
   }
 
-  private def loadRaw(root: Path): RawProject = {
+  /** A dbt_project.yml `models:` config tree (reference config cascade,
+    * `core/dbt/config/project.py`): `+key` entries at a level apply to
+    * every model under it; non-`+` keys are scopes — a project/package
+    * name at the top, directory names below. Deeper configs win.
+    *
+    * Levels carry RAW kwargs (not NodeConfig) so the cascade is exact
+    * per key: NodeConfig.merge cannot distinguish an explicit
+    * `materialized: view` from unset (view is the default), but a
+    * kwargs override can. `tags` union across levels (dbt's additive
+    * tag semantics); every other key replaces.
+    */
+  final case class ConfigTree(
+      own: Map[String, String] = Map.empty,
+      children: Map[String, ConfigTree] = Map.empty) {
+    /** Effective kwargs for a model at `segments` (directory path under
+      * models/): fold own kwargs root-to-leaf, deeper wins. */
+    def kwargsFor(segments: Seq[String]): Map[String, String] = segments match {
+      case head +: tail =>
+        children.get(head).map(c => mergeKwargs(own, c.kwargsFor(tail))).getOrElse(own)
+      case _ => own
+    }
+    /** Overlay `other` (it wins at every level). */
+    def overlay(other: ConfigTree): ConfigTree = ConfigTree(
+      mergeKwargs(own, other.own),
+      (children.keySet ++ other.children.keySet).map { k =>
+        k -> ((children.get(k), other.children.get(k)) match {
+          case (Some(a), Some(b)) => a.overlay(b)
+          case (a, b) => b.orElse(a).get
+        })
+      }.toMap)
+  }
+
+  /** Per-key override, except `tags` which union. */
+  private[parse] def mergeKwargs(a: Map[String, String],
+      b: Map[String, String]): Map[String, String] = {
+    val tags = (a.get("tags").toSeq ++ b.get("tags").toSeq)
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty).distinct
+    val merged = a ++ b
+    if (tags.isEmpty) merged else merged + ("tags" -> tags.mkString(","))
+  }
+
+  private def parseConfigTree(raw: Any): ConfigTree = raw match {
+    case m: java.util.Map[_, _] =>
+      val tree = m.asScala.toMap.map { case (k, v) => k.toString -> (v: Any) }
+      val own = tree.collect {
+        case (k, v) if k.startsWith("+") => k.drop(1) -> stringify(v) }
+      val kids = tree.collect {
+        case (k, v: java.util.Map[_, _]) if !k.startsWith("+") =>
+          k -> parseConfigTree(v)
+      }
+      ConfigTree(own, kids)
+    case _ => ConfigTree()
+  }
+
+  /** Select a named scope out of a full `models:` tree: top-level
+    * `+key`s apply everywhere; the scope's subtree nests below. */
+  private def scopeOf(full: ConfigTree, scope: String): ConfigTree = {
+    val s = full.children.getOrElse(scope, ConfigTree())
+    ConfigTree(mergeKwargs(full.own, s.own), s.children)
+  }
+
+  /** Root-project scoping for an installed package: top-level `models:`
+    * +keys plus the package's named scope subtree (root wins over the
+    * package's own project defaults, reference precedence).
+    */
+  private[parse] def rootScopeFor(rootDir: Path, pkg: String): ConfigTree = {
+    val yaml = new org.yaml.snakeyaml.Yaml()
+    val f = rootDir.resolve("dbt_project.yml")
+    if (!Files.exists(f)) ConfigTree()
+    else {
+      val cfg = Option(yaml.load[java.util.Map[String, Any]](Files.readString(f)))
+        .map(_.asScala.toMap).getOrElse(Map.empty)
+      scopeOf(parseConfigTree(cfg.getOrElse("models", null)), pkg)
+    }
+  }
+
+  private def loadRaw(root: Path,
+      extraModelDefaults: ConfigTree = ConfigTree()): RawProject = {
     val yaml = new org.yaml.snakeyaml.Yaml()
 
     // ---- dbt_project.yml
@@ -124,11 +201,11 @@ object ProjectLoader {
         m.asScala.map { case (k, v) => k.toString -> v.toString }.toMap
       case _ => Map.empty[String, String]
     }
-    val modelDefaults = projCfg.get("models") match {
-      case Some(m: java.util.Map[_, _]) => configFromTree(m.asScala.toMap.map {
-        case (k, v) => k.toString -> v })
-      case _ => NodeConfig()
-    }
+    // own tree (top +keys and own-name scope) < root-project scoping;
+    // per-directory subtrees resolve per model file below
+    val modelTree =
+      scopeOf(parseConfigTree(projCfg.getOrElse("models", null)), projName)
+        .overlay(extraModelDefaults)
 
     val nodes = scala.collection.mutable.ArrayBuffer[Node]()
     // family name -> (declared version numbers, latest_version)
@@ -145,7 +222,7 @@ object ProjectLoader {
           !Set("dbt_project.yml", "packages.yml", "package-lock.yml",
             "dependencies.yml", "selectors.yml")(p.getFileName.toString)
       }
-    var modelPatches = Map.empty[String, (Seq[ColumnInfo], Seq[GenericTestRef], NodeConfig)]
+    var modelPatches = Map.empty[String, (Seq[ColumnInfo], Seq[GenericTestRef], Map[String, String])]
     for (f <- schemaDocs.distinct) {
       val doc = Option(yaml.load[java.util.Map[String, Any]](Files.readString(f)))
         .map(_.asScala.toMap).getOrElse(Map.empty)
@@ -214,11 +291,11 @@ object ProjectLoader {
                 tests = cm.get("tests").map(parseTests).getOrElse(Nil))
             }.toSeq).getOrElse(Nil)
             val modelTests = mm.get("tests").map(parseTests).getOrElse(Nil)
-            val cfg = mm.get("config")
-              .map(c => configFromKwargs(c.asInstanceOf[java.util.Map[String, Any]]
-                .asScala.map { case (k, v) => k.toString -> stringify(v) }.toMap))
-              .getOrElse(NodeConfig())
-            modelPatches += mname -> ((cols, modelTests, cfg))
+            val cfgKw = mm.get("config")
+              .map(_.asInstanceOf[java.util.Map[String, Any]]
+                .asScala.map { case (k, v) => k.toString -> stringify(v) }.toMap)
+              .getOrElse(Map.empty[String, String])
+            modelPatches += mname -> ((cols, modelTests, cfgKw))
             // model versions (reference versioned-model YAML):
             //   versions: [{v: 1}, {v: 2}]  latest_version: 2
             // files are named <name>_v<N>.sql
@@ -340,11 +417,15 @@ object ProjectLoader {
         case _ => (stem, None)
       }
       val (kwargs, _) = Template.extractConfig(raw)
-      val fileCfg = configFromKwargs(kwargs)
-      val (patchCols, patchTests, patchCfg) =
-        modelPatches.getOrElse(name, (Nil, Nil, NodeConfig()))
-      // cascade: project defaults < schema yml < in-file config
-      val cfg = modelDefaults.merge(patchCfg).merge(fileCfg)
+      val (patchCols, patchTests, patchKw) =
+        modelPatches.getOrElse(name, (Nil, Nil, Map.empty[String, String]))
+      // cascade: project defaults (per-directory tree) < schema yml <
+      // in-file config — merged as raw kwargs so an explicit deeper
+      // value always wins, even when it equals a NodeConfig default
+      val dirSegs = Option(root.resolve("models").relativize(f).getParent)
+        .map(_.iterator().asScala.map(_.toString).toSeq).getOrElse(Nil)
+      val cfg = configFromKwargs(
+        mergeKwargs(mergeKwargs(modelTree.kwargsFor(dirSegs), patchKw), kwargs))
       nodes += ModelNode(
         name = name, rawSql = raw, config = cfg, columns = patchCols,
         refs = Template.extractRefs(raw), sources = Template.extractSources(raw),
@@ -583,22 +664,6 @@ object ProjectLoader {
   private def stringify(v: Any): String = v match {
     case l: java.util.List[_] => l.asScala.map(_.toString).mkString(",")
     case other => String.valueOf(other)
-  }
-
-  /** `+key: value` config tree at the top level of `models:` —
-    * per-directory nesting is flattened into one defaults config for
-    * the subset loader.
-    */
-  private def configFromTree(tree: Map[String, Any]): NodeConfig = {
-    val flat = scala.collection.mutable.Map[String, String]()
-    def walk(m: Map[String, Any]): Unit = m.foreach {
-      case (k, v) if k.startsWith("+") => flat(k.drop(1)) = stringify(v)
-      case (_, v: java.util.Map[_, _]) =>
-        walk(v.asScala.toMap.map { case (k2, v2) => k2.toString -> v2 })
-      case _ =>
-    }
-    walk(tree)
-    configFromKwargs(flat.toMap)
   }
 
   /** kwargs (from `{{ config(...) }}` or YAML) → NodeConfig. */

@@ -304,6 +304,88 @@ object Events {
           round(lit(100.0) * col("n_users") / col("n1"), 4)
             .cast("double").as("conversion_pct"))
         .orderBy("step")
+    },
+
+    // Rolling 7-day active users (WAU) + same-day actives (DAU) +
+    // stickiness per day. The rolling distinct is NOT a window
+    // function (COUNT(DISTINCT) OVER RANGE doesn't distribute): each
+    // distinct (user, day) pair fans out to the ≤7 target days it
+    // contributes to — a map-side ×7 expansion — then ONE shuffle on
+    // the day key aggregates. At 100 TB the expansion is linear and
+    // the day-keyed aggregate is a two-phase partial countDistinct
+    // (Spark expands on (day, user) first), so no hot single reducer.
+    // Counts are exact integers; stickiness is a decimal division —
+    // bit-identical across engines.
+    QueryDef(
+      "q116_rolling_active_users",
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id,
+        |         CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d
+        |  FROM events
+        |), days AS (SELECT DISTINCT d FROM ud),
+        |wau AS (
+        |  SELECT days.d, COUNT(DISTINCT ud.user_id) AS wau
+        |  FROM days JOIN ud ON ud.d BETWEEN days.d - 6 AND days.d
+        |  GROUP BY days.d
+        |), dau AS (SELECT d, COUNT(*) AS dau FROM ud GROUP BY d)
+        |SELECT CAST(wau.d AS TIMESTAMP) AS day,
+        |       CAST(dau.dau AS BIGINT) AS dau,
+        |       CAST(wau.wau AS BIGINT) AS wau,
+        |       CAST(ROUND(CAST(dau.dau AS DECIMAL(20,6)) / wau.wau, 4) AS DOUBLE)
+        |         AS stickiness
+        |FROM wau JOIN dau ON dau.d = wau.d
+        |ORDER BY day""".stripMargin) { (s, dir) =>
+      val ud = Tables.load(s, dir, "events")
+        .select(col("user_id"), to_date(date_trunc("day", col("ts"))).as("d"))
+        .distinct()
+      val days = ud.select(col("d").as("day")).distinct()
+      // each active day contributes to itself and the 6 following days
+      val wau = ud
+        .select(col("user_id"),
+          explode(sequence(lit(0), lit(6))).as("i"), col("d"))
+        .select(col("user_id"), expr("date_add(d, i)").as("day"))
+        .join(days, "day") // observed days only; tiny → AQE broadcasts
+        .groupBy("day").agg(countDistinct(col("user_id")).as("wau"))
+      val dau = ud.groupBy(col("d").as("day")).agg(count(lit(1)).as("dau"))
+      wau.join(dau, "day")
+        .select(col("day").cast("timestamp").as("day"), col("dau"), col("wau"),
+          round(col("dau").cast(org.apache.spark.sql.types.DecimalType(20, 6))
+            / col("wau"), 4).cast("double").as("stickiness"))
+        .orderBy("day")
+    },
+
+    // Top event trigrams: the 10 most common 3-step event sequences
+    // across user timelines — the path-analysis staple behind "what do
+    // users do next". One window pass per user (lead ×2, no
+    // self-joins), one shuffle on the trigram key; ties broken on the
+    // full sequence so the top-10 cut is deterministic. At scale the
+    // per-user window partitions by user_id (millions of small
+    // partitions — no skew) and the trigram space is tiny.
+    QueryDef(
+      "q118_event_trigrams",
+      """WITH seq AS (
+        |  SELECT s1, LEAD(s1, 1) OVER w AS s2, LEAD(s1, 2) OVER w AS s3
+        |  FROM (SELECT user_id, event_type AS s1, CAST(ts AS TIMESTAMP) AS ts,
+        |               event_id FROM events) e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |)
+        |SELECT s1 AS step1, s2 AS step2, s3 AS step3,
+        |       CAST(COUNT(*) AS BIGINT) AS n
+        |FROM seq WHERE s3 IS NOT NULL
+        |GROUP BY 1, 2, 3
+        |ORDER BY n DESC, step1, step2, step3
+        |LIMIT 10""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type").as("step1"),
+          col("ts"), col("event_id"))
+        .withColumn("step2", lead(col("step1"), 1).over(w))
+        .withColumn("step3", lead(col("step1"), 2).over(w))
+        .filter(col("step3").isNotNull)
+        .groupBy("step1", "step2", "step3")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("step1"), col("step2"), col("step3"))
+        .limit(10)
     }
   )
 }

@@ -759,6 +759,61 @@ object Framework {
       eng.wh.read("m14_snap")
         .select("id", "status", "dbt_updated_at", "dbt_valid_from", "dbt_valid_to")
         .orderBy("id", "dbt_valid_from")
+    },
+
+    // A17 clone under the oracle (reference `core/dbt/task/clone.py:
+    // 18-155`): a prod engine builds a table model; a dev engine
+    // pointer-clones it (re-register the parquet version dir — the
+    // zero-copy-clone analog) and another deep-clones it (rewrite).
+    // Both clones must serve EXACTLY the prod data — the hash breaks
+    // if a clone re-runs the model, drops rows, or serves a stale
+    // version.
+    QueryDef(
+      "m18_clone",
+      """WITH agg AS (
+        |  SELECT o_orderstatus AS status,
+        |         CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS spend
+        |  FROM orders GROUP BY 1
+        |)
+        |SELECT * FROM (
+        |  SELECT 'deep' AS mode, status, n, spend FROM agg
+        |  UNION ALL
+        |  SELECT 'pointer', status, n, spend FROM agg
+        |) t ORDER BY mode, status""".stripMargin) { (s, dir) =>
+      val projDir = java.nio.file.Files.createTempDirectory("m18_proj")
+      scratchDirs.add(projDir.toFile)
+      def write(rel: String, content: String): Unit = {
+        val p = projDir.resolve(rel)
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.writeString(p, content)
+      }
+      write("dbt_project.yml", "name: m18\n")
+      write("models/sources.yml",
+        s"""sources:
+           |  - name: main
+           |    tables:
+           |      - name: orders
+           |        path: $dir/orders.parquet
+           |""".stripMargin)
+      write("models/clone_src.sql",
+        """{{ config(materialized='table') }}
+          |SELECT o_orderstatus AS status,
+          |       CAST(COUNT(*) AS BIGINT) AS n,
+          |       CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS spend
+          |FROM {{ source('main', 'orders') }}
+          |GROUP BY o_orderstatus""".stripMargin)
+      val prod = Engine.fromProject(s, projDir.toString, scratch())
+      require(prod.run().forall(_.status == "success"), "m18: prod run failed")
+      val devPtr = new Engine(s, Manifest(Map.empty), scratch())
+      devPtr.cloneFrom(prod, Seq("clone_src"))
+      val devDeep = new Engine(s, Manifest(Map.empty), scratch())
+      devDeep.cloneFrom(prod, Seq("clone_src"), deep = true)
+      devDeep.wh.read("clone_src")
+        .select(lit("deep").as("mode"), col("status"), col("n"), col("spend"))
+        .unionByName(devPtr.wh.read("clone_src")
+          .select(lit("pointer").as("mode"), col("status"), col("n"), col("spend")))
+        .orderBy("mode", "status")
     }
   )
 }

@@ -332,6 +332,67 @@ object Relational2 {
           round(german.cast("double") / sum(col("volume")).cast("double"), 4)
             .cast("double").as("mkt_share"))
         .orderBy("o_year")
+    },
+
+    // TPC-H Q21 shape (suppliers who kept orders waiting), adapted to
+    // this schema's columns: a supplier is "blamed" for a finished
+    // multi-supplier order when it shipped >90 days after the order
+    // date and NO other supplier on that order did. The reference
+    // expresses this as double-correlated EXISTS / NOT EXISTS
+    // (ref `tests` relational suite); here both correlations collapse
+    // into ONE aggregate per order — count of distinct suppliers and
+    // of distinct LATE suppliers — so the plan is two orderkey-keyed
+    // shuffles + a broadcast supplier join, with no correlated rescans
+    // of lineitem. At 100 TB every shuffle is on l_orderkey (high
+    // cardinality, no skew) and supplier is broadcast-small.
+    QueryDef(
+      "q117_sole_late_supplier",
+      """WITH per_order AS (
+        |  SELECT l.l_orderkey,
+        |         COUNT(DISTINCT l.l_suppkey) AS n_supp,
+        |         COUNT(DISTINCT CASE WHEN l.l_shipdate >
+        |                 o.o_orderdate + INTERVAL 90 DAY
+        |               THEN l.l_suppkey END) AS n_late
+        |  FROM lineitem l
+        |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  WHERE o.o_orderstatus = 'F'
+        |  GROUP BY l.l_orderkey
+        |), blamed AS (
+        |  SELECT DISTINCT l.l_orderkey, l.l_suppkey
+        |  FROM lineitem l
+        |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  JOIN per_order p ON p.l_orderkey = l.l_orderkey
+        |  WHERE o.o_orderstatus = 'F'
+        |    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+        |    AND p.n_supp > 1 AND p.n_late = 1
+        |)
+        |SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        |FROM blamed b JOIN supplier s ON s.s_suppkey = b.l_suppkey
+        |GROUP BY s.s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 20""".stripMargin) { (s, dir) =>
+      val lo = Tables.load(s, dir, "lineitem")
+        .join(Tables.load(s, dir, "orders")
+          .filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_shipdate") > date_add(col("o_orderdate"), 90)).as("late"))
+      val perOrder = lo.groupBy("l_orderkey")
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(when(col("late"), col("l_suppkey"))).as("n_late"))
+        .filter(col("n_supp") > 1 && col("n_late") === 1)
+        .select(col("l_orderkey").as("po_orderkey"))
+      val blamed = lo.filter(col("late"))
+        .join(perOrder, col("l_orderkey") === col("po_orderkey"))
+        .select("l_orderkey", "l_suppkey").distinct()
+      blamed
+        .join(broadcast(Tables.load(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
     }
   )
 }

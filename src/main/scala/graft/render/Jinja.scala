@@ -418,6 +418,26 @@ object Jinja {
           case "none" => left == JNull
           case "number" => left.isInstanceOf[JN]
           case "string" => left.isInstanceOf[JS]
+          case "mapping" => left.isInstanceOf[JM]
+          case "boolean" => left.isInstanceOf[JB]
+          case "true" => left == JB(true)
+          case "false" => left == JB(false)
+          case "integer" => left match { case JN(_, isInt) => isInt; case _ => false }
+          case "float" => left match { case JN(_, isInt) => !isInt; case _ => false }
+          // strings and dicts iterate in Jinja, like Python
+          case "sequence" | "iterable" =>
+            left match { case _: JL | _: JS | _: JM => true; case _ => false }
+          case "odd" => left match {
+            case JN(v, true) => v.toBigInt.testBit(0); case _ => false }
+          case "even" => left match {
+            case JN(v, true) => !v.toBigInt.testBit(0); case _ => false }
+          case "divisibleby" =>
+            val arg = parseArgs() match {
+              case (Seq(JN(d, _)), _) => d
+              case _ => fail("divisibleby needs one numeric arg")
+            }
+            left match {
+              case JN(v, _) => (v % arg) == BigDecimal(0); case _ => false }
           case other => fail(s"unknown test `$other`")
         }
         return JB(if (neg) !r else r)
@@ -647,6 +667,24 @@ object Jinja {
           }
           i += 1
           jlist(xs.result())
+        case '{' =>
+          // dict literal: {'k': v, ...} — keys are strings (quoted or
+          // bare words), the community-macro idiom for lookup tables
+          i += 1
+          val entries = Map.newBuilder[String, JV]
+          ws()
+          while (peek != '}') {
+            val k = str(parseOr())
+            ws()
+            if (peek != ':') fail("expected : in dict literal")
+            i += 1
+            entries += k -> parseOr()
+            ws()
+            if (peek == ',') { i += 1; ws() }
+            else if (peek != '}') fail("expected , or } in dict literal")
+          }
+          i += 1
+          JM(entries.result())
         case '(' =>
           i += 1
           val v = parseOr()

@@ -41,15 +41,50 @@ object Template {
         * `<pkg>.<name>` and drives package-precedence resolution. */
       pkg: String = "graft")
 
+  // signature group tolerates one level of call nesting and quoted
+  // parens in defaults: f(xs=['a','b'], g=foo(1), s='(')
   private val macroRe: Regex =
-    """(?s)\{%\s*macro\s+(\w+)\s*\((.*?)\)\s*%\}(.*?)\{%\s*endmacro\s*%\}""".r
+    ("""(?s)\{%\s*macro\s+(\w+)\s*\(((?:[^()'"]|'[^']*'|"[^"]*"|\([^()]*\))*)\)""" +
+      """\s*%\}(.*?)\{%\s*endmacro\s*%\}""").r
+
+  /** Split at top-level separators only — commas inside brackets,
+    * parens, braces, or quotes stay with their element (fixes list/
+    * call-valued macro param defaults the old naive split broke).
+    */
+  private[render] def splitTopLevel(s: String, sep: Char = ','): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val cur = new StringBuilder
+    var depth = 0
+    var quote: Char = 0
+    for (c <- s) {
+      if (quote != 0) { cur += c; if (c == quote) quote = 0 }
+      else c match {
+        case '\'' | '"' => quote = c; cur += c
+        case '[' | '(' | '{' => depth += 1; cur += c
+        case ']' | ')' | '}' => depth -= 1; cur += c
+        case x if x == sep && depth == 0 => out += cur.toString; cur.clear()
+        case _ => cur += c
+      }
+    }
+    out += cur.toString
+    out.toSeq
+  }
 
   def extractMacros(text: String): Seq[MacroDef] =
     macroRe.findAllMatchIn(text).map { m =>
-      val params = m.group(2).split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { p =>
+      val params = splitTopLevel(m.group(2)).map(_.trim).filter(_.nonEmpty).map { p =>
         p.split("=", 2) match {
-          case Array(n, d) => n.trim -> Some(d.trim.stripPrefix("'").stripSuffix("'")
-            .stripPrefix("\"").stripSuffix("\""))
+          case Array(n, d) =>
+            val dt = d.trim
+            // bare string defaults lose their quotes (the evaluator
+            // falls back to literal text); structured defaults keep
+            // their full expression text for expression evaluation
+            val cleaned =
+              if ((dt.startsWith("'") && dt.endsWith("'") && dt.length >= 2) ||
+                  (dt.startsWith("\"") && dt.endsWith("\"") && dt.length >= 2))
+                dt.substring(1, dt.length - 1)
+              else dt
+            n.trim -> Some(cleaned)
           case Array(n) => n.trim -> None
         }
       }

@@ -122,6 +122,63 @@ class DepsSpec extends SparkSpec {
     assert(e.getMessage.contains("pkg_base"))
   }
 
+  test("root project scopes package configs: models: <pkg>: +key") {
+    val pkgDir = Files.createTempDirectory("dep_pkg_scope")
+    writePackage(pkgDir)
+    val root = Files.createTempDirectory("dep_root_scope")
+    writeRoot(root, s"local: $pkgDir")
+    // root project forces the packaged model to materialize as a table
+    // and tags it; root's own models keep their own configs
+    write(root, "dbt_project.yml",
+      """name: deps_root
+        |models:
+        |  util_pkg:
+        |    +materialized: table
+        |    +tags: scoped
+        |""".stripMargin)
+    Deps.install(root.toString)
+    val proj = ProjectLoader.load(root.toString)
+    val pkgModel = proj.manifest.nodes("model.util_pkg.pkg_base")
+    assert(pkgModel.config.materialized === "table")
+    assert(pkgModel.config.tags.contains("scoped"))
+    // root model unaffected by the package scope
+    val rootModel = proj.manifest.nodes("model.graft.root_fct")
+    assert(!rootModel.config.tags.contains("scoped"))
+  }
+
+  test("per-directory config tree: deeper scopes win, siblings isolated") {
+    val root = Files.createTempDirectory("cfg_tree")
+    write(root, "dbt_project.yml",
+      """name: treeproj
+        |models:
+        |  +tags: everywhere
+        |  treeproj:
+        |    +materialized: table
+        |    staging:
+        |      +materialized: view
+        |      +tags: stg
+        |      finance:
+        |        +schema: fin
+        |    marts:
+        |      +tags: mart
+        |""".stripMargin)
+    write(root, "models/top.sql", "SELECT 1 AS a")
+    write(root, "models/staging/stg_a.sql", "SELECT 1 AS a")
+    write(root, "models/staging/finance/fin_a.sql", "SELECT 1 AS a")
+    write(root, "models/marts/mart_a.sql", "SELECT 1 AS a")
+    val proj = ProjectLoader.load(root.toString)
+    def cfg(n: String) = proj.manifest.nodes(s"model.graft.$n").config
+    assert(cfg("top").materialized === "table")
+    assert(cfg("top").tags === Set("everywhere"))
+    assert(cfg("stg_a").materialized === "view")
+    assert(cfg("stg_a").tags === Set("everywhere", "stg"))
+    assert(cfg("stg_a").schema === None)
+    assert(cfg("fin_a").materialized === "view") // inherited from staging
+    assert(cfg("fin_a").schema === Some("fin"))
+    assert(cfg("mart_a").materialized === "table") // staging's view not leaked
+    assert(cfg("mart_a").tags === Set("everywhere", "mart"))
+  }
+
   test("deps without packages.yml is a no-op; hub entries refused") {
     val root = Files.createTempDirectory("dep_root_none")
     write(root, "dbt_project.yml", "name: lonely\n")

@@ -96,6 +96,17 @@ class JinjaSpec extends AnyFunSuite {
     assert(Template.render("SELECT * FROM t {{ lim(n=7) }}", c) === "SELECT * FROM t LIMIT 7")
   }
 
+  test("macro defaults with commas inside list/call literals") {
+    val defs =
+      """{% macro cols(xs=['a', 'b', 'c'], sep=', ') %}{{ xs | join(sep) }}{% endmacro %}
+        |{% macro wrap(v=cols(['x', 'y'])) %}({{ v }}){% endmacro %}""".stripMargin
+    val c = ctxWith(macros(defs))
+    assert(Template.render("SELECT {{ cols() }} FROM t", c) === "SELECT a, b, c FROM t")
+    assert(Template.render("SELECT {{ cols(['q', 'r'], '|') }} FROM t", c)
+      === "SELECT q|r FROM t")
+    assert(Template.render("{{ wrap() }}", c) === "(x, y)")
+  }
+
   // --- filters ---
 
   test("filters: join / lower / upper / replace / default / length") {
@@ -150,6 +161,23 @@ class JinjaSpec extends AnyFunSuite {
     assert(Template.render("{% set x = 1 %}{% if x is defined %}Y{% endif %}", ctx) === "Y")
     assert(Template.render(
       "{% if true and not false or false %}Y{% endif %}", ctx) === "Y")
+  }
+
+  test("type tests: mapping/sequence/boolean/integer/float/odd/even/divisibleby") {
+    def t(src: String) = Template.render(s"{% if $src %}Y{% else %}N{% endif %}", ctx)
+    assert(t("{'a': 1} is mapping") === "Y")
+    assert(t("[1, 2] is mapping") === "N")
+    assert(t("[1, 2] is sequence") === "Y")
+    assert(t("'ab' is iterable") === "Y")
+    assert(t("1 is iterable") === "N")
+    assert(t("true is boolean") === "Y")
+    assert(t("1 is integer") === "Y")
+    assert(t("1.5 is integer") === "N")
+    assert(t("1.5 is float") === "Y")
+    assert(t("3 is odd") === "Y")
+    assert(t("4 is even") === "Y")
+    assert(t("9 is divisibleby(3)") === "Y")
+    assert(t("10 is not divisibleby(3)") === "Y")
   }
 
   test("whitespace control and comments") {
