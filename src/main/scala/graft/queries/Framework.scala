@@ -814,6 +814,103 @@ object Framework {
         .unionByName(devPtr.wh.read("clone_src")
           .select(lit("pointer").as("mode"), col("status"), col("n"), col("spend")))
         .orderBy("mode", "status")
+    },
+
+    // A6 materialized-view config drift under the oracle (reference
+    // `on_configuration_change`, `core/dbt/artifacts/resources/v1/
+    // materialized_view.py`): after the MV's definition changes,
+    // `continue` must KEEP SERVING the old definition's data (stale by
+    // design) and `apply` must rebuild onto the new one. The gate
+    // reads the MV's rows at both points, so serving fresh data under
+    // `continue` (or stale under `apply`) breaks the hash — exactly
+    // the drift semantics Spark's lack of native MVs makes easy to
+    // fumble.
+    QueryDef(
+      "m19_materialized_view",
+      """SELECT * FROM (
+        |  SELECT 'apply_fresh' AS phase,
+        |         CAST((SELECT COUNT(*) FROM orders
+        |               WHERE o_orderstatus IN ('F', 'O')) AS BIGINT) AS n
+        |  UNION ALL
+        |  SELECT 'continue_stale',
+        |         CAST((SELECT COUNT(*) FROM orders
+        |               WHERE o_orderstatus = 'O') AS BIGINT)
+        |) t ORDER BY phase""".stripMargin) { (s, dir) =>
+      graft.Tables.registerAll(s, dir)
+      val eng = new Engine(s, Manifest(Map.empty), scratch())
+      val defA = "SELECT COUNT(*) AS n FROM orders WHERE o_orderstatus = 'O'"
+      val defB = "SELECT COUNT(*) AS n FROM orders WHERE o_orderstatus IN ('F', 'O')"
+      require(Materializer.materializedView(eng.wh, "m19_mv", defA, "continue") == "create")
+      require(Materializer.materializedView(eng.wh, "m19_mv", defA, "continue") == "refresh")
+      // drift: continue keeps serving defA's data
+      require(Materializer.materializedView(eng.wh, "m19_mv", defB, "continue") == "continue")
+      val stale = eng.wh.read("m19_mv").head().getLong(0)
+      // drift: apply rebuilds onto defB
+      require(Materializer.materializedView(eng.wh, "m19_mv", defB, "apply") == "apply")
+      val fresh = eng.wh.read("m19_mv").head().getLong(0)
+      import s.implicits._
+      Seq(("apply_fresh", fresh), ("continue_stale", stale))
+        .toDF("phase", "n").orderBy("phase")
+    },
+
+    // A21 retry under the oracle (reference `core/dbt/task/retry.py:
+    // 66-145`): a run where a mid-chain model errors (its child
+    // SKIPS), then `retry` against the written run_results re-runs
+    // ONLY the errored + skipped nodes with the fixed config. The
+    // gate reports per-node build counts from the warehouse's version
+    // dirs plus final row counts — a retry that re-runs the healthy
+    // node (builds=2), or fails to resume the skipped child, breaks
+    // the hash.
+    QueryDef(
+      "m20_retry",
+      """WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM orders)
+        |SELECT * FROM (
+        |  SELECT 'bad_mid' AS node, CAST(1 AS BIGINT) AS builds, c AS rows_out FROM n
+        |  UNION ALL
+        |  SELECT 'child_agg', CAST(1 AS BIGINT), CAST(1 AS BIGINT) FROM n
+        |  UNION ALL
+        |  SELECT 'ok_base', CAST(1 AS BIGINT), c FROM n
+        |) t ORDER BY node""".stripMargin) { (s, dir) =>
+      val whRoot = scratch()
+      val target = scratch()
+      def manifestWith(vars: Map[String, String]): (Manifest, Map[String, String]) = {
+        val src = SourceNode("main", "orders", s"$dir/orders.parquet")
+        val okBase = ModelNode("ok_base",
+          "SELECT o_orderkey, o_custkey FROM {{ source('main', 'orders') }}",
+          config = NodeConfig(materialized = "table"),
+          sources = Seq(("main", "orders")))
+        val badMid = ModelNode("bad_mid",
+          "SELECT o_orderkey, {{ var('price_col') }} AS price FROM {{ source('main', 'orders') }}",
+          config = NodeConfig(materialized = "table"),
+          sources = Seq(("main", "orders")))
+        val child = ModelNode("child_agg",
+          "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM {{ ref('bad_mid') }}",
+          config = NodeConfig(materialized = "table"), refs = Seq("bad_mid"))
+        (graft.parse.ProjectLoader.link(Manifest(
+          Seq(src, okBase, badMid, child).map(n => n.uniqueId -> n).toMap)), vars)
+      }
+      // first run: bad_mid errors (no such column), child_agg skips
+      val (m1, v1) = manifestWith(Map("price_col" -> "no_such_column"))
+      val eng1 = new Engine(s, m1, whRoot, v1)
+      val r1 = eng1.run()
+      eng1.writeArtifacts(target, r1)
+      val st1 = r1.map(r => r.uniqueId -> r.status).toMap
+      require(st1.get("model.graft.bad_mid").contains("error"), s"m20: $st1")
+      require(st1.get("model.graft.child_agg").contains("skipped"), s"m20: $st1")
+      // fixed engine over the SAME warehouse: retry = errored + skipped only
+      val (m2, v2) = manifestWith(Map("price_col" -> "o_totalprice"))
+      val eng2 = new Engine(s, m2, whRoot, v2)
+      val r2 = eng2.retry(s"$target/run_results.json")
+      require(r2.map(_.uniqueId).toSet ==
+        Set("model.graft.bad_mid", "model.graft.child_agg"),
+        s"m20: retry must rerun exactly the errored+skipped nodes: $r2")
+      require(r2.forall(_.status == "success"), s"m20: $r2")
+      import s.implicits._
+      Seq("bad_mid", "child_agg", "ok_base").map { n =>
+        val builds = Option(new java.io.File(whRoot, n).listFiles())
+          .map(_.count(_.isDirectory).toLong).getOrElse(0L)
+        (n, builds, eng2.wh.read(n).count())
+      }.toDF("node", "builds", "rows_out").orderBy("node")
     }
   )
 }

@@ -341,10 +341,11 @@ object Relational2 {
     // expresses this as double-correlated EXISTS / NOT EXISTS
     // (ref `tests` relational suite); here both correlations collapse
     // into ONE aggregate per order — count of distinct suppliers and
-    // of distinct LATE suppliers — so the plan is two orderkey-keyed
-    // shuffles + a broadcast supplier join, with no correlated rescans
-    // of lineitem. At 100 TB every shuffle is on l_orderkey (high
-    // cardinality, no skew) and supplier is broadcast-small.
+    // of distinct LATE suppliers — so lineitem is read twice (the agg
+    // and the blamed-line probe) instead of the three correlated
+    // scans of the textbook Q21 plan, with no per-row rescans. At
+    // 100 TB every shuffle is on l_orderkey (high cardinality, no
+    // skew) and supplier is broadcast-small.
     QueryDef(
       "q117_sole_late_supplier",
       """WITH per_order AS (

@@ -140,6 +140,30 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), p)
   }
 
+  test("q117: supplier broadcast, no cartesian, one lineitem-orders join shape") {
+    val p = plan("q117_sole_late_supplier")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), "all q117 joins are equi")
+  }
+
+  test("q116: rolling actives via explode fan-out, no nested-loop range join") {
+    val p = plan("q116_rolling_active_users")
+    // the ≤7-day contribution expansion is a generator, not a range join
+    assert(p.contains("Generate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "day-range membership must not plan a nested-loop join")
+  }
+
+  test("q118: trigram path is window + partial/final agg, no self-join") {
+    val p = plan("q118_event_trigrams")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
+    assert(!p.toLowerCase.contains("cartesian"), p)
+    // one aggregate pair over the trigram key, topped by TakeOrdered
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("whole-stage codegen active on the scan-agg path") {
     // AQE finalizes the plan lazily; execute first, then inspect
     val df = SparkEntry.queries("q02_agg_pricing_summary")(spark, sf)
