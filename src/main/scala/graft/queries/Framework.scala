@@ -911,6 +911,122 @@ object Framework {
           .map(_.count(_.isDirectory).toLong).getOrElse(0L)
         (n, builds, eng2.wh.read(n).count())
       }.toDF("node", "builds", "rows_out").orderBy("node")
+    },
+
+    // A12 singular tests under the oracle (reference
+    // `core/dbt/parser/singular_test.py`): tests/*.sql files whose
+    // SELECT returns the FAILING rows. One passes (empty result), one
+    // warns (config severity) with a closed-form failing-row count —
+    // status strings and counts both hash-gated.
+    QueryDef(
+      "m21_singular_tests",
+      """SELECT * FROM (
+        |  SELECT 'assert_no_negative_price' AS test, 'pass' AS status,
+        |         CAST(0 AS BIGINT) AS failing_rows
+        |  UNION ALL
+        |  SELECT 'assert_no_open_orders', 'warn',
+        |         CAST((SELECT COUNT(*) FROM orders
+        |               WHERE o_orderstatus = 'O') AS BIGINT)
+        |) t ORDER BY test""".stripMargin) { (s, dir) =>
+      val projDir = java.nio.file.Files.createTempDirectory("m21_proj")
+      scratchDirs.add(projDir.toFile)
+      def write(rel: String, content: String): Unit = {
+        val p = projDir.resolve(rel)
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.writeString(p, content)
+      }
+      write("dbt_project.yml", "name: m21\n")
+      write("models/sources.yml",
+        s"""sources:
+           |  - name: main
+           |    tables:
+           |      - name: orders
+           |        path: $dir/orders.parquet
+           |""".stripMargin)
+      write("tests/assert_no_negative_price.sql",
+        """SELECT * FROM {{ source('main', 'orders') }}
+          |WHERE o_totalprice < 0""".stripMargin)
+      write("tests/assert_no_open_orders.sql",
+        """{{ config(severity='warn') }}
+          |SELECT * FROM {{ source('main', 'orders') }}
+          |WHERE o_orderstatus = 'O'""".stripMargin)
+      val eng = Engine.fromProject(s, projDir.toString, scratch())
+      val res = eng.test()
+      import s.implicits._
+      res.map(r => (r.uniqueId.split('.').last, r.status,
+          math.max(r.rowsAffected, 0L)))
+        .toDF("test", "status", "failing_rows").orderBy("test")
+    },
+
+    // A29 metrics + saved queries under the oracle (reference
+    // `core/dbt/contracts/graph/nodes.py` Metric/SavedQuery): a saved
+    // query compiles its metrics' calculations over the shared model
+    // with the saved where + group-bys. The gate returns the compiled
+    // query's DATA, so a wrong aggregation, filter, or grouping breaks
+    // the hash — metric compilation is semantics, not metadata.
+    QueryDef(
+      "m22_saved_query",
+      """SELECT o_orderstatus AS status,
+        |       CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE)
+        |         AS total_spend
+        |FROM orders WHERE o_orderstatus <> 'P'
+        |GROUP BY o_orderstatus ORDER BY status""".stripMargin) { (s, dir) =>
+      val src = SourceNode("main", "orders", s"$dir/orders.parquet")
+      val model = ModelNode("m22_rev",
+        """SELECT o_orderkey, o_orderstatus,
+          |       CAST(o_totalprice AS DECIMAL(20,4)) AS price
+          |FROM {{ source('main', 'orders') }}""".stripMargin,
+        config = NodeConfig(materialized = "table"),
+        sources = Seq(("main", "orders")))
+      val mCount = MetricNode("n_orders", "m22_rev", "CAST(COUNT(*) AS BIGINT)")
+      val mSpend = MetricNode("total_spend", "m22_rev",
+        "CAST(SUM(price) AS DOUBLE)")
+      val saved = SavedQueryNode("m22_sq",
+        metrics = Seq("n_orders", "total_spend"),
+        groupBy = Seq("o_orderstatus"),
+        where = Some("o_orderstatus <> 'P'"))
+      val manifest = graft.parse.ProjectLoader.link(Manifest(
+        Seq(src, model, mCount, mSpend, saved).map(n => n.uniqueId -> n).toMap))
+      val eng = new Engine(s, manifest, scratch())
+      require(eng.run(resourceTypes = Set("model")).forall(_.status == "success"),
+        "m22: model run failed")
+      require(eng.queryMetric("total_spend").count() > 0, "m22: metric compile")
+      eng.querySaved("m22_sq")
+        .select(col("o_orderstatus").as("status"), col("n_orders"),
+          col("total_spend"))
+        .orderBy("status")
+    },
+
+    // A28 Scala code models under the oracle (the Python-model analog,
+    // reference `core/dbt/parser/models.py` PythonParser): a typed
+    // DataFrame body runs inside the DAG like any model, and its
+    // MATERIALIZED table must match the oracle's SQL — the gate proves
+    // code models share the scheduler, warehouse, and ref/source
+    // context rather than living beside them.
+    QueryDef(
+      "m23_scala_model",
+      """SELECT o_orderstatus AS status,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS spend
+        |FROM orders GROUP BY o_orderstatus ORDER BY status""".stripMargin) { (s, dir) =>
+      val src = SourceNode("main", "orders", s"$dir/orders.parquet")
+      val sm = ScalaModelNode(
+        name = "m23_code_model",
+        declaredRefs = Nil,
+        declaredSources = Seq(("main", "orders")),
+        body = ctx => ctx.source("main", "orders")
+          .groupBy(col("o_orderstatus").as("status"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice")
+              .cast(org.apache.spark.sql.types.DecimalType(20, 4)))
+              .cast("double").as("spend")))
+      val base = Manifest(Map(src.uniqueId -> src))
+      val linked = graft.run.ScalaModel.link(sm, base)
+      val eng = new Engine(s, Manifest(base.nodes + (linked.uniqueId -> linked)),
+        scratch())
+      require(eng.run().forall(_.status == "success"), "m23: run failed")
+      eng.wh.read("m23_code_model").orderBy("status")
     }
   )
 }
