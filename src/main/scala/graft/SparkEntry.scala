@@ -14,6 +14,7 @@ object SparkEntry {
   private def queries_registry: Seq[QueryDef] =
     graft.queries.Relational.queries ++
       graft.queries.Relational2.queries ++
+      graft.queries.Relational3.queries ++
       graft.queries.TextOps.queries ++
       graft.queries.Similarity.queries ++
       graft.queries.Events.queries ++

@@ -394,6 +394,80 @@ object Relational2 {
         .groupBy("s_name").agg(count(lit(1)).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name"))
         .limit(20)
+    },
+
+    // TPC-H Q17 shape (small-order revenue): lines whose quantity is
+    // under half their part's average — the correlated-aggregate-join
+    // pattern (per-group aggregate joined back onto the detail rows).
+    // One partkey-keyed aggregate + one partkey join; the comparison
+    // is engine-exact because quantities are integer-valued, so the
+    // per-part average is an exactly-summed integer over a count.
+    // Revenue sums go through decimals (the determinism rule).
+    QueryDef(
+      "q119_small_order_revenue",
+      """WITH pavg AS (
+        |  SELECT l_partkey, AVG(l_quantity) AS avg_qty
+        |  FROM lineitem GROUP BY l_partkey
+        |)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_small_lines,
+        |       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) / 7
+        |         AS avg_yearly_loss
+        |FROM lineitem l
+        |JOIN pavg p ON p.l_partkey = l.l_partkey
+        |WHERE l.l_quantity < 0.5 * p.avg_qty""".stripMargin) { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+      val pavg = li.groupBy(col("l_partkey").as("p_key"))
+        .agg(avg(col("l_quantity")).as("avg_qty"))
+      li.join(pavg, col("l_partkey") === col("p_key"))
+        .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+        .agg(count(lit(1)).as("n_small_lines"),
+          (sum(col("l_extendedprice")
+            .cast(org.apache.spark.sql.types.DecimalType(20, 4)))
+            .cast("double") / 7).as("avg_yearly_loss"))
+    },
+
+    // TPC-H Q18 shape (large-volume orders): orders whose total line
+    // quantity exceeds a threshold, served with their customer — the
+    // HAVING-filtered aggregate re-joined to its dimensions. The big
+    // aggregate shuffles once on l_orderkey; the survivors (a few
+    // percent) then join orders and customer, and AQE broadcasts the
+    // shrunken side. Top-k is TakeOrdered, tie-broken on the key.
+    QueryDef(
+      "q120_large_volume_orders",
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |         CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE)
+        |           AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(20,4))) > 150
+        |)
+        |SELECT c.c_name, o.o_orderkey, CAST(o.o_orderdate AS TIMESTAMP)
+        |         AS o_orderdate,
+        |       CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+        |       b.total_qty
+        |FROM big b
+        |JOIN orders o ON o.o_orderkey = b.l_orderkey
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |ORDER BY b.total_qty DESC, o.o_orderkey
+        |LIMIT 10""".stripMargin) { (s, dir) =>
+      val dec = (c: org.apache.spark.sql.Column) =>
+        c.cast(org.apache.spark.sql.types.DecimalType(20, 4))
+      val big = Tables.load(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sum(dec(col("l_quantity"))).as("qty_dec"))
+        .filter(col("qty_dec") > 150)
+        .select(col("l_orderkey"), col("qty_dec").cast("double").as("total_qty"))
+      big
+        .join(Tables.load(s, dir, "orders"),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.load(s, dir, "customer"),
+          col("c_custkey") === col("o_custkey"))
+        .select(col("c_name"), col("o_orderkey"),
+          col("o_orderdate").cast("timestamp").as("o_orderdate"),
+          col("o_totalprice").cast("double").as("o_totalprice"),
+          col("total_qty"))
+        .orderBy(col("total_qty").desc, col("o_orderkey"))
+        .limit(10)
     }
   )
 }

@@ -164,6 +164,55 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q119/q120: correlated-agg and HAVING joins stay equi, no cartesian") {
+    Seq("q119_small_order_revenue", "q120_large_volume_orders").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: all joins are equi")
+    }
+  }
+
+  test("q121: groupwise-min join is partkey-equi; dims broadcast") {
+    val p = plan("q121_min_cost_supplier")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "the min-equality condition must ride the partkey equi-join")
+  }
+
+  test("q122/q123: global scalar is a 1-row broadcast, not a rescan") {
+    Seq("q122_important_parts", "q123_top_supplier").foreach { q =>
+      val p = plan(q)
+      // the singleton aggregate joins via broadcast (nested-loop for the
+      // join-condition-free q122 cross join, hash for q123's equality) —
+      // either way no shuffle and ONE scan of the fact table per branch
+      assert(p.contains("Broadcast"), s"$q: $p")
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+    }
+  }
+
+  test("q124: supplier blocklist is a broadcast anti-join; distinct pre-aggregates") {
+    val p = plan("q124_part_supplier_counts")
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // distinct-then-count: two HashAggregate levels, no Expand fan-out
+    assert(p.split("HashAggregate").length > 2, p)
+    assert(!p.contains("Expand"), "pre-distinct avoids the Expand plan")
+  }
+
+  test("q125: nested semi chain plans LeftSemi over co-located partkey aggs") {
+    val p = plan("q125_dominant_suppliers")
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q126: threshold broadcast + anti-join, aggregate after the shrink") {
+    val p = plan("q126_idle_rich_customers")
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("Broadcast"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("whole-stage codegen active on the scan-agg path") {
     // AQE finalizes the plan lazily; execute first, then inspect
     val df = SparkEntry.queries("q02_agg_pricing_summary")(spark, sf)
