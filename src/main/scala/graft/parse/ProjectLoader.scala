@@ -642,19 +642,63 @@ object ProjectLoader {
       case other => throw new IllegalArgumentException(s"bad test spec: $other")
     }.toSeq
 
+  private val builtinTests = Set("unique", "not_null", "accepted_values", "relationships")
+
   def buildGenericTest(model: String, column: Option[String], t: GenericTestRef): TestNode = {
     // name synthesis mirrors reference TestBuilder
     // (core/dbt/parser/generic_test_builders.py:26-66)
-    val parts = Seq(t.testName, model) ++ column.toSeq ++
-      t.kwargs.get("values").map(_.replaceAll("[^A-Za-z0-9]", "_")).toSeq
-    val sql = graft.exec.Materializer.genericTestSql(
-      t.testName, s"{{ ref('$model') }}", column.getOrElse(""),
-      t.kwargs.map { case (k, v) => k -> (
-        // `to: ref('parent')` in YAML → template ref
-        if (k == "to") v else v) })
+    def sanitize(v: String) = v.replaceAll("[^A-Za-z0-9]", "_")
+    val parts = Seq(t.testName.replace('.', '_'), model) ++ column.toSeq ++
+      (if (builtinTests(t.testName)) t.kwargs.get("values").map(sanitize).toSeq
+       // custom tests: every non-config kwarg value joins the name, so
+       // the same test applied with different args yields distinct nodes
+       else t.kwargs.view.filterKeys(!configKeys(_)).toSeq.sortBy(_._1)
+         .map(kv => sanitize(kv._2)))
+    // YAML kwarg values written as bare `ref('x')` / `source('s','t')`
+    // (the dbt convention for `to:` et al.) are template expressions,
+    // not SQL — brace them so they render and register as deps.
+    def braced(v: String): String =
+      if (v.matches("""(?s)\s*(ref|source)\(.*\)\s*""")) s"{{ ${v.trim} }}" else v
+    val sql =
+      if (builtinTests(t.testName))
+        graft.exec.Materializer.genericTestSql(
+          t.testName, s"{{ ref('$model') }}", column.getOrElse(""),
+          t.kwargs.map { case (k, v) => k -> braced(v) })
+      else {
+        // custom generic test: the YAML name (optionally `pkg.name`
+        // qualified) resolves to the macro a `{% test name(...) %}`
+        // block registered as `test_<name>`; the node SQL is a macro
+        // call rendered at compile time (reference TestBuilder →
+        // `{{ test_<name>(**kwargs) }}`,
+        // generic_test_builders.py:222-257). kwargs pass as string
+        // literals except ref()/source() expressions, which must
+        // evaluate (the `to:` convention generalized).
+        val (pkgPrefix, bare) = t.testName.split("\\.", 2) match {
+          case Array(p, n) => (s"$p.", n)
+          case _ => ("", t.testName)
+        }
+        val colArg = column.map(c => s", column_name='$c'").getOrElse("")
+        val extra = t.kwargs.view.filterKeys(!configKeys(_)).toSeq.sortBy(_._1)
+          .map { case (k, v) =>
+            val lit =
+              if (v.matches("""(?s)\s*(ref|source)\(.*""")) v
+              else if (v.matches("""-?\d+(\.\d+)?|true|false""")) v
+              else if (v.contains("'")) "\"" + v + "\""
+              else s"'$v'"
+            s", $k=$lit"
+          }.mkString
+        s"{{ ${pkgPrefix}test_$bare(model=ref('$model')$colArg$extra) }}"
+      }
+    // refs: extractRefs only sees whole `{{ ref('x') }}` expressions —
+    // the custom-test macro call nests ref() inside a larger expression,
+    // so the model (and any ref-valued kwargs) register explicitly
+    val kwargRefRe = """(?s)ref\(\s*['"]([^'"]+)['"]""".r
+    val refs = (Template.extractRefs(sql) ++ Seq(model) ++
+      t.kwargs.values.flatMap(v =>
+        kwargRefRe.findAllMatchIn(v).map(_.group(1)))).distinct
     TestNode(name = parts.mkString("_"), rawSql = sql,
       config = NodeConfig(materialized = "test").merge(t.config),
-      refs = Template.extractRefs(sql),
+      refs = refs,
       genericTest = Some(t.testName))
   }
 

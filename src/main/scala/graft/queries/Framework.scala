@@ -1027,6 +1027,67 @@ object Framework {
         scratch())
       require(eng.run().forall(_.status == "success"), "m23: run failed")
       eng.wh.read("m23_code_model").orderBy("status")
+    },
+
+    // A9 custom generic tests under the oracle (reference `{% test %}`
+    // blocks, `core/dbt/parser/generic_test_builders.py`): a
+    // project-defined test macro attaches via schema YAML with kwargs,
+    // once passing (no forbidden rows) and once warning with a
+    // closed-form failing-row count — proving the macro registers as
+    // test_<name>, kwargs bind into the body, and severity configs
+    // ride along exactly like the builtin four.
+    QueryDef(
+      "m24_custom_generic_test",
+      """SELECT * FROM (
+        |  SELECT 'no_status_m24_orders_o_orderstatus_P' AS test,
+        |         'warn' AS status,
+        |         CAST((SELECT COUNT(*) FROM orders
+        |               WHERE o_orderstatus = 'P') AS BIGINT) AS failing_rows
+        |  UNION ALL
+        |  SELECT 'no_status_m24_orders_o_orderstatus_X', 'pass',
+        |         CAST(0 AS BIGINT)
+        |) t ORDER BY test""".stripMargin) { (s, dir) =>
+      val projDir = java.nio.file.Files.createTempDirectory("m24_proj")
+      scratchDirs.add(projDir.toFile)
+      def write(rel: String, content: String): Unit = {
+        val p = projDir.resolve(rel)
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.writeString(p, content)
+      }
+      write("dbt_project.yml", "name: m24\n")
+      write("models/sources.yml",
+        s"""sources:
+           |  - name: main
+           |    tables:
+           |      - name: orders
+           |        path: $dir/orders.parquet
+           |""".stripMargin)
+      write("models/m24_orders.sql",
+        "SELECT * FROM {{ source('main', 'orders') }}")
+      write("macros/m24_tests.sql",
+        """{% test no_status(model, column_name, forbidden) %}
+          |SELECT {{ column_name }} AS bad FROM {{ model }}
+          |WHERE {{ column_name }} = '{{ forbidden }}'
+          |{% endtest %}""".stripMargin)
+      write("models/schema.yml",
+        """models:
+          |  - name: m24_orders
+          |    columns:
+          |      - name: o_orderstatus
+          |        tests:
+          |          - no_status:
+          |              forbidden: X
+          |          - no_status:
+          |              forbidden: P
+          |              severity: warn
+          |""".stripMargin)
+      val eng = Engine.fromProject(s, projDir.toString, scratch())
+      require(eng.run().forall(_.status == "success"), "m24: run failed")
+      val res = eng.test()
+      import s.implicits._
+      res.map(r => (r.uniqueId.split('.').last, r.status,
+          math.max(r.rowsAffected, 0L)))
+        .toDF("test", "status", "failing_rows").orderBy("test")
     }
   )
 }

@@ -47,6 +47,17 @@ object Template {
     ("""(?s)\{%\s*macro\s+(\w+)\s*\(((?:[^()'"]|'[^']*'|"[^"]*"|\([^()]*\))*)\)""" +
       """\s*%\}(.*?)\{%\s*endmacro\s*%\}""").r
 
+  /** Custom generic tests (reference `{% test name(model, column_name)
+    * %}` blocks, `core/dbt/clients/jinja.py` GENERIC_TEST_KEY): a test
+    * block IS a macro named `test_<name>` whose rendered body is the
+    * failing-rows SELECT — exactly how dbt registers them, so schema-
+    * YAML references (`tests: [name]`) resolve through the ordinary
+    * macro namespace, packages included.
+    */
+  private val testBlockRe: Regex =
+    ("""(?s)\{%\s*test\s+(\w+)\s*\(((?:[^()'"]|'[^']*'|"[^"]*"|\([^()]*\))*)\)""" +
+      """\s*%\}(.*?)\{%\s*endtest\s*%\}""").r
+
   /** Split at top-level separators only — commas inside brackets,
     * parens, braces, or quotes stay with their element (fixes list/
     * call-valued macro param defaults the old naive split broke).
@@ -70,26 +81,31 @@ object Template {
     out.toSeq
   }
 
+  private def parseParams(sig: String): Seq[(String, Option[String])] =
+    splitTopLevel(sig).map(_.trim).filter(_.nonEmpty).map { p =>
+      p.split("=", 2) match {
+        case Array(n, d) =>
+          val dt = d.trim
+          // bare string defaults lose their quotes (the evaluator
+          // falls back to literal text); structured defaults keep
+          // their full expression text for expression evaluation
+          val cleaned =
+            if ((dt.startsWith("'") && dt.endsWith("'") && dt.length >= 2) ||
+                (dt.startsWith("\"") && dt.endsWith("\"") && dt.length >= 2))
+              dt.substring(1, dt.length - 1)
+            else dt
+          n.trim -> Some(cleaned)
+        case Array(n) => n.trim -> None
+      }
+    }
+
   def extractMacros(text: String): Seq[MacroDef] =
     macroRe.findAllMatchIn(text).map { m =>
-      val params = splitTopLevel(m.group(2)).map(_.trim).filter(_.nonEmpty).map { p =>
-        p.split("=", 2) match {
-          case Array(n, d) =>
-            val dt = d.trim
-            // bare string defaults lose their quotes (the evaluator
-            // falls back to literal text); structured defaults keep
-            // their full expression text for expression evaluation
-            val cleaned =
-              if ((dt.startsWith("'") && dt.endsWith("'") && dt.length >= 2) ||
-                  (dt.startsWith("\"") && dt.endsWith("\"") && dt.length >= 2))
-                dt.substring(1, dt.length - 1)
-              else dt
-            n.trim -> Some(cleaned)
-          case Array(n) => n.trim -> None
-        }
-      }
-      MacroDef(m.group(1), params, m.group(3).trim)
-    }.toSeq
+      MacroDef(m.group(1), parseParams(m.group(2)), m.group(3).trim)
+    }.toSeq ++
+      testBlockRe.findAllMatchIn(text).map { m =>
+        MacroDef(s"test_${m.group(1)}", parseParams(m.group(2)), m.group(3).trim)
+      }.toSeq
 
   /** A16 `{% call statement('name', fetch_result=true) %}sql{% endcall %}`
     * blocks (reference statement call blocks,

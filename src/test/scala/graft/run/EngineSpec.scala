@@ -68,6 +68,51 @@ class EngineSpec extends SparkSpec {
       testResults.mkString("\n"))
   }
 
+  test("custom generic tests: {% test %} blocks resolve from schema YAML") {
+    // reference `{% test %}` blocks register as macros named test_<name>
+    // (clients/jinja.py GENERIC_TEST_KEY); schema YAML refers to them by
+    // bare name with kwargs, exactly like the builtins
+    val proj = baseProject +
+      ("macros/my_tests.sql" ->
+        """{% test positive(model, column_name) %}
+          |SELECT * FROM {{ model }} WHERE {{ column_name }} <= 0
+          |{% endtest %}
+          |{% test at_least_rows(model, n=1) %}
+          |SELECT c AS too_few FROM
+          |  (SELECT COUNT(*) AS c FROM {{ model }}) t
+          |WHERE t.c < {{ n }}
+          |{% endtest %}""".stripMargin) +
+      ("models/schema.yml" ->
+        """models:
+          |  - name: fct_spend
+          |    tests:
+          |      - at_least_rows:
+          |          n: 3
+          |    columns:
+          |      - name: spend
+          |        tests: [positive]
+          |""".stripMargin)
+    val eng = Engine.fromProject(spark, writeProject(proj), tmpDir("wh"))
+    eng.run()
+    val res = eng.test()
+    assert(res.size == 2, res.mkString("\n"))
+    assert(res.forall(_.status == "pass"), res.mkString("\n"))
+
+    // unsatisfiable kwarg → the same custom test must FAIL, proving the
+    // kwargs bind into the macro body (not just render to empty SQL)
+    val proj2 = proj + ("models/schema.yml" ->
+      """models:
+        |  - name: fct_spend
+        |    tests:
+        |      - at_least_rows:
+        |          n: 999999
+        |""".stripMargin)
+    val eng2 = Engine.fromProject(spark, writeProject(proj2), tmpDir("wh"))
+    eng2.run()
+    val res2 = eng2.test()
+    assert(res2.size == 1 && res2.head.status == "fail", res2.mkString("\n"))
+  }
+
   test("failing test reports fail and failing-rows sql works") {
     val proj = baseProject + ("models/schema.yml" ->
       """models:
