@@ -15,6 +15,7 @@ object SparkEntry {
     graft.queries.Relational.queries ++
       graft.queries.Relational2.queries ++
       graft.queries.Relational3.queries ++
+      graft.queries.Relational4.queries ++
       graft.queries.TextOps.queries ++
       graft.queries.Similarity.queries ++
       graft.queries.Events.queries ++

@@ -213,6 +213,54 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q127/q131: top-k is TakeOrdered, never a global sort") {
+    Seq("q127_shipping_priority", "q131_returned_items").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"), s"$q: $p")
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+    }
+  }
+
+  test("q128: correlated EXISTS is a hash LeftSemi on orderkey, not a BNL") {
+    val p = plan("q128_late_order_priority")
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "the lateness comparison must ride the orderkey equi-join")
+  }
+
+  test("q129: the pure scan — pushdown, 4-column read, partial agg, no join") {
+    val p = plan("q129_revenue_forecast")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(!p.contains("Join"), "Q6 has no join")
+    assert(!p.contains("l_orderkey"), "scan must prune to the 4 used columns")
+    // map-side partial + final: two HashAggregate levels
+    assert(p.split("HashAggregate").length > 2, p)
+  }
+
+  test("q130/q134/q135: filtered dims broadcast into the fact scan") {
+    Seq("q130_nation_profit", "q134_promo_revenue",
+        "q135_disjunctive_parts").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q: $p")
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+    }
+  }
+
+  test("q132: one aggregation pass computes both conditional sums") {
+    val p = plan("q132_delay_priority_matrix")
+    // a single partial+final HashAggregate pair — not one scan per sum
+    assert(p.split("HashAggregate").length === 3, p)
+    assert(p.split("Scan parquet").length === 3, "each table scanned once")
+  }
+
+  test("q133: outer-join filter stays in the join; double aggregate") {
+    val p = plan("q133_customer_distribution")
+    assert(p.contains("LeftOuter"), p)
+    // two aggregates (per-customer count, then histogram), each
+    // partial+final = 4 HashAggregate nodes
+    assert(p.split("HashAggregate").length > 3, p)
+  }
+
   test("whole-stage codegen active on the scan-agg path") {
     // AQE finalizes the plan lazily; execute first, then inspect
     val df = SparkEntry.queries("q02_agg_pricing_summary")(spark, sf)
