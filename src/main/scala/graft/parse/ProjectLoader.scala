@@ -99,6 +99,95 @@ object ProjectLoader {
       macrosByPackage = pkgMacros + ("graft" -> rootRaw.macros))
   }
 
+  /** One output of a profile (reference `profiles.yml` outputs,
+    * `core/dbt/config/profile.py` / `dbt/adapters` credentials): the
+    * adapter-specific connection fields reduce, for a Spark warehouse,
+    * to a relation namespace (`schema`), a thread count, and an
+    * optional warehouse root (`path`).
+    */
+  final case class TargetDef(
+      profileName: String,
+      name: String,
+      schema: Option[String],
+      threads: Option[Int],
+      warehouse: Option[String])
+
+  final case class ProfileDef(
+      name: String,
+      defaultTarget: String,
+      outputs: Map[String, TargetDef])
+
+  /** profiles.yml resolution (reference `core/dbt/config/profile.py`:
+    * DBT_PROFILES_DIR first, then the project directory). The profile
+    * entry is selected by dbt_project.yml's `profile:` key, falling
+    * back to the project name, then to a single-profile file.
+    */
+  def loadProfile(projectDir: String): Option[ProfileDef] = {
+    val yaml = new org.yaml.snakeyaml.Yaml()
+    val root = Paths.get(projectDir)
+    val profFile = sys.env.get("DBT_PROFILES_DIR")
+      .map(d => Paths.get(d).resolve("profiles.yml"))
+      .filter(Files.exists(_))
+      .getOrElse(root.resolve("profiles.yml"))
+    if (!Files.exists(profFile)) return None
+    val doc = Option(yaml.load[java.util.Map[String, Any]](
+      Files.readString(profFile))).map(_.asScala.toMap).getOrElse(Map.empty)
+    val projFile = root.resolve("dbt_project.yml")
+    val projCfg: Map[String, Any] =
+      if (Files.exists(projFile))
+        Option(yaml.load[java.util.Map[String, Any]](Files.readString(projFile)))
+          .map(_.asScala.toMap).getOrElse(Map.empty)
+      else Map.empty
+    val wanted = projCfg.get("profile").map(_.toString)
+      .orElse(projCfg.get("name").map(_.toString)).toSeq ++
+      (if (doc.size == 1) doc.keys.headOption else None)
+    val profName = wanted.find(doc.contains).getOrElse(return None)
+    doc(profName) match {
+      case m: java.util.Map[_, _] =>
+        val pm = m.asScala.map { case (k, v) => k.toString -> (v: Any) }.toMap
+        val outputs = pm.get("outputs") match {
+          case Some(os: java.util.Map[_, _]) =>
+            os.asScala.map { case (tn, tv) =>
+              val fields = tv match {
+                case fm: java.util.Map[_, _] =>
+                  fm.asScala.map { case (k, v) => k.toString -> (v: Any) }.toMap
+                case _ => Map.empty[String, Any]
+              }
+              tn.toString -> TargetDef(profName, tn.toString,
+                schema = fields.get("schema").map(_.toString),
+                threads = fields.get("threads").map(_.toString.toInt),
+                warehouse = fields.get("path").map(_.toString))
+            }.toMap
+          case _ => Map.empty[String, TargetDef]
+        }
+        Some(ProfileDef(profName,
+          pm.get("target").map(_.toString)
+            .getOrElse(outputs.keys.toSeq.sorted.headOption.getOrElse("default")),
+          outputs))
+      case _ => None
+    }
+  }
+
+  /** `--target` resolution: the named output of the project's profile,
+    * or the profile's default target when unnamed. Naming a target
+    * that does not exist is a hard error (reference behavior); naming
+    * one with no profiles.yml at all is too.
+    */
+  def resolveTarget(projectDir: String, target: Option[String]): Option[TargetDef] =
+    loadProfile(projectDir) match {
+      case Some(p) =>
+        val tn = target.getOrElse(p.defaultTarget)
+        val td = p.outputs.get(tn)
+        require(td.isDefined || target.isEmpty,
+          s"target '$tn' not defined in profile '${p.name}' " +
+            s"(has: ${p.outputs.keys.toSeq.sorted.mkString(", ")})")
+        td
+      case None =>
+        require(target.isEmpty,
+          s"--target ${target.get} given but no profiles.yml found")
+        None
+    }
+
   /** Re-tag a parsed node with its owning package. */
   private def withPackage(n: Node, pkg: String): Node = n match {
     case m: ModelNode => m.copy(packageName = pkg)
@@ -220,7 +309,7 @@ object ProjectLoader {
         // (each loads as its own RawProject) or pick up config files
         !p.startsWith(root.resolve("dbt_packages")) &&
           !Set("dbt_project.yml", "packages.yml", "package-lock.yml",
-            "dependencies.yml", "selectors.yml")(p.getFileName.toString)
+            "dependencies.yml", "selectors.yml", "profiles.yml")(p.getFileName.toString)
       }
     var modelPatches = Map.empty[String, (Seq[ColumnInfo], Seq[GenericTestRef], Map[String, String])]
     for (f <- schemaDocs.distinct) {

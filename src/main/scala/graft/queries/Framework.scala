@@ -1088,6 +1088,69 @@ object Framework {
       res.map(r => (r.uniqueId.split('.').last, r.status,
           math.max(r.rowsAffected, 0L)))
         .toDF("test", "status", "failing_rows").orderBy("test")
+    },
+
+    // profiles.yml / --target under the oracle (reference
+    // `core/dbt/config/profile.py`): one project, two profile outputs.
+    // The model's body reads `{{ target.name/schema/threads }}`, so a
+    // target context that fails to bind — or a namespace that doesn't
+    // isolate the two runs' relations — breaks the hash. Both engines
+    // share one warehouse root: only the schema-derived namespace
+    // keeps dev/prod apart, exactly like dbt's per-target schemas.
+    QueryDef(
+      "m25_profile_targets",
+      """SELECT * FROM (
+        |  SELECT 'dev' AS target_name, 'dev_wh' AS target_schema,
+        |         2 AS threads,
+        |         (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_orders
+        |  UNION ALL
+        |  SELECT 'prod', 'prod_wh', 8,
+        |         (SELECT CAST(COUNT(*) AS BIGINT) FROM orders)
+        |) t ORDER BY target_name""".stripMargin) { (s, dir) =>
+      val projDir = java.nio.file.Files.createTempDirectory("m25_proj")
+      scratchDirs.add(projDir.toFile)
+      def write(rel: String, content: String): Unit = {
+        val p = projDir.resolve(rel)
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.writeString(p, content)
+      }
+      write("dbt_project.yml", "name: m25\nprofile: m25_profile\n")
+      write("profiles.yml",
+        """m25_profile:
+          |  target: dev
+          |  outputs:
+          |    dev:
+          |      type: spark
+          |      schema: dev_wh
+          |      threads: 2
+          |    prod:
+          |      type: spark
+          |      schema: prod_wh
+          |      threads: 8
+          |""".stripMargin)
+      write("models/sources.yml",
+        s"""sources:
+           |  - name: main
+           |    tables:
+           |      - name: orders
+           |        path: $dir/orders.parquet
+           |""".stripMargin)
+      write("models/m25_env.sql",
+        """{{ config(materialized='table') }}
+          |SELECT '{{ target.name }}' AS target_name,
+          |       '{{ target.schema }}' AS target_schema,
+          |       CAST({{ target.threads }} AS INT) AS threads,
+          |       CAST(COUNT(*) AS BIGINT) AS n_orders
+          |FROM {{ source('main', 'orders') }}""".stripMargin)
+      val wh = scratch()
+      val dev = Engine.fromProject(s, projDir.toString, wh)
+      require(dev.run().forall(_.status == "success"), "m25: dev run failed")
+      val prod = Engine.fromProject(s, projDir.toString, wh,
+        target = Some("prod"))
+      require(prod.run().forall(_.status == "success"), "m25: prod run failed")
+      dev.wh.read("dev_wh__m25_env")
+        .unionAll(prod.wh.read("prod_wh__m25_env"))
+        .orderBy("target_name")
     }
   )
 }

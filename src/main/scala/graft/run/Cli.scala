@@ -9,7 +9,8 @@ import org.apache.spark.sql.SparkSession
   * {{{
   *   graft.run.Cli <command> --project <dir> --warehouse <dir>
   *       [--select a b] [--exclude c] [--threads N] [--vars k=v,...]
-  *       [--full-refresh] [--target <dir>] [--inline "<sql>"] [--limit N] [--empty]
+  *       [--full-refresh] [--target <profile-target>] [--target-path <dir>]
+  *       [--inline "<sql>"] [--limit N] [--empty]
   * }}}
   * Commands: run, test, build, seed, snapshot, ls, compile, show,
   * freshness, retry, docs.
@@ -22,9 +23,9 @@ object Cli {
     val opts = parseOpts(args.tail.toList)
     val projectDir = opts.getOrElse("project",
       sys.error("--project <dir> is required"))
-    val warehouseDir = opts.getOrElse("warehouse",
-      java.nio.file.Files.createTempDirectory("graft_wh").toString)
-    val targetDir = opts.getOrElse("target", s"$projectDir/target")
+    // --target names a profiles.yml output (reference -t/--target);
+    // --target-path moves the artifacts dir (reference --target-path)
+    val targetDir = opts.getOrElse("target-path", s"$projectDir/target")
 
     // Spark-free commands handled before a session exists, so they are
     // cheap and safe to call from anywhere (reference `init`/`clean`).
@@ -75,7 +76,15 @@ object Cli {
       case _ => ()
     }
 
-    val threads = opts.getOrElse("threads", "4").toInt
+    // profiles.yml: the selected output supplies warehouse path and
+    // thread default when flags don't (flag > profile > fallback)
+    val targetName = opts.get("target")
+    val targetDef = graft.parse.ProjectLoader.resolveTarget(projectDir, targetName)
+    val warehouseDir = opts.get("warehouse")
+      .orElse(targetDef.flatMap(_.warehouse))
+      .getOrElse(java.nio.file.Files.createTempDirectory("graft_wh").toString)
+    val threads = opts.get("threads").map(_.toInt)
+      .orElse(targetDef.flatMap(_.threads)).getOrElse(4)
     val rawSelect = opts.get("select").map(_.split("\\s+").toSeq).getOrElse(Nil)
     val rawExclude = opts.get("exclude").map(_.split("\\s+").toSeq).getOrElse(Nil)
     val vars = opts.get("vars").map(_.split(",").map { kv =>
@@ -99,7 +108,7 @@ object Cli {
     spark.sparkContext.setLogLevel("WARN")
 
     val engine = Engine.fromProject(spark, projectDir, warehouseDir, vars,
-      emptyMode = opts.contains("empty"))
+      emptyMode = opts.contains("empty"), target = targetName)
     // --selector resolves a selectors.yml name; with no selection flags
     // at all, the default: true selector (if any) applies — reference
     // behavior for named selectors.
@@ -228,7 +237,8 @@ object Cli {
 
   private val usage: String =
     """usage: graft.run.Cli <run|test|build|seed|snapshot|ls|compile|show|freshness|retry|docs|deps|run-operation|parse|debug|clone|init|clean>
-      |  --project <dir> [--warehouse <dir>] [--target <dir>] [--threads N]
+      |  --project <dir> [--warehouse <dir>] [--target <profile-target>]
+      |  [--target-path <dir>] [--threads N]
       |  [--select a b] [--exclude c] [--selector <name>] [--vars k=v,...] [--full-refresh]
       |  [--inline "<sql>"] [--limit N] [--empty] [--log-format text|json]
       |  run-operation <macro> [--args k=v,...]

@@ -33,7 +33,11 @@ final class Engine(
     /** per-package macro maps (A32 deps) — calling-package precedence:
       * the caller's own package resolves first, then the flat map
       * (root shadows packages; reference `manifest.py:660-730`). */
-    val macrosByPackage: Map[String, Map[String, Template.MacroDef]] = Map.empty) {
+    val macrosByPackage: Map[String, Map[String, Template.MacroDef]] = Map.empty,
+    /** resolved profiles.yml output (`--target`): drives the
+      * `target.*` context dict and, via fromProject, the relation
+      * namespace (reference target schema). */
+    val target: Option[graft.parse.ProjectLoader.TargetDef] = None) {
 
   val wh = new Warehouse(spark, warehouseRoot)
 
@@ -52,11 +56,19 @@ final class Engine(
   private val runStartedAt = clock()
   val invocationId: String = java.util.UUID.randomUUID().toString
 
-  /** A26 context builtins available as `{{ name }}` in model SQL. */
+  /** A26 context builtins available as `{{ name }}` in model SQL.
+    * `target.*` mirrors the reference's target context dict
+    * (`core/dbt/context/base.py` target property): name/schema/threads
+    * from the resolved profiles.yml output, adapter-type constant.
+    */
   def contextBuiltins: Map[String, String] = Map(
     "run_started_at" -> runStartedAt.toInstant.toString,
     "invocation_id" -> invocationId,
-    "target.name" -> "default",
+    "target.name" -> target.map(_.name).getOrElse("default"),
+    "target.schema" -> target.flatMap(_.schema).getOrElse("default"),
+    "target.threads" -> target.flatMap(_.threads).getOrElse(4).toString,
+    "target.type" -> "spark",
+    "target.profile_name" -> target.map(_.profileName).getOrElse("graft"),
     "thread_id" -> Thread.currentThread().getName,
     "dbt_version" -> "1.9.0-graft")
 
@@ -779,17 +791,28 @@ final class Engine(
 }
 
 object Engine {
-  /** Load a project directory and build an engine over it. */
+  /** Load a project directory and build an engine over it. `target`
+    * picks a profiles.yml output (default: the profile's own default);
+    * its `schema` becomes the relation namespace unless the caller set
+    * one explicitly — the Spark-warehouse analog of dbt's per-target
+    * database schema.
+    */
   def fromProject(spark: SparkSession, projectDir: String, warehouseRoot: String,
       vars: Map[String, String] = Map.empty,
       clock: Materializer.Clock = Materializer.systemClock,
       namespace: String = "",
-      emptyMode: Boolean = false): Engine = {
+      emptyMode: Boolean = false,
+      target: Option[String] = None): Engine = {
     val proj = ProjectLoader.load(projectDir)
+    val targetDef = ProjectLoader.resolveTarget(projectDir, target)
+    val ns =
+      if (namespace.nonEmpty) namespace
+      else targetDef.flatMap(_.schema).getOrElse("")
     new Engine(spark, proj.manifest, warehouseRoot, proj.vars ++ vars, clock,
       emptyMode = emptyMode,
       runStartHooks = proj.onRunStart, runEndHooks = proj.onRunEnd,
-      namespace = namespace, macros = proj.macros,
-      macrosByPackage = proj.macrosByPackage)
+      namespace = ns, macros = proj.macros,
+      macrosByPackage = proj.macrosByPackage,
+      target = targetDef)
   }
 }

@@ -113,6 +113,45 @@ class EngineSpec extends SparkSpec {
     assert(res2.size == 1 && res2.head.status == "fail", res2.mkString("\n"))
   }
 
+  test("profiles.yml: target context binds, schema namespaces, bad target errors") {
+    val proj = baseProject +
+      ("dbt_project.yml" -> "name: demo\nprofile: demo_profile\n") +
+      ("profiles.yml" ->
+        """demo_profile:
+          |  target: dev
+          |  outputs:
+          |    dev:
+          |      schema: dev_s
+          |      threads: 3
+          |    prod:
+          |      schema: prod_s
+          |""".stripMargin) +
+      ("models/tgt_probe.sql" ->
+        """{{ config(materialized='table') }}
+          |SELECT '{{ target.name }}' AS t_name,
+          |       '{{ target.schema }}' AS t_schema,
+          |       {{ target.threads }} AS t_threads""".stripMargin)
+    val dir = writeProject(proj)
+
+    val dev = Engine.fromProject(spark, dir, tmpDir("wh"))
+    assert(dev.contextBuiltins("target.name") === "dev")
+    assert(dev.namespace === "dev_s")
+    dev.run(select = Seq("tgt_probe"))
+    val row = dev.wh.read("dev_s__tgt_probe").collect().head
+    assert((row.getString(0), row.getString(1), row.getInt(2)) === (("dev", "dev_s", 3)))
+
+    val prod = Engine.fromProject(spark, dir, tmpDir("wh"), target = Some("prod"))
+    assert(prod.contextBuiltins("target.name") === "prod")
+    assert(prod.contextBuiltins("target.threads") === "4",
+      "threads unset in prod output falls back to the default")
+    assert(prod.namespace === "prod_s")
+
+    val err = intercept[IllegalArgumentException] {
+      Engine.fromProject(spark, dir, tmpDir("wh"), target = Some("staging"))
+    }
+    assert(err.getMessage.contains("staging"))
+  }
+
   test("failing test reports fail and failing-rows sql works") {
     val proj = baseProject + ("models/schema.yml" ->
       """models:
