@@ -108,7 +108,8 @@ object Cli {
     spark.sparkContext.setLogLevel("WARN")
 
     val engine = Engine.fromProject(spark, projectDir, warehouseDir, vars,
-      emptyMode = opts.contains("empty"), target = targetName)
+      emptyMode = opts.contains("empty"), target = targetName,
+      warnError = opts.contains("warn-error"))
     // --selector resolves a selectors.yml name; with no selection flags
     // at all, the default: true selector (if any) applies — reference
     // behavior for named selectors.
@@ -241,6 +242,7 @@ object Cli {
       |  [--target-path <dir>] [--threads N]
       |  [--select a b] [--exclude c] [--selector <name>] [--vars k=v,...] [--full-refresh]
       |  [--inline "<sql>"] [--limit N] [--empty] [--log-format text|json]
+      |  [--warn-error]
       |  run-operation <macro> [--args k=v,...]
       |  clone --state-warehouse <dir> [--deep]""".stripMargin
 }

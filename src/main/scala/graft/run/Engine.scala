@@ -37,7 +37,11 @@ final class Engine(
     /** resolved profiles.yml output (`--target`): drives the
       * `target.*` context dict and, via fromProject, the relation
       * namespace (reference target schema). */
-    val target: Option[graft.parse.ProjectLoader.TargetDef] = None) {
+    val target: Option[graft.parse.ProjectLoader.TargetDef] = None,
+    /** `--warn-error` (reference flag): promote every warn-status
+      * result — warn-severity tests, freshness warn thresholds — to
+      * error, so CI treats them as failures. */
+    val warnError: Boolean = false) {
 
   val wh = new Warehouse(spark, warehouseRoot)
 
@@ -200,6 +204,15 @@ final class Engine(
     * session-global — two engines sharing one SparkSession would
     * otherwise collide on same-named models (the reference gets this
     * isolation for free from per-target database schemas).
+    *
+    * Projects may override the naming the way dbt does, by defining
+    * `generate_schema_name(custom_schema_name, node)` /
+    * `generate_alias_name(custom_alias_name, node)` macros (the
+    * reference treats these as known override points,
+    * `core/dbt/parser/partial.py:55`). An override REPLACES the
+    * built-in schema/alias computation: the rendered schema becomes
+    * the full namespace segment, so `{{ target.schema }}_{{
+    * custom_schema_name }}`-style bodies compose with profiles.
     */
   def relationName(n: Node): String = {
     val ns = if (namespace.isEmpty) "" else s"${namespace}__"
@@ -212,8 +225,21 @@ final class Engine(
           case m: ModelNode => m.version.map(v => s"_v$v").getOrElse("")
           case _ => ""
         }
-        val base = other.config.alias.getOrElse(other.name + vSuffix)
-        ns + other.config.schema.map(s => s"${s}_$base").getOrElse(base)
+        def overridden(macroName: String, custom: Option[String]): Option[String] =
+          macros.get(macroName).map { _ =>
+            val arg = custom.map(c => s"'$c'").getOrElse("none")
+            Template.render(s"{{ $macroName($arg, '${other.name}') }}",
+              renderContext()).trim
+          }
+        val base = overridden("generate_alias_name", other.config.alias)
+          .filter(_.nonEmpty)
+          .getOrElse(other.config.alias.getOrElse(other.name + vSuffix))
+        overridden("generate_schema_name", other.config.schema) match {
+          case Some(schema) =>
+            if (schema.isEmpty) base else s"${schema}__$base"
+          case None =>
+            ns + other.config.schema.map(s => s"${s}_$base").getOrElse(base)
+        }
     }
   }
 
@@ -571,7 +597,8 @@ final class Engine(
       manifest.nodes(id) match {
         case t: TestNode =>
           try {
-            val (status, failures) = Materializer.runTest(wh, t.copy(rawSql = compile(t)))
+            val (raw, failures) = Materializer.runTest(wh, t.copy(rawSql = compile(t)))
+            val status = if (warnError && raw == "warn") "error" else raw
             Materializer.Result(id, status, s"$failures failures",
               rowsAffected = failures, elapsedSec = (System.nanoTime() - t0) / 1e9)
           } catch {
@@ -723,9 +750,10 @@ final class Engine(
       else Selector.select(manifest, dag, select)
     manifest.sources.values.filter(s => scope.contains(s.uniqueId)).flatMap { s =>
       s.loadedAtField.map { f =>
-        s.uniqueId -> Materializer.freshness(wh, relationName(s), f,
+        val (raw, age) = Materializer.freshness(wh, relationName(s), f,
           s.freshnessWarnAfterSec, s.freshnessErrorAfterSec, clock,
           s.freshnessFilter)
+        s.uniqueId -> ((if (warnError && raw == "warn") "error" else raw, age))
       }
     }.toMap
   }
@@ -802,7 +830,8 @@ object Engine {
       clock: Materializer.Clock = Materializer.systemClock,
       namespace: String = "",
       emptyMode: Boolean = false,
-      target: Option[String] = None): Engine = {
+      target: Option[String] = None,
+      warnError: Boolean = false): Engine = {
     val proj = ProjectLoader.load(projectDir)
     val targetDef = ProjectLoader.resolveTarget(projectDir, target)
     val ns =
@@ -813,6 +842,6 @@ object Engine {
       runStartHooks = proj.onRunStart, runEndHooks = proj.onRunEnd,
       namespace = ns, macros = proj.macros,
       macrosByPackage = proj.macrosByPackage,
-      target = targetDef)
+      target = targetDef, warnError = warnError)
   }
 }

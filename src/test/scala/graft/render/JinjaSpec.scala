@@ -333,4 +333,22 @@ class JinjaSpec extends AnyFunSuite {
     assert(Template.render(
       "{% set xs = [1] %}{% do xs.extend([2, 3]) %}{{ xs | sum }}", ctx) === "6")
   }
+
+  test("target dict drives conditionals — the dev-limit community idiom") {
+    val c = ctx.copy(builtins = Map(
+      "target.name" -> "dev", "target.schema" -> "dev_s",
+      "target.threads" -> "3"))
+    // {% if target.name == 'dev' %} LIMIT ... — the single most common
+    // target use in real projects (docs "limit data in development")
+    assert(Template.render(
+      "SELECT * FROM t {% if target.name == 'dev' %}LIMIT 100{% endif %}", c)
+      === "SELECT * FROM t LIMIT 100")
+    assert(Template.render(
+      "SELECT * FROM t {% if target.name == 'prod' %}LIMIT 100{% endif %}", c)
+      .trim === "SELECT * FROM t")
+    // members read as values and compare as numbers
+    assert(Template.render(
+      "{{ target.schema }}:{% if target.threads | int > 2 %}par{% else %}seq{% endif %}",
+      c) === "dev_s:par")
+  }
 }

@@ -152,6 +152,65 @@ class EngineSpec extends SparkSpec {
     assert(err.getMessage.contains("staging"))
   }
 
+  test("generate_schema_name/alias_name overrides replace built-in naming") {
+    val proj = baseProject +
+      ("dbt_project.yml" ->
+        "name: demo\nprofile: demo_profile\nvars:\n  cutoff: '1996-01-01'\n") +
+      ("profiles.yml" ->
+        """demo_profile:
+          |  outputs:
+          |    dev:
+          |      schema: dev_s
+          |""".stripMargin) +
+      ("macros/naming.sql" ->
+        // the canonical community override bodies (dbt docs): custom
+        // wins bare, else target.schema — and a prefixed alias
+        """{% macro generate_schema_name(custom_schema_name, node) %}
+          |{% if custom_schema_name is none %}{{ target.schema }}{% else %}{{ custom_schema_name | trim }}{% endif %}
+          |{% endmacro %}
+          |{% macro generate_alias_name(custom_alias_name, node) %}
+          |{% if custom_alias_name is none %}stg_{{ node }}{% else %}{{ custom_alias_name }}{% endif %}
+          |{% endmacro %}""".stripMargin) +
+      ("models/plain.sql" ->
+        "{{ config(materialized='table') }}\nSELECT 1 AS x") +
+      ("models/scoped.sql" ->
+        "{{ config(materialized='table', schema='mart', alias='fct') }}\nSELECT 2 AS x")
+    val eng = Engine.fromProject(spark, writeProject(proj), tmpDir("wh"))
+    val byName = eng.manifest.nodes.values.map(n => n.name -> n).toMap
+    // no custom schema → target.schema; no alias → stg_<node>
+    assert(eng.relationName(byName("plain")) === "dev_s__stg_plain")
+    // custom schema replaces (NOT target_schema_custom); alias wins bare
+    assert(eng.relationName(byName("scoped")) === "mart__fct")
+    eng.run()
+    assert(eng.wh.read("dev_s__stg_plain").count() === 1)
+    assert(eng.wh.read("mart__fct").count() === 1)
+  }
+
+  test("--warn-error promotes warn-severity test results to error") {
+    val proj = baseProject +
+      ("models/ord_status.sql" ->
+        "SELECT o_orderkey, o_orderstatus FROM {{ source('main', 'orders') }}") +
+      ("models/schema.yml" ->
+        """models:
+          |  - name: ord_status
+          |    columns:
+          |      - name: o_orderstatus
+          |        tests:
+          |          - accepted_values:
+          |              values: ['O', 'F']
+          |              severity: warn
+          |""".stripMargin)
+    val dir = writeProject(proj)
+    val normal = Engine.fromProject(spark, dir, tmpDir("wh"))
+    normal.run()
+    val res = normal.test()
+    assert(res.map(_.status) === Seq("warn"),
+      s"'P' rows exist, severity warn → warn without the flag: ${res.mkString("; ")}")
+    val strict = Engine.fromProject(spark, dir, tmpDir("wh"), warnError = true)
+    strict.run()
+    assert(strict.test().map(_.status) === Seq("error"))
+  }
+
   test("failing test reports fail and failing-rows sql works") {
     val proj = baseProject + ("models/schema.yml" ->
       """models:
