@@ -29,12 +29,16 @@ object Relational3 {
   val queries: Seq[QueryDef] = Seq(
 
     // TPC-H Q2 shape: for each small part, the supplier(s) with the
-    // minimum average sale price — the groupwise-min (argmin) join.
-    // Per-(part, supplier) aggregate and the per-part min both shuffle
-    // on l_partkey (co-located); part/supplier/nation dims broadcast.
-    // Cost = exactly-summed decimal cast to double, divided by the
-    // count: one IEEE division, identical in both engines, so the
-    // min-equality join keys match exactly.
+    // minimum average sale price — the groupwise-min (argmin). The
+    // Spark plan does it as a min-window over the per-(part, supplier)
+    // aggregate rather than the oracle's agg-join-agg CTE: one pass
+    // over the already-aggregated (small) rows, no second full
+    // aggregate and no cost⋈best join — Spark computes an unreferenced
+    // CTE subtree twice, so the join form would scan lineitem twice.
+    // Part/supplier/nation dims broadcast. Cost = exactly-summed
+    // decimal cast to double, divided by the count: one IEEE division,
+    // identical in both engines, so the min-equality filter matches
+    // exactly.
     QueryDef(
       "q121_min_cost_supplier",
       """WITH cost AS (
@@ -54,15 +58,15 @@ object Relational3 {
         |JOIN nation n ON n.n_nationkey = s.s_nationkey
         |WHERE p.p_size <= 5
         |ORDER BY p.p_partkey, s.s_name""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
       val cost = Tables.load(s, dir, "lineitem")
         .groupBy("l_partkey", "l_suppkey")
         .agg((sum(dec(col("l_extendedprice"))).cast("double")
           / count(lit(1))).as("cost"))
-      val best = cost.groupBy(col("l_partkey").as("b_partkey"))
-        .agg(min(col("cost")).as("min_cost"))
       cost
-        .join(best, col("l_partkey") === col("b_partkey")
-          && col("cost") === col("min_cost"))
+        .withColumn("min_cost",
+          min(col("cost")).over(Window.partitionBy("l_partkey")))
+        .filter(col("cost") === col("min_cost"))
         .join(broadcast(Tables.load(s, dir, "part")
           .filter(col("p_size") <= 5)),
           col("p_partkey") === col("l_partkey"))

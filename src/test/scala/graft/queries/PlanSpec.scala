@@ -172,12 +172,14 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("q121: groupwise-min join is partkey-equi; dims broadcast") {
+  test("q121: argmin is a min-window over ONE lineitem scan; dims broadcast") {
     val p = plan("q121_min_cost_supplier")
     assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("Window"), "groupwise-min must be a window, not agg-join-agg")
+    assert(p.split("Scan parquet").count(_.contains("lineitem")) <= 1,
+      "the cost aggregate must not be computed twice")
     assert(!p.contains("CartesianProduct"), p)
-    assert(!p.contains("BroadcastNestedLoopJoin"),
-      "the min-equality condition must ride the partkey equi-join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
   test("q122/q123: global scalar is a 1-row broadcast, not a rescan") {
