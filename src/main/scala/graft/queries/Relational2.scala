@@ -340,12 +340,13 @@ object Relational2 {
     // date and NO other supplier on that order did. The reference
     // expresses this as double-correlated EXISTS / NOT EXISTS
     // (ref `tests` relational suite); here both correlations collapse
-    // into ONE aggregate per order — count of distinct suppliers and
-    // of distinct LATE suppliers — so lineitem is read twice (the agg
-    // and the blamed-line probe) instead of the three correlated
-    // scans of the textbook Q21 plan, with no per-row rescans. At
-    // 100 TB every shuffle is on l_orderkey (high cardinality, no
-    // skew) and supplier is broadcast-small.
+    // into ONE window over ONE lineitem scan — per-order distinct
+    // supplier counts (size(collect_set), the window-able form of
+    // COUNT(DISTINCT); orders have bounded line counts so the sets
+    // are tiny) annotate each line in place, so no second scan and no
+    // agg⋈probe join, vs the three correlated scans of the textbook
+    // Q21 plan. At 100 TB the single shuffle is on l_orderkey (high
+    // cardinality, no skew) and supplier is broadcast-small.
     QueryDef(
       "q117_sole_late_supplier",
       """WITH per_order AS (
@@ -372,6 +373,8 @@ object Relational2 {
         |GROUP BY s.s_name
         |ORDER BY numwait DESC, s_name
         |LIMIT 20""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("l_orderkey")
       val lo = Tables.load(s, dir, "lineitem")
         .join(Tables.load(s, dir, "orders")
           .filter(col("o_orderstatus") === "F")
@@ -379,13 +382,12 @@ object Relational2 {
           col("l_orderkey") === col("o_orderkey"))
         .select(col("l_orderkey"), col("l_suppkey"),
           (col("l_shipdate") > date_add(col("o_orderdate"), 90)).as("late"))
-      val perOrder = lo.groupBy("l_orderkey")
-        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-          countDistinct(when(col("late"), col("l_suppkey"))).as("n_late"))
-        .filter(col("n_supp") > 1 && col("n_late") === 1)
-        .select(col("l_orderkey").as("po_orderkey"))
-      val blamed = lo.filter(col("late"))
-        .join(perOrder, col("l_orderkey") === col("po_orderkey"))
+      val blamed = lo
+        .withColumn("n_supp",
+          size(collect_set(col("l_suppkey")).over(w)))
+        .withColumn("n_late",
+          size(collect_set(when(col("late"), col("l_suppkey"))).over(w)))
+        .filter(col("late") && col("n_supp") > 1 && col("n_late") === 1)
         .select("l_orderkey", "l_suppkey").distinct()
       blamed
         .join(broadcast(Tables.load(s, dir, "supplier")
@@ -397,12 +399,16 @@ object Relational2 {
     },
 
     // TPC-H Q17 shape (small-order revenue): lines whose quantity is
-    // under half their part's average — the correlated-aggregate-join
-    // pattern (per-group aggregate joined back onto the detail rows).
-    // One partkey-keyed aggregate + one partkey join; the comparison
-    // is engine-exact because quantities are integer-valued, so the
-    // per-part average is an exactly-summed integer over a count.
-    // Revenue sums go through decimals (the determinism rule).
+    // under half their part's average — the correlated-aggregate
+    // pattern, computed as an avg-window over ONE lineitem scan
+    // rather than the oracle's per-group aggregate joined back onto
+    // the detail rows (which scans lineitem twice and re-shuffles the
+    // full table into the join). The window shuffles once on
+    // l_partkey and annotates each line in place. The comparison is
+    // engine-exact because quantities are integer-valued, so the
+    // per-part average is an exactly-summed integer over a count
+    // regardless of accumulation order. Revenue sums go through
+    // decimals (the determinism rule).
     QueryDef(
       "q119_small_order_revenue",
       """WITH pavg AS (
@@ -415,10 +421,10 @@ object Relational2 {
         |FROM lineitem l
         |JOIN pavg p ON p.l_partkey = l.l_partkey
         |WHERE l.l_quantity < 0.5 * p.avg_qty""".stripMargin) { (s, dir) =>
-      val li = Tables.load(s, dir, "lineitem")
-      val pavg = li.groupBy(col("l_partkey").as("p_key"))
-        .agg(avg(col("l_quantity")).as("avg_qty"))
-      li.join(pavg, col("l_partkey") === col("p_key"))
+      import org.apache.spark.sql.expressions.Window
+      Tables.load(s, dir, "lineitem")
+        .withColumn("avg_qty",
+          avg(col("l_quantity")).over(Window.partitionBy("l_partkey")))
         .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
         .agg(count(lit(1)).as("n_small_lines"),
           (sum(col("l_extendedprice")

@@ -187,10 +187,15 @@ object Relational3 {
     // TPC-H Q20 shape: suppliers that dominate the supply of some
     // focus part — a nested semi-join whose inner predicate compares a
     // per-(part, supplier) aggregate against a correlated share of the
-    // per-part total. Both aggregates shuffle on l_partkey
-    // (co-located); the qualifying (part, supplier) set collapses to
-    // distinct suppkeys and semi-joins the supplier dim. Quantities
-    // are integer-valued, so sums and the 0.2× threshold are exact.
+    // per-part total. ONE lineitem scan: the per-part total is a
+    // sum-window over the already-aggregated (part, supplier) rows,
+    // not the oracle's second full-table aggregate, and the window
+    // runs AFTER the broadcast widget-part filter — legal because the
+    // p_name predicate removes whole parts, never rows within a part,
+    // so only surviving parts pay the window shuffle. The qualifying
+    // set collapses to distinct suppkeys and semi-joins the supplier
+    // dim. Quantities are integer-valued, so sums and the 0.2×
+    // threshold are exact regardless of accumulation order.
     QueryDef(
       "q125_dominant_suppliers",
       """WITH ss AS (
@@ -210,16 +215,15 @@ object Relational3 {
         |  WHERE p.p_name LIKE '%widget' AND ss.qty > 0.2 * pt.part_qty
         |)
         |ORDER BY s.s_name""".stripMargin) { (s, dir) =>
-      val li = Tables.load(s, dir, "lineitem")
-      val ss = li.groupBy("l_partkey", "l_suppkey")
+      import org.apache.spark.sql.expressions.Window
+      val qualifying = Tables.load(s, dir, "lineitem")
+        .groupBy("l_partkey", "l_suppkey")
         .agg(sum(col("l_quantity")).as("qty"))
-      val pt = li.groupBy(col("l_partkey").as("p_key"))
-        .agg(sum(col("l_quantity")).as("part_qty"))
-      val qualifying = ss
-        .join(pt, col("l_partkey") === col("p_key"))
         .join(broadcast(Tables.load(s, dir, "part")
           .filter(col("p_name").like("%widget")).select("p_partkey")),
           col("p_partkey") === col("l_partkey"))
+        .withColumn("part_qty",
+          sum(col("qty")).over(Window.partitionBy("l_partkey")))
         .filter(col("qty") > lit(0.2) * col("part_qty"))
         .select("l_suppkey")
       Tables.load(s, dir, "supplier")

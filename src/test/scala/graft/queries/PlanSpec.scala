@@ -140,9 +140,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), p)
   }
 
-  test("q117: supplier broadcast, no cartesian, one lineitem-orders join shape") {
+  test("q117: both correlations ride one window over ONE lineitem scan") {
     val p = plan("q117_sole_late_supplier")
     assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("Window"), "distinct-supplier counts must be window'd")
+    assert(p.split("Scan parquet").count(_.contains("lineitem")) <= 1,
+      "the per-order aggregate must not re-scan lineitem")
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), "all q117 joins are equi")
   }
@@ -170,6 +173,10 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), s"$q: $p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: all joins are equi")
     }
+    val p119 = plan("q119_small_order_revenue")
+    assert(p119.contains("Window"), "per-part avg must be a window")
+    assert(p119.split("Scan parquet").count(_.contains("lineitem")) <= 1,
+      "the per-part average must not re-scan lineitem")
   }
 
   test("q121: argmin is a min-window over ONE lineitem scan; dims broadcast") {
@@ -202,9 +209,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Expand"), "pre-distinct avoids the Expand plan")
   }
 
-  test("q125: nested semi chain plans LeftSemi over co-located partkey aggs") {
+  test("q125: nested semi rides a window over ONE lineitem scan") {
     val p = plan("q125_dominant_suppliers")
     assert(p.contains("LeftSemi"), p)
+    assert(p.contains("Window"), "per-part total must be a window over ss")
+    assert(p.split("Scan parquet").count(_.contains("lineitem")) <= 1,
+      "the per-part total must not re-scan lineitem")
     assert(!p.contains("CartesianProduct"), p)
   }
 
