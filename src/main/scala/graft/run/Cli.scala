@@ -12,15 +12,15 @@ import org.apache.spark.sql.SparkSession
   *       [--full-refresh] [--target <profile-target>] [--target-path <dir>]
   *       [--inline "<sql>"] [--limit N] [--empty]
   * }}}
-  * Commands: run, test, build, seed, snapshot, ls, compile, show,
-  * freshness, retry, docs.
+  * Commands: run, test, build, seed, snapshot, list/ls, compile,
+  * show, source freshness, retry, docs.
   */
 object Cli {
 
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) { println(usage); sys.exit(2) }
-    val command = args.head
-    val opts = parseOpts(args.tail.toList)
+    val (command, rest) = normalizeCommand(args)
+    val opts = parseOpts(rest)
     val projectDir = opts.getOrElse("project",
       sys.error("--project <dir> is required"))
     // --target names a profiles.yml output (reference -t/--target);
@@ -136,6 +136,10 @@ object Cli {
       case "test" => report(engine.test(select, threads))
       case "build" => report(engine.build(select, threads))
       case "ls" => engine.ls(select, exclude).foreach(println)
+      case "compile" if opts.contains("inline") =>
+        // reference `dbt compile --inline '<sql>'`: print the rendered
+        // SQL without executing it
+        println(engine.compileInline(opts("inline")))
       case "compile" =>
         engine.ls(select, exclude)
           .flatMap(id => engine.manifest.nodes.get(id))
@@ -216,6 +220,18 @@ object Cli {
     }
     spark.stop()
   }
+
+  /** Reference spellings: `list` is the primary name (`ls` the
+    * alias), and freshness is the `source freshness` subcommand
+    * (ref `core/dbt/cli/main.py` command groups).
+    */
+  private[run] def normalizeCommand(args: Array[String]): (String, List[String]) =
+    args.head match {
+      case "list" => ("ls", args.tail.toList)
+      case "source" if args.length > 1 && args(1) == "freshness" =>
+        ("freshness", args.drop(2).toList)
+      case c => (c, args.tail.toList)
+    }
 
   private[run] def parseOpts(args: List[String]): Map[String, String] = {
     @annotation.tailrec

@@ -731,6 +731,13 @@ final class Engine(
     spark.sql(rendered).limit(limit)
   }
 
+  /** `dbt compile --inline`: render templated SQL to its compiled
+    * form without executing it (reference `core/dbt/task/compile.py`
+    * inline node path).
+    */
+  def compileInline(inlineSql: String): String =
+    Template.render(inlineSql, renderContext())
+
   /** `dbt show --select <model>`: preview a model's compiled SQL with
     * an injected limit — upstream relations must already exist, as in
     * the reference.

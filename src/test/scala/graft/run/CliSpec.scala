@@ -21,6 +21,19 @@ class CliSpec extends AnyFunSuite {
     assert(opts === Map("warehouse" -> "/w", "full-refresh" -> "true"))
   }
 
+  test("command normalization: list alias, source freshness subcommand") {
+    assert(Cli.normalizeCommand(Array("list", "--select", "a")) ===
+      ("ls", List("--select", "a")))
+    assert(Cli.normalizeCommand(Array("ls")) === ("ls", Nil))
+    assert(Cli.normalizeCommand(Array("source", "freshness", "--select", "s")) ===
+      ("freshness", List("--select", "s")))
+    // bare `source` is not a command; left untouched for the unknown-
+    // command error path
+    assert(Cli.normalizeCommand(Array("source")) === ("source", Nil))
+    assert(Cli.normalizeCommand(Array("run", "--threads", "2")) ===
+      ("run", List("--threads", "2")))
+  }
+
   test("docs server: serves generated files, 404s outside the root") {
     val dir = java.nio.file.Files.createTempDirectory("docs_srv")
     java.nio.file.Files.writeString(dir.resolve("index.html"), "<html>lineage</html>")

@@ -652,6 +652,10 @@ class EngineSpec extends SparkSpec {
     assert(df.count() === 3)
     assert(eng.showModel("fct_spend", limit = 4).count() === 4)
     assertThrows[IllegalArgumentException](eng.showModel("nope"))
+    // compile --inline: rendered, not executed
+    val sql = eng.compileInline("SELECT * FROM {{ ref('fct_spend') }}")
+    assert(sql.startsWith("SELECT * FROM ") && !sql.contains("{{"), sql)
+    assert(sql.toLowerCase.contains("fct_spend"), sql)
   }
 
   test("project-level snapshots and seeds load and run") {
