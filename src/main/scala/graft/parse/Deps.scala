@@ -1,35 +1,47 @@
 package graft.parse
 
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.collection.mutable
 import scala.jdk.CollectionConverters._
 
-/** `graft deps` — the package manager's local + tarball half (A32;
-  * reference `core/dbt/deps/local.py` + `core/dbt/deps/tarball.py`,
-  * task driver `core/dbt/task/deps.py:90-277`). Hub/git sources need
-  * network egress and stay out of scope (`core/dbt/deps/registry.py`);
-  * local and tarball are the two sources a hermetic build can use, and
-  * they exercise the same install/namespace/lockfile machinery.
+/** `graft deps` — the package manager (A32; reference `core/dbt/deps/`,
+  * task driver `core/dbt/task/deps.py:90-277`).
   *
-  * `packages.yml`:
-  * {{{
-  * packages:
-  *   - local: ../my_pkg
-  *   - tarball: /abs/or/relative/pkg.tar.gz
-  *     name: forced_name        # optional; default = the package's own
-  * }}}
+  * Three source kinds:
+  *   - `local:` — a directory, copied in place (`deps/local.py`).
+  *   - `tarball:` — a `.tar.gz`/`.tar` (minimal ustar reader below;
+  *     `deps/tarball.py`).
+  *   - `package:` + `version:` — hub-style registry packages
+  *     (`deps/registry.py` + `clients/registry.py`), resolved with real
+  *     semver ranges ([[SemVer]]; reference `core/dbt/semver.py`).
+  *     The hub is addressed through dbt's documented override,
+  *     `DBT_PACKAGE_HUB_URL`; in this zero-egress build it must point
+  *     at a LOCAL registry mirror — a directory laid out as
+  *     `<hub>/<org>/<name>/<version>.tar.gz` — and http(s) hubs are
+  *     refused with an egress explanation. `git:` likewise.
+  *
+  * Resolution is transitive with range merging (`deps/resolver.py`
+  * `resolve_packages`): each round incorporates newly-discovered
+  * `packages.yml` entries (a hub package's own dependencies come from
+  * its extracted tree), hub ranges for the same package intersect
+  * across dependents, and the final pass re-resolves every hub package
+  * against its fully-merged specifier set. Disjoint ranges and
+  * duplicate project names (including a dependency shadowing the root
+  * project) are hard errors.
   *
   * Install copies each package into `<project>/dbt_packages/<name>/`
   * (the reference's packages-install-path) and writes
-  * `package-lock.yml` with the resolved name/source per entry plus an
-  * md5 over the installed file tree, so a re-run can detect drift.
-  * ProjectLoader then loads each directory under `dbt_packages` as a
-  * sub-project whose nodes/macros carry that package's name.
+  * `package-lock.yml` with the resolved name/source/version per entry
+  * plus an md5 over the installed file tree, so a re-run can detect
+  * drift. ProjectLoader then loads each directory under `dbt_packages`
+  * as a sub-project whose nodes/macros carry that package's name.
   */
 object Deps {
 
-  final case class PackageSpec(kind: String, location: String, name: Option[String])
+  final case class PackageSpec(kind: String, location: String, name: Option[String],
+      versions: Seq[String] = Nil, installPrerelease: Boolean = false)
   final case class Installed(name: String, kind: String, location: String,
-      checksum: String)
+      checksum: String, version: Option[String] = None)
 
   def parsePackagesYml(projectDir: Path): Seq[PackageSpec] = {
     val f = Seq("packages.yml", "dependencies.yml").map(projectDir.resolve)
@@ -43,13 +55,25 @@ object Deps {
           .get("packages") match {
           case Some(l: java.util.List[_]) => l.asScala.toSeq.map {
             case m: java.util.Map[_, _] =>
-              val mm = m.asScala.map { case (k, v) => k.toString -> String.valueOf(v) }
+              val raw = m.asScala.map { case (k, v) => k.toString -> v }.toMap
+              val mm = raw.map { case (k, v) => k -> String.valueOf(v) }
               val name = mm.get("name")
               if (mm.contains("local")) PackageSpec("local", mm("local"), name)
               else if (mm.contains("tarball")) PackageSpec("tarball", mm("tarball"), name)
-              else if (mm.contains("package") || mm.contains("git"))
+              else if (mm.contains("package")) {
+                val versions = raw.get("version") match {
+                  case Some(l: java.util.List[_]) => l.asScala.toSeq.map(String.valueOf(_))
+                  case Some(v) => Seq(String.valueOf(v))
+                  case None => throw new IllegalArgumentException(
+                    s"graft deps: hub package ${mm("package")} needs a version")
+                }
+                val pre = raw.get("install-prerelease").orElse(raw.get("install_prerelease"))
+                  .exists(v => String.valueOf(v).toBoolean)
+                PackageSpec("hub", mm("package"), name, versions, pre)
+              }
+              else if (mm.contains("git"))
                 throw new IllegalArgumentException(
-                  s"graft deps: hub/git packages need network egress and are " +
+                  s"graft deps: git packages need network egress and are " +
                     s"not supported; vendor the package as local: or tarball: " +
                     s"(entry: $mm)")
               else throw new IllegalArgumentException(s"graft deps: bad entry $mm")
@@ -61,52 +85,162 @@ object Deps {
     }
   }
 
-  /** Resolve + install every packages.yml entry; returns the installed
-    * set and writes package-lock.yml.
+  /** Hub root: DBT_PACKAGE_HUB_URL pointing at a local mirror directory
+    * (`file://` or a plain path). Remote hubs are refused — no egress.
     */
-  def install(projectDir: String): Seq[Installed] = {
+  private def hubRoot(hubUrl: Option[String]): Path = hubUrl match {
+    case None => throw new IllegalArgumentException(
+      "graft deps: hub packages need network egress and are not " +
+        "supported against the public hub; point DBT_PACKAGE_HUB_URL at " +
+        "a local registry mirror (<hub>/<org>/<pkg>/<version>.tar.gz) " +
+        "or vendor the package as local: or tarball:")
+    case Some(u) if u.startsWith("http://") || u.startsWith("https://") =>
+      throw new IllegalArgumentException(
+        s"graft deps: remote hub '$u' needs network egress; use a local " +
+          s"registry mirror path in DBT_PACKAGE_HUB_URL")
+    case Some(u) =>
+      val p = Paths.get(u.stripPrefix("file://"))
+      require(Files.isDirectory(p), s"graft deps: hub registry not found: $p")
+      p
+  }
+
+  /** Versions present in the mirror for `org/name` = tarball filenames. */
+  private def hubVersions(hub: Path, pkg: String): Seq[SemVer.Version] = {
+    val dir = hub.resolve(pkg)
+    require(Files.isDirectory(dir), s"graft deps: package $pkg not in registry $hub")
+    Files.list(dir).iterator().asScala.toSeq
+      .map(_.getFileName.toString)
+      .filter(f => f.endsWith(".tar.gz") || f.endsWith(".tgz") || f.endsWith(".tar"))
+      .map(f => SemVer.parseVersion(stripTarExt(f)))
+  }
+
+  /** Resolve + install every packages.yml entry (transitively); returns
+    * the installed set and writes package-lock.yml.
+    */
+  def install(projectDir: String,
+      hubUrl: Option[String] = sys.env.get("DBT_PACKAGE_HUB_URL")): Seq[Installed] = {
     val root = Paths.get(projectDir)
-    val specs = parsePackagesYml(root)
-    if (specs.isEmpty) return Nil
-    val installRoot = root.resolve("dbt_packages")
-    Files.createDirectories(installRoot)
-    val installed = specs.map {
-      case PackageSpec("local", loc, nameOpt) =>
-        val src = root.resolve(loc).normalize()
-        require(Files.isDirectory(src), s"graft deps: local package not found: $src")
-        val name = nameOpt.getOrElse(projectName(src).getOrElse(
-          src.getFileName.toString))
-        val dest = installRoot.resolve(name)
-        rmTree(dest)
-        copyTree(src, dest)
-        Installed(name, "local", loc, treeChecksum(dest))
-      case PackageSpec("tarball", loc, nameOpt) =>
-        val tar = root.resolve(loc).normalize()
-        require(Files.isRegularFile(tar), s"graft deps: tarball not found: $tar")
-        val tmp = Files.createTempDirectory("graft_pkg")
-        try {
-          untarGz(tar, tmp)
-          // a tarball may wrap the project in one top-level directory
-          val inner = Files.list(tmp).iterator().asScala.toSeq match {
-            case Seq(only) if Files.isDirectory(only) &&
-              !Files.exists(tmp.resolve("dbt_project.yml")) => only
-            case _ => tmp
-          }
-          val name = nameOpt.getOrElse(projectName(inner).getOrElse(
-            stripTarExt(tar.getFileName.toString)))
-          val dest = installRoot.resolve(name)
-          rmTree(dest)
-          copyTree(inner, dest)
-          Installed(name, "tarball", loc, treeChecksum(dest))
-        } finally rmTree(tmp)
-      case PackageSpec(other, _, _) =>
-        throw new IllegalArgumentException(s"graft deps: unknown source kind $other")
+    val rootSpecs = parsePackagesYml(root)
+    if (rootSpecs.isEmpty) return Nil
+    val rootName = projectName(root).getOrElse(root.getFileName.toString)
+
+    // staged source trees awaiting install: insertion-ordered, deduped
+    final case class Staged(kind: String, location: String, srcDir: Path,
+        name: String, version: Option[String])
+    val fixed = mutable.LinkedHashMap[String, Staged]() // local+tarball by canonical path
+    val hubSpecs = mutable.LinkedHashMap[String, (Vector[SemVer.Specifier], Boolean)]()
+    val hubStage = mutable.HashMap[String, (SemVer.Version, Path)]() // pkg -> fetched
+    val tmpDirs = mutable.Buffer[Path]()
+
+    def stageTarball(tar: Path): Path = {
+      val tmp = Files.createTempDirectory("graft_pkg")
+      tmpDirs += tmp
+      untarGz(tar, tmp)
+      // a tarball may wrap the project in one top-level directory
+      Files.list(tmp).iterator().asScala.toSeq match {
+        case Seq(only) if Files.isDirectory(only) &&
+          !Files.exists(tmp.resolve("dbt_project.yml")) => only
+        case _ => tmp
+      }
     }
-    // duplicate install names would silently shadow each other
-    val dup = installed.groupBy(_.name).filter(_._2.size > 1).keys
-    require(dup.isEmpty, s"graft deps: duplicate package name(s): ${dup.mkString(", ")}")
-    writeLockfile(root, installed)
-    installed
+
+    def resolveHub(pkg: String): SemVer.Version = {
+      val (specs, pre) = hubSpecs(pkg)
+      val hub = hubRoot(hubUrl)
+      SemVer.resolve(specs, hubVersions(hub, pkg), pre) match {
+        case Right(v) => v
+        case Left(err) => throw new IllegalArgumentException(
+          s"graft deps: package $pkg: $err")
+      }
+    }
+
+    def fetchHub(pkg: String, v: SemVer.Version): Path = {
+      val hub = hubRoot(hubUrl)
+      val tar = Seq(s"$v.tar.gz", s"$v.tgz", s"$v.tar").map(hub.resolve(pkg).resolve(_))
+        .find(Files.isRegularFile(_))
+        .getOrElse(throw new IllegalArgumentException(
+          s"graft deps: registry lists no tarball for $pkg@$v"))
+      stageTarball(tar)
+    }
+
+    try {
+      // ---- resolution rounds (reference resolver.py resolve_packages)
+      var pending: Seq[(Path, PackageSpec)] = rootSpecs.map(root -> _)
+      while (pending.nonEmpty) {
+        val next = mutable.Buffer[(Path, PackageSpec)]()
+        pending.foreach { case (base, spec) =>
+          spec.kind match {
+            case "local" =>
+              val src = base.resolve(spec.location).normalize()
+              val key = s"local:$src"
+              if (!fixed.contains(key)) {
+                require(Files.isDirectory(src),
+                  s"graft deps: local package not found: $src")
+                val name = spec.name.getOrElse(projectName(src).getOrElse(
+                  src.getFileName.toString))
+                fixed(key) = Staged("local", spec.location, src, name, None)
+                next ++= parsePackagesYml(src).map(src -> _)
+              }
+            case "tarball" =>
+              val tar = base.resolve(spec.location).normalize()
+              val key = s"tarball:$tar"
+              if (!fixed.contains(key)) {
+                require(Files.isRegularFile(tar),
+                  s"graft deps: tarball not found: $tar")
+                val inner = stageTarball(tar)
+                val name = spec.name.getOrElse(projectName(inner).getOrElse(
+                  stripTarExt(tar.getFileName.toString)))
+                fixed(key) = Staged("tarball", spec.location, inner, name, None)
+                next ++= parsePackagesYml(inner).map(inner -> _)
+              }
+            case "hub" =>
+              val pkg = spec.location
+              val specifiers = spec.versions.map(SemVer.parseSpecifier)
+              val (prev, prevPre) = hubSpecs.getOrElse(pkg, (Vector.empty, false))
+              hubSpecs(pkg) = (prev ++ specifiers, prevPre || spec.installPrerelease)
+              val v = resolveHub(pkg)
+              // fetch metadata for the currently-chosen version; if a
+              // later round narrows the range, the final pass re-fetches
+              if (!hubStage.get(pkg).exists(_._1 == v)) {
+                val dir = fetchHub(pkg, v)
+                hubStage(pkg) = (v, dir)
+                next ++= parsePackagesYml(dir).map(dir -> _)
+              }
+          }
+        }
+        pending = next.toSeq
+      }
+
+      // ---- final hub resolution against fully-merged ranges
+      val hubFinal = hubSpecs.keys.toSeq.map { pkg =>
+        val v = resolveHub(pkg)
+        val dir = hubStage.get(pkg) match {
+          case Some((sv, d)) if sv == v => d
+          case _ => fetchHub(pkg, v)
+        }
+        val name = projectName(dir).getOrElse(pkg.split('/').last)
+        Staged("hub", pkg, dir, name, Some(v.toString))
+      }
+
+      // ---- install phase
+      val staged = fixed.values.toSeq ++ hubFinal
+      val dup = staged.groupBy(_.name).filter(_._2.size > 1).keys
+      require(dup.isEmpty,
+        s"graft deps: duplicate package name(s): ${dup.mkString(", ")}")
+      require(!staged.exists(_.name == rootName),
+        s"graft deps: package name collides with the root project: $rootName")
+
+      val installRoot = root.resolve("dbt_packages")
+      Files.createDirectories(installRoot)
+      val installed = staged.map { s =>
+        val dest = installRoot.resolve(s.name)
+        rmTree(dest)
+        copyTree(s.srcDir, dest)
+        Installed(s.name, s.kind, s.location, treeChecksum(dest), s.version)
+      }
+      writeLockfile(root, installed)
+      installed
+    } finally tmpDirs.foreach(rmTree)
   }
 
   /** Installed package directories (deps must have run; empty if none). */
@@ -133,11 +267,13 @@ object Deps {
     fn.replaceAll("\\.(tar\\.gz|tgz|tar)$", "")
 
   private def writeLockfile(root: Path, installed: Seq[Installed]): Unit = {
-    val body = installed.map(p =>
+    val body = installed.map { p =>
+      val ver = p.version.map(v => s"\n    version: $v").getOrElse("")
       s"""  - name: ${p.name}
          |    source: ${p.kind}
-         |    location: ${p.location}
-         |    checksum: ${p.checksum}""".stripMargin).mkString("\n")
+         |    location: ${p.location}$ver
+         |    checksum: ${p.checksum}""".stripMargin
+    }.mkString("\n")
     Files.writeString(root.resolve("package-lock.yml"), s"packages:\n$body\n")
   }
 

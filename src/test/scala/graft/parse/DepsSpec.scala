@@ -179,14 +179,124 @@ class DepsSpec extends SparkSpec {
     assert(cfg("mart_a").tags === Set("everywhere", "mart"))
   }
 
-  test("deps without packages.yml is a no-op; hub entries refused") {
+  test("deps without packages.yml is a no-op; hub entries refused without a mirror") {
     val root = Files.createTempDirectory("dep_root_none")
     write(root, "dbt_project.yml", "name: lonely\n")
     assert(Deps.install(root.toString) === Nil)
     write(root, "packages.yml",
       "packages:\n  - package: dbt-labs/dbt_utils\n    version: 1.1.1\n")
-    val e = intercept[IllegalArgumentException](Deps.install(root.toString))
+    val e = intercept[IllegalArgumentException](Deps.install(root.toString, hubUrl = None))
     assert(e.getMessage.contains("egress"))
+    val e2 = intercept[IllegalArgumentException](
+      Deps.install(root.toString, hubUrl = Some("https://hub.getdbt.com")))
+    assert(e2.getMessage.contains("egress"))
+  }
+
+  /** Build a local registry mirror: <reg>/<org>/<name>/<version>.tar.gz.
+    * Each version's tree carries a VERSION marker macro so the installed
+    * tree proves which version won resolution.
+    */
+  private def mkRegistry(versions: Map[String, Seq[String]]): Path = {
+    val reg = Files.createTempDirectory("dep_registry")
+    versions.foreach { case (pkg, vs) =>
+      vs.foreach { v =>
+        val tree = Files.createTempDirectory("dep_reg_pkg")
+        writePackage(tree)
+        write(tree, "macros/version.sql",
+          s"{% macro pkg_version() %}$v{% endmacro %}")
+        val out = reg.resolve(pkg)
+        Files.createDirectories(out)
+        makeTarGz(tree, out.resolve(s"$v.tar.gz"))
+      }
+    }
+    reg
+  }
+
+  test("hub package from a local registry mirror: semver range picks highest in range") {
+    val reg = mkRegistry(Map("org/util_pkg" -> Seq("0.8.0", "0.8.5", "0.9.0")))
+    val root = Files.createTempDirectory("dep_root_hub")
+    writeRoot(root,
+      "package: org/util_pkg\n    version: [\">=0.8.0\", \"<0.9.0\"]")
+    val installed = Deps.install(root.toString, hubUrl = Some(reg.toString))
+    assert(installed.map(i => (i.name, i.kind, i.version)) ===
+      Seq(("util_pkg", "hub", Some("0.8.5"))))
+    val lock = Files.readString(root.resolve("package-lock.yml"))
+    assert(lock.contains("version: 0.8.5"))
+    assert(Files.readString(root.resolve("dbt_packages/util_pkg/macros/version.sql"))
+      .contains("0.8.5"))
+    // the installed hub package runs end-to-end like any other
+    val eng = Engine.fromProject(spark, root.toString, tmpDir("wh"))
+    assert(eng.run(threads = 2).forall(_.status == "success"))
+    assert(eng.wh.read("root_fct").count() > 0)
+  }
+
+  test("prereleases are excluded unless requested or explicitly pinned") {
+    val reg = mkRegistry(Map("org/util_pkg" -> Seq("0.9.0", "1.0.0-rc.1")))
+    def rootWith(entry: String): Path = {
+      val root = Files.createTempDirectory("dep_root_pre")
+      writeRoot(root, entry)
+      root
+    }
+    val r1 = rootWith("package: org/util_pkg\n    version: \">=0.9.0\"")
+    assert(Deps.install(r1.toString, hubUrl = Some(reg.toString))
+      .head.version === Some("0.9.0"))
+    val r2 = rootWith(
+      "package: org/util_pkg\n    version: \">=0.9.0\"\n    install-prerelease: true")
+    assert(Deps.install(r2.toString, hubUrl = Some(reg.toString))
+      .head.version === Some("1.0.0-rc.1"))
+    val r3 = rootWith("package: org/util_pkg\n    version: \"1.0.0-rc.1\"")
+    assert(Deps.install(r3.toString, hubUrl = Some(reg.toString))
+      .head.version === Some("1.0.0-rc.1"))
+  }
+
+  test("transitive hub deps install and ranges merge across dependents") {
+    val reg = mkRegistry(Map("org/util_pkg" -> Seq("0.8.0", "0.8.5", "0.9.0")))
+    // base_pkg depends on util_pkg with its own range
+    val baseTree = Files.createTempDirectory("dep_base_pkg")
+    write(baseTree, "dbt_project.yml", "name: base_pkg\n")
+    write(baseTree, "macros/base.sql", "{% macro base_m() %}1=1{% endmacro %}")
+    write(baseTree, "packages.yml",
+      "packages:\n  - package: org/util_pkg\n    version: \"<0.9.0\"\n")
+    val baseDir = reg.resolve("org/base_pkg")
+    Files.createDirectories(baseDir)
+    makeTarGz(baseTree, baseDir.resolve("1.0.0.tar.gz"))
+
+    val root = Files.createTempDirectory("dep_root_trans")
+    writeRoot(root, "package: org/base_pkg\n    version: \">=1.0.0\"")
+    // root ALSO constrains util_pkg from below; merged range -> 0.8.5
+    write(root, "packages.yml",
+      """packages:
+        |  - package: org/base_pkg
+        |    version: ">=1.0.0"
+        |  - package: org/util_pkg
+        |    version: ">=0.8.5"
+        |""".stripMargin)
+    val installed = Deps.install(root.toString, hubUrl = Some(reg.toString))
+    assert(installed.map(_.name).sorted === Seq("base_pkg", "util_pkg"))
+    assert(installed.find(_.name == "util_pkg").get.version === Some("0.8.5"))
+
+    // disjoint merged ranges are a hard error naming the package
+    write(root, "packages.yml",
+      """packages:
+        |  - package: org/base_pkg
+        |    version: ">=1.0.0"
+        |  - package: org/util_pkg
+        |    version: "0.9.0"
+        |""".stripMargin)
+    val e = intercept[IllegalArgumentException](
+      Deps.install(root.toString, hubUrl = Some(reg.toString)))
+    assert(e.getMessage.contains("util_pkg") &&
+      e.getMessage.contains("not compatible"))
+  }
+
+  test("a dependency shadowing the root project name is a hard error") {
+    val pkgDir = Files.createTempDirectory("dep_pkg_shadow")
+    writePackage(pkgDir)
+    write(pkgDir, "dbt_project.yml", "name: deps_root\n")
+    val root = Files.createTempDirectory("dep_root_shadow")
+    writeRoot(root, s"local: $pkgDir")
+    val e = intercept[IllegalArgumentException](Deps.install(root.toString))
+    assert(e.getMessage.contains("deps_root"))
   }
 
   /** Minimal ustar writer — enough structure for Deps.untarGz:
