@@ -138,6 +138,10 @@ final case class ModelNode(
     latestVersion: Option[Int] = None,
     /** project-relative source file, for path:/file: selectors. */
     originPath: String = "",
+    /** From schema YAML; `{{ doc('name') }}` references are resolved
+      * at load time (reference `process_docs`, parser/manifest.py).
+      */
+    description: String = "",
     override val packageName: String = "graft") extends Node {
   val resourceType = "model"
   override def uniqueId: String =

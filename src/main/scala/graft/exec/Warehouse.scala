@@ -148,6 +148,32 @@ final class Warehouse(val spark: SparkSession, val root: String,
 
   def list: Seq[String] = lock.synchronized(relations.keys.toSeq.sorted)
 
+  /** Execute one statement-block string — the small DDL dialect custom
+    * materializations emit through the global `create_table_as` /
+    * `create_view_as` macros (reference: the adapter executes the
+    * rendered statement; here CREATE/DROP/INSERT route onto warehouse
+    * relations, anything else runs as a plain Spark query). Returns
+    * rows affected where knowable, else -1.
+    */
+  def executeSql(sql: String): Long = {
+    val ctas = """(?is)^\s*create\s+(?:or\s+replace\s+)?(?:temp(?:orary)?\s+)?table\s+([\w.]+)\s+as\s+(.*)$""".r
+    val cvas = """(?is)^\s*create\s+(?:or\s+replace\s+)?(?:temp(?:orary)?\s+)?view\s+([\w.]+)\s+as\s+(.*)$""".r
+    val dropStmt = """(?is)^\s*drop\s+(?:table|view)\s+(?:if\s+exists\s+)?([\w.]+)\s*$""".r
+    val insert = """(?is)^\s*insert\s+into\s+([\w.]+)\s+(.*)$""".r
+    sql.trim match {
+      case ctas(name, select) =>
+        writeTable(name, spark.sql(select)); rowCount(name)
+      case cvas(name, select) =>
+        createView(name, spark.sql(select)); -1L
+      case dropStmt(name) => drop(name); -1L
+      case insert(name, select) =>
+        val df = spark.sql(select)
+        val n = df.count()
+        appendTable(name, df); n
+      case other => spark.sql(other).count()
+    }
+  }
+
   /** Compact a relation's commit log into one version dir (the
     * OPTIMIZE analog): repeated appends accumulate small files/dirs;
     * compaction rewrites once and resets the log. Readers registered

@@ -33,7 +33,10 @@ object ProjectLoader {
       /** Per-package macro maps, for calling-package precedence
         * (reference `manifest.py:660-730`: local package → root →
         * global). */
-      macrosByPackage: Map[String, Map[String, Template.MacroDef]] = Map.empty)
+      macrosByPackage: Map[String, Map[String, Template.MacroDef]] = Map.empty,
+      /** docs blocks by name (root-first flat map + `pkg.name` keys),
+        * already substituted into node/column descriptions at load. */
+      docs: Map[String, String] = Map.empty)
 
   /** Raw single-directory parse (no ref linking, no package merge). */
   private final case class RawProject(
@@ -43,7 +46,8 @@ object ProjectLoader {
       onRunStart: Seq[String],
       onRunEnd: Seq[String],
       macros: Map[String, Template.MacroDef],
-      selectors: Map[String, SelectorDef])
+      selectors: Map[String, SelectorDef],
+      docs: Map[String, String] = Map.empty)
 
   /** Load a project plus every installed package under
     * `dbt_packages/<pkg>/` (A32 deps): package nodes and macros carry
@@ -86,17 +90,42 @@ object ProjectLoader {
     val qualified = pkgMacros.flatMap { case (pkg, ms) =>
       ms.map { case (n, m) => s"$pkg.$n" -> m }
     }
-    val flatMacros = pkgFlat ++ qualified ++ rootRaw.macros
+    val flatMacros = globalMacros ++ pkgFlat ++ qualified ++ rootRaw.macros
 
     val mergedVars = pkgRaws.map(_._2.vars).foldLeft(Map.empty[String, String])(_ ++ _) ++
       rootRaw.vars
 
+    // docs blocks: per-package maps for precedence, flat map for export
+    val docsByPackage = pkgRaws.map { case (pkg, raw) => pkg -> raw.docs }.toMap +
+      ("graft" -> rootRaw.docs)
+    val pkgFlatDocs = pkgRaws.sortBy(_._1).foldLeft(Map.empty[String, String]) {
+      case (acc, (_, raw)) => raw.docs.foldLeft(acc) {
+        case (a, (n, d)) => if (a.contains(n)) a else a + (n -> d) }
+    }
+    val flatDocs = pkgFlatDocs ++
+      pkgRaws.flatMap { case (pkg, raw) =>
+        raw.docs.map { case (n, d) => s"$pkg.$n" -> d } } ++
+      rootRaw.docs
+    // resolve {{ doc(...) }} into model/column descriptions (reference
+    // process_docs: runs over the assembled manifest)
+    val docResolved = allNodes.map {
+      case m: ModelNode if m.description.contains("doc(") ||
+          m.columns.exists(_.description.contains("doc(")) =>
+        m.copy(
+          description = resolveDocRefs(m.description, m.packageName, docsByPackage),
+          columns = m.columns.map(c =>
+            c.copy(description = resolveDocRefs(c.description, m.packageName,
+              docsByPackage))))
+      case n => n
+    }
+
     Project(rootRaw.name, mergedVars,
-      link(Manifest(allNodes.map(n => n.uniqueId -> n).toMap))
+      link(Manifest(docResolved.map(n => n.uniqueId -> n).toMap))
         .copy(selectors = rootRaw.selectors),
       onRunStart = rootRaw.onRunStart, onRunEnd = rootRaw.onRunEnd,
       macros = flatMacros,
-      macrosByPackage = pkgMacros + ("graft" -> rootRaw.macros))
+      macrosByPackage = pkgMacros + ("graft" -> rootRaw.macros),
+      docs = flatDocs)
   }
 
   /** One output of a profile (reference `profiles.yml` outputs,
@@ -311,7 +340,8 @@ object ProjectLoader {
           !Set("dbt_project.yml", "packages.yml", "package-lock.yml",
             "dependencies.yml", "selectors.yml", "profiles.yml")(p.getFileName.toString)
       }
-    var modelPatches = Map.empty[String, (Seq[ColumnInfo], Seq[GenericTestRef], Map[String, String])]
+    var modelPatches = Map.empty[String,
+      (Seq[ColumnInfo], Seq[GenericTestRef], Map[String, String], String)]
     for (f <- schemaDocs.distinct) {
       val doc = Option(yaml.load[java.util.Map[String, Any]](Files.readString(f)))
         .map(_.asScala.toMap).getOrElse(Map.empty)
@@ -377,6 +407,7 @@ object ProjectLoader {
               ColumnInfo(
                 name = cm("name").toString,
                 dataType = cm.get("data_type").map(_.toString),
+                description = cm.get("description").map(_.toString).getOrElse(""),
                 tests = cm.get("tests").map(parseTests).getOrElse(Nil))
             }.toSeq).getOrElse(Nil)
             val modelTests = mm.get("tests").map(parseTests).getOrElse(Nil)
@@ -384,7 +415,8 @@ object ProjectLoader {
               .map(_.asInstanceOf[java.util.Map[String, Any]]
                 .asScala.map { case (k, v) => k.toString -> stringify(v) }.toMap)
               .getOrElse(Map.empty[String, String])
-            modelPatches += mname -> ((cols, modelTests, cfgKw))
+            val desc = mm.get("description").map(_.toString).getOrElse("")
+            modelPatches += mname -> ((cols, modelTests, cfgKw, desc))
             // model versions (reference versioned-model YAML):
             //   versions: [{v: 1}, {v: 2}]  latest_version: 2
             // files are named <name>_v<N>.sql
@@ -506,8 +538,8 @@ object ProjectLoader {
         case _ => (stem, None)
       }
       val (kwargs, _) = Template.extractConfig(raw)
-      val (patchCols, patchTests, patchKw) =
-        modelPatches.getOrElse(name, (Nil, Nil, Map.empty[String, String]))
+      val (patchCols, patchTests, patchKw, patchDesc) =
+        modelPatches.getOrElse(name, (Nil, Nil, Map.empty[String, String], ""))
       // cascade: project defaults (per-directory tree) < schema yml <
       // in-file config — merged as raw kwargs so an explicit deeper
       // value always wins, even when it equals a NodeConfig default
@@ -520,7 +552,7 @@ object ProjectLoader {
         refs = Template.extractRefs(raw), sources = Template.extractSources(raw),
         version = version,
         latestVersion = version.flatMap(_ => modelVersions(name)._2),
-        originPath = relPath(f))
+        originPath = relPath(f), description = patchDesc)
       // generic tests from schema yml attach once, to the unversioned
       // node or the latest version (an unpinned ref resolves there)
       if (version.isEmpty || version == modelVersions(name)._2) {
@@ -597,6 +629,16 @@ object ProjectLoader {
       .flatMap(f => Template.extractMacros(Files.readString(f)))
       .map(m => m.name -> m).toMap
 
+    // ---- docs blocks from .md files (reference `core/dbt/parser/docs.py`:
+    // every resource path is scanned for markdown docs blocks)
+    val docs = Seq("models", "macros", "seeds", "snapshots", "docs")
+      .map(root.resolve)
+      .flatMap(listFiles(_, ".md"))
+      .flatMap { f =>
+        docsBlockRe.findAllMatchIn(Files.readString(f))
+          .map(m => m.group(1) -> m.group(2).trim).toSeq
+      }.toMap
+
     // ---- selectors.yml (named selectors; reference
     // `core/dbt/config/selectors.py` + `contracts/selection.py`)
     val selectorsFile = root.resolve("selectors.yml")
@@ -622,7 +664,56 @@ object ProjectLoader {
 
     RawProject(projName, vars, nodes.toSeq,
       onRunStart = hookList("on-run-start"), onRunEnd = hookList("on-run-end"),
-      macros = macros, selectors = selectorDefs)
+      macros = macros, selectors = selectorDefs, docs = docs)
+  }
+
+  private val docsBlockRe =
+    """(?s)\{%-?\s*docs\s+(\w+)\s*-?%\}(.*?)\{%-?\s*enddocs\s*-?%\}""".r
+
+  /** The "global project" macros every project sees at lowest
+    * precedence (reference `core/dbt/include/global_project/macros/`;
+    * any project or package can override them, like dbt's dispatch to
+    * `default__create_table_as`). These are the statement-builders
+    * custom materializations call; Warehouse.executeSql speaks the
+    * emitted dialect.
+    */
+  private val globalMacros: Map[String, Template.MacroDef] = Map(
+    "create_table_as" -> Template.MacroDef("create_table_as",
+      Seq("temporary" -> Some("false"), "relation" -> None, "sql" -> None),
+      "CREATE OR REPLACE TABLE {{ relation }} AS {{ sql }}"),
+    "create_view_as" -> Template.MacroDef("create_view_as",
+      Seq("relation" -> None, "sql" -> None),
+      "CREATE OR REPLACE VIEW {{ relation }} AS {{ sql }}"))
+
+  /** `{{ doc('name') }}` / `{{ doc('pkg', 'name') }}` in a description
+    * (reference `process_docs`, `core/dbt/parser/manifest.py`): the
+    * node's own package resolves first, then root, then any package
+    * (the docs analog of macro precedence); an unknown doc name is a
+    * hard parse error, not a silent empty string.
+    */
+  private val docRefRe =
+    """\{\{\s*doc\(\s*['"]([\w.]+)['"]\s*(?:,\s*['"](\w+)['"]\s*)?\)\s*\}\}""".r
+
+  private def resolveDocRefs(text: String, pkg: String,
+      docsByPackage: Map[String, Map[String, String]]): String = {
+    if (!text.contains("doc(")) return text
+    docRefRe.replaceAllIn(text, m => {
+      val (pkgArg, nameArg) = Option(m.group(2)) match {
+        case Some(n) => (Some(m.group(1)), n)
+        case None => (None, m.group(1))
+      }
+      val resolved = pkgArg match {
+        case Some(p) => docsByPackage.getOrElse(p, Map.empty).get(nameArg)
+        case None =>
+          docsByPackage.getOrElse(pkg, Map.empty).get(nameArg)
+            .orElse(docsByPackage.getOrElse("graft", Map.empty).get(nameArg))
+            .orElse(docsByPackage.toSeq.sortBy(_._1)
+              .flatMap(_._2.get(nameArg)).headOption)
+      }
+      java.util.regex.Matcher.quoteReplacement(resolved.getOrElse(
+        throw new IllegalArgumentException(
+          s"doc() reference not found: ${pkgArg.map(_ + ".").getOrElse("")}$nameArg")))
+    })
   }
 
   /** Flatten a selectors.yml definition into string-DSL args: the

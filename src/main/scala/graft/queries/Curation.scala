@@ -877,6 +877,74 @@ object Curation {
             regexp_replace(col("t"), emailRe, "[EMAIL]"),
             phoneRe, "[PHONE]")).as("redacted_md5"))
         .orderBy("doc_id")
+    },
+
+    // DSIR-style importance-based data selection (Xie et al. 2023,
+    // "Data Selection for Language Models via Importance Resampling"):
+    // score out-of-domain documents by how target-like their hashed
+    // n-gram features look, then keep the top-k. Features are word
+    // unigrams hashed into 256 md5 buckets; instead of summing float
+    // log-ratios (engine-dependent ln/summation order), each gram
+    // instance votes ±1 by the EXACT integer cross-multiply test
+    // cnt_target(b) * total_raw > cnt_raw(b) * total_target, so both
+    // engines agree bit-for-bit. 100 TB: the bucket table is 256 rows
+    // broadcast everywhere; scoring is explode → broadcast-join →
+    // map-side-combined sum per doc — one shuffle on doc_id, one
+    // TakeOrdered for the top-k; the target/raw histograms are one
+    // map-side-combined pass each. No pairwise stage anywhere.
+    QueryDef(
+      "q136_dsir_selection",
+      """WITH g AS (
+        |  SELECT d.doc_id, d.lang,
+        |         CAST(('0x' || SUBSTR(MD5(w.w), 1, 8)) AS BIGINT) % 256 AS b
+        |  FROM documents d,
+        |       LATERAL (SELECT UNNEST(string_split_regex(lower(d.text), '[^a-z]+')) AS w) w
+        |  WHERE w.w <> ''
+        |), tot AS (
+        |  SELECT CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+        |         CAST(COUNT(*) AS BIGINT) AS n_r
+        |  FROM g
+        |), votes AS (
+        |  SELECT b,
+        |         CASE WHEN CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+        |                   * (SELECT n_r FROM tot)
+        |                 > CAST(COUNT(*) AS BIGINT) * (SELECT n_t FROM tot)
+        |              THEN 1 ELSE -1 END AS vote
+        |  FROM g GROUP BY b
+        |)
+        |SELECT g.doc_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |       CAST(SUM(v.vote) AS BIGINT) AS score
+        |FROM g JOIN votes v USING (b)
+        |WHERE g.lang <> 'en'
+        |GROUP BY g.doc_id
+        |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin) { (s, dir) =>
+      val grams = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+        .filter(col("w") =!= "")
+        .select(col("doc_id"), col("lang"),
+          (expr("cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint)") % 256).as("b"))
+      val g = grams.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val tot = g.agg(
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).cast("long").as("n_t"),
+        count(lit(1)).cast("long").as("n_r")).collect().head
+      val (nT, nR) = (tot.getLong(0), tot.getLong(1))
+      val votes = g.groupBy("b").agg(
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).cast("long").as("ct"),
+        count(lit(1)).cast("long").as("cr"))
+        .select(col("b"),
+          when(col("ct") * nR > col("cr") * nT, 1L).otherwise(-1L).as("vote"))
+      val out = g.filter(col("lang") =!= "en")
+        .join(broadcast(votes), "b")
+        .groupBy("doc_id").agg(
+          count(lit(1)).cast("long").as("n_grams"),
+          sum("vote").cast("long").as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(15)
+      val result = out.cache()
+      result.count() // force before unpersisting the gram table
+      g.unpersist()
+      result
     }
   )
 }

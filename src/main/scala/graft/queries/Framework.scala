@@ -1151,6 +1151,60 @@ object Framework {
       dev.wh.read("dev_wh__m25_env")
         .unionAll(prod.wh.read("prod_wh__m25_env"))
         .orderBy("target_name")
+    },
+
+    // Custom {% materialization %} blocks under the oracle (reference
+    // materialization macros, task/run.py find_materialization_macro_
+    // by_name): a package ships an `audit_table` materialization whose
+    // statement('main') drives create_table_as, and the root model uses
+    // it. The oracle is the model's own aggregate in closed form — a
+    // materialization that fails to run, runs the wrong SQL, or writes
+    // the wrong relation breaks rows/schema/hash.
+    QueryDef(
+      "m26_custom_materialization",
+      """SELECT o_orderstatus,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val pkgDir = java.nio.file.Files.createTempDirectory("m26_pkg")
+      val root = java.nio.file.Files.createTempDirectory("m26_root")
+      scratchDirs.add(pkgDir.toFile); scratchDirs.add(root.toFile)
+      def write(base: java.nio.file.Path, rel: String, content: String): Unit = {
+        val p = base.resolve(rel)
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.writeString(p, content)
+      }
+      write(pkgDir, "dbt_project.yml", "name: m26_pkg\n")
+      write(pkgDir, "macros/audit_mat.sql",
+        """{% materialization audit_table, default %}
+          |  {% call statement('main') %}
+          |    {{ create_table_as(False, this, sql) }}
+          |  {% endcall %}
+          |{% endmaterialization %}""".stripMargin)
+      write(root, "dbt_project.yml", "name: m26root\n")
+      write(root, "packages.yml", s"packages:\n  - local: $pkgDir\n")
+      write(root, "models/sources.yml",
+        s"""sources:
+           |  - name: main
+           |    tables:
+           |      - name: orders
+           |        path: $dir/orders.parquet
+           |""".stripMargin)
+      write(root, "models/m26_fct.sql",
+        """{{ config(materialized='audit_table') }}
+          |SELECT o_orderstatus,
+          |       CAST(COUNT(*) AS BIGINT) AS n,
+          |       CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS total
+          |FROM {{ source('main', 'orders') }}
+          |GROUP BY o_orderstatus""".stripMargin)
+      graft.parse.Deps.install(root.toString)
+      val eng = Engine.fromProject(s, root.toString, scratch())
+      val results = eng.run(threads = 2)
+      require(results.forall(_.status == "success"),
+        s"m26 run failed: ${results.filterNot(_.status == "success").mkString("; ")}")
+      eng.wh.read("m26_fct").orderBy("o_orderstatus")
     }
   )
 }

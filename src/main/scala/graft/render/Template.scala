@@ -105,7 +105,24 @@ object Template {
     }.toSeq ++
       testBlockRe.findAllMatchIn(text).map { m =>
         MacroDef(s"test_${m.group(1)}", parseParams(m.group(2)), m.group(3).trim)
+      }.toSeq ++
+      materializationRe.findAllMatchIn(text).map { m =>
+        val adapter = Option(m.group(2)).getOrElse(m.group(3))
+        MacroDef(s"materialization_${m.group(1)}_$adapter", Nil, m.group(4).trim)
       }.toSeq
+
+  /** Custom materializations (reference `{% materialization name,
+    * adapter='x' %}` / `{% materialization name, default %}` blocks,
+    * `core/dbt/clients/jinja.py` MATERIALIZATION_KEY): registered as a
+    * macro named `materialization_<name>_<adapter>`, the reference's
+    * exact internal naming, so Engine's dispatch can try the
+    * adapter-specific spelling before `default` — the
+    * `find_materialization_macro_by_name` chain.
+    */
+  private val materializationRe: Regex =
+    ("""(?s)\{%\s*materialization\s+(\w+)\s*,\s*""" +
+      """(?:adapter\s*=\s*['"](\w+)['"]|(\w+))\s*%\}""" +
+      """(.*?)\{%\s*endmaterialization\s*%\}""").r
 
   /** A16 `{% call statement('name', fetch_result=true) %}sql{% endcall %}`
     * blocks (reference statement call blocks,

@@ -69,6 +69,13 @@ object Artifacts {
         "tags" -> arr(n.config.tags.toSeq.sorted.map(q)))
       val extra = n match {
         case m: ModelNode => Seq("raw_code" -> q(m.rawSql)) ++
+          (if (m.description.nonEmpty) Seq("description" -> q(m.description)) else Nil) ++
+          (if (m.columns.nonEmpty) Seq("columns" -> obj(m.columns.map(c =>
+            c.name -> obj(Seq("name" -> q(c.name)) ++
+              c.dataType.map(t => "data_type" -> q(t)) ++
+              (if (c.description.nonEmpty) Seq("description" -> q(c.description))
+               else Nil)))))
+           else Nil) ++
           m.version.map(v => "version" -> v.toString) ++
           m.latestVersion.map(lv => "latest_version" -> lv.toString)
         case s: SnapshotNode => Seq("raw_code" -> q(s.rawSql))

@@ -452,9 +452,21 @@ final class Engine(
         case "ephemeral" => () // never materialized (inlined at consumers)
         case "analysis" => () // compiled only (reference analysis nodes)
         case other =>
-          throw new IllegalArgumentException(s"unknown materialization: $other")
+          // custom {% materialization %} blocks: adapter-specific
+          // spelling first, then default (reference
+          // find_materialization_macro_by_name chain)
+          val resolver = macroResolverFor(m.packageName)
+          resolver(s"materialization_${other}_spark")
+            .orElse(resolver(s"materialization_${other}_default")) match {
+            case Some(mac) => runMaterialization(m, mac)
+            case None =>
+              throw new IllegalArgumentException(s"unknown materialization: $other")
+          }
       }
-      if (Set("table", "incremental", "view", "materialized_view")(m.config.materialized)) {
+      val builtinKinds = Set("table", "incremental", "view", "materialized_view")
+      if (builtinKinds(m.config.materialized) ||
+          (!Set("ephemeral", "analysis")(m.config.materialized) &&
+            wh.exists(relationName(m)))) {
         val rel = relationName(m)
         storeResult(m.uniqueId, "main", Map(
           "status" -> "SUCCESS",
@@ -580,6 +592,44 @@ final class Engine(
     storeResult(opId, "main", Map("status" -> "SUCCESS",
       "statements" -> nStatements.toString))
     out.toSeq
+  }
+
+  /** Run a custom `{% materialization %}` macro for a model (reference
+    * materialization macros, `core/dbt/task/run.py` — the macro body
+    * renders in a context binding `this` / `sql` / `existing_relation`
+    * and only `{% call statement('name') %}` blocks EXECUTE, through
+    * the warehouse's statement dialect ([[graft.exec.Warehouse#executeSql]]);
+    * surrounding template output is rendered for side effects (set,
+    * log) and discarded, matching the reference, where a
+    * materialization's return value — not its text — is what counts.
+    * Statement results land in the node's result slots, so post-hooks
+    * can read `{{ load_result('main').rows_affected }}`.
+    */
+  private def runMaterialization(m: ModelNode, mac: Template.MacroDef): Unit = {
+    val rel = relationName(m)
+    val compiled = compile(m)
+    resultSlots.remove(m.uniqueId)
+    def matResults: Map[String, Map[String, String]] =
+      Option(resultSlots.get(m.uniqueId)).getOrElse(Map.empty)
+    def ctx = {
+      val base = renderContext(thisRelation = rel, results = matResults,
+        callerPackage = m.packageName)
+      base.copy(builtins = base.builtins ++
+        Map("sql" -> compiled, "model.name" -> m.name,
+          "model.alias" -> rel, "model.schema" -> "") ++
+        (if (wh.exists(rel)) Map("existing_relation" -> rel) else Map.empty))
+    }
+    Template.segmentMacroBody(mac.body).foreach {
+      case Template.CallStatement(slot, _, sqlTxt) =>
+        val rendered = Template.render(sqlTxt, ctx).trim
+        if (rendered.nonEmpty) {
+          val rows = wh.executeSql(rendered)
+          storeResult(m.uniqueId, slot, Map("status" -> "SUCCESS",
+            "rows_affected" -> rows.toString))
+        }
+      case Template.SqlText(txt) =>
+        Template.render(txt, ctx) // side effects only; output discarded
+    }
   }
 
   private def runHooks(hooks: Seq[String],
