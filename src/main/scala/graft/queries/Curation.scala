@@ -945,6 +945,172 @@ object Curation {
       result.count() // force before unpersisting the gram table
       g.unpersist()
       result
+    },
+
+    // Edit-distance similarity join (record linkage / fuzzy matching,
+    // the Gravano q-gram blocking family): find near-identical part
+    // names within an edit-distance threshold. The scale move is to
+    // fuzzy-join the DISTINCT-value domain, not the row domain — name
+    // vocabularies are bounded (and carry row counts as weights), so
+    // the blocked self-join runs over a table orders of magnitude
+    // smaller than the fact table and is broadcastable; blocking on
+    // the shared last token keeps it from going all-pairs even within
+    // that domain. levenshtein is integer-exact, so both engines agree
+    // with no float hazard. 100 TB: one map-side-combined distinct
+    // pass over parts, then a dimension-sized blocked join.
+    QueryDef(
+      "q137_fuzzy_name_pairs",
+      """WITH names AS (
+        |  SELECT p_name, CAST(COUNT(*) AS BIGINT) AS n_parts,
+        |         split_part(p_name, ' ', 2) AS noun
+        |  FROM part GROUP BY p_name
+        |)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS lev,
+        |       a.n_parts AS n_a, b.n_parts AS n_b
+        |FROM names a JOIN names b
+        |  ON a.noun = b.noun AND a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 3
+        |ORDER BY name_a, name_b""".stripMargin) { (s, dir) =>
+      val names = Tables.load(s, dir, "part")
+        .groupBy("p_name").agg(count(lit(1)).cast("long").as("n_parts"))
+        .withColumn("noun", split(col("p_name"), " ").getItem(1))
+      val a = names.select(col("p_name").as("name_a"),
+        col("n_parts").as("n_a"), col("noun"))
+      val b = names.select(col("p_name").as("name_b"),
+        col("n_parts").as("n_b"), col("noun"))
+      a.join(broadcast(b), "noun")
+        .filter(col("name_a") < col("name_b"))
+        .withColumn("lev", levenshtein(col("name_a"), col("name_b")).cast("long"))
+        .filter(col("lev") <= 3)
+        .select("name_a", "name_b", "lev", "n_a", "n_b")
+        .orderBy("name_a", "name_b")
+    },
+
+    // Deterministic shard plan — the "write training shards" step:
+    // every document gets a seeded-hash shard and a within-shard
+    // position, and the plan reports per-shard stats plus an
+    // ORDER-SENSITIVE checksum (sum of position × doc_id) so the gate
+    // pins the exact emission order, not just membership. Any engine
+    // or seed drift moves documents across shards or reorders them and
+    // breaks the checksum. 100 TB: one shuffle on shard; the position
+    // is a per-shard window (the production writer is the same
+    // topology: repartition(shard) + sortWithinPartitions(h) + write),
+    // and the checksum aggregates map-side — no collect_list, no
+    // driver state.
+    QueryDef(
+      "q138_shard_plan",
+      """WITH s AS (
+        |  SELECT doc_id, n_chars,
+        |         md5('shard:' || CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents
+        |), p AS (
+        |  SELECT doc_id, n_chars, h,
+        |         CAST(('0x' || SUBSTR(h, 1, 8)) AS BIGINT) % 16 AS shard
+        |  FROM s
+        |), r AS (
+        |  SELECT shard, doc_id, n_chars,
+        |         ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id) AS rn
+        |  FROM p
+        |)
+        |SELECT shard,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |       CAST(SUM(rn * doc_id) AS BIGINT) AS order_chk
+        |FROM r GROUP BY shard ORDER BY shard""".stripMargin) { (s, dir) =>
+      val p = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          md5(concat(lit("shard:"), col("doc_id").cast("string"))).as("h"))
+        .withColumn("shard",
+          expr("cast(conv(substring(h, 1, 8), 16, 10) as bigint)") % 16)
+      p.withColumn("rn", row_number().over(
+          Window.partitionBy("shard").orderBy("h", "doc_id")))
+        .groupBy("shard").agg(
+          count(lit(1)).cast("long").as("n_docs"),
+          sum("n_chars").cast("long").as("total_chars"),
+          sum(col("rn") * col("doc_id")).cast("long").as("order_chk"))
+        .orderBy("shard")
+    },
+
+    // BM25 ranked retrieval for a fixed query (the RAG / eval-set
+    // retrieval step; Robertson-Sparck Jones weighting). Floats are
+    // tamed the q91 way: every ratio is computed in DOUBLE (IEEE — the
+    // same expression shape on both engines yields the same bits),
+    // ROUNDed to 6 decimals, and CAST to DECIMAL before the exact
+    // decimal multiply/sum, so the cross-engine hash cannot drift with
+    // summation order. The idf is the log-free RSJ odds ratio
+    // (N-df+0.5)/(df+0.5) — rank-equivalent to Okapi's log idf for a
+    // fixed query since log is monotone per-term and our terms are
+    // independently weighted. 100 TB: query terms broadcast (3 rows);
+    // per-doc tf is one map-side-combined aggregate; doc lengths ride
+    // the same pass; one doc_id shuffle + TakeOrdered(10).
+    QueryDef(
+      "q139_bm25_topk",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        |  FROM documents
+        |), dl AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id
+        |), stats AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |         CAST(SUM(dl) AS BIGINT) AS sum_dl
+        |  FROM dl
+        |), q(term) AS (VALUES ('spark'), ('join'), ('filter')),
+        |df AS (
+        |  SELECT w AS term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        |  FROM tok JOIN q ON tok.w = q.term GROUP BY w
+        |), idf AS (
+        |  SELECT term,
+        |         CAST(ROUND((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5), 6)
+        |              AS DECIMAL(20,6)) AS idf
+        |  FROM df, stats
+        |), tf AS (
+        |  SELECT doc_id, w AS term, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM tok JOIN q ON tok.w = q.term GROUP BY doc_id, w
+        |), scored AS (
+        |  SELECT tf.doc_id,
+        |         idf.idf * CAST(ROUND(
+        |           (CAST(tf.tf AS DOUBLE) * 2.2) /
+        |           (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+        |              CAST(ROUND(CAST(dl.dl AS DOUBLE) * CAST(n_docs AS DOUBLE)
+        |                         / CAST(sum_dl AS DOUBLE), 6) AS DOUBLE))),
+        |           6) AS DECIMAL(20,6)) AS part_score
+        |  FROM tf JOIN dl ON dl.doc_id = tf.doc_id
+        |          JOIN idf ON idf.term = tf.term, stats
+        |)
+        |SELECT doc_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_terms,
+        |       CAST(ROUND(CAST(SUM(part_score) AS DOUBLE), 4) AS DOUBLE) AS bm25
+        |FROM scored GROUP BY doc_id
+        |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin) { (s, dir) =>
+      val terms = Seq("spark", "join", "filter")
+      val tok = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+      val dl = tok.groupBy("doc_id").agg(count(lit(1)).cast("long").as("dl"))
+      val st = dl.agg(count(lit(1)).cast("long").as("n_docs"),
+        sum("dl").cast("long").as("sum_dl")).collect().head
+      val (nDocs, sumDl) = (st.getLong(0), st.getLong(1))
+      val qtok = tok.filter(col("w").isin(terms: _*))
+      val idf = qtok.groupBy(col("w").as("term"))
+        .agg(countDistinct("doc_id").cast("long").as("df"))
+        .select(col("term"),
+          round((lit(nDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5), 6)
+            .cast(DecimalType(20, 6)).as("idf"))
+      val tf = qtok.groupBy(col("doc_id"), col("w").as("term"))
+        .agg(count(lit(1)).cast("long").as("tf"))
+      tf.join(dl, "doc_id")
+        .join(broadcast(idf), "term")
+        .withColumn("rel_dl",
+          round(col("dl").cast("double") * nDocs.toDouble / sumDl.toDouble, 6))
+        .withColumn("part_score",
+          col("idf") * round(
+            (col("tf").cast("double") * 2.2) /
+              (col("tf").cast("double") + lit(1.2) * (lit(0.25) + lit(0.75) * col("rel_dl"))),
+            6).cast(DecimalType(20, 6)))
+        .groupBy("doc_id").agg(
+          count(lit(1)).cast("long").as("n_terms"),
+          round(sum("part_score").cast("double"), 4).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id")).limit(10)
     }
   )
 }
