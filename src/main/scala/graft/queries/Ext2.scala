@@ -1006,6 +1006,103 @@ object Ext2 {
           col("n_frames"), col("duration_ms"), col("n_sampled"),
           col("decoded"))
         .orderBy("asset_id")
+    },
+
+    // PageRank over the part co-purchase graph (parts linked when they
+    // appear in the same order) — the graph-centrality family the
+    // dedup connected-components kernel doesn't cover. Power iteration
+    // in DataFrame form: per round, every node sends rank/degree along
+    // its out-edges (one shuffle keyed on dst), damped 0.85. Three
+    // fixed rounds so the oracle is an unrolled CTE chain, not a
+    // recursion. Determinism goes BEYOND the q91 rounded-double recipe
+    // (whose half-way ROUND behavior differed between engines at the
+    // 8th decimal here): rank is a fixed-point BIGINT scaled by 1e8,
+    // every per-round step is integer floor division (`div` / `//`)
+    // and exact long SUM — no floating point anywhere in the fixpoint,
+    // so the engines agree bit-for-bit by construction.
+    // Undirected edges mean every node has in-degree ≥ 1 — no dangling
+    // mass, the node set is stable across rounds. 100 TB: edges are
+    // built once and materialized (reliable lineage cut, same pattern
+    // as connectedComponents); each round is one edges⋈rank broadcast-
+    // or-shuffle join + one dst-keyed hash aggregate — the standard
+    // Pregel message-passing topology, rounds are fixed (3), and
+    // nothing on the driver ever holds more than the 1-row node count.
+    QueryDef(
+      "q140_part_pagerank",
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |), edges AS (
+        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        |), deg AS (
+        |  SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src
+        |), nn AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg
+        |), r0 AS (
+        |  SELECT src AS node, CAST(100000000 // nn.n AS BIGINT) AS r
+        |  FROM deg, nn
+        |), s1 AS (
+        |  SELECT r.node, CAST(r.r // d.deg AS BIGINT) AS share
+        |  FROM r0 r JOIN deg d ON d.src = r.node
+        |), r1 AS (
+        |  SELECT e.dst AS node,
+        |         CAST(15000000 // nn.n + (85 * SUM(s.share)) // 100 AS BIGINT) AS r
+        |  FROM edges e JOIN s1 s ON s.node = e.src, nn
+        |  GROUP BY e.dst, nn.n
+        |), s2 AS (
+        |  SELECT r.node, CAST(r.r // d.deg AS BIGINT) AS share
+        |  FROM r1 r JOIN deg d ON d.src = r.node
+        |), r2 AS (
+        |  SELECT e.dst AS node,
+        |         CAST(15000000 // nn.n + (85 * SUM(s.share)) // 100 AS BIGINT) AS r
+        |  FROM edges e JOIN s2 s ON s.node = e.src, nn
+        |  GROUP BY e.dst, nn.n
+        |), s3 AS (
+        |  SELECT r.node, CAST(r.r // d.deg AS BIGINT) AS share
+        |  FROM r2 r JOIN deg d ON d.src = r.node
+        |), r3 AS (
+        |  SELECT e.dst AS node,
+        |         CAST(15000000 // nn.n + (85 * SUM(s.share)) // 100 AS BIGINT) AS r
+        |  FROM edges e JOIN s3 s ON s.node = e.src, nn
+        |  GROUP BY e.dst, nn.n
+        |)
+        |SELECT r3.node AS part_key, r3.r AS pagerank_e8, d.deg AS degree
+        |FROM r3 JOIN deg d ON d.src = r3.node
+        |ORDER BY pagerank_e8 DESC, part_key LIMIT 20""".stripMargin) { (s, dir) =>
+      val ckRoot = java.nio.file.Files.createTempDirectory("graft-pr").toString
+      def materialize(df: org.apache.spark.sql.DataFrame, name: String) = {
+        df.write.mode("overwrite").parquet(s"$ckRoot/$name")
+        s.read.parquet(s"$ckRoot/$name")
+      }
+      val items = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val edges = materialize(
+        items.select(col("l_orderkey"), col("l_partkey").as("src"))
+          .join(items.select(col("l_orderkey"), col("l_partkey").as("dst")),
+            "l_orderkey")
+          .filter(col("src") =!= col("dst"))
+          .select("src", "dst").distinct(),
+        "edges")
+      val deg = edges.groupBy("src").agg(count(lit(1)).cast("long").as("deg"))
+      val n = deg.count() // node count: 1-row driver scalar
+      var rank = deg.select(col("src").as("node"),
+        lit(100000000L / n).as("r"))
+      for (i <- 1 to 3) {
+        val shares = rank.join(deg, col("node") === col("src"))
+          .select(col("node"), expr("r div deg").as("share"))
+        rank = materialize(
+          edges.join(shares, edges("src") === shares("node"))
+            .groupBy(col("dst"))
+            .agg(sum("share").as("s"))
+            .select(col("dst").as("node"),
+              (lit(15000000L / n) + expr("(85 * s) div 100")).as("r")),
+          s"rank_$i")
+      }
+      rank.join(deg, col("node") === col("src"))
+        .select(col("node").as("part_key"), col("r").as("pagerank_e8"),
+          col("deg").as("degree"))
+        .orderBy(col("pagerank_e8").desc, col("part_key")).limit(20)
     }
   )
 }
