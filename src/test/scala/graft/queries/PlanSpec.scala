@@ -273,6 +273,42 @@ class PlanSpec extends SparkSpec {
     assert(p.split("HashAggregate").length > 3, p)
   }
 
+  test("q137: fuzzy join runs over the broadcast distinct-name domain") {
+    val p = plan("q137_fuzzy_name_pairs")
+    // the blocked self-join is equi on the blocking token and the
+    // name domain is dimension-sized: broadcast, never cartesian
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q138: shard plan is one shard-keyed window + partial agg") {
+    val p = plan("q138_shard_plan")
+    assert(p.contains("Window"), p)
+    // exactly one repartitioning exchange feeds the window AND the
+    // shard-grouped aggregate (same key — no second shuffle)
+    assert(p.split("Exchange hashpartitioning").length === 2, p)
+    assert(p.split("HashAggregate").length > 2, "map-side combine: " + p)
+  }
+
+  test("q139: BM25 broadcasts the 3-term idf table, top-k avoids a sort") {
+    val p = plan("q139_bm25_topk")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q140: pagerank serving plan reads the materialized round, top-k") {
+    // construction runs the 3 fixed-point rounds (each a reliable
+    // parquet materialization); the returned plan must be a join of
+    // the LAST round's parquet against degrees + top-k — not a replay
+    // of the whole iteration lineage
+    val df = SparkEntry.queries("q140_part_pagerank")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("graft-pr"), "final plan reads the round parquet: " + p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("whole-stage codegen active on the scan-agg path") {
     // AQE finalizes the plan lazily; execute first, then inspect
     val df = SparkEntry.queries("q02_agg_pricing_summary")(spark, sf)
