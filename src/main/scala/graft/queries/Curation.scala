@@ -1111,6 +1111,126 @@ object Curation {
           count(lit(1)).cast("long").as("n_terms"),
           round(sum("part_score").cast("double"), 4).as("bm25"))
         .orderBy(col("bm25").desc, col("doc_id")).limit(10)
+    },
+
+    // Join-key skew audit — the diagnostic you run BEFORE deciding a
+    // join needs salting (q39/q52 are the cure; this is the
+    // instrument). One lineitem scan fans out map-side into (key_col,
+    // key_val) pairs for the three join/agg key families, then two
+    // hash aggregates: per-key counts, then per-family rollup with
+    // max/mean load ratio (fixed-point 1e6, exact integer arithmetic)
+    // and the hottest key (min key among argmax — deterministic
+    // tie-break via a windowed max, no arg_max whose tie rules differ
+    // between engines). 100 TB: this is a map-side-combined count —
+    // the audit costs one pass and two shuffles no matter how skewed
+    // the data is, which is the point: you can always afford to look.
+    QueryDef(
+      "q141_key_skew_audit",
+      """WITH kv AS (
+        |  SELECT 'l_orderkey' AS key_col, l_orderkey AS key_val FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_partkey', l_partkey FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_suppkey', l_suppkey FROM lineitem
+        |), cnt AS (
+        |  SELECT key_col, key_val, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM kv GROUP BY key_col, key_val
+        |), w AS (
+        |  SELECT key_col, key_val, c,
+        |         MAX(c) OVER (PARTITION BY key_col) AS max_c
+        |  FROM cnt
+        |)
+        |SELECT key_col,
+        |       CAST(SUM(c) AS BIGINT) AS n_rows,
+        |       CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |       CAST(MAX(c) AS BIGINT) AS max_cnt,
+        |       CAST((MAX(c) * COUNT(*) * 1000000) // SUM(c) AS BIGINT)
+        |         AS skew_e6,
+        |       MIN(CASE WHEN c = max_c THEN key_val END) AS hottest_key
+        |FROM w GROUP BY key_col ORDER BY key_col""".stripMargin) { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+      val kv = li.select(explode(map(
+        lit("l_orderkey"), col("l_orderkey"),
+        lit("l_partkey"), col("l_partkey"),
+        lit("l_suppkey"), col("l_suppkey"))).as(Seq("key_col", "key_val")))
+      val cnt = kv.groupBy("key_col", "key_val")
+        .agg(count(lit(1)).cast("long").as("c"))
+      cnt.withColumn("max_c",
+          max("c").over(Window.partitionBy("key_col")))
+        .groupBy("key_col").agg(
+          sum("c").cast("long").as("n_rows"),
+          count(lit(1)).cast("long").as("n_keys"),
+          max("c").cast("long").as("max_cnt"),
+          expr("(max(c) * count(*) * 1000000) div sum(c)").cast("long")
+            .as("skew_e6"),
+          min(when(col("c") === col("max_c"), col("key_val")))
+            .as("hottest_key"))
+        .orderBy("key_col")
+    },
+
+    // PMI collocation mining — rank bigrams by pointwise mutual
+    // information lift c(xy)·N / (c(x)·c(y)), the classic corpus
+    // collocation statistic (and the association score behind
+    // phrase-merging tokenizers). No logs: PMI is monotone in the
+    // lift ratio for ranking, and the ratio is computed as one exact
+    // wide-integer cross-multiply (DECIMAL(38) on Spark, HUGEINT in
+    // DuckDB — c(xy)·N·1e6 can exceed 2^63) floor-divided back to a
+    // BIGINT fixed-point — zero floats, bit-identical engines.
+    // Margins c(x)/c(y) are the bigram table's own left/right sums, so
+    // the whole statistic derives from ONE pair-count table. Min
+    // support 5 keeps the ranking statistical, top-20 serves via
+    // TakeOrdered. 100 TB: corpus scans once into pair counts
+    // (map-side combined); margins are vocabulary-sized aggregates of
+    // THAT table, and the scoring join is vocabulary-keyed — nothing
+    // downstream of the first aggregate ever touches corpus scale.
+    QueryDef(
+      "q142_pmi_collocations",
+      """WITH tok AS (
+        |  SELECT doc_id, w, pos FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+        |           generate_subscripts(string_split(text, ' '), 1) AS pos
+        |    FROM documents) t
+        |), bi AS (
+        |  SELECT w || ' ' || LEAD(w) OVER win AS p
+        |  FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+        |  QUALIFY LEAD(w) OVER win IS NOT NULL
+        |), c12 AS (
+        |  SELECT p, CAST(COUNT(*) AS BIGINT) AS cxy FROM bi GROUP BY p
+        |), tot AS (
+        |  SELECT CAST(SUM(cxy) AS BIGINT) AS n FROM c12
+        |), cx AS (
+        |  SELECT string_split(p, ' ')[1] AS w, CAST(SUM(cxy) AS BIGINT) AS cx
+        |  FROM c12 GROUP BY 1
+        |), cy AS (
+        |  SELECT string_split(p, ' ')[2] AS w, CAST(SUM(cxy) AS BIGINT) AS cy
+        |  FROM c12 GROUP BY 1
+        |)
+        |SELECT c12.p AS pair, c12.cxy,
+        |       CAST((CAST(c12.cxy AS HUGEINT) * tot.n * 1000000)
+        |            // (CAST(cx.cx AS HUGEINT) * cy.cy) AS BIGINT)
+        |         AS lift_e6
+        |FROM c12
+        |JOIN cx ON cx.w = string_split(c12.p, ' ')[1]
+        |JOIN cy ON cy.w = string_split(c12.p, ' ')[2], tot
+        |WHERE c12.cxy >= 5
+        |ORDER BY lift_e6 DESC, pair LIMIT 20""".stripMargin) { (s, dir) =>
+      val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val bi = Tables.load(s, dir, "documents")
+        .select(explode(graft.functions.TextExprs.ngrams(
+          split(col("text"), " "), 2)).as("p"))
+      val c12 = bi.groupBy("p").agg(count(lit(1)).cast("long").as("cxy"))
+      val n = c12.agg(sum("cxy")).head.getLong(0) // 1-row driver scalar
+      val cx = c12.groupBy(substring_index(col("p"), " ", 1).as("wx"))
+        .agg(sum("cxy").cast("long").as("cx"))
+      val cy = c12.groupBy(substring_index(col("p"), " ", -1).as("wy"))
+        .agg(sum("cxy").cast("long").as("cy"))
+      c12.filter(col("cxy") >= 5)
+        .join(cx, substring_index(col("p"), " ", 1) === col("wx"))
+        .join(cy, substring_index(col("p"), " ", -1) === col("wy"))
+        .select(col("p").as("pair"), col("cxy"),
+          expr(s"cast((cast(cxy as decimal(38,0)) * $n * 1000000) div " +
+            "(cast(cx as decimal(38,0)) * cy) as bigint)").as("lift_e6"))
+        .orderBy(col("lift_e6").desc, col("pair")).limit(20)
     }
   )
 }

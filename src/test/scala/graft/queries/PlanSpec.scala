@@ -309,6 +309,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q141: skew audit is one scan fanned out + combined aggregates") {
+    val p = plan("q141_key_skew_audit")
+    assert(p.contains("Generate"), "map-side explode fan-out: " + p)
+    assert(p.split("Scan parquet").length === 2, "ONE lineitem scan: " + p)
+    assert(p.split("HashAggregate").length > 2, "map-side combine: " + p)
+  }
+
+  test("q142: PMI scoring joins are vocab-keyed, top-k avoids a sort") {
+    val p = plan("q142_pmi_collocations")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"),
+      "total-count rides as a literal, not a cross join: " + p)
+  }
+
   test("whole-stage codegen active on the scan-agg path") {
     // AQE finalizes the plan lazily; execute first, then inspect
     val df = SparkEntry.queries("q02_agg_pricing_summary")(spark, sf)
