@@ -386,6 +386,118 @@ object Events {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("step1"), col("step2"), col("step3"))
         .limit(10)
+    },
+
+    // Last-touch attribution: every purchase is credited to the user's
+    // most recent PRIOR touch event (view/click/signup), the classic
+    // marketing-attribution operator. The carry is a single ignore-
+    // nulls last_value window with a 1-PRECEDING frame — no as-of
+    // self-join, no range join: one user-keyed shuffle and the touch
+    // rides forward through the partition. value sums via the q32
+    // decimal idiom so the double column aggregates order-
+    // independently. 100 TB: the window partitions by user (millions
+    // of small partitions — perfectly parallel), and the final rollup
+    // is 4 rows.
+    QueryDef(
+      "q143_last_touch_attribution",
+      """WITH e AS (
+        |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+        |         event_type, value
+        |  FROM events
+        |), t AS (
+        |  SELECT event_type, value,
+        |         LAST_VALUE(CASE WHEN event_type IN ('view','click','signup')
+        |                         THEN event_type END IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS touch
+        |  FROM e
+        |)
+        |SELECT COALESCE(touch, 'none') AS channel,
+        |       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+        |       CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE)
+        |         AS attributed_value
+        |FROM t WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY channel""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.load(s, dir, "events")
+        .withColumn("touch", last(
+          when(col("event_type").isin("view", "click", "signup"),
+            col("event_type")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .groupBy(coalesce(col("touch"), lit("none")).as("channel"))
+        .agg(count(lit(1)).cast("long").as("n_purchases"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(20, 4)))
+            .cast("double").as("attributed_value"))
+        .orderBy("channel")
+    },
+
+    // Forward-fill imputation over a dense calendar spine: per user,
+    // per day, carry the last OBSERVED daily purchase spend forward
+    // into gap days (the gauge-imputation operator — "last known
+    // balance" — that every metrics warehouse needs; q37's date spine
+    // made the calendar, this fills it). Spine = users × global date
+    // range via sequence+explode (map-side fan-out, no range join);
+    // the fill is one ignore-nulls last_value window per user. Daily
+    // sums go through the decimal idiom before the window so carried
+    // values are exact. 100 TB: spine cardinality is users × days —
+    // tiny next to the event log — and the whole plan is one
+    // user-keyed shuffle after a map-side-combined daily aggregate.
+    QueryDef(
+      "q144_forward_fill_spend",
+      """WITH e AS (
+        |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id,
+        |         event_type, value
+        |  FROM events
+        |), bounds AS (
+        |  SELECT MIN(day) AS mn, MAX(day) AS mx FROM e
+        |), daily AS (
+        |  SELECT user_id, day,
+        |         SUM(CAST(value AS DECIMAL(20,4))) AS day_spend
+        |  FROM e WHERE event_type = 'purchase' GROUP BY user_id, day
+        |), spine AS (
+        |  SELECT u.user_id, CAST(d.d AS DATE) AS day
+        |  FROM (SELECT DISTINCT user_id FROM e) u,
+        |       (SELECT unnest(generate_series(bounds.mn, bounds.mx,
+        |                                      INTERVAL 1 DAY)) AS d
+        |        FROM bounds) d
+        |), filled AS (
+        |  SELECT s.user_id, s.day,
+        |         daily.day_spend IS NOT NULL AS observed,
+        |         LAST_VALUE(daily.day_spend IGNORE NULLS)
+        |           OVER (PARTITION BY s.user_id ORDER BY s.day
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS carried
+        |  FROM spine s LEFT JOIN daily
+        |    ON daily.user_id = s.user_id AND daily.day = s.day
+        |)
+        |SELECT user_id, CAST(day AS TIMESTAMP) AS day, observed,
+        |       CAST(COALESCE(carried, 0) AS DOUBLE) AS filled_spend
+        |FROM filled ORDER BY user_id, day""".stripMargin) { (s, dir) =>
+      val dec = org.apache.spark.sql.types.DecimalType(20, 4)
+      val e = Tables.load(s, dir, "events")
+        .select(col("ts").cast("date").as("day"), col("user_id"),
+          col("event_type"), col("value"))
+      val b = e.agg(min("day").as("mn"), max("day").as("mx")).head
+      val (mn, mx) = (b.getDate(0), b.getDate(1)) // 1-row driver bounds
+      val daily = e.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "day")
+        .agg(sum(col("value").cast(dec)).as("day_spend"))
+      val spine = e.select("user_id").distinct()
+        .select(col("user_id"), explode(sequence(
+          lit(mn).cast("date"), lit(mx).cast("date"),
+          expr("interval 1 day"))).as("day"))
+      val w = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(daily, Seq("user_id", "day"), "left")
+        .withColumn("observed", col("day_spend").isNotNull)
+        .withColumn("carried", last(col("day_spend"), ignoreNulls = true).over(w))
+        .select(col("user_id"), col("day").cast("timestamp").as("day"),
+          col("observed"),
+          coalesce(col("carried"), lit(0).cast(dec)).cast("double")
+            .as("filled_spend"))
+        .orderBy("user_id", "day")
     }
   )
 }

@@ -323,6 +323,16 @@ class PlanSpec extends SparkSpec {
       "total-count rides as a literal, not a cross join: " + p)
   }
 
+  test("q143/q144: carry-forward windows, no as-of self-join") {
+    Seq("q143_last_touch_attribution", "q144_forward_fill_spend").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("Window"), s"$q: $p")
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q: the touch/fill rides a window, not a range join: $p")
+    }
+  }
+
   test("whole-stage codegen active on the scan-agg path") {
     // AQE finalizes the plan lazily; execute first, then inspect
     val df = SparkEntry.queries("q02_agg_pricing_summary")(spark, sf)
