@@ -1231,6 +1231,56 @@ object Curation {
           expr(s"cast((cast(cxy as decimal(38,0)) * $n * 1000000) div " +
             "(cast(cx as decimal(38,0)) * cy) as bigint)").as("lift_e6"))
         .orderBy(col("lift_e6").desc, col("pair")).limit(20)
+    },
+
+    // Curriculum phase assignment: order each language's documents by
+    // a deterministic difficulty proxy (mean word length, fixed-point
+    // ×1000 — exact integer arithmetic) and cut them into 4 NTILE
+    // phases — the easy→hard training-order plan. The window
+    // PARTITIONS BY lang deliberately: a global ntile would need a
+    // single-partition sort (the non-distributable shape); per-stratum
+    // phases distribute and are what curricula actually use. The
+    // (difficulty, doc_id) order is total, so tile boundaries are
+    // engine-identical by NTILE's standard fill rule (earlier tiles
+    // take the remainder). 100 TB: one lang-keyed shuffle, per-
+    // partition sort, then a map-side-combined rollup — no global
+    // order anywhere.
+    QueryDef(
+      "q145_curriculum_phases",
+      """WITH d AS (
+        |  SELECT doc_id, lang, n_chars,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |         CAST(n_chars * 1000 // len(string_split(text, ' '))
+        |              AS BIGINT) AS difficulty
+        |  FROM documents
+        |), phased AS (
+        |  SELECT lang, difficulty, n_tokens,
+        |         CAST(NTILE(4) OVER (PARTITION BY lang
+        |                             ORDER BY difficulty, doc_id)
+        |              AS BIGINT) AS phase
+        |  FROM d
+        |)
+        |SELECT lang, phase,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(MIN(difficulty) AS BIGINT) AS min_difficulty,
+        |       CAST(MAX(difficulty) AS BIGINT) AS max_difficulty,
+        |       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+        |FROM phased GROUP BY lang, phase
+        |ORDER BY lang, phase""".stripMargin) { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          col("n_chars"))
+        .withColumn("difficulty", expr("(n_chars * 1000) div n_tokens"))
+      d.withColumn("phase", ntile(4).over(
+          Window.partitionBy("lang").orderBy("difficulty", "doc_id"))
+          .cast("long"))
+        .groupBy("lang", "phase").agg(
+          count(lit(1)).cast("long").as("n_docs"),
+          min("difficulty").cast("long").as("min_difficulty"),
+          max("difficulty").cast("long").as("max_difficulty"),
+          sum("n_tokens").cast("long").as("sum_tokens"))
+        .orderBy("lang", "phase")
     }
   )
 }
