@@ -1084,7 +1084,11 @@ object Ext2 {
           .filter(col("src") =!= col("dst"))
           .select("src", "dst").distinct(),
         "edges")
-      val deg = edges.groupBy("src").agg(count(lit(1)).cast("long").as("deg"))
+      // degrees are node-sized: materialize ONCE so each round's plan
+      // reads a tiny parquet instead of re-aggregating the edge table
+      val deg = materialize(
+        edges.groupBy("src").agg(count(lit(1)).cast("long").as("deg")),
+        "deg")
       val n = deg.count() // node count: 1-row driver scalar
       var rank = deg.select(col("src").as("node"),
         lit(100000000L / n).as("r"))
