@@ -18,16 +18,24 @@ object Tables {
     if (name == "events") loadEvents(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read it as a long (legacy conf) and surface it as a
-    * micros TimestampType column — same truncation DuckDB applies when
-    * casting timestamp_ns to timestamp.
+  /** `events.ts` has shipped in two physical forms across data drops:
+    * parquet TIMESTAMP(NANOS) (rejected by Spark's vectorized reader —
+    * read as long via the legacy conf, then truncate to micros, the same
+    * truncation DuckDB applies casting timestamp_ns to timestamp) and
+    * plain TIMESTAMP(MICROS) (surfaced as NTZ). Both normalize to a
+    * session-TZ micros TimestampType column so downstream plans and
+    * oracle hashes are identical either way.
     */
   private def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 
   /** Register every table as a temp view so `spark.sql` can reference it
