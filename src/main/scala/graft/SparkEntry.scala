@@ -20,6 +20,7 @@ object SparkEntry {
       graft.queries.Similarity.queries ++
       graft.queries.Events.queries ++
       graft.queries.Ext2.queries ++
+      graft.queries.Ext3.queries ++
       graft.queries.Curation.queries ++
       graft.queries.Framework.queries
 

@@ -333,6 +333,56 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q146/q149: cohort + streak plans stay on the user_id axis, no cartesian") {
+    Seq("q146_cohort_retention", "q149_activity_streaks").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: $p")
+      assert(p.contains("HashAggregate"), s"$q: $p")
+    }
+  }
+
+  test("q147: purchase filter pushed to the events scan, daily rollup combined") {
+    val p = plan("q147_revenue_anomaly")
+    assert(p.contains("PushedFilters"), p)
+    assert(p.contains("event_type"), "purchase filter reaches the scan: " + p)
+    assert(p.split("HashAggregate").length > 2, "map-side combine: " + p)
+  }
+
+  test("q148: markov transitions = one window + partial/final agg, no self-join") {
+    val p = plan("q148_markov_transitions")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.split("Scan parquet").length === 2, "ONE events scan: " + p)
+  }
+
+  test("q150: triangle join runs on the support-pruned edge list, no cartesian") {
+    val p = plan("q150_part_triangles")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), "equi-joins only: " + p)
+    assert(p.contains("w#"), "support filter prunes before the triangle joins: " + p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q151: SNM windows are block-partitioned, never global") {
+    val p = plan("q151_snm_candidates")
+    assert(p.contains("Window"), p)
+    assert(p.contains("blk"), "window partitions on the block key: " + p)
+    assert(!p.contains("CartesianProduct"), "no all-pairs stage: " + p)
+  }
+
+  test("q152: session paths pivot by rank, top-k avoids a global sort") {
+    val p = plan("q152_session_paths")
+    assert(p.contains("Window"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q153: vocab-sized df table broadcast into the scoring join") {
+    val p = plan("q153_tficf_terms")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.split("HashAggregate").length > 2, "map-side combine: " + p)
+  }
+
   test("whole-stage codegen active on the scan-agg path") {
     // AQE finalizes the plan lazily; execute first, then inspect
     val df = SparkEntry.queries("q02_agg_pricing_summary")(spark, sf)
