@@ -105,6 +105,15 @@ object Jinja {
   /** `{% set x %}…{% endset %}` — body renders to a string. */
   private final case class SetBlock(name: String, body: Seq[Node]) extends Node
   private final case class Do(expr: String) extends Node
+  /** `{% include 'rel/path.sql' %}` — rendered inline with the current
+    * context (Jinja's with-context default). */
+  private final case class Include(expr: String, ignoreMissing: Boolean) extends Node
+  /** `{% block name %}…{% endblock %}` — renders its body unless an
+    * extending template overrode it (resolved before emit). */
+  private final case class BlockNode(name: String, body: Seq[Node]) extends Node
+  /** `{% extends 'base.sql' %}` — template inheritance marker; resolved
+    * by [[resolveExtends]], never emitted. */
+  private final case class Extends(expr: String) extends Node
 
   // ------------------------------------------------------------- lexing
 
@@ -236,6 +245,22 @@ object Jinja {
                 }
               case "do" =>
                 nodes += Do(src.drop(2).trim); pos += 1
+              case "include" =>
+                val rest = src.drop("include".length).trim
+                val ign = rest.endsWith("ignore missing")
+                val e = if (ign) rest.dropRight("ignore missing".length).trim else rest
+                nodes += Include(e, ign); pos += 1
+              case "extends" =>
+                nodes += Extends(src.drop("extends".length).trim); pos += 1
+              case "block" =>
+                val name = src.drop("block".length).trim
+                  .takeWhile(c => !c.isWhitespace)
+                pos += 1
+                val (body, stop) = parseBlock(Set("endblock"))
+                if (stop.isEmpty)
+                  throw new IllegalArgumentException("jinja: missing {% endblock %}")
+                pos += 1
+                nodes += BlockNode(name, body)
               case _ =>
                 // macro/endmacro/call/endcall/raw/unknown → verbatim
                 nodes += Text(raw); pos += 1
@@ -284,9 +309,50 @@ object Jinja {
     val scope = new Scope(None)
     locals.foreach { case (k, v) => scope.vars(k) = v }
     val sb = new StringBuilder
-    emit(parse(lex(src)), ctx, scope, depth, sb)
+    emit(resolveExtends(parse(lex(src)), ctx, scope, depth, Map.empty),
+      ctx, scope, depth, sb)
     sb.toString
   }
+
+  /** Template inheritance (`{% extends %}`): walk up the parent chain,
+    * letting the most-derived template's `{% block %}` bodies win;
+    * emit then renders the base template with the overrides substituted
+    * in place. Parents load through `ctx.templateLoader`.
+    */
+  private def resolveExtends(nodes: Seq[Node], ctx: Template.Context,
+      scope: Scope, depth: Int, overrides: Map[String, Seq[Node]]): Seq[Node] = {
+    if (depth > MaxMacroDepth)
+      throw new IllegalArgumentException("jinja: extends chain too deep")
+    nodes.collectFirst { case e: Extends => e } match {
+      case Some(Extends(expr)) =>
+        val name = show(eval(expr, ctx, scope, depth))
+        val parentSrc = loadTemplate(ctx, name).getOrElse(
+          throw new IllegalArgumentException(s"jinja: extends: template not found: $name"))
+        val own = nodes.collect { case BlockNode(n, b) => n -> b }.toMap
+        // more-derived (accumulated) overrides win over this level's
+        resolveExtends(parse(lex(parentSrc)), ctx, scope, depth + 1,
+          own ++ overrides)
+      case None => substituteBlocks(nodes, overrides)
+    }
+  }
+
+  private def substituteBlocks(nodes: Seq[Node],
+      overrides: Map[String, Seq[Node]]): Seq[Node] =
+    if (overrides.isEmpty) nodes
+    else nodes.map {
+      case BlockNode(n, b) =>
+        val chosen = overrides.getOrElse(n, b)
+        BlockNode(n, substituteBlocks(chosen, overrides - n))
+      case If(br, els) =>
+        If(br.map { case (c, b) => (c, substituteBlocks(b, overrides)) },
+          substituteBlocks(els, overrides))
+      case For(v, it, b) => For(v, it, substituteBlocks(b, overrides))
+      case SetBlock(n, b) => SetBlock(n, substituteBlocks(b, overrides))
+      case other => other
+    }
+
+  private def loadTemplate(ctx: Template.Context, name: String): Option[String] =
+    ctx.templateLoader.flatMap(_(name))
 
   private def emit(nodes: Seq[Node], ctx: Template.Context, scope: Scope,
       depth: Int, sb: StringBuilder): Unit =
@@ -305,6 +371,21 @@ object Jinja {
         scope.vars(name) = JS(inner.toString.trim)
       case Do(expr) =>
         eval(expr, ctx, scope, depth); ()
+      case Include(expr, ignoreMissing) =>
+        val name = show(eval(expr, ctx, scope, depth))
+        loadTemplate(ctx, name) match {
+          case Some(src) =>
+            if (depth > MaxMacroDepth)
+              throw new IllegalArgumentException("jinja: include chain too deep")
+            emit(resolveExtends(parse(lex(src)), ctx, scope, depth + 1, Map.empty),
+              ctx, new Scope(Some(scope)), depth + 1, sb)
+          case None if ignoreMissing => ()
+          case None => throw new IllegalArgumentException(
+            s"jinja: include: template not found: $name")
+        }
+      case BlockNode(_, body) =>
+        emit(body, ctx, new Scope(Some(scope)), depth, sb)
+      case Extends(_) => () // consumed by resolveExtends; ignore stragglers
       case If(branches, els) =>
         branches.find { case (c, _) => truthy(eval(c, ctx, scope, depth)) } match {
           case Some((_, body)) => emit(body, ctx, scope, depth, sb)

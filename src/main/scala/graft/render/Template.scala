@@ -283,7 +283,13 @@ object Template {
         * handled by the engine grammar itself; everything else lands
         * here. None = no adapter metadata available.
         */
-      adapterApi: Option[(String, Seq[Jinja.JV]) => Jinja.JV] = None)
+      adapterApi: Option[(String, Seq[Jinja.JV]) => Jinja.JV] = None,
+      /** `{% include %}` / `{% extends %}` source loader: relative
+        * template path → source text. The engine installs a
+        * project-dir-rooted file loader; None = inheritance/include
+        * unavailable (parse-only contexts).
+        */
+      templateLoader: Option[String => Option[String]] = None)
 
   /** Render a model body to executable Spark SQL — the full block
     * engine ([[Jinja]]): nested if/for, general expressions, filters,

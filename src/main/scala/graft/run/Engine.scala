@@ -41,7 +41,10 @@ final class Engine(
     /** `--warn-error` (reference flag): promote every warn-status
       * result — warn-severity tests, freshness warn thresholds — to
       * error, so CI treats them as failures. */
-    val warnError: Boolean = false) {
+    val warnError: Boolean = false,
+    /** Search roots for `{% include %}` / `{% extends %}` template
+      * paths (fromProject passes the project dir). */
+    val templateDirs: Seq[String] = Nil) {
 
   val wh = new Warehouse(spark, warehouseRoot)
 
@@ -91,7 +94,20 @@ final class Engine(
       isIncremental, builtins = contextBuiltins, results = results,
       macroResolver = macroResolverFor(callerPackage),
       queryRunner = Some(sparkQueryRunner),
-      adapterApi = Some(adapterCall))
+      adapterApi = Some(adapterCall),
+      templateLoader = Some(loadTemplateFile))
+
+  /** Project-dir-rooted loader for `{% include %}`/`{% extends %}`;
+    * rejects path escapes.
+    */
+  private def loadTemplateFile(name: String): Option[String] = {
+    if (name.contains("..")) None
+    else templateDirs.iterator
+      .map(d => java.nio.file.Paths.get(d, name))
+      .find(java.nio.file.Files.isRegularFile(_))
+      .map(p => new String(java.nio.file.Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8))
+  }
 
   /** adapter metadata methods templates can call (reference adapter
     * wrapper, `core/dbt/context/providers.py:215-380`): column objects
@@ -899,6 +915,7 @@ object Engine {
       runStartHooks = proj.onRunStart, runEndHooks = proj.onRunEnd,
       namespace = ns, macros = proj.macros,
       macrosByPackage = proj.macrosByPackage,
-      target = targetDef, warnError = warnError)
+      target = targetDef, warnError = warnError,
+      templateDirs = Seq(projectDir))
   }
 }

@@ -351,4 +351,56 @@ class JinjaSpec extends AnyFunSuite {
       "{{ target.schema }}:{% if target.threads | int > 2 %}par{% else %}seq{% endif %}",
       c) === "dev_s:par")
   }
+
+  // --- include / template inheritance ---
+
+  private def ctxWithTemplates(files: Map[String, String]) =
+    ctx.copy(templateLoader = Some(files.get))
+
+  test("include renders inline with the current context") {
+    val c = ctxWithTemplates(Map(
+      "shared/filters.sql" -> "WHERE x > {{ var('start') }}"))
+    assert(Template.render(
+      "SELECT * FROM {{ ref('a') }} {% include 'shared/filters.sql' %}", c)
+      === "SELECT * FROM rel_a WHERE x > 2020-01-01")
+  }
+
+  test("include ignore missing renders nothing; plain include errors") {
+    val c = ctxWithTemplates(Map.empty)
+    assert(Template.render(
+      "A{% include 'nope.sql' ignore missing %}B", c) === "AB")
+    intercept[IllegalArgumentException] {
+      Template.render("{% include 'nope.sql' %}", c)
+    }
+  }
+
+  test("extends: child block overrides the parent's, defaults remain") {
+    val c = ctxWithTemplates(Map(
+      "base.sql" ->
+        "SELECT {% block cols %}*{% endblock %} FROM {% block rel %}t{% endblock %}"))
+    assert(Template.render(
+      "{% extends 'base.sql' %}{% block cols %}a, b{% endblock %}", c)
+      === "SELECT a, b FROM t")
+  }
+
+  test("extends chains: grandchild wins over child over base") {
+    val c = ctxWithTemplates(Map(
+      "base.sql" -> "[{% block x %}base{% endblock %}|{% block y %}base{% endblock %}]",
+      "mid.sql" -> "{% extends 'base.sql' %}{% block x %}mid{% endblock %}{% block y %}mid{% endblock %}"))
+    assert(Template.render(
+      "{% extends 'mid.sql' %}{% block y %}leaf{% endblock %}", c)
+      === "[mid|leaf]")
+  }
+
+  test("blocks without extends render their own bodies in place") {
+    assert(Template.render(
+      "A {% block b %}{{ ref('m') }}{% endblock %} C", ctx) === "A rel_m C")
+  }
+
+  test("included templates may themselves extend") {
+    val c = ctxWithTemplates(Map(
+      "base.sql" -> "({% block b %}0{% endblock %})",
+      "leaf.sql" -> "{% extends 'base.sql' %}{% block b %}1{% endblock %}"))
+    assert(Template.render("X{% include 'leaf.sql' %}Y", c) === "X(1)Y")
+  }
 }
