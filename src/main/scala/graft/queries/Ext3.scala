@@ -365,6 +365,196 @@ object Ext3 {
         .filter(col("rk") <= 10)
         .select("lang", "rk", "term", "tf", "score")
         .orderBy("lang", "rk")
+    },
+
+    // Item-item collaborative filtering over co-purchase baskets
+    // (the "customers also bought" neighbor table): cosine similarity
+    // c_ij/√(c_i·c_j) carried as its SQUARE in fixed point —
+    // floor(1e12·c_ij²/(c_i·c_j)) — so ranking is exact integer math
+    // with no sqrt anywhere (rank-equivalent: x↦x² is monotone on
+    // non-negative sims). Support ≥ 2 sparsifies the pair table
+    // before scoring (same lever as q150). Magnitudes: c_ij ≤ basket
+    // co-counts (≤ 10³ even at 100 TB catalog scale), so
+    // 1e12·c_ij² < 2^63; beyond that the cluster form is the same
+    // expression over DECIMAL(38,0). Top-3 neighbors per item via a
+    // pa-partitioned rank window.
+    QueryDef(
+      "q154_item_cf",
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |ic AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c FROM items GROUP BY 1),
+        |pc AS (
+        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb, CAST(COUNT(*) AS BIGINT) AS cab
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        |), sym AS (
+        |  SELECT pa, pb, cab FROM pc
+        |  UNION ALL SELECT pb, pa, cab FROM pc
+        |), sc AS (
+        |  SELECT s.pa, s.pb,
+        |         CAST((1000000000000 * s.cab * s.cab) // (ia.c * ib.c) AS BIGINT) AS sim2_fp
+        |  FROM sym s JOIN ic ia ON ia.l_partkey = s.pa
+        |             JOIN ic ib ON ib.l_partkey = s.pb
+        |), r AS (
+        |  SELECT pa, pb, sim2_fp,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY pa ORDER BY sim2_fp DESC, pb)
+        |              AS BIGINT) AS rk
+        |  FROM sc
+        |)
+        |SELECT pa AS p_partkey, rk, pb AS neighbor, sim2_fp
+        |FROM r WHERE rk <= 3 ORDER BY p_partkey, rk""".stripMargin) { (s, dir) =>
+      val items = Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey").distinct()
+      val ic = items.groupBy("l_partkey")
+        .agg(count(lit(1)).cast("long").as("c"))
+      val a = items.select(col("l_orderkey"), col("l_partkey").as("pa"))
+      val b = items.select(col("l_orderkey"), col("l_partkey").as("pb"))
+      val pc = a.join(b, "l_orderkey")
+        .filter(col("pa") < col("pb"))
+        .groupBy("pa", "pb").agg(count(lit(1)).cast("long").as("cab"))
+        .filter(col("cab") >= 2)
+      val sym = pc.union(pc.select(col("pb").as("pa"), col("pa").as("pb"), col("cab")))
+      val sc2 = sym
+        .join(ic.select(col("l_partkey").as("pa"), col("c").as("ca")), "pa")
+        .join(ic.select(col("l_partkey").as("pb"), col("c").as("cb")), "pb")
+        .withColumn("sim2_fp",
+          expr("(1000000000000L * cab * cab) div (ca * cb)").cast("long"))
+      val rw = Window.partitionBy("pa").orderBy(col("sim2_fp").desc, col("pb"))
+      sc2.withColumn("rk", row_number().over(rw).cast("long"))
+        .filter(col("rk") <= 3)
+        .select(col("pa").as("p_partkey"), col("rk"), col("pb").as("neighbor"),
+          col("sim2_fp"))
+        .orderBy("p_partkey", "rk")
+    },
+
+    // KMV (k-minimum-values) distinct sketch per event type, next to
+    // q38's HLL: hash users with md5, keep the k=32 smallest distinct
+    // 52-bit hash fractions, estimate |D| ≈ (k−1)/u_k. 52 bits so the
+    // fraction is exact in a double; the estimate is one
+    // multiply+divide over identical operands → bit-identical across
+    // engines. The exact count rides along to show the sketch error.
+    // 100 TB: per-type top-k-smallest is a partial aggregate (each
+    // partition keeps its own k smallest, merge keeps k smallest —
+    // here expressed as distinct + rank window on the user_id axis);
+    // the sketch state is k values per group, constant memory.
+    QueryDef(
+      "q155_kmv_sketch",
+      """WITH u AS (
+        |  SELECT DISTINCT event_type, user_id FROM events
+        |), h AS (
+        |  SELECT event_type, user_id,
+        |         CAST(('0x' || SUBSTR(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 13))
+        |              AS BIGINT) AS v
+        |  FROM u
+        |), r AS (
+        |  SELECT event_type, v,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v, user_id) AS rn,
+        |         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_exact
+        |  FROM h
+        |)
+        |SELECT event_type, n_exact,
+        |       CASE WHEN n_exact < 32 THEN CAST(n_exact AS DOUBLE)
+        |            ELSE CAST(31 AS DOUBLE) * 4503599627370496.0 / CAST(v AS DOUBLE)
+        |       END AS kmv_est
+        |FROM r WHERE rn = CASE WHEN n_exact < 32 THEN n_exact ELSE 32 END
+        |ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val u = Tables.load(s, dir, "events")
+        .select("event_type", "user_id").distinct()
+      val h = u.withColumn("v",
+        expr("cast(conv(substring(md5(concat('kmv:', cast(user_id as string))), 1, 13), 16, 10) as bigint)"))
+      val r = h
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("event_type").orderBy("v", "user_id")))
+        .withColumn("n_exact",
+          count(lit(1)).over(Window.partitionBy("event_type")).cast("long"))
+      r.filter(col("rn") === when(col("n_exact") < 32, col("n_exact")).otherwise(32))
+        .select(col("event_type"), col("n_exact"),
+          when(col("n_exact") < 32, col("n_exact").cast("double"))
+            .otherwise(lit(31.0) * lit(4503599627370496.0) / col("v").cast("double"))
+            .as("kmv_est"))
+        .orderBy("event_type")
+    },
+
+    // Order-to-ship latency histogram: fixed 7-day buckets clamped to
+    // [0, 8] with per-bucket order volume and exact decimal revenue —
+    // the latency-distribution profile every fulfillment dashboard
+    // draws. The lower clamp also neutralizes the floor-vs-truncate
+    // integer-division divergence on negative day diffs (the synthetic
+    // data ships some lines before the order date): any negative
+    // quotient lands in bucket 0 under either convention. No
+    // histogram UDF, no float edges. 100 TB: one orderkey-shuffled
+    // join, then a 9-row map-side-combined aggregate.
+    QueryDef(
+      "q156_latency_histogram",
+      """SELECT CAST(GREATEST(LEAST(DATE_DIFF('day', o_orderdate, l_shipdate) // 7, 8), 0)
+        |         AS BIGINT) AS bucket_wk,
+        |       CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY bucket_wk""".stripMargin) { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_shipdate", "l_extendedprice")
+      val o = Tables.load(s, dir, "orders").select("o_orderkey", "o_orderdate")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(greatest(least(expr("datediff(l_shipdate, o_orderdate) div 7"), lit(8)), lit(0))
+          .cast("long").as("bucket_wk"))
+        .agg(count(lit(1)).cast("long").as("n_lines"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("revenue"))
+        .orderBy("bucket_wk")
+    },
+
+    // Column profiling (the `SUMMARIZE` / dbt-docs statistics shape):
+    // per-column row/null/distinct counts and min/max, one UNION
+    // branch per profiled column so each branch's scan prunes to that
+    // single column (the same intentional multi-branch-scan stance as
+    // the funnels — profiling N columns from one scan would force an
+    // Expand over the whole row). Values surface as strings for a
+    // uniform schema; exact counts only.
+    QueryDef(
+      "q157_column_profile",
+      """SELECT col_name, n_rows, n_null, n_distinct, min_v, max_v FROM (
+        |  SELECT 'l_returnflag' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |         CAST(COUNT(*) - COUNT(l_returnflag) AS BIGINT) AS n_null,
+        |         CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS n_distinct,
+        |         CAST(MIN(l_returnflag) AS VARCHAR) AS min_v,
+        |         CAST(MAX(l_returnflag) AS VARCHAR) AS max_v
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_linestatus', CAST(COUNT(*) AS BIGINT),
+        |         CAST(COUNT(*) - COUNT(l_linestatus) AS BIGINT),
+        |         CAST(COUNT(DISTINCT l_linestatus) AS BIGINT),
+        |         CAST(MIN(l_linestatus) AS VARCHAR), CAST(MAX(l_linestatus) AS VARCHAR)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_orderkey', CAST(COUNT(*) AS BIGINT),
+        |         CAST(COUNT(*) - COUNT(l_orderkey) AS BIGINT),
+        |         CAST(COUNT(DISTINCT l_orderkey) AS BIGINT),
+        |         CAST(MIN(l_orderkey) AS VARCHAR), CAST(MAX(l_orderkey) AS VARCHAR)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'ship_day', CAST(COUNT(*) AS BIGINT),
+        |         CAST(COUNT(*) - COUNT(l_shipdate) AS BIGINT),
+        |         CAST(COUNT(DISTINCT CAST(l_shipdate AS DATE)) AS BIGINT),
+        |         CAST(MIN(CAST(l_shipdate AS DATE)) AS VARCHAR),
+        |         CAST(MAX(CAST(l_shipdate AS DATE)) AS VARCHAR)
+        |  FROM lineitem
+        |) p ORDER BY col_name""".stripMargin) { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+      def strProfile(name: String, c: Column, distinctOf: Column, minMax: Column) =
+        li.agg(
+          count(lit(1)).cast("long").as("n_rows"),
+          (count(lit(1)) - count(c)).cast("long").as("n_null"),
+          countDistinct(distinctOf).cast("long").as("n_distinct"),
+          min(minMax).cast("string").as("min_v"),
+          max(minMax).cast("string").as("max_v"))
+          .select(lit(name).as("col_name"), col("n_rows"), col("n_null"),
+            col("n_distinct"), col("min_v"), col("max_v"))
+      strProfile("l_returnflag", col("l_returnflag"), col("l_returnflag"), col("l_returnflag"))
+        .union(strProfile("l_linestatus", col("l_linestatus"), col("l_linestatus"), col("l_linestatus")))
+        .union(strProfile("l_orderkey", col("l_orderkey"), col("l_orderkey"), col("l_orderkey")))
+        .union(strProfile("ship_day", col("l_shipdate"),
+          col("l_shipdate").cast("date"), col("l_shipdate").cast("date")))
+        .orderBy("col_name")
     }
   )
 }

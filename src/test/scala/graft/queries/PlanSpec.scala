@@ -383,6 +383,35 @@ class PlanSpec extends SparkSpec {
     assert(p.split("HashAggregate").length > 2, "map-side combine: " + p)
   }
 
+  test("q154: item-CF scores the support-pruned pair table, no cartesian") {
+    val p = plan("q154_item_cf")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Window"), "per-item rank window: " + p)
+    assert(p.contains("cab"), "support filter prunes before scoring: " + p)
+  }
+
+  test("q155: KMV sketch windows partition by event_type, never global") {
+    val p = plan("q155_kmv_sketch")
+    assert(p.contains("Window"), p)
+    assert(p.contains("event_type"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q156: latency histogram is one join + 9-row combined aggregate") {
+    val p = plan("q156_latency_histogram")
+    assert(p.split("HashAggregate").length > 2, "map-side combine: " + p)
+    assert(!p.contains("CartesianProduct"), p)
+    // scans prune to the 3 + 2 needed columns
+    assert(!p.contains("l_comment") && !p.contains("o_totalprice"), p)
+  }
+
+  test("q157: each profile branch scans only its own column") {
+    val p = plan("q157_column_profile")
+    assert(p.contains("Union"), p)
+    assert(!p.contains("Expand"),
+      "per-branch distincts must not plan a row-widening Expand: " + p)
+  }
+
   test("whole-stage codegen active on the scan-agg path") {
     // AQE finalizes the plan lazily; execute first, then inspect
     val df = SparkEntry.queries("q02_agg_pricing_summary")(spark, sf)
