@@ -555,6 +555,62 @@ object Ext3 {
         .union(strProfile("ship_day", col("l_shipdate"),
           col("l_shipdate").cast("date"), col("l_shipdate").cast("date")))
         .orderBy("col_name")
+    },
+
+    // Unpivot/melt (B-surface completion next to q36's pivot): wide
+    // per-returnflag status counts melted back to (key, value) rows —
+    // Spark's native Dataset.unpivot vs DuckDB's UNPIVOT clause.
+    // 100 TB: melt is a map-only row expansion over an
+    // already-aggregated table; the only shuffle is the 3-group
+    // count rollup before it.
+    QueryDef(
+      "q158_unpivot_status",
+      """WITH a AS (
+        |  SELECT l_returnflag,
+        |         CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS f_cnt,
+        |         CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS o_cnt
+        |  FROM lineitem GROUP BY 1
+        |)
+        |SELECT l_returnflag, k, v
+        |FROM a UNPIVOT (v FOR k IN (f_cnt, o_cnt))
+        |ORDER BY l_returnflag, k""".stripMargin) { (s, dir) =>
+      val wide = Tables.load(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          sum(when(col("l_linestatus") === "F", 1).otherwise(0)).cast("long").as("f_cnt"),
+          sum(when(col("l_linestatus") === "O", 1).otherwise(0)).cast("long").as("o_cnt"))
+      wide.unpivot(
+          Array(col("l_returnflag")),
+          Array(col("f_cnt"), col("o_cnt")),
+          "k", "v")
+        .orderBy("l_returnflag", "k")
+    },
+
+    // Time-interval RANGE window frame (the frame family q54's ROWS
+    // frame doesn't cover): per-user trailing 7-DAY spend — the frame
+    // boundary is a time interval, so peers-by-timestamp share a
+    // value and gaps widen the trailing reach, exactly the
+    // rolling-revenue semantics dashboards want. Exact decimal sum
+    // inside the frame, cast once. 100 TB: partitions on user_id;
+    // range frames cost the same one sort as rows frames.
+    QueryDef(
+      "q159_range_frame_spend",
+      """SELECT user_id, event_id,
+        |       CAST(SUM(CAST(value AS DECIMAL(20,4))) OVER (
+        |         PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+        |         RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |         AS spend_7d
+        |FROM events
+        |WHERE event_type = 'purchase' AND user_id < 200
+        |ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .filter(col("event_type") === "purchase" && col("user_id") < 200)
+        .selectExpr("user_id", "event_id",
+          """CAST(SUM(CAST(value AS DECIMAL(20,4))) OVER (
+            |  PARTITION BY user_id ORDER BY ts
+            |  RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW) AS DOUBLE)
+            |  AS spend_7d""".stripMargin)
+        .orderBy("user_id", "event_id")
     }
   )
 }

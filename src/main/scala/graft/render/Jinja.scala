@@ -56,6 +56,9 @@ object Jinja {
   /** A first-class macro value — what `adapter.dispatch('x')` returns
     * and a `{% set m = ... %}` can hold; calling it renders the body. */
   final case class JMacro(m: Template.MacroDef) extends JV
+  /** A callable bound by the renderer itself (`super()` inside an
+    * overridden block); invoking it runs the closure. */
+  final case class JThunk(f: () => JV) extends JV
 
   /** `{{ return(v) }}` inside a macro body — non-local exit carrying a
     * VALUE (so macros can return lists, not just text), caught at the
@@ -79,6 +82,7 @@ object Jinja {
     case JNull => ""
     case JUndef(_) => ""
     case JMacro(m) => s"<macro ${m.name}>"
+    case JThunk(_) => "<block super>"
   }
 
   def truthy(v: JV): Boolean = v match {
@@ -89,6 +93,7 @@ object Jinja {
     case JM(m) => m.nonEmpty
     case JNull | JUndef(_) => false
     case JMacro(_) => true
+    case JThunk(_) => true
   }
 
   // ---------------------------------------------------------- parse tree
@@ -109,8 +114,11 @@ object Jinja {
     * context (Jinja's with-context default). */
   private final case class Include(expr: String, ignoreMissing: Boolean) extends Node
   /** `{% block name %}…{% endblock %}` — renders its body unless an
-    * extending template overrode it (resolved before emit). */
-  private final case class BlockNode(name: String, body: Seq[Node]) extends Node
+    * extending template overrode it (resolved before emit).
+    * `superChain` holds the shadowed bodies, nearest ancestor first,
+    * powering `{{ super() }}` inside overrides. */
+  private final case class BlockNode(name: String, body: Seq[Node],
+      superChain: List[Seq[Node]] = Nil) extends Node
   /** `{% extends 'base.sql' %}` — template inheritance marker; resolved
     * by [[resolveExtends]], never emitted. */
   private final case class Extends(expr: String) extends Node
@@ -320,7 +328,8 @@ object Jinja {
     * in place. Parents load through `ctx.templateLoader`.
     */
   private def resolveExtends(nodes: Seq[Node], ctx: Template.Context,
-      scope: Scope, depth: Int, overrides: Map[String, Seq[Node]]): Seq[Node] = {
+      scope: Scope, depth: Int,
+      overrides: Map[String, List[Seq[Node]]]): Seq[Node] = {
     if (depth > MaxMacroDepth)
       throw new IllegalArgumentException("jinja: extends chain too deep")
     nodes.collectFirst { case e: Extends => e } match {
@@ -328,21 +337,28 @@ object Jinja {
         val name = show(eval(expr, ctx, scope, depth))
         val parentSrc = loadTemplate(ctx, name).getOrElse(
           throw new IllegalArgumentException(s"jinja: extends: template not found: $name"))
-        val own = nodes.collect { case BlockNode(n, b) => n -> b }.toMap
-        // more-derived (accumulated) overrides win over this level's
-        resolveExtends(parse(lex(parentSrc)), ctx, scope, depth + 1,
-          own ++ overrides)
+        // accumulate this level's bodies BELOW the more-derived ones:
+        // the head of each list is the winner; the tail is the
+        // `{{ super() }}` chain
+        val merged = nodes.collect { case BlockNode(n, b, _) => n -> b }
+          .foldLeft(overrides) { case (acc, (n, b)) =>
+            acc.updated(n, acc.getOrElse(n, Nil) :+ b)
+          }
+        resolveExtends(parse(lex(parentSrc)), ctx, scope, depth + 1, merged)
       case None => substituteBlocks(nodes, overrides)
     }
   }
 
   private def substituteBlocks(nodes: Seq[Node],
-      overrides: Map[String, Seq[Node]]): Seq[Node] =
+      overrides: Map[String, List[Seq[Node]]]): Seq[Node] =
     if (overrides.isEmpty) nodes
     else nodes.map {
-      case BlockNode(n, b) =>
-        val chosen = overrides.getOrElse(n, b)
-        BlockNode(n, substituteBlocks(chosen, overrides - n))
+      case BlockNode(n, b, _) =>
+        // full stack: derived bodies (nearest-first), base body last
+        val stack = overrides.getOrElse(n, Nil) :+ b
+        val inner = overrides - n
+        BlockNode(n, substituteBlocks(stack.head, inner),
+          stack.tail.map(substituteBlocks(_, inner)))
       case If(br, els) =>
         If(br.map { case (c, b) => (c, substituteBlocks(b, overrides)) },
           substituteBlocks(els, overrides))
@@ -383,8 +399,18 @@ object Jinja {
           case None => throw new IllegalArgumentException(
             s"jinja: include: template not found: $name")
         }
-      case BlockNode(_, body) =>
-        emit(body, ctx, new Scope(Some(scope)), depth, sb)
+      case BlockNode(name, body, superChain) =>
+        val inner = new Scope(Some(scope))
+        superChain match {
+          case next :: rest =>
+            inner.vars("super") = JThunk(() => {
+              val sb2 = new StringBuilder
+              emit(Seq(BlockNode(name, next, rest)), ctx, scope, depth, sb2)
+              JS(sb2.toString)
+            })
+          case Nil => ()
+        }
+        emit(body, ctx, inner, depth, sb)
       case Extends(_) => () // consumed by resolveExtends; ignore stragglers
       case If(branches, els) =>
         branches.find { case (c, _) => truthy(eval(c, ctx, scope, depth)) } match {
@@ -655,6 +681,9 @@ object Jinja {
           // immediate call of a macro value: adapter.dispatch('x')(args)
           val (pos, kw) = parseArgs()
           v = invokeMacro(v.asInstanceOf[JMacro].m, pos, kw)
+        } else if (peek == '(' && v.isInstanceOf[JThunk]) {
+          parseArgs()
+          v = v.asInstanceOf[JThunk].f()
         } else continue = false
       }
       v
@@ -935,9 +964,14 @@ object Jinja {
         case "config" => JS("") // parse-time concern (Template.extractConfig)
         case "exceptions" => JS("")
         case other =>
-          ctx.macroResolver(other) match {
-            case Some(_) => callMacro(other, pos, kw)
-            case None => JUndef(s"{{ $other(…) }}")
+          scope.lookup(other) match {
+            // renderer-bound callables (super() in an overridden block)
+            case Some(JThunk(f)) if pos.isEmpty && kw.isEmpty => f()
+            case _ =>
+              ctx.macroResolver(other) match {
+                case Some(_) => callMacro(other, pos, kw)
+                case None => JUndef(s"{{ $other(…) }}")
+              }
           }
       }
 

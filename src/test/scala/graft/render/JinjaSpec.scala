@@ -397,6 +397,23 @@ class JinjaSpec extends AnyFunSuite {
       "A {% block b %}{{ ref('m') }}{% endblock %} C", ctx) === "A rel_m C")
   }
 
+  test("super() renders the overridden parent body in place") {
+    val c = ctxWithTemplates(Map(
+      "base.sql" -> "{% block b %}WHERE x > 0{% endblock %}"))
+    assert(Template.render(
+      "{% extends 'base.sql' %}{% block b %}{{ super() }} AND y = 1{% endblock %}", c)
+      === "WHERE x > 0 AND y = 1")
+  }
+
+  test("super() chains through multi-level inheritance") {
+    val c = ctxWithTemplates(Map(
+      "base.sql" -> "{% block b %}base{% endblock %}",
+      "mid.sql" -> "{% extends 'base.sql' %}{% block b %}({{ super() }})+mid{% endblock %}"))
+    assert(Template.render(
+      "{% extends 'mid.sql' %}{% block b %}{{ super() }}+leaf{% endblock %}", c)
+      === "(base)+mid+leaf")
+  }
+
   test("included templates may themselves extend") {
     val c = ctxWithTemplates(Map(
       "base.sql" -> "({% block b %}0{% endblock %})",
