@@ -43,6 +43,13 @@ final case class NodeConfig(
       * `bucket_by` (join co-location) takes precedence when both set.
       */
     clusterBy: Seq[String] = Nil,
+    /** Storage format for table-like materializations (dbt-spark's
+      * `file_format` config): parquet (default) or orc — the two
+      * self-describing columnar formats Spark ships; csv/json sinks
+      * would silently lose schema fidelity on read-back and are
+      * rejected with a clear error at write time.
+      */
+    fileFormat: Option[String] = None,
     contractEnforced: Boolean = false,
     severity: String = "error", // tests: error|warn
     warnIf: String = "!= 0",
@@ -81,6 +88,7 @@ final case class NodeConfig(
       bucketBy = if (other.bucketBy.nonEmpty) other.bucketBy else bucketBy,
       numBuckets = if (other.numBuckets != 0) other.numBuckets else numBuckets,
       clusterBy = if (other.clusterBy.nonEmpty) other.clusterBy else clusterBy,
+      fileFormat = other.fileFormat.orElse(fileFormat),
       contractEnforced = other.contractEnforced || contractEnforced,
       severity = if (other.severity != defaults.severity) other.severity else severity,
       warnIf = if (other.warnIf != defaults.warnIf) other.warnIf else warnIf,

@@ -37,9 +37,9 @@ object Materializer {
   // --------------------------------------------------------------- table
 
   def table(wh: Warehouse, name: String, sql: String, partitionBy: Seq[String] = Nil,
-      clusterBy: Seq[String] = Nil): Long = {
+      clusterBy: Seq[String] = Nil, fileFormat: String = "parquet"): Long = {
     val df = wh.spark.sql(sql)
-    wh.writeTable(name, df, partitionBy, clusterBy)
+    wh.writeTable(name, df, partitionBy, clusterBy, fileFormat)
     -1L
   }
 

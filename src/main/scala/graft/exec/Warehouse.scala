@@ -30,7 +30,19 @@ final class Warehouse(val spark: SparkSession, val root: String,
     val maxCommits: Int = 0) {
 
   private final case class RelState(paths: Seq[String], nextVersion: Int,
-      isView: Boolean, isCatalog: Boolean = false)
+      isView: Boolean, isCatalog: Boolean = false, fmt: String = "parquet")
+
+  /** Formats a table materialization may use (dbt-spark `file_format`):
+    * the self-describing columnar pair only — csv/json would lose
+    * schema fidelity on read-back.
+    */
+  private val SupportedFormats = Set("parquet", "orc")
+
+  private def checkFormat(fmt: String): String = {
+    require(SupportedFormats(fmt),
+      s"unsupported file_format '$fmt' (supported: ${SupportedFormats.toSeq.sorted.mkString(", ")})")
+    fmt
+  }
 
   private val relations = scala.collection.mutable.Map[String, RelState]()
   private val lock = new Object
@@ -51,25 +63,31 @@ final class Warehouse(val spark: SparkSession, val root: String,
     for (d <- dirs) {
       val cf = new java.io.File(d, "_commits")
       if (cf.isFile) {
-        val paths = java.nio.file.Files.readAllLines(cf.toPath).iterator()
-        val live = scala.jdk.CollectionConverters
-          .IteratorHasAsScala(paths).asScala
+        val lines = scala.jdk.CollectionConverters.IteratorHasAsScala(
+          java.nio.file.Files.readAllLines(cf.toPath).iterator()).asScala.toSeq
+        // optional "format=<fmt>" header line (older manifests = parquet)
+        val fmt = lines.headOption.filter(_.startsWith("format="))
+          .map(_.stripPrefix("format=")).getOrElse("parquet")
+        val versions = lines.filterNot(_.startsWith("format="))
+        val live = versions
           .map(v => s"$root/${d.getName}/$v")
-          .filter(p => new java.io.File(p).isDirectory).toSeq
+          .filter(p => new java.io.File(p).isDirectory)
         if (live.nonEmpty) {
           val nextV = live.map(_.split('/').last.stripPrefix("v").toInt).max + 1
-          relations(d.getName) = RelState(live, nextV, isView = false)
-          spark.read.parquet(live: _*).createOrReplaceTempView(d.getName)
+          relations(d.getName) = RelState(live, nextV, isView = false, fmt = fmt)
+          spark.read.format(fmt).load(live: _*).createOrReplaceTempView(d.getName)
         }
       }
     }
   }
 
-  private def writeCommits(name: String, paths: Seq[String]): Unit = {
+  private def writeCommits(name: String, paths: Seq[String],
+      fmt: String = "parquet"): Unit = {
     val f = java.nio.file.Paths.get(root, name, "_commits")
     java.nio.file.Files.createDirectories(f.getParent)
+    val header = if (fmt == "parquet") Nil else Seq(s"format=$fmt")
     java.nio.file.Files.writeString(f,
-      paths.map(_.split('/').last).mkString("\n"))
+      (header ++ paths.map(_.split('/').last)).mkString("\n"))
     ()
   }
 
@@ -82,7 +100,7 @@ final class Warehouse(val spark: SparkSession, val root: String,
     val st = lock.synchronized(relations.getOrElse(name,
       throw new IllegalArgumentException(s"unknown relation: $name")))
     if (st.isView || st.isCatalog) spark.table(name)
-    else spark.read.parquet(st.paths: _*)
+    else spark.read.format(st.fmt).load(st.paths: _*)
   }
 
   /** Replace the relation's content atomically (new version dir).
@@ -95,7 +113,8 @@ final class Warehouse(val spark: SparkSession, val root: String,
     * scans).
     */
   def writeTable(name: String, df: DataFrame, partitionBy: Seq[String] = Nil,
-      clusterBy: Seq[String] = Nil): Unit = {
+      clusterBy: Seq[String] = Nil, fileFormat: String = "parquet"): Unit = {
+    val fmt = checkFormat(fileFormat)
     val v = lock.synchronized(relations.get(name).map(_.nextVersion).getOrElse(0))
     val path = s"$root/$name/v$v"
     val clustered =
@@ -103,28 +122,31 @@ final class Warehouse(val spark: SparkSession, val root: String,
         val cols = clusterBy.map(org.apache.spark.sql.functions.col)
         df.repartitionByRange(cols: _*).sortWithinPartitions(cols: _*)
       } else df
-    val writer = clustered.write.mode(SaveMode.Overwrite)
+    val writer = clustered.write.mode(SaveMode.Overwrite).format(fmt)
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
-      .parquet(path)
+      .save(path)
     lock.synchronized {
-      relations(name) = RelState(Seq(path), v + 1, isView = false)
-      spark.read.parquet(path).createOrReplaceTempView(name)
-      writeCommits(name, Seq(path))
+      relations(name) = RelState(Seq(path), v + 1, isView = false, fmt = fmt)
+      spark.read.format(fmt).load(path).createOrReplaceTempView(name)
+      writeCommits(name, Seq(path), fmt)
     }
   }
 
-  /** Append a delta (new commit dir; no rewrite of existing data). */
+  /** Append a delta (new commit dir; no rewrite of existing data).
+    * The delta inherits the relation's existing file format.
+    */
   def appendTable(name: String, df: DataFrame): Unit = {
     val st = lock.synchronized(relations.get(name)).getOrElse {
       return writeTable(name, df)
     }
     val path = s"$root/$name/v${st.nextVersion}"
-    df.write.mode(SaveMode.Overwrite).parquet(path)
+    df.write.mode(SaveMode.Overwrite).format(st.fmt).save(path)
     lock.synchronized {
       val newPaths = st.paths :+ path
-      relations(name) = RelState(newPaths, st.nextVersion + 1, isView = false)
-      spark.read.parquet(newPaths: _*).createOrReplaceTempView(name)
-      writeCommits(name, newPaths)
+      relations(name) = RelState(newPaths, st.nextVersion + 1,
+        isView = false, fmt = st.fmt)
+      spark.read.format(st.fmt).load(newPaths: _*).createOrReplaceTempView(name)
+      writeCommits(name, newPaths, st.fmt)
     }
     if (maxCommits > 0 && commitCount(name) > maxCommits) compact(name)
   }
@@ -181,9 +203,16 @@ final class Warehouse(val spark: SparkSession, val root: String,
     */
   def compact(name: String, targetPartitions: Int = 0): Unit = {
     val df0 = read(name)
+    val fmt = lock.synchronized(relations.get(name).map(_.fmt).getOrElse("parquet"))
     val df = if (targetPartitions > 0) df0.repartition(targetPartitions) else df0
-    writeTable(name, df)
+    writeTable(name, df, fileFormat = fmt)
   }
+
+  /** The relation's storage format ("parquet"/"orc"; views report
+    * parquet).
+    */
+  def formatOf(name: String): String =
+    lock.synchronized(relations.get(name).map(_.fmt).getOrElse("parquet"))
 
   /** Commit-log length (for compaction policies / tests). */
   def commitCount(name: String): Int =

@@ -924,6 +924,7 @@ object ProjectLoader {
       bucketBy = kw.get("bucket_by").map(_.split(",").map(_.trim).toSeq).getOrElse(Nil),
       numBuckets = kw.get("num_buckets").map(_.toInt).getOrElse(0),
       clusterBy = kw.get("cluster_by").map(_.split(",").map(_.trim).toSeq).getOrElse(Nil),
+      fileFormat = kw.get("file_format"),
       contractEnforced = kw.get("contract_enforced").exists(_.toBoolean),
       severity = kw.getOrElse("severity", base.severity),
       warnIf = kw.getOrElse("warn_if", base.warnIf),

@@ -981,8 +981,10 @@ object Curation {
         col("n_parts").as("n_b"), col("noun"))
       a.join(broadcast(b), "noun")
         .filter(col("name_a") < col("name_b"))
-        .withColumn("lev", levenshtein(col("name_a"), col("name_b")).cast("long"))
-        .filter(col("lev") <= 3)
+        // bounded 3-arg levenshtein: banded O(k·n) DP, -1 past the
+        // threshold — exact (so identical rows) inside it
+        .withColumn("lev", levenshtein(col("name_a"), col("name_b"), 3).cast("long"))
+        .filter(col("lev") >= 0)
         .select("name_a", "name_b", "lev", "n_a", "n_b")
         .orderBy("name_a", "name_b")
     },

@@ -257,13 +257,18 @@ object Ext3 {
         .withColumn("n1", lead(col("norm"), 1).over(w))
         .withColumn("d2", lead(col("doc_id"), 2).over(w))
         .withColumn("n2", lead(col("norm"), 2).over(w))
+      // bounded form: Spark's 3-arg levenshtein runs the banded
+      // O(k·n) DP and returns -1 past the threshold — exact inside it,
+      // so the filter keeps identical rows to the unbounded version
+      // while long outliers exit early (the kernel that matters when
+      // prefixes grow past 64 chars at scale)
       val c1 = p.filter(col("d1").isNotNull)
         .select(col("doc_id").as("doc_a"), col("d1").as("doc_b"),
-          levenshtein(col("norm"), col("n1")).cast("long").as("lev"))
+          levenshtein(col("norm"), col("n1"), 8).cast("long").as("lev"))
       val c2 = p.filter(col("d2").isNotNull)
         .select(col("doc_id").as("doc_a"), col("d2").as("doc_b"),
-          levenshtein(col("norm"), col("n2")).cast("long").as("lev"))
-      c1.union(c2).filter(col("lev") <= 8).orderBy("doc_a", "doc_b")
+          levenshtein(col("norm"), col("n2"), 8).cast("long").as("lev"))
+      c1.union(c2).filter(col("lev") >= 0).orderBy("doc_a", "doc_b")
     },
 
     // Top session opening paths (the Sankey/user-journey feed): q33's

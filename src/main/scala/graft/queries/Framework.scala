@@ -1205,6 +1205,62 @@ object Framework {
       require(results.forall(_.status == "success"),
         s"m26 run failed: ${results.filterNot(_.status == "success").mkString("; ")}")
       eng.wh.read("m26_fct").orderBy("o_orderstatus")
+    },
+
+    // dbt-spark `file_format` config end-to-end: a model materializes
+    // as ORC (config parse → Engine → Warehouse format-aware write),
+    // the on-disk files must really be ORC, and a SECOND Warehouse
+    // over the same root must replay the commit manifest WITH its
+    // format header — the gate reads through the recovered warehouse,
+    // so a format lost anywhere in the chain (write, manifest,
+    // recovery, read) breaks the hash.
+    QueryDef(
+      "m27_file_format_orc",
+      """SELECT o_orderpriority,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val root = java.nio.file.Files.createTempDirectory("m27_proj")
+      scratchDirs.add(root.toFile)
+      def write(rel: String, content: String): Unit = {
+        val p = root.resolve(rel)
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.writeString(p, content)
+      }
+      write("dbt_project.yml", "name: m27proj\n")
+      write("models/sources.yml",
+        s"""sources:
+           |  - name: main
+           |    tables:
+           |      - name: orders
+           |        path: $dir/orders.parquet
+           |""".stripMargin)
+      write("models/m27_fct.sql",
+        """{{ config(materialized='table', file_format='orc') }}
+          |SELECT o_orderpriority,
+          |       CAST(COUNT(*) AS BIGINT) AS n,
+          |       CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS total
+          |FROM {{ source('main', 'orders') }}
+          |GROUP BY o_orderpriority""".stripMargin)
+      val whRoot = scratch()
+      val eng = Engine.fromProject(s, root.toString, whRoot)
+      val results = eng.run(threads = 2)
+      require(results.forall(_.status == "success"),
+        s"m27 run failed: ${results.filterNot(_.status == "success").mkString("; ")}")
+      require(eng.wh.formatOf("m27_fct") == "orc", "relation must be ORC")
+      val files = java.nio.file.Files.walk(
+          java.nio.file.Paths.get(whRoot, "m27_fct"))
+        .iterator()
+      val hasOrc = scala.jdk.CollectionConverters.IteratorHasAsScala(files)
+        .asScala.exists(_.toString.endsWith(".orc"))
+      require(hasOrc, "on-disk files must be .orc")
+      // durability: a fresh Warehouse must recover the format
+      val wh2 = new graft.exec.Warehouse(s, whRoot)
+      require(wh2.formatOf("m27_fct") == "orc",
+        "recovered warehouse must replay the format header")
+      wh2.read("m27_fct").orderBy("o_orderpriority")
     }
   )
 }

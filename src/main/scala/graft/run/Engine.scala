@@ -449,7 +449,8 @@ final class Engine(
               m.config.bucketBy, math.max(1, m.config.numBuckets))
           else
             Materializer.table(wh, relationName(m), compile(m),
-              m.config.partitionBy, m.config.clusterBy)
+              m.config.partitionBy, m.config.clusterBy,
+              m.config.fileFormat.getOrElse("parquet"))
         case "incremental" =>
           Materializer.incremental(wh, relationName(m),
             renderedFull = compile(m, isIncremental = false),
