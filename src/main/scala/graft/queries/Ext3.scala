@@ -616,6 +616,115 @@ object Ext3 {
             |  RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW) AS DOUBLE)
             |  AS spend_7d""".stripMargin)
         .orderBy("user_id", "event_id")
+    },
+
+    // Linear multi-touch attribution (the even-split counterpart of
+    // q143's last-touch): each purchase divides one credit unit
+    // equally across ALL the user's prior touches, by touch type.
+    // Per-purchase credit is fixed-point floor(1e6·c_t/n) — exact
+    // integers, so the cross-purchase sum is order-independent (the
+    // ≤3-millionths floor residual per purchase is the documented
+    // price of determinism). Prior-touch counts come from THREE
+    // running-count windows over ONE user-ordered pass — no
+    // purchase×touch self-join. 100 TB: one user_id shuffle, then a
+    // 3-row aggregate.
+    QueryDef(
+      "q160_linear_attribution",
+      """WITH seq AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |         COUNT(CASE WHEN event_type = 'view' THEN 1 END)
+        |           OVER w AS c_view,
+        |         COUNT(CASE WHEN event_type = 'click' THEN 1 END)
+        |           OVER w AS c_click,
+        |         COUNT(CASE WHEN event_type = 'signup' THEN 1 END)
+        |           OVER w AS c_signup
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |), p AS (
+        |  SELECT c_view, c_click, c_signup,
+        |         c_view + c_click + c_signup AS n
+        |  FROM seq WHERE event_type = 'purchase'
+        |    AND c_view + c_click + c_signup > 0
+        |)
+        |SELECT touch_type,
+        |       CAST(SUM(credit_fp) AS BIGINT) AS credit_fp,
+        |       CAST(COUNT(*) AS BIGINT) AS n_purchases
+        |FROM (
+        |  SELECT 'view' AS touch_type, (1000000 * c_view) // n AS credit_fp FROM p WHERE c_view > 0
+        |  UNION ALL
+        |  SELECT 'click', (1000000 * c_click) // n FROM p WHERE c_click > 0
+        |  UNION ALL
+        |  SELECT 'signup', (1000000 * c_signup) // n FROM p WHERE c_signup > 0
+        |) u GROUP BY touch_type ORDER BY touch_type""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val seq0 = Tables.load(s, dir, "events")
+        .select("user_id", "event_type", "ts", "event_id")
+        .withColumn("c_view",
+          count(when(col("event_type") === "view", 1)).over(w))
+        .withColumn("c_click",
+          count(when(col("event_type") === "click", 1)).over(w))
+        .withColumn("c_signup",
+          count(when(col("event_type") === "signup", 1)).over(w))
+      val p = seq0.filter(col("event_type") === "purchase")
+        .withColumn("n", col("c_view") + col("c_click") + col("c_signup"))
+        .filter(col("n") > 0)
+      // map-side fan-out from ONE window pass (a union of slices would
+      // re-run the scan + window per touch type)
+      def sl(t: String, c: String) = struct(lit(t).as("touch_type"),
+        expr(s"(1000000L * $c) div n").as("credit_fp"), col(c).as("c"))
+      p.select(explode(array(
+          sl("view", "c_view"), sl("click", "c_click"), sl("signup", "c_signup")))
+          .as("t"))
+        .filter(col("t.c") > 0)
+        .groupBy(col("t.touch_type").as("touch_type"))
+        .agg(sum("t.credit_fp").cast("long").as("credit_fp"),
+          count(lit(1)).cast("long").as("n_purchases"))
+        .orderBy("touch_type")
+    },
+
+    // Funnel conversion timing: quartiles of signup→first-purchase
+    // latency in whole seconds (the q53 exact-percentile pattern —
+    // integer inputs make the (n−1)·q interpolation an exact binary
+    // fraction in both engines). 100 TB: two per-user min-reduces on
+    // the user_id axis, then a 1-row percentile over the converter
+    // cohort (cohort-sized, not event-sized).
+    QueryDef(
+      "q161_funnel_timing",
+      """WITH s AS (
+        |  SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS signup_ts
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1
+        |), p AS (
+        |  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS first_purchase_ts
+        |  FROM events e JOIN s ON e.user_id = s.user_id
+        |  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) >= s.signup_ts
+        |  GROUP BY 1
+        |), d AS (
+        |  SELECT CAST(DATE_DIFF('second', s.signup_ts, p.first_purchase_ts) AS BIGINT)
+        |           AS delay_s
+        |  FROM s JOIN p ON s.user_id = p.user_id
+        |)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_converters,
+        |       CAST(quantile_cont(delay_s, 0.25) AS DOUBLE) AS p25_s,
+        |       CAST(quantile_cont(delay_s, 0.5) AS DOUBLE) AS median_s,
+        |       CAST(quantile_cont(delay_s, 0.75) AS DOUBLE) AS p75_s
+        |FROM d""".stripMargin) { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("ts").as("signup_ts"))
+      val pu = ev.filter(col("event_type") === "purchase")
+        .join(su, "user_id")
+        .filter(col("ts") >= col("signup_ts"))
+        .groupBy("user_id").agg(min("ts").as("first_purchase_ts"))
+      su.join(pu, "user_id")
+        .select((unix_timestamp(col("first_purchase_ts"))
+          - unix_timestamp(col("signup_ts"))).as("delay_s"))
+        .agg(
+          count(lit(1)).cast("long").as("n_converters"),
+          expr("percentile(delay_s, 0.25)").as("p25_s"),
+          expr("percentile(delay_s, 0.5)").as("median_s"),
+          expr("percentile(delay_s, 0.75)").as("p75_s"))
     }
   )
 }

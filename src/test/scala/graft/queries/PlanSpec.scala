@@ -412,6 +412,28 @@ class PlanSpec extends SparkSpec {
       "per-branch distincts must not plan a row-widening Expand: " + p)
   }
 
+  test("q158/q159: unpivot is map-only after the rollup; range frame has one sort") {
+    val p1 = plan("q158_unpivot_status")
+    assert(p1.contains("Expand") || p1.contains("Generate"),
+      "melt is a map-side row expansion: " + p1)
+    val p2 = plan("q159_range_frame_spend")
+    assert(p2.contains("Window"), p2)
+    assert(p2.contains("PushedFilters"), "purchase+user filters reach the scan: " + p2)
+  }
+
+  test("q160: attribution rides three windows over ONE events scan") {
+    val p = plan("q160_linear_attribution")
+    assert(p.split("Scan parquet").length === 2, "ONE events scan: " + p)
+    assert(p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), "no purchase-touch self-join: " + p)
+  }
+
+  test("q161: funnel timing joins on the user axis, percentile over cohort") {
+    val p = plan("q161_funnel_timing")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("percentile"), p)
+  }
+
   test("whole-stage codegen active on the scan-agg path") {
     // AQE finalizes the plan lazily; execute first, then inspect
     val df = SparkEntry.queries("q02_agg_pricing_summary")(spark, sf)
