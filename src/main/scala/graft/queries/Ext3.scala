@@ -725,6 +725,75 @@ object Ext3 {
           expr("percentile(delay_s, 0.25)").as("p25_s"),
           expr("percentile(delay_s, 0.5)").as("median_s"),
           expr("percentile(delay_s, 0.75)").as("p75_s"))
+    },
+
+    // Higher-order array functions as first-class operators (B19
+    // depth): filter → transform → aggregate lambdas run inside
+    // whole-stage codegen — the idiomatic Spark replacement for a
+    // token-stats UDF. All-integer outputs, so the engines compare
+    // exactly despite different HOF spellings (Spark
+    // filter/transform/aggregate vs DuckDB
+    // list_filter/list_transform/list_sum). 100 TB: map-only per row
+    // until the per-language rollup.
+    QueryDef(
+      "q162_array_hof",
+      """SELECT lang,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(n_long) AS BIGINT) AS long_tokens,
+        |       CAST(SUM(long_chars) AS BIGINT) AS long_chars,
+        |       CAST(MAX(n_long) AS BIGINT) AS max_long_tokens
+        |FROM (
+        |  SELECT lang,
+        |         len(list_filter(string_split(lower(text), ' '),
+        |                         x -> length(x) > 6)) AS n_long,
+        |         COALESCE(list_sum(list_transform(
+        |           list_filter(string_split(lower(text), ' '),
+        |                       x -> length(x) > 6),
+        |           x -> length(x))), 0) AS long_chars
+        |  FROM documents
+        |) d GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("lang"),
+          expr("size(filter(split(lower(text), ' '), x -> length(x) > 6))")
+            .as("n_long"),
+          expr("""aggregate(
+                 |  transform(filter(split(lower(text), ' '),
+                 |                   x -> length(x) > 6),
+                 |            x -> length(x)),
+                 |  0, (a, x) -> a + x)""".stripMargin).as("long_chars"))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).cast("long").as("n_docs"),
+          sum("n_long").cast("long").as("long_tokens"),
+          sum("long_chars").cast("long").as("long_chars"),
+          max("n_long").cast("long").as("max_long_tokens"))
+        .orderBy("lang")
+    },
+
+    // Correlated LATERAL join (the top-N-per-group shape as the
+    // OPTIMIZER sees it, complementing q11's window formulation):
+    // each nation joins its own top-2 customers by balance. Spark
+    // plans the correlated LIMIT subquery as a partitioned window
+    // under the hood — asserting the SQL surface exists matters for
+    // migration parity (dbt models written with LATERAL run
+    // unchanged). 100 TB: dimension-driven; the fact side
+    // sorts/limits per key, never globally.
+    QueryDef(
+      "q163_lateral_topn",
+      """SELECT n.n_name, t.c_name, CAST(t.c_acctbal AS DOUBLE) AS c_acctbal
+        |FROM nation n, LATERAL (
+        |  SELECT c_name, c_acctbal FROM customer c
+        |  WHERE c.c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+        |ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""".stripMargin) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT n.n_name, t.c_name, CAST(t.c_acctbal AS DOUBLE) AS c_acctbal
+          |FROM nation n, LATERAL (
+          |  SELECT c_name, c_acctbal FROM customer c
+          |  WHERE c.c_nationkey = n.n_nationkey
+          |  ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+          |ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""".stripMargin)
     }
   )
 }

@@ -434,6 +434,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("percentile"), p)
   }
 
+  test("q162: array HOF lambdas stay map-side before the rollup") {
+    val p = plan("q162_array_hof")
+    assert(p.split("Scan parquet").length === 2, "ONE documents scan: " + p)
+    assert(p.split("HashAggregate").length > 2, "map-side combine: " + p)
+    assert(!p.contains("BatchEvalPython") && !p.contains("Generate"),
+      "lambdas evaluate in-row, no UDF/explode detour: " + p)
+  }
+
+  test("q163: LATERAL top-n plans as partitioned window, no cartesian") {
+    val p = plan("q163_lateral_topn")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Window"),
+      "correlated LIMIT subquery rewrites to a per-key window: " + p)
+  }
+
   test("whole-stage codegen active on the scan-agg path") {
     // AQE finalizes the plan lazily; execute first, then inspect
     val df = SparkEntry.queries("q02_agg_pricing_summary")(spark, sf)
