@@ -794,6 +794,58 @@ object Ext3 {
           |  WHERE c.c_nationkey = n.n_nationkey
           |  ORDER BY c_acctbal DESC, c_name LIMIT 2) t
           |ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""".stripMargin)
+    },
+
+    // Bitmap day-over-day retention (the roaring-bitmap OLAP
+    // technique, exact-integer form): users pack into 63-bit bitmap
+    // words keyed by (day, user_id div 63); day-over-day retained
+    // users = popcount of the worded AND. The bitmap table is
+    // |days|×|users|/63 rows — 63× smaller than the (day, user) grid
+    // a COUNT(DISTINCT) self-join would shuffle — and "next day's
+    // word" comes from a bucket-partitioned lead window over that ONE
+    // aggregate (gap-guarded), so there is no self-join and no second
+    // scan at all. 63 (not 64) keeps every word positive,
+    // sidestepping sign-bit semantics differences. Retention ratio in
+    // fixed point — zero floats.
+    QueryDef(
+      "q164_bitmap_retention",
+      """WITH b AS (
+        |  SELECT DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS day,
+        |         user_id // 63 AS bucket,
+        |         BIT_OR(CAST(1 AS BIGINT) << CAST(user_id % 63 AS INTEGER)) AS m
+        |  FROM events GROUP BY 1, 2
+        |), w AS (
+        |  SELECT day, m,
+        |         CASE WHEN LEAD(day) OVER win = day + INTERVAL 1 DAY
+        |              THEN LEAD(m) OVER win ELSE 0 END AS m_next
+        |  FROM b WINDOW win AS (PARTITION BY bucket ORDER BY day)
+        |), j AS (
+        |  SELECT day, SUM(BIT_COUNT(m)) AS dau,
+        |         SUM(BIT_COUNT(m & m_next)) AS retained
+        |  FROM w GROUP BY 1
+        |)
+        |SELECT day, CAST(dau AS BIGINT) AS dau,
+        |       CAST(retained AS BIGINT) AS retained,
+        |       CAST((1000000 * retained) // dau AS BIGINT) AS retention_fp
+        |FROM j ORDER BY day""".stripMargin) { (s, dir) =>
+      val b = Tables.load(s, dir, "events")
+        .groupBy(
+          date_trunc("day", col("ts")).as("day"),
+          expr("user_id div 63").as("bucket"))
+        .agg(expr("bit_or(shiftleft(1L, int(user_id % 63)))").as("m"))
+      val win = Window.partitionBy("bucket").orderBy("day")
+      val w = b
+        .withColumn("m_next",
+          when(lead(col("day"), 1).over(win) === col("day") + expr("INTERVAL 1 DAY"),
+            lead(col("m"), 1).over(win)).otherwise(lit(0L)))
+      w.groupBy("day")
+        .agg(
+          sum(expr("bit_count(m)")).as("dau"),
+          sum(expr("bit_count(m & m_next)")).as("retained"))
+        .select(col("day"), col("dau").cast("long").as("dau"),
+          col("retained").cast("long").as("retained"),
+          expr("(1000000L * retained) div dau").cast("long").as("retention_fp"))
+        .orderBy("day")
     }
   )
 }

@@ -104,6 +104,29 @@ object StreamMaterializer {
       .select(col("v_user").as("user_id"), col("view_ts"), col("click_ts"))
   }
 
+  /** LEFT OUTER stream-stream interval join: like
+    * [[viewClickAttribution]] but views with no click inside the
+    * 24-hour window still emit (null click_ts) once the watermark
+    * passes their join horizon — the "unconverted impressions" feed.
+    * State eviction is the same watermark mechanics as the inner
+    * form; the outer row is emitted exactly when the engine can prove
+    * no future click can match.
+    */
+  def viewClickAttributionOuter(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", "26 hours")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "26 hours")
+    views.join(clicks,
+        col("v_user") === col("c_user") &&
+          col("click_ts") >= col("view_ts") &&
+          col("click_ts") <= col("view_ts") + expr("INTERVAL 24 HOURS"),
+        "leftOuter")
+      .select(col("v_user").as("user_id"), col("view_ts"), col("click_ts"))
+  }
+
   /** Streaming curation ingest — the continuous-ingestion form of the
     * q67/q68 batch flows, as ONE pipeline: each incoming document is
     * quality-filtered (stateless battery: token count + type/token

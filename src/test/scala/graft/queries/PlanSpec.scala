@@ -449,6 +449,14 @@ class PlanSpec extends SparkSpec {
       "correlated LIMIT subquery rewrites to a per-key window: " + p)
   }
 
+  test("q164: bitmap words AND-join co-partitioned on the word key") {
+    val p = plan("q164_bitmap_retention")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.split("Scan parquet").length === 2, "ONE events scan: " + p)
+    assert(p.contains("bit_count") || p.contains("bit_or"),
+      "bitmap kernels in-plan: " + p)
+  }
+
   test("whole-stage codegen active on the scan-agg path") {
     // AQE finalizes the plan lazily; execute first, then inspect
     val df = SparkEntry.queries("q02_agg_pricing_summary")(spark, sf)

@@ -151,6 +151,46 @@ class StreamingSpec extends SparkSpec {
     assert(extra.count() === 0)
   }
 
+  test("left-outer interval join: matches equal batch, outer rows are real non-converters") {
+    val dir = eventsDir
+    val schema = spark.read.parquet(dir).schema
+    val wh = new Engine(spark, Manifest(Map.empty), tmpDir("wh_lo")).wh
+    val q = StreamMaterializer.writeToWarehouse(
+      wh, "stream_attrib_outer",
+      StreamMaterializer.viewClickAttributionOuter(
+        StreamMaterializer.readEvents(spark, dir, schema)),
+      tmpDir("ckpt_lo"))
+    q.awaitTermination(120000)
+    val streamed = wh.read("stream_attrib_outer")
+    val ev = spark.read.parquet(dir)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+    val cond = col("v_user") === col("c_user") &&
+      col("click_ts") >= col("view_ts") &&
+      col("click_ts") <= col("view_ts") + expr("INTERVAL 24 HOURS")
+    val batchInner = views.join(clicks, cond)
+    // matched rows agree exactly with the batch inner join
+    val matched = streamed.filter(col("click_ts").isNotNull)
+    assert(matched.count() === batchInner.count())
+    val phantom = matched.join(batchInner,
+      matched("user_id") === batchInner("v_user") &&
+        matched("view_ts") === batchInner("view_ts") &&
+        matched("click_ts") === batchInner("click_ts"), "left_anti")
+    assert(phantom.count() === 0)
+    // outer (null-click) rows are genuinely unmatched views — never a
+    // view that DID convert (the tail of the bounded stream may hold
+    // some unmatched views back, so subset, not equality)
+    val outer = streamed.filter(col("click_ts").isNull)
+    val converted = batchInner.select(col("v_user"), col("view_ts")).distinct()
+    val wrong = outer.join(converted,
+      outer("user_id") === converted("v_user") &&
+        outer("view_ts") === converted("view_ts"), "left_semi")
+    assert(wrong.count() === 0)
+    assert(outer.count() > 0, "watermark must release some outer rows")
+  }
+
   test("session windows produce bounded per-user sessions") {
     val dir = eventsDir
     val schema = spark.read.parquet(dir).schema
