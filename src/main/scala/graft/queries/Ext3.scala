@@ -846,6 +846,48 @@ object Ext3 {
           col("retained").cast("long").as("retained"),
           expr("(1000000L * retained) div dau").cast("long").as("retention_fp"))
         .orderBy("day")
+    },
+
+    // Pareto front (skyline query): parts where no strictly cheaper
+    // part is at least as large — the classic 2D dominance sweep as a
+    // window, NOT the O(n²) anti-join: per-price max sizes, then a
+    // running max over strictly-cheaper price groups (the per-price
+    // pre-aggregate makes ROWS frames tie-safe where Spark lacks
+    // GROUPS frames). The sweep window runs over the PRICE VOCABULARY
+    // (price-distinct rows), not the part table; its cluster form is
+    // range-partitioned prefix maxima with broadcast per-partition
+    // offsets — the standard distributed scan-sweep. All dominance
+    // math is integer (size) + ordering (price); zero float
+    // arithmetic.
+    QueryDef(
+      "q165_pareto_front",
+      """WITH pp AS (
+        |  SELECT p_retailprice AS price, CAST(MAX(p_size) AS BIGINT) AS max_sz
+        |  FROM part GROUP BY 1
+        |), r AS (
+        |  SELECT price, max_sz,
+        |         MAX(max_sz) OVER (ORDER BY price
+        |                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS best_cheaper
+        |  FROM pp
+        |)
+        |SELECT p.p_partkey, p.p_name, CAST(p.p_retailprice AS DOUBLE) AS price,
+        |       CAST(p.p_size AS BIGINT) AS p_size
+        |FROM part p JOIN r ON p.p_retailprice = r.price
+        |WHERE p.p_size > COALESCE(r.best_cheaper, -1)
+        |ORDER BY price, p.p_partkey""".stripMargin) { (s, dir) =>
+      val part = Tables.load(s, dir, "part")
+      val pp = part.groupBy(col("p_retailprice").as("price"))
+        .agg(max("p_size").cast("long").as("max_sz"))
+      val sweep = Window.orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val r = pp.withColumn("best_cheaper", max("max_sz").over(sweep))
+      part.join(r, col("p_retailprice") === col("price"))
+        .filter(col("p_size") > coalesce(col("best_cheaper"), lit(-1L)))
+        .select(col("p_partkey"), col("p_name"),
+          col("p_retailprice").cast("double").as("price"),
+          col("p_size").cast("long").as("p_size"))
+        .orderBy("price", "p_partkey")
     }
   )
 }

@@ -457,6 +457,14 @@ class PlanSpec extends SparkSpec {
       "bitmap kernels in-plan: " + p)
   }
 
+  test("q165: pareto sweep windows the price vocabulary, no O(n²) anti-join") {
+    val p = plan("q165_pareto_front")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "dominance must not plan an all-pairs join: " + p)
+  }
+
   test("whole-stage codegen active on the scan-agg path") {
     // AQE finalizes the plan lazily; execute first, then inspect
     val df = SparkEntry.queries("q02_agg_pricing_summary")(spark, sf)
