@@ -151,10 +151,12 @@ object ProjectLoader {
     * entry is selected by dbt_project.yml's `profile:` key, falling
     * back to the project name, then to a single-profile file.
     */
-  def loadProfile(projectDir: String): Option[ProfileDef] = {
+  def loadProfile(projectDir: String,
+      profilesDir: Option[String] = None): Option[ProfileDef] = {
     val yaml = new org.yaml.snakeyaml.Yaml()
     val root = Paths.get(projectDir)
-    val profFile = sys.env.get("DBT_PROFILES_DIR")
+    // precedence: --profiles-dir flag > DBT_PROFILES_DIR > project dir
+    val profFile = profilesDir.orElse(sys.env.get("DBT_PROFILES_DIR"))
       .map(d => Paths.get(d).resolve("profiles.yml"))
       .filter(Files.exists(_))
       .getOrElse(root.resolve("profiles.yml"))
@@ -202,8 +204,9 @@ object ProjectLoader {
     * that does not exist is a hard error (reference behavior); naming
     * one with no profiles.yml at all is too.
     */
-  def resolveTarget(projectDir: String, target: Option[String]): Option[TargetDef] =
-    loadProfile(projectDir) match {
+  def resolveTarget(projectDir: String, target: Option[String],
+      profilesDir: Option[String] = None): Option[TargetDef] =
+    loadProfile(projectDir, profilesDir) match {
       case Some(p) =>
         val tn = target.getOrElse(p.defaultTarget)
         val td = p.outputs.get(tn)

@@ -79,7 +79,8 @@ object Cli {
     // profiles.yml: the selected output supplies warehouse path and
     // thread default when flags don't (flag > profile > fallback)
     val targetName = opts.get("target")
-    val targetDef = graft.parse.ProjectLoader.resolveTarget(projectDir, targetName)
+    val targetDef = graft.parse.ProjectLoader.resolveTarget(projectDir, targetName,
+      opts.get("profiles-dir"))
     val warehouseDir = opts.get("warehouse")
       .orElse(targetDef.flatMap(_.warehouse))
       .getOrElse(java.nio.file.Files.createTempDirectory("graft_wh").toString)
@@ -95,7 +96,10 @@ object Cli {
     // (reference `--log-format`, `core/dbt/events/`); text stays the
     // human default. The CLI raises the level so events stream.
     EventLog.format = opts.getOrElse("log-format", "text")
-    EventLog.minLevel = "info"
+    // --quiet (reference -q): suppress non-error logging
+    val quiet = opts.contains("quiet")
+    EventLog.minLevel = if (quiet) "error" else "info"
+    val indirect = opts.getOrElse("indirect-selection", "eager")
 
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
@@ -121,21 +125,36 @@ object Cli {
       case None => (rawSelect, rawExclude)
     }
     def report(results: Seq[graft.exec.Materializer.Result]): Unit = {
-      results.foreach(r => println(f"${r.status.toUpperCase}%-8s ${r.uniqueId} (${r.elapsedSec}%.2fs) ${r.message}"))
+      val shown = if (quiet)
+        results.filter(r => r.status == "error" || r.status == "fail")
+      else results
+      shown.foreach(r => println(f"${r.status.toUpperCase}%-8s ${r.uniqueId} (${r.elapsedSec}%.2fs) ${r.message}"))
       engine.writeArtifacts(targetDir, results)
       if (results.exists(r => r.status == "error" || r.status == "fail")) sys.exit(1)
     }
 
     command match {
       case "run" => report(engine.run(select, exclude, threads,
-        fullRefresh = opts.contains("full-refresh")))
+        fullRefresh = opts.contains("full-refresh"),
+        failFast = opts.contains("fail-fast"),
+        indirectSelection = indirect))
       case "seed" => report(engine.run(select, exclude, threads,
         resourceTypes = Set("seed")))
       case "snapshot" => report(engine.run(select, exclude, threads,
         resourceTypes = Set("snapshot")))
       case "test" => report(engine.test(select, threads))
       case "build" => report(engine.build(select, threads))
-      case "ls" => engine.ls(select, exclude).foreach(println)
+      case "ls" =>
+        // --resource-type filters; --output json emits a JSON array
+        // (reference `dbt ls` options)
+        val types = opts.get("resource-type")
+          .map(_.split(",").map(_.trim).toSet)
+        val ids = engine.ls(select, exclude, indirect)
+          .filter(id => types.forall(ts =>
+            engine.manifest.nodes.get(id).exists(n => ts(n.resourceType))))
+        if (opts.get("output").contains("json"))
+          println(ids.map(id => "\"" + id + "\"").mkString("[", ",", "]"))
+        else ids.foreach(println)
       case "compile" if opts.contains("inline") =>
         // reference `dbt compile --inline '<sql>'`: print the rendered
         // SQL without executing it
@@ -258,7 +277,9 @@ object Cli {
       |  [--target-path <dir>] [--threads N]
       |  [--select a b] [--exclude c] [--selector <name>] [--vars k=v,...] [--full-refresh]
       |  [--inline "<sql>"] [--limit N] [--empty] [--log-format text|json]
-      |  [--warn-error]
+      |  [--warn-error] [--fail-fast] [--quiet] [--profiles-dir <dir>]
+      |  [--indirect-selection eager|cautious|buildable|empty]
+      |  ls [--resource-type model,seed,...] [--output json]
       |  run-operation <macro> [--args k=v,...]
       |  clone --state-warehouse <dir> [--deep]""".stripMargin
 }

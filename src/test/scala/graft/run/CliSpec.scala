@@ -21,6 +21,44 @@ class CliSpec extends AnyFunSuite {
     assert(opts === Map("warehouse" -> "/w", "full-refresh" -> "true"))
   }
 
+  test("new flags parse: fail-fast, quiet, profiles-dir, resource-type, output") {
+    val opts = Cli.parseOpts(List(
+      "--fail-fast", "--quiet", "--profiles-dir", "/profs",
+      "--resource-type", "model,seed", "--output", "json",
+      "--indirect-selection", "cautious"))
+    assert(opts("fail-fast") === "true")
+    assert(opts("quiet") === "true")
+    assert(opts("profiles-dir") === "/profs")
+    assert(opts("resource-type") === "model,seed")
+    assert(opts("output") === "json")
+    assert(opts("indirect-selection") === "cautious")
+  }
+
+  test("profiles-dir flag beats the project-dir profiles.yml") {
+    val proj = java.nio.file.Files.createTempDirectory("cli_proj")
+    val profs = java.nio.file.Files.createTempDirectory("cli_profs")
+    java.nio.file.Files.writeString(proj.resolve("dbt_project.yml"), "name: p1\n")
+    java.nio.file.Files.writeString(proj.resolve("profiles.yml"),
+      """p1:
+        |  target: local
+        |  outputs:
+        |    local:
+        |      schema: from_project
+        |""".stripMargin)
+    java.nio.file.Files.writeString(profs.resolve("profiles.yml"),
+      """p1:
+        |  target: flagged
+        |  outputs:
+        |    flagged:
+        |      schema: from_flag
+        |""".stripMargin)
+    val viaProject = graft.parse.ProjectLoader.resolveTarget(proj.toString, None)
+    assert(viaProject.flatMap(_.schema) === Some("from_project"))
+    val viaFlag = graft.parse.ProjectLoader.resolveTarget(
+      proj.toString, None, Some(profs.toString))
+    assert(viaFlag.flatMap(_.schema) === Some("from_flag"))
+  }
+
   test("command normalization: list alias, source freshness subcommand") {
     assert(Cli.normalizeCommand(Array("list", "--select", "a")) ===
       ("ls", List("--select", "a")))
