@@ -888,6 +888,130 @@ object Ext3 {
           col("p_retailprice").cast("double").as("price"),
           col("p_size").cast("long").as("p_size"))
         .orderBy("price", "p_partkey")
+    },
+
+    // RANK vs DENSE_RANK with real ties (B11 completion — q11/q145
+    // use row_number/ntile; tie semantics are the remaining ranking
+    // family): top sizes per brand keep ALL tied parts. Integer sizes
+    // guarantee ties, so the rank/dense_rank divergence is exercised,
+    // not just compiled. 100 TB: brand-partitioned windows.
+    QueryDef(
+      "q166_rank_ties",
+      """SELECT p_brand, p_partkey, CAST(p_size AS BIGINT) AS p_size,
+        |       CAST(RANK() OVER w AS BIGINT) AS rnk,
+        |       CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk
+        |FROM part
+        |WINDOW w AS (PARTITION BY p_brand ORDER BY p_size DESC)
+        |QUALIFY RANK() OVER w <= 2
+        |ORDER BY p_brand, rnk, p_partkey""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("p_brand").orderBy(col("p_size").desc)
+      Tables.load(s, dir, "part")
+        .select(col("p_brand"), col("p_partkey"),
+          col("p_size").cast("long").as("p_size"),
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"))
+        .filter(col("rnk") <= 2)
+        .orderBy("p_brand", "rnk", "p_partkey")
+    },
+
+    // percent_rank + cume_dist (the normalized-rank family): supplier
+    // balance position within nation. Both are single integer-ratio
+    // divisions in double — (rank−1)/(n−1) and cum/n over identical
+    // operands — so the engines agree bitwise. 100 TB:
+    // nation-partitioned windows, one shuffle.
+    QueryDef(
+      "q167_percent_rank",
+      """SELECT s_nationkey, s_suppkey,
+        |       CAST(s_acctbal AS DOUBLE) AS s_acctbal,
+        |       PERCENT_RANK() OVER w AS pr,
+        |       CUME_DIST() OVER w AS cd
+        |FROM supplier
+        |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
+        |ORDER BY s_nationkey, s_suppkey""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+      Tables.load(s, dir, "supplier")
+        .select(col("s_nationkey"), col("s_suppkey"),
+          col("s_acctbal").cast("double").as("s_acctbal"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy("s_nationkey", "s_suppkey")
+    },
+
+    // MAD (median absolute deviation) robust outlier screen, exact
+    // integer form: quantities collapse to a ~50-value vocabulary
+    // FIRST, then lower-weighted-median and MAD come from integer
+    // cumsum windows over that vocabulary (2·cum ≥ n), and the outlier
+    // count (|q − med| > 3·MAD) is a weighted sum over the same
+    // vocabulary — ONE fact-table scan, everything downstream
+    // vocabulary-sized, zero float ops. The lower-median convention is
+    // pinned identically on both sides (no engine percentile
+    // interpolation in the loop).
+    QueryDef(
+      "q168_mad_outliers",
+      """WITH c AS (
+        |  SELECT l_returnflag AS f, CAST(l_quantity AS BIGINT) AS q,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM lineitem GROUP BY 1, 2
+        |), t AS (SELECT f, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY 1),
+        |w AS (
+        |  SELECT c.f, q, n, tot,
+        |         CAST(SUM(n) OVER (PARTITION BY c.f ORDER BY q) AS BIGINT) AS cum
+        |  FROM c JOIN t ON c.f = t.f
+        |), med AS (
+        |  SELECT f, MIN(q) AS med FROM w WHERE 2 * cum >= tot GROUP BY f
+        |), d AS (
+        |  SELECT w.f, ABS(q - med) AS dev, n, tot
+        |  FROM w JOIN med ON w.f = med.f
+        |), d2 AS (
+        |  SELECT f, dev, CAST(SUM(n) AS BIGINT) AS n, MIN(tot) AS tot
+        |  FROM d GROUP BY 1, 2
+        |), wd AS (
+        |  SELECT f, dev, n, tot,
+        |         CAST(SUM(n) OVER (PARTITION BY f ORDER BY dev) AS BIGINT) AS cum
+        |  FROM d2
+        |), mad AS (
+        |  SELECT f, MIN(dev) AS mad FROM wd WHERE 2 * cum >= tot GROUP BY f
+        |)
+        |SELECT d.f AS l_returnflag,
+        |       CAST(MIN(med.med) AS BIGINT) AS med,
+        |       CAST(MIN(mad.mad) AS BIGINT) AS mad,
+        |       CAST(SUM(CASE WHEN d.dev > 3 * mad.mad THEN d.n ELSE 0 END) AS BIGINT)
+        |         AS n_outliers,
+        |       CAST(MIN(d.tot) AS BIGINT) AS n_rows
+        |FROM d JOIN med ON d.f = med.f JOIN mad ON d.f = mad.f
+        |GROUP BY d.f ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      // persist the ~150-row vocabulary so the med/mad/outlier branches
+      // reuse ONE fact scan instead of re-deriving the rollup per join
+      val c = Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("f"),
+          col("l_quantity").cast("long").as("q"))
+        .agg(count(lit(1)).cast("long").as("n"))
+        .persist()
+      c.count(): Unit
+      val t = c.groupBy("f").agg(sum("n").cast("long").as("tot"))
+      val cw = Window.partitionBy("f").orderBy("q")
+      val w = c.join(t, "f")
+        .withColumn("cum", sum("n").over(cw).cast("long"))
+      val med = w.filter(lit(2) * col("cum") >= col("tot"))
+        .groupBy("f").agg(min("q").as("med"))
+      val d = w.join(med, "f")
+        .select(col("f"), abs(col("q") - col("med")).as("dev"),
+          col("n"), col("tot"))
+      val d2 = d.groupBy("f", "dev")
+        .agg(sum("n").cast("long").as("n"), min("tot").as("tot"))
+      val dw = Window.partitionBy("f").orderBy("dev")
+      val wd = d2.withColumn("cum", sum("n").over(dw).cast("long"))
+      val mad = wd.filter(lit(2) * col("cum") >= col("tot"))
+        .groupBy("f").agg(min("dev").as("mad"))
+      d.join(med, "f").join(mad, "f")
+        .groupBy(col("f").as("l_returnflag"))
+        .agg(
+          min("med").cast("long").as("med"),
+          min("mad").cast("long").as("mad"),
+          sum(when(col("dev") > lit(3) * col("mad"), col("n")).otherwise(0))
+            .cast("long").as("n_outliers"),
+          min("tot").cast("long").as("n_rows"))
+        .orderBy("l_returnflag")
     }
   )
 }

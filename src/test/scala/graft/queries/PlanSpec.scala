@@ -465,6 +465,21 @@ class PlanSpec extends SparkSpec {
       "dominance must not plan an all-pairs join: " + p)
   }
 
+  test("q166-q168: ranking and MAD plans partition their windows, one fact scan") {
+    Seq("q166_rank_ties", "q167_percent_rank").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("Window"), s"$q: $p")
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+    }
+    // every downstream branch reads the persisted vocabulary
+    // (InMemoryTableScan); the FileScan lines in the text are the
+    // cached relation printing its own provenance, not live scans
+    val p = plan("q168_mad_outliers")
+    assert(p.split("InMemoryTableScan").length > 3,
+      "med/mad/outlier branches all read the cache: " + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("whole-stage codegen active on the scan-agg path") {
     // AQE finalizes the plan lazily; execute first, then inspect
     val df = SparkEntry.queries("q02_agg_pricing_summary")(spark, sf)
