@@ -1012,6 +1012,147 @@ object Ext3 {
             .cast("long").as("n_outliers"),
           min("tot").cast("long").as("n_rows"))
         .orderBy("l_returnflag")
+    },
+
+    // Referential-integrity orphan matrix: every FK edge of the star
+    // schema profiled in one report (child rows, orphans, distinct
+    // orphan keys) — the data-quality audit behind dbt's
+    // `relationships` test, surfaced as an analytical operator. One
+    // anti-join per edge, each scanning only its two key columns
+    // (pruned), parent sides broadcast-able dimension keys. Exact
+    // counts only.
+    QueryDef(
+      "q169_fk_orphan_matrix",
+      """SELECT fk, n_child, n_orphan, n_orphan_keys FROM (
+        |  SELECT 'customer.nation' AS fk,
+        |         CAST((SELECT COUNT(*) FROM customer) AS BIGINT) AS n_child,
+        |         CAST(COUNT(*) AS BIGINT) AS n_orphan,
+        |         CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_orphan_keys
+        |  FROM customer WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)
+        |  UNION ALL
+        |  SELECT 'supplier.nation',
+        |         CAST((SELECT COUNT(*) FROM supplier) AS BIGINT),
+        |         CAST(COUNT(*) AS BIGINT),
+        |         CAST(COUNT(DISTINCT s_nationkey) AS BIGINT)
+        |  FROM supplier WHERE s_nationkey NOT IN (SELECT n_nationkey FROM nation)
+        |  UNION ALL
+        |  SELECT 'lineitem.orders',
+        |         CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+        |         CAST(COUNT(*) AS BIGINT),
+        |         CAST(COUNT(DISTINCT l_orderkey) AS BIGINT)
+        |  FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        |  UNION ALL
+        |  SELECT 'lineitem.part',
+        |         CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+        |         CAST(COUNT(*) AS BIGINT),
+        |         CAST(COUNT(DISTINCT l_partkey) AS BIGINT)
+        |  FROM lineitem WHERE l_partkey NOT IN (SELECT p_partkey FROM part)
+        |  UNION ALL
+        |  SELECT 'orders.customer',
+        |         CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+        |         CAST(COUNT(*) AS BIGINT),
+        |         CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
+        |  FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+        |) m ORDER BY fk""".stripMargin) { (s, dir) =>
+      def edge(fkName: String, child: String, childKey: String,
+          parent: String, parentKey: String) = {
+        val c = Tables.load(s, dir, child)
+        val total = c.count()
+        val orphans = c.select(col(childKey))
+          .join(Tables.load(s, dir, parent).select(col(parentKey)),
+            col(childKey) === col(parentKey), "left_anti")
+        orphans.agg(
+          count(lit(1)).cast("long").as("n_orphan"),
+          countDistinct(col(childKey)).cast("long").as("n_orphan_keys"))
+          .select(lit(fkName).as("fk"), lit(total).as("n_child"),
+            col("n_orphan"), col("n_orphan_keys"))
+      }
+      edge("customer.nation", "customer", "c_nationkey", "nation", "n_nationkey")
+        .union(edge("supplier.nation", "supplier", "s_nationkey", "nation", "n_nationkey"))
+        .union(edge("lineitem.orders", "lineitem", "l_orderkey", "orders", "o_orderkey"))
+        .union(edge("lineitem.part", "lineitem", "l_partkey", "part", "p_partkey"))
+        .union(edge("orders.customer", "orders", "o_custkey", "customer", "c_custkey"))
+        .orderBy("fk")
+    },
+
+    // KMV sketch ALGEBRA (q155 taken to set operations): audience
+    // overlap between viewers and purchasers estimated from k-minimum
+    // hash values — |A∪B| from the k smallest of the merged distinct
+    // hash set (the k-mins of a union live in the union of the
+    // k-mins, so the merge is sketch-sized at scale), |A∩B| by
+    // inclusion–exclusion over the three estimates. 52-bit fractions
+    // keep every estimate one exact-operand division; the
+    // add/subtract chain is the same on both sides → bit-identical.
+    // Exact overlap rides along to show sketch error. The audience-
+    // overlap question at 100 TB: three constant-size sketches, no
+    // set join.
+    QueryDef(
+      "q170_kmv_overlap",
+      """WITH u AS (
+        |  SELECT DISTINCT event_type, user_id FROM events
+        |  WHERE event_type IN ('view', 'purchase')
+        |), h AS (
+        |  SELECT event_type, user_id,
+        |         CAST(('0x' || SUBSTR(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 13))
+        |              AS BIGINT) AS v
+        |  FROM u
+        |), est AS (
+        |  SELECT s, CASE WHEN MAX(n) < 64 THEN CAST(MAX(n) AS DOUBLE)
+        |                 ELSE CAST(63 AS DOUBLE) * 4503599627370496.0
+        |                      / CAST(MAX(CASE WHEN rn = 64 THEN v END) AS DOUBLE)
+        |            END AS est
+        |  FROM (
+        |    SELECT s, v,
+        |           ROW_NUMBER() OVER (PARTITION BY s ORDER BY v, user_id) AS rn,
+        |           COUNT(*) OVER (PARTITION BY s) AS n
+        |    FROM (
+        |      SELECT event_type AS s, user_id, v FROM h
+        |      UNION ALL
+        |      SELECT 'union', user_id, MIN(v) FROM h GROUP BY user_id
+        |    ) sets
+        |  ) r WHERE rn <= 64 GROUP BY s
+        |), x AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS exact_overlap FROM (
+        |    SELECT user_id FROM h GROUP BY user_id HAVING COUNT(*) = 2
+        |  ) b
+        |)
+        |SELECT
+        |  (SELECT est FROM est WHERE s = 'view') AS est_view,
+        |  (SELECT est FROM est WHERE s = 'purchase') AS est_purchase,
+        |  (SELECT est FROM est WHERE s = 'union') AS est_union,
+        |  (SELECT est FROM est WHERE s = 'view')
+        |    + (SELECT est FROM est WHERE s = 'purchase')
+        |    - (SELECT est FROM est WHERE s = 'union') AS est_overlap,
+        |  exact_overlap
+        |FROM x""".stripMargin) { (s, dir) =>
+      val h = Tables.load(s, dir, "events")
+        .filter(col("event_type").isin("view", "purchase"))
+        .select("event_type", "user_id").distinct()
+        .withColumn("v",
+          expr("cast(conv(substring(md5(concat('kmv:', cast(user_id as string))), 1, 13), 16, 10) as bigint)"))
+      val sets = h.select(col("event_type").as("s"), col("user_id"), col("v"))
+        .union(h.groupBy("user_id").agg(min("v").as("v"))
+          .select(lit("union").as("s"), col("user_id"), col("v")))
+      val r = sets
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("s").orderBy("v", "user_id")))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("s")))
+        .filter(col("rn") <= 64)
+      val est = r.groupBy("s").agg(
+        when(max("n") < 64, max("n").cast("double"))
+          .otherwise(lit(63.0) * lit(4503599627370496.0)
+            / max(when(col("rn") === 64, col("v"))).cast("double"))
+          .as("est"))
+      val exact = h.groupBy("user_id").agg(count(lit(1)).as("c"))
+        .filter(col("c") === 2)
+        .agg(count(lit(1)).cast("long").as("exact_overlap"))
+      val e = est.collect().map(row => row.getString(0) -> row.getDouble(1)).toMap
+      exact.select(
+        lit(e("view")).as("est_view"),
+        lit(e("purchase")).as("est_purchase"),
+        lit(e("union")).as("est_union"),
+        lit(e("view") + e("purchase") - e("union")).as("est_overlap"),
+        col("exact_overlap"))
     }
   )
 }
