@@ -164,6 +164,12 @@ final case class SourceNode(
     name: String,
     /** Physical location: parquet path or catalog table. */
     path: String,
+    /** Storage format; None = infer from the path extension
+      * (.csv/.json/.orc), default parquet. CSV reads with header +
+      * schema inference (the reference's agate-typed seeds analog for
+      * external files).
+      */
+    format: Option[String] = None,
     loadedAtField: Option[String] = None,
     freshnessWarnAfterSec: Option[Long] = None,
     freshnessErrorAfterSec: Option[Long] = None,

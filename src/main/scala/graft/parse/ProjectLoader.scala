@@ -362,6 +362,7 @@ object ProjectLoader {
                 sourceName = sourceName,
                 name = tm("name").toString,
                 path = tm.getOrElse("path", "").toString,
+                format = tm.get("format").map(_.toString),
                 loadedAtField = tm.get("loaded_at_field").map(_.toString),
                 freshnessWarnAfterSec = fresh.flatMap(_.get("warn_after_sec")).map(_.toString.toLong),
                 freshnessFilter = fresh.flatMap(_.get("filter")).map(_.toString),

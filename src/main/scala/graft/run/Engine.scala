@@ -208,10 +208,26 @@ final class Engine(
     (s, t) => relationName(manifest.resolveSource(s, t).getOrElse(
       throw new IllegalArgumentException(s"unresolved source: $s.$t")))
 
-  // register sources as views up front (they're external inputs)
+  // register sources as views up front (they're external inputs);
+  // format from the `format:` key or the path extension — parquet
+  // default, csv with header+inference (agate-typed external files),
+  // json, orc
   manifest.sources.values.foreach { s =>
-    if (s.path.nonEmpty)
-      wh.registerSource(relationName(s), spark.read.parquet(s.path))
+    if (s.path.nonEmpty) {
+      val fmt = s.format.getOrElse {
+        val p = s.path.toLowerCase
+        if (p.endsWith(".csv")) "csv"
+        else if (p.endsWith(".json") || p.endsWith(".jsonl") || p.endsWith(".ndjson")) "json"
+        else if (p.endsWith(".orc")) "orc"
+        else "parquet"
+      }
+      val df = fmt match {
+        case "csv" => spark.read.option("header", "true")
+          .option("inferSchema", "true").csv(s.path)
+        case other => spark.read.format(other).load(s.path)
+      }
+      wh.registerSource(relationName(s), df)
+    }
   }
 
   /** Physical relation name (reference `generate_name` /

@@ -1053,4 +1053,37 @@ class EngineSpec extends SparkSpec {
     val res = eng.test(select = Seq("ut_flags"))
     assert(res.head.status === "pass", res.mkString("\n"))
   }
+
+  test("sources read csv and json files, format inferred from extension") {
+    val data = Paths.get(tmpDir("src_data"))
+    Files.writeString(data.resolve("regions.csv"),
+      "rid,rname\n1,east\n2,west\n")
+    Files.writeString(data.resolve("facts.jsonl"),
+      """{"rid": 1, "amount": 10}
+        |{"rid": 1, "amount": 5}
+        |{"rid": 2, "amount": 7}
+        |""".stripMargin)
+    val proj = Map(
+      "dbt_project.yml" -> "name: srcfmt\n",
+      "models/sources.yml" ->
+        s"""sources:
+           |  - name: ext
+           |    tables:
+           |      - name: regions
+           |        path: $data/regions.csv
+           |      - name: facts
+           |        path: $data/facts.jsonl
+           |""".stripMargin,
+      "models/region_totals.sql" ->
+        """SELECT r.rname, SUM(f.amount) AS total
+          |FROM {{ source('ext', 'facts') }} f
+          |JOIN {{ source('ext', 'regions') }} r ON f.rid = r.rid
+          |GROUP BY r.rname""".stripMargin)
+    val eng = Engine.fromProject(spark, writeProject(proj), tmpDir("wh_srcfmt"))
+    val res = eng.run(threads = 1)
+    assert(res.forall(_.status == "success"), res.mkString("\n"))
+    val out = eng.wh.read("region_totals").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("east" -> 15L, "west" -> 7L))
+  }
 }
