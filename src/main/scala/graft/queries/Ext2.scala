@@ -1022,11 +1022,14 @@ object Ext2 {
     // so the engines agree bit-for-bit by construction.
     // Undirected edges mean every node has in-degree ≥ 1 — no dangling
     // mass, the node set is stable across rounds. 100 TB: edges are
-    // built once and materialized (reliable lineage cut, same pattern
-    // as connectedComponents); each round is one edges⋈rank broadcast-
-    // or-shuffle join + one dst-keyed hash aggregate — the standard
-    // Pregel message-passing topology, rounds are fixed (3), and
-    // nothing on the driver ever holds more than the 1-row node count.
+    // built once and persisted; each round is one edges⋈rank
+    // broadcast-or-shuffle join + one dst-keyed hash aggregate — the
+    // standard Pregel message-passing topology, rounds are fixed (3),
+    // superseded rounds unpersist eagerly (constant memory in the
+    // round count), and nothing on the driver ever holds more than
+    // the 1-row node count. On a cluster the same loop adds a
+    // reliable checkpoint every N rounds (GraphX's policy) purely for
+    // fault tolerance — an in-session iteration needs only the cache.
     QueryDef(
       "q140_part_pagerank",
       """WITH items AS (
@@ -1070,10 +1073,8 @@ object Ext2 {
         |SELECT r3.node AS part_key, r3.r AS pagerank_e8, d.deg AS degree
         |FROM r3 JOIN deg d ON d.src = r3.node
         |ORDER BY pagerank_e8 DESC, part_key LIMIT 20""".stripMargin) { (s, dir) =>
-      val ckRoot = java.nio.file.Files.createTempDirectory("graft-pr").toString
-      def materialize(df: org.apache.spark.sql.DataFrame, name: String) = {
-        df.write.mode("overwrite").parquet(s"$ckRoot/$name")
-        s.read.parquet(s"$ckRoot/$name")
+      def materialize(df: org.apache.spark.sql.DataFrame) = {
+        val c = df.persist(); c.count(): Unit; c
       }
       val items = Tables.load(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey")).distinct()
@@ -1082,26 +1083,28 @@ object Ext2 {
           .join(items.select(col("l_orderkey"), col("l_partkey").as("dst")),
             "l_orderkey")
           .filter(col("src") =!= col("dst"))
-          .select("src", "dst").distinct(),
-        "edges")
-      // degrees are node-sized: materialize ONCE so each round's plan
-      // reads a tiny parquet instead of re-aggregating the edge table
+          .select("src", "dst").distinct())
+      // degrees are node-sized: persist ONCE so each round's plan
+      // reads the tiny cached table instead of re-aggregating edges
       val deg = materialize(
-        edges.groupBy("src").agg(count(lit(1)).cast("long").as("deg")),
-        "deg")
+        edges.groupBy("src").agg(count(lit(1)).cast("long").as("deg")))
       val n = deg.count() // node count: 1-row driver scalar
       var rank = deg.select(col("src").as("node"),
         lit(100000000L / n).as("r"))
+      var prev: Option[org.apache.spark.sql.DataFrame] = None
       for (i <- 1 to 3) {
         val shares = rank.join(deg, col("node") === col("src"))
           .select(col("node"), expr("r div deg").as("share"))
-        rank = materialize(
+        val next = materialize(
           edges.join(shares, edges("src") === shares("node"))
             .groupBy(col("dst"))
             .agg(sum("share").as("s"))
             .select(col("dst").as("node"),
-              (lit(15000000L / n) + expr("(85 * s) div 100")).as("r")),
-          s"rank_$i")
+              (lit(15000000L / n) + expr("(85 * s) div 100")).as("r")))
+        prev.foreach(_.unpersist())
+        prev = Some(next)
+        rank = next
+        if (i == 3) edges.unpersist(): Unit
       }
       rank.join(deg, col("node") === col("src"))
         .select(col("node").as("part_key"), col("r").as("pagerank_e8"),

@@ -298,13 +298,14 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q140: pagerank serving plan reads the materialized round, top-k") {
-    // construction runs the 3 fixed-point rounds (each a reliable
-    // parquet materialization); the returned plan must be a join of
-    // the LAST round's parquet against degrees + top-k — not a replay
-    // of the whole iteration lineage
+    // construction runs the 3 fixed-point rounds (each persisted +
+    // forced); the returned plan must join the LAST round's cached
+    // table against cached degrees + top-k — not replay the whole
+    // iteration lineage
     val df = SparkEntry.queries("q140_part_pagerank")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("graft-pr"), "final plan reads the round parquet: " + p)
+    assert(p.contains("InMemoryTableScan"),
+      "final plan reads the persisted round: " + p)
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
