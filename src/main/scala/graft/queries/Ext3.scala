@@ -20,6 +20,24 @@ object Ext3 {
 
   private def dec(c: Column): Column = c.cast(DecimalType(20, 4))
 
+  /** Support-pruned co-purchase pair table (pa < pb, co-count ≥ 2) —
+    * built once per (session, dataset) and shared by the triangle
+    * (q150) and item-CF (q154) graph queries; cluster form = a
+    * bucketed pairs table refreshed at ingest (SCALING.md).
+    */
+  private def coPairs(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    TextOps.cachedIndex(s"copairs|${IndexCache.sessionKey(s)}|$dir") {
+      val items = Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey").distinct()
+      items.select(col("l_orderkey"), col("l_partkey").as("pa"))
+        .join(items.select(col("l_orderkey"), col("l_partkey").as("pb")),
+          "l_orderkey")
+        .filter(col("pa") < col("pb"))
+        .groupBy("pa", "pb").agg(count(lit(1)).cast("long").as("cab"))
+        .filter(col("cab") >= 2)
+    }
+
   val queries: Seq[QueryDef] = Seq(
 
     // Cohort retention matrix: users grouped by first-activity week,
@@ -195,15 +213,7 @@ object Ext3 {
         |)
         |SELECT p AS p_partkey, CAST(COUNT(*) AS BIGINT) AS n_tri
         |FROM m GROUP BY 1 ORDER BY n_tri DESC, p_partkey LIMIT 15""".stripMargin) { (s, dir) =>
-      val items = Tables.load(s, dir, "lineitem")
-        .select("l_orderkey", "l_partkey").distinct()
-      val a = items.select(col("l_orderkey"), col("l_partkey").as("pa"))
-      val b = items.select(col("l_orderkey"), col("l_partkey").as("pb"))
-      val e = a.join(b, "l_orderkey")
-        .filter(col("pa") < col("pb"))
-        .groupBy("pa", "pb").agg(count(lit(1)).as("w"))
-        .filter(col("w") >= 2)
-        .select("pa", "pb")
+      val e = coPairs(s, dir).select("pa", "pb")
       val e1 = e.select(col("pa").as("x"), col("pb").as("y"))
       val e2 = e.select(col("pa").as("y2"), col("pb").as("z"))
       val e3 = e.select(col("pa").as("x3"), col("pb").as("z3"))
@@ -408,16 +418,11 @@ object Ext3 {
         |)
         |SELECT pa AS p_partkey, rk, pb AS neighbor, sim2_fp
         |FROM r WHERE rk <= 3 ORDER BY p_partkey, rk""".stripMargin) { (s, dir) =>
-      val items = Tables.load(s, dir, "lineitem")
+      val ic = Tables.load(s, dir, "lineitem")
         .select("l_orderkey", "l_partkey").distinct()
-      val ic = items.groupBy("l_partkey")
+        .groupBy("l_partkey")
         .agg(count(lit(1)).cast("long").as("c"))
-      val a = items.select(col("l_orderkey"), col("l_partkey").as("pa"))
-      val b = items.select(col("l_orderkey"), col("l_partkey").as("pb"))
-      val pc = a.join(b, "l_orderkey")
-        .filter(col("pa") < col("pb"))
-        .groupBy("pa", "pb").agg(count(lit(1)).cast("long").as("cab"))
-        .filter(col("cab") >= 2)
+      val pc = coPairs(s, dir)
       val sym = pc.union(pc.select(col("pb").as("pa"), col("pa").as("pb"), col("cab")))
       val sc2 = sym
         .join(ic.select(col("l_partkey").as("pa"), col("c").as("ca")), "pa")

@@ -357,11 +357,12 @@ class PlanSpec extends SparkSpec {
     assert(p.split("Scan parquet").length === 2, "ONE events scan: " + p)
   }
 
-  test("q150: triangle join runs on the support-pruned edge list, no cartesian") {
+  test("q150: triangle join runs on the cached support-pruned edge list, no cartesian") {
     val p = plan("q150_part_triangles")
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), "equi-joins only: " + p)
-    assert(p.contains("w#"), "support filter prunes before the triangle joins: " + p)
+    assert(p.contains("InMemoryTableScan"),
+      "triangle joins read the shared coPairs cache: " + p)
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
