@@ -1261,6 +1261,74 @@ object Framework {
       require(wh2.formatOf("m27_fct") == "orc",
         "recovered warehouse must replay the format header")
       wh2.read("m27_fct").orderBy("o_orderpriority")
+    },
+
+    // A18 show/preview under the oracle: `dbt show --inline` renders
+    // the template (ref() resolution included) and previews through
+    // the engine's limit path. A deterministic ORDER BY inside the
+    // preview makes the LIMIT 7 slice exact, so the oracle can
+    // reproduce it in closed form.
+    QueryDef(
+      "m28_show_preview",
+      """SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS price
+        |FROM (SELECT * FROM orders WHERE o_orderstatus = 'F'
+        |      ORDER BY o_orderkey LIMIT 7) t
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      graft.Tables.registerAll(s, dir)
+      val eng = new Engine(s, Manifest(Map.empty), scratch())
+      eng.show(
+        """SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS price
+          |FROM orders WHERE o_orderstatus = 'F'
+          |ORDER BY o_orderkey""".stripMargin, limit = 7)
+        .orderBy("o_orderkey")
+    },
+
+    // A22 selection DSL under the oracle: a 4-model diamond where the
+    // run selects `+mid_b` (ancestors-of) — exactly {base, mid_b} must
+    // materialize; mid_a and leaf must NOT exist afterwards. The gate
+    // serves mid_b's data THROUGH the selective run's warehouse, and
+    // the require() pins the anti-set, so a selector that over- or
+    // under-selects fails before the hash is even compared.
+    QueryDef(
+      "m29_graph_selection",
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM orders WHERE o_totalprice > 100
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val root = java.nio.file.Files.createTempDirectory("m29_proj")
+      scratchDirs.add(root.toFile)
+      def write(rel: String, content: String): Unit = {
+        val p = root.resolve(rel)
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.writeString(p, content)
+      }
+      write("dbt_project.yml", "name: m29proj\n")
+      write("models/sources.yml",
+        s"""sources:
+           |  - name: main
+           |    tables:
+           |      - name: orders
+           |        path: $dir/orders.parquet
+           |""".stripMargin)
+      write("models/m29_base.sql",
+        """SELECT o_orderkey, o_orderstatus, o_totalprice
+          |FROM {{ source('main', 'orders') }} WHERE o_totalprice > 100""".stripMargin)
+      write("models/m29_mid_a.sql",
+        "SELECT o_orderkey FROM {{ ref('m29_base') }}")
+      write("models/m29_mid_b.sql",
+        """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n
+          |FROM {{ ref('m29_base') }} GROUP BY o_orderstatus""".stripMargin)
+      write("models/m29_leaf.sql",
+        "SELECT * FROM {{ ref('m29_mid_b') }}")
+      val eng = Engine.fromProject(s, root.toString, scratch())
+      val results = eng.run(select = Seq("+m29_mid_b"), threads = 2)
+      require(results.forall(_.status == "success"),
+        s"m29 run failed: ${results.mkString("; ")}")
+      require(results.map(_.uniqueId.split('.').last).toSet ==
+        Set("m29_base", "m29_mid_b"),
+        s"selection must be exactly base+mid_b, got ${results.map(_.uniqueId)}")
+      require(!eng.wh.exists("m29_mid_a") && !eng.wh.exists("m29_leaf"),
+        "unselected models must not materialize")
+      eng.wh.read("m29_mid_b").orderBy("o_orderstatus")
     }
   )
 }
