@@ -895,6 +895,44 @@ object Ext3 {
         .orderBy("price", "p_partkey")
     },
 
+    // Incremental co-purchase pair maintenance (the graph-index
+    // member of the incremental family beside q67 dedup / q69
+    // near-dup / q104 IVF / q112 simhash): co-occurrence pairs derive
+    // PER ORDER, so a new-orders delta contributes disjoint pair
+    // rows and the index update is one map-side-combined aggregate
+    // over the delta plus a pair-keyed merge — never a recount of
+    // the base corpus. The gate computes base (orders % 5 != 0) and
+    // delta (% 5 = 0) separately, merges, and must equal the oracle's
+    // full recount bit-for-bit — an over/under-merged pair breaks
+    // the hash. Support filter applied AFTER the merge (pruning
+    // before merging would drop pairs whose support crosses the
+    // threshold only with the delta).
+    QueryDef(
+      "q171_incremental_pairs",
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pc AS (
+        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb, CAST(COUNT(*) AS BIGINT) AS cab
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        |)
+        |SELECT pa, pb, cab FROM pc ORDER BY pa, pb""".stripMargin) { (s, dir) =>
+      val items = Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey").distinct()
+      def pairsOf(part: org.apache.spark.sql.DataFrame) =
+        part.select(col("l_orderkey"), col("l_partkey").as("pa"))
+          .join(part.select(col("l_orderkey"), col("l_partkey").as("pb")),
+            "l_orderkey")
+          .filter(col("pa") < col("pb"))
+          .groupBy("pa", "pb").agg(count(lit(1)).cast("long").as("cab"))
+      val base = pairsOf(items.filter(col("l_orderkey") % 5 =!= 0))
+      val delta = pairsOf(items.filter(col("l_orderkey") % 5 === 0))
+      base.unionByName(delta)
+        .groupBy("pa", "pb").agg(sum("cab").cast("long").as("cab"))
+        .filter(col("cab") >= 2)
+        .orderBy("pa", "pb")
+    },
+
     // RANK vs DENSE_RANK with real ties (B11 completion — q11/q145
     // use row_number/ntile; tie semantics are the remaining ranking
     // family): top sizes per brand keep ALL tied parts. Integer sizes
