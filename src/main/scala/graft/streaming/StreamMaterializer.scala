@@ -158,6 +158,37 @@ object StreamMaterializer {
       .select(col("doc_id"), col("fp"), col("n_tokens"))
   }
 
+  /** Per-micro-batch co-purchase pair counts (q171's delta step):
+    * runs on the batch DataFrame inside foreachBatch. Pairs derive
+    * per order, so as long as the source delivers whole orders per
+    * batch (hash-partitioned files by orderkey), batch contributions
+    * are additive under a commutative groupBy-sum merge.
+    */
+  def pairMaintenance(lineitems: DataFrame): DataFrame = {
+    val items = lineitems.select(col("l_orderkey"), col("l_partkey")).dropDuplicates()
+    items.select(col("l_orderkey"), col("l_partkey").as("pa"))
+      .join(items.select(col("l_orderkey"), col("l_partkey").as("pb")),
+        "l_orderkey")
+      .filter(col("pa") < col("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).cast("long").as("cab"))
+  }
+
+  /** Streaming co-purchase pair-index maintenance: each micro-batch's
+    * pair deltas append to the warehouse relation; the serving read
+    * merges with a pair-keyed sum, so the index is correct after any
+    * prefix of batches — continuous maintenance, never a rebuild.
+    */
+  def maintainPairIndex(wh: Warehouse, name: String,
+      lineitemStream: DataFrame, checkpointDir: String): StreamingQuery =
+    lineitemStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        wh.appendTable(name, pairMaintenance(batch))
+      }
+      .start()
+
   /** Drive a streaming DataFrame into the warehouse through
     * foreachBatch → the same materialization layer (append commits per
     * micro-batch). Returns the running query; callers stop it.

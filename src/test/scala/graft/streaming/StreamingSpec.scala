@@ -191,6 +191,33 @@ class StreamingSpec extends SparkSpec {
     assert(outer.count() > 0, "watermark must release some outer rows")
   }
 
+  test("streaming pair-index maintenance converges to the batch pair table") {
+    // whole orders per file (hash-partitioned by orderkey), one file
+    // per micro-batch → batch contributions merge additively
+    val src = tmpDir("pairs_src")
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select("l_orderkey", "l_partkey")
+    li.repartition(4, col("l_orderkey")).write.mode("overwrite").parquet(src)
+    val wh = new Engine(spark, Manifest(Map.empty), tmpDir("wh_pairs")).wh
+    val stream = spark.readStream
+      .schema(li.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+    val q = StreamMaterializer.maintainPairIndex(wh, "pair_deltas", stream,
+      tmpDir("ckpt_pairs"))
+    q.awaitTermination(120000)
+    val served = wh.read("pair_deltas")
+      .groupBy("pa", "pb").agg(sum("cab").as("cab"))
+      .filter(col("cab") >= 2)
+    val batch = StreamMaterializer.pairMaintenance(li).filter(col("cab") >= 2)
+    assert(served.count() === batch.count())
+    val diff = served.join(batch, Seq("pa", "pb"))
+      .filter(served("cab") =!= batch("cab"))
+    assert(diff.count() === 0)
+    assert(wh.commitCount("pair_deltas") > 1,
+      "maintenance must have appended multiple micro-batch deltas")
+  }
+
   test("session windows produce bounded per-user sessions") {
     val dir = eventsDir
     val schema = spark.read.parquet(dir).schema
