@@ -218,6 +218,50 @@ final class Warehouse(val spark: SparkSession, val root: String,
   def commitCount(name: String): Int =
     lock.synchronized(relations.get(name).map(_.paths.size).getOrElse(0))
 
+  /** Live commit versions of a relation, oldest first. */
+  def versions(name: String): Seq[Int] =
+    lock.synchronized(relations.get(name).map(_.paths.map(
+      _.split('/').last.stripPrefix("v").toInt)).getOrElse(Nil))
+
+  /** Time travel over the APPEND history: the relation as of commit
+    * version ≤ maxVersion (a prefix of the live commit log — the AS OF
+    * read a lakehouse log gives for free; replace rewrites history, so
+    * pre-replace states are vacuum targets, not travel targets).
+    */
+  def readAsOf(name: String, maxVersion: Int): DataFrame = {
+    val st = lock.synchronized(relations.getOrElse(name,
+      throw new IllegalArgumentException(s"unknown relation: $name")))
+    val prefix = st.paths.filter(
+      _.split('/').last.stripPrefix("v").toInt <= maxVersion)
+    require(prefix.nonEmpty,
+      s"$name: no commits at or before v$maxVersion (live: ${versions(name).mkString(",")})")
+    spark.read.format(st.fmt).load(prefix: _*)
+  }
+
+  /** Delete on-disk version dirs no longer in the live commit list
+    * (replace and compact leave their predecessors orphaned — the
+    * VACUUM need of any versioned layout). Readers registered before
+    * the vacuum may hold orphaned paths; production fences with a
+    * retention window, here it is immediate. Returns dirs removed.
+    */
+  def vacuum(name: String): Int = lock.synchronized {
+    val st = relations.getOrElse(name,
+      throw new IllegalArgumentException(s"unknown relation: $name"))
+    val live = st.paths.map(_.split('/').last).toSet
+    val dir = new java.io.File(s"$root/$name")
+    val orphans = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("v")
+        && !live(f.getName))
+    orphans.foreach { o =>
+      def rm(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(o)
+    }
+    orphans.length
+  }
+
   /** Row count of a parquet-backed relation from file footers only —
     * the driver-side metadata read that plays the role of the
     * warehouse cursor's `rows_affected` (reference adapter response).

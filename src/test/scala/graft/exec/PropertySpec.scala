@@ -97,4 +97,27 @@ class PropertySpec extends SparkSpec {
 
   // (the q48 min-label propagation property test moved to
   // graft.queries.TextOpsSpec, where it runs the real kernel)
+
+  test("time travel reads append-log prefixes; vacuum removes replace orphans") {
+    import spark.implicits._
+    val wh = new Engine(spark, Manifest(Map.empty), tmpDir("prop_wh3")).wh
+    wh.writeTable("tt", Seq((1L, "a")).toDF("id", "v"))
+    wh.appendTable("tt", Seq((2L, "b")).toDF("id", "v"))
+    wh.appendTable("tt", Seq((3L, "c")).toDF("id", "v"))
+    assert(wh.versions("tt") === Seq(0, 1, 2))
+    // as-of each commit: strictly growing prefixes
+    assert(wh.readAsOf("tt", 0).count() === 1)
+    assert(wh.readAsOf("tt", 1).as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (2L, "b")))
+    assert(wh.readAsOf("tt", 2).count() === 3)
+    intercept[IllegalArgumentException] { wh.readAsOf("tt", -1) }
+    // replace orphans the three old dirs; vacuum deletes exactly them
+    wh.writeTable("tt", Seq((9L, "z")).toDF("id", "v"))
+    assert(wh.vacuum("tt") === 3)
+    assert(wh.read("tt").as[(Long, String)].collect().toSet === Set((9L, "z")))
+    // durability: a recovered warehouse sees the vacuumed state
+    val wh2 = new graft.exec.Warehouse(spark, wh.root)
+    assert(wh2.read("tt").count() === 1)
+    assert(wh2.vacuum("tt") === 0)
+  }
 }
