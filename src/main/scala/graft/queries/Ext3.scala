@@ -933,6 +933,63 @@ object Ext3 {
         .orderBy("pa", "pb")
     },
 
+    // GROUPING() markers on a rollup (B10's remaining observable
+    // surface beyond q10/q35's subtotal rows): the marker columns are
+    // what lets a consumer distinguish a real NULL group from a
+    // subtotal row — exactly the bit BI layers read. All-integer
+    // output.
+    QueryDef(
+      "q172_grouping_markers",
+      """SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+        |       COALESCE(l_linestatus, 'ALL') AS status,
+        |       CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+        |       CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+        |       CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+          grouping("l_returnflag").cast("long").as("g_flag"),
+          grouping("l_linestatus").cast("long").as("g_status"),
+          count(lit(1)).cast("long").as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("g_flag"), col("g_status"), col("n"))
+        .orderBy("flag", "status")
+    },
+
+    // Order-tamed array aggregation: top-3 suppliers per nation as a
+    // comma-joined key string — collect_list is order-nondeterministic
+    // under parallelism, so the array is SORTED (by balance desc, key)
+    // before slicing; integer keys stringify identically in both
+    // engines. The family every "top-N as array column" feature table
+    // needs, in its deterministic form. 100 TB: nation-keyed
+    // aggregate, array state bounded by group size (or a rank-window
+    // pre-filter caps it — q11's shape — when groups are huge).
+    QueryDef(
+      "q173_top_suppliers_array",
+      """SELECT s_nationkey,
+        |       array_to_string(
+        |         list_slice(list(s_suppkey ORDER BY s_acctbal DESC, s_suppkey), 1, 3),
+        |         ',') AS top3,
+        |       CAST(COUNT(*) AS BIGINT) AS n_suppliers
+        |FROM supplier
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(
+          expr("""array_join(
+                 |  transform(
+                 |    slice(array_sort(collect_list(struct(-s_acctbal AS nb, s_suppkey AS k))), 1, 3),
+                 |    x -> cast(x.k AS string)),
+                 |  ',')""".stripMargin).as("top3"),
+          count(lit(1)).cast("long").as("n_suppliers"))
+        .orderBy("s_nationkey")
+    },
+
     // RANK vs DENSE_RANK with real ties (B11 completion — q11/q145
     // use row_number/ntile; tie semantics are the remaining ranking
     // family): top sizes per brand keep ALL tied parts. Integer sizes

@@ -489,6 +489,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q172/q173: rollup expands map-side; array top-3 is one grouped pass") {
+    val p1 = plan("q172_grouping_markers")
+    assert(p1.contains("Expand"), "rollup plans a map-side Expand: " + p1)
+    assert(p1.split("HashAggregate").length > 2, "partial+final agg: " + p1)
+    val p2 = plan("q173_top_suppliers_array")
+    assert(!p2.contains("Window"), "no window needed — one grouped pass: " + p2)
+    assert(!p2.contains("CartesianProduct"), p2)
+  }
+
   test("whole-stage codegen active on the scan-agg path") {
     // AQE finalizes the plan lazily; execute first, then inspect
     val df = SparkEntry.queries("q02_agg_pricing_summary")(spark, sf)
