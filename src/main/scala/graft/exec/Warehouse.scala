@@ -240,18 +240,23 @@ final class Warehouse(val spark: SparkSession, val root: String,
 
   /** Delete on-disk version dirs no longer in the live commit list
     * (replace and compact leave their predecessors orphaned — the
-    * VACUUM need of any versioned layout). Readers registered before
-    * the vacuum may hold orphaned paths; production fences with a
-    * retention window, here it is immediate. Returns dirs removed.
+    * VACUUM need of any versioned layout). A retention fence protects
+    * in-flight readers: orphan dirs modified within `retainSeconds`
+    * are kept, so a lazy DataFrame obtained via read()/readAsOf()
+    * before a concurrent replace still evaluates against intact files
+    * (the Delta `VACUUM ... RETAIN` model). Pass retainSeconds=0 for
+    * the old immediate GC (tests / explicit force). Returns dirs
+    * removed.
     */
-  def vacuum(name: String): Int = lock.synchronized {
+  def vacuum(name: String, retainSeconds: Long = 300L): Int = lock.synchronized {
     val st = relations.getOrElse(name,
       throw new IllegalArgumentException(s"unknown relation: $name"))
     val live = st.paths.map(_.split('/').last).toSet
+    val fence = System.currentTimeMillis() - retainSeconds * 1000L
     val dir = new java.io.File(s"$root/$name")
     val orphans = Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("v")
-        && !live(f.getName))
+        && !live(f.getName) && f.lastModified() < fence)
     orphans.foreach { o =>
       def rm(f: java.io.File): Unit = {
         val cs = f.listFiles(); if (cs != null) cs.foreach(rm)

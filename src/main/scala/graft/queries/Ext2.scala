@@ -1106,10 +1106,18 @@ object Ext2 {
         rank = next
         if (i == 3) edges.unpersist(): Unit
       }
-      rank.join(deg, col("node") === col("src"))
+      val top = rank.join(deg, col("node") === col("src"))
         .select(col("node").as("part_key"), col("r").as("pagerank_e8"),
           col("deg").as("degree"))
         .orderBy(col("pagerank_e8").desc, col("part_key")).limit(20)
+      // the result is 20 rows: pin it locally so EVERY cache (deg and
+      // the final round's rank, not just the intermediates) can be
+      // released before returning — repeated bench runs in one session
+      // must not accumulate executor memory
+      val rows = top.collect().toSeq
+      val schema = top.schema
+      deg.unpersist(); prev.foreach(_.unpersist())
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
     }
   )
 }

@@ -20,11 +20,13 @@ package graft.render
   * dbt's documented dynamic-SQL macros (get_column_values et al.) are
   * written against.
   *
-  * Deliberately NOT full Jinja (SURVEY §7.4): no template inheritance,
-  * no `{% include %}`, no custom tests beyond
-  * defined/none/number/string. Those stay out of scope; everything a
-  * dbt model/hook/macro body in this repo's fixture universe uses
-  * renders here.
+  * Template inheritance (`{% extends %}` / `{% block %}` with
+  * `{{ super() }}` chains, blocks collected recursively) and
+  * `{% include %}` (with `ignore missing`) ARE supported — see
+  * resolveExtends/collectBlocks below and JinjaSpec's inheritance
+  * suite. Deliberately NOT full Jinja: no custom tests beyond
+  * defined/none/number/string; everything a dbt model/hook/macro
+  * body in this repo's fixture universe uses renders here.
   *
   * Unknown statement tags (`{% call statement(...) %}`, `{% macro %}`,
   * anything unrecognized) pass through VERBATIM — call-statement blocks
@@ -339,8 +341,11 @@ object Jinja {
           throw new IllegalArgumentException(s"jinja: extends: template not found: $name"))
         // accumulate this level's bodies BELOW the more-derived ones:
         // the head of each list is the winner; the tail is the
-        // `{{ super() }}` chain
-        val merged = nodes.collect { case BlockNode(n, b, _) => n -> b }
+        // `{{ super() }}` chain. Blocks are collected RECURSIVELY —
+        // Jinja registers a `{% block %}` wherever it appears, so a
+        // block nested under `{% if %}`/`{% for %}`/another block in
+        // an extending template still overrides the parent.
+        val merged = collectBlocks(nodes)
           .foldLeft(overrides) { case (acc, (n, b)) =>
             acc.updated(n, acc.getOrElse(n, Nil) :+ b)
           }
@@ -348,6 +353,19 @@ object Jinja {
       case None => substituteBlocks(nodes, overrides)
     }
   }
+
+  /** All `{% block %}` definitions in a template, including ones nested
+    * inside `{% if %}`/`{% for %}`/`{% set %}` bodies and inside other
+    * blocks — matching Jinja's register-anywhere block semantics.
+    */
+  private def collectBlocks(nodes: Seq[Node]): Seq[(String, Seq[Node])] =
+    nodes.flatMap {
+      case BlockNode(n, b, _) => (n -> b) +: collectBlocks(b)
+      case If(br, els) => br.flatMap(x => collectBlocks(x._2)) ++ collectBlocks(els)
+      case For(_, _, b) => collectBlocks(b)
+      case SetBlock(_, b) => collectBlocks(b)
+      case _ => Nil
+    }
 
   private def substituteBlocks(nodes: Seq[Node],
       overrides: Map[String, List[Seq[Node]]]): Seq[Node] =

@@ -21,6 +21,8 @@ object Artifacts {
     case c => c.toString
   }
   private def q(s: String): String = "\"" + esc(s) + "\""
+  /** Escaped JSON string literal for other emitters (e.g. `ls --output json`). */
+  def jstr(s: String): String = q(s)
   private def obj(fields: Seq[(String, String)]): String =
     fields.map { case (k, v) => s"${q(k)}: $v" }.mkString("{", ", ", "}")
   private def arr(items: Seq[String]): String = items.mkString("[", ", ", "]")
@@ -36,10 +38,17 @@ object Artifacts {
         "status" -> q(r.status),
         "message" -> q(r.message),
         "execution_time" -> r.elapsedSec.toString,
-        "rows_affected" -> r.rowsAffected.toString,
-        "adapter_response" -> obj(Nil),
+        // rows_affected rides in adapter_response, where the reference
+        // adapter puts it (run-results v6 has no top-level slot for it)
+        "adapter_response" ->
+          (if (r.rowsAffected >= 0)
+            obj(Seq("rows_affected" -> r.rowsAffected.toString))
+          else obj(Nil)),
         "timing" -> arr(Nil),
         "thread_id" -> q("main"),
+        "compiled" -> (if (r.status == "skipped") "null" else "true"),
+        "compiled_code" -> "null",
+        "relation_name" -> "null",
         "failures" -> (if (r.status == "fail") "1" else "null")))
     }
     val doc = obj(Seq(
@@ -53,19 +62,73 @@ object Artifacts {
     write(path, doc)
   }
 
+  private def sha256(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Any → JSON value (unit-test fixture rows hold String/boxed
+    * numeric/Boolean/null values from the YAML loader).
+    */
+  private def jval(v: Any): String = v match {
+    case null => "null"
+    case s: String => q(s)
+    case b: Boolean => b.toString
+    case n: Number => n.toString // incl. scala.BigDecimal (ScalaNumber)
+    case other => q(other.toString)
+  }
+
+  /** `manifest.json` — the v12 subset, laid out the way the reference
+    * schema requires it (`schemas/dbt/manifest/v12.json`): every node
+    * kind in its own top-level map (nodes / sources / exposures /
+    * metrics / semantic_models / saved_queries / unit_tests), each
+    * entry carrying the schema's required identity fields (database/
+    * schema/path/original_file_path/fqn/alias/checksum...). Sections
+    * this engine has no content for (macros, docs, groups, disabled,
+    * group_map) are present-but-empty — required keys, open maps.
+    * ArtifactSchemaSpec validates the emitted files against the
+    * reference schemas.
+    */
   def writeManifest(path: String, manifest: Manifest,
       generatedAt: java.sql.Timestamp, invocationId: String): Unit = {
-    def nodeJson(n: Node): String = {
-      val base = Seq(
-        "unique_id" -> q(n.uniqueId),
+    def checksum(content: String): (String, String) =
+      "checksum" -> obj(Seq("name" -> q("sha256"), "checksum" -> q(sha256(content))))
+    def dependsOn(n: Node): (String, String) =
+      "depends_on" -> obj(Seq("nodes" -> arr(n.dependsOn.map(q))))
+    def configJson(n: Node): (String, String) =
+      "config" -> obj(Seq(
+        "materialized" -> q(n.config.materialized),
+        "enabled" -> n.config.enabled.toString,
+        "tags" -> arr(n.config.tags.toSeq.sorted.map(q))))
+    /** The identity fields every executable-node alternative requires. */
+    def ident(n: Node, originPath: String, content: String): Seq[(String, String)] = {
+      val file = if (originPath.nonEmpty) originPath
+        else s"models/${n.name}.sql"
+      val fqn = n match {
+        case m: ModelNode => Seq("graft", m.name) ++ m.version.map(v => s"v$v")
+        case _ => Seq(n.packageName, n.name)
+      }
+      Seq(
+        "database" -> "null",
+        "schema" -> q("main"),
         "name" -> q(n.name),
         "resource_type" -> q(n.resourceType),
-        "package_name" -> q("graft"),
-        "depends_on" -> obj(Seq("nodes" -> arr(n.dependsOn.map(q)))),
-        "config" -> obj(Seq(
-          "materialized" -> q(n.config.materialized),
-          "enabled" -> n.config.enabled.toString,
-          "tags" -> arr(n.config.tags.toSeq.sorted.map(q)))),
+        "package_name" -> q(n.packageName),
+        "path" -> q(file),
+        "original_file_path" -> q(file),
+        "unique_id" -> q(n.uniqueId),
+        "fqn" -> arr(fqn.map(q)),
+        "alias" -> q(n.name),
+        checksum(content))
+    }
+    def nodeJson(n: Node): String = {
+      val base = n match {
+        case m: ModelNode => ident(m, m.originPath, m.rawSql)
+        case s: SeedNode => ident(s, s.originPath, s.csv)
+        case s: SnapshotNode => ident(s, s.originPath, s.rawSql)
+        case t: TestNode => ident(t, t.originPath, t.rawSql)
+        case other => ident(other, "", other.name)
+      }
+      val common = Seq(dependsOn(n), configJson(n),
         "tags" -> arr(n.config.tags.toSeq.sorted.map(q)))
       val extra = n match {
         case m: ModelNode => Seq("raw_code" -> q(m.rawSql)) ++
@@ -80,42 +143,143 @@ object Artifacts {
           m.latestVersion.map(lv => "latest_version" -> lv.toString)
         case s: SnapshotNode => Seq("raw_code" -> q(s.rawSql))
         case t: TestNode => Seq("raw_code" -> q(t.rawSql))
-        case s: SemanticModelNode => Seq(
-          "model" -> q(s.model),
-          "entities" -> arr(s.entities.map { case (en, et) =>
-            obj(Seq("name" -> q(en), "type" -> q(et))) }),
-          "dimensions" -> arr(s.dimensions.map { case (dn, dt) =>
-            obj(Seq("name" -> q(dn), "type" -> q(dt))) }),
-          "measures" -> arr(s.measures.map { case (mn, ma, me) =>
-            obj(Seq("name" -> q(mn), "agg" -> q(ma), "expr" -> q(me))) }))
-        case s: SavedQueryNode => Seq(
-          "metrics" -> arr(s.metrics.map(q)),
-          "group_by" -> arr(s.groupBy.map(q))) ++
-          s.where.map(w => "where" -> q(w))
         case _ => Nil
       }
-      obj(base ++ extra)
+      obj(base ++ common ++ extra)
     }
-    val (sources, others) = manifest.nodes.partition(_._2.resourceType == "source")
+    /** Metadata-node identity (no database/schema/alias/checksum in
+      * their schema alternatives).
+      */
+    def metaIdent(n: Node, file: String): Seq[(String, String)] = Seq(
+      "name" -> q(n.name),
+      "resource_type" -> q(n.resourceType),
+      "package_name" -> q(n.packageName),
+      "path" -> q(file),
+      "original_file_path" -> q(file),
+      "unique_id" -> q(n.uniqueId),
+      "fqn" -> arr(Seq(n.packageName, n.name).map(q)))
+    def sourceJson(s: SourceNode): String =
+      obj(Seq(
+        "database" -> "null",
+        "schema" -> q("main"),
+        "name" -> q(s.name),
+        "resource_type" -> q(s.resourceType),
+        "package_name" -> q(s.packageName),
+        "path" -> q(s.path),
+        "original_file_path" -> q("models/sources.yml"),
+        "unique_id" -> q(s.uniqueId),
+        "fqn" -> arr(Seq("graft", s.sourceName, s.name).map(q)),
+        "source_name" -> q(s.sourceName),
+        "source_description" -> q(""),
+        "loader" -> q(""),
+        "identifier" -> q(s.name),
+        configJson(s)) ++
+        s.loadedAtField.map(f => "loaded_at_field" -> q(f)))
+    def exposureJson(e: ExposureNode): String =
+      obj(metaIdent(e, "models/schema.yml") ++ Seq(
+        "type" -> q(e.exposureType),
+        "owner" -> obj(Seq("name" -> (if (e.owner.nonEmpty) q(e.owner) else "null"),
+          "email" -> "null")),
+        "url" -> (if (e.url.nonEmpty) q(e.url) else "null"),
+        dependsOn(e)))
+    def metricJson(m: MetricNode): String =
+      obj(metaIdent(m, "models/schema.yml") ++ Seq(
+        "description" -> q(""),
+        "label" -> q(m.name),
+        "type" -> q("simple"),
+        "type_params" -> obj(Seq("expr" -> q(m.calculation))),
+        "model" -> q(m.model),
+        dependsOn(m)) ++
+        m.filter.map(f => "filter" -> obj(Seq(
+          "where_filters" -> arr(Seq(obj(Seq("where_sql_template" -> q(f)))))))))
+    def semanticJson(s: SemanticModelNode): String =
+      obj(metaIdent(s, "models/schema.yml") ++ Seq(
+        "model" -> q(s.model),
+        "node_relation" -> obj(Seq(
+          "alias" -> q(s.model), "schema_name" -> q("main"))),
+        "description" -> q(s.description),
+        "entities" -> arr(s.entities.map { case (en, et) =>
+          obj(Seq("name" -> q(en), "type" -> q(et))) }),
+        "dimensions" -> arr(s.dimensions.map { case (dn, dt) =>
+          obj(Seq("name" -> q(dn), "type" -> q(dt))) }),
+        "measures" -> arr(s.measures.map { case (mn, ma, me) =>
+          obj(Seq("name" -> q(mn), "agg" -> q(ma), "expr" -> q(me))) }),
+        dependsOn(s)))
+    def savedQueryJson(s: SavedQueryNode): String =
+      obj(metaIdent(s, "models/schema.yml") ++ Seq(
+        "query_params" -> obj(Seq(
+          "metrics" -> arr(s.metrics.map(q)),
+          "group_by" -> arr(s.groupBy.map(q)),
+          "where" -> s.where.map(w => obj(Seq("where_filters" -> arr(Seq(
+            obj(Seq("where_sql_template" -> q(w)))))))).getOrElse("null"))),
+        "exports" -> arr(Nil),
+        "description" -> q(s.description),
+        dependsOn(s)))
+    def fixtureRows(rows: Seq[Map[String, Any]]): String =
+      arr(rows.map(r => obj(r.toSeq.map { case (k, v) => k -> jval(v) })))
+    def fixtureJson(name: Option[String], f: UnitFixture): Seq[(String, String)] =
+      (name.map(n => "input" -> q(n)).toSeq) ++ (f match {
+        case DictRows(rows) => Seq("rows" -> fixtureRows(rows), "format" -> q("dict"))
+        case CsvRows(csv) => Seq("rows" -> q(csv), "format" -> q("csv"))
+        case SqlRows(sql) => Seq("rows" -> q(sql), "format" -> q("sql"))
+      })
+    def unitTestJson(u: UnitTestNode): String = {
+      val givenAll: Seq[(String, UnitFixture)] =
+        (u.given.view.filterKeys(k => !u.givenFixtures.contains(k))
+          .mapValues(DictRows(_)).toSeq ++ u.givenFixtures.toSeq).sortBy(_._1)
+      obj(metaIdent(u, "models/unit_tests.yml") ++ Seq(
+        "model" -> q(u.model),
+        "given" -> arr(givenAll.map { case (in, f) => obj(fixtureJson(Some(in), f)) }),
+        "expect" -> obj(fixtureJson(None,
+          u.expectFixture.getOrElse(DictRows(u.expect)))),
+        dependsOn(u)))
+    }
+    def section(rt: String): Seq[(String, Node)] =
+      manifest.nodes.toSeq.filter(_._2.resourceType == rt).sortBy(_._1)
+    val execNodes = manifest.nodes.toSeq.filter(n =>
+      Set("model", "seed", "snapshot", "test")(n._2.resourceType)).sortBy(_._1)
     val doc = obj(Seq(
       "metadata" -> obj(Seq(
         "dbt_schema_version" -> q("https://schemas.getdbt.com/dbt/manifest/v12.json"),
         "generated_at" -> q(generatedAt.toInstant.toString),
         "invocation_id" -> q(invocationId),
-        "project_name" -> q("graft"))),
-      "nodes" -> obj(others.toSeq.sortBy(_._1).map { case (id, n) => id -> nodeJson(n) }),
-      "sources" -> obj(sources.toSeq.sortBy(_._1).map { case (id, n) => id -> nodeJson(n) }),
-      "parent_map" -> obj(manifest.parentMap.toSeq.sortBy(_._1).map {
-        case (id, ps) => id -> arr(ps.toSeq.sorted.map(q)) }),
-      "child_map" -> obj(manifest.nodes.keys.toSeq.sorted.map { id =>
-        id -> arr(manifest.childMap.getOrElse(id, Set.empty).toSeq.sorted.map(q)) }),
+        "project_name" -> q("graft"),
+        "adapter_type" -> q("spark"))),
+      "nodes" -> obj(execNodes.map { case (id, n) => id -> nodeJson(n) }),
+      "sources" -> obj(section("source").map {
+        case (id, s: SourceNode) => id -> sourceJson(s)
+        case (id, n) => id -> nodeJson(n) }),
+      "macros" -> obj(Nil),
+      "docs" -> obj(Nil),
+      "exposures" -> obj(section("exposure").map {
+        case (id, e: ExposureNode) => id -> exposureJson(e)
+        case (id, n) => id -> nodeJson(n) }),
+      "metrics" -> obj(section("metric").map {
+        case (id, m: MetricNode) => id -> metricJson(m)
+        case (id, n) => id -> nodeJson(n) }),
+      "groups" -> obj(Nil),
       "selectors" -> obj(manifest.selectors.toSeq.sortBy(_._1).map {
         case (name, s) => name -> obj(Seq(
           "name" -> q(s.name),
           "default" -> s.isDefault.toString,
           "select" -> arr(s.select.map(q)),
           "exclude" -> arr(s.exclude.map(q)),
-          "description" -> q(s.description))) })))
+          "description" -> q(s.description))) }),
+      "disabled" -> obj(Nil),
+      "parent_map" -> obj(manifest.parentMap.toSeq.sortBy(_._1).map {
+        case (id, ps) => id -> arr(ps.toSeq.sorted.map(q)) }),
+      "child_map" -> obj(manifest.nodes.keys.toSeq.sorted.map { id =>
+        id -> arr(manifest.childMap.getOrElse(id, Set.empty).toSeq.sorted.map(q)) }),
+      "group_map" -> obj(Nil),
+      "saved_queries" -> obj(section("saved_query").map {
+        case (id, s: SavedQueryNode) => id -> savedQueryJson(s)
+        case (id, n) => id -> nodeJson(n) }),
+      "semantic_models" -> obj(section("semantic_model").map {
+        case (id, s: SemanticModelNode) => id -> semanticJson(s)
+        case (id, n) => id -> nodeJson(n) }),
+      "unit_tests" -> obj(section("unit_test").map {
+        case (id, u: UnitTestNode) => id -> unitTestJson(u)
+        case (id, n) => id -> nodeJson(n) })))
     write(path, doc)
   }
 
@@ -226,13 +390,30 @@ object Artifacts {
       freshness: Map[String, (String, Double)],
       generatedAt: java.sql.Timestamp, invocationId: String): Unit = {
     val items = freshness.toSeq.sortBy(_._1).map { case (id, (status, age)) =>
+      if (age.isInfinite)
+        // never-loaded source: v3's SourceFreshnessRuntimeError
+        // alternative (an Infinity age would not even be valid JSON)
+        obj(Seq(
+          "unique_id" -> q(id),
+          "error" -> q("source has no loaded-at rows (never loaded)"),
+          "status" -> q("runtime error")))
+      else {
+      // age was measured against the run clock, so max_loaded_at is the
+      // snapshot instant minus the age (sources v3 requires both)
+      val snapAt = generatedAt.toInstant
+      val maxLoadedAt = snapAt.minusMillis((age * 1000).toLong)
       obj(Seq(
         "unique_id" -> q(id),
         "status" -> q(status),
+        "max_loaded_at" -> q(maxLoadedAt.toString),
+        "snapshotted_at" -> q(snapAt.toString),
         "max_loaded_at_time_ago_in_s" -> age.toString,
         "criteria" -> obj(Nil),
         "adapter_response" -> obj(Nil),
-        "timing" -> arr(Nil)))
+        "timing" -> arr(Nil),
+        "thread_id" -> q("main"),
+        "execution_time" -> "0.0"))
+      }
     }
     val doc = obj(Seq(
       "metadata" -> obj(Seq(

@@ -149,11 +149,17 @@ object Cli {
         // (reference `dbt ls` options)
         val types = opts.get("resource-type")
           .map(_.split(",").map(_.trim).toSet)
+        // resource type via the manifest node when present, else from the
+        // unique-id prefix (`<type>.<pkg>.<name>`) — so ids the DAG knows
+        // but the node map keys differently (e.g. versioned models) are
+        // still filterable instead of silently dropped
+        def resType(id: String): String =
+          engine.manifest.nodes.get(id).map(_.resourceType)
+            .getOrElse(id.takeWhile(_ != '.'))
         val ids = engine.ls(select, exclude, indirect)
-          .filter(id => types.forall(ts =>
-            engine.manifest.nodes.get(id).exists(n => ts(n.resourceType))))
+          .filter(id => types.forall(_(resType(id))))
         if (opts.get("output").contains("json"))
-          println(ids.map(id => "\"" + id + "\"").mkString("[", ",", "]"))
+          println(ids.map(graft.run.Artifacts.jstr).mkString("[", ",", "]"))
         else ids.foreach(println)
       case "compile" if opts.contains("inline") =>
         // reference `dbt compile --inline '<sql>'`: print the rendered

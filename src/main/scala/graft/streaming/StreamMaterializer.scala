@@ -177,17 +177,51 @@ object StreamMaterializer {
     * pair deltas append to the warehouse relation; the serving read
     * merges with a pair-keyed sum, so the index is correct after any
     * prefix of batches — continuous maintenance, never a rebuild.
+    *
+    * PRECONDITION (enforced): pairMaintenance is additive only when
+    * every order arrives whole within one micro-batch. A source not
+    * partitioned by l_orderkey would silently under-count cross-batch
+    * pairs, and the within-batch dropDuplicates cannot see it — so by
+    * default each batch's orderkeys are checked against a merged Bloom
+    * filter of all prior batches' orderkeys and a repeat FAILS the
+    * stream loudly (distributed membership probe over a broadcast
+    * filter, O(batch) work, ~2 MB driver state; fpp 1e-4, so a
+    * spurious trip is ~once per 10k orders and the error says how to
+    * re-check exactly). Disable via assertWholeOrders=false only for
+    * sources with a proven orderkey-partitioned layout.
     */
   def maintainPairIndex(wh: Warehouse, name: String,
-      lineitemStream: DataFrame, checkpointDir: String): StreamingQuery =
+      lineitemStream: DataFrame, checkpointDir: String,
+      assertWholeOrders: Boolean = true): StreamingQuery = {
+    var seenOrders: Option[org.apache.spark.util.sketch.BloomFilter] = None
     lineitemStream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (assertWholeOrders) {
+          // foreachBatch invocations are sequential, so the driver-side
+          // filter state needs no synchronization
+          val keys = batch.select(col("l_orderkey")).dropDuplicates()
+          seenOrders.foreach { prior =>
+            val bc = batch.sparkSession.sparkContext.broadcast(prior)
+            val mightRepeat = udf((k: Long) => bc.value.mightContain(k))
+            val repeats = keys.filter(mightRepeat(col("l_orderkey"))).count()
+            require(repeats == 0L,
+              s"maintainPairIndex: batch $batchId carries $repeats orderkey(s) " +
+                "already seen in earlier micro-batches — the source is not " +
+                "partitioned by l_orderkey, so pair counts would silently " +
+                "under-count cross-batch pairs. Re-partition the source by " +
+                "l_orderkey (or verify the hits are Bloom false positives " +
+                "and pass assertWholeOrders=false).")
+          }
+          val bf = keys.stat.bloomFilter("l_orderkey", 1000000L, 1e-4)
+          seenOrders = Some(seenOrders.map { p => p.mergeInPlace(bf); p }.getOrElse(bf))
+        }
         wh.appendTable(name, pairMaintenance(batch))
       }
       .start()
+  }
 
   /** Drive a streaming DataFrame into the warehouse through
     * foreachBatch → the same materialization layer (append commits per

@@ -111,13 +111,17 @@ class PropertySpec extends SparkSpec {
       Set((1L, "a"), (2L, "b")))
     assert(wh.readAsOf("tt", 2).count() === 3)
     intercept[IllegalArgumentException] { wh.readAsOf("tt", -1) }
-    // replace orphans the three old dirs; vacuum deletes exactly them
+    // replace orphans the three old dirs
     wh.writeTable("tt", Seq((9L, "z")).toDF("id", "v"))
-    assert(wh.vacuum("tt") === 3)
+    // default retention fence: fresh orphans survive (in-flight readers
+    // registered before the replace stay readable)...
+    assert(wh.vacuum("tt") === 0)
+    // ...and retainSeconds=0 forces the immediate GC of exactly them
+    assert(wh.vacuum("tt", retainSeconds = 0) === 3)
     assert(wh.read("tt").as[(Long, String)].collect().toSet === Set((9L, "z")))
     // durability: a recovered warehouse sees the vacuumed state
     val wh2 = new graft.exec.Warehouse(spark, wh.root)
     assert(wh2.read("tt").count() === 1)
-    assert(wh2.vacuum("tt") === 0)
+    assert(wh2.vacuum("tt", retainSeconds = 0) === 0)
   }
 }

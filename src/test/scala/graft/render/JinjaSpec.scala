@@ -414,6 +414,25 @@ class JinjaSpec extends AnyFunSuite {
       === "(base)+mid+leaf")
   }
 
+  test("extends: a block nested under {% if %}/{% for %} in the child still overrides") {
+    // Jinja registers blocks wherever they appear, so a child block
+    // wrapped in control flow must override the parent's slot
+    val c = ctxWithTemplates(Map(
+      "base.sql" -> "SELECT {% block cols %}*{% endblock %} FROM {% block rel %}t{% endblock %}"))
+    assert(Template.render(
+      "{% extends 'base.sql' %}{% if true %}{% block cols %}a, b{% endblock %}{% endif %}" +
+        "{% for i in [1] %}{% block rel %}u{% endblock %}{% endfor %}", c)
+      === "SELECT a, b FROM u")
+  }
+
+  test("extends: a block nested inside another child block overrides both slots") {
+    val c = ctxWithTemplates(Map(
+      "base.sql" -> "[{% block a %}A{% endblock %}|{% block b %}B{% endblock %}]"))
+    assert(Template.render(
+      "{% extends 'base.sql' %}{% block a %}X{% block b %}Y{% endblock %}{% endblock %}", c)
+      === "[XY|Y]")
+  }
+
   test("included templates may themselves extend") {
     val c = ctxWithTemplates(Map(
       "base.sql" -> "({% block b %}0{% endblock %})",

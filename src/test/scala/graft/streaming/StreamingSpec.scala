@@ -218,6 +218,30 @@ class StreamingSpec extends SparkSpec {
       "maintenance must have appended multiple micro-batch deltas")
   }
 
+  test("pair-index maintenance fails loudly when an order spans micro-batches") {
+    import spark.implicits._
+    // the SAME orderkey in two separate files + one file per trigger →
+    // the order is split across micro-batches, which would silently
+    // under-count its cross-batch pairs; the whole-order precondition
+    // check must fail the stream instead of converging to wrong counts
+    val src = tmpDir("pairs_bad_src")
+    Seq((1L, 10L), (1L, 11L)).toDF("l_orderkey", "l_partkey")
+      .coalesce(1).write.mode("append").parquet(src)
+    Seq((1L, 12L), (1L, 13L)).toDF("l_orderkey", "l_partkey")
+      .coalesce(1).write.mode("append").parquet(src)
+    val wh = new Engine(spark, Manifest(Map.empty), tmpDir("wh_pairs_bad")).wh
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val q = StreamMaterializer.maintainPairIndex(wh, "pair_deltas_bad", stream,
+      tmpDir("ckpt_pairs_bad"))
+    val failed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination(120000)
+    }
+    assert(failed.getMessage.contains("not partitioned by l_orderkey") ||
+      Option(failed.getCause).exists(_.getMessage.contains("not partitioned by l_orderkey")))
+  }
+
   test("session windows produce bounded per-user sessions") {
     val dir = eventsDir
     val schema = spark.read.parquet(dir).schema
