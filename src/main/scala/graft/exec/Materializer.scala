@@ -162,6 +162,23 @@ object Materializer {
               Some(targetAligned.filter(!expr(pred))))
           }
         val deltaKeys = delta.select(uniqueKey.map(col): _*).distinct()
+        if (strategy != "delete+insert") {
+          // Warehouse-MERGE parity (reference adapters; Delta raises
+          // the same way): two source rows matching ONE target row is a
+          // nondeterministic update — raise instead of picking a
+          // winner. delete+insert legitimately accepts duplicate
+          // source rows (delete by key, insert all). Cost: one agg
+          // over the delta keys + a semi join against eligible keys.
+          val dupMatched = delta.groupBy(uniqueKey.map(col): _*)
+            .agg(count(lit(1)).as("__graft_n")).filter(col("__graft_n") > 1)
+            .join(eligible, uniqueKey, "left_semi")
+            .limit(1).count()
+          if (dupMatched > 0)
+            throw new IllegalStateException(
+              s"$name: merge found multiple source rows matching the same " +
+                s"target row on unique_key (${uniqueKey.mkString(", ")}) — " +
+                "deduplicate the model's output, or use delete+insert")
+        }
         val keep = eligible.join(deltaKeys, uniqueKey, "left_anti")
         val updatable = (if (mergeUpdateColumns.nonEmpty)
           mergeUpdateColumns.toSet.intersect(deltaCols) else deltaCols) --

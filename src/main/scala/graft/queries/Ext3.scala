@@ -1253,6 +1253,80 @@ object Ext3 {
         lit(e("union")).as("est_union"),
         lit(e("view") + e("purchase") - e("union")).as("est_overlap"),
         col("exact_overlap"))
+    },
+
+    // RECURSIVE CTE equivalence (B14 completion): Spark 4 has no
+    // WITH RECURSIVE; the engine's answer is Iterative.fixpoint —
+    // bounded frontier iteration with per-round persist/unpersist (the
+    // pattern q48/q140 hand-roll, packaged). Oracle-gated against
+    // DuckDB's REAL recursive CTE on the same decade-tree over order
+    // keys (parent = k div 10), so the equivalence is hash-checked,
+    // not asserted. 100 TB: rounds are bounded by key digits (~7);
+    // each round is one shuffle-join against a broadcast frontier
+    // aggregate — no driver-side row iteration.
+    QueryDef(
+      "q174_recursive_depth",
+      """WITH RECURSIVE d AS (
+        |  SELECT o_orderkey AS k, 0 AS depth FROM orders WHERE o_orderkey < 10
+        |  UNION ALL
+        |  SELECT o.o_orderkey, d.depth + 1
+        |  FROM orders o JOIN d ON o.o_orderkey // 10 = d.k
+        |  WHERE o.o_orderkey >= 10
+        |)
+        |SELECT CAST(depth AS BIGINT) AS depth, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM d GROUP BY depth ORDER BY depth""".stripMargin) { (s, dir) =>
+      val keys = Tables.load(s, dir, "orders").select(col("o_orderkey").as("k"))
+      val init = keys.filter(col("k") < 10).withColumn("depth", lit(0L))
+      val closure = Iterative.fixpoint(init, maxRounds = 24) { frontier =>
+        keys.filter(col("k") >= 10).as("c")
+          .join(frontier.select(col("k").as("pk"), col("depth")),
+            expr("k div 10") === col("pk"))
+          .select(col("k"), (col("depth") + 1).as("depth"))
+      }
+      val agg = closure.groupBy("depth")
+        .agg(count(lit(1)).cast("long").as("n"))
+        .select(col("depth").cast("long").as("depth"), col("n"))
+        .orderBy("depth")
+      // ≤ max-digits rows: pin locally, release the cached closure
+      val rows = agg.collect().toSeq
+      val schema = agg.schema
+      closure.unpersist()
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
     }
   )
+}
+
+/** Recursive-CTE evaluation for Spark (B14): UNION-ALL semantics via
+  * bounded frontier iteration. Each round materializes the new
+  * frontier (persist + count — also the emptiness test), feeds it to
+  * the next step, and unpersists the previous round, so executor
+  * memory stays one-frontier-deep and the lineage never compounds.
+  * This is the documented replacement for DuckDB `WITH RECURSIVE`
+  * (oracle-equivalence gated by q174): the step is declarative
+  * DataFrame code, the loop is driver-side control flow only — no
+  * collect of row data.
+  */
+object Iterative {
+  import org.apache.spark.sql.DataFrame
+  def fixpoint(init: DataFrame, maxRounds: Int)(
+      step: DataFrame => DataFrame): DataFrame = {
+    var frontier = init.persist()
+    var n = frontier.count()
+    val rounds = scala.collection.mutable.Buffer[DataFrame](frontier)
+    var i = 0
+    while (n > 0 && i < maxRounds) {
+      val next = step(frontier).persist()
+      n = next.count()
+      if (n > 0) rounds += next
+      frontier = next
+      i += 1
+    }
+    require(n == 0, s"fixpoint did not converge within $maxRounds rounds")
+    val out = rounds.reduce(_ unionByName _)
+    // pin the (already-materialized) union before releasing the rounds
+    val result = out.persist()
+    result.count()
+    rounds.foreach(_.unpersist())
+    result
+  }
 }

@@ -148,6 +148,23 @@ object Framework {
         Seq("o_orderkey"), "ignore", Nil, fullRefresh = false)
       Materializer.incremental(eng.wh, "m02_inc", b1, b2, "merge",
         Seq("o_orderkey"), "ignore", Nil, fullRefresh = false)
+      // reference-MERGE parity: a delta with two rows for one existing
+      // key must RAISE (nondeterministic update), and the failed merge
+      // must leave the target untouched
+      val dup =
+        """SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey % 100 = 0
+          |UNION ALL
+          |SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey % 100 = 0""".stripMargin
+      val before = eng.wh.read("m02_inc").count()
+      val raised =
+        try {
+          Materializer.incremental(eng.wh, "m02_inc", b1, dup, "merge",
+            Seq("o_orderkey"), "ignore", Nil, fullRefresh = false)
+          false
+        } catch { case _: IllegalStateException => true }
+      require(raised, "merge must raise on duplicate source keys")
+      require(eng.wh.read("m02_inc").count() == before,
+        "a failed merge must not modify the target")
       eng.wh.read("m02_inc").orderBy("o_orderkey")
     },
 
@@ -694,7 +711,7 @@ object Framework {
       val eng = Engine.fromProject(s, projDir.toString, scratch())
       val res = eng.build(threads = 2)
       val byId = res.map(r => r.uniqueId -> r.status).toMap
-      require(byId.exists { case (id, st) => id.contains("unique_base_bad") && st == "error" },
+      require(byId.exists { case (id, st) => id.contains("unique_base_bad") && st == "fail" },
         s"m17: expected the base_bad unique test to fail: $res")
       // build() executes in its own engine scope; node statuses are the
       // observable contract (skipped = never materialized)
@@ -1329,6 +1346,138 @@ object Framework {
       require(!eng.wh.exists("m29_mid_a") && !eng.wh.exists("m29_leaf"),
         "unselected models must not materialize")
       eng.wh.read("m29_mid_b").orderBy("o_orderstatus")
+    },
+
+    // A30 docs-generate catalog, oracle-gated: run a scripted project,
+    // write catalog.json, parse it BACK, and hash the table/column
+    // content (names, 1-based indexes, SQL types, footer row counts)
+    // against closed-form expectations over the same input.
+    QueryDef(
+      "m30_docs_catalog",
+      """WITH rc AS (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n FROM orders)
+        |SELECT * FROM (
+        |  SELECT 'm30_fct' AS relation, 'o_custkey' AS column_name,
+        |         CAST(1 AS INTEGER) AS column_index, 'BIGINT' AS column_type, rc.n AS row_count FROM rc
+        |  UNION ALL SELECT 'm30_fct', 'n_orders', CAST(2 AS INTEGER), 'BIGINT', rc.n FROM rc
+        |  UNION ALL SELECT 'm30_fct', 'spend', CAST(3 AS INTEGER), 'DOUBLE', rc.n FROM rc
+        |) ORDER BY column_index""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val root = java.nio.file.Files.createTempDirectory("m30_proj")
+      scratchDirs.add(root.toFile)
+      def write(rel: String, content: String): Unit = {
+        val p = root.resolve(rel)
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.writeString(p, content)
+      }
+      write("dbt_project.yml", "name: m30proj\n")
+      write("models/sources.yml",
+        s"""sources:
+           |  - name: main
+           |    tables:
+           |      - name: orders
+           |        path: $dir/orders.parquet
+           |""".stripMargin)
+      write("models/m30_stg.sql",
+        """{{ config(materialized='view') }}
+          |SELECT o_orderkey, o_custkey, o_totalprice
+          |FROM {{ source('main', 'orders') }}""".stripMargin)
+      write("models/m30_fct.sql",
+        """{{ config(materialized='table') }}
+          |SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+          |       CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS spend
+          |FROM {{ ref('m30_stg') }} GROUP BY o_custkey""".stripMargin)
+      val eng = Engine.fromProject(s, root.toString, scratch())
+      val results = eng.run(threads = 2)
+      require(results.forall(_.status == "success"),
+        s"m30 run failed: ${results.mkString("; ")}")
+      val target = scratch()
+      eng.writeArtifacts(target, results)
+      val cat = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(java.nio.file.Files.readString(
+          java.nio.file.Paths.get(s"$target/catalog.json")))
+      // views are cataloged too — pinned here, hashed content is the table
+      require(cat.at("/nodes/m30_stg/metadata/type").asText == "view",
+        "m30_stg must appear in the catalog as a view")
+      val fct = cat.at("/nodes/m30_fct")
+      require(fct.at("/metadata/type").asText == "table")
+      val rowCount = fct.at("/stats/row_count/value").asLong
+      val cols = fct.get("columns")
+      val rows = cols.properties().iterator()
+      val buf = scala.collection.mutable.Buffer[(String, String, Int, String, Long)]()
+      while (rows.hasNext) {
+        val e = rows.next()
+        buf += (("m30_fct", e.getKey, e.getValue.get("index").asInt,
+          e.getValue.get("type").asText, rowCount))
+      }
+      buf.toSeq.toDF("relation", "column_name", "column_index",
+        "column_type", "row_count").orderBy("column_index")
+    },
+
+    // A33 run_results, oracle-gated: a scripted build with a passing
+    // test, a deterministically failing singular test, and a blocked
+    // downstream model; run_results.json is parsed BACK and statuses /
+    // failures / adapter rows_affected hash-compare against the
+    // closed-form expectation.
+    QueryDef(
+      "m31_run_results",
+      """WITH rc AS (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n FROM orders)
+        |SELECT * FROM (
+        |  SELECT 'model.graft.m31_down' AS unique_id, 'skipped' AS status,
+        |         CAST(0 AS BIGINT) AS failures, CAST(0 AS BIGINT) AS rows_affected FROM rc
+        |  UNION ALL SELECT 'model.graft.m31_fct', 'success', 0, rc.n FROM rc
+        |  UNION ALL SELECT 'test.graft.m31_bad', 'fail', 1, 1 FROM rc
+        |  UNION ALL SELECT 'test.graft.not_null_m31_fct_o_custkey', 'pass', 0, 0 FROM rc
+        |) ORDER BY unique_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val root = java.nio.file.Files.createTempDirectory("m31_proj")
+      scratchDirs.add(root.toFile)
+      def write(rel: String, content: String): Unit = {
+        val p = root.resolve(rel)
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.writeString(p, content)
+      }
+      write("dbt_project.yml", "name: m31proj\n")
+      write("models/sources.yml",
+        s"""sources:
+           |  - name: main
+           |    tables:
+           |      - name: orders
+           |        path: $dir/orders.parquet
+           |""".stripMargin)
+      write("models/m31_fct.sql",
+        """{{ config(materialized='table') }}
+          |SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+          |FROM {{ source('main', 'orders') }} GROUP BY o_custkey""".stripMargin)
+      write("models/m31_down.sql",
+        "SELECT * FROM {{ ref('m31_fct') }}")
+      write("models/schema.yml",
+        """models:
+          |  - name: m31_fct
+          |    columns:
+          |      - name: o_custkey
+          |        tests: [not_null]
+          |""".stripMargin)
+      // exactly one failing row, independent of the data
+      write("tests/m31_bad.sql",
+        "SELECT 1 AS bad FROM {{ ref('m31_fct') }} LIMIT 1")
+      val eng = Engine.fromProject(s, root.toString, scratch())
+      val results = eng.build(Nil)
+      val target = scratch()
+      eng.writeArtifacts(target, results)
+      val rr = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(java.nio.file.Files.readString(
+          java.nio.file.Paths.get(s"$target/run_results.json")))
+      val buf = scala.collection.mutable.Buffer[(String, String, Long, Long)]()
+      rr.get("results").forEach { item =>
+        val failures =
+          if (item.get("failures").isNull) 0L else item.get("failures").asLong
+        val rowsAffected = Option(item.at("/adapter_response/rows_affected"))
+          .filterNot(_.isMissingNode).map(_.asLong).getOrElse(0L)
+        buf += ((item.get("unique_id").asText, item.get("status").asText,
+          failures, rowsAffected))
+      }
+      buf.toSeq.toDF("unique_id", "status", "failures", "rows_affected")
+        .orderBy("unique_id")
     }
   )
 }

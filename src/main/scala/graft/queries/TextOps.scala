@@ -463,6 +463,50 @@ object TextOps {
       |  FROM sbits GROUP BY doc_id
       |)""".stripMargin
 
+  /** 64-bit SimHash (doc_id, simhash as 64 '0'/'1' chars) — q112's
+    * fingerprint. Band width must SCALE with corpus size: an 8-bit
+    * band has 256 bucket values, so bucket occupancy — and the banded
+    * candidate join — grows quadratically with the corpus (measured
+    * 61x runtime at 10x sf0.1, SCALE_r6.json). 64 bits + 4 x 16-bit
+    * bands keep the Hamming<=3 pigeonhole guarantee with 65,536
+    * buckets: occupancy ~corpus/65536, candidates ~linear again. The
+    * extra 32 bit-signals come from a second independent hash
+    * (md5(w || '#')), identically on both engines.
+    */
+  private[queries] def simhashes64(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    cachedIndex(s"simhash64|${IndexCache.sessionKey(s)}|$dir") {
+      val tok = docs(s, dir)
+        .select(col("doc_id"), explode(array_distinct(wordsCol)).as("w"))
+        .select(col("doc_id"),
+          concat(md5(col("w")), md5(concat(col("w"), lit("#")))).as("h"))
+      val bitAggs = (1 to 64).map(i =>
+        when(sum(when(
+          instr(lit("0123456789abcdef"), substring(col("h"), i, 1)) - 1 >= 8,
+          1).otherwise(-1)) >= 0, "1").otherwise("0").as(s"b$i"))
+      tok.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
+        .select(col("doc_id"),
+          concat((1 to 64).map(i => col(s"b$i")): _*).as("simhash"))
+    }
+
+  /** The same 64-bit fingerprint in DuckDB (CTE ending `sh64(doc_id,
+    * simhash)`); q112's oracle twin of [[simhashes64]]. */
+  private[queries] val duckSimhash64 =
+    """stok64 AS (
+      |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+      |), sbits64 AS (
+      |  SELECT doc_id, i,
+      |         CASE WHEN SUM(CASE WHEN STRPOS('0123456789abcdef',
+      |                       SUBSTR(MD5(w) || MD5(w || '#'), CAST(i AS INT), 1)) - 1 >= 8
+      |                  THEN 1 ELSE -1 END) >= 0
+      |              THEN '1' ELSE '0' END AS bit
+      |  FROM stok64 CROSS JOIN (SELECT unnest(range(1, 65)) AS i) pos
+      |  GROUP BY doc_id, i
+      |), sh64 AS (
+      |  SELECT doc_id, STRING_AGG(bit, '' ORDER BY i) AS simhash
+      |  FROM sbits64 GROUP BY doc_id
+      |)""".stripMargin
+
   /** Near-dup group labels (doc_id, group_id) at the q48 Jaccard ≥ 0.2
     * threshold — the CC fixpoint over the cached pair kernel, itself
     * cached per (session, dataset): the dedup-group index is built once
@@ -897,30 +941,39 @@ object TextOps {
     // Incremental SimHash dedup probe — the dedup step q28's
     // fingerprints exist for, in its production (streaming-ingest)
     // shape: an incoming batch (doc_id % 10 == 9) probes the EXISTING
-    // fingerprint index; candidates share >= 1 exact 8-bit band (the
+    // fingerprint index; candidates share >= 1 exact 16-bit band (the
     // pigeonhole guarantee: any pair within Hamming 3 must), the true
     // Hamming distance is verified on candidates only, and each batch
     // doc reports its nearest index neighbor (tie → lowest doc_id)
-    // with an is_dup verdict at Hamming <= 6. Output is batch-sized,
-    // the join is band-bucketed — never all-pairs, O(batch) per
-    // ingest round like q67/q69.
+    // with an is_dup verdict at Hamming <= 12 (64-bit scale of q28's
+    // 6-of-32). Output is batch-sized, the join is band-bucketed —
+    // never all-pairs. SCALE NOTE: this ran on the 32-bit hash with
+    // 8-bit bands (256 buckets) until SCALE_r6 measured 61x runtime at
+    // 10x data — bucket occupancy grows with corpus/bucket-count, so
+    // the candidate join is quadratic unless band width scales; 16-bit
+    // bands (65,536 buckets) restore ~linear growth at any corpus the
+    // 64-bit fingerprint itself can serve.
     QueryDef(
       "q112_simhash_incremental",
-      s"""WITH $duckSimhash,
-         |idx AS (SELECT doc_id, simhash FROM sh2 WHERE doc_id % 10 <> 9),
-         |batch AS (SELECT doc_id, simhash FROM sh2 WHERE doc_id % 10 = 9),
+      s"""WITH $duckSimhash64,
+         |idx AS (SELECT doc_id, simhash FROM sh64 WHERE doc_id % 10 <> 9),
+         |batch AS (SELECT doc_id, simhash FROM sh64 WHERE doc_id % 10 = 9),
          |ib AS (
-         |  SELECT doc_id, b, SUBSTR(simhash, b * 8 + 1, 8) AS bits
+         |  SELECT doc_id, b, SUBSTR(simhash, b * 16 + 1, 16) AS bits
          |  FROM idx CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bb
          |), bb2 AS (
-         |  SELECT doc_id, b, SUBSTR(simhash, b * 8 + 1, 8) AS bits
+         |  SELECT doc_id, b, SUBSTR(simhash, b * 16 + 1, 16) AS bits
          |  FROM batch CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bb
+         |), okb AS (
+         |  SELECT b, bits FROM ib GROUP BY b, bits HAVING COUNT(*) <= 128
          |), cand AS (
          |  SELECT DISTINCT q.doc_id AS qid, i.doc_id AS nid
-         |  FROM bb2 q JOIN ib i ON q.b = i.b AND q.bits = i.bits
+         |  FROM bb2 q
+         |  JOIN okb o ON o.b = q.b AND o.bits = q.bits
+         |  JOIN ib i ON q.b = i.b AND q.bits = i.bits
          |), ham AS (
          |  SELECT c.qid, c.nid,
-         |         CAST(len(list_filter(range(1, 33),
+         |         CAST(len(list_filter(range(1, 65),
          |              i -> SUBSTR(sq.simhash, CAST(i AS INT), 1)
          |                   <> SUBSTR(si.simhash, CAST(i AS INT), 1))) AS BIGINT)
          |           AS hamming
@@ -936,25 +989,36 @@ object TextOps {
          |SELECT b.doc_id,
          |       CAST(COALESCE(s.nid, -1) AS BIGINT) AS nn_doc,
          |       CAST(COALESCE(s.hamming, -1) AS BIGINT) AS hamming,
-         |       COALESCE(s.hamming <= 6, FALSE) AS is_dup
+         |       COALESCE(s.hamming <= 12, FALSE) AS is_dup
          |FROM batch b LEFT JOIN best s ON s.qid = b.doc_id AND s.rn = 1
          |ORDER BY b.doc_id""".stripMargin) { (s, dir) =>
-      val sh = simhashes(s, dir)
+      val sh = simhashes64(s, dir)
       val idx = sh.filter(col("doc_id") % 10 =!= 9)
       val batch = sh.filter(col("doc_id") % 10 === 9)
       def bandsOf(df: org.apache.spark.sql.DataFrame) = {
         val bandStructs = (0 until 4).map(b =>
-          struct(lit(b).as("b"), substring(col("simhash"), b * 8 + 1, 8).as("bits")))
+          struct(lit(b).as("b"), substring(col("simhash"), b * 16 + 1, 16).as("bits")))
         df.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
           .select(col("doc_id"), col("bk.b").as("b"), col("bk.bits").as("bits"))
       }
-      val cand = bandsOf(batch).as("q").join(bandsOf(idx).as("i"),
+      // stop-band removal (the banded analog of q27's df<=128 shingle
+      // cap): biased fingerprint bits concentrate band values into
+      // mega-buckets that carry no discriminative signal but drive the
+      // candidate join quadratic — SCALE_r6 measured 39M candidate
+      // pairs from a 5k batch at 10x before this cap. Dropping buckets
+      // with > 128 index members bounds candidates per batch doc.
+      val idxBands = bandsOf(idx)
+      val okBuckets = idxBands.groupBy("b", "bits")
+        .agg(count(lit(1)).as("nb")).filter(col("nb") <= 128)
+        .select("b", "bits")
+      val cand = bandsOf(batch).join(okBuckets, Seq("b", "bits")).as("q")
+        .join(idxBands.as("i"),
           col("q.b") === col("i.b") && col("q.bits") === col("i.bits"))
         .select(col("q.doc_id").as("qid"), col("i.doc_id").as("nid"))
         .distinct()
       val sq = batch.select(col("doc_id").as("qid"), col("simhash").as("hq"))
       val si = idx.select(col("doc_id").as("nid"), col("simhash").as("hi"))
-      val hamming = (1 to 32)
+      val hamming = (1 to 64)
         .map(i => when(substring(col("hq"), i, 1) =!= substring(col("hi"), i, 1), 1)
           .otherwise(0))
         .reduce(_ + _)
@@ -970,7 +1034,7 @@ object TextOps {
         .select(col("doc_id"),
           coalesce(col("nid"), lit(-1L)).cast("long").as("nn_doc"),
           coalesce(col("hamming"), lit(-1L)).cast("long").as("hamming"),
-          coalesce(col("hamming") <= 6, lit(false)).as("is_dup"))
+          coalesce(col("hamming") <= 12, lit(false)).as("is_dup"))
         .orderBy("doc_id")
     },
 

@@ -42,7 +42,14 @@ object Cli {
           println(s"installed ${p.name} (${p.kind}: ${p.location})"))
         return
       case "init" =>
+        // reference `dbt init` starter-project parity: a runnable
+        // 3-node pipeline (source -> staging view -> mart table) plus
+        // a schema test, executable by `run`/`build` unmodified.
+        // --source-path points the source at real data (defaults to
+        // the bundled sf0.001 orders table so the starter runs as-is).
         val root = java.nio.file.Paths.get(projectDir)
+        val srcPath = opts.getOrElse("source-path",
+          "/root/testdata/sf0.001/orders.parquet")
         def scaffold(rel: String, content: String): Unit = {
           val p = root.resolve(rel)
           java.nio.file.Files.createDirectories(p.getParent)
@@ -53,16 +60,37 @@ object Cli {
           s"""name: ${root.getFileName}
              |vars: {}
              |""".stripMargin)
-        scaffold("models/example.sql",
-          "{{ config(materialized='view') }}\nSELECT 1 AS id\n")
+        scaffold("models/sources.yml",
+          s"""sources:
+             |  - name: main
+             |    tables:
+             |      - name: orders
+             |        path: $srcPath
+             |""".stripMargin)
+        scaffold("models/staging/stg_orders.sql",
+          """{{ config(materialized='view') }}
+            |SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+            |FROM {{ source('main', 'orders') }}
+            |""".stripMargin)
+        scaffold("models/marts/fct_customer_orders.sql",
+          """{{ config(materialized='table') }}
+            |SELECT o_custkey,
+            |       CAST(COUNT(*) AS BIGINT) AS n_orders,
+            |       CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS total_spend
+            |FROM {{ ref('stg_orders') }}
+            |GROUP BY o_custkey
+            |""".stripMargin)
         scaffold("models/schema.yml",
           """models:
-            |  - name: example
+            |  - name: fct_customer_orders
+            |    description: Per-customer order counts and spend.
             |    columns:
-            |      - name: id
-            |        tests: [not_null]
+            |      - name: o_custkey
+            |        tests: [not_null, unique]
             |""".stripMargin)
-        println(s"initialized project at $projectDir")
+        println(s"initialized starter project at $projectDir " +
+          "(source -> stg_orders -> fct_customer_orders + tests); " +
+          "run it with: run --project <dir> --warehouse <dir>")
         return
       case "clean" =>
         def rm(p: java.nio.file.Path): Unit =

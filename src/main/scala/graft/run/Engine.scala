@@ -395,13 +395,31 @@ final class Engine(
             EventLog.info("node_started", "unique_id" -> id,
               "invocation_id" -> invocationId)
             try {
-              runNode(node, fullRefresh)
+              val r0 = runNode(node, fullRefresh)
               val dt = (System.nanoTime() - t0) / 1e9
-              results.add(Materializer.Result(id, "success", elapsedSec = dt))
-              EventLog.info("node_finished", "unique_id" -> id,
-                "status" -> "success", "elapsed_sec" -> dt,
-                "invocation_id" -> invocationId)
-              queue.markDone(id)
+              val r = r0.copy(elapsedSec = dt)
+              results.add(r)
+              if (r.status == "fail") {
+                // failing test (dbt parity: status=fail, not a runtime
+                // error): cascade-skip dependents, honor fail-fast
+                failed.set(true)
+                EventLog.error("node_finished", "unique_id" -> id,
+                  "status" -> r.status, "elapsed_sec" -> dt,
+                  "message" -> r.message, "invocation_id" -> invocationId)
+                val skipped = queue.markFailed(id)
+                skipped.foreach { sid =>
+                  results.add(Materializer.Result(sid, "skipped",
+                    message = s"upstream failure: $id"))
+                  EventLog.warn("node_finished", "unique_id" -> sid,
+                    "status" -> "skipped", "message" -> s"upstream failure: $id",
+                    "invocation_id" -> invocationId)
+                }
+              } else {
+                EventLog.info("node_finished", "unique_id" -> id,
+                  "status" -> r.status, "elapsed_sec" -> dt,
+                  "invocation_id" -> invocationId)
+                queue.markDone(id)
+              }
             } catch {
               case e: Throwable =>
                 failed.set(true)
@@ -447,11 +465,21 @@ final class Engine(
     out
   }
 
-  private def runNode(node: Node, fullRefreshFlag: Boolean): Unit = node match {
+  /** Execute one node; the returned Result carries the dbt-parity
+    * status vocabulary (models/seeds/snapshots: success; data tests:
+    * pass/warn/fail; unit tests: pass/fail) and rows_affected (rows
+    * materialized, or a test's failing-row count) — run_results.json
+    * (m31) hash-gates both. Runtime exceptions still propagate to the
+    * worker's catch → status=error.
+    */
+  private def runNode(node: Node, fullRefreshFlag: Boolean): Materializer.Result = node match {
     case sm: ScalaModelNode =>
       runHooks(sm.config.preHook)
       ScalaModel.run(this, sm)
       runHooks(sm.config.postHook)
+      Materializer.Result(sm.uniqueId, "success",
+        rowsAffected = if (wh.exists(relationName(sm)))
+          wh.rowCount(relationName(sm)) else -1L)
     case m: ModelNode =>
       runHooks(m.config.preHook)
       if (m.config.contractEnforced)
@@ -497,38 +525,48 @@ final class Engine(
           }
       }
       val builtinKinds = Set("table", "incremental", "view", "materialized_view")
+      var rows = -1L
       if (builtinKinds(m.config.materialized) ||
           (!Set("ephemeral", "analysis")(m.config.materialized) &&
             wh.exists(relationName(m)))) {
         val rel = relationName(m)
+        rows = wh.rowCount(rel)
         storeResult(m.uniqueId, "main", Map(
           "status" -> "SUCCESS",
           "relation" -> rel,
-          "rows_affected" -> wh.rowCount(rel).toString))
+          "rows_affected" -> rows.toString))
       }
       runHooks(m.config.postHook,
         Option(resultSlots.get(m.uniqueId)).getOrElse(Map.empty))
+      Materializer.Result(m.uniqueId, "success", rowsAffected = rows)
     case s: SeedNode =>
       Materializer.seed(wh, s, relationName(s))
+      val rows = wh.rowCount(relationName(s))
       storeResult(s.uniqueId, "main", Map("status" -> "SUCCESS",
         "relation" -> relationName(s),
-        "rows_affected" -> wh.rowCount(relationName(s)).toString))
+        "rows_affected" -> rows.toString))
+      Materializer.Result(s.uniqueId, "success", rowsAffected = rows)
     case s: SnapshotNode =>
       Materializer.snapshot(wh, relationName(s), compile(s),
         s.uniqueKey, s.strategy, s.invalidateHardDeletes, clock)
+      val rows = wh.rowCount(relationName(s))
       storeResult(s.uniqueId, "main", Map("status" -> "SUCCESS",
         "relation" -> relationName(s),
-        "rows_affected" -> wh.rowCount(relationName(s)).toString))
+        "rows_affected" -> rows.toString))
+      Materializer.Result(s.uniqueId, "success", rowsAffected = rows)
     case t: TestNode =>
-      val (status, failures) = Materializer.runTest(wh, t.copy(rawSql = compile(t)))
-      if (status == "fail")
-        throw new IllegalStateException(s"test ${t.name} failed ($failures failures)")
-    case _: SourceNode => ()
-    case _: ExposureNode => () // metadata-only (A29)
-    case _: MetricNode => () // metadata-only; compiled on demand via queryMetric
-    case _: SemanticModelNode => () // metadata-only (A29)
-    case _: SavedQueryNode => () // metadata-only; compiled via querySaved
-    case u: UnitTestNode => runUnitTestNode(u)
+      val (raw, failures) = Materializer.runTest(wh, t.copy(rawSql = compile(t)))
+      val status = if (warnError && raw == "warn") "error" else raw
+      Materializer.Result(t.uniqueId, status, s"$failures failures",
+        rowsAffected = failures)
+    case u: UnitTestNode =>
+      try { runUnitTestNode(u); Materializer.Result(u.uniqueId, "pass") }
+      catch {
+        case e: Throwable =>
+          Materializer.Result(u.uniqueId, "fail", String.valueOf(e.getMessage))
+      }
+    case other => // sources + metadata-only nodes (A29)
+      Materializer.Result(other.uniqueId, "success")
   }
 
   /** Compile a metric to a Spark query over its model (A29 optional

@@ -1,0 +1,98 @@
+package graft.tools
+
+import graft.SparkEntry
+import org.apache.spark.sql.SparkSession
+
+/** Scale-stress gate (VERDICT r5 item 1): run the named queries at the
+  * sf0.1 baseline AND at the ScaleGen 10x dataset, and record
+  *
+  *  - warm per-query seconds at both scales and the growth ratio
+  *    (10x data => ratio ~<= 10 is the "~linear" bar; fixed overheads
+  *    usually keep it well under),
+  *  - the plan shape at both scales (CartesianProduct / SortMergeJoin /
+  *    BroadcastHashJoin / Sort / Exchange operator counts from the
+  *    formatted explain) and whether it changed,
+  *
+  * into one JSON file (`SCALE_r6.json`). Usage:
+  *
+  *   sbt "runMain graft.tools.ScaleBench <baseDir> <scaleDir> <outJson> <q1> <q2> ..."
+  */
+object ScaleBench {
+  private val PlanOps = Seq("CartesianProduct", "SortMergeJoin",
+    "BroadcastHashJoin", "BroadcastNestedLoopJoin", "Sort ", "Exchange")
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args(0)
+    val scaleDir = args(1)
+    val outJson = args(2)
+    val names = args.drop(3).toSeq
+    require(names.nonEmpty, "pass query names")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val byName = SparkEntry.allQueries.map(q => q.name -> q).toMap
+    val missing = names.filterNot(byName.contains)
+    require(missing.isEmpty, s"unknown queries: ${missing.mkString(",")}")
+
+    def planCounts(name: String, dir: String): Map[String, Int] = {
+      val plan = byName(name).run(spark, dir).queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      PlanOps.map(op => op.trim -> op.r.findAllIn(plan).length).toMap
+    }
+    def timeWarm(name: String, dir: String): Double = {
+      def once(): Double = {
+        val s = System.nanoTime()
+        byName(name).run(spark, dir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - s) / 1e9
+      }
+      once() // warm-up: JIT, codegen, one-time index builds
+      once()
+    }
+
+    val rows = names.map { name =>
+      System.err.println(s"[scalebench] $name")
+      val basePlan = planCounts(name, baseDir)
+      val scalePlan = planCounts(name, scaleDir)
+      val baseSec = timeWarm(name, baseDir)
+      val scaleSec = timeWarm(name, scaleDir)
+      val ratio = scaleSec / math.max(baseSec, 1e-9)
+      val changed = basePlan != scalePlan
+      System.err.println(
+        f"[scalebench] $name base=$baseSec%.2f scale=$scaleSec%.2f " +
+          f"ratio=$ratio%.2f planChanged=$changed")
+      (name, baseSec, scaleSec, ratio, basePlan, scalePlan, changed)
+    }
+
+    def counts(m: Map[String, Int]): String =
+      m.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }
+        .mkString("{", ",", "}")
+    val qjson = rows.map { case (n, b, s, r, bp, sp, ch) =>
+      f""""$n":{"base_sec":$b%.3f,"scale_sec":$s%.3f,"ratio":$r%.2f,""" +
+        s""""plan_changed":$ch,"plan_base":${counts(bp)},"plan_scale":${counts(sp)}}"""
+    }.mkString("{", ",", "}")
+    val cart = rows.count(_._6.getOrElse("CartesianProduct", 0) > 0)
+    val maxRatio = rows.map(_._4).max
+    val medianRatio = rows.map(_._4).sorted.apply(rows.size / 2)
+    val json =
+      s"""{"base":"$baseDir","scale":"$scaleDir","data_factor":10,
+         |"n_queries":${rows.size},
+         |"median_ratio":${f"$medianRatio%.2f"},
+         |"max_ratio":${f"$maxRatio%.2f"},
+         |"plans_changed":${rows.count(_._7)},
+         |"cartesians_at_scale":$cart,
+         |"queries":$qjson,
+         |"note":"ratio=warm seconds at 10x data / warm seconds at sf0.1; ~linear bar is ratio<=10; plan_* are formatted-explain operator counts"}
+         |""".stripMargin
+    java.nio.file.Files.write(java.nio.file.Paths.get(outJson),
+      json.getBytes("UTF-8"))
+    println(json)
+    spark.stop()
+  }
+}

@@ -1,0 +1,166 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Synthesize the scale-stress datasets from sf0.1 (VERDICT r5 item 1):
+  *
+  *  - `<out>/scale10`: ~10x sf0.1, fact tables replicated with re-keyed
+  *    ids so FK joins stay valid (replica i offsets every key domain by
+  *    i * 10^7; dims nation/region stay single — dims don't scale).
+  *    Document texts are NOT copied verbatim: replica i pairs doc j's
+  *    first half with doc (j+i)'s second half, so near-dup kernels see
+  *    realistic shared-shingle structure instead of a 10-clique per
+  *    original (which would blow pair counts up quadratically and make
+  *    "~linear scaling" unmeasurable). Embedding vectors rotate by i
+  *    positions — distinct vectors, same distributional shape.
+  *  - `<out>/skew`: sf0.1-sized variants with deliberate hot keys —
+  *    `lineitem.parquet` with ~25% of rows on one l_partkey and
+  *    `events.parquet` with ~25% of rows on one user_id — for the
+  *    skew-join resilience gate (salted vs unsalted task-time spread).
+  *
+  * Usage: sbt "runMain graft.tools.ScaleGen [sfDir] [outDir] [replicas]"
+  */
+object ScaleGen {
+  val KeyStride = 10000000L // > any sf0.1 key domain; 10 replicas stay < 2^31
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val outDir = args.lift(1).getOrElse("target/scale")
+    val replicas = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    generate(spark, sfDir, outDir, replicas)
+    spark.stop()
+  }
+
+  def generate(spark: SparkSession, sfDir: String, outDir: String,
+      replicas: Int): Unit = {
+    val t0 = System.nanoTime()
+    scale10(spark, sfDir, s"$outDir/scale10", replicas)
+    skewed(spark, sfDir, s"$outDir/skew")
+    println(f"[scalegen] done in ${(System.nanoTime() - t0) / 1e9}%.1f s -> $outDir")
+  }
+
+  /** Replicate with per-replica key offsets; one wide pass per table
+    * (broadcast cross join against the replica index — no shuffle).
+    */
+  private def scale10(spark: SparkSession, sfDir: String, out: String,
+      replicas: Int): Unit = {
+    val rep = broadcast(spark.range(replicas).toDF("rep"))
+    def offset(c: String): org.apache.spark.sql.Column =
+      col(c) + col("rep") * KeyStride
+
+    def write(name: String, df: DataFrame, files: Int): Unit = {
+      df.repartition(files).write.mode("overwrite")
+        .parquet(s"$out/$name.parquet")
+      println(s"[scalegen] wrote $name x$replicas")
+    }
+
+    // dims: single copy, bytes unchanged
+    Seq("region", "nation").foreach { d =>
+      write(d, spark.read.parquet(s"$sfDir/$d.parquet"), 1)
+    }
+
+    val customer = spark.read.parquet(s"$sfDir/customer.parquet")
+    write("customer", customer.crossJoin(rep)
+      .withColumn("c_custkey", offset("c_custkey"))
+      .withColumn("c_name", concat(col("c_name"), lit("#"), col("rep")))
+      .drop("rep"), 4)
+
+    val supplier = spark.read.parquet(s"$sfDir/supplier.parquet")
+    write("supplier", supplier.crossJoin(rep)
+      .withColumn("s_suppkey", offset("s_suppkey"))
+      .withColumn("s_name", concat(col("s_name"), lit("#"), col("rep")))
+      .drop("rep"), 2)
+
+    val part = spark.read.parquet(s"$sfDir/part.parquet")
+    write("part", part.crossJoin(rep)
+      .withColumn("p_partkey", offset("p_partkey"))
+      .drop("rep"), 4)
+
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    write("orders", orders.crossJoin(rep)
+      .withColumn("o_orderkey", offset("o_orderkey"))
+      .withColumn("o_custkey", offset("o_custkey"))
+      .drop("rep"), 8)
+
+    val lineitem = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    write("lineitem", lineitem.crossJoin(rep)
+      .withColumn("l_orderkey", offset("l_orderkey"))
+      .withColumn("l_partkey", offset("l_partkey"))
+      .withColumn("l_suppkey", offset("l_suppkey"))
+      .drop("rep"), 16)
+
+    val events = graft.Tables.load(spark, sfDir, "events")
+    write("events", events.crossJoin(rep)
+      .withColumn("event_id", offset("event_id"))
+      .withColumn("user_id", offset("user_id"))
+      .drop("rep"), 8)
+
+    // documents: replica i = first half of doc j + second half of doc
+    // (j+i) mod N — genuinely new texts with realistic shingle overlap
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val (n, minId) = {
+      val r = docs.agg(count(lit(1)), min("doc_id")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val tails = docs.select(
+      col("doc_id").as("t_id"),
+      expr("substring(text, length(text) div 2 + 1)").as("tail"))
+    val mixed = docs.crossJoin(rep)
+      .withColumn("t_id", // partner doc for the tail, in doc_id's domain
+        (col("doc_id") - lit(minId) + col("rep")) % lit(n) + lit(minId))
+      .join(tails, "t_id")
+      .withColumn("text",
+        when(col("rep") === 0, col("text"))
+          .otherwise(concat(expr("substring(text, 1, length(text) div 2)"),
+            col("tail"))))
+      .withColumn("doc_id", offset("doc_id"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .drop("rep", "t_id", "tail")
+    write("documents", mixed.select("doc_id", "text", "lang", "source", "n_chars"), 8)
+
+    // embeddings: rotate the vector by rep positions — distinct but
+    // same-distribution vectors; labels keep their meaning
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    write("embeddings", emb.crossJoin(rep)
+      .withColumn("embedding", expr(
+        "transform(embedding, (x, i) -> element_at(embedding, " +
+          "cast((i + rep) % size(embedding) as int) + 1))"))
+      .withColumn("vec_id", offset("vec_id"))
+      .drop("rep"), 8)
+  }
+
+  /** sf0.1-sized skew variants: ~25% of fact rows collapse onto one hot
+    * key (the adversarial distribution AQE/salting must survive).
+    */
+  private def skewed(spark: SparkSession, sfDir: String, out: String): Unit = {
+    val lineitem = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val hotPart = lineitem.agg(min("l_partkey")).head().getLong(0)
+    lineitem
+      .withColumn("l_partkey",
+        when(pmod(col("l_orderkey"), lit(4)) === 0, lit(hotPart))
+          .otherwise(col("l_partkey")))
+      .repartition(8).write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    val events = graft.Tables.load(spark, sfDir, "events")
+    val hotUser = events.agg(min("user_id")).head().getLong(0)
+    events
+      .withColumn("user_id",
+        when(pmod(col("event_id"), lit(4)) === 0, lit(hotUser))
+          .otherwise(col("user_id")))
+      .repartition(8).write.mode("overwrite").parquet(s"$out/events.parquet")
+    // the dims/other tables the skew phases join against, unchanged
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "documents", "embeddings").foreach { t =>
+      spark.read.parquet(s"$sfDir/$t.parquet")
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
+    println("[scalegen] wrote skew variants (hot l_partkey, hot user_id)")
+  }
+}

@@ -20,4 +20,11 @@ object graftshim {
     * after a session is GC'd.
     */
   def sessionUUID(s: classic.SparkSession): String = s.sessionUUID
+
+  /** Drain the listener bus (`private[spark]`) so a test that just ran
+    * a job can read its SparkListener-collected task metrics without
+    * racing event delivery.
+    */
+  def drainListenerBus(s: classic.SparkSession): Unit =
+    s.sparkContext.listenerBus.waitUntilEmpty()
 }

@@ -32,4 +32,36 @@ class ParsePerfSpec extends AnyFunSuite {
     assert(order.size === 2000)
     assert(elapsed < 5.0, f"parse took $elapsed%.2f s, target < 5 s")
   }
+
+  /** Monorepo-scale honesty for SURVEY A31: the "no partial parsing
+    * needed" claim only holds while a FULL parse stays trivially cheap
+    * at sizes where the reference needs its partial-parse machinery.
+    * 20k models ≈ 10x the reference's published benchmark project;
+    * 50k ≈ the largest deployments discussed publicly.
+    */
+  private def fullParse(n: Int, budgetSec: Double): Unit = {
+    val dir = Files.createTempDirectory(s"perf$n")
+    Files.createDirectories(dir.resolve("models"))
+    Files.writeString(dir.resolve("dbt_project.yml"), "name: perf\n")
+    (0 until n).foreach { i =>
+      val body =
+        if (i % 10 == 0 || i == 0) s"SELECT $i AS id, 'x' AS payload"
+        else s"SELECT * FROM {{ ref('m_${i - 1}') }}"
+      Files.writeString(dir.resolve(s"models/m_$i.sql"), body)
+    }
+    val t0 = System.nanoTime()
+    val proj = ProjectLoader.load(dir.toString)
+    val order = graft.graph.Dag.fromManifest(proj.manifest).topoSort
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    info(f"parsed+linked+sorted $n models in $elapsed%.2f s")
+    assert(proj.manifest.models.size === n)
+    assert(order.size === n)
+    assert(elapsed < budgetSec,
+      f"$n-model parse took $elapsed%.2f s (budget $budgetSec%.0f s) — " +
+        "time to implement content-hash incremental re-parse (A31)")
+  }
+
+  test("parse 20k-model project under 5 seconds") { fullParse(20000, 5.0) }
+
+  test("parse 50k-model project under 15 seconds") { fullParse(50000, 15.0) }
 }

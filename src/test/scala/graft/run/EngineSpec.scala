@@ -641,7 +641,7 @@ class EngineSpec extends SparkSpec {
     val eng = Engine.fromProject(spark, writeProject(proj), tmpDir("wh"))
     val results = eng.build()
     val byId = results.map(r => r.uniqueId -> r.status).toMap
-    assert(byId.exists { case (id, st) => id.contains("unique_m1") && st == "error" })
+    assert(byId.exists { case (id, st) => id.contains("unique_m1") && st == "fail" })
     assert(byId.exists { case (id, st) => id == "model.graft.m2" && st == "skipped" })
   }
 

@@ -528,16 +528,13 @@ class TasksSpec extends SparkSpec {
     Cli.main(Array("init", "--project", dir))
     assert(Files.exists(Paths.get(s"$dir/dbt_project.yml")))
     val eng = Engine.fromProject(spark, dir, tmpDir("wh_init"))
-    assert(eng.manifest.models.values.exists(_.name == "example"))
+    assert(eng.manifest.models.values.exists(_.name == "stg_orders"))
+    assert(eng.manifest.sources.values.exists(_.name == "orders"))
     assert(eng.run().forall(_.status == "success"))
     eng.writeArtifacts(s"$dir/target", Nil)
     assert(Files.exists(Paths.get(s"$dir/target/manifest.json")))
     Cli.main(Array("clean", "--project", dir))
     assert(!Files.exists(Paths.get(s"$dir/target")))
-    // init never clobbers an existing file
-    Files.writeString(Paths.get(s"$dir/models/example.sql"), "SELECT 2 AS id")
-    Cli.main(Array("init", "--project", dir))
-    assert(Files.readString(Paths.get(s"$dir/models/example.sql")) === "SELECT 2 AS id")
   }
 
   test("selectors.yml: named selectors parse, resolve, and serialize") {
@@ -675,5 +672,32 @@ class TasksSpec extends SparkSpec {
     assert(res.forall(_.status == "success"), res.mkString(";"))
     val total = eng.wh.read("t_scala").head().getLong(0)
     assert(total === spark.read.parquet(s"$sf/orders.parquet").count())
+  }
+
+  test("init scaffolds a starter project that build runs unmodified") {
+    val proj = tmpDir("init_proj")
+    Cli.main(Array("init", "--project", proj,
+      "--source-path", s"$sf/orders.parquet"))
+    // the scaffold parses and executes through the normal engine path:
+    // source -> staging view -> mart table, then its schema tests
+    val eng = Engine.fromProject(spark, proj, tmpDir("init_wh"))
+    val results = eng.build(Nil)
+    assert(results.nonEmpty)
+    assert(results.forall(r => r.status == "success" || r.status == "pass"),
+      results.mkString("; "))
+    val ids = results.map(_.uniqueId).toSet
+    assert(ids.contains("model.graft.stg_orders")
+      && ids.contains("model.graft.fct_customer_orders"))
+    assert(results.count(_.status == "pass") === 2, "not_null + unique tests ran")
+    // build() executes in a derived engine scope; recover the warehouse
+    // from disk to observe what it materialized
+    val mart = new graft.exec.Warehouse(spark, eng.wh.root)
+      .read("fct_customer_orders")
+    assert(mart.count() > 0)
+    // re-init must not clobber user edits (scaffold is create-if-absent)
+    val mf = java.nio.file.Paths.get(s"$proj/models/marts/fct_customer_orders.sql")
+    java.nio.file.Files.writeString(mf, "-- edited\nSELECT 1 AS x\n")
+    Cli.main(Array("init", "--project", proj))
+    assert(java.nio.file.Files.readString(mf).startsWith("-- edited"))
   }
 }
