@@ -124,4 +124,55 @@ class PropertySpec extends SparkSpec {
     assert(wh2.read("tt").count() === 1)
     assert(wh2.vacuum("tt", retainSeconds = 0) === 0)
   }
+
+  test("readers holding a snapshot survive interleaved replace+vacuum (fence)") {
+    import spark.implicits._
+    val wh = new Engine(spark, Manifest(Map.empty), tmpDir("prop_wh4")).wh
+    def rows(n: Int) = (1 to n).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+
+    // sequential interleaving first — the exact r5-advice scenario: a
+    // lazy DataFrame obtained BEFORE a replace must evaluate correctly
+    // after replace + retention-fenced vacuum
+    wh.writeTable("cc", rows(100))
+    val snap0 = wh.read("cc")
+    wh.appendTable("cc", rows(50))
+    val asOf0 = wh.readAsOf("cc", 0)
+    wh.writeTable("cc", rows(200)) // replace orphans v0+v1
+    assert(wh.vacuum("cc") === 0, "fresh orphans stay inside the fence")
+    assert(snap0.count() === 100, "pre-replace snapshot must stay readable")
+    assert(asOf0.count() === 100, "as-of snapshot must stay readable")
+    assert(wh.read("cc").count() === 200)
+
+    // concurrent interleaving: writers replace+vacuum while readers
+    // loop; every observed count must equal SOME committed version's
+    // count — never a partial or mixed state
+    val validCounts = Set(200L, 300L, 400L, 500L)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val readers = (1 to 2).map(_ => new Thread(() => {
+      while (!stop.get()) {
+        try {
+          val c = wh.read("cc").count()
+          if (!validCounts.contains(c)) errors.add(s"saw count $c")
+        } catch { case e: Throwable => errors.add(s"reader failed: ${e.getMessage}") }
+      }
+    }))
+    readers.foreach(_.start())
+    try {
+      Seq(300, 400, 500).foreach { n =>
+        wh.writeTable("cc", rows(n))
+        wh.vacuum("cc") // fenced: never deletes what a reader may hold
+      }
+    } finally {
+      stop.set(true)
+      readers.foreach(_.join(30000))
+    }
+    assert(errors.isEmpty, errors.toArray.take(5).mkString("; "))
+    assert(wh.read("cc").count() === 500)
+
+    // after the fence is lifted (retainSeconds=0), orphans GC and a
+    // stale snapshot fails CLOSED — an error, never silent wrong data
+    assert(wh.vacuum("cc", retainSeconds = 0) > 0)
+    intercept[Exception] { snap0.count() }
+  }
 }
