@@ -1478,6 +1478,62 @@ object Framework {
       }
       buf.toSeq.toDF("unique_id", "status", "failures", "rows_affected")
         .orderBy("unique_id")
+    },
+
+    // A25 Jinja macro namespaces + filter blocks under the oracle
+    // (reference uses native Jinja2, `core/dbt/clients/jinja.py`, so
+    // `{% import %}`/`{% from %}`/`{% filter %}` all work there): a
+    // model imports a helper file that is NOT on any macro load path —
+    // reachable only through the template loader — calls a namespace
+    // member whose body calls a SIBLING macro from the same file, binds
+    // a second macro via from-import-as, and assembles an aggregate
+    // through a {% filter lower | trim %} block. Any failure in
+    // namespace binding, sibling resolution, kwargs through the
+    // namespace, or filter-block application changes the generated SQL
+    // and breaks the hash.
+    QueryDef(
+      "m32_jinja_namespaces",
+      """SELECT o_orderstatus AS status,
+        |       CASE WHEN o_totalprice > 150000 THEN 'hi' ELSE 'lo' END AS price_band,
+        |       CAST(COUNT(*) AS BIGINT) AS n_orders
+        |FROM orders GROUP BY 1, 2 ORDER BY status, price_band""".stripMargin) { (s, dir) =>
+      val root = java.nio.file.Files.createTempDirectory("m32_proj")
+      scratchDirs.add(root.toFile)
+      def write(rel: String, content: String): Unit = {
+        val p = root.resolve(rel)
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.writeString(p, content)
+      }
+      write("dbt_project.yml", "name: m32proj\n")
+      write("models/sources.yml",
+        s"""sources:
+           |  - name: main
+           |    tables:
+           |      - name: orders
+           |        path: $dir/orders.parquet
+           |""".stripMargin)
+      // deliberately outside models/ and macros/: only {% import %}
+      // can reach it, so project-wide macro registration can't mask a
+      // broken namespace path
+      write("snippets/m32_helpers.sql",
+        """{% macro ident(c) %}{{ c }}{% endmacro %}
+          |{% macro pick(c, alias='') %}{{ ident(c) }}{% if alias %} AS {{ alias }}{% endif %}{% endmacro %}
+          |{% macro price_band(c) %}CASE WHEN {{ ident(c) }} > 150000 THEN 'hi' ELSE 'lo' END{% endmacro %}
+          |""".stripMargin)
+      write("models/m32_fct.sql",
+        """{{ config(materialized='table') }}
+          |{% import 'snippets/m32_helpers.sql' as h %}
+          |{% from 'snippets/m32_helpers.sql' import price_band as pb %}
+          |SELECT {{ h.pick('o_orderstatus', alias='status') }},
+          |       {{ pb('o_totalprice') }} AS price_band,
+          |       {% filter lower | trim %} COUNT(*) {% endfilter %} AS n_orders
+          |FROM {{ source('main', 'orders') }}
+          |GROUP BY 1, 2""".stripMargin)
+      val eng = Engine.fromProject(s, root.toString, scratch())
+      require(eng.run().forall(_.status == "success"), "m32: run failed")
+      eng.wh.read("m32_fct")
+        .withColumn("n_orders", org.apache.spark.sql.functions.col("n_orders").cast("long"))
+        .orderBy("status", "price_band")
     }
   )
 }

@@ -21,11 +21,14 @@ package graft.render
   * written against.
   *
   * Template inheritance (`{% extends %}` / `{% block %}` with
-  * `{{ super() }}` chains, blocks collected recursively) and
-  * `{% include %}` (with `ignore missing`) ARE supported — see
-  * resolveExtends/collectBlocks below and JinjaSpec's inheritance
-  * suite. Deliberately NOT full Jinja: no custom tests beyond
-  * defined/none/number/string; everything a dbt model/hook/macro
+  * `{{ super() }}` chains, blocks collected recursively),
+  * `{% include %}` (with `ignore missing`), macro namespaces
+  * (`{% import 'f.sql' as ns %}` / `{% from 'f.sql' import a as b %}`,
+  * `with`/`without context` accepted, sibling-macro calls resolved
+  * through the imported file's own namespace), and `{% filter %}`
+  * blocks ARE supported — see resolveExtends/loadMacroNamespace below
+  * and JinjaSpec. Deliberately NOT full Jinja: no custom tests beyond
+  * the 13 built-in predicates; everything a dbt model/hook/macro
   * body in this repo's fixture universe uses renders here.
   *
   * Unknown statement tags (`{% call statement(...) %}`, `{% macro %}`,
@@ -56,8 +59,14 @@ object Jinja {
   /** An unresolved name; `src` is the original `{{ … }}` text. */
   final case class JUndef(src: String) extends JV
   /** A first-class macro value — what `adapter.dispatch('x')` returns
-    * and a `{% set m = ... %}` can hold; calling it renders the body. */
-  final case class JMacro(m: Template.MacroDef) extends JV
+    * and a `{% set m = ... %}` can hold; calling it renders the body.
+    * `siblings` carries the macro's home-template namespace (set by
+    * `{% import %}`/`{% from %}`) so a body that calls a macro defined
+    * in the SAME imported file resolves it even though that file was
+    * never registered project-wide — Jinja's module-namespace
+    * semantics. */
+  final case class JMacro(m: Template.MacroDef,
+      siblings: Map[String, Template.MacroDef] = Map.empty) extends JV
   /** A callable bound by the renderer itself (`super()` inside an
     * overridden block); invoking it runs the closure. */
   final case class JThunk(f: () => JV) extends JV
@@ -83,7 +92,7 @@ object Jinja {
     case JM(m) => m.map { case (k, v2) => s"$k: ${show(v2)}" }.mkString("{", ", ", "}")
     case JNull => ""
     case JUndef(_) => ""
-    case JMacro(m) => s"<macro ${m.name}>"
+    case jm: JMacro => s"<macro ${jm.m.name}>"
     case JThunk(_) => "<block super>"
   }
 
@@ -94,7 +103,7 @@ object Jinja {
     case JL(xs) => xs.nonEmpty
     case JM(m) => m.nonEmpty
     case JNull | JUndef(_) => false
-    case JMacro(_) => true
+    case _: JMacro => true
     case JThunk(_) => true
   }
 
@@ -124,6 +133,16 @@ object Jinja {
   /** `{% extends 'base.sql' %}` — template inheritance marker; resolved
     * by [[resolveExtends]], never emitted. */
   private final case class Extends(expr: String) extends Node
+  /** `{% filter upper %}…{% endfilter %}` — body renders to a string,
+    * then the filter chain in `spec` applies to it. */
+  private final case class FilterBlock(spec: String, body: Seq[Node]) extends Node
+  /** `{% import 'path.sql' as ns %}` — the target file's macros become
+    * a namespace dict bound to `ns`. */
+  private final case class ImportNode(expr: String, alias: String) extends Node
+  /** `{% from 'path.sql' import a, b as c %}` — selected macros bind
+    * directly into the current scope under their (aliased) names. */
+  private final case class FromImport(expr: String,
+      names: Seq[(String, String)]) extends Node
 
   // ------------------------------------------------------------- lexing
 
@@ -262,6 +281,35 @@ object Jinja {
                 nodes += Include(e, ign); pos += 1
               case "extends" =>
                 nodes += Extends(src.drop("extends".length).trim); pos += 1
+              case "filter" =>
+                val spec = src.drop("filter".length).trim
+                pos += 1
+                val (body, stop) = parseBlock(Set("endfilter"))
+                if (stop.isEmpty)
+                  throw new IllegalArgumentException("jinja: missing {% endfilter %}")
+                pos += 1
+                nodes += FilterBlock(spec, body)
+              case "import" =>
+                val rest = stripContextSuffix(src.drop("import".length).trim)
+                val asIdx = findTopLevel(rest, " as ")
+                if (asIdx < 0)
+                  throw new IllegalArgumentException(s"jinja: bad import (need `as`): $src")
+                nodes += ImportNode(rest.substring(0, asIdx).trim,
+                  rest.substring(asIdx + 4).trim)
+                pos += 1
+              case "from" =>
+                val rest = stripContextSuffix(src.drop("from".length).trim)
+                val impIdx = findTopLevel(rest, " import ")
+                if (impIdx < 0)
+                  throw new IllegalArgumentException(s"jinja: bad from-import: $src")
+                val names = rest.substring(impIdx + 8).split(",").toSeq
+                  .map(_.trim).filter(_.nonEmpty).map { n =>
+                    val parts = n.split("\\s+as\\s+")
+                    if (parts.length == 2) (parts(0).trim, parts(1).trim)
+                    else (n, n)
+                  }
+                nodes += FromImport(rest.substring(0, impIdx).trim, names)
+                pos += 1
               case "block" =>
                 val name = src.drop("block".length).trim
                   .takeWhile(c => !c.isWhitespace)
@@ -282,6 +330,16 @@ object Jinja {
     val (nodes, stop) = parseBlock(_ => false)
     if (stop.nonEmpty) throw new IllegalArgumentException(s"jinja: unexpected {% ${stop.get} %}")
     nodes
+  }
+
+  /** Jinja's `with context` / `without context` import modifiers — the
+    * imported macros here always close over the render context, so the
+    * modifier is accepted and ignored. */
+  private def stripContextSuffix(s: String): String = {
+    val t = s.trim
+    if (t.endsWith("with context")) t.dropRight("with context".length).trim
+    else if (t.endsWith("without context")) t.dropRight("without context".length).trim
+    else t
   }
 
   /** Index of `needle` at quote-depth 0, or -1. */
@@ -388,6 +446,18 @@ object Jinja {
   private def loadTemplate(ctx: Template.Context, name: String): Option[String] =
     ctx.templateLoader.flatMap(_(name))
 
+  /** Resolve an import target to (template name, its macro namespace).
+    * Macros are extracted exactly as project macros are
+    * (Template.extractMacros), so `{% macro %}`/`{% test %}` blocks in
+    * the imported file all participate. */
+  private def loadMacroNamespace(expr: String, ctx: Template.Context,
+      scope: Scope, depth: Int): (String, Map[String, Template.MacroDef]) = {
+    val name = show(eval(expr, ctx, scope, depth))
+    val src = loadTemplate(ctx, name).getOrElse(
+      throw new IllegalArgumentException(s"jinja: import: template not found: $name"))
+    (name, Template.extractMacros(src).map(d => d.name -> d).toMap)
+  }
+
   private def emit(nodes: Seq[Node], ctx: Template.Context, scope: Scope,
       depth: Int, sb: StringBuilder): Unit =
     nodes.foreach {
@@ -430,6 +500,23 @@ object Jinja {
         }
         emit(body, ctx, inner, depth, sb)
       case Extends(_) => () // consumed by resolveExtends; ignore stragglers
+      case FilterBlock(spec, body) =>
+        val inner = new StringBuilder
+        emit(body, ctx, scope, depth, inner)
+        val fscope = new Scope(Some(scope))
+        fscope.vars("__filter_body__") = JS(inner.toString)
+        sb ++= show(eval(s"__filter_body__ | $spec", ctx, fscope, depth))
+      case ImportNode(expr, alias) =>
+        val (_, sibs) = loadMacroNamespace(expr, ctx, scope, depth)
+        scope.vars(alias) = JM(sibs.map { case (n, d) =>
+          n -> (JMacro(d, sibs): JV) })
+      case FromImport(expr, names) =>
+        val (tname, sibs) = loadMacroNamespace(expr, ctx, scope, depth)
+        names.foreach { case (n, local) =>
+          scope.vars(local) = JMacro(sibs.getOrElse(n,
+            throw new IllegalArgumentException(
+              s"jinja: from $tname import $n: no such macro")), sibs)
+        }
       case If(branches, els) =>
         branches.find { case (c, _) => truthy(eval(c, ctx, scope, depth)) } match {
           case Some((_, body)) => emit(body, ctx, scope, depth, sb)
@@ -685,8 +772,20 @@ object Jinja {
           i += 1
           val name = word()
           if (peekNonWs == '(') {
-            val (args, _) = parseArgs()
-            v = methodCall(v, name, args)
+            // an imported namespace member is a macro CALL (with
+            // kwargs), not a string/list method
+            val member = v match {
+              case JM(m) => m.get(name).collect { case jm: JMacro => jm }
+              case _ => None
+            }
+            member match {
+              case Some(jm) =>
+                val (pos, kw) = parseArgs()
+                v = invokeMacro(jm, pos, kw)
+              case None =>
+                val (args, _) = parseArgs()
+                v = methodCall(v, name, args)
+            }
           } else v = attr(v, name)
         } else if (peek == '[') {
           i += 1
@@ -697,8 +796,9 @@ object Jinja {
           v = index(v, idx)
         } else if (peek == '(' && v.isInstanceOf[JMacro]) {
           // immediate call of a macro value: adapter.dispatch('x')(args)
+          // or an imported-namespace member ns.m(args)
           val (pos, kw) = parseArgs()
-          v = invokeMacro(v.asInstanceOf[JMacro].m, pos, kw)
+          v = invokeMacro(v.asInstanceOf[JMacro], pos, kw)
         } else if (peek == '(' && v.isInstanceOf[JThunk]) {
           parseArgs()
           v = v.asInstanceOf[JThunk].f()
@@ -874,7 +974,7 @@ object Jinja {
             val (pos, kw) = parseArgs()
             // a local holding a macro value is callable: {{ m(...) }}
             scope.lookup(name) match {
-              case Some(JMacro(m)) => invokeMacro(m, pos, kw)
+              case Some(jm: JMacro) => invokeMacro(jm, pos, kw)
               case _ => callFunction(name, pos, kw)
             }
           } else resolveName(name)
@@ -998,11 +1098,12 @@ object Jinja {
       * recursively), render the body, return its text.
       */
     private def callMacro(name: String, pos: Seq[JV], kw: Map[String, JV]): JV =
-      invokeMacro(ctx.macroResolver(name).getOrElse(
-        throw new IllegalArgumentException(s"unknown macro: $name")), pos, kw)
+      invokeMacro(JMacro(ctx.macroResolver(name).getOrElse(
+        throw new IllegalArgumentException(s"unknown macro: $name"))), pos, kw)
 
-    private def invokeMacro(m: Template.MacroDef, pos: Seq[JV],
+    private def invokeMacro(jm: JMacro, pos: Seq[JV],
         kw: Map[String, JV]): JV = {
+      val m = jm.m
       val params = m.params
       if (pos.length > params.length)
         throw new IllegalArgumentException(
@@ -1024,7 +1125,13 @@ object Jinja {
           dflt.map(defaultValue).getOrElse(
             throw new IllegalArgumentException(s"macro ${m.name}: missing arg $pn")))
       }.toMap
-      try JS(renderWith(m.body, ctx, bound, depth + 1).trim)
+      // the macro's home-namespace siblings (from {% import %}) bind as
+      // locals UNDER the params, so a sibling call inside the body
+      // resolves without project-wide registration
+      val sibLocals = jm.siblings.collect {
+        case (n, d) if !bound.contains(n) => n -> (JMacro(d, jm.siblings): JV)
+      }
+      try JS(renderWith(m.body, ctx, sibLocals ++ bound, depth + 1).trim)
       catch { case MacroReturn(v) => v } // {{ return(v) }} carries the value out
     }
 

@@ -439,4 +439,77 @@ class JinjaSpec extends AnyFunSuite {
       "leaf.sql" -> "{% extends 'base.sql' %}{% block b %}1{% endblock %}"))
     assert(Template.render("X{% include 'leaf.sql' %}Y", c) === "X(1)Y")
   }
+
+  // --- {% import %} / {% from %} macro namespaces ---
+
+  private val helperLib = Map(
+    "snippets/helpers.sql" ->
+      """{% macro quote_ident(c) %}`{{ c }}`{% endmacro %}
+        |{% macro pick(c, alias='') %}{{ quote_ident(c) }}{% if alias %} AS {{ alias }}{% endif %}{% endmacro %}
+        |""".stripMargin)
+
+  test("import binds a macro namespace; ns.macro(...) calls through it") {
+    val c = ctxWithTemplates(helperLib)
+    assert(Template.render(
+      "{% import 'snippets/helpers.sql' as h %}SELECT {{ h.quote_ident('a') }}", c)
+      === "SELECT `a`")
+  }
+
+  test("imported macros resolve siblings from their own file, not the project") {
+    // pick() calls quote_ident() — registered nowhere project-wide,
+    // only in the imported file's namespace
+    val c = ctxWithTemplates(helperLib)
+    assert(Template.render(
+      "{% import 'snippets/helpers.sql' as h %}" +
+        "SELECT {{ h.pick('x', alias='y') }}", c)
+      === "SELECT `x` AS y")
+  }
+
+  test("from-import binds selected macros, with aliasing and kwargs") {
+    val c = ctxWithTemplates(helperLib)
+    assert(Template.render(
+      "{% from 'snippets/helpers.sql' import pick as p, quote_ident %}" +
+        "SELECT {{ p('a') }}, {{ quote_ident('b') }}", c)
+      === "SELECT `a`, `b`")
+  }
+
+  test("from-import of a missing macro and a missing template both error") {
+    val c = ctxWithTemplates(helperLib)
+    intercept[IllegalArgumentException] {
+      Template.render("{% from 'snippets/helpers.sql' import nope %}", c)
+    }
+    intercept[IllegalArgumentException] {
+      Template.render("{% import 'missing.sql' as m %}", c)
+    }
+  }
+
+  test("with/without context modifiers are accepted") {
+    val c = ctxWithTemplates(helperLib)
+    assert(Template.render(
+      "{% import 'snippets/helpers.sql' as h with context %}{{ h.quote_ident('z') }}", c)
+      === "`z`")
+    assert(Template.render(
+      "{% from 'snippets/helpers.sql' import quote_ident without context %}{{ quote_ident('z') }}", c)
+      === "`z`")
+  }
+
+  // --- {% filter %} blocks ---
+
+  test("filter block applies a single filter to its rendered body") {
+    assert(Template.render(
+      "{% filter upper %}select {{ ref('m') }}{% endfilter %}", ctx)
+      === "SELECT REL_M")
+  }
+
+  test("filter block applies a chained, argumented filter pipeline") {
+    assert(Template.render(
+      "{% filter replace('x', 'y') | upper %}axbxc{% endfilter %}", ctx)
+      === "AYBYC")
+  }
+
+  test("filter block body may contain control flow") {
+    assert(Template.render(
+      "{% filter trim | lower %} {% for i in [1, 2] %}A{{ i }} {% endfor %}{% endfilter %}",
+      ctx) === "a1 a2")
+  }
 }
