@@ -21,6 +21,7 @@ object SparkEntry {
       graft.queries.Events.queries ++
       graft.queries.Ext2.queries ++
       graft.queries.Ext3.queries ++
+      graft.queries.Ext4.queries ++
       graft.queries.Curation.queries ++
       graft.queries.Framework.queries
 

@@ -502,6 +502,36 @@ class PlanSpec extends SparkSpec {
     assert(!p2.contains("CartesianProduct"), p2)
   }
 
+  test("q175: prefix-filter join stays equi — no cartesian, no BNL") {
+    // the PPJoin topology: candidates meet ONLY through a shared
+    // prefix shingle (equi join on w); any nested-loop fallback would
+    // mean the prefix self-join degenerated to all-pairs
+    val p = plan("q175_prefix_filter_jaccard")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q176: KS grid windows run over the histogram, after aggregation") {
+    val p = plan("q176_ks_drift")
+    assert(!p.contains("CartesianProduct"), p)
+    // the ordered prefix-sum window sits ABOVE a HashAggregate (the
+    // per-value histogram), never over raw documents
+    val winIdx = p.indexOf("Window")
+    val aggIdx = p.lastIndexOf("HashAggregate")
+    assert(winIdx >= 0 && aggIdx > winIdx,
+      "expected a HashAggregate below the window: " + p)
+  }
+
+  test("q177: running sum is bucket-partitioned; offsets broadcast back") {
+    val p = plan("q177_systematic_weighted_sample")
+    assert(!p.contains("CartesianProduct"), p)
+    // the doc-level window must carry the bucket partition spec
+    assert(p.contains("windowspecdefinition(b#"),
+      "doc-level window must partition by bucket: " + p)
+    // bucket offsets (#buckets rows) come back via broadcast join
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("whole-stage codegen active on the scan-agg path") {
     // AQE finalizes the plan lazily; execute first, then inspect
     val df = SparkEntry.queries("q02_agg_pricing_summary")(spark, sf)
