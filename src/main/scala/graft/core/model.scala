@@ -51,6 +51,20 @@ final case class NodeConfig(
       */
     fileFormat: Option[String] = None,
     contractEnforced: Boolean = false,
+    /** Grants config (reference `grants` field, `config.py:110-112`,
+      * MergeBehavior.DictKeyAppend): privilege -> grantees. A key
+      * arriving from a deeper cascade level clobbers; a `+`-prefixed
+      * key extends the inherited grantee list instead
+      * (`context_config.py:322-341`). Keys are normalized (no `+`)
+      * after the cascade resolves.
+      */
+    grants: Map[String, Seq[String]] = Map.empty,
+    /** persist_docs (reference `persist_docs` field,
+      * MergeBehavior.Update): {"relation" -> bool, "columns" -> bool}
+      * — whether model/column descriptions are written through to the
+      * warehouse as relation/column comments.
+      */
+    persistDocs: Map[String, Boolean] = Map.empty,
     severity: String = "error", // tests: error|warn
     warnIf: String = "!= 0",
     errorIf: String = "!= 0",
@@ -90,6 +104,8 @@ final case class NodeConfig(
       clusterBy = if (other.clusterBy.nonEmpty) other.clusterBy else clusterBy,
       fileFormat = other.fileFormat.orElse(fileFormat),
       contractEnforced = other.contractEnforced || contractEnforced,
+      grants = NodeConfig.mergeGrants(grants, other.grants),
+      persistDocs = persistDocs ++ other.persistDocs,
       severity = if (other.severity != defaults.severity) other.severity else severity,
       warnIf = if (other.warnIf != defaults.warnIf) other.warnIf else warnIf,
       errorIf = if (other.errorIf != defaults.errorIf) other.errorIf else errorIf,
@@ -97,6 +113,22 @@ final case class NodeConfig(
       limit = other.limit.orElse(limit),
       where = other.where.orElse(where),
       storeFailures = other.storeFailures || storeFailures)
+}
+
+object NodeConfig {
+  /** DictKeyAppend (reference `context_config.py:322-341`): per-key
+    * clobber unless the incoming key is `+`-prefixed, which extends
+    * the inherited grantee list. Result keys carry no `+`.
+    */
+  def mergeGrants(base: Map[String, Seq[String]],
+      incoming: Map[String, Seq[String]]): Map[String, Seq[String]] =
+    incoming.foldLeft(base.map { case (k, v) => k.stripPrefix("+") -> v }) {
+      case (acc, (k, v)) =>
+        if (k.startsWith("+")) {
+          val key = k.drop(1)
+          acc + (key -> (acc.getOrElse(key, Nil) ++ v).distinct)
+        } else acc + (k -> v)
+    }
 }
 
 final case class ColumnInfo(

@@ -334,4 +334,110 @@ final class Warehouse(val spark: SparkSession, val root: String,
         isView = false, isCatalog = true)
     }
   }
+
+  // ------------------------------------------------------------- grants
+
+  /** One applied grant/revoke action (the audit row the reference logs
+    * as grant/revoke statements — `dbt/adapters/base/impl.py`
+    * apply_grants).
+    */
+  final case class GrantAction(relation: String, action: String,
+      privilege: String, grantee: String)
+
+  private val grantActions = scala.collection.mutable.ArrayBuffer[GrantAction]()
+
+  private def grantsFile(name: String) =
+    java.nio.file.Paths.get(root, s"$name.grants.json")
+
+  /** Current grants on a relation: privilege -> grantees (empty when
+    * none were ever applied).
+    */
+  def grantsOf(name: String): Map[String, Seq[String]] = lock.synchronized {
+    val f = grantsFile(name)
+    if (!java.nio.file.Files.exists(f)) Map.empty
+    else {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(java.nio.file.Files.readString(f))
+      val it = node.properties().iterator()
+      val out = scala.collection.mutable.LinkedHashMap[String, Seq[String]]()
+      while (it.hasNext) {
+        val e = it.next()
+        val vs = scala.collection.mutable.ArrayBuffer[String]()
+        e.getValue.forEach(v => vs += v.asText())
+        out(e.getKey) = vs.toSeq
+      }
+      out.toMap
+    }
+  }
+
+  /** Reconcile a relation's grants to `desired`, diffing against the
+    * current state exactly like the reference's apply_grants flow
+    * (show_grants -> diff -> grant missing + revoke extra;
+    * `dbt/adapters/base/impl.py` standardize_grants_dict /
+    * apply_grants). Returns the actions applied, newest last; the full
+    * session history is [[grantLog]].
+    */
+  def applyGrants(name: String,
+      desired: Map[String, Seq[String]]): Seq[GrantAction] = lock.synchronized {
+    val current = grantsOf(name)
+    val privs = (current.keySet ++ desired.keySet).toSeq.sorted
+    val actions = privs.flatMap { p =>
+      val have = current.getOrElse(p, Nil).toSet
+      val want = desired.getOrElse(p, Nil).toSet
+      (want -- have).toSeq.sorted.map(g => GrantAction(name, "grant", p, g)) ++
+        (have -- want).toSeq.sorted.map(g => GrantAction(name, "revoke", p, g))
+    }
+    val json = desired.toSeq.sortBy(_._1).map { case (p, gs) =>
+      s""""$p": [${gs.map(g => s""""$g"""").mkString(", ")}]"""
+    }.mkString("{", ", ", "}")
+    java.nio.file.Files.createDirectories(grantsFile(name).getParent)
+    java.nio.file.Files.writeString(grantsFile(name), json)
+    grantActions ++= actions
+    actions
+  }
+
+  /** All grant/revoke actions applied through this Warehouse. */
+  def grantLog: Seq[GrantAction] = lock.synchronized(grantActions.toSeq)
+
+  // ----------------------------------------------- persisted comments
+
+  private def docsFile(name: String) =
+    java.nio.file.Paths.get(root, s"$name.docs.json")
+
+  /** persist_docs write-through: relation + column comments, stored as
+    * a metadata sidecar (the COMMENT ON analog; a lakehouse catalog
+    * would hold these as table properties).
+    */
+  def setComments(name: String, relation: Option[String],
+      columns: Map[String, String]): Unit = lock.synchronized {
+    def esc(s: String) = s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    }
+    val cols = columns.toSeq.sortBy(_._1).map { case (c, d) =>
+      s""""${esc(c)}": "${esc(d)}"""" }.mkString("{", ", ", "}")
+    val rel = relation.map(r => s""""${esc(r)}"""").getOrElse("null")
+    java.nio.file.Files.createDirectories(docsFile(name).getParent)
+    java.nio.file.Files.writeString(docsFile(name),
+      s"""{"relation": $rel, "columns": $cols}""")
+    ()
+  }
+
+  /** Read back persisted comments: (relation comment, column comments).
+    * Empty when persist_docs never wrote any.
+    */
+  def commentsOf(name: String): (Option[String], Map[String, String]) =
+    lock.synchronized {
+      val f = docsFile(name)
+      if (!java.nio.file.Files.exists(f)) (None, Map.empty)
+      else {
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(java.nio.file.Files.readString(f))
+        val rel = Option(node.get("relation")).filterNot(_.isNull).map(_.asText())
+        val it = node.get("columns").properties().iterator()
+        val out = scala.collection.mutable.LinkedHashMap[String, String]()
+        while (it.hasNext) { val e = it.next(); out(e.getKey) = e.getValue.asText() }
+        (rel, out.toMap)
+      }
+    }
 }

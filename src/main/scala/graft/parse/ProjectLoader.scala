@@ -261,13 +261,34 @@ object ProjectLoader {
       }.toMap)
   }
 
-  /** Per-key override, except `tags` which union. */
+  /** Per-key override, except `tags` (union), `grants` (DictKeyAppend —
+    * the deeper level's `+priv` keys extend, bare keys clobber) and
+    * `persist_docs` (dict update) — reference MergeBehavior
+    * (`context_config.py:303-345`).
+    */
   private[parse] def mergeKwargs(a: Map[String, String],
       b: Map[String, String]): Map[String, String] = {
     val tags = (a.get("tags").toSeq ++ b.get("tags").toSeq)
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty).distinct
-    val merged = a ++ b
-    if (tags.isEmpty) merged else merged + ("tags" -> tags.mkString(","))
+    var merged = a ++ b
+    if (tags.nonEmpty) merged += ("tags" -> tags.mkString(","))
+    if (a.contains("grants") && b.contains("grants")) {
+      val base = decodeDict(a("grants"))
+        .map { case (k, v) => k.stripPrefix("+") -> v }
+      val res = decodeDict(b("grants")).foldLeft(base.toMap) {
+        case (acc, (k, v)) =>
+          if (k.startsWith("+")) {
+            val key = k.drop(1)
+            acc + (key -> (acc.getOrElse(key, Nil) ++ v).distinct)
+          } else acc + (k -> v)
+      }
+      merged += ("grants" -> encodeDict(res.toSeq.sortBy(_._1)))
+    }
+    if (a.contains("persist_docs") && b.contains("persist_docs"))
+      merged += ("persist_docs" -> encodeDict(
+        (decodeDict(a("persist_docs")).toMap ++ decodeDict(b("persist_docs")).toMap)
+          .toSeq.sortBy(_._1)))
+    merged
   }
 
   private def parseConfigTree(raw: Any): ConfigTree = raw match {
@@ -891,8 +912,32 @@ object ProjectLoader {
 
   private def stringify(v: Any): String = v match {
     case l: java.util.List[_] => l.asScala.map(_.toString).mkString(",")
+    // dict-valued configs (grants, persist_docs): `k=v1|v2;k2=v3` —
+    // `|` separates list items so `,`-joined lists above stay distinct
+    case m: java.util.Map[_, _] =>
+      m.asScala.map { case (k, dv) =>
+        val enc = dv match {
+          case dl: java.util.List[_] => dl.asScala.map(_.toString).mkString("|")
+          case o => String.valueOf(o)
+        }
+        s"$k=$enc"
+      }.mkString(";")
     case other => String.valueOf(other)
   }
+
+  /** Decode the `k=v1|v2;k2=v3` dict encoding produced by stringify /
+    * Template.parseKwargs.
+    */
+  private[parse] def decodeDict(s: String): Seq[(String, Seq[String])] =
+    s.split(";").toSeq.filter(_.nonEmpty).map { e =>
+      e.split("=", 2) match {
+        case Array(k, v) => k.trim -> v.split("\\|").map(_.trim).filter(_.nonEmpty).toSeq
+        case Array(k) => k.trim -> Nil
+      }
+    }
+
+  private def encodeDict(d: Seq[(String, Seq[String])]): String =
+    d.map { case (k, v) => s"$k=${v.mkString("|")}" }.mkString(";")
 
   /** kwargs (from `{{ config(...) }}` or YAML) → NodeConfig. */
   def configFromKwargs(kw: Map[String, String]): NodeConfig = {
@@ -930,6 +975,13 @@ object ProjectLoader {
       clusterBy = kw.get("cluster_by").map(_.split(",").map(_.trim).toSeq).getOrElse(Nil),
       fileFormat = kw.get("file_format"),
       contractEnforced = kw.get("contract_enforced").exists(_.toBoolean),
+      // any `+priv` keys that survive to here had nothing to extend —
+      // they just set the list (reference context_config.py:336-339)
+      grants = kw.get("grants").map(g => decodeDict(g)
+        .map { case (k, v) => k.stripPrefix("+") -> v }.toMap).getOrElse(Map.empty),
+      persistDocs = kw.get("persist_docs").map(p => decodeDict(p)
+        .map { case (k, v) => k -> v.headOption.exists(_.toBoolean) }.toMap)
+        .getOrElse(Map.empty),
       severity = kw.getOrElse("severity", base.severity),
       warnIf = kw.getOrElse("warn_if", base.warnIf),
       errorIf = kw.getOrElse("error_if", base.errorIf),

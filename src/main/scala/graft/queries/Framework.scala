@@ -1534,6 +1534,185 @@ object Framework {
       eng.wh.read("m32_fct")
         .withColumn("n_orders", org.apache.spark.sql.functions.col("n_orders").cast("long"))
         .orderBy("status", "price_band")
+    },
+
+    // Grants config (reference `grants`, config.py:110-112 +
+    // context_config.py:322-341 DictKeyAppend; apply flow
+    // dbt/adapters/base/impl.py apply_grants): project-level +grants
+    // cascade, model-level `+select` EXTENDS while bare `insert`
+    // clobbers, re-run with unchanged grants is a no-op (idempotent
+    // diff), and a grants change reconciles with explicit grant+revoke
+    // actions. The oracle pins the full audit + final state, anchored
+    // to a real aggregate of the orders table.
+    QueryDef(
+      "m33_grants",
+      """WITH rc AS (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n FROM orders)
+        |SELECT * FROM (
+        |  SELECT 'm33_fct' AS relation, 'insert' AS privilege, 'loader' AS grantee,
+        |         'grant' AS action, CAST(1 AS INTEGER) AS phase, rc.n AS n_rows FROM rc
+        |  UNION ALL SELECT 'm33_fct', 'select', 'analyst', 'grant', 1, rc.n FROM rc
+        |  UNION ALL SELECT 'm33_fct', 'select', 'bi', 'grant', 1, rc.n FROM rc
+        |  UNION ALL SELECT 'm33_stg', 'select', 'analyst', 'grant', 1, rc.n FROM rc
+        |  UNION ALL SELECT 'm33_fct', 'insert', 'loader', 'revoke', 2, rc.n FROM rc
+        |  UNION ALL SELECT 'm33_fct', 'select', 'analyst', 'revoke', 2, rc.n FROM rc
+        |  UNION ALL SELECT 'm33_fct', 'select', 'bi', 'revoke', 2, rc.n FROM rc
+        |  UNION ALL SELECT 'm33_fct', 'select', 'ops', 'grant', 2, rc.n FROM rc
+        |  UNION ALL SELECT 'm33_fct', 'select', 'ops', 'has', 3, rc.n FROM rc
+        |  UNION ALL SELECT 'm33_stg', 'select', 'analyst', 'has', 3, rc.n FROM rc
+        |) ORDER BY phase, relation, privilege, grantee, action""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val root = java.nio.file.Files.createTempDirectory("m33_proj")
+      scratchDirs.add(root.toFile)
+      def write(rel: String, content: String): Unit = {
+        val p = root.resolve(rel)
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.writeString(p, content)
+      }
+      write("dbt_project.yml",
+        """name: m33proj
+          |models:
+          |  m33proj:
+          |    +grants:
+          |      select: ['analyst']
+          |""".stripMargin)
+      write("models/sources.yml",
+        s"""sources:
+           |  - name: main
+           |    tables:
+           |      - name: orders
+           |        path: $dir/orders.parquet
+           |""".stripMargin)
+      write("models/m33_stg.sql",
+        """{{ config(materialized='view') }}
+          |SELECT o_orderkey, o_custkey FROM {{ source('main', 'orders') }}""".stripMargin)
+      val fctSqlV1 =
+        """{{ config(materialized='table', grants={'+select': ['bi'], 'insert': ['loader']}) }}
+          |SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+          |FROM {{ ref('m33_stg') }} GROUP BY o_custkey""".stripMargin
+      write("models/m33_fct.sql", fctSqlV1)
+      val whDir = scratch()
+      val eng1 = Engine.fromProject(s, root.toString, whDir)
+      require(eng1.run().forall(_.status == "success"), "m33 phase-1 run failed")
+      val phase1 = eng1.wh.grantLog
+      require(eng1.wh.grantsOf("m33_fct") ==
+        Map("select" -> Seq("analyst", "bi"), "insert" -> Seq("loader")),
+        s"m33: fct grants cascade wrong: ${eng1.wh.grantsOf("m33_fct")}")
+      // unchanged re-run: the diff must be empty (reference apply_grants
+      // short-circuits when show_grants matches the config)
+      val engSame = Engine.fromProject(s, root.toString, whDir)
+      require(engSame.run().forall(_.status == "success"), "m33 re-run failed")
+      require(engSame.wh.grantLog.isEmpty,
+        s"m33: unchanged grants must reconcile to zero actions, got ${engSame.wh.grantLog}")
+      // phase 2: the model clobbers select (bare key) and drops insert
+      write("models/m33_fct.sql", fctSqlV1.replace(
+        "grants={'+select': ['bi'], 'insert': ['loader']}",
+        "grants={'select': ['ops']}"))
+      val eng2 = Engine.fromProject(s, root.toString, whDir)
+      require(eng2.run().forall(_.status == "success"), "m33 phase-2 run failed")
+      val phase2 = eng2.wh.grantLog
+      val finals = (eng2.wh.grantsOf("m33_fct").toSeq.map(("m33_fct", _)) ++
+        eng2.wh.grantsOf("m33_stg").toSeq.map(("m33_stg", _)))
+        .flatMap { case (rel, (priv, gs)) => gs.map(g => (rel, priv, g, "has", 3)) }
+      val rows =
+        phase1.map(a => (a.relation, a.privilege, a.grantee, a.action, 1)) ++
+          phase2.map(a => (a.relation, a.privilege, a.grantee, a.action, 2)) ++
+          finals
+      val nRows = eng2.wh.rowCount("m33_fct")
+      rows.toDF("relation", "privilege", "grantee", "action", "phase")
+        .withColumn("n_rows", lit(nRows))
+        .orderBy("phase", "relation", "privilege", "grantee", "action")
+    },
+
+    // persist_docs (reference `persist_docs`, MergeBehavior.Update;
+    // adapters write COMMENT ON through when relation/columns flags are
+    // set): model + column descriptions from schema YAML flow into the
+    // warehouse comment sidecars and surface in catalog.json — but ONLY
+    // for the enabled scopes (relation-only model keeps columns bare;
+    // undocumented model stays commentless).
+    QueryDef(
+      "m34_persist_docs",
+      """WITH rc AS (SELECT CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n FROM orders)
+        |SELECT * FROM (
+        |  SELECT 'm34_doc' AS relation, '_table_' AS column_name,
+        |         'Orders per status.' AS comment, rc.n AS n_rows FROM rc
+        |  UNION ALL SELECT 'm34_doc', 'o_orderstatus', 'Status code.', rc.n FROM rc
+        |  UNION ALL SELECT 'm34_doc', 'n_orders', 'Orders in status.', rc.n FROM rc
+        |  UNION ALL SELECT 'm34_rel', '_table_', 'Relation-only docs.', rc.n FROM rc
+        |) ORDER BY relation, column_name""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val root = java.nio.file.Files.createTempDirectory("m34_proj")
+      scratchDirs.add(root.toFile)
+      def write(rel: String, content: String): Unit = {
+        val p = root.resolve(rel)
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.writeString(p, content)
+      }
+      write("dbt_project.yml", "name: m34proj\n")
+      write("models/sources.yml",
+        s"""sources:
+           |  - name: main
+           |    tables:
+           |      - name: orders
+           |        path: $dir/orders.parquet
+           |""".stripMargin)
+      write("models/schema.yml",
+        """models:
+          |  - name: m34_doc
+          |    description: 'Orders per status.'
+          |    config:
+          |      persist_docs: {relation: true, columns: true}
+          |    columns:
+          |      - name: o_orderstatus
+          |        description: 'Status code.'
+          |      - name: n_orders
+          |        description: 'Orders in status.'
+          |  - name: m34_rel
+          |    description: 'Relation-only docs.'
+          |    config:
+          |      persist_docs: {relation: true}
+          |    columns:
+          |      - name: o_orderstatus
+          |        description: 'Never persisted.'
+          |  - name: m34_plain
+          |    description: 'No persist_docs at all.'
+          |""".stripMargin)
+      val body =
+        """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders
+          |FROM {{ source('main', 'orders') }} GROUP BY o_orderstatus""".stripMargin
+      write("models/m34_doc.sql", s"{{ config(materialized='table') }}\n$body")
+      write("models/m34_rel.sql", s"{{ config(materialized='table') }}\n$body")
+      write("models/m34_plain.sql", s"{{ config(materialized='table') }}\n$body")
+      val eng = Engine.fromProject(s, root.toString, scratch())
+      val results = eng.run()
+      require(results.forall(_.status == "success"),
+        s"m34 run failed: ${results.mkString("; ")}")
+      // catalog surfaces exactly the persisted comments
+      val target = scratch()
+      eng.writeArtifacts(target, results)
+      val cat = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(java.nio.file.Files.readString(
+          java.nio.file.Paths.get(s"$target/catalog.json")))
+      require(cat.at("/nodes/m34_plain/metadata/comment").isNull,
+        "m34_plain must have no relation comment")
+      require(cat.at("/nodes/m34_rel/columns/o_orderstatus/comment").isNull,
+        "m34_rel columns must not be persisted (relation-only)")
+      require(!cat.at("/nodes/m34_doc/columns/n_orders/comment").isNull,
+        "m34_doc column comments must persist")
+      val rows = scala.collection.mutable.Buffer[(String, String, String)]()
+      for (rel <- Seq("m34_doc", "m34_rel", "m34_plain")) {
+        val relComment = cat.at(s"/nodes/$rel/metadata/comment")
+        if (!relComment.isNull) rows += ((rel, "_table_", relComment.asText))
+        val it = cat.at(s"/nodes/$rel/columns").properties().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val c = e.getValue.get("comment")
+          if (!c.isNull) rows += ((rel, e.getKey, c.asText))
+        }
+      }
+      val nRows = eng.wh.rowCount("m34_doc")
+      rows.toSeq.toDF("relation", "column_name", "comment")
+        .withColumn("n_rows", lit(nRows))
+        .orderBy("relation", "column_name")
     }
   )
 }

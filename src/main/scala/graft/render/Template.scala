@@ -233,6 +233,49 @@ object Template {
         }
         i += 1
         value ++= items.mkString(",")
+      } else if (i < s.length && s(i) == '{') {
+        // dict value (grants / persist_docs): {'k': ['a','b'], 'k2': v}
+        // → `k=a|b;k2=v` — the encoding ProjectLoader.decodeDict reads
+        i += 1
+        val entries = scala.collection.mutable.ArrayBuffer[String]()
+        while (i < s.length && s(i) != '}') {
+          skipWs()
+          if (s(i) == '\'' || s(i) == '"') {
+            val q = s(i); i += 1
+            val dk = new StringBuilder
+            while (i < s.length && s(i) != q) { dk += s(i); i += 1 }
+            i += 1
+            skipWs()
+            if (i < s.length && s(i) == ':') i += 1
+            skipWs()
+            val dv = new StringBuilder
+            if (i < s.length && s(i) == '[') {
+              i += 1
+              val items = scala.collection.mutable.ArrayBuffer[String]()
+              while (i < s.length && s(i) != ']') {
+                if (s(i) == '\'' || s(i) == '"') {
+                  val iq = s(i); i += 1
+                  val item = new StringBuilder
+                  while (i < s.length && s(i) != iq) { item += s(i); i += 1 }
+                  i += 1
+                  items += item.toString
+                } else i += 1
+              }
+              i += 1
+              dv ++= items.mkString("|")
+            } else if (i < s.length && (s(i) == '\'' || s(i) == '"')) {
+              val vq = s(i); i += 1
+              while (i < s.length && s(i) != vq) { dv += s(i); i += 1 }
+              i += 1
+            } else {
+              while (i < s.length && s(i) != ',' && s(i) != '}') { dv += s(i); i += 1 }
+            }
+            entries += s"${dk.toString}=${dv.toString.trim}"
+          } else if (s(i) == ',') i += 1
+          else i += 1
+        }
+        i += 1
+        value ++= entries.mkString(";")
       } else {
         while (i < s.length && s(i) != ',') { value += s(i); i += 1 }
       }

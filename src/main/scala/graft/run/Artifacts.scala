@@ -350,18 +350,22 @@ object Artifacts {
       generatedAt: java.sql.Timestamp): Unit = {
     val nodes = wh.list.map { name =>
       val df = wh.read(name)
+      // persist_docs write-through comments surface in the catalog the
+      // way adapter catalogs carry COMMENT ON metadata
+      val (relComment, colComments) = wh.commentsOf(name)
       val cols = df.schema.fields.zipWithIndex.map { case (f, i) =>
         f.name -> obj(Seq(
           "type" -> q(f.dataType.sql),
           "index" -> (i + 1).toString,
           "name" -> q(f.name),
-          "comment" -> "null"))
+          "comment" -> colComments.get(f.name).map(q).getOrElse("null")))
       }
       name -> obj(Seq(
         "metadata" -> obj(Seq(
           "type" -> q(if (wh.isView(name)) "view" else "table"),
           "schema" -> q("main"),
-          "name" -> q(name))),
+          "name" -> q(name),
+          "comment" -> relComment.map(q).getOrElse("null"))),
         "columns" -> obj(cols.toSeq),
         "stats" -> {
           // row counts from parquet footers (no scan); views = unknown

@@ -535,6 +535,20 @@ final class Engine(
           "status" -> "SUCCESS",
           "relation" -> rel,
           "rows_affected" -> rows.toString))
+        // grants reconcile AFTER the relation exists (reference
+        // apply_grants runs post-materialization); persist_docs writes
+        // relation/column comments through when enabled
+        if (m.config.grants.nonEmpty)
+          wh.applyGrants(rel, m.config.grants)
+        if (m.config.persistDocs.getOrElse("relation", false) ||
+            m.config.persistDocs.getOrElse("columns", false))
+          wh.setComments(rel,
+            relation = if (m.config.persistDocs.getOrElse("relation", false))
+              Some(m.description) else None,
+            columns = if (m.config.persistDocs.getOrElse("columns", false))
+              m.columns.map(c => c.name -> c.description)
+                .filter(_._2.nonEmpty).toMap
+            else Map.empty)
       }
       runHooks(m.config.postHook,
         Option(resultSlots.get(m.uniqueId)).getOrElse(Map.empty))
