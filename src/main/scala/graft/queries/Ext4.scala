@@ -227,6 +227,473 @@ object Ext4 {
         .select(col("doc_id"), col("w").as("weight"),
           expr("(cum * 100) div tot").cast("long").as("pick_no"))
         .orderBy("doc_id")
+    },
+
+    // Population Stability Index between two event cohorts (the
+    // bucketed-drift gate that complements q176's KS): fixed value
+    // buckets, Laplace-smoothed shares over the full 10-bucket domain,
+    // PSI = Σ (p−q)·ln(p/q) per event_type. Determinism: p/q and p−q
+    // reduce to ratios of exact INTEGERS before any double math —
+    // identical doubles into ln/round on both engines — and the
+    // per-bucket terms sum as DECIMALs (order-independent), not
+    // doubles. Scale: one map-side-combined groupBy over events; the
+    // bucket grid is |types|×10 rows.
+    QueryDef(
+      "q178_psi_drift",
+      """WITH pts AS (
+        |  SELECT event_type,
+        |         LEAST(CAST(FLOOR(value / 50) AS BIGINT), 9) AS bucket,
+        |         CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END AS isa
+        |  FROM events
+        |), grid AS (
+        |  SELECT t.event_type, g.bucket
+        |  FROM (SELECT DISTINCT event_type FROM pts) t
+        |  CROSS JOIN (SELECT unnest(range(10)) AS bucket) g
+        |), h AS (
+        |  SELECT g.event_type, g.bucket,
+        |         COALESCE(SUM(p.isa), 0) AS ca,
+        |         COALESCE(COUNT(p.isa) - SUM(p.isa), 0) AS cb
+        |  FROM grid g LEFT JOIN pts p
+        |    ON p.event_type = g.event_type AND p.bucket = g.bucket
+        |  GROUP BY g.event_type, g.bucket
+        |), tot AS (
+        |  SELECT event_type, SUM(ca) AS na, SUM(cb) AS nb
+        |  FROM h GROUP BY event_type
+        |), term AS (
+        |  SELECT h.event_type, t.na, t.nb,
+        |         CAST(ROUND(CAST((h.ca + 1) * (t.nb + 10) - (h.cb + 1) * (t.na + 10) AS DOUBLE)
+        |                    / (CAST(t.na + 10 AS DOUBLE) * CAST(t.nb + 10 AS DOUBLE)), 9)
+        |              AS DECIMAL(20,9)) AS diff,
+        |         CAST(ROUND(LN(CAST((h.ca + 1) * (t.nb + 10) AS DOUBLE)
+        |                       / CAST((h.cb + 1) * (t.na + 10) AS DOUBLE)), 6)
+        |              AS DECIMAL(20,6)) AS lnr
+        |  FROM h JOIN tot t USING (event_type)
+        |)
+        |SELECT event_type, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |       CAST(ROUND(CAST(SUM(diff * lnr) AS DOUBLE), 6) AS DOUBLE) AS psi
+        |FROM term GROUP BY event_type, na, nb
+        |ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val pts = Tables.load(s, dir, "events")
+        .select(col("event_type"),
+          least(floor(col("value") / 50).cast("long"), lit(9L)).as("bucket"),
+          when(col("event_id") % 3 === 0, 1L).otherwise(0L).as("isa"))
+      val grid = pts.select("event_type").distinct()
+        .crossJoin(s.range(10).select(col("id").as("bucket")))
+      val h = grid.as("g")
+        .join(pts.as("p"),
+          col("p.event_type") === col("g.event_type") &&
+            col("p.bucket") === col("g.bucket"), "left")
+        .groupBy(col("g.event_type").as("event_type"), col("g.bucket").as("bucket"))
+        .agg(coalesce(sum("isa"), lit(0L)).as("ca"),
+          coalesce(count(col("isa")) - sum("isa"), lit(0L)).as("cb"))
+      val tot = h.groupBy("event_type")
+        .agg(sum("ca").as("na"), sum("cb").as("nb"))
+      val term = h.join(broadcast(tot), "event_type")
+        .withColumn("diff",
+          round(((col("ca") + 1) * (col("nb") + 10) - (col("cb") + 1) * (col("na") + 10))
+            .cast("double") /
+            ((col("na") + 10).cast("double") * (col("nb") + 10).cast("double")), 9)
+            .cast(DecimalType(20, 9)))
+        .withColumn("lnr",
+          round(log(((col("ca") + 1) * (col("nb") + 10)).cast("double") /
+            ((col("cb") + 1) * (col("na") + 10)).cast("double")), 6)
+            .cast(DecimalType(20, 6)))
+      term.groupBy("event_type", "na", "nb")
+        .agg(round(sum(col("diff") * col("lnr")).cast("double"), 6).as("psi"))
+        .select(col("event_type"), col("na").cast("long").as("n_a"),
+          col("nb").cast("long").as("n_b"), col("psi"))
+        .orderBy("event_type")
+    },
+
+    // BFS shortest-hop distances over the co-purchase part graph from a
+    // 20-part seed set — the graph-traversal twin of q174's recursive
+    // CTE, but with UNION (visited-set) semantics instead of UNION ALL:
+    // the Spark side runs true frontier BFS (each round joins ONLY the
+    // new frontier against edges and anti-joins the visited set, so
+    // work per round is frontier-bounded — the 100 TB shape), while the
+    // oracle replays DuckDB's recursive UNION with a depth cap and
+    // takes MIN(dist). Both cap at 8 hops; the co-purchase graph's
+    // eccentricity from the seeds is far below that, so the capped and
+    // exhaustive answers coincide.
+    QueryDef(
+      "q179_bfs_distances",
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        |), r AS (
+        |  SELECT p_partkey AS k, 0 AS d FROM part WHERE p_partkey <= 20
+        |  UNION
+        |  SELECT e.dst, r.d + 1 FROM r JOIN e ON e.src = r.k WHERE r.d < 8
+        |), md AS (
+        |  SELECT k, MIN(d) AS dist FROM r GROUP BY k
+        |)
+        |SELECT CAST(dist AS BIGINT) AS dist, CAST(COUNT(*) AS BIGINT) AS n_parts,
+        |       CAST(MIN(k) AS BIGINT) AS min_part, CAST(MAX(k) AS BIGINT) AS max_part
+        |FROM md GROUP BY dist ORDER BY dist""".stripMargin) { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val edges = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+        .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+        .distinct().persist()
+      val seeds = Tables.load(s, dir, "part")
+        .filter(col("p_partkey") <= 20)
+        .select(col("p_partkey").as("k"), lit(0L).as("d"))
+      var visited = seeds.persist()
+      var frontier = visited
+      var round = 0
+      var n = frontier.count()
+      val kept = scala.collection.mutable.Buffer[org.apache.spark.sql.DataFrame](visited)
+      while (n > 0 && round < 8) {
+        val next = frontier.join(edges, col("k") === col("src"))
+          .select(col("dst").as("k"), (col("d") + 1).as("d"))
+          .distinct()
+          .join(visited.select(col("k").as("vk")), col("k") === col("vk"), "left_anti")
+          .persist()
+        n = next.count()
+        val nv = visited.unionByName(next).persist()
+        nv.count()
+        kept += next
+        kept += nv
+        visited = nv
+        frontier = next
+        round += 1
+      }
+      val agg = visited.groupBy("d")
+        .agg(count(lit(1)).cast("long").as("n_parts"),
+          min("k").cast("long").as("min_part"),
+          max("k").cast("long").as("max_part"))
+        .select(col("d").cast("long").as("dist"), col("n_parts"),
+          col("min_part"), col("max_part"))
+        .orderBy("dist")
+      // ≤ 9 rows: pin locally, release every cached round
+      val rows = agg.collect().toSeq
+      val schema = agg.schema
+      kept.foreach(_.unpersist())
+      edges.unpersist()
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
+    },
+
+    // Jaro–Winkler record linkage over noun-blocked part names — the
+    // fuzzy-matching scorer q137's bounded levenshtein cannot express
+    // (JW rewards shared prefixes, the name-matching convention from
+    // the record-linkage literature). The scorer is a native codegen'd
+    // Catalyst expression (functions/StringSim.scala) matching the
+    // DuckDB/rapidfuzz semantics exactly (0.7 boost threshold, prefix
+    // cap 4, scale 0.1); scores round to 6dp on both engines before
+    // the 0.9 cut so the threshold decision is identical. Scale:
+    // block-bounded pair fan-out (the q137/q151 topology), broadcast
+    // right side, whole-stage codegen scoring.
+    QueryDef(
+      "q180_jaro_winkler_linkage",
+      """WITH names AS (
+        |  SELECT DISTINCT p_name, split_part(p_name, ' ', 2) AS noun FROM part
+        |)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |       CAST(ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS DOUBLE) AS jw
+        |FROM names a JOIN names b ON a.noun = b.noun AND a.p_name < b.p_name
+        |WHERE ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.9
+        |ORDER BY name_a, name_b""".stripMargin) { (s, dir) =>
+      val names = Tables.load(s, dir, "part")
+        .select(col("p_name"), split(col("p_name"), " ").getItem(1).as("noun"))
+        .distinct()
+      val a = names.select(col("p_name").as("name_a"), col("noun"))
+      val b = names.select(col("p_name").as("name_b"), col("noun"))
+      a.join(broadcast(b), "noun")
+        .filter(col("name_a") < col("name_b"))
+        .withColumn("jw", round(
+          graft.functions.StringSim.jaroWinklerCol(col("name_a"), col("name_b")), 6))
+        .filter(col("jw") >= 0.9)
+        .select(col("name_a"), col("name_b"), col("jw").cast("double").as("jw"))
+        .orderBy("name_a", "name_b")
+    },
+
+    // Containment near-dup pairs: |A∩B| / min(|A|,|B|) ≥ 0.7 on 3-word
+    // shingles — the ASYMMETRIC overlap scorer that catches
+    // subset-duplicates (a doc quoted or embedded inside a longer one)
+    // which symmetric Jaccard dilutes below threshold. Reuses the
+    // session-cached inverted-index pair kernel (one corpus scan, two
+    // shuffles, stop-shingle capped); the integer cross-multiplied
+    // threshold keeps both engines' membership decisions identical.
+    QueryDef(
+      "q181_containment_pairs",
+      """WITH tok AS (
+        |  SELECT doc_id, w, pos FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+        |           generate_subscripts(string_split(text, ' '), 1) AS pos
+        |    FROM documents) t
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |         w || ' ' || LEAD(w, 1) OVER win || ' ' || LEAD(w, 2) OVER win AS shingle
+        |  FROM tok
+        |  WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+        |  QUALIFY LEAD(w, 2) OVER win IS NOT NULL
+        |), card AS (
+        |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+        |), ok AS (
+        |  SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 128
+        |), pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  JOIN ok ON ok.shingle = a.shingle
+        |  GROUP BY a.doc_id, b.doc_id
+        |)
+        |SELECT doc_a, doc_b, CAST(common AS BIGINT) AS common_tokens,
+        |       CAST(LEAST(ca.n, cb.n) AS BIGINT) AS min_tokens,
+        |       CAST(ROUND(CAST(common AS DECIMAL(20,6)) / LEAST(ca.n, cb.n), 4)
+        |            AS DOUBLE) AS containment
+        |FROM pairs
+        |JOIN card ca ON ca.doc_id = doc_a
+        |JOIN card cb ON cb.doc_id = doc_b
+        |WHERE 10 * common >= 7 * LEAST(ca.n, cb.n)
+        |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      val pairs = TextOps.shingleOverlapPairs(s, dir)
+      val minN = least(col("na"), col("nb"))
+      pairs
+        .filter(lit(10) * col("common") >= lit(7) * minN)
+        .select(col("doc_a"), col("doc_b"),
+          col("common").cast("long").as("common_tokens"),
+          minN.cast("long").as("min_tokens"),
+          round(dec6(col("common")) / minN, 4).cast("double").as("containment"))
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // Winsorized robust statistics per return flag: P05/P95 as exact
+    // ORDER STATISTICS (value at row ceil(p·n) of the sorted group —
+    // percentile_disc semantics, integer rank arithmetic, no
+    // interpolation ambiguity between engines), then the clamped mean
+    // and clamp counts. Everything is decimal-exact until the final
+    // rounded display division. Scale: one partitioned sort per group
+    // (no global sort), counts ride the same window.
+    QueryDef(
+      "q182_winsorized_stats",
+      """WITH base AS (
+        |  SELECT l_returnflag AS flag, CAST(l_extendedprice AS DECIMAL(20,4)) AS price
+        |  FROM lineitem
+        |), ranked AS (
+        |  SELECT flag, price,
+        |         ROW_NUMBER() OVER (PARTITION BY flag ORDER BY price) AS rn,
+        |         COUNT(*) OVER (PARTITION BY flag) AS n
+        |  FROM base
+        |), cuts AS (
+        |  SELECT flag, n,
+        |         MAX(CASE WHEN rn = (n + 19) // 20 THEN price END) AS p05,
+        |         MAX(CASE WHEN rn = (19 * n + 19) // 20 THEN price END) AS p95
+        |  FROM ranked GROUP BY flag, n
+        |), wins AS (
+        |  SELECT b.flag, c.n, c.p05, c.p95,
+        |         GREATEST(c.p05, LEAST(c.p95, b.price)) AS w,
+        |         CASE WHEN b.price < c.p05 THEN 1 ELSE 0 END AS lo,
+        |         CASE WHEN b.price > c.p95 THEN 1 ELSE 0 END AS hi
+        |  FROM base b JOIN cuts c ON c.flag = b.flag
+        |)
+        |SELECT flag, CAST(n AS BIGINT) AS n,
+        |       CAST(p05 AS DOUBLE) AS p05, CAST(p95 AS DOUBLE) AS p95,
+        |       CAST(ROUND(CAST(SUM(w) AS DOUBLE) / n, 4) AS DOUBLE) AS mean_winsorized,
+        |       CAST(SUM(lo) AS BIGINT) AS n_clamped_low,
+        |       CAST(SUM(hi) AS BIGINT) AS n_clamped_high
+        |FROM wins GROUP BY flag, n, p05, p95
+        |ORDER BY flag""".stripMargin) { (s, dir) =>
+      val base = Tables.load(s, dir, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+          col("l_extendedprice").cast(DecimalType(20, 4)).as("price"))
+      val w = Window.partitionBy("flag")
+      val ranked = base.select(col("flag"), col("price"),
+        row_number().over(w.orderBy("price")).as("rn"),
+        count(lit(1)).over(w).as("n"))
+      val cuts = ranked.groupBy("flag", "n")
+        .agg(
+          max(when(col("rn") === expr("(n + 19) div 20"), col("price"))).as("p05"),
+          max(when(col("rn") === expr("(19 * n + 19) div 20"), col("price"))).as("p95"))
+      base.join(broadcast(cuts), "flag")
+        .select(col("flag"), col("n"), col("p05"), col("p95"),
+          greatest(col("p05"), least(col("p95"), col("price"))).as("w"),
+          when(col("price") < col("p05"), 1L).otherwise(0L).as("lo"),
+          when(col("price") > col("p95"), 1L).otherwise(0L).as("hi"))
+        .groupBy("flag", "n", "p05", "p95")
+        .agg(round(sum("w").cast("double") / col("n"), 4).as("mean_winsorized"),
+          sum("lo").cast("long").as("n_clamped_low"),
+          sum("hi").cast("long").as("n_clamped_high"))
+        .select(col("flag"), col("n").cast("long").as("n"),
+          col("p05").cast("double").as("p05"), col("p95").cast("double").as("p95"),
+          col("mean_winsorized").cast("double").as("mean_winsorized"),
+          col("n_clamped_low"), col("n_clamped_high"))
+        .orderBy("flag")
+    },
+
+    // Zipf's-law fit over the token frequency spectrum: OLS of
+    // ln(freq) on ln(rank) for the top-1000 tokens, with the closed-form
+    // slope/intercept computed from DECIMAL moment sums (order-
+    // independent, engine-exact) — ln only ever sees identical integer
+    // inputs on both engines, so the 6dp-rounded terms match bit-wise.
+    // The canonical "is this corpus natural text" diagnostic. Scale:
+    // the spectrum is one map-side-combined groupBy; the top-1000 rank
+    // window runs over the vocabulary aggregate, not the corpus.
+    QueryDef(
+      "q183_zipf_slope",
+      """WITH freq AS (
+        |  SELECT w, COUNT(*) AS f FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+        |  GROUP BY w
+        |), top AS (
+        |  SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, w) AS rn
+        |  FROM freq QUALIFY rn <= 1000
+        |), pts AS (
+        |  -- ln values scaled to 1e4 integers: every moment sum and the
+        |  -- closed-form numerators/denominators stay BIGINT-exact and
+        |  -- below 2^53, so the final double division is bit-identical
+        |  SELECT CAST(ROUND(LN(CAST(rn AS DOUBLE)) * 10000, 0) AS BIGINT) AS x,
+        |         CAST(ROUND(LN(CAST(f AS DOUBLE)) * 10000, 0) AS BIGINT) AS y
+        |  FROM top
+        |), mom AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+        |         CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |         CAST(SUM(x * x) AS BIGINT) AS sxx
+        |  FROM pts
+        |), fit AS (
+        |  SELECT n, sx, sy,
+        |         CAST(ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+        |                    / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS DOUBLE) AS slope
+        |  FROM mom
+        |)
+        |SELECT n AS n_tokens, slope,
+        |       -- intercept from the PUBLISHED (rounded) slope: only exact
+        |       -- integers and the identical slope double feed it, so the
+        |       -- third-moment closed form (which would overflow BIGINT)
+        |       -- is never needed
+        |       CAST(ROUND((CAST(sy AS DOUBLE) / 10000
+        |                   - slope * CAST(sx AS DOUBLE) / 10000) / n, 6)
+        |            AS DOUBLE) AS intercept
+        |FROM fit""".stripMargin) { (s, dir) =>
+      val freq = docs(s, dir)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("f"))
+      val top = freq
+        .select(col("f"),
+          row_number().over(Window.orderBy(col("f").desc, col("w"))).as("rn"))
+        .filter(col("rn") <= 1000)
+      val pts = top.select(
+        round(log(col("rn").cast("double")) * 10000, 0).cast("long").as("x"),
+        round(log(col("f").cast("double")) * 10000, 0).cast("long").as("y"))
+      val fit = pts.agg(count(lit(1)).cast("long").as("n"),
+          sum("x").cast("long").as("sx"), sum("y").cast("long").as("sy"),
+          sum(col("x") * col("y")).cast("long").as("sxy"),
+          sum(col("x") * col("x")).cast("long").as("sxx"))
+        .select(col("n"), col("sx"), col("sy"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+            .cast("double").as("slope"))
+      fit.select(col("n").as("n_tokens"), col("slope"),
+        round((col("sy").cast("double") / 10000 -
+          col("slope") * col("sx").cast("double") / 10000) / col("n"), 6)
+          .cast("double").as("intercept"))
+    },
+
+    // CUSUM change-point estimation over daily event volumes: per
+    // event_type, the cumulative sum of (day_total − mean_day) and its
+    // argmax day — the classical estimate of WHERE the level shifted
+    // (argmax form rather than a fixed crossing threshold, which a
+    // random-walk's √n growth makes scale-dependent). Decimal-exact:
+    // day totals DECIMAL(20,4), mean a 6dp decimal, deviations and the
+    // running sum exact, argmax tie-broken by earliest day. Scale:
+    // days form a bounded histogram — every window runs over
+    // |types|×|days| rows, never raw events.
+    QueryDef(
+      "q184_cusum_changepoint",
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |         SUM(CAST(value AS DECIMAL(20,4))) AS v
+        |  FROM events GROUP BY event_type, CAST(ts AS DATE)
+        |), st AS (
+        |  SELECT event_type,
+        |         CAST(ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6) AS DECIMAL(20,6)) AS mu,
+        |         CAST(COUNT(*) AS BIGINT) AS n_days
+        |  FROM daily GROUP BY event_type
+        |), cus AS (
+        |  SELECT d.event_type, d.d, st.n_days,
+        |         SUM(d.v - st.mu) OVER (PARTITION BY d.event_type ORDER BY d.d) AS c
+        |  FROM daily d JOIN st ON st.event_type = d.event_type
+        |), ranked AS (
+        |  SELECT event_type, d, n_days, c,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type
+        |                            ORDER BY ABS(c) DESC, d) AS rk
+        |  FROM cus
+        |)
+        |SELECT event_type, n_days, CAST(d AS TIMESTAMP) AS change_day,
+        |       CAST(ROUND(CAST(ABS(c) AS DOUBLE), 4) AS DOUBLE) AS max_abs_cusum,
+        |       CAST(CASE WHEN c > 0 THEN 1 ELSE -1 END AS INTEGER) AS shift_sign
+        |FROM ranked WHERE rk = 1 ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val daily = Tables.load(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(sum(col("value").cast(DecimalType(20, 4))).as("v"))
+      val st = daily.groupBy("event_type")
+        .agg(round(sum("v").cast("double") / count(lit(1)), 6)
+            .cast(DecimalType(20, 6)).as("mu"),
+          count(lit(1)).cast("long").as("n_days"))
+      daily.join(broadcast(st), "event_type")
+        .select(col("event_type"), col("d"), col("n_days"),
+          sum(col("v") - col("mu")).over(
+            Window.partitionBy("event_type").orderBy("d")).as("c"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("event_type").orderBy(abs(col("c")).desc, col("d"))))
+        .filter(col("rk") === 1)
+        .select(col("event_type"), col("n_days"),
+          col("d").cast("timestamp").as("change_day"),
+          round(abs(col("c")).cast("double"), 4).cast("double").as("max_abs_cusum"),
+          when(col("c") > 0, 1).otherwise(-1).cast("int").as("shift_sign"))
+        .orderBy("event_type")
+    },
+
+    // Corpus novelty by source: the fraction of each source's distinct
+    // 3-word shingles whose FIRST corpus occurrence (min doc_id) lands
+    // in that source's documents — the "how much new text does each
+    // slice contribute" ordering diagnostic used when scheduling
+    // ingestion. One shingle-level aggregate (min doc_id + df), no
+    // pair expansion; the doc→source attribution joins the bounded
+    // shingle table, not the corpus.
+    QueryDef(
+      "q185_source_novelty",
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id,
+        |         w || ' ' || LEAD(w, 1) OVER win || ' ' || LEAD(w, 2) OVER win AS shingle
+        |  FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+        |           generate_subscripts(string_split(text, ' '), 1) AS pos
+        |    FROM documents) t
+        |  WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+        |  QUALIFY LEAD(w, 2) OVER win IS NOT NULL
+        |), firsts AS (
+        |  SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle
+        |), per_doc AS (
+        |  SELECT s.doc_id, COUNT(*) AS n_sh,
+        |         SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS novel
+        |  FROM sh s JOIN firsts f ON f.shingle = s.shingle
+        |  GROUP BY s.doc_id
+        |)
+        |SELECT d.source, CAST(SUM(p.n_sh) AS BIGINT) AS n_shingles,
+        |       CAST(SUM(p.novel) AS BIGINT) AS novel_shingles,
+        |       CAST(ROUND(CAST(SUM(p.novel) AS DECIMAL(20,6)) / SUM(p.n_sh), 4)
+        |            AS DOUBLE) AS novelty
+        |FROM per_doc p JOIN documents d ON d.doc_id = p.doc_id
+        |GROUP BY d.source ORDER BY d.source""".stripMargin) { (s, dir) =>
+      val sh = docs(s, dir)
+        .select(col("doc_id"),
+          explode(graft.functions.TextExprs.shingles(
+            split(col("text"), " "), 3)).as("shingle"))
+        .distinct()
+      val firsts = sh.groupBy("shingle").agg(min("doc_id").as("first_doc"))
+      val perDoc = sh.join(firsts, "shingle")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_sh"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("novel"))
+      perDoc
+        .join(Tables.load(s, dir, "documents").select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(sum("n_sh").cast("long").as("n_shingles"),
+          sum("novel").cast("long").as("novel_shingles"),
+          round(dec6(sum("novel")) / sum("n_sh"), 4).cast("double").as("novelty"))
+        .orderBy("source")
     }
   )
 }
