@@ -37,6 +37,52 @@ object Ext4 {
 
   private def dec6(c: Column): Column = c.cast(DecimalType(20, 6))
 
+  /** q178's cohort/bucket assignment — (event_type, bucket, ca, cb)
+    * counts. Additive across any partitioning of the input, which is
+    * what makes the streaming drift monitor's per-micro-batch deltas
+    * fold to the exact batch answer.
+    */
+  private[graft] def driftBucketCounts(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"),
+        least(floor(col("value") / 50).cast("long"), lit(9L)).as("bucket"),
+        when(col("event_id") % 3 === 0, 1L).otherwise(0L).as("isa"))
+      .groupBy("event_type", "bucket")
+      .agg(sum("isa").as("ca"), (count(lit(1)) - sum("isa")).as("cb"))
+
+  /** Fold (possibly-partial) bucket counts into per-type PSI — the
+    * shared kernel behind q178 (batch) and the streaming drift monitor
+    * (micro-batch deltas appended, folded at serve time). Grid-fills
+    * the full 10-bucket domain with zeros before Laplace smoothing so
+    * partial counts and whole-corpus counts take the identical path.
+    */
+  private[graft] def psiFromBucketCounts(
+      s: SparkSession, counts: DataFrame): DataFrame = {
+    val folded = counts.groupBy("event_type", "bucket")
+      .agg(sum("ca").as("ca"), sum("cb").as("cb"))
+    val grid = folded.select("event_type").distinct()
+      .crossJoin(s.range(10).select(col("id").as("bucket")))
+    val h = grid.join(folded, Seq("event_type", "bucket"), "left")
+      .na.fill(0L, Seq("ca", "cb"))
+    val tot = h.groupBy("event_type")
+      .agg(sum("ca").as("na"), sum("cb").as("nb"))
+    val term = h.join(broadcast(tot), "event_type")
+      .withColumn("diff",
+        round(((col("ca") + 1) * (col("nb") + 10) - (col("cb") + 1) * (col("na") + 10))
+          .cast("double") /
+          ((col("na") + 10).cast("double") * (col("nb") + 10).cast("double")), 9)
+          .cast(DecimalType(20, 9)))
+      .withColumn("lnr",
+        round(log(((col("ca") + 1) * (col("nb") + 10)).cast("double") /
+          ((col("cb") + 1) * (col("na") + 10)).cast("double")), 6)
+          .cast(DecimalType(20, 6)))
+    term.groupBy("event_type", "na", "nb")
+      .agg(round(sum(col("diff") * col("lnr")).cast("double"), 6).as("psi"))
+      .select(col("event_type"), col("na").cast("long").as("n_a"),
+        col("nb").cast("long").as("n_b"), col("psi"))
+      .orderBy("event_type")
+  }
+
   val queries: Seq[QueryDef] = Seq(
 
     // Prefix-filtered exact-Jaccard pair join (PPJoin candidate
@@ -273,36 +319,8 @@ object Ext4 {
         |       CAST(ROUND(CAST(SUM(diff * lnr) AS DOUBLE), 6) AS DOUBLE) AS psi
         |FROM term GROUP BY event_type, na, nb
         |ORDER BY event_type""".stripMargin) { (s, dir) =>
-      val pts = Tables.load(s, dir, "events")
-        .select(col("event_type"),
-          least(floor(col("value") / 50).cast("long"), lit(9L)).as("bucket"),
-          when(col("event_id") % 3 === 0, 1L).otherwise(0L).as("isa"))
-      val grid = pts.select("event_type").distinct()
-        .crossJoin(s.range(10).select(col("id").as("bucket")))
-      val h = grid.as("g")
-        .join(pts.as("p"),
-          col("p.event_type") === col("g.event_type") &&
-            col("p.bucket") === col("g.bucket"), "left")
-        .groupBy(col("g.event_type").as("event_type"), col("g.bucket").as("bucket"))
-        .agg(coalesce(sum("isa"), lit(0L)).as("ca"),
-          coalesce(count(col("isa")) - sum("isa"), lit(0L)).as("cb"))
-      val tot = h.groupBy("event_type")
-        .agg(sum("ca").as("na"), sum("cb").as("nb"))
-      val term = h.join(broadcast(tot), "event_type")
-        .withColumn("diff",
-          round(((col("ca") + 1) * (col("nb") + 10) - (col("cb") + 1) * (col("na") + 10))
-            .cast("double") /
-            ((col("na") + 10).cast("double") * (col("nb") + 10).cast("double")), 9)
-            .cast(DecimalType(20, 9)))
-        .withColumn("lnr",
-          round(log(((col("ca") + 1) * (col("nb") + 10)).cast("double") /
-            ((col("cb") + 1) * (col("na") + 10)).cast("double")), 6)
-            .cast(DecimalType(20, 6)))
-      term.groupBy("event_type", "na", "nb")
-        .agg(round(sum(col("diff") * col("lnr")).cast("double"), 6).as("psi"))
-        .select(col("event_type"), col("na").cast("long").as("n_a"),
-          col("nb").cast("long").as("n_b"), col("psi"))
-        .orderBy("event_type")
+      Ext4.psiFromBucketCounts(s,
+        Ext4.driftBucketCounts(Tables.load(s, dir, "events")))
     },
 
     // BFS shortest-hop distances over the co-purchase part graph from a
@@ -340,26 +358,27 @@ object Ext4 {
       val seeds = Tables.load(s, dir, "part")
         .filter(col("p_partkey") <= 20)
         .select(col("p_partkey").as("k"), lit(0L).as("d"))
-      var visited = seeds.persist()
-      var frontier = visited
+      // visited = union of the persisted per-round frontiers (≤ 9), so
+      // each round costs ONE action (the new-frontier count); the
+      // anti-join evaluates against already-cached rounds
+      val kept = scala.collection.mutable.Buffer(seeds.persist())
+      var frontier = kept.head
       var round = 0
       var n = frontier.count()
-      val kept = scala.collection.mutable.Buffer[org.apache.spark.sql.DataFrame](visited)
       while (n > 0 && round < 8) {
+        val visitedKeys = kept.map(_.select(col("k").as("vk")))
+          .reduce(_ unionByName _)
         val next = frontier.join(edges, col("k") === col("src"))
           .select(col("dst").as("k"), (col("d") + 1).as("d"))
           .distinct()
-          .join(visited.select(col("k").as("vk")), col("k") === col("vk"), "left_anti")
+          .join(visitedKeys, col("k") === col("vk"), "left_anti")
           .persist()
         n = next.count()
-        val nv = visited.unionByName(next).persist()
-        nv.count()
-        kept += next
-        kept += nv
-        visited = nv
+        if (n > 0) kept += next
         frontier = next
         round += 1
       }
+      val visited = kept.reduce(_ unionByName _)
       val agg = visited.groupBy("d")
         .agg(count(lit(1)).cast("long").as("n_parts"),
           min("k").cast("long").as("min_part"),

@@ -223,6 +223,31 @@ object StreamMaterializer {
       .start()
   }
 
+  /** Streaming drift monitor (twin of q178's PSI): each micro-batch's
+    * bucket-count deltas append to the warehouse; serving reads fold
+    * the deltas and derive PSI via the SAME kernel the batch query
+    * uses (`Ext4.psiFromBucketCounts`), so the stream converges to the
+    * exact batch answer once drained. Unlike the pair index, bucket
+    * counts are additive under ANY partitioning of the source — no
+    * whole-entity precondition — which is why this is the shape to
+    * prefer for monitoring aggregates at 100 TB: per-batch work is
+    * O(batch), serve-time work is O(types × buckets).
+    */
+  def maintainDriftCounts(wh: Warehouse, name: String,
+      eventStream: DataFrame, checkpointDir: String): StreamingQuery =
+    eventStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        wh.appendTable(name, graft.queries.Ext4.driftBucketCounts(batch))
+      }
+      .start()
+
+  /** Serve the monitored PSI from the folded delta relation. */
+  def servePsi(wh: Warehouse, name: String): DataFrame =
+    graft.queries.Ext4.psiFromBucketCounts(wh.spark, wh.read(name))
+
   /** Drive a streaming DataFrame into the warehouse through
     * foreachBatch → the same materialization layer (append commits per
     * micro-batch). Returns the running query; callers stop it.

@@ -242,6 +242,28 @@ class StreamingSpec extends SparkSpec {
       Option(failed.getCause).exists(_.getMessage.contains("not partitioned by l_orderkey")))
   }
 
+  test("streaming drift monitor converges to the batch PSI (q178 twin)") {
+    // bucket counts are additive under ANY partitioning (no whole-order
+    // precondition): arbitrary 4-way split, one file per micro-batch
+    val src = tmpDir("drift_src")
+    val events = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+    events.repartition(4).write.mode("overwrite").parquet(src)
+    val wh = new Engine(spark, Manifest(Map.empty), tmpDir("wh_drift")).wh
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val q = StreamMaterializer.maintainDriftCounts(wh, "drift_counts", stream,
+      tmpDir("ckpt_drift"))
+    q.awaitTermination(120000)
+    assert(wh.commitCount("drift_counts") > 1,
+      "monitor must have appended multiple micro-batch deltas")
+    val served = StreamMaterializer.servePsi(wh, "drift_counts")
+      .collect().map(_.toSeq).toSet
+    val batch = graft.queries.Ext4.psiFromBucketCounts(spark,
+      graft.queries.Ext4.driftBucketCounts(events))
+      .collect().map(_.toSeq).toSet
+    assert(served === batch, "folded deltas must reproduce the batch PSI exactly")
+  }
+
   test("session windows produce bounded per-user sessions") {
     val dir = eventsDir
     val schema = spark.read.parquet(dir).schema
