@@ -233,6 +233,21 @@ final case class SeedNode(
 sealed trait SnapshotStrategy
 final case class TimestampStrategy(updatedAt: String) extends SnapshotStrategy
 final case class CheckStrategy(checkCols: Option[Seq[String]]) extends SnapshotStrategy // None = all
+/** A named custom strategy (reference `snapshot_<name>_strategy` macro,
+  * `tests/functional/simple_snapshot/fixtures.py:66-85`): carried
+  * unresolved through parsing with the snapshot's config kwargs; the
+  * engine evaluates the macro at run time into a
+  * [[ResolvedCustomStrategy]].
+  */
+final case class CustomStrategy(name: String,
+    kwargs: Map[String, String] = Map.empty) extends SnapshotStrategy
+/** The macro's returned dict: SQL expression strings. `updatedAtSql` /
+  * `scdIdSql` evaluate over source columns; `rowChangedSql` over the
+  * aliases the engine passed as snapshotted_rel ("t") and current_rel
+  * ("s").
+  */
+final case class ResolvedCustomStrategy(updatedAtSql: String,
+    rowChangedSql: String, scdIdSql: String) extends SnapshotStrategy
 
 final case class SnapshotNode(
     name: String,

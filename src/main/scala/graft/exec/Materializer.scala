@@ -340,8 +340,17 @@ object Materializer {
     val now = lit(clock()).cast("timestamp")
     val keyExpr = concat_ws("|", uniqueKey.map(k => col(k).cast("string")): _*)
 
-    // dbt_updated_at + row-identity hash input per strategy
+    // dbt_updated_at + row-identity hash input per strategy; custom
+    // strategies supply updated_at and the scd_id expression directly
+    // from their macro's returned dict (no appended key hash — the
+    // macro owns identity, reference custom-strategy shape)
     val (updatedAtCol, changeHashCol) = strategy match {
+      case ResolvedCustomStrategy(ua, _, _) =>
+        (expr(ua).cast("timestamp"), lit(""))
+      case c: CustomStrategy => throw new IllegalStateException(
+        s"snapshot $name: custom strategy '${c.name}' reached the " +
+          "materializer unresolved — the engine must evaluate " +
+          s"snapshot_${c.name}_strategy first")
       case TimestampStrategy(ua) =>
         (col(ua).cast("timestamp"), col(ua).cast("string"))
       case CheckStrategy(colsOpt) =>
@@ -349,9 +358,13 @@ object Materializer {
         (now, concat_ws("|", cs.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*))
     }
 
+    val scdIdCol = strategy match {
+      case ResolvedCustomStrategy(_, _, scd) => expr(scd)
+      case _ => md5(concat_ws("|", keyExpr, changeHashCol))
+    }
     val srcStamped = src
       .withColumn("dbt_updated_at", updatedAtCol)
-      .withColumn("dbt_scd_id", md5(concat_ws("|", keyExpr, changeHashCol)))
+      .withColumn("dbt_scd_id", scdIdCol)
       .withColumn("dbt_valid_from", updatedAtCol)
       .withColumn("dbt_valid_to", lit(null).cast("timestamp"))
 
@@ -392,10 +405,17 @@ object Materializer {
     val inSource = sScd.isNotNull
     val matched = inTarget && inSource
 
-    val changed = matched && !(tScd <=> sScd) &&
+    val changed = matched &&
       (strategy match {
-        case TimestampStrategy(_) => col("s.dbt_updated_at") > col("t.dbt_updated_at")
-        case CheckStrategy(_) => lit(true)
+        case TimestampStrategy(_) =>
+          !(tScd <=> sScd) && col("s.dbt_updated_at") > col("t.dbt_updated_at")
+        case CheckStrategy(_) => !(tScd <=> sScd)
+        // custom: the macro's row_changed predicate is AUTHORITATIVE
+        // (reference strategy dict) — it sees the snapshotted row as
+        // alias `t` and the incoming row as alias `s`
+        case ResolvedCustomStrategy(_, rc, _) => expr(rc)
+        case c: CustomStrategy => throw new IllegalStateException(
+          s"unresolved custom strategy ${c.name}")
       })
 
     val outCols = dataCols ++ Seq("dbt_updated_at", "dbt_scd_id", "dbt_valid_from", "dbt_valid_to")
@@ -405,13 +425,20 @@ object Materializer {
     val closeStamp = strategy match {
       case TimestampStrategy(_) => col("s.dbt_updated_at")
       case CheckStrategy(_) => now
+      // custom: close at the superseding row's effective time (the
+      // reference's timestamp-style behavior — valid_to = new valid_from)
+      case _ => col("s.dbt_updated_at")
     }
 
-    // 1. unchanged current rows stay open
-    val unchanged = joined.filter(matched && (tScd <=> sScd)).select(sel("t"): _*)
-    // stale-but-not-superseding source (timestamp strategy, out-of-order
-    // arrival): keep target open, ignore source row
-    val staleOpen = joined.filter(matched && !(tScd <=> sScd) && !changed)
+    // 1. unchanged current rows stay open (guarded on !changed so the
+    // matched-row partition stays exclusive even under a custom
+    // row_changed predicate that ignores scd identity)
+    val unchanged = joined.filter(matched && !changed && (tScd <=> sScd))
+      .select(sel("t"): _*)
+    // stale-but-not-superseding source (timestamp strategy out-of-order
+    // arrival, or a custom strategy's debounce): keep target open,
+    // ignore source row
+    val staleOpen = joined.filter(matched && !changed && !(tScd <=> sScd))
       .select(sel("t"): _*)
     // 2. changed: close old row at the new row's effective time
     val closedOld = joined.filter(changed)

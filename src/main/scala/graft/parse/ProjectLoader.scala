@@ -612,7 +612,10 @@ object ProjectLoader {
           case "check" =>
             CheckStrategy(kwargs.get("check_cols").filterNot(_ == "all")
               .map(_.split(",").map(_.trim).toSeq))
-          case other => throw new IllegalArgumentException(s"unknown snapshot strategy: $other")
+          // any other name = custom strategy: the engine resolves the
+          // `snapshot_<name>_strategy` macro at run time (reference
+          // custom-strategy shape, simple_snapshot/fixtures.py:66-85)
+          case other => CustomStrategy(other, kwargs)
         }
         nodes += SnapshotNode(
           name = snapName, rawSql = raw,

@@ -156,23 +156,32 @@ object Ext4 {
           count(lit(1)).over(Window.partitionBy("doc_id")).as("n"))
       val pref = ord
         .filter(col("pos") <= col("n") - expr("(6 * n + 9) div 10") + 1)
-        .select(col("doc_id"), col("w"))
+        .select(col("doc_id"), col("w"), col("n"))
+      // candidate pairs with the LENGTH filter applied inside the join
+      // (J >= θ implies min(n)/max(n) >= θ) — at high near-dup density
+      // this prunes same-prefix-token pairs whose sizes can't reach θ
       val cand = pref.as("a")
         .join(pref.as("b"),
-          col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
+          col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id") &&
+            lit(10) * least(col("a.n"), col("b.n")) >=
+              lit(6) * greatest(col("a.n"), col("b.n")))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
-      val card = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val common = cand
-        .join(tok.as("ta"), col("ta.doc_id") === col("doc_a"))
-        .join(tok.as("tb"),
-          col("tb.doc_id") === col("doc_b") && col("tb.w") === col("ta.w"))
-        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
-      common
-        .join(card.select(col("doc_id"), col("n").as("na")),
-          col("doc_id") === col("doc_a")).drop("doc_id")
-        .join(card.select(col("doc_id"), col("n").as("nb")),
-          col("doc_id") === col("doc_b")).drop("doc_id")
+      // verification against materialized per-doc shingle SETS: one row
+      // per candidate with an array intersection, instead of re-joining
+      // the corpus-sized token table twice and aggregating the
+      // candidate × doc-length blow-up (this was the 50×-at-10× lesson
+      // from SCALE_r6 — the pair explosion lived in the verify join,
+      // not the prefix index)
+      val sets = tok.groupBy("doc_id")
+        .agg(collect_list(col("w")).as("ws"), count(lit(1)).as("n"))
+      val verified = cand
+        .join(sets.select(col("doc_id").as("doc_a"),
+          col("ws").as("wa"), col("n").as("na")), "doc_a")
+        .join(sets.select(col("doc_id").as("doc_b"),
+          col("ws").as("wb"), col("n").as("nb")), "doc_b")
+        .withColumn("common", size(array_intersect(col("wa"), col("wb"))).cast("long"))
+      verified
         .filter(lit(10) * col("common") >= lit(6) * (col("na") + col("nb") - col("common")))
         .select(col("doc_a"), col("doc_b"),
           col("common").cast("long").as("common_tokens"),
@@ -517,14 +526,20 @@ object Ext4 {
       val base = Tables.load(s, dir, "lineitem")
         .select(col("l_returnflag").as("flag"),
           col("l_extendedprice").cast(DecimalType(20, 4)).as("price"))
-      val w = Window.partitionBy("flag")
-      val ranked = base.select(col("flag"), col("price"),
-        row_number().over(w.orderBy("price")).as("rn"),
-        count(lit(1)).over(w).as("n"))
-      val cuts = ranked.groupBy("flag", "n")
+      // order statistics from the VALUE HISTOGRAM: the cumulative
+      // window runs over (flag, distinct price) rows — a bounded
+      // domain (TPC-H prices) — never over raw rows, so the per-group
+      // sort doesn't become a one-task straggler at scale.
+      // percentile_disc(p) = min{v : cum(v) >= ceil(p·n)} — identical
+      // to the rank-k row value the oracle computes.
+      val hist = base.groupBy("flag", "price").agg(count(lit(1)).as("c"))
+      val cum = hist.select(col("flag"), col("price"),
+        sum("c").over(Window.partitionBy("flag").orderBy("price")).as("cum"),
+        sum("c").over(Window.partitionBy("flag")).as("n"))
+      val cuts = cum.groupBy("flag", "n")
         .agg(
-          max(when(col("rn") === expr("(n + 19) div 20"), col("price"))).as("p05"),
-          max(when(col("rn") === expr("(19 * n + 19) div 20"), col("price"))).as("p95"))
+          min(when(col("cum") >= expr("(n + 19) div 20"), col("price"))).as("p05"),
+          min(when(col("cum") >= expr("(19 * n + 19) div 20"), col("price"))).as("p95"))
       base.join(broadcast(cuts), "flag")
         .select(col("flag"), col("n"), col("p05"), col("p95"),
           greatest(col("p05"), least(col("p95"), col("price"))).as("w"),

@@ -1713,6 +1713,92 @@ object Framework {
       rows.toSeq.toDF("relation", "column_name", "comment")
         .withColumn("n_rows", lit(nRows))
         .orderBy("relation", "column_name")
+    },
+
+    // Custom snapshot strategy (reference `snapshot_<name>_strategy`
+    // macro shape, simple_snapshot/fixtures.py:66-85): a 'lag' strategy
+    // whose row_changed DEBOUNCES updates — a source row supersedes
+    // only when its updated_at is >= 1 day past the snapshotted row's.
+    // Batch 2 updates ids%10=0 by +2 days (captured as SCD2 versions)
+    // and ids%10=1 by +12 hours (ignored — the behavior no builtin
+    // strategy can express). The oracle writes the expected end state
+    // in closed form.
+    QueryDef(
+      "m35_custom_snapshot_strategy",
+      """WITH base AS (
+        |  SELECT o_orderkey AS id, o_orderstatus AS status, o_orderkey % 10 AS grp
+        |  FROM orders
+        |)
+        |SELECT id, status, dbt_valid_from, dbt_valid_to FROM (
+        |  -- closed first version of the +2d-updated rows
+        |  SELECT id, status, TIMESTAMP '1999-01-01 00:00:00' AS dbt_valid_from,
+        |         TIMESTAMP '1999-01-03 00:00:00' AS dbt_valid_to
+        |  FROM base WHERE grp = 0
+        |  UNION ALL
+        |  -- their open second version
+        |  SELECT id, 'U1', TIMESTAMP '1999-01-03 00:00:00', NULL FROM base WHERE grp = 0
+        |  UNION ALL
+        |  -- debounced +12h updates keep the ORIGINAL open row
+        |  SELECT id, status, TIMESTAMP '1999-01-01 00:00:00', NULL FROM base WHERE grp <> 0
+        |) v
+        |ORDER BY id, dbt_valid_from""".stripMargin) { (s, dir) =>
+      val root = java.nio.file.Files.createTempDirectory("m35_proj")
+      scratchDirs.add(root.toFile)
+      def write(rel: String, content: String): Unit = {
+        val p = root.resolve(rel)
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.writeString(p, content)
+      }
+      val srcDir = java.nio.file.Files.createTempDirectory("m35_src")
+      scratchDirs.add(srcDir.toFile)
+      write("dbt_project.yml", "name: m35proj\n")
+      write("models/sources.yml",
+        s"""sources:
+           |  - name: main
+           |    tables:
+           |      - name: m35_src
+           |        path: $srcDir/src.parquet
+           |""".stripMargin)
+      write("macros/lag_strategy.sql",
+        """{% macro snapshot_lag_strategy(node, snapshotted_rel, current_rel, config, target_exists) %}
+          |{% set ua = config['updated_at'] %}
+          |{{ return({
+          |  'unique_key': config['unique_key'],
+          |  'updated_at': ua,
+          |  'row_changed': current_rel ~ '.' ~ ua ~ ' >= ' ~ snapshotted_rel ~ '.' ~ ua ~ ' + INTERVAL 1 DAY',
+          |  'scd_id': "md5(concat_ws('|', cast(id as string), cast(" ~ ua ~ " as string)))"
+          |}) }}
+          |{% endmacro %}""".stripMargin)
+      write("snapshots/m35_snap.sql",
+        """{% snapshot m35_snap %}
+          |{{ config(strategy='lag', unique_key='id', updated_at='updated_at') }}
+          |SELECT * FROM {{ source('main', 'm35_src') }}
+          |{% endsnapshot %}""".stripMargin)
+      val orders = graft.Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").as("id"), col("o_orderstatus").as("status"),
+          (col("o_orderkey") % 10).as("grp"))
+      def writeBatch(second: Boolean): Unit = {
+        val ts0 = to_timestamp(lit("1999-01-01 00:00:00"))
+        val b =
+          if (!second) orders.select(col("id"), col("status"), ts0.as("updated_at"))
+          else orders.select(col("id"),
+            when(col("grp") === 0, "U1")
+              .when(col("grp") === 1, "U2").otherwise(col("status")).as("status"),
+            when(col("grp") === 0, to_timestamp(lit("1999-01-03 00:00:00")))
+              .when(col("grp") === 1, to_timestamp(lit("1999-01-01 12:00:00")))
+              .otherwise(ts0).as("updated_at"))
+        b.coalesce(1).write.mode("overwrite").parquet(s"$srcDir/src.parquet")
+      }
+      val whDir = scratch()
+      writeBatch(second = false)
+      val eng1 = Engine.fromProject(s, root.toString, whDir)
+      require(eng1.run().forall(_.status == "success"), "m35 run 1 failed")
+      writeBatch(second = true)
+      val eng2 = Engine.fromProject(s, root.toString, whDir)
+      require(eng2.run().forall(_.status == "success"), "m35 run 2 failed")
+      eng2.wh.read("m35_snap")
+        .select("id", "status", "dbt_valid_from", "dbt_valid_to")
+        .orderBy("id", "dbt_valid_from")
     }
   )
 }

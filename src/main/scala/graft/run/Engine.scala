@@ -562,7 +562,7 @@ final class Engine(
       Materializer.Result(s.uniqueId, "success", rowsAffected = rows)
     case s: SnapshotNode =>
       Materializer.snapshot(wh, relationName(s), compile(s),
-        s.uniqueKey, s.strategy, s.invalidateHardDeletes, clock)
+        s.uniqueKey, resolveSnapshotStrategy(s), s.invalidateHardDeletes, clock)
       val rows = wh.rowCount(relationName(s))
       storeResult(s.uniqueId, "main", Map("status" -> "SUCCESS",
         "relation" -> relationName(s),
@@ -582,6 +582,34 @@ final class Engine(
     case other => // sources + metadata-only nodes (A29)
       Materializer.Result(other.uniqueId, "success")
   }
+
+  /** Evaluate a custom `snapshot_<name>_strategy` macro (reference
+    * custom-strategy dict, `simple_snapshot/fixtures.py:66-85`) into
+    * its SQL expressions. Called with the reference signature
+    * `(node, snapshotted_rel, current_rel, config, target_exists)`;
+    * the relations are passed as the aliases the materializer joins
+    * under (`t` = snapshotted, `s` = incoming source).
+    */
+  private def resolveSnapshotStrategy(node: SnapshotNode): SnapshotStrategy =
+    node.strategy match {
+      case CustomStrategy(stratName, kw) =>
+        val sep = "\u0001"
+        def q(v: String) = "'" + v.replace("'", "\\'") + "'"
+        val cfg = kw.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ", ", "}")
+        val tpl =
+          s"{% set strat = snapshot_${stratName}_strategy(${q(node.name)}, " +
+            s"'t', 's', $cfg, ${wh.exists(relationName(node))}) %}" +
+            s"{{ strat['updated_at'] }}$sep{{ strat['row_changed'] }}$sep{{ strat['scd_id'] }}"
+        val rendered = graft.render.Jinja.render(tpl,
+          renderContext(callerPackage = node.packageName))
+        val parts = rendered.split(sep)
+        require(parts.length == 3 && parts.forall(_.trim.nonEmpty),
+          s"snapshot_${stratName}_strategy must return a dict with " +
+            "updated_at, row_changed and scd_id entries")
+        ResolvedCustomStrategy(parts(0).trim, parts(1).trim, parts(2).trim)
+      case other => other
+    }
 
   /** Compile a metric to a Spark query over its model (A29 optional
     * path): SELECT dims…, calculation FROM model [WHERE filter]
