@@ -39,6 +39,16 @@ object ProjectLoader {
       docs: Map[String, String] = Map.empty)
 
   /** Raw single-directory parse (no ref linking, no package merge). */
+  /** A root-project `sources: - name: x, overrides: <pkg>` patch
+    * (reference source overrides, `core/dbt/parser/sources.py`
+    * SourcePatcher): replaces matching table definitions of the
+    * package's source of the same name.
+    */
+  private final case class SourcePatch(
+      overridesPkg: String,
+      sourceName: String,
+      tables: Seq[SourceNode])
+
   private final case class RawProject(
       name: String,
       vars: Map[String, String],
@@ -47,7 +57,8 @@ object ProjectLoader {
       onRunEnd: Seq[String],
       macros: Map[String, Template.MacroDef],
       selectors: Map[String, SelectorDef],
-      docs: Map[String, String] = Map.empty)
+      docs: Map[String, String] = Map.empty,
+      sourcePatches: Seq[SourcePatch] = Nil)
 
   /** Load a project plus every installed package under
     * `dbt_packages/<pkg>/` (A32 deps): package nodes and macros carry
@@ -66,8 +77,47 @@ object ProjectLoader {
       dirName -> loadRaw(dir, rootScopeFor(root, dirName))
     }
 
-    val taggedPkgNodes = pkgRaws.flatMap { case (pkg, raw) =>
+    val taggedPkgNodes0 = pkgRaws.flatMap { case (pkg, raw) =>
       raw.nodes.map(withPackage(_, pkg))
+    }
+    // root-project source overrides (reference SourcePatcher,
+    // `core/dbt/parser/sources.py`): a `sources: - name: x,
+    // overrides: <pkg>` entry patches the PACKAGE's same-named source —
+    // matching tables take the override's definition (path/format/
+    // loaded_at/freshness, per-field: override wins when set), package
+    // tables not named in the patch stay, and every `source()` call —
+    // including inside the package — resolves to the patched table. A
+    // patch naming an unknown package/source/table is a hard error
+    // (the reference warns unused; failing loudly beats silently
+    // shipping the unpatched path).
+    val taggedPkgNodes = rootRaw.sourcePatches.foldLeft(taggedPkgNodes0) {
+      case (ns, patch) =>
+        require(pkgRaws.exists(_._1 == patch.overridesPkg),
+          s"source override: package '${patch.overridesPkg}' is not installed")
+        val targets = ns.collect {
+          case sn: SourceNode if sn.sourceName == patch.sourceName => sn.name
+        }.toSet
+        require(targets.nonEmpty,
+          s"source override: no source '${patch.sourceName}' in package " +
+            s"'${patch.overridesPkg}'")
+        val unmatched = patch.tables.map(_.name).filterNot(targets)
+        require(unmatched.isEmpty,
+          s"source override ${patch.overridesPkg}.${patch.sourceName}: " +
+            s"table(s) not in the package source: ${unmatched.mkString(", ")}")
+        val byName = patch.tables.map(t => t.name -> t).toMap
+        ns.map {
+          case sn: SourceNode if sn.sourceName == patch.sourceName &&
+              byName.contains(sn.name) =>
+            val o = byName(sn.name)
+            sn.copy(
+              path = if (o.path.nonEmpty) o.path else sn.path,
+              format = o.format.orElse(sn.format),
+              loadedAtField = o.loadedAtField.orElse(sn.loadedAtField),
+              freshnessWarnAfterSec = o.freshnessWarnAfterSec.orElse(sn.freshnessWarnAfterSec),
+              freshnessErrorAfterSec = o.freshnessErrorAfterSec.orElse(sn.freshnessErrorAfterSec),
+              freshnessFilter = o.freshnessFilter.orElse(sn.freshnessFilter))
+          case n => n
+        }
     }
     val allNodes = rootRaw.nodes ++ taggedPkgNodes
     // global name uniqueness for ref-able nodes across packages
@@ -350,6 +400,7 @@ object ProjectLoader {
         .overlay(extraModelDefaults)
 
     val nodes = scala.collection.mutable.ArrayBuffer[Node]()
+    val sourcePatches = scala.collection.mutable.ArrayBuffer[SourcePatch]()
     // family name -> (declared version numbers, latest_version)
     var modelVersions = Map.empty[String, (Set[Int], Option[Int])]
     def relPath(f: Path): String = root.relativize(f).toString
@@ -374,12 +425,13 @@ object ProjectLoader {
           for (s <- ss.asScala) {
             val sm = s.asInstanceOf[java.util.Map[String, Any]].asScala
             val sourceName = sm("name").toString
-            for (t <- sm.getOrElse("tables", new java.util.ArrayList[Any]())
-                .asInstanceOf[java.util.List[_]].asScala) {
+            val overridesPkg = sm.get("overrides").map(_.toString)
+            val tables = (for (t <- sm.getOrElse("tables", new java.util.ArrayList[Any]())
+                .asInstanceOf[java.util.List[_]].asScala) yield {
               val tm = t.asInstanceOf[java.util.Map[String, Any]].asScala
               val fresh = tm.get("freshness")
                 .map(_.asInstanceOf[java.util.Map[String, Any]].asScala)
-              nodes += SourceNode(
+              SourceNode(
                 sourceName = sourceName,
                 name = tm("name").toString,
                 path = tm.getOrElse("path", "").toString,
@@ -388,6 +440,12 @@ object ProjectLoader {
                 freshnessWarnAfterSec = fresh.flatMap(_.get("warn_after_sec")).map(_.toString.toLong),
                 freshnessFilter = fresh.flatMap(_.get("filter")).map(_.toString),
                 freshnessErrorAfterSec = fresh.flatMap(_.get("error_after_sec")).map(_.toString.toLong))
+            }).toSeq
+            overridesPkg match {
+              // an override entry defines no NEW source — it patches
+              // the named package's same-named source at load()
+              case Some(pkg) => sourcePatches += SourcePatch(pkg, sourceName, tables)
+              case None => nodes ++= tables
             }
           }
         case _ =>
@@ -692,7 +750,8 @@ object ProjectLoader {
 
     RawProject(projName, vars, nodes.toSeq,
       onRunStart = hookList("on-run-start"), onRunEnd = hookList("on-run-end"),
-      macros = macros, selectors = selectorDefs, docs = docs)
+      macros = macros, selectors = selectorDefs, docs = docs,
+      sourcePatches = sourcePatches.toSeq)
   }
 
   private val docsBlockRe =

@@ -173,6 +173,9 @@ object Ext4 {
       // candidate × doc-length blow-up (this was the 50×-at-10× lesson
       // from SCALE_r6 — the pair explosion lived in the verify join,
       // not the prefix index)
+      // (measured: semi-join pruning of the set table to candidate docs
+      // re-evaluates the candidate join and LOSES at both scales — the
+      // full per-doc set aggregate is one corpus pass and wins)
       val sets = tok.groupBy("doc_id")
         .agg(collect_list(col("w")).as("ws"), count(lit(1)).as("n"))
       val verified = cand

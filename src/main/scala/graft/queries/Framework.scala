@@ -1799,6 +1799,61 @@ object Framework {
       eng2.wh.read("m35_snap")
         .select("id", "status", "dbt_valid_from", "dbt_valid_to")
         .orderBy("id", "dbt_valid_from")
+    },
+
+    // Source overrides (reference SourcePatcher,
+    // `core/dbt/parser/sources.py`; tests/functional/source_overrides):
+    // the installed package points its `ext.orders` source at the
+    // sf0.001 dataset; the ROOT project overrides that source to the
+    // gate's actual dataset. The package model's `source()` call must
+    // resolve to the overridden path — the oracle computes from the
+    // real data, so serving the package's original (1/10th-sized)
+    // dataset hash-fails.
+    QueryDef(
+      "m36_source_override",
+      """SELECT o_orderstatus AS status,
+        |       CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+        |FROM orders GROUP BY o_orderstatus ORDER BY status""".stripMargin) { (s, dir) =>
+      val pkgDir = java.nio.file.Files.createTempDirectory("m36_pkg")
+      val root = java.nio.file.Files.createTempDirectory("m36_root")
+      scratchDirs.add(pkgDir.toFile); scratchDirs.add(root.toFile)
+      def write(base: java.nio.file.Path, rel: String, content: String): Unit = {
+        val p = base.resolve(rel)
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.writeString(p, content)
+      }
+      val wrongDir = java.nio.file.Paths.get(dir).getParent.resolve("sf0.001")
+      write(pkgDir, "dbt_project.yml", "name: m36_pkg\n")
+      write(pkgDir, "models/sources.yml",
+        s"""sources:
+           |  - name: ext
+           |    tables:
+           |      - name: orders
+           |        path: $wrongDir/orders.parquet
+           |""".stripMargin)
+      write(pkgDir, "models/m36_fct.sql",
+        """{{ config(materialized='table') }}
+          |SELECT o_orderstatus AS status,
+          |       CAST(COUNT(*) AS BIGINT) AS n_orders,
+          |       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+          |FROM {{ source('ext', 'orders') }} GROUP BY o_orderstatus""".stripMargin)
+      write(root, "dbt_project.yml", "name: m36root\n")
+      write(root, "packages.yml", s"packages:\n  - local: $pkgDir\n")
+      write(root, "models/sources.yml",
+        s"""sources:
+           |  - name: ext
+           |    overrides: m36_pkg
+           |    tables:
+           |      - name: orders
+           |        path: $dir/orders.parquet
+           |""".stripMargin)
+      graft.parse.Deps.install(root.toString)
+      val eng = Engine.fromProject(s, root.toString, scratch())
+      val results = eng.run(threads = 2)
+      require(results.forall(_.status == "success"),
+        s"m36 run failed: ${results.mkString("; ")}")
+      eng.wh.read("m36_fct").orderBy("status")
     }
   )
 }

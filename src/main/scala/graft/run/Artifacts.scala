@@ -88,6 +88,18 @@ object Artifacts {
     * ArtifactSchemaSpec validates the emitted files against the
     * reference schemas.
     */
+  /** Primary-key inference (reference `ModelNode.infer_primary_key`,
+    * `core/dbt/contracts/graph/nodes.py:483-535`): columns carrying
+    * BOTH unique and not_null tests; bare-unique columns otherwise.
+    */
+  def inferPrimaryKey(m: ModelNode): Seq[String] = {
+    val unique = m.columns.filter(_.tests.exists(_.testName == "unique")).map(_.name)
+    val notNull = m.columns.filter(_.tests.exists(_.testName == "not_null"))
+      .map(_.name).toSet
+    val both = unique.filter(notNull)
+    if (both.nonEmpty) both else unique
+  }
+
   def writeManifest(path: String, manifest: Manifest,
       generatedAt: java.sql.Timestamp, invocationId: String): Unit = {
     def checksum(content: String): (String, String) =
@@ -140,7 +152,14 @@ object Artifacts {
                else Nil)))))
            else Nil) ++
           m.version.map(v => "version" -> v.toString) ++
-          m.latestVersion.map(lv => "latest_version" -> lv.toString)
+          m.latestVersion.map(lv => "latest_version" -> lv.toString) ++
+          // reference infer_primary_key (nodes.py:483-535) restricted
+          // to the signals this model carries: unique+not_null columns
+          // first, bare unique columns as the fallback
+          (inferPrimaryKey(m) match {
+            case Nil => Nil
+            case pk => Seq("primary_key" -> arr(pk.map(q)))
+          })
         case s: SnapshotNode => Seq("raw_code" -> q(s.rawSql))
         case t: TestNode => Seq("raw_code" -> q(t.rawSql))
         case _ => Nil

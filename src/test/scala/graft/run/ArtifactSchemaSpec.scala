@@ -105,7 +105,8 @@ class ArtifactSchemaSpec extends SparkSpec {
     val fct = ModelNode("a_fct",
       "SELECT o_custkey, count(*) AS n FROM {{ ref('a_stg') }} GROUP BY o_custkey",
       config = NodeConfig(materialized = "table"), refs = Seq("a_stg"),
-      columns = Seq(ColumnInfo("o_custkey", Some("bigint"), "Customer key.")))
+      columns = Seq(ColumnInfo("o_custkey", Some("bigint"), "Customer key.",
+        tests = Seq(GenericTestRef("unique"), GenericTestRef("not_null")))))
     val seed = SeedNode("a_seed", "id,name\n1,x\n2,y")
     val snap = SnapshotNode("a_snap",
       "SELECT o_custkey, o_totalprice FROM {{ ref('a_stg') }}",
@@ -143,6 +144,14 @@ class ArtifactSchemaSpec extends SparkSpec {
     assertValid(s"$base/run-results/v6.json", s"$target/run_results.json")
     assertValid(s"$base/catalog/v1.json", s"$target/catalog.json")
     assertValid(s"$base/sources/v3.json", s"$target/sources.json")
+    // primary-key inference (reference infer_primary_key): a_fct's
+    // o_custkey carries unique + not_null tests -> manifest primary_key
+    val mf = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$target/manifest.json")))
+    val pk = mf.at("/nodes/model.graft.a_fct/primary_key")
+    assert(pk.isArray && pk.size == 1 && pk.get(0).asText == "o_custkey",
+      s"inferred primary_key wrong: $pk")
   }
 
   test("the validator itself rejects non-conforming documents") {
