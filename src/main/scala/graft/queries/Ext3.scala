@@ -25,7 +25,7 @@ object Ext3 {
     * (q150) and item-CF (q154) graph queries; cluster form = a
     * bucketed pairs table refreshed at ingest (SCALING.md).
     */
-  private def coPairs(s: org.apache.spark.sql.SparkSession,
+  private[queries] def coPairs(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
     TextOps.cachedIndex(s"copairs|${IndexCache.sessionKey(s)}|$dir") {
       val items = Tables.load(s, dir, "lineitem")

@@ -1,0 +1,106 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Wave-9 operator invariants (q190–q196), cross-checked against
+  * independent formulas / raw-table recomputations rather than
+  * re-running the same plans.
+  */
+class Ext6Spec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.01"
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("q190: KL >= 0 (up to ln-rounding), token totals match the corpus") {
+    val rows = run("q190_source_kl_divergence").collect()
+    assert(rows.length === 20)
+    // per-term ln values are rounded to 1e-4 nats; the weighted rounding
+    // error is bounded by 0.5e-4, so true-KL >= 0 admits at most that
+    rows.foreach { r =>
+      assert(r.getDouble(3) >= -0.001, s"KL must be ~nonnegative: $r")
+    }
+    val corpusTokens = Tables.load(spark, sf, "documents")
+      .select(size(split(col("text"), " ")).cast("long").as("n"))
+      .agg(sum("n")).head().getLong(0)
+    assert(rows.map(_.getLong(1)).sum === corpusTokens)
+  }
+
+  test("q191: gini in [0,1), cr4 at least the uniform top-4 share") {
+    val rows = run("q191_nation_gini").collect()
+    assert(rows.length === 25)
+    rows.foreach { r =>
+      val (n, gini, cr4) = (r.getLong(1), r.getDouble(3), r.getDouble(4))
+      assert(gini >= 0.0 && gini < 1.0, s"gini out of range: $r")
+      assert(cr4 > 0.0 && cr4 <= 1.0, s"cr4 out of range: $r")
+      // the 4 largest customers cannot hold less than 4 uniform shares
+      assert(cr4 >= 4.0 / n - 1e-6, s"cr4 below uniform share: $r")
+    }
+    val nCust = Tables.load(spark, sf, "orders")
+      .select(countDistinct("o_custkey")).head().getLong(0)
+    assert(rows.map(_.getLong(1)).sum === nCust)
+  }
+
+  test("q192: digits 1-9 partition all orders; chi-square terms nonnegative") {
+    val rows = run("q192_benford_audit").collect()
+    assert(rows.map(_.getLong(0)).toSet.subsetOf((1L to 9L).toSet))
+    val nOrders = Tables.load(spark, sf, "orders")
+      .filter(col("o_totalprice") >= 1).count()
+    assert(rows.map(_.getLong(1)).sum === nOrders)
+    rows.foreach { r =>
+      assert(r.getDouble(2) > 0.0 && r.getDouble(3) >= 0.0, s"bad row: $r")
+    }
+  }
+
+  test("q193: arms partition the users; z-score sign tracks the lift") {
+    val r = run("q193_ab_conversion").head()
+    val (n0, k0, n1, k1) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val users = Tables.load(spark, sf, "events")
+      .select(countDistinct("user_id")).head().getLong(0)
+    assert(n0 + n1 === users)
+    assert(k0 <= n0 && k1 <= n1 && k0 + k1 > 0 && k0 + k1 < n0 + n1,
+      s"degenerate experiment: $r")
+    val (lift, z) = (r.getDouble(4), r.getDouble(5))
+    assert(math.signum(lift) === math.signum(z), s"z must track lift: $r")
+  }
+
+  test("q194: assortativity in [-1,1]; directed edges = 2x pruned pairs") {
+    val r = run("q194_degree_assortativity").head()
+    val a = r.getDouble(2)
+    assert(a >= -1.0 && a <= 1.0, s"assortativity out of range: $r")
+    val items = Tables.load(spark, sf, "lineitem")
+      .select("l_orderkey", "l_partkey").distinct()
+    val pairs = items.as("a").join(items.as("b"),
+        expr("a.l_orderkey = b.l_orderkey and a.l_partkey < b.l_partkey"))
+      .groupBy(col("a.l_partkey"), col("b.l_partkey"))
+      .agg(count(lit(1)).as("c")).filter(col("c") >= 2).count()
+    assert(r.getLong(0) === 2 * pairs)
+  }
+
+  test("q195: every order's allocation lands exactly on its cents") {
+    val rows = run("q195_largest_remainder_alloc").collect()
+    // total allocated cents across all shortfall groups must equal the
+    // summed order cents of orders that HAVE lineitems — penny-exact
+    val li = Tables.load(spark, sf, "lineitem").select("l_orderkey").distinct()
+    val expected = Tables.load(spark, sf, "orders")
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .select(round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      .agg(sum("cents")).head().getLong(0)
+    assert(rows.map(_.getLong(2)).sum === expected)
+    // shortfall is strictly below the max lineitems per order
+    val maxLines = Tables.load(spark, sf, "lineitem")
+      .groupBy("l_orderkey").count().agg(max("count")).head().getLong(0)
+    rows.foreach(r => assert(r.getLong(0) >= 0 && r.getLong(0) < maxLines))
+  }
+
+  test("q196: TWAP is a convex combination of the user's held values") {
+    val bounds = Tables.load(spark, sf, "events")
+      .filter(col("value").isNotNull)
+      .groupBy("user_id")
+      .agg((min("value") - lit(0.01)).as("lo"), (max("value") + lit(0.01)).as("hi"))
+    val bad = run("q196_user_twap").join(bounds, "user_id")
+      .filter(col("twap") < col("lo") || col("twap") > col("hi"))
+    assert(bad.count() === 0)
+  }
+}
