@@ -405,6 +405,263 @@ object Ext6 {
             sum("dur").cast("double") / 100, 4).cast("double").as("twap"))
         .filter(col("span_s") > 0)
         .orderBy("user_id")
+    },
+
+    // Count-min sketch frequency estimation (Cormode & Muthukrishnan
+    // 2005): d=4 rows x w=256 buckets, md5-derived row hashes so both
+    // engines build the IDENTICAL sketch. The sketch is mergeable and
+    // fixed-size (1 KB of cells regardless of corpus size) — the
+    // at-scale path is map-side partial cells + a 1024-row reduce,
+    // then BROADCAST of the finished sketch to estimate. Estimates are
+    // provably >= truth (min over per-row overcounts); the query
+    // reports the overcount for the true top-20 keys, which the
+    // oracle pins exactly.
+    QueryDef(
+      "q197_cms_frequency",
+      """WITH freq AS (
+        |  SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) AS c FROM lineitem GROUP BY 1
+        |), cells AS (
+        |  SELECT j,
+        |         CAST(('0x' || SUBSTR(MD5(CAST(j AS VARCHAR) || ':' || CAST(k AS VARCHAR)), 1, 4)) AS BIGINT) % 256 AS bucket,
+        |         CAST(SUM(c) AS BIGINT) AS cell
+        |  FROM freq CROSS JOIN (SELECT unnest(range(4)) AS j) js
+        |  GROUP BY 1, 2
+        |), top AS (
+        |  SELECT k, c, ROW_NUMBER() OVER (ORDER BY c DESC, k) AS rk
+        |  FROM freq QUALIFY rk <= 20
+        |), probe AS (
+        |  SELECT t.k, t.c, t.rk, j,
+        |         CAST(('0x' || SUBSTR(MD5(CAST(j AS VARCHAR) || ':' || CAST(t.k AS VARCHAR)), 1, 4)) AS BIGINT) % 256 AS bucket
+        |  FROM top t CROSS JOIN (SELECT unnest(range(4)) AS j) js
+        |)
+        |SELECT CAST(p.rk AS BIGINT) AS rk, p.k AS partkey, CAST(p.c AS BIGINT) AS true_count,
+        |       CAST(MIN(cl.cell) AS BIGINT) AS cms_estimate,
+        |       CAST(MIN(cl.cell) - MAX(p.c) AS BIGINT) AS overcount
+        |FROM probe p JOIN cells cl ON cl.j = p.j AND cl.bucket = p.bucket
+        |GROUP BY 1, 2, 3 ORDER BY rk""".stripMargin) { (s, dir) =>
+      def bucketOf(jc: org.apache.spark.sql.Column, kc: org.apache.spark.sql.Column) =
+        expr(s"cast(conv(substring(md5(concat(cast(${jc.toString} as string), ':', cast(${kc.toString} as string))), 1, 4), 16, 10) as bigint) % 256")
+      val freq = Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_partkey").as("k")).agg(count(lit(1)).cast("long").as("c"))
+      val cells = freq.withColumn("j", explode(sequence(lit(0), lit(3))))
+        .withColumn("bucket", bucketOf(col("j"), col("k")))
+        .groupBy("j", "bucket").agg(sum("c").cast("long").as("cell"))
+      val top = freq
+        .select(col("k"), col("c"),
+          row_number().over(Window.orderBy(col("c").desc, col("k"))).as("rk"))
+        .filter(col("rk") <= 20)
+      val probe = top.withColumn("j", explode(sequence(lit(0), lit(3))))
+        .withColumn("bucket", bucketOf(col("j"), col("k")))
+      probe.join(broadcast(cells), Seq("j", "bucket"))
+        .groupBy(col("rk").cast("long").as("rk"), col("k").as("partkey"),
+          col("c").as("true_count"))
+        .agg(min("cell").cast("long").as("cms_estimate"),
+          (min("cell") - max("c")).cast("long").as("overcount"))
+        .orderBy("rk")
+    },
+
+    // Theil T inequality index with exact between/within decomposition
+    // over nations: T = sum(x*L)/(tot*1e4) with L the BIGINT-scaled
+    // ln(x*n/tot) (q183 convention) — per-nation within-group terms
+    // and the between-group term both emit from the same customer
+    // rollup, and T_total = between + sum(weighted within) holds by
+    // construction (asserted in Ext6Spec). Theil, unlike Gini, is
+    // additively decomposable — the reason a 100-TB inequality audit
+    // computes it per shard and folds.
+    QueryDef(
+      "q198_theil_decomposition",
+      """WITH rev AS (
+        |  SELECT c.c_nationkey AS nationkey, o.o_custkey,
+        |         CAST(SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS x
+        |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        |  GROUP BY 1, 2
+        |), g AS (
+        |  SELECT nationkey, CAST(COUNT(*) AS BIGINT) AS ng, CAST(SUM(x) AS BIGINT) AS totg
+        |  FROM rev GROUP BY 1
+        |), t AS (
+        |  SELECT CAST(SUM(ng) AS BIGINT) AS n, CAST(SUM(totg) AS BIGINT) AS tot FROM g
+        |), wg AS (
+        |  SELECT r.nationkey,
+        |         CAST(SUM(r.x * CAST(ROUND(LN((CAST(r.x AS DOUBLE) * CAST(g.ng AS DOUBLE))
+        |                                      / CAST(g.totg AS DOUBLE)) * 10000, 0) AS BIGINT))
+        |              AS BIGINT) AS sw
+        |  FROM rev r JOIN g ON g.nationkey = r.nationkey
+        |  GROUP BY 1
+        |)
+        |SELECT n.n_name AS nation, g.ng AS n_customers, g.totg AS total_cents,
+        |       CAST(ROUND(CAST(wg.sw AS DOUBLE) / (CAST(g.totg AS DOUBLE) * 10000), 6)
+        |            AS DOUBLE) AS theil_within,
+        |       CAST(ROUND(CAST(g.totg AS DOUBLE) / CAST(t.tot AS DOUBLE), 6) AS DOUBLE) AS revenue_share,
+        |       CAST(ROUND(CAST(g.totg AS DOUBLE) / CAST(t.tot AS DOUBLE)
+        |                  * LN((CAST(g.totg AS DOUBLE) * CAST(t.n AS DOUBLE))
+        |                       / (CAST(t.tot AS DOUBLE) * CAST(g.ng AS DOUBLE))), 6)
+        |            AS DOUBLE) AS between_term
+        |FROM g JOIN wg ON wg.nationkey = g.nationkey
+        |       JOIN nation n ON n.n_nationkey = g.nationkey CROSS JOIN t
+        |ORDER BY nation""".stripMargin) { (s, dir) =>
+      val rev = Tables.load(s, dir, "orders")
+        .join(Tables.load(s, dir, "customer"), col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_nationkey").as("nationkey"), col("o_custkey"))
+        .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).cast("long").as("x"))
+      val g = rev.groupBy("nationkey")
+        .agg(count(lit(1)).cast("long").as("ng"), sum("x").cast("long").as("totg"))
+      val t = g.agg(sum("ng").cast("long").as("n"), sum("totg").cast("long").as("tot"))
+      val wg = rev.join(g, "nationkey")
+        .select(col("nationkey"),
+          (col("x") * round(log((col("x").cast("double") * col("ng").cast("double")) /
+            col("totg").cast("double")) * 10000, 0).cast("long")).as("term"))
+        .groupBy("nationkey").agg(sum("term").cast("long").as("sw"))
+      g.join(wg, "nationkey")
+        .join(broadcast(Tables.load(s, dir, "nation")), col("n_nationkey") === col("nationkey"))
+        .crossJoin(broadcast(t))
+        .select(col("n_name").as("nation"), col("ng").as("n_customers"),
+          col("totg").as("total_cents"),
+          round(col("sw").cast("double") / (col("totg").cast("double") * 10000), 6)
+            .cast("double").as("theil_within"),
+          round(col("totg").cast("double") / col("tot").cast("double"), 6)
+            .cast("double").as("revenue_share"),
+          round(col("totg").cast("double") / col("tot").cast("double") *
+            log((col("totg").cast("double") * col("n").cast("double")) /
+              (col("tot").cast("double") * col("ng").cast("double"))), 6)
+            .cast("double").as("between_term"))
+        .orderBy("nation")
+    },
+
+    // Poisson(1) bootstrap of the mean order total (the at-scale
+    // bootstrap: per-row replicate weights from the inverse Poisson
+    // CDF over md5 uniforms — 32 resamples in ONE scan, no resample
+    // shuffles; Kleiner et al.'s BLB is the same topology). The CDF
+    // thresholds are double literals, the uniforms are the q186 md5
+    // convention, so both engines draw identical weights and the CI is
+    // bit-reproducible. ci = 2nd / 31st order statistic of the 32
+    // replicate means.
+    QueryDef(
+      "q199_poisson_bootstrap",
+      """WITH o AS (
+        |  SELECT o_orderkey, CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |  FROM orders
+        |), draws AS (
+        |  SELECT b, cents,
+        |         (CAST(('0x' || SUBSTR(MD5(CAST(o_orderkey AS VARCHAR) || '#' || CAST(b AS VARCHAR)), 1, 8)) AS BIGINT) + 1)
+        |           / 4294967296.0 AS u
+        |  FROM o CROSS JOIN (SELECT unnest(range(32)) AS b) bs
+        |), wts AS (
+        |  SELECT b, cents,
+        |         CASE WHEN u < 0.36787944117144233 THEN 0
+        |              WHEN u < 0.7357588823428847 THEN 1
+        |              WHEN u < 0.9196986029286058 THEN 2
+        |              WHEN u < 0.9810118431238462 THEN 3
+        |              WHEN u < 0.9963401531726563 THEN 4
+        |              WHEN u < 0.9994058151824183 THEN 5
+        |              WHEN u < 0.9999167588507119 THEN 6
+        |              WHEN u < 0.9999897508033253 THEN 7
+        |              ELSE 8 END AS w
+        |  FROM draws
+        |), reps AS (
+        |  SELECT b, CAST(SUM(w * cents) AS BIGINT) AS swc, CAST(SUM(w) AS BIGINT) AS sw
+        |  FROM wts GROUP BY b
+        |), means AS (
+        |  SELECT b, CAST(swc AS DOUBLE) / CAST(sw AS DOUBLE) / 100 AS m,
+        |         ROW_NUMBER() OVER (ORDER BY CAST(swc AS DOUBLE) / CAST(sw AS DOUBLE), b) AS rk
+        |  FROM reps
+        |), pooled AS (
+        |  -- pooled (ratio-of-sums) bootstrap mean: BIGINT-exact sums, no
+        |  -- order-dependent double accumulation across replicates
+        |  SELECT CAST(SUM(swc) AS BIGINT) AS tswc, CAST(SUM(sw) AS BIGINT) AS tsw FROM reps
+        |)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_replicates,
+        |       CAST(ROUND(CAST(MAX(tswc) AS DOUBLE) / CAST(MAX(tsw) AS DOUBLE) / 100, 4)
+        |            AS DOUBLE) AS pooled_mean,
+        |       CAST(ROUND(MAX(CASE WHEN rk = 2 THEN m END), 4) AS DOUBLE) AS ci_lo,
+        |       CAST(ROUND(MAX(CASE WHEN rk = 31 THEN m END), 4) AS DOUBLE) AS ci_hi
+        |FROM means CROSS JOIN pooled""".stripMargin) { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      val draws = o.withColumn("b", explode(sequence(lit(0), lit(31))))
+        .withColumn("u",
+          (expr("cast(conv(substring(md5(concat(cast(o_orderkey as string), '#', cast(b as string))), 1, 8), 16, 10) as bigint)") + 1)
+            / lit(4294967296.0))
+      val w = when(col("u") < 0.36787944117144233, 0)
+        .when(col("u") < 0.7357588823428847, 1)
+        .when(col("u") < 0.9196986029286058, 2)
+        .when(col("u") < 0.9810118431238462, 3)
+        .when(col("u") < 0.9963401531726563, 4)
+        .when(col("u") < 0.9994058151824183, 5)
+        .when(col("u") < 0.9999167588507119, 6)
+        .when(col("u") < 0.9999897508033253, 7)
+        .otherwise(8)
+      val reps = draws.withColumn("w", w)
+        .groupBy("b")
+        .agg(sum(col("w") * col("cents")).cast("long").as("swc"),
+          sum("w").cast("long").as("sw"))
+      val means = reps
+        .select(col("b"), (col("swc").cast("double") / col("sw").cast("double") / 100).as("m"))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("m"), col("b"))))
+      val pooled = reps.agg(sum("swc").cast("long").as("tswc"),
+        sum("sw").cast("long").as("tsw"))
+      means.crossJoin(broadcast(pooled))
+        .agg(count(lit(1)).cast("long").as("n_replicates"),
+          round(max("tswc").cast("double") / max("tsw").cast("double") / 100, 4)
+            .cast("double").as("pooled_mean"),
+          round(max(when(col("rk") === 2, col("m"))), 4).cast("double").as("ci_lo"),
+          round(max(when(col("rk") === 31, col("m"))), 4).cast("double").as("ci_hi"))
+    },
+
+    // Association rules over the co-purchase pair cache: directed
+    // a -> b with confidence c_ab/c_a and lift N*c_ab/(c_a*c_b), top-20
+    // by lift. The pair table is the shared support-pruned cache
+    // (q150/q154/q194) — candidate space is pruned pairs, never n²;
+    // the item-frequency join is item-dimension-sized. Integer-count
+    // ratios form the doubles directly (no transcendentals).
+    QueryDef(
+      "q200_association_rules",
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |), n AS (
+        |  SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM items
+        |), ifreq AS (
+        |  SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) AS ck FROM items GROUP BY 1
+        |), pairs AS (
+        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb, CAST(COUNT(*) AS BIGINT) AS cab
+        |  FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        |), rules AS (
+        |  SELECT pa AS antecedent, pb AS consequent, cab FROM pairs
+        |  UNION ALL
+        |  SELECT pb AS antecedent, pa AS consequent, cab FROM pairs
+        |), scored AS (
+        |  SELECT r.antecedent, r.consequent, r.cab,
+        |         CAST(ROUND(CAST(r.cab AS DOUBLE) / CAST(fa.ck AS DOUBLE), 6) AS DOUBLE) AS confidence,
+        |         CAST(ROUND(CAST(n.n_orders AS DOUBLE) * CAST(r.cab AS DOUBLE)
+        |                    / (CAST(fa.ck AS DOUBLE) * CAST(fb.ck AS DOUBLE)), 6) AS DOUBLE) AS lift
+        |  FROM rules r JOIN ifreq fa ON fa.k = r.antecedent
+        |               JOIN ifreq fb ON fb.k = r.consequent CROSS JOIN n
+        |)
+        |SELECT antecedent, consequent, cab AS pair_support, confidence, lift
+        |FROM scored
+        |ORDER BY lift DESC, confidence DESC, antecedent, consequent
+        |LIMIT 20""".stripMargin) { (s, dir) =>
+      val items = Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey").distinct()
+      val nOrders = items.agg(countDistinct("l_orderkey").cast("long").as("n_orders"))
+      val ifreq = items.groupBy(col("l_partkey").as("k"))
+        .agg(count(lit(1)).cast("long").as("ck"))
+      val pairs = Ext3.coPairs(s, dir)
+      val rules = pairs.select(col("pa").as("antecedent"), col("pb").as("consequent"), col("cab"))
+        .unionAll(pairs.select(col("pb").as("antecedent"), col("pa").as("consequent"), col("cab")))
+      rules
+        .join(ifreq.select(col("k"), col("ck").as("ca")), col("k") === col("antecedent")).drop("k")
+        .join(ifreq.select(col("k"), col("ck").as("cb")), col("k") === col("consequent")).drop("k")
+        .crossJoin(broadcast(nOrders))
+        .select(col("antecedent"), col("consequent"), col("cab").as("pair_support"),
+          round(col("cab").cast("double") / col("ca").cast("double"), 6)
+            .cast("double").as("confidence"),
+          round(col("n_orders").cast("double") * col("cab").cast("double") /
+            (col("ca").cast("double") * col("cb").cast("double")), 6)
+            .cast("double").as("lift"))
+        .orderBy(col("lift").desc, col("confidence").desc, col("antecedent"), col("consequent"))
+        .limit(20)
     }
   )
 }

@@ -94,6 +94,68 @@ class Ext6Spec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(0) >= 0 && r.getLong(0) < maxLines))
   }
 
+  test("q197: CMS never undercounts; probes cover the true top-20") {
+    val rows = run("q197_cms_frequency").collect()
+    assert(rows.map(_.getLong(0)).toSeq === (1L to 20L))
+    rows.foreach { r =>
+      assert(r.getLong(3) >= r.getLong(2), s"CMS must overcount: $r")
+      assert(r.getLong(4) === r.getLong(3) - r.getLong(2))
+    }
+  }
+
+  test("q198: Theil decomposition identity — total = between + weighted within") {
+    val rows = run("q198_theil_decomposition").collect()
+    val between = rows.map(_.getDouble(5)).sum
+    val withinW = rows.map(r => r.getDouble(4) * r.getDouble(3)).sum
+    // independent global Theil over ALL customers (no nation grouping),
+    // same BIGINT-scaled-ln kernel
+    val rev = Tables.load(spark, sf, "orders")
+      .groupBy("o_custkey")
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).cast("long").as("x"))
+    val t = rev.agg(count(lit(1)).cast("long").as("n"), sum("x").cast("long").as("tot"))
+    val total = rev.crossJoin(t)
+      .select((col("x") * round(log(col("x").cast("double") * col("n").cast("double") /
+        col("tot").cast("double")) * 10000, 0).cast("long")).as("term"),
+        col("tot"))
+      .groupBy("tot").agg(sum("term").as("sw"))
+      .select(col("sw").cast("double") / (col("tot").cast("double") * 10000))
+      .head().getDouble(0)
+    // between-group Theil is a KL divergence of revenue shares vs
+    // population shares — nonnegative
+    assert(between >= -1e-4, s"between=$between")
+    assert(math.abs(total - (between + withinW)) < 1e-3,
+      s"decomposition broke: total=$total between=$between withinW=$withinW")
+  }
+
+  test("q199: 32 replicates, ordered CI, pooled mean near the sample mean") {
+    val r = run("q199_poisson_bootstrap").head()
+    assert(r.getLong(0) === 32)
+    val (m, lo, hi) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    assert(lo <= hi, s"CI inverted: $r")
+    val sample = Tables.load(spark, sf, "orders")
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).cast("double") /
+        count(lit(1)).cast("double") / 100).head().getDouble(0)
+    assert(math.abs(m - sample) / sample < 0.02,
+      s"pooled bootstrap mean drifted: pooled=$m sample=$sample")
+  }
+
+  test("q200: confidence and lift reproduce from raw item/pair counts") {
+    val rows = run("q200_association_rules").collect()
+    assert(rows.length === 20)
+    val items = Tables.load(spark, sf, "lineitem")
+      .select("l_orderkey", "l_partkey").distinct()
+    val n = items.select(countDistinct("l_orderkey")).head().getLong(0)
+    val freq = items.groupBy("l_partkey").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (a, b, cab) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val conf = cab.toDouble / freq(a)
+      val lift = n.toDouble * cab / (freq(a).toDouble * freq(b))
+      assert(math.abs(r.getDouble(3) - conf) < 1e-5, s"confidence drifted: $r")
+      assert(math.abs(r.getDouble(4) - lift) < 1e-5, s"lift drifted: $r")
+    }
+  }
+
   test("q196: TWAP is a convex combination of the user's held values") {
     val bounds = Tables.load(spark, sf, "events")
       .filter(col("value").isNotNull)
