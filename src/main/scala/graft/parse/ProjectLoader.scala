@@ -36,7 +36,22 @@ object ProjectLoader {
       macrosByPackage: Map[String, Map[String, Template.MacroDef]] = Map.empty,
       /** docs blocks by name (root-first flat map + `pkg.name` keys),
         * already substituted into node/column descriptions at load. */
-      docs: Map[String, String] = Map.empty)
+      docs: Map[String, String] = Map.empty,
+      /** `query-comment` (reference `core/dbt/contracts/project.py:259`,
+        * `config/project.py:_query_comment_from_cfg`): root project
+        * only — packages cannot set it. None = reference default
+        * header (JSON app/dbt_version/profile/target/node_id). */
+      queryComment: Option[QueryCommentDef] = None)
+
+  /** `query-comment:` config — a comment template (Jinja, rendered per
+    * node), placement (`append`), and whether to label the warehouse
+    * job (`job-label`; reference: BigQuery job labels — here the Spark
+    * job description, the engine's query-log attribution channel).
+    */
+  final case class QueryCommentDef(
+      comment: String,
+      append: Boolean = false,
+      jobLabel: Boolean = true)
 
   /** Raw single-directory parse (no ref linking, no package merge). */
   /** A root-project `sources: - name: x, overrides: <pkg>` patch
@@ -58,7 +73,8 @@ object ProjectLoader {
       macros: Map[String, Template.MacroDef],
       selectors: Map[String, SelectorDef],
       docs: Map[String, String] = Map.empty,
-      sourcePatches: Seq[SourcePatch] = Nil)
+      sourcePatches: Seq[SourcePatch] = Nil,
+      queryComment: Option[QueryCommentDef] = None)
 
   /** Load a project plus every installed package under
     * `dbt_packages/<pkg>/` (A32 deps): package nodes and macros carry
@@ -175,7 +191,8 @@ object ProjectLoader {
       onRunStart = rootRaw.onRunStart, onRunEnd = rootRaw.onRunEnd,
       macros = flatMacros,
       macrosByPackage = pkgMacros + ("graft" -> rootRaw.macros),
-      docs = flatDocs)
+      docs = flatDocs,
+      queryComment = rootRaw.queryComment)
   }
 
   /** One output of a profile (reference `profiles.yml` outputs,
@@ -710,6 +727,19 @@ object ProjectLoader {
       case Some(s: String) => Seq(s)
       case _ => Nil
     }
+
+    // ---- query-comment (string shorthand or {comment, append,
+    // job-label} dict; reference `_query_comment_from_cfg`)
+    val queryComment: Option[QueryCommentDef] = projCfg.get("query-comment") match {
+      case Some(s: String) => Some(QueryCommentDef(s))
+      case Some(m: java.util.Map[_, _]) =>
+        val cfg = m.asScala.map { case (k, v) => k.toString -> v }.toMap
+        Some(QueryCommentDef(
+          comment = cfg.get("comment").map(_.toString).getOrElse(""),
+          append = cfg.get("append").exists(_.toString == "true"),
+          jobLabel = !cfg.get("job-label").exists(_.toString == "false")))
+      case _ => None
+    }
     // ---- macros/*.sql (A25 subset; invoked via run-operation, A16)
     val macros = listFiles(root.resolve("macros"), ".sql")
       .flatMap(f => Template.extractMacros(Files.readString(f)))
@@ -751,7 +781,7 @@ object ProjectLoader {
     RawProject(projName, vars, nodes.toSeq,
       onRunStart = hookList("on-run-start"), onRunEnd = hookList("on-run-end"),
       macros = macros, selectors = selectorDefs, docs = docs,
-      sourcePatches = sourcePatches.toSeq)
+      sourcePatches = sourcePatches.toSeq, queryComment = queryComment)
   }
 
   private val docsBlockRe =

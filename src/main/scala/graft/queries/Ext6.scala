@@ -446,10 +446,11 @@ object Ext6 {
       val cells = freq.withColumn("j", explode(sequence(lit(0), lit(3))))
         .withColumn("bucket", bucketOf(col("j"), col("k")))
         .groupBy("j", "bucket").agg(sum("c").cast("long").as("cell"))
-      val top = freq
-        .select(col("k"), col("c"),
-          row_number().over(Window.orderBy(col("c").desc, col("k"))).as("rk"))
-        .filter(col("rk") <= 20)
+      // top-k FIRST (TakeOrderedAndProject: per-partition heaps, no
+      // global window over the key dimension); rank the 20 rows after
+      val top = freq.orderBy(col("c").desc, col("k")).limit(20)
+        .withColumn("rk",
+          row_number().over(Window.orderBy(col("c").desc, col("k"))))
       val probe = top.withColumn("j", explode(sequence(lit(0), lit(3))))
         .withColumn("bucket", bucketOf(col("j"), col("k")))
       probe.join(broadcast(cells), Seq("j", "bucket"))

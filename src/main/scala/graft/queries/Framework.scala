@@ -1854,6 +1854,86 @@ object Framework {
       require(results.forall(_.status == "success"),
         s"m36 run failed: ${results.mkString("; ")}")
       eng.wh.read("m36_fct").orderBy("status")
+    },
+
+    // query-comment (A37; reference `core/dbt/contracts/project.py:259`
+    // + `dbt/adapters/base/query_headers.py`): the comment header the
+    // engine attaches to every executed node's warehouse work. Spark
+    // has no SQL text channel for a running job, so the attribution
+    // channel is the job description (Spark UI / event-log analog of a
+    // query-history comment) plus a per-run audit map. Three phases:
+    // absent config -> the reference default JSON header; string form
+    // -> Jinja-rendered per node (node.* + target.* context); dict
+    // form -> append placement + job-label off. The oracle pins every
+    // rendered comment and placement, anchored to a real aggregate.
+    QueryDef(
+      "m37_query_comment",
+      """WITH rc AS (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n FROM orders)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS INTEGER) AS phase, 'model.graft.m37_a' AS node_id,
+        |         '{"app": "dbt", "dbt_version": "1.9.0-graft", "profile_name": "graft", "target_name": "default", "node_id": "model.graft.m37_a"}' AS comment,
+        |         'prepend' AS placement, rc.n AS n_rows FROM rc
+        |  UNION ALL SELECT 2, 'model.graft.m37_a',
+        |         'run m37_a as view for default', 'prepend', rc.n FROM rc
+        |  UNION ALL SELECT 3, 'model.graft.m37_a',
+        |         'tail of model.graft.m37_a', 'append', rc.n FROM rc
+        |  UNION ALL SELECT 1, 'model.graft.m37_b',
+        |         '{"app": "dbt", "dbt_version": "1.9.0-graft", "profile_name": "graft", "target_name": "default", "node_id": "model.graft.m37_b"}',
+        |         'prepend', rc.n FROM rc
+        |  UNION ALL SELECT 2, 'model.graft.m37_b',
+        |         'run m37_b as table for default', 'prepend', rc.n FROM rc
+        |  UNION ALL SELECT 3, 'model.graft.m37_b',
+        |         'tail of model.graft.m37_b', 'append', rc.n FROM rc
+        |) ORDER BY phase, node_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val root = java.nio.file.Files.createTempDirectory("m37_proj")
+      scratchDirs.add(root.toFile)
+      def write(rel: String, content: String): Unit = {
+        val p = root.resolve(rel)
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.writeString(p, content)
+      }
+      val projBase = "name: m37proj\n"
+      write("dbt_project.yml", projBase)
+      write("models/sources.yml",
+        s"""sources:
+           |  - name: main
+           |    tables:
+           |      - name: orders
+           |        path: $dir/orders.parquet
+           |""".stripMargin)
+      write("models/m37_a.sql",
+        """{{ config(materialized='view') }}
+          |SELECT o_custkey FROM {{ source('main', 'orders') }} GROUP BY o_custkey""".stripMargin)
+      write("models/m37_b.sql",
+        """{{ config(materialized='table') }}
+          |SELECT CAST(COUNT(*) AS BIGINT) AS n FROM {{ ref('m37_a') }}""".stripMargin)
+      val whDir = scratch()
+      def phaseRun(projYml: String): Map[String, (String, String)] = {
+        write("dbt_project.yml", projYml)
+        val eng = Engine.fromProject(s, root.toString, whDir)
+        require(eng.run(threads = 2).forall(_.status == "success"),
+          "m37 run failed")
+        import scala.jdk.CollectionConverters._
+        eng.queryComments.asScala.toMap
+      }
+      val p1 = phaseRun(projBase)
+      val p2 = phaseRun(projBase +
+        "query-comment: \"run {{ node.name }} as {{ node.materialized }} for {{ target.name }}\"\n")
+      val p3 = phaseRun(projBase +
+        """query-comment:
+          |  comment: "tail of {{ node.unique_id }}"
+          |  append: true
+          |  job-label: false
+          |""".stripMargin)
+      val rows = Seq(p1, p2, p3).zipWithIndex.flatMap { case (m, i) =>
+        m.toSeq.map { case (id, (c, place)) => (i + 1, id, c, place) }
+      }
+      val nRows = graft.Tables.load(s, dir, "orders")
+        .select(countDistinct("o_custkey")).head().getLong(0)
+      rows.toDF("phase", "node_id", "comment", "placement")
+        .withColumn("n_rows", lit(nRows))
+        .orderBy("phase", "node_id")
     }
   )
 }

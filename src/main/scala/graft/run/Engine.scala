@@ -44,7 +44,13 @@ final class Engine(
     val warnError: Boolean = false,
     /** Search roots for `{% include %}` / `{% extends %}` template
       * paths (fromProject passes the project dir). */
-    val templateDirs: Seq[String] = Nil) {
+    val templateDirs: Seq[String] = Nil,
+    /** `query-comment` (A37): rendered per node and attached to the
+      * warehouse work — in Spark the query-log attribution channel is
+      * the job description (shows in the UI/event log the way a SQL
+      * comment shows in a warehouse query history). None = reference
+      * default JSON header. */
+    val queryComment: Option[graft.parse.ProjectLoader.QueryCommentDef] = None) {
 
   val wh = new Warehouse(spark, warehouseRoot)
 
@@ -58,6 +64,48 @@ final class Engine(
     * `core/dbt/context/providers.py:552-570`).
     */
   @volatile var deferEngine: Option[Engine] = None
+
+  /** A37 query-comment audit: node unique_id -> (rendered comment,
+    * placement). The reference attaches the comment to every SQL it
+    * sends (`dbt/adapters/base/query_headers.py` MacroQueryStringSetter
+    * add); the Spark analog attaches it to the node's job description
+    * (query-log attribution) and records it here for artifacts/tests.
+    */
+  val queryComments =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  /** Render the query comment for one node. Empty template (reference
+    * `query-comment: ''`) disables; absent config emits the reference
+    * default header (stable fields only — the JSON the default
+    * `query_comment` macro builds, minus per-run ids).
+    */
+  def commentFor(node: Node): Option[(String, String)] = {
+    val qc = queryComment.getOrElse(graft.parse.ProjectLoader.QueryCommentDef(
+      s"""{"app": "dbt", "dbt_version": ${"\"" + contextBuiltins("dbt_version") + "\""}, """ +
+        s""""profile_name": "${contextBuiltins("target.profile_name")}", """ +
+        s""""target_name": "${contextBuiltins("target.name")}", """ +
+        s""""node_id": "${node.uniqueId}"}"""))
+    if (qc.comment.isEmpty) None
+    else {
+      val ctx = renderContext().copy(builtins = contextBuiltins ++ Map(
+        "node.unique_id" -> node.uniqueId,
+        "node.name" -> node.name,
+        "node.package_name" -> node.packageName,
+        "node.resource_type" -> node.resourceType,
+        "node.materialized" -> node.config.materialized))
+      val rendered = Template.render(qc.comment, ctx).trim
+      if (rendered.isEmpty) None
+      else Some((rendered, if (qc.append) "append" else "prepend"))
+    }
+  }
+
+  /** Attach + record the comment for a node about to execute. */
+  private def applyQueryComment(node: Node): Unit =
+    commentFor(node).foreach { case (c, placement) =>
+      queryComments.put(node.uniqueId, (c, placement))
+      if (queryComment.forall(_.jobLabel))
+        spark.sparkContext.setJobDescription(s"/* $c */")
+    }
 
   private val dag = Dag.fromManifest(manifest)
   private val runStartedAt = clock()
@@ -392,6 +440,7 @@ final class Engine(
             val t0 = System.nanoTime()
             val node = manifest.nodes(id)
             spark.sparkContext.setJobGroup(id, s"graft: $id", interruptOnCancel = true)
+            applyQueryComment(node)
             EventLog.info("node_started", "unique_id" -> id,
               "invocation_id" -> invocationId)
             try {
@@ -757,6 +806,7 @@ final class Engine(
         n.resourceType == "test" || n.resourceType == "unit_test"))
     selected.toSeq.sorted.map { id =>
       val t0 = System.nanoTime()
+      applyQueryComment(manifest.nodes(id))
       manifest.nodes(id) match {
         case t: TestNode =>
           try {
@@ -1013,6 +1063,7 @@ object Engine {
       namespace = ns, macros = proj.macros,
       macrosByPackage = proj.macrosByPackage,
       target = targetDef, warnError = warnError,
-      templateDirs = Seq(projectDir))
+      templateDirs = Seq(projectDir),
+      queryComment = proj.queryComment)
   }
 }
