@@ -40,6 +40,38 @@ object Ext6 {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
+  // ---- Count-min sketch kernel (q197 + the streaming maintainer) ----
+
+  /** Row-j bucket of key k: 16 md5 bits mod 256 — identical on any
+    * engine that can md5 a string, so sketches built by different
+    * systems merge.
+    */
+  private[graft] def cmsBucketExpr(jCol: String, kCol: String) =
+    expr(s"cast(conv(substring(md5(concat(cast($jCol as string), ':', cast($kCol as string))), 1, 4), 16, 10) as bigint) % 256")
+
+  /** d=4 x w=256 cell-count deltas for one batch of keys. Deltas are
+    * additive under ANY partitioning of the source (they are counts),
+    * so a streaming maintainer can append per-micro-batch deltas and
+    * serving folds them — the same shape as the PSI drift monitor.
+    */
+  private[graft] def cmsCellDeltas(keys: DataFrame, keyCol: String): DataFrame =
+    keys.select(col(keyCol).as("k"))
+      .withColumn("j", explode(sequence(lit(0), lit(3))))
+      .withColumn("bucket", cmsBucketExpr("j", "k"))
+      .groupBy("j", "bucket").agg(count(lit(1)).cast("long").as("cell"))
+
+  /** Point estimates for probe keys (column `k`) against folded cells:
+    * min over the 4 row-buckets; >= truth by construction. The folded
+    * sketch is at most 1024 rows — always broadcast.
+    */
+  private[graft] def cmsEstimates(cells: DataFrame, probes: DataFrame): DataFrame = {
+    val folded = cells.groupBy("j", "bucket").agg(sum("cell").cast("long").as("cell"))
+    probes.withColumn("j", explode(sequence(lit(0), lit(3))))
+      .withColumn("bucket", cmsBucketExpr("j", "k"))
+      .join(broadcast(folded), Seq("j", "bucket"))
+      .groupBy("k").agg(min("cell").cast("long").as("cms_estimate"))
+  }
+
   val queries: Seq[QueryDef] = Seq(
 
     // Per-source token-distribution KL divergence vs the corpus.
@@ -439,25 +471,20 @@ object Ext6 {
         |       CAST(MIN(cl.cell) - MAX(p.c) AS BIGINT) AS overcount
         |FROM probe p JOIN cells cl ON cl.j = p.j AND cl.bucket = p.bucket
         |GROUP BY 1, 2, 3 ORDER BY rk""".stripMargin) { (s, dir) =>
-      def bucketOf(jc: org.apache.spark.sql.Column, kc: org.apache.spark.sql.Column) =
-        expr(s"cast(conv(substring(md5(concat(cast(${jc.toString} as string), ':', cast(${kc.toString} as string))), 1, 4), 16, 10) as bigint) % 256")
+      val cells = cmsCellDeltas(
+        Tables.load(s, dir, "lineitem").select("l_partkey"), "l_partkey")
       val freq = Tables.load(s, dir, "lineitem")
         .groupBy(col("l_partkey").as("k")).agg(count(lit(1)).cast("long").as("c"))
-      val cells = freq.withColumn("j", explode(sequence(lit(0), lit(3))))
-        .withColumn("bucket", bucketOf(col("j"), col("k")))
-        .groupBy("j", "bucket").agg(sum("c").cast("long").as("cell"))
       // top-k FIRST (TakeOrderedAndProject: per-partition heaps, no
       // global window over the key dimension); rank the 20 rows after
       val top = freq.orderBy(col("c").desc, col("k")).limit(20)
         .withColumn("rk",
           row_number().over(Window.orderBy(col("c").desc, col("k"))))
-      val probe = top.withColumn("j", explode(sequence(lit(0), lit(3))))
-        .withColumn("bucket", bucketOf(col("j"), col("k")))
-      probe.join(broadcast(cells), Seq("j", "bucket"))
-        .groupBy(col("rk").cast("long").as("rk"), col("k").as("partkey"),
-          col("c").as("true_count"))
-        .agg(min("cell").cast("long").as("cms_estimate"),
-          (min("cell") - max("c")).cast("long").as("overcount"))
+      cmsEstimates(cells, top.select("k"))
+        .join(top, "k")
+        .select(col("rk").cast("long").as("rk"), col("k").as("partkey"),
+          col("c").as("true_count"), col("cms_estimate"),
+          (col("cms_estimate") - col("c")).cast("long").as("overcount"))
         .orderBy("rk")
     },
 
@@ -542,8 +569,11 @@ object Ext6 {
         |  SELECT o_orderkey, CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
         |  FROM orders
         |), draws AS (
+        |  -- one md5 yields FOUR 32-bit uniforms (32 hex chars = 4 x 8):
+        |  -- replicate b reads window b%4 of hash group b//4 — 4x fewer
+        |  -- hash evaluations than one md5 per (row, replicate)
         |  SELECT b, cents,
-        |         (CAST(('0x' || SUBSTR(MD5(CAST(o_orderkey AS VARCHAR) || '#' || CAST(b AS VARCHAR)), 1, 8)) AS BIGINT) + 1)
+        |         (CAST(('0x' || SUBSTR(MD5(CAST(o_orderkey AS VARCHAR) || '#' || CAST(b // 4 AS VARCHAR)), 1 + 8 * (b % 4), 8)) AS BIGINT) + 1)
         |           / 4294967296.0 AS u
         |  FROM o CROSS JOIN (SELECT unnest(range(32)) AS b) bs
         |), wts AS (
@@ -580,7 +610,7 @@ object Ext6 {
         .select(col("o_orderkey"), round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
       val draws = o.withColumn("b", explode(sequence(lit(0), lit(31))))
         .withColumn("u",
-          (expr("cast(conv(substring(md5(concat(cast(o_orderkey as string), '#', cast(b as string))), 1, 8), 16, 10) as bigint)") + 1)
+          (expr("cast(conv(substring(md5(concat(cast(o_orderkey as string), '#', cast(b div 4 as string))), 1 + 8 * (b % 4), 8), 16, 10) as bigint)") + 1)
             / lit(4294967296.0))
       val w = when(col("u") < 0.36787944117144233, 0)
         .when(col("u") < 0.7357588823428847, 1)

@@ -248,6 +248,32 @@ object StreamMaterializer {
   def servePsi(wh: Warehouse, name: String): DataFrame =
     graft.queries.Ext4.psiFromBucketCounts(wh.spark, wh.read(name))
 
+  /** Streaming count-min sketch maintainer (twin of q197): each
+    * micro-batch appends its 4x256 cell-count deltas; cells are
+    * additive under ANY partitioning of the source (they are counts),
+    * so there is no whole-entity precondition. Per-batch work is
+    * O(batch) map-side + a <=1024-row reduce; the served sketch folds
+    * deltas at read time — the monitoring shape that keeps a bounded
+    * frequency oracle over an unbounded 100-TB stream.
+    */
+  def maintainCmsCells(wh: Warehouse, name: String, keyStream: DataFrame,
+      keyCol: String, checkpointDir: String): StreamingQuery =
+    keyStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        wh.appendTable(name, graft.queries.Ext6.cmsCellDeltas(batch, keyCol))
+      }
+      .start()
+
+  /** Point-estimate probe keys (column `k`) against the folded sketch;
+    * estimates >= truth by the CMS guarantee and converge to the batch
+    * sketch's answers once the stream drains.
+    */
+  def serveCmsEstimates(wh: Warehouse, name: String, probes: DataFrame): DataFrame =
+    graft.queries.Ext6.cmsEstimates(wh.read(name), probes)
+
   /** Drive a streaming DataFrame into the warehouse through
     * foreachBatch → the same materialization layer (append commits per
     * micro-batch). Returns the running query; callers stop it.

@@ -264,6 +264,35 @@ class StreamingSpec extends SparkSpec {
     assert(served === batch, "folded deltas must reproduce the batch PSI exactly")
   }
 
+  test("streaming CMS converges to the batch sketch and never undercounts (q197 twin)") {
+    // cell deltas are additive under ANY partitioning — arbitrary 4-way
+    // split of lineitem, one file per micro-batch
+    val src = tmpDir("cms_src")
+    val li = graft.Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+      .select("l_partkey")
+    li.repartition(4).write.mode("overwrite").parquet(src)
+    val wh = new Engine(spark, Manifest(Map.empty), tmpDir("wh_cms")).wh
+    val stream = spark.readStream.schema(li.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val q = StreamMaterializer.maintainCmsCells(wh, "cms_cells", stream,
+      "l_partkey", tmpDir("ckpt_cms"))
+    q.awaitTermination(120000)
+    assert(wh.commitCount("cms_cells") > 1,
+      "maintainer must have appended multiple micro-batch deltas")
+    val truth = li.groupBy(col("l_partkey").as("k"))
+      .agg(count(lit(1)).as("true_c"))
+    val served = StreamMaterializer.serveCmsEstimates(wh, "cms_cells",
+      truth.select("k"))
+    // never undercounts, and folded deltas = the batch-built sketch
+    assert(served.join(truth, "k")
+      .filter(col("cms_estimate") < col("true_c")).count() === 0)
+    val batch = graft.queries.Ext6.cmsEstimates(
+      graft.queries.Ext6.cmsCellDeltas(li, "l_partkey"), truth.select("k"))
+      .collect().map(_.toSeq).toSet
+    assert(served.collect().map(_.toSeq).toSet === batch,
+      "streamed sketch must reproduce the batch sketch exactly")
+  }
+
   test("session windows produce bounded per-user sessions") {
     val dir = eventsDir
     val schema = spark.read.parquet(dir).schema
