@@ -24,6 +24,7 @@ object SparkEntry {
       graft.queries.Ext4.queries ++
       graft.queries.Ext5.queries ++
       graft.queries.Ext6.queries ++
+      graft.queries.Ext7.queries ++
       graft.queries.Curation.queries ++
       graft.queries.Framework.queries
 

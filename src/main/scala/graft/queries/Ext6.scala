@@ -53,12 +53,16 @@ object Ext6 {
     * additive under ANY partitioning of the source (they are counts),
     * so a streaming maintainer can append per-micro-batch deltas and
     * serving folds them — the same shape as the PSI drift monitor.
+    * Keys are counted BEFORE hashing: the 4 row-hashes run once per
+    * distinct key (weighted by its count), not once per raw row —
+    * hash work is key-dimension-sized, and the partial count
+    * aggregate combines map-side.
     */
   private[graft] def cmsCellDeltas(keys: DataFrame, keyCol: String): DataFrame =
-    keys.select(col(keyCol).as("k"))
+    keys.groupBy(col(keyCol).as("k")).agg(count(lit(1)).cast("long").as("c"))
       .withColumn("j", explode(sequence(lit(0), lit(3))))
       .withColumn("bucket", cmsBucketExpr("j", "k"))
-      .groupBy("j", "bucket").agg(count(lit(1)).cast("long").as("cell"))
+      .groupBy("j", "bucket").agg(sum("c").cast("long").as("cell"))
 
   /** Point estimates for probe keys (column `k`) against folded cells:
     * min over the 4 row-buckets; >= truth by construction. The folded
@@ -379,19 +383,35 @@ object Ext6 {
       val o = Tables.load(s, dir, "orders")
         .select(col("o_orderkey"),
           round(col("o_totalprice") * 100, 0).cast("long").as("order_cents"))
+      // scale-honest topology: BOTH inputs are facts, so the join must
+      // shuffle on the order key (shuffle_hash hint — without it the
+      // optimizer happily broadcasts a 1.5M-row hashed relation at the
+      // 10x gate, which churns heap here and is impossible at 100 TB),
+      // and the order totals come from an unordered window over the
+      // SAME partitioning (no second exchange, no broadcast of a
+      // fact-derived aggregate). Total wire cost: one orderkey
+      // exchange per input + two in-partition sorts.
+      val base = li.join(o.hint("shuffle_hash"),
+        col("o_orderkey") === col("l_orderkey"))
       val wOrd = Window.partitionBy("l_orderkey")
-      val base = li.join(o, col("o_orderkey") === col("l_orderkey"))
+      val fl = base
         .withColumn("tot_ext", sum("ext_cents").over(wOrd).cast("long"))
-      val fl = base.select(col("l_orderkey"), col("l_linenumber"), col("order_cents"),
-        expr("(order_cents * ext_cents) div tot_ext").as("fl_cents"),
-        expr("(order_cents * ext_cents) % tot_ext").as("rem"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("order_cents"),
+          expr("(order_cents * ext_cents) div tot_ext").as("fl_cents"),
+          expr("(order_cents * ext_cents) % tot_ext").as("rem"))
+      val wRank = Window.partitionBy("l_orderkey")
+        .orderBy(col("rem").desc, col("l_linenumber"))
+      val wAll = wRank.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       val need = fl.select(col("l_orderkey"), col("l_linenumber"), col("fl_cents"),
-        (col("order_cents") - sum("fl_cents").over(wOrd).cast("long")).as("shortfall"),
-        row_number().over(wOrd.orderBy(col("rem").desc, col("l_linenumber"))).as("rr"))
-      val alloc = need.select(col("l_orderkey"), col("l_linenumber"), col("shortfall"),
+        (col("order_cents") - sum("fl_cents").over(wAll).cast("long")).as("shortfall"),
+        row_number().over(wRank).as("rr"))
+      val alloc = need.select(col("l_linenumber"), col("shortfall"), col("rr"),
         (col("fl_cents") + when(col("rr") <= col("shortfall"), 1L).otherwise(0L)).as("cents"))
+      // orders per shortfall group = rr==1 rows (exactly one per order;
+      // shortfall is order-constant) — no countDistinct Expand over the
+      // full lineitem fact
       alloc.groupBy(col("shortfall").cast("long").as("bumped_lines"))
-        .agg(countDistinct("l_orderkey").cast("long").as("n_orders"),
+        .agg(sum(when(col("rr") === 1, 1L).otherwise(0L)).cast("long").as("n_orders"),
           sum("cents").cast("long").as("alloc_cents"),
           sum(col("cents") * col("l_linenumber")).cast("long").as("alloc_checksum"))
         .orderBy("bumped_lines")

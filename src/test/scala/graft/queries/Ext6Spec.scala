@@ -156,6 +156,45 @@ class Ext6Spec extends SparkSpec {
     }
   }
 
+  test("q201: spine is dimension-complete, gaps zero-filled, cum telescopes") {
+    val rows = run("q201_date_spine_gapfill").collect()
+    val days = rows.map(_.get(1)).distinct.length
+    assert(rows.length === 5 * days, "every region must carry every day")
+    assert(rows.exists(_.getLong(2) === 0L), "gap days must be zero-filled")
+    val totalCents = Tables.load(spark, sf, "orders")
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))).head().getLong(0)
+    assert(rows.map(_.getLong(3)).sum === totalCents)
+    // last cumulative per region sums to the corpus total too
+    val lastPerRegion = rows.groupBy(_.getString(0))
+      .map { case (_, rs) => rs.maxBy(_.get(1).toString).getLong(4) }
+    assert(lastPerRegion.sum === totalCents)
+  }
+
+  test("q202: pivot columns partition the order counts and cents") {
+    val rows = run("q202_status_pivot").collect()
+    val orders = Tables.load(spark, sf, "orders")
+    assert(rows.map(r => r.getLong(1) + r.getLong(2) + r.getLong(3)).sum ===
+      orders.count())
+    val totalCents = orders
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))).head().getLong(0)
+    assert(rows.map(r => r.getLong(4) + r.getLong(5) + r.getLong(6)).sum === totalCents)
+  }
+
+  test("q203: quantile estimates are monotone in p and bounded by the max") {
+    val rows = run("q203_binned_quantiles").collect()
+    assert(rows.length === 15) // 5 event types x 3 probes
+    val his = Tables.load(spark, sf, "events")
+      .filter(col("value").isNotNull)
+      .groupBy("event_type").agg(max("value"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    rows.groupBy(_.getString(0)).foreach { case (t, rs) =>
+      val byP = rs.sortBy(_.getDouble(1)).map(_.getDouble(3))
+      assert(byP.sliding(2).forall(w => w(0) <= w(1)), s"$t: not monotone")
+      byP.foreach(e => assert(e >= 0 && e <= his(t) + 1e-9, s"$t: $e out of range"))
+      rs.foreach(r => assert(r.getLong(2) >= 0 && r.getLong(2) <= 255))
+    }
+  }
+
   test("q196: TWAP is a convex combination of the user's held values") {
     val bounds = Tables.load(spark, sf, "events")
       .filter(col("value").isNotNull)
