@@ -599,4 +599,43 @@ object Materializer {
       else "pass"
     (status, age)
   }
+
+  /** Metadata-based source freshness (reference
+    * `task/freshness.py` metadata branch: a source with freshness
+    * thresholds but NO `loaded_at_field` asks the warehouse for the
+    * relation's last-modified metadata). The parquet-path analog is
+    * the newest file modification time under the source path — no
+    * data scan at all.
+    */
+  def freshnessFromMetadata(
+      path: String,
+      warnAfterSec: Option[Long],
+      errorAfterSec: Option[Long],
+      clock: Clock): (String, Double) = {
+    import scala.jdk.CollectionConverters._
+    val p = java.nio.file.Paths.get(path)
+    val latest: Option[Long] =
+      if (!java.nio.file.Files.exists(p)) None
+      else {
+        val stream = java.nio.file.Files.walk(p)
+        try {
+          stream.iterator().asScala
+            .filter(java.nio.file.Files.isRegularFile(_))
+            .map(java.nio.file.Files.getLastModifiedTime(_).toMillis)
+            .maxOption
+        } finally stream.close()
+      }
+    latest match {
+      case None =>
+        (if (errorAfterSec.isDefined || warnAfterSec.isEmpty) "error" else "warn",
+          Double.PositiveInfinity)
+      case Some(ms) =>
+        val age = (clock().getTime - ms) / 1000.0
+        val status =
+          if (errorAfterSec.exists(age > _)) "error"
+          else if (warnAfterSec.exists(age > _)) "warn"
+          else "pass"
+        (status, age)
+    }
+  }
 }

@@ -508,9 +508,9 @@ object ProjectLoader {
                 name = cm("name").toString,
                 dataType = cm.get("data_type").map(_.toString),
                 description = cm.get("description").map(_.toString).getOrElse(""),
-                tests = cm.get("tests").map(parseTests).getOrElse(Nil))
+                tests = testsOf(cm, s"column ${cm("name")}"))
             }.toSeq).getOrElse(Nil)
-            val modelTests = mm.get("tests").map(parseTests).getOrElse(Nil)
+            val modelTests = testsOf(mm, s"model $mname")
             val cfgKw = mm.get("config")
               .map(_.asInstanceOf[java.util.Map[String, Any]]
                 .asScala.map { case (k, v) => k.toString -> stringify(v) }.toMap)
@@ -923,6 +923,17 @@ object ProjectLoader {
   }
 
   // ------------------------------------------------------------- helpers
+
+  /** `tests:` / `data_tests:` — the reference renamed the key in 1.8
+    * (`schemas.py:503-504` converts the deprecated spelling) and
+    * errors when BOTH are present on one node/column.
+    */
+  private def testsOf(m: scala.collection.Map[String, Any],
+      what: String): Seq[GenericTestRef] = {
+    require(!(m.contains("tests") && m.contains("data_tests")),
+      s"$what: cannot have both 'tests' and 'data_tests' (data_tests replaces tests)")
+    m.get("data_tests").orElse(m.get("tests")).map(parseTests).getOrElse(Nil)
+  }
 
   private def parseTests(raw: Any): Seq[GenericTestRef] =
     raw.asInstanceOf[java.util.List[_]].asScala.map {

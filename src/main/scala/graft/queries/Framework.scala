@@ -1934,6 +1934,107 @@ object Framework {
       rows.toDF("phase", "node_id", "comment", "placement")
         .withColumn("n_rows", lit(nRows))
         .orderBy("phase", "node_id")
+    },
+
+    // Metadata source freshness (reference `task/freshness.py`
+    // metadata branch): a source with freshness thresholds but NO
+    // loaded_at_field asks the warehouse for last-modified metadata —
+    // here the newest file mtime under the source path, no data scan.
+    // Gate: three copies of orders.parquet with pinned mtimes against
+    // a pinned clock hit pass/warn/error exactly; a filter on a
+    // metadata check fails loudly (reference raises); and the
+    // data_tests/tests dual-key parse error is asserted alongside.
+    QueryDef(
+      "m38_metadata_freshness",
+      """SELECT * FROM (
+        |  SELECT 'src_fresh' AS tbl, 'pass' AS status, CAST(600 AS BIGINT) AS age_sec
+        |  UNION ALL SELECT 'src_mid', 'warn', 7200
+        |  UNION ALL SELECT 'src_old', 'error', 172800
+        |  UNION ALL SELECT 'filter_check', 'raises', -1
+        |  UNION ALL SELECT 'dual_test_keys', 'raises', -1
+        |) ORDER BY tbl""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val root = java.nio.file.Files.createTempDirectory("m38_proj")
+      scratchDirs.add(root.toFile)
+      def write(rel: String, content: String): Unit = {
+        val p = root.resolve(rel)
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.writeString(p, content)
+      }
+      // clock pinned to 2000-01-01; copies of orders.parquet with
+      // mtimes 10 min / 2 h / 2 d before it
+      val clock = clockAt(0)
+      val now = clock().getTime
+      val data = root.resolve("data")
+      java.nio.file.Files.createDirectories(data)
+      def copyWithAge(name: String, ageSec: Long): Unit = {
+        val dst = data.resolve(s"$name.parquet")
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(dir, "orders.parquet"), dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(now - ageSec * 1000))
+      }
+      copyWithAge("src_fresh", 600)
+      copyWithAge("src_mid", 7200)
+      copyWithAge("src_old", 172800)
+      write("dbt_project.yml", "name: m38proj\n")
+      write("models/sources.yml",
+        s"""sources:
+           |  - name: meta
+           |    tables:
+           |      - name: src_fresh
+           |        path: $data/src_fresh.parquet
+           |        freshness: {warn_after_sec: 3600, error_after_sec: 86400}
+           |      - name: src_mid
+           |        path: $data/src_mid.parquet
+           |        freshness: {warn_after_sec: 3600, error_after_sec: 86400}
+           |      - name: src_old
+           |        path: $data/src_old.parquet
+           |        freshness: {warn_after_sec: 3600, error_after_sec: 86400}
+           |""".stripMargin)
+      val eng = Engine.fromProject(s, root.toString, scratch(), clock = clock)
+      val fresh = eng.sourceFreshness()
+      val rows = fresh.toSeq.map { case (id, (status, age)) =>
+        (id.split("\\.").last, status, age.toLong)
+      }
+      // filter on a metadata check must raise (reference parity)
+      write("models/sources.yml",
+        s"""sources:
+           |  - name: meta
+           |    tables:
+           |      - name: src_fresh
+           |        path: $data/src_fresh.parquet
+           |        freshness: {warn_after_sec: 3600, filter: "o_custkey > 0"}
+           |""".stripMargin)
+      val engF = Engine.fromProject(s, root.toString, scratch(), clock = clock)
+      val filterRaises =
+        try { engF.sourceFreshness(); false }
+        catch { case e: IllegalArgumentException =>
+          e.getMessage.contains("metadata freshness"); }
+      require(filterRaises, "m38: filter + metadata freshness must raise")
+      // tests + data_tests on one node must be a parse error
+      write("models/sources.yml",
+        s"""sources:
+           |  - name: meta
+           |    tables:
+           |      - name: src_fresh
+           |        path: $data/src_fresh.parquet
+           |""".stripMargin)
+      write("models/m38_m.sql", "SELECT 1 AS one")
+      write("models/schema.yml",
+        """models:
+          |  - name: m38_m
+          |    tests: [{not_null: {column_name: one}}]
+          |    data_tests: [{unique: {column_name: one}}]
+          |""".stripMargin)
+      val dualRaises =
+        try { Engine.fromProject(s, root.toString, scratch()); false }
+        catch { case e: IllegalArgumentException =>
+          e.getMessage.contains("data_tests"); }
+      require(dualRaises, "m38: tests + data_tests together must raise")
+      (rows :+ (("filter_check", "raises", -1L)) :+ (("dual_test_keys", "raises", -1L)))
+        .toDF("tbl", "status", "age_sec")
+        .orderBy("tbl")
     }
   )
 }

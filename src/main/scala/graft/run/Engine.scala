@@ -963,17 +963,33 @@ final class Engine(
       case None => throw new IllegalArgumentException(s"show: unknown model $name")
     }
 
-  /** Source freshness for all sources with a loaded_at_field. */
+  /** Source freshness: `loaded_at_field` sources run the max-loaded
+    * query; sources with thresholds but NO loaded_at_field use the
+    * warehouse-metadata branch (file modification time — reference
+    * `task/freshness.py` metadata path, where a `filter` is an error
+    * because there is no query to filter).
+    */
   def sourceFreshness(select: Seq[String] = Nil): Map[String, (String, Double)] = {
     val scope: Set[String] =
       if (select.isEmpty) manifest.sources.keySet
       else Selector.select(manifest, dag, select)
+    def finalStatus(raw: String): String =
+      if (warnError && raw == "warn") "error" else raw
     manifest.sources.values.filter(s => scope.contains(s.uniqueId)).flatMap { s =>
-      s.loadedAtField.map { f =>
-        val (raw, age) = Materializer.freshness(wh, relationName(s), f,
-          s.freshnessWarnAfterSec, s.freshnessErrorAfterSec, clock,
-          s.freshnessFilter)
-        s.uniqueId -> ((if (warnError && raw == "warn") "error" else raw, age))
+      s.loadedAtField match {
+        case Some(f) =>
+          val (raw, age) = Materializer.freshness(wh, relationName(s), f,
+            s.freshnessWarnAfterSec, s.freshnessErrorAfterSec, clock,
+            s.freshnessFilter)
+          Some(s.uniqueId -> ((finalStatus(raw), age)))
+        case None if s.freshnessWarnAfterSec.isDefined ||
+            s.freshnessErrorAfterSec.isDefined =>
+          require(s.freshnessFilter.isEmpty,
+            s"A filter cannot be applied to a metadata freshness check on source '${s.name}'.")
+          val (raw, age) = Materializer.freshnessFromMetadata(s.path,
+            s.freshnessWarnAfterSec, s.freshnessErrorAfterSec, clock)
+          Some(s.uniqueId -> ((finalStatus(raw), age)))
+        case None => None
       }
     }.toMap
   }
