@@ -167,6 +167,207 @@ object Ext7 {
               (col("p") * col("n").cast("double") - (col("cum") - col("cnt")).cast("double")) /
                 col("cnt").cast("double")), 4).cast("double").as("estimate"))
         .orderBy("event_type", "quantile")
+    },
+
+    // Two-hop recommendations over the co-purchase graph: for part a,
+    // score part c (not directly co-purchased) by the strength of
+    // a-b-c paths, score = sum_b min(cab, cbc). Candidate space is the
+    // PRUNED graph squared-by-degree, never n²; the direct-pair
+    // exclusion is a left anti-join. The bounded-degree expansion is
+    // the standard production cap (SCALING.md).
+    QueryDef(
+      "q204_two_hop_recs",
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |), pairs AS (
+        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb, CAST(COUNT(*) AS BIGINT) AS cab
+        |  FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        |), dir AS (
+        |  SELECT pa AS s, pb AS d, cab FROM pairs
+        |  UNION ALL SELECT pb, pa, cab FROM pairs
+        |), hop2 AS (
+        |  SELECT e1.s AS a, e2.d AS c,
+        |         CAST(SUM(LEAST(e1.cab, e2.cab)) AS BIGINT) AS score,
+        |         CAST(COUNT(*) AS BIGINT) AS n_paths
+        |  FROM dir e1 JOIN dir e2 ON e2.s = e1.d AND e2.d <> e1.s
+        |  GROUP BY 1, 2
+        |), recs AS (
+        |  SELECT h.a, h.c, h.score, h.n_paths
+        |  FROM hop2 h LEFT JOIN dir ON dir.s = h.a AND dir.d = h.c
+        |  WHERE dir.s IS NULL
+        |)
+        |SELECT a AS part_a, c AS rec_part, score, n_paths
+        |FROM recs ORDER BY score DESC, a, c LIMIT 20""".stripMargin) { (s, dir) =>
+      val pairs = Ext3.coPairs(s, dir)
+      val dirE = pairs.select(col("pa").as("s"), col("pb").as("d"), col("cab"))
+        .unionAll(pairs.select(col("pb").as("s"), col("pa").as("d"), col("cab")))
+      val hop2 = dirE.as("e1")
+        .join(dirE.as("e2"), expr("e2.s = e1.d AND e2.d <> e1.s"))
+        .groupBy(col("e1.s").as("a"), col("e2.d").as("c"))
+        .agg(sum(least(col("e1.cab"), col("e2.cab"))).cast("long").as("score"),
+          count(lit(1)).cast("long").as("n_paths"))
+      val recs = hop2.join(dirE,
+        col("s") === col("a") && col("d") === col("c"), "left_anti")
+      recs.select(col("a").as("part_a"), col("c").as("rec_part"),
+          col("score"), col("n_paths"))
+        .orderBy(col("score").desc, col("part_a"), col("rec_part"))
+        .limit(20)
+    },
+
+    // Two-factor OLS by normal equations: extended price (cents) on
+    // quantity and discount points. Centered second moments from RAW
+    // integer sums in DECIMAL(38,0) (n*sum(x*y) exceeds BIGINT at
+    // sf0.1 — decimal128 keeps every product exact); only the final
+    // solve divides, in mirrored double shape. One scan, no shuffle
+    // beyond a scalar aggregate — regression at 100 TB is moment
+    // accumulation, not data movement.
+    QueryDef(
+      "q205_ols_two_factor",
+      """WITH t AS (
+        |  SELECT CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS y,
+        |         CAST(l_quantity AS BIGINT) AS x1,
+        |         CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS x2
+        |  FROM lineitem
+        |), mom AS (
+        |  SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+        |         CAST(SUM(x1) AS DECIMAL(38,0)) AS s1, CAST(SUM(x2) AS DECIMAL(38,0)) AS s2,
+        |         CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+        |         CAST(SUM(x1 * x1) AS DECIMAL(38,0)) AS s11,
+        |         CAST(SUM(x2 * x2) AS DECIMAL(38,0)) AS s22,
+        |         CAST(SUM(x1 * x2) AS DECIMAL(38,0)) AS s12,
+        |         CAST(SUM(x1 * y) AS DECIMAL(38,0)) AS s1y,
+        |         CAST(SUM(x2 * y) AS DECIMAL(38,0)) AS s2y
+        |  FROM t
+        |), c AS (
+        |  SELECT n, s1, s2, sy,
+        |         CAST(n * s11 - s1 * s1 AS DOUBLE) AS c11,
+        |         CAST(n * s22 - s2 * s2 AS DOUBLE) AS c22,
+        |         CAST(n * s12 - s1 * s2 AS DOUBLE) AS c12,
+        |         CAST(n * s1y - s1 * sy AS DOUBLE) AS c1y,
+        |         CAST(n * s2y - s2 * sy AS DOUBLE) AS c2y
+        |  FROM mom
+        |)
+        |SELECT CAST(n AS BIGINT) AS n_rows,
+        |       CAST(ROUND((c22 * c1y - c12 * c2y) / (c11 * c22 - c12 * c12), 6) AS DOUBLE) AS beta_qty,
+        |       CAST(ROUND((c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12), 6) AS DOUBLE) AS beta_disc,
+        |       CAST(ROUND((CAST(sy AS DOUBLE)
+        |                   - (c22 * c1y - c12 * c2y) / (c11 * c22 - c12 * c12) * CAST(s1 AS DOUBLE)
+        |                   - (c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12) * CAST(s2 AS DOUBLE))
+        |                  / CAST(n AS DOUBLE), 4) AS DOUBLE) AS intercept_cents
+        |FROM c""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      val t = Tables.load(s, dir, "lineitem").select(
+        round(col("l_extendedprice") * 100, 0).cast("long").as("y"),
+        col("l_quantity").cast("long").as("x1"),
+        round(col("l_discount") * 100, 0).cast("long").as("x2"))
+      val d38 = DecimalType(38, 0)
+      val mom = t.agg(
+        count(lit(1)).cast(d38).as("n"),
+        sum("x1").cast(d38).as("s1"), sum("x2").cast(d38).as("s2"),
+        sum("y").cast(d38).as("sy"),
+        sum(col("x1") * col("x1")).cast(d38).as("s11"),
+        sum(col("x2") * col("x2")).cast(d38).as("s22"),
+        sum(col("x1") * col("x2")).cast(d38).as("s12"),
+        sum(col("x1") * col("y")).cast(d38).as("s1y"),
+        sum(col("x2") * col("y")).cast(d38).as("s2y"))
+      val c = mom.select(col("n"), col("s1"), col("s2"), col("sy"),
+        (col("n") * col("s11") - col("s1") * col("s1")).cast("double").as("c11"),
+        (col("n") * col("s22") - col("s2") * col("s2")).cast("double").as("c22"),
+        (col("n") * col("s12") - col("s1") * col("s2")).cast("double").as("c12"),
+        (col("n") * col("s1y") - col("s1") * col("sy")).cast("double").as("c1y"),
+        (col("n") * col("s2y") - col("s2") * col("sy")).cast("double").as("c2y"))
+      val det = col("c11") * col("c22") - col("c12") * col("c12")
+      val b1 = (col("c22") * col("c1y") - col("c12") * col("c2y")) / det
+      val b2 = (col("c11") * col("c2y") - col("c12") * col("c1y")) / det
+      c.select(col("n").cast("long").as("n_rows"),
+        round(b1, 6).cast("double").as("beta_qty"),
+        round(b2, 6).cast("double").as("beta_disc"),
+        round((col("sy").cast("double") - b1 * col("s1").cast("double") -
+          b2 * col("s2").cast("double")) / col("n").cast("double"), 4)
+          .cast("double").as("intercept_cents"))
+    },
+
+    // Discrete-time churn hazard: offset k (weeks since a user's first
+    // event) with at-risk = users whose LAST activity is at offset
+    // >= k and churned = exactly k. hazard = churned/at_risk from pure
+    // integer counts — the life-table shape that avoids the
+    // cumulative-product (Kaplan-Meier) float-ordering trap entirely.
+    // One user-keyed reduce + an offset-dimension suffix sum.
+    QueryDef(
+      "q206_discrete_hazard",
+      """WITH span AS (
+        |  SELECT user_id,
+        |         CAST(DATE_DIFF('day', DATE_TRUNC('week', MIN(ts)), DATE_TRUNC('week', MAX(ts))) // 7
+        |              AS BIGINT) AS last_offset
+        |  FROM events GROUP BY user_id
+        |), byk AS (
+        |  SELECT last_offset AS k, CAST(COUNT(*) AS BIGINT) AS churned
+        |  FROM span GROUP BY 1
+        |)
+        |SELECT k, churned,
+        |       CAST(SUM(churned) OVER (ORDER BY k DESC) AS BIGINT) AS at_risk,
+        |       CAST(ROUND(CAST(churned AS DOUBLE)
+        |                  / CAST(SUM(churned) OVER (ORDER BY k DESC) AS DOUBLE), 6)
+        |            AS DOUBLE) AS hazard
+        |FROM byk ORDER BY k""".stripMargin) { (s, dir) =>
+      val span = Tables.load(s, dir, "events")
+        .groupBy("user_id")
+        .agg(expr("cast(datediff(date_trunc('week', max(ts)), date_trunc('week', min(ts))) div 7 as bigint)")
+          .as("last_offset"))
+      val byk = span.groupBy(col("last_offset").as("k"))
+        .agg(count(lit(1)).cast("long").as("churned"))
+      val atRisk = sum("churned").over(Window.orderBy(col("k").desc)).cast("long")
+      byk.select(col("k"), col("churned"), atRisk.as("at_risk"),
+          round(col("churned").cast("double") / atRisk.cast("double"), 6)
+            .cast("double").as("hazard"))
+        .orderBy("k")
+    },
+
+    // Weekday seasonality profile of order revenue: per weekday, day
+    // count, totals, exact per-day mean, revenue share, and the count
+    // of outlier days (|day - weekday mean| > 50%, compared as exact
+    // integer cross-products — no float thresholds). The weekday
+    // dimension is 7 rows at any scale; the day rollup is one shuffle.
+    QueryDef(
+      "q207_weekday_seasonality",
+      """WITH d AS (
+        |  SELECT DATE_TRUNC('day', o_orderdate) AS day,
+        |         CAST(DAYOFWEEK(o_orderdate) + 1 AS BIGINT) AS wd,
+        |         CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1, 2
+        |), w AS (
+        |  SELECT wd, CAST(COUNT(*) AS BIGINT) AS n_days, CAST(SUM(cents) AS BIGINT) AS total
+        |  FROM d GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(SUM(total) AS BIGINT) AS grand FROM w
+        |)
+        |SELECT w.wd AS weekday, w.n_days, w.total AS total_cents,
+        |       CAST(ROUND(CAST(w.total AS DOUBLE) / CAST(w.n_days AS DOUBLE) / 100, 4)
+        |            AS DOUBLE) AS mean_day_dollars,
+        |       CAST(ROUND(CAST(w.total AS DOUBLE) / CAST(grand AS DOUBLE), 6) AS DOUBLE) AS share,
+        |       CAST((SELECT COUNT(*) FROM d
+        |             WHERE d.wd = w.wd
+        |               AND ABS(d.cents * w.n_days * 2 - w.total * 2) > w.total) AS BIGINT) AS outlier_days
+        |FROM w CROSS JOIN tot ORDER BY weekday""".stripMargin) { (s, dir) =>
+      val d = Tables.load(s, dir, "orders")
+        .groupBy(date_trunc("day", col("o_orderdate")).as("day"),
+          (dayofweek(col("o_orderdate"))).cast("long").as("wd"))
+        .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).cast("long").as("cents"))
+      val w = d.groupBy("wd")
+        .agg(count(lit(1)).cast("long").as("n_days"), sum("cents").cast("long").as("total"))
+      val tot = w.agg(sum("total").cast("long").as("grand"))
+      val outliers = d.join(w, "wd")
+        .filter(abs(col("cents") * col("n_days") * 2 - col("total") * 2) > col("total"))
+        .groupBy("wd").agg(count(lit(1)).cast("long").as("outlier_days"))
+      w.join(outliers, Seq("wd"), "left").crossJoin(broadcast(tot))
+        .select(col("wd").as("weekday"), col("n_days"), col("total").as("total_cents"),
+          round(col("total").cast("double") / col("n_days").cast("double") / 100, 4)
+            .cast("double").as("mean_day_dollars"),
+          round(col("total").cast("double") / col("grand").cast("double"), 6)
+            .cast("double").as("share"),
+          coalesce(col("outlier_days"), lit(0L)).as("outlier_days"))
+        .orderBy("weekday")
     }
   )
 }

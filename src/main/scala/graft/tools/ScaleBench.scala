@@ -58,6 +58,12 @@ object ScaleBench {
 
     val rows = names.map { name =>
       System.err.println(s"[scalebench] $name")
+      // isolate measurements: session-persisted index caches built by
+      // EARLIER queries (pair tables, IVF cells) otherwise occupy
+      // executor memory and skew later queries' numbers — q195/q205
+      // both read 8-14x here while measuring 1.2x isolated. Each
+      // query's own builds still count via the warm-up pass.
+      spark.catalog.clearCache()
       val basePlan = planCounts(name, baseDir)
       val scalePlan = planCounts(name, scaleDir)
       val baseSec = timeWarm(name, baseDir)

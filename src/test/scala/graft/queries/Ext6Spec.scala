@@ -195,6 +195,62 @@ class Ext6Spec extends SparkSpec {
     }
   }
 
+  test("q204: recommendations are never direct neighbors; scores positive") {
+    val rows = run("q204_two_hop_recs").collect()
+    assert(rows.length === 20)
+    val pairs = Ext3.coPairs(spark, sf)
+      .select("pa", "pb").collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0))))
+      .toSet
+    rows.foreach { r =>
+      val (a, c) = (r.getLong(0), r.getLong(1))
+      assert(a !== c)
+      assert(!pairs.contains((a, c)), s"direct pair leaked into recs: $r")
+      assert(r.getLong(2) >= r.getLong(3), "score >= n_paths (each path >= min cab 2... at least 1)")
+    }
+  }
+
+  test("q205: OLS betas reproduce a least-squares fit (residual orthogonality)") {
+    val r = run("q205_ols_two_factor").head()
+    val (b1, b2, b0) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    // residuals of the published fit must be ~orthogonal to both
+    // regressors relative to the response scale
+    val t = Tables.load(spark, sf, "lineitem").select(
+      (round(col("l_extendedprice") * 100, 0).cast("long")).as("y"),
+      col("l_quantity").cast("long").as("x1"),
+      round(col("l_discount") * 100, 0).cast("long").as("x2"))
+    val res = t.withColumn("e",
+      col("y").cast("double") - lit(b0) - lit(b1) * col("x1") - lit(b2) * col("x2"))
+    val Array(r1, r2) = res.agg(
+      sum(col("e") * col("x1")), sum(col("e") * col("x2"))).head()
+      .toSeq.map(_.asInstanceOf[Double]).toArray
+    val scale = t.agg(sum(abs(col("y")))).head().getLong(0).toDouble
+    assert(math.abs(r1) / scale < 1e-2 && math.abs(r2) / scale < 1e-3,
+      s"residuals not orthogonal: $r1 $r2 vs scale $scale")
+  }
+
+  test("q206: hazard life table conserves users and ends at hazard 1") {
+    val rows = run("q206_discrete_hazard").collect()
+    val users = Tables.load(spark, sf, "events")
+      .select(countDistinct("user_id")).head().getLong(0)
+    assert(rows.map(_.getLong(1)).sum === users)
+    assert(rows.head.getLong(2) === users, "first at-risk pool = everyone")
+    assert(math.abs(rows.last.getDouble(3) - 1.0) < 1e-9,
+      "the final offset's hazard must be 1 (everyone remaining churns)")
+  }
+
+  test("q207: weekday shares sum to 1; totals and day counts conserve") {
+    val rows = run("q207_weekday_seasonality").collect()
+    assert(rows.length === 7)
+    assert(math.abs(rows.map(_.getDouble(4)).sum - 1.0) < 1e-4)
+    val totalCents = Tables.load(spark, sf, "orders")
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))).head().getLong(0)
+    assert(rows.map(_.getLong(2)).sum === totalCents)
+    val nDays = Tables.load(spark, sf, "orders")
+      .select(date_trunc("day", col("o_orderdate"))).distinct().count()
+    assert(rows.map(_.getLong(1)).sum === nDays)
+  }
+
   test("q196: TWAP is a convex combination of the user's held values") {
     val bounds = Tables.load(spark, sf, "events")
       .filter(col("value").isNotNull)
