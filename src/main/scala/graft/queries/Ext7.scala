@@ -368,6 +368,119 @@ object Ext7 {
             .cast("double").as("share"),
           coalesce(col("outlier_days"), lit(0L)).as("outlier_days"))
         .orderBy("weekday")
+    },
+
+    // Exact stratified train split: 80% per language stratum, with the
+    // Hamilton largest-remainder bump (q195's kernel applied to
+    // sampling) so the GLOBAL train count is exactly
+    // floor(0.8*N + 0.5) — hash-mod splits (q60) have binomial
+    // variance per stratum; this one is variance-free. Membership is
+    // md5-rank-deterministic, so re-ingestion never moves a doc, and
+    // the per-stratum id-sum checksum pins every assignment
+    // cross-engine.
+    QueryDef(
+      "q208_stratified_exact_split",
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |         ROW_NUMBER() OVER (PARTITION BY lang
+        |           ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents
+        |), st AS (
+        |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+        |         (CAST(COUNT(*) AS BIGINT) * 8) // 10 AS fl,
+        |         (CAST(COUNT(*) AS BIGINT) * 8) % 10 AS rem
+        |  FROM d GROUP BY lang
+        |), tot AS (
+        |  SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(fl) AS BIGINT) AS sf
+        |  FROM st
+        |), tgt AS (
+        |  SELECT st.lang, st.n,
+        |         st.fl + CASE WHEN ROW_NUMBER() OVER (ORDER BY st.rem DESC, st.lang)
+        |                      <= (tot.nn * 8 + 5) // 10 - tot.sf THEN 1 ELSE 0 END AS n_train
+        |  FROM st CROSS JOIN tot
+        |)
+        |SELECT d.lang, CAST(MAX(t.n) AS BIGINT) AS n_docs,
+        |       CAST(MAX(t.n_train) AS BIGINT) AS n_train,
+        |       CAST(SUM(CASE WHEN d.rk <= t.n_train THEN d.doc_id ELSE 0 END) AS BIGINT) AS train_id_sum
+        |FROM d JOIN tgt t ON t.lang = d.lang
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin) { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          row_number().over(Window.partitionBy("lang")
+            .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))).as("rk"))
+      val st = d.groupBy("lang").agg(count(lit(1)).cast("long").as("n"))
+        .select(col("lang"), col("n"),
+          expr("(n * 8) div 10").as("fl"), expr("(n * 8) % 10").as("rem"))
+      val tot = st.agg(sum("n").cast("long").as("nn"), sum("fl").cast("long").as("sf"))
+      val tgt = st.crossJoin(broadcast(tot))
+        .select(col("lang"), col("n"),
+          (col("fl") + when(
+            row_number().over(Window.orderBy(col("rem").desc, col("lang"))) <=
+              expr("(nn * 8 + 5) div 10") - col("sf"), 1L).otherwise(0L)).as("n_train"))
+      d.join(broadcast(tgt), "lang")
+        .groupBy("lang")
+        .agg(max("n").cast("long").as("n_docs"),
+          max("n_train").cast("long").as("n_train"),
+          sum(when(col("rk") <= col("n_train"), col("doc_id")).otherwise(0L))
+            .cast("long").as("train_id_sum"))
+        .orderBy("lang")
+    },
+
+    // Horvitz-Thompson estimation round trip over the q177 PPS sample:
+    // estimate the CORPUS DOC COUNT from the ~100 size-weighted picks
+    // via 1/pi weights (pi_i = w_i*100/tot). The reciprocal weights
+    // are truncated to 1e-6 resolution as integers so the estimator
+    // sums are BIGINT-exact — both engines produce the identical
+    // estimate, and the relative error column shows the
+    // size-debiasing actually works. Sampling at 100 TB IS
+    // estimation: this is the audit that closes the loop.
+    QueryDef(
+      "q209_horvitz_thompson",
+      """WITH c AS (
+        |  SELECT doc_id, n_chars AS w,
+        |         SUM(n_chars) OVER (ORDER BY doc_id) AS cum
+        |  FROM documents
+        |), t AS (
+        |  SELECT CAST(SUM(n_chars) AS BIGINT) AS tot,
+        |         CAST(COUNT(*) AS BIGINT) AS n_docs
+        |  FROM documents
+        |), picks AS (
+        |  SELECT doc_id, w FROM c CROSS JOIN t
+        |  WHERE (cum * 100) // tot > ((cum - w) * 100) // tot
+        |), est AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_picks,
+        |         CAST(SUM((CAST(tot AS BIGINT) * 1000000) // (100 * w)) AS BIGINT) AS ht_micro
+        |  FROM picks CROSS JOIN t
+        |)
+        |SELECT est.n_picks, t.n_docs AS true_docs,
+        |       CAST(ROUND(CAST(ht_micro AS DOUBLE) / 1000000, 2) AS DOUBLE) AS ht_estimate,
+        |       CAST(ROUND((CAST(ht_micro AS DOUBLE) / 1000000 - CAST(t.n_docs AS DOUBLE))
+        |                  / CAST(t.n_docs AS DOUBLE), 4) AS DOUBLE) AS rel_err
+        |FROM est CROSS JOIN t""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val d = docs.select(col("doc_id"), col("n_chars").cast("long").as("w"),
+        (col("doc_id") / 1000L).cast("long").as("b"))
+      val local = d.select(col("doc_id"), col("w"), col("b"),
+        sum("w").over(Window.partitionBy("b").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("lcum"))
+      val offsets = d.groupBy("b").agg(sum("w").as("bs"))
+        .select(col("b"),
+          coalesce(sum("bs").over(Window.orderBy("b")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("off"))
+      val t = d.agg(sum("w").cast("long").as("tot"),
+        count(lit(1)).cast("long").as("n_docs"))
+      val picks = local.join(broadcast(offsets), "b")
+        .withColumn("cum", col("lcum") + col("off"))
+        .crossJoin(broadcast(t))
+        .filter(expr("(cum * 100) div tot > ((cum - w) * 100) div tot"))
+      val est = picks.agg(count(lit(1)).cast("long").as("n_picks"),
+        sum(expr("(tot * 1000000) div (100 * w)")).cast("long").as("ht_micro"))
+      est.crossJoin(broadcast(t))
+        .select(col("n_picks"), col("n_docs").as("true_docs"),
+          round(col("ht_micro").cast("double") / 1000000, 2)
+            .cast("double").as("ht_estimate"),
+          round((col("ht_micro").cast("double") / 1000000 - col("n_docs").cast("double")) /
+            col("n_docs").cast("double"), 4).cast("double").as("rel_err"))
     }
   )
 }

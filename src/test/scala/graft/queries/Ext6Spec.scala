@@ -251,6 +251,24 @@ class Ext6Spec extends SparkSpec {
     assert(rows.map(_.getLong(1)).sum === nDays)
   }
 
+  test("q208: global train count exact; per-stratum within 1 of 80%") {
+    val rows = run("q208_stratified_exact_split").collect()
+    val n = rows.map(_.getLong(1)).sum
+    assert(rows.map(_.getLong(2)).sum === (n * 8 + 5) / 10,
+      "Hamilton bumps must land the global count exactly")
+    rows.foreach { r =>
+      val (nl, tr) = (r.getLong(1), r.getLong(2))
+      assert(math.abs(tr - 0.8 * nl) <= 1.0, s"stratum drifted: $r")
+    }
+  }
+
+  test("q209: HT estimator debiases the size-weighted sample") {
+    val r = run("q209_horvitz_thompson").head()
+    assert(r.getLong(0) >= 90 && r.getLong(0) <= 100)
+    assert(math.abs(r.getDouble(3)) < 0.15,
+      s"HT estimate should land near the true doc count: $r")
+  }
+
   test("q196: TWAP is a convex combination of the user's held values") {
     val bounds = Tables.load(spark, sf, "events")
       .filter(col("value").isNotNull)
