@@ -25,6 +25,7 @@ object SparkEntry {
       graft.queries.Ext5.queries ++
       graft.queries.Ext6.queries ++
       graft.queries.Ext7.queries ++
+      graft.queries.Ext8.queries ++
       graft.queries.Curation.queries ++
       graft.queries.Framework.queries
 

@@ -269,6 +269,47 @@ class Ext6Spec extends SparkSpec {
       s"HT estimate should land near the true doc count: $r")
   }
 
+  test("q210: phrase occurrences bounded by bigram/doc counts") {
+    val rows = run("q210_phrase_search").collect()
+    assert(rows.length === 5)
+    val nDocs = Tables.load(spark, sf, "documents").count()
+    rows.foreach { r =>
+      assert(r.getString(1).split(" ").length === 3)
+      assert(r.getLong(2) <= nDocs)
+      assert(r.getLong(3) >= r.getLong(2),
+        "occurrences can never be fewer than matching docs")
+    }
+    // top-1 occurrence count must dominate
+    assert(rows.map(_.getLong(3)).sliding(2).forall(w => w(0) >= w(1)))
+  }
+
+  test("q211: k-anonymity histogram conserves classes and rows") {
+    val rows = run("q211_k_anonymity").collect()
+    val orders = Tables.load(spark, sf, "orders").count()
+    assert(rows.map(_.getLong(2)).sum === orders)
+    rows.foreach { r =>
+      val (k, nc, nr) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      if (k < 6) assert(nr === k * nc, s"bucket $k: rows must be k*classes")
+      else assert(nr >= 6 * nc)
+    }
+  }
+
+  test("q212: Laplace noise bounded and centered; counts conserved") {
+    val rows = run("q212_dp_laplace_release").collect()
+    assert(rows.length === 25)
+    rows.foreach { r =>
+      // noisy_n and abs_noise are rounded independently — compare to
+      // the 1e-4 rounding resolution
+      assert(math.abs(math.abs(r.getDouble(2) - r.getLong(1)) - r.getDouble(3)) < 2e-4)
+      // inverse-CDF Laplace(1) from a 32-bit uniform cannot exceed
+      // ln(2^31) ~ 21.5 in magnitude
+      assert(r.getDouble(3) >= 0 && r.getDouble(3) < 22.0)
+    }
+    // the md5 draws should straddle zero: some noise up, some down
+    val dirs = rows.map(r => math.signum(r.getDouble(2) - r.getLong(1)))
+    assert(dirs.contains(1.0) && dirs.contains(-1.0))
+  }
+
   test("q196: TWAP is a convex combination of the user's held values") {
     val bounds = Tables.load(spark, sf, "events")
       .filter(col("value").isNotNull)
