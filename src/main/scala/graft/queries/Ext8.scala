@@ -126,6 +126,143 @@ object Ext8 {
           round(col("true_n").cast("double") - noise, 4).cast("double").as("noisy_n"),
           round(abs(noise), 4).cast("double").as("abs_noise"))
         .orderBy("nation")
+    },
+
+    // Per-class precision/recall/F1 of the q23 language predictor
+    // against the declared labels — the metric layer over q95's
+    // confusion matrix. Counts are integers; each metric is one
+    // mirrored-shape double division. An eval harness at 100 TB is
+    // exactly this: a confusion rollup (cells = classes², not rows)
+    // plus ratio arithmetic.
+    QueryDef(
+      "q213_langid_f1",
+      """WITH markers(w, cand) AS (
+        |  VALUES ('the','en'), ('and','en'), ('of','en'),
+        |         ('el','es'), ('la','es'), ('de','es'),
+        |         ('der','de'), ('und','de'), ('die','de'),
+        |         ('le','fr'), ('et','fr'), ('les','fr')
+        |), tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+        |), hits AS (
+        |  SELECT doc_id, cand, COUNT(*) AS c
+        |  FROM tok JOIN markers USING (w) GROUP BY doc_id, cand
+        |), best AS (
+        |  SELECT doc_id, cand, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, cand) AS rn
+        |  FROM hits
+        |), pred AS (
+        |  SELECT d.doc_id, d.lang, COALESCE(b.cand, 'unknown') AS pred_lang
+        |  FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
+        |), cls AS (
+        |  SELECT DISTINCT lang FROM documents
+        |), m AS (
+        |  SELECT cls.lang,
+        |         CAST(SUM(CASE WHEN p.lang = cls.lang AND p.pred_lang = cls.lang THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |         CAST(SUM(CASE WHEN p.lang <> cls.lang AND p.pred_lang = cls.lang THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |         CAST(SUM(CASE WHEN p.lang = cls.lang AND p.pred_lang <> cls.lang THEN 1 ELSE 0 END) AS BIGINT) AS fn
+        |  FROM cls CROSS JOIN pred p GROUP BY cls.lang
+        |)
+        |SELECT lang, tp, fp, fn,
+        |       -- a class the predictor never emits (zh has no markers)
+        |       -- has undefined precision: NULL on both engines
+        |       CASE WHEN tp + fp = 0 THEN NULL
+        |            ELSE CAST(ROUND(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6) AS DOUBLE)
+        |       END AS precision,
+        |       CAST(ROUND(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6) AS DOUBLE) AS recall,
+        |       CAST(ROUND(2.0 * CAST(tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE), 6) AS DOUBLE) AS f1
+        |FROM m ORDER BY lang""".stripMargin) { (s, dir) =>
+      val pred = Tables.load(s, dir, "documents").select(col("doc_id"), col("lang"))
+        .join(TextOps.langPred(s, dir).select("doc_id", "pred_lang"), "doc_id")
+      val cls = Tables.load(s, dir, "documents").select("lang").distinct()
+        .withColumnRenamed("lang", "cl")
+      val m = cls.crossJoin(pred)
+        .groupBy(col("cl").as("lang"))
+        .agg(
+          sum(when(col("lang") === col("cl") && col("pred_lang") === col("cl"), 1)
+            .otherwise(0)).cast("long").as("tp"),
+          sum(when(col("lang") =!= col("cl") && col("pred_lang") === col("cl"), 1)
+            .otherwise(0)).cast("long").as("fp"),
+          sum(when(col("lang") === col("cl") && col("pred_lang") =!= col("cl"), 1)
+            .otherwise(0)).cast("long").as("fn"))
+      m.select(col("lang"), col("tp"), col("fp"), col("fn"),
+          when(col("tp") + col("fp") === 0, lit(null))
+            .otherwise(round(col("tp").cast("double") /
+              (col("tp") + col("fp")).cast("double"), 6))
+            .cast("double").as("precision"),
+          round(col("tp").cast("double") / (col("tp") + col("fn")).cast("double"), 6)
+            .cast("double").as("recall"),
+          round(lit(2.0) * col("tp").cast("double") /
+            (lit(2) * col("tp") + col("fp") + col("fn")).cast("double"), 6)
+            .cast("double").as("f1"))
+        .orderBy("lang")
+    },
+
+    // Tie-aware ROC-AUC by rank-sum (Mann-Whitney U) of the q92
+    // quality score against a binary property (declared lang = 'en').
+    // Average ranks for tied scores enter as the INTEGER 2*avg_rank =
+    // 2*first_rank + group_size - 1, so every sum up to the final
+    // division is BIGINT-exact — the float-ordering trap of averaging
+    // ranks never opens. Scale: the rank pass is a score-keyed
+    // aggregate (distinct scores, not rows) + one suffix sum.
+    QueryDef(
+      "q214_roc_auc",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+        |), f AS (
+        |  SELECT doc_id, COUNT(*) AS n, COUNT(DISTINCT w) AS nd, SUM(len(w)) AS chars
+        |  FROM tok GROUP BY doc_id
+        |), sc AS (
+        |  SELECT f.doc_id,
+        |         CAST('-1.2' AS DECIMAL(12,6))
+        |           + CAST('0.016' AS DECIMAL(12,6)) * n
+        |           + CAST('2.5' AS DECIMAL(12,6)) * CAST(ROUND(CAST(nd AS DECIMAL(20,6)) / n, 4) AS DECIMAL(12,6))
+        |           - CAST('0.3' AS DECIMAL(12,6)) * CAST(ROUND(CAST(chars AS DECIMAL(20,6)) / n, 4) AS DECIMAL(12,6)) AS score,
+        |         CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS pos
+        |  FROM f JOIN documents d ON d.doc_id = f.doc_id
+        |), g AS (
+        |  SELECT score, CAST(COUNT(*) AS BIGINT) AS c,
+        |         CAST(SUM(pos) AS BIGINT) AS cpos
+        |  FROM sc GROUP BY score
+        |), r AS (
+        |  SELECT score, c, cpos,
+        |         CAST(SUM(c) OVER (ORDER BY score) - c + 1 AS BIGINT) AS lo
+        |  FROM g
+        |), agg AS (
+        |  SELECT CAST(SUM(cpos) AS BIGINT) AS npos,
+        |         CAST(SUM(c - cpos) AS BIGINT) AS nneg,
+        |         CAST(SUM(cpos * (2 * lo + c - 1)) AS BIGINT) AS ranksum2
+        |  FROM r
+        |)
+        |SELECT npos AS n_positive, nneg AS n_negative,
+        |       CAST(ROUND(CAST(ranksum2 - npos * (npos + 1) AS DOUBLE)
+        |                  / CAST(2 * npos * nneg AS DOUBLE), 6) AS DOUBLE) AS auc
+        |FROM agg""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      def d6(c: org.apache.spark.sql.Column) = c.cast(DecimalType(20, 6))
+      val f = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("doc_id", "lang")
+        .agg(count(lit(1)).as("n"), countDistinct("w").as("nd"),
+          sum(length(col("w"))).as("chars"))
+      val w0 = lit(BigDecimal("-1.2")).cast(DecimalType(12, 6))
+      val w1 = lit(BigDecimal("0.016")).cast(DecimalType(12, 6))
+      val w2 = lit(BigDecimal("2.5")).cast(DecimalType(12, 6))
+      val w3 = lit(BigDecimal("0.3")).cast(DecimalType(12, 6))
+      val sc = f.select(
+        (w0 + w1 * col("n") +
+          w2 * round(d6(col("nd")) / col("n"), 4).cast(DecimalType(12, 6)) -
+          w3 * round(d6(col("chars")) / col("n"), 4).cast(DecimalType(12, 6))).as("score"),
+        when(col("lang") === "en", 1).otherwise(0).as("pos"))
+      val g = sc.groupBy("score")
+        .agg(count(lit(1)).cast("long").as("c"), sum("pos").cast("long").as("cpos"))
+      val r = g.withColumn("lo",
+        (sum("c").over(Window.orderBy("score")) - col("c") + 1).cast("long"))
+      val agg = r.agg(sum("cpos").cast("long").as("npos"),
+        sum(col("c") - col("cpos")).cast("long").as("nneg"),
+        sum(col("cpos") * (lit(2) * col("lo") + col("c") - 1)).cast("long").as("ranksum2"))
+      agg.select(col("npos").as("n_positive"), col("nneg").as("n_negative"),
+        round((col("ranksum2") - col("npos") * (col("npos") + 1)).cast("double") /
+          (lit(2) * col("npos") * col("nneg")).cast("double"), 6)
+          .cast("double").as("auc"))
     }
   )
 }

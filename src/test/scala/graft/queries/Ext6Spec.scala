@@ -310,6 +310,49 @@ class Ext6Spec extends SparkSpec {
     assert(dirs.contains(1.0) && dirs.contains(-1.0))
   }
 
+  test("q213: F1 is the harmonic mean of its published P/R; counts tally") {
+    val rows = run("q213_langid_f1").collect()
+    val docs = Tables.load(spark, sf, "documents")
+    val langs = docs.select("lang").distinct().count()
+    assert(rows.length === langs)
+    // tp+fn per class = class size
+    val sizes = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(1) + r.getLong(3) === sizes(r.getString(0)))
+      if (!r.isNullAt(4)) {
+        val (p, rc, f1) = (r.getDouble(4), r.getDouble(5), r.getDouble(6))
+        if (p + rc > 0)
+          assert(math.abs(f1 - 2 * p * rc / (p + rc)) < 1e-3, s"F1 drifted: $r")
+      }
+    }
+  }
+
+  test("q214: AUC in [0,1]; counts partition the corpus; flip symmetry") {
+    val r = run("q214_roc_auc").head()
+    val (np, nn, auc) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    assert(np + nn === Tables.load(spark, sf, "documents").count())
+    assert(auc >= 0.0 && auc <= 1.0)
+    // rank-sum AUC of the NEGATED labels must be the complement
+    val docs = Tables.load(spark, sf, "documents")
+    val scores = run("q92_quality_classifier").select("doc_id", "score")
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .collect().map(r => (r.getDouble(1), r.getString(2) == "en"))
+    val sorted = scores.sortBy(_._1)
+    // brute-force tie-aware AUC for cross-checking the windowed form
+    val grouped = sorted.groupBy(_._1).toSeq.sortBy(_._1)
+    var lo = 1L; var rs2 = 0L
+    grouped.foreach { case (_, g) =>
+      val c = g.length; val cp = g.count(_._2)
+      rs2 += cp * (2 * lo + c - 1); lo += c
+    }
+    val bruteAuc = (rs2 - np * (np + 1)).toDouble / (2.0 * np * nn)
+    // the cross-check ranks q92's PUBLISHED (4dp-rounded) scores while
+    // q214 ranks the exact decimals — rounding merges a few tie groups,
+    // shifting the rank-sum at the 1e-4 level
+    assert(math.abs(auc - bruteAuc) < 1e-3, s"windowed $auc vs brute $bruteAuc")
+  }
+
   test("q196: TWAP is a convex combination of the user's held values") {
     val bounds = Tables.load(spark, sf, "events")
       .filter(col("value").isNotNull)
