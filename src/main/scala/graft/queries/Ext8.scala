@@ -263,6 +263,92 @@ object Ext8 {
         round((col("ranksum2") - col("npos") * (col("npos") + 1)).cast("double") /
           (lit(2) * col("npos") * col("nneg")).cast("double"), 6)
           .cast("double").as("auc"))
+    },
+
+    // RFM segmentation: recency/frequency/monetary quintiles per
+    // customer (NTILE over totally-ordered keys — the tie-break makes
+    // both engines assign identical quintiles), segment = 100r+10f+m,
+    // then the segment-size/value profile. The marketing-analytics
+    // staple; scale shape is one custkey rollup + three partitioned
+    // rank passes over the CUSTOMER dimension (not the order fact).
+    QueryDef(
+      "q215_rfm_segments",
+      """WITH cust AS (
+        |  SELECT o_custkey,
+        |         CAST(DATE_DIFF('day', MAX(o_orderdate), TIMESTAMP '2001-09-01 00:00:00') AS BIGINT) AS rec_days,
+        |         CAST(COUNT(*) AS BIGINT) AS freq,
+        |         CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1
+        |), q AS (
+        |  SELECT o_custkey, rec_days, freq, cents,
+        |         NTILE(5) OVER (ORDER BY rec_days, o_custkey) AS r,
+        |         NTILE(5) OVER (ORDER BY freq DESC, o_custkey) AS f,
+        |         NTILE(5) OVER (ORDER BY cents DESC, o_custkey) AS m
+        |  FROM cust
+        |)
+        |SELECT CAST(r * 100 + f * 10 + m AS BIGINT) AS segment,
+        |       CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |       CAST(SUM(cents) AS BIGINT) AS total_cents
+        |FROM q GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val cust = Tables.load(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(datediff(lit("2001-09-01").cast("timestamp"), max("o_orderdate"))
+          .cast("long").as("rec_days"),
+          count(lit(1)).cast("long").as("freq"),
+          sum(round(col("o_totalprice") * 100, 0).cast("long")).cast("long").as("cents"))
+      val q = cust.select(col("o_custkey"), col("cents"),
+        ntile(5).over(Window.orderBy(col("rec_days"), col("o_custkey"))).as("r"),
+        ntile(5).over(Window.orderBy(col("freq").desc, col("o_custkey"))).as("f"),
+        ntile(5).over(Window.orderBy(col("cents").desc, col("o_custkey"))).as("m"))
+      q.groupBy((col("r") * 100 + col("f") * 10 + col("m")).cast("long").as("segment"))
+        .agg(count(lit(1)).cast("long").as("n_customers"),
+          sum("cents").cast("long").as("total_cents"))
+        .orderBy("segment")
+    },
+
+    // Term burstiness (Fano factor): variance-to-mean ratio of a
+    // term's per-document counts — bursty terms (F >> 1) concentrate
+    // in few docs (topical), F ~ 1 is Poisson-like (function words).
+    // The moments come from integer sums including zero-docs via the
+    // closed form (sum over docs WITHOUT the term contributes 0), so
+    // no dense doc x term grid materializes — the kernel that matters
+    // when |docs| x |vocab| is astronomically sparse at 100 TB.
+    QueryDef(
+      "q216_term_burstiness",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+        |), dt AS (
+        |  SELECT w, doc_id, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2
+        |), nd AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+        |), m AS (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS df,
+        |         CAST(SUM(c) AS BIGINT) AS tf, CAST(SUM(c * c) AS BIGINT) AS tf2
+        |  FROM dt GROUP BY 1
+        |)
+        |SELECT w AS term, df, tf,
+        |       -- fano = var/mean over ALL docs (zeros included):
+        |       -- var*n² = n*Σc² − (Σc)², mean*n = Σc → F = (n*Σc²−(Σc)²)/(n*Σc)
+        |       CAST(ROUND(CAST(n_docs * tf2 - tf * tf AS DOUBLE)
+        |                  / CAST(n_docs * tf AS DOUBLE), 6) AS DOUBLE) AS fano
+        |FROM m CROSS JOIN nd
+        |ORDER BY fano DESC, term LIMIT 15""".stripMargin) { (s, dir) =>
+      val tok = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val dt = tok.groupBy("w", "doc_id").agg(count(lit(1)).cast("long").as("c"))
+      val nd = Tables.load(s, dir, "documents")
+        .agg(count(lit(1)).cast("long").as("n_docs"))
+      val m = dt.groupBy("w")
+        .agg(count(lit(1)).cast("long").as("df"),
+          sum("c").cast("long").as("tf"),
+          sum(col("c") * col("c")).cast("long").as("tf2"))
+      m.crossJoin(broadcast(nd))
+        .select(col("w").as("term"), col("df"), col("tf"),
+          round((col("n_docs") * col("tf2") - col("tf") * col("tf")).cast("double") /
+            (col("n_docs") * col("tf")).cast("double"), 6)
+            .cast("double").as("fano"))
+        .orderBy(col("fano").desc, col("term"))
+        .limit(15)
     }
   )
 }

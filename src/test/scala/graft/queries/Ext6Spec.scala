@@ -353,6 +353,34 @@ class Ext6Spec extends SparkSpec {
     assert(math.abs(auc - bruteAuc) < 1e-3, s"windowed $auc vs brute $bruteAuc")
   }
 
+  test("q215: RFM segments partition customers; codes are valid quintiles") {
+    val rows = run("q215_rfm_segments").collect()
+    val nCust = Tables.load(spark, sf, "orders")
+      .select(countDistinct("o_custkey")).head().getLong(0)
+    assert(rows.map(_.getLong(1)).sum === nCust)
+    rows.foreach { r =>
+      val seg = r.getLong(0)
+      val (rr, f, m) = (seg / 100, (seg / 10) % 10, seg % 10)
+      assert(rr >= 1 && rr <= 5 && f >= 1 && f <= 5 && m >= 1 && m <= 5, s"bad segment $seg")
+    }
+    val totalCents = Tables.load(spark, sf, "orders")
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))).head().getLong(0)
+    assert(rows.map(_.getLong(2)).sum === totalCents)
+  }
+
+  test("q216: Fano factors nonnegative; df <= n_docs; df=tf terms near-Poisson cap") {
+    val rows = run("q216_term_burstiness").collect()
+    assert(rows.length === 15)
+    val nDocs = Tables.load(spark, sf, "documents").count()
+    rows.foreach { r =>
+      assert(r.getLong(1) <= nDocs)
+      assert(r.getLong(2) >= r.getLong(1), "total freq >= doc freq")
+      assert(r.getDouble(3) >= 0.0, s"variance ratio cannot be negative: $r")
+    }
+    // ranked descending
+    assert(rows.map(_.getDouble(3)).sliding(2).forall(w => w(0) >= w(1)))
+  }
+
   test("q196: TWAP is a convex combination of the user's held values") {
     val bounds = Tables.load(spark, sf, "events")
       .filter(col("value").isNotNull)
