@@ -64,6 +64,40 @@ object Ext6 {
       .withColumn("bucket", cmsBucketExpr("j", "k"))
       .groupBy("j", "bucket").agg(sum("c").cast("long").as("cell"))
 
+  /** Hamilton (largest-remainder) proration kernel shared by q195 and
+    * the PropertySpec invariant test: distribute `order_cents` across
+    * the order's lines proportionally to `ext_cents`, floor the exact
+    * rational share, bump the largest remainders (tie: line number) so
+    * the per-order sum is EXACT. Scale-honest topology: both inputs
+    * are facts, so the join shuffles on the order key (shuffle_hash
+    * hint — the optimizer otherwise broadcasts a fact-derived hashed
+    * relation under a generous threshold, impossible at cluster
+    * scale), order totals come from an unordered window over the SAME
+    * partitioning, and the rank + floor-sum share one sorted window
+    * pass. Total wire cost: one orderkey exchange per input + two
+    * in-partition sorts.
+    *
+    * Output: (l_orderkey, l_linenumber, shortfall, rr, cents).
+    */
+  private[graft] def hamiltonAllocate(li: DataFrame, o: DataFrame): DataFrame = {
+    val base = li.join(o.hint("shuffle_hash"),
+      col("o_orderkey") === col("l_orderkey"))
+    val wOrd = Window.partitionBy("l_orderkey")
+    val fl = base
+      .withColumn("tot_ext", sum("ext_cents").over(wOrd).cast("long"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("order_cents"),
+        expr("(order_cents * ext_cents) div tot_ext").as("fl_cents"),
+        expr("(order_cents * ext_cents) % tot_ext").as("rem"))
+    val wRank = Window.partitionBy("l_orderkey")
+      .orderBy(col("rem").desc, col("l_linenumber"))
+    val wAll = wRank.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    fl.select(col("l_orderkey"), col("l_linenumber"), col("fl_cents"),
+        (col("order_cents") - sum("fl_cents").over(wAll).cast("long")).as("shortfall"),
+        row_number().over(wRank).as("rr"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("shortfall"), col("rr"),
+        (col("fl_cents") + when(col("rr") <= col("shortfall"), 1L).otherwise(0L)).as("cents"))
+  }
+
   /** Point estimates for probe keys (column `k`) against folded cells:
     * min over the 4 row-buckets; >= truth by construction. The folded
     * sketch is at most 1024 rows — always broadcast.
@@ -383,30 +417,7 @@ object Ext6 {
       val o = Tables.load(s, dir, "orders")
         .select(col("o_orderkey"),
           round(col("o_totalprice") * 100, 0).cast("long").as("order_cents"))
-      // scale-honest topology: BOTH inputs are facts, so the join must
-      // shuffle on the order key (shuffle_hash hint — without it the
-      // optimizer happily broadcasts a 1.5M-row hashed relation at the
-      // 10x gate, which churns heap here and is impossible at 100 TB),
-      // and the order totals come from an unordered window over the
-      // SAME partitioning (no second exchange, no broadcast of a
-      // fact-derived aggregate). Total wire cost: one orderkey
-      // exchange per input + two in-partition sorts.
-      val base = li.join(o.hint("shuffle_hash"),
-        col("o_orderkey") === col("l_orderkey"))
-      val wOrd = Window.partitionBy("l_orderkey")
-      val fl = base
-        .withColumn("tot_ext", sum("ext_cents").over(wOrd).cast("long"))
-        .select(col("l_orderkey"), col("l_linenumber"), col("order_cents"),
-          expr("(order_cents * ext_cents) div tot_ext").as("fl_cents"),
-          expr("(order_cents * ext_cents) % tot_ext").as("rem"))
-      val wRank = Window.partitionBy("l_orderkey")
-        .orderBy(col("rem").desc, col("l_linenumber"))
-      val wAll = wRank.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      val need = fl.select(col("l_orderkey"), col("l_linenumber"), col("fl_cents"),
-        (col("order_cents") - sum("fl_cents").over(wAll).cast("long")).as("shortfall"),
-        row_number().over(wRank).as("rr"))
-      val alloc = need.select(col("l_linenumber"), col("shortfall"), col("rr"),
-        (col("fl_cents") + when(col("rr") <= col("shortfall"), 1L).otherwise(0L)).as("cents"))
+      val alloc = hamiltonAllocate(li, o)
       // orders per shortfall group = rr==1 rows (exactly one per order;
       // shortfall is order-constant) — no countDistinct Expand over the
       // full lineitem fact

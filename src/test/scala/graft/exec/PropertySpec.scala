@@ -98,6 +98,36 @@ class PropertySpec extends SparkSpec {
   // (the q48 min-label propagation property test moved to
   // graft.queries.TextOpsSpec, where it runs the real kernel)
 
+  test("Hamilton allocation: exact order sums, every line within 1 cent of its share") {
+    val orderGen: Gen[(Long, Long, Seq[Long])] = for {
+      key <- Gen.choose(1L, 1000000L)
+      total <- Gen.choose(1L, 100000000L)
+      nLines <- Gen.choose(1, 9)
+      exts <- Gen.listOfN(nLines, Gen.choose(1L, 5000000L))
+    } yield (key, total, exts)
+    val orders = samples(orderGen, 60).distinctBy(_._1)
+    val li = orders.flatMap { case (k, _, exts) =>
+      exts.zipWithIndex.map { case (e, i) => (k, i + 1, e) }
+    }.toDF("l_orderkey", "l_linenumber", "ext_cents")
+    val o = orders.map { case (k, t, _) => (k, t) }
+      .toDF("o_orderkey", "order_cents")
+    val alloc = graft.queries.Ext6.hamiltonAllocate(li, o).collect()
+    val byOrder = alloc.groupBy(_.getLong(0))
+    val expect = orders.map(t => t._1 -> t).toMap
+    byOrder.foreach { case (k, lines) =>
+      val (_, total, exts) = expect(k)
+      assert(lines.map(_.getLong(4)).sum === total,
+        s"order $k: allocation must sum exactly to its cents")
+      val tot = exts.sum
+      lines.foreach { r =>
+        val ext = exts(r.getInt(1) - 1)
+        val exact = total.toDouble * ext / tot
+        assert(math.abs(r.getLong(4) - exact) < 1.0,
+          s"order $k line ${r.getInt(1)}: ${r.getLong(4)} vs exact $exact")
+      }
+    }
+  }
+
   test("time travel reads append-log prefixes; vacuum removes replace orphans") {
     import spark.implicits._
     val wh = new Engine(spark, Manifest(Map.empty), tmpDir("prop_wh3")).wh
