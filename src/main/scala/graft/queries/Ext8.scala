@@ -349,6 +349,130 @@ object Ext8 {
             .cast("double").as("fano"))
         .orderBy(col("fano").desc, col("term"))
         .limit(15)
+    },
+
+    // Trending top-k: the top-20 parts by lineitem volume in each
+    // half of the shipdate range, full-outer-joined into an
+    // entered/dropped/stayed report with rank deltas — the
+    // heavy-hitter CHANGE detector an ops dashboard runs, not just
+    // the static top-k. Both halves are TakeOrdered top-ks over a
+    // part-dimension aggregate; the join is 20x20.
+    QueryDef(
+      "q217_trending_parts",
+      """WITH b AS (
+        |  SELECT MIN(l_shipdate) AS lo, MAX(l_shipdate) AS hi FROM lineitem
+        |), h AS (
+        |  SELECT l_partkey,
+        |         CASE WHEN DATE_DIFF('microseconds', lo, l_shipdate) * 2
+        |                   < DATE_DIFF('microseconds', lo, hi) THEN 1 ELSE 2 END AS half
+        |  FROM lineitem CROSS JOIN b
+        |), c AS (
+        |  SELECT half, l_partkey, CAST(COUNT(*) AS BIGINT) AS n FROM h GROUP BY 1, 2
+        |), r AS (
+        |  SELECT half, l_partkey, n,
+        |         ROW_NUMBER() OVER (PARTITION BY half ORDER BY n DESC, l_partkey) AS rk
+        |  FROM c QUALIFY rk <= 20
+        |)
+        |SELECT COALESCE(a.l_partkey, z.l_partkey) AS partkey,
+        |       CAST(COALESCE(a.rk, 0) AS BIGINT) AS rank_h1,
+        |       CAST(COALESCE(z.rk, 0) AS BIGINT) AS rank_h2,
+        |       CASE WHEN a.l_partkey IS NULL THEN 'entered'
+        |            WHEN z.l_partkey IS NULL THEN 'dropped'
+        |            ELSE 'stayed' END AS status
+        |FROM (SELECT * FROM r WHERE half = 1) a
+        |FULL OUTER JOIN (SELECT * FROM r WHERE half = 2) z
+        |  ON z.l_partkey = a.l_partkey
+        |ORDER BY status, partkey""".stripMargin) { (s, dir) =>
+      // l_shipdate ships as TIMESTAMP_NTZ — normalize to session-TZ
+      // micros (UTC session) before epoch arithmetic
+      val li = Tables.load(s, dir, "lineitem")
+        .withColumn("sd", col("l_shipdate").cast("timestamp"))
+      val b = li.agg(min("sd").as("lo"), max("sd").as("hi"))
+      val h = li.select(col("l_partkey"), col("sd"))
+        .crossJoin(broadcast(b))
+        .select(col("l_partkey"),
+          when((unix_micros(col("sd")) - unix_micros(col("lo"))) * 2 <
+            unix_micros(col("hi")) - unix_micros(col("lo")), 1).otherwise(2).as("half"))
+      val c = h.groupBy("half", "l_partkey").agg(count(lit(1)).cast("long").as("n"))
+      def topHalf(half: Int) = c.filter(col("half") === half)
+        .orderBy(col("n").desc, col("l_partkey")).limit(20)
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("n").desc, col("l_partkey"))))
+      val a = topHalf(1).select(col("l_partkey").as("pk1"), col("rk").as("rk1"))
+      val z = topHalf(2).select(col("l_partkey").as("pk2"), col("rk").as("rk2"))
+      a.join(z, col("pk2") === col("pk1"), "full_outer")
+        .select(coalesce(col("pk1"), col("pk2")).as("partkey"),
+          coalesce(col("rk1"), lit(0)).cast("long").as("rank_h1"),
+          coalesce(col("rk2"), lit(0)).cast("long").as("rank_h2"),
+          when(col("pk1").isNull, "entered")
+            .when(col("pk2").isNull, "dropped")
+            .otherwise("stayed").as("status"))
+        .orderBy("status", "partkey")
+    },
+
+    // Decile gains table for the q92 quality score against lang='en':
+    // cumulative capture rate of positives by score decile — the
+    // companion readout to q214's AUC (a model that ranks well
+    // concentrates positives in the top deciles). Deciles by
+    // totally-ordered NTILE; every column is an integer count or an
+    // exact-integer ratio.
+    QueryDef(
+      "q218_gains_table",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+        |), f AS (
+        |  SELECT doc_id, COUNT(*) AS n, COUNT(DISTINCT w) AS nd, SUM(len(w)) AS chars
+        |  FROM tok GROUP BY doc_id
+        |), sc AS (
+        |  SELECT f.doc_id,
+        |         CAST('-1.2' AS DECIMAL(12,6))
+        |           + CAST('0.016' AS DECIMAL(12,6)) * n
+        |           + CAST('2.5' AS DECIMAL(12,6)) * CAST(ROUND(CAST(nd AS DECIMAL(20,6)) / n, 4) AS DECIMAL(12,6))
+        |           - CAST('0.3' AS DECIMAL(12,6)) * CAST(ROUND(CAST(chars AS DECIMAL(20,6)) / n, 4) AS DECIMAL(12,6)) AS score,
+        |         CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS pos
+        |  FROM f JOIN documents d ON d.doc_id = f.doc_id
+        |), dec AS (
+        |  SELECT pos, NTILE(10) OVER (ORDER BY score DESC, doc_id) AS decile FROM sc
+        |), g AS (
+        |  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |         CAST(SUM(pos) AS BIGINT) AS n_pos
+        |  FROM dec GROUP BY 1
+        |), t AS (
+        |  SELECT CAST(SUM(n_pos) AS BIGINT) AS total_pos FROM g
+        |)
+        |SELECT CAST(decile AS BIGINT) AS decile, n_docs, n_pos,
+        |       CAST(SUM(n_pos) OVER (ORDER BY decile) AS BIGINT) AS cum_pos,
+        |       CAST(ROUND(CAST(SUM(n_pos) OVER (ORDER BY decile) AS DOUBLE)
+        |                  / CAST(total_pos AS DOUBLE), 6) AS DOUBLE) AS cum_capture
+        |FROM g CROSS JOIN t ORDER BY decile""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      def d6(c: org.apache.spark.sql.Column) = c.cast(DecimalType(20, 6))
+      val f = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("doc_id", "lang")
+        .agg(count(lit(1)).as("n"), countDistinct("w").as("nd"),
+          sum(length(col("w"))).as("chars"))
+      val w0 = lit(BigDecimal("-1.2")).cast(DecimalType(12, 6))
+      val w1 = lit(BigDecimal("0.016")).cast(DecimalType(12, 6))
+      val w2 = lit(BigDecimal("2.5")).cast(DecimalType(12, 6))
+      val w3 = lit(BigDecimal("0.3")).cast(DecimalType(12, 6))
+      val sc = f.select(col("doc_id"),
+        (w0 + w1 * col("n") +
+          w2 * round(d6(col("nd")) / col("n"), 4).cast(DecimalType(12, 6)) -
+          w3 * round(d6(col("chars")) / col("n"), 4).cast(DecimalType(12, 6))).as("score"),
+        when(col("lang") === "en", 1).otherwise(0).as("pos"))
+      val dec = sc.select(col("pos"),
+        ntile(10).over(Window.orderBy(col("score").desc, col("doc_id"))).as("decile"))
+      val g = dec.groupBy("decile")
+        .agg(count(lit(1)).cast("long").as("n_docs"), sum("pos").cast("long").as("n_pos"))
+      val t = g.agg(sum("n_pos").cast("long").as("total_pos"))
+      g.crossJoin(broadcast(t))
+        .withColumn("cum_pos", sum("n_pos").over(Window.orderBy("decile")).cast("long"))
+        .select(col("decile").cast("long").as("decile"), col("n_docs"), col("n_pos"),
+          col("cum_pos"),
+          round(col("cum_pos").cast("double") / col("total_pos").cast("double"), 6)
+            .cast("double").as("cum_capture"))
+        .orderBy("decile")
     }
   )
 }

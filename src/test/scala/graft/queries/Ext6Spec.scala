@@ -381,6 +381,33 @@ class Ext6Spec extends SparkSpec {
     assert(rows.map(_.getDouble(3)).sliding(2).forall(w => w(0) >= w(1)))
   }
 
+  test("q217: trending report is consistent — stayed in both, entered/dropped one-sided") {
+    val rows = run("q217_trending_parts").collect()
+    val stayed = rows.filter(_.getString(3) == "stayed")
+    val entered = rows.filter(_.getString(3) == "entered")
+    val dropped = rows.filter(_.getString(3) == "dropped")
+    assert(stayed.length + entered.length === 20, "half-2 top-20 = stayed + entered")
+    assert(stayed.length + dropped.length === 20, "half-1 top-20 = stayed + dropped")
+    stayed.foreach(r => assert(r.getLong(1) >= 1 && r.getLong(2) >= 1))
+    entered.foreach(r => assert(r.getLong(1) === 0 && r.getLong(2) >= 1))
+    dropped.foreach(r => assert(r.getLong(1) >= 1 && r.getLong(2) === 0))
+  }
+
+  test("q218: gains curve is monotone to 1.0 and deciles partition the corpus") {
+    val rows = run("q218_gains_table").collect()
+    assert(rows.length === 10)
+    assert(rows.map(_.getLong(1)).sum ===
+      Tables.load(spark, sf, "documents").count())
+    val capture = rows.map(_.getDouble(4))
+    assert(capture.sliding(2).forall(w => w(0) <= w(1)), "cumulative capture must rise")
+    assert(math.abs(capture.last - 1.0) < 1e-9)
+    // the gains kernel is the deliverable, not the toy score's quality
+    // (q214's AUC ~0.52 says it barely ranks 'en'): check only that
+    // deciles are near-equal-sized (NTILE property)
+    val sizes = rows.map(_.getLong(1))
+    assert(sizes.max - sizes.min <= 1, s"NTILE deciles must differ by at most 1: ${sizes.toList}")
+  }
+
   test("q196: TWAP is a convex combination of the user's held values") {
     val bounds = Tables.load(spark, sf, "events")
       .filter(col("value").isNotNull)
