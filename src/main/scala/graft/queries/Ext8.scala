@@ -473,6 +473,93 @@ object Ext8 {
           round(col("cum_pos").cast("double") / col("total_pos").cast("double"), 6)
             .cast("double").as("cum_capture"))
         .orderBy("decile")
+    },
+
+    // U-shaped (position-based) multi-touch attribution, completing
+    // the family next to last-touch (q143) and linear (q160): per
+    // purchase, 40% to the FIRST preceding touch, 40% to the LAST,
+    // 20% shared by the middles — in exact micro-units with the
+    // division remainder assigned to the last touch so every
+    // purchase's credit sums to exactly 1,000,000 (n=1 -> 100%,
+    // n=2 -> 50/50 by the standard rule). First/last touch types via
+    // IGNORE-NULLS window values over the same per-user frame the
+    // counts use — one sorted window pass, no self-join.
+    QueryDef(
+      "q219_ushape_attribution",
+      """WITH seq AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |         COUNT(CASE WHEN event_type = 'view' THEN 1 END) OVER w AS c_view,
+        |         COUNT(CASE WHEN event_type = 'click' THEN 1 END) OVER w AS c_click,
+        |         COUNT(CASE WHEN event_type = 'signup' THEN 1 END) OVER w AS c_signup,
+        |         FIRST_VALUE(CASE WHEN event_type IN ('view','click','signup')
+        |                          THEN event_type END IGNORE NULLS) OVER w AS ft,
+        |         LAST_VALUE(CASE WHEN event_type IN ('view','click','signup')
+        |                         THEN event_type END IGNORE NULLS) OVER w AS lt
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |), p AS (
+        |  SELECT c_view, c_click, c_signup, ft, lt,
+        |         c_view + c_click + c_signup AS n
+        |  FROM seq WHERE event_type = 'purchase'
+        |    AND c_view + c_click + c_signup > 0
+        |), cr AS (
+        |  SELECT t.touch_type,
+        |         CASE WHEN p.n = 1 THEN CASE WHEN p.ft = t.touch_type THEN 1000000 ELSE 0 END
+        |              WHEN p.n = 2 THEN
+        |                CASE WHEN p.ft = t.touch_type THEN 500000 ELSE 0 END
+        |                + CASE WHEN p.lt = t.touch_type THEN 500000 ELSE 0 END
+        |              ELSE
+        |                CASE WHEN p.ft = t.touch_type THEN 400000 ELSE 0 END
+        |                + CASE WHEN p.lt = t.touch_type THEN 400000 ELSE 0 END
+        |                + (200000 // (p.n - 2))
+        |                  * (CASE t.touch_type WHEN 'view' THEN p.c_view
+        |                       WHEN 'click' THEN p.c_click ELSE p.c_signup END
+        |                     - CASE WHEN p.ft = t.touch_type THEN 1 ELSE 0 END
+        |                     - CASE WHEN p.lt = t.touch_type THEN 1 ELSE 0 END)
+        |                + CASE WHEN p.lt = t.touch_type
+        |                       THEN 200000 % (p.n - 2) ELSE 0 END
+        |         END AS credit_fp
+        |  FROM p CROSS JOIN (VALUES ('view'), ('click'), ('signup')) t(touch_type)
+        |)
+        |SELECT touch_type, CAST(SUM(credit_fp) AS BIGINT) AS credit_fp,
+        |       CAST(SUM(CASE WHEN credit_fp > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_credited
+        |FROM cr GROUP BY touch_type ORDER BY touch_type""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val touch = when(col("event_type").isin("view", "click", "signup"),
+        col("event_type"))
+      val seq0 = Tables.load(s, dir, "events")
+        .select("user_id", "event_type", "ts", "event_id")
+        .withColumn("c_view", count(when(col("event_type") === "view", 1)).over(w))
+        .withColumn("c_click", count(when(col("event_type") === "click", 1)).over(w))
+        .withColumn("c_signup", count(when(col("event_type") === "signup", 1)).over(w))
+        .withColumn("ft", first(touch, ignoreNulls = true).over(w))
+        .withColumn("lt", last(touch, ignoreNulls = true).over(w))
+      val p = seq0.filter(col("event_type") === "purchase")
+        .withColumn("n", col("c_view") + col("c_click") + col("c_signup"))
+        .filter(col("n") > 0)
+      val types = Seq("view", "click", "signup")
+        .foldLeft(Option.empty[DataFrame]) { (acc, t) =>
+          val one = p.sparkSession.range(1).select(lit(t).as("touch_type"))
+          Some(acc.map(_.unionAll(one)).getOrElse(one))
+        }.get
+      val cType = when(col("touch_type") === "view", col("c_view"))
+        .when(col("touch_type") === "click", col("c_click"))
+        .otherwise(col("c_signup"))
+      val isF = when(col("ft") === col("touch_type"), 1L).otherwise(0L)
+      val isL = when(col("lt") === col("touch_type"), 1L).otherwise(0L)
+      val credit = when(col("n") === 1, isF * 1000000L)
+        .when(col("n") === 2, isF * 500000L + isL * 500000L)
+        .otherwise(isF * 400000L + isL * 400000L +
+          expr("200000 div (n - 2)") * (cType - isF - isL) +
+          isL * expr("200000 % (n - 2)"))
+      p.crossJoin(broadcast(types))
+        .withColumn("credit_fp", credit)
+        .groupBy("touch_type")
+        .agg(sum("credit_fp").cast("long").as("credit_fp"),
+          sum(when(col("credit_fp") > 0, 1L).otherwise(0L)).cast("long").as("n_credited"))
+        .orderBy("touch_type")
     }
   )
 }

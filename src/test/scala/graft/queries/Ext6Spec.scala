@@ -408,6 +408,21 @@ class Ext6Spec extends SparkSpec {
     assert(sizes.max - sizes.min <= 1, s"NTILE deciles must differ by at most 1: ${sizes.toList}")
   }
 
+  test("q219: U-shaped credit conserves exactly 1e6 micro-units per purchase") {
+    val rows = run("q219_ushape_attribution").collect()
+    // total credit across channels = 1,000,000 x attributable purchases
+    // (the same attributable-purchase set linear attribution uses)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val purchases = Tables.load(spark, sf, "events")
+      .withColumn("n", count(when(col("event_type").isin("view", "click", "signup"), 1)).over(w))
+      .filter(col("event_type") === "purchase" && col("n") > 0)
+      .count()
+    assert(rows.map(_.getLong(1)).sum === 1000000L * purchases,
+      s"credit must conserve exactly: ${rows.toList} vs $purchases purchases")
+  }
+
   test("q196: TWAP is a convex combination of the user's held values") {
     val bounds = Tables.load(spark, sf, "events")
       .filter(col("value").isNotNull)
