@@ -560,6 +560,53 @@ object Ext8 {
         .agg(sum("credit_fp").cast("long").as("credit_fp"),
           sum(when(col("credit_fp") > 0, 1L).otherwise(0L)).cast("long").as("n_credited"))
         .orderBy("touch_type")
+    },
+
+    // Wilson-score lower-bound conversion ranking: per user, purchases
+    // over views with the 95% Wilson LOWER bound — ranking by the
+    // bound instead of the raw rate is how small-sample flukes stop
+    // outranking consistent converters (the comment-ranking kernel).
+    // Inputs are integer counts; the bound is one mirrored-shape
+    // double expression with the z=1.96 constant inlined. Top-15 by
+    // bound via TakeOrdered.
+    QueryDef(
+      "q220_wilson_conversion",
+      """WITH c AS (
+        |  SELECT user_id,
+        |         CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views,
+        |         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS buys
+        |  FROM events GROUP BY 1
+        |  HAVING SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) > 0
+        |), w AS (
+        |  SELECT user_id, views, buys,
+        |         CAST(LEAST(buys, views) AS DOUBLE) / CAST(views AS DOUBLE) AS p,
+        |         CAST(views AS DOUBLE) AS n
+        |  FROM c
+        |), s AS (
+        |  SELECT user_id, views, buys,
+        |         CAST(ROUND(p, 6) AS DOUBLE) AS rate,
+        |         CAST(ROUND((p + 3.8416 / (2.0 * n)
+        |                     - 1.96 * SQRT((p * (1.0 - p) + 3.8416 / (4.0 * n)) / n))
+        |                    / (1.0 + 3.8416 / n), 6) AS DOUBLE) AS wilson_lb
+        |  FROM w
+        |)
+        |SELECT user_id, views, buys, rate, wilson_lb
+        |FROM s ORDER BY wilson_lb DESC, user_id LIMIT 15""".stripMargin) { (s, dir) =>
+      val c = Tables.load(s, dir, "events")
+        .groupBy("user_id")
+        .agg(sum(when(col("event_type") === "view", 1).otherwise(0)).cast("long").as("views"),
+          sum(when(col("event_type") === "purchase", 1).otherwise(0)).cast("long").as("buys"))
+        .filter(col("views") > 0)
+      val p = least(col("buys"), col("views")).cast("double") / col("views").cast("double")
+      val n = col("views").cast("double")
+      val lb = (p + lit(3.8416) / (lit(2.0) * n) -
+        lit(1.96) * sqrt((p * (lit(1.0) - p) + lit(3.8416) / (lit(4.0) * n)) / n)) /
+        (lit(1.0) + lit(3.8416) / n)
+      c.select(col("user_id"), col("views"), col("buys"),
+          round(p, 6).cast("double").as("rate"),
+          round(lb, 6).cast("double").as("wilson_lb"))
+        .orderBy(col("wilson_lb").desc, col("user_id"))
+        .limit(15)
     }
   )
 }

@@ -423,6 +423,17 @@ class Ext6Spec extends SparkSpec {
       s"credit must conserve exactly: ${rows.toList} vs $purchases purchases")
   }
 
+  test("q220: Wilson lower bound sits strictly below the rate, in [0,1)") {
+    val rows = run("q220_wilson_conversion").collect()
+    assert(rows.length === 15)
+    rows.foreach { r =>
+      val (rate, lb) = (r.getDouble(3), r.getDouble(4))
+      assert(lb >= 0.0 && lb < 1.0)
+      assert(lb < rate + 1e-9, s"lower bound must not exceed the rate: $r")
+    }
+    assert(rows.map(_.getDouble(4)).sliding(2).forall(w => w(0) >= w(1)))
+  }
+
   test("q196: TWAP is a convex combination of the user's held values") {
     val bounds = Tables.load(spark, sf, "events")
       .filter(col("value").isNotNull)
