@@ -607,6 +607,76 @@ object Ext8 {
           round(lb, 6).cast("double").as("wilson_lb"))
         .orderBy(col("wilson_lb").desc, col("user_id"))
         .limit(15)
+    },
+
+    // Deterministic negative sampling for contrastive training pairs
+    // (the word2vec/recsys negatives kernel): for the 50 strongest
+    // co-purchase positives, draw up to 3 negatives from md5-indexed
+    // uniform part draws, rejecting self/partner/true-pair collisions
+    // by anti-joining the pruned pair table — 6 tries bound the
+    // rejection loop, and the md5 draws make every negative
+    // reproducible across engines AND re-ingestions (the q60/q87
+    // convention). Scale: candidates = positives x 6 (never the part
+    // universe); the part-index map is dimension-sized and broadcast.
+    QueryDef(
+      "q221_negative_sampling",
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |), pairs AS (
+        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb, CAST(COUNT(*) AS BIGINT) AS cab
+        |  FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        |), pos AS (
+        |  SELECT pa, pb, cab,
+        |         ROW_NUMBER() OVER (ORDER BY cab DESC, pa, pb) AS prk
+        |  FROM pairs QUALIFY prk <= 50
+        |), uni AS (
+        |  SELECT p_partkey, ROW_NUMBER() OVER (ORDER BY p_partkey) - 1 AS idx FROM part
+        |), np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_parts FROM part),
+        |cand AS (
+        |  SELECT pos.pa, pos.pb, pos.prk, j,
+        |         CAST(('0x' || SUBSTR(MD5(CAST(pos.pa AS VARCHAR) || '~' || CAST(pos.pb AS VARCHAR) || '~' || CAST(j AS VARCHAR)), 1, 8)) AS BIGINT) % n_parts AS cidx
+        |  FROM pos CROSS JOIN (SELECT unnest(range(1, 7)) AS j) js CROSS JOIN np
+        |), mapped AS (
+        |  SELECT c.pa, c.pb, c.prk, c.j, u.p_partkey AS neg
+        |  FROM cand c JOIN uni u ON u.idx = c.cidx
+        |  WHERE u.p_partkey <> c.pa AND u.p_partkey <> c.pb
+        |), valid AS (
+        |  SELECT m.pa, m.pb, m.prk, m.j, m.neg
+        |  FROM mapped m
+        |  LEFT JOIN pairs x ON x.pa = LEAST(m.pa, m.neg) AND x.pb = GREATEST(m.pa, m.neg)
+        |  WHERE x.pa IS NULL
+        |), ranked AS (
+        |  SELECT pa, pb, neg,
+        |         ROW_NUMBER() OVER (PARTITION BY pa, pb ORDER BY j) AS neg_rank
+        |  FROM valid QUALIFY neg_rank <= 3
+        |)
+        |SELECT pa, pb, CAST(neg_rank AS BIGINT) AS neg_rank, neg
+        |FROM ranked ORDER BY pa, pb, neg_rank""".stripMargin) { (s, dir) =>
+      val pairs = Ext3.coPairs(s, dir)
+      val pos = pairs
+        .orderBy(col("cab").desc, col("pa"), col("pb")).limit(50)
+      val uni = Tables.load(s, dir, "part")
+        .select(col("p_partkey"),
+          (row_number().over(Window.orderBy("p_partkey")) - 1).as("idx"))
+      val np = Tables.load(s, dir, "part").agg(count(lit(1)).cast("long").as("n_parts"))
+      val cand = pos.withColumn("j", explode(sequence(lit(1), lit(6))))
+        .crossJoin(broadcast(np))
+        .withColumn("cidx",
+          expr("cast(conv(substring(md5(concat(cast(pa as string), '~', cast(pb as string), '~', cast(j as string))), 1, 8), 16, 10) as bigint) % n_parts"))
+      val mapped = cand.join(broadcast(uni), col("idx") === col("cidx"))
+        .filter(col("p_partkey") =!= col("pa") && col("p_partkey") =!= col("pb"))
+        .select(col("pa"), col("pb"), col("j"), col("p_partkey").as("neg"))
+      val valid = mapped.join(
+        pairs.select(col("pa").as("xa"), col("pb").as("xb")),
+        least(col("pa"), col("neg")) === col("xa") &&
+          greatest(col("pa"), col("neg")) === col("xb"), "left_anti")
+      valid
+        .withColumn("neg_rank", row_number().over(
+          Window.partitionBy("pa", "pb").orderBy("j")))
+        .filter(col("neg_rank") <= 3)
+        .select(col("pa"), col("pb"), col("neg_rank").cast("long").as("neg_rank"), col("neg"))
+        .orderBy("pa", "pb", "neg_rank")
     }
   )
 }

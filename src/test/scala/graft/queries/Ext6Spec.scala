@@ -434,6 +434,23 @@ class Ext6Spec extends SparkSpec {
     assert(rows.map(_.getDouble(4)).sliding(2).forall(w => w(0) >= w(1)))
   }
 
+  test("q221: negatives never collide with the positive pair or a true pair") {
+    val rows = run("q221_negative_sampling").collect()
+    assert(rows.nonEmpty)
+    val pairSet = Ext3.coPairs(spark, sf).select("pa", "pb").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    rows.foreach { r =>
+      val (a, b, neg) = (r.getLong(0), r.getLong(1), r.getLong(3))
+      assert(neg !== a); assert(neg !== b)
+      val key = (math.min(a, neg), math.max(a, neg))
+      assert(!pairSet.contains(key), s"negative is a true co-purchase pair: $r")
+      assert(r.getLong(2) >= 1 && r.getLong(2) <= 3)
+    }
+    // at most 3 negatives per positive
+    rows.groupBy(r => (r.getLong(0), r.getLong(1)))
+      .foreach { case (_, g) => assert(g.length <= 3) }
+  }
+
   test("q196: TWAP is a convex combination of the user's held values") {
     val bounds = Tables.load(spark, sf, "events")
       .filter(col("value").isNotNull)
