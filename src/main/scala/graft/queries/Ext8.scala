@@ -677,6 +677,45 @@ object Ext8 {
         .filter(col("neg_rank") <= 3)
         .select(col("pa"), col("pb"), col("neg_rank").cast("long").as("neg_rank"), col("neg"))
         .orderBy("pa", "pb", "neg_rank")
+    },
+
+    // Part reorder rate: of the (customer, part) pairs that bought a
+    // part at least once, what share bought it in MORE than one order
+    // — the repeat-purchase propensity feature recommenders train on.
+    // One (custkey, partkey)-keyed distinct-order rollup (the natural
+    // composite shuffle key), then a part-dimension aggregate; top-15
+    // by rate with a support floor so tiny-sample parts don't top the
+    // list (the q220 concern, solved structurally here).
+    QueryDef(
+      "q222_reorder_rate",
+      """WITH cp AS (
+        |  SELECT o.o_custkey, l.l_partkey,
+        |         CAST(COUNT(DISTINCT l.l_orderkey) AS BIGINT) AS n_orders
+        |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  GROUP BY 1, 2
+        |), p AS (
+        |  SELECT l_partkey,
+        |         CAST(COUNT(*) AS BIGINT) AS n_buyers,
+        |         CAST(SUM(CASE WHEN n_orders > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeat
+        |  FROM cp GROUP BY 1
+        |)
+        |SELECT l_partkey AS partkey, n_buyers, n_repeat,
+        |       CAST(ROUND(CAST(n_repeat AS DOUBLE) / CAST(n_buyers AS DOUBLE), 6) AS DOUBLE) AS reorder_rate
+        |FROM p WHERE n_buyers >= 5
+        |ORDER BY reorder_rate DESC, partkey LIMIT 15""".stripMargin) { (s, dir) =>
+      val cp = Tables.load(s, dir, "lineitem")
+        .join(Tables.load(s, dir, "orders"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_custkey", "l_partkey")
+        .agg(countDistinct("l_orderkey").cast("long").as("n_orders"))
+      val p = cp.groupBy("l_partkey")
+        .agg(count(lit(1)).cast("long").as("n_buyers"),
+          sum(when(col("n_orders") > 1, 1).otherwise(0)).cast("long").as("n_repeat"))
+      p.filter(col("n_buyers") >= 5)
+        .select(col("l_partkey").as("partkey"), col("n_buyers"), col("n_repeat"),
+          round(col("n_repeat").cast("double") / col("n_buyers").cast("double"), 6)
+            .cast("double").as("reorder_rate"))
+        .orderBy(col("reorder_rate").desc, col("partkey"))
+        .limit(15)
     }
   )
 }

@@ -451,6 +451,17 @@ class Ext6Spec extends SparkSpec {
       .foreach { case (_, g) => assert(g.length <= 3) }
   }
 
+  test("q222: reorder rates in [0,1], support floor respected, repeat <= buyers") {
+    val rows = run("q222_reorder_rate").collect()
+    assert(rows.length === 15)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 5, "support floor")
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+    assert(rows.map(_.getDouble(3)).sliding(2).forall(w => w(0) >= w(1)))
+  }
+
   test("q196: TWAP is a convex combination of the user's held values") {
     val bounds = Tables.load(spark, sf, "events")
       .filter(col("value").isNotNull)
