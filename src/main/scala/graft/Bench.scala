@@ -78,24 +78,37 @@ object Bench {
         (r, (System.nanoTime() - t) / 1e9)
       }
 
-    // pass 3: concurrent batch — the headline throughput number
-    val pool = Executors.newFixedThreadPool(concurrency)
-    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-    val t0 = System.nanoTime()
-    val futures = headline.map { q =>
-      Future {
-        val s = System.nanoTime()
-        try { drain(q); (q.name, (System.nanoTime() - s) / 1e9, true) }
-        catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}")
-            (q.name, (System.nanoTime() - s) / 1e9, false)
+    // pass 3: concurrent batch, run SPARK_GRAFT_BENCH_RUNS times (>= 3
+    // by default) — the HEADLINE is the MEDIAN batch wall, so a single
+    // loaded-machine pass can no longer swing the round-over-round
+    // number (the r6 driver artifact read 2.16x under load while the
+    // idle-machine truth was 1.20x).
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    def batchPass(): (Seq[(String, Double, Boolean)], Double) = {
+      val pool = Executors.newFixedThreadPool(concurrency)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val t0 = System.nanoTime()
+      val futures = headline.map { q =>
+        Future {
+          val s = System.nanoTime()
+          try { drain(q); (q.name, (System.nanoTime() - s) / 1e9, true) }
+          catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}")
+              (q.name, (System.nanoTime() - s) / 1e9, false)
+          }
         }
       }
+      val rs = Await.result(Future.sequence(futures), Duration.Inf)
+      val wall = (System.nanoTime() - t0) / 1e9
+      pool.shutdown()
+      (rs, wall)
     }
-    val results = Await.result(Future.sequence(futures), Duration.Inf)
-    val total = (System.nanoTime() - t0) / 1e9
-    pool.shutdown()
+    val batchRuns = (1 to nRuns).map(_ => batchPass())
+    val walls = batchRuns.map(_._2).sorted
+    val medianWall = walls(walls.size / 2)
+    // per-query map from the median run (the run whose wall is the median)
+    val (results, total) = batchRuns.minBy(r => math.abs(r._2 - medianWall))
 
     def qmap(rs: Seq[(String, Double, Boolean)]): String =
       rs.collect { case (k, v, true) => s""""$k":$v""" }.mkString("{", ",", "}")
@@ -103,26 +116,110 @@ object Bench {
       .mkString("[", ",", "]")
     val indexBuild = math.max(0.0, coldTotal - soloTotal)
 
+    def jstr(v: String): String =
+      "\"" + v.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case '\n' => "\\n"
+        case '\t' => "\\t"
+        case '\r' => "\\r"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+
+    // DuckDB sequential baseline measured IN-HARNESS on the same machine
+    // at the same moment, so the artifact carries its own ratio (the r6
+    // lesson: a Spark number and a DuckDB number from different load
+    // windows are not comparable). SPARK_GRAFT_BENCH_DUCKDB=0 skips;
+    // any failure (no python3/duckdb) degrades to null.
+    val duck: Option[(Double, Int, String)] =
+      if (sys.env.getOrElse("SPARK_GRAFT_BENCH_DUCKDB", "1") == "0") None
+      else scala.util.Try {
+        val tmp = java.nio.file.Files.createTempFile("oracle_sql", ".json")
+        val body = SparkEntry.oracleSql.toSeq.filter(_._1.startsWith("q"))
+          .sortBy(_._1)
+          .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+          .mkString("{", ",", "}")
+        java.nio.file.Files.write(tmp, body.getBytes("UTF-8"))
+        val proc = new ProcessBuilder("python3", "tools/bench_duckdb.py",
+          sfDir, tmp.toString).redirectErrorStream(true).start()
+        val out = new String(proc.getInputStream.readAllBytes, "UTF-8")
+        proc.waitFor()
+        java.nio.file.Files.deleteIfExists(tmp)
+        val secs = """"seconds":\s*([0-9.]+)""".r
+          .findFirstMatchIn(out).get.group(1).toDouble
+        val n = """"n":\s*([0-9]+)""".r
+          .findFirstMatchIn(out).get.group(1).toInt
+        val dfailed = """"failed":\s*(\[[^\]]*\])""".r
+          .findFirstMatchIn(out).map(_.group(1)).getOrElse("[]")
+        (secs, n, dfailed)
+      }.toOption
+
+    // BENCH_DIFF.json: per-query warm-solo ratio vs the previous round's
+    // BENCH_FULL.json (read BEFORE overwriting) — the round-over-round
+    // regression gate; entries > 1.5x slower are listed under
+    // "regressions", the full ratio map under "ratios".
+    val outPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json"))
+    val prevSolo: Map[String, Double] =
+      if (mode == "batch" || !java.nio.file.Files.exists(outPath)) Map.empty
+      else scala.util.Try {
+        val txt = java.nio.file.Files.readString(outPath)
+        val block = """"per_query_warm_solo":\{([^}]*)\}""".r
+          .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+        """"([^"]+)":([0-9.eE+-]+)""".r.findAllMatchIn(block)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }.getOrElse(Map.empty)
+    if (prevSolo.nonEmpty) {
+      val cur = solo.collect { case (k, v, true) => k -> v }.toMap
+      val ratios = cur.flatMap { case (k, v) =>
+        prevSolo.get(k).filter(_ > 0.05) // sub-50ms queries are all noise
+          .map(p => k -> BigDecimal(v / p).setScale(3,
+            BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      val regress = ratios.filter(_._2 > 1.5).toSeq.sortBy(-_._2)
+      val diffJson =
+        s"""{"baseline":"${outPath.toAbsolutePath}(previous)",
+           |"n_compared":${ratios.size},
+           |"regressions":${regress.map { case (k, r) => s""""$k":$r""" }
+             .mkString("{", ",", "}")},
+           |"new_queries":${cur.keySet.diff(prevSolo.keySet).toSeq.sorted
+             .map(jstr).mkString("[", ",", "]")},
+           |"ratios":${ratios.toSeq.sortBy(_._1)
+             .map { case (k, r) => s""""$k":$r""" }.mkString("{", ",", "}")}}
+           |""".stripMargin
+      java.nio.file.Files.write(
+        outPath.resolveSibling("BENCH_DIFF.json"), diffJson.getBytes("UTF-8"))
+    }
+
     // Full machine-readable artifact: every per-query number from all three
     // passes. The driver's log capture keeps only the LAST 2000 chars of
     // stdout, which truncated (and un-parseable-ified) the r5 one-line JSON
     // at 170 queries — so the complete maps live in this file and stdout
     // carries a compact summary that fits the capture window.
+    val duckPart = duck match {
+      case Some((secs, n, df)) =>
+        val ratio = BigDecimal(medianWall / secs).setScale(3,
+          BigDecimal.RoundingMode.HALF_UP).toDouble
+        s""""duckdb_sequential_sec":$secs,"duckdb_n_queries":$n,"duckdb_failed":$df,"bench_ratio":$ratio,"""
+      case None => s""""duckdb_sequential_sec":null,"""
+    }
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec",
+      s"""{"metric":"total","value":$medianWall,"unit":"sec",
          |"batch_wall":$total,
+         |"batch_wall_median":$medianWall,
+         |"batch_wall_runs":${batchRuns.map(_._2).mkString("[", ",", "]")},
          |"cold_first_pass_wall":$coldTotal,
          |"warm_solo_wall":$soloTotal,
          |"index_build_sec":$indexBuild,
+         |$duckPart
          |"queries":${qmap(results)},
          |"per_query_warm_solo":${qmap(solo)},
          |"per_query_cold":${qmap(cold)},
          |"failed":$failed,
-         |"sf":"$sfDir","concurrency":$concurrency,"cpus":"$cpus","mode":"$mode",
-         |"note":"value=concurrent batch wall after cold+solo passes; per_query_warm_solo=comparable per-query numbers; batch per-query times overlap; sink=noop write (order-preserving)"}
+         |"sf":"$sfDir","concurrency":$concurrency,"cpus":"$cpus","mode":"$mode","n_batch_runs":$nRuns,
+         |"note":"value=MEDIAN concurrent batch wall of n_batch_runs passes after cold+solo passes; per_query_warm_solo=comparable per-query numbers; duckdb_sequential_sec=same-machine same-moment oracle baseline; sink=noop write (order-preserving)"}
          |""".stripMargin
-    val outPath = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json"))
     java.nio.file.Files.write(outPath, fullJson.getBytes("UTF-8"))
 
     // Compact stdout line (< ~1500 chars so the whole line survives the
@@ -134,7 +231,10 @@ object Bench {
     val soloPart =
       if (mode == "batch") ""
       else s""""warm_solo_wall":${r3(soloTotal)},"index_build_sec":${r3(indexBuild)},"""
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$top20,$soloPart"cold_first_pass_wall":${r3(coldTotal)},"n_queries":${headline.size},"failed":$failed,"sf":"$sfDir","concurrency":$concurrency,"full":"${outPath.toAbsolutePath}","note":"queries=20 slowest of concurrent batch; complete 3-pass per-query maps in the full file"}""")
+    val duckShort = duck.map { case (secs, _, _) =>
+      s""""duckdb_sequential_sec":${r3(secs)},"bench_ratio":${r3(medianWall / secs)},"""
+    }.getOrElse("")
+    println(s"""{"metric":"total","value":${r3(medianWall)},"unit":"sec","queries":$top20,$soloPart$duckShort"batch_wall_runs":${batchRuns.map(r => r3(r._2)).mkString("[", ",", "]")},"cold_first_pass_wall":${r3(coldTotal)},"n_queries":${headline.size},"failed":$failed,"sf":"$sfDir","concurrency":$concurrency,"full":"${outPath.toAbsolutePath}","note":"value=median of ${nRuns} concurrent batch passes; complete per-query maps in the full file"}""")
     spark.stop()
   }
 }

@@ -2,7 +2,7 @@ package graft.exec
 
 import graft.core._
 import graft.render.Template
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -154,14 +154,35 @@ object Materializer {
         // target values for the rest; delete+insert replaces the whole
         // row, null-filling absent columns.
         require(uniqueKey.nonEmpty, s"$name: $strategy needs unique_key")
+        val deltaKeys = delta.select(uniqueKey.map(col): _*).distinct()
+        // Partition-pruned merge (the 100 TB write path): when
+        // partition_by is set and the schema is unchanged, the only
+        // target partitions a merge can alter are (a) the delta rows'
+        // own partitions and (b) partitions holding rows that MATCH a
+        // delta key (a key whose partition value changed). Restrict the
+        // rewrite to exactly those; every other partition is carried by
+        // reference at the directory level, so write volume is O(delta
+        // partitions), not O(target). Falls back to the full rewrite
+        // when partition values are not provably hive-dir-safe or the
+        // stored layout doesn't conform.
+        val prunedVals: Option[Set[Seq[String]]] =
+          if (partitionBy.isEmpty || targetAligned.schema != target.schema ||
+              !wh.canWritePruned(name, partitionBy)) None
+          else prunedTouchedVals(
+            delta.select(partitionBy.map(col): _*)
+              .unionByName(targetAligned.join(deltaKeys, uniqueKey, "left_semi")
+                .select(partitionBy.map(col): _*)))
+        val baseTarget = prunedVals match {
+          case Some(tv) => targetAligned.filter(partitionIn(partitionBy, tv))
+          case None => targetAligned
+        }
         val (eligible, carried) =
-          if (incrementalPredicates.isEmpty) (targetAligned, None)
+          if (incrementalPredicates.isEmpty) (baseTarget, None)
           else {
             val pred = incrementalPredicates.map(p => s"($p)").mkString(" AND ")
-            (targetAligned.filter(expr(pred)),
-              Some(targetAligned.filter(!expr(pred))))
+            (baseTarget.filter(expr(pred)),
+              Some(baseTarget.filter(!expr(pred))))
           }
-        val deltaKeys = delta.select(uniqueKey.map(col): _*).distinct()
         if (strategy != "delete+insert") {
           // Warehouse-MERGE parity (reference adapters; Delta raises
           // the same way): two source rows matching ONE target row is a
@@ -200,16 +221,29 @@ object Materializer {
                 uniqueKey, "left_anti"))
             keep.unionByName(updated).unionByName(inserts)
           } else keep.unionByName(conformTo(keep.schema, delta))
-        wh.writeTable(name,
-          carried.map(c => merged.unionByName(c)).getOrElse(merged), partitionBy)
+        val toWrite = carried.map(c => merged.unionByName(c)).getOrElse(merged)
+        writePossiblyPruned(wh, name, toWrite, partitionBy, prunedVals)
 
       case "insert_overwrite" =>
         require(partitionBy.nonEmpty, s"$name: insert_overwrite needs partition_by")
-        // replace exactly the partitions present in the delta
-        val keep = targetAligned.join(
-          delta.select(partitionBy.map(col): _*).distinct(), partitionBy, "left_anti")
-        wh.writeTable(name,
-          keep.unionByName(conformTo(keep.schema, delta)), partitionBy)
+        // replace exactly the partitions present in the delta — with the
+        // pruned write this is purely O(delta): the delta IS the new
+        // content of its partitions, everything else carries by reference
+        val prunedVals =
+          if (targetAligned.schema != target.schema ||
+              !wh.canWritePruned(name, partitionBy)) None
+          else prunedTouchedVals(delta.select(partitionBy.map(col): _*))
+        prunedVals match {
+          case Some(tv) =>
+            writePossiblyPruned(wh, name,
+              conformTo(targetAligned.schema, delta), partitionBy, prunedVals)
+          case None =>
+            val keep = targetAligned.join(
+              delta.select(partitionBy.map(col): _*).distinct(),
+              partitionBy, "left_anti")
+            wh.writeTable(name,
+              keep.unionByName(conformTo(keep.schema, delta)), partitionBy)
+        }
 
       case s if s.startsWith("microbatch:") =>
         // event-time micro-batches (dbt 1.9 microbatch strategy shape):
@@ -232,6 +266,83 @@ object Materializer {
       case other =>
         throw new IllegalArgumentException(s"unknown incremental strategy: $other")
     }
+  }
+
+  // ---------------------------------------------- pruned-write helpers
+
+  /** Characters we allow in a partition-dir value: the conservative
+    * subset hive never escapes, so `cast(col as string)` is exactly
+    * the directory name Spark writes. Everything else (or a null)
+    * disqualifies the pruned path.
+    */
+  private val HiveSafeValue = "^[A-Za-z0-9_.+-]+$".r
+
+  /** Partition-value types whose string cast matches the hive dir
+    * rendering bit-for-bit.
+    */
+  private def safePartitionType(t: org.apache.spark.sql.types.DataType): Boolean =
+    t match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.StringType | org.apache.spark.sql.types.DateType |
+           org.apache.spark.sql.types.BooleanType => true
+      case _ => false
+    }
+
+  /** The distinct partition tuples of `parts` (a projection onto the
+    * partition columns), string-rendered — or None when the pruned
+    * path is unsafe: a null/unsafe value, an unsafe column type, or
+    * more touched partitions than the OR-chain filter should carry
+    * (at which point a full rewrite is no slower anyway).
+    */
+  private def prunedTouchedVals(parts: DataFrame): Option[Set[Seq[String]]] = {
+    if (!parts.schema.forall(f => safePartitionType(f.dataType))) return None
+    val rows = parts
+      .select(parts.columns.toSeq.map(c => col(c).cast("string").as(c)): _*)
+      .distinct().limit(257).collect()
+    if (rows.length > 256) None // OR-chain would dominate; full rewrite wins
+    else {
+      val tuples = rows.map(r =>
+        (0 until r.length).map(i => Option(r.getString(i))))
+      if (tuples.exists(_.exists(v =>
+        v.isEmpty || HiveSafeValue.findFirstIn(v.get).isEmpty))) None
+      else Some(tuples.map(_.map(_.get)).toSet)
+    }
+  }
+
+  /** Membership filter for the touched partitions: an explicit
+    * OR-of-ANDs over string-cast partition columns — exact (no
+    * separator-encoding tricks), and bounded by the 256-tuple cap.
+    */
+  private def partitionIn(partitionBy: Seq[String],
+      tv: Set[Seq[String]]): Column =
+    tv.toSeq.map { tuple =>
+      partitionBy.zip(tuple).map { case (c, v) =>
+        col(c).cast("string") === lit(v)
+      }.reduce(_ && _)
+    }.reduceOption(_ || _).getOrElse(lit(false))
+
+  /** Write through the pruned path when `prunedVals` is Some AND the
+    * stored layout conforms; the caller must have built `df` to
+    * contain ONLY the touched partitions' content in that case (so
+    * there is no safe automatic fallback — conformance is pre-checked
+    * via [[Warehouse.canWritePruned]] before plan construction).
+    */
+  private def writePossiblyPruned(wh: Warehouse, name: String, df: DataFrame,
+      partitionBy: Seq[String], prunedVals: Option[Set[Seq[String]]]): Unit =
+    prunedVals match {
+      case Some(tv) =>
+        val (carriedParts, linked) = wh.writeTablePruned(name, df, partitionBy, tv)
+        lastPrunedWrite.set(Some((name, tv.size, carriedParts, linked)))
+      case None => wh.writeTable(name, df, partitionBy)
+    }
+
+  /** (name, partitionsRewritten, partitionsCarried, filesLinked) of the
+    * most recent pruned write on this thread — observability hook for
+    * the m40 write-volume gate.
+    */
+  val lastPrunedWrite = new ThreadLocal[Option[(String, Int, Int, Int)]] {
+    override def initialValue(): Option[(String, Int, Int, Int)] = None
   }
 
   // ------------------------------------------------------------ contract
@@ -627,8 +738,11 @@ object Materializer {
       }
     latest match {
       case None =>
-        (if (errorAfterSec.isDefined || warnAfterSec.isEmpty) "error" else "warn",
-          Double.PositiveInfinity)
+        // Un-computable freshness metadata (missing/empty source path) is a
+        // failure regardless of which thresholds are configured — the
+        // reference raises when the warehouse returns no last-modified
+        // metadata, and a silent 'warn' would mask a broken ingestion path.
+        ("error", Double.PositiveInfinity)
       case Some(ms) =>
         val age = (clock().getTime - ms) / 1000.0
         val status =

@@ -132,6 +132,105 @@ final class Warehouse(val spark: SparkSession, val root: String,
     }
   }
 
+  /** Partition-pruned replace: write ONLY the `touchedVals` partitions'
+    * new content into the fresh version dir and carry every other
+    * partition of the previous snapshot BY REFERENCE — hard links to
+    * the prior commit dirs' data files (the server-side-copy /
+    * metadata-only operation on object storage), so write volume is
+    * O(touched partitions), never O(table). Old version dirs stay
+    * byte-intact (links share storage), preserving the in-flight-reader
+    * and vacuum-fence guarantees of the versioned layout.
+    *
+    * `touchedVals` are string-rendered partition tuples in
+    * `partitionBy` order; the caller guarantees they are hive-dir-safe
+    * (no characters hive escapes) and that `touched` holds the full
+    * new content of exactly those partitions. Throws
+    * [[Warehouse.PrunedWriteUnsupported]] BEFORE writing anything if a
+    * prior commit dir does not conform to the expected partition
+    * layout (e.g. the table was previously written unpartitioned) —
+    * callers fall back to the full rewrite.
+    *
+    * Returns (partitionsCarried, filesLinked) for write-volume gates.
+    */
+  /** True when [[writeTablePruned]] can run for this relation: it is a
+    * stored table whose every commit dir nests exactly
+    * `partitionBy.size` levels of `col=val` dirs before data files.
+    * Callers decide the pruned-vs-full plan on this BEFORE building
+    * either DataFrame.
+    */
+  def canWritePruned(name: String, partitionBy: Seq[String]): Boolean =
+    partitionBy.nonEmpty && lock.synchronized(relations.get(name)).exists { st =>
+      !st.isView && !st.isCatalog && st.paths.nonEmpty &&
+        (try {
+          st.paths.foreach(p => partitionLeaves(name, new java.io.File(p), partitionBy))
+          true
+        } catch { case _: Warehouse.PrunedWriteUnsupported => false })
+    }
+
+  /** `(partition values, leaf dir)` pairs under one commit dir. */
+  private def partitionLeaves(name: String, src: java.io.File,
+      partitionBy: Seq[String]): Seq[(Seq[String], java.io.File)] = {
+    def walk(dir: java.io.File, values: Seq[String]): Seq[(Seq[String], java.io.File)] = {
+      val children = Option(dir.listFiles()).getOrElse(Array.empty)
+      val dataFiles = children.filter(f => f.isFile &&
+        !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      if (values.size == partitionBy.size) Seq((values, dir))
+      else {
+        if (dataFiles.nonEmpty)
+          throw new Warehouse.PrunedWriteUnsupported(
+            s"$name: data files above partition depth in ${dir.getPath}")
+        children.toSeq.filter(f => f.isDirectory && f.getName.contains("="))
+          .flatMap(c => walk(c,
+            values :+ c.getName.substring(c.getName.indexOf('=') + 1)))
+      }
+    }
+    walk(src, Nil)
+  }
+
+  def writeTablePruned(name: String, touched: DataFrame,
+      partitionBy: Seq[String], touchedVals: Set[Seq[String]]): (Int, Int) = {
+    require(partitionBy.nonEmpty, "writeTablePruned needs partition columns")
+    val st = lock.synchronized(relations.getOrElse(name,
+      throw new IllegalArgumentException(s"unknown relation: $name")))
+    require(!st.isView && !st.isCatalog, s"$name: not a table")
+
+    // pre-check (throws BEFORE any write on layout mismatch)
+    val srcLeaves: Seq[(String, Seq[(Seq[String], java.io.File)])] =
+      st.paths.map(p => (p.split('/').last,
+        partitionLeaves(name, new java.io.File(p), partitionBy)))
+
+    val v = st.nextVersion
+    val path = s"$root/$name/v$v"
+    touched.write.mode(SaveMode.Overwrite).format(st.fmt)
+      .partitionBy(partitionBy: _*).save(path)
+
+    var linked = 0
+    val carried = scala.collection.mutable.Set[Seq[String]]()
+    for ((srcV, ls) <- srcLeaves; (values, leafDir) <- ls
+         if !touchedVals.contains(values)) {
+      carried += values
+      val destDir = java.nio.file.Paths.get(path +
+        values.zip(partitionBy).map { case (vv, c) => s"/$c=$vv" }.mkString)
+      java.nio.file.Files.createDirectories(destDir)
+      for (f <- Option(leafDir.listFiles()).getOrElse(Array.empty)
+           if f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith(".")) {
+        val dest = destDir.resolve(s"${srcV}_${f.getName}")
+        try java.nio.file.Files.createLink(dest, f.toPath)
+        catch { case _: UnsupportedOperationException | _: java.io.IOException =>
+          java.nio.file.Files.copy(f.toPath, dest,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+        linked += 1
+      }
+    }
+    lock.synchronized {
+      relations(name) = RelState(Seq(path), v + 1, isView = false, fmt = st.fmt)
+      spark.read.format(st.fmt).load(path).createOrReplaceTempView(name)
+      writeCommits(name, Seq(path), st.fmt)
+    }
+    (carried.size, linked)
+  }
+
   /** Append a delta (new commit dir; no rewrite of existing data).
     * The delta inherits the relation's existing file format.
     */
@@ -440,4 +539,11 @@ final class Warehouse(val spark: SparkSession, val root: String,
         (rel, out.toMap)
       }
     }
+}
+
+object Warehouse {
+  /** A prior commit dir does not conform to the partition layout the
+    * pruned write needs — callers fall back to the full rewrite.
+    */
+  final class PrunedWriteUnsupported(msg: String) extends RuntimeException(msg)
 }

@@ -264,21 +264,22 @@ object Ext4 {
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val d = docs(s, dir).select(col("doc_id"),
         col("n_chars").cast("long").as("w"),
-        (col("doc_id") / 1000L).cast("long").as("b"))
+        (col("doc_id") / 1000L).cast("long").as("__b"))
       // pass 1: per-bucket running sums (parallel across buckets)
-      val local = d.select(col("doc_id"), col("w"), col("b"),
-        sum("w").over(Window.partitionBy("b").orderBy("doc_id")
+      val local = d.select(col("doc_id"), col("w"), col("__b"),
+        sum("w").over(Window.partitionBy("__b").orderBy("doc_id")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
           .as("lcum"))
       // pass 2: bucket offsets — #buckets rows, so the ordered window
-      // here is over a tiny aggregate, then broadcast back
-      val offsets = d.groupBy("b").agg(sum("w").as("bs"))
-        .select(col("b"),
-          coalesce(sum("bs").over(Window.orderBy("b")
+      // here is over a tiny aggregate, then broadcast back (the "__b"
+      // name marks the bucket-offsets shape for tools/ExplainAudit)
+      val offsets = d.groupBy("__b").agg(sum("w").as("bs"))
+        .select(col("__b"),
+          coalesce(sum("bs").over(Window.orderBy("__b")
               .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
             .as("off"))
       val tot = d.agg(sum("w").as("tot"))
-      local.join(broadcast(offsets), "b")
+      local.join(broadcast(offsets), "__b")
         .withColumn("cum", col("lcum") + col("off"))
         .crossJoin(tot) // 1-row total
         .filter(expr("(cum * 100) div tot > ((cum - w) * 100) div tot"))
@@ -606,10 +607,14 @@ object Ext4 {
       val freq = docs(s, dir)
         .select(explode(split(col("text"), " ")).as("w"))
         .groupBy("w").agg(count(lit(1)).as("f"))
-      val top = freq
-        .select(col("f"),
-          row_number().over(Window.orderBy(col("f").desc, col("w"))).as("rn"))
-        .filter(col("rn") <= 1000)
+      // top-1000 via TakeOrderedAndProject (distributed per-partition
+      // top-k + merge), THEN rank the already-1000-row result — the
+      // unpartitioned window never sees the full vocabulary, which is
+      // corpus-sized at 100 TB
+      val top = freq.orderBy(col("f").desc, col("w")).limit(1000)
+        .withColumn("rn",
+          row_number().over(Window.orderBy(col("f").desc, col("w"))))
+        .select(col("f"), col("rn"))
       val pts = top.select(
         round(log(col("rn").cast("double")) * 10000, 0).cast("long").as("x"),
         round(log(col("f").cast("double")) * 10000, 0).cast("long").as("y"))

@@ -114,11 +114,12 @@ object Ext7 {
       """WITH b AS (
         |  SELECT event_type, value FROM events WHERE value IS NOT NULL
         |), m AS (
-        |  SELECT event_type, MAX(value) AS hi, CAST(COUNT(*) AS BIGINT) AS n
+        |  SELECT event_type, GREATEST(MAX(value), 1e-12) AS hi,
+        |         CAST(COUNT(*) AS BIGINT) AS n
         |  FROM b GROUP BY 1
         |), bins AS (
         |  SELECT b.event_type,
-        |         LEAST(CAST(FLOOR(b.value / (m.hi / 256)) AS BIGINT), 255) AS bin,
+        |         LEAST(GREATEST(CAST(FLOOR(b.value / (m.hi / 256)) AS BIGINT), 0), 255) AS bin,
         |         CAST(COUNT(*) AS BIGINT) AS cnt
         |  FROM b JOIN m USING (event_type) GROUP BY 1, 2
         |), cum AS (
@@ -143,11 +144,16 @@ object Ext7 {
         |ORDER BY s.event_type, quantile""".stripMargin) { (s, dir) =>
       val b = Tables.load(s, dir, "events")
         .filter(col("value").isNotNull).select("event_type", "value")
+      // hi clamped to a positive epsilon (an all-zero type would divide by
+      // zero) and the bin clamped at both ends (negative values would
+      // otherwise produce uncapped negative bins).
       val m = b.groupBy("event_type")
-        .agg(max("value").as("hi"), count(lit(1)).cast("long").as("n"))
+        .agg(greatest(max("value"), lit(1e-12)).as("hi"),
+          count(lit(1)).cast("long").as("n"))
       val bins = b.join(broadcast(m), "event_type")
         .select(col("event_type"),
-          least(floor(col("value") / (col("hi") / 256)).cast("long"), lit(255L)).as("bin"))
+          least(greatest(floor(col("value") / (col("hi") / 256)).cast("long"), lit(0L)),
+            lit(255L)).as("bin"))
         .groupBy("event_type", "bin").agg(count(lit(1)).cast("long").as("cnt"))
       val cum = bins.withColumn("cum",
         sum("cnt").over(Window.partitionBy("event_type").orderBy("bin")).cast("long"))
@@ -459,17 +465,17 @@ object Ext7 {
         |FROM est CROSS JOIN t""".stripMargin) { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
       val d = docs.select(col("doc_id"), col("n_chars").cast("long").as("w"),
-        (col("doc_id") / 1000L).cast("long").as("b"))
-      val local = d.select(col("doc_id"), col("w"), col("b"),
-        sum("w").over(Window.partitionBy("b").orderBy("doc_id")
+        (col("doc_id") / 1000L).cast("long").as("__b"))
+      val local = d.select(col("doc_id"), col("w"), col("__b"),
+        sum("w").over(Window.partitionBy("__b").orderBy("doc_id")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("lcum"))
-      val offsets = d.groupBy("b").agg(sum("w").as("bs"))
-        .select(col("b"),
-          coalesce(sum("bs").over(Window.orderBy("b")
+      val offsets = d.groupBy("__b").agg(sum("w").as("bs"))
+        .select(col("__b"),
+          coalesce(sum("bs").over(Window.orderBy("__b")
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("off"))
       val t = d.agg(sum("w").cast("long").as("tot"),
         count(lit(1)).cast("long").as("n_docs"))
-      val picks = local.join(broadcast(offsets), "b")
+      val picks = local.join(broadcast(offsets), "__b")
         .withColumn("cum", col("lcum") + col("off"))
         .crossJoin(broadcast(t))
         .filter(expr("(cum * 100) div tot > ((cum - w) * 100) div tot"))

@@ -71,7 +71,7 @@ object Ext8 {
       """WITH q AS (
         |  SELECT c.c_nationkey AS nk,
         |         CAST(YEAR(o.o_orderdate) AS BIGINT) AS yr,
-        |         CAST(CAST(o.o_totalprice AS BIGINT) // 50000 AS BIGINT) AS band
+        |         CAST(CAST(FLOOR(o.o_totalprice) AS BIGINT) // 50000 AS BIGINT) AS band
         |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
         |), cls AS (
         |  SELECT nk, yr, band, CAST(COUNT(*) AS BIGINT) AS sz
@@ -85,7 +85,10 @@ object Ext8 {
         .join(Tables.load(s, dir, "customer"), col("c_custkey") === col("o_custkey"))
         .select(col("c_nationkey").as("nk"),
           year(col("o_orderdate")).cast("long").as("yr"),
-          expr("cast(o_totalprice as bigint) div 50000").cast("long").as("band"))
+          // FLOOR before the bigint cast: DuckDB's DOUBLE->BIGINT cast
+          // rounds-to-nearest while Spark truncates; flooring first makes
+          // both engines land on the same band at .5-of-a-cent boundaries.
+          expr("cast(floor(o_totalprice) as bigint) div 50000").cast("long").as("band"))
       val cls = q.groupBy("nk", "yr", "band")
         .agg(count(lit(1)).cast("long").as("sz"))
       cls.groupBy(least(col("sz"), lit(6L)).cast("long").as("k_bucket"))
@@ -254,8 +257,12 @@ object Ext8 {
         when(col("lang") === "en", 1).otherwise(0).as("pos"))
       val g = sc.groupBy("score")
         .agg(count(lit(1)).cast("long").as("c"), sum("pos").cast("long").as("cpos"))
-      val r = g.withColumn("lo",
-        (sum("c").over(Window.orderBy("score")) - col("c") + 1).cast("long"))
+      // rank prefix over the score histogram via the distributed
+      // two-pass prefix sum — the score domain is data-dependent
+      // (a DECIMAL formula of doc stats), so treat it as unbounded
+      val r = Dist.rangedPrefixSum(g,
+          (col("score") * lit(1000000)).cast("long"), lit(0L), col("c"), "cumc")
+        .withColumn("lo", (col("cumc") - col("c") + 1).cast("long"))
       val agg = r.agg(sum("cpos").cast("long").as("npos"),
         sum(col("c") - col("cpos")).cast("long").as("nneg"),
         sum(col("cpos") * (lit(2) * col("lo") + col("c") - 1)).cast("long").as("ranksum2"))
@@ -296,10 +303,23 @@ object Ext8 {
           .cast("long").as("rec_days"),
           count(lit(1)).cast("long").as("freq"),
           sum(round(col("o_totalprice") * 100, 0).cast("long")).cast("long").as("cents"))
-      val q = cust.select(col("o_custkey"), col("cents"),
-        ntile(5).over(Window.orderBy(col("rec_days"), col("o_custkey"))).as("r"),
-        ntile(5).over(Window.orderBy(col("freq").desc, col("o_custkey"))).as("f"),
-        ntile(5).over(Window.orderBy(col("cents").desc, col("o_custkey"))).as("m"))
+      // NTILE over the customer dimension WITHOUT a single-partition
+      // window: exact distributed rank per metric (Dist.rangedRank,
+      // value-bucketed two-pass prefix sum; DESC = negated key), then
+      // the closed-form rank→tile map. Survives a customer dimension
+      // that no longer fits one task.
+      val ranked = Seq(
+        (col("rec_days"), "rrank"),
+        (-col("freq"), "frank"),
+        (-col("cents"), "mrank"))
+        .foldLeft(cust) { case (df, (v, out)) =>
+          Dist.rangedRank(df, v, col("o_custkey"), out)
+        }
+      val n = cust.agg(count(lit(1)).cast("long").as("__n"))
+      val q = ranked.crossJoin(broadcast(n)).select(col("cents"),
+        Dist.ntileFromRank(col("rrank"), col("__n"), 5).as("r"),
+        Dist.ntileFromRank(col("frank"), col("__n"), 5).as("f"),
+        Dist.ntileFromRank(col("mrank"), col("__n"), 5).as("m"))
       q.groupBy((col("r") * 100 + col("f") * 10 + col("m")).cast("long").as("segment"))
         .agg(count(lit(1)).cast("long").as("n_customers"),
           sum("cents").cast("long").as("total_cents"))
@@ -461,8 +481,15 @@ object Ext8 {
           w2 * round(d6(col("nd")) / col("n"), 4).cast(DecimalType(12, 6)) -
           w3 * round(d6(col("chars")) / col("n"), 4).cast(DecimalType(12, 6))).as("score"),
         when(col("lang") === "en", 1).otherwise(0).as("pos"))
-      val dec = sc.select(col("pos"),
-        ntile(10).over(Window.orderBy(col("score").desc, col("doc_id"))).as("decile"))
+      // decile via exact distributed rank (score DESC = negated
+      // micro-unit key; DECIMAL(12,6)×1e6 is integral) — no
+      // single-partition window over the corpus. The later cum_pos
+      // sweep runs over the 10-row decile aggregate.
+      val ranked = Dist.rangedRank(sc,
+        -(col("score") * lit(1000000)).cast("long"), col("doc_id"), "rk")
+      val nAll = sc.agg(count(lit(1)).cast("long").as("__n"))
+      val dec = ranked.crossJoin(broadcast(nAll)).select(col("pos"),
+        Dist.ntileFromRank(col("rk"), col("__n"), 10).as("decile"))
       val g = dec.groupBy("decile")
         .agg(count(lit(1)).cast("long").as("n_docs"), sum("pos").cast("long").as("n_pos"))
       val t = g.agg(sum("n_pos").cast("long").as("total_pos"))
@@ -656,9 +683,12 @@ object Ext8 {
       val pairs = Ext3.coPairs(s, dir)
       val pos = pairs
         .orderBy(col("cab").desc, col("pa"), col("pb")).limit(50)
-      val uni = Tables.load(s, dir, "part")
-        .select(col("p_partkey"),
-          (row_number().over(Window.orderBy("p_partkey")) - 1).as("idx"))
+      // dense 0..n-1 part index via the distributed rank (p_partkey is
+      // unique) — no single-partition window over the part dimension
+      val uni = Dist.rangedRank(
+          Tables.load(s, dir, "part").select("p_partkey"),
+          col("p_partkey"), lit(0L), "__rk")
+        .select(col("p_partkey"), (col("__rk") - 1).as("idx"))
       val np = Tables.load(s, dir, "part").agg(count(lit(1)).cast("long").as("n_parts"))
       val cand = pos.withColumn("j", explode(sequence(lit(1), lit(6))))
         .crossJoin(broadcast(np))

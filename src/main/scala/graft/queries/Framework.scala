@@ -2035,6 +2035,79 @@ object Framework {
       (rows :+ (("filter_check", "raises", -1L)) :+ (("dual_test_keys", "raises", -1L)))
         .toDF("tbl", "status", "age_sec")
         .orderBy("tbl")
+    },
+
+    // A3 at 100 TB: partition-pruned incremental merge — a delta that
+    // touches 2 of the 7 year-partitions (1998 updates + keys MOVING
+    // from 1997 to 1998) must rewrite ONLY those two partition dirs;
+    // the other 5 carry into the new commit by reference (hard-linked
+    // files, the object-storage metadata-copy analog), and the final
+    // table must equal the oracle's from-scratch recompute bit-for-bit.
+    // Reference semantics: tests/functional/materializations/
+    // test_incremental.py:33-53.
+    QueryDef(
+      "m40_pruned_merge",
+      """WITH full_t AS (
+        |  SELECT o_orderkey, CAST(YEAR(o_orderdate) AS BIGINT) AS yr,
+        |         CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |  FROM orders
+        |), delta AS (
+        |  SELECT o_orderkey, CAST(1998 AS BIGINT) AS yr, cents * 2 AS cents
+        |  FROM full_t
+        |  WHERE (yr = 1998 AND o_orderkey % 10 = 0)
+        |     OR (yr = 1997 AND o_orderkey % 100 = 0)
+        |)
+        |SELECT o_orderkey, yr, cents FROM delta
+        |UNION ALL
+        |SELECT o_orderkey, yr, cents FROM full_t
+        |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM delta)
+        |ORDER BY o_orderkey, yr""".stripMargin) { (s, dir) =>
+      val wh = scratch()
+      graft.Tables.registerAll(s, dir)
+      val eng = new Engine(s, Manifest(Map.empty), wh)
+      val full =
+        """SELECT o_orderkey, CAST(YEAR(o_orderdate) AS BIGINT) AS yr,
+          |       CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+          |FROM orders""".stripMargin
+      val delta =
+        """SELECT o_orderkey, CAST(1998 AS BIGINT) AS yr, cents * 2 AS cents
+          |FROM (SELECT o_orderkey, CAST(YEAR(o_orderdate) AS BIGINT) AS yr,
+          |             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+          |      FROM orders) t
+          |WHERE (yr = 1998 AND o_orderkey % 10 = 0)
+          |   OR (yr = 1997 AND o_orderkey % 100 = 0)""".stripMargin
+      Materializer.incremental(eng.wh, "m40_inc", full, full, "merge",
+        Seq("o_orderkey"), "ignore", Seq("yr"), fullRefresh = false)
+      Materializer.lastPrunedWrite.set(None)
+      Materializer.incremental(eng.wh, "m40_inc", full, delta, "merge",
+        Seq("o_orderkey"), "ignore", Seq("yr"), fullRefresh = false)
+      val stats = Materializer.lastPrunedWrite.get()
+      require(stats.isDefined, "m40: merge must take the pruned write path")
+      val (_, rewritten, carriedParts, linked) = stats.get
+      require(rewritten == 2,
+        s"m40: delta touches exactly {1997,1998}, rewrote $rewritten")
+      require(carriedParts == 5,
+        s"m40: 5 of 7 partitions must carry by reference, carried $carriedParts")
+      require(linked > 0, "m40: carried partitions must link files, not rewrite")
+      // file-level proof of the write volume: in the new commit dir,
+      // carried partitions hold ONLY hard-linked files (named with the
+      // source-version prefix) and rewritten partitions ONLY fresh ones
+      val commit = new java.io.File(s"$wh/m40_inc/v1")
+      require(commit.isDirectory, s"m40: expected second commit at $commit")
+      for (pd <- commit.listFiles() if pd.isDirectory) {
+        val fresh = pd.listFiles().count(f => f.isFile &&
+          !f.getName.startsWith("_") && !f.getName.startsWith(".") &&
+          !f.getName.startsWith("v0_"))
+        val linkedIn = pd.listFiles().count(_.getName.startsWith("v0_"))
+        if (pd.getName == "yr=1997" || pd.getName == "yr=1998")
+          require(fresh > 0 && linkedIn == 0,
+            s"m40: ${pd.getName} must be freshly written, got fresh=$fresh linked=$linkedIn")
+        else
+          require(fresh == 0 && linkedIn > 0,
+            s"m40: ${pd.getName} must be carried by reference, got fresh=$fresh linked=$linkedIn")
+      }
+      eng.wh.read("m40_inc").select("o_orderkey", "yr", "cents")
+        .orderBy("o_orderkey", "yr")
     }
   )
 }

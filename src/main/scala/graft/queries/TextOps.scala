@@ -729,9 +729,13 @@ object TextOps {
       val freq = docs(s, dir)
         .select(explode(wordsCol).as("w"))
         .groupBy("w").agg(count(lit(1)).as("c"))
-      val r = freq.select(col("c"),
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("c").desc, col("w"))).as("rn"))
+      // only ranks ≤ 1000 (the largest k) are ever joined, so rank the
+      // distributed top-1000 (TakeOrderedAndProject), never the full
+      // vocabulary — the window input is 1000 rows by construction
+      val r = freq.orderBy(col("c").desc, col("w")).limit(1000)
+        .select(col("c"),
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("c").desc, col("w"))).as("rn"))
       val tot = freq.agg(sum("c").as("t"), count(lit(1)).as("v"))
       val ks = s.range(1, 4).select(
         pow(lit(10), col("id")).cast("long").as("k"))

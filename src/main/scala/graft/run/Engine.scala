@@ -107,6 +107,13 @@ final class Engine(
         spark.sparkContext.setJobDescription(s"/* $c */")
     }
 
+  /** Reset the thread's job description once a node finishes so later jobs
+    * on the same worker thread (hooks, freshness checks, artifact writes)
+    * don't inherit the last node's comment in the query-log channel.
+    */
+  private def clearQueryComment(): Unit =
+    spark.sparkContext.setJobDescription(null)
+
   private val dag = Dag.fromManifest(manifest)
   private val runStartedAt = clock()
   val invocationId: String = java.util.UUID.randomUUID().toString
@@ -488,7 +495,10 @@ final class Engine(
                     "status" -> "skipped", "message" -> s"upstream failure: $id",
                     "invocation_id" -> invocationId)
                 }
-            } finally spark.sparkContext.clearJobGroup()
+            } finally {
+              spark.sparkContext.clearJobGroup()
+              clearQueryComment()
+            }
           case None =>
             if (queue.isComplete) continue = false
             else Thread.sleep(5)
@@ -807,7 +817,7 @@ final class Engine(
     selected.toSeq.sorted.map { id =>
       val t0 = System.nanoTime()
       applyQueryComment(manifest.nodes(id))
-      manifest.nodes(id) match {
+      try manifest.nodes(id) match {
         case t: TestNode =>
           try {
             val (raw, failures) = Materializer.runTest(wh, t.copy(rawSql = compile(t)))
@@ -826,7 +836,7 @@ final class Engine(
             case e: Throwable => Materializer.Result(id, "fail", String.valueOf(e.getMessage))
           }
         case other => Materializer.Result(id, "error", s"not a test: ${other.uniqueId}")
-      }
+      } finally clearQueryComment()
     }
   }
 

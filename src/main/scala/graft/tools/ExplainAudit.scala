@@ -2,20 +2,93 @@ package graft.tools
 
 import graft.SparkEntry
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.{GlobalLimitExec, TakeOrderedAndProjectExec}
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
 
 /** Dump the formatted physical plan of every analytical query — the
   * reviewable record of the repo's plan discipline (pushdown, pruning,
-  * broadcasts, top-k, codegen spans). Usage:
+  * broadcasts, top-k, codegen spans) — and ASSERT the one plan shape
+  * that cannot survive a 100× scale-up is absent: a `WindowExec` with
+  * no partitioning whose input is not provably bounded.
   *
-  * {{{
-  *   sbt "runMain graft.tools.ExplainAudit [sfDir] [outDir]"
-  * }}}
+  * Classification of empty-partitionSpec windows:
+  *  - `topk`: the window's input subtree contains a GlobalLimit /
+  *    TakeOrderedAndProject — the window runs over ≤ k rows by
+  *    construction (e.g. q183's rank over a top-1000).
+  *  - `bucket-offsets`: the nearest reducer below the window is an
+  *    aggregate grouped solely on `__b*`/`__pid` bucket columns — the
+  *    offsets table of the two-pass distributed prefix sum
+  *    (`queries.Dist`, q177), ≤ #buckets rows by construction.
+  *  - `bounded-domain`: explicitly allowlisted below with the reason
+  *    the input cardinality is a bounded DOMAIN (a histogram over a
+  *    fixed-width value grid, a decile table, …) rather than data.
+  *  - anything else → FLAG; the run exits non-zero.
   *
-  * Writes one `<query>.txt` per query plus `_summary.txt` with grep
-  * counts of the operators that matter at scale (CartesianProduct and
-  * unplanned SortMergeJoin are the red flags to review).
+  * Usage: {{{ sbt "runMain graft.tools.ExplainAudit [sfDir] [outDir]" }}}
+  * Writes one `<query>.txt` per query plus `_summary.txt`; the window
+  * audit is appended to the summary and printed.
   */
 object ExplainAudit {
+
+  /** Unpartitioned windows whose input is a bounded DOMAIN the plan
+    * walker cannot prove: query name → (max windows expected, why the
+    * input is bounded). Grows only with a written justification.
+    */
+  val boundedDomainAllowlist: Map[String, (Int, String)] = Map(
+    "q147_revenue_anomaly" ->
+      (2, "day-grain revenue series: calendar-bounded, not data-bounded"),
+    "q165_pareto_front" ->
+      (1, "per-price aggregate: p_retailprice is a fixed bounded price grid"),
+    "q176_ks_drift" ->
+      (1, "n_chars histogram: bounded document-length domain"),
+    "q199_poisson_bootstrap" ->
+      (1, "32-replicate bootstrap aggregate (b in 0..31)"),
+    "q206_discrete_hazard" ->
+      (1, "tenure-week histogram: calendar-bounded"),
+    "q208_stratified_exact_split" ->
+      (1, "one row per language stratum: bounded strata set"),
+    "q218_gains_table" ->
+      (1, "decile aggregate: NTILE(10) output domain, <= 10 rows"))
+
+  private def hasLimit(p: SparkPlan): Boolean = p.collectFirst {
+    case _: GlobalLimitExec => true
+    case _: TakeOrderedAndProjectExec => true
+  }.isDefined
+
+  /** Walk single-child links (sort/exchange/project/…) to the nearest
+    * cardinality-reducing node under the window.
+    */
+  @annotation.tailrec
+  private def nearestReducer(p: SparkPlan): Option[SparkPlan] = p match {
+    case _: GlobalLimitExec | _: TakeOrderedAndProjectExec => Some(p)
+    case a: BaseAggregateExec => Some(a)
+    case _ if p.children.size == 1 => nearestReducer(p.children.head)
+    case _ => None
+  }
+
+  private def classify(w: SparkPlan, child: SparkPlan): String =
+    if (hasLimit(child)) "topk"
+    else nearestReducer(child) match {
+      case Some(a: BaseAggregateExec)
+          if a.groupingExpressions.nonEmpty &&
+            a.groupingExpressions.forall(g =>
+              g.name.startsWith("__b") || g.name == "__pid") =>
+        "bucket-offsets"
+      case _ => "FLAG"
+    }
+
+  /** (classification, description) for every empty-partitionSpec
+    * window in the plan.
+    */
+  def auditWindows(plan: SparkPlan): Seq[(String, String)] = plan.collect {
+    case w: WindowExec if w.partitionSpec.isEmpty =>
+      (classify(w, w.child), w.orderSpec.map(_.sql).mkString(","))
+    case w: WindowGroupLimitExec if w.partitionSpec.isEmpty =>
+      (classify(w, w.child), w.orderSpec.map(_.sql).mkString(","))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val outDir = args.lift(1).getOrElse("target/plans")
@@ -23,6 +96,8 @@ object ExplainAudit {
       .master(sys.env.getOrElse("SPARK_MASTER", "local[8]"))
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
+      // static plans: the audit walks the pre-execution tree
+      .config("spark.sql.adaptive.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -35,21 +110,38 @@ object ExplainAudit {
       "BroadcastHashJoin", "ShuffledHashJoin", "BroadcastNestedLoopJoin",
       "TakeOrderedAndProject", "InMemoryTableScan", "codegen id", "Exchange")
     val summary = new StringBuilder
+    var flags = 0
     SparkEntry.allQueries.filter(_.name.startsWith("q")).foreach { q =>
       try {
-        val plan = q.run(spark, sfDir).queryExecution.explainString(
+        val qe = q.run(spark, sfDir).queryExecution
+        val plan = qe.explainString(
           org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
         java.nio.file.Files.writeString(dir.resolve(s"${q.name}.txt"), plan)
         val counts = interesting.map(op =>
           s"$op=${op.r.findAllIn(plan).length}").mkString(" ")
         summary.append(s"${q.name}: $counts\n")
+        val wins = auditWindows(qe.executedPlan)
+        val flagged = wins.filter(_._1 == "FLAG")
+        val allowed = boundedDomainAllowlist.get(q.name)
+        val excess = flagged.size - allowed.map(_._1).getOrElse(0)
+        wins.foreach { case (cls, ord) =>
+          val label =
+            if (cls == "FLAG" && allowed.isDefined && excess <= 0)
+              s"bounded-domain (${allowed.get._2})"
+            else cls
+          summary.append(s"${q.name}: window[$label] order=$ord\n")
+        }
+        if (excess > 0) flags += excess
       } catch {
         case e: Throwable =>
+          flags += 1
           summary.append(s"${q.name}: EXPLAIN FAILED ${e.getMessage}\n")
       }
     }
+    summary.append(s"window_audit_flags=$flags\n")
     java.nio.file.Files.writeString(dir.resolve("_summary.txt"), summary.toString)
     print(summary)
     spark.stop()
+    if (flags > 0) sys.exit(1)
   }
 }

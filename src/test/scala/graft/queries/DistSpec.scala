@@ -1,0 +1,78 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** `Dist` kernel correctness: the distributed two-pass prefix sum must
+  * reproduce the single-partition window EXACTLY (rank, running sum,
+  * NTILE) on adversarial shapes — skewed values, negatives (DESC keys
+  * arrive negated), duplicates of the primary key broken by tiebreak,
+  * and n smaller than k.
+  */
+class DistSpec extends SparkSpec {
+
+  private def sample = {
+    import spark.implicits._
+    // deterministic pseudo-random longs; heavy duplication in v so the
+    // tiebreak and bucket-boundary paths are exercised
+    val rows = (1L to 997L).map { i =>
+      val v = (i * 2654435761L) % 37L - 18L // range [-18, 18], many dups
+      (v, i)
+    }
+    rows.toDF("v", "id").repartition(7)
+  }
+
+  test("rangedRank == ROW_NUMBER over (v, id)") {
+    val df = sample
+    val expected = df.withColumn("rk",
+      row_number().over(Window.orderBy("v", "id")).cast("long"))
+    val got = Dist.rangedRank(df, col("v"), col("id"), "rk")
+    assert(got.select("v", "id", "rk").except(
+      expected.select("v", "id", "rk")).isEmpty)
+    assert(expected.select("v", "id", "rk").except(
+      got.select("v", "id", "rk")).isEmpty)
+  }
+
+  test("rangedPrefixSum == SUM OVER (ORDER BY v, id ROWS UNBOUNDED..CURRENT)") {
+    val df = sample.withColumn("w", (col("id") % 11L) + 1L)
+    val expected = df.withColumn("cum",
+      sum("w").over(Window.orderBy("v", "id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val got = Dist.rangedPrefixSum(df, col("v"), col("id"), col("w"), "cum")
+    assert(got.select("v", "id", "cum").except(
+      expected.select("v", "id", "cum")).isEmpty)
+    assert(expected.select("v", "id", "cum").except(
+      got.select("v", "id", "cum")).isEmpty)
+  }
+
+  test("ntileFromRank == NTILE(k) for k in {3, 5, 10}, including n < k") {
+    Seq(997, 7, 3).foreach { n =>
+      val df = sample.filter(col("id") <= n) // deterministic subset
+      Seq(3, 5, 10).foreach { k =>
+        val expected = df.withColumn("t",
+          ntile(k).over(Window.orderBy("v", "id")).cast("long"))
+        val ranked = Dist.rangedRank(df, col("v"), col("id"), "rk")
+        val cnt = df.agg(count(lit(1)).cast("long").as("__n"))
+        val got = ranked.crossJoin(broadcast(cnt))
+          .select(col("v"), col("id"),
+            Dist.ntileFromRank(col("rk"), col("__n"), k).as("t"))
+        assert(got.except(expected.select("v", "id", "t")).isEmpty &&
+          expected.select("v", "id", "t").except(got).isEmpty,
+          s"n=$n k=$k mismatch")
+      }
+    }
+  }
+
+  test("plan: no unpartitioned window over the data; offsets broadcast") {
+    // static plan: AQE wraps the tree and hides it from collect()
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val wins = try {
+      val got = Dist.rangedRank(sample, col("v"), col("id"), "rk")
+      graft.tools.ExplainAudit.auditWindows(got.queryExecution.executedPlan)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(wins.nonEmpty, "expected the offsets window in the plan")
+    assert(wins.forall(_._1 != "FLAG"),
+      s"unpartitioned data-sized window leaked: $wins")
+  }
+}

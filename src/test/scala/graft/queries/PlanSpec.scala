@@ -526,7 +526,7 @@ class PlanSpec extends SparkSpec {
     val p = plan("q177_systematic_weighted_sample")
     assert(!p.contains("CartesianProduct"), p)
     // the doc-level window must carry the bucket partition spec
-    assert(p.contains("windowspecdefinition(b#"),
+    assert(p.contains("windowspecdefinition(__b#"),
       "doc-level window must partition by bucket: " + p)
     // bucket offsets (#buckets rows) come back via broadcast join
     assert(p.contains("BroadcastHashJoin"), p)
