@@ -2108,6 +2108,78 @@ object Framework {
       }
       eng.wh.read("m40_inc").select("o_orderkey", "yr", "cents")
         .orderBy("o_orderkey", "yr")
+    },
+
+    // A26 context-builtin long tail (reference base.py:374-727):
+    // a macro-driven model that round-trips YAML -> dict -> JSON and
+    // derives its SQL from the parsed config — plus zip, set,
+    // diff_of_two_dicts, flags, modules.re and modules.datetime, each
+    // pinned by a literal the oracle recomputes. Any drift in the
+    // builtin semantics breaks the hash.
+    QueryDef(
+      "m39_context_builtins",
+      """SELECT CASE o_orderstatus WHEN 'O' THEN 'open' WHEN 'F' THEN 'filled'
+        |            WHEN 'P' THEN 'pending' ELSE 'other' END AS status_label,
+        |       '["n_orders", "cents"]' AS measures_json,
+        |       '{"m": ["b"]}' AS diff_json,
+        |       '[[1, "x"], [2, "y"]]' AS zip_json,
+        |       '[1, 2, 3]' AS set_json,
+        |       'incr' AS refresh_mode,
+        |       '2020-01-01' AS run_day,
+        |       'openorders' AS re_clean,
+        |       CAST(COUNT(*) AS BIGINT) AS n_orders
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val root = java.nio.file.Files.createTempDirectory("m39_proj")
+      scratchDirs.add(root.toFile)
+      def write(rel: String, content: String): Unit = {
+        val p = root.resolve(rel)
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.writeString(p, content)
+      }
+      write("dbt_project.yml", "name: m39proj\n")
+      write("models/sources.yml",
+        s"""sources:
+           |  - name: main
+           |    tables:
+           |      - name: orders
+           |        path: $dir/orders.parquet
+           |""".stripMargin)
+      write("models/m39_fct.sql",
+        """{{ config(materialized='table') }}
+          |{% set cfg_yaml %}
+          |statuses:
+          |  - code: O
+          |    label: open
+          |  - code: F
+          |    label: filled
+          |  - code: P
+          |    label: pending
+          |measures: [n_orders, cents]
+          |{% endset %}
+          |{% set cfg = fromyaml(cfg_yaml) %}
+          |{% set zipped = zip([1, 2], ['x', 'y']) %}
+          |{% set deduped = set([1, 2, 2, 3]) %}
+          |{% set dd = diff_of_two_dicts({'m': ['a', 'b']}, {'M': ['A']}) %}
+          |SELECT CASE o_orderstatus
+          |  {%- for st in cfg['statuses'] %}
+          |  WHEN '{{ st['code'] }}' THEN '{{ st['label'] }}'
+          |  {%- endfor %}
+          |  ELSE 'other' END AS status_label,
+          |  '{{ tojson(cfg['measures']) }}' AS measures_json,
+          |  '{{ tojson(dd, sort_keys=true) }}' AS diff_json,
+          |  '{{ tojson(zipped) }}' AS zip_json,
+          |  '{{ tojson(deduped) }}' AS set_json,
+          |  '{% if flags.FULL_REFRESH %}full{% else %}incr{% endif %}' AS refresh_mode,
+          |  '{{ modules.datetime.date(2020, 1, 1).isoformat() }}' AS run_day,
+          |  '{{ modules.re.sub('[^a-z]', '', 'Open Orders-99' | lower) }}' AS re_clean,
+          |  COUNT(*) AS n_orders
+          |FROM {{ source('main', 'orders') }}
+          |GROUP BY 1""".stripMargin)
+      val eng = Engine.fromProject(s, root.toString, scratch())
+      require(eng.run().forall(_.status == "success"), "m39: run failed")
+      eng.wh.read("m39_fct")
+        .withColumn("n_orders", org.apache.spark.sql.functions.col("n_orders").cast("long"))
+        .orderBy("status_label")
     }
   )
 }

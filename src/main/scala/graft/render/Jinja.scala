@@ -78,6 +78,111 @@ object Jinja {
 
   def jlist(xs: Seq[JV]): JL = JL(scala.collection.mutable.ArrayBuffer(xs: _*))
 
+  // ---------------------------------------- JSON/YAML context builtins
+  // (reference `core/dbt/context/base.py:374-460` — fromjson/tojson/
+  // fromyaml/toyaml; serialization shapes pinned to python
+  // `json.dumps` / `yaml.safe_dump` defaults)
+
+  private def jsonQuote(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\t' => "\\t"
+      case '\r' => "\\r"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  /** python `json.dumps` parity: default separators `(", ", ": ")`. */
+  def toJsonString(v: JV, sortKeys: Boolean): String = v match {
+    case JS(s) => jsonQuote(s)
+    case n: JN => show(n)
+    case JB(b) => if (b) "true" else "false"
+    case JNull | JUndef(_) => "null"
+    case JL(xs) => xs.map(toJsonString(_, sortKeys)).mkString("[", ", ", "]")
+    case JM(m) =>
+      (if (sortKeys) m.toSeq.sortBy(_._1) else m.toSeq)
+        .map { case (k, x) => s"${jsonQuote(k)}: ${toJsonString(x, sortKeys)}" }
+        .mkString("{", ", ", "}")
+    case other =>
+      throw new IllegalArgumentException(s"not json-serializable: ${show(other)}")
+  }
+
+  def fromJsonValue(s: String): JV = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def conv(n: com.fasterxml.jackson.databind.JsonNode): JV =
+      if (n.isNull) JNull
+      else if (n.isBoolean) JB(n.asBoolean())
+      else if (n.isIntegralNumber) JN(BigDecimal(n.bigIntegerValue()), isInt = true)
+      else if (n.isNumber) JN(BigDecimal(n.asDouble()), isInt = false)
+      else if (n.isTextual) JS(n.asText())
+      else if (n.isArray) {
+        val it = n.elements(); val buf = scala.collection.mutable.ArrayBuffer[JV]()
+        while (it.hasNext) buf += conv(it.next())
+        JL(buf)
+      } else {
+        val it = n.properties().iterator()
+        val out = scala.collection.mutable.LinkedHashMap[String, JV]()
+        while (it.hasNext) { val e = it.next(); out(e.getKey) = conv(e.getValue) }
+        JM(out.toMap)
+      }
+    conv(mapper.readTree(s))
+  }
+
+  private def toJava(v: JV, sortKeys: Boolean): Object = v match {
+    case JS(s) => s
+    case JN(n, true) =>
+      if (n.isValidLong) java.lang.Long.valueOf(n.toLong) else n.toBigInt.bigInteger
+    case JN(n, false) => java.lang.Double.valueOf(n.toDouble)
+    case JB(b) => java.lang.Boolean.valueOf(b)
+    case JNull | JUndef(_) => null
+    case JL(xs) =>
+      val l = new java.util.ArrayList[Object](xs.length)
+      xs.foreach(x => l.add(toJava(x, sortKeys)))
+      l
+    case JM(m) =>
+      val o = new java.util.LinkedHashMap[String, Object]()
+      (if (sortKeys) m.toSeq.sortBy(_._1) else m.toSeq)
+        .foreach { case (k, x) => o.put(k, toJava(x, sortKeys)) }
+      o
+    case other =>
+      throw new IllegalArgumentException(s"not yaml-serializable: ${show(other)}")
+  }
+
+  private def fromJava(o: Any): JV = o match {
+    case null => JNull
+    case s: String => JS(s)
+    case b: java.lang.Boolean => JB(b.booleanValue())
+    case i: java.lang.Integer => jint(i.longValue())
+    case l: java.lang.Long => jint(l.longValue())
+    case bi: java.math.BigInteger => JN(BigDecimal(bi), isInt = true)
+    case d: java.lang.Double => JN(BigDecimal(d.doubleValue()), isInt = false)
+    case f: java.lang.Float => JN(BigDecimal(f.doubleValue()), isInt = false)
+    case dt: java.util.Date => JS(dt.toString)
+    case l: java.util.List[_] =>
+      val buf = scala.collection.mutable.ArrayBuffer[JV]()
+      l.forEach(x => buf += fromJava(x))
+      JL(buf)
+    case m: java.util.Map[_, _] =>
+      val out = scala.collection.mutable.LinkedHashMap[String, JV]()
+      m.forEach((k, v2) => out(String.valueOf(k)) = fromJava(v2))
+      JM(out.toMap)
+    case other => JS(String.valueOf(other))
+  }
+
+  /** python `yaml.safe_load` parity via snakeyaml. */
+  def fromYamlValue(s: String): JV = fromJava(
+    new org.yaml.snakeyaml.Yaml().load[Object](s))
+
+  /** python `yaml.safe_dump(default_flow_style=False)` parity shape. */
+  def toYamlString(v: JV, sortKeys: Boolean): String = {
+    val opts = new org.yaml.snakeyaml.DumperOptions()
+    opts.setDefaultFlowStyle(
+      org.yaml.snakeyaml.DumperOptions.FlowStyle.BLOCK)
+    new org.yaml.snakeyaml.Yaml(opts).dump(toJava(v, sortKeys))
+  }
+
   def jint(n: Long): JV = JN(BigDecimal(n), isInt = true)
   def jnum(n: BigDecimal): JV = JN(n, isInt = n.isWhole && !n.toString.contains('.'))
 
@@ -531,9 +636,19 @@ object Jinja {
           case other => throw new IllegalArgumentException(
             s"jinja: cannot iterate ${show(other)}")
         }
+        // tuple unpacking: {% for a, b in zip(xs, ys) %} / {% for k, v
+        // in d.items() %} — each item must be a sequence of the same
+        // arity as the name list
+        val names = v.split(",").map(_.trim).toSeq
         items.zipWithIndex.foreach { case (item, idx) =>
           val inner = new Scope(Some(scope))
-          inner.vars(v) = item
+          if (names.length == 1) inner.vars(v) = item
+          else item match {
+            case JL(parts) if parts.length == names.length =>
+              names.zip(parts).foreach { case (n, p) => inner.vars(n) = p }
+            case other => throw new IllegalArgumentException(
+              s"jinja: cannot unpack ${show(other)} into (${names.mkString(", ")})")
+          }
           inner.vars("loop") = JM(Map(
             "index" -> jint(idx + 1), "index0" -> jint(idx),
             "first" -> JB(idx == 0), "last" -> JB(idx == items.length - 1),
@@ -1000,6 +1115,21 @@ object Jinja {
       // render IS the execute phase here (no separate parse render);
       // reference `execute` context flag
       case "execute" => JB(true)
+      // `flags` contextproperty (reference base.py:655-668): typed
+      // booleans — a string "false" would be truthy in `{% if %}`
+      case "flags" =>
+        JM(Map[String, JV]("FULL_REFRESH" -> JB(false),
+          "STORE_FAILURES" -> JB(false), "WHICH" -> JS("run")) ++ ctx.flags)
+      // `modules` contextproperty (base.py:630-653): minimal
+      // datetime/re/itertools namespaces, dispatched in methodCall
+      case "modules" =>
+        JM(Map(
+          "re" -> JM(Map("__module" -> (JS("re"): JV))),
+          "itertools" -> JM(Map("__module" -> (JS("itertools"): JV))),
+          "datetime" -> JM(Map(
+            "__module" -> (JS("datetime"): JV),
+            "datetime" -> (JM(Map("__module" -> (JS("datetime.datetime"): JV))): JV),
+            "date" -> (JM(Map("__module" -> (JS("datetime.date"): JV))): JV)))))
       case _ =>
         scope.lookup(name)
           .orElse(ctx.builtins.get(name).map(JS(_)))
@@ -1079,6 +1209,77 @@ object Jinja {
             "columns" -> jlist(colVals),
             "rows" -> jlist(rows.map(r => jlist(r))),
             "data" -> jlist(rows.map(r => jlist(r)))))
+        // ---- JSON/YAML/iterable context members (reference
+        // `core/dbt/context/base.py:374-727`); `default` (positional or
+        // kwarg) is returned on conversion failure, mirroring the
+        // reference's try/except
+        case "fromjson" =>
+          val dflt = pos.lift(1).orElse(kw.get("default")).getOrElse(JNull)
+          try fromJsonValue(str(pos.head)) catch { case _: Exception => dflt }
+        case "tojson" =>
+          val dflt = pos.lift(1).orElse(kw.get("default")).getOrElse(JNull)
+          val sk = kw.get("sort_keys").orElse(pos.lift(2)).exists(truthy)
+          try JS(toJsonString(pos.head, sk)) catch { case _: Exception => dflt }
+        case "fromyaml" =>
+          val dflt = pos.lift(1).orElse(kw.get("default")).getOrElse(JNull)
+          try fromYamlValue(str(pos.head)) catch { case _: Exception => dflt }
+        case "toyaml" =>
+          val dflt = pos.lift(1).orElse(kw.get("default")).getOrElse(JNull)
+          val sk = kw.get("sort_keys").orElse(pos.lift(2)).exists(truthy)
+          try JS(toYamlString(pos.head, sk)) catch { case _: Exception => dflt }
+        case "set" | "set_strict" =>
+          // insertion-order dedup (python's set has no defined order;
+          // deterministic order is strictly more reproducible)
+          def dedup(xs: Seq[JV]): JV = {
+            val seen = scala.collection.mutable.LinkedHashSet[String]()
+            val out = scala.collection.mutable.ArrayBuffer[JV]()
+            xs.foreach { x => val k = show(x)
+              if (!seen.contains(k)) { seen += k; out += x } }
+            JL(out)
+          }
+          pos.head match {
+            case JL(xs) => dedup(xs.toSeq)
+            case JS(s) => dedup(s.map(c => JS(c.toString)))
+            case _ if name == "set_strict" =>
+              throw new IllegalArgumentException(
+                s"set_strict: not an iterable: ${show(pos.head)}")
+            case _ => kw.get("default").orElse(pos.lift(1)).getOrElse(JNull)
+          }
+        case "zip" | "zip_strict" =>
+          val strict = name == "zip_strict"
+          val dflt = kw.get("default").getOrElse(JNull)
+          val lists = pos.takeWhile(_.isInstanceOf[JL]).collect { case JL(xs) => xs }
+          if (lists.length != pos.length) {
+            if (strict) throw new IllegalArgumentException(
+              "zip_strict: arguments must be iterables")
+            else dflt
+          } else if (lists.isEmpty) jlist(Nil)
+          else jlist((0 until lists.map(_.length).min)
+            .map(i => jlist(lists.map(_(i)).toSeq)))
+        case "diff_of_two_dicts" =>
+          // Dict[str, List[str]] minus, case-insensitive values, keys
+          // keep dict_a's case (reference base.py:691-718)
+          val (a, b) = (pos.head, pos(1)) match {
+            case (JM(ma), JM(mb)) => (ma, mb)
+            case _ => fail("diff_of_two_dicts(dict_a, dict_b)")
+          }
+          def lows(v: JV): Seq[String] = v match {
+            case JL(xs) => xs.toSeq.map(x => str(x).toLowerCase)
+            case o => Seq(str(o).toLowerCase)
+          }
+          val bLow = b.map { case (k, v) => k.toLowerCase -> lows(v) }
+          val out = a.flatMap { case (k, v) =>
+            bLow.get(k.toLowerCase) match {
+              case None => Some(k -> v)
+              case Some(bs) =>
+                val kept = (v match {
+                  case JL(xs) => xs.toSeq
+                  case o => Seq(o)
+                }).filterNot(x => bs.contains(str(x).toLowerCase))
+                if (kept.nonEmpty) Some(k -> (jlist(kept): JV)) else None
+            }
+          }
+          JM(out)
         case "config" => JS("") // parse-time concern (Template.extractConfig)
         case "exceptions" => JS("")
         case other =>
@@ -1280,11 +1481,151 @@ object Jinja {
       case (JM(m), "get") =>
         m.get(str(args.head)).orElse(args.lift(1)).getOrElse(JNull)
       case (JM(m), "keys") => jlist(m.keys.toSeq.map(JS(_)))
+      case (JM(m), "items") =>
+        jlist(m.toSeq.map { case (k, v2) => jlist(Seq(JS(k), v2)): JV })
       // an agate-ish column object ({name, values}) answers .values()
       // with its value LIST, not the dict's values
       case (JM(m), "values") if m.contains("values") => m("values")
       case (JM(m), "values") => jlist(m.values.toSeq)
+      case (JM(m), meth) if m.get("__module").isDefined =>
+        moduleCall(str(m("__module")), meth, args)
+      case (JM(m), meth) if m.get("__type").exists(t => str(t) == "date" ||
+          str(t) == "datetime") => dateMethod(m, meth, args)
       case _ => fail(s"unknown method `.$name()` on ${show(v)}")
+    }
+
+    // ------------------------------------- `modules.*` (base.py:630-653)
+
+    /** python `\\N` group backrefs → java `$N`. */
+    private def pyRepl(r: String): String =
+      r.replaceAll("\\\\(\\d)", "\\$$1")
+
+    private def mkDate(y: Int, mo: Int, d: Int, tag: String,
+        h: Int = 0, mi: Int = 0, se: Int = 0): JV =
+      JM(Map("__type" -> JS(tag), "year" -> jint(y), "month" -> jint(mo),
+        "day" -> jint(d), "hour" -> jint(h), "minute" -> jint(mi),
+        "second" -> jint(se)))
+
+    private def moduleCall(module: String, meth: String, args: Seq[JV]): JV =
+      (module, meth) match {
+        case ("re", "match") =>
+          // python re.match anchors at the START only
+          val m = java.util.regex.Pattern.compile(str(args.head))
+            .matcher(str(args(1)))
+          if (m.lookingAt()) JS(m.group()) else JNull
+        case ("re", "search") =>
+          val m = java.util.regex.Pattern.compile(str(args.head))
+            .matcher(str(args(1)))
+          if (m.find()) JS(m.group()) else JNull
+        case ("re", "fullmatch") =>
+          val m = java.util.regex.Pattern.compile(str(args.head))
+            .matcher(str(args(1)))
+          if (m.matches()) JS(m.group()) else JNull
+        case ("re", "sub") =>
+          JS(str(args(2)).replaceAll(str(args.head), pyRepl(str(args(1)))))
+        case ("re", "findall") =>
+          val m = java.util.regex.Pattern.compile(str(args.head))
+            .matcher(str(args(1)))
+          val out = scala.collection.mutable.ArrayBuffer[JV]()
+          while (m.find()) out += JS(
+            if (m.groupCount() >= 1) m.group(1) else m.group())
+          JL(out)
+        case ("re", "split") =>
+          jlist(str(args(1)).split(str(args.head), -1).toSeq.map(JS(_)))
+        case ("re", "escape") =>
+          JS(str(args.head).flatMap(c =>
+            if (c.isLetterOrDigit || c == '_') c.toString else "\\" + c))
+        case ("itertools", "chain") =>
+          jlist(args.flatMap { case JL(xs) => xs.toSeq; case o => Seq(o) })
+        case ("itertools", "product") =>
+          val lists = args.collect { case JL(xs) => xs.toSeq }
+          jlist(lists.foldLeft(Seq(Seq.empty[JV])) { (acc, l) =>
+            acc.flatMap(t => l.map(t :+ _))
+          }.map(jlist))
+        case ("datetime", "date") =>
+          mkDate(num(args.head), num(args(1)), num(args(2)), "date")
+        case ("datetime.date", "today") =>
+          val t = java.time.LocalDate.now()
+          mkDate(t.getYear, t.getMonthValue, t.getDayOfMonth, "date")
+        case ("datetime.date", "fromisoformat") =>
+          val t = java.time.LocalDate.parse(str(args.head))
+          mkDate(t.getYear, t.getMonthValue, t.getDayOfMonth, "date")
+        case ("datetime", "datetime") =>
+          mkDate(num(args.head), num(args(1)), num(args(2)), "datetime",
+            args.lift(3).map(num).getOrElse(0),
+            args.lift(4).map(num).getOrElse(0),
+            args.lift(5).map(num).getOrElse(0))
+        case ("datetime.datetime", "now") | ("datetime.datetime", "utcnow") =>
+          val t = java.time.LocalDateTime.now(java.time.ZoneOffset.UTC)
+          mkDate(t.getYear, t.getMonthValue, t.getDayOfMonth, "datetime",
+            t.getHour, t.getMinute, t.getSecond)
+        case ("datetime.datetime", "strptime") =>
+          val fmt = java.time.format.DateTimeFormatter.ofPattern(
+            pyToJavaFmt(str(args(1))))
+          val t = java.time.LocalDateTime.parse(str(args.head),
+            new java.time.format.DateTimeFormatterBuilder().append(fmt)
+              .parseDefaulting(java.time.temporal.ChronoField.HOUR_OF_DAY, 0)
+              .parseDefaulting(java.time.temporal.ChronoField.MINUTE_OF_HOUR, 0)
+              .parseDefaulting(java.time.temporal.ChronoField.SECOND_OF_MINUTE, 0)
+              .toFormatter())
+          mkDate(t.getYear, t.getMonthValue, t.getDayOfMonth, "datetime",
+            t.getHour, t.getMinute, t.getSecond)
+        case other => fail(s"unsupported modules.$module.$meth")
+      }
+
+    private def num(v: JV): Int = v match {
+      case JN(n, _) => n.toInt
+      case o => str(o).trim.toInt
+    }
+
+    /** python strftime directives → java DateTimeFormatter pattern
+      * (the %Y/%m/%d/%H/%M/%S subset macros actually use).
+      */
+    private def pyToJavaFmt(f: String): String = {
+      val sb = new StringBuilder
+      var j = 0
+      while (j < f.length) {
+        if (f(j) == '%' && j + 1 < f.length) {
+          f(j + 1) match {
+            case 'Y' => sb.append("yyyy")
+            case 'y' => sb.append("yy")
+            case 'm' => sb.append("MM")
+            case 'd' => sb.append("dd")
+            case 'H' => sb.append("HH")
+            case 'M' => sb.append("mm")
+            case 'S' => sb.append("ss")
+            case 'j' => sb.append("DDD")
+            case '%' => sb.append('%')
+            case other => fail(s"unsupported strftime directive %$other")
+          }
+          j += 2
+        } else {
+          if (f(j).isLetter) sb.append('\'').append(f(j)).append('\'')
+          else sb.append(f(j))
+          j += 1
+        }
+      }
+      sb.toString
+    }
+
+    private def dateMethod(m: Map[String, JV], meth: String, args: Seq[JV]): JV = {
+      val (y, mo, d) = (num(m("year")), num(m("month")), num(m("day")))
+      val (h, mi, se) = (num(m("hour")), num(m("minute")), num(m("second")))
+      meth match {
+        case "isoformat" =>
+          if (str(m("__type")) == "date") JS(f"$y%04d-$mo%02d-$d%02d")
+          else JS(f"$y%04d-$mo%02d-${d}%02dT$h%02d:$mi%02d:$se%02d")
+        case "strftime" =>
+          val fmt = java.time.format.DateTimeFormatter.ofPattern(
+            pyToJavaFmt(str(args.head)))
+          JS(java.time.LocalDateTime.of(y, mo, d, h, mi, se).format(fmt))
+        case "date" =>
+          mkDate(y, mo, d, "date")
+        case "weekday" =>
+          JN(BigDecimal(java.time.LocalDate.of(y, mo, d).getDayOfWeek.getValue - 1),
+            isInt = true)
+        case other => fail(s"unsupported date method .$other()")
+      }
     }
   }
 }

@@ -332,7 +332,12 @@ object Template {
         * project-dir-rooted file loader; None = inheritance/include
         * unavailable (parse-only contexts).
         */
-      templateLoader: Option[String => Option[String]] = None)
+      templateLoader: Option[String => Option[String]] = None,
+      /** `flags.*` context values (reference `base.py:655-668`) —
+        * TYPED, because `{% if flags.FULL_REFRESH %}` must see a real
+        * boolean; merged over the defaults the renderer provides.
+        */
+      flags: Map[String, Jinja.JV] = Map.empty)
 
   /** Render a model body to executable Spark SQL — the full block
     * engine ([[Jinja]]): nested if/for, general expressions, filters,

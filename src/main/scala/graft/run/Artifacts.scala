@@ -362,6 +362,30 @@ object Artifacts {
     write(path, sb.toString)
   }
 
+  /** `docs generate` site assembly (reference
+    * `core/dbt/task/docs/generate.py:231,317-330`): copy the published
+    * dbt docs SPA (vendored verbatim under resources/graft/docs — see
+    * its README for provenance) to `index.html` so the REAL consumer
+    * runs over this engine's manifest.json/catalog.json, and emit
+    * `static_index.html` with both artifacts inlined (the `--static`
+    * single-file variant). The engine's own dependency-free lineage
+    * page moves to `lineage.html`. Requires manifest.json and
+    * catalog.json to already exist in `targetDir`.
+    */
+  def writeDocsSite(targetDir: String): Unit = {
+    val in = getClass.getResourceAsStream("/graft/docs/index.html")
+    require(in != null, "vendored docs SPA missing from resources")
+    val spa = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    write(s"$targetDir/index.html", spa)
+    val manifest = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$targetDir/manifest.json"))
+    val catalog = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$targetDir/catalog.json"))
+    write(s"$targetDir/static_index.html",
+      spa.replace("\"MANIFEST.JSON INLINE DATA\"", manifest)
+        .replace("\"CATALOG.JSON INLINE DATA\"", catalog))
+  }
+
   /** `docs generate` catalog: relations + columns from the live
     * warehouse (reference `core/dbt/task/docs/generate.py`).
     */

@@ -252,14 +252,15 @@ object Cli {
         engine.runOperation(macroName, opArgs)
           .lastOption.foreach(_.show(truncate = false))
       case "docs" =>
-        graft.run.Artifacts.writeCatalog(s"$targetDir/catalog.json",
-          engine.wh, new java.sql.Timestamp(System.currentTimeMillis()))
+        // the vendored dbt docs SPA (index.html) fetches manifest.json
+        // + catalog.json at load — write all three together
+        engine.writeDocsArtifacts(targetDir)
         graft.run.Artifacts.writeLineageDot(s"$targetDir/graph.dot",
           engine.manifest)
-        graft.run.Artifacts.writeLineageHtml(s"$targetDir/index.html",
+        graft.run.Artifacts.writeLineageHtml(s"$targetDir/lineage.html",
           engine.manifest)
-        println(s"wrote $targetDir/catalog.json, $targetDir/graph.dot" +
-          s" and $targetDir/index.html")
+        println(s"wrote $targetDir/{manifest,catalog}.json, graph.dot, " +
+          s"index.html (dbt docs app), static_index.html and lineage.html")
         // --serve: block on a local static server over target/
         // (reference `dbt docs serve`, core/dbt/task/docs/serve.py)
         if (opts.contains("serve")) {

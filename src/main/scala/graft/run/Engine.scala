@@ -138,6 +138,12 @@ final class Engine(
     * hooks, show, unit tests) goes through here so builtins/vars can't
     * diverge between sites again.
     */
+  /** Whether the in-flight invocation runs with --full-refresh —
+    * surfaced to templates as `flags.FULL_REFRESH` (reference
+    * `base.py:655-668`).
+    */
+  @volatile private var currentFullRefresh = false
+
   def renderContext(
       resolveRef: String => String = defaultRefResolver,
       resolveSource: (String, String) => String = defaultSourceResolver,
@@ -150,7 +156,9 @@ final class Engine(
       macroResolver = macroResolverFor(callerPackage),
       queryRunner = Some(sparkQueryRunner),
       adapterApi = Some(adapterCall),
-      templateLoader = Some(loadTemplateFile))
+      templateLoader = Some(loadTemplateFile),
+      flags = Map(
+        "FULL_REFRESH" -> graft.render.Jinja.JB(currentFullRefresh)))
 
   /** Project-dir-rooted loader for `{% include %}`/`{% extends %}`;
     * rejects path escapes.
@@ -422,6 +430,7 @@ final class Engine(
       fullRefresh: Boolean = false,
       indirectSelection: String = "eager"): Seq[Materializer.Result] = {
 
+    currentFullRefresh = fullRefresh
     val selected0 = Selector.select(manifest, dag, select, exclude, indirectSelection)
     // executing a node requires its ancestors' relations to exist; the
     // reference expects them pre-built unless selected — here sources
@@ -1026,6 +1035,18 @@ final class Engine(
     if (fresh.nonEmpty)
       Artifacts.writeSources(s"$targetDir/sources.json", fresh,
         runStartedAt, invocationId)
+  }
+
+  /** `dbt docs generate` artifact set (reference
+    * `core/dbt/task/docs/generate.py`): manifest + catalog + the
+    * vendored docs SPA (index.html / static_index.html) that consumes
+    * them — no run_results, no freshness side effects.
+    */
+  def writeDocsArtifacts(targetDir: String): Unit = {
+    Artifacts.writeManifest(s"$targetDir/manifest.json", manifest,
+      runStartedAt, invocationId)
+    Artifacts.writeCatalog(s"$targetDir/catalog.json", wh, runStartedAt)
+    Artifacts.writeDocsSite(targetDir)
   }
 
   /** `dbt retry` (reference `core/dbt/task/retry.py:66-145`): re-run

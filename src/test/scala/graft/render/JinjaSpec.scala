@@ -512,4 +512,92 @@ class JinjaSpec extends AnyFunSuite {
       "{% filter trim | lower %} {% for i in [1, 2] %}A{{ i }} {% endfor %}{% endfilter %}",
       ctx) === "a1 a2")
   }
+
+  // --- A26 context-builtin long tail (reference base.py:374-727) ---
+
+  test("fromjson parses; default on failure (base.py:374-391)") {
+    assert(Template.render(
+      """{% set d = fromjson('{"abc": 123}') %}{{ d['abc'] }}""", ctx) === "123")
+    assert(Template.render(
+      "{{ fromjson('not json', 'fallback') }}", ctx) === "fallback")
+  }
+
+  test("tojson round-trips dicts/lists; sort_keys pins order") {
+    assert(Template.render(
+      """{% set d = {"b": 1, "a": [1, 2, true, none]} %}{{ tojson(d, sort_keys=true) }}""",
+      ctx) === """{"a": [1, 2, true, null], "b": 1}""")
+    assert(Template.render(
+      """{{ fromjson(tojson({"x": 1.5}))['x'] }}""", ctx) === "1.5")
+  }
+
+  test("fromyaml parses block yaml; toyaml dumps block style") {
+    assert(Template.render(
+      "{% set y %}\ndogs:\n - good\n - bad\n{% endset %}" +
+        "{% set d = fromyaml(y) %}{{ d['dogs'][0] }}/{{ d['dogs'][1] }}",
+      ctx) === "good/bad")
+    assert(Template.render(
+      """{{ toyaml({"abc": 123}) }}""", ctx).trim === "abc: 123")
+    assert(Template.render(
+      "{{ fromyaml('] not yaml [', 'dflt') }}", ctx) === "dflt")
+  }
+
+  test("set dedups (insertion order); set_strict raises on non-iterable") {
+    assert(Template.render(
+      "{{ set([1, 2, 2, 3]) | list }}", ctx) === "[1, 2, 3]")
+    assert(Template.render(
+      "{{ set(12345, 'dflt') }}", ctx) === "dflt")
+    intercept[Exception] {
+      Template.render("{{ set_strict(12345) }}", ctx)
+    }
+  }
+
+  test("zip pairs element-wise; zip_strict raises on non-iterable") {
+    assert(Template.render(
+      "{% for a, b in zip([1, 2], ['alice', 'bob']) %}{{ a }}={{ b }};{% endfor %}",
+      ctx) === "1=alice;2=bob;")
+    assert(Template.render("{{ zip([1], 'nope', default='d') }}", ctx) === "d")
+    intercept[Exception] {
+      Template.render("{{ zip_strict([1], 2) }}", ctx)
+    }
+  }
+
+  test("diff_of_two_dicts: case-insensitive minus, keys keep dict_a case") {
+    val out = Template.render(
+      """{% set a = {"key_x": ["value_1", "VALUE_2"], "KEY_Y": ["value_3"]} %}
+        |{% set b = {"key_x": ["value_1"], "key_z": ["value_4"]} %}
+        |{{ tojson(diff_of_two_dicts(a, b), sort_keys=true) }}""".stripMargin, ctx).trim
+    assert(out === """{"KEY_Y": ["value_3"], "key_x": ["VALUE_2"]}""")
+  }
+
+  test("flags: typed booleans with defaults") {
+    assert(Template.render(
+      "{% if flags.FULL_REFRESH %}drop{% else %}keep{% endif %}", ctx) === "keep")
+    val ctx2 = ctx.copy(flags = Map("FULL_REFRESH" -> Jinja.JB(true)))
+    assert(Template.render(
+      "{% if flags.FULL_REFRESH %}drop{% else %}keep{% endif %}", ctx2) === "drop")
+  }
+
+  test("modules.re: match anchors at start; sub converts backrefs; findall") {
+    assert(Template.render(
+      "{{ modules.re.sub('(a+)b', '<\\1>', 'xaab aab') }}", ctx) === "x<aa> <aa>")
+    assert(Template.render(
+      "{% if modules.re.match('ab', 'abc') %}y{% else %}n{% endif %}", ctx) === "y")
+    assert(Template.render(
+      "{% if modules.re.match('bc', 'abc') %}y{% else %}n{% endif %}", ctx) === "n")
+    assert(Template.render(
+      "{{ modules.re.findall('[0-9]+', 'a1 b22 c333') | list }}",
+      ctx) === "[1, 22, 333]")
+  }
+
+  test("modules.datetime: date construction, attrs, strftime, strptime") {
+    assert(Template.render(
+      "{% set d = modules.datetime.date(2002, 10, 27) %}{{ d.year }}/{{ d.isoformat() }}",
+      ctx) === "2002/2002-10-27")
+    assert(Template.render(
+      "{% set d = modules.datetime.datetime(2002, 10, 27, 6, 0, 0) %}{{ d.strftime('%Y-%m-%d %H:%M') }}",
+      ctx) === "2002-10-27 06:00")
+    assert(Template.render(
+      "{% set d = modules.datetime.datetime.strptime('2020-03-05', '%Y-%m-%d') %}{{ d.month }}",
+      ctx) === "3")
+  }
 }
