@@ -78,6 +78,48 @@ object Dist {
   def rangedRank(df: DataFrame, v: Column, tie: Column, out: String): DataFrame =
     rangedPrefixSum(df, v, tie, lit(1L), out)
 
+  /** Several exact global ranks over DIFFERENT orderings in ONE
+    * pipeline (the RFM shape: rank by recency AND frequency AND
+    * monetary). Chaining [[rangedRank]] would nest each rank's
+    * three-pass plan inside the next; this explodes the metrics into a
+    * tall (metric, value, tie) table instead — one pass over `df`, one
+    * partitioned window keyed (metric, bucket), a per-metric offsets
+    * sweep (PARTITIONED by metric — no global window anywhere), and a
+    * pivot back to one row per `tie`. `tie` must be unique per row and
+    * integral; metric expressions are negated by the caller for DESC.
+    */
+  def rangedRanks(df: DataFrame, tie: Column,
+      metrics: Seq[(Column, String)]): DataFrame = {
+    val tall = df
+      .select(tie.cast("long").as("__t"),
+        explode(array(metrics.zipWithIndex.map { case ((v, _), i) =>
+          struct(lit(i).as("m"), v.cast("long").as("v"))
+        }: _*)).as("__mv"))
+      .select(col("__t"), col("__mv.m").as("__m"), col("__mv.v").as("__v"))
+    // per-metric key range: |metrics| rows, broadcast back
+    val mm = tall.groupBy("__m").agg(min("__v").as("__lo"), max("__v").as("__hi"))
+    val bucketed = tall.join(broadcast(mm), "__m")
+      .withColumn("__b", expr(
+        s"cast(((__v - __lo) * ${Buckets}L) div (greatest(__hi - __lo, 0L) + 1L) as int)"))
+      .drop("__lo", "__hi")
+    val local = bucketed.withColumn("__lr",
+      sum(lit(1L)).over(Window.partitionBy("__m", "__b").orderBy("__v", "__t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val offsets = bucketed.groupBy("__m", "__b").agg(count(lit(1)).as("__c"))
+      .select(col("__m"), col("__b"),
+        coalesce(sum("__c").over(Window.partitionBy("__m").orderBy("__b")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("__off"))
+    val wide = local.join(broadcast(offsets), Seq("__m", "__b"))
+      .groupBy("__t")
+      .agg(metrics.head match { case (_, out0) =>
+          max(when(col("__m") === 0, col("__lr") + col("__off"))).as(out0)
+        },
+        metrics.zipWithIndex.tail.map { case ((_, out), i) =>
+          max(when(col("__m") === i, col("__lr") + col("__off"))).as(out)
+        }: _*)
+    df.withColumn("__t", tie.cast("long")).join(wide, "__t").drop("__t")
+  }
+
   /** SQL `NTILE(k)` bucket from a 1-based rank and the total row count
     * `n`: the first `n % k` tiles carry `n/k + 1` rows, the rest
     * `n/k` (identical in Spark and DuckDB — both implement the

@@ -83,66 +83,60 @@ object Ext4 {
       .orderBy("event_type")
   }
 
-  val queries: Seq[QueryDef] = Seq(
+  /** The exact-Jaccard near-dup pair kernel (q175's PPJoin topology) as
+    * a reusable oracle CTE block ending in `pairs(doc_a, doc_b,
+    * common_tokens, union_tokens)` — shared by q175 and the q224 split
+    * leakage audit so both engines derive pairs identically.
+    */
+  private[queries] val jaccardPairsSqlCtes: String =
+    """WITH words AS (
+      |  SELECT doc_id, w, pos FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+      |           generate_subscripts(string_split(text, ' '), 1) AS pos
+      |    FROM documents) t
+      |), tok AS (
+      |  SELECT DISTINCT doc_id,
+      |         w || ' ' || LEAD(w, 1) OVER win || ' ' || LEAD(w, 2) OVER win AS w
+      |  FROM words
+      |  WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+      |  QUALIFY LEAD(w, 2) OVER win IS NOT NULL
+      |), df AS (
+      |  SELECT w, COUNT(*) AS df FROM tok GROUP BY w
+      |), ord AS (
+      |  SELECT t.doc_id, t.w, d.df,
+      |         ROW_NUMBER() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.w) AS pos,
+      |         COUNT(*) OVER (PARTITION BY t.doc_id) AS n
+      |  FROM tok t JOIN df d USING (w)
+      |), pref AS (
+      |  SELECT doc_id, w FROM ord
+      |  WHERE pos <= n - CAST(FLOOR((6 * n + 9) / 10) AS BIGINT) + 1
+      |    AND df <= 128
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM pref a JOIN pref b ON a.w = b.w AND a.doc_id < b.doc_id
+      |), card AS (
+      |  SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id
+      |), com AS (
+      |  SELECT c.doc_a, c.doc_b, COUNT(*) AS common
+      |  FROM cand c
+      |  JOIN tok ta ON ta.doc_id = c.doc_a
+      |  JOIN tok tb ON tb.doc_id = c.doc_b AND tb.w = ta.w
+      |  GROUP BY c.doc_a, c.doc_b
+      |), pairs AS (
+      |  SELECT doc_a, doc_b,
+      |         CAST(common AS BIGINT) AS common_tokens,
+      |         CAST(ca.n + cb.n - common AS BIGINT) AS union_tokens
+      |  FROM com
+      |  JOIN card ca ON ca.doc_id = doc_a
+      |  JOIN card cb ON cb.doc_id = doc_b
+      |  WHERE 10 * common >= 6 * (ca.n + cb.n - common)
+      |)""".stripMargin
 
-    // Prefix-filtered exact-Jaccard pair join (PPJoin candidate
-    // topology, θ = 0.6 on distinct 3-word shingles — word tokens are
-    // too shared in any real corpus to discriminate). Global order =
-    // (document frequency asc, shingle) — rarest first — so two docs with
-    // J ≥ θ MUST share a token inside their length-(n − ceil(θn) + 1)
-    // prefixes; only prefixes are self-joined, then candidates are
-    // verified against full token sets with integer cross-multiplied
-    // thresholds (10·common ≥ 6·union ⇔ J ≥ 0.6, no float drift).
-    // 100 TB: the df table shuffles once on token; the prefix join's
-    // fan-out is bounded by prefix length (≈ 0.4·n) × per-token bucket,
-    // not by full postings lists — this is the documented scale path
-    // past q26 when θ is high. Verification cost is candidate-bounded.
-    // Measured at sf0.01: 165 candidate pairs vs 11,533 from the full
-    // inverted-index join (70×) and 650 vs 13,985 join rows (21×),
-    // with zero false negatives (the 25 result pairs are identical).
-    QueryDef(
-      "q175_prefix_filter_jaccard",
-      """WITH words AS (
-        |  SELECT doc_id, w, pos FROM (
-        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w,
-        |           generate_subscripts(string_split(text, ' '), 1) AS pos
-        |    FROM documents) t
-        |), tok AS (
-        |  SELECT DISTINCT doc_id,
-        |         w || ' ' || LEAD(w, 1) OVER win || ' ' || LEAD(w, 2) OVER win AS w
-        |  FROM words
-        |  WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
-        |  QUALIFY LEAD(w, 2) OVER win IS NOT NULL
-        |), df AS (
-        |  SELECT w, COUNT(*) AS df FROM tok GROUP BY w
-        |), ord AS (
-        |  SELECT t.doc_id, t.w,
-        |         ROW_NUMBER() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.w) AS pos,
-        |         COUNT(*) OVER (PARTITION BY t.doc_id) AS n
-        |  FROM tok t JOIN df d USING (w)
-        |), pref AS (
-        |  SELECT doc_id, w FROM ord
-        |  WHERE pos <= n - CAST(FLOOR((6 * n + 9) / 10) AS BIGINT) + 1
-        |), cand AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM pref a JOIN pref b ON a.w = b.w AND a.doc_id < b.doc_id
-        |), card AS (
-        |  SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id
-        |), com AS (
-        |  SELECT c.doc_a, c.doc_b, COUNT(*) AS common
-        |  FROM cand c
-        |  JOIN tok ta ON ta.doc_id = c.doc_a
-        |  JOIN tok tb ON tb.doc_id = c.doc_b AND tb.w = ta.w
-        |  GROUP BY c.doc_a, c.doc_b
-        |)
-        |SELECT doc_a, doc_b,
-        |       CAST(common AS BIGINT) AS common_tokens,
-        |       CAST(ca.n + cb.n - common AS BIGINT) AS union_tokens
-        |FROM com
-        |JOIN card ca ON ca.doc_id = doc_a
-        |JOIN card cb ON cb.doc_id = doc_b
-        |WHERE 10 * common >= 6 * (ca.n + cb.n - common)
-        |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+  /** Spark side of the shared pair kernel (see jaccardPairsSqlCtes):
+    * (doc_a, doc_b, common_tokens, union_tokens) for all exact-Jaccard
+    * >= 0.6 shingle pairs, unordered.
+    */
+  private[queries] def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
       val tok = docs(s, dir)
         .select(col("doc_id"),
           explode(graft.functions.TextExprs.shingles(
@@ -150,21 +144,38 @@ object Ext4 {
         .distinct()
       val dfreq = tok.groupBy("w").agg(count(lit(1)).as("df"))
       val ord = tok.join(dfreq, "w")
-        .select(col("doc_id"), col("w"),
+        .select(col("doc_id"), col("w"), col("df"),
           row_number().over(Window.partitionBy("doc_id")
             .orderBy(col("df"), col("w"))).as("pos"),
           count(lit(1)).over(Window.partitionBy("doc_id")).as("n"))
+      // stop-shingle df cap (q27/q43 convention, mirrored in the
+      // oracle): a prefix token shared by >128 docs contributes
+      // O(df²) candidate pairs and near-zero dedup signal —
+      // boilerplate shingles grow with the corpus, so without the cap
+      // the candidate join is the one superlinear stage at 10×
       val pref = ord
-        .filter(col("pos") <= col("n") - expr("(6 * n + 9) div 10") + 1)
-        .select(col("doc_id"), col("w"), col("n"))
+        .filter(col("pos") <= col("n") - expr("(6 * n + 9) div 10") + 1 &&
+          col("df") <= 128)
+        .select(col("doc_id"), col("w"), col("n"), col("pos"))
       // candidate pairs with the LENGTH filter applied inside the join
       // (J >= θ implies min(n)/max(n) >= θ) — at high near-dup density
-      // this prunes same-prefix-token pairs whose sizes can't reach θ
+      // this prunes same-prefix-token pairs whose sizes can't reach θ.
+      // PLUS ppjoin's POSITIONAL filter (Xiao et al. WWW'08): via a
+      // token at sorted positions (pa, pb), overlap ≤ 1 +
+      // min(na−pa, nb−pb); J ≥ 0.6 needs 8·common ≥ 3·(na+nb), so an
+      // emission whose bound can't reach that is dropped — lossless,
+      // because the pair's FIRST shared token in the global order
+      // always carries a bound ≥ the true overlap. At 10× near-dup
+      // density this is what keeps candidate volume output-driven
+      // instead of df²-driven.
       val cand = pref.as("a")
         .join(pref.as("b"),
           col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id") &&
             lit(10) * least(col("a.n"), col("b.n")) >=
-              lit(6) * greatest(col("a.n"), col("b.n")))
+              lit(6) * greatest(col("a.n"), col("b.n")) &&
+            lit(8) * (lit(1) + least(col("a.n") - col("a.pos"),
+              col("b.n") - col("b.pos"))) >=
+              lit(3) * (col("a.n") + col("b.n")))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
       // verification against materialized per-doc shingle SETS: one row
@@ -189,7 +200,32 @@ object Ext4 {
         .select(col("doc_a"), col("doc_b"),
           col("common").cast("long").as("common_tokens"),
           (col("na") + col("nb") - col("common")).cast("long").as("union_tokens"))
-        .orderBy("doc_a", "doc_b")
+  }
+
+  val queries: Seq[QueryDef] = Seq(
+
+    // Prefix-filtered exact-Jaccard pair join (PPJoin candidate
+    // topology, θ = 0.6 on distinct 3-word shingles — word tokens are
+    // too shared in any real corpus to discriminate). Global order =
+    // (document frequency asc, shingle) — rarest first — so two docs with
+    // J ≥ θ MUST share a token inside their length-(n − ceil(θn) + 1)
+    // prefixes; only prefixes are self-joined, then candidates are
+    // verified against full token sets with integer cross-multiplied
+    // thresholds (10·common ≥ 6·union ⇔ J ≥ 0.6, no float drift).
+    // 100 TB: the df table shuffles once on token; the prefix join's
+    // fan-out is bounded by prefix length (≈ 0.4·n) × per-token bucket,
+    // not by full postings lists — this is the documented scale path
+    // past q26 when θ is high. Verification cost is candidate-bounded.
+    // Measured at sf0.01: 165 candidate pairs vs 11,533 from the full
+    // inverted-index join (70×) and 650 vs 13,985 join rows (21×),
+    // with zero false negatives (the 25 result pairs are identical).
+    QueryDef(
+      "q175_prefix_filter_jaccard",
+      jaccardPairsSqlCtes +
+        """
+          |SELECT doc_a, doc_b, common_tokens, union_tokens
+          |FROM pairs ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      jaccardPairs(s, dir).orderBy("doc_a", "doc_b")
     },
 
     // Two-sample Kolmogorov–Smirnov drift between the n_chars

@@ -304,17 +304,16 @@ object Ext8 {
           count(lit(1)).cast("long").as("freq"),
           sum(round(col("o_totalprice") * 100, 0).cast("long")).cast("long").as("cents"))
       // NTILE over the customer dimension WITHOUT a single-partition
-      // window: exact distributed rank per metric (Dist.rangedRank,
-      // value-bucketed two-pass prefix sum; DESC = negated key), then
-      // the closed-form rank→tile map. Survives a customer dimension
-      // that no longer fits one task.
-      val ranked = Seq(
+      // window: all three exact distributed ranks in ONE tall pipeline
+      // (Dist.rangedRanks — explode to (metric, value, custkey),
+      // per-metric value buckets, partitioned prefix sums, pivot
+      // back; DESC = negated key), then the closed-form rank→tile
+      // map. Survives a customer dimension that no longer fits one
+      // task, without nesting three rank plans.
+      val ranked = Dist.rangedRanks(cust, col("o_custkey"), Seq(
         (col("rec_days"), "rrank"),
         (-col("freq"), "frank"),
-        (-col("cents"), "mrank"))
-        .foldLeft(cust) { case (df, (v, out)) =>
-          Dist.rangedRank(df, v, col("o_custkey"), out)
-        }
+        (-col("cents"), "mrank")))
       val n = cust.agg(count(lit(1)).cast("long").as("__n"))
       val q = ranked.crossJoin(broadcast(n)).select(col("cents"),
         Dist.ntileFromRank(col("rrank"), col("__n"), 5).as("r"),
@@ -746,6 +745,85 @@ object Ext8 {
             .cast("double").as("reorder_rate"))
         .orderBy(col("reorder_rate").desc, col("partkey"))
         .limit(15)
+    },
+
+    // Group-cap balancing: keep at most K=200 documents per language,
+    // selected by md5(doc_id) priority — the deterministic
+    // "downsample the over-represented groups" rebalancing step of a
+    // training mixture (the q60 hash convention, applied as a per-group
+    // TOP-K instead of a rate). Scale: one window PARTITIONED by the
+    // group key — each language ranks independently, no global order.
+    QueryDef(
+      "q223_group_cap_sample",
+      """WITH pr AS (
+        |  SELECT doc_id, lang, n_chars,
+        |         ROW_NUMBER() OVER (PARTITION BY lang
+        |           ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents
+        |)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_total,
+        |       CAST(SUM(CASE WHEN rk <= 200 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       CAST(SUM(CASE WHEN rk <= 200 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+        |FROM pr GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      val pr = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          row_number().over(Window.partitionBy("lang")
+            .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))).as("rk"))
+      pr.groupBy("lang").agg(
+          count(lit(1)).cast("long").as("n_total"),
+          sum(when(col("rk") <= 200, 1L).otherwise(0L)).cast("long").as("n_kept"),
+          sum(when(col("rk") <= 200, col("n_chars")).otherwise(0L))
+            .cast("long").as("kept_chars"))
+        .orderBy("lang")
+    },
+
+    // Split-leakage audit: assign every document to train/val/test by
+    // the md5 hash-mod convention (q60/q87), then cross the q175
+    // near-dup pairs with both endpoints' splits — a near-dup pair
+    // straddling train and test is exactly the contamination that
+    // inflates eval numbers (the reason production pipelines split by
+    // GROUP, not by document). Output: pair counts per (split_a,
+    // split_b) class with the leak marker. Scale: rides the q175
+    // banded pair kernel + two broadcast-able split joins.
+    QueryDef(
+      "q224_split_leakage_audit",
+      graft.queries.Ext4.jaccardPairsSqlCtes +
+        """, sp AS (
+          |  SELECT doc_id,
+          |         CASE WHEN CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 < 8 THEN 'train'
+          |              WHEN CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 = 8 THEN 'val'
+          |              ELSE 'test' END AS split
+          |  FROM documents
+          |), lab AS (
+          |  SELECT LEAST(sa.split, sb.split) AS split_a,
+          |         GREATEST(sa.split, sb.split) AS split_b
+          |  FROM pairs p
+          |  JOIN sp sa ON sa.doc_id = p.doc_a
+          |  JOIN sp sb ON sb.doc_id = p.doc_b
+          |)
+          |SELECT split_a, split_b,
+          |       CAST(CASE WHEN split_a <> split_b THEN 1 ELSE 0 END AS INTEGER) AS is_leak,
+          |       CAST(COUNT(*) AS BIGINT) AS n_pairs
+          |FROM lab GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val split = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          when(expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint)")
+            % 10 < 8, "train")
+            .when(expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint)")
+              % 10 === 8, "val")
+            .otherwise("test").as("split"))
+      graft.queries.Ext4.jaccardPairs(s, dir)
+        .join(split.select(col("doc_id").as("doc_a"), col("split").as("sa")), "doc_a")
+        .join(split.select(col("doc_id").as("doc_b"), col("split").as("sb")), "doc_b")
+        .select(least(col("sa"), col("sb")).as("split_a"),
+          greatest(col("sa"), col("sb")).as("split_b"))
+        .groupBy("split_a", "split_b")
+        .agg(count(lit(1)).cast("long").as("n_pairs"))
+        .select(col("split_a"), col("split_b"),
+          when(col("split_a") =!= col("split_b"), 1).otherwise(0)
+            .cast("int").as("is_leak"),
+          col("n_pairs"))
+        .orderBy("split_a", "split_b")
     }
   )
 }

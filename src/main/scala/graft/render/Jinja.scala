@@ -194,11 +194,30 @@ object Jinja {
       if (s.contains('.')) s else s + ".0"
     case JB(b) => if (b) "true" else "false"
     case JL(xs) => xs.map(show).mkString("[", ", ", "]")
+    // modules.datetime values render like python str(date/datetime),
+    // including the zone offset when tz-aware (pytz docs usage:
+    // `{{ run_started_at.astimezone(est) }}`)
+    case JM(m) if m.get("__type").exists(t => show(t) == "date") =>
+      f"${num0(m("year"))}%04d-${num0(m("month"))}%02d-${num0(m("day"))}%02d"
+    case JM(m) if m.get("__type").exists(t => show(t) == "datetime") =>
+      val base = f"${num0(m("year"))}%04d-${num0(m("month"))}%02d-${num0(m("day"))}%02d " +
+        f"${num0(m("hour"))}%02d:${num0(m("minute"))}%02d:${num0(m("second"))}%02d"
+      m.get("tzinfo").map { z =>
+        val off = java.time.ZonedDateTime.of(num0(m("year")), num0(m("month")),
+          num0(m("day")), num0(m("hour")), num0(m("minute")), num0(m("second")),
+          0, java.time.ZoneId.of(show(z))).getOffset.getId
+        base + (if (off == "Z") "+00:00" else off)
+      }.getOrElse(base)
     case JM(m) => m.map { case (k, v2) => s"$k: ${show(v2)}" }.mkString("{", ", ", "}")
     case JNull => ""
     case JUndef(_) => ""
     case jm: JMacro => s"<macro ${jm.m.name}>"
     case JThunk(_) => "<block super>"
+  }
+
+  private def num0(v: JV): Int = v match {
+    case JN(n, _) => n.toInt
+    case o => show(o).trim.toInt
   }
 
   def truthy(v: JV): Boolean = v match {
@@ -1126,6 +1145,7 @@ object Jinja {
         JM(Map(
           "re" -> JM(Map("__module" -> (JS("re"): JV))),
           "itertools" -> JM(Map("__module" -> (JS("itertools"): JV))),
+          "pytz" -> JM(Map("__module" -> (JS("pytz"): JV))),
           "datetime" -> JM(Map(
             "__module" -> (JS("datetime"): JV),
             "datetime" -> (JM(Map("__module" -> (JS("datetime.datetime"): JV))): JV),
@@ -1491,6 +1511,14 @@ object Jinja {
         moduleCall(str(m("__module")), meth, args)
       case (JM(m), meth) if m.get("__type").exists(t => str(t) == "date" ||
           str(t) == "datetime") => dateMethod(m, meth, args)
+      // pytz timezone object: localize attaches the zone WITHOUT
+      // shifting the wall time (pytz semantics)
+      case (JM(m), "localize") if m.get("__type").exists(t => str(t) == "tz") =>
+        args.head match {
+          case JM(dt) if dt.contains("__type") =>
+            JM(dt + ("tzinfo" -> (m("zone"): JV)))
+          case o => fail(s"localize expects a datetime, got ${show(o)}")
+        }
       case _ => fail(s"unknown method `.$name()` on ${show(v)}")
     }
 
@@ -1501,10 +1529,10 @@ object Jinja {
       r.replaceAll("\\\\(\\d)", "\\$$1")
 
     private def mkDate(y: Int, mo: Int, d: Int, tag: String,
-        h: Int = 0, mi: Int = 0, se: Int = 0): JV =
+        h: Int = 0, mi: Int = 0, se: Int = 0, tz: Option[String] = None): JV =
       JM(Map("__type" -> JS(tag), "year" -> jint(y), "month" -> jint(mo),
         "day" -> jint(d), "hour" -> jint(h), "minute" -> jint(mi),
-        "second" -> jint(se)))
+        "second" -> jint(se)) ++ tz.map(z => "tzinfo" -> (JS(z): JV)))
 
     private def moduleCall(module: String, meth: String, args: Seq[JV]): JV =
       (module, meth) match {
@@ -1535,6 +1563,11 @@ object Jinja {
         case ("re", "escape") =>
           JS(str(args.head).flatMap(c =>
             if (c.isLetterOrDigit || c == '_') c.toString else "\\" + c))
+        case ("pytz", "timezone") =>
+          // validates eagerly, like pytz.timezone (UnknownTimeZoneError)
+          val z = str(args.head)
+          java.time.ZoneId.of(z)
+          JM(Map("__type" -> JS("tz"), "zone" -> JS(z)))
         case ("itertools", "chain") =>
           jlist(args.flatMap { case JL(xs) => xs.toSeq; case o => Seq(o) })
         case ("itertools", "product") =>
@@ -1624,6 +1657,20 @@ object Jinja {
         case "weekday" =>
           JN(BigDecimal(java.time.LocalDate.of(y, mo, d).getDayOfWeek.getValue - 1),
             isInt = true)
+        case "astimezone" =>
+          // convert the instant to the target zone; a naive datetime is
+          // taken as UTC (this engine's run_started_at convention)
+          val target = args.head match {
+            case JM(t) if t.get("__type").exists(x => str(x) == "tz") =>
+              str(t("zone"))
+            case o => str(o)
+          }
+          val from = m.get("tzinfo").map(str).getOrElse("UTC")
+          val z = java.time.ZonedDateTime
+            .of(y, mo, d, h, mi, se, 0, java.time.ZoneId.of(from))
+            .withZoneSameInstant(java.time.ZoneId.of(target))
+          mkDate(z.getYear, z.getMonthValue, z.getDayOfMonth, "datetime",
+            z.getHour, z.getMinute, z.getSecond, Some(target))
         case other => fail(s"unsupported date method .$other()")
       }
     }

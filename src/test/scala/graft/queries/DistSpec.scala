@@ -64,6 +64,17 @@ class DistSpec extends SparkSpec {
     }
   }
 
+  test("rangedRanks == three independent ROW_NUMBERs (incl. DESC keys)") {
+    val df = sample.withColumn("w", (col("id") * 7L) % 13L)
+    val expected = df
+      .withColumn("r1", row_number().over(Window.orderBy(col("v"), col("id"))).cast("long"))
+      .withColumn("r2", row_number().over(Window.orderBy(col("w").desc, col("id"))).cast("long"))
+      .select("id", "r1", "r2")
+    val got = Dist.rangedRanks(df, col("id"), Seq(
+      (col("v"), "r1"), (-col("w"), "r2"))).select("id", "r1", "r2")
+    assert(got.except(expected).isEmpty && expected.except(got).isEmpty)
+  }
+
   test("plan: no unpartitioned window over the data; offsets broadcast") {
     // static plan: AQE wraps the tree and hides it from collect()
     spark.conf.set("spark.sql.adaptive.enabled", "false")

@@ -600,4 +600,19 @@ class JinjaSpec extends AnyFunSuite {
       "{% set d = modules.datetime.datetime.strptime('2020-03-05', '%Y-%m-%d') %}{{ d.month }}",
       ctx) === "3")
   }
+
+  test("modules.pytz: localize attaches zone; astimezone shifts the instant") {
+    assert(Template.render(
+      "{% set dt = modules.datetime.datetime(2002, 7, 1, 12, 0, 0) %}" +
+        "{% set est = modules.pytz.timezone('America/New_York') %}" +
+        "{{ dt.astimezone(est) }}",
+      ctx) === "2002-07-01 08:00:00-04:00")
+    assert(Template.render(
+      "{% set dt = modules.datetime.datetime(2002, 7, 1, 12, 0, 0) %}" +
+        "{{ modules.pytz.timezone('America/New_York').localize(dt) }}",
+      ctx) === "2002-07-01 12:00:00-04:00")
+    intercept[Exception] {
+      Template.render("{{ modules.pytz.timezone('No/Such') }}", ctx)
+    }
+  }
 }
