@@ -1134,6 +1134,8 @@ object Jinja {
       // render IS the execute phase here (no separate parse render);
       // reference `execute` context flag
       case "execute" => JB(true)
+      // `thread_id` contextproperty (reference base.py:614-617)
+      case "thread_id" => JS(Thread.currentThread().getName)
       // `flags` contextproperty (reference base.py:655-668): typed
       // booleans — a string "false" would be truthy in `{% if %}`
       case "flags" =>

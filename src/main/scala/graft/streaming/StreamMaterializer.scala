@@ -82,6 +82,42 @@ object StreamMaterializer {
       .toDF("user_id", "running_n")
   }
 
+  /** Streaming twin of q223's group-cap rebalancing: per-group state is
+    * the CURRENT top-k (by md5(doc_id) priority — the deterministic
+    * selection convention shared with the batch sampler), so state is
+    * bounded by k per group, never by stream length. Each micro-batch
+    * emits one summary row per updated group; the LAST row per group
+    * equals the batch q223 answer over everything ingested — the
+    * ingest-time "keep a balanced sample of what we've seen" primitive.
+    */
+  def maintainGroupCap(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def prio(docId: Long): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(docId.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    docs.select(col("lang").as[String], col("doc_id").as[Long],
+        col("n_chars").as[Long])
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, List[(String, Long, Long)]),
+          (String, Long, Long, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (lang, rows, state: GroupState[(Long, List[(String, Long, Long)])]) =>
+          val (seen0, kept0) = state.getOption.getOrElse((0L, Nil))
+          var seen = seen0
+          val candidates = kept0 ++ rows.map { case (_, id, chars) =>
+            seen += 1; (prio(id), id, chars)
+          }
+          // bounded: sort (priority, doc_id) and keep k — identical to
+          // the batch ROW_NUMBER() <= k selection
+          val kept = candidates.sortBy(c => (c._1, c._2)).take(k)
+          state.update((seen, kept))
+          Iterator((lang, seen, kept.length.toLong, kept.map(_._3).sum))
+      }
+      .toDF("lang", "n_seen", "n_kept", "kept_chars")
+  }
+
   /** Stream-stream interval self-join (B22): click attribution — each
     * click joins the same user's preceding view within 24 hours. Both
     * sides carry watermarks ≥ the join interval, so Spark evicts join

@@ -314,4 +314,41 @@ class StreamingSpec extends SparkSpec {
       .filter(col("in_sessions") > col("total"))
     assert(bad.count() === 0)
   }
+
+  test("streaming group-cap maintainer converges to the batch q223 sampler") {
+    val dir = tmpDir("docs_stream")
+    graft.Tables.load(spark, sf, "documents")
+      .select("doc_id", "lang", "n_chars")
+      .repartition(4)
+      .write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val wh = new Engine(spark, Manifest(Map.empty), tmpDir("wh")).wh
+    val k = 20
+    val q = StreamMaterializer.writeToWarehouse(
+      wh, "stream_groupcap",
+      StreamMaterializer.maintainGroupCap(
+        StreamMaterializer.readEvents(spark, dir, schema), k),
+      tmpDir("ckpt"), outputMode = "update")
+    q.awaitTermination(120000)
+    // last update per lang == the batch top-k selection over everything
+    val last = wh.read("stream_groupcap")
+      .groupBy("lang").agg(
+        max("n_seen").as("n_seen"),
+        max_by(col("n_kept"), col("n_seen")).as("n_kept"),
+        max_by(col("kept_chars"), col("n_seen")).as("kept_chars"))
+    val batch = spark.read.parquet(dir)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("lang")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+      .groupBy("lang").agg(
+        count(lit(1)).as("n_seen"),
+        sum(when(col("rk") <= k, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("rk") <= k, col("n_chars")).otherwise(0L)).as("kept_chars"))
+    val mismatch = last.join(batch, "lang")
+      .filter(last("n_seen") =!= batch("n_seen") ||
+        last("n_kept") =!= batch("n_kept") ||
+        last("kept_chars") =!= batch("kept_chars"))
+    assert(mismatch.count() === 0)
+    assert(last.count() === batch.count())
+  }
 }
