@@ -639,9 +639,18 @@ object Ext6 {
         |FROM means CROSS JOIN pooled""".stripMargin) { (s, dir) =>
       val o = Tables.load(s, dir, "orders")
         .select(col("o_orderkey"), round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
-      val draws = o.withColumn("b", explode(sequence(lit(0), lit(31))))
+      // hash ONCE per (row, group of 4 replicates), then slice the four
+      // 8-hex windows — 8 md5 evaluations per row instead of 32 (the
+      // oracle computes identical values; only the Spark evaluation
+      // count changes)
+      val draws = o.withColumn("g", explode(sequence(lit(0), lit(7))))
+        .withColumn("h",
+          md5(concat(col("o_orderkey").cast("string"), lit("#"),
+            col("g").cast("string"))))
+        .withColumn("j", explode(sequence(lit(0), lit(3))))
+        .withColumn("b", col("g") * 4 + col("j"))
         .withColumn("u",
-          (expr("cast(conv(substring(md5(concat(cast(o_orderkey as string), '#', cast(b div 4 as string))), 1 + 8 * (b % 4), 8), 16, 10) as bigint)") + 1)
+          (expr("cast(conv(substring(h, 1 + 8 * j, 8), 16, 10) as bigint)") + 1)
             / lit(4294967296.0))
       val w = when(col("u") < 0.36787944117144233, 0)
         .when(col("u") < 0.7357588823428847, 1)
