@@ -971,6 +971,71 @@ object Similarity {
             .cast(org.apache.spark.sql.types.DecimalType(20, 6))
             / col("n_base"), 4).cast("double").as("growth"))
         .orderBy("cell")
+    },
+
+    // Scalar (int8) quantization ANN — the serving-compression member
+    // of the quantization family beside PQ (q73): per-dimension global
+    // [lo, hi] range, each component stored as an 8-bit code
+    // (floor-clamped to 0..127), queries scored against the
+    // DEQUANTIZED corpus in exact mirrored-double arithmetic. 16x
+    // smaller vectors than float64 at a distortion the rn<=3 output
+    // makes visible. Scale: the range table is 64 rows (broadcast);
+    // codes are a map-only pass over the corpus; scoring composes with
+    // the IVF cell restriction (q31/q104) exactly like the float path
+    // — here the brute-force sweep doubles as the recall oracle.
+    QueryDef(
+      "q225_sq_int8_topk",
+      s"""WITH idx AS (SELECT unnest(range(1, 65)) AS i),
+         |e AS (
+         |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+         |  FROM embeddings CROSS JOIN idx
+         |), mm AS (
+         |  SELECT i, MIN(v) AS lo, GREATEST(MAX(v) - MIN(v), 1e-12) AS span
+         |  FROM e GROUP BY i
+         |), deq AS (
+         |  SELECT e.vec_id, e.i,
+         |         mm.lo + LEAST(FLOOR((e.v - mm.lo) * 127.0 / mm.span), 127.0)
+         |                 * mm.span / 127.0 AS dv
+         |  FROM e JOIN mm USING (i)
+         |), q AS (
+         |  SELECT vec_id AS qid, i, v FROM e WHERE vec_id < 10
+         |), adc AS (
+         |  SELECT q.qid, d.vec_id AS cid,
+         |         CAST(ROUND(SUM((q.v - d.dv) * (q.v - d.dv)), 6) AS DOUBLE) AS sqdist
+         |  FROM q JOIN deq d ON d.i = q.i AND d.vec_id <> q.qid
+         |  GROUP BY q.qid, d.vec_id
+         |)
+         |SELECT qid, cid, sqdist,
+         |       CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sqdist, cid) AS BIGINT) AS rn
+         |FROM adc QUALIFY rn <= 3
+         |ORDER BY qid, rn""".stripMargin) { (s, dir) =>
+      val emb = embParallel(s, dir)
+      val dims = emb.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("i0", "vf")))
+        .select(col("vec_id"), (col("i0") + 1).as("i"), col("vf").cast("double").as("v"))
+      // 64-row per-dimension range table, folded to two aligned arrays
+      val mm = dims.groupBy("i")
+        .agg(min("v").as("lo"), greatest(max("v") - min("v"), lit(1e-12)).as("span"))
+        .agg(expr("transform(sort_array(collect_list(struct(i, lo, span))), x -> x.lo)").as("los"),
+          expr("transform(sort_array(collect_list(struct(i, lo, span))), x -> x.span)").as("spans"))
+      // dequantized corpus: one map-only transform per vector; the
+      // quantize/dequantize expression mirrors the oracle's shape
+      // bit-for-bit (identical doubles in -> identical doubles out)
+      val deq = emb.crossJoin(broadcast(mm))
+        .select(col("vec_id").as("cid"),
+          expr("""transform(embedding, (vf, k) ->
+                 |  los[k] + least(floor((cast(vf as double) - los[k]) * 127.0D / spans[k]),
+                 |                 127.0D) * spans[k] / 127.0D)""".stripMargin).as("dv"))
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"),
+          expr("transform(embedding, vf -> cast(vf as double))").as("qv"))
+      val adc = q.join(broadcast(deq), col("cid") =!= col("qid"))
+        .select(col("qid"), col("cid"),
+          round(sqDist(col("qv"), col("dv")), 6).cast("double").as("sqdist"))
+      val w = Window.partitionBy("qid").orderBy(col("sqdist"), col("cid"))
+      adc.withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .orderBy("qid", "rn")
     }
   )
 }
