@@ -824,6 +824,102 @@ object Ext8 {
             .cast("int").as("is_leak"),
           col("n_pairs"))
         .orderBy("split_a", "split_b")
+    },
+
+    // Rendezvous (highest-random-weight) sharding stability: assign
+    // every document to argmax_s md5(doc_id # s) over 8 shards, then
+    // over 9, and audit how many keys MOVE — HRW's contract is that
+    // adding a shard relocates only ~1/(n+1) of keys, and every mover
+    // lands ON the new shard (never between old shards). That is the
+    // elasticity property that makes deterministic sharding safe to
+    // resize at 100 TB: the audit proves it key-by-key, integer-exact.
+    // Scale: two map-side argmaxes over a constant shard list — no
+    // shuffle wider than the final 2-column rollup.
+    QueryDef(
+      "q226_rendezvous_sharding",
+      """WITH s8 AS (
+        |  SELECT d.doc_id, s.shard,
+        |         ROW_NUMBER() OVER (PARTITION BY d.doc_id
+        |           ORDER BY MD5(CAST(d.doc_id AS VARCHAR) || '#' || CAST(s.shard AS VARCHAR)) DESC,
+        |                    s.shard) AS rn
+        |  FROM documents d CROSS JOIN (SELECT unnest(range(8)) AS shard) s
+        |), s9 AS (
+        |  SELECT d.doc_id, s.shard,
+        |         ROW_NUMBER() OVER (PARTITION BY d.doc_id
+        |           ORDER BY MD5(CAST(d.doc_id AS VARCHAR) || '#' || CAST(s.shard AS VARCHAR)) DESC,
+        |                    s.shard) AS rn
+        |  FROM documents d CROSS JOIN (SELECT unnest(range(9)) AS shard) s
+        |), a AS (SELECT doc_id, shard AS old_shard FROM s8 WHERE rn = 1),
+        |b AS (SELECT doc_id, shard AS new_shard FROM s9 WHERE rn = 1)
+        |SELECT CAST(a.old_shard AS BIGINT) AS old_shard,
+        |       CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |       CAST(SUM(CASE WHEN a.old_shard <> b.new_shard THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+        |       CAST(SUM(CASE WHEN a.old_shard <> b.new_shard AND b.new_shard <> 8
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_moved_wrong
+        |FROM a JOIN b ON b.doc_id = a.doc_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      def assign(nShards: Int, out: String): DataFrame = {
+        val shards = (0 until nShards).toDF("shard")
+        Tables.load(s, dir, "documents").select("doc_id")
+          .crossJoin(broadcast(shards))
+          .withColumn("h", md5(concat(col("doc_id").cast("string"), lit("#"),
+            col("shard").cast("string"))))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("doc_id").orderBy(col("h").desc, col("shard"))))
+          .filter(col("rn") === 1)
+          .select(col("doc_id"), col("shard").as(out))
+      }
+      assign(8, "old_shard").join(assign(9, "new_shard"), "doc_id")
+        .groupBy(col("old_shard").cast("long").as("old_shard"))
+        .agg(count(lit(1)).cast("long").as("n_keys"),
+          sum(when(col("old_shard") =!= col("new_shard"), 1L).otherwise(0L))
+            .cast("long").as("n_moved"),
+          sum(when(col("old_shard") =!= col("new_shard") && col("new_shard") =!= 8, 1L)
+            .otherwise(0L)).cast("long").as("n_moved_wrong"))
+        .orderBy("old_shard")
+    },
+
+    // Dedup savings report: exact-duplicate groups (the q24 canonical
+    // fingerprint) folded into the group-size histogram a curation run
+    // reports — how many groups, docs and BYTES dedup removes, with
+    // the survivor (min doc_id) kept per group. The
+    // cost/benefit summary every 100 TB dedup pass publishes; one
+    // fingerprint shuffle + a histogram rollup.
+    QueryDef(
+      "q227_dedup_savings",
+      """WITH fp AS (
+        |  SELECT doc_id, n_chars,
+        |         MD5(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]', '', 'g'),
+        |                                 ' +', ' ', 'g'))) AS fp
+        |  FROM documents
+        |), g AS (
+        |  SELECT fp, CAST(COUNT(*) AS BIGINT) AS sz,
+        |         CAST(SUM(n_chars) AS BIGINT) AS chars,
+        |         CAST(ARG_MIN(n_chars, doc_id) AS BIGINT) AS survivor_chars
+        |  FROM fp GROUP BY fp
+        |)
+        |SELECT sz AS group_size,
+        |       CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |       CAST(SUM(sz) AS BIGINT) AS n_docs,
+        |       CAST(SUM(sz - 1) AS BIGINT) AS n_removed,
+        |       CAST(SUM(chars - survivor_chars) AS BIGINT) AS chars_removed
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val fp = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          md5(trim(regexp_replace(
+            regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+            " +", " "))).as("fp"))
+      val g = fp.groupBy("fp")
+        .agg(count(lit(1)).cast("long").as("sz"),
+          sum("n_chars").cast("long").as("chars"),
+          min_by(col("n_chars"), col("doc_id")).cast("long").as("survivor_chars"))
+      g.groupBy(col("sz").as("group_size"))
+        .agg(count(lit(1)).cast("long").as("n_groups"),
+          sum("sz").cast("long").as("n_docs"),
+          sum(col("sz") - 1).cast("long").as("n_removed"),
+          sum(col("chars") - col("survivor_chars")).cast("long").as("chars_removed"))
+        .orderBy("group_size")
     }
   )
 }
