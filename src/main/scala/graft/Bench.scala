@@ -141,7 +141,10 @@ object Bench {
           .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
           .mkString("{", ",", "}")
         java.nio.file.Files.write(tmp, body.getBytes("UTF-8"))
-        val proc = new ProcessBuilder("python3", "tools/bench_duckdb.py",
+        val script = Seq("tools/bench_duckdb.py", "/root/repo/tools/bench_duckdb.py")
+          .find(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+          .getOrElse("tools/bench_duckdb.py")
+        val proc = new ProcessBuilder("python3", script,
           sfDir, tmp.toString).redirectErrorStream(true).start()
         val out = new String(proc.getInputStream.readAllBytes, "UTF-8")
         proc.waitFor()

@@ -1076,19 +1076,10 @@ object Ext2 {
       def materialize(df: org.apache.spark.sql.DataFrame) = {
         val c = df.persist(); c.count(): Unit; c
       }
-      // the co-purchase edge table is a BUILT-ONCE corpus index (the
-      // coPairs/IVF convention): cached on (session, dir), so repeated
-      // runs in one session pay the distinct self-join exactly once
-      val edges = TextOps.cachedIndex(
-        s"predges|${IndexCache.sessionKey(s)}|$dir") {
-        val items = Tables.load(s, dir, "lineitem")
-          .select(col("l_orderkey"), col("l_partkey")).distinct()
-        items.select(col("l_orderkey"), col("l_partkey").as("src"))
-          .join(items.select(col("l_orderkey"), col("l_partkey").as("dst")),
-            "l_orderkey")
-          .filter(col("src") =!= col("dst"))
-          .select("src", "dst").distinct()
-      }
+      // the co-purchase edge table is a BUILT-ONCE corpus index shared
+      // with q179's BFS (Ext3.coEdges): cached on (session, dir), so
+      // repeated runs in one session pay the distinct self-join once
+      val edges = Ext3.coEdges(s, dir)
       // degrees are node-sized: persist ONCE so each round's plan
       // reads the tiny cached table instead of re-aggregating edges
       val deg = materialize(

@@ -66,7 +66,19 @@ object TextOps {
   private[queries] def cachedIndex(key: String)(
       build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val hit = indexCache.get(key)
-    if (hit != null) hit
+    if (hit != null) {
+      // a session-wide spark.catalog.clearCache() (bench isolation, a
+      // user action) strips persistence silently — re-arm, or the
+      // "index" would recompute on EVERY downstream action
+      if (hit.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        IndexCache.buildLock.synchronized {
+          if (hit.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+            hit.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            hit.count(): Unit
+          }
+        }
+      hit
+    }
     else IndexCache.buildLock.synchronized {
       val again = indexCache.get(key)
       if (again != null) again

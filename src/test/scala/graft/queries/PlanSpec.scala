@@ -299,16 +299,23 @@ class PlanSpec extends SparkSpec {
 
   test("q140: pagerank releases every cache; result is the localized top-k") {
     // construction runs the 3 fixed-point rounds (each persisted +
-    // forced) and the top-20 is pinned locally so EVERY cache —
-    // edges, degrees, and the final round's rank — is released before
-    // the query returns (r5 advice: repeated bench runs must not
-    // accumulate executor memory)
+    // forced) and the top-20 is pinned locally, so every PER-RUN cache
+    // (degrees, round ranks) is released before the query returns
+    // (r5 advice: repeated bench runs must not accumulate executor
+    // memory). The co-purchase EDGE table is the one deliberate
+    // exception since r7: it joins the built-once session index cache
+    // (the coPairs/IVF convention), so the FIRST run may add at most
+    // that single entry and a SECOND run must add none.
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val df = SparkEntry.queries("q140_part_pagerank")(spark, sf)
     assert(df.count() === 20)
-    val after = spark.sparkContext.getPersistentRDDs.keySet
-    assert((after -- before).isEmpty,
-      s"q140 left caches behind: ${(after -- before).mkString(",")}")
+    val afterFirst = spark.sparkContext.getPersistentRDDs.keySet
+    assert((afterFirst -- before).size <= 1,
+      s"q140 may cache only the edge index: ${(afterFirst -- before).mkString(",")}")
+    assert(SparkEntry.queries("q140_part_pagerank")(spark, sf).count() === 20)
+    val afterSecond = spark.sparkContext.getPersistentRDDs.keySet
+    assert((afterSecond -- afterFirst).isEmpty,
+      s"q140 re-runs must not accumulate caches: ${(afterSecond -- afterFirst).mkString(",")}")
     // localized result: evaluating it runs no join/shuffle lineage
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("Join") && !p.contains("Exchange"), p)
