@@ -920,6 +920,192 @@ object Ext8 {
           sum(col("sz") - 1).cast("long").as("n_removed"),
           sum(col("chars") - col("survivor_chars")).cast("long").as("chars_removed"))
         .orderBy("group_size")
+    },
+
+    // Exponentially time-decayed customer features (half-life-style
+    // recency weighting, tau = 365 days at a fixed reference date) —
+    // the feature-store staple that turns an order history into a
+    // trainable recency-weighted activity signal. Determinism: the
+    // decay EXP sees the identical integer day-distance on both
+    // engines and is immediately rounded to exact 1e-6 units (the
+    // q183 ln recipe), so every sum is BIGINT-exact. Scale: one
+    // map-side-combined groupBy over the order fact.
+    QueryDef(
+      "q228_decayed_features",
+      """WITH w AS (
+        |  SELECT o_custkey,
+        |         CAST(ROUND(EXP(-DATE_DIFF('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') / 365.0)
+        |                    * 1000000, 0) AS BIGINT) AS w_e6,
+        |         CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |  FROM orders
+        |)
+        |SELECT o_custkey,
+        |       CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |       CAST(SUM(w_e6) AS BIGINT) AS decayed_n_e6,
+        |       CAST(SUM(w_e6 * cents) AS BIGINT) AS decayed_cents_e6
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val w = Tables.load(s, dir, "orders")
+        .select(col("o_custkey"),
+          round(exp(datediff(lit("1998-12-31").cast("date"),
+              col("o_orderdate").cast("date")).cast("double") * -1 / 365.0) * 1000000, 0)
+            .cast("long").as("w_e6"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      w.groupBy("o_custkey")
+        .agg(count(lit(1)).cast("long").as("n_orders"),
+          sum("w_e6").cast("long").as("decayed_n_e6"),
+          sum(col("w_e6") * col("cents")).cast("long").as("decayed_cents_e6"))
+        .orderBy("o_custkey")
+    },
+
+    // Leakage-free K-fold target encoding: customers fold by
+    // md5(custkey) % 5; a nation's encoding FOR fold f averages only
+    // the OTHER folds' order values (the leave-fold-out mean that
+    // prevents the target leaking into its own fold's feature — the
+    // tabular-ML preprocessing standard). Integer cent sums make the
+    // held-out mean a single exact-integer division per output row.
+    // Scale: one (nation, fold) rollup — 125 cells — then arithmetic.
+    QueryDef(
+      "q229_target_encoding",
+      """WITH o AS (
+        |  SELECT c.c_nationkey AS nk,
+        |         CAST(('0x' || SUBSTR(MD5(CAST(o.o_custkey AS VARCHAR)), 1, 8)) AS BIGINT) % 5 AS fold,
+        |         CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT) AS cents
+        |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        |), cell AS (
+        |  SELECT nk, fold, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS tot
+        |  FROM o GROUP BY 1, 2
+        |), nat AS (
+        |  SELECT nk, CAST(SUM(n) AS BIGINT) AS n_all, CAST(SUM(tot) AS BIGINT) AS tot_all
+        |  FROM cell GROUP BY 1
+        |)
+        |SELECT cell.nk AS nationkey, CAST(cell.fold AS BIGINT) AS fold, cell.n AS n_rows,
+        |       CAST(ROUND(CAST(nat.tot_all - cell.tot AS DOUBLE)
+        |                  / CAST(nat.n_all - cell.n AS DOUBLE) / 100, 4) AS DOUBLE) AS encoding
+        |FROM cell JOIN nat ON nat.nk = cell.nk
+        |ORDER BY nationkey, fold""".stripMargin) { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+        .join(Tables.load(s, dir, "customer"), col("c_custkey") === col("o_custkey"))
+        .select(col("c_nationkey").as("nk"),
+          (expr("cast(conv(substring(md5(cast(o_custkey as string)), 1, 8), 16, 10) as bigint)") % 5)
+            .as("fold"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      val cell = o.groupBy("nk", "fold")
+        .agg(count(lit(1)).cast("long").as("n"), sum("cents").cast("long").as("tot"))
+      val nat = cell.groupBy("nk")
+        .agg(sum("n").cast("long").as("n_all"), sum("tot").cast("long").as("tot_all"))
+      cell.join(broadcast(nat), "nk")
+        .select(col("nk").as("nationkey"), col("fold").cast("long").as("fold"),
+          col("n").as("n_rows"),
+          round((col("tot_all") - col("tot")).cast("double") /
+            (col("n_all") - col("n")).cast("double") / 100, 4)
+            .cast("double").as("encoding"))
+        .orderBy("nationkey", "fold")
+    },
+
+    // Calibration (reliability) table for the q214 quality score as a
+    // probability: logistic-transformed score (EXP rounded to exact
+    // 1e-6 units, the q228 recipe), 10 fixed-width probability bins,
+    // per-bin mean confidence vs observed positive rate — the
+    // ECE-style diagnostic that tells you whether a filter score can
+    // be thresholded as a probability. Scale: map-only transform +
+    // one 10-cell rollup.
+    QueryDef(
+      "q230_calibration",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+        |), f AS (
+        |  SELECT doc_id, COUNT(*) AS n, COUNT(DISTINCT w) AS nd, SUM(len(w)) AS chars
+        |  FROM tok GROUP BY doc_id
+        |), sc AS (
+        |  SELECT f.doc_id,
+        |         CAST('-1.2' AS DECIMAL(12,6))
+        |           + CAST('0.016' AS DECIMAL(12,6)) * n
+        |           + CAST('2.5' AS DECIMAL(12,6)) * CAST(ROUND(CAST(nd AS DECIMAL(20,6)) / n, 4) AS DECIMAL(12,6))
+        |           - CAST('0.3' AS DECIMAL(12,6)) * CAST(ROUND(CAST(chars AS DECIMAL(20,6)) / n, 4) AS DECIMAL(12,6)) AS score,
+        |         CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS pos
+        |  FROM f JOIN documents d ON d.doc_id = f.doc_id
+        |), p AS (
+        |  SELECT pos,
+        |         CAST(ROUND(1000000.0 / (1.0 + EXP(-CAST(score AS DOUBLE))), 0) AS BIGINT) AS p_e6
+        |  FROM sc
+        |), b AS (
+        |  SELECT LEAST(p_e6 // 100000, 9) AS bin, pos, p_e6 FROM p
+        |)
+        |SELECT CAST(bin AS BIGINT) AS bin,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(p_e6) AS BIGINT) AS conf_e6_sum,
+        |       CAST(SUM(pos) AS BIGINT) AS n_pos,
+        |       CAST(ROUND(CAST(SUM(p_e6) AS DOUBLE) / COUNT(*) / 1000000, 4) AS DOUBLE) AS mean_conf,
+        |       CAST(ROUND(CAST(SUM(pos) AS DOUBLE) / COUNT(*), 4) AS DOUBLE) AS frac_pos
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      def d6(c: org.apache.spark.sql.Column) = c.cast(DecimalType(20, 6))
+      val f = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("doc_id", "lang")
+        .agg(count(lit(1)).as("n"), countDistinct("w").as("nd"),
+          sum(length(col("w"))).as("chars"))
+      val w0 = lit(BigDecimal("-1.2")).cast(DecimalType(12, 6))
+      val w1 = lit(BigDecimal("0.016")).cast(DecimalType(12, 6))
+      val w2 = lit(BigDecimal("2.5")).cast(DecimalType(12, 6))
+      val w3 = lit(BigDecimal("0.3")).cast(DecimalType(12, 6))
+      val sc = f.select(
+        (w0 + w1 * col("n") +
+          w2 * round(d6(col("nd")) / col("n"), 4).cast(DecimalType(12, 6)) -
+          w3 * round(d6(col("chars")) / col("n"), 4).cast(DecimalType(12, 6))).as("score"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      val p = sc.select(col("pos"),
+        round(lit(1000000.0) / (lit(1.0) + exp(-col("score").cast("double"))), 0)
+          .cast("long").as("p_e6"))
+      p.select(least(expr("p_e6 div 100000"), lit(9L)).as("bin"),
+          col("pos"), col("p_e6"))
+        .groupBy(col("bin").cast("long").as("bin"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum("p_e6").cast("long").as("conf_e6_sum"),
+          sum("pos").cast("long").as("n_pos"),
+          round(sum("p_e6").cast("double") / count(lit(1)) / 1000000, 4)
+            .cast("double").as("mean_conf"),
+          round(sum("pos").cast("double") / count(lit(1)), 4)
+            .cast("double").as("frac_pos"))
+        .orderBy("bin")
+    },
+
+    // Benford first-digit audit over order totals — the forensic
+    // data-quality screen for fabricated or truncated numeric feeds:
+    // observed first-significant-digit counts vs the Benford
+    // expectation, with an exact-integer chi-square numerator
+    // (x1e6-scaled expected counts, the established fixed-point
+    // recipe). Scale: map-only digit extraction + a 9-cell rollup.
+    QueryDef(
+      "q231_benford_audit",
+      """WITH d AS (
+        |  SELECT CAST(SUBSTR(CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |  FROM orders WHERE o_totalprice > 0
+        |), c AS (
+        |  SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1
+        |), t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+        |SELECT c.digit, c.n,
+        |       CAST(ROUND(CAST(c.n AS DOUBLE) / t.total, 4) AS DOUBLE) AS observed,
+        |       CAST(ROUND((LN(1.0 + 1.0 / c.digit) / LN(10.0)), 4) AS DOUBLE) AS benford,
+        |       CAST(ROUND((CAST(c.n AS DOUBLE) / t.total - (LN(1.0 + 1.0 / c.digit) / LN(10.0)))
+        |                  * (CAST(c.n AS DOUBLE) / t.total - (LN(1.0 + 1.0 / c.digit) / LN(10.0)))
+        |                  / (LN(1.0 + 1.0 / c.digit) / LN(10.0)) * 1000000, 2) AS DOUBLE) AS chi_term_e6
+        |FROM c CROSS JOIN t ORDER BY c.digit""".stripMargin) { (s, dir) =>
+      val d = Tables.load(s, dir, "orders")
+        .filter(col("o_totalprice") > 0)
+        .select(substring(round(col("o_totalprice") * 100, 0).cast("long")
+          .cast("string"), 1, 1).cast("long").as("digit"))
+      val c = d.groupBy("digit").agg(count(lit(1)).cast("long").as("n"))
+      val t = c.agg(sum("n").cast("long").as("total"))
+      val obs = col("n").cast("double") / col("total")
+      val ben = log(lit(1.0) + lit(1.0) / col("digit")) / log(lit(10.0))
+      c.crossJoin(broadcast(t))
+        .select(col("digit"), col("n"),
+          round(obs, 4).cast("double").as("observed"),
+          round(ben, 4).cast("double").as("benford"),
+          round((obs - ben) * (obs - ben) / ben * 1000000, 2)
+            .cast("double").as("chi_term_e6"))
+        .orderBy("digit")
     }
   )
 }
