@@ -37,6 +37,22 @@ class PrunedWriteSpec extends SparkSpec {
     assert(v0.count() == 300)
   }
 
+  test("vacuum after a pruned write: old commit dir GC'd, links survive") {
+    val wh = mkWh()
+    wh.writeTable("t", base, partitionBy = Seq("p"))
+    wh.writeTablePruned("t",
+      base.filter(col("p") === 1).withColumn("payload", lit("v2")),
+      Seq("p"), Set(Seq("1")))
+    // immediate GC (retention fence 0): v0 is an orphan now
+    assert(wh.vacuum("t", retainSeconds = 0L) == 1)
+    assert(!new java.io.File(s"${wh.root}/t/v0").exists())
+    // hard links share inodes — the carried partitions read intact
+    val out = wh.read("t")
+    assert(out.count() == 300)
+    assert(out.filter(col("p") === 1 && col("payload") =!= "v2").count() == 0)
+    assert(out.filter(col("p") =!= 1).count() == 240)
+  }
+
   test("canWritePruned: false for unpartitioned layout and for views") {
     val wh = mkWh()
     wh.writeTable("flat", base) // no partitionBy -> data files at depth 0
