@@ -37,6 +37,26 @@ class PrunedWriteSpec extends SparkSpec {
     assert(v0.count() == 300)
   }
 
+  test("two-level partitioning: tuples classify at leaf depth") {
+    val wh = mkWh()
+    val df = (1L to 240L).map(i => (i, i % 3, i % 4, s"r$i"))
+      .toDF("id", "p", "q", "payload")
+    wh.writeTable("t2", df, partitionBy = Seq("p", "q"))
+    assert(wh.canWritePruned("t2", Seq("p", "q")))
+    // touch exactly (p=1, q=2); the other 11 leaf partitions carry
+    val touched = df.filter(col("p") === 1 && col("q") === 2)
+      .withColumn("payload", lit("upd"))
+    val (carried, linked) = wh.writeTablePruned("t2", touched,
+      Seq("p", "q"), Set(Seq("1", "2")))
+    assert(carried == 11 && linked > 0,
+      s"expected 11 carried leaves, got $carried ($linked linked)")
+    val out = wh.read("t2")
+    assert(out.count() == 240)
+    assert(out.filter(col("p") === 1 && col("q") === 2 &&
+      col("payload") =!= "upd").count() == 0)
+    assert(out.filter(col("payload") === "upd").count() == 20)
+  }
+
   test("vacuum after a pruned write: old commit dir GC'd, links survive") {
     val wh = mkWh()
     wh.writeTable("t", base, partitionBy = Seq("p"))

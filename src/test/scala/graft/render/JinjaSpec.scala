@@ -615,4 +615,30 @@ class JinjaSpec extends AnyFunSuite {
       Template.render("{{ modules.pytz.timezone('No/Such') }}", ctx)
     }
   }
+
+  test("tojson nests; fromyaml nested maps; re.split/escape round-trip") {
+    assert(Template.render(
+      """{{ tojson({"a": {"b": [1, {"c": none}]}, "s": "q\"x"}, sort_keys=true) }}""",
+      ctx) === """{"a": {"b": [1, {"c": null}]}, "s": "q\"x"}""")
+    assert(Template.render(
+      "{% set y %}\nouter:\n  inner:\n    k: 7\n  list: [a, b]\n{% endset %}" +
+        "{% set d = fromyaml(y) %}{{ d['outer']['inner']['k'] }}/{{ d['outer']['list'][1] }}",
+      ctx) === "7/b")
+    assert(Template.render(
+      "{{ modules.re.split(',', 'a,b,,c') | list }}", ctx) === "[a, b, , c]")
+    // escape makes a literal safe to feed back into a regex call
+    assert(Template.render(
+      "{% if modules.re.match(modules.re.escape('a.b*'), 'a.b*c') %}y{% else %}n{% endif %}",
+      ctx) === "y")
+    assert(Template.render(
+      "{% if modules.re.match(modules.re.escape('a.b*'), 'axbbc') %}y{% else %}n{% endif %}",
+      ctx) === "n")
+  }
+
+  test("zip output feeds tojson as arrays; set over a string dedups chars") {
+    assert(Template.render(
+      "{{ tojson(zip([1, 2], ['x', 'y']) | list) }}", ctx) === """[[1, "x"], [2, "y"]]""")
+    assert(Template.render(
+      "{{ set('aabca') | list }}", ctx) === "[a, b, c]")
+  }
 }
