@@ -69,13 +69,33 @@ object Bench {
     val cold = timedPass()
     val coldTotal = (System.nanoTime() - coldT0) / 1e9
 
-    // pass 2: warm solo sequential — the comparable per-query numbers
-    val (solo, soloTotal) =
-      if (mode == "batch") (Nil, 0.0)
+    // pass 2: warm solo sequential — the comparable per-query numbers.
+    // Run SPARK_GRAFT_BENCH_SOLO_RUNS times (default 3) and keep the
+    // PER-QUERY MEDIAN: warm-solo is the round-over-round regression
+    // channel, and a single pass under machine load mis-flagged ~28
+    // queries in r7's closing artifact (q211 "8.3x" etc.) — a median
+    // over three passes can't be swung by one loaded window.
+    val soloRunsN =
+      if (mode == "batch") 0
+      else sys.env.getOrElse("SPARK_GRAFT_BENCH_SOLO_RUNS", "3").toInt
+    val (solo, soloTotal, soloWalls) =
+      if (soloRunsN == 0) (Seq.empty[(String, Double, Boolean)], 0.0, Seq.empty[Double])
       else {
-        val t = System.nanoTime()
-        val r = timedPass()
-        (r, (System.nanoTime() - t) / 1e9)
+        val runs = (1 to soloRunsN).map { _ =>
+          val t = System.nanoTime()
+          val r = timedPass()
+          (r, (System.nanoTime() - t) / 1e9)
+        }
+        val byName = runs.flatMap(_._1).groupBy(_._1)
+        val med = headline.map { q =>
+          val rs = byName.getOrElse(q.name, Nil)
+          val ts = rs.map(_._2).sorted
+          (q.name,
+            if (ts.isEmpty) 0.0 else ts(ts.size / 2),
+            rs.nonEmpty && rs.forall(_._3))
+        }
+        val walls = runs.map(_._2)
+        (med, walls.sorted.apply(walls.size / 2), walls)
       }
 
     // pass 3: concurrent batch, run SPARK_GRAFT_BENCH_RUNS times (>= 3
@@ -214,6 +234,8 @@ object Bench {
          |"batch_wall_runs":${batchRuns.map(_._2).mkString("[", ",", "]")},
          |"cold_first_pass_wall":$coldTotal,
          |"warm_solo_wall":$soloTotal,
+         |"warm_solo_walls":${soloWalls.mkString("[", ",", "]")},
+         |"n_solo_runs":$soloRunsN,
          |"index_build_sec":$indexBuild,
          |$duckPart
          |"queries":${qmap(results)},
@@ -221,7 +243,7 @@ object Bench {
          |"per_query_cold":${qmap(cold)},
          |"failed":$failed,
          |"sf":"$sfDir","concurrency":$concurrency,"cpus":"$cpus","mode":"$mode","n_batch_runs":$nRuns,
-         |"note":"value=MEDIAN concurrent batch wall of n_batch_runs passes after cold+solo passes; per_query_warm_solo=comparable per-query numbers; duckdb_sequential_sec=same-machine same-moment oracle baseline; sink=noop write (order-preserving)"}
+         |"note":"value=MEDIAN concurrent batch wall of n_batch_runs passes after cold+solo passes; per_query_warm_solo=PER-QUERY MEDIAN of n_solo_runs sequential passes (warm_solo_wall=median pass wall); duckdb_sequential_sec=same-machine same-moment oracle baseline; sink=noop write (order-preserving)"}
          |""".stripMargin
     java.nio.file.Files.write(outPath, fullJson.getBytes("UTF-8"))
 

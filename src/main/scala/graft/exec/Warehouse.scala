@@ -174,14 +174,35 @@ final class Warehouse(val spark: SparkSession, val root: String,
       val children = Option(dir.listFiles()).getOrElse(Array.empty)
       val dataFiles = children.filter(f => f.isFile &&
         !f.getName.startsWith("_") && !f.getName.startsWith("."))
-      if (values.size == partitionBy.size) Seq((values, dir))
-      else {
+      if (values.size == partitionBy.size) {
+        // Leaf must hold the partition's data directly: a `col=` subdir
+        // means the stored layout has MORE partition levels than the
+        // current partition_by (config changed), and zero data files
+        // means a carried leaf would link nothing — both silently
+        // corrupt the pruned write, so reject and force the full path.
+        if (children.exists(f => f.isDirectory && f.getName.contains("=")))
+          throw new Warehouse.PrunedWriteUnsupported(
+            s"$name: partition dirs below expected depth in ${dir.getPath}")
+        if (dataFiles.isEmpty)
+          throw new Warehouse.PrunedWriteUnsupported(
+            s"$name: no data files in partition leaf ${dir.getPath}")
+        Seq((values, dir))
+      } else {
         if (dataFiles.nonEmpty)
           throw new Warehouse.PrunedWriteUnsupported(
             s"$name: data files above partition depth in ${dir.getPath}")
-        children.toSeq.filter(f => f.isDirectory && f.getName.contains("="))
-          .flatMap(c => walk(c,
-            values :+ c.getName.substring(c.getName.indexOf('=') + 1)))
+        // Every level's dir name must be `<expected col>=`: a stored
+        // layout partitioned by different columns (or in a different
+        // order) would otherwise be re-linked under wrongly-named dirs.
+        val expect = partitionBy(values.size) + "="
+        val subdirs = children.toSeq.filter(f => f.isDirectory &&
+          !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        subdirs.find(d => !d.getName.startsWith(expect)).foreach { d =>
+          throw new Warehouse.PrunedWriteUnsupported(
+            s"$name: expected $expect* dirs, found ${d.getName} in ${dir.getPath}")
+        }
+        subdirs.flatMap(c => walk(c,
+          values :+ c.getName.substring(c.getName.indexOf('=') + 1)))
       }
     }
     walk(src, Nil)

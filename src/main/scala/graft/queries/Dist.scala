@@ -42,7 +42,9 @@ object Dist {
     * scale decimals; negate `v` for DESC) and `(v, tie)` unique per
     * row. Appends `out` = SUM(value) OVER (ORDER BY v, tie ROWS
     * UNBOUNDED PRECEDING..CURRENT) without any single-partition
-    * window over the data.
+    * window over the data. Precondition: `max(v) - min(v)` must fit
+    * in a Long (the bucket index divides first, so the FULL Long key
+    * range is safe as long as the span itself doesn't overflow).
     */
   def rangedPrefixSum(df: DataFrame, v: Column, tie: Column,
       value: Column, out: String): DataFrame = {
@@ -53,10 +55,13 @@ object Dist {
       .withColumn(tc, tie.cast("long")).withColumn(wc, value.cast("long"))
     // global key range: a 1-row aggregate, broadcast by crossJoin
     val mm = keyed.agg(min(vc).as(lo), max(vc).as(hi))
-    // fixed-width bucket index — monotone in the key, 0..Buckets-1
+    // fixed-width bucket index — monotone in the key, 0..Buckets-1.
+    // Width-first form (`key div (range/Buckets + 1)`) never overflows:
+    // the naive `(vc-lo)*Buckets` blows Long past a ~2^57 key range.
+    // Precondition (documented): `hi - lo` itself must fit in a Long.
     val bucketed = keyed.crossJoin(broadcast(mm))
       .withColumn(b, expr(
-        s"cast((($vc - $lo) * ${Buckets}L) div (greatest($hi - $lo, 0L) + 1L) as int)"))
+        s"cast((($vc - $lo) div ((greatest($hi - $lo, 0L) div ${Buckets}L) + 1L)) as int)"))
       .drop(lo, hi)
     // pass 1: per-bucket running sums — partitioned, parallel
     val local = bucketed.withColumn(lc,
@@ -100,7 +105,7 @@ object Dist {
     val mm = tall.groupBy("__m").agg(min("__v").as("__lo"), max("__v").as("__hi"))
     val bucketed = tall.join(broadcast(mm), "__m")
       .withColumn("__b", expr(
-        s"cast(((__v - __lo) * ${Buckets}L) div (greatest(__hi - __lo, 0L) + 1L) as int)"))
+        s"cast(((__v - __lo) div ((greatest(__hi - __lo, 0L) div ${Buckets}L) + 1L)) as int)"))
       .drop("__lo", "__hi")
     val local = bucketed.withColumn("__lr",
       sum(lit(1L)).over(Window.partitionBy("__m", "__b").orderBy("__v", "__t")

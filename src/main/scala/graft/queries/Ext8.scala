@@ -155,14 +155,17 @@ object Ext8 {
         |), pred AS (
         |  SELECT d.doc_id, d.lang, COALESCE(b.cand, 'unknown') AS pred_lang
         |  FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
+        |), cells AS (
+        |  SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM pred GROUP BY lang, pred_lang
         |), cls AS (
         |  SELECT DISTINCT lang FROM documents
         |), m AS (
         |  SELECT cls.lang,
-        |         CAST(SUM(CASE WHEN p.lang = cls.lang AND p.pred_lang = cls.lang THEN 1 ELSE 0 END) AS BIGINT) AS tp,
-        |         CAST(SUM(CASE WHEN p.lang <> cls.lang AND p.pred_lang = cls.lang THEN 1 ELSE 0 END) AS BIGINT) AS fp,
-        |         CAST(SUM(CASE WHEN p.lang = cls.lang AND p.pred_lang <> cls.lang THEN 1 ELSE 0 END) AS BIGINT) AS fn
-        |  FROM cls CROSS JOIN pred p GROUP BY cls.lang
+        |         CAST(SUM(CASE WHEN ce.lang = cls.lang AND ce.pred_lang = cls.lang THEN ce.c ELSE 0 END) AS BIGINT) AS tp,
+        |         CAST(SUM(CASE WHEN ce.lang <> cls.lang AND ce.pred_lang = cls.lang THEN ce.c ELSE 0 END) AS BIGINT) AS fp,
+        |         CAST(SUM(CASE WHEN ce.lang = cls.lang AND ce.pred_lang <> cls.lang THEN ce.c ELSE 0 END) AS BIGINT) AS fn
+        |  FROM cls CROSS JOIN cells ce GROUP BY cls.lang
         |)
         |SELECT lang, tp, fp, fn,
         |       -- a class the predictor never emits (zh has no markers)
@@ -173,18 +176,24 @@ object Ext8 {
         |       CAST(ROUND(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6) AS DOUBLE) AS recall,
         |       CAST(ROUND(2.0 * CAST(tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE), 6) AS DOUBLE) AS f1
         |FROM m ORDER BY lang""".stripMargin) { (s, dir) =>
+      // One pass over the doc stream builds the |L|x(|L|+1) confusion
+      // cell table; per-class tp/fp/fn then expand over THAT (tiny,
+      // broadcast) — the former |L|xN cross join is gone, so cost is
+      // N + |L|^2 regardless of class count.
       val pred = Tables.load(s, dir, "documents").select(col("doc_id"), col("lang"))
         .join(TextOps.langPred(s, dir).select("doc_id", "pred_lang"), "doc_id")
+      val cells = pred.groupBy(col("lang").as("tl"), col("pred_lang"))
+        .agg(count(lit(1)).as("c"))
       val cls = Tables.load(s, dir, "documents").select("lang").distinct()
         .withColumnRenamed("lang", "cl")
-      val m = cls.crossJoin(pred)
+      val m = cls.crossJoin(broadcast(cells))
         .groupBy(col("cl").as("lang"))
         .agg(
-          sum(when(col("lang") === col("cl") && col("pred_lang") === col("cl"), 1)
+          sum(when(col("tl") === col("cl") && col("pred_lang") === col("cl"), col("c"))
             .otherwise(0)).cast("long").as("tp"),
-          sum(when(col("lang") =!= col("cl") && col("pred_lang") === col("cl"), 1)
+          sum(when(col("tl") =!= col("cl") && col("pred_lang") === col("cl"), col("c"))
             .otherwise(0)).cast("long").as("fp"),
-          sum(when(col("lang") === col("cl") && col("pred_lang") =!= col("cl"), 1)
+          sum(when(col("tl") === col("cl") && col("pred_lang") =!= col("cl"), col("c"))
             .otherwise(0)).cast("long").as("fn"))
       m.select(col("lang"), col("tp"), col("fp"), col("fn"),
           when(col("tp") + col("fp") === 0, lit(null))

@@ -1251,11 +1251,20 @@ object Jinja {
           try JS(toYamlString(pos.head, sk)) catch { case _: Exception => dflt }
         case "set" | "set_strict" =>
           // insertion-order dedup (python's set has no defined order;
-          // deterministic order is strictly more reproducible)
+          // deterministic order is strictly more reproducible). Keys are
+          // typed so 1 vs "1" / true vs "true" never collide, while
+          // python's numeric-tower equality (True == 1 == 1.0) is kept
+          // by keying all numbers and booleans on the numeric value.
+          def dedupKey(x: JV): String = x match {
+            case JN(v, _) => "num:" + v.bigDecimal.stripTrailingZeros.toPlainString
+            case JB(b) => "num:" + (if (b) "1" else "0")
+            case JS(s) => "str:" + s
+            case o => "val:" + show(o)
+          }
           def dedup(xs: Seq[JV]): JV = {
             val seen = scala.collection.mutable.LinkedHashSet[String]()
             val out = scala.collection.mutable.ArrayBuffer[JV]()
-            xs.foreach { x => val k = show(x)
+            xs.foreach { x => val k = dedupKey(x)
               if (!seen.contains(k)) { seen += k; out += x } }
             JL(out)
           }
@@ -1526,9 +1535,34 @@ object Jinja {
 
     // ------------------------------------- `modules.*` (base.py:630-653)
 
-    /** python `\\N` group backrefs → java `$N`. */
-    private def pyRepl(r: String): String =
-      r.replaceAll("\\\\(\\d)", "\\$$1")
+    /** python replacement-string semantics → java Matcher replacement:
+      * `\N` backrefs become `$N`; literal `$` and stray `\` are escaped
+      * (Matcher treats them as group refs / quotes otherwise, unlike
+      * python re.sub); `\\`/`\n`/`\t`/`\r` unescape as python does.
+      */
+    private def pyRepl(r: String): String = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < r.length) {
+        r.charAt(i) match {
+          case '\\' if i + 1 < r.length =>
+            r.charAt(i + 1) match {
+              case d if d.isDigit => sb.append('$').append(d)
+              case '\\' => sb.append("\\\\")
+              case 'n' => sb.append('\n')
+              case 't' => sb.append('\t')
+              case 'r' => sb.append('\r')
+              case '$' => sb.append("\\\\").append("\\$")
+              case o => sb.append("\\\\").append(o)
+            }
+            i += 2
+          case '\\' => sb.append("\\\\"); i += 1 // lone trailing backslash
+          case '$' => sb.append("\\$"); i += 1
+          case c => sb.append(c); i += 1
+        }
+      }
+      sb.toString
+    }
 
     private def mkDate(y: Int, mo: Int, d: Int, tag: String,
         h: Int = 0, mi: Int = 0, se: Int = 0, tz: Option[String] = None): JV =
@@ -1563,8 +1597,13 @@ object Jinja {
         case ("re", "split") =>
           jlist(str(args(1)).split(str(args.head), -1).toSeq.map(JS(_)))
         case ("re", "escape") =>
+          // python 3.7+ re.escape: only the fixed special-char set is
+          // escaped — NOT every non-word char (a '@' or '/' passes
+          // through unchanged)
           JS(str(args.head).flatMap(c =>
-            if (c.isLetterOrDigit || c == '_') c.toString else "\\" + c))
+            if ("()[]{}?*+-|^$\\.&~# \t\n\r\f".indexOf(c.toInt) >= 0)
+              "\\" + c
+            else c.toString))
         case ("pytz", "timezone") =>
           // validates eagerly, like pytz.timezone (UnknownTimeZoneError)
           val z = str(args.head)

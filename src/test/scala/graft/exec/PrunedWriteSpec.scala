@@ -85,6 +85,30 @@ class PrunedWriteSpec extends SparkSpec {
     assert(!wh.canWritePruned("part", Seq("p", "id")))
   }
 
+  test("canWritePruned: false when stored dirs carry a DIFFERENT partition column") {
+    val wh = mkWh()
+    // stored as region=... but the new config says partition_by=[yr]:
+    // linking region dirs under yr= names would silently corrupt — the
+    // guard must reject on the dir NAME, not just nesting depth
+    wh.writeTable("renamed", base.withColumnRenamed("p", "region"),
+      partitionBy = Seq("region"))
+    assert(!wh.canWritePruned("renamed", Seq("yr")))
+    assert(wh.canWritePruned("renamed", Seq("region")))
+  }
+
+  test("canWritePruned: false when stored layout is DEEPER than partition_by") {
+    val wh = mkWh()
+    // stored [p, q]; new config [p]: the p= leaves hold q= subdirs, not
+    // data files — a carried leaf would link zero files (silent loss)
+    wh.writeTable("two", base.withColumn("q", col("id") % 2),
+      partitionBy = Seq("p", "q"))
+    assert(!wh.canWritePruned("two", Seq("p")))
+    assert(wh.canWritePruned("two", Seq("p", "q")))
+    // and stored [p] with new [q, p]: first-level name mismatch
+    wh.writeTable("one", base, partitionBy = Seq("p"))
+    assert(!wh.canWritePruned("one", Seq("q")))
+  }
+
   test("merge falls back to full rewrite when partition values are unsafe") {
     val wh = mkWh()
     val eng = new graft.run.Engine(spark, graft.core.Manifest(Map.empty), wh.root)

@@ -34,6 +34,24 @@ class DistSpec extends SparkSpec {
       got.select("v", "id", "rk")).isEmpty)
   }
 
+  test("rangedRank survives a key range past 2^57 (bucket index must not overflow)") {
+    import spark.implicits._
+    // keys spread across nearly the full positive Long range: the old
+    // `(v-lo)*Buckets` bucket form overflowed past a ~2^57 span and
+    // silently broke bucket monotonicity; the divide-first form is exact
+    val df = (1L to 200L).map { i =>
+      val v = (i * 2654435761L % 100000L) * (1L << 45) + i // span ~2^61
+      (v, i)
+    }.toDF("v", "id").repartition(5)
+    val expected = df.withColumn("rk",
+      row_number().over(Window.orderBy("v", "id")).cast("long"))
+    val got = Dist.rangedRank(df, col("v"), col("id"), "rk")
+    assert(got.select("v", "id", "rk").except(
+      expected.select("v", "id", "rk")).isEmpty)
+    assert(expected.select("v", "id", "rk").except(
+      got.select("v", "id", "rk")).isEmpty)
+  }
+
   test("rangedPrefixSum == SUM OVER (ORDER BY v, id ROWS UNBOUNDED..CURRENT)") {
     val df = sample.withColumn("w", (col("id") % 11L) + 1L)
     val expected = df.withColumn("cum",

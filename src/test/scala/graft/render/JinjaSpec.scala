@@ -641,4 +641,35 @@ class JinjaSpec extends AnyFunSuite {
     assert(Template.render(
       "{{ set('aabca') | list }}", ctx) === "[a, b, c]")
   }
+
+  test("re.sub: literal $ and backslash in the replacement, like python") {
+    // python: re.sub('a', '$5', 'xa') == 'x$5' — java Matcher would
+    // read $5 as a group ref and throw without escaping
+    assert(Template.render(
+      "{{ modules.re.sub('a', '$5', 'xa') }}", ctx) === "x$5")
+    assert(Template.render(
+      "{{ modules.re.sub('(a+)b', 'US$\\1', 'xaab') }}", ctx) === "xUS$aa")
+    // \\ in the replacement = one literal backslash (python semantics)
+    assert(Template.render(
+      """{{ modules.re.sub('a', '\\', 'xa') }}""", ctx) === "x\\")
+  }
+
+  test("re.escape: python 3.7+ special set only — @ / : ! pass through") {
+    assert(Template.render(
+      "{{ modules.re.escape('user@host/p:1!') }}", ctx) === "user@host/p:1!")
+    assert(Template.render(
+      "{{ modules.re.escape('a.b*c') }}", ctx) === "a\\.b\\*c")
+    // '-' and '#' and space ARE in python's escape set
+    assert(Template.render(
+      "{{ modules.re.escape('a-b #c') }}", ctx) === "a\\-b\\ \\#c")
+  }
+
+  test("set: typed dedup — 1 vs '1' stay distinct; True==1 collapses (python)") {
+    assert(Template.render(
+      """{{ set([1, "1", 1]) | list }}""", ctx) === "[1, 1]")
+    assert(Template.render(
+      "{{ set([true, 1, 1.0, 2]) | list }}", ctx) === "[true, 2]")
+    assert(Template.render(
+      """{{ set(["true", true]) | list }}""", ctx) === "[true, true]")
+  }
 }
