@@ -222,6 +222,13 @@ final case class SeedNode(
     columnTypes: Map[String, String] = Map.empty,
     config: NodeConfig = NodeConfig(),
     originPath: String = "",
+    /** `seeds: quote_columns:` (reference `column_quoting` tests):
+      * Some(false) folds header names to lowercase like an unquoted
+      * identifier would fold in a case-folding warehouse; Some(true)
+      * or None preserves the header case exactly (Spark resolves
+      * identifiers case-insensitively, so quoted is the safe default).
+      */
+    quoteColumns: Option[Boolean] = None,
     override val packageName: String = "graft") extends Node {
   val resourceType = "seed"
   def dependsOn: Seq[String] = Nil

@@ -588,6 +588,11 @@ object Materializer {
         .option("delimiter", node.delimiter)
         .option("inferSchema", "true")
         .csv(tmp.toString)
+      // quote_columns=false: unquoted identifiers case-fold (the
+      // reference's warehouses lowercase them); true/unset keeps the
+      // CSV header case verbatim
+      if (node.quoteColumns.contains(false))
+        df = df.toDF(df.columns.map(_.toLowerCase): _*)
       for ((c, t) <- node.columnTypes) df = df.withColumn(c, col(c).cast(t))
       wh.writeTable(name, df)
       -1L
@@ -660,24 +665,57 @@ object Materializer {
 
   // ----------------------------------------------------------- unit test
 
+  /** Row-level unit-test diff (reference `task/test.py:236-247`
+    * UnitTestDiff: the daff table diff rendered into the failure
+    * message plus the actual/expected rows as JSON in run_results).
+    * `missing`/`extra` carry up to [[UnitTestDiff.MaxRows]] JSON rows
+    * per side, deterministically ordered.
+    */
+  final case class UnitTestDiff(
+      missing: Seq[String], extra: Seq[String],
+      missingCount: Long, extraCount: Long) {
+    /** The daff-style text block: `actual differs from expected`, one
+      * `-` line per expected-but-absent row, one `+` line per
+      * unexpected row (`_render_daff_diff`'s plain-text analog).
+      */
+    def rendered: String = {
+      def clip(n: Long, rows: Seq[String]) =
+        if (n > rows.size) Seq(s"  ... ${n - rows.size} more") else Nil
+      (Seq(s"actual differs from expected: $missingCount expected row(s) missing, " +
+        s"$extraCount unexpected row(s)") ++
+        missing.map("- " + _) ++ clip(missingCount, missing) ++
+        extra.map("+ " + _) ++ clip(extraCount, extra)).mkString("\n")
+    }
+  }
+  object UnitTestDiff { val MaxRows = 20 }
+
   /** Unit test (reference `core/dbt/task/test.py:176-255`): build the
     * model's inputs from fixture rows, run the model SQL with refs
     * resolved to fixtures, symmetric-diff against expected rows.
-    * Returns None on pass, or a message describing the diff.
+    * Returns None on pass, or the row-level diff.
     */
   def runUnitTest(
       spark: SparkSession,
       modelSql: String, // already rendered with refs → fixture view names
       fixtures: Map[String, DataFrame],
-      expect: DataFrame): Option[String] = {
+      expect: DataFrame): Option[UnitTestDiff] = {
     fixtures.foreach { case (viewName, df) => df.createOrReplaceTempView(viewName) }
     val actual = spark.sql(modelSql)
     val act = actual.selectExpr(expect.columns.map(c => s"cast($c as string) as $c").toSeq: _*)
     val exp = expect.selectExpr(expect.columns.map(c => s"cast($c as string) as $c").toSeq: _*)
-    val missing = exp.exceptAll(act).count()
-    val extra = act.exceptAll(exp).count()
-    if (missing == 0 && extra == 0) None
-    else Some(s"unit test diff: $missing expected rows missing, $extra unexpected rows")
+    val missingDf = exp.exceptAll(act).cache()
+    val extraDf = act.exceptAll(exp).cache()
+    try {
+      val (missing, extra) = (missingDf.count(), extraDf.count())
+      if (missing == 0 && extra == 0) None
+      else {
+        val ord = expect.columns.map(col).toSeq
+        Some(UnitTestDiff(
+          missingDf.orderBy(ord: _*).toJSON.take(UnitTestDiff.MaxRows).toSeq,
+          extraDf.orderBy(ord: _*).toJSON.take(UnitTestDiff.MaxRows).toSeq,
+          missing, extra))
+      }
+    } finally { missingDf.unpersist(); extraDf.unpersist(); () }
   }
 
   // ----------------------------------------------------------- freshness

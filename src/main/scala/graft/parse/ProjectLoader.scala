@@ -41,7 +41,30 @@ object ProjectLoader {
         * `config/project.py:_query_comment_from_cfg`): root project
         * only — packages cannot set it. None = reference default
         * header (JSON app/dbt_version/profile/target/node_id). */
-      queryComment: Option[QueryCommentDef] = None)
+      queryComment: Option[QueryCommentDef] = None,
+      /** (name, code, message) per deprecated root-project config —
+        * fired by Engine.fromProject through [[graft.run.Deprecations]]
+        * so `--warn-error` can promote them (reference deprecations.py,
+        * tests/functional/deprecations). */
+      deprecations: Seq[(String, String, String)] = Nil,
+      /** `target-path:` from dbt_project.yml — deprecated (D011) but
+        * still honored below CLI flag and DBT_TARGET_PATH env var
+        * (reference tests/functional/custom_target_path). */
+      targetPath: Option[String] = None,
+      /** `quoting:` config (identifier/schema/database booleans);
+        * `identifier: false` makes `adapter.quote` a no-op so relation
+        * naming reflects the project's quoting policy
+        * (reference tests/functional/column_quoting). */
+      quoting: Map[String, Boolean] = Map.empty)
+
+  /** `--target-path` CLI flag > DBT_TARGET_PATH env var > project
+    * `target-path:` > "target" (reference precedence,
+    * tests/functional/custom_target_path/test_custom_target_path.py).
+    */
+  def resolveTargetPath(cli: Option[String], env: Map[String, String],
+      project: Option[String]): String =
+    cli.orElse(env.get("DBT_TARGET_PATH").filter(_.nonEmpty))
+      .orElse(project).getOrElse("target")
 
   /** `query-comment:` config — a comment template (Jinja, rendered per
     * node), placement (`append`), and whether to label the warehouse
@@ -74,7 +97,15 @@ object ProjectLoader {
       selectors: Map[String, SelectorDef],
       docs: Map[String, String] = Map.empty,
       sourcePatches: Seq[SourcePatch] = Nil,
-      queryComment: Option[QueryCommentDef] = None)
+      queryComment: Option[QueryCommentDef] = None,
+      /** (name, code, message) per deprecated config found — fired by
+        * Engine.fromProject through [[graft.run.Deprecations]]. */
+      deprecations: Seq[(String, String, String)] = Nil,
+      /** `target-path:` from dbt_project.yml (deprecated but still
+        * honored, reference ConfigTargetPathDeprecation). */
+      targetPath: Option[String] = None,
+      /** `quoting:` config (database/schema/identifier booleans). */
+      quoting: Map[String, Boolean] = Map.empty)
 
   /** Load a project plus every installed package under
     * `dbt_packages/<pkg>/` (A32 deps): package nodes and macros carry
@@ -192,7 +223,10 @@ object ProjectLoader {
       macros = flatMacros,
       macrosByPackage = pkgMacros + ("graft" -> rootRaw.macros),
       docs = flatDocs,
-      queryComment = rootRaw.queryComment)
+      queryComment = rootRaw.queryComment,
+      deprecations = rootRaw.deprecations,
+      targetPath = rootRaw.targetPath,
+      quoting = rootRaw.quoting)
   }
 
   /** One output of a profile (reference `profiles.yml` outputs,
@@ -415,6 +449,61 @@ object ProjectLoader {
     val modelTree =
       scopeOf(parseConfigTree(projCfg.getOrElse("models", null)), projName)
         .overlay(extraModelDefaults)
+
+    // ---- deprecated project-config keys (reference deprecations.py +
+    // events/types.py D002-D011): recorded here, fired by
+    // Engine.fromProject so --warn-error can promote them. Renamed
+    // configs still FUNCTION (target-path below); the event is the
+    // user-facing migration nudge.
+    val deprecations = scala.collection.mutable.ArrayBuffer[(String, String, String)]()
+    val renamedNote =
+      "Please update your `dbt_project.yml` configuration to reflect this change."
+    if (projCfg.contains("source-paths"))
+      deprecations += (("project-config-source-paths", "D003",
+        s"The `source-paths` config has been renamed to `model-paths`. $renamedNote"))
+    if (projCfg.contains("data-paths"))
+      deprecations += (("project-config-data-paths", "D004",
+        s"The `data-paths` config has been renamed to `seed-paths`. $renamedNote"))
+    if (projCfg.contains("log-path"))
+      deprecations += (("project-config-log-path", "D010",
+        "The `log-path` config in `dbt_project.yml` has been deprecated, " +
+          "and will no longer be supported in a future version of dbt-core. " +
+          "If you wish to write dbt logs to a custom directory, please use " +
+          "the --log-path CLI flag or DBT_LOG_PATH env var instead."))
+    if (projCfg.contains("target-path"))
+      deprecations += (("project-config-target-path", "D011",
+        "The `target-path` config in `dbt_project.yml` has been deprecated, " +
+          "and will no longer be supported in a future version of dbt-core. " +
+          "If you wish to write dbt artifacts to a custom directory, please use " +
+          "the --target-path CLI flag or DBT_TARGET_PATH env var instead."))
+    val cleanTargets = projCfg.get("clean-targets") match {
+      case Some(l: java.util.List[_]) => l.asScala.map(_.toString).toSeq
+      case _ => Nil
+    }
+    if (cleanTargets.contains("dbt_modules"))
+      deprecations += (("install-packages-path", "D002",
+        "The default package install path has changed from `dbt_modules` to " +
+          "`dbt_packages`. Please update `clean-targets` in `dbt_project.yml` " +
+          "and check `.gitignore` as well. Or, set `packages-install-path: " +
+          "dbt_modules` if you'd like to keep the current value."))
+
+    val targetPath = projCfg.get("target-path").map(_.toString)
+    val quoting: Map[String, Boolean] = projCfg.get("quoting") match {
+      case Some(m: java.util.Map[_, _]) =>
+        m.asScala.map { case (k, v) => k.toString -> v.toString.toBoolean }.toMap
+      case _ => Map.empty
+    }
+    // `seeds: quote_columns:` — top-level or under the project scope
+    val seedQuoteColumns: Option[Boolean] = projCfg.get("seeds") match {
+      case Some(m: java.util.Map[_, _]) =>
+        val sm = m.asScala.map { case (k, v) => k.toString -> v }
+        sm.get("quote_columns").orElse(sm.get(projName) match {
+          case Some(inner: java.util.Map[_, _]) =>
+            inner.asScala.collectFirst { case (k, v) if k.toString == "quote_columns" => v }
+          case _ => None
+        }).map(_.toString.toBoolean)
+      case _ => None
+    }
 
     val nodes = scala.collection.mutable.ArrayBuffer[Node]()
     val sourcePatches = scala.collection.mutable.ArrayBuffer[SourcePatch]()
@@ -666,7 +755,8 @@ object ProjectLoader {
     // ---- seeds
     for (f <- listFiles(root.resolve("seeds"), ".csv")) {
       nodes += SeedNode(name = stripExt(f), csv = Files.readString(f),
-        config = NodeConfig(materialized = "seed"), originPath = relPath(f))
+        config = NodeConfig(materialized = "seed"), originPath = relPath(f),
+        quoteColumns = seedQuoteColumns)
     }
 
     // ---- snapshots: either `{% snapshot name %}…{% endsnapshot %}`
@@ -781,7 +871,9 @@ object ProjectLoader {
     RawProject(projName, vars, nodes.toSeq,
       onRunStart = hookList("on-run-start"), onRunEnd = hookList("on-run-end"),
       macros = macros, selectors = selectorDefs, docs = docs,
-      sourcePatches = sourcePatches.toSeq, queryComment = queryComment)
+      sourcePatches = sourcePatches.toSeq, queryComment = queryComment,
+      deprecations = deprecations.toSeq, targetPath = targetPath,
+      quoting = quoting)
   }
 
   private val docsBlockRe =

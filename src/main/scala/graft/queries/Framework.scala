@@ -2180,6 +2180,143 @@ object Framework {
       eng.wh.read("m39_fct")
         .withColumn("n_orders", org.apache.spark.sql.functions.col("n_orders").cast("long"))
         .orderBy("status_label")
+    },
+
+    // Framework edge surface (VERDICT-r7 item 3), three reference test
+    // families through real project runs:
+    //  - deprecation warnings as STRUCTURED events + --warn-error
+    //    promotion (tests/functional/deprecations/test_deprecations.py)
+    //  - target-path override precedence cli > env > project > default
+    //    (tests/functional/custom_target_path/test_custom_target_path.py)
+    //  - quoting config: seeds quote_columns case folding and
+    //    adapter.quote pass-through under quoting.identifier=false
+    //    (tests/functional/column_quoting/test_column_quotes.py)
+    QueryDef(
+      "m41_edge_surface",
+      """SELECT * FROM (VALUES
+        |  ('dep_active', 'install-packages-path,project-config-data-paths,project-config-log-path,project-config-target-path'),
+        |  ('dep_event_fields', 'deprecation/warn/D004'),
+        |  ('dep_warn_error', 'raises:renamed'),
+        |  ('target_project', 'project_target/no_default'),
+        |  ('target_env', 'env_target'),
+        |  ('target_cli', 'cli_target'),
+        |  ('seed_quoted_cols', 'col_A,col_B'),
+        |  ('seed_unquoted_cols', 'col_a,col_b'),
+        |  ('quote_on', '`col_A`'),
+        |  ('quote_off', 'col_A'),
+        |  ('incremental_reruns', '3,3')
+        |) AS t(check_name, result)
+        |ORDER BY check_name""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      def mkProj(name: String): java.nio.file.Path = {
+        val root = java.nio.file.Files.createTempDirectory(s"${name}_proj")
+        scratchDirs.add(root.toFile)
+        root
+      }
+      def write(root: java.nio.file.Path, rel: String, content: String): Unit = {
+        val p = root.resolve(rel)
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.writeString(p, content)
+      }
+      val rows = scala.collection.mutable.ArrayBuffer[(String, String)]()
+
+      // ---- project A: deprecated configs + project target-path +
+      // quoted seed + adapter.quote model (incremental, rerun twice)
+      val pa = mkProj("m41a")
+      write(pa, "dbt_project.yml",
+        """name: m41a
+          |data-paths: [data]
+          |log-path: customlogs
+          |target-path: project_target
+          |clean-targets: [dbt_modules]
+          |seeds:
+          |  quote_columns: true
+          |""".stripMargin)
+      write(pa, "seeds/quoted_seed.csv", "col_A,col_B\n1,2\n3,4\n5,6\n")
+      write(pa, "models/m41_q.sql",
+        """{{ config(materialized='incremental', incremental_strategy='merge',
+          |          unique_key='col_A') }}
+          |SELECT {{ adapter.quote('col_A') }} AS col_A,
+          |       {{ adapter.quote('col_B') }} AS col_B
+          |FROM {{ ref('quoted_seed') }}""".stripMargin)
+      graft.run.Deprecations.reset()
+      val events = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val (prevFmt, prevSink) = (graft.run.EventLog.format, graft.run.EventLog.sink)
+      graft.run.EventLog.format = "json"
+      graft.run.EventLog.sink = line => { events.add(line); () }
+      val engA =
+        try Engine.fromProject(s, pa.toString, scratch())
+        finally { graft.run.EventLog.format = prevFmt; graft.run.EventLog.sink = prevSink }
+      rows += (("dep_active",
+        graft.run.Deprecations.activeDeprecations.toSeq.sorted.mkString(",")))
+      // the event is structured: one warn line carrying name+code fields
+      import scala.jdk.CollectionConverters._
+      val depLine = events.asScala.find(l =>
+        l.contains("\"event\": \"deprecation\"") &&
+          l.contains("project-config-data-paths"))
+      rows += (("dep_event_fields", depLine match {
+        case Some(l) if l.contains("\"level\": \"warn\"") && l.contains("\"D004\"") =>
+          "deprecation/warn/D004"
+        case other => s"missing:$other"
+      }))
+      // --warn-error: first deprecation raises (reference CompilationError)
+      graft.run.Deprecations.reset()
+      val raised =
+        try { Engine.fromProject(s, pa.toString, scratch(), warnError = true); "no" }
+        catch { case e: graft.run.Deprecations.DeprecationError =>
+          if (e.getMessage.contains("has been renamed")) "raises:renamed" else "raises:other"
+        }
+      graft.run.Deprecations.reset()
+      rows += (("dep_warn_error", raised))
+
+      // run the project: seed + incremental model, then rerun (the
+      // column_quoting contract: quoted identifiers survive both runs)
+      require(engA.run().forall(_.status == "success"), "m41: run A failed")
+      require(engA.run().forall(_.status == "success"), "m41: rerun A failed")
+      val n1 = engA.wh.read("quoted_seed").count()
+      val n2 = engA.wh.read("m41_q").count()
+      rows += (("incremental_reruns", s"$n1,$n2"))
+      rows += (("seed_quoted_cols",
+        engA.wh.read("quoted_seed").columns.mkString(",")))
+      // project target-path honored: artifacts land under
+      // <proj>/project_target, never <proj>/target
+      engA.writeArtifacts(engA.targetDir, Nil)
+      rows += (("target_project",
+        (if (java.nio.file.Files.isDirectory(pa.resolve("project_target"))) "project_target"
+         else "missing") +
+          (if (java.nio.file.Files.exists(pa.resolve("target"))) "/default_leak"
+           else "/no_default")))
+      // env + cli precedence through the fromProject seam
+      val engEnv = Engine.fromProject(s, pa.toString, scratch(),
+        env = Map("DBT_TARGET_PATH" -> "env_target"))
+      rows += (("target_env",
+        java.nio.file.Paths.get(engEnv.targetDir).getFileName.toString))
+      val engCli = Engine.fromProject(s, pa.toString, scratch(),
+        targetPath = Some("cli_target"),
+        env = Map("DBT_TARGET_PATH" -> "env_target"))
+      rows += (("target_cli",
+        java.nio.file.Paths.get(engCli.targetDir).getFileName.toString))
+      // adapter.quote under the default quoting config
+      rows += (("quote_on", engA.compileInline("{{ adapter.quote('col_A') }}")))
+
+      // ---- project B: quoting disabled — seeds fold to lowercase,
+      // adapter.quote passes through
+      val pb = mkProj("m41b")
+      write(pb, "dbt_project.yml",
+        """name: m41b
+          |quoting:
+          |  identifier: false
+          |seeds:
+          |  quote_columns: false
+          |""".stripMargin)
+      write(pb, "seeds/folded_seed.csv", "col_A,col_B\n1,2\n3,4\n5,6\n")
+      val engB = Engine.fromProject(s, pb.toString, scratch())
+      require(engB.run().forall(_.status == "success"), "m41: run B failed")
+      rows += (("seed_unquoted_cols",
+        engB.wh.read("folded_seed").columns.mkString(",")))
+      rows += (("quote_off", engB.compileInline("{{ adapter.quote('col_A') }}")))
+
+      rows.toSeq.toDF("check_name", "result").orderBy("check_name")
     }
   )
 }

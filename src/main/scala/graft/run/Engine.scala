@@ -50,7 +50,15 @@ final class Engine(
       * the job description (shows in the UI/event log the way a SQL
       * comment shows in a warehouse query history). None = reference
       * default JSON header. */
-    val queryComment: Option[graft.parse.ProjectLoader.QueryCommentDef] = None) {
+    val queryComment: Option[graft.parse.ProjectLoader.QueryCommentDef] = None,
+    /** `quoting:` project config (A-tail, reference column_quoting):
+      * `identifier -> false` turns `adapter.quote` into a pass-through
+      * so compiled SQL reflects the project's quoting policy. */
+    val quoting: Map[String, Boolean] = Map.empty,
+    /** Resolved artifacts dir (reference `target-path`): CLI flag >
+      * DBT_TARGET_PATH > project config > "target"; fromProject sets
+      * it absolute under the project dir. */
+    val targetDir: String = "target") {
 
   val wh = new Warehouse(spark, warehouseRoot)
 
@@ -188,7 +196,11 @@ final class Engine(
             "dtype" -> JS(f.dataType.simpleString),
             "data_type" -> JS(f.dataType.simpleString),
             "quoted" -> JS(s"`${f.name}`")))))
-      case "quote" => JS(s"`${graft.render.Jinja.show(args.head)}`")
+      case "quote" =>
+        // quoting.identifier=false: pass the name through unquoted
+        // (reference column_quoting config surface)
+        val raw = graft.render.Jinja.show(args.head)
+        JS(if (quoting.getOrElse("identifier", true)) s"`$raw`" else raw)
       case "type" => JS("spark")
       case other =>
         throw new IllegalArgumentException(s"adapter.$other is not implemented")
@@ -879,7 +891,16 @@ final class Engine(
       .getOrElse(rowsToDf(u.expect))
     val diff = Materializer.runUnitTest(spark, sql,
       fixtureViews.map(f => f._2 -> f._3).toMap, expectDf)
-    diff.foreach(msg => throw new IllegalStateException(s"unit test ${u.name}: $msg"))
+    diff.foreach { d =>
+      // structured event with the row-level diff (reference emits the
+      // UnitTestDiff into run_results + the rendered daff block into
+      // the failure message, task/test.py:236-247)
+      EventLog.error("unit_test_diff", "name" -> u.name,
+        "missing_count" -> d.missingCount, "extra_count" -> d.extraCount,
+        "missing_rows" -> d.missing.mkString("[", ",", "]"),
+        "extra_rows" -> d.extra.mkString("[", ",", "]"))
+      throw new IllegalStateException(s"unit test ${u.name}: ${d.rendered}")
+    }
   }
 
   private def fixtureToDf(f: UnitFixture): DataFrame = f match {
@@ -1098,12 +1119,25 @@ object Engine {
       namespace: String = "",
       emptyMode: Boolean = false,
       target: Option[String] = None,
-      warnError: Boolean = false): Engine = {
+      warnError: Boolean = false,
+      /** `--target-path` CLI flag analog (beats env + project config). */
+      targetPath: Option[String] = None,
+      /** env lookup seam for DBT_TARGET_PATH (tests inject; default =
+        * the real environment). */
+      env: Map[String, String] = sys.env): Engine = {
     val proj = ProjectLoader.load(projectDir)
+    // deprecated project configs fire ONCE as structured warn events;
+    // --warn-error promotes the first to a hard DeprecationError
+    // (reference deprecations.py + tests/functional/deprecations)
+    proj.deprecations.foreach { case (n, c, m) =>
+      Deprecations.warn(n, c, m, warnError)
+    }
     val targetDef = ProjectLoader.resolveTarget(projectDir, target)
     val ns =
       if (namespace.nonEmpty) namespace
       else targetDef.flatMap(_.schema).getOrElse("")
+    val resolvedTarget = java.nio.file.Paths.get(projectDir).resolve(
+      ProjectLoader.resolveTargetPath(targetPath, env, proj.targetPath)).toString
     new Engine(spark, proj.manifest, warehouseRoot, proj.vars ++ vars, clock,
       emptyMode = emptyMode,
       runStartHooks = proj.onRunStart, runEndHooks = proj.onRunEnd,
@@ -1111,6 +1145,8 @@ object Engine {
       macrosByPackage = proj.macrosByPackage,
       target = targetDef, warnError = warnError,
       templateDirs = Seq(projectDir),
-      queryComment = proj.queryComment)
+      queryComment = proj.queryComment,
+      quoting = proj.quoting,
+      targetDir = resolvedTarget)
   }
 }

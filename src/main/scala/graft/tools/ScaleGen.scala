@@ -44,7 +44,40 @@ object ScaleGen {
     val t0 = System.nanoTime()
     scale10(spark, sfDir, s"$outDir/scale10", replicas)
     skewed(spark, sfDir, s"$outDir/skew")
+    boiler(spark, sfDir, s"$outDir/boiler")
     println(f"[scalegen] done in ${(System.nanoTime() - t0) / 1e9}%.1f s -> $outDir")
+  }
+
+  /** Boilerplate-heavy adversarial corpus (VERDICT r7 item 5): every
+    * document gains the SAME header and footer paragraphs, so each
+    * boilerplate shingle's document frequency equals the corpus size.
+    * Without the df-capped posting lists (TextOps.StopShingleDf) the
+    * near-dup candidate join would emit N^2 pairs per such shingle;
+    * this corpus is the gate that the cap actually bites and that
+    * results still hash-match the capped oracle (the cap is part of
+    * the declared semantics, mirrored in the oracle SQL). Other tables
+    * copy unchanged so the dir mounts as a full dataset.
+    */
+  private def boiler(spark: SparkSession, sfDir: String, out: String): Unit = {
+    val header = "terms of service apply to this document please read " +
+      "carefully before proceeding all rights reserved by the publisher " +
+      "unauthorized reproduction is strictly prohibited by law . "
+    val footer = " . copyright notice this content is provided as is " +
+      "without warranty of any kind express or implied subscribe to our " +
+      "newsletter for weekly updates and exclusive member offers"
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .withColumn("text", concat(lit(header), col("text"), lit(footer)))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(8).write.mode("overwrite").parquet(s"$out/documents.parquet")
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "embeddings").foreach { t =>
+      spark.read.parquet(s"$sfDir/$t.parquet")
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
+    graft.Tables.load(spark, sfDir, "events")
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+    println("[scalegen] wrote boilerplate-adversarial documents")
   }
 
   /** Replicate with per-replica key offsets; one wide pass per table

@@ -413,6 +413,47 @@ class EngineSpec extends SparkSpec {
     assert(eng2.test(select = Seq("ut_bad")).head.status === "fail")
   }
 
+  test("unit test failure carries row-level diff in result message + event log") {
+    // reference task/test.py:236-247: a failed unit test renders the
+    // daff diff (expected vs actual rows) into the failure output and
+    // stores actual/expected rows in the run result
+    val proj = baseProject
+    val eng0 = Engine.fromProject(spark, writeProject(proj), tmpDir("wh"))
+    val bad = UnitTestNode(
+      name = "ut_diff_rows",
+      model = "fct_spend",
+      given = Map("stg_orders" -> Seq(
+        Map("o_custkey" -> 7L, "o_totalprice" -> 10.0),
+        Map("o_custkey" -> 7L, "o_totalprice" -> 5.0))),
+      expect = Seq(Map("o_custkey" -> 7L, "n_orders" -> 99L, "spend" -> 15.0)))
+    val eng = new Engine(spark,
+      Manifest(eng0.manifest.nodes + (bad.uniqueId -> bad)), tmpDir("wh2"))
+    val events = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val (pf, ps, pl) = (graft.run.EventLog.format, graft.run.EventLog.sink,
+      graft.run.EventLog.minLevel)
+    graft.run.EventLog.format = "json"
+    graft.run.EventLog.minLevel = "error"
+    graft.run.EventLog.sink = l => { events.add(l); () }
+    val res =
+      try eng.test(select = Seq("ut_diff_rows"))
+      finally { graft.run.EventLog.format = pf; graft.run.EventLog.sink = ps
+        graft.run.EventLog.minLevel = pl }
+    assert(res.head.status === "fail")
+    val msg = res.head.message
+    // the rendered daff-style block: counts + the actual rows, each side
+    assert(msg.contains("actual differs from expected"), msg)
+    assert(msg.contains("1 expected row(s) missing"), msg)
+    assert(msg.contains("1 unexpected row(s)"), msg)
+    assert(msg.contains("""- {"o_custkey":"7","n_orders":"99","spend":"15.0"}"""), msg)
+    assert(msg.contains("""+ {"o_custkey":"7","n_orders":"2","spend":"15.0"}"""), msg)
+    // the structured event mirrors the diff rows
+    import scala.jdk.CollectionConverters._
+    val ev = events.asScala.find(_.contains("\"event\": \"unit_test_diff\""))
+    assert(ev.isDefined, events.asScala.mkString("\n"))
+    assert(ev.get.contains("ut_diff_rows") &&
+      ev.get.contains("missing_rows") && ev.get.contains("n_orders"), ev.get)
+  }
+
   test("unit test: csv given/expect fixtures (A13 format: csv)") {
     val proj = baseProject
     val eng0 = Engine.fromProject(spark, writeProject(proj), tmpDir("wh"))
