@@ -26,6 +26,7 @@ object SparkEntry {
       graft.queries.Ext6.queries ++
       graft.queries.Ext7.queries ++
       graft.queries.Ext8.queries ++
+      graft.queries.Ext9.queries ++
       graft.queries.Curation.queries ++
       graft.queries.Framework.queries
 

@@ -1,0 +1,163 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Wave-14 operators (round 8): the three training-data kernels the
+  * earlier waves' families still lacked.
+  *
+  *  - q232: EMBEDDING-space decontamination — the semantic member of
+  *    the decontamination family (beside q58 4-gram, q78 Bloom, q187
+  *    blocklist): nearest-eval-vector cosine for every corpus vector,
+  *    flag ≥ threshold. At 100 TB the eval set is tiny and broadcast;
+  *    the corpus sweep is one embarrassingly-parallel pass (no shuffle
+  *    at all on the corpus side).
+  *  - q233: sliding-window chunking (window 32 tokens, stride 24) —
+  *    the doc → chunks operator every RAG / long-context training
+  *    pipeline runs first. Pure per-row explode: partition-local,
+  *    linear, no shuffle.
+  *  - q234: sequence packing audit — deterministic concat-and-chop
+  *    packing (md5-shuffled doc order, 256-token budget): per-sequence
+  *    fill and boundary-crossing counts. The global running token
+  *    count uses `Dist.rangedPrefixSum`, so no single-partition window
+  *    touches the doc stream (the kernel the distributed-rank family
+  *    exists for).
+  */
+object Ext9 {
+
+  /** md5-derived 32-bit uniform as BIGINT (same idiom as q186/q211). */
+  private def md5Int(sqlExpr: String): Column =
+    expr(s"cast(conv(substring(md5($sqlExpr), 1, 8), 16, 10) as bigint)")
+
+  val queries: Seq[QueryDef] = Seq(
+
+    // Embedding-space eval-set decontamination: eval = vec_id % 89 == 0
+    // (deterministic, ~N/89 vectors, broadcast side); every other
+    // vector reports its nearest eval vector by cosine and whether it
+    // crosses the contamination threshold. Reference-context: the
+    // semantic analog of q58's n-gram eval decontamination.
+    QueryDef(
+      "q232_semantic_decontam",
+      s"""WITH idx AS (SELECT unnest(range(1, 65)) AS i),
+         |dots AS (
+         |  SELECT c.vec_id AS cid, e.vec_id AS eid,
+         |         CAST(ROUND(${Similarity.duckDot("c", "e")}
+         |                    / SQRT(${Similarity.duckDot("c", "c")}
+         |                           * ${Similarity.duckDot("e", "e")}),
+         |                    6) AS DOUBLE) AS cosine
+         |  FROM embeddings c
+         |  JOIN embeddings e ON e.vec_id % 89 = 0 AND c.vec_id % 89 <> 0
+         |  CROSS JOIN idx
+         |  GROUP BY c.vec_id, e.vec_id
+         |), best AS (
+         |  SELECT cid, eid, cosine,
+         |         ROW_NUMBER() OVER (PARTITION BY cid ORDER BY cosine DESC, eid) AS rn
+         |  FROM dots
+         |)
+         |SELECT cid, eid AS nearest_eval, cosine,
+         |       CAST(CASE WHEN cosine >= 0.8 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+         |FROM best WHERE rn = 1
+         |ORDER BY cid""".stripMargin) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("embedding"))
+      val eval = emb.filter(col("vec_id") % 89 === 0)
+        .select(col("vec_id").as("eid"), col("embedding").as("ev"))
+      val corpus = emb.filter(col("vec_id") % 89 =!= 0)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val dot = (a: Column, b: Column) => graft.functions.VectorExprs.arrayDot(a, b)
+      val scored = corpus.join(broadcast(eval))
+        .select(col("cid"), col("eid"),
+          round(dot(col("cv"), col("ev")) /
+            sqrt(dot(col("cv"), col("cv")) * dot(col("ev"), col("ev"))), 6)
+            .as("cosine"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("cid").orderBy(col("cosine").desc, col("eid"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("cid"), col("eid").as("nearest_eval"), col("cosine"),
+          when(col("cosine") >= 0.8, 1L).otherwise(0L).as("contaminated"))
+        .orderBy("cid")
+    },
+
+    // Sliding-window chunking: window 32 tokens, stride 24 (8-token
+    // overlap); chunk identity pinned by md5 of the joined tokens so
+    // the hash gate proves byte-identical chunk content on both engines.
+    QueryDef(
+      "q233_doc_chunking",
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws,
+        |         len(string_split(text, ' ')) AS n
+        |  FROM documents
+        |), starts AS (
+        |  SELECT doc_id, ws, n, unnest(generate_series(1, n, 24)) AS start_tok
+        |  FROM tok
+        |)
+        |SELECT doc_id,
+        |       CAST((start_tok - 1) // 24 + 1 AS BIGINT) AS chunk_idx,
+        |       CAST(start_tok AS BIGINT) AS start_tok,
+        |       CAST(LEAST(32, n - start_tok + 1) AS BIGINT) AS n_toks,
+        |       MD5(array_to_string(ws[start_tok : start_tok + 31], ' ')) AS chunk_md5
+        |FROM starts
+        |ORDER BY doc_id, chunk_idx""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .withColumn("n", size(col("ws")))
+        .select(col("doc_id"), col("ws"), col("n"),
+          explode(sequence(lit(1), col("n"), lit(24))).as("start_tok"))
+        .select(
+          col("doc_id"),
+          (expr("(start_tok - 1) div 24") + 1).cast("long").as("chunk_idx"),
+          col("start_tok").cast("long").as("start_tok"),
+          least(lit(32), col("n") - col("start_tok") + 1).cast("long").as("n_toks"),
+          md5(array_join(slice(col("ws"), col("start_tok"), lit(32)), " "))
+            .as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+
+    // Sequence-packing audit: md5-shuffle the corpus, run a GLOBAL
+    // token prefix sum (Dist.rangedPrefixSum — partitioned two-pass,
+    // no single-partition window), chop at a 256-token budget:
+    // seq_id = tokens-before div 256. Reports per-sequence doc count,
+    // token fill, and how many docs span a sequence boundary (the
+    // attention-mask cost of concat-and-chop packing).
+    QueryDef(
+      "q234_packing_audit",
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+        |         CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS k
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, n, k,
+        |         SUM(n) OVER (ORDER BY k, doc_id
+        |                      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM d
+        |), tagged AS (
+        |  SELECT doc_id, n,
+        |         (cum - n) // 256 AS seq_id,
+        |         CASE WHEN (cum - 1) // 256 <> (cum - n) // 256 THEN 1 ELSE 0 END AS spans
+        |  FROM c
+        |)
+        |SELECT CAST(seq_id AS BIGINT) AS seq_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(n) AS BIGINT) AS n_tokens,
+        |       CAST(SUM(spans) AS BIGINT) AS n_spanning
+        |FROM tagged GROUP BY seq_id ORDER BY seq_id""".stripMargin) { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n"))
+        .withColumn("k", md5Int("cast(doc_id as string)"))
+      val c = Dist.rangedPrefixSum(d, col("k"), col("doc_id"), col("n"), "cum")
+      c.select(col("doc_id"), col("n"),
+          expr("(cum - n) div 256").as("seq_id"),
+          when(expr("(cum - 1) div 256") =!= expr("(cum - n) div 256"), 1L)
+            .otherwise(0L).as("spans"))
+        .groupBy("seq_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n").as("n_tokens"),
+          sum("spans").as("n_spanning"))
+        .orderBy("seq_id")
+    }
+  )
+}

@@ -35,16 +35,19 @@ object ScaleGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    generate(spark, sfDir, outDir, replicas)
+    // optional 4th arg: comma-separated subset of scale10,skew,boiler
+    val parts = args.lift(3).map(_.split(',').toSet)
+      .getOrElse(Set("scale10", "skew", "boiler"))
+    generate(spark, sfDir, outDir, replicas, parts)
     spark.stop()
   }
 
   def generate(spark: SparkSession, sfDir: String, outDir: String,
-      replicas: Int): Unit = {
+      replicas: Int, parts: Set[String] = Set("scale10", "skew", "boiler")): Unit = {
     val t0 = System.nanoTime()
-    scale10(spark, sfDir, s"$outDir/scale10", replicas)
-    skewed(spark, sfDir, s"$outDir/skew")
-    boiler(spark, sfDir, s"$outDir/boiler")
+    if (parts("scale10")) scale10(spark, sfDir, s"$outDir/scale10", replicas)
+    if (parts("skew")) skewed(spark, sfDir, s"$outDir/skew")
+    if (parts("boiler")) boiler(spark, sfDir, s"$outDir/boiler")
     println(f"[scalegen] done in ${(System.nanoTime() - t0) / 1e9}%.1f s -> $outDir")
   }
 
@@ -71,7 +74,7 @@ object ScaleGen {
       .select("doc_id", "text", "lang", "source", "n_chars")
       .repartition(8).write.mode("overwrite").parquet(s"$out/documents.parquet")
     Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "embeddings").foreach { t =>
+      "lineitem", "embeddings").foreach { t =>
       spark.read.parquet(s"$sfDir/$t.parquet")
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
     }
