@@ -55,7 +55,11 @@ object ProjectLoader {
         * `identifier: false` makes `adapter.quote` a no-op so relation
         * naming reflects the project's quoting policy
         * (reference tests/functional/column_quoting). */
-      quoting: Map[String, Boolean] = Map.empty)
+      quoting: Map[String, Boolean] = Map.empty,
+      /** A31 partial-parsing outcome (None when the caller did not
+        * request partial parsing); the engine emits the reference's
+        * PartialParsingEnabled event from it. */
+      partialStats: Option[PartialParse.Stats] = None)
 
   /** `--target-path` CLI flag > DBT_TARGET_PATH env var > project
     * `target-path:` > "target" (reference precedence,
@@ -107,6 +111,31 @@ object ProjectLoader {
       /** `quoting:` config (database/schema/identifier booleans). */
       quoting: Map[String, Boolean] = Map.empty)
 
+  /** One schema yml's parse output (A31 cache unit): the nodes it
+    * defines plus the side maps that feed MODEL file parsing — a model
+    * file's cache context hashes its own slice of these, so editing a
+    * schema yml reparses exactly the models it patches. */
+  private final case class SchemaOut(
+      nodes: Seq[Node],
+      patches: Map[String, (Seq[ColumnInfo], Seq[GenericTestRef], Map[String, String], String)],
+      versions: Map[String, (Set[Int], Option[Int])],
+      sourcePatches: Seq[SourcePatch])
+
+  /** Deterministic rendering for cache-context hashing: Maps/Sets are
+    * sorted (case-class toString leaks HashMap iteration order), case
+    * classes render by field. */
+  private[parse] def stableStr(v: Any): String = v match {
+    case m: scala.collection.Map[_, _] =>
+      m.toSeq.map { case (k, x) => stableStr(k) + "=" + stableStr(x) }
+        .sorted.mkString("{", ",", "}")
+    case s: scala.collection.Set[_] =>
+      s.toSeq.map(stableStr).sorted.mkString("{", ",", "}")
+    case p: Product =>
+      p.productPrefix + p.productIterator.map(stableStr).mkString("(", ",", ")")
+    case i: Iterable[_] => i.map(stableStr).mkString("[", ",", "]")
+    case other => String.valueOf(other)
+  }
+
   /** Load a project plus every installed package under
     * `dbt_packages/<pkg>/` (A32 deps): package nodes and macros carry
     * the package's name; model/seed/snapshot names must stay globally
@@ -114,14 +143,59 @@ object ProjectLoader {
     * is a hard parse error, not a silent shadow). Root project vars
     * override same-named package vars.
     */
-  def load(projectDir: String): Project = {
+  def load(projectDir: String): Project = loadWith(projectDir, None)
+
+  /** A31 partial parsing entry point: resolves enablement (Options >
+    * DBT_PARTIAL_PARSE env > project `flags: partial_parse:` > on),
+    * loads `<target-path>/partial_parse.bin`, parses with per-file
+    * reuse, and saves the next state. Always returns `partialStats`. */
+  def load(projectDir: String, opts: PartialParse.Options): Project = {
     val root = Paths.get(projectDir)
-    val rootRaw = loadRaw(root)
+    val projFile = root.resolve("dbt_project.yml")
+    val projCfg: Map[String, Any] =
+      if (Files.exists(projFile))
+        Option(new org.yaml.snakeyaml.Yaml()
+          .load[java.util.Map[String, Any]](Files.readString(projFile)))
+          .map(_.asScala.toMap).getOrElse(Map.empty)
+      else Map.empty
+    val flagEnabled: Option[Boolean] = projCfg.get("flags") match {
+      case Some(m: java.util.Map[_, _]) =>
+        m.asScala.collectFirst {
+          case (k, v) if k.toString == "partial_parse" => v.toString.toBoolean
+        }
+      case _ => None
+    }
+    val enabled = opts.enabled
+      .orElse(opts.env.get("DBT_PARTIAL_PARSE")
+        .map(v => v.equalsIgnoreCase("true") || v == "1"))
+      .orElse(flagEnabled)
+      .getOrElse(true)
+    if (!enabled)
+      loadWith(projectDir, None).copy(partialStats = Some(PartialParse.Stats(
+        enabled = false, stateLoaded = false, fullReason = None,
+        parsed = 0, reused = 0, added = Nil, deleted = Nil, changed = Nil)))
+    else {
+      val statePath = root.resolve(resolveTargetPath(
+          opts.cliTargetPath, opts.env, projCfg.get("target-path").map(_.toString)))
+        .resolve(PartialParse.StateFileName)
+      val session = new PartialParse.Session(PartialParse.readState(statePath))
+      val proj = loadWith(projectDir, Some(session))
+      val (next, stats) = session.finish()
+      PartialParse.writeState(statePath, next)
+      proj.copy(partialStats = Some(stats))
+    }
+  }
+
+  private def loadWith(projectDir: String,
+      psession: Option[PartialParse.Session]): Project = {
+    val root = Paths.get(projectDir)
+    val rootRaw = loadRaw(root, rootKey = "", psession = psession)
     val pkgRaws = Deps.installedPackageDirs(root).map { case (dirName, dir) =>
       // root dbt_project.yml `models: <pkg>:` scoping applies over the
       // package's own defaults; the install dir name wins over the
       // package's own project name (reference: install path = pkg name)
-      dirName -> loadRaw(dir, rootScopeFor(root, dirName))
+      dirName -> loadRaw(dir, rootScopeFor(root, dirName),
+        rootKey = dirName, psession = psession)
     }
 
     val taggedPkgNodes0 = pkgRaws.flatMap { case (pkg, raw) =>
@@ -428,7 +502,9 @@ object ProjectLoader {
   }
 
   private def loadRaw(root: Path,
-      extraModelDefaults: ConfigTree = ConfigTree()): RawProject = {
+      extraModelDefaults: ConfigTree = ConfigTree(),
+      rootKey: String = "",
+      psession: Option[PartialParse.Session] = None): RawProject = {
     val yaml = new org.yaml.snakeyaml.Yaml()
 
     // ---- dbt_project.yml
@@ -511,6 +587,51 @@ object ProjectLoader {
     var modelVersions = Map.empty[String, (Set[Int], Option[Int])]
     def relPath(f: Path): String = root.relativize(f).toString
 
+    // ---- A31 partial parsing: per-file parse memoization. Content is
+    // read ONCE here; the parse closure runs only on a cache miss
+    // (changed content OR changed out-of-file context).
+    def cachedAs[T <: java.io.Serializable](f: Path, ctx: String)(
+        parse: String => T): T = {
+      val content = Files.readString(f)
+      psession match {
+        case Some(s) => s.cached(rootKey, relPath(f), content, ctx)(parse(content))
+        case None => parse(content)
+      }
+    }
+    // Special-override-macro pre-scan (reference partial.py:52-59 +
+    // handle_macro_file_changes): a changed OR deleted macro file that
+    // defines/defined ref/source/config/generate_*_name changes how
+    // every file resolves — drop the whole cache before any lookup.
+    psession.foreach { s =>
+      val macroFiles = listFiles(root.resolve("macros"), ".sql")
+      val present = macroFiles.map(relPath).toSet
+      for (f <- macroFiles) {
+        val content = Files.readString(f)
+        if (s.contentChanged(rootKey, relPath(f), content)) {
+          val newNames = Template.extractMacros(content).map(_.name).toSet
+          val oldNames = s.oldData(rootKey, relPath(f)) match {
+            case Some(ms: Seq[_]) =>
+              ms.collect { case m: Template.MacroDef => m.name }.toSet
+            case _ => Set.empty[String]
+          }
+          val special = (newNames ++ oldNames).intersect(PartialParse.SpecialMacros)
+          if (special.nonEmpty)
+            s.invalidateAll(s"special override macro '${special.head}' changed")
+        }
+      }
+      for (p <- s.oldPathsIn(rootKey)
+           if p.startsWith("macros") && !present.contains(p)) {
+        val special = s.oldData(rootKey, p) match {
+          case Some(ms: Seq[_]) =>
+            ms.collect { case m: Template.MacroDef => m.name }.toSet
+              .intersect(PartialParse.SpecialMacros)
+          case _ => Set.empty[String]
+        }
+        if (special.nonEmpty)
+          s.invalidateAll(s"special override macro '${special.head}' deleted")
+      }
+    }
+
     // ---- schema YAML (sources + model metadata) anywhere under models/
     val schemaDocs = listFiles(root.resolve("models"), ".yml") ++
       listFiles(root.resolve("models"), ".yaml") ++
@@ -523,8 +644,13 @@ object ProjectLoader {
       }
     var modelPatches = Map.empty[String,
       (Seq[ColumnInfo], Seq[GenericTestRef], Map[String, String], String)]
-    for (f <- schemaDocs.distinct) {
-      val doc = Option(yaml.load[java.util.Map[String, Any]](Files.readString(f)))
+    def parseSchemaDoc(content: String): SchemaOut = {
+      val snodes = scala.collection.mutable.ArrayBuffer[Node]()
+      val ssrcPatches = scala.collection.mutable.ArrayBuffer[SourcePatch]()
+      var spatches = Map.empty[String,
+        (Seq[ColumnInfo], Seq[GenericTestRef], Map[String, String], String)]
+      var sversions = Map.empty[String, (Set[Int], Option[Int])]
+      val doc = Option(yaml.load[java.util.Map[String, Any]](content))
         .map(_.asScala.toMap).getOrElse(Map.empty)
       doc.get("sources") match {
         case Some(ss: java.util.List[_]) =>
@@ -550,8 +676,8 @@ object ProjectLoader {
             overridesPkg match {
               // an override entry defines no NEW source — it patches
               // the named package's same-named source at load()
-              case Some(pkg) => sourcePatches += SourcePatch(pkg, sourceName, tables)
-              case None => nodes ++= tables
+              case Some(pkg) => ssrcPatches += SourcePatch(pkg, sourceName, tables)
+              case None => snodes ++= tables
             }
           }
         case _ =>
@@ -560,7 +686,7 @@ object ProjectLoader {
         case Some(es: java.util.List[_]) =>
           for (e <- es.asScala) {
             val em = e.asInstanceOf[java.util.Map[String, Any]].asScala
-            nodes += ExposureNode(
+            snodes += ExposureNode(
               name = em("name").toString,
               exposureType = em.getOrElse("type", "dashboard").toString,
               owner = em.getOrElse("owner", "").toString,
@@ -575,7 +701,7 @@ object ProjectLoader {
         case Some(ms: java.util.List[_]) =>
           for (m <- ms.asScala) {
             val mm = m.asInstanceOf[java.util.Map[String, Any]].asScala
-            nodes += MetricNode(
+            snodes += MetricNode(
               name = mm("name").toString,
               model = mm("model").toString,
               calculation = mm("calculation").toString,
@@ -605,7 +731,7 @@ object ProjectLoader {
                 .asScala.map { case (k, v) => k.toString -> stringify(v) }.toMap)
               .getOrElse(Map.empty[String, String])
             val desc = mm.get("description").map(_.toString).getOrElse("")
-            modelPatches += mname -> ((cols, modelTests, cfgKw, desc))
+            spatches += mname -> ((cols, modelTests, cfgKw, desc))
             // model versions (reference versioned-model YAML):
             //   versions: [{v: 1}, {v: 2}]  latest_version: 2
             // files are named <name>_v<N>.sql
@@ -619,7 +745,7 @@ object ProjectLoader {
               }.toSet
               val latest = mm.get("latest_version").map(_.toString.toInt)
                 .orElse(if (declared.nonEmpty) Some(declared.max) else None)
-              modelVersions += mname -> ((declared, latest))
+              sversions += mname -> ((declared, latest))
             }
           }
         case _ =>
@@ -659,7 +785,7 @@ object ProjectLoader {
                 .map(_.asInstanceOf[java.util.Map[String, Any]].asScala
                   .map { case (k, v) => k.toString -> String.valueOf(v) }.toMap)
                 .getOrElse(Map.empty)
-            nodes += UnitTestNode(
+            snodes += UnitTestNode(
               name = um("name").toString,
               model = refName(um("model").toString),
               given = Map.empty, expect = Nil,
@@ -685,7 +811,7 @@ object ProjectLoader {
                 (em("name").toString, em.getOrElse("agg", "sum").toString,
                   em.getOrElse("expr", em("name").toString).toString)
               }.toSeq).getOrElse(Nil)
-            nodes += SemanticModelNode(
+            snodes += SemanticModelNode(
               name = sm("name").toString,
               model = refName(sm("model").toString),
               description = sm.getOrElse("description", "").toString,
@@ -702,7 +828,7 @@ object ProjectLoader {
             def strs(key: String): Seq[String] =
               qm.get(key).map(_.asInstanceOf[java.util.List[_]].asScala
                 .map(_.toString).toSeq).getOrElse(Nil)
-            nodes += SavedQueryNode(
+            snodes += SavedQueryNode(
               name = qm("name").toString,
               metrics = strs("metrics"),
               groupBy = strs("group_by"),
