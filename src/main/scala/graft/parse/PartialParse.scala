@@ -165,8 +165,12 @@ object PartialParse {
 
     def finish(): (State, Stats) = {
       val next = State(Format, fresh.map { case (k, v) => k -> v.toMap }.toMap)
-      val oldPaths = old.flatMap { case (rk, fs) => fs.keys.map(rk -> _) }.toSet
-      val newPaths = next.roots.flatMap { case (rk, fs) => fs.keys.map(rk -> _) }.toSet
+      // NB: flatMap on a Map with (rootKey, path) results would rebuild
+      // a Map and collapse every path under one rootKey — iterate.
+      val oldPaths = old.iterator
+        .flatMap { case (rk, fs) => fs.keys.map(rk -> _) }.toSet
+      val newPaths = next.roots.iterator
+        .flatMap { case (rk, fs) => fs.keys.map(rk -> _) }.toSet
       def names(ps: Set[(String, String)]): Seq[String] =
         ps.toSeq.map { case (rk, p) => if (rk.isEmpty) p else s"$rk/$p" }.sorted
       val changed = newPaths.intersect(oldPaths).filter { case (rk, p) =>

@@ -607,7 +607,11 @@ object ProjectLoader {
       val present = macroFiles.map(relPath).toSet
       for (f <- macroFiles) {
         val content = Files.readString(f)
-        if (s.contentChanged(rootKey, relPath(f), content)) {
+        // changed file, or a NEW file since the saved state (an added
+        // special-override macro must also drop the cache — guard on
+        // stateLoaded so a cold parse never reports a spurious reason)
+        val isNew = s.stateLoaded && s.oldData(rootKey, relPath(f)).isEmpty
+        if (s.contentChanged(rootKey, relPath(f), content) || isNew) {
           val newNames = Template.extractMacros(content).map(_.name).toSet
           val oldNames = s.oldData(rootKey, relPath(f)) match {
             case Some(ms: Seq[_]) =>
@@ -837,12 +841,22 @@ object ProjectLoader {
           }
         case _ =>
       }
+      SchemaOut(snodes.toSeq, spatches, sversions, ssrcPatches.toSeq)
+    }
+    // A schema yml's parse is pure content → SchemaOut (no out-of-file
+    // context), so ctx is empty: editing one yml reparses exactly that
+    // yml; every other schema doc replays from the A31 cache.
+    for (f <- schemaDocs.distinct) {
+      val out = cachedAs(f, "")(parseSchemaDoc)
+      nodes ++= out.nodes
+      modelPatches ++= out.patches
+      modelVersions ++= out.versions
+      sourcePatches ++= out.sourcePatches
     }
 
     // ---- model .sql files
     val versionedFile = """^(.*)_v(\d+)$""".r
     for (f <- listFiles(root.resolve("models"), ".sql")) {
-      val raw = Files.readString(f)
       val stem = stripExt(f)
       // <family>_v<N>.sql with a declared `versions:` entry for the
       // family → a versioned node of that family
@@ -852,7 +866,6 @@ object ProjectLoader {
           (fam, Some(v.toInt))
         case _ => (stem, None)
       }
-      val (kwargs, _) = Template.extractConfig(raw)
       val (patchCols, patchTests, patchKw, patchDesc) =
         modelPatches.getOrElse(name, (Nil, Nil, Map.empty[String, String], ""))
       // cascade: project defaults (per-directory tree) < schema yml <
@@ -860,29 +873,45 @@ object ProjectLoader {
       // value always wins, even when it equals a NodeConfig default
       val dirSegs = Option(root.resolve("models").relativize(f).getParent)
         .map(_.iterator().asScala.map(_.toString).toSeq).getOrElse(Nil)
-      val cfg = configFromKwargs(
-        mergeKwargs(mergeKwargs(modelTree.kwargsFor(dirSegs), patchKw), kwargs))
-      nodes += ModelNode(
-        name = name, rawSql = raw, config = cfg, columns = patchCols,
-        refs = Template.extractRefs(raw), sources = Template.extractSources(raw),
-        version = version,
-        latestVersion = version.flatMap(_ => modelVersions(name)._2),
-        originPath = relPath(f), description = patchDesc)
-      // generic tests from schema yml attach once, to the unversioned
-      // node or the latest version (an unpinned ref resolves there)
-      if (version.isEmpty || version == modelVersions(name)._2) {
-        for (c <- patchCols; t <- c.tests)
-          nodes += buildGenericTest(name, Some(c.name), t)
-        for (t <- patchTests)
-          nodes += buildGenericTest(name, None, t)
+      // A31 cache context = the file's out-of-file parse inputs: its
+      // schema-yml patch slice, its versions: entry, and the
+      // dbt_project.yml config-tree slice for its directory. Editing a
+      // schema yml therefore reparses exactly the models it patches.
+      val ctx = stableStr((
+        (patchCols, patchTests, patchKw, patchDesc),
+        modelVersions.get(name),
+        modelTree.kwargsFor(dirSegs)))
+      val fileNodes = cachedAs(f, ctx) { raw =>
+        val (kwargs, _) = Template.extractConfig(raw)
+        val cfg = configFromKwargs(
+          mergeKwargs(mergeKwargs(modelTree.kwargsFor(dirSegs), patchKw), kwargs))
+        val buf = scala.collection.mutable.ListBuffer[Node]()
+        buf += ModelNode(
+          name = name, rawSql = raw, config = cfg, columns = patchCols,
+          refs = Template.extractRefs(raw), sources = Template.extractSources(raw),
+          version = version,
+          latestVersion = version.flatMap(_ => modelVersions(name)._2),
+          originPath = relPath(f), description = patchDesc)
+        // generic tests from schema yml attach once, to the unversioned
+        // node or the latest version (an unpinned ref resolves there)
+        if (version.isEmpty || version == modelVersions(name)._2) {
+          for (c <- patchCols; t <- c.tests)
+            buf += buildGenericTest(name, Some(c.name), t)
+          for (t <- patchTests)
+            buf += buildGenericTest(name, None, t)
+        }
+        buf.toList
       }
+      nodes ++= fileNodes
     }
 
     // ---- seeds
     for (f <- listFiles(root.resolve("seeds"), ".csv")) {
-      nodes += SeedNode(name = stripExt(f), csv = Files.readString(f),
-        config = NodeConfig(materialized = "seed"), originPath = relPath(f),
-        quoteColumns = seedQuoteColumns)
+      nodes += cachedAs(f, stableStr(seedQuoteColumns)) { csv =>
+        SeedNode(name = stripExt(f), csv = csv,
+          config = NodeConfig(materialized = "seed"), originPath = relPath(f),
+          quoteColumns = seedQuoteColumns)
+      }
     }
 
     // ---- snapshots: either `{% snapshot name %}…{% endsnapshot %}`
@@ -892,29 +921,30 @@ object ProjectLoader {
     val snapshotBlockRe =
       """(?s)\{%-?\s*snapshot\s+(\w+)\s*-?%\}(.*?)\{%-?\s*endsnapshot\s*-?%\}""".r
     for (f <- listFiles(root.resolve("snapshots"), ".sql")) {
-      val fileRaw = Files.readString(f)
-      val blocks = snapshotBlockRe.findAllMatchIn(fileRaw)
-        .map(m => m.group(1) -> m.group(2).trim).toSeq
-      val entries = if (blocks.nonEmpty) blocks else Seq(stripExt(f) -> fileRaw)
-      for ((snapName, raw) <- entries) {
-        val (kwargs, _) = Template.extractConfig(raw)
-        val strategy = kwargs.getOrElse("strategy", "timestamp") match {
-          case "timestamp" => TimestampStrategy(kwargs("updated_at"))
-          case "check" =>
-            CheckStrategy(kwargs.get("check_cols").filterNot(_ == "all")
-              .map(_.split(",").map(_.trim).toSeq))
-          // any other name = custom strategy: the engine resolves the
-          // `snapshot_<name>_strategy` macro at run time (reference
-          // custom-strategy shape, simple_snapshot/fixtures.py:66-85)
-          case other => CustomStrategy(other, kwargs)
-        }
-        nodes += SnapshotNode(
-          name = snapName, rawSql = raw,
-          uniqueKey = kwargs.getOrElse("unique_key", "id").split(",").map(_.trim).toSeq,
-          strategy = strategy,
-          invalidateHardDeletes = kwargs.get("invalidate_hard_deletes").exists(_.toBoolean),
-          refs = Template.extractRefs(raw), sources = Template.extractSources(raw),
-          originPath = relPath(f))
+      nodes ++= cachedAs(f, "") { fileRaw =>
+        val blocks = snapshotBlockRe.findAllMatchIn(fileRaw)
+          .map(m => m.group(1) -> m.group(2).trim).toSeq
+        val entries = if (blocks.nonEmpty) blocks else Seq(stripExt(f) -> fileRaw)
+        (for ((snapName, raw) <- entries) yield {
+          val (kwargs, _) = Template.extractConfig(raw)
+          val strategy = kwargs.getOrElse("strategy", "timestamp") match {
+            case "timestamp" => TimestampStrategy(kwargs("updated_at"))
+            case "check" =>
+              CheckStrategy(kwargs.get("check_cols").filterNot(_ == "all")
+                .map(_.split(",").map(_.trim).toSeq))
+            // any other name = custom strategy: the engine resolves the
+            // `snapshot_<name>_strategy` macro at run time (reference
+            // custom-strategy shape, simple_snapshot/fixtures.py:66-85)
+            case other => CustomStrategy(other, kwargs)
+          }
+          SnapshotNode(
+            name = snapName, rawSql = raw,
+            uniqueKey = kwargs.getOrElse("unique_key", "id").split(",").map(_.trim).toSeq,
+            strategy = strategy,
+            invalidateHardDeletes = kwargs.get("invalidate_hard_deletes").exists(_.toBoolean),
+            refs = Template.extractRefs(raw), sources = Template.extractSources(raw),
+            originPath = relPath(f)): Node
+        }).toList
       }
     }
 
@@ -929,13 +959,14 @@ object ProjectLoader {
 
     // ---- singular tests
     for (f <- listFiles(root.resolve("tests"), ".sql")) {
-      val raw = Files.readString(f)
-      val (kwargs, _) = Template.extractConfig(raw)
-      nodes += TestNode(
-        name = stripExt(f), rawSql = raw,
-        config = NodeConfig(materialized = "test").merge(configFromKwargs(kwargs)),
-        refs = Template.extractRefs(raw), sources = Template.extractSources(raw),
-        originPath = relPath(f))
+      nodes += cachedAs(f, "") { raw =>
+        val (kwargs, _) = Template.extractConfig(raw)
+        TestNode(
+          name = stripExt(f), rawSql = raw,
+          config = NodeConfig(materialized = "test").merge(configFromKwargs(kwargs)),
+          refs = Template.extractRefs(raw), sources = Template.extractSources(raw),
+          originPath = relPath(f))
+      }
     }
 
     def hookList(key: String): Seq[String] = projCfg.get(key) match {
@@ -956,9 +987,13 @@ object ProjectLoader {
           jobLabel = !cfg.get("job-label").exists(_.toString == "false")))
       case _ => None
     }
-    // ---- macros/*.sql (A25 subset; invoked via run-operation, A16)
+    // ---- macros/*.sql (A25 subset; invoked via run-operation, A16).
+    // Routed through the A31 cache so the saved state records each
+    // macro file's MacroDefs — the special-override pre-scan above
+    // reads them back via oldData to detect ref/source/config/
+    // generate_*_name redefinitions across invocations.
     val macros = listFiles(root.resolve("macros"), ".sql")
-      .flatMap(f => Template.extractMacros(Files.readString(f)))
+      .flatMap(f => cachedAs(f, "")(c => Template.extractMacros(c).toList))
       .map(m => m.name -> m).toMap
 
     // ---- docs blocks from .md files (reference `core/dbt/parser/docs.py`:

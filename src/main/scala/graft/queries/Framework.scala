@@ -2317,6 +2317,253 @@ object Framework {
       rows += (("quote_off", engB.compileInline("{{ adapter.quote('col_A') }}")))
 
       rows.toSeq.toDF("check_name", "result").orderBy("check_name")
+    },
+
+    // A31 partial parsing through the driver (reference
+    // `core/dbt/parser/partial.py` + tests/functional/partial_parsing):
+    // 20k-model project; cold parse vs warm skip, one schema-yml edit
+    // reparses EXACTLY the yml + the one model it patches (counts
+    // asserted), warm manifest equal to a cold parse, add/delete
+    // reported, special-override-macro change drops the whole cache,
+    // and the I024/I017/I040 events stream through the engine seam.
+    QueryDef(
+      "m42_partial_parse",
+      """SELECT * FROM (VALUES
+        |  ('add_delete', 'added=models/m_x.sql,deleted=models/m_9.sql,parsed=1'),
+        |  ('cold', 'stateLoaded=false,parsed=20002,reused=0'),
+        |  ('events', 'I017,I024,I040'),
+        |  ('manifest_identity', 'identical'),
+        |  ('model_edit', 'changed=models/m_7.sql,parsed=1'),
+        |  ('schema_edit', 'changed=models/schema.yml,parsed=2,reused=20000'),
+        |  ('special_macro', 'full:generate_schema_name,reused=0'),
+        |  ('warm', 'skipped,parsed=0,reused=20002'),
+        |  ('warm_under_5s', 'true')
+        |) AS t(check_name, result)
+        |ORDER BY check_name""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.parse.{PartialParse, ProjectLoader}
+      val root = java.nio.file.Files.createTempDirectory("m42_proj")
+      scratchDirs.add(root.toFile)
+      def write(rel: String, content: String): Unit = {
+        val p = root.resolve(rel)
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.writeString(p, content): Unit
+      }
+      write("dbt_project.yml", "name: pp\n")
+      (0 until 20000).foreach(i => write(s"models/m_$i.sql", s"SELECT $i AS id"))
+      write("models/schema.yml",
+        "models:\n  - name: m_0\n    description: zeroth\n")
+      write("macros/helpers.sql", "{% macro shout(x) %}{{ x }}!{% endmacro %}")
+      def load() =
+        ProjectLoader.load(root.toString, PartialParse.Options(env = Map.empty))
+      def st(p: ProjectLoader.Project) = p.partialStats.get
+      val rows = scala.collection.mutable.ArrayBuffer[(String, String)]()
+
+      val cold = load()
+      rows += (("cold", s"stateLoaded=${st(cold).stateLoaded}," +
+        s"parsed=${st(cold).parsed},reused=${st(cold).reused}"))
+
+      val t0 = System.nanoTime()
+      val warm = load()
+      val warmSec = (System.nanoTime() - t0) / 1e9
+      rows += (("warm", s"${if (st(warm).skipped) "skipped" else "ran"}," +
+        s"parsed=${st(warm).parsed},reused=${st(warm).reused}"))
+      rows += (("warm_under_5s", (warmSec < 5.0).toString))
+
+      write("models/schema.yml",
+        "models:\n  - name: m_0\n    description: UPDATED\n")
+      val p3 = load()
+      rows += (("schema_edit", s"changed=${st(p3).changed.mkString(";")}," +
+        s"parsed=${st(p3).parsed},reused=${st(p3).reused}"))
+      // warm manifest must equal a from-scratch parse of the same tree
+      java.nio.file.Files.delete(root.resolve("target/partial_parse.bin"))
+      val recold = load()
+      rows += (("manifest_identity",
+        if (p3.manifest == recold.manifest) "identical" else "DIVERGED"))
+
+      write("models/m_7.sql", "SELECT 777 AS id")
+      val p4 = load()
+      rows += (("model_edit", s"changed=${st(p4).changed.mkString(";")}," +
+        s"parsed=${st(p4).parsed}"))
+
+      write("models/m_x.sql", "SELECT 999 AS id")
+      java.nio.file.Files.delete(root.resolve("models/m_9.sql"))
+      val p5 = load()
+      rows += (("add_delete", s"added=${st(p5).added.mkString(";")}," +
+        s"deleted=${st(p5).deleted.mkString(";")},parsed=${st(p5).parsed}"))
+
+      write("macros/helpers.sql",
+        "{% macro generate_schema_name(n) %}x_{{ n }}{% endmacro %}")
+      val p6 = load()
+      rows += (("special_macro",
+        st(p6).fullReason match {
+          case Some(r) if r.contains("generate_schema_name") =>
+            s"full:generate_schema_name,reused=${st(p6).reused}"
+          case other => s"missing:$other"
+        }))
+
+      // engine seam: the reference's partial-parse lifecycle events
+      // (I024 no saved state, I017 skip, I040 enabled-with-changes)
+      val events = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val (prevFmt, prevSink, prevLvl) =
+        (graft.run.EventLog.format, graft.run.EventLog.sink, graft.run.EventLog.minLevel)
+      graft.run.EventLog.format = "json"
+      graft.run.EventLog.minLevel = "debug"
+      graft.run.EventLog.sink = line => { events.add(line); () }
+      try {
+        def eng() = Engine.fromProject(s, root.toString, scratch(),
+          partialParse = Some(PartialParse.Options(env = Map.empty)))
+        java.nio.file.Files.delete(root.resolve("target/partial_parse.bin"))
+        eng() // no saved state -> I024
+        eng() // no changes -> I017
+        write("models/m_7.sql", "SELECT 7777 AS id")
+        eng() // one change -> I040
+      } finally {
+        graft.run.EventLog.format = prevFmt
+        graft.run.EventLog.sink = prevSink
+        graft.run.EventLog.minLevel = prevLvl
+      }
+      import scala.jdk.CollectionConverters._
+      val codes = Seq("I017", "I024", "I040")
+        .filter(c => events.asScala.exists(_.contains("\"" + c + "\"")))
+      rows += (("events", codes.mkString(",")))
+
+      rows.toSeq.toDF("check_name", "result").orderBy("check_name")
+    },
+
+    // B22 streaming checkpoint recovery as a DRIVER-hashed gate
+    // (VERDICT-r8 item 7; promotes StreamingSpec's stop/restart test):
+    // instance 1 drains half the orderkey-partitioned files and stops;
+    // instance 2 on the SAME checkpoint + table resumes from the
+    // recorded offsets. The served (fold-on-read) pair index after
+    // recovery must hash-match DuckDB's batch co-purchase twin — any
+    // double-processed or dropped micro-batch changes the counts.
+    QueryDef(
+      "m43_stream_recovery",
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS (
+        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+        |         CAST(COUNT(*) AS BIGINT) AS cab
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2
+        |)
+        |SELECT pa, pb, cab FROM pairs WHERE cab >= 2
+        |ORDER BY pa, pb""".stripMargin) { (s, dir) =>
+      val li = graft.Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+      val parted = li.repartition(4, col("l_orderkey"))
+      val stage = scratch()
+      parted.write.mode("overwrite").parquet(stage)
+      val files = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      require(files.length == 4, s"m43: expected 4 staged files, got ${files.length}")
+      val src = scratch()
+      def addFile(i: Int): Unit = {
+        java.nio.file.Files.copy(files(i).toPath,
+          java.nio.file.Paths.get(src, files(i).getName)): Unit
+      }
+      addFile(0); addFile(1)
+      val wh = new Engine(s, Manifest(Map.empty), scratch()).wh
+      val ckpt = scratch()
+      def startQuery() = graft.streaming.StreamMaterializer.maintainPairIndex(
+        wh, "m43_pairs",
+        s.readStream.schema(li.schema).option("maxFilesPerTrigger", "1").parquet(src),
+        ckpt)
+      startQuery().awaitTermination(120000)
+      val commitsFirst = wh.commitCount("m43_pairs")
+      require(commitsFirst >= 1, "m43: first instance appended no deltas")
+      val massFirst = wh.read("m43_pairs").agg(sum("cab")).first().getLong(0)
+      addFile(2); addFile(3)
+      startQuery().awaitTermination(120000)
+      require(wh.commitCount("m43_pairs") > commitsFirst,
+        "m43: second instance appended nothing — checkpoint not resumed")
+      val massFinal = wh.read("m43_pairs").agg(sum("cab")).first().getLong(0)
+      require(massFirst < massFinal,
+        "m43: restart did not add the remaining files' deltas")
+      wh.read("m43_pairs")
+        .groupBy("pa", "pb").agg(sum("cab").cast("long").as("cab"))
+        .filter(col("cab") >= 2)
+        .orderBy("pa", "pb")
+    },
+
+    // A13 unit-test diff RENDERING parity (VERDICT-r8 item 8; reference
+    // task/test.py:236-247 daff semantics): row order never fails a
+    // test (daff CompareFlags.ordered=false), bag semantics count
+    // duplicate rows, and the rendered block is header + one `-` line
+    // per missing row + one `+` line per unexpected row, truncated at
+    // 20 rows/side with an explicit `... N more` marker.
+    QueryDef(
+      "m44_unit_diff_render",
+      """SELECT * FROM (VALUES
+        |  ('dup_rows', 'fail:missing=0,extra=1'),
+        |  ('permuted_pass', 'pass'),
+        |  ('rendered_shape', 'header/plus_lines=1/minus_lines=0'),
+        |  ('truncation', 'fail:missing=25,shown=20,more_line=true')
+        |) AS t(check_name, result)
+        |ORDER BY check_name""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val root = java.nio.file.Files.createTempDirectory("m44_proj")
+      scratchDirs.add(root.toFile)
+      def write(rel: String, content: String): Unit = {
+        val p = root.resolve(rel)
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.writeString(p, content): Unit
+      }
+      write("dbt_project.yml", "name: m44\n")
+      write("seeds/src.csv", "id\n1\n2\n")
+      write("models/m_perm.sql", "SELECT id FROM {{ ref('src') }}")
+      write("models/m_dup.sql",
+        "SELECT CAST(1 AS BIGINT) AS id UNION ALL SELECT CAST(1 AS BIGINT) AS id")
+      write("models/m_one.sql", "SELECT CAST(1 AS BIGINT) AS id")
+      val truncExpect = (1 to 26).map(i => s"        - {id: $i}").mkString("\n")
+      write("models/schema.yml",
+        s"""unit_tests:
+           |  - name: ut_perm
+           |    model: m_perm
+           |    given:
+           |      - input: ref('src')
+           |        rows:
+           |          - {id: 1}
+           |          - {id: 2}
+           |    expect:
+           |      rows:
+           |        - {id: 2}
+           |        - {id: 1}
+           |  - name: ut_dup
+           |    model: m_dup
+           |    expect:
+           |      rows:
+           |        - {id: 1}
+           |  - name: ut_trunc
+           |    model: m_one
+           |    expect:
+           |      rows:
+           |$truncExpect
+           |""".stripMargin)
+      val eng = Engine.fromProject(s, root.toString, scratch())
+      val res = eng.test().map(r => r.uniqueId -> r).toMap
+      def of(name: String) = res.collectFirst {
+        case (id, r) if id.endsWith(name) => r
+      }.getOrElse(sys.error(s"m44: no result for $name"))
+      val rows = scala.collection.mutable.ArrayBuffer[(String, String)]()
+      rows += (("permuted_pass", of("ut_perm").status))
+      val dupMsg = of("ut_dup").message
+      rows += (("dup_rows",
+        if (of("ut_dup").status == "fail" &&
+            dupMsg.contains("0 expected row(s) missing, 1 unexpected row(s)"))
+          "fail:missing=0,extra=1" else s"unexpected:$dupMsg"))
+      rows += (("rendered_shape",
+        "header/plus_lines=" + dupMsg.linesIterator.count(_.startsWith("+ ")) +
+          "/minus_lines=" + dupMsg.linesIterator.count(_.startsWith("- "))))
+      val trMsg = of("ut_trunc").message
+      val shown = trMsg.linesIterator.count(_.startsWith("- "))
+      rows += (("truncation",
+        if (of("ut_trunc").status == "fail" &&
+            trMsg.contains("25 expected row(s) missing"))
+          s"fail:missing=25,shown=$shown,more_line=${trMsg.contains("... 5 more")}"
+        else s"unexpected:$trMsg"))
+      rows.toSeq.toDF("check_name", "result").orderBy("check_name")
     }
   )
 }

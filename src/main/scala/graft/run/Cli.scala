@@ -127,6 +127,17 @@ object Cli {
     // --quiet (reference -q): suppress non-error logging
     val quiet = opts.contains("quiet")
     EventLog.minLevel = if (quiet) "error" else "info"
+    // reference A001/A002: version + args banner, first lines of every
+    // invocation; Q039 CommandCompleted fires from the exit hook below
+    EventLog.info("main_report_version", "code" -> "A001",
+      "version" -> "graft 0.1.0", "log_version" -> 3)
+    EventLog.emit("main_report_args", "debug", "code" -> "A002",
+      "args" -> args.mkString(" "))
+    val cmdT0 = System.nanoTime()
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      EventLog.emit("command_completed", "debug", "code" -> "Q039",
+        "command" -> command,
+        "elapsed" -> (System.nanoTime() - cmdT0) / 1e9)))
     val indirect = opts.getOrElse("indirect-selection", "eager")
 
     val spark = SparkSession.builder()
@@ -139,9 +150,15 @@ object Cli {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // A31: partial parsing is ON by default like the reference;
+    // --no-partial-parse forces a full parse (beats DBT_PARTIAL_PARSE
+    // env, which beats the project `flags:` setting).
     val engine = Engine.fromProject(spark, projectDir, warehouseDir, vars,
       emptyMode = opts.contains("empty"), target = targetName,
-      warnError = opts.contains("warn-error"))
+      warnError = opts.contains("warn-error"),
+      partialParse = Some(graft.parse.PartialParse.Options(
+        enabled = if (opts.contains("no-partial-parse")) Some(false) else None,
+        cliTargetPath = opts.get("target-path"))))
     // --selector resolves a selectors.yml name; with no selection flags
     // at all, the default: true selector (if any) applies — reference
     // behavior for named selectors.

@@ -452,6 +452,33 @@ final class Engine(
     EventLog.info("invocation_started",
       "invocation_id" -> invocationId, "n_nodes" -> selected.size,
       "threads" -> threads)
+    // reference W006 FoundStats ("Found 2 models, 1 test, ...") and
+    // Q027 ConcurrencyLine — the two lines every dbt user greps first
+    val byType = selected.toSeq.flatMap(manifest.nodes.get)
+      .groupBy(_.resourceType).view.mapValues(_.size).toMap
+    EventLog.info("found_stats", "code" -> "W006",
+      "stat_line" -> byType.toSeq.sorted.map { case (t, n) => s"$n ${t}s" }
+        .mkString(", "))
+    EventLog.info("concurrency_line", "code" -> "Q027",
+      "num_threads" -> threads,
+      "target_name" -> target.map(_.name).getOrElse("default"))
+    val nodeIndex = new java.util.concurrent.atomic.AtomicInteger(0)
+    val nTotal = selected.size
+    // reference Q007/Q012/Q015/Q016 result lines (LogTestResult /
+    // LogModelResult / LogSnapshotResult / LogSeedResult) — one
+    // info-level line per finished node with index/total/timing
+    def resultLine(id: String, status: String, idx: Int, dt: Double): Unit = {
+      val (event, code) =
+        manifest.nodes.get(id).map(_.resourceType).getOrElse("model") match {
+          case "test" | "unit_test" => ("log_test_result", "Q007")
+          case "snapshot" => ("log_snapshot_result", "Q015")
+          case "seed" => ("log_seed_result", "Q016")
+          case _ => ("log_model_result", "Q012")
+        }
+      EventLog.info(event, "code" -> code, "unique_id" -> id,
+        "status" -> status, "index" -> idx, "total" -> nTotal,
+        "execution_time" -> dt)
+    }
     val runT0 = System.nanoTime()
     // on-run-start hooks (reference `task/run.py:434-440`)
     runHooks(runStartHooks)
@@ -469,7 +496,9 @@ final class Engine(
             val node = manifest.nodes(id)
             spark.sparkContext.setJobGroup(id, s"graft: $id", interruptOnCancel = true)
             applyQueryComment(node)
-            EventLog.info("node_started", "unique_id" -> id,
+            val idx = nodeIndex.incrementAndGet()
+            EventLog.info("node_started", "code" -> "Q024", "unique_id" -> id,
+              "index" -> idx, "total" -> nTotal,
               "invocation_id" -> invocationId)
             try {
               val r0 = runNode(node, fullRefresh)
@@ -480,21 +509,26 @@ final class Engine(
                 // failing test (dbt parity: status=fail, not a runtime
                 // error): cascade-skip dependents, honor fail-fast
                 failed.set(true)
-                EventLog.error("node_finished", "unique_id" -> id,
+                EventLog.error("node_finished", "code" -> "Q025", "unique_id" -> id,
                   "status" -> r.status, "elapsed_sec" -> dt,
                   "message" -> r.message, "invocation_id" -> invocationId)
+                resultLine(id, r.status, idx, dt)
                 val skipped = queue.markFailed(id)
                 skipped.foreach { sid =>
                   results.add(Materializer.Result(sid, "skipped",
                     message = s"upstream failure: $id"))
-                  EventLog.warn("node_finished", "unique_id" -> sid,
+                  EventLog.warn("node_finished", "code" -> "Q025", "unique_id" -> sid,
                     "status" -> "skipped", "message" -> s"upstream failure: $id",
                     "invocation_id" -> invocationId)
+                  EventLog.info("skipping_details", "code" -> "Q034",
+                    "unique_id" -> sid, "index" -> nodeIndex.incrementAndGet(),
+                    "total" -> nTotal)
                 }
               } else {
-                EventLog.info("node_finished", "unique_id" -> id,
+                EventLog.info("node_finished", "code" -> "Q025", "unique_id" -> id,
                   "status" -> r.status, "elapsed_sec" -> dt,
                   "invocation_id" -> invocationId)
+                resultLine(id, r.status, idx, dt)
                 queue.markDone(id)
               }
             } catch {
@@ -504,17 +538,21 @@ final class Engine(
                 results.add(Materializer.Result(id, "error",
                   message = String.valueOf(e.getMessage),
                   elapsedSec = dt))
-                EventLog.error("node_finished", "unique_id" -> id,
+                EventLog.error("node_finished", "code" -> "Q025", "unique_id" -> id,
                   "status" -> "error", "elapsed_sec" -> dt,
                   "message" -> String.valueOf(e.getMessage),
                   "invocation_id" -> invocationId)
+                resultLine(id, "error", idx, dt)
                 val skipped = queue.markFailed(id)
                 skipped.foreach { sid =>
                   results.add(Materializer.Result(sid, "skipped",
                     message = s"upstream failure: $id"))
-                  EventLog.warn("node_finished", "unique_id" -> sid,
+                  EventLog.warn("node_finished", "code" -> "Q025", "unique_id" -> sid,
                     "status" -> "skipped", "message" -> s"upstream failure: $id",
                     "invocation_id" -> invocationId)
+                  EventLog.info("skipping_details", "code" -> "Q034",
+                    "unique_id" -> sid, "index" -> nodeIndex.incrementAndGet(),
+                    "total" -> nTotal)
                 }
             } finally {
               spark.sparkContext.clearJobGroup()
@@ -536,6 +574,24 @@ final class Engine(
     // on-run-end hooks (reference `task/run.py:442-463`)
     runHooks(runEndHooks)
     val out = results.asScala.toSeq
+    // reference end-of-run block: Z021/Z024 one line per warn/error
+    // result, Z030 EndOfRunSummary, Z023 StatsLine
+    out.filter(_.status == "warn").foreach(r =>
+      EventLog.warn("run_result_warning", "code" -> "Z021",
+        "unique_id" -> r.uniqueId, "message" -> r.message))
+    out.filter(r => r.status == "error" || r.status == "fail").foreach(r =>
+      EventLog.error("run_result_error", "code" -> "Z024",
+        "unique_id" -> r.uniqueId, "message" -> r.message))
+    EventLog.info("end_of_run_summary", "code" -> "Z030",
+      "num_errors" -> out.count(r => r.status == "error" || r.status == "fail"),
+      "num_warnings" -> out.count(_.status == "warn"),
+      "keyboard_interrupt" -> false)
+    EventLog.info("stats_line", "code" -> "Z023",
+      "pass" -> out.count(r => r.status == "success" || r.status == "pass"),
+      "warn" -> out.count(_.status == "warn"),
+      "error" -> out.count(r => r.status == "error" || r.status == "fail"),
+      "skip" -> out.count(_.status == "skipped"),
+      "total" -> out.size)
     EventLog.info("invocation_finished",
       "invocation_id" -> invocationId,
       "elapsed_sec" -> (System.nanoTime() - runT0) / 1e9,
@@ -827,8 +883,17 @@ final class Engine(
 
   private def runHooks(hooks: Seq[String],
       results: Map[String, Map[String, String]] = Map.empty): Unit =
-    hooks.foreach(h =>
-      spark.sql(Template.render(h, renderContext(results = results))))
+    hooks.zipWithIndex.foreach { case (h, i) =>
+      // reference Q032/Q033 hook lines (LogHookStartLine/EndLine)
+      val t0 = System.nanoTime()
+      EventLog.info("log_hook_start_line", "code" -> "Q032",
+        "statement" -> h.take(60), "index" -> (i + 1), "total" -> hooks.size)
+      spark.sql(Template.render(h, renderContext(results = results)))
+      EventLog.info("log_hook_end_line", "code" -> "Q033",
+        "statement" -> h.take(60), "status" -> "OK",
+        "index" -> (i + 1), "total" -> hooks.size,
+        "execution_time" -> (System.nanoTime() - t0) / 1e9)
+    }
 
   /** `dbt test`: data tests (+ unit tests) only. */
   def test(select: Seq[String] = Nil, threads: Int = 4): Seq[Materializer.Result] = {
@@ -1124,8 +1189,35 @@ object Engine {
       targetPath: Option[String] = None,
       /** env lookup seam for DBT_TARGET_PATH (tests inject; default =
         * the real environment). */
-      env: Map[String, String] = sys.env): Engine = {
-    val proj = ProjectLoader.load(projectDir)
+      env: Map[String, String] = sys.env,
+      /** A31 partial parsing: Some(opts) loads through the saved
+        * `partial_parse.bin` state and emits the reference's I0xx
+        * events; None (library default) is a plain full parse. */
+      partialParse: Option[graft.parse.PartialParse.Options] = None): Engine = {
+    val proj = partialParse match {
+      case Some(o) => ProjectLoader.load(projectDir, o)
+      case None => ProjectLoader.load(projectDir)
+    }
+    // partial-parse lifecycle events (reference events/types.py:
+    // I028 PartialParsingNotEnabled, I024 UnableToPartialParse,
+    // I017 PartialParsingSkipParsing, I040 PartialParsingEnabled)
+    proj.partialStats.foreach { st =>
+      if (!st.enabled)
+        EventLog.emit("partial_parsing_not_enabled", "debug", "code" -> "I028")
+      else if (!st.stateLoaded)
+        EventLog.emit("unable_to_partial_parse", "info", "code" -> "I024",
+          "reason" -> "saved manifest not found. Starting full parse.")
+      else if (st.fullReason.isDefined)
+        EventLog.emit("unable_to_partial_parse", "info", "code" -> "I024",
+          "reason" -> st.fullReason.get)
+      else if (st.skipped)
+        EventLog.emit("partial_parsing_skip_parsing", "debug", "code" -> "I017")
+      else
+        EventLog.emit("partial_parsing_enabled", "debug", "code" -> "I040",
+          "deleted" -> st.deleted.size, "added" -> st.added.size,
+          "changed" -> st.changed.size,
+          "parsed" -> st.parsed, "reused" -> st.reused)
+    }
     // deprecated project configs fire ONCE as structured warn events;
     // --warn-error promotes the first to a hard DeprecationError
     // (reference deprecations.py + tests/functional/deprecations)

@@ -1,0 +1,180 @@
+package graft.parse
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Path}
+
+/** A31 partial parsing (reference `core/dbt/parser/partial.py` +
+  * `tests/functional/partial_parsing/test_partial_parsing.py`):
+  * a second invocation reuses the saved per-file parse state, reparsing
+  * exactly the changed/added files plus anything whose out-of-file
+  * inputs (schema-yml patch, versions entry, config-tree slice)
+  * changed. The warm manifest must equal a cold parse's bit for bit.
+  */
+class PartialParseSpec extends AnyFunSuite {
+
+  private def mkProject(nModels: Int = 6): Path = {
+    val dir = Files.createTempDirectory("pp_proj")
+    Files.createDirectories(dir.resolve("models"))
+    Files.createDirectories(dir.resolve("seeds"))
+    Files.createDirectories(dir.resolve("snapshots"))
+    Files.createDirectories(dir.resolve("tests"))
+    Files.createDirectories(dir.resolve("macros"))
+    Files.writeString(dir.resolve("dbt_project.yml"), "name: pp\n")
+    (0 until nModels).foreach { i =>
+      Files.writeString(dir.resolve(s"models/m_$i.sql"),
+        s"SELECT $i AS id, 'x' AS payload")
+    }
+    Files.writeString(dir.resolve("models/schema.yml"),
+      """models:
+        |  - name: m_0
+        |    description: the zeroth
+        |    columns:
+        |      - name: id
+        |        tests: [not_null]
+        |""".stripMargin)
+    Files.writeString(dir.resolve("seeds/s1.csv"), "a,b\n1,2\n")
+    Files.writeString(dir.resolve("snapshots/snap1.sql"),
+      """{{ config(strategy='timestamp', unique_key='id', updated_at='ts') }}
+        |SELECT * FROM {{ ref('m_0') }}""".stripMargin)
+    Files.writeString(dir.resolve("tests/t1.sql"),
+      "SELECT * FROM {{ ref('m_0') }} WHERE id < 0")
+    Files.writeString(dir.resolve("macros/helpers.sql"),
+      "{% macro shout(x) %}{{ x }}!{% endmacro %}")
+    dir
+  }
+
+  private def load(dir: Path): graft.parse.ProjectLoader.Project =
+    ProjectLoader.load(dir.toString, PartialParse.Options(env = Map.empty))
+
+  private def stats(p: ProjectLoader.Project): PartialParse.Stats =
+    p.partialStats.getOrElse(fail("partialStats missing"))
+
+  test("cold parse: full, state saved; warm parse: everything reused, manifest identical") {
+    val dir = mkProject()
+    val cold = load(dir)
+    val st0 = stats(cold)
+    assert(st0.enabled && !st0.stateLoaded)
+    assert(st0.parsed > 0 && st0.reused == 0)
+    assert(Files.exists(dir.resolve("target/partial_parse.bin")))
+
+    val warm = load(dir)
+    val st1 = stats(warm)
+    assert(st1.stateLoaded)
+    assert(st1.parsed == 0, s"warm reparse parsed ${st1.parsed} files: ${st1.changed}")
+    assert(st1.reused == st0.parsed)
+    assert(st1.skipped)
+    assert(warm.manifest === cold.manifest, "warm manifest must equal cold parse")
+  }
+
+  test("editing one model file reparses exactly that file") {
+    val dir = mkProject()
+    load(dir)
+    Files.writeString(dir.resolve("models/m_3.sql"), "SELECT 33 AS id")
+    val p = load(dir)
+    val st = stats(p)
+    assert(st.parsed == 1)
+    assert(st.changed === Seq("models/m_3.sql"))
+    assert(st.added.isEmpty && st.deleted.isEmpty)
+    assert(p.manifest.models.get("model.graft.m_3").map(_.rawSql).orNull == "SELECT 33 AS id")
+  }
+
+  test("editing a schema yml reparses the yml plus exactly the models it patches") {
+    val dir = mkProject()
+    load(dir)
+    // patch m_0's description — m_0's cache context changes; m_1..m_5,
+    // seeds, snapshots, tests, macros must all replay from state
+    Files.writeString(dir.resolve("models/schema.yml"),
+      """models:
+        |  - name: m_0
+        |    description: UPDATED
+        |    columns:
+        |      - name: id
+        |        tests: [not_null]
+        |""".stripMargin)
+    val p = load(dir)
+    val st = stats(p)
+    assert(st.changed === Seq("models/schema.yml"))
+    assert(st.parsed == 2, s"expected yml+m_0 only, got ${st.parsed}")
+    assert(p.manifest.models.get("model.graft.m_0").map(_.description).orNull == "UPDATED")
+    // byte-identical to a cold parse of the same tree
+    val coldDir = dir // force full: drop state
+    Files.delete(coldDir.resolve("target/partial_parse.bin"))
+    val cold = load(coldDir)
+    assert(p.manifest === cold.manifest)
+  }
+
+  test("adding and deleting files is reported and reflected") {
+    val dir = mkProject()
+    load(dir)
+    Files.writeString(dir.resolve("models/m_new.sql"), "SELECT 99 AS id")
+    Files.delete(dir.resolve("models/m_5.sql"))
+    val p = load(dir)
+    val st = stats(p)
+    assert(st.added === Seq("models/m_new.sql"))
+    assert(st.deleted === Seq("models/m_5.sql"))
+    assert(st.parsed == 1) // only the new file
+    assert(p.manifest.models.contains("model.graft.m_new"))
+    assert(!p.manifest.models.contains("model.graft.m_5"))
+  }
+
+  test("redefining a special override macro drops the whole cache") {
+    val dir = mkProject()
+    load(dir)
+    // a generate_schema_name override changes how every file resolves
+    // (reference partial.py:52-59 special_override_macros)
+    Files.writeString(dir.resolve("macros/helpers.sql"),
+      "{% macro generate_schema_name(n) %}x_{{ n }}{% endmacro %}")
+    val p = load(dir)
+    val st = stats(p)
+    assert(st.fullReason.exists(_.contains("generate_schema_name")))
+    assert(st.reused == 0, "special macro change must invalidate everything")
+    // and DELETING it afterwards also forces a full reparse
+    Files.delete(dir.resolve("macros/helpers.sql"))
+    val p2 = load(dir)
+    assert(stats(p2).fullReason.exists(_.contains("generate_schema_name")))
+  }
+
+  test("disablement precedence: env beats project flag; Options beats env") {
+    val dir = mkProject()
+    // project flag off
+    Files.writeString(dir.resolve("dbt_project.yml"),
+      "name: pp\nflags:\n  partial_parse: false\n")
+    val p1 = ProjectLoader.load(dir.toString, PartialParse.Options(env = Map.empty))
+    assert(!stats(p1).enabled)
+    // env on beats flag off
+    val p2 = ProjectLoader.load(dir.toString,
+      PartialParse.Options(env = Map("DBT_PARTIAL_PARSE" -> "true")))
+    assert(stats(p2).enabled)
+    // explicit Options off beats env on (CLI --no-partial-parse)
+    val p3 = ProjectLoader.load(dir.toString, PartialParse.Options(
+      enabled = Some(false), env = Map("DBT_PARTIAL_PARSE" -> "true")))
+    assert(!stats(p3).enabled)
+  }
+
+  test("corrupt state degrades to a full parse, never fails") {
+    val dir = mkProject()
+    load(dir)
+    Files.writeString(dir.resolve("target/partial_parse.bin"), "not java serial")
+    val p = load(dir)
+    val st = stats(p)
+    assert(!st.stateLoaded && st.parsed > 0)
+    assert(p.manifest.models.size == 6)
+  }
+
+  test("warm reparse of a 20k-model project is fast and reuse-complete") {
+    val dir = Files.createTempDirectory("pp20k")
+    Files.createDirectories(dir.resolve("models"))
+    Files.writeString(dir.resolve("dbt_project.yml"), "name: pp\n")
+    (0 until 20000).foreach { i =>
+      Files.writeString(dir.resolve(s"models/m_$i.sql"), s"SELECT $i AS id")
+    }
+    load(dir)
+    val t0 = System.nanoTime()
+    val p = load(dir)
+    val warmSec = (System.nanoTime() - t0) / 1e9
+    val st = stats(p)
+    info(f"warm 20k-model reparse: $warmSec%.2f s (parsed=${st.parsed}, reused=${st.reused})")
+    assert(st.parsed == 0 && st.reused == 20000)
+    assert(warmSec < 5.0)
+  }
+}

@@ -1127,4 +1127,63 @@ class EngineSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(out === Map("east" -> 15L, "west" -> 7L))
   }
+
+  test("structured event breadth: the reference's lifecycle codes stream from a real build") {
+    // reference `core/dbt/events/types.py`: one typed line per
+    // lifecycle step. A build with a seed, models, a passing test, a
+    // failing model and a skipped child must produce the W/Q/Z codes.
+    val dir = writeProject(Map(
+      "dbt_project.yml" ->
+        """name: demo
+          |on-run-start: "SELECT 1"
+          |""".stripMargin,
+      "seeds/s.csv" -> "id,v\n1,2\n",
+      "models/good.sql" -> "SELECT id, v FROM {{ ref('s') }}",
+      "models/bad.sql" -> "SELECT definitely_no_such_col FROM {{ ref('good') }}",
+      "models/child.sql" -> "SELECT * FROM {{ ref('bad') }}",
+      "models/schema.yml" ->
+        """models:
+          |  - name: good
+          |    columns:
+          |      - name: id
+          |        tests: [not_null]
+          |""".stripMargin))
+    val eventQ = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val (f0, s0, l0) = (EventLog.format, EventLog.sink, EventLog.minLevel)
+    try {
+      EventLog.format = "json"; EventLog.minLevel = "debug"
+      EventLog.sink = line => { eventQ.add(line); () }
+      val eng = Engine.fromProject(spark, dir, tmpDir("wh_events"),
+        partialParse = Some(graft.parse.PartialParse.Options(env = Map.empty)))
+      eng.build()
+    } finally { EventLog.format = f0; EventLog.sink = s0; EventLog.minLevel = l0 }
+    import scala.jdk.CollectionConverters._
+    val events = eventQ.asScala.toSeq
+    def has(code: String): Boolean =
+      events.exists(_.contains("\"code\": \"" + code + "\""))
+    val expected = Seq(
+      "I024", // unable_to_partial_parse (no saved state yet)
+      "W006", // found_stats
+      "Q027", // concurrency_line
+      "Q024", // node_started
+      "Q025", // node_finished
+      "Q012", // log_model_result
+      "Q016", // log_seed_result
+      "Q007", // log_test_result
+      "Q032", // log_hook_start_line
+      "Q033", // log_hook_end_line
+      "Q034", // skipping_details (child of failed model)
+      "Z024", // run_result_error (bad.sql)
+      "Z030", // end_of_run_summary
+      "Z023") // stats_line
+    val missing = expected.filterNot(has)
+    assert(missing.isEmpty, s"missing event codes: ${missing.mkString(", ")}\n" +
+      s"got:\n${events.mkString("\n")}")
+    // JSON shape: every coded line parses and carries event+level+ts
+    val yaml = new org.yaml.snakeyaml.Yaml()
+    events.filter(_.contains("\"code\"")).foreach { l =>
+      val m = yaml.load[java.util.Map[String, Any]](l)
+      assert(m.containsKey("event") && m.containsKey("level") && m.containsKey("ts"))
+    }
+  }
 }
