@@ -900,10 +900,29 @@ final class Engine(
     val selected = Selector.select(manifest, dag, select)
       .filter(id => manifest.nodes.get(id).exists(n =>
         n.resourceType == "test" || n.resourceType == "unit_test"))
-    selected.toSeq.sorted.map { id =>
+    val total = selected.size
+    // tests are independent — fan out over the worker pool like the
+    // reference's test task (threads was previously ignored here);
+    // results keep selection order via the future list
+    val pool = Executors.newFixedThreadPool(math.max(1, threads))
+    val futures = selected.toSeq.sorted.zipWithIndex.map { case (id, i) =>
+      pool.submit(new java.util.concurrent.Callable[Materializer.Result] {
+        def call(): Materializer.Result = runOneTest(id, i, total)
+      })
+    }
+    val out = futures.map(_.get())
+    pool.shutdown()
+    pool.awaitTermination(60, TimeUnit.SECONDS)
+    out.filter(r => r.status == "error" || r.status == "fail").foreach(r =>
+      EventLog.error("run_result_error", "code" -> "Z024",
+        "unique_id" -> r.uniqueId, "message" -> r.message))
+    out
+  }
+
+  private def runOneTest(id: String, i: Int, total: Int): Materializer.Result = {
       val t0 = System.nanoTime()
       applyQueryComment(manifest.nodes(id))
-      try manifest.nodes(id) match {
+      val r = try manifest.nodes(id) match {
         case t: TestNode =>
           try {
             val (raw, failures) = Materializer.runTest(wh, t.copy(rawSql = compile(t)))
@@ -923,7 +942,12 @@ final class Engine(
           }
         case other => Materializer.Result(id, "error", s"not a test: ${other.uniqueId}")
       } finally clearQueryComment()
-    }
+      // reference Q007 LogTestResult: one line per finished test, same
+      // shape as the run loop's result lines
+      EventLog.info("log_test_result", "code" -> "Q007", "unique_id" -> id,
+        "status" -> r.status, "index" -> (i + 1), "total" -> total,
+        "execution_time" -> r.elapsedSec)
+      r
   }
 
   private def runUnitTestNode(u: UnitTestNode): Unit = {
