@@ -184,6 +184,92 @@ object Ext9 {
         .agg(count(lit(1)).as("n_docs"), sum("n").as("n_tokens"),
           sum("spans").as("n_spanning"))
         .orderBy("seq_id")
+    },
+
+    // Normalization-aware exact dedup (wave-15): the FineWeb/Dolma-style
+    // "near-exact" pass between raw-md5 dedup (q25) and MinHash (q27) —
+    // lowercase, strip non-alphanumerics, collapse whitespace, THEN
+    // hash. Per-source report: raw-distinct vs normalized-distinct and
+    // how many extra docs the normalization collapses. One groupBy per
+    // aggregation level, no joins — linear at any scale (the normalized
+    // key is computed in codegen'd string expressions).
+    QueryDef(
+      "q235_normalized_dedup",
+      """WITH n AS (
+        |  SELECT source,
+        |         MD5(text) AS raw_key,
+        |         MD5(TRIM(REGEXP_REPLACE(
+        |           REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]+', '', 'g'),
+        |           ' +', ' ', 'g'))) AS norm_key
+        |  FROM documents
+        |)
+        |SELECT source,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(COUNT(DISTINCT raw_key) AS BIGINT) AS distinct_raw,
+        |       CAST(COUNT(DISTINCT norm_key) AS BIGINT) AS distinct_norm,
+        |       CAST(COUNT(DISTINCT raw_key) - COUNT(DISTINCT norm_key) AS BIGINT)
+        |         AS collapsed_by_norm
+        |FROM n GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("source"),
+          md5(col("text")).as("raw_key"),
+          md5(trim(regexp_replace(
+            regexp_replace(lower(col("text")), "[^a-z0-9 ]+", ""),
+            " +", " "))).as("norm_key"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct("raw_key").as("distinct_raw"),
+          countDistinct("norm_key").as("distinct_norm"),
+          (countDistinct("raw_key") - countDistinct("norm_key"))
+            .as("collapsed_by_norm"))
+        .orderBy("source")
+    },
+
+    // Label-centroid outlier scan (wave-15): per-label mean embedding
+    // (per-dim avg, 6-decimal rounding BEFORE reuse — the engine-
+    // portable centroid discipline kmeansCentroids established), then
+    // every vector's cosine to its own label centroid; low cosine =
+    // probable label noise. The kNN-free complement of q85's
+    // label-agreement: one aggregation + one broadcast-sized join
+    // (centroids = |labels| rows), linear in vectors at any scale.
+    QueryDef(
+      "q236_label_centroid_outliers",
+      s"""WITH idx AS (SELECT unnest(range(1, 65)) AS i),
+         |cent AS (
+         |  SELECT label, i.i, ROUND(AVG(CAST(embedding[i.i] AS DOUBLE)), 6) AS v
+         |  FROM embeddings CROSS JOIN idx i GROUP BY label, i.i
+         |), sc AS (
+         |  SELECT e.vec_id, e.label,
+         |         ROUND(SUM(CAST(e.embedding[c.i] AS DOUBLE) * c.v)
+         |               / SQRT(SUM(CAST(e.embedding[c.i] AS DOUBLE)
+         |                          * CAST(e.embedding[c.i] AS DOUBLE))
+         |                      * SUM(c.v * c.v)), 6) AS cos
+         |  FROM embeddings e JOIN cent c ON c.label = e.label
+         |  GROUP BY e.vec_id, e.label
+         |)
+         |SELECT vec_id, CAST(label AS BIGINT) AS label,
+         |       cos AS cos_to_centroid,
+         |       CAST(CASE WHEN cos < 0.15 THEN 1 ELSE 0 END AS BIGINT) AS outlier
+         |FROM sc ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          col("embedding").cast("array<double>").as("v"))
+      val cents = emb
+        .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("label", "pos").agg(round(avg("x"), 6).as("m"))
+        .groupBy("label")
+        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("label"), col("pm.m").as("centv"))
+      val dot = (a: Column, b: Column) => graft.functions.VectorExprs.arrayDot(a, b)
+      emb.join(broadcast(cents), "label")
+        .select(col("vec_id"), col("label"),
+          round(dot(col("v"), col("centv")) /
+            sqrt(dot(col("v"), col("v")) * dot(col("centv"), col("centv"))), 6)
+            .as("cos_to_centroid"))
+        .withColumn("outlier",
+          when(col("cos_to_centroid") < 0.15, 1L).otherwise(0L))
+        .orderBy("vec_id")
     }
   )
 }
