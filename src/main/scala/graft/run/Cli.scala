@@ -11,6 +11,8 @@ import org.apache.spark.sql.SparkSession
   *       [--select a b] [--exclude c] [--threads N] [--vars k=v,...]
   *       [--full-refresh] [--target <profile-target>] [--target-path <dir>]
   *       [--inline "<sql>"] [--limit N] [--empty]
+  *       [--log-format text|json] [--log-level debug|info|warn|error]
+  *       [--log-path <dir>|none] [--quiet] [--no-partial-parse]
   * }}}
   * Commands: run, test, build, seed, snapshot, list/ls, compile,
   * show, source freshness, retry, docs.
@@ -124,9 +126,20 @@ object Cli {
     // (reference `--log-format`, `core/dbt/events/`); text stays the
     // human default. The CLI raises the level so events stream.
     EventLog.format = opts.getOrElse("log-format", "text")
-    // --quiet (reference -q): suppress non-error logging
+    // --quiet (reference -q) suppresses non-error console logging;
+    // --log-level overrides the default info floor
     val quiet = opts.contains("quiet")
-    EventLog.minLevel = if (quiet) "error" else "info"
+    EventLog.minLevel =
+      if (quiet) "error" else opts.getOrElse("log-level", "info")
+    // reference file channel: logs/dbt.log under --log-path (or
+    // DBT_LOG_PATH, or <project>/logs) — always JSON, always debug,
+    // regardless of the console level
+    if (!opts.get("log-path").orElse(sys.env.get("DBT_LOG_PATH")).contains("none")) {
+      val logDir = opts.get("log-path").orElse(sys.env.get("DBT_LOG_PATH"))
+        .getOrElse(s"$projectDir/logs")
+      EventLog.openLogFile(java.nio.file.Paths.get(logDir, "dbt.log"))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => EventLog.closeLogFile()))
+    }
     // reference A001/A002: version + args banner, first lines of every
     // invocation; Q039 CommandCompleted fires from the exit hook below
     EventLog.info("main_report_version", "code" -> "A001",

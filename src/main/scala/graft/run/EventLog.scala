@@ -20,18 +20,43 @@ object EventLog {
     * invocation streams per-node lines like the reference. */
   @volatile var minLevel: String = "warn" // debug | info | warn | error
 
+  /** Reference file channel (`logs/dbt.log`): always-JSON, always
+    * debug-level, independent of the console sink/level — `tail -f`
+    * plus console quiet is the normal operating mode. Enabled by the
+    * CLI via [[openLogFile]]; None for library embedding. */
+  @volatile private var fileSink: Option[java.io.PrintWriter] = None
+
+  def openLogFile(path: java.nio.file.Path): Unit = {
+    closeLogFile()
+    java.nio.file.Files.createDirectories(path.getParent)
+    fileSink = Some(new java.io.PrintWriter(java.nio.file.Files.newBufferedWriter(
+      path, java.nio.charset.StandardCharsets.UTF_8,
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)))
+  }
+
+  def closeLogFile(): Unit = {
+    fileSink.foreach { w => w.flush(); w.close() }
+    fileSink = None
+  }
+
   private val levels = Map("debug" -> 0, "info" -> 1, "warn" -> 2, "error" -> 3)
 
   def emit(event: String, level: String, fields: (String, Any)*): Unit = {
-    if (levels.getOrElse(level, 1) < levels.getOrElse(minLevel, 1)) return
+    val file = fileSink
+    val toConsole = levels.getOrElse(level, 1) >= levels.getOrElse(minLevel, 1)
+    if (!toConsole && file.isEmpty) return
     val ts = java.time.Instant.now().toString
-    if (format == "json") {
+    lazy val jsonLine = {
       val all = Seq("event" -> event, "ts" -> ts, "level" -> level) ++ fields
-      sink(all.map { case (k, v) => s"${q(k)}: ${jval(v)}" }
-        .mkString("{", ", ", "}"))
-    } else {
-      val kv = fields.map { case (k, v) => s"$k=${String.valueOf(v)}" }.mkString(" ")
-      sink(s"$ts [$level] $event $kv")
+      all.map { case (k, v) => s"${q(k)}: ${jval(v)}" }.mkString("{", ", ", "}")
+    }
+    file.foreach { w => w.synchronized { w.println(jsonLine); w.flush() } }
+    if (toConsole) {
+      if (format == "json") sink(jsonLine)
+      else {
+        val kv = fields.map { case (k, v) => s"$k=${String.valueOf(v)}" }.mkString(" ")
+        sink(s"$ts [$level] $event $kv")
+      }
     }
   }
 

@@ -161,6 +161,28 @@ class PartialParseSpec extends AnyFunSuite {
     assert(p.manifest.models.size == 6)
   }
 
+  test("package files cache under their own rootKey; editing one reparses only it") {
+    val dir = mkProject()
+    // installed package with its own model (A32 layout)
+    Files.createDirectories(dir.resolve("dbt_packages/pkg/models"))
+    Files.writeString(dir.resolve("dbt_packages/pkg/dbt_project.yml"), "name: pkg\n")
+    Files.writeString(dir.resolve("dbt_packages/pkg/models/p_1.sql"),
+      "SELECT 1 AS pid")
+    load(dir)
+    val warm = load(dir)
+    assert(stats(warm).parsed == 0, "package files must replay from cache too")
+    Files.writeString(dir.resolve("dbt_packages/pkg/models/p_1.sql"),
+      "SELECT 11 AS pid")
+    val p = load(dir)
+    val st = stats(p)
+    assert(st.parsed == 1)
+    assert(st.changed === Seq("pkg/models/p_1.sql"))
+    assert(p.manifest.models.get("model.pkg.p_1").map(_.rawSql)
+      .orElse(p.manifest.models.collectFirst {
+        case (_, m) if m.name == "p_1" => m.rawSql
+      }).contains("SELECT 11 AS pid"))
+  }
+
   test("warm reparse of a 20k-model project is fast and reuse-complete") {
     val dir = Files.createTempDirectory("pp20k")
     Files.createDirectories(dir.resolve("models"))

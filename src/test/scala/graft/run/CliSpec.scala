@@ -125,4 +125,41 @@ class CliSpec extends AnyFunSuite {
         && !captured.head.contains("\n"))
     } finally { EventLog.format = f0; EventLog.sink = s0; EventLog.minLevel = l0 }
   }
+
+  test("log file channel: always-JSON, always-debug, independent of console level") {
+    // reference logs/dbt.log: file gets debug-level JSON even while the
+    // console is quiet (minLevel=error) and in text mode
+    val captured = scala.collection.mutable.ArrayBuffer.empty[String]
+    val (f0, s0, l0) = (EventLog.format, EventLog.sink, EventLog.minLevel)
+    val dir = java.nio.file.Files.createTempDirectory("graft_logs")
+    val logFile = dir.resolve("logs/dbt.log")
+    try {
+      EventLog.format = "text"; EventLog.sink = captured += _
+      EventLog.minLevel = "error"
+      EventLog.openLogFile(logFile)
+      EventLog.emit("partial_parsing_enabled", "debug", "code" -> "I040",
+        "changed" -> 1)
+      EventLog.info("node_finished", "unique_id" -> "model.graft.x",
+        "status" -> "success")
+      EventLog.error("run_result_error", "code" -> "Z024", "unique_id" -> "t")
+      // console saw ONLY the error (text mode)
+      assert(captured.size === 1 && captured.head.contains("run_result_error"))
+      EventLog.closeLogFile()
+      val lines = java.nio.file.Files.readAllLines(logFile)
+      assert(lines.size === 3, s"file channel must carry all levels: $lines")
+      val yaml = new org.yaml.snakeyaml.Yaml()
+      val events = lines.toArray.map(l =>
+        yaml.load[java.util.Map[String, Any]](l.toString).get("event"))
+      assert(events.toSeq === Seq("partial_parsing_enabled", "node_finished",
+        "run_result_error"))
+      // reopen appends, never truncates
+      EventLog.openLogFile(logFile)
+      EventLog.error("x", "more" -> 1)
+      EventLog.closeLogFile()
+      assert(java.nio.file.Files.readAllLines(logFile).size === 4)
+    } finally {
+      EventLog.closeLogFile()
+      EventLog.format = f0; EventLog.sink = s0; EventLog.minLevel = l0
+    }
+  }
 }
