@@ -70,17 +70,29 @@ object Similarity {
         col("embedding").cast("array<double>").as("embedding"))
 
   /** Deterministic Lloyd k-means: 2 fixed iterations from fixed seeds
-    * (`vec_id % 97 == 0`, ~N/97 cells), per-dim means ROUNDED to 6
-    * decimals before reuse — raw double means differ between engines
-    * by summation order; the rounded values rank identically (oracle
+    * (`vec_id % stride == 0`), per-dim means ROUNDED to 6 decimals
+    * before reuse — raw double means differ between engines by
+    * summation order; the rounded values rank identically (oracle
     * portability rules). Empty cells drop, exactly as in the SQL twin.
     *
+    * Seed stride = max(97, ceil(N / [[MaxCentroids]])): ~N/97 cells at
+    * test scale (unchanged results for every corpus under ~400k
+    * vectors), CAPPED at ~4096 centroids beyond that — an uncapped
+    * N/97 seed rule would make the centroid set grow linearly with the
+    * corpus and the broadcast distance sweep quadratic (N²/97) at
+    * 100 TB. The oracle twin computes the same stride with a COUNT
+    * subquery, so both engines bind the cap at exactly the same N.
+    *
     * Scale shape: each iteration is one broadcast distance sweep
-    * (centroids ≪ corpus) + one (cell, dim)-keyed mean — no collect,
-    * no driver loop beyond the fixed iteration count.
+    * (centroids ≤ 4096 ≪ corpus) + one (cell, dim)-keyed mean — no
+    * collect, no driver loop beyond the fixed iteration count.
     */
+  private[queries] val MaxCentroids = 4096L
+
   private[queries] def kmeansCentroids(embD: DataFrame): DataFrame = {
-    var cents = embD.filter(col("vec_id") % 97 === 0)
+    val n = embD.count()
+    val stride = math.max(97L, math.ceil(n.toDouble / MaxCentroids).toLong)
+    var cents = embD.filter(col("vec_id") % stride === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("centv"))
     for (_ <- 1 to 2) {
       cents = nearestCell(embD, cents).join(embD, "vec_id")
@@ -377,7 +389,9 @@ object Similarity {
   private[queries] val duckKmeans: String =
     s"""idx AS (SELECT unnest(range(1, 65)) AS i),
        |c0 AS (SELECT vec_id AS cent_id, embedding FROM embeddings
-       |       WHERE vec_id % 97 = 0),
+       |       WHERE vec_id % (SELECT GREATEST(97, CAST(CEIL(COUNT(*) / $MaxCentroids.0)
+       |                                               AS BIGINT))
+       |                       FROM embeddings) = 0),
        |d0 AS (
        |  SELECT e.vec_id, c.cent_id, ROUND(${duckSqDist("e", "c")}, 6) AS sqdist
        |  FROM embeddings e CROSS JOIN c0 c CROSS JOIN idx
