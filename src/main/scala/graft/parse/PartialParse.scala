@@ -116,7 +116,14 @@ object PartialParse {
     * single-threaded, like the reference's).
     */
   final class Session(oldState: Option[State]) {
+    /** Lookup map for cache hits — cleared by [[invalidateAll]]. */
     private var old: Map[String, Map[String, CachedFile]] =
+      oldState.map(_.roots).getOrElse(Map.empty)
+    /** The as-loaded state, kept for [[finish]]'s add/delete/change
+      * diff — invalidateAll must not destroy the diff baseline (a
+      * genuine deletion would otherwise vanish and every file would
+      * report as "added"). */
+    private val origOld: Map[String, Map[String, CachedFile]] =
       oldState.map(_.roots).getOrElse(Map.empty)
     private val fresh =
       scala.collection.mutable.Map.empty[String, scala.collection.mutable.Map[String, CachedFile]]
@@ -167,14 +174,15 @@ object PartialParse {
       val next = State(Format, fresh.map { case (k, v) => k -> v.toMap }.toMap)
       // NB: flatMap on a Map with (rootKey, path) results would rebuild
       // a Map and collapse every path under one rootKey — iterate.
-      val oldPaths = old.iterator
+      // Diffs run against origOld so invalidateAll can't erase them.
+      val oldPaths = origOld.iterator
         .flatMap { case (rk, fs) => fs.keys.map(rk -> _) }.toSet
       val newPaths = next.roots.iterator
         .flatMap { case (rk, fs) => fs.keys.map(rk -> _) }.toSet
       def names(ps: Set[(String, String)]): Seq[String] =
         ps.toSeq.map { case (rk, p) => if (rk.isEmpty) p else s"$rk/$p" }.sorted
       val changed = newPaths.intersect(oldPaths).filter { case (rk, p) =>
-        old(rk)(p).sha != next.roots(rk)(p).sha
+        origOld(rk)(p).sha != next.roots(rk)(p).sha
       }
       (next, Stats(
         enabled = true,

@@ -186,9 +186,60 @@ object ProjectLoader {
     }
   }
 
+  /** Special-override-macro pre-scan (reference partial.py:52-59 +
+    * handle_macro_file_changes): a macro file — in ANY root, root
+    * project or installed package — that gains/loses/changes a
+    * definition of ref/source/config/generate_*_name changes how every
+    * file in every root resolves, so the whole cache drops. Runs over
+    * ALL roots BEFORE any root parses: a package macro change must
+    * invalidate the root project's entries too, and the root parses
+    * first.
+    */
+  private def preScanSpecialMacros(
+      root: Path, rootKey: String, s: PartialParse.Session): Unit = {
+    def relPath(f: Path): String = root.relativize(f).toString
+    val macroFiles = listFiles(root.resolve("macros"), ".sql")
+    val present = macroFiles.map(relPath).toSet
+    for (f <- macroFiles) {
+      val content = Files.readString(f)
+      // changed file, or a NEW file since the saved state (an added
+      // special-override macro must also drop the cache — guard on
+      // stateLoaded so a cold parse never reports a spurious reason)
+      val isNew = s.stateLoaded && s.oldData(rootKey, relPath(f)).isEmpty
+      if (s.contentChanged(rootKey, relPath(f), content) || isNew) {
+        val newNames = Template.extractMacros(content).map(_.name).toSet
+        val oldNames = s.oldData(rootKey, relPath(f)) match {
+          case Some(ms: Seq[_]) =>
+            ms.collect { case m: Template.MacroDef => m.name }.toSet
+          case _ => Set.empty[String]
+        }
+        val special = (newNames ++ oldNames).intersect(PartialParse.SpecialMacros)
+        if (special.nonEmpty)
+          s.invalidateAll(s"special override macro '${special.head}' changed")
+      }
+    }
+    for (p <- s.oldPathsIn(rootKey)
+         if p.startsWith("macros") && !present.contains(p)) {
+      val special = s.oldData(rootKey, p) match {
+        case Some(ms: Seq[_]) =>
+          ms.collect { case m: Template.MacroDef => m.name }.toSet
+            .intersect(PartialParse.SpecialMacros)
+        case _ => Set.empty[String]
+      }
+      if (special.nonEmpty)
+        s.invalidateAll(s"special override macro '${special.head}' deleted")
+    }
+  }
+
   private def loadWith(projectDir: String,
       psession: Option[PartialParse.Session]): Project = {
     val root = Paths.get(projectDir)
+    psession.foreach { s =>
+      preScanSpecialMacros(root, "", s)
+      Deps.installedPackageDirs(root).foreach { case (dirName, dir) =>
+        preScanSpecialMacros(dir, dirName, s)
+      }
+    }
     val rootRaw = loadRaw(root, rootKey = "", psession = psession)
     val pkgRaws = Deps.installedPackageDirs(root).map { case (dirName, dir) =>
       // root dbt_project.yml `models: <pkg>:` scoping applies over the
@@ -598,44 +649,6 @@ object ProjectLoader {
         case None => parse(content)
       }
     }
-    // Special-override-macro pre-scan (reference partial.py:52-59 +
-    // handle_macro_file_changes): a changed OR deleted macro file that
-    // defines/defined ref/source/config/generate_*_name changes how
-    // every file resolves — drop the whole cache before any lookup.
-    psession.foreach { s =>
-      val macroFiles = listFiles(root.resolve("macros"), ".sql")
-      val present = macroFiles.map(relPath).toSet
-      for (f <- macroFiles) {
-        val content = Files.readString(f)
-        // changed file, or a NEW file since the saved state (an added
-        // special-override macro must also drop the cache — guard on
-        // stateLoaded so a cold parse never reports a spurious reason)
-        val isNew = s.stateLoaded && s.oldData(rootKey, relPath(f)).isEmpty
-        if (s.contentChanged(rootKey, relPath(f), content) || isNew) {
-          val newNames = Template.extractMacros(content).map(_.name).toSet
-          val oldNames = s.oldData(rootKey, relPath(f)) match {
-            case Some(ms: Seq[_]) =>
-              ms.collect { case m: Template.MacroDef => m.name }.toSet
-            case _ => Set.empty[String]
-          }
-          val special = (newNames ++ oldNames).intersect(PartialParse.SpecialMacros)
-          if (special.nonEmpty)
-            s.invalidateAll(s"special override macro '${special.head}' changed")
-        }
-      }
-      for (p <- s.oldPathsIn(rootKey)
-           if p.startsWith("macros") && !present.contains(p)) {
-        val special = s.oldData(rootKey, p) match {
-          case Some(ms: Seq[_]) =>
-            ms.collect { case m: Template.MacroDef => m.name }.toSet
-              .intersect(PartialParse.SpecialMacros)
-          case _ => Set.empty[String]
-        }
-        if (special.nonEmpty)
-          s.invalidateAll(s"special override macro '${special.head}' deleted")
-      }
-    }
-
     // ---- schema YAML (sources + model metadata) anywhere under models/
     val schemaDocs = listFiles(root.resolve("models"), ".yml") ++
       listFiles(root.resolve("models"), ".yaml") ++

