@@ -1,11 +1,16 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
-/** Wave-14 operators (round 8): the three training-data kernels the
-  * earlier waves' families still lacked.
+/** Wave-14/15/16 operators (rounds 8-9): training-data kernels the
+  * earlier waves' families still lacked. Wave 16 adds the preference-
+  * data primitive (q237 Bradley-Terry ratings) and the hybrid-search
+  * combiner (q238 reciprocal-rank fusion of BM25 + embedding
+  * retrieval).
   *
   *  - q232: EMBEDDING-space decontamination — the semantic member of
   *    the decontamination family (beside q58 4-gram, q78 Bloom, q187
@@ -270,6 +275,258 @@ object Ext9 {
         .withColumn("outlier",
           when(col("cos_to_centroid") < 0.15, 1L).otherwise(0L))
         .orderBy("vec_id")
+    },
+
+    // Bradley-Terry preference-strength ratings (the RLHF / preference
+    // data-prep primitive: turn pairwise "A beat B" outcomes into a
+    // per-item strength score; Bradley & Terry 1952, MM fit per Hunter
+    // 2004). Matches come from the event stream: consecutive events of
+    // one user (ts, event_id order) with different types and different
+    // values — the higher value wins. The heavy part — the per-user
+    // LAG pass and the (winner, loser) count — is fully distributed
+    // (one user-keyed window + one map-side-combined groupBy, linear
+    // at 100 TB). The MM fixed point then runs on the aggregated
+    // matrix, which is bounded by the EVENT-TYPE domain (|types|² ≤ a
+    // few hundred cells regardless of corpus size) — a bounded-domain
+    // driver iteration, same discipline as the audited argmax reads.
+    // 3 fixed iterations; +0.5 win smoothing keeps ratings strictly
+    // positive (an item with zero wins would otherwise zero out and
+    // divide-by-zero the next round); every reused value is ROUNDed to
+    // 6 decimals and per-item term sums go through DECIMAL(20,6) so
+    // neither engine's float summation order can drift the hash.
+    QueryDef(
+      "q237_bradley_terry",
+      """WITH seq AS (
+        |  SELECT user_id, event_type, value,
+        |         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ptype,
+        |         LAG(value)      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pvalue
+        |  FROM events
+        |), m AS (
+        |  SELECT CASE WHEN value > pvalue THEN event_type ELSE ptype END AS wi,
+        |         CASE WHEN value > pvalue THEN ptype ELSE event_type END AS li
+        |  FROM seq
+        |  WHERE ptype IS NOT NULL AND ptype <> event_type AND value <> pvalue
+        |), pm AS (
+        |  SELECT wi, li, CAST(COUNT(*) AS BIGINT) AS w FROM m GROUP BY wi, li
+        |), items AS (
+        |  SELECT DISTINCT it FROM (SELECT wi AS it FROM pm UNION ALL SELECT li FROM pm) t
+        |), nm AS (
+        |  SELECT a, b, CAST(SUM(n) AS BIGINT) AS n FROM (
+        |    SELECT wi AS a, li AS b, w AS n FROM pm
+        |    UNION ALL
+        |    SELECT li AS a, wi AS b, w AS n FROM pm) t
+        |  GROUP BY a, b
+        |), wraw AS (
+        |  SELECT wi AS it, CAST(SUM(w) AS BIGINT) AS wins FROM pm GROUP BY wi
+        |), mraw AS (
+        |  SELECT a AS it, CAST(SUM(n) AS BIGINT) AS matches FROM nm GROUP BY a
+        |), w0 AS (
+        |  SELECT i.it, COALESCE(w.wins, 0) AS wins, m.matches,
+        |         CAST(COALESCE(w.wins, 0) AS DOUBLE) + 0.5 AS wsm
+        |  FROM items i LEFT JOIN wraw w ON w.it = i.it JOIN mraw m ON m.it = i.it
+        |), r0 AS (SELECT it, CAST(1.0 AS DOUBLE) AS p FROM items),
+        |r1 AS (
+        |  SELECT n.a AS it,
+        |         ROUND(MAX(w.wsm) / CAST(SUM(CAST(ROUND(n.n / (pa.p + pb.p), 6)
+        |                                          AS DECIMAL(20,6))) AS DOUBLE), 6) AS p
+        |  FROM nm n JOIN r0 pa ON pa.it = n.a JOIN r0 pb ON pb.it = n.b
+        |       JOIN w0 w ON w.it = n.a
+        |  GROUP BY n.a
+        |), r2 AS (
+        |  SELECT n.a AS it,
+        |         ROUND(MAX(w.wsm) / CAST(SUM(CAST(ROUND(n.n / (pa.p + pb.p), 6)
+        |                                          AS DECIMAL(20,6))) AS DOUBLE), 6) AS p
+        |  FROM nm n JOIN r1 pa ON pa.it = n.a JOIN r1 pb ON pb.it = n.b
+        |       JOIN w0 w ON w.it = n.a
+        |  GROUP BY n.a
+        |), r3 AS (
+        |  SELECT n.a AS it,
+        |         ROUND(MAX(w.wsm) / CAST(SUM(CAST(ROUND(n.n / (pa.p + pb.p), 6)
+        |                                          AS DECIMAL(20,6))) AS DOUBLE), 6) AS p
+        |  FROM nm n JOIN r2 pa ON pa.it = n.a JOIN r2 pb ON pb.it = n.b
+        |       JOIN w0 w ON w.it = n.a
+        |  GROUP BY n.a
+        |), norm AS (
+        |  SELECT CAST(SUM(CAST(p AS DECIMAL(20,6))) AS DOUBLE) AS sp,
+        |         CAST(COUNT(*) AS BIGINT) AS k FROM r3
+        |)
+        |SELECT w0.it AS event_type, w0.wins, w0.matches,
+        |       ROUND(r3.p * norm.k / norm.sp, 6) AS rating
+        |FROM r3 JOIN w0 ON w0.it = r3.it CROSS JOIN norm
+        |ORDER BY rating DESC, event_type""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val seqd = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("value"), col("ts"), col("event_id"))
+        .withColumn("ptype", lag("event_type", 1).over(w))
+        .withColumn("pvalue", lag("value", 1).over(w))
+      val pm = seqd
+        .filter(col("ptype").isNotNull && col("ptype") =!= col("event_type") &&
+          col("value") =!= col("pvalue"))
+        .select(
+          when(col("value") > col("pvalue"), col("event_type")).otherwise(col("ptype")).as("wi"),
+          when(col("value") > col("pvalue"), col("ptype")).otherwise(col("event_type")).as("li"))
+        .groupBy("wi", "li").agg(count(lit(1)).as("w"))
+        .collect() // bounded by the event-type domain: ≤ |types|² rows
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      def r6(x: Double): Double =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val items = (pm.map(_._1) ++ pm.map(_._2)).distinct.sorted
+      val nm = (pm.map { case (a, b, n) => ((a, b), n) } ++
+        pm.map { case (a, b, n) => ((b, a), n) })
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+      val wins = pm.groupBy(_._1).map { case (k, v) => k -> v.map(_._3).sum }
+        .withDefaultValue(0L)
+      val matches = items.map(a =>
+        a -> nm.collect { case ((x, _), n) if x == a => n }.sum).toMap
+      var p = items.map(_ -> 1.0).toMap
+      for (_ <- 1 to 3) {
+        p = items.map { a =>
+          // exact decimal sum of 6-decimal terms: engine-order-free
+          val terms = nm.collect { case ((x, b), n) if x == a =>
+            BigDecimal(r6(n.toDouble / (p(a) + p(b)))) }
+          a -> r6((wins(a) + 0.5) / terms.sum.toDouble)
+        }.toMap
+      }
+      val sp = items.map(a => BigDecimal(p(a))).sum.toDouble
+      val k = items.size
+      items.map(a => (a, wins(a), matches(a), r6(p(a) * k / sp)))
+        .toSeq.toDF("event_type", "wins", "matches", "rating")
+        .orderBy(col("rating").desc, col("event_type"))
+    },
+
+    // Reciprocal-rank fusion of lexical (BM25, the q139 kernel) and
+    // semantic (cosine-to-query-vector) retrieval — hybrid search, the
+    // standard eval-set / RAG retrieval combiner (Cormack et al. 2009:
+    // score = Σ 1/(60+rank)). Each branch is independently top-50 via
+    // TakeOrdered (distributed), so the rank windows run over ≤ 50
+    // rows (the audit's "topk" class); the fuse is a 50×50 outer join.
+    // At 100 TB both branches stay one pass: BM25's query terms and
+    // the query vector broadcast, candidates TakeOrdered per branch.
+    // RRF terms are 6-decimal DECIMAL(20,6) before the sum, so the
+    // two-term addition is exact on both engines.
+    QueryDef(
+      "q238_rrf_fusion",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS wd
+        |  FROM documents
+        |), dl AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id
+        |), stats AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |         CAST(SUM(dl) AS BIGINT) AS sum_dl
+        |  FROM dl
+        |), q(term) AS (VALUES ('spark'), ('join'), ('filter')),
+        |df AS (
+        |  SELECT wd AS term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        |  FROM tok JOIN q ON tok.wd = q.term GROUP BY wd
+        |), idf AS (
+        |  SELECT term,
+        |         CAST(ROUND((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5), 6)
+        |              AS DECIMAL(20,6)) AS idf
+        |  FROM df, stats
+        |), tf AS (
+        |  SELECT doc_id, wd AS term, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM tok JOIN q ON tok.wd = q.term GROUP BY doc_id, wd
+        |), scored AS (
+        |  SELECT tf.doc_id,
+        |         idf.idf * CAST(ROUND(
+        |           (CAST(tf.tf AS DOUBLE) * 2.2) /
+        |           (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+        |              CAST(ROUND(CAST(dl.dl AS DOUBLE) * CAST(n_docs AS DOUBLE)
+        |                         / CAST(sum_dl AS DOUBLE), 6) AS DOUBLE))),
+        |           6) AS DECIMAL(20,6)) AS part_score
+        |  FROM tf JOIN dl ON dl.doc_id = tf.doc_id
+        |          JOIN idf ON idf.term = tf.term, stats
+        |), bsum AS (
+        |  SELECT doc_id, CAST(ROUND(CAST(SUM(part_score) AS DOUBLE), 4) AS DOUBLE) AS bm25
+        |  FROM scored GROUP BY doc_id
+        |), b50 AS (
+        |  SELECT doc_id, bm25 FROM bsum ORDER BY bm25 DESC, doc_id LIMIT 50
+        |), br AS (
+        |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r FROM b50
+        |), idx AS (SELECT unnest(range(1, 65)) AS i),
+        |qv AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+        |sem AS (
+        |  SELECT e.vec_id AS doc_id,
+        |         ROUND(SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(qv.embedding[i] AS DOUBLE))
+        |               / SQRT(SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))
+        |                      * SUM(CAST(qv.embedding[i] AS DOUBLE) * CAST(qv.embedding[i] AS DOUBLE))),
+        |               6) AS cosine
+        |  FROM embeddings e CROSS JOIN qv CROSS JOIN idx
+        |  WHERE e.vec_id <> 0
+        |  GROUP BY e.vec_id
+        |), s50 AS (
+        |  SELECT doc_id, cosine FROM sem ORDER BY cosine DESC, doc_id LIMIT 50
+        |), sr AS (
+        |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS r FROM s50
+        |), fused AS (
+        |  SELECT COALESCE(b.doc_id, s.doc_id) AS doc_id,
+        |         b.r AS bm25_rank, s.r AS sem_rank,
+        |         ROUND(CAST(COALESCE(CAST(ROUND(1.0 / (60 + b.r), 6) AS DECIMAL(20,6)),
+        |                             CAST(0 AS DECIMAL(20,6)))
+        |                  + COALESCE(CAST(ROUND(1.0 / (60 + s.r), 6) AS DECIMAL(20,6)),
+        |                             CAST(0 AS DECIMAL(20,6))) AS DOUBLE), 6) AS rrf
+        |  FROM br b FULL OUTER JOIN sr s ON s.doc_id = b.doc_id
+        |)
+        |SELECT doc_id, CAST(bm25_rank AS BIGINT) AS bm25_rank,
+        |       CAST(sem_rank AS BIGINT) AS sem_rank, rrf
+        |FROM fused ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin) { (s, dir) =>
+      // lexical branch: the q139 BM25 kernel, kept expression-identical
+      val terms = Seq("spark", "join", "filter")
+      val tok = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("wd"))
+      val dl = tok.groupBy("doc_id").agg(count(lit(1)).cast("long").as("dl"))
+      val st = dl.agg(count(lit(1)).cast("long").as("n_docs"),
+        sum("dl").cast("long").as("sum_dl")).collect().head
+      val (nDocs, sumDl) = (st.getLong(0), st.getLong(1))
+      val qtok = tok.filter(col("wd").isin(terms: _*))
+      val idf = qtok.groupBy(col("wd").as("term"))
+        .agg(countDistinct("doc_id").cast("long").as("df"))
+        .select(col("term"),
+          round((lit(nDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5), 6)
+            .cast(DecimalType(20, 6)).as("idf"))
+      val tf = qtok.groupBy(col("doc_id"), col("wd").as("term"))
+        .agg(count(lit(1)).cast("long").as("tf"))
+      val b50 = tf.join(dl, "doc_id")
+        .join(broadcast(idf), "term")
+        .withColumn("rel_dl",
+          round(col("dl").cast("double") * nDocs.toDouble / sumDl.toDouble, 6))
+        .withColumn("part_score",
+          col("idf") * round(
+            (col("tf").cast("double") * 2.2) /
+              (col("tf").cast("double") + lit(1.2) * (lit(0.25) + lit(0.75) * col("rel_dl"))),
+            6).cast(DecimalType(20, 6)))
+        .groupBy("doc_id").agg(
+          round(sum("part_score").cast("double"), 4).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id")).limit(50)
+      val br = b50.withColumn("br",
+          row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))))
+        .select(col("doc_id"), col("br"))
+      // semantic branch: cosine to the fixed query vector (vec_id 0)
+      val dot = (a: Column, b: Column) => graft.functions.VectorExprs.arrayDot(a, b)
+      val emb = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val qv = emb.filter(col("vec_id") === 0).select(col("v").as("qvec"))
+      val s50 = emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(qv))
+        .select(col("vec_id").as("doc_id"),
+          round(dot(col("v"), col("qvec")) /
+            sqrt(dot(col("v"), col("v")) * dot(col("qvec"), col("qvec"))), 6)
+            .as("cosine"))
+        .orderBy(col("cosine").desc, col("doc_id")).limit(50)
+      val sr = s50.withColumn("sr",
+          row_number().over(Window.orderBy(col("cosine").desc, col("doc_id"))))
+        .select(col("doc_id"), col("sr"))
+      val zero = lit(BigDecimal(0)).cast(DecimalType(20, 6))
+      br.join(sr, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          col("br").cast("long").as("bm25_rank"),
+          col("sr").cast("long").as("sem_rank"),
+          round((coalesce(round(lit(1.0) / (lit(60) + col("br")), 6)
+                   .cast(DecimalType(20, 6)), zero)
+               + coalesce(round(lit(1.0) / (lit(60) + col("sr")), 6)
+                   .cast(DecimalType(20, 6)), zero)).cast("double"), 6).as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id")).limit(20)
     }
   )
 }

@@ -76,26 +76,53 @@ object Similarity {
     * portability rules). Empty cells drop, exactly as in the SQL twin.
     *
     * Seed stride = max(97, ceil(N / [[MaxCentroids]])): ~N/97 cells at
-    * test scale (unchanged results for every corpus under ~400k
-    * vectors), CAPPED at ~4096 centroids beyond that — an uncapped
+    * test scale, CAPPED at ~4096 centroids beyond that — an uncapped
     * N/97 seed rule would make the centroid set grow linearly with the
     * corpus and the broadcast distance sweep quadratic (N²/97) at
     * 100 TB. The oracle twin computes the same stride with a COUNT
     * subquery, so both engines bind the cap at exactly the same N.
+    *
+    * TRAINING runs on a deterministic stride sample (`vec_id %
+    * (stride/[[TrainPerCell]]) == 0`, ≈[[TrainPerCell]] training
+    * vectors per centroid) — the standard IVF discipline: centroid
+    * quality needs a representative sample, not the corpus, and a
+    * full-corpus Lloyd sweep would triple the build's N×K distance
+    * cost for no recall gain. 64 per cell sits above the ~39×K
+    * floor below which centroid means get noisy (recall measurably
+    * dropped at 24×K in SimilaritySpec). The sample stride is 1 —
+    * training identical to full-corpus — until N ≈ 128·MaxCentroids
+    * (~524k vectors); past that only the final ASSIGNMENT sweep (the
+    * index itself) touches every vector, so the build is one full
+    * N×K pass + two bounded ~ (TrainPerCell·K)×K passes — at the
+    * 4096-centroid cap the training cost is CONSTANT in corpus size.
+    * The oracle twin samples with the same integer arithmetic.
     *
     * Scale shape: each iteration is one broadcast distance sweep
     * (centroids ≤ 4096 ≪ corpus) + one (cell, dim)-keyed mean — no
     * collect, no driver loop beyond the fixed iteration count.
     */
   private[queries] val MaxCentroids = 4096L
+  private[queries] val TrainPerCell = 64L
 
-  private[queries] def kmeansCentroids(embD: DataFrame): DataFrame = {
+  private[queries] def kmeansCentroids(embD: DataFrame): DataFrame =
+    kmeansCentroidsWith(embD, TrainPerCell)
+
+  /** `trainPerCell`/`maxCentroids` are parameters only so
+    * SimilaritySpec can compare sampled vs full-corpus training at an
+    * N where the sample stride actually binds (with the production
+    * cap that takes ~524k vectors); production always uses
+    * [[TrainPerCell]]/[[MaxCentroids]]. */
+  private[queries] def kmeansCentroidsWith(
+      embD: DataFrame, trainPerCell: Long,
+      maxCentroids: Long = MaxCentroids): DataFrame = {
     val n = embD.count()
-    val stride = math.max(97L, math.ceil(n.toDouble / MaxCentroids).toLong)
+    val stride = math.max(97L, math.ceil(n.toDouble / maxCentroids).toLong)
+    val trainStride = math.max(1L, stride / trainPerCell)
+    val train = embD.filter(col("vec_id") % trainStride === 0)
     var cents = embD.filter(col("vec_id") % stride === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("centv"))
     for (_ <- 1 to 2) {
-      cents = nearestCell(embD, cents).join(embD, "vec_id")
+      cents = nearestCell(train, cents).join(train, "vec_id")
         .select(col("cent_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy("cent_id", "pos").agg(round(avg("v"), 6).as("m"))
         .groupBy("cent_id")
@@ -388,13 +415,16 @@ object Similarity {
 
   private[queries] val duckKmeans: String =
     s"""idx AS (SELECT unnest(range(1, 65)) AS i),
+       |kst AS (SELECT GREATEST(97, CAST(CEIL(COUNT(*) / $MaxCentroids.0) AS BIGINT)) AS s
+       |        FROM embeddings),
        |c0 AS (SELECT vec_id AS cent_id, embedding FROM embeddings
-       |       WHERE vec_id % (SELECT GREATEST(97, CAST(CEIL(COUNT(*) / $MaxCentroids.0)
-       |                                               AS BIGINT))
-       |                       FROM embeddings) = 0),
+       |       WHERE vec_id % (SELECT s FROM kst) = 0),
+       |ktrain AS (SELECT vec_id, embedding FROM embeddings
+       |           WHERE vec_id % (SELECT GREATEST(1, CAST(FLOOR(s / $TrainPerCell.0) AS BIGINT))
+       |                           FROM kst) = 0),
        |d0 AS (
        |  SELECT e.vec_id, c.cent_id, ROUND(${duckSqDist("e", "c")}, 6) AS sqdist
-       |  FROM embeddings e CROSS JOIN c0 c CROSS JOIN idx
+       |  FROM ktrain e CROSS JOIN c0 c CROSS JOIN idx
        |  GROUP BY e.vec_id, c.cent_id
        |), a0 AS (
        |  SELECT vec_id, cent_id FROM (
@@ -403,13 +433,13 @@ object Similarity {
        |    FROM d0) t WHERE rn = 1
        |), c1 AS (
        |  SELECT a.cent_id, i.i, ROUND(AVG(CAST(e.embedding[i.i] AS DOUBLE)), 6) AS v
-       |  FROM a0 a JOIN embeddings e ON e.vec_id = a.vec_id CROSS JOIN idx i
+       |  FROM a0 a JOIN ktrain e ON e.vec_id = a.vec_id CROSS JOIN idx i
        |  GROUP BY a.cent_id, i.i
        |), d1 AS (
        |  SELECT e.vec_id, c.cent_id,
        |         ROUND(SUM((CAST(e.embedding[c.i] AS DOUBLE) - c.v)
        |                   * (CAST(e.embedding[c.i] AS DOUBLE) - c.v)), 6) AS sqdist
-       |  FROM embeddings e CROSS JOIN c1 c
+       |  FROM ktrain e CROSS JOIN c1 c
        |  GROUP BY e.vec_id, c.cent_id
        |), a1 AS (
        |  SELECT vec_id, cent_id FROM (
@@ -418,7 +448,7 @@ object Similarity {
        |    FROM d1) t WHERE rn = 1
        |), cents AS (
        |  SELECT a.cent_id, i.i, ROUND(AVG(CAST(e.embedding[i.i] AS DOUBLE)), 6) AS v
-       |  FROM a1 a JOIN embeddings e ON e.vec_id = a.vec_id CROSS JOIN idx i
+       |  FROM a1 a JOIN ktrain e ON e.vec_id = a.vec_id CROSS JOIN idx i
        |  GROUP BY a.cent_id, i.i
        |), d2 AS (
        |  SELECT e.vec_id, c.cent_id,

@@ -14,10 +14,13 @@ class SimilaritySpec extends SparkSpec {
 
   /** recall@3 of an IVF assignment against brute-force top-3 for the
     * query set vec_id < 10. */
-  private def recallAt3(assign: org.apache.spark.sql.DataFrame): Double = {
-    val emb = Similarity.embDouble(spark, sf)
+  private def recallAt3(assign: org.apache.spark.sql.DataFrame): Double =
+    recallAt3On(Similarity.embDouble(spark, sf), assign)
+
+  private def recallAt3On(emb: org.apache.spark.sql.DataFrame,
+      assign: org.apache.spark.sql.DataFrame, nQueries: Long = 10L): Double = {
     val dot = graft.functions.VectorExprs.arrayDot _
-    val q = emb.filter(col("vec_id") < 10)
+    val q = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     val c = emb.select(col("vec_id").as("cid"), col("embedding").as("cv"))
     val w = org.apache.spark.sql.expressions.Window
@@ -48,6 +51,30 @@ class SimilaritySpec extends SparkSpec {
     info(s"recall@3 trained=$rTrained standin=$rStandIn")
     assert(rTrained >= rStandIn,
       s"k-means recall $rTrained < stand-in recall $rStandIn")
+  }
+
+  test("sample-trained centroids keep recall where the train stride binds") {
+    // 20k dim-8 vectors in 80 planted clusters; maxCentroids=64 makes
+    // stride = ceil(20000/64) = 313 and trainStride = 313/64 = 4, so
+    // the sampled path trains on 25% of the corpus — the same regime
+    // the production cap reaches at ~524k vectors. Recall of the
+    // sampled training must match full-corpus training (small epsilon:
+    // both are 2-iteration Lloyd, neither is "the" optimum).
+    val emb = spark.range(20000).select(
+      col("id").as("vec_id"),
+      array((0 until 8).map(j =>
+        sin(col("id") % 80 * 7 + lit(j)) * 10.0 +
+          sin(col("id") * 13 + lit(j)) * 6.0): _*).as("embedding"))
+      .cache()
+    val sampled = Similarity.nearestCell(emb,
+      Similarity.kmeansCentroidsWith(emb, Similarity.TrainPerCell, 64L))
+    val full = Similarity.nearestCell(emb,
+      Similarity.kmeansCentroidsWith(emb, Long.MaxValue, 64L))
+    val rSampled = recallAt3On(emb, sampled, nQueries = 100L)
+    val rFull = recallAt3On(emb, full, nQueries = 100L)
+    info(s"recall@3 sampled=$rSampled full=$rFull")
+    assert(rSampled >= rFull - 0.10,
+      s"sampled-training recall $rSampled lags full-training $rFull")
   }
 
   test("sub-band guard caps one overloaded cell's pair fan-out") {
