@@ -1080,6 +1080,97 @@ object Similarity {
       adc.withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= 3)
         .orderBy("qid", "rn")
+    },
+
+    // ANN recall evaluation — exact-ground-truth recall@10 of the IVF
+    // probe against brute force, per query. The production index-
+    // quality gate: q85's label agreement is ground-truth-FREE (cheap,
+    // always on); this one buys exact truth for a bounded query SAMPLE
+    // (vec_id < 10 here; a fixed-size sample at any corpus scale), so
+    // the exact side costs |sample| × N — linear, and only for the
+    // audited sample. The IVF side reuses the cached index: probe
+    // cells (rn ≤ 2) equi-joined to cell assignments, re-scored, top
+    // 10. Output: per-query candidate count, hits, recall@10 — the
+    // numbers an index-tuning loop (nprobe / centroid count) reads.
+    QueryDef(
+      "q239_ann_recall_eval",
+      s"""WITH $duckKmeans,
+         |exact AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |         ROUND(${duckDot("q", "c")}
+         |               / SQRT(${duckDot("q", "q")} * ${duckDot("c", "c")}), 6) AS cosine
+         |  FROM embeddings q
+         |  JOIN embeddings c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+         |  CROSS JOIN idx
+         |  GROUP BY q.vec_id, c.vec_id
+         |), etop AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT qid, cid,
+         |           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rn
+         |    FROM exact) t WHERE rn <= 10
+         |), probe AS (
+         |  SELECT vec_id AS qid, cent_id AS cell FROM ranked
+         |  WHERE rn <= 2 AND vec_id < 10
+         |), cand AS (
+         |  SELECT DISTINCT p.qid, a.vec_id AS cid
+         |  FROM probe p JOIN assign a ON a.cent_id = p.cell AND a.vec_id <> p.qid
+         |), scored AS (
+         |  SELECT cn.qid, cn.cid,
+         |         ROUND(${duckDot("q", "c")}
+         |               / SQRT(${duckDot("q", "q")} * ${duckDot("c", "c")}), 6) AS cosine
+         |  FROM cand cn
+         |  JOIN embeddings q ON q.vec_id = cn.qid
+         |  JOIN embeddings c ON c.vec_id = cn.cid
+         |  CROSS JOIN idx
+         |  GROUP BY cn.qid, cn.cid
+         |), itop AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT qid, cid,
+         |           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rn
+         |    FROM scored) t WHERE rn <= 10
+         |), ncand AS (
+         |  SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_candidates FROM cand GROUP BY qid
+         |)
+         |SELECT e.qid, n.n_candidates,
+         |       CAST(COUNT(i.cid) AS BIGINT) AS hits,
+         |       CAST(ROUND(COUNT(i.cid) / 10.0, 6) AS DOUBLE) AS recall_at_10
+         |FROM etop e
+         |JOIN ncand n ON n.qid = e.qid
+         |LEFT JOIN itop i ON i.qid = e.qid AND i.cid = e.cid
+         |GROUP BY e.qid, n.n_candidates
+         |ORDER BY e.qid""".stripMargin) { (s, dir) =>
+      val emb = embDouble(s, dir)
+      val (_, ranks) = ivfIndex(s, dir)
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val c = emb.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val cosine = round(
+        dot(col("qv"), col("cv")) /
+          sqrt(dot(col("qv"), col("qv")) * dot(col("cv"), col("cv"))), 6)
+      val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid"))
+      val etop = c.join(broadcast(q), col("cid") =!= col("qid"))
+        .withColumn("cosine", cosine)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+        .select("qid", "cid")
+      val probe = ranks.filter(col("rn") <= 2 && col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("cent_id").as("cell"))
+      val assigned = ranks.filter(col("rn") === 1)
+        .select(col("vec_id").as("cid"), col("cent_id").as("cell"))
+      val cand = probe.join(assigned, "cell")
+        .filter(col("cid") =!= col("qid")).select("qid", "cid").distinct()
+      val itop = cand.join(q, "qid").join(c, "cid")
+        .withColumn("cosine", cosine)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+        .select(col("qid").as("iqid"), col("cid").as("icid"))
+      val ncand = cand.groupBy("qid")
+        .agg(count(lit(1)).cast("long").as("n_candidates"))
+      etop.join(ncand, "qid")
+        .join(itop,
+          col("qid") === col("iqid") && col("cid") === col("icid"), "left_outer")
+        .groupBy("qid", "n_candidates")
+        .agg(count(col("icid")).cast("long").as("hits"),
+          round(count(col("icid")) / lit(10.0), 6).cast("double").as("recall_at_10"))
+        .orderBy("qid")
     }
   )
 }
