@@ -253,13 +253,17 @@ object Similarity {
       slice(col("embedding"), lo, hi - lo + 1).as("sub"))
     val seed = sub.filter(col("vec_id") < 16)
       .select(col("vec_id").as("cid"), col("sub").as("cv"))
-    def assign(cb: DataFrame): DataFrame = {
-      val d = sub.crossJoin(broadcast(cb))
+    def assign(cb: DataFrame): DataFrame =
+      // min(struct) = "ORDER BY sqdist, cid LIMIT 1" as a map-side-
+      // combined aggregate (same discipline as cellRanks: no window
+      // sort over the N×K pair stream)
+      sub.crossJoin(broadcast(cb))
         .select(col("vec_id"), col("cid"),
           round(sqDist(col("sub"), col("cv")), 6).as("sqdist"))
-      val w = Window.partitionBy("vec_id").orderBy(col("sqdist"), col("cid"))
-      d.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-    }
+        .groupBy("vec_id")
+        .agg(min(struct(col("sqdist"), col("cid"))).as("s"))
+        .select(col("vec_id"), col("s.cid").as("cid"),
+          col("s.sqdist").as("sqdist"))
     val cb1 = assign(seed).join(sub, "vec_id")
       .select(col("cid"), posexplode(col("sub")).as(Seq("pos", "v")))
       .groupBy("cid", "pos").agg(round(avg("v"), 6).as("m"))
@@ -341,18 +345,43 @@ object Similarity {
        |    FROM df_$s) t WHERE rn = 1
        |)""".stripMargin
 
-  /** Cells ranked per vector by rounded sqdist, ties on cent_id —
-    * rn = 1 is the IVF assignment, rn ≤ p the probe set. */
-  private[queries] def cellRanks(embD: DataFrame, cents: DataFrame): DataFrame = {
-    val d2 = embD.crossJoin(broadcast(cents))
+  /** The N×K distance sweep: one row per (vector, centroid) with the
+    * 6-decimal-rounded squared distance. */
+  private def cellSweep(embD: DataFrame, cents: DataFrame): DataFrame =
+    embD.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cent_id"),
         round(sqDist(col("embedding"), col("centv")), 6).as("sqdist"))
-    val w = Window.partitionBy("vec_id").orderBy(col("sqdist"), col("cent_id"))
-    d2.withColumn("rn", row_number().over(w))
+
+  /** min(struct(sqdist, cent_id)) per vector — lexicographic struct
+    * ordering IS "ORDER BY sqdist, cent_id", so this reproduces the
+    * rank-1 row of a window exactly, as a map-side-combined hash
+    * aggregate: the N×K sweep reduces to N rows BEFORE the shuffle.
+    * (A row_number window here would shuffle-sort the whole N×K pair
+    * stream — the build bench OOM'd exactly there at 800k×4096.)
+    */
+  private def sweepMin(d: DataFrame, rn: Int): DataFrame =
+    d.groupBy("vec_id")
+      .agg(min(struct(col("sqdist"), col("cent_id"))).as("s"))
+      .select(col("vec_id"), col("s.cent_id").as("cent_id"),
+        col("s.sqdist").as("sqdist"), lit(rn).as("rn"))
+
+  /** The two nearest cells per vector (rn = 1 the IVF assignment,
+    * rn = 2 completing the probe set), ties on cent_id. Two min
+    * aggregates over the distance sweep — recomputing the sweep for
+    * rank 2 trades cheap codegen'd arithmetic for not sorting or
+    * collecting K-sized groups; both passes shuffle only N rows. */
+  private[queries] def cellRanks(embD: DataFrame, cents: DataFrame): DataFrame = {
+    val first = sweepMin(cellSweep(embD, cents), 1)
+    val second = sweepMin(
+      cellSweep(embD, cents)
+        .join(first.select(col("vec_id"), col("cent_id").as("c1")), "vec_id")
+        .filter(col("cent_id") =!= col("c1"))
+        .select("vec_id", "cent_id", "sqdist"), 2)
+    first.unionByName(second)
   }
 
   private[queries] def nearestCell(embD: DataFrame, cents: DataFrame): DataFrame =
-    cellRanks(embD, cents).filter(col("rn") === 1).select("vec_id", "cent_id")
+    sweepMin(cellSweep(embD, cents), 1).select("vec_id", "cent_id")
 
   /** SRP hyperplane j, dimension i: ±1 by md5 parity — data-
     * independent, identical in both engines. Shared by q56 and the

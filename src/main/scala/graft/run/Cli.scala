@@ -207,8 +207,9 @@ object Cli {
       case "test" => report(engine.test(select, threads))
       case "build" => report(engine.build(select, threads))
       case "ls" =>
-        // --resource-type filters; --output json emits a JSON array
-        // (reference `dbt ls` options)
+        // reference `dbt ls` (core/dbt/task/list.py): --resource-type
+        // filters; --output selector|name|path|json (default selector,
+        // cli/params.py:232-234), --output-keys filters the json keys
         val types = opts.get("resource-type")
           .map(_.split(",").map(_.trim).toSet)
         // resource type via the manifest node when present, else from the
@@ -220,9 +221,15 @@ object Cli {
             .getOrElse(id.takeWhile(_ != '.'))
         val ids = engine.ls(select, exclude, indirect)
           .filter(id => types.forall(_(resType(id))))
-        if (opts.get("output").contains("json"))
-          println(ids.map(graft.run.Artifacts.jstr).mkString("[", ",", "]"))
-        else ids.foreach(println)
+        val mode = opts.getOrElse("output", "selector")
+        val keys = opts.get("output-keys")
+          .map(_.split("[,\\s]+").filter(_.nonEmpty).toSet)
+        ids.foreach { id =>
+          // ids the manifest keys differently (versioned aliases) fall
+          // back to the raw unique id rather than dropping silently
+          println(engine.manifest.nodes.get(id)
+            .map(n => lsLine(n, mode, keys)).getOrElse(id))
+        }
       case "compile" if opts.contains("inline") =>
         // reference `dbt compile --inline '<sql>'`: print the rendered
         // SQL without executing it
@@ -313,6 +320,67 @@ object Cli {
     * alias), and freshness is the `source freshness` subcommand
     * (ref `core/dbt/cli/main.py` command groups).
     */
+  /** One `dbt ls` output line for a node (reference
+    * core/dbt/task/list.py:100-150): `selector` is the fqn-joined
+    * dotted path with a `type:` prefix for non-fqn-addressed types,
+    * `name` the search name, `path` the originating file, `json` a
+    * per-node object restricted to ALLOWED_KEYS or --output-keys.
+    */
+  private[run] def lsLine(n: graft.core.Node, mode: String,
+      outputKeys: Option[Set[String]]): String = {
+    import graft.core._
+    def originOf: String = n match {
+      case m: ModelNode => m.originPath
+      case s: SeedNode => s.originPath
+      case s: SnapshotNode => s.originPath
+      case t: TestNode => t.originPath
+      case s: SourceNode => s.path
+      case _ => ""
+    }
+    def fqn: Seq[String] = {
+      // models/marts/fct.sql → intermediate dirs [marts]; reference fqn
+      // = [package] ++ subfolders ++ [name]
+      val parts = originOf.split('/').toSeq
+      val dirs = if (parts.size > 2) parts.drop(1).dropRight(1) else Nil
+      (n.packageName +: dirs) :+ n.name
+    }
+    def selector: String = n match {
+      case s: SourceNode => s"source:${s.packageName}.${s.sourceName}.${s.name}"
+      case e: ExposureNode => s"exposure:${e.packageName}.${e.name}"
+      case m: MetricNode => s"metric:${m.packageName}.${m.name}"
+      case q: SavedQueryNode => s"saved_query:${q.packageName}.${q.name}"
+      case sm: SemanticModelNode => s"semantic_model:${sm.packageName}.${sm.name}"
+      case u: UnitTestNode => s"unit_test:${u.packageName}.${u.name}"
+      case _ => fqn.mkString(".")
+    }
+    def searchName: String = n match {
+      case s: SourceNode => s"${s.sourceName}.${s.name}"
+      case _ => n.name
+    }
+    def json: String = {
+      import graft.run.Artifacts.jstr
+      val all: Seq[(String, String)] = Seq(
+        "name" -> jstr(n.name),
+        "resource_type" -> jstr(n.resourceType),
+        "package_name" -> jstr(n.packageName),
+        "original_file_path" -> jstr(originOf),
+        "unique_id" -> jstr(n.uniqueId),
+        "alias" -> n.config.alias.map(jstr).getOrElse("null"),
+        "tags" -> n.config.tags.toSeq.sorted.map(jstr).mkString("[", ",", "]"),
+        "depends_on" ->
+          s"""{"nodes":${n.dependsOn.map(jstr).mkString("[", ",", "]")}}""")
+      val keep = outputKeys.getOrElse(all.map(_._1).toSet)
+      all.filter(kv => keep(kv._1))
+        .map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    }
+    mode match {
+      case "json" => json
+      case "name" => searchName
+      case "path" => originOf
+      case _ => selector
+    }
+  }
+
   private[run] def normalizeCommand(args: Array[String]): (String, List[String]) =
     args.head match {
       case "list" => ("ls", args.tail.toList)
@@ -348,7 +416,7 @@ object Cli {
       |  [--inline "<sql>"] [--limit N] [--empty] [--log-format text|json]
       |  [--warn-error] [--fail-fast] [--quiet] [--profiles-dir <dir>]
       |  [--indirect-selection eager|cautious|buildable|empty]
-      |  ls [--resource-type model,seed,...] [--output json]
+      |  ls [--resource-type model,seed,...] [--output selector|name|path|json] [--output-keys "name unique_id ..."]
       |  run-operation <macro> [--args k=v,...]
       |  clone --state-warehouse <dir> [--deep]""".stripMargin
 }

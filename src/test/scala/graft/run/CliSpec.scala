@@ -162,4 +162,31 @@ class CliSpec extends AnyFunSuite {
       EventLog.format = f0; EventLog.sink = s0; EventLog.minLevel = l0
     }
   }
+
+  test("ls output modes: selector/name/path/json + --output-keys (task/list.py)") {
+    import graft.core._
+    val m = ModelNode("fct_orders", "select 1",
+      config = NodeConfig(tags = Set("nightly", "core")),
+      dependsOn = Seq("model.graft.stg_orders"),
+      originPath = "models/marts/fct_orders.sql")
+    // selector = fqn dotted path: package + subfolders + name
+    assert(Cli.lsLine(m, "selector", None) === "graft.marts.fct_orders")
+    assert(Cli.lsLine(m, "name", None) === "fct_orders")
+    assert(Cli.lsLine(m, "path", None) === "models/marts/fct_orders.sql")
+    val j = Cli.lsLine(m, "json", None)
+    assert(j.contains("\"unique_id\":\"model.graft.fct_orders\""))
+    assert(j.contains("\"tags\":[\"core\",\"nightly\"]"))
+    assert(j.contains("\"depends_on\":{\"nodes\":[\"model.graft.stg_orders\"]}"))
+    assert(j.contains("\"alias\":null"))
+    // --output-keys restricts to the requested keys only
+    val jk = Cli.lsLine(m, "json", Some(Set("name", "resource_type")))
+    assert(jk === "{\"name\":\"fct_orders\",\"resource_type\":\"model\"}")
+    // sources: type-prefixed selector, dotted search name
+    val src = SourceNode("raw", "orders", "warehouse/raw/orders.parquet")
+    assert(Cli.lsLine(src, "selector", None) === "source:graft.raw.orders")
+    assert(Cli.lsLine(src, "name", None) === "raw.orders")
+    // exposures: type-prefixed pkg.name
+    val e = ExposureNode("weekly_kpis")
+    assert(Cli.lsLine(e, "selector", None) === "exposure:graft.weekly_kpis")
+  }
 }
