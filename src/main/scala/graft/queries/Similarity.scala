@@ -372,11 +372,17 @@ object Similarity {
     * collecting K-sized groups; both passes shuffle only N rows. */
   private[queries] def cellRanks(embD: DataFrame, cents: DataFrame): DataFrame = {
     val first = sweepMin(cellSweep(embD, cents), 1)
+    // rank 2: attach the rank-1 cell to the N-row VECTOR side before
+    // the crossJoin — joining it onto the N×K sweep instead would
+    // sort-merge (= sort) the whole sweep, the exact shape rank 1
+    // avoids. Here the join is N×N; the exclusion is a streamed filter.
+    val embWithC1 = embD
+      .join(first.select(col("vec_id"), col("cent_id").as("c1")), "vec_id")
     val second = sweepMin(
-      cellSweep(embD, cents)
-        .join(first.select(col("vec_id"), col("cent_id").as("c1")), "vec_id")
+      embWithC1.crossJoin(broadcast(cents))
         .filter(col("cent_id") =!= col("c1"))
-        .select("vec_id", "cent_id", "sqdist"), 2)
+        .select(col("vec_id"), col("cent_id"),
+          round(sqDist(col("embedding"), col("centv")), 6).as("sqdist")), 2)
     first.unionByName(second)
   }
 
