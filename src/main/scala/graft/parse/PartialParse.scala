@@ -90,12 +90,24 @@ object PartialParse {
     d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
 
+  /** JEP-290 deserialization filter: the state file lives inside the
+    * (possibly cloned/untrusted) project's target dir, so restrict the
+    * object graph to this engine's own classes + Scala/Java collection
+    * plumbing. Anything else (a planted gadget chain) is rejected —
+    * readState then degrades to a cold parse, never fatal. The
+    * reference sidesteps this with data-only msgpack. */
+  private val stateFilter: java.io.ObjectInputFilter =
+    java.io.ObjectInputFilter.Config.createFilter(
+      "graft.**;scala.**;java.lang.*;java.util.**;java.math.*;java.time.*;" +
+        "maxdepth=128;!*")
+
   def readState(path: Path): Option[State] =
     if (!Files.exists(path)) None
     else
       try {
         val in = new java.io.ObjectInputStream(
           new java.io.BufferedInputStream(Files.newInputStream(path)))
+        in.setObjectInputFilter(stateFilter)
         try in.readObject() match {
           case s: State if s.format == Format => Some(s)
           case _ => None

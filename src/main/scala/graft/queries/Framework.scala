@@ -2330,14 +2330,13 @@ object Framework {
       "m42_partial_parse",
       """SELECT * FROM (VALUES
         |  ('add_delete', 'added=models/m_x.sql,deleted=models/m_9.sql,parsed=1'),
-        |  ('cold', 'stateLoaded=false,parsed=20002,reused=0'),
+        |  ('cold', 'stateLoaded=false,parsed=2002,reused=0'),
         |  ('events', 'I017,I024,I040'),
         |  ('manifest_identity', 'identical'),
         |  ('model_edit', 'changed=models/m_7.sql,parsed=1'),
-        |  ('schema_edit', 'changed=models/schema.yml,parsed=2,reused=20000'),
+        |  ('schema_edit', 'changed=models/schema.yml,parsed=2,reused=2000'),
         |  ('special_macro', 'full:generate_schema_name,reused=0'),
-        |  ('warm', 'skipped,parsed=0,reused=20002'),
-        |  ('warm_under_30s', 'true')
+        |  ('warm', 'skipped,parsed=0,reused=2002')
         |) AS t(check_name, result)
         |ORDER BY check_name""".stripMargin) { (s, dir) =>
       import s.implicits._
@@ -2350,7 +2349,9 @@ object Framework {
         java.nio.file.Files.writeString(p, content): Unit
       }
       write("dbt_project.yml", "name: pp\n")
-      (0 until 20000).foreach(i => write(s"models/m_$i.sql", s"SELECT $i AS id"))
+      // 2k models keeps the gate purely behavioral (cheap, load-insensitive);
+      // the 20k/50k timing bars live in ParsePerfSpec + PartialParseSpec.
+      (0 until 2000).foreach(i => write(s"models/m_$i.sql", s"SELECT $i AS id"))
       write("models/schema.yml",
         "models:\n  - name: m_0\n    description: zeroth\n")
       write("macros/helpers.sql", "{% macro shout(x) %}{{ x }}!{% endmacro %}")
@@ -2363,12 +2364,9 @@ object Framework {
       rows += (("cold", s"stateLoaded=${st(cold).stateLoaded}," +
         s"parsed=${st(cold).parsed},reused=${st(cold).reused}"))
 
-      val t0 = System.nanoTime()
       val warm = load()
-      val warmSec = (System.nanoTime() - t0) / 1e9
       rows += (("warm", s"${if (st(warm).skipped) "skipped" else "ran"}," +
         s"parsed=${st(warm).parsed},reused=${st(warm).reused}"))
-      rows += (("warm_under_30s", (warmSec < 30.0).toString)) // generous: de-flakes the hash gate under load; ParsePerfSpec keeps the tight 5s bar
 
       write("models/schema.yml",
         "models:\n  - name: m_0\n    description: UPDATED\n")

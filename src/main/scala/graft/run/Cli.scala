@@ -226,9 +226,15 @@ object Cli {
           .map(_.split("[,\\s]+").filter(_.nonEmpty).toSet)
         ids.foreach { id =>
           // ids the manifest keys differently (versioned aliases) fall
-          // back to the raw unique id rather than dropping silently
+          // back to the raw unique id rather than dropping silently; in
+          // json mode the fallback stays a JSON object so the output is
+          // uniformly NDJSON (reference errors here — we degrade)
           println(engine.manifest.nodes.get(id)
-            .map(n => lsLine(n, mode, keys)).getOrElse(id))
+            .map(n => lsLine(n, mode, keys))
+            .getOrElse(
+              if (mode == "json")
+                s"""{"unique_id":${graft.run.Artifacts.jstr(id)}}"""
+              else id))
         }
       case "compile" if opts.contains("inline") =>
         // reference `dbt compile --inline '<sql>'`: print the rendered
@@ -339,10 +345,15 @@ object Cli {
     }
     def fqn: Seq[String] = {
       // models/marts/fct.sql → intermediate dirs [marts]; reference fqn
-      // = [package] ++ subfolders ++ [name]
+      // = [package] ++ subfolders ++ [name] (++ [vN] for versioned
+      // models, nodes.py fqn building)
       val parts = originOf.split('/').toSeq
       val dirs = if (parts.size > 2) parts.drop(1).dropRight(1) else Nil
-      (n.packageName +: dirs) :+ n.name
+      val ver = n match {
+        case m: ModelNode => m.version.map(v => s"v$v").toSeq
+        case _ => Nil
+      }
+      ((n.packageName +: dirs) :+ n.name) ++ ver
     }
     def selector: String = n match {
       case s: SourceNode => s"source:${s.packageName}.${s.sourceName}.${s.name}"
@@ -359,6 +370,13 @@ object Cli {
     }
     def json: String = {
       import graft.run.Artifacts.jstr
+      // reference ALLOWED_KEYS (task/list.py:42-55): config is the
+      // node-config dict, source_name present only for sources
+      val configObj = Seq(
+        "materialized" -> jstr(n.config.materialized),
+        "enabled" -> n.config.enabled.toString,
+        "tags" -> n.config.tags.toSeq.sorted.map(jstr).mkString("[", ",", "]"))
+        .map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
       val all: Seq[(String, String)] = Seq(
         "name" -> jstr(n.name),
         "resource_type" -> jstr(n.resourceType),
@@ -366,9 +384,14 @@ object Cli {
         "original_file_path" -> jstr(originOf),
         "unique_id" -> jstr(n.uniqueId),
         "alias" -> n.config.alias.map(jstr).getOrElse("null"),
+        "config" -> configObj,
         "tags" -> n.config.tags.toSeq.sorted.map(jstr).mkString("[", ",", "]"),
         "depends_on" ->
-          s"""{"nodes":${n.dependsOn.map(jstr).mkString("[", ",", "]")}}""")
+          s"""{"nodes":${n.dependsOn.map(jstr).mkString("[", ",", "]")}}""") ++
+        (n match {
+          case s: SourceNode => Seq("source_name" -> jstr(s.sourceName))
+          case _ => Nil
+        })
       val keep = outputKeys.getOrElse(all.map(_._1).toSet)
       all.filter(kv => keep(kv._1))
         .map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")

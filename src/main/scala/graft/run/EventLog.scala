@@ -25,16 +25,22 @@ object EventLog {
     * plus console quiet is the normal operating mode. Enabled by the
     * CLI via [[openLogFile]]; None for library embedding. */
   @volatile private var fileSink: Option[java.io.PrintWriter] = None
+  /** Guards open/close/write of the file channel as a unit. A lock on
+    * the writer itself would not do: closeLogFile swaps the writer, so
+    * an emit that captured the old instance could write into a closed
+    * stream (PrintWriter swallows the IOException → silent drop near
+    * exit, e.g. from the CLI shutdown hook). */
+  private val fileLock = new Object
 
-  def openLogFile(path: java.nio.file.Path): Unit = {
-    closeLogFile()
+  def openLogFile(path: java.nio.file.Path): Unit = fileLock.synchronized {
+    fileSink.foreach { w => w.flush(); w.close() }
     java.nio.file.Files.createDirectories(path.getParent)
     fileSink = Some(new java.io.PrintWriter(java.nio.file.Files.newBufferedWriter(
       path, java.nio.charset.StandardCharsets.UTF_8,
       java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)))
   }
 
-  def closeLogFile(): Unit = {
+  def closeLogFile(): Unit = fileLock.synchronized {
     fileSink.foreach { w => w.flush(); w.close() }
     fileSink = None
   }
@@ -42,15 +48,18 @@ object EventLog {
   private val levels = Map("debug" -> 0, "info" -> 1, "warn" -> 2, "error" -> 3)
 
   def emit(event: String, level: String, fields: (String, Any)*): Unit = {
-    val file = fileSink
     val toConsole = levels.getOrElse(level, 1) >= levels.getOrElse(minLevel, 1)
-    if (!toConsole && file.isEmpty) return
+    if (!toConsole && fileSink.isEmpty) return
     val ts = java.time.Instant.now().toString
     lazy val jsonLine = {
       val all = Seq("event" -> event, "ts" -> ts, "level" -> level) ++ fields
       all.map { case (k, v) => s"${q(k)}: ${jval(v)}" }.mkString("{", ", ", "}")
     }
-    file.foreach { w => w.synchronized { w.println(jsonLine); w.flush() } }
+    // Re-read fileSink under fileLock so a concurrent closeLogFile can
+    // never close the writer between capture and write.
+    fileLock.synchronized {
+      fileSink.foreach { w => w.println(jsonLine); w.flush() }
+    }
     if (toConsole) {
       if (format == "json") sink(jsonLine)
       else {

@@ -240,9 +240,22 @@ object StreamMaterializer {
           // filter state needs no synchronization
           val keys = batch.select(col("l_orderkey")).dropDuplicates()
           seenOrders.foreach { prior =>
-            val bc = batch.sparkSession.sparkContext.broadcast(prior)
-            val mightRepeat = udf((k: Long) => bc.value.mightContain(k))
-            val repeats = keys.filter(mightRepeat(col("l_orderkey"))).count()
+            // codegen'd probe — the same native expression the batch
+            // twin (q78) uses — instead of a per-row Scala UDF; the
+            // filter was built over raw orderkey longs (putLong), and
+            // BloomFilterMightContain calls mightContainLong, so put
+            // and probe share one hash family by construction
+            val priorBytes = {
+              val bos = new java.io.ByteArrayOutputStream()
+              prior.writeTo(bos)
+              bos.toByteArray
+            }
+            val mightRepeat = org.apache.spark.sql.graftshim.toColumn(
+              org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+                org.apache.spark.sql.catalyst.expressions.Literal(
+                  priorBytes, org.apache.spark.sql.types.BinaryType),
+                org.apache.spark.sql.graftshim.toExpression(col("l_orderkey"))))
+            val repeats = keys.filter(mightRepeat).count()
             require(repeats == 0L,
               s"maintainPairIndex: batch $batchId carries $repeats orderkey(s) " +
                 "already seen in earlier micro-batches — the source is not " +

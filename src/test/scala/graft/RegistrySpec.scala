@@ -5,7 +5,7 @@ import org.scalatest.funsuite.AnyFunSuite
 /** The driver contract indexes queries by name (`SparkEntry.queries` is
   * a Map) — a duplicate name across registries would silently shadow an
   * earlier query and its oracle. Enforce uniqueness here, plus the
-  * naming conventions the gate tooling (VerifySome prefixes, Bench's
+  * naming conventions the gate tooling (Verify name-prefix args, Bench's
   * q-filter) relies on.
   */
 class RegistrySpec extends AnyFunSuite {
