@@ -176,6 +176,10 @@ final case class ModelNode(
       */
     version: Option[Int] = None,
     latestVersion: Option[Int] = None,
+    /** `deprecation_date:` from the model's schema-yml entry (reference
+      * nodes.py ModelNode.deprecation_date, ISO date or datetime) —
+      * drives I065/I066/I067 parse+reference warnings. */
+    deprecationDate: Option[String] = None,
     /** project-relative source file, for path:/file: selectors. */
     originPath: String = "",
     /** From schema YAML; `{{ doc('name') }}` references are resolved
@@ -350,9 +354,15 @@ final case class ExposureNode(
 final case class MetricNode(
     name: String,
     model: String,
+    /** Aggregation SQL, e.g. "sum(spend)". Empty when [[measure]] names
+      * a semantic-model measure instead (reference simple metrics,
+      * `type_params.measure`) — the engine derives agg(expr) from it. */
     calculation: String, // e.g. "sum(spend)"
     dimensions: Seq[String] = Nil,
     filter: Option[String] = None,
+    /** Reference `type_params.measure`: the semantic-model measure this
+      * metric aggregates; validated to exist at parse (I070 check). */
+    measure: Option[String] = None,
     config: NodeConfig = NodeConfig(),
     dependsOn: Seq[String] = Nil) extends Node {
   val resourceType = "metric"

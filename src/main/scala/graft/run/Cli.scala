@@ -23,6 +23,26 @@ object Cli {
     if (args.isEmpty) { println(usage); sys.exit(2) }
     val (command, rest) = normalizeCommand(args)
     val opts = parseOpts(rest)
+    // logging seams FIRST so even spark-free commands (deps/init/clean)
+    // stream structured events like the reference
+    EventLog.format = opts.getOrElse("log-format", "text")
+    EventLog.minLevel =
+      if (opts.contains("quiet")) "error" else opts.getOrElse("log-level", "info")
+    try mainImpl(command, args, opts)
+    catch {
+      case e: Throwable =>
+        // reference Z002 MainEncounteredError + Z003 MainStackTrace:
+        // the top-level error channel a wrapper parses before exit 2
+        EventLog.error("main_encountered_error", "code" -> "Z002",
+          "exc" -> String.valueOf(e.getMessage))
+        EventLog.error("main_stack_trace", "code" -> "Z003",
+          "exc_info" -> e.getStackTrace.take(12).mkString(" <- "))
+        sys.exit(2)
+    }
+  }
+
+  private def mainImpl(command: String, args: Array[String],
+      opts: Map[String, String]): Unit = {
     val projectDir = opts.getOrElse("project",
       sys.error("--project <dir> is required"))
     // --target names a profiles.yml output (reference -t/--target);
@@ -50,6 +70,11 @@ object Cli {
         // --source-path points the source at real data (defaults to
         // the bundled sf0.001 orders table so the starter runs as-is).
         val root = java.nio.file.Paths.get(projectDir)
+        EventLog.emit("starter_project_path", "debug", "code" -> "A017",
+          "dir" -> root.toString)
+        if (java.nio.file.Files.exists(root.resolve("dbt_project.yml")))
+          EventLog.info("project_name_already_exists", "code" -> "A025",
+            "name" -> root.getFileName.toString)
         val srcPath = opts.getOrElse("source-path",
           "/root/testdata/sf0.001/orders.parquet")
         def scaffold(rel: String, content: String): Unit = {
@@ -90,18 +115,35 @@ object Cli {
             |      - name: o_custkey
             |        tests: [not_null, unique]
             |""".stripMargin)
+        EventLog.info("project_created", "code" -> "A026",
+          "project_name" -> root.getFileName.toString)
         println(s"initialized starter project at $projectDir " +
           "(source -> stg_orders -> fct_customer_orders + tests); " +
           "run it with: run --project <dir> --warehouse <dir>")
         return
       case "clean" =>
-        def rm(p: java.nio.file.Path): Unit =
-          if (java.nio.file.Files.exists(p)) {
-            java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        // reference clean task (Z012-Z015): check each path, refuse
+        // paths outside the project (protected), confirm the removals
+        val projRoot = java.nio.file.Paths.get(projectDir)
+          .toAbsolutePath.normalize()
+        def rm(p: java.nio.file.Path): Unit = {
+          val abs = p.toAbsolutePath.normalize()
+          EventLog.info("check_clean_path", "code" -> "Z012",
+            "path" -> abs.toString)
+          if (!abs.startsWith(projRoot)) {
+            EventLog.info("protected_clean_path", "code" -> "Z014",
+              "path" -> abs.toString)
+            println(s"protected path, skipping: $abs")
+          } else if (java.nio.file.Files.exists(abs)) {
+            java.nio.file.Files.walk(abs).sorted(java.util.Comparator.reverseOrder())
               .forEach(f => java.nio.file.Files.delete(f))
-            println(s"cleaned $p")
+            EventLog.info("confirm_clean_path", "code" -> "Z013",
+              "path" -> abs.toString)
+            println(s"cleaned $abs")
           }
+        }
         rm(java.nio.file.Paths.get(targetDir))
+        EventLog.info("finished_clean_paths", "code" -> "Z015")
         return
       case _ => ()
     }
@@ -109,8 +151,21 @@ object Cli {
     // profiles.yml: the selected output supplies warehouse path and
     // thread default when flags don't (flag > profile > fallback)
     val targetName = opts.get("target")
-    val targetDef = graft.parse.ProjectLoader.resolveTarget(projectDir, targetName,
-      opts.get("profiles-dir"))
+    val targetDef =
+      try graft.parse.ProjectLoader.resolveTarget(projectDir, targetName,
+        opts.get("profiles-dir"))
+      catch {
+        case e: Throwable =>
+          // reference A011 LogDbtProfileError
+          EventLog.error("profile_error", "code" -> "A011",
+            "exc" -> String.valueOf(e.getMessage))
+          sys.exit(2)
+      }
+    if (targetDef.isEmpty && targetName.isDefined)
+      // reference A005 MissingProfileTarget: named target not found;
+      // the engine proceeds on fallbacks
+      EventLog.info("missing_profile_target", "code" -> "A005",
+        "profile_name" -> "default", "target_name" -> targetName.get)
     val warehouseDir = opts.get("warehouse")
       .orElse(targetDef.flatMap(_.warehouse))
       .getOrElse(java.nio.file.Files.createTempDirectory("graft_wh").toString)
@@ -118,19 +173,21 @@ object Cli {
       .orElse(targetDef.flatMap(_.threads)).getOrElse(4)
     val rawSelect = opts.get("select").map(_.split("\\s+").toSeq).getOrElse(Nil)
     val rawExclude = opts.get("exclude").map(_.split("\\s+").toSeq).getOrElse(Nil)
-    val vars = opts.get("vars").map(_.split(",").map { kv =>
-      val Array(k, v) = kv.split("=", 2); k -> v
-    }.toMap).getOrElse(Map.empty)
+    val vars =
+      try opts.get("vars").map(_.split(",").map { kv =>
+        val Array(k, v) = kv.split("=", 2); k -> v
+      }.toMap).getOrElse(Map.empty)
+      catch {
+        case _: MatchError =>
+          // reference A008 InvalidOptionYAML
+          EventLog.error("invalid_option_yaml", "code" -> "A008",
+            "option_name" -> "vars")
+          sys.exit(2)
+      }
 
-    // --log-format json → one JSON line per node/invocation event
-    // (reference `--log-format`, `core/dbt/events/`); text stays the
-    // human default. The CLI raises the level so events stream.
-    EventLog.format = opts.getOrElse("log-format", "text")
-    // --quiet (reference -q) suppresses non-error console logging;
-    // --log-level overrides the default info floor
+    // --log-format/--log-level/--quiet were applied in main() before
+    // the spark-free commands; `quiet` also filters the result echo
     val quiet = opts.contains("quiet")
-    EventLog.minLevel =
-      if (quiet) "error" else opts.getOrElse("log-level", "info")
     // reference file channel: logs/dbt.log under --log-path (or
     // DBT_LOG_PATH, or <project>/logs) — always JSON, always debug,
     // regardless of the console level. Opened before the banner so
@@ -150,6 +207,14 @@ object Cli {
       "args" -> args.mkString(" "))
     val cmdT0 = System.nanoTime()
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      // reference Z051 ResourceReport: process stats a perf consumer
+      // scrapes at command end, then Q039 CommandCompleted
+      val rt = Runtime.getRuntime
+      EventLog.emit("resource_report", "debug", "code" -> "Z051",
+        "command_name" -> command,
+        "command_wall_clock_time" -> (System.nanoTime() - cmdT0) / 1e9,
+        "process_memory_used_mb" -> (rt.totalMemory() - rt.freeMemory()) / 1e6,
+        "process_num_cpus" -> rt.availableProcessors())
       EventLog.emit("command_completed", "debug", "code" -> "Q039",
         "command" -> command,
         "elapsed" -> (System.nanoTime() - cmdT0) / 1e9)
@@ -170,20 +235,44 @@ object Cli {
     // A31: partial parsing is ON by default like the reference;
     // --no-partial-parse forces a full parse (beats DBT_PARTIAL_PARSE
     // env, which beats the project `flags:` setting).
-    val engine = Engine.fromProject(spark, projectDir, warehouseDir, vars,
-      emptyMode = opts.contains("empty"), target = targetName,
-      warnError = opts.contains("warn-error"),
-      partialParse = Some(graft.parse.PartialParse.Options(
-        enabled = if (opts.contains("no-partial-parse")) Some(false) else None,
-        cliTargetPath = opts.get("target-path"))))
+    val engine =
+      try Engine.fromProject(spark, projectDir, warehouseDir, vars,
+        emptyMode = opts.contains("empty"), target = targetName,
+        warnError = opts.contains("warn-error"),
+        partialParse = Some(graft.parse.PartialParse.Options(
+          enabled = if (opts.contains("no-partial-parse")) Some(false) else None,
+          cliTargetPath = opts.get("target-path"))))
+      catch {
+        case e: graft.run.Deprecations.DeprecationError => throw e
+        case e: Throwable =>
+          // reference A009 LogDbtProjectError: the project failed to
+          // load/parse — structured error, exit 2
+          EventLog.error("project_error", "code" -> "A009",
+            "exc" -> String.valueOf(e.getMessage))
+          sys.exit(2)
+      }
     // --selector resolves a selectors.yml name; with no selection flags
     // at all, the default: true selector (if any) applies — reference
     // behavior for named selectors.
     val (select, exclude) = opts.get("selector") match {
-      case Some(n) => engine.namedSelector(n)
+      case Some(n) =>
+        try engine.namedSelector(n)
+        catch {
+          case e: Throwable =>
+            // reference M010 SelectorReportInvalidSelector
+            EventLog.info("selector_report_invalid_selector", "code" -> "M010",
+              "spec" -> n, "valid_selectors" ->
+                engine.manifest.selectors.keys.toSeq.sorted.mkString(", "))
+            throw e
+        }
       case None if rawSelect.isEmpty && rawExclude.isEmpty =>
-        engine.defaultSelector.map(d => (d.select, d.exclude))
-          .getOrElse((Nil, Nil))
+        val d = engine.defaultSelector
+        d.foreach(sel =>
+          // reference Q023 DefaultSelector: a default: true selector
+          // applies when no selection flags were given
+          EventLog.info("default_selector", "code" -> "Q023",
+            "name" -> sel.name))
+        d.map(s => (s.select, s.exclude)).getOrElse((Nil, Nil))
       case None => (rawSelect, rawExclude)
     }
     def report(results: Seq[graft.exec.Materializer.Result]): Unit = {
@@ -229,17 +318,34 @@ object Cli {
           // back to the raw unique id rather than dropping silently; in
           // json mode the fallback stays a JSON object so the output is
           // uniformly NDJSON (reference errors here — we degrade)
-          println(engine.manifest.nodes.get(id)
+          val line = engine.manifest.nodes.get(id)
             .map(n => lsLine(n, mode, keys))
             .getOrElse(
               if (mode == "json")
                 s"""{"unique_id":${graft.run.Artifacts.jstr(id)}}"""
-              else id))
+              else id)
+          // reference Z049 ListCmdOut: stdout carries the line; the
+          // event mirrors it into the log-file channel
+          EventLog.info("list_cmd_out", "code" -> "Z049", "msg" -> line)
+          println(line)
         }
       case "compile" if opts.contains("inline") =>
         // reference `dbt compile --inline '<sql>'`: print the rendered
-        // SQL without executing it
-        println(engine.compileInline(opts("inline")))
+        // SQL without executing it; render failures are the I069
+        // ParseInlineNodeError channel
+        val compiled =
+          try engine.compileInline(opts("inline"))
+          catch {
+            case e: Throwable =>
+              EventLog.error("parse_inline_node_error", "code" -> "I069",
+                "exc" -> String.valueOf(e.getMessage))
+              sys.exit(1)
+          }
+        // reference Q042 CompiledNode: the compiled-SQL output event
+        EventLog.info("compiled_node", "code" -> "Q042",
+          "unique_id" -> "sql_operation.graft.inline_query",
+          "compiled" -> compiled)
+        println(compiled)
       case "compile" =>
         engine.ls(select, exclude)
           .flatMap(id => engine.manifest.nodes.get(id))
@@ -248,16 +354,34 @@ object Cli {
             val out = java.nio.file.Paths.get(s"$targetDir/compiled/${m.name}.sql")
             java.nio.file.Files.createDirectories(out.getParent)
             java.nio.file.Files.writeString(out, engine.compile(m))
+            // reference Z026 SQLCompiledPath + Q042 CompiledNode
+            EventLog.info("sql_compiled_path", "code" -> "Z026",
+              "path" -> out.toString)
+            EventLog.info("compiled_node", "code" -> "Q042",
+              "unique_id" -> m.uniqueId)
             println(s"compiled ${m.name} -> $out")
           }
+        // reference Q002 CompileComplete
+        EventLog.info("compile_complete", "code" -> "Q002")
       case "show" =>
         val limit = opts.getOrElse("limit", "5").toInt
-        (opts.get("inline"), select.headOption) match {
-          case (Some(sql), _) => engine.show(sql, limit).show(truncate = false)
-          case (None, Some(model)) => engine.showModel(model, limit).show(truncate = false)
+        val df = (opts.get("inline"), select.headOption) match {
+          case (Some(sql), _) => engine.show(sql, limit)
+          case (None, Some(model)) => engine.showModel(model, limit)
           case _ => sys.error("show needs --inline '<sql>' or --select <model>")
         }
+        // reference Q041 ShowNode: the preview event a wrapper parses
+        EventLog.info("show_node", "code" -> "Q041",
+          "unique_id" -> select.headOption.getOrElse("inline_query"),
+          "preview_rows" -> df.count())
+        df.show(truncate = false)
       case "freshness" =>
+        if (engine.runStartHooks.nonEmpty || engine.runEndHooks.nonEmpty)
+          // reference D017: source freshness does not run project hooks
+          Deprecations.warn("source-freshness-project-hooks", "D017",
+            "In a future version of dbt, the `source freshness` command " +
+              "will start running `on-run-start` and `on-run-end` hooks " +
+              "by default. It does not run them today.")
         engine.sourceFreshness(select).toSeq.sortBy(_._1).foreach {
           case (id, (status, age)) => println(f"$status%-6s $id age=${age}%.0fs")
         }
@@ -268,14 +392,64 @@ object Cli {
         println(s"wrote $targetDir/manifest.json " +
           s"(${engine.manifest.nodes.size} nodes)")
       case "debug" =>
-        println(s"project:   $projectDir")
-        println(s"warehouse: $warehouseDir")
-        println(s"nodes:     ${engine.manifest.nodes.size} " +
-          engine.manifest.nodes.values.groupBy(_.resourceType)
-            .map { case (t, ns) => s"$t=${ns.size}" }.toSeq.sorted.mkString("(", " ", ")"))
-        println(s"selectors: ${engine.manifest.selectors.keys.toSeq.sorted.mkString(", ")}")
-        println(s"spark:     ${spark.version} master=${spark.sparkContext.master}")
-        println("connection: ok")
+        // reference debug task (core/dbt/task/debug.py): a structured
+        // check list with per-check pass/fail lines (Z047), a result
+        // summary (Z048), non-zero exit on any failure; --connection
+        // restricts to the connection probes (DebugRunStatus shape)
+        val connectionOnly = opts.contains("connection")
+        var nFailed = 0
+        def check(name: String)(body: => String): Unit = {
+          val (ok, detail) =
+            try (true, body)
+            catch { case e: Throwable => (false, String.valueOf(e.getMessage)) }
+          if (!ok) nFailed += 1
+          EventLog.info("debug_cmd_out", "code" -> "Z047",
+            "check_name" -> name,
+            "status" -> (if (ok) "pass" else "fail"), "detail" -> detail)
+          println(f"  $name%-28s ${if (ok) "[OK]" else "[ERROR]"}%-8s $detail")
+        }
+        if (!connectionOnly) {
+          check("project file") {
+            val p = java.nio.file.Paths.get(projectDir, "dbt_project.yml")
+            require(java.nio.file.Files.exists(p),
+              s"dbt_project.yml not found under $projectDir")
+            p.toString
+          }
+          check("profile / target") {
+            targetDef match {
+              case Some(t) =>
+                s"profile '${t.profileName}' target '${t.name}'" +
+                  t.schema.map(s => s" schema '$s'").getOrElse("")
+              case None => "no profiles.yml target (engine defaults apply)"
+            }
+          }
+          check("manifest parse") {
+            s"${engine.manifest.nodes.size} nodes " +
+              engine.manifest.nodes.values.groupBy(_.resourceType)
+                .map { case (t, ns) => s"$t=${ns.size}" }
+                .toSeq.sorted.mkString("(", " ", ")")
+          }
+        }
+        check("connection: spark session") {
+          s"spark ${spark.version} master=${spark.sparkContext.master}"
+        }
+        check("connection: warehouse write probe") {
+          // round-trip a one-row relation through the warehouse and
+          // drop it — the adapter "ping" of the reference
+          val probe = "__graft_debug_probe"
+          engine.wh.writeTable(probe, spark.range(1).toDF("ok"))
+          val n = engine.wh.rowCount(probe)
+          engine.wh.drop(probe)
+          require(n == 1L, s"probe round-trip returned $n rows")
+          s"$warehouseDir writable"
+        }
+        EventLog.info("debug_cmd_result", "code" -> "Z048",
+          "status" -> (if (nFailed == 0) "pass" else "fail"),
+          "failures" -> nFailed)
+        println(
+          if (nFailed == 0) "All checks passed!"
+          else s"$nFailed check(s) failed")
+        if (nFailed > 0) sys.exit(1)
       case "clone" =>
         // reference `dbt clone`: relations from a state warehouse into
         // this one — pointer clone by default, --deep copies data
@@ -296,8 +470,15 @@ object Cli {
         val opArgs = opts.get("args").map(_.split(",").map { kv =>
           val Array(k, v) = kv.split("=", 2); k -> v
         }.toMap).getOrElse(Map.empty)
-        engine.runOperation(macroName, opArgs)
+        try engine.runOperation(macroName, opArgs)
           .lastOption.foreach(_.show(truncate = false))
+        catch {
+          case e: Throwable =>
+            // reference Q001 RunningOperationCaughtError
+            EventLog.error("running_operation_caught_error", "code" -> "Q001",
+              "exc" -> String.valueOf(e.getMessage))
+            sys.exit(1)
+        }
       case "docs" =>
         // the vendored dbt docs SPA (index.html) fetches manifest.json
         // + catalog.json at load — write all three together

@@ -358,7 +358,20 @@ final class Engine(
     * the reference's only SQL-level rewrite
     * (`core/dbt/compilation.py:302-392,540-608`).
     */
+  /** Per-worker-thread compile-time accumulator: runNode interleaves
+    * compile and execute per materialization, so the scheduler derives
+    * the Z010 execute share as (total - compile) after the node runs. */
+  private val compileNanosTL = new ThreadLocal[java.lang.Long] {
+    override def initialValue(): java.lang.Long = 0L
+  }
+
   def compile(node: Node, isIncremental: Boolean = false): String = {
+    val __t0 = System.nanoTime()
+    try compileImpl(node, isIncremental)
+    finally compileNanosTL.set(compileNanosTL.get() + (System.nanoTime() - __t0))
+  }
+
+  private def compileImpl(node: Node, isIncremental: Boolean): String = {
     val (raw, refs) = node match {
       case m: ModelNode => (m.rawSql, m.refs)
       case s: SnapshotNode => (s.rawSql, s.refs)
@@ -367,7 +380,34 @@ final class Engine(
     }
     val ephemeralDeps = scala.collection.mutable.LinkedHashMap[String, String]()
 
-    def resolveRef(name: String): String =
+    def resolveRef(name: String): String = {
+      // reference-time advisories (reference providers.py ref checks):
+      // I066/I067 deprecated-target warnings, I064 unpinned ref while
+      // newer versions exist
+      manifest.resolveRefSpec(name).foreach {
+        case m: ModelNode =>
+          m.deprecationDate.foreach { d =>
+            Engine.parseDeprecationDate(d).foreach { ts =>
+              val (event, code) =
+                if (ts.after(clock())) ("upcoming_reference_deprecation", "I066")
+                else ("deprecated_reference", "I067")
+              EventLog.warn(event, "code" -> code,
+                "model_name" -> node.name, "ref_model_name" -> m.name,
+                "deprecation_date" -> d)
+            }
+          }
+          if (m.version.isDefined && !name.contains(".v")) {
+            val maxV = manifest.nodes.values.collect {
+              case o: ModelNode if o.name == m.name && o.version.isDefined =>
+                o.version.get
+            }.max
+            if (maxV > m.version.get)
+              EventLog.info("unpinned_ref_new_version_available", "code" -> "I064",
+                "model_name" -> node.name, "ref_model_name" -> m.name,
+                "resolved_version" -> m.version.get, "newest_version" -> maxV)
+          }
+        case _ => ()
+      }
       manifest.resolveRefSpec(name) match {
         case Some(m: ModelNode)
             if m.config.access == "private" && m.config.group != node.config.group =>
@@ -395,6 +435,7 @@ final class Engine(
           if (emptyMode) s"(SELECT * FROM $rel LIMIT 0) __empty_$rel" else rel
         case None => throw new IllegalArgumentException(s"unresolved ref: $name")
       }
+    }
 
     def resolveSource(s: String, t: String): String =
       manifest.resolveSource(s, t) match {
@@ -449,6 +490,12 @@ final class Engine(
     // are always available and we only schedule selected nodes.
     val selected = selected0.filter(id =>
       manifest.nodes.get(id).exists(n => resourceTypes.contains(n.resourceType)))
+    if (selected.isEmpty)
+      // reference Q035 NothingToDo ("Nothing to do. Try checking your
+      // model configs and model specification args")
+      EventLog.warn("nothing_to_do", "code" -> "Q035",
+        "msg" -> ("Nothing to do. Try checking your model configs and " +
+          "model specification args."))
     EventLog.info("invocation_started",
       "invocation_id" -> invocationId, "n_nodes" -> selected.size,
       "threads" -> threads)
@@ -501,9 +548,26 @@ final class Engine(
             EventLog.info("node_started", "code" -> "Q024", "unique_id" -> id,
               "index" -> idx, "total" -> nTotal,
               "invocation_id" -> invocationId)
+            // reference Q011 LogStartLine: the "i of N START ..." line
+            EventLog.info("log_start_line", "code" -> "Q011",
+              "unique_id" -> id, "index" -> idx, "total" -> nTotal)
+            compileNanosTL.set(0L)
+            // reference Z010 TimingInfoCollected: one line per timing
+            // entry; compile time accumulates across the node's renders
+            def emitTiming(totalNanos: Long): Unit = {
+              val compileSec = compileNanosTL.get() / 1e9
+              EventLog.emit("timing_info_collected", "debug",
+                "code" -> "Z010", "unique_id" -> id,
+                "timing_name" -> "compile", "elapsed_sec" -> compileSec)
+              EventLog.emit("timing_info_collected", "debug",
+                "code" -> "Z010", "unique_id" -> id,
+                "timing_name" -> "execute",
+                "elapsed_sec" -> math.max(0.0, totalNanos / 1e9 - compileSec))
+            }
             try {
               val r0 = runNode(node, fullRefresh)
               val dt = (System.nanoTime() - t0) / 1e9
+              emitTiming(System.nanoTime() - t0)
               val r = r0.copy(elapsedSec = dt)
               results.add(r)
               if (r.status == "fail") {
@@ -514,6 +578,13 @@ final class Engine(
                   "status" -> r.status, "elapsed_sec" -> dt,
                   "message" -> r.message, "invocation_id" -> invocationId)
                 resultLine(id, r.status, idx, dt)
+                if (node.resourceType == "test" || node.resourceType == "unit_test")
+                  // reference Z027 CheckNodeTestFailure: how to inspect
+                  // the failing rows (store_failures audit relation)
+                  EventLog.info("check_node_test_failure", "code" -> "Z027",
+                    "relation_name" -> s"${node.name}__audit",
+                    "msg" -> (s"compiled test SQL kept the failing rows; " +
+                      s"with store_failures they persist as ${node.name}__audit"))
                 val skipped = queue.markFailed(id)
                 skipped.foreach { sid =>
                   results.add(Materializer.Result(sid, "skipped",
@@ -521,6 +592,9 @@ final class Engine(
                   EventLog.warn("node_finished", "code" -> "Q025", "unique_id" -> sid,
                     "status" -> "skipped", "message" -> s"upstream failure: $id",
                     "invocation_id" -> invocationId)
+                  EventLog.error("log_skip_because_error", "code" -> "Z034",
+                    "unique_id" -> sid, "status" -> "skipped",
+                    "msg" -> s"SKIP relation $sid due to ancestor failure $id")
                   EventLog.info("skipping_details", "code" -> "Q034",
                     "unique_id" -> sid, "index" -> nodeIndex.incrementAndGet(),
                     "total" -> nTotal)
@@ -536,9 +610,17 @@ final class Engine(
               case e: Throwable =>
                 failed.set(true)
                 val dt = (System.nanoTime() - t0) / 1e9
+                emitTiming(System.nanoTime() - t0)
                 results.add(Materializer.Result(id, "error",
                   message = String.valueOf(e.getMessage),
                   elapsedSec = dt))
+                // reference W004 GenericExceptionOnRun + Z011 debug
+                // stack trace (the error channel a log consumer parses)
+                EventLog.error("generic_exception_on_run", "code" -> "W004",
+                  "unique_id" -> id, "exc" -> String.valueOf(e.getMessage))
+                EventLog.emit("log_debug_stack_trace", "debug",
+                  "code" -> "Z011",
+                  "exc_info" -> e.getStackTrace.take(12).mkString(" <- "))
                 EventLog.error("node_finished", "code" -> "Q025", "unique_id" -> id,
                   "status" -> "error", "elapsed_sec" -> dt,
                   "message" -> String.valueOf(e.getMessage),
@@ -551,6 +633,9 @@ final class Engine(
                   EventLog.warn("node_finished", "code" -> "Q025", "unique_id" -> sid,
                     "status" -> "skipped", "message" -> s"upstream failure: $id",
                     "invocation_id" -> invocationId)
+                  EventLog.error("log_skip_because_error", "code" -> "Z034",
+                    "unique_id" -> sid, "status" -> "skipped",
+                    "msg" -> s"SKIP relation $sid due to ancestor failure $id")
                   EventLog.info("skipping_details", "code" -> "Q034",
                     "unique_id" -> sid, "index" -> nodeIndex.incrementAndGet(),
                     "total" -> nTotal)
@@ -577,12 +662,20 @@ final class Engine(
     val out = results.asScala.toSeq
     // reference end-of-run block: Z021/Z024 one line per warn/error
     // result, Z030 EndOfRunSummary, Z023 StatsLine
-    out.filter(_.status == "warn").foreach(r =>
+    out.filter(_.status == "warn").foreach { r =>
       EventLog.warn("run_result_warning", "code" -> "Z021",
-        "unique_id" -> r.uniqueId, "message" -> r.message))
-    out.filter(r => r.status == "error" || r.status == "fail").foreach(r =>
+        "unique_id" -> r.uniqueId, "message" -> r.message)
+      // reference Z046: the free-text body printed under the Z021 header
+      EventLog.warn("run_result_warning_message", "code" -> "Z046",
+        "msg" -> r.message)
+    }
+    out.filter(r => r.status == "error" || r.status == "fail").foreach { r =>
+      // reference Z022 RunResultFailure header + Z024 detail line
+      EventLog.error("run_result_failure", "code" -> "Z022",
+        "unique_id" -> r.uniqueId, "status" -> r.status)
       EventLog.error("run_result_error", "code" -> "Z024",
-        "unique_id" -> r.uniqueId, "message" -> r.message))
+        "unique_id" -> r.uniqueId, "message" -> r.message)
+    }
     EventLog.info("end_of_run_summary", "code" -> "Z030",
       "num_errors" -> out.count(r => r.status == "error" || r.status == "fail"),
       "num_warnings" -> out.count(_.status == "warn"),
@@ -645,8 +738,14 @@ final class Engine(
             mergeUpdateColumns = m.config.mergeUpdateColumns,
             mergeExcludeColumns = m.config.mergeExcludeColumns)
         case "materialized_view" =>
-          Materializer.materializedView(wh, relationName(m), compile(m),
-            m.config.onConfigurationChange)
+          val action = Materializer.materializedView(wh, relationName(m),
+            compile(m), m.config.onConfigurationChange)
+          if (action == "continue")
+            // reference Q019 LogNodeNoOpResult: definition drifted but
+            // on_configuration_change=continue keeps the stale MV
+            EventLog.info("log_node_no_op_result", "code" -> "Q019",
+              "unique_id" -> m.uniqueId, "status" -> "no-op",
+              "msg" -> "configuration changed; keeping existing materialized view")
         case "ephemeral" => () // never materialized (inlined at consumers)
         case "analysis" => () // compiled only (reference analysis nodes)
         case other =>
@@ -691,6 +790,9 @@ final class Engine(
         Option(resultSlots.get(m.uniqueId)).getOrElse(Map.empty))
       Materializer.Result(m.uniqueId, "success", rowsAffected = rows)
     case s: SeedNode =>
+      // reference Q004 SeedHeader: the per-seed banner line
+      EventLog.info("seed_header", "code" -> "Q004",
+        "header" -> s"seed file ${s.originPath} -> ${relationName(s)}")
       Materializer.seed(wh, s, relationName(s))
       val rows = wh.rowCount(relationName(s))
       storeResult(s.uniqueId, "main", Map("status" -> "SUCCESS",
@@ -752,6 +854,21 @@ final class Engine(
     * path): SELECT dims…, calculation FROM model [WHERE filter]
     * GROUP BY dims.
     */
+  /** A metric's aggregation SQL: its own `calculation:`, or derived
+    * from the semantic-model measure it names (parse already validated
+    * the measure exists — reference simple metrics). */
+  private def metricCalc(m: MetricNode): String =
+    if (m.calculation.nonEmpty) m.calculation
+    else {
+      val (_, agg, expr) = manifest.nodes.values.collectFirst {
+        case s: SemanticModelNode if s.model == m.model &&
+            s.measures.exists(_._1 == m.measure.get) =>
+          s.measures.find(_._1 == m.measure.get).get
+      }.getOrElse(throw new IllegalArgumentException(
+        s"metric ${m.name}: measure ${m.measure.get} not found"))
+      s"$agg($expr)"
+    }
+
   def queryMetric(name: String): DataFrame = {
     val metric = manifest.nodes.values.collectFirst {
       case m: MetricNode if m.name == name => m
@@ -761,11 +878,12 @@ final class Engine(
     val rel = relationName(model)
     val dims = metric.dimensions
     val where = metric.filter.map(f => s" WHERE $f").getOrElse("")
+    val calc = metricCalc(metric)
     val sql =
       if (dims.isEmpty)
-        s"SELECT ${metric.calculation} AS ${metric.name} FROM $rel$where"
+        s"SELECT $calc AS ${metric.name} FROM $rel$where"
       else
-        s"""SELECT ${dims.mkString(", ")}, ${metric.calculation} AS ${metric.name}
+        s"""SELECT ${dims.mkString(", ")}, $calc AS ${metric.name}
            |FROM $rel$where GROUP BY ${dims.mkString(", ")}""".stripMargin
     spark.sql(sql)
   }
@@ -788,7 +906,7 @@ final class Engine(
     val model = manifest.resolveRef(models.head).getOrElse(
       throw new IllegalArgumentException(s"saved query $name: unknown model ${models.head}"))
     val rel = relationName(model)
-    val aggs = metrics.map(m => s"${m.calculation} AS ${m.name}")
+    val aggs = metrics.map(m => s"${metricCalc(m)} AS ${m.name}")
     val conds = (sq.where.toSeq ++ metrics.flatMap(_.filter)).distinct
     val where = if (conds.isEmpty) "" else conds.mkString(" WHERE (", ") AND (", ")")
     val sql =
@@ -1110,7 +1228,7 @@ final class Engine(
       else Selector.select(manifest, dag, select)
     def finalStatus(raw: String): String =
       if (warnError && raw == "warn") "error" else raw
-    manifest.sources.values.filter(s => scope.contains(s.uniqueId)).flatMap { s =>
+    val out = manifest.sources.values.filter(s => scope.contains(s.uniqueId)).flatMap { s =>
       s.loadedAtField match {
         case Some(f) =>
           val (raw, age) = Materializer.freshness(wh, relationName(s), f,
@@ -1127,6 +1245,15 @@ final class Engine(
         case None => None
       }
     }.toMap
+    // reference Q018 LogFreshnessResult (one per source) + Q003
+    // FreshnessCheckComplete
+    out.toSeq.sortBy(_._1).foreach { case (id, (status, age)) =>
+      EventLog.info("log_freshness_result", "code" -> "Q018",
+        "unique_id" -> id, "status" -> status, "age_sec" -> age)
+    }
+    EventLog.info("freshness_check_complete", "code" -> "Q003",
+      "n_sources" -> out.size)
+    out
   }
 
   /** `dbt ls` (reference list task): selected unique ids, topo order. */
@@ -1208,6 +1335,13 @@ object Engine {
     * one explicitly — the Spark-warehouse analog of dbt's per-target
     * database schema.
     */
+  /** `deprecation_date:` value → Timestamp; ISO date or datetime,
+    * date-only reads as midnight. Unparseable → None (no warning). */
+  private[run] def parseDeprecationDate(s: String): Option[java.sql.Timestamp] =
+    try Some(java.sql.Timestamp.valueOf(
+      if (s.contains(":")) s.replace("T", " ") else s"$s 00:00:00"))
+    catch { case _: IllegalArgumentException => None }
+
   def fromProject(spark: SparkSession, projectDir: String, warehouseRoot: String,
       vars: Map[String, String] = Map.empty,
       clock: Materializer.Clock = Materializer.systemClock,
@@ -1253,6 +1387,48 @@ object Engine {
     // (reference deprecations.py + tests/functional/deprecations)
     proj.deprecations.foreach { case (n, c, m) =>
       Deprecations.warn(n, c, m, warnError)
+    }
+    // I041 PartialParsingFile: one debug line per file delta
+    proj.partialStats.filter(st => st.enabled && st.stateLoaded).foreach { st =>
+      st.added.foreach(f => EventLog.emit("partial_parsing_file", "debug",
+        "code" -> "I041", "operation" -> "added", "path" -> f))
+      st.changed.foreach(f => EventLog.emit("partial_parsing_file", "debug",
+        "code" -> "I041", "operation" -> "updated", "path" -> f))
+      st.deleted.foreach(f => EventLog.emit("partial_parsing_file", "debug",
+        "code" -> "I041", "operation" -> "deleted", "path" -> f))
+    }
+    // parse-time warn advisories (I051 unused config path, I058 schema
+    // patch without a node, …) — plain warn events, not promotable
+    proj.warnings.foreach { case (event, code, msg) =>
+      EventLog.warn(event, "code" -> code, "msg" -> msg)
+    }
+    // I056 UnusedTables: sources defined but referenced by no node
+    locally {
+      val referenced: Set[String] =
+        proj.manifest.nodes.values.flatMap(_.dependsOn).toSet
+      val unused = proj.manifest.sources.keys.filterNot(referenced).toSeq.sorted
+      if (unused.nonEmpty)
+        EventLog.warn("unused_tables", "code" -> "I056",
+          "unused_tables" -> unused.mkString(", "))
+    }
+    // I068 UnsupportedConstraintMaterialization: contracts bind columns
+    // at write time — a view/ephemeral has no write to enforce at
+    proj.manifest.nodes.values.foreach {
+      case m: graft.core.ModelNode if m.config.contractEnforced &&
+          !Set("table", "incremental").contains(m.config.materialized) =>
+        EventLog.warn("unsupported_constraint_materialization", "code" -> "I068",
+          "materialized" -> m.config.materialized, "unique_id" -> m.uniqueId)
+      case _ => ()
+    }
+    // I065 DeprecatedModel: model past its deprecation_date at load
+    // (reference parser/manifest.py check_for_model_deprecations)
+    proj.manifest.nodes.values.foreach {
+      case m: graft.core.ModelNode if m.deprecationDate.exists(d =>
+          parseDeprecationDate(d).exists(!_.after(clock()))) =>
+        EventLog.warn("deprecated_model", "code" -> "I065",
+          "model_name" -> m.name,
+          "deprecation_date" -> m.deprecationDate.get)
+      case _ => ()
     }
     val targetDef = ProjectLoader.resolveTarget(projectDir, target)
     val ns =

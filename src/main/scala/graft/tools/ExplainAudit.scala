@@ -32,25 +32,29 @@ import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
   */
 object ExplainAudit {
 
-  /** Unpartitioned windows whose input is a bounded DOMAIN the plan
-    * walker cannot prove: query name → (max windows expected, why the
-    * input is bounded). Grows only with a written justification.
-    */
-  val boundedDomainAllowlist: Map[String, (Int, String)] = Map(
-    "q147_revenue_anomaly" ->
-      (2, "day-grain revenue series: calendar-bounded, not data-bounded"),
-    "q165_pareto_front" ->
-      (1, "per-price aggregate: p_retailprice is a fixed bounded price grid"),
-    "q176_ks_drift" ->
-      (1, "n_chars histogram: bounded document-length domain"),
-    "q199_poisson_bootstrap" ->
-      (1, "32-replicate bootstrap aggregate (b in 0..31)"),
-    "q206_discrete_hazard" ->
-      (1, "tenure-week histogram: calendar-bounded"),
-    "q208_stratified_exact_split" ->
-      (1, "one row per language stratum: bounded strata set"),
-    "q218_gains_table" ->
-      (1, "decile aggregate: NTILE(10) output domain, <= 10 rows"))
+  /** One allowlist entry: how many unpartitioned windows the query may
+    * carry, the declared HARD bound on each window's input row count
+    * (a domain property — it must NOT grow with data volume), and why.
+    * BoundedWindowSpec measures the actual input rows at 1× and 10×
+    * data against `rowBound`, so "bounded domain" stays a measured
+    * fact. Grows only with a written justification. */
+  final case class BoundedDomain(maxWindows: Int, rowBound: Long, why: String)
+
+  val boundedDomainAllowlist: Map[String, BoundedDomain] = Map(
+    "q147_revenue_anomaly" -> BoundedDomain(2, 5000L,
+      "day-grain revenue series: calendar-bounded (~2,400 TPC-H days), not data-bounded"),
+    "q165_pareto_front" -> BoundedDomain(1, 120000L,
+      "per-price aggregate: p_retailprice is a fixed cents grid (~100k values max)"),
+    "q176_ks_drift" -> BoundedDomain(1, 50000L,
+      "n_chars histogram: bounded document-length domain"),
+    "q199_poisson_bootstrap" -> BoundedDomain(1, 64L,
+      "32-replicate bootstrap aggregate (b in 0..31)"),
+    "q206_discrete_hazard" -> BoundedDomain(1, 2000L,
+      "tenure-week histogram: calendar-bounded"),
+    "q208_stratified_exact_split" -> BoundedDomain(1, 200L,
+      "one row per language stratum: bounded strata set"),
+    "q218_gains_table" -> BoundedDomain(1, 16L,
+      "decile aggregate: NTILE(10) output domain, <= 10 rows"))
 
   private def hasLimit(p: SparkPlan): Boolean = p.collectFirst {
     case _: GlobalLimitExec => true
@@ -78,6 +82,17 @@ object ExplainAudit {
         "bucket-offsets"
       case _ => "FLAG"
     }
+
+  /** (window node, classification) for every empty-partitionSpec
+    * window — BoundedWindowSpec measures the FLAG/bounded-domain ones.
+    * Expects a NON-adaptive plan (AQE stage wrappers hide the subtree
+    * the classifier walks). */
+  def classifiedWindows(plan: SparkPlan): Seq[(SparkPlan, String)] = plan.collect {
+    case w: WindowExec if w.partitionSpec.isEmpty =>
+      (w: SparkPlan, classify(w, w.child))
+    case w: WindowGroupLimitExec if w.partitionSpec.isEmpty =>
+      (w: SparkPlan, classify(w, w.child))
+  }
 
   /** (classification, description) for every empty-partitionSpec
     * window in the plan.
@@ -123,11 +138,11 @@ object ExplainAudit {
         val wins = auditWindows(qe.executedPlan)
         val flagged = wins.filter(_._1 == "FLAG")
         val allowed = boundedDomainAllowlist.get(q.name)
-        val excess = flagged.size - allowed.map(_._1).getOrElse(0)
+        val excess = flagged.size - allowed.map(_.maxWindows).getOrElse(0)
         wins.foreach { case (cls, ord) =>
           val label =
             if (cls == "FLAG" && allowed.isDefined && excess <= 0)
-              s"bounded-domain (${allowed.get._2})"
+              s"bounded-domain (${allowed.get.why})"
             else cls
           summary.append(s"${q.name}: window[$label] order=$ord\n")
         }

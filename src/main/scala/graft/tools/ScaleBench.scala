@@ -46,14 +46,17 @@ object ScaleBench {
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
       PlanOps.map(op => op.trim -> op.r.findAllIn(plan).length).toMap
     }
-    def timeWarm(name: String, dir: String): Double = {
+    /** (cold, warm): the first run pays one-time builds (index
+      * construction, codegen, cache fill); the second is the serving
+      * path. cold - warm ~ build cost for index-backed queries. */
+    def timeColdWarm(name: String, dir: String): (Double, Double) = {
       def once(): Double = {
         val s = System.nanoTime()
         byName(name).run(spark, dir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - s) / 1e9
       }
-      once() // warm-up: JIT, codegen, one-time index builds
-      once()
+      val cold = once()
+      (cold, once())
     }
 
     val rows = names.map { name =>
@@ -66,35 +69,41 @@ object ScaleBench {
       spark.catalog.clearCache()
       val basePlan = planCounts(name, baseDir)
       val scalePlan = planCounts(name, scaleDir)
-      val baseSec = timeWarm(name, baseDir)
-      val scaleSec = timeWarm(name, scaleDir)
+      val (baseCold, baseSec) = timeColdWarm(name, baseDir)
+      val (scaleCold, scaleSec) = timeColdWarm(name, scaleDir)
       val ratio = scaleSec / math.max(baseSec, 1e-9)
       val changed = basePlan != scalePlan
       System.err.println(
         f"[scalebench] $name base=$baseSec%.2f scale=$scaleSec%.2f " +
-          f"ratio=$ratio%.2f planChanged=$changed")
-      (name, baseSec, scaleSec, ratio, basePlan, scalePlan, changed)
+          f"ratio=$ratio%.2f planChanged=$changed " +
+          f"(cold base=$baseCold%.2f scale=$scaleCold%.2f)")
+      (name, baseSec, scaleSec, ratio, basePlan, scalePlan, changed,
+        baseCold, scaleCold)
     }
 
     def counts(m: Map[String, Int]): String =
       m.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }
         .mkString("{", ",", "}")
-    val qjson = rows.map { case (n, b, s, r, bp, sp, ch) =>
+    val qjson = rows.map { case (n, b, s, r, bp, sp, ch, bc, sc) =>
       f""""$n":{"base_sec":$b%.3f,"scale_sec":$s%.3f,"ratio":$r%.2f,""" +
+        f""""base_cold_sec":$bc%.3f,"scale_cold_sec":$sc%.3f,""" +
+        f""""build_sec_base":${math.max(0.0, bc - b)}%.3f,""" +
+        f""""build_sec_scale":${math.max(0.0, sc - s)}%.3f,""" +
         s""""plan_changed":$ch,"plan_base":${counts(bp)},"plan_scale":${counts(sp)}}"""
     }.mkString("{", ",", "}")
     val cart = rows.count(_._6.getOrElse("CartesianProduct", 0) > 0)
     val maxRatio = rows.map(_._4).max
     val medianRatio = rows.map(_._4).sorted.apply(rows.size / 2)
     val json =
-      s"""{"base":"$baseDir","scale":"$scaleDir","data_factor":10,
+      s"""{"base":"$baseDir","scale":"$scaleDir","data_factor":${
+        sys.env.getOrElse("SCALE_FACTOR", "10")},
          |"n_queries":${rows.size},
          |"median_ratio":${f"$medianRatio%.2f"},
          |"max_ratio":${f"$maxRatio%.2f"},
          |"plans_changed":${rows.count(_._7)},
          |"cartesians_at_scale":$cart,
          |"queries":$qjson,
-         |"note":"ratio=warm seconds at 10x data / warm seconds at sf0.1; ~linear bar is ratio<=10; plan_* are formatted-explain operator counts"}
+         |"note":"ratio=warm(serve) seconds at scale / warm at base; build_sec_*=cold-warm (one-time index builds); plan_* are formatted-explain operator counts"}
          |""".stripMargin
     java.nio.file.Files.write(java.nio.file.Paths.get(outJson),
       json.getBytes("UTF-8"))

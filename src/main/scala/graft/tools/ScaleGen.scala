@@ -48,6 +48,7 @@ object ScaleGen {
     if (parts("scale10")) scale10(spark, sfDir, s"$outDir/scale10", replicas)
     if (parts("skew")) skewed(spark, sfDir, s"$outDir/skew")
     if (parts("boiler")) boiler(spark, sfDir, s"$outDir/boiler")
+    if (parts("dupctl")) dupctl(spark, sfDir, s"$outDir/dupctl", replicas)
     println(f"[scalegen] done in ${(System.nanoTime() - t0) / 1e9}%.1f s -> $outDir")
   }
 
@@ -171,6 +172,102 @@ object ScaleGen {
           "cast((i + rep) % size(embedding) as int) + 1))"))
       .withColumn("vec_id", offset("vec_id"))
       .drop("rep"), 8)
+  }
+
+  /** Duplication-CONTROLLED corpus scale-up (VERDICT r9 item 1) for the
+    * near-dup pair kernels (q27/q175/q112 over documents, q41/q59 over
+    * embeddings): grow the corpus `replicas`× while holding the TRUE
+    * near-duplicate rate constant at 1/[[DupEvery]], so the expected
+    * pair count grows LINEARLY with corpus size.
+    *
+    * Construction: every replica row is first made genuinely new (the
+    * scale10 half-mix for texts, the position rotation for vectors —
+    * no verbatim clones, no cross-replica cliques); then each
+    * [[DupEvery]]-th row of the NEW corpus is overwritten with a light
+    * perturbation of its immediate predecessor. Each injected
+    * duplicate pairs with exactly ONE other row — cliques cannot form,
+    * so a kernel whose candidate topology is sound sees O(N) true
+    * pairs, and a quadratic blow-up at scale is a kernel bug, not a
+    * data artifact.
+    *
+    * Ids are re-sequenced contiguously (rowIdx = base offset + rep·N)
+    * so the predecessor always exists. Writes only the two corpus
+    * tables — point the pair-kernel queries' sfDir here.
+    */
+  val DupEvery = 50
+
+  private def dupctl(spark: SparkSession, sfDir: String, out: String,
+      replicas: Int): Unit = {
+    val rep = broadcast(spark.range(replicas).toDF("rep"))
+
+    // ---- documents
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val (n, minId) = {
+      val r = docs.agg(count(lit(1)), min("doc_id")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val tails = docs.select(
+      col("doc_id").as("t_id"),
+      expr("substring(text, length(text) div 2 + 1)").as("tail"))
+    val mixed = docs.crossJoin(rep)
+      .withColumn("t_id",
+        (col("doc_id") - lit(minId) + col("rep")) % lit(n) + lit(minId))
+      .join(tails, "t_id")
+      .withColumn("text",
+        when(col("rep") === 0, col("text"))
+          .otherwise(concat(expr("substring(text, 1, length(text) div 2)"),
+            col("tail"))))
+      .withColumn("idx", col("doc_id") - lit(minId) + col("rep") * lit(n))
+      .select(col("idx"), col("text"), col("lang"), col("source"))
+    // inject: row idx with idx % DupEvery == 1 becomes a light
+    // perturbation of row idx-1 (drop the last 12 chars, append a
+    // short marker) — one near-dup pair per injection, never a clique
+    val partnersD = mixed.select(col("idx").as("pidx"), col("text").as("ptext"))
+    val dupDocs = mixed
+      .withColumn("pidx",
+        when(col("idx") % lit(DupEvery) === 1, col("idx") - 1))
+      .join(partnersD, Seq("pidx"), "left")
+      .withColumn("text",
+        when(col("ptext").isNotNull,
+          concat(expr("substring(ptext, 1, greatest(length(ptext) - 12, 1))"),
+            lit(" dupvar"), col("idx") % 9))
+          .otherwise(col("text")))
+      .withColumn("doc_id", col("idx") + lit(minId))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    dupDocs.repartition(math.max(8, replicas / 2))
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    println(s"[scalegen] wrote dupctl documents x$replicas (dup rate 1/$DupEvery)")
+
+    // ---- embeddings
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val (en, eMinId) = {
+      val r = emb.agg(count(lit(1)), min("vec_id")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val rotated = emb.crossJoin(rep)
+      .withColumn("embedding", expr(
+        "transform(embedding, (x, i) -> element_at(embedding, " +
+          "cast((i + rep) % size(embedding) as int) + 1))"))
+      .withColumn("idx", col("vec_id") - lit(eMinId) + col("rep") * lit(en))
+      .drop("rep", "vec_id")
+    val partnersE = rotated.select(
+      col("idx").as("pidx"), col("embedding").as("pemb"))
+    val dupEmb = rotated
+      .withColumn("pidx",
+        when(col("idx") % lit(DupEvery) === 1, col("idx") - 1))
+      .join(partnersE, Seq("pidx"), "left")
+      .withColumn("embedding",
+        when(col("pemb").isNotNull,
+          // ~0.1% per-dim jitter: cosine vs the partner stays ~0.999995
+          expr("transform(pemb, (x, i) -> cast(x * (1.0d + 0.001d * " +
+            "((i % 7) - 3)) as float))"))
+          .otherwise(col("embedding")))
+      .withColumn("vec_id", col("idx") + lit(eMinId))
+      .drop("pidx", "pemb", "idx")
+    dupEmb.repartition(math.max(8, replicas / 2))
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    println(s"[scalegen] wrote dupctl embeddings x$replicas (dup rate 1/$DupEvery)")
   }
 
   /** sf0.1-sized skew variants: ~25% of fact rows collapse onto one hot

@@ -195,7 +195,7 @@ class EngineSpec extends SparkSpec {
           |  - name: ord_status
           |    columns:
           |      - name: o_orderstatus
-          |        tests:
+          |        data_tests:
           |          - accepted_values:
           |              values: ['O', 'F']
           |              severity: warn
@@ -617,7 +617,10 @@ class EngineSpec extends SparkSpec {
       val yaml = new org.yaml.snakeyaml.Yaml()
       val events = captured.toSeq.map(l =>
         yaml.load[java.util.Map[String, Any]](l))
+      // parse-time advisories (I056 unused source, …) may precede the
+      // invocation; the run lifecycle starts at invocation_started
       val names = events.map(_.get("event"))
+        .dropWhile(_ != "invocation_started")
       assert(names.head === "invocation_started")
       assert(names.last === "invocation_finished")
       val finished = events.filter(_.get("event") == "node_finished")
