@@ -19,9 +19,9 @@ object IvfBuildBench {
 
   def main(args: Array[String]): Unit = {
     val outJson = args.headOption.getOrElse("IVFBUILD_r9.json")
-    val sizes =
-      if (args.length > 1) args.drop(1).toSeq.map(_.toLong)
-      else Seq(200000L, 400000L, 800000L)
+    val sizeArgs =
+      if (args.length > 1) args.drop(1).toSeq
+      else Seq("200000", "400000", "800000")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
       .config("spark.sql.shuffle.partitions", "32")
@@ -30,16 +30,25 @@ object IvfBuildBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val rows = sizes.map { n =>
-      // same planted-cluster recipe as SimilaritySpec, 64-dim: cluster
-      // centers from id%997, id-keyed jitter — deterministic, no RNG
-      val emb = spark.range(n).select(
-        col("id").as("vec_id"),
-        array((0 until 64).map(j =>
-          sin(col("id") % 997 * 7 + lit(j)) * 10.0 +
-            sin(col("id") * 13 + lit(j)) * 2.0): _*).as("embedding"))
-        .persist()
-      emb.count() // materialize input outside the timed window
+    // a `dir:<path>` size arg times the build over that directory's
+    // REAL embeddings table instead of a synthetic corpus — the
+    // SCALE100 q31_build channel
+    val rows = sizeArgs.map { sizeArg =>
+      val emb =
+        if (sizeArg.startsWith("dir:"))
+          Similarity.embDouble(spark, sizeArg.stripPrefix("dir:")).persist()
+        else {
+          val n0 = sizeArg.toLong
+          // same planted-cluster recipe as SimilaritySpec, 64-dim:
+          // cluster centers from id%997, id-keyed jitter — no RNG
+          spark.range(n0).select(
+            col("id").as("vec_id"),
+            array((0 until 64).map(j =>
+              sin(col("id") % 997 * 7 + lit(j)) * 10.0 +
+                sin(col("id") * 13 + lit(j)) * 2.0): _*).as("embedding"))
+            .persist()
+        }
+      val n = emb.count() // materialize input outside the timed window
       val stride = math.max(97L, math.ceil(n.toDouble / Similarity.MaxCentroids).toLong)
       val trainStride = math.max(1L, stride / Similarity.TrainPerCell)
       val t0 = System.nanoTime()

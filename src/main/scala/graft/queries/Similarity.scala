@@ -140,13 +140,30 @@ object Similarity {
     * wrong shape at any scale. Training is deterministic (fixed seeds,
     * fixed iterations), so caching cannot change any result.
     */
+  /** `spark.catalog.clearCache()` (benchmark isolation, memory
+    * pressure tooling) unpins persisted blocks WITHOUT consulting the
+    * index caches — the cached DataFrames would then silently rebuild
+    * their whole lineage on every downstream action (the q31 "serve
+    * path rebuilds per query" pathology). Re-pin and re-materialize
+    * ONCE under the build lock when eviction is detected.
+    */
+  private def repin(dfs: DataFrame*): Unit =
+    if (dfs.exists(_.storageLevel == org.apache.spark.storage.StorageLevel.NONE))
+      IndexCache.buildLock.synchronized {
+        dfs.filter(_.storageLevel ==
+            org.apache.spark.storage.StorageLevel.NONE).foreach { df =>
+          df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          df.count(): Unit
+        }
+      }
+
   private val ivfCache =
     new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]()
 
   private[queries] def ivfIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val key = s"${IndexCache.sessionKey(s)}|$dir"
     val hit = ivfCache.get(key)
-    if (hit != null) hit
+    if (hit != null) { repin(hit._1, hit._2); hit }
     else IndexCache.buildLock.synchronized {
       val again = ivfCache.get(key)
       if (again != null) again
@@ -179,7 +196,7 @@ object Similarity {
   private[queries] def cellPairIndex(s: SparkSession, dir: String): DataFrame = {
     val key = s"${IndexCache.sessionKey(s)}|$dir"
     val hit = cellPairCache.get(key)
-    if (hit != null) hit
+    if (hit != null) { repin(hit); hit }
     else IndexCache.buildLock.synchronized {
       val again = cellPairCache.get(key)
       if (again != null) again
@@ -291,7 +308,7 @@ object Similarity {
       s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val key = s"${IndexCache.sessionKey(s)}|$dir"
     val hit = pqCache.get(key)
-    if (hit != null) hit
+    if (hit != null) { repin(hit._2, hit._4); hit }
     else IndexCache.buildLock.synchronized {
       val again = pqCache.get(key)
       if (again != null) again
