@@ -35,10 +35,16 @@ object Relational3 {
     // over the already-aggregated (small) rows, no second full
     // aggregate and no cost⋈best join — Spark computes an unreferenced
     // CTE subtree twice, so the join form would scan lineitem twice.
-    // Part/supplier/nation dims broadcast. Cost = exactly-summed
-    // decimal cast to double, divided by the count: one IEEE division,
-    // identical in both engines, so the min-equality filter matches
-    // exactly.
+    // The p_size predicate keeps or drops WHOLE partkey groups (the
+    // min is within-group), so it is pushed below the aggregate as a
+    // broadcast semi-join on the filtered part keys: map-side, no
+    // extra shuffle, and the groupBy + window only see lineitem rows
+    // for small parts (~the part-filter selectivity of the fact
+    // table) instead of aggregating everything and discarding 90% at
+    // the join. Part/supplier/nation dims broadcast. Cost =
+    // exactly-summed decimal cast to double, divided by the count:
+    // one IEEE division, identical in both engines, so the
+    // min-equality filter matches exactly.
     QueryDef(
       "q121_min_cost_supplier",
       """WITH cost AS (
@@ -59,7 +65,11 @@ object Relational3 {
         |WHERE p.p_size <= 5
         |ORDER BY p.p_partkey, s.s_name""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
+      val smallParts = Tables.load(s, dir, "part")
+        .filter(col("p_size") <= 5)
       val cost = Tables.load(s, dir, "lineitem")
+        .join(broadcast(smallParts.select("p_partkey")),
+          col("l_partkey") === col("p_partkey"), "left_semi")
         .groupBy("l_partkey", "l_suppkey")
         .agg((sum(dec(col("l_extendedprice"))).cast("double")
           / count(lit(1))).as("cost"))
@@ -67,8 +77,7 @@ object Relational3 {
         .withColumn("min_cost",
           min(col("cost")).over(Window.partitionBy("l_partkey")))
         .filter(col("cost") === col("min_cost"))
-        .join(broadcast(Tables.load(s, dir, "part")
-          .filter(col("p_size") <= 5)),
+        .join(broadcast(smallParts),
           col("p_partkey") === col("l_partkey"))
         .join(broadcast(Tables.load(s, dir, "supplier")),
           col("s_suppkey") === col("l_suppkey"))
