@@ -220,12 +220,16 @@ object Ext9 {
         |       CAST(COUNT(DISTINCT raw_key) - COUNT(DISTINCT norm_key) AS BIGINT)
         |         AS collapsed_by_norm
         |FROM n GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      // norm_key goes through the single-pass NormalizeText Catalyst
+      // expression (codegen-delegated): one scan per document instead
+      // of lower + two java.util.regex passes — the normalization is
+      // the dominant per-byte cost of this query at corpus scale.
+      // TextExprsSpec pins its equivalence to the regex chain.
       Tables.load(s, dir, "documents")
         .select(col("source"),
           md5(col("text")).as("raw_key"),
-          md5(trim(regexp_replace(
-            regexp_replace(lower(col("text")), "[^a-z0-9 ]+", ""),
-            " +", " "))).as("norm_key"))
+          md5(graft.functions.TextExprs.normalizeText(col("text")))
+            .as("norm_key"))
         .groupBy("source", "raw_key", "norm_key")
         .agg(count(lit(1)).as("cnt"))
         .groupBy("source")

@@ -71,4 +71,32 @@ class TextExprsSpec extends SparkSpec {
         s"seed $seedN: pair multisets diverge")
     }
   }
+
+  test("property: normalizeText equals the lower/regex/trim chain") {
+    import spark.implicits._
+    // alphabet stresses every branch: case folding, digits, kept and
+    // dropped punctuation, space runs, unicode letters (dropped after
+    // lowercasing), leading/trailing whitespace
+    val alphabet = "aAzZ09 .,!-_Éé世  \t"
+    val gen = Gen.listOfN(120,
+      Gen.choose(0, alphabet.length - 1).map(alphabet.charAt))
+    val params = Gen.Parameters.default
+    val cases = (1 to 50).map(n =>
+      gen.apply(params, rng.Seed(n.toLong)).get.mkString) ++ Seq(
+      "", " ", "   ", "a.b", "a . b", "A  B", ".,!", "  hi  THERE  9 ",
+      "café touché", "İstanbul", "tab\there")
+    val df = cases.toDF("s")
+    val viaChain = df.select(col("s"),
+      trim(regexp_replace(
+        regexp_replace(lower(col("s")), "[^a-z0-9 ]+", ""),
+        " +", " ")).as("expected"),
+      TextExprs.normalizeText(col("s")).as("actual"))
+    val diverging = viaChain.filter(col("expected") =!= col("actual"))
+    assert(diverging.count() === 0,
+      diverging.collect().take(5).mkString("; "))
+    // null in, null out — same as the regex chain
+    val n = Seq[Option[String]](None).toDF("s")
+      .select(TextExprs.normalizeText(col("s"))).head()
+    assert(n.isNullAt(0))
+  }
 }
