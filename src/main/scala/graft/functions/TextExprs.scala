@@ -199,7 +199,8 @@ case class PairCombos(child: Expression) extends UnaryExpression {
   * dominates q235, so this is the difference between one cheap scan
   * and three expensive ones over 100 TB of text.
   */
-case class NormalizeText(child: Expression) extends UnaryExpression {
+case class NormalizeText(child: Expression, punctToSpace: Boolean = false)
+    extends UnaryExpression {
 
   override def dataType: DataType = StringType
 
@@ -221,11 +222,13 @@ case class NormalizeText(child: Expression) extends UnaryExpression {
         if (pendingSpace && out.length > 0) out.append(' ')
         pendingSpace = false
         out.append(c)
-      } else if (c == ' ') {
+      } else if (punctToSpace || c == ' ') {
+        // punctToSpace: every non-alnum run becomes ONE space
+        // (`[^a-z0-9]+` -> ' '); default: only space chars separate,
+        // other chars are dropped and adjacent spaces merge through
+        // pendingSpace exactly as the remove-then-collapse chain does
         pendingSpace = true
       }
-      // any other char: dropped by the class filter; adjacent spaces
-      // merge through pendingSpace exactly as the two-regex chain does
       i += 1
     }
     UTF8String.fromString(out.toString)
@@ -260,7 +263,12 @@ object TextExprs {
   def pairCombos(postings: Column): Column =
     graftshim.toColumn(PairCombos(graftshim.toExpression(postings)))
 
-  /** Column API: single-pass lowercase/strip/collapse/trim normalize. */
-  def normalizeText(text: Column): Column =
-    graftshim.toColumn(NormalizeText(graftshim.toExpression(text)))
+  /** Column API: single-pass lowercase/strip/collapse/trim normalize.
+    * `punctToSpace = true` maps every non-alnum run to one space
+    * (`trim(regexp_replace(lower(s), "[^a-z0-9]+", " "))`); the
+    * default drops non-space punctuation
+    * (`trim(regexp_replace(regexp_replace(lower(s), "[^a-z0-9 ]+", ""), " +", " "))`).
+    */
+  def normalizeText(text: Column, punctToSpace: Boolean = false): Column =
+    graftshim.toColumn(NormalizeText(graftshim.toExpression(text), punctToSpace))
 }

@@ -276,7 +276,10 @@ object Ext3 {
         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
       val n = Tables.load(s, dir, "documents")
         .select(col("doc_id"),
-          substring(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")), 1, 64)
+          // punctToSpace normalization in one scan (non-alnum runs ->
+          // single space), replacing the regex pass; spec-pinned
+          substring(graft.functions.TextExprs
+            .normalizeText(col("text"), punctToSpace = true), 1, 64)
             .as("norm"))
         .withColumn("blk", substring(col("norm"), 1, 4))
       val w = Window.partitionBy("blk").orderBy("norm", "doc_id")

@@ -916,9 +916,10 @@ object Ext8 {
         |FROM g GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
       val fp = Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("n_chars"),
-          md5(trim(regexp_replace(
-            regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
-            " +", " "))).as("fp"))
+          // q24's canonical fingerprint via the single-pass
+          // NormalizeText expression (equivalence spec-pinned)
+          md5(graft.functions.TextExprs.normalizeText(col("text")))
+            .as("fp"))
       val g = fp.groupBy("fp")
         .agg(count(lit(1)).cast("long").as("sz"),
           sum("n_chars").cast("long").as("chars"),

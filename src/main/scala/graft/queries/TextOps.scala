@@ -776,9 +776,10 @@ object TextOps {
       docs(s, dir)
         .select(
           col("doc_id"),
-          md5(trim(regexp_replace(
-            regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
-            " +", " "))).as("fingerprint"))
+          // single-pass NormalizeText (codegen-delegated) instead of
+          // lower + two regex passes; TextExprsSpec pins equivalence
+          md5(graft.functions.TextExprs.normalizeText(col("text")))
+            .as("fingerprint"))
         .orderBy("doc_id")
     },
 

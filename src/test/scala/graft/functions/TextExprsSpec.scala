@@ -94,6 +94,14 @@ class TextExprsSpec extends SparkSpec {
     val diverging = viaChain.filter(col("expected") =!= col("actual"))
     assert(diverging.count() === 0,
       diverging.collect().take(5).mkString("; "))
+    // punctToSpace mode: non-alnum runs -> one space, then trim
+    val viaChain2 = df.select(col("s"),
+      trim(regexp_replace(lower(col("s")), "[^a-z0-9]+", " "))
+        .as("expected"),
+      TextExprs.normalizeText(col("s"), punctToSpace = true).as("actual"))
+    val diverging2 = viaChain2.filter(col("expected") =!= col("actual"))
+    assert(diverging2.count() === 0,
+      diverging2.collect().take(5).mkString("; "))
     // null in, null out — same as the regex chain
     val n = Seq[Option[String]](None).toDF("s")
       .select(TextExprs.normalizeText(col("s"))).head()
