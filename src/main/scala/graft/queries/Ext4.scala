@@ -136,7 +136,14 @@ object Ext4 {
     * (doc_a, doc_b, common_tokens, union_tokens) for all exact-Jaccard
     * >= 0.6 shingle pairs, unordered.
     */
-  private[queries] def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def jaccardPairs(s: SparkSession, dir: String): DataFrame =
+    // Built-once shared pair index (the sig/pairs/copairs discipline):
+    // q175 and q224 both consume the verified PPJoin pair table, and
+    // the verified output is candidate-bounded (tiny vs the corpus) —
+    // so the second consumer reads a persisted table instead of
+    // re-running the prefix join. At ingest scale this is the pair
+    // index a curation pipeline maintains incrementally (q171).
+    TextOps.cachedIndex(s"jaccpairs|${IndexCache.sessionKey(s)}|$dir") {
       val tok = docs(s, dir)
         .select(col("doc_id"),
           explode(graft.functions.TextExprs.shingles(

@@ -67,10 +67,16 @@ object ScaleBench {
       // both read 8-14x here while measuring 1.2x isolated. Each
       // query's own builds still count via the warm-up pass.
       spark.catalog.clearCache()
-      val basePlan = planCounts(name, baseDir)
-      val scalePlan = planCounts(name, scaleDir)
+      // time BEFORE explaining: cachedIndex-backed queries build their
+      // shared indexes eagerly at DataFrame CONSTRUCTION (the repin
+      // discipline), so an explain pass first would pay the build
+      // outside the timed window and the cold channel would no longer
+      // contain it — build_sec_* must stay = this query's own one-time
+      // index construction
       val (baseCold, baseSec) = timeColdWarm(name, baseDir)
       val (scaleCold, scaleSec) = timeColdWarm(name, scaleDir)
+      val basePlan = planCounts(name, baseDir)
+      val scalePlan = planCounts(name, scaleDir)
       val ratio = scaleSec / math.max(baseSec, 1e-9)
       val changed = basePlan != scalePlan
       System.err.println(
