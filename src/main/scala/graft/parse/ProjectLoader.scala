@@ -1259,9 +1259,17 @@ object ProjectLoader {
     * dbt-semantic-interfaces validations): referenced models resolve,
     * measures referenced by metrics exist on a semantic model over the
     * same model, saved-query exports resolve to metrics, and every
-    * semantic model defines exactly one primary entity. Failures emit
-    * the I070 SemanticValidationFailure event then raise — the judge
-    * contract is a specific parse error, not a silent drop.
+    * semantic model defines exactly one primary entity. Plus the
+    * structural rules from the validator's rule set: lower_snake_case
+    * element names (UniqueAndValidNameRule), one namespace per
+    * semantic model (entities/dimensions/measures cannot collide),
+    * globally-unique measure names, a closed aggregation-type set,
+    * and saved-query group-bys resolving to a dimension or entity of
+    * a semantic model over the exported metrics' model (skipped when
+    * no semantic model covers it — calculation-style metrics carry
+    * their own dimensions). Failures emit the I070
+    * SemanticValidationFailure event then raise — the judge contract
+    * is a specific parse error, not a silent drop.
     */
   private def validateSemanticManifest(m: Manifest): Unit = {
     def fail(msg: String): Nothing = {
@@ -1269,19 +1277,63 @@ object ProjectLoader {
         "code" -> "I070", "msg" -> msg)
       throw new IllegalArgumentException(s"semantic manifest: $msg")
     }
+    // UniqueAndValidNameRule shape: lower_snake_case, starts with a
+    // letter, no trailing underscore; '__' is reserved as the metric
+    // layer's entity-path separator so element names cannot embed it.
+    val validName = "^[a-z]([a-z0-9_]*[a-z0-9])?$".r
+    def checkName(kind: String, name: String): Unit =
+      if (validName.findFirstIn(name).isEmpty || name.contains("__"))
+        fail(s"$kind name '$name' is invalid: must be lower_snake_case " +
+          "(start with a letter, no '__', no trailing underscore)")
+    // Reference AggregationType enum (dbt-semantic-interfaces).
+    val aggTypes = Set("sum", "min", "max", "count", "count_distinct",
+      "sum_boolean", "average", "percentile", "median")
     val semanticModels = m.nodes.values.collect {
       case s: SemanticModelNode => s }.toSeq
     val metricNames = m.nodes.values.collect {
       case n: MetricNode => n.name }.toSet
+    // Measure names are the metric layer's global vocabulary — two
+    // semantic models cannot both define 'revenue'.
+    val measureOwners = scala.collection.mutable.Map.empty[String, String]
+    semanticModels.sortBy(_.name).foreach { sm =>
+      sm.measures.foreach { case (mn, _, _) =>
+        measureOwners.get(mn).foreach { other =>
+          fail(s"measure '$mn' is defined by both semantic model " +
+            s"'$other' and '${sm.name}': measure names must be unique " +
+            "across the project")
+        }
+        measureOwners(mn) = sm.name
+      }
+    }
     m.nodes.values.toSeq.sortBy(_.uniqueId).foreach {
       case sm: SemanticModelNode =>
+        checkName("semantic model", sm.name)
         if (m.resolveRef(sm.model).isEmpty)
           fail(s"semantic model '${sm.name}' references unknown model '${sm.model}'")
         val primaries = sm.entities.filter(_._2 == "primary")
         if (primaries.size != 1)
           fail(s"semantic model '${sm.name}' must define exactly one " +
             s"primary entity (found ${primaries.size})")
+        // one namespace per model: an entity, dimension, and measure
+        // cannot share a name (the group-by resolver would be ambiguous)
+        val elements = sm.entities.map(_._1 -> "entity") ++
+          sm.dimensions.map(_._1 -> "dimension") ++
+          sm.measures.map(t => t._1 -> "measure")
+        elements.foreach { case (n, kind) => checkName(s"$kind", n) }
+        elements.groupBy(_._1).foreach { case (n, hits) =>
+          if (hits.size > 1)
+            fail(s"semantic model '${sm.name}' defines '$n' more than " +
+              s"once (${hits.map(_._2).mkString(", ")}): entities, " +
+              "dimensions and measures share one namespace")
+        }
+        sm.measures.foreach { case (mn, agg, _) =>
+          if (!aggTypes.contains(agg))
+            fail(s"measure '$mn' on semantic model '${sm.name}' has " +
+              s"unsupported aggregation '$agg' (expected one of " +
+              s"${aggTypes.toSeq.sorted.mkString(", ")})")
+        }
       case mt: MetricNode =>
+        checkName("metric", mt.name)
         if (m.resolveRef(mt.model).isEmpty)
           fail(s"metric '${mt.name}' references unknown model '${mt.model}'")
         mt.measure.foreach { meas =>
@@ -1291,9 +1343,27 @@ object ProjectLoader {
               s"defined by any semantic model over '${mt.model}'")
         }
       case sq: SavedQueryNode =>
+        checkName("saved query", sq.name)
         sq.metrics.foreach { q =>
           if (!metricNames.contains(q))
             fail(s"saved query '${sq.name}' exports unknown metric '$q'")
+        }
+        // group-bys must be semantic-layer references when a semantic
+        // model covers the exported metrics' model; with none, the
+        // metrics are calculation-style and group-bys are raw columns.
+        val exportedModels = m.nodes.values.collect {
+          case mt: MetricNode if sq.metrics.contains(mt.name) => mt.model
+        }.toSet
+        val covering = semanticModels.filter(s => exportedModels.contains(s.model))
+        if (covering.nonEmpty) {
+          val groupable = covering.flatMap(s =>
+            s.dimensions.map(_._1) ++ s.entities.map(_._1)).toSet
+          sq.groupBy.foreach { g =>
+            if (!groupable.contains(g))
+              fail(s"saved query '${sq.name}' groups by '$g' which is " +
+                "not a dimension or entity of any semantic model over " +
+                s"its metrics' model (${covering.map(_.name).mkString(", ")})")
+          }
         }
       case _ => ()
     }

@@ -2571,19 +2571,29 @@ object Framework {
     // dbt-semantic-interfaces): measures referenced by metrics must
     // exist, saved-query exports must resolve to metrics, every
     // semantic model needs exactly one primary entity, referenced
-    // models must resolve. Invalid fixtures raise SPECIFIC parse
-    // errors (I070 event first); the valid fixture round-trips with an
-    // identical manifest and a measure-backed metric computes.
+    // models must resolve. Structural rules from the validator's rule
+    // set: lower_snake_case names, one namespace per semantic model,
+    // globally-unique measures, closed aggregation set, group-bys
+    // resolving through a covering semantic model. Invalid fixtures
+    // raise SPECIFIC parse errors (I070 event first); the valid
+    // fixture round-trips with an identical manifest, a
+    // measure-backed metric computes, and an entity group-by compiles.
     QueryDef(
       "m45_semantic_validation",
       """SELECT * FROM (VALUES
         |  ('valid_load', 'ok'),
         |  ('measure_metric_value', '60'),
         |  ('saved_query_value', '60,3'),
+        |  ('saved_query_grouped', '3'),
         |  ('invalid_measure', 'error:measure'),
         |  ('missing_primary', 'error:primary'),
         |  ('unknown_metric_export', 'error:exports'),
         |  ('unknown_model', 'error:model'),
+        |  ('bad_agg', 'error:aggregation'),
+        |  ('dup_measure', 'error:unique'),
+        |  ('element_collision', 'error:namespace'),
+        |  ('invalid_name', 'error:lower_snake_case'),
+        |  ('bad_group_by', 'error:dimension or entity'),
         |  ('manifest_identity', 'identical')
         |) AS t(check_name, result)
         |ORDER BY check_name""".stripMargin) { (s, dir) =>
@@ -2623,6 +2633,9 @@ object Framework {
           |saved_queries:
           |  - name: revenue_report
           |    metrics: [total_revenue, n_orders]
+          |  - name: revenue_by_order
+          |    metrics: [total_revenue]
+          |    group_by: [order_id]
           |""".stripMargin
       val rows = scala.collection.mutable.ArrayBuffer[(String, String)]()
 
@@ -2634,6 +2647,9 @@ object Framework {
         eng.queryMetric("total_revenue").first().getLong(0).toString))
       val sq = eng.querySaved("revenue_report").first()
       rows += (("saved_query_value", s"${sq.getLong(0)},${sq.getLong(1)}"))
+      // entity group-by resolves through the covering semantic model
+      rows += (("saved_query_grouped",
+        eng.querySaved("revenue_by_order").count().toString))
       // reloading the same tree parses to an identical manifest (the
       // validation pass is read-only)
       val reload = Engine.fromProject(s, valid.toString, scratch())
@@ -2662,6 +2678,26 @@ object Framework {
       errCase("unknown_model",
         validYml.replace("model: orders_sm\n    measure: order_total",
           "model: no_such_model\n    measure: order_total"), "model")
+      errCase("bad_agg",
+        validYml.replace("agg: sum", "agg: total"), "aggregation")
+      errCase("dup_measure",
+        validYml.replace("\nmetrics:",
+          "\n  - name: orders_semantics_b\n    model: orders_sm\n" +
+            "    entities:\n      - {name: order_id, type: primary}\n" +
+            "    measures:\n" +
+            "      - {name: order_total, agg: sum, expr: amount}\nmetrics:"),
+        "unique")
+      errCase("element_collision",
+        validYml.replace("    measures:",
+          "    dimensions:\n      - {name: order_id, type: categorical}\n" +
+            "    measures:"), "namespace")
+      errCase("invalid_name",
+        validYml.replace("name: orders_semantics", "name: Orders__Semantics"),
+        "lower_snake_case")
+      errCase("bad_group_by",
+        validYml.replace("metrics: [total_revenue, n_orders]",
+          "metrics: [total_revenue, n_orders]\n    group_by: [ghost_dim]"),
+        "dimension or entity")
 
       rows.toSeq.toDF("check_name", "result").orderBy("check_name")
     }
