@@ -405,6 +405,22 @@ final case class SavedQueryNode(
   val resourceType = "saved_query"
 }
 
+/** Group — a named ownership bucket for access control (reference
+  * `core/dbt/artifacts/resources/v1/group.py:10`: name + Owner).
+  * Declared in `groups:` yml blocks; nodes opt in via the `group`
+  * config, and `check_valid_group_config` (ported into
+  * ProjectLoader.validateGroupsAndAccess) rejects references to
+  * undeclared groups at parse time. Metadata-only: never scheduled.
+  */
+final case class GroupNode(
+    name: String,
+    ownerName: String = "",
+    ownerEmail: String = "",
+    config: NodeConfig = NodeConfig(),
+    dependsOn: Seq[String] = Nil) extends Node {
+  val resourceType = "group"
+}
+
 /** What a code-model body sees (dbt.ref/source/config equivalent for
   * A28 Python models; implemented by the engine).
   */

@@ -351,6 +351,7 @@ object ProjectLoader {
     // semantic validation runs BEFORE link so its specific errors win
     // over link's generic unresolved-dependency errors
     val unlinked = Manifest(docResolved.map(n => n.uniqueId -> n).toMap)
+    validateGroupsAndAccess(unlinked)
     validateSemanticManifest(unlinked)
     val manifest = link(unlinked).copy(selectors = rootRaw.selectors)
     Project(rootRaw.name, mergedVars, manifest,
@@ -709,6 +710,24 @@ object ProjectLoader {
               case Some(pkg) => ssrcPatches += SourcePatch(pkg, sourceName, tables)
               case None => snodes ++= tables
             }
+          }
+        case _ =>
+      }
+      doc.get("groups") match {
+        case Some(gs: java.util.List[_]) =>
+          for (g <- gs.asScala) {
+            val gm = g.asInstanceOf[java.util.Map[String, Any]].asScala
+            // owner is a map ({name, email}) like the reference's Owner
+            // dataclass; a bare string is accepted as the name
+            val (oname, oemail) = gm.get("owner") match {
+              case Some(om: java.util.Map[_, _]) =>
+                val m = om.asInstanceOf[java.util.Map[String, Any]].asScala
+                (m.getOrElse("name", "").toString,
+                  m.getOrElse("email", "").toString)
+              case Some(s) => (s.toString, "")
+              case None => ("", "")
+            }
+            snodes += GroupNode(gm("name").toString, oname, oemail)
           }
         case _ =>
       }
@@ -1252,6 +1271,36 @@ object ProjectLoader {
       case (id, n: UnitTestNode) => id -> n.copy(dependsOn = deps(Seq(n.model), Nil, n.dependsOn))
       case (id, n) => id -> n
     })
+  }
+
+  /** Parse-time group + access checks (reference
+    * `core/dbt/parser/manifest.py:1307` check_valid_group_config and
+    * `:1335` check_valid_access_property): a node's `group` config
+    * must name a declared `groups:` entry, and a public model cannot
+    * be ephemeral (it has no addressable relation to expose —
+    * reference InvalidAccessTypeError, `core/dbt/exceptions.py:681`).
+    * Runs before link, like the reference (both fire inside
+    * process_manifest before semantic validation).
+    */
+  private def validateGroupsAndAccess(m: Manifest): Unit = {
+    val groupNames = m.nodes.values.collect {
+      case g: GroupNode => g.name }.toSet
+    m.nodes.values.toSeq.sortBy(_.uniqueId).foreach { n =>
+      n.config.group.foreach { g =>
+        if (!groupNames.contains(g))
+          throw new IllegalArgumentException(
+            s"Invalid group '$g' on ${n.uniqueId}, expected one of " +
+              s"${groupNames.toSeq.sorted.mkString("[", ", ", "]")}")
+      }
+      n match {
+        case mn: ModelNode if mn.config.access == "public" &&
+            mn.config.materialized == "ephemeral" =>
+          throw new IllegalArgumentException(
+            s"Node ${mn.uniqueId} with 'ephemeral' materialization has " +
+              "an invalid value (public) for the access field")
+        case _ => ()
+      }
+    }
   }
 
   /** Semantic-manifest validation subset (reference

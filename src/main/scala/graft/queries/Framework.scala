@@ -2700,6 +2700,105 @@ object Framework {
         "dimension or entity")
 
       rows.toSeq.toDF("check_name", "result").orderBy("check_name")
+    },
+
+    // A35/A24 groups as first-class resources (reference
+    // `core/dbt/artifacts/resources/v1/group.py`, parse checks
+    // `core/dbt/parser/manifest.py:1307` check_valid_group_config and
+    // `:1335` check_valid_access_property): `groups:` yml declares
+    // name+owner; a node's `group` config must reference a declared
+    // group (specific parse error otherwise); a public model cannot be
+    // ephemeral; private refs stay group-fenced at compile; the v12
+    // manifest artifact carries `groups` (with owner) and `group_map`
+    // (group -> member unique ids).
+    QueryDef(
+      "m46_groups",
+      """SELECT * FROM (VALUES
+        |  ('valid_load', 'ok'),
+        |  ('manifest_groups', 'present'),
+        |  ('group_map', 'model.graft.fin_base,model.graft.fin_report'),
+        |  ('invalid_group', 'error:Invalid group'),
+        |  ('public_ephemeral', 'error:access field'),
+        |  ('private_cross_group', 'error:not allowed')
+        |) AS t(check_name, result)
+        |ORDER BY check_name""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      def mkProj(reportConfig: String, extraSql: Map[String, String] = Map.empty)
+          : java.nio.file.Path = {
+        val root = java.nio.file.Files.createTempDirectory("m46_proj")
+        scratchDirs.add(root.toFile)
+        def write(rel: String, content: String): Unit = {
+          val p = root.resolve(rel)
+          java.nio.file.Files.createDirectories(p.getParent)
+          java.nio.file.Files.writeString(p, content): Unit
+        }
+        write("dbt_project.yml", "name: m46\n")
+        write("models/schema.yml",
+          """groups:
+            |  - name: finance
+            |    owner: {name: Fin Team, email: fin@corp.example}
+            |  - name: marketing
+            |    owner: {name: Mkt Team}
+            |""".stripMargin)
+        write("models/fin_base.sql",
+          "{{ config(materialized='table', group='finance', access='private') }}\n" +
+            "SELECT 1 AS v")
+        write("models/fin_report.sql",
+          s"{{ config($reportConfig) }}\nSELECT v FROM {{ ref('fin_base') }}")
+        extraSql.foreach { case (rel, sql) => write(rel, sql) }
+        root
+      }
+      val rows = scala.collection.mutable.ArrayBuffer[(String, String)]()
+
+      val valid = mkProj("materialized='table', group='finance'")
+      val eng = Engine.fromProject(s, valid.toString, scratch())
+      val results = eng.run()
+      require(results.forall(_.status == "success"), "m46: run failed")
+      rows += (("valid_load", "ok"))
+      val target = scratch()
+      eng.writeArtifacts(target, results)
+      val mf = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$target/manifest.json"))
+      rows += (("manifest_groups",
+        if (mf.contains("\"group.graft.finance\"") &&
+            mf.contains("\"fin@corp.example\"") &&
+            mf.contains("\"group.graft.marketing\"")) "present"
+        else "MISSING"))
+      rows += (("group_map",
+        if (mf.contains("\"finance\": [\"model.graft.fin_base\", " +
+            "\"model.graft.fin_report\"]"))
+          "model.graft.fin_base,model.graft.fin_report"
+        else "MISSING"))
+
+      def errCase(label: String, proj: java.nio.file.Path, needle: String): Unit = {
+        val got =
+          try { Engine.fromProject(s, proj.toString, scratch()); "no-error" }
+          catch { case ex: IllegalArgumentException =>
+            if (ex.getMessage.contains(needle)) s"error:$needle"
+            else s"wrong-error:${ex.getMessage}"
+          }
+        rows += ((label, got))
+      }
+      errCase("invalid_group",
+        mkProj("materialized='table', group='ghost'"), "Invalid group")
+      errCase("public_ephemeral",
+        mkProj("materialized='table', group='finance'",
+          Map("models/pub_eph.sql" ->
+            "{{ config(materialized='ephemeral', access='public') }}\nSELECT 2 AS w")),
+        "access field")
+      // private refs stay group-fenced at COMPILE (A24, runtime path):
+      // run() captures the worker's throw as a per-node error result
+      val crossEng = Engine.fromProject(s,
+        mkProj("materialized='table', group='marketing'").toString, scratch())
+      val crossRes = crossEng.run()
+      rows += (("private_cross_group",
+        crossRes.find(_.uniqueId == "model.graft.fin_report") match {
+          case Some(r) if r.status == "error" && r.message.contains("not allowed") =>
+            "error:not allowed"
+          case other => s"unexpected:$other"
+        }))
+
+      rows.toSeq.toDF("check_name", "result").orderBy("check_name")
     }
   )
 }

@@ -82,9 +82,11 @@ object Artifacts {
     * kind in its own top-level map (nodes / sources / exposures /
     * metrics / semantic_models / saved_queries / unit_tests), each
     * entry carrying the schema's required identity fields (database/
-    * schema/path/original_file_path/fqn/alias/checksum...). Sections
-    * this engine has no content for (macros, docs, groups, disabled,
-    * group_map) are present-but-empty — required keys, open maps.
+    * schema/path/original_file_path/fqn/alias/checksum...). `groups`
+    * carries declared GroupNodes (name + owner) and `group_map` maps
+    * group name -> member unique ids. Sections this engine has no
+    * content for (macros, docs, disabled) are present-but-empty —
+    * required keys, open maps.
     * ArtifactSchemaSpec validates the emitted files against the
     * reference schemas.
     */
@@ -276,7 +278,16 @@ object Artifacts {
       "metrics" -> obj(section("metric").map {
         case (id, m: MetricNode) => id -> metricJson(m)
         case (id, n) => id -> nodeJson(n) }),
-      "groups" -> obj(Nil),
+      "groups" -> obj(section("group").map {
+        case (id, g: GroupNode) => id -> obj(Seq(
+          "name" -> q(g.name),
+          "resource_type" -> q("group"),
+          "package_name" -> q(g.packageName),
+          "unique_id" -> q(id),
+          "owner" -> obj(Seq(
+            "name" -> q(g.ownerName),
+            "email" -> q(g.ownerEmail)))))
+        case (id, n) => id -> nodeJson(n) }),
       "selectors" -> obj(manifest.selectors.toSeq.sortBy(_._1).map {
         case (name, s) => name -> obj(Seq(
           "name" -> q(s.name),
@@ -289,7 +300,11 @@ object Artifacts {
         case (id, ps) => id -> arr(ps.toSeq.sorted.map(q)) }),
       "child_map" -> obj(manifest.nodes.keys.toSeq.sorted.map { id =>
         id -> arr(manifest.childMap.getOrElse(id, Set.empty).toSeq.sorted.map(q)) }),
-      "group_map" -> obj(Nil),
+      "group_map" -> obj(manifest.nodes.values.toSeq
+        .filter(n => n.config.group.isDefined && n.resourceType != "group")
+        .groupBy(_.config.group.get).toSeq.sortBy(_._1).map {
+          case (g, members) =>
+            g -> arr(members.map(_.uniqueId).sorted.map(q)) }),
       "saved_queries" -> obj(section("saved_query").map {
         case (id, s: SavedQueryNode) => id -> savedQueryJson(s)
         case (id, n) => id -> nodeJson(n) }),
