@@ -465,7 +465,13 @@ final case class SelectorDef(
   * `core/dbt/contracts/graph/manifest.py:807+`).
   */
 final case class Manifest(nodes: Map[String, Node],
-    selectors: Map[String, SelectorDef] = Map.empty) {
+    selectors: Map[String, SelectorDef] = Map.empty,
+    /** Macro name -> definition body, for `state:modified.macros`
+      * (reference check_macros_modified walks macro depends_on;
+      * empty when the manifest was built without a project load —
+      * the state comparator then skips macro checking).
+      */
+    macroSources: Map[String, String] = Map.empty) {
   def models: Map[String, ModelNode] = collect { case m: ModelNode => m }
   def seeds: Map[String, SeedNode] = collect { case s: SeedNode => s }
   def snapshots: Map[String, SnapshotNode] = collect { case s: SnapshotNode => s }

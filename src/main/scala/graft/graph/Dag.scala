@@ -256,17 +256,26 @@ object Selector {
       // reference state_checks (`selector_methods.py:736-751`): a node
       // missing from the comparison manifest counts as modified under
       // every `modified*` variant, matching check_modified_content
+      // full-content compare matches reference same_contents
+      // (nodes.py:353-368): body + config + persisted descriptions +
+      // database representation + contract, plus upstream macro edits
+      // (check_modified_content also calls check_macros_modified)
+      def fullSame(o: Node, n: Node): Boolean =
+        same(o, n) && samePersistedDescription(o, n) && sameContract(o, n)
+      lazy val affected = affectedMacros(manifest.macroSources, state.macroSources)
       which match {
         case "new" => manifest.nodes.keySet -- state.nodes.keySet
         case "old" =>
           manifest.nodes.keySet.intersect(state.nodes.keySet)
         case "modified" =>
           manifest.nodes.collect {
-            case (id, n) if !state.nodes.get(id).exists(same(_, n)) => id
+            case (id, n) if !state.nodes.get(id).exists(fullSame(_, n)) ||
+              usesMacro(n, affected) => id
           }.toSet
         case "unmodified" =>
           manifest.nodes.collect {
-            case (id, n) if state.nodes.get(id).exists(same(_, n)) => id
+            case (id, n) if state.nodes.get(id).exists(fullSame(_, n)) &&
+              !usesMacro(n, affected) => id
           }.toSet
         case "modified.body" =>
           manifest.nodes.collect {
@@ -276,6 +285,24 @@ object Selector {
           manifest.nodes.collect {
             case (id, n) if !state.nodes.get(id).exists(_.config == n.config) => id
           }.toSet
+        case "modified.persisted_descriptions" =>
+          manifest.nodes.collect {
+            case (id, n)
+              if !state.nodes.get(id).exists(samePersistedDescription(_, n)) => id
+          }.toSet
+        case "modified.relation" =>
+          manifest.nodes.collect {
+            case (id, n) if !state.nodes.get(id).exists(sameRelation(_, n)) => id
+          }.toSet
+        case "modified.contract" =>
+          manifest.nodes.collect {
+            case (id, n) if !state.nodes.get(id).exists(sameContract(_, n)) => id
+          }.toSet
+        case "modified.macros" =>
+          // reference check_modified_macros looks only at the NEW
+          // node's (transitive) macro usage, not at old-node presence
+          manifest.nodes.collect {
+            case (id, n) if usesMacro(n, affected) => id }.toSet
         case other =>
           throw new IllegalArgumentException(s"unsupported state method: $other")
       }
@@ -407,6 +434,76 @@ object Selector {
     case (x: graft.core.SeedNode, y: graft.core.SeedNode) => x.csv == y.csv
     case (x, y) => x == y
   }
+
+  /** Reference same_persisted_description (nodes.py:307-322): only
+    * the descriptions persist_docs actually writes count — relation
+    * docs gate the node description, column docs gate per-column. */
+  private def samePersistedDescription(a: Node, b: Node): Boolean = (a, b) match {
+    case (x: graft.core.ModelNode, y: graft.core.ModelNode) =>
+      (!y.config.persistDocs.getOrElse("relation", false) ||
+        x.description == y.description) &&
+      (!y.config.persistDocs.getOrElse("columns", false) ||
+        x.columns.map(c => c.name -> c.description).toMap ==
+          y.columns.map(c => c.name -> c.description).toMap)
+    case _ => true
+  }
+
+  /** Reference same_database_representation (nodes.py:327-338):
+    * where the relation lands — database/schema/alias. */
+  private def sameRelation(a: Node, b: Node): Boolean =
+    a.config.database == b.config.database &&
+      a.config.schema == b.config.schema &&
+      a.config.alias == b.config.alias
+
+  /** Reference ModelNode.same_contract (nodes.py:573-586): both
+    * unenforced -> same; enforcement toggled -> modified; both
+    * enforced -> the contract surface (column names + data types,
+    * the checksum's inputs) must match. */
+  private def sameContract(a: Node, b: Node): Boolean = (a, b) match {
+    case (x: graft.core.ModelNode, y: graft.core.ModelNode) =>
+      if (!x.config.contractEnforced && !y.config.contractEnforced) true
+      else x.config.contractEnforced && y.config.contractEnforced &&
+        x.columns.map(c => (c.name, c.dataType)) ==
+          y.columns.map(c => (c.name, c.dataType))
+    case _ => true
+  }
+
+  private val MacroCallRx = "([A-Za-z_][A-Za-z0-9_]*)\\s*\\(".r
+
+  private def macroRefs(text: String, known: Set[String]): Set[String] =
+    MacroCallRx.findAllMatchIn(text).map(_.group(1)).toSet.intersect(known)
+
+  /** Macro names whose definitions differ between the two manifests,
+    * closed transitively over macro->macro calls (reference
+    * recursively_check_macros_modified, selector_methods.py:636-664).
+    * An empty state-side macro map means the comparison manifest was
+    * built without a project load — macro checking is skipped rather
+    * than treating every macro as new.
+    */
+  private def affectedMacros(cur: Map[String, String],
+      old: Map[String, String]): Set[String] = {
+    if (old.isEmpty || cur.isEmpty) return Set.empty
+    val all = cur.keySet ++ old.keySet
+    var affected = all.filter(n => cur.get(n) != old.get(n))
+    val callees = all.iterator.map { n =>
+      n -> macroRefs(cur.getOrElse(n, old.getOrElse(n, "")), all) }.toMap
+    var grew = affected.nonEmpty
+    while (grew) {
+      val next = all.filter(n => !affected(n) && callees(n).exists(affected))
+      grew = next.nonEmpty
+      affected ++= next
+    }
+    affected
+  }
+
+  /** Does the node's raw text call (directly) an affected macro? */
+  private def usesMacro(n: Node, affected: Set[String]): Boolean =
+    affected.nonEmpty && (n match {
+      case m: graft.core.ModelNode => macroRefs(m.rawSql, affected).nonEmpty
+      case s: graft.core.SnapshotNode => macroRefs(s.rawSql, affected).nonEmpty
+      case t: graft.core.TestNode => macroRefs(t.rawSql, affected).nonEmpty
+      case _ => false
+    })
 }
 
 /** Thread-safe release-on-done scheduler queue — the reference's

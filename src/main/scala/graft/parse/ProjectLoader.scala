@@ -353,7 +353,8 @@ object ProjectLoader {
     val unlinked = Manifest(docResolved.map(n => n.uniqueId -> n).toMap)
     validateGroupsAndAccess(unlinked)
     validateSemanticManifest(unlinked)
-    val manifest = link(unlinked).copy(selectors = rootRaw.selectors)
+    val manifest = link(unlinked).copy(selectors = rootRaw.selectors,
+      macroSources = flatMacros.map { case (k, d) => k -> d.body })
     Project(rootRaw.name, mergedVars, manifest,
       onRunStart = rootRaw.onRunStart, onRunEnd = rootRaw.onRunEnd,
       macros = flatMacros,

@@ -576,8 +576,13 @@ object Framework {
              |FROM {{ source('main', 'orders') }} WHERE o_orderkey % 4 = 0""".stripMargin,
         "models/m15_agg.sql" ->
           """{{ config(materialized='table') }}
-            |SELECT MIN(batch) AS batch, CAST(COUNT(*) AS BIGINT) AS n
-            |FROM {{ ref('m15_base') }}""".stripMargin)
+            |SELECT MIN(batch) * {{ m15_scale() }} AS batch,
+            |       CAST(COUNT(*) AS BIGINT) AS n
+            |FROM {{ ref('m15_base') }}""".stripMargin,
+        // identical macro in v1/v2 (agg must NOT re-run); v3 below
+        // edits only this body to prove state:modified.macros
+        "macros/m15_macros.sql" ->
+          "{% macro m15_scale() %}1{% endmacro %}")
       def writeProj(files: Map[String, String]): String = {
         val d = java.nio.file.Files.createTempDirectory("m15_proj")
         scratchDirs.add(d.toFile)
@@ -596,6 +601,22 @@ object Framework {
       require(res.forall(_.status == "success"), s"m15 v2 run failed: $res")
       require(res.map(_.uniqueId) == Seq("model.graft.m15_base"),
         s"state:modified selected ${res.map(_.uniqueId)} (want only m15_base)")
+      // r10: state:modified.macros — v3 differs from v1 ONLY in the
+      // m15_scale macro body; the agg (its only caller) must select
+      // under modified.macros AND under plain modified (reference
+      // check_modified_content includes check_macros_modified), while
+      // modified.body still sees only the base's literal flip.
+      val v3files = project(1) +
+        ("macros/m15_macros.sql" ->
+          "{%- macro m15_scale() -%}(0 + 1){%- endmacro -%}")
+      val eng3 = Engine.fromProject(s, writeProj(v3files), wh)
+      val byMacro = eng3.lsWithState(eng1.manifest,
+        Seq("state:modified.macros")).toSet
+      require(byMacro == Set("model.graft.m15_agg"),
+        s"state:modified.macros selected $byMacro (want only m15_agg)")
+      val fullMod = eng3.lsWithState(eng1.manifest, Seq("state:modified")).toSet
+      require(fullMod == Set("model.graft.m15_agg"),
+        s"v3 state:modified selected $fullMod (want only m15_agg)")
       import s.implicits._
       eng2.wh.read("m15_agg")
         .select(lit("agg").as("part"), col("batch"), col("n"))

@@ -211,4 +211,47 @@ class DagSpec extends AnyFunSuite {
     assert(s("model.graft.d") === 2)
     assert(s("model.graft.e") === 3)
   }
+
+  test("state submethods: relation / contract / persisted_descriptions / macros") {
+    def mk(name: String, cfg: NodeConfig, cols: Seq[ColumnInfo] = Nil,
+        sql: String = "SELECT 1", desc: String = "") =
+      ModelNode(name, sql, config = cfg, columns = cols, description = desc)
+    val old = Manifest(Seq[Node](
+      mk("r", NodeConfig(alias = Some("r_v1"))),
+      mk("c", NodeConfig(contractEnforced = true),
+        cols = Seq(ColumnInfo("id", Some("bigint")))),
+      mk("p", NodeConfig(persistDocs = Map("relation" -> true)), desc = "old docs"),
+      mk("m", NodeConfig(), sql = "SELECT {{ money(amount) }} AS v")
+    ).map(n => n.uniqueId -> n).toMap,
+      macroSources = Map("money" -> "round({{ x }}, 2)"))
+    val cur = Manifest(Seq[Node](
+      mk("r", NodeConfig(alias = Some("r_v2"))), // relation moved
+      mk("c", NodeConfig(contractEnforced = true),
+        cols = Seq(ColumnInfo("id", Some("string")))), // contract broke
+      mk("p", NodeConfig(persistDocs = Map("relation" -> true)),
+        desc = "new docs"), // persisted description changed
+      mk("m", NodeConfig(), sql = "SELECT {{ money(amount) }} AS v")
+    ).map(n => n.uniqueId -> n).toMap,
+      macroSources = Map("money" -> "round({{ x }}, 4)")) // macro edited
+    val d2 = Dag.fromManifest(cur)
+    def sel(inc: String) =
+      Selector.withState(old)(Selector.select(cur, d2, Seq(inc)))
+    assert(sel("state:modified.relation") === Set("model.graft.r"))
+    assert(sel("state:modified.contract") === Set("model.graft.c"))
+    assert(sel("state:modified.persisted_descriptions") === Set("model.graft.p"))
+    assert(sel("state:modified.macros") === Set("model.graft.m"))
+    // the full-content check folds all four in (reference same_contents
+    // + check_macros_modified)
+    assert(sel("state:modified") ===
+      Set("model.graft.r", "model.graft.c", "model.graft.p", "model.graft.m"))
+    assert(sel("state:unmodified") === Set.empty)
+    // description edits do NOT count when persist_docs is off
+    val offOld = Manifest(Map(
+      mk("p2", NodeConfig(), desc = "a").uniqueId -> (mk("p2", NodeConfig(), desc = "a"): Node)))
+    val offCur = Manifest(Map(
+      mk("p2", NodeConfig(), desc = "b").uniqueId -> (mk("p2", NodeConfig(), desc = "b"): Node)))
+    val dOff = Dag.fromManifest(offCur)
+    assert(Selector.withState(offOld)(
+      Selector.select(offCur, dOff, Seq("state:modified.persisted_descriptions"))) === Set.empty)
+  }
 }
