@@ -275,6 +275,27 @@ object Cli {
         d.map(s => (s.select, s.exclude)).getOrElse((Nil, Nil))
       case None => (rawSelect, rawExclude)
     }
+    // reference --state/--defer (`dbt run --select state:modified+
+    // --state <artifacts> --defer`): the hermetic analog points at the
+    // comparison PROJECT tree (+ its warehouse) and re-parses it — the
+    // artifact manifest is a lossy v12 subset, and state comparison
+    // needs full node bodies + macro sources. With --defer, refs to
+    // relations not built locally resolve through the state engine's
+    // warehouse (favor-state semantics live in Engine's defer lookup).
+    val stateEngine = opts.get("state-project").map { sp =>
+      val swh = opts.getOrElse("state-warehouse",
+        java.nio.file.Files.createTempDirectory("graft_state_wh").toString)
+      Engine.fromProject(spark, sp, swh, vars)
+    }
+    if (opts.contains("defer")) {
+      val se = stateEngine.getOrElse(
+        sys.error("--defer needs --state-project <dir> [--state-warehouse <dir>]"))
+      engine.deferEngine = Some(se)
+    }
+    def inState[T](body: => T): T = stateEngine match {
+      case Some(se) => graft.graph.Selector.withState(se.manifest)(body)
+      case None => body
+    }
     def report(results: Seq[graft.exec.Materializer.Result]): Unit = {
       val shown = if (quiet)
         results.filter(r => r.status == "error" || r.status == "fail")
@@ -285,16 +306,16 @@ object Cli {
     }
 
     command match {
-      case "run" => report(engine.run(select, exclude, threads,
+      case "run" => report(inState(engine.run(select, exclude, threads,
         fullRefresh = opts.contains("full-refresh"),
         failFast = opts.contains("fail-fast"),
-        indirectSelection = indirect))
-      case "seed" => report(engine.run(select, exclude, threads,
-        resourceTypes = Set("seed")))
-      case "snapshot" => report(engine.run(select, exclude, threads,
-        resourceTypes = Set("snapshot")))
-      case "test" => report(engine.test(select, threads))
-      case "build" => report(engine.build(select, threads))
+        indirectSelection = indirect)))
+      case "seed" => report(inState(engine.run(select, exclude, threads,
+        resourceTypes = Set("seed"))))
+      case "snapshot" => report(inState(engine.run(select, exclude, threads,
+        resourceTypes = Set("snapshot"))))
+      case "test" => report(inState(engine.test(select, threads)))
+      case "build" => report(inState(engine.build(select, threads)))
       case "ls" =>
         // reference `dbt ls` (core/dbt/task/list.py): --resource-type
         // filters; --output selector|name|path|json (default selector,
@@ -308,7 +329,7 @@ object Cli {
         def resType(id: String): String =
           engine.manifest.nodes.get(id).map(_.resourceType)
             .getOrElse(id.takeWhile(_ != '.'))
-        val ids = engine.ls(select, exclude, indirect)
+        val ids = inState(engine.ls(select, exclude, indirect))
           .filter(id => types.forall(_(resType(id))))
         val mode = opts.getOrElse("output", "selector")
         val keys = opts.get("output-keys")
@@ -347,7 +368,7 @@ object Cli {
           "compiled" -> compiled)
         println(compiled)
       case "compile" =>
-        engine.ls(select, exclude)
+        inState(engine.ls(select, exclude))
           .flatMap(id => engine.manifest.nodes.get(id))
           .collect { case m: graft.core.ModelNode => m }
           .foreach { m =>
@@ -619,6 +640,7 @@ object Cli {
       |  [--select a b] [--exclude c] [--selector <name>] [--vars k=v,...] [--full-refresh]
       |  [--inline "<sql>"] [--limit N] [--empty] [--log-format text|json]
       |  [--warn-error] [--fail-fast] [--quiet] [--profiles-dir <dir>]
+      |  [--state-project <dir> [--state-warehouse <dir>]] [--defer]
       |  [--indirect-selection eager|cautious|buildable|empty]
       |  ls [--resource-type model,seed,...] [--output selector|name|path|json] [--output-keys "name unique_id ..."]
       |  run-operation <macro> [--args k=v,...]

@@ -59,6 +59,16 @@ class CliSpec extends AnyFunSuite {
     assert(viaFlag.flatMap(_.schema) === Some("from_flag"))
   }
 
+  test("state/defer flags parse (CLI analog of --state/--defer)") {
+    val o = Cli.parseOpts(List("--state-project", "/tmp/prod",
+      "--state-warehouse", "/tmp/prod_wh", "--defer",
+      "--select", "state:modified+"))
+    assert(o("state-project") === "/tmp/prod")
+    assert(o("state-warehouse") === "/tmp/prod_wh")
+    assert(o("defer") === "true")
+    assert(o("select") === "state:modified+")
+  }
+
   test("command normalization: list alias, source freshness subcommand") {
     assert(Cli.normalizeCommand(Array("list", "--select", "a")) ===
       ("ls", List("--select", "a")))
