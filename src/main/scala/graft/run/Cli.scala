@@ -291,6 +291,9 @@ object Cli {
       val se = stateEngine.getOrElse(
         sys.error("--defer needs --state-project <dir> [--state-warehouse <dir>]"))
       engine.deferEngine = Some(se)
+      // --favor-state: unselected nodes read from state even when a
+      // stale local build exists (reference providers.py:558-563)
+      engine.favorState = opts.contains("favor-state")
     }
     def inState[T](body: => T): T = stateEngine match {
       case Some(se) => graft.graph.Selector.withState(se.manifest)(body)
@@ -640,7 +643,7 @@ object Cli {
       |  [--select a b] [--exclude c] [--selector <name>] [--vars k=v,...] [--full-refresh]
       |  [--inline "<sql>"] [--limit N] [--empty] [--log-format text|json]
       |  [--warn-error] [--fail-fast] [--quiet] [--profiles-dir <dir>]
-      |  [--state-project <dir> [--state-warehouse <dir>]] [--defer]
+      |  [--state-project <dir> [--state-warehouse <dir>]] [--defer] [--favor-state]
       |  [--indirect-selection eager|cautious|buildable|empty]
       |  ls [--resource-type model,seed,...] [--output selector|name|path|json] [--output-keys "name unique_id ..."]
       |  run-operation <macro> [--args k=v,...]

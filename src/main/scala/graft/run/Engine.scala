@@ -68,10 +68,21 @@ final class Engine(
   graft.plans.GraftExtensions.installInto(spark)
 
   /** `--defer`: refs to relations not built in this warehouse resolve
-    * to the state engine's relations (reference `favor_state`,
+    * to the state engine's relations (reference
     * `core/dbt/context/providers.py:552-570`).
     */
   @volatile var deferEngine: Option[Engine] = None
+
+  /** `--favor-state` (reference providers.py:558-563): with defer on,
+    * prefer the state relation for any node NOT selected in the
+    * current invocation, even when a stale local build exists.
+    */
+  @volatile var favorState: Boolean = false
+
+  /** Ids selected by the in-flight run (reference
+    * selected_resources.SELECTED_RESOURCES) — favor-state consults it.
+    */
+  @volatile private var selectedResources: Set[String] = Set.empty
 
   /** A37 query-comment audit: node unique_id -> (rendered comment,
     * placement). The reference attaches the comment to every SQL it
@@ -424,9 +435,13 @@ final class Engine(
           cteName
         case Some(n) =>
           val rel = relationName(n)
-          if (!wh.exists(rel))
-            // defer lookup maps the NODE through the state engine's own
-            // relationName — its namespace/schema may differ from ours
+          // defer lookup maps the NODE through the state engine's own
+          // relationName — its namespace/schema may differ from ours.
+          // favor-state widens the trigger from "missing locally" to
+          // "not selected this invocation" (providers.py:558-567): an
+          // unselected node's stale local build loses to state.
+          if (!wh.exists(rel) ||
+              (favorState && !selectedResources.contains(n.uniqueId)))
             deferEngine.foreach { de =>
               val stateRel = de.relationName(n)
               if (de.wh.exists(stateRel))
@@ -490,6 +505,7 @@ final class Engine(
     // are always available and we only schedule selected nodes.
     val selected = selected0.filter(id =>
       manifest.nodes.get(id).exists(n => resourceTypes.contains(n.resourceType)))
+    selectedResources = selected
     if (selected.isEmpty)
       // reference Q035 NothingToDo ("Nothing to do. Try checking your
       // model configs and model specification args")

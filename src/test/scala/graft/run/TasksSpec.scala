@@ -133,6 +133,41 @@ class TasksSpec extends SparkSpec {
     assert(devEng.wh.read("t_fct").count() > 0)
   }
 
+  test("favor-state prefers the state relation for unselected nodes") {
+    // a custom stg body in state vs dev: with favor-state, the
+    // unselected t_stg must serve from STATE even though a stale dev
+    // build exists (reference providers.py:558-563)
+    def manifestWith(filter: String): Manifest = {
+      val src = SourceNode("main", "orders", s"$sf/orders.parquet")
+      val stg = ModelNode("t_stg",
+        s"SELECT o_orderkey FROM {{ source('main','orders') }} WHERE $filter",
+        config = NodeConfig(materialized = "table"),
+        sources = Seq(("main", "orders")))
+      val fct = ModelNode("t_fct",
+        "SELECT count(*) AS n FROM {{ ref('t_stg') }}",
+        config = NodeConfig(materialized = "table"), refs = Seq("t_stg"))
+      graft.parse.ProjectLoader.link(Manifest(
+        Seq[Node](src, stg, fct).map(n => n.uniqueId -> n).toMap))
+    }
+    val stateEng = new Engine(spark, manifestWith("o_orderkey % 2 = 0"),
+      tmpDir("wh_fs_state"))
+    assert(stateEng.run().forall(_.status == "success"))
+    val stateN = stateEng.wh.read("t_stg").count()
+    val devEng = new Engine(spark, manifestWith("o_orderkey % 5 = 0"),
+      tmpDir("wh_fs_dev"))
+    assert(devEng.run().forall(_.status == "success")) // stale local build
+    val devN = devEng.wh.read("t_stg").count()
+    assert(devN !== stateN)
+    devEng.deferEngine = Some(stateEng)
+    // WITHOUT favor-state: local t_stg exists, so the local (dev) rows win
+    assert(devEng.run(select = Seq("t_fct")).forall(_.status == "success"))
+    assert(devEng.wh.read("t_fct").head().getLong(0) === devN)
+    // WITH favor-state: unselected t_stg reads through to state
+    devEng.favorState = true
+    assert(devEng.run(select = Seq("t_fct")).forall(_.status == "success"))
+    assert(devEng.wh.read("t_fct").head().getLong(0) === stateN)
+  }
+
   test("clone re-registers relations from another warehouse") {
     val src = new Engine(spark, mkManifest(), tmpDir("wh_a"))
     src.run()
