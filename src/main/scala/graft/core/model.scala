@@ -71,7 +71,13 @@ final case class NodeConfig(
     failCalc: String = "count(*)",
     limit: Option[Int] = None,
     where: Option[String] = None,
-    storeFailures: Boolean = false) {
+    storeFailures: Boolean = false,
+    /** `store_failures_as` (reference `config.py:172,179-191`):
+      * table | view | ephemeral. When set it OVERRIDES
+      * [[storeFailures]] at any granularity; "ephemeral" turns
+      * storage off; unset + storeFailures=true behaves as "table".
+      */
+    storeFailuresAs: Option[String] = None) {
 
   /** Cascade merge — `other` (more specific) wins per-field; tags and
     * hooks append (reference merge behaviors Append/Clobber,
@@ -112,7 +118,18 @@ final case class NodeConfig(
       failCalc = if (other.failCalc != defaults.failCalc) other.failCalc else failCalc,
       limit = other.limit.orElse(limit),
       where = other.where.orElse(where),
-      storeFailures = other.storeFailures || storeFailures)
+      storeFailures = other.storeFailures || storeFailures,
+      storeFailuresAs = other.storeFailuresAs.orElse(storeFailuresAs))
+
+  /** Resolved failure-storage mode (reference `config.py:179-191`
+    * __post_init__): store_failures_as overrides store_failures at
+    * any granularity; "ephemeral" = off; bool true alone = "table".
+    */
+  def failureStorage: Option[String] = storeFailuresAs match {
+    case Some("ephemeral") => None
+    case Some(mode) => Some(mode)
+    case None => if (storeFailures) Some("table") else None
+  }
 }
 
 object NodeConfig {

@@ -625,8 +625,17 @@ object Materializer {
     }
     val shouldWarn = row.getBoolean(1)
     val shouldError = row.getBoolean(2)
-    if (node.config.storeFailures && failures > 0)
-      wh.writeTable(s"dbt_test__audit__${node.name}", wh.spark.sql(node.rawSql))
+    // store_failures_as overrides store_failures (config.py:179-191):
+    // "table" persists, "view" registers a lazy view over the test
+    // query, "ephemeral" disables storage
+    if (failures > 0) node.config.failureStorage match {
+      case Some("view") =>
+        wh.createView(s"dbt_test__audit__${node.name}",
+          wh.spark.sql(node.rawSql))
+      case Some(_) =>
+        wh.writeTable(s"dbt_test__audit__${node.name}", wh.spark.sql(node.rawSql))
+      case None => ()
+    }
     val status =
       if (shouldError && node.config.severity.equalsIgnoreCase("error")) "fail"
       else if (shouldWarn || shouldError) "warn"

@@ -1543,6 +1543,7 @@ object ProjectLoader {
   }
 
   private val configKeys = Set("severity", "where", "limit", "store_failures",
+    "store_failures_as",
     "warn_if", "error_if", "fail_calc")
 
   private def stringify(v: Any): String = v match {
@@ -1623,7 +1624,8 @@ object ProjectLoader {
       failCalc = kw.getOrElse("fail_calc", base.failCalc),
       limit = kw.get("limit").map(_.toInt),
       where = kw.get("where"),
-      storeFailures = kw.get("store_failures").exists(_.toBoolean))
+      storeFailures = kw.get("store_failures").exists(_.toBoolean),
+      storeFailuresAs = kw.get("store_failures_as"))
   }
 
   private def listFiles(dir: Path, ext: String): Seq[Path] =

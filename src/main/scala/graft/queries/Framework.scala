@@ -433,6 +433,21 @@ object Framework {
         genericTest = Some("accepted_values"))
       val (status, failures) = Materializer.runTest(eng.wh, test)
       require(status != "pass" && failures > 0, s"expected failures, got $status")
+      // store_failures_as (config.py:172,179-191): "view" registers a
+      // lazy audit view; "ephemeral" overrides store_failures=true to
+      // store nothing; the audit content below comes from the default
+      // (bool -> table) mode
+      val asView = test.copy(name = "m10_as_view",
+        config = NodeConfig(storeFailuresAs = Some("view")))
+      Materializer.runTest(eng.wh, asView)
+      require(eng.wh.exists("dbt_test__audit__m10_as_view"),
+        "store_failures_as=view: audit view missing")
+      val asEphemeral = test.copy(name = "m10_as_eph",
+        config = NodeConfig(storeFailures = true,
+          storeFailuresAs = Some("ephemeral")))
+      Materializer.runTest(eng.wh, asEphemeral)
+      require(!eng.wh.exists("dbt_test__audit__m10_as_eph"),
+        "store_failures_as=ephemeral must override store_failures=true")
       eng.wh.read("dbt_test__audit__m10_accepted").orderBy("value_field")
     },
 
