@@ -42,8 +42,10 @@ import java.nio.file.{Files, Path}
 object PartialParse {
 
   /** Bumped whenever cached case-class shapes change; a mismatched or
-    * undeserializable state file is silently treated as absent. */
-  val Format = 2
+    * undeserializable state file is silently treated as absent.
+    * v3: data-only StateCodec encoding (v2 was JEP-290-filtered Java
+    * serialization; a v2 file fails the magic check => cold parse). */
+  val Format = 3
 
   val StateFileName = "partial_parse.bin"
 
@@ -90,36 +92,37 @@ object PartialParse {
     d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
 
-  /** JEP-290 deserialization filter: the state file lives inside the
-    * (possibly cloned/untrusted) project's target dir, so restrict the
-    * object graph to this engine's own classes + Scala/Java collection
-    * plumbing. Anything else (a planted gadget chain) is rejected —
-    * readState then degrades to a cold parse, never fatal. The
-    * reference sidesteps this with data-only msgpack. */
-  private val stateFilter: java.io.ObjectInputFilter =
-    java.io.ObjectInputFilter.Config.createFilter(
-      "graft.**;scala.**;java.lang.*;java.util.**;java.math.*;java.time.*;" +
-        "maxdepth=128;!*")
-
+  /** The state file lives inside the (possibly cloned/untrusted)
+    * project's target dir, so it decodes through [[StateCodec]] — a
+    * data-only format over a closed case-class whitelist (no
+    * ObjectInputStream, no gadget-chain surface; the v2 JEP-290 filter
+    * CONTAINED that class of attack, the codec removes it — reference
+    * parity: msgpack state, `core/dbt/parser/manifest.py`). Any decode
+    * anomaly — wrong magic (including a v2 Java-serialized file),
+    * unlisted class, truncation, bound violation — degrades to a cold
+    * parse, never fatal. */
   def readState(path: Path): Option[State] =
     if (!Files.exists(path)) None
     else
       try {
-        val in = new java.io.ObjectInputStream(
+        val in = new java.io.DataInputStream(
           new java.io.BufferedInputStream(Files.newInputStream(path)))
-        in.setObjectInputFilter(stateFilter)
-        try in.readObject() match {
-          case s: State if s.format == Format => Some(s)
-          case _ => None
+        try {
+          if (in.readInt() != StateCodec.Magic) None
+          else StateCodec.read(in) match {
+            case s: State if s.format == Format => Some(s)
+            case _ => None
+          }
         } finally in.close()
       } catch { case _: Throwable => None }
 
   def writeState(path: Path, state: State): Unit =
     try {
       Files.createDirectories(path.getParent)
-      val out = new java.io.ObjectOutputStream(
+      val out = new java.io.DataOutputStream(
         new java.io.BufferedOutputStream(Files.newOutputStream(path)))
-      try { out.writeObject(state); out.flush() } finally out.close()
+      try { out.writeInt(StateCodec.Magic); StateCodec.write(out, state); out.flush() }
+      finally out.close()
     } catch { case _: Throwable => () } // state is an optimization, never fatal
 
   /** One load's worth of cache bookkeeping. ProjectLoader funnels every

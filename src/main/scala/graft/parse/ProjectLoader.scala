@@ -90,7 +90,7 @@ object ProjectLoader {
     * SourcePatcher): replaces matching table definitions of the
     * package's source of the same name.
     */
-  private final case class SourcePatch(
+  private[parse] final case class SourcePatch(
       overridesPkg: String,
       sourceName: String,
       tables: Seq[SourceNode])
@@ -122,7 +122,7 @@ object ProjectLoader {
     * defines plus the side maps that feed MODEL file parsing — a model
     * file's cache context hashes its own slice of these, so editing a
     * schema yml reparses exactly the models it patches. */
-  private final case class SchemaOut(
+  private[parse] final case class SchemaOut(
       nodes: Seq[Node],
       patches: Map[String, (Seq[ColumnInfo], Seq[GenericTestRef], Map[String, String], String)],
       versions: Map[String, (Set[Int], Option[Int])],

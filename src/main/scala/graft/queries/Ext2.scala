@@ -455,14 +455,14 @@ object Ext2 {
       // dataset) like the corpus-wide kernels; the survivors feed the
       // pair build AND the final anti side
       val exactKept = TextOps.cachedIndex(
-          s"exact-kept|${IndexCache.sessionKey(s)}|$dir")(
+          IndexCache.key("exact-kept", s, dir))(
         d.withColumn("rn", row_number().over(wFp))
           .filter(col("rn") === 1)
           .select("doc_id", "lang", "text"))
       val dec6 = (c: org.apache.spark.sql.Column) =>
         c.cast(org.apache.spark.sql.types.DecimalType(20, 6))
       val pairs = TextOps.cachedIndex(
-          s"survivor-pairs|${IndexCache.sessionKey(s)}|$dir")(
+          IndexCache.key("survivor-pairs", s, dir))(
         TextOps.shingleOverlapPairsOf(exactKept))
         .filter(dec6(col("common")) / (col("na") + col("nb") - col("common")) >= 0.2)
         .select("doc_a", "doc_b")
@@ -843,7 +843,7 @@ object Ext2 {
         |       TRUE AS decoded
         |FROM documents ORDER BY asset_id""".stripMargin) { (s, dir) =>
       val imgs = TextOps.cachedIndex(
-        s"imgassets|${IndexCache.sessionKey(s)}|$dir")(
+        IndexCache.key("imgassets", s, dir))(
         graft.functions.Multimodal.imageAssetsFromDocuments(
           Tables.load(s, dir, "documents")
             .repartition(s.sparkContext.defaultParallelism)))
@@ -873,7 +873,7 @@ object Ext2 {
         |              n_chars % 3, doc_id % 5) AS is_dup
         |FROM documents ORDER BY asset_id""".stripMargin) { (s, dir) =>
       val assets = TextOps.cachedIndex(
-        s"imgthumbs|${IndexCache.sessionKey(s)}|$dir")(
+        IndexCache.key("imgthumbs", s, dir))(
         graft.functions.Multimodal.thumbnailAssets(
           Tables.load(s, dir, "documents")
             .repartition(s.sparkContext.defaultParallelism)))
@@ -902,7 +902,7 @@ object Ext2 {
         |       TRUE AS decoded
         |FROM documents ORDER BY asset_id""".stripMargin) { (s, dir) =>
       val wavs = TextOps.cachedIndex(
-        s"wavassets|${IndexCache.sessionKey(s)}|$dir")(
+        IndexCache.key("wavassets", s, dir))(
         graft.functions.Multimodal.audioAssetsFromDocuments(
           Tables.load(s, dir, "documents")
             .repartition(s.sparkContext.defaultParallelism)))
@@ -930,7 +930,7 @@ object Ext2 {
         |         AS is_dup
         |FROM documents ORDER BY asset_id""".stripMargin) { (s, dir) =>
       val assets = TextOps.cachedIndex(
-        s"wavthumbs|${IndexCache.sessionKey(s)}|$dir")(
+        IndexCache.key("wavthumbs", s, dir))(
         graft.functions.Multimodal.audioThumbnails(
           Tables.load(s, dir, "documents")
             .repartition(s.sparkContext.defaultParallelism)))
@@ -964,7 +964,7 @@ object Ext2 {
         |             n_chars % 4, doc_id % 5)
         |ORDER BY asset_id""".stripMargin) { (s, dir) =>
       val assets = TextOps.cachedIndex(
-        s"vidthumbs|${IndexCache.sessionKey(s)}|$dir")(
+        IndexCache.key("vidthumbs", s, dir))(
         graft.functions.Multimodal.videoThumbnails(
           Tables.load(s, dir, "documents")
             .repartition(s.sparkContext.defaultParallelism)))
@@ -997,7 +997,7 @@ object Ext2 {
         |       TRUE AS decoded
         |FROM documents ORDER BY asset_id""".stripMargin) { (s, dir) =>
       val vids = TextOps.cachedIndex(
-        s"vidassets|${IndexCache.sessionKey(s)}|$dir")(
+        IndexCache.key("vidassets", s, dir))(
         graft.functions.Multimodal.videoAssetsFromDocuments(
           Tables.load(s, dir, "documents")
             .repartition(s.sparkContext.defaultParallelism)))

@@ -27,7 +27,7 @@ object Ext3 {
     */
   private[queries] def coPairs(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
-    TextOps.cachedIndex(s"copairs|${IndexCache.sessionKey(s)}|$dir") {
+    TextOps.cachedIndex(IndexCache.key("copairs", s, dir)) {
       val items = Tables.load(s, dir, "lineitem")
         .select("l_orderkey", "l_partkey").distinct()
       items.select(col("l_orderkey"), col("l_partkey").as("pa"))
@@ -46,7 +46,7 @@ object Ext3 {
     */
   private[queries] def coEdges(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
-    TextOps.cachedIndex(s"predges|${IndexCache.sessionKey(s)}|$dir") {
+    TextOps.cachedIndex(IndexCache.key("predges", s, dir)) {
       val items = Tables.load(s, dir, "lineitem")
         .select("l_orderkey", "l_partkey").distinct()
       items.select(col("l_orderkey"), col("l_partkey").as("src"))

@@ -143,7 +143,7 @@ object Ext4 {
     // so the second consumer reads a persisted table instead of
     // re-running the prefix join. At ingest scale this is the pair
     // index a curation pipeline maintains incrementally (q171).
-    TextOps.cachedIndex(s"jaccpairs|${IndexCache.sessionKey(s)}|$dir") {
+    TextOps.cachedIndex(IndexCache.key("jaccpairs", s, dir)) {
       val tok = docs(s, dir)
         .select(col("doc_id"),
           explode(graft.functions.TextExprs.shingles(

@@ -147,13 +147,16 @@ object Similarity {
     * path rebuilds per query" pathology). Re-pin and re-materialize
     * ONCE under the build lock when eviction is detected.
     */
-  private def repin(dfs: DataFrame*): Unit =
+  private def repin(key: String, dfs: DataFrame*): Unit =
     if (dfs.exists(_.storageLevel == org.apache.spark.storage.StorageLevel.NONE))
       IndexCache.buildLock.synchronized {
-        dfs.filter(_.storageLevel ==
-            org.apache.spark.storage.StorageLevel.NONE).foreach { df =>
-          df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          df.count(): Unit
+        val evicted = dfs.filter(_.storageLevel ==
+          org.apache.spark.storage.StorageLevel.NONE)
+        if (evicted.nonEmpty) IndexCache.timedBuild(key) {
+          evicted.foreach { df =>
+            df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            df.count(): Unit
+          }
         }
       }
 
@@ -161,13 +164,14 @@ object Similarity {
     new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]()
 
   private[queries] def ivfIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val key = s"${IndexCache.sessionKey(s)}|$dir"
+    val key = IndexCache.key("ivf", s, dir)
+    IndexCache.noteAccess(key)
     val hit = ivfCache.get(key)
-    if (hit != null) { repin(hit._1, hit._2); hit }
+    if (hit != null) { repin(key, hit._1, hit._2); hit }
     else IndexCache.buildLock.synchronized {
       val again = ivfCache.get(key)
       if (again != null) again
-      else {
+      else IndexCache.timedBuild(key) {
         val embD = embDouble(s, dir)
         val cents = kmeansCentroids(embD)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -194,13 +198,14 @@ object Similarity {
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   private[queries] def cellPairIndex(s: SparkSession, dir: String): DataFrame = {
-    val key = s"${IndexCache.sessionKey(s)}|$dir"
+    val key = IndexCache.key("cellpair", s, dir)
+    IndexCache.noteAccess(key)
     val hit = cellPairCache.get(key)
-    if (hit != null) { repin(hit); hit }
+    if (hit != null) { repin(key, hit); hit }
     else IndexCache.buildLock.synchronized {
       val again = cellPairCache.get(key)
       if (again != null) again
-      else {
+      else IndexCache.timedBuild(key) {
         val emb = embDouble(s, dir)
         val (_, ranks) = ivfIndex(s, dir)
         val withVec = ranks.filter(col("rn") === 1)
@@ -306,13 +311,14 @@ object Similarity {
 
   private[queries] def pqIndex(
       s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val key = s"${IndexCache.sessionKey(s)}|$dir"
+    val key = IndexCache.key("pq", s, dir)
+    IndexCache.noteAccess(key)
     val hit = pqCache.get(key)
-    if (hit != null) { repin(hit._2, hit._4); hit }
+    if (hit != null) { repin(key, hit._2, hit._4); hit }
     else IndexCache.buildLock.synchronized {
       val again = pqCache.get(key)
       if (again != null) again
-      else {
+      else IndexCache.timedBuild(key) {
         val embD = embDouble(s, dir)
         val (cb0, codes0raw) = pqSubspace(embD, 0, 1, 32)
         val (cb1, codes1raw) = pqSubspace(embD, 1, 33, 64)
@@ -1054,7 +1060,7 @@ object Similarity {
       // the historical-corpus index is itself a built-once artifact —
       // deterministic training, so caching cannot change the result
       val cents = TextOps.cachedIndex(
-        s"kmold|${IndexCache.sessionKey(s)}|$dir")(kmeansCentroids(old))
+        IndexCache.key("kmold", s, dir))(kmeansCentroids(old))
       val base = nearestCell(old, cents)
         .groupBy("cent_id").agg(count(lit(1)).as("n_base"))
       val added = nearestCell(fresh, cents)

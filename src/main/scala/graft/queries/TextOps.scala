@@ -65,6 +65,7 @@ object TextOps {
     */
   private[queries] def cachedIndex(key: String)(
       build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    IndexCache.noteAccess(key)
     val hit = indexCache.get(key)
     if (hit != null) {
       // a session-wide spark.catalog.clearCache() (bench isolation, a
@@ -72,10 +73,11 @@ object TextOps {
       // "index" would recompute on EVERY downstream action
       if (hit.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
         IndexCache.buildLock.synchronized {
-          if (hit.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
-            hit.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-            hit.count(): Unit
-          }
+          if (hit.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+            IndexCache.timedBuild(key) {
+              hit.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              hit.count(): Unit
+            }
         }
       hit
     }
@@ -83,8 +85,11 @@ object TextOps {
       val again = indexCache.get(key)
       if (again != null) again
       else {
-        val df = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        df.count() // the "build" step, once
+        val df = IndexCache.timedBuild(key) {
+          val d = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          d.count() // the "build" step, once
+          d
+        }
         indexCache.put(key, df)
         df
       }
@@ -110,7 +115,7 @@ object TextOps {
   /** Corpus MinHash signature, built once per (session, dataset). */
   private def corpusSig(
       s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
-    cachedIndex(s"sig|${IndexCache.sessionKey(s)}|$dir")(minhashSig(docs(s, dir)))
+    cachedIndex(IndexCache.key("sig", s, dir))(minhashSig(docs(s, dir)))
 
   /** LSH bands derived from the cached signature — the derivation is a
     * cheap per-row explode, so only the signature itself persists. */
@@ -162,7 +167,7 @@ object TextOps {
     */
   private[queries] def shingleOverlapPairs(
       s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
-    cachedIndex(s"pairs|${IndexCache.sessionKey(s)}|$dir")(
+    cachedIndex(IndexCache.key("pairs", s, dir))(
       shingleOverlapPairsOf(docs(s, dir)))
 
   /** Stop-shingle document-frequency cap for the pair kernel. A shingle
@@ -327,7 +332,7 @@ object TextOps {
     */
   private[queries] def bpeSpells(
       s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
-    cachedIndex(s"bpe|${IndexCache.sessionKey(s)}|$dir") {
+    cachedIndex(IndexCache.key("bpe", s, dir)) {
       val freq = docs(s, dir)
         .select(explode(wordsCol).as("w"))
         .groupBy("w").agg(count(lit(1)).as("f"))
@@ -443,7 +448,7 @@ object TextOps {
     */
   private[queries] def simhashes(
       s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
-    cachedIndex(s"simhash|${IndexCache.sessionKey(s)}|$dir") {
+    cachedIndex(IndexCache.key("simhash", s, dir)) {
       val tok = docs(s, dir)
         .select(col("doc_id"), explode(array_distinct(wordsCol)).as("w"))
         .select(col("doc_id"), md5(col("w")).as("h"))
@@ -487,7 +492,7 @@ object TextOps {
     */
   private[queries] def simhashes64(
       s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
-    cachedIndex(s"simhash64|${IndexCache.sessionKey(s)}|$dir") {
+    cachedIndex(IndexCache.key("simhash64", s, dir)) {
       val tok = docs(s, dir)
         .select(col("doc_id"), explode(array_distinct(wordsCol)).as("w"))
         .select(col("doc_id"),
@@ -527,7 +532,7 @@ object TextOps {
     */
   private[queries] def dedupComponents(
       s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
-    cachedIndex(s"cc02|${IndexCache.sessionKey(s)}|$dir") {
+    cachedIndex(IndexCache.key("cc02", s, dir)) {
       val pairs = shingleOverlapPairs(s, dir)
         .filter(col("common").cast(org.apache.spark.sql.types.DecimalType(20, 6))
           / (col("na") + col("nb") - col("common")) >= 0.2)

@@ -218,6 +218,54 @@ class PartialParseSpec extends AnyFunSuite {
       }).contains("SELECT 11 AS pid"))
   }
 
+  test("v2 -> v3 migration: a Java-serialized state file degrades to a cold parse") {
+    val dir = mkProject()
+    load(dir) // writes v3 state
+    // plant a v2-era file: Java serialization of a State-shaped object.
+    // v3's reader must reject it at the magic check WITHOUT ever
+    // constructing an ObjectInputStream over it.
+    val path = dir.resolve("target/partial_parse.bin")
+    val out = new java.io.ObjectOutputStream(Files.newOutputStream(path))
+    out.writeObject(PartialParse.State(2, Map("" -> Map.empty)))
+    out.close()
+    assert(PartialParse.readState(path).isEmpty, "v2 file must read as absent")
+    val p = load(dir)
+    val st = stats(p)
+    assert(!st.stateLoaded && st.parsed > 0, "v2 state must cold-parse")
+    assert(p.manifest.models.size == 6)
+    // and the cold parse re-saves v3: next load is warm again
+    assert(stats(load(dir)).parsed == 0)
+  }
+
+  test("v3 codec: state round-trips bit-equal through the data-only encoding") {
+    val dir = mkProject()
+    load(dir)
+    val path = dir.resolve("target/partial_parse.bin")
+    val st1 = PartialParse.readState(path).getOrElse(fail("state unreadable"))
+    // write what we read, re-read, compare: codec is a fixpoint
+    PartialParse.writeState(path, st1)
+    val st2 = PartialParse.readState(path).getOrElse(fail("rewrite unreadable"))
+    assert(st1 === st2)
+    assert(st1.format == PartialParse.Format)
+    // the cached graph contains real parse output (nodes, macros)
+    assert(st1.roots("").nonEmpty)
+  }
+
+  test("v3 codec: a stream naming an unlisted class is rejected (no gadget surface)") {
+    val dir = Files.createTempDirectory("pp_evil")
+    val path = dir.resolve("partial_parse.bin")
+    val out = new java.io.DataOutputStream(Files.newOutputStream(path))
+    out.writeInt(0x47465433) // correct magic
+    out.writeByte('P')
+    val name = "java.lang.ProcessBuilder".getBytes("UTF-8")
+    out.writeInt(name.length); out.write(name)
+    out.writeInt(1)
+    out.writeByte('L'); out.writeInt(0) // one empty-list arg
+    out.close()
+    assert(PartialParse.readState(path).isEmpty,
+      "unlisted class must fail decode and degrade to cold parse")
+  }
+
   test("warm reparse of a 20k-model project is fast and reuse-complete") {
     val dir = Files.createTempDirectory("pp20k")
     Files.createDirectories(dir.resolve("models"))
