@@ -93,16 +93,21 @@ object Selector {
 
   private val spec = """^(@)?(?:(\d*)(\+))?([^+]+?)(?:(\+)(\d*))?$""".r
 
-  /** state:modified / state:new need the `--state` manifest
-    * (reference `StateSelectorMethod`, `selector_methods.py:609-788`).
+  /** state:modified / state:new need the `--state` comparison side
+    * (reference `StateSelectorMethod`, `selector_methods.py:609-788`) —
+    * either a fully-parsed Manifest (--state-project) or the checksum
+    * view read from a saved manifest.json artifact (--state).
     */
-  private val stateManifestTL = new ThreadLocal[Option[Manifest]] {
-    override def initialValue(): Option[Manifest] = None
+  private val stateSideTL = new ThreadLocal[Option[StateSide]] {
+    override def initialValue(): Option[StateSide] = None
   }
 
-  def withState[T](state: Manifest)(f: => T): T = {
-    stateManifestTL.set(Some(state))
-    try f finally stateManifestTL.set(None)
+  def withState[T](state: Manifest)(f: => T): T =
+    withStateSide(new ManifestState(state))(f)
+
+  def withStateSide[T](state: StateSide)(f: => T): T = {
+    stateSideTL.set(Some(state))
+    try f finally stateSideTL.set(None)
   }
 
   def select(manifest: Manifest, dag: Dag, include: Seq[String],
@@ -251,7 +256,7 @@ object Selector {
     case Array("resource_type", rt) =>
       manifest.nodes.collect { case (id, n) if n.resourceType == rt => id }.toSet
     case Array("state", which) =>
-      val state = stateManifestTL.get().getOrElse(
+      val state = stateSideTL.get().getOrElse(
         throw new IllegalArgumentException("state: selector needs a --state manifest (Selector.withState)"))
       // reference state_checks (`selector_methods.py:736-751`): a node
       // missing from the comparison manifest counts as modified under
@@ -260,44 +265,35 @@ object Selector {
       // (nodes.py:353-368): body + config + persisted descriptions +
       // database representation + contract, plus upstream macro edits
       // (check_modified_content also calls check_macros_modified)
-      def fullSame(o: Node, n: Node): Boolean =
-        same(o, n) && samePersistedDescription(o, n) && sameContract(o, n)
-      lazy val affected = affectedMacros(manifest.macroSources, state.macroSources)
+      lazy val affected = state.affectedMacros(manifest.macroSources)
       which match {
-        case "new" => manifest.nodes.keySet -- state.nodes.keySet
-        case "old" =>
-          manifest.nodes.keySet.intersect(state.nodes.keySet)
+        case "new" => manifest.nodes.keySet.filterNot(state.contains)
+        case "old" => manifest.nodes.keySet.filter(state.contains)
         case "modified" =>
           manifest.nodes.collect {
-            case (id, n) if !state.nodes.get(id).exists(fullSame(_, n)) ||
+            case (id, n) if !state.fullSame(id, n) ||
               usesMacro(n, affected) => id
           }.toSet
         case "unmodified" =>
           manifest.nodes.collect {
-            case (id, n) if state.nodes.get(id).exists(fullSame(_, n)) &&
+            case (id, n) if state.fullSame(id, n) &&
               !usesMacro(n, affected) => id
           }.toSet
         case "modified.body" =>
           manifest.nodes.collect {
-            case (id, n) if !state.nodes.get(id).exists(sameBody(_, n)) => id
-          }.toSet
+            case (id, n) if !state.bodySame(id, n) => id }.toSet
         case "modified.configs" =>
           manifest.nodes.collect {
-            case (id, n) if !state.nodes.get(id).exists(_.config == n.config) => id
-          }.toSet
+            case (id, n) if !state.configSame(id, n) => id }.toSet
         case "modified.persisted_descriptions" =>
           manifest.nodes.collect {
-            case (id, n)
-              if !state.nodes.get(id).exists(samePersistedDescription(_, n)) => id
-          }.toSet
+            case (id, n) if !state.persistedDescSame(id, n) => id }.toSet
         case "modified.relation" =>
           manifest.nodes.collect {
-            case (id, n) if !state.nodes.get(id).exists(sameRelation(_, n)) => id
-          }.toSet
+            case (id, n) if !state.relationSame(id, n) => id }.toSet
         case "modified.contract" =>
           manifest.nodes.collect {
-            case (id, n) if !state.nodes.get(id).exists(sameContract(_, n)) => id
-          }.toSet
+            case (id, n) if !state.contractSame(id, n) => id }.toSet
         case "modified.macros" =>
           // reference check_modified_macros looks only at the NEW
           // node's (transitive) macro usage, not at old-node presence
@@ -504,6 +500,109 @@ object Selector {
       case t: graft.core.TestNode => macroRefs(t.rawSql, affected).nonEmpty
       case _ => false
     })
+
+  /** One side of a state comparison. The reference diffs two saved
+    * manifests; this engine supports the same two fidelities:
+    * [[ManifestState]] wraps a fully-parsed comparison project
+    * (--state-project) and compares real nodes; [[ChecksumState]] wraps
+    * the `state_checksums` block of a saved manifest.json artifact
+    * (--state) and compares content hashes — the reference's CI
+    * pattern, where only prod artifacts are kept. Every method takes
+    * the NEW node so conditional checks (persist_docs gates, contract
+    * enforcement toggles) evaluate exactly as the full compare does;
+    * a missing id returns false ("modified") everywhere.
+    */
+  sealed trait StateSide {
+    def contains(id: String): Boolean
+    def fullSame(id: String, n: Node): Boolean
+    def bodySame(id: String, n: Node): Boolean
+    def configSame(id: String, n: Node): Boolean
+    def relationSame(id: String, n: Node): Boolean
+    def persistedDescSame(id: String, n: Node): Boolean
+    def contractSame(id: String, n: Node): Boolean
+    /** Macro names differing from the current project's `cur`
+      * (name -> body), closed transitively over macro->macro calls. */
+    def affectedMacros(cur: Map[String, String]): Set[String]
+  }
+
+  final class ManifestState(state: Manifest) extends StateSide {
+    def contains(id: String): Boolean = state.nodes.contains(id)
+    def fullSame(id: String, n: Node): Boolean =
+      state.nodes.get(id).exists(o =>
+        same(o, n) && samePersistedDescription(o, n) && sameContract(o, n))
+    def bodySame(id: String, n: Node): Boolean =
+      state.nodes.get(id).exists(sameBody(_, n))
+    def configSame(id: String, n: Node): Boolean =
+      state.nodes.get(id).exists(_.config == n.config)
+    def relationSame(id: String, n: Node): Boolean =
+      state.nodes.get(id).exists(sameRelation(_, n))
+    def persistedDescSame(id: String, n: Node): Boolean =
+      state.nodes.get(id).exists(samePersistedDescription(_, n))
+    def contractSame(id: String, n: Node): Boolean =
+      state.nodes.get(id).exists(sameContract(_, n))
+    def affectedMacros(cur: Map[String, String]): Set[String] =
+      Selector.affectedMacros(cur, state.macroSources)
+  }
+
+  /** Checksum-based comparison against a saved manifest artifact
+    * (Artifacts.readStateArtifact). Hash equality over the same inputs
+    * the full compare reads is equivalence: each dimension hashes the
+    * exact field set its ManifestState twin compares (StateHash), and
+    * conditional gates use the NEW node's config + the artifact's
+    * recorded contract_enforced flag. */
+  final class ChecksumState(
+      nodes: Map[String, graft.core.StateHash.Checksums],
+      macroShas: Map[String, String]) extends StateSide {
+    import graft.core.StateHash
+    def contains(id: String): Boolean = nodes.contains(id)
+    def fullSame(id: String, n: Node): Boolean =
+      nodes.get(id).exists(c =>
+        c.content == StateHash.sha(StateHash.contentOf(n)) &&
+          persisted(c, n) && contract(c, n))
+    def bodySame(id: String, n: Node): Boolean =
+      nodes.get(id).exists(_.body == StateHash.sha(StateHash.bodyOf(n)))
+    def configSame(id: String, n: Node): Boolean =
+      nodes.get(id).exists(_.config == StateHash.sha(StateHash.stable(n.config)))
+    def relationSame(id: String, n: Node): Boolean =
+      nodes.get(id).exists(_.relation == StateHash.sha(StateHash.stable(
+        (n.config.database, n.config.schema, n.config.alias))))
+    def persistedDescSame(id: String, n: Node): Boolean =
+      nodes.get(id).exists(persisted(_, n))
+    def contractSame(id: String, n: Node): Boolean =
+      nodes.get(id).exists(contract(_, n))
+    private def persisted(c: StateHash.Checksums, n: Node): Boolean = n match {
+      case m: graft.core.ModelNode =>
+        (!m.config.persistDocs.getOrElse("relation", false) ||
+          c.desc == StateHash.sha(m.description)) &&
+        (!m.config.persistDocs.getOrElse("columns", false) ||
+          c.coldesc == StateHash.sha(StateHash.coldescOf(m)))
+      case _ => true
+    }
+    private def contract(c: StateHash.Checksums, n: Node): Boolean = n match {
+      case m: graft.core.ModelNode =>
+        if (!m.config.contractEnforced && !c.contractEnforced) true
+        else m.config.contractEnforced && c.contractEnforced &&
+          c.contract == StateHash.sha(StateHash.contractOf(m))
+      case _ => true
+    }
+    def affectedMacros(cur: Map[String, String]): Set[String] = {
+      if (macroShas.isEmpty || cur.isEmpty) return Set.empty
+      val all = cur.keySet ++ macroShas.keySet
+      var affected = all.filter(n =>
+        cur.get(n).map(graft.core.StateHash.sha) != macroShas.get(n))
+      // transitive closure over the CURRENT project's call graph —
+      // deleted macros carry no body but are already affected directly
+      val callees = all.iterator.map(n =>
+        n -> macroRefs(cur.getOrElse(n, ""), all)).toMap
+      var grew = affected.nonEmpty
+      while (grew) {
+        val next = all.filter(n => !affected(n) && callees(n).exists(affected))
+        grew = next.nonEmpty
+        affected ++= next
+      }
+      affected
+    }
+  }
 }
 
 /** Thread-safe release-on-done scheduler queue — the reference's

@@ -2835,6 +2835,118 @@ object Framework {
         }))
 
       rows.toSeq.toDF("check_name", "result").orderBy("check_name")
+    },
+
+    // A23 artifact-based --state (reference `dbt build --state
+    // ./prod-artifacts`, selector_methods.py:609-788 diffing SAVED
+    // manifests): v1 runs and writes its manifest.json; every later
+    // comparison runs from that ARTIFACT alone — no v1 re-parse. The
+    // state_checksums block + real macro entries carry the comparison:
+    // body edits select the edited model, macro edits select the
+    // caller (transitively, through check_macros_modified semantics),
+    // config/relation edits select under their submethods, a new model
+    // selects under state:new. Any checksum-dimension mix-up, a stale
+    // artifact reader, or hash-input drift between writer and selector
+    // breaks the expected selection strings and the oracle hash.
+    QueryDef(
+      "m47_state_artifact",
+      """SELECT * FROM (VALUES
+        |  ('artifact_checksums', 'present'),
+        |  ('run_selected_v2', 'model.graft.m47_base'),
+        |  ('modified_body_v2', 'model.graft.m47_base'),
+        |  ('modified_macros_v3', 'model.graft.m47_agg'),
+        |  ('modified_full_v3', 'model.graft.m47_agg'),
+        |  ('modified_configs_v4', 'model.graft.m47_base'),
+        |  ('modified_relation_v4', 'model.graft.m47_base'),
+        |  ('state_new_v5', 'model.graft.m47_extra'),
+        |  ('base_batch_after_v2', '2'),
+        |  ('agg_batch_after_v2', '1')
+        |) AS t(check_name, result)
+        |ORDER BY check_name""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      def project(batch: Int, macroBody: String = "{% macro m47_scale() %}1{% endmacro %}",
+          baseCfg: String = "materialized='table'",
+          extra: Map[String, String] = Map.empty): Map[String, String] = Map(
+        "dbt_project.yml" -> "name: m47\n",
+        "models/sources.yml" ->
+          s"""sources:
+             |  - name: main
+             |    tables:
+             |      - name: orders
+             |        path: $dir/orders.parquet
+             |""".stripMargin,
+        "models/m47_base.sql" ->
+          s"""{{ config($baseCfg) }}
+             |SELECT o_orderkey, CAST($batch AS BIGINT) AS batch
+             |FROM {{ source('main', 'orders') }} WHERE o_orderkey % 5 = 0""".stripMargin,
+        "models/m47_agg.sql" ->
+          """{{ config(materialized='table') }}
+            |SELECT MIN(batch) * {{ m47_scale() }} AS batch,
+            |       CAST(COUNT(*) AS BIGINT) AS n
+            |FROM {{ ref('m47_base') }}""".stripMargin,
+        "macros/m47_macros.sql" -> macroBody) ++ extra
+      def writeProj(files: Map[String, String]): String = {
+        val d = java.nio.file.Files.createTempDirectory("m47_proj")
+        scratchDirs.add(d.toFile)
+        files.foreach { case (rel, c) =>
+          val p = d.resolve(rel)
+          java.nio.file.Files.createDirectories(p.getParent)
+          java.nio.file.Files.writeString(p, c): Unit
+        }
+        d.toString
+      }
+      val rows = scala.collection.mutable.ArrayBuffer[(String, String)]()
+      val wh = scratch()
+      // v1: run + SAVE ARTIFACTS; v1's engine is never consulted again
+      val eng1 = Engine.fromProject(s, writeProj(project(1)), wh)
+      val res1 = eng1.run(threads = 2)
+      require(res1.forall(_.status == "success"), "m47 v1 run failed")
+      val target = scratch()
+      eng1.writeArtifacts(target, res1)
+      val mfPath = s"$target/manifest.json"
+      rows += (("artifact_checksums",
+        if (java.nio.file.Files.readString(java.nio.file.Paths.get(mfPath))
+            .contains("\"state_checksums\"")) "present" else "MISSING"))
+      // v2: only the base body flips 1 -> 2
+      val eng2 = Engine.fromProject(s, writeProj(project(2)), wh)
+      val res2 = eng2.runWithStateArtifact(mfPath, Seq("state:modified"), threads = 2)
+      require(res2.forall(_.status == "success"), s"m47 v2 run failed: $res2")
+      rows += (("run_selected_v2", res2.map(_.uniqueId).sorted.mkString(",")))
+      rows += (("modified_body_v2",
+        eng2.lsWithStateArtifact(mfPath, Seq("state:modified.body"))
+          .sorted.mkString(",")))
+      // v3: ONLY the macro body differs from v1 — the caller selects
+      val eng3 = Engine.fromProject(s, writeProj(project(1,
+        macroBody = "{%- macro m47_scale() -%}(0 + 1){%- endmacro -%}")), wh)
+      rows += (("modified_macros_v3",
+        eng3.lsWithStateArtifact(mfPath, Seq("state:modified.macros"))
+          .sorted.mkString(",")))
+      rows += (("modified_full_v3",
+        eng3.lsWithStateArtifact(mfPath, Seq("state:modified"))
+          .sorted.mkString(",")))
+      // v4: ONLY the base's config gains an alias — configs AND
+      // relation submethods flag it (alias is a relation field)
+      val eng4 = Engine.fromProject(s, writeProj(project(1,
+        baseCfg = "materialized='table', alias='m47_alias'")), wh)
+      rows += (("modified_configs_v4",
+        eng4.lsWithStateArtifact(mfPath, Seq("state:modified.configs"))
+          .sorted.mkString(",")))
+      rows += (("modified_relation_v4",
+        eng4.lsWithStateArtifact(mfPath, Seq("state:modified.relation"))
+          .sorted.mkString(",")))
+      // v5: a brand-new model selects under state:new
+      val eng5 = Engine.fromProject(s, writeProj(project(1,
+        extra = Map("models/m47_extra.sql" ->
+          "{{ config(materialized='view') }}\nSELECT 7 AS x"))), wh)
+      rows += (("state_new_v5",
+        eng5.lsWithStateArtifact(mfPath, Seq("state:new")).sorted.mkString(",")))
+      // selection boundary is data-visible: base re-ran (batch 2), agg
+      // did not (still batch 1 from v1)
+      rows += (("base_batch_after_v2",
+        eng2.wh.read("m47_base").agg(max("batch")).collect()(0).getLong(0).toString))
+      rows += (("agg_batch_after_v2",
+        eng2.wh.read("m47_agg").agg(max("batch")).collect()(0).getLong(0).toString))
+      rows.toSeq.toDF("check_name", "result").orderBy("check_name")
     }
   )
 }

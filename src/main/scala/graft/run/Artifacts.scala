@@ -270,7 +270,21 @@ object Artifacts {
       "sources" -> obj(section("source").map {
         case (id, s: SourceNode) => id -> sourceJson(s)
         case (id, n) => id -> nodeJson(n) }),
-      "macros" -> obj(Nil),
+      // real macro entries (reference v12 Macro: unique_id + macro_sql
+      // + path identity) — the bodies make artifact-based
+      // `state:modified.macros` possible (check_macros_modified diffs
+      // macro definitions between manifests)
+      "macros" -> obj(manifest.macroSources.toSeq.sortBy(_._1).map {
+        case (name, body) =>
+          s"macro.graft.$name" -> obj(Seq(
+            "name" -> q(name),
+            "resource_type" -> q("macro"),
+            "package_name" -> q("graft"),
+            "path" -> q(s"macros/$name.sql"),
+            "original_file_path" -> q(s"macros/$name.sql"),
+            "unique_id" -> q(s"macro.graft.$name"),
+            "macro_sql" -> q(body)))
+      }),
       "docs" -> obj(Nil),
       "exposures" -> obj(section("exposure").map {
         case (id, e: ExposureNode) => id -> exposureJson(e)
@@ -313,8 +327,76 @@ object Artifacts {
         case (id, n) => id -> nodeJson(n) }),
       "unit_tests" -> obj(section("unit_test").map {
         case (id, u: UnitTestNode) => id -> unitTestJson(u)
-        case (id, n) => id -> nodeJson(n) })))
+        case (id, n) => id -> nodeJson(n) }),
+      // engine extension (documented, schema-safe: the reference
+      // validators leave additionalProperties open): per-node content
+      // checksums for EVERY resource, one per state-comparison
+      // dimension — this is what lets `--state <artifact-dir>` run
+      // state:modified from the saved manifest alone, the reference's
+      // CI pattern (`dbt build --state ./prod-artifacts`), without
+      // re-parsing the comparison project tree.
+      "state_checksums" -> obj(manifest.nodes.toSeq.sortBy(_._1).map {
+        case (id, n) =>
+          val c = graft.core.StateHash.of(n)
+          id -> obj(Seq(
+            "body" -> q(c.body),
+            "config" -> q(c.config),
+            "content" -> q(c.content),
+            "relation" -> q(c.relation),
+            "desc" -> q(c.desc),
+            "coldesc" -> q(c.coldesc),
+            "contract_enforced" -> c.contractEnforced.toString,
+            "contract" -> q(c.contract)))
+      })))
     write(path, doc)
+  }
+
+  /** Reads the state-comparison view back from a saved manifest.json
+    * (the `--state <artifact-dir>` path): per-node [[graft.core.StateHash.Checksums]]
+    * plus macro name -> sha256(macro_sql). Fails loudly on a manifest
+    * written before the state_checksums extension — the caller should
+    * tell the user to regenerate the artifact (or use --state-project). */
+  def readStateArtifact(manifestPath: String)
+      : (Map[String, graft.core.StateHash.Checksums], Map[String, String]) = {
+    import graft.render.Jinja.{JM, JS, JB, JV}
+    def str(v: JV): String = v match { case JS(s) => s; case other => sys.error(s"expected string, got $other") }
+    val txt = Files.readString(Paths.get(manifestPath))
+    val root = graft.render.Jinja.fromJsonValue(txt) match {
+      case m: JM => m.m
+      case _ => sys.error(s"$manifestPath is not a JSON object")
+    }
+    val cs = root.get("state_checksums") match {
+      case Some(m: JM) => m.m.map {
+        case (id, e: JM) =>
+          val f = e.m
+          id -> graft.core.StateHash.Checksums(
+            body = str(f("body")),
+            config = str(f("config")),
+            content = str(f("content")),
+            relation = str(f("relation")),
+            desc = str(f("desc")),
+            coldesc = str(f("coldesc")),
+            contractEnforced = f("contract_enforced") match {
+              case JB(b) => b
+              case JS(s) => s == "true"
+              case other => sys.error(s"bad contract_enforced: $other")
+            },
+            contract = str(f("contract")))
+        case (id, other) => sys.error(s"bad state_checksums entry $id: $other")
+      }
+      case _ => sys.error(
+        s"$manifestPath carries no state_checksums — regenerate the artifact " +
+          "with this engine version, or compare against the project tree " +
+          "with --state-project")
+    }
+    val macros = root.get("macros") match {
+      case Some(m: JM) => m.m.values.collect {
+        case e: JM if e.m.contains("macro_sql") =>
+          str(e.m("name")) -> graft.core.StateHash.sha(str(e.m("macro_sql")))
+      }.toMap
+      case _ => Map.empty[String, String]
+    }
+    (cs, macros)
   }
 
   /** `docs generate` lineage graph as GraphViz DOT — the plain-text

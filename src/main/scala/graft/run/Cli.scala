@@ -287,9 +287,24 @@ object Cli {
         java.nio.file.Files.createTempDirectory("graft_state_wh").toString)
       Engine.fromProject(spark, sp, swh, vars)
     }
+    // reference `--state <artifact-dir>` (the CI pattern: only prod
+    // artifacts are kept — `dbt build --state ./prod-artifacts`): the
+    // saved manifest.json's state_checksums + macro entries carry the
+    // comparison side; no project re-parse. --state-project remains the
+    // full-fidelity path (and the one that can serve --defer reads).
+    val stateArtifact = opts.get("state").map { dir =>
+      val mf = java.nio.file.Paths.get(dir, "manifest.json")
+      if (!java.nio.file.Files.exists(mf))
+        sys.error(s"--state: no manifest.json under $dir")
+      val (cs, macros) = Artifacts.readStateArtifact(mf.toString)
+      new graft.graph.Selector.ChecksumState(cs, macros)
+    }
+    if (stateEngine.nonEmpty && stateArtifact.nonEmpty)
+      sys.error("pass either --state <artifact-dir> or --state-project <dir>, not both")
     if (opts.contains("defer")) {
       val se = stateEngine.getOrElse(
-        sys.error("--defer needs --state-project <dir> [--state-warehouse <dir>]"))
+        sys.error("--defer needs --state-project <dir> [--state-warehouse <dir>]" +
+          " (an artifact dir has no relations to defer reads to)"))
       engine.deferEngine = Some(se)
       // --favor-state: unselected nodes read from state even when a
       // stale local build exists (reference providers.py:558-563)
@@ -297,7 +312,10 @@ object Cli {
     }
     def inState[T](body: => T): T = stateEngine match {
       case Some(se) => graft.graph.Selector.withState(se.manifest)(body)
-      case None => body
+      case None => stateArtifact match {
+        case Some(cs) => graft.graph.Selector.withStateSide(cs)(body)
+        case None => body
+      }
     }
     def report(results: Seq[graft.exec.Materializer.Result]): Unit = {
       val shown = if (quiet)
@@ -643,7 +661,7 @@ object Cli {
       |  [--select a b] [--exclude c] [--selector <name>] [--vars k=v,...] [--full-refresh]
       |  [--inline "<sql>"] [--limit N] [--empty] [--log-format text|json]
       |  [--warn-error] [--fail-fast] [--quiet] [--profiles-dir <dir>]
-      |  [--state-project <dir> [--state-warehouse <dir>]] [--defer] [--favor-state]
+      |  [--state <artifact-dir>] [--state-project <dir> [--state-warehouse <dir>]] [--defer] [--favor-state]
       |  [--indirect-selection eager|cautious|buildable|empty]
       |  ls [--resource-type model,seed,...] [--output selector|name|path|json] [--output-keys "name unique_id ..."]
       |  run-operation <macro> [--args k=v,...]

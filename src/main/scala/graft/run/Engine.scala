@@ -1332,6 +1332,22 @@ final class Engine(
   def lsWithState(state: Manifest, select: Seq[String]): Seq[String] =
     Selector.withState(state) { ls(select) }
 
+  /** Artifact-based state comparison (`--state <artifact-dir>`): the
+    * comparison side is a saved manifest.json's state_checksums block,
+    * no project re-parse (reference CI pattern). */
+  def runWithStateArtifact(manifestPath: String, select: Seq[String],
+      threads: Int = 4): Seq[Materializer.Result] = {
+    val (cs, macros) = Artifacts.readStateArtifact(manifestPath)
+    Selector.withStateSide(new Selector.ChecksumState(cs, macros)) {
+      run(select = select, threads = threads)
+    }
+  }
+
+  def lsWithStateArtifact(manifestPath: String, select: Seq[String]): Seq[String] = {
+    val (cs, macros) = Artifacts.readStateArtifact(manifestPath)
+    Selector.withStateSide(new Selector.ChecksumState(cs, macros)) { ls(select) }
+  }
+
   /** `dbt clone` (reference `core/dbt/task/clone.py:18-155`): copy
     * relations from another engine's warehouse into this one. Parquet
     * version dirs make this a pointer copy (re-register paths) — the

@@ -254,4 +254,64 @@ class DagSpec extends AnyFunSuite {
     assert(Selector.withState(offOld)(
       Selector.select(offCur, dOff, Seq("state:modified.persisted_descriptions"))) === Set.empty)
   }
+
+  test("ChecksumState (artifact --state) selects EXACTLY what ManifestState selects") {
+    // the checksum view must be selection-equivalent to the full
+    // manifest view on every submethod: build the artifact side the way
+    // Artifacts.writeManifest does (StateHash.of per node, sha per
+    // macro) and compare selections over a manifest exercising every
+    // dimension: body edit, config edit, relation move, contract break,
+    // persisted-description change, macro edit, node added + deleted
+    def mk(name: String, cfg: NodeConfig, cols: Seq[ColumnInfo] = Nil,
+        sql: String = "SELECT 1", desc: String = "") =
+      ModelNode(name, sql, config = cfg, columns = cols, description = desc)
+    val old = Manifest(Seq[Node](
+      mk("b", NodeConfig(), sql = "SELECT 1 AS v"),
+      mk("cfg", NodeConfig(tags = Set("x"))),
+      mk("r", NodeConfig(alias = Some("r_v1"))),
+      mk("c", NodeConfig(contractEnforced = true),
+        cols = Seq(ColumnInfo("id", Some("bigint")))),
+      mk("p", NodeConfig(persistDocs = Map("relation" -> true)), desc = "old"),
+      mk("m", NodeConfig(), sql = "SELECT {{ money(amount) }} AS v"),
+      mk("gone", NodeConfig()),
+      mk("same", NodeConfig(), sql = "SELECT 42 AS u")
+    ).map(n => n.uniqueId -> n).toMap,
+      macroSources = Map("money" -> "round({{ x }}, 2)",
+        "caller" -> "{{ money(1) }}", "idle" -> "1"))
+    val cur = Manifest(Seq[Node](
+      mk("b", NodeConfig(), sql = "SELECT 2 AS v"), // body edit
+      mk("cfg", NodeConfig(tags = Set("y"))), // config edit
+      mk("r", NodeConfig(alias = Some("r_v2"))), // relation moved
+      mk("c", NodeConfig(contractEnforced = true),
+        cols = Seq(ColumnInfo("id", Some("string")))), // contract broke
+      mk("p", NodeConfig(persistDocs = Map("relation" -> true)), desc = "new"),
+      mk("m", NodeConfig(), sql = "SELECT {{ caller() }} AS v"), // transitive macro hit
+      mk("fresh", NodeConfig()), // new node
+      mk("same", NodeConfig(), sql = "SELECT 42 AS u") // untouched
+    ).map(n => n.uniqueId -> n).toMap,
+      macroSources = Map("money" -> "round({{ x }}, 4)", // edited
+        "caller" -> "{{ money(1) }}", "idle" -> "1"))
+    val d2 = Dag.fromManifest(cur)
+    // the artifact side, exactly as writeManifest embeds it
+    val artifact = new Selector.ChecksumState(
+      old.nodes.map { case (id, n) => id -> graft.core.StateHash.of(n) },
+      old.macroSources.map { case (k, v) => k -> graft.core.StateHash.sha(v) })
+    val methods = Seq("state:new", "state:old", "state:modified",
+      "state:unmodified", "state:modified.body", "state:modified.configs",
+      "state:modified.relation", "state:modified.contract",
+      "state:modified.persisted_descriptions", "state:modified.macros")
+    methods.foreach { m =>
+      val full = Selector.withState(old)(Selector.select(cur, d2, Seq(m)))
+      val fromArtifact = Selector.withStateSide(artifact)(
+        Selector.select(cur, d2, Seq(m)))
+      assert(fromArtifact === full, s"$m diverged between artifact and manifest state")
+    }
+    // sanity on the absolute sets, not just agreement
+    val modified = Selector.withStateSide(artifact)(
+      Selector.select(cur, d2, Seq("state:modified")))
+    assert(modified.contains("model.graft.m"), "transitive macro edit must select the caller")
+    assert(!modified.contains("model.graft.same"))
+    assert(Selector.withStateSide(artifact)(
+      Selector.select(cur, d2, Seq("state:new"))) === Set("model.graft.fresh"))
+  }
 }
