@@ -82,14 +82,8 @@ final class Warehouse(val spark: SparkSession, val root: String,
   }
 
   private def writeCommits(name: String, paths: Seq[String],
-      fmt: String = "parquet"): Unit = {
-    val f = java.nio.file.Paths.get(root, name, "_commits")
-    java.nio.file.Files.createDirectories(f.getParent)
-    val header = if (fmt == "parquet") Nil else Seq(s"format=$fmt")
-    java.nio.file.Files.writeString(f,
-      (header ++ paths.map(_.split('/').last)).mkString("\n"))
-    ()
-  }
+      fmt: String = "parquet"): Unit =
+    Warehouse.writeCommitsFile(root, name, paths, fmt)
 
   def exists(name: String): Boolean = lock.synchronized(relations.contains(name))
 
@@ -567,4 +561,35 @@ object Warehouse {
     * pruned write needs — callers fall back to the full rewrite.
     */
   final class PrunedWriteUnsupported(msg: String) extends RuntimeException(msg)
+
+  /** Commit-manifest write protocol (crash-consistent): stage the new
+    * manifest beside the live one, then ATOMIC-RENAME it into place.
+    * The manifest is the reader's ONLY pointer into the data (data
+    * files are written first, under version dirs the old manifest does
+    * not name), so with rename atomicity a crash at ANY instruction of
+    * a write leaves the previous complete version visible — never a
+    * torn manifest, never a partial table. Pre-fix this was a plain
+    * writeString: a kill mid-write could truncate `_commits` and make
+    * an intact table invisible to recovery. CrashCommitSpec SIGKILLs a
+    * child mid-protocol N>=50 times and asserts zero torn reads.
+    * Static + Spark-free so the crash harness drives the REAL protocol
+    * from a plain JVM. */
+  def writeCommitsFile(root: String, name: String, paths: Seq[String],
+      fmt: String = "parquet"): Unit = {
+    val f = java.nio.file.Paths.get(root, name, "_commits")
+    java.nio.file.Files.createDirectories(f.getParent)
+    val header = if (fmt == "parquet") Nil else Seq(s"format=$fmt")
+    val tmp = f.resolveSibling("_commits.tmp")
+    java.nio.file.Files.writeString(tmp,
+      (header ++ paths.map(_.split('/').last)).mkString("\n"))
+    try java.nio.file.Files.move(tmp, f,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    catch {
+      case _: java.nio.file.AtomicMoveNotSupportedException =>
+        java.nio.file.Files.move(tmp, f,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    ()
+  }
 }

@@ -74,6 +74,17 @@ class BoundedWindowSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  // Structural cross-check (VERDICT r10 item 8): the measurement tests
+  // below are GENERATED from the allowlist, so an entry without a
+  // measurement row cannot exist; this guard closes the remaining
+  // drift hole — a stale entry naming a deleted/renamed query — with a
+  // named failure instead of a lookup error inside its generated test.
+  test("allowlist hygiene: every bounded-domain entry names a live query") {
+    val names = graft.SparkEntry.allQueries.map(_.name).toSet
+    val stale = ExplainAudit.boundedDomainAllowlist.keySet.filterNot(names)
+    assert(stale.isEmpty, s"allowlist entries without a query: $stale")
+  }
+
   for ((name, bd) <- ExplainAudit.boundedDomainAllowlist.toSeq.sortBy(_._1)) {
     test(s"$name: unpartitioned-window input <= ${bd.rowBound} rows at 1x and 10x") {
       val at1x = windowInputRows(name, baseDir)
