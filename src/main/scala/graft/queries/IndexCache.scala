@@ -84,17 +84,22 @@ private[graft] object IndexCache {
   }
 
   /** Times a build (or an eviction re-pin) and records OWN seconds
-    * (total minus nested child builds) against the key. Re-entrant. */
+    * (total minus nested child builds) against the key. Re-entrant.
+    * A build that THROWS records nothing — a failed attempt (missing
+    * table in a partial replica dir, OOM) is not a build cost, and a
+    * garbage 0.01 s entry would win the ledger's per-dir slot. */
   def timedBuild[T](key: String)(build: => T): T = {
     val stack = childSec.get()
     stack.push(Array(0.0))
     val t0 = System.nanoTime()
-    try build
+    var ok = false
+    try { val r = build; ok = true; r }
     finally {
       val total = (System.nanoTime() - t0) / 1e9
       val children = stack.pop()(0)
-      buildsM.merge(key, math.max(0.0, total - children),
-        (a, b) => java.lang.Double.valueOf(a + b))
+      if (ok)
+        buildsM.merge(key, math.max(0.0, total - children),
+          (a, b) => java.lang.Double.valueOf(a + b))
       if (!stack.isEmpty) stack.peek()(0) += total
     }
   }

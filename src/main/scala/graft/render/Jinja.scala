@@ -25,11 +25,12 @@ package graft.render
   * `{% include %}` (with `ignore missing`), macro namespaces
   * (`{% import 'f.sql' as ns %}` / `{% from 'f.sql' import a as b %}`,
   * `with`/`without context` accepted, sibling-macro calls resolved
-  * through the imported file's own namespace), and `{% filter %}`
-  * blocks ARE supported — see resolveExtends/loadMacroNamespace below
-  * and JinjaSpec. Deliberately NOT full Jinja: no custom tests beyond
-  * the 13 built-in predicates; everything a dbt model/hook/macro
-  * body in this repo's fixture universe uses renders here.
+  * through the imported file's own namespace), `{% filter %}` blocks,
+  * and `{% raw %}`/`{% endraw %}` literal blocks ARE supported — see
+  * resolveExtends/loadMacroNamespace below and JinjaSpec. Deliberately
+  * NOT full Jinja: no custom tests beyond the 13 built-in predicates;
+  * everything a dbt model/hook/macro body in this repo's fixture
+  * universe uses renders here.
   *
   * Unknown statement tags (`{% call statement(...) %}`, `{% macro %}`,
   * anything unrecognized) pass through VERBATIM — call-statement blocks
@@ -275,6 +276,10 @@ object Jinja {
   private final case class TExpr(src: String, raw: String) extends Tok
   private final case class TStmt(src: String, raw: String) extends Tok
 
+  /** `{% endraw %}` with optional whitespace-control dashes; group 1 =
+    * leading dash (trim raw body's tail), group 2 = trailing dash. */
+  private val RawEndRe = """\{%(-)?\s*endraw\s*(-)?%\}""".r
+
   /** Split source into text / `{{ }}` / `{% %}` tokens; strip `{# #}`;
     * apply `-` whitespace control to neighboring text.
     */
@@ -308,12 +313,30 @@ object Jinja {
           }
           flushText()
           close match {
+            case "%}" if inner.trim == "raw" =>
+              // `{% raw %}…{% endraw %}`: the body is LITERAL — `{{`/`{%`
+              // inside must not lex (reference Jinja raw blocks; dbt docs
+              // use them to emit literal curly syntax). Handled here in
+              // the lexer because no parse-level rule can un-tokenize.
+              val rawEnd = RawEndRe.findFirstMatchIn(src.substring(end + 2))
+                .getOrElse(throw new IllegalArgumentException(
+                  "jinja: missing {% endraw %}"))
+              var body = src.substring(end + 2, end + 2 + rawEnd.start)
+              if (trimRight) body = body.dropWhile(c =>
+                c == ' ' || c == '\t' || c == '\n' || c == '\r')
+              if (rawEnd.group(1) != null) body = body.reverse.dropWhile(c =>
+                c == ' ' || c == '\t' || c == '\n' || c == '\r').reverse
+              out += TText(body)
+              i = end + 2 + rawEnd.end
+              trimNext = rawEnd.group(2) != null
             case "}}" => out += TExpr(inner.trim, rawFull)
             case "%}" => out += TStmt(inner.trim, rawFull)
             case _ => () // comment
           }
-          i = end + 2
-          if (trimRight) trimNext = true
+          if (close != "%}" || inner.trim != "raw") {
+            i = end + 2
+            if (trimRight) trimNext = true
+          }
         }
       } else {
         if (trimNext) {

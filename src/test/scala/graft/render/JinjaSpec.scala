@@ -45,6 +45,23 @@ class JinjaSpec extends AnyFunSuite {
       |
       |{% endmacro %}""".stripMargin
 
+  test("{% raw %} emits literally: tags inside do not render") {
+    // reference Jinja raw blocks (dbt docs use them to emit literal
+    // curly syntax into SQL comments / external templates)
+    assert(Template.render(
+      "a {% raw %}{{ not_rendered }} {% if x %}kept{% endif %}{% endraw %} b", ctx)
+      === "a {{ not_rendered }} {% if x %}kept{% endif %} b")
+    // whitespace control on both fences
+    assert(Template.render("a {%- raw -%}  lit  {%- endraw -%} b", ctx) === "alitb")
+    // still-rendered context around the raw block
+    assert(Template.render(
+      "{% set v = 7 %}{{ v }}/{% raw %}{{ v }}{% endraw %}/{{ v }}", ctx)
+      === "7/{{ v }}/7")
+    // unterminated raw is a loud error, not silent swallowing
+    assertThrows[IllegalArgumentException](
+      Template.render("x {% raw %} no end", ctx))
+  }
+
   test("reference models__local_macro: macro call in model body") {
     val c = ctxWith(macros(doSomething2))
     val out = Template.render("""{{
