@@ -83,9 +83,18 @@ object IndexesMd {
       case (label, dirs) =>
         note(s"scale pass $label -> ${dirs.mkString(",")}")
         covering.toSeq.sortBy(_._1).foreach { case (prefix, qname) =>
-          val done = dirs.exists { dir =>
+          def attempt(): Boolean = dirs.exists { dir =>
             val ok = drain(qname, dir)
             ok && IndexCache.buildsForDir(dir).contains(prefix)
+          }
+          // one retry after releasing earlier passes' persisted blocks:
+          // a 40-minute single-session run accumulates every scale's
+          // indexes and a big build can fail on memory pressure alone
+          // (the repin discipline re-arms evicted survivors on demand)
+          val done = attempt() || {
+            note(s"$label: '$prefix' failed (via $qname) — clearCache + retry")
+            spark.catalog.clearCache()
+            attempt()
           }
           if (!done) note(s"$label: no dir built '$prefix' (via $qname)")
         }
