@@ -218,6 +218,109 @@ class PartialParseSpec extends AnyFunSuite {
       }).contains("SELECT 11 AS pid"))
   }
 
+  test("v3 codec covers EVERY node type: kitchen-sink project fully reuses warm") {
+    // the failure mode this guards: a parse-output class missing from
+    // StateCodec.allowed makes writeState throw (state never saved) or
+    // readState degrade — either way warm reuse silently dies and every
+    // run cold-parses. A full-surface project must round-trip with
+    // parsed == 0 on the second load.
+    val dir = Files.createTempDirectory("pp_sink")
+    def put(rel: String, c: String): Unit = {
+      val p = dir.resolve(rel)
+      Files.createDirectories(p.getParent)
+      Files.writeString(p, c): Unit
+    }
+    put("dbt_project.yml", "name: sink\n")
+    put("models/m1.sql", "SELECT 1 AS id")
+    put("models/v_model.sql", "SELECT 2 AS id")
+    put("models/schema.yml",
+      """sources:
+        |  - name: ext
+        |    tables:
+        |      - name: t1
+        |        path: /tmp/t1.parquet
+        |        loaded_at_field: ts
+        |        freshness: {warn_after_sec: 10}
+        |groups:
+        |  - name: g1
+        |    owner: {name: Owner, email: o@example.com}
+        |models:
+        |  - name: m1
+        |    description: has docs
+        |    config: {group: g1, contract: {enforced: true}}
+        |    columns:
+        |      - name: id
+        |        data_type: bigint
+        |        tests: [unique, not_null]
+        |  - name: v_model
+        |    versions:
+        |      - v: 1
+        |      - v: 2
+        |exposures:
+        |  - name: dash
+        |    type: dashboard
+        |    depends_on: [m1]
+        |semantic_models:
+        |  - name: sm1
+        |    model: m1
+        |    entities: [{name: id, type: primary}]
+        |    dimensions: [{name: id_cat, type: categorical}]
+        |    measures: [{name: n_rows, agg: count, expr: id}]
+        |metrics:
+        |  - name: met1
+        |    model: m1
+        |    measure: n_rows
+        |saved_queries:
+        |  - name: sq1
+        |    metrics: [met1]
+        |unit_tests:
+        |  - name: ut1
+        |    model: m1
+        |    given: []
+        |    expect:
+        |      rows:
+        |        - {id: 1}
+        |""".stripMargin)
+    put("seeds/s1.csv", "a,b\n1,x\n")
+    put("snapshots/snaps.sql",
+      """{% snapshot snap_ts %}
+        |{{ config(strategy='timestamp', unique_key='id', updated_at='ts') }}
+        |SELECT * FROM {{ ref('m1') }}
+        |{% endsnapshot %}
+        |{% snapshot snap_check %}
+        |{{ config(strategy='check', check_cols='a,b', unique_key='id') }}
+        |SELECT * FROM {{ ref('m1') }}
+        |{% endsnapshot %}
+        |{% snapshot snap_custom %}
+        |{{ config(strategy='bespoke', unique_key='id', updated_at='ts') }}
+        |SELECT * FROM {{ ref('m1') }}
+        |{% endsnapshot %}
+        |""".stripMargin)
+    put("tests/singular.sql", "SELECT * FROM {{ ref('m1') }} WHERE id < 0")
+    put("macros/helpers.sql",
+      "{% macro shout(x, suffix='!') %}{{ x }}{{ suffix }}{% endmacro %}")
+    val cold = load(dir)
+    val st0 = stats(cold)
+    assert(st0.parsed > 0)
+    assert(Files.exists(dir.resolve("target/partial_parse.bin")),
+      "state not saved — a parse-output class is missing from StateCodec.allowed")
+    val warm = load(dir)
+    val st1 = stats(warm)
+    assert(st1.parsed == 0,
+      s"warm reparse parsed ${st1.parsed} files (${st1.changed}) — " +
+        "some cached value failed to encode or decode")
+    assert(warm.manifest === cold.manifest)
+    // the round-tripped graph really carries the exotic node types
+    val n = warm.manifest.nodes
+    assert(n.keys.exists(_.startsWith("snapshot.")))
+    assert(n.keys.exists(_.startsWith("exposure.")))
+    assert(n.keys.exists(_.startsWith("semantic_model.")))
+    assert(n.keys.exists(_.startsWith("saved_query.")))
+    assert(n.keys.exists(_.startsWith("metric.")))
+    assert(n.keys.exists(_.startsWith("unit_test.")))
+    assert(n.keys.exists(_.startsWith("group.")))
+  }
+
   test("v2 -> v3 migration: a Java-serialized state file degrades to a cold parse") {
     val dir = mkProject()
     load(dir) // writes v3 state
