@@ -59,6 +59,20 @@ class IndexRegistrySpec extends AnyFunSuite {
       s"INDEXES.md rows not in the registry (regenerate): ${stale.toSeq.sorted}")
   }
 
+  test("INDEXES.md consumer ids reference live queries") {
+    val path = java.nio.file.Paths.get("INDEXES.md")
+    assume(java.nio.file.Files.exists(path))
+    val live = graft.SparkEntry.allQueries.map(_.name.takeWhile(_ != '_')).toSet
+    val consumerCell = """\| [^|]+ \| [^|]+ \| [^|]+ \| \d+: ([^|]+) \|""".r
+    val stale = scala.jdk.CollectionConverters
+      .ListHasAsScala(java.nio.file.Files.readAllLines(path)).asScala
+      .flatMap(l => consumerCell.findFirstMatchIn(l).map(_.group(1)))
+      .flatMap(_.split(",").map(_.trim))
+      .filterNot(live)
+    assert(stale.isEmpty,
+      s"INDEXES.md names consumers that no longer exist (regenerate): ${stale.distinct}")
+  }
+
   test("registry hygiene: unique prefixes, named maintenance, real sites") {
     assert(IndexRegistry.all.map(_.prefix).distinct.size == IndexRegistry.all.size)
     IndexRegistry.all.foreach { d =>
