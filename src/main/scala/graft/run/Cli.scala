@@ -292,12 +292,17 @@ object Cli {
     // saved manifest.json's state_checksums + macro entries carry the
     // comparison side; no project re-parse. --state-project remains the
     // full-fidelity path (and the one that can serve --defer reads).
-    val stateArtifact = opts.get("state").map { dir =>
+    val stateArtifact = opts.get("state").flatMap { dir =>
+      if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
+        sys.error(s"--state: $dir is not a directory")
       val mf = java.nio.file.Paths.get(dir, "manifest.json")
-      if (!java.nio.file.Files.exists(mf))
-        sys.error(s"--state: no manifest.json under $dir")
-      val (cs, macros) = Artifacts.readStateArtifact(mf.toString)
-      new graft.graph.Selector.ChecksumState(cs, macros)
+      // manifest.json is optional: `--state` with only run_results.json
+      // still serves `result:` selection (reference allows exactly that);
+      // a state: selector without the manifest errors in the Selector
+      if (java.nio.file.Files.exists(mf)) {
+        val (cs, macros) = Artifacts.readStateArtifact(mf.toString)
+        Some(new graft.graph.Selector.ChecksumState(cs, macros))
+      } else None
     }
     if (stateEngine.nonEmpty && stateArtifact.nonEmpty)
       sys.error("pass either --state <artifact-dir> or --state-project <dir>, not both")
@@ -310,11 +315,36 @@ object Cli {
       // stale local build exists (reference providers.py:558-563)
       engine.favorState = opts.contains("favor-state")
     }
-    def inState[T](body: => T): T = stateEngine match {
-      case Some(se) => graft.graph.Selector.withState(se.manifest)(body)
-      case None => stateArtifact match {
-        case Some(cs) => graft.graph.Selector.withStateSide(cs)(body)
-        case None => body
+    // reference `result:`/`source_status:` selection (documented CI
+    // workflows: `dbt run --select result:error+ --state ./target`,
+    // `dbt build --select source_status:fresher+`): when the --state
+    // artifact dir carries run_results.json / sources.json, their
+    // statuses arm the corresponding selector methods.
+    val stateResults = opts.get("state")
+      .map(d => java.nio.file.Paths.get(d, "run_results.json"))
+      .filter(java.nio.file.Files.exists(_))
+      .map(p => Artifacts.readRunStatuses(p.toString))
+    val stateSourceStatus = opts.get("state")
+      .map(d => java.nio.file.Paths.get(d, "sources.json"))
+      .filter(java.nio.file.Files.exists(_))
+      .map(p => Artifacts.readRunStatuses(p.toString)) // same id->status shape
+    def inState[T](body: => T): T = {
+      def withArtifacts: T = {
+        def b1: T = stateSourceStatus match {
+          case Some(ss) => graft.graph.Selector.withSourceStatus(ss)(body)
+          case None => body
+        }
+        stateResults match {
+          case Some(rs) => graft.graph.Selector.withResults(rs)(b1)
+          case None => b1
+        }
+      }
+      stateEngine match {
+        case Some(se) => graft.graph.Selector.withState(se.manifest)(withArtifacts)
+        case None => stateArtifact match {
+          case Some(cs) => graft.graph.Selector.withStateSide(cs)(withArtifacts)
+          case None => withArtifacts
+        }
       }
     }
     def report(results: Seq[graft.exec.Materializer.Result]): Unit = {
