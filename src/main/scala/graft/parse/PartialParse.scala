@@ -116,6 +116,8 @@ object PartialParse {
         } finally in.close()
       } catch { case _: Throwable => None }
 
+  private val droppedStateWarned = new java.util.concurrent.atomic.AtomicBoolean(false)
+
   def writeState(path: Path, state: State): Unit =
     try {
       Files.createDirectories(path.getParent)
@@ -123,7 +125,13 @@ object PartialParse {
         new java.io.BufferedOutputStream(Files.newOutputStream(path)))
       try { out.writeInt(StateCodec.Magic); StateCodec.write(out, state); out.flush() }
       finally out.close()
-    } catch { case _: Throwable => () } // state is an optimization, never fatal
+    } catch {
+      case e: Throwable => // state is an optimization, never fatal — but a
+        // silent drop means every future run cold-parses, so say so ONCE
+        if (droppedStateWarned.compareAndSet(false, true))
+          System.err.println(
+            s"[graft] partial-parse state not saved (cold parse next run): $e")
+    }
 
   /** One load's worth of cache bookkeeping. ProjectLoader funnels every
     * per-file parse through [[cached]]; at the end [[finish]] yields the

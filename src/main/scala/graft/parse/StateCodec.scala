@@ -65,6 +65,16 @@ private[parse] object StateCodec {
   private val MaxDepth = 128
   private val MaxLen = 1 << 24 // 16M elements/chars: far above any real project
 
+  /** Primitive-specialized tuples get runtime classes like
+    * `scala.Tuple2$mcII$sp` — same constructor surface, so encode them
+    * under the erased name (a plain `(1, 2)` entering the parse cache
+    * must not silently disable warm partial parse forever). */
+  private def className(p: Product): String = {
+    val n = p.getClass.getName
+    if (n.startsWith("scala.Tuple") && n.endsWith("$sp"))
+      n.substring(0, n.indexOf("$mc")) else n
+  }
+
   def write(out: DataOutputStream, v: Any): Unit = v match {
     case null => out.writeByte('N')
     case s: String => out.writeByte('S'); writeStr(out, s)
@@ -72,6 +82,10 @@ private[parse] object StateCodec {
     case i: java.lang.Integer => out.writeByte('I'); out.writeInt(i)
     case l: java.lang.Long => out.writeByte('J'); out.writeLong(l)
     case d: java.lang.Double => out.writeByte('D'); out.writeDouble(d)
+    case f: java.lang.Float => out.writeByte('F'); out.writeFloat(f)
+    case h: java.lang.Short => out.writeByte('H'); out.writeShort(h.toInt)
+    case y: java.lang.Byte => out.writeByte('Y'); out.writeByte(y.toInt)
+    case c: java.lang.Character => out.writeByte('C'); out.writeChar(c.charValue())
     case None => out.writeByte('n')
     case Some(x) => out.writeByte('o'); write(out, x)
     case m: scala.collection.Map[_, _] =>
@@ -81,9 +95,9 @@ private[parse] object StateCodec {
       out.writeByte('T'); out.writeInt(s.size); s.foreach(write(out, _))
     case xs: scala.collection.Iterable[_] =>
       out.writeByte('L'); out.writeInt(xs.size); xs.foreach(write(out, _))
-    case p: Product if allowed.contains(p.getClass.getName) =>
+    case p: Product if allowed.contains(className(p)) =>
       out.writeByte('P')
-      writeStr(out, p.getClass.getName)
+      writeStr(out, className(p))
       out.writeInt(p.productArity)
       p.productIterator.foreach(write(out, _))
     case other =>
@@ -111,6 +125,10 @@ private[parse] object StateCodec {
       case 'I' => java.lang.Integer.valueOf(in.readInt())
       case 'J' => java.lang.Long.valueOf(in.readLong())
       case 'D' => java.lang.Double.valueOf(in.readDouble())
+      case 'F' => java.lang.Float.valueOf(in.readFloat())
+      case 'H' => java.lang.Short.valueOf(in.readShort())
+      case 'Y' => java.lang.Byte.valueOf(in.readByte())
+      case 'C' => java.lang.Character.valueOf(in.readChar())
       case 'n' => None
       case 'o' => Some(read(in, depth + 1))
       case 'M' =>
