@@ -56,6 +56,12 @@ object Jinja {
     * must be visible through the variable that holds the list. */
   final case class JL(xs: scala.collection.mutable.Buffer[JV]) extends JV
   final case class JM(m: Map[String, JV]) extends JV
+  /** `namespace()` object (Jinja2 `jinja2.utils.Namespace`): a MUTABLE
+    * attribute holder whose writes (`{% set ns.x = v %}`) are visible
+    * through the reference — the documented way to carry state across
+    * `{% for %}` iterations, where plain `set` only rebinds the
+    * iteration's inner scope. */
+  final case class JNs(attrs: scala.collection.mutable.Map[String, JV]) extends JV
   case object JNull extends JV
   /** An unresolved name; `src` is the original `{{ … }}` text. */
   final case class JUndef(src: String) extends JV
@@ -210,6 +216,9 @@ object Jinja {
         base + (if (off == "Z") "+00:00" else off)
       }.getOrElse(base)
     case JM(m) => m.map { case (k, v2) => s"$k: ${show(v2)}" }.mkString("{", ", ", "}")
+    case JNs(a) =>
+      a.toSeq.sortBy(_._1).map { case (k, v2) => s"$k: ${show(v2)}" }
+        .mkString("<namespace ", ", ", ">")
     case JNull => ""
     case JUndef(_) => ""
     case jm: JMacro => s"<macro ${jm.m.name}>"
@@ -230,6 +239,7 @@ object Jinja {
     case JNull | JUndef(_) => false
     case _: JMacro => true
     case JThunk(_) => true
+    case JNs(_) => true // python objects are truthy
   }
 
   // ---------------------------------------------------------- parse tree
@@ -615,7 +625,26 @@ object Jinja {
           case v => sb ++= show(v)
         }
       case SetVar(name, expr) =>
-        scope.vars(name) = eval(expr, ctx, scope, depth)
+        // `{% set ns.attr = v %}`: attribute assignment mutates the
+        // namespace object IN PLACE (Jinja2 namespace semantics) — the
+        // write is visible wherever the namespace is referenced, incl.
+        // after the enclosing {% for %} ends. Plain names rebind the
+        // current scope as before.
+        val dot = name.indexOf('.')
+        if (dot > 0 && name.indexOf('(') < 0 && name.indexOf('[') < 0) {
+          val (base, attrName) = (name.substring(0, dot), name.substring(dot + 1).trim)
+          scope.lookup(base) match {
+            case Some(JNs(attrs)) =>
+              if (attrName.contains('.'))
+                throw new IllegalArgumentException(
+                  s"jinja: set supports one attribute level on namespace: $name")
+              attrs(attrName) = eval(expr, ctx, scope, depth)
+            case Some(other) => throw new IllegalArgumentException(
+              s"jinja: cannot assign attribute `$attrName` on non-namespace `$base`")
+            case None => throw new IllegalArgumentException(
+              s"jinja: set $name: `$base` is undefined (need {% set $base = namespace() %})")
+          }
+        } else scope.vars(name) = eval(expr, ctx, scope, depth)
       case SetBlock(name, body) =>
         val inner = new StringBuilder
         emit(body, ctx, scope, depth, inner)
@@ -973,6 +1002,8 @@ object Jinja {
     private def attr(v: JV, name: String): JV = v match {
       case JM(m) => m.getOrElse(name,
         fail(s"no attribute `$name` on ${show(v)}"))
+      case JNs(a) => a.getOrElse(name,
+        fail(s"namespace has no attribute `$name`"))
       case JUndef(s) => JUndef(s"$s.$name")
       case _ => fail(s"no attribute `$name` on ${show(v)}")
     }
@@ -1249,6 +1280,16 @@ object Jinja {
         case "return" =>
           // non-local macro exit carrying the VALUE (lists included)
           throw MacroReturn(pos.headOption.getOrElse(JNull))
+        case "namespace" =>
+          // jinja2.utils.Namespace: kwargs (and/or dict positionals)
+          // seed the attribute map; later {% set ns.x = v %} mutates it
+          val seed = scala.collection.mutable.Map.empty[String, JV]
+          pos.foreach {
+            case JM(m) => seed ++= m
+            case other => fail(s"namespace(): dict positional expected, got ${show(other)}")
+          }
+          seed ++= kw
+          JNs(seed)
         case "run_query" =>
           // reference `run_query` context member: execute SQL mid-render
           // and expose an agate-shaped result (columns/rows) to the
@@ -1518,7 +1559,17 @@ object Jinja {
         case _ => fail("sum")
       }
       case "escape" | "e" => JS(str(v).replace("'", "''"))
-      case other => fail(s"unknown filter `$other`")
+      case other =>
+        // user-defined filters: a project macro named like the filter
+        // serves `{{ value | my_filter(args) }}` with the piped value as
+        // first positional arg — the hermetic analog of Jinja2 custom
+        // filter registration (the reference environment lets python
+        // code register filters; a dbt project's only authorable unit
+        // is the macro, so macros ARE the registration surface here).
+        ctx.macroResolver(other) match {
+          case Some(_) => callMacro(other, v +: args, kw)
+          case None => fail(s"unknown filter `$other`")
+        }
     }
 
     // ----------------------------------------------------- string methods

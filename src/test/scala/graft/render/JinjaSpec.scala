@@ -62,6 +62,51 @@ class JinjaSpec extends AnyFunSuite {
       Template.render("x {% raw %} no end", ctx))
   }
 
+  test("namespace(): attribute set inside a loop is visible after it") {
+    // Jinja2 namespace semantics (jinja2.utils.Namespace): plain set
+    // rebinds the loop's inner scope, namespace attributes mutate the
+    // shared object — the documented cross-iteration state carrier
+    val out = Template.render(
+      """{% set ns = namespace(found=false, total=0) %}
+        |{% for x in [1, 2, 3] %}
+        |{% if x == 2 %}{% set ns.found = true %}{% endif %}
+        |{% set ns.total = ns.total + x %}
+        |{% endfor %}
+        |{{ ns.found }},{{ ns.total }}""".stripMargin, ctx)
+    assert(out.trim.endsWith("true,6"))
+  }
+
+  test("namespace(): seeded kwargs read back; plain set stays scoped") {
+    assert(Template.render(
+      "{% set ns = namespace(a='x') %}{{ ns.a }}", ctx) === "x")
+    // CONTRAST: a plain set inside the loop is NOT visible after it —
+    // exactly the gap namespace() exists to fill
+    val plain = Template.render(
+      """{% set found = false %}
+        |{% for x in [1, 2] %}{% set found = true %}{% endfor %}
+        |{{ found }}""".stripMargin, ctx)
+    assert(plain.trim.endsWith("false"))
+  }
+
+  test("namespace(): assignment on a non-namespace is a loud error") {
+    assertThrows[IllegalArgumentException](Template.render(
+      "{% set m = {'a': 1} %}{% set m.a = 2 %}", ctx))
+    assertThrows[IllegalArgumentException](Template.render(
+      "{% set nope.a = 2 %}", ctx))
+  }
+
+  test("custom filters: a project macro serves `| my_filter` pipelines") {
+    // the hermetic analog of Jinja2 custom-filter registration: the
+    // piped value arrives as the macro's first positional arg
+    val c = ctxWith(macros(
+      """{% macro wrapped(v, q="'") %}{{ q }}{{ v }}{{ q }}{% endmacro %}"""))
+    assert(Template.render("""{{ 'abc' | wrapped }}""", c) === "'abc'")
+    assert(Template.render("""{{ 'abc' | wrapped('"') }}""", c) === "\"abc\"")
+    // unknown names still fail loudly
+    assertThrows[IllegalArgumentException](
+      Template.render("{{ 'abc' | no_such_filter }}", ctx))
+  }
+
   test("reference models__local_macro: macro call in model body") {
     val c = ctxWith(macros(doSomething2))
     val out = Template.render("""{{
