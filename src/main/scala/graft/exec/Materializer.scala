@@ -480,7 +480,8 @@ object Materializer {
       .withColumn("dbt_valid_to", lit(null).cast("timestamp"))
 
     if (!wh.exists(name)) {
-      wh.writeTable(name, srcStamped)
+      wh.writeTable(name, srcStamped.withColumn(SnapPartCol, snapPartValue),
+        partitionBy = Seq(SnapPartCol), hideCols = Seq(SnapPartCol))
       return
     }
 
@@ -498,8 +499,23 @@ object Materializer {
     val srcAligned = droppedCols.foldLeft(srcStamped)((d, c) =>
       d.withColumn(c, lit(null).cast(snap0.schema(c).dataType)))
     val dataCols = (snapDataCols ++ newCols).distinct
-    val current = snap.filter(col("dbt_valid_to").isNull)
-    val history = snap.filter(col("dbt_valid_to").isNotNull)
+
+    // Pruned apply (the 100 TB write shape): the snapshot table is
+    // hive-partitioned on the hidden SnapPartCol — 'open' for live rows,
+    // 'closed_<valid_to date>' for history — so the merge SCANS only the
+    // open partition (current rows) and REWRITES only the open partition
+    // plus the close-date partitions this batch touches; all other
+    // history carries by hard link (O(delta), the same machinery the m40
+    // gate proves for incremental). Ineligible cases — schema evolution
+    // (carried files would keep the old schema) or a legacy
+    // unpartitioned layout — fall back to the full rewrite, which also
+    // MIGRATES the table to the partitioned layout for the next apply.
+    val prunedEligible = newCols.isEmpty && droppedCols.isEmpty &&
+      wh.canWritePruned(name, Seq(SnapPartCol))
+    val current =
+      if (prunedEligible)
+        wh.readRaw(name).filter(col(SnapPartCol) === "open").drop(SnapPartCol)
+      else snap.filter(col("dbt_valid_to").isNull)
 
     // change detection joins current-to-source on the business key;
     // dbt_scd_id equality means "unchanged" (it hashes key + change set)
@@ -564,13 +580,56 @@ object Materializer {
       if (invalidateHardDeletes) dels.select(sel("t", Map("dbt_valid_to" -> now)): _*)
       else dels.select(sel("t"): _*)
 
-    val result = history.select(outCols.map(col): _*)
-      .unionByName(unchanged).unionByName(staleOpen)
-      .unionByName(closedOld).unionByName(openedNew)
-      .unionByName(inserted).unionByName(delsOut)
+    // rows that STAY open vs rows this batch CLOSES (delsOut lands on
+    // whichever side its valid_to says — closed only when invalidating)
+    val openOut = unchanged.unionByName(staleOpen).unionByName(openedNew)
+      .unionByName(inserted)
+      .unionByName(delsOut.filter(col("dbt_valid_to").isNull))
+    val closedNew = closedOld
+      .unionByName(delsOut.filter(col("dbt_valid_to").isNotNull))
 
-    wh.writeTable(name, result)
+    if (prunedEligible) {
+      // which close-date partitions does this batch touch? bounded by
+      // the batch's distinct close stamps (typically 1); a pathological
+      // backfill touching many dates degrades to the full rewrite
+      val touchedDates = closedNew
+        .select(snapPartValue.as(SnapPartCol)).distinct()
+        .limit(65).collect().map(_.getString(0)).toSeq
+      if (touchedDates.size <= 64) {
+        val raw = wh.readRaw(name)
+        val carriedClosedTouched =
+          if (touchedDates.isEmpty) closedNew.limit(0)
+          else raw.filter(col(SnapPartCol).isin(touchedDates: _*))
+            .drop(SnapPartCol).select(outCols.map(col): _*)
+        val touchedDf = openOut.unionByName(closedNew)
+          .unionByName(carriedClosedTouched)
+          .withColumn(SnapPartCol, snapPartValue)
+        val touchedVals: Set[Seq[String]] =
+          (Set("open") ++ touchedDates).map(Seq(_))
+        wh.writeTablePruned(name, touchedDf, Seq(SnapPartCol), touchedVals)
+        return
+      }
+    }
+
+    val history = snap.filter(col("dbt_valid_to").isNotNull)
+    val result = history.select(outCols.map(col): _*)
+      .unionByName(openOut).unionByName(closedNew)
+    wh.writeTable(name, result.withColumn(SnapPartCol, snapPartValue),
+      partitionBy = Seq(SnapPartCol), hideCols = Seq(SnapPartCol))
   }
+
+  /** Hidden partition key of the snapshot physical layout: 'open' for
+    * live rows (dbt_valid_to IS NULL), 'closed_<date>' otherwise — the
+    * open/closed split that lets every SCD2 apply scan and rewrite the
+    * open partition + touched close dates only (VERDICT r11 item 4).
+    * Hidden via Warehouse hideCols, so consumers see the reference
+    * snapshot schema exactly. */
+  private val SnapPartCol = "dbt_part"
+
+  private def snapPartValue: org.apache.spark.sql.Column =
+    when(col("dbt_valid_to").isNull, lit("open"))
+      .otherwise(concat(lit("closed_"),
+        coalesce(date_format(col("dbt_valid_to"), "yyyy-MM-dd"), lit("unknown"))))
 
   // ---------------------------------------------------------------- seed
 

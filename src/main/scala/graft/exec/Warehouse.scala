@@ -30,7 +30,12 @@ final class Warehouse(val spark: SparkSession, val root: String,
     val maxCommits: Int = 0) {
 
   private final case class RelState(paths: Seq[String], nextVersion: Int,
-      isView: Boolean, isCatalog: Boolean = false, fmt: String = "parquet")
+      isView: Boolean, isCatalog: Boolean = false, fmt: String = "parquet",
+      /** Engine-internal physical columns (e.g. the snapshot layout's
+        * `dbt_part` partition key) dropped at every read boundary —
+        * consumers see exactly the logical schema. Recorded in the
+        * `_commits` header so recovery hides them too. */
+      hide: Seq[String] = Nil)
 
   /** Formats a table materialization may use (dbt-spark `file_format`):
     * the self-describing columnar pair only — csv/json would lose
@@ -68,22 +73,34 @@ final class Warehouse(val spark: SparkSession, val root: String,
         // optional "format=<fmt>" header line (older manifests = parquet)
         val fmt = lines.headOption.filter(_.startsWith("format="))
           .map(_.stripPrefix("format=")).getOrElse("parquet")
-        val versions = lines.filterNot(_.startsWith("format="))
+        val hide = lines.find(_.startsWith("hide="))
+          .map(_.stripPrefix("hide=").split(",").toSeq.filter(_.nonEmpty))
+          .getOrElse(Nil)
+        val versions = lines.filterNot(l =>
+          l.startsWith("format=") || l.startsWith("hide="))
         val live = versions
           .map(v => s"$root/${d.getName}/$v")
           .filter(p => new java.io.File(p).isDirectory)
         if (live.nonEmpty) {
           val nextV = live.map(_.split('/').last.stripPrefix("v").toInt).max + 1
-          relations(d.getName) = RelState(live, nextV, isView = false, fmt = fmt)
-          spark.read.format(fmt).load(live: _*).createOrReplaceTempView(d.getName)
+          relations(d.getName) = RelState(live, nextV, isView = false,
+            fmt = fmt, hide = hide)
+          registerRead(d.getName, fmt, live, hide)
         }
       }
     }
   }
 
   private def writeCommits(name: String, paths: Seq[String],
-      fmt: String = "parquet"): Unit =
-    Warehouse.writeCommitsFile(root, name, paths, fmt)
+      fmt: String = "parquet", hide: Seq[String] = Nil): Unit =
+    Warehouse.writeCommitsFile(root, name, paths, fmt, hide)
+
+  /** (Re-)register the relation's temp view with hidden columns dropped. */
+  private def registerRead(name: String, fmt: String, paths: Seq[String],
+      hide: Seq[String]): Unit = {
+    val df = spark.read.format(fmt).load(paths: _*)
+    (if (hide.isEmpty) df else df.drop(hide: _*)).createOrReplaceTempView(name)
+  }
 
   def exists(name: String): Boolean = lock.synchronized(relations.contains(name))
 
@@ -91,6 +108,18 @@ final class Warehouse(val spark: SparkSession, val root: String,
     lock.synchronized(relations.get(name).exists(_.isView))
 
   def read(name: String): DataFrame = {
+    val st = lock.synchronized(relations.getOrElse(name,
+      throw new IllegalArgumentException(s"unknown relation: $name")))
+    if (st.isView || st.isCatalog) spark.table(name)
+    else {
+      val df = spark.read.format(st.fmt).load(st.paths: _*)
+      if (st.hide.isEmpty) df else df.drop(st.hide: _*)
+    }
+  }
+
+  /** Read INCLUDING hidden physical columns (the snapshot merge prunes
+    * on its `dbt_part` partition key before dropping it). */
+  private[exec] def readRaw(name: String): DataFrame = {
     val st = lock.synchronized(relations.getOrElse(name,
       throw new IllegalArgumentException(s"unknown relation: $name")))
     if (st.isView || st.isCatalog) spark.table(name)
@@ -107,7 +136,8 @@ final class Warehouse(val spark: SparkSession, val root: String,
     * scans).
     */
   def writeTable(name: String, df: DataFrame, partitionBy: Seq[String] = Nil,
-      clusterBy: Seq[String] = Nil, fileFormat: String = "parquet"): Unit = {
+      clusterBy: Seq[String] = Nil, fileFormat: String = "parquet",
+      hideCols: Seq[String] = Nil): Unit = {
     val fmt = checkFormat(fileFormat)
     val v = lock.synchronized(relations.get(name).map(_.nextVersion).getOrElse(0))
     val path = s"$root/$name/v$v"
@@ -120,9 +150,10 @@ final class Warehouse(val spark: SparkSession, val root: String,
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .save(path)
     lock.synchronized {
-      relations(name) = RelState(Seq(path), v + 1, isView = false, fmt = fmt)
-      spark.read.format(fmt).load(path).createOrReplaceTempView(name)
-      writeCommits(name, Seq(path), fmt)
+      relations(name) = RelState(Seq(path), v + 1, isView = false, fmt = fmt,
+        hide = hideCols)
+      registerRead(name, fmt, Seq(path), hideCols)
+      writeCommits(name, Seq(path), fmt, hideCols)
     }
   }
 
@@ -239,9 +270,10 @@ final class Warehouse(val spark: SparkSession, val root: String,
       }
     }
     lock.synchronized {
-      relations(name) = RelState(Seq(path), v + 1, isView = false, fmt = st.fmt)
-      spark.read.format(st.fmt).load(path).createOrReplaceTempView(name)
-      writeCommits(name, Seq(path), st.fmt)
+      relations(name) = RelState(Seq(path), v + 1, isView = false, fmt = st.fmt,
+        hide = st.hide)
+      registerRead(name, st.fmt, Seq(path), st.hide)
+      writeCommits(name, Seq(path), st.fmt, st.hide)
     }
     (carried.size, linked)
   }
@@ -258,9 +290,9 @@ final class Warehouse(val spark: SparkSession, val root: String,
     lock.synchronized {
       val newPaths = st.paths :+ path
       relations(name) = RelState(newPaths, st.nextVersion + 1,
-        isView = false, fmt = st.fmt)
-      spark.read.format(st.fmt).load(newPaths: _*).createOrReplaceTempView(name)
-      writeCommits(name, newPaths, st.fmt)
+        isView = false, fmt = st.fmt, hide = st.hide)
+      registerRead(name, st.fmt, newPaths, st.hide)
+      writeCommits(name, newPaths, st.fmt, st.hide)
     }
     if (maxCommits > 0 && commitCount(name) > maxCommits) compact(name)
   }
@@ -563,33 +595,52 @@ object Warehouse {
   final class PrunedWriteUnsupported(msg: String) extends RuntimeException(msg)
 
   /** Commit-manifest write protocol (crash-consistent): stage the new
-    * manifest beside the live one, then ATOMIC-RENAME it into place.
-    * The manifest is the reader's ONLY pointer into the data (data
-    * files are written first, under version dirs the old manifest does
-    * not name), so with rename atomicity a crash at ANY instruction of
-    * a write leaves the previous complete version visible — never a
-    * torn manifest, never a partial table. Pre-fix this was a plain
-    * writeString: a kill mid-write could truncate `_commits` and make
-    * an intact table invisible to recovery. CrashCommitSpec SIGKILLs a
-    * child mid-protocol N>=50 times and asserts zero torn reads.
-    * Static + Spark-free so the crash harness drives the REAL protocol
-    * from a plain JVM. */
+    * manifest beside the live one — fsynced, so its CONTENT is durable
+    * before any rename can be — then ATOMIC-RENAME it into place and
+    * fsync the parent directory so the rename itself is durable. The
+    * manifest is the reader's ONLY pointer into the data (data files
+    * are written first, under version dirs the old manifest does not
+    * name), so a crash at ANY instruction of a write — process kill OR
+    * power loss — leaves the previous complete version visible: never a
+    * torn manifest, never a manifest naming unsynced bytes. Pre-fix
+    * this was a plain writeString: a kill mid-write could truncate
+    * `_commits` and make an intact table invisible to recovery, and
+    * without the two fsyncs a power loss could persist the rename
+    * before the manifest content. CrashCommitSpec SIGKILLs a child
+    * mid-protocol N>=50 times and asserts zero torn reads (process-kill
+    * channel; the fsyncs extend the same ordering to OS crash within
+    * the filesystem's rename-durability guarantees). Static +
+    * Spark-free so the crash harness drives the REAL protocol from a
+    * plain JVM. */
   def writeCommitsFile(root: String, name: String, paths: Seq[String],
-      fmt: String = "parquet"): Unit = {
-    val f = java.nio.file.Paths.get(root, name, "_commits")
-    java.nio.file.Files.createDirectories(f.getParent)
-    val header = if (fmt == "parquet") Nil else Seq(s"format=$fmt")
+      fmt: String = "parquet", hide: Seq[String] = Nil): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption, StandardOpenOption}
+    val f = Paths.get(root, name, "_commits")
+    Files.createDirectories(f.getParent)
+    val header = (if (fmt == "parquet") Nil else Seq(s"format=$fmt")) ++
+      (if (hide.isEmpty) Nil else Seq(s"hide=${hide.mkString(",")}"))
     val tmp = f.resolveSibling("_commits.tmp")
-    java.nio.file.Files.writeString(tmp,
-      (header ++ paths.map(_.split('/').last)).mkString("\n"))
-    try java.nio.file.Files.move(tmp, f,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val ch = java.nio.channels.FileChannel.open(tmp,
+      StandardOpenOption.CREATE, StandardOpenOption.WRITE,
+      StandardOpenOption.TRUNCATE_EXISTING)
+    try {
+      ch.write(java.nio.ByteBuffer.wrap(
+        (header ++ paths.map(_.split('/').last)).mkString("\n").getBytes("UTF-8")))
+      ch.force(true) // content durable BEFORE the rename can be
+    } finally ch.close()
+    try Files.move(tmp, f,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     catch {
       case _: java.nio.file.AtomicMoveNotSupportedException =>
-        java.nio.file.Files.move(tmp, f,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        Files.move(tmp, f, StandardCopyOption.REPLACE_EXISTING)
     }
+    // fsync the directory so the rename survives power loss; best-effort
+    // (not all filesystems allow opening a directory for read)
+    try {
+      val dir = java.nio.channels.FileChannel.open(f.getParent,
+        StandardOpenOption.READ)
+      try dir.force(true) finally dir.close()
+    } catch { case _: java.io.IOException => () }
     ()
   }
 }
