@@ -257,7 +257,8 @@ object Selector {
       manifest.nodes.collect { case (id, n) if n.resourceType == rt => id }.toSet
     case Array("state", which) =>
       val state = stateSideTL.get().getOrElse(
-        throw new IllegalArgumentException("state: selector needs a --state manifest (Selector.withState)"))
+        throw new IllegalArgumentException("state: selector needs a comparison manifest — pass --state <artifact-dir> " +
+          "(a dir containing manifest.json) or --state-project <dir>"))
       // reference state_checks (`selector_methods.py:736-751`): a node
       // missing from the comparison manifest counts as modified under
       // every `modified*` variant, matching check_modified_content
@@ -379,12 +380,14 @@ object Selector {
     case Array("source_status", st) =>
       val statuses = sourceStatusTL.get().getOrElse(
         throw new IllegalArgumentException(
-          "source_status: selector needs freshness statuses (Selector.withSourceStatus)"))
+          "source_status: selector needs freshness statuses — pass --state <dir> " +
+          "containing sources.json from a prior freshness run"))
       statuses.collect { case (id, s) if s == st => id }.toSet
     case Array("result", status) =>
       val results = resultsTL.get().getOrElse(
         throw new IllegalArgumentException(
-          "result: selector needs previous statuses (Selector.withResults)"))
+          "result: selector needs previous run statuses — pass --state <dir> " +
+          "containing run_results.json from the prior invocation"))
       results.collect { case (id, st) if st == status => id }.toSet
     case Array(m, _) =>
       throw new IllegalArgumentException(s"unsupported selection method: $m")

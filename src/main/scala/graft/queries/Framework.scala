@@ -1523,10 +1523,13 @@ object Framework {
     // reachable only through the template loader — calls a namespace
     // member whose body calls a SIBLING macro from the same file, binds
     // a second macro via from-import-as, and assembles an aggregate
-    // through a {% filter lower | trim %} block. Any failure in
-    // namespace binding, sibling resolution, kwargs through the
-    // namespace, or filter-block application changes the generated SQL
-    // and breaks the hash.
+    // through a {% filter lower | trim %} block. r12 additions: the
+    // GROUP BY list is counted through namespace() mutation across a
+    // for loop (jinja2.utils.Namespace), and the CASE literals pass
+    // through a PROJECT-macro custom filter (`| sqlquote`). Any failure
+    // in namespace binding, sibling resolution, kwargs, cross-iteration
+    // namespace state, custom-filter dispatch, or filter-block
+    // application changes the generated SQL and breaks the hash.
     QueryDef(
       "m32_jinja_namespaces",
       """SELECT o_orderstatus AS status,
@@ -1554,17 +1557,29 @@ object Framework {
       write("snippets/m32_helpers.sql",
         """{% macro ident(c) %}{{ c }}{% endmacro %}
           |{% macro pick(c, alias='') %}{{ ident(c) }}{% if alias %} AS {{ alias }}{% endif %}{% endmacro %}
-          |{% macro price_band(c) %}CASE WHEN {{ ident(c) }} > 150000 THEN 'hi' ELSE 'lo' END{% endmacro %}
+          |{% macro price_band(c, hi, lo) %}CASE WHEN {{ ident(c) }} > 150000 THEN {{ hi }} ELSE {{ lo }} END{% endmacro %}
           |""".stripMargin)
+      // project macro doubling as a custom filter (`| sqlquote`) — the
+      // hermetic analog of Jinja2 filter registration
+      write("macros/m32_filters.sql",
+        """{% macro sqlquote(v) %}'{{ v }}'{% endmacro %}""")
+      // the GROUP BY list is assembled through namespace() mutation
+      // across the for loop (jinja2.utils.Namespace semantics): if
+      // cross-iteration state breaks, the GROUP BY arity changes and
+      // the oracle hash breaks with it
       write("models/m32_fct.sql",
         """{{ config(materialized='table') }}
           |{% import 'snippets/m32_helpers.sql' as h %}
           |{% from 'snippets/m32_helpers.sql' import price_band as pb %}
+          |{% set ns = namespace(n=0) %}
+          |{% for c in ['o_orderstatus', 'o_totalprice'] %}{% set ns.n = ns.n + 1 %}{% endfor %}
+          |{% set hi_lit = 'hi' | sqlquote %}
+          |{% set lo_lit = 'lo' | sqlquote %}
           |SELECT {{ h.pick('o_orderstatus', alias='status') }},
-          |       {{ pb('o_totalprice') }} AS price_band,
+          |       {{ pb('o_totalprice', hi_lit, lo_lit) }} AS price_band,
           |       {% filter lower | trim %} COUNT(*) {% endfilter %} AS n_orders
           |FROM {{ source('main', 'orders') }}
-          |GROUP BY 1, 2""".stripMargin)
+          |GROUP BY {% for i in range(1, ns.n + 1) %}{{ i }}{% if not loop.last %}, {% endif %}{% endfor %}""".stripMargin)
       val eng = Engine.fromProject(s, root.toString, scratch())
       require(eng.run().forall(_.status == "success"), "m32: run failed")
       eng.wh.read("m32_fct")
@@ -2946,6 +2961,110 @@ object Framework {
         eng2.wh.read("m47_base").agg(max("batch")).collect()(0).getLong(0).toString))
       rows += (("agg_batch_after_v2",
         eng2.wh.read("m47_agg").agg(max("batch")).collect()(0).getLong(0).toString))
+      rows.toSeq.toDF("check_name", "result").orderBy("check_name")
+    },
+
+    // A23 artifact-only defer (reference providers.py:552-570 +
+    // merge_from_artifact runnable.py:124-132 — the standard CI
+    // pattern `dbt run --defer --state ./prod-artifacts` with NO prod
+    // checkout): prod runs once and saves artifacts; a CI engine over
+    // an EMPTY warehouse defers unbuilt refs straight from the saved
+    // manifest's relation_name + warehouse_root. favor-state variant:
+    // an unselected node's LOCAL build loses to state; without
+    // favor-state the local build wins.
+    QueryDef(
+      "m48_defer_artifact",
+      """SELECT * FROM (VALUES
+        |  ('artifact_defer_fields', 'present'),
+        |  ('deferred_run', 'success'),
+        |  ('agg_from_state', '1'),
+        |  ('base_not_built_locally', 'true'),
+        |  ('favor_state_agg', '1'),
+        |  ('local_wins_without_favor', '2')
+        |) AS t(check_name, result)
+        |ORDER BY check_name""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      def project(batch: Int): Map[String, String] = Map(
+        "dbt_project.yml" -> "name: m48\n",
+        "models/sources.yml" ->
+          s"""sources:
+             |  - name: main
+             |    tables:
+             |      - name: orders
+             |        path: $dir/orders.parquet
+             |""".stripMargin,
+        "models/m48_base.sql" ->
+          s"""{{ config(materialized='table') }}
+             |SELECT o_orderkey, CAST($batch AS BIGINT) AS batch
+             |FROM {{ source('main', 'orders') }} WHERE o_orderkey % 7 = 0""".stripMargin,
+        "models/m48_agg.sql" ->
+          """{{ config(materialized='table') }}
+            |SELECT MAX(batch) AS batch, CAST(COUNT(*) AS BIGINT) AS n
+            |FROM {{ ref('m48_base') }}""".stripMargin)
+      def writeProj(files: Map[String, String]): String = {
+        val d = java.nio.file.Files.createTempDirectory("m48_proj")
+        scratchDirs.add(d.toFile)
+        files.foreach { case (rel, c) =>
+          val p = d.resolve(rel)
+          java.nio.file.Files.createDirectories(p.getParent)
+          java.nio.file.Files.writeString(p, c): Unit
+        }
+        d.toString
+      }
+      val rows = scala.collection.mutable.ArrayBuffer[(String, String)]()
+      // prod: full run into warehouse A, save artifacts; prod's engine
+      // and project tree are never consulted again
+      val projDir = writeProj(project(1))
+      val whProd = scratch()
+      val engProd = Engine.fromProject(s, projDir, whProd, namespace = "m48prod")
+      val resProd = engProd.run(threads = 2)
+      require(resProd.forall(_.status == "success"), s"m48 prod run failed: $resProd")
+      val target = scratch()
+      engProd.writeArtifacts(target, resProd)
+      val mfPath = s"$target/manifest.json"
+      val mfTxt = java.nio.file.Files.readString(java.nio.file.Paths.get(mfPath))
+      rows += (("artifact_defer_fields",
+        if (mfTxt.contains("\"warehouse_root\"") &&
+            mfTxt.contains("\"relation_name\": \"m48prod__m48_base\"")) "present"
+        else "MISSING"))
+      // CI over an EMPTY warehouse: run ONLY the downstream model; its
+      // ref('m48_base') must resolve from the artifact alone
+      val whCi = scratch()
+      val engCi = Engine.fromProject(s, projDir, whCi, namespace = "m48ci")
+      engCi.deferFromArtifact(mfPath)
+      val resCi = engCi.run(select = Seq("m48_agg"), threads = 1)
+      rows += (("deferred_run",
+        if (resCi.nonEmpty && resCi.forall(_.status == "success")) "success"
+        else resCi.mkString(";")))
+      rows += (("agg_from_state",
+        engCi.wh.read("m48ci__m48_agg").agg(max("batch")).collect()(0)
+          .getLong(0).toString))
+      rows += (("base_not_built_locally",
+        (!java.nio.file.Files.isDirectory(
+          java.nio.file.Paths.get(whCi, "m48ci__m48_base"))).toString))
+      // favor-state: base IS built locally (batch 2) but unselected —
+      // state wins (reference providers.py:558-567)
+      val whFav = scratch()
+      val projDir2 = writeProj(project(2))
+      val engLocal = Engine.fromProject(s, projDir2, whFav, namespace = "m48fav")
+      val resLocal = engLocal.run(select = Seq("m48_base"), threads = 1)
+      require(resLocal.forall(_.status == "success"), "m48 local base failed")
+      val engFav = Engine.fromProject(s, projDir2, whFav, namespace = "m48fav")
+      engFav.deferFromArtifact(mfPath)
+      engFav.favorState = true
+      val resFav = engFav.run(select = Seq("m48_agg"), threads = 1)
+      require(resFav.forall(_.status == "success"), s"m48 favor run failed: $resFav")
+      rows += (("favor_state_agg",
+        engFav.wh.read("m48fav__m48_agg").agg(max("batch")).collect()(0)
+          .getLong(0).toString))
+      // without favor-state the existing local build wins
+      val engNoFav = Engine.fromProject(s, projDir2, whFav, namespace = "m48fav")
+      engNoFav.deferFromArtifact(mfPath)
+      val resNoFav = engNoFav.run(select = Seq("m48_agg"), threads = 1)
+      require(resNoFav.forall(_.status == "success"), "m48 no-favor run failed")
+      rows += (("local_wins_without_favor",
+        engNoFav.wh.read("m48fav__m48_agg").agg(max("batch")).collect()(0)
+          .getLong(0).toString))
       rows.toSeq.toDF("check_name", "result").orderBy("check_name")
     }
   )

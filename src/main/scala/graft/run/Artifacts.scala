@@ -103,7 +103,14 @@ object Artifacts {
   }
 
   def writeManifest(path: String, manifest: Manifest,
-      generatedAt: java.sql.Timestamp, invocationId: String): Unit = {
+      generatedAt: java.sql.Timestamp, invocationId: String,
+      /** Physical relation name per node (the engine's relationName) —
+        * with [[warehouseRoot]] this makes the artifact DEFER-SERVEABLE:
+        * `--defer --state <dir>` resolves unbuilt refs from the saved
+        * manifest alone, no prod checkout (reference providers.py:552-570,
+        * merge_from_artifact runnable.py:124-132). */
+      relationNameOf: Node => Option[String] = _ => None,
+      warehouseRoot: Option[String] = None): Unit = {
     def checksum(content: String): (String, String) =
       "checksum" -> obj(Seq("name" -> q("sha256"), "checksum" -> q(sha256(content))))
     def dependsOn(n: Node): (String, String) =
@@ -143,7 +150,9 @@ object Artifacts {
         case other => ident(other, "", other.name)
       }
       val common = Seq(dependsOn(n), configJson(n),
-        "tags" -> arr(n.config.tags.toSeq.sorted.map(q)))
+        "tags" -> arr(n.config.tags.toSeq.sorted.map(q)),
+        // v12 schema field; non-null makes the artifact defer-serveable
+        "relation_name" -> relationNameOf(n).map(q).getOrElse("null"))
       val extra = n match {
         case m: ModelNode => Seq("raw_code" -> q(m.rawSql)) ++
           (if (m.description.nonEmpty) Seq("description" -> q(m.description)) else Nil) ++
@@ -335,6 +344,11 @@ object Artifacts {
       // state:modified from the saved manifest alone, the reference's
       // CI pattern (`dbt build --state ./prod-artifacts`), without
       // re-parsing the comparison project tree.
+      // engine extension: the warehouse root this manifest's relations
+      // were built into — with per-node relation_name this is everything
+      // `--defer --state <dir>` needs to serve reads from the artifact
+      "warehouse_root" -> warehouseRoot.map(q).getOrElse("null"),
+      "state_checksums_format" -> q(graft.core.StateHash.Format),
       "state_checksums" -> obj(manifest.nodes.toSeq.sortBy(_._1).map {
         case (id, n) =>
           val c = graft.core.StateHash.of(n)
@@ -364,6 +378,15 @@ object Artifacts {
     val root = graft.render.Jinja.fromJsonValue(txt) match {
       case m: JM => m.m
       case _ => sys.error(s"$manifestPath is not a JSON object")
+    }
+    root.get("state_checksums_format") match {
+      case Some(JS(graft.core.StateHash.Format)) => ()
+      case other => sys.error(
+        s"$manifestPath state_checksums_format is " +
+          s"${other.fold("absent")(_.toString)} but this engine writes " +
+          s"format ${graft.core.StateHash.Format} — checksums from " +
+          "different rendering schemes must not compare; regenerate the " +
+          "artifact with this engine version, or use --state-project")
     }
     val cs = root.get("state_checksums") match {
       case Some(m: JM) => m.m.map {
@@ -397,6 +420,37 @@ object Artifacts {
       case _ => Map.empty[String, String]
     }
     (cs, macros)
+  }
+
+  /** Reads the defer view from a saved manifest.json (the
+    * `--defer --state <artifact-dir>` path — reference
+    * providers.py:552-570 resolves deferred refs from nothing but the
+    * saved manifest's relation names): per-node physical relation name
+    * plus the warehouse root the artifact's run built into. Fails
+    * loudly on an artifact written before the defer extension. */
+  def readDeferArtifact(manifestPath: String): (Map[String, String], String) = {
+    import graft.render.Jinja.{JM, JS, JV}
+    val txt = Files.readString(Paths.get(manifestPath))
+    val root = graft.render.Jinja.fromJsonValue(txt) match {
+      case m: JM => m.m
+      case _ => sys.error(s"$manifestPath is not a JSON object")
+    }
+    val whRoot = root.get("warehouse_root") match {
+      case Some(JS(r)) => r
+      case _ => sys.error(
+        s"$manifestPath carries no warehouse_root — regenerate the artifact " +
+          "with this engine version, or defer through a parsed project " +
+          "with --state-project")
+    }
+    def relNames(section: String): Map[String, String] =
+      root.get(section) match {
+        case Some(m: JM) => m.m.collect {
+          case (id, e: JM) if e.m.get("relation_name").exists(_.isInstanceOf[JS]) =>
+            id -> e.m("relation_name").asInstanceOf[JS].s
+        }
+        case _ => Map.empty[String, String]
+      }
+    (relNames("nodes") ++ relNames("sources"), whRoot)
   }
 
   /** `docs generate` lineage graph as GraphViz DOT — the plain-text

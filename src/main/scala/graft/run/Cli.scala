@@ -296,6 +296,16 @@ object Cli {
       if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
         sys.error(s"--state: $dir is not a directory")
       val mf = java.nio.file.Paths.get(dir, "manifest.json")
+      // an artifact dir carrying NONE of the three artifact files is
+      // almost certainly a typo or a pre-extension target dir — say so
+      // NOW rather than letting a later state:/result: selector fail
+      // with a bare "needs a comparison manifest"
+      val present = Seq("manifest.json", "run_results.json", "sources.json")
+        .filter(f => java.nio.file.Files.exists(java.nio.file.Paths.get(dir, f)))
+      if (present.isEmpty)
+        System.err.println(s"[graft] warning: --state $dir contains no " +
+          "manifest.json, run_results.json, or sources.json — state:/result:/" +
+          "source_status: selectors and --defer will find nothing there")
       // manifest.json is optional: `--state` with only run_results.json
       // still serves `result:` selection (reference allows exactly that);
       // a state: selector without the manifest errors in the Selector
@@ -307,10 +317,20 @@ object Cli {
     if (stateEngine.nonEmpty && stateArtifact.nonEmpty)
       sys.error("pass either --state <artifact-dir> or --state-project <dir>, not both")
     if (opts.contains("defer")) {
-      val se = stateEngine.getOrElse(
-        sys.error("--defer needs --state-project <dir> [--state-warehouse <dir>]" +
-          " (an artifact dir has no relations to defer reads to)"))
-      engine.deferEngine = Some(se)
+      // two defer sides (reference merge_from_artifact): a parsed
+      // comparison project (--state-project) or a saved artifact dir
+      // (--state) whose manifest carries relation_name + warehouse_root
+      stateEngine match {
+        case Some(se) => engine.deferEngine = Some(se)
+        case None =>
+          val dir = opts.getOrElse("state",
+            sys.error("--defer needs --state <artifact-dir> or " +
+              "--state-project <dir> [--state-warehouse <dir>]"))
+          val mf = java.nio.file.Paths.get(dir, "manifest.json")
+          if (!java.nio.file.Files.exists(mf))
+            sys.error(s"--defer --state: $dir has no manifest.json")
+          engine.deferFromArtifact(mf.toString)
+      }
       // --favor-state: unselected nodes read from state even when a
       // stale local build exists (reference providers.py:558-563)
       engine.favorState = opts.contains("favor-state")

@@ -73,6 +73,37 @@ final class Engine(
     */
   @volatile var deferEngine: Option[Engine] = None
 
+  /** `--defer --state <artifact-dir>`: the ARTIFACT-ONLY defer side —
+    * per-node relation names read from the saved manifest plus a
+    * Warehouse recovered at the artifact's recorded root (reference
+    * merge_from_artifact, `core/dbt/task/runnable.py:124-132`: the
+    * standard CI pattern defers from saved prod artifacts with no prod
+    * checkout). Set via [[deferFromArtifact]].
+    */
+  @volatile var deferArtifact: Option[(Map[String, String], graft.exec.Warehouse)] = None
+
+  /** Arm artifact-only defer from a saved manifest.json. */
+  def deferFromArtifact(manifestPath: String): Unit = {
+    val (rels, whRoot) = Artifacts.readDeferArtifact(manifestPath)
+    deferArtifact = Some((rels, new graft.exec.Warehouse(spark, whRoot)))
+  }
+
+  /** Resolve a deferred ref: register the state relation's data under
+    * our local relation name. The engine side maps the NODE through the
+    * state engine's own relationName (its namespace may differ); the
+    * artifact side looks the node up by unique_id in the saved
+    * manifest's relation names. */
+  private def deferResolve(n: Node, rel: String): Unit = deferEngine match {
+    case Some(de) =>
+      val stateRel = de.relationName(n)
+      if (de.wh.exists(stateRel))
+        wh.registerSource(rel, de.wh.read(stateRel))
+    case None => deferArtifact.foreach { case (rels, swh) =>
+      rels.get(n.uniqueId).filter(swh.exists)
+        .foreach(sr => wh.registerSource(rel, swh.read(sr)))
+    }
+  }
+
   /** `--favor-state` (reference providers.py:558-563): with defer on,
     * prefer the state relation for any node NOT selected in the
     * current invocation, even when a stale local build exists.
@@ -442,11 +473,7 @@ final class Engine(
           // unselected node's stale local build loses to state.
           if (!wh.exists(rel) ||
               (favorState && !selectedResources.contains(n.uniqueId)))
-            deferEngine.foreach { de =>
-              val stateRel = de.relationName(n)
-              if (de.wh.exists(stateRel))
-                wh.registerSource(rel, de.wh.read(stateRel))
-            }
+            deferResolve(n, rel)
           if (emptyMode) s"(SELECT * FROM $rel LIMIT 0) __empty_$rel" else rel
         case None => throw new IllegalArgumentException(s"unresolved ref: $name")
       }
@@ -1288,7 +1315,8 @@ final class Engine(
     Artifacts.writeRunResults(s"$targetDir/run_results.json", results,
       invocationId, runStartedAt)
     Artifacts.writeManifest(s"$targetDir/manifest.json", manifest,
-      runStartedAt, invocationId)
+      runStartedAt, invocationId,
+      relationNameOf = n => Some(relationName(n)), warehouseRoot = Some(wh.root))
     Artifacts.writeCatalog(s"$targetDir/catalog.json", wh, runStartedAt)
     val fresh = sourceFreshness()
     if (fresh.nonEmpty)
@@ -1303,7 +1331,8 @@ final class Engine(
     */
   def writeDocsArtifacts(targetDir: String): Unit = {
     Artifacts.writeManifest(s"$targetDir/manifest.json", manifest,
-      runStartedAt, invocationId)
+      runStartedAt, invocationId,
+      relationNameOf = n => Some(relationName(n)), warehouseRoot = Some(wh.root))
     Artifacts.writeCatalog(s"$targetDir/catalog.json", wh, runStartedAt)
     Artifacts.writeDocsSite(targetDir)
   }
