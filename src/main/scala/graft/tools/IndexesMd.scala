@@ -25,7 +25,57 @@ import org.apache.spark.sql.SparkSession
   *    isolates the index's own build seconds from the query around it.
   */
 object IndexesMd {
+
+  /** Patch mode: re-measure ONE index's build at ONE scale in a clean
+    * session and rewrite just that cell of the existing ledger —
+    * `runMain graft.tools.IndexesMd patch <mdPath> <prefix> <labelIdx>
+    * <consumerQuery> <dir1>[,<dir2>...]`, where labelIdx is the
+    * 0-based position in the build-cost column (0=consumers pass). A
+    * full 40-minute regeneration accumulates every scale's persisted
+    * blocks in one JVM, and a big build can fail on that pressure alone
+    * (the r11 jaccpairs@100x hole) — the honest fix is a fresh-session
+    * measurement, recorded by the same tool that owns the file. */
+  private def patch(args: Array[String]): Unit = {
+    val Array(mdPath, prefix, labelIdxS, qname, dirsS) = args
+    val dirs = dirsS.split(",").toSeq
+    val labelIdx = labelIdxS.toInt
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val q = SparkEntry.allQueries.find(_.name == qname).getOrElse(
+      sys.error(s"no such query: $qname"))
+    val built = dirs.find { dir =>
+      IndexCache.currentConsumer.set(qname)
+      try {
+        q.run(spark, dir).write.format("noop").mode("overwrite").save()
+        IndexCache.buildsForDir(dir).contains(prefix)
+      } finally IndexCache.currentConsumer.remove()
+    }.getOrElse(sys.error(s"no dir built '$prefix' via $qname: $dirs"))
+    val sec = IndexCache.buildsForDir(built)(prefix)
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(mdPath)).toArray(Array.empty[String])
+    val rowIdx = lines.indexWhere(_.startsWith(s"| `$prefix` |"))
+    require(rowIdx >= 0, s"no ledger row for $prefix in $mdPath")
+    val cells = lines(rowIdx).split("\\|", -1) // "", index, site, costs, ...
+    val costs = cells(3).trim.split(" / ")
+    require(labelIdx < costs.length, s"label index $labelIdx out of range")
+    costs(labelIdx) = f"$sec%.2f s"
+    cells(3) = " " + costs.mkString(" / ") + " "
+    lines(rowIdx) = cells.mkString("|")
+    java.nio.file.Files.write(java.nio.file.Paths.get(mdPath),
+      lines.mkString("\n").concat("\n").getBytes("UTF-8"))
+    println(f"[indexesmd] patched $prefix cell $labelIdx = $sec%.2f s (via $qname @ $built)")
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("patch")) { patch(args.drop(1)); return }
     val outPath = if (args.nonEmpty) args(0) else "INDEXES.md"
     val consumersDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
     val scaleArgs: Seq[(String, Seq[String])] = args.drop(2).toSeq.map { a =>
