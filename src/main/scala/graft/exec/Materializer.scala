@@ -546,8 +546,6 @@ object Materializer {
       })
 
     val outCols = dataCols ++ Seq("dbt_updated_at", "dbt_scd_id", "dbt_valid_from", "dbt_valid_to")
-    def sel(prefix: String, overrides: Map[String, org.apache.spark.sql.Column] = Map.empty) =
-      outCols.map(c => overrides.getOrElse(c, col(s"$prefix.$c")).as(c))
 
     val closeStamp = strategy match {
       case TimestampStrategy(_) => col("s.dbt_updated_at")
@@ -557,63 +555,55 @@ object Materializer {
       case _ => col("s.dbt_updated_at")
     }
 
-    // 1. unchanged current rows stay open (guarded on !changed so the
-    // matched-row partition stays exclusive even under a custom
-    // row_changed predicate that ignores scd identity)
-    val unchanged = joined.filter(matched && !changed && (tScd <=> sScd))
-      .select(sel("t"): _*)
-    // stale-but-not-superseding source (timestamp strategy out-of-order
-    // arrival, or a custom strategy's debounce): keep target open,
-    // ignore source row
-    val staleOpen = joined.filter(matched && !changed && !(tScd <=> sScd))
-      .select(sel("t"): _*)
-    // 2. changed: close old row at the new row's effective time
-    val closedOld = joined.filter(changed)
-      .select(sel("t", Map("dbt_valid_to" -> closeStamp)): _*)
-    // 3. changed: open new version from source
-    val openedNew = joined.filter(changed).select(sel("s"): _*)
-    // 4. brand-new keys
-    val inserted = joined.filter(inSource && !inTarget).select(sel("s"): _*)
-    // 5. hard deletes: in target, absent from source
-    val dels = joined.filter(inTarget && !inSource)
-    val delsOut =
-      if (invalidateHardDeletes) dels.select(sel("t", Map("dbt_valid_to" -> now)): _*)
-      else dels.select(sel("t"): _*)
-
-    // rows that STAY open vs rows this batch CLOSES (delsOut lands on
-    // whichever side its valid_to says — closed only when invalidating)
-    val openOut = unchanged.unionByName(staleOpen).unionByName(openedNew)
-      .unionByName(inserted)
-      .unionByName(delsOut.filter(col("dbt_valid_to").isNull))
-    val closedNew = closedOld
-      .unionByName(delsOut.filter(col("dbt_valid_to").isNotNull))
+    // SINGLE-PASS apply plan (the 100 TB shape, round 2): the change
+    // classification used to be six union branches, each filtering the
+    // SAME full-outer join — Spark re-executes the join per branch (a
+    // filter breaks exchange reuse), so one apply paid the
+    // current-vs-source join ~7x (WriteScaleBench r11: snapshot apply
+    // 9.45x at 100x while the full initial build was 3x cheaper than
+    // one apply). Each joined row instead emits its <=2 output rows
+    // through one explode(array(...)):
+    //  - every target row emits exactly one t-derived row — unchanged
+    //    and stale-source rows keep dbt_valid_to as stored, changed
+    //    rows close at the superseding stamp, hard deletes close at
+    //    `now` when invalidating and stay open otherwise;
+    //  - source rows that supersede (changed) or are brand-new keys
+    //    emit one s-derived row, open.
+    // The join now executes once in the write plan (plus once for the
+    // touched-partition probe below).
+    val deleted = inTarget && !inSource
+    val tValidTo =
+      when(changed, closeStamp)
+        .when(deleted && lit(invalidateHardDeletes), now)
+        .otherwise(col("t.dbt_valid_to"))
+    def outStruct(prefix: String, overrides: Map[String, org.apache.spark.sql.Column]) =
+      struct(outCols.map(c =>
+        overrides.getOrElse(c, col(s"$prefix.$c")).as(c)): _*)
+    val tRow = when(inTarget, outStruct("t", Map("dbt_valid_to" -> tValidTo)))
+    val sRow = when(changed || (inSource && !inTarget), outStruct("s", Map.empty))
+    val applied = joined
+      .select(explode(array(tRow, sRow)).as("r"))
+      .filter(col("r").isNotNull)
+      .select(outCols.map(c => col(s"r.$c").as(c)): _*)
 
     if (prunedEligible) {
-      // which close-date partitions does this batch touch? bounded by
-      // the batch's distinct close stamps (typically 1); a pathological
-      // backfill touching many dates degrades to the full rewrite
-      val touchedDates = closedNew
-        .select(snapPartValue.as(SnapPartCol)).distinct()
-        .limit(65).collect().map(_.getString(0)).toSeq
-      if (touchedDates.size <= 64) {
-        val raw = wh.readRaw(name)
-        val carriedClosedTouched =
-          if (touchedDates.isEmpty) closedNew.limit(0)
-          else raw.filter(col(SnapPartCol).isin(touchedDates: _*))
-            .drop(SnapPartCol).select(outCols.map(col): _*)
-        val touchedDf = openOut.unionByName(closedNew)
-          .unionByName(carriedClosedTouched)
-          .withColumn(SnapPartCol, snapPartValue)
-        val touchedVals: Set[Seq[String]] =
-          (Set("open") ++ touchedDates).map(Seq(_))
-        wh.writeTablePruned(name, touchedDf, Seq(SnapPartCol), touchedVals)
-        return
-      }
+      // Closed partitions are APPEND-ONLY (a closed SCD2 row is
+      // immutable — revive opens a NEW row), so the apply never needs
+      // to know which close dates it touches: write the apply output
+      // partitioned by dbt_part (new closed rows land in their
+      // closed_<date> dirs, the open partition is rewritten in full)
+      // and hard-link EVERY existing non-open leaf alongside —
+      // writeTablePruned's carry loop links old files next to the
+      // newly written ones under version-prefixed names. One join
+      // execution total; write volume = open rows + this batch's
+      // closed rows.
+      wh.writeTablePruned(name, applied.withColumn(SnapPartCol, snapPartValue),
+        Seq(SnapPartCol), rewriteVals = Set(Seq("open")))
+      return
     }
 
     val history = snap.filter(col("dbt_valid_to").isNotNull)
-    val result = history.select(outCols.map(col): _*)
-      .unionByName(openOut).unionByName(closedNew)
+    val result = history.select(outCols.map(col): _*).unionByName(applied)
     wh.writeTable(name, result.withColumn(SnapPartCol, snapPartValue),
       partitionBy = Seq(SnapPartCol), hideCols = Seq(SnapPartCol))
   }

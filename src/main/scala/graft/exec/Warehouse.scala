@@ -234,7 +234,15 @@ final class Warehouse(val spark: SparkSession, val root: String,
   }
 
   def writeTablePruned(name: String, touched: DataFrame,
-      partitionBy: Seq[String], touchedVals: Set[Seq[String]]): (Int, Int) = {
+      partitionBy: Seq[String],
+      /** Partition values the DataFrame REWRITES in full — every other
+        * stored leaf is carried by hard link. A carried leaf whose
+        * value the df also writes is legal and means APPEND: the old
+        * files are linked (version-prefixed names) next to the newly
+        * written ones — the snapshot path appends new closed rows to
+        * immutable closed_<date> partitions this way. */
+      rewriteVals: Set[Seq[String]]): (Int, Int) = {
+    val touchedVals = rewriteVals
     require(partitionBy.nonEmpty, "writeTablePruned needs partition columns")
     val st = lock.synchronized(relations.getOrElse(name,
       throw new IllegalArgumentException(s"unknown relation: $name")))
