@@ -73,9 +73,28 @@ object Bench {
     if (!loadOk)
       System.err.println(f"[bench] LOAD GUARD: loadavg $loadBefore%.2f > " +
         f"$loadMax%.2f at start — walls will be published, ratios withheld")
+    // Data-proportional parallelism (VERDICT r11 item 1b): the ~227
+    // sub-second queries pay fixed task-launch cost per stage, and at
+    // sf0.1 (17 MB) 32-way shuffles and 32-task scans are pure
+    // scheduling overhead — AQE coalesces reducers post-hoc but the
+    // initial partition counts still launch. Size initial parallelism
+    // to the DATA (bytes/16MB, floor 8, cap 4x cores) the same way a
+    // cluster deployment sizes initialPartitionNum — at sf10+ this is
+    // back to >= core count, so nothing is tuned FOR the toy scale.
+    // Measured (BenchTune matrix, 239-query pass): 179.5 s -> 171.2 s
+    // with AQE kept ON; AQE-off variants saved no more and give up the
+    // runtime re-planning the 100 TB posture rests on.
+    def dirBytes(f: java.io.File): Long =
+      if (f.isFile) f.length
+      else Option(f.listFiles()).getOrElse(Array.empty).map(dirBytes).sum
+    val dataBytes = dirBytes(new java.io.File(sfDir))
+    val shufParts = math.max(8L,
+      math.min(cpus.toInt * 4L, dataBytes / (16L << 20)))
+    val minPartNum = math.min(8, cpus.toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufParts.toString)
+      .config("spark.sql.files.minPartitionNum", minPartNum.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.scheduler.mode", "FAIR")
       .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
