@@ -185,9 +185,13 @@ object Bench {
     // over three passes can't be swung by one loaded window. A DuckDB
     // pass runs AFTER EACH Spark pass (alternating engines through the
     // same load windows), and the published ratio is median/median.
+    // 5 passes (r12, was 3): the solo walls converge downward for ~2
+    // passes after the cold pass (C2 JIT still compiling through solo
+    // pass 2 — r12 measured [161.6, 162.5, 144.7]), so a median of 3
+    // reports warm-up, not steady state; a median of 5 sheds it.
     val soloRunsN =
       if (mode == "batch") 0
-      else sys.env.getOrElse("SPARK_GRAFT_BENCH_SOLO_RUNS", "3").toInt
+      else sys.env.getOrElse("SPARK_GRAFT_BENCH_SOLO_RUNS", "5").toInt
     val duckWalls = scala.collection.mutable.ArrayBuffer[(Double, Int, String)]()
     val (solo, soloTotal, soloWalls) =
       if (soloRunsN == 0) (Seq.empty[(String, Double, Boolean)], 0.0, Seq.empty[Double])
@@ -216,7 +220,7 @@ object Bench {
     // loaded-machine pass can no longer swing the round-over-round
     // number (the r6 driver artifact read 2.16x under load while the
     // idle-machine truth was 1.20x).
-    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
     def batchPass(): (Seq[(String, Double, Boolean)], Double) = {
       val pool = Executors.newFixedThreadPool(concurrency)
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)

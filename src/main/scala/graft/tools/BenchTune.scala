@@ -36,9 +36,11 @@ object BenchTune {
     val qs1 = only.fold(qs0)(ps => qs0.filter(q => ps.exists(q.name.startsWith)))
     val qs = if (limit > 0) qs1.take(limit) else qs1
 
-    // the baseline MUST mirror Bench.scala's session confs
+    // the baseline MUST mirror Bench.scala's session confs (r12:
+    // data-proportional parts — 8 at sf0.1 — and minPartitionNum 8)
     val baseline = Combo("baseline", Map(
-      "spark.sql.shuffle.partitions" -> "32",
+      "spark.sql.shuffle.partitions" -> "8",
+      "spark.sql.files.minPartitionNum" -> "8",
       "spark.sql.adaptive.enabled" -> "true",
       "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "true",
       "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "1MB"))
@@ -71,7 +73,16 @@ object BenchTune {
         "spark.shuffle.spill.compress" -> "false")),
       Combo("aqe_on_parts8_minpart8", baseline.confs ++ Map(
         "spark.sql.shuffle.partitions" -> "8",
-        "spark.sql.files.minPartitionNum" -> "8")))
+        "spark.sql.files.minPartitionNum" -> "8")),
+      // let AQE coalesce reducers to BYTE size (1-2 partitions at
+      // sf0.1) instead of keeping one per core slot
+      Combo("aqe_pf_false", baseline.confs ++ Map(
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false")),
+      Combo("minpart2", baseline.confs ++ Map(
+        "spark.sql.files.minPartitionNum" -> "2")),
+      Combo("pf_false_minpart2", baseline.confs ++ Map(
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
+        "spark.sql.files.minPartitionNum" -> "2")))
     val chosen = sys.env.get("TUNE_COMBOS") match {
       case Some(names) =>
         val set = names.split(",").toSet
