@@ -128,12 +128,22 @@ object BenchTune {
     val w0 = System.nanoTime(); pass()
     println(f"warmup: ${(System.nanoTime() - w0) / 1e9}%.1f s (n=${qs.size})")
 
+    // GC wall fraction per combo pass: the solo-pass walls in the full
+    // bench swing 143-195 s on an idle box with the SAME plans, and the
+    // only per-pass mutable state in the JVM is the heap — measure the
+    // collector's share instead of guessing heap sizes blind.
+    import scala.jdk.CollectionConverters._
+    def gcMillis(): Long =
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
     var base: Map[String, Double] = Map.empty
     for (c <- chosen) {
       c.confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val gc0 = gcMillis()
       val t0 = System.nanoTime()
       val times = pass()
       val total = (System.nanoTime() - t0) / 1e9
+      val gcSec = (gcMillis() - gc0) / 1e3
       if (c.name == "baseline") base = times
       val deltaStr = if (base.nonEmpty && c.name != "baseline") {
         val deltas = times.map { case (k, v) => k -> (v - base.getOrElse(k, v)) }
@@ -141,7 +151,7 @@ object BenchTune {
           deltas.toSeq.sortBy(-_._2).take(4)
         " movers: " + movers.map { case (k, d) => f"$k=${d}%+.2f" }.mkString(" ")
       } else ""
-      println(f"${c.name}%-22s total=$total%7.1f s$deltaStr")
+      println(f"${c.name}%-22s total=$total%7.1f s gc=$gcSec%6.1f s (${100 * gcSec / total}%.0f%%)$deltaStr")
     }
     spark.stop()
   }
