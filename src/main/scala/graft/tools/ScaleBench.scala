@@ -25,8 +25,19 @@ object ScaleBench {
     val baseDir = args(0)
     val scaleDir = args(1)
     val outJson = args(2)
-    val names = args.drop(3).toSeq
-    require(names.nonEmpty, "pass query names")
+    // accept space- and/or comma-separated names; a name may be any
+    // unique prefix (the runbook spells the spot check "q02,q121,q235")
+    val rawNames = args.drop(3).toSeq.flatMap(_.split(',')).filter(_.nonEmpty)
+    require(rawNames.nonEmpty, "pass query names")
+    val allNames = SparkEntry.allQueries.map(_.name)
+    val names = rawNames.map { n =>
+      if (allNames.contains(n)) n
+      else allNames.filter(_.startsWith(n + "_")) match {
+        case Seq(one) => one
+        case Seq() => n // fall through to the unknown-queries require
+        case many => sys.error(s"ambiguous query prefix $n: ${many.mkString(",")}")
+      }
+    }
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
       .config("spark.sql.shuffle.partitions", "32")

@@ -93,10 +93,30 @@ object ScaleGen {
     def offset(c: String): org.apache.spark.sql.Column =
       col(c) + col("rep") * KeyStride
 
-    def write(name: String, df: DataFrame, files: Int): Unit = {
+    // Output file count scales with the DATA, not the replica default:
+    // the old hard-coded counts (tuned for the 10x replica) produced
+    // 94 MB lineitem files at 100x — only 16 scan splits at the default
+    // 128 MB maxPartitionBytes, so half of local[32] sat idle and the
+    // 100x spot ratios read 2x worse than the kernel's true growth.
+    // A real 100 TB layout makes the same decision deliberately: size
+    // files so splits >> cores (here ~48 MB targets, floor = the 10x
+    // counts so small replicas keep their proven layout).
+    def write(name: String, df: DataFrame, files10x: Int): Unit = {
+      def bytesOf(f: java.io.File): Long =
+        if (f.isFile) f.length
+        else Option(f.listFiles()).getOrElse(Array.empty).map(bytesOf).sum
+      val inBytes = bytesOf(new java.io.File(s"$sfDir/$name.parquet"))
+      val grown = if (name == "region" || name == "nation") 1L
+        else inBytes * replicas
+      // 32 MB input-estimate target (~45 MB written after the replica
+      // mix expands rows): keeps every 100x fact-table scan at >= the
+      // 32 local cores while staying well above parquet's small-file
+      // penalty zone
+      val files = math.max(files10x.toLong,
+        (grown + (32L << 20) - 1) / (32L << 20)).toInt
       df.repartition(files).write.mode("overwrite")
         .parquet(s"$out/$name.parquet")
-      println(s"[scalegen] wrote $name x$replicas")
+      println(s"[scalegen] wrote $name x$replicas ($files files)")
     }
 
     // dims: single copy, bytes unchanged
