@@ -28,8 +28,11 @@ object StateHash {
     * `state_checksums_format`: saved artifacts from a different scheme
     * must not silently compare (format 1 joined components with
     * unescaped delimiters, so distinct values could render — and hash —
-    * identically). Bump on ANY change to stable()/lp()/contentOf. */
-  val Format = "2"
+    * identically; format 2 left null vs the literal leaf "~" and
+    * Map() vs Set() ambiguous — StateHashSpec now pins the full
+    * injectivity surface). Bump on ANY change to
+    * stable()/lp()/contentOf. */
+  val Format = "3"
 
   def sha(s: String): String =
     java.security.MessageDigest.getInstance("SHA-256")
@@ -43,21 +46,25 @@ object StateHash {
   /** Deterministic AND injective rendering (Maps/Sets sorted; case
     * classes by field) — case-class toString leaks HashMap iteration
     * order, and naive join delimiters collide with leaf content. Every
-    * component is length-prefixed at its embedding site; a parse is a
-    * recursive descent (digits+':' = leaf span, '{'/'['/ClassName'(' =
-    * composite), so distinct values render distinctly. */
+    * component is length-prefixed at its embedding site, and every
+    * VARIANT carries a distinct discriminator as its first character
+    * ('~' null, '{' map, '<' set, '[' iterable, ':' leaf, identifier
+    * char for products — a product prefix is a nonempty identifier, so
+    * it can never start with the other five): format 2 tagged only the
+    * composites, which left null vs the literal leaf "~" and
+    * Map() vs Set() rendering identically. */
   def stable(v: Any): String = v match {
-    case null => "~" // lp output always starts with a digit — no collision
+    case null => "~"
     case m: scala.collection.Map[_, _] =>
       m.toSeq.map { case (k, x) => lp(stable(k)) + "=" + lp(stable(x)) }
         .sorted.mkString("{", ",", "}")
     case s: scala.collection.Set[_] =>
-      s.toSeq.map(x => lp(stable(x))).sorted.mkString("{", ",", "}")
+      s.toSeq.map(x => lp(stable(x))).sorted.mkString("<", ",", ">")
     case p: Product =>
       p.productPrefix +
         p.productIterator.map(x => lp(stable(x))).mkString("(", ",", ")")
     case i: Iterable[_] => i.map(x => lp(stable(x))).mkString("[", ",", "]")
-    case other => String.valueOf(other)
+    case other => ":" + String.valueOf(other)
   }
 
   /** The per-node checksum record embedded in (and read back from) the
