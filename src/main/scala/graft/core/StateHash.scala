@@ -29,10 +29,17 @@ object StateHash {
     * must not silently compare (format 1 joined components with
     * unescaped delimiters, so distinct values could render — and hash —
     * identically; format 2 left null vs the literal leaf "~" and
-    * Map() vs Set() ambiguous — StateHashSpec now pins the full
-    * injectivity surface). Bump on ANY change to
-    * stable()/lp()/contentOf. */
-  val Format = "3"
+    * Map() vs Set() ambiguous; format 3 rendered products by bare
+    * `productPrefix`, which is NOT always an identifier — List's cons
+    * class is named `::`, whose prefix begins with ':', the leaf
+    * discriminator, so a string leaf could forge a List structure
+    * (ADVICE r12) — and keyed products on the simple name, so two
+    * same-named case classes from different packages collided. Format
+    * 4 length-prefixes a fully-qualified class name behind its own '!'
+    * discriminator and normalizes every Seq-like (List/Vector/ArraySeq/
+    * Array) through one '[' branch BEFORE the Product case. Bump on
+    * ANY change to stable()/lp()/contentOf. */
+  val Format = "4"
 
   def sha(s: String): String =
     java.security.MessageDigest.getInstance("SHA-256")
@@ -47,12 +54,18 @@ object StateHash {
     * classes by field) — case-class toString leaks HashMap iteration
     * order, and naive join delimiters collide with leaf content. Every
     * component is length-prefixed at its embedding site, and every
-    * VARIANT carries a distinct discriminator as its first character
-    * ('~' null, '{' map, '<' set, '[' iterable, ':' leaf, identifier
-    * char for products — a product prefix is a nonempty identifier, so
-    * it can never start with the other five): format 2 tagged only the
-    * composites, which left null vs the literal leaf "~" and
-    * Map() vs Set() rendering identically. */
+    * VARIANT carries a distinct discriminator as its first character:
+    * '~' null, '{' map, '<' set, '[' sequence, '!' product, ':' leaf.
+    * The product's fully-qualified class name follows '!' LENGTH-
+    * PREFIXED, so a symbolic or delimiter-bearing class name can never
+    * escape into structure (format 3's bare `productPrefix` let the
+    * string leaf ":(1:~,5:Nil())" forge `List(null)` because `::`
+    * starts with the leaf discriminator), and two same-named case
+    * classes from different packages render distinctly. Sequences
+    * (Iterable AND Array) are normalized through the '[' branch BEFORE
+    * the Product case, so equal-content List/Vector/ArraySeq hash
+    * identically — a collection-type change in node construction is
+    * not a modification. */
   def stable(v: Any): String = v match {
     case null => "~"
     case m: scala.collection.Map[_, _] =>
@@ -60,10 +73,13 @@ object StateHash {
         .sorted.mkString("{", ",", "}")
     case s: scala.collection.Set[_] =>
       s.toSeq.map(x => lp(stable(x))).sorted.mkString("<", ",", ">")
-    case p: Product =>
-      p.productPrefix +
-        p.productIterator.map(x => lp(stable(x))).mkString("(", ",", ")")
     case i: Iterable[_] => i.map(x => lp(stable(x))).mkString("[", ",", "]")
+    case a: Array[_] =>
+      // Array.toString is identity-hash garbage — render as a sequence
+      a.iterator.map(x => lp(stable(x))).mkString("[", ",", "]")
+    case p: Product =>
+      "!" + lp(p.getClass.getName) +
+        p.productIterator.map(x => lp(stable(x))).mkString("(", ",", ")")
     case other => ":" + String.valueOf(other)
   }
 
@@ -83,6 +99,7 @@ object StateHash {
 
   def bodyOf(n: Node): String = n match {
     case m: ModelNode => m.rawSql
+    case p: PythonModelNode => p.code
     case s: SnapshotNode => s.rawSql
     case t: TestNode => t.rawSql
     case s: SeedNode => s.csv
@@ -91,6 +108,7 @@ object StateHash {
 
   def contentOf(n: Node): String = n match {
     case m: ModelNode => lp(m.rawSql) + lp(stable(m.config))
+    case p: PythonModelNode => lp(p.code) + lp(stable(p.config))
     case s: SnapshotNode =>
       lp(s.rawSql) + lp(stable(s.config)) +
         lp(stable(s.strategy)) + lp(stable(s.uniqueKey))

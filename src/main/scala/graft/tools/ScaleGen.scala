@@ -106,6 +106,13 @@ object ScaleGen {
         if (f.isFile) f.length
         else Option(f.listFiles()).getOrElse(Array.empty).map(bytesOf).sum
       val inBytes = bytesOf(new java.io.File(s"$sfDir/$name.parquet"))
+      // ADVICE r12: a missing/renamed input used to return 0 bytes and
+      // silently fall back to the hard-coded 10x file counts — the
+      // exact layout-induced measurement skew this sizing exists to
+      // eliminate would reappear with no signal. Fail loudly instead.
+      require(inBytes > 0,
+        s"scalegen: no input at $sfDir/$name.parquet — " +
+          "data-proportional file sizing needs the real input bytes")
       val grown = if (name == "region" || name == "nation") 1L
         else inBytes * replicas
       // 32 MB input-estimate target (~45 MB written after the replica
