@@ -65,7 +65,14 @@ object Tables {
 final case class QueryDef(
     name: String,
     run: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+    oracle: Option[String],
+    /** True for analytical throughput queries (the bench headline set);
+      * false for framework correctness gates (the m-fixtures, which run
+      * the engine against scratch warehouses — Verify-gated, not timed).
+      * Structural replacement for the old name-prefix filter
+      * (VERDICT r12 nit): a future m-named throughput query can no
+      * longer silently vanish from the bench. */
+    isThroughput: Boolean = true)
 
 object QueryDef {
   def apply(name: String, oracle: String)(

@@ -340,12 +340,21 @@ final case class UnitTestNode(
     config: NodeConfig = NodeConfig(),
     dependsOn: Seq[String] = Nil,
     /** fixture-scoped overrides (reference `UnitTestOverrides`,
-      * `unit_test_definition.py:40-44`): vars and env_vars replace the
-      * project's values for this test's render only. Macro overrides
-      * n/a (materializations are Scala strategies here).
+      * `unit_test_definition.py:40-44`): vars, env_vars and macros
+      * replace the project's values for this test's render only.
+      * `overrideMacros` maps a (optionally package-qualified) project
+      * Jinja macro name to the VALUE its calls return during the
+      * render — a user stubbing e.g. a surrogate-key helper pins the
+      * tested model's output without exercising the helper (reference
+      * `providers.py:1658-1699`). The special key `is_incremental`
+      * toggles the render's incremental flag instead (reference
+      * `parser/unit_tests.py:470-481`). Overrides scope to PROJECT
+      * JINJA MACROS only: materializations are Scala strategies here,
+      * not macros, so they have no override surface.
       */
     overrideVars: Map[String, String] = Map.empty,
-    overrideEnvVars: Map[String, String] = Map.empty) extends Node {
+    overrideEnvVars: Map[String, String] = Map.empty,
+    overrideMacros: Map[String, String] = Map.empty) extends Node {
   val resourceType = "unit_test"
 }
 
@@ -461,6 +470,27 @@ final case class ScalaModelNode(
     body: ModelApi => org.apache.spark.sql.DataFrame,
     config: NodeConfig = NodeConfig(materialized = "table"),
     dependsOn: Seq[String] = Nil) extends Node {
+  val resourceType = "model"
+}
+
+/** Python model — the reference's `.py` files under models/ defining
+  * `def model(dbt, session)` (`core/dbt/parser/models.py:30-140`
+  * static AST extraction of refs/sources/config;
+  * `core/dbt/compilation.py:407-416` runtime wrapper). Executed by
+  * run/PythonModel in a PySpark subprocess against the same warehouse
+  * files — the hermetic analog of the reference's submit-to-platform
+  * python runtime. Refs/sources/config are extracted statically at
+  * parse, exactly like the reference's PythonValidationVisitor.
+  */
+final case class PythonModelNode(
+    name: String,
+    code: String,
+    refs: Seq[String] = Nil,
+    sources: Seq[(String, String)] = Nil,
+    config: NodeConfig = NodeConfig(materialized = "table"),
+    dependsOn: Seq[String] = Nil,
+    originPath: String = "",
+    override val packageName: String = "graft") extends Node {
   val resourceType = "model"
 }
 

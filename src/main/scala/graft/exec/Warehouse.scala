@@ -104,6 +104,17 @@ final class Warehouse(val spark: SparkSession, val root: String,
 
   def exists(name: String): Boolean = lock.synchronized(relations.contains(name))
 
+  /** Physical handle for out-of-process consumers — the Python-model
+    * subprocess reads upstream relations FILE-DIRECT from their current
+    * version paths, so no table data crosses a process boundary through
+    * either driver: (format, paths, hidden physical columns to drop).
+    * None for views/catalog tables (session-scoped, no files — callers
+    * materialize those to a scratch dir first). */
+  def physical(name: String): Option[(String, Seq[String], Seq[String])] =
+    lock.synchronized(relations.get(name).collect {
+      case st if !st.isView && !st.isCatalog => (st.fmt, st.paths, st.hide)
+    })
+
   def isView(name: String): Boolean =
     lock.synchronized(relations.get(name).exists(_.isView))
 

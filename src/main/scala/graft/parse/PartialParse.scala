@@ -44,8 +44,10 @@ object PartialParse {
   /** Bumped whenever cached case-class shapes change; a mismatched or
     * undeserializable state file is silently treated as absent.
     * v3: data-only StateCodec encoding (v2 was JEP-290-filtered Java
-    * serialization; a v2 file fails the magic check => cold parse). */
-  val Format = 3
+    * serialization; a v2 file fails the magic check => cold parse).
+    * v4: UnitTestNode grew overrideMacros (r13) — v3 files would fail
+    * arity decode anyway; the bump makes the miss a clean format check. */
+  val Format = 4
 
   val StateFileName = "partial_parse.bin"
 

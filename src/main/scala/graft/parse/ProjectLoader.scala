@@ -861,7 +861,8 @@ object ProjectLoader {
               givenFixtures = given,
               expectFixture = Some(expect),
               overrideVars = overrideMap("vars"),
-              overrideEnvVars = overrideMap("env_vars"))
+              overrideEnvVars = overrideMap("env_vars"),
+              overrideMacros = overrideMap("macros"))
           }
         case _ =>
       }
@@ -971,6 +972,48 @@ object ProjectLoader {
           for (t <- patchTests)
             buf += buildGenericTest(name, None, t)
         }
+        buf.toList
+      }
+      nodes ++= fileNodes
+    }
+
+    // ---- model .py files (Python models — reference
+    // `core/dbt/parser/models.py:30-140`: refs/sources/config are
+    // extracted STATICALLY from the body, the runtime is
+    // run/PythonModel's PySpark subprocess). Same config cascade and
+    // schema-yml patch/test attachment as .sql models; python models
+    // default to materialized='table' (the reference limits them to
+    // table/incremental — 'view' has no pythonic meaning).
+    for (f <- listFiles(root.resolve("models"), ".py")) {
+      val name = stripExt(f)
+      val (patchCols, patchTests, patchKw, patchDesc) =
+        modelPatches.getOrElse(name, (Nil, Nil, Map.empty[String, String], ""))
+      val dirSegs = Option(root.resolve("models").relativize(f).getParent)
+        .map(_.iterator().asScala.map(_.toString).toSeq).getOrElse(Nil)
+      modelFileNames += name
+      modelDirSegs += dirSegs
+      checkResourceName(name, "model")
+      val ctx = stableStr((
+        (patchCols, patchTests, patchKw, patchDesc),
+        modelTree.kwargsFor(dirSegs)))
+      val fileNodes = cachedAs(f, ctx) { raw =>
+        val kwargs = graft.run.PythonModel.extractConfig(raw)
+        val merged =
+          mergeKwargs(mergeKwargs(modelTree.kwargsFor(dirSegs), patchKw), kwargs)
+        val withDefault =
+          if (merged.contains("materialized")) merged
+          else merged + ("materialized" -> "table")
+        val buf = scala.collection.mutable.ListBuffer[Node]()
+        buf += PythonModelNode(
+          name = name, code = raw,
+          refs = graft.run.PythonModel.extractRefs(raw),
+          sources = graft.run.PythonModel.extractSources(raw),
+          config = configFromKwargs(withDefault),
+          originPath = relPath(f))
+        for (c <- patchCols; t <- c.tests)
+          buf += buildGenericTest(name, Some(c.name), t)
+        for (t <- patchTests)
+          buf += buildGenericTest(name, None, t)
         buf.toList
       }
       nodes ++= fileNodes
@@ -1263,6 +1306,7 @@ object ProjectLoader {
     }
     Manifest(m.nodes.map {
       case (id, n: ModelNode) => id -> n.copy(dependsOn = deps(n.refs, n.sources, n.dependsOn))
+      case (id, n: PythonModelNode) => id -> n.copy(dependsOn = deps(n.refs, n.sources, n.dependsOn))
       case (id, n: SnapshotNode) => id -> n.copy(dependsOn = deps(n.refs, n.sources, n.dependsOn))
       case (id, n: TestNode) => id -> n.copy(dependsOn = deps(n.refs, n.sources, n.dependsOn))
       case (id, n: ExposureNode) => id -> n.copy(dependsOn = deps(n.refs, Nil, n.dependsOn))

@@ -25,7 +25,7 @@ import java.io.{DataInputStream, DataOutputStream, IOException}
 private[parse] object StateCodec {
 
   /** File magic + codec version; bumped with PartialParse.Format. */
-  val Magic: Int = 0x47465433 // "GFT3"
+  val Magic: Int = 0x47465434 // "GFT4"
 
   /** The closed instantiation universe: every case class that can
     * appear in a cached parse result. Unlisted names fail decode. */
@@ -38,6 +38,7 @@ private[parse] object StateCodec {
     classOf[graft.core.ColumnInfo],
     classOf[graft.core.GenericTestRef],
     classOf[graft.core.ModelNode],
+    classOf[graft.core.PythonModelNode],
     classOf[graft.core.SourceNode],
     classOf[graft.core.SeedNode],
     classOf[graft.core.SnapshotNode],

@@ -46,7 +46,12 @@ object Framework {
 
   private val ts99 = "TIMESTAMP '1999-01-01 00:00:00'"
 
-  val queries: Seq[QueryDef] = Seq(
+  // Every Framework entry is a correctness m-gate (engine run against a
+  // scratch warehouse), never a throughput query — flagged structurally
+  // so the bench headline set is a typed partition, not a name filter.
+  val queries: Seq[QueryDef] = rawQueries.map(_.copy(isThroughput = false))
+
+  private def rawQueries: Seq[QueryDef] = Seq(
 
     // A7 snapshot SCD2, timestamp strategy: 3 scripted batches over
     // orders (update %10=0 at batch1, update %10=1 at batch2, hard
@@ -3065,6 +3070,255 @@ object Framework {
       rows += (("local_wins_without_favor",
         engNoFav.wh.read("m48fav__m48_agg").agg(max("batch")).collect()(0)
           .getLong(0).toString))
+      rows.toSeq.toDF("check_name", "result").orderBy("check_name")
+    },
+
+    // A13 unit-test MACRO overrides (VERDICT r12 item 3; reference
+    // `UnitTestOverrides.macros`, `unit_test_definition.py:40-44`,
+    // applied `providers.py:1658-1699`): a project Jinja macro named in
+    // `overrides.macros` returns the fixture value verbatim during that
+    // unit test's render — and ONLY there (the real macro still renders
+    // every other unit test and the actual build). Covers: a no-arg
+    // stub, an override of a macro WITH args (original signature kept
+    // so call sites bind), a package-qualified key, the special
+    // `is_incremental` toggle (reference `parser/unit_tests.py:470-481`),
+    // and the real-build control.
+    QueryDef(
+      "m49_unit_macro_override",
+      """SELECT * FROM (VALUES
+        |  ('ut_stub_zero_tax', 'pass'),
+        |  ('ut_real_macro', 'pass'),
+        |  ('ut_arg_override', 'pass'),
+        |  ('ut_qualified', 'pass'),
+        |  ('ut_incremental_on', 'pass'),
+        |  ('ut_incremental_off', 'pass'),
+        |  ('build_uses_real_macro', '330')
+        |) AS t(check_name, result)
+        |ORDER BY check_name""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val root = java.nio.file.Files.createTempDirectory("m49_proj")
+      scratchDirs.add(root.toFile)
+      def write(rel: String, content: String): Unit = {
+        val p = root.resolve(rel)
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.writeString(p, content): Unit
+      }
+      write("dbt_project.yml", "name: m49\n")
+      write("seeds/src.csv", "id,amount\n1,100\n2,200\n")
+      write("macros/helpers.sql",
+        """{% macro tax_rate() %}0.10{% endmacro %}
+          |{% macro double_col(c) %}{{ c }} * 2{% endmacro %}
+          |""".stripMargin)
+      write("models/m_price.sql",
+        "{{ config(materialized='table') }}\n" +
+          "SELECT id, CAST(amount + amount * {{ tax_rate() }} AS BIGINT) " +
+          "AS total FROM {{ ref('src') }}")
+      write("models/m_arg.sql",
+        "SELECT id, CAST({{ double_col('amount') }} AS BIGINT) AS v " +
+          "FROM {{ ref('src') }}")
+      write("models/m_incr.sql",
+        "{{ config(materialized='incremental') }}\n" +
+          "SELECT id FROM {{ ref('src') }} " +
+          "{% if is_incremental() %} WHERE id > 1 {% endif %}")
+      write("models/schema.yml",
+        """unit_tests:
+          |  - name: ut_stub_zero_tax
+          |    model: m_price
+          |    given:
+          |      - input: ref('src')
+          |        rows: [{id: 1, amount: 100}]
+          |    expect:
+          |      rows: [{id: 1, total: 100}]
+          |    overrides:
+          |      macros:
+          |        tax_rate: "0.00"
+          |  - name: ut_real_macro
+          |    model: m_price
+          |    given:
+          |      - input: ref('src')
+          |        rows: [{id: 1, amount: 100}]
+          |    expect:
+          |      rows: [{id: 1, total: 110}]
+          |  - name: ut_arg_override
+          |    model: m_arg
+          |    given:
+          |      - input: ref('src')
+          |        rows: [{id: 1, amount: 100}]
+          |    expect:
+          |      rows: [{id: 1, v: 100}]
+          |    overrides:
+          |      macros:
+          |        double_col: amount
+          |  - name: ut_qualified
+          |    model: m_price
+          |    given:
+          |      - input: ref('src')
+          |        rows: [{id: 1, amount: 100}]
+          |    expect:
+          |      rows: [{id: 1, total: 200}]
+          |    overrides:
+          |      macros:
+          |        graft.tax_rate: "1.00"
+          |  - name: ut_incremental_on
+          |    model: m_incr
+          |    given:
+          |      - input: ref('src')
+          |        rows: [{id: 1}, {id: 2}]
+          |    expect:
+          |      rows: [{id: 2}]
+          |    overrides:
+          |      macros:
+          |        is_incremental: true
+          |  - name: ut_incremental_off
+          |    model: m_incr
+          |    given:
+          |      - input: ref('src')
+          |        rows: [{id: 1}, {id: 2}]
+          |    expect:
+          |      rows: [{id: 1}, {id: 2}]
+          |""".stripMargin)
+      val whRoot = scratch()
+      val eng = Engine.fromProject(s, root.toString, whRoot)
+      val results = eng.build()
+      val rows = scala.collection.mutable.ArrayBuffer[(String, String)]()
+      for (ut <- Seq("ut_stub_zero_tax", "ut_real_macro", "ut_arg_override",
+        "ut_qualified", "ut_incremental_on", "ut_incremental_off")) {
+        val r = results.find(_.uniqueId.endsWith(ut)).getOrElse(
+          sys.error(s"m49: no result for $ut"))
+        rows += ((ut,
+          if (r.status == "pass") "pass" else s"${r.status}:${r.message}"))
+      }
+      // control: the REAL macro (0.10) drove the actual build —
+      // overrides never leak outside their unit test's render. Read
+      // through a fresh engine over the same warehouse root (build()
+      // materializes inside its own augmented-DAG engine, so the outer
+      // engine's relation registry predates the table — m43/m48 pattern).
+      rows += (("build_uses_real_macro",
+        new Engine(s, Manifest(Map.empty), whRoot).wh
+          .read("m_price").agg(sum("total")).collect()(0)
+          .getLong(0).toString))
+      rows.toSeq.toDF("check_name", "result").orderBy("check_name")
+    },
+
+    // A25 custom Jinja TESTS (VERDICT r12 item 5; reference Jinja2
+    // custom-test registration — python code registers tests on the
+    // environment; a dbt project's only authorable unit is the macro,
+    // so macros are the registration surface, exactly like the r12
+    // custom filters): `{{ v is my_test(args) }}` dispatches to the
+    // same-named project macro with v as first positional arg. The
+    // fixture drives MODEL SHAPE through the predicate — a column-
+    // allowlist test decides the projection, an arg-taking test and a
+    // text-rendering (no return()) test decide literals — and the
+    // oracle pins the resulting tables.
+    QueryDef(
+      "m50_custom_jinja_test",
+      """SELECT * FROM (VALUES
+        |  ('m_cols_columns', 'id,amount'),
+        |  ('m_cols_amount_sum', '300'),
+        |  ('m_flags_row', 'even4=1,odd3=1,pos5=1,zero=0')
+        |) AS t(check_name, result)
+        |ORDER BY check_name""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val root = java.nio.file.Files.createTempDirectory("m50_proj")
+      scratchDirs.add(root.toFile)
+      def write(rel: String, content: String): Unit = {
+        val p = root.resolve(rel)
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.writeString(p, content): Unit
+      }
+      write("dbt_project.yml", "name: m50\n")
+      write("seeds/src.csv", "id,amount,secret\n1,100,9\n2,200,9\n")
+      write("macros/predicates.sql",
+        """{% macro allowed_col(c) %}{{ return(c in ['id', 'amount']) }}{% endmacro %}
+          |{% macro multiple_of(v, k) %}{{ return(v % k == 0) }}{% endmacro %}
+          |{% macro spelled(v) %}{% if v > 0 %}true{% else %}false{% endif %}{% endmacro %}
+          |""".stripMargin)
+      write("models/m_cols.sql",
+        "{{ config(materialized='table') }}\n" +
+          "SELECT id" +
+          "{% if 'amount' is allowed_col %}, amount{% endif %}" +
+          "{% if 'secret' is allowed_col %}, secret{% endif %}" +
+          " FROM {{ ref('src') }}")
+      write("models/m_flags.sql",
+        "{{ config(materialized='table') }}\nSELECT " +
+          "{% if 4 is multiple_of(2) %}1{% else %}0{% endif %} AS even4, " +
+          "{% if 3 is not multiple_of(2) %}1{% else %}0{% endif %} AS odd3, " +
+          "{% if 5 is spelled %}1{% else %}0{% endif %} AS pos5, " +
+          "{% if 0 is spelled %}1{% else %}0{% endif %} AS zero")
+      val whRoot = scratch()
+      val eng = Engine.fromProject(s, root.toString, whRoot)
+      val results = eng.build()
+      require(results.forall(r => r.status == "success" || r.status == "pass"),
+        s"m50 build failed: ${results.filterNot(r =>
+          r.status == "success" || r.status == "pass").mkString("; ")}")
+      val wh = new Engine(s, Manifest(Map.empty), whRoot).wh
+      val rows = scala.collection.mutable.ArrayBuffer[(String, String)]()
+      val cols = wh.read("m_cols")
+      rows += (("m_cols_columns", cols.columns.mkString(",")))
+      rows += (("m_cols_amount_sum",
+        cols.agg(sum("amount")).collect()(0).getLong(0).toString))
+      val f = wh.read("m_flags").collect()(0)
+      rows += (("m_flags_row",
+        s"even4=${f.getInt(0)},odd3=${f.getInt(1)},pos5=${f.getInt(2)},zero=${f.getInt(3)}"))
+      rows.toSeq.toDF("check_name", "result").orderBy("check_name")
+    },
+
+    // A28 PYTHON models (VERDICT r12 item 4 — the one real
+    // architectural delta: reference `def model(dbt, session)` .py
+    // models, `core/dbt/parser/models.py:30-140` static extraction +
+    // `compilation.py:407-416` runtime). The fixture's .py model runs
+    // in a real PySpark subprocess (run/PythonModel): it reads its ref
+    // FILE-DIRECT from the warehouse, transforms with the pyspark
+    // DataFrame API, and its committed table feeds a downstream SQL
+    // model through an ordinary ref — static ref extraction put the
+    // python node in the DAG, so build order holds. Oracle pins both
+    // tables' contents in closed form.
+    QueryDef(
+      "m51_python_model",
+      """SELECT * FROM (VALUES
+        |  ('py_rows', '1:100:200|2:200:400'),
+        |  ('py_build_status', 'success'),
+        |  ('downstream_sum', '600')
+        |) AS t(check_name, result)
+        |ORDER BY check_name""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val root = java.nio.file.Files.createTempDirectory("m51_proj")
+      scratchDirs.add(root.toFile)
+      def write(rel: String, content: String): Unit = {
+        val p = root.resolve(rel)
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.writeString(p, content): Unit
+      }
+      write("dbt_project.yml", "name: m51\n")
+      write("seeds/src.csv", "id,amount\n1,100\n2,200\n3,300\n")
+      write("models/py_enrich.py",
+        """def model(dbt, session):
+          |    dbt.config(materialized="table")
+          |    from pyspark.sql import functions as F
+          |    src = dbt.ref("src")
+          |    return (src
+          |        .withColumn("double_amount", F.col("amount") * 2)
+          |        .filter(F.col("id") <= 2))
+          |""".stripMargin)
+      write("models/down.sql",
+        "{{ config(materialized='table') }}\n" +
+          "SELECT CAST(sum(double_amount) AS BIGINT) AS s " +
+          "FROM {{ ref('py_enrich') }}")
+      val whRoot = scratch()
+      val eng = Engine.fromProject(s, root.toString, whRoot)
+      val results = eng.build()
+      val rows = scala.collection.mutable.ArrayBuffer[(String, String)]()
+      rows += (("py_build_status",
+        results.find(_.uniqueId == "model.graft.py_enrich")
+          .map(r => if (r.status == "success") "success"
+            else s"${r.status}:${r.message}").getOrElse("missing")))
+      val wh = new Engine(s, Manifest(Map.empty), whRoot).wh
+      rows += (("py_rows",
+        wh.read("py_enrich").orderBy("id").collect()
+          .map(r => s"${r.getInt(0)}:${r.getInt(1)}:${r.getInt(2)}")
+          .mkString("|")))
+      rows += (("downstream_sum",
+        wh.read("down").collect()(0).getLong(0).toString))
       rows.toSeq.toDF("check_name", "result").orderBy("check_name")
     }
   )

@@ -836,7 +836,32 @@ object Jinja {
             }
             left match {
               case JN(v, _) => (v % arg) == BigDecimal(0); case _ => false }
-          case other => fail(s"unknown test `$other`")
+          case other =>
+            // user-defined tests (VERDICT r12 item 5): a project macro
+            // named like the test serves `{{ v is my_test }}` /
+            // `{{ v is my_test(args) }}` with the tested value as first
+            // positional arg — the symmetric twin of custom FILTER
+            // dispatch (applyFilter's fallback below; the reference
+            // environment lets python code register tests, and a dbt
+            // project's only authorable unit is the macro, so macros
+            // ARE the registration surface here). The macro's return
+            // is taken by truthiness, except that a rendered-text
+            // "true"/"false" literal parses as the boolean it spells —
+            // macro bodies RENDER to strings, and truthy(JS("false"))
+            // would otherwise read any spelled-out false as true;
+            // `{{ return(...) }}` carries typed values unambiguously.
+            ctx.macroResolver(other) match {
+              case Some(_) =>
+                val (args, kw) =
+                  if (i < src.length && src.charAt(i) == '(') parseArgs()
+                  else (Nil, Map.empty[String, JV])
+                callMacro(other, left +: args, kw) match {
+                  case JS(s) if s.trim.equalsIgnoreCase("true") => true
+                  case JS(s) if s.trim.equalsIgnoreCase("false") => false
+                  case v => truthy(v)
+                }
+              case None => fail(s"unknown test `$other`")
+            }
         }
         return JB(if (neg) !r else r)
       }

@@ -144,6 +144,7 @@ object Artifacts {
     def nodeJson(n: Node): String = {
       val base = n match {
         case m: ModelNode => ident(m, m.originPath, m.rawSql)
+        case p: PythonModelNode => ident(p, p.originPath, p.code)
         case s: SeedNode => ident(s, s.originPath, s.csv)
         case s: SnapshotNode => ident(s, s.originPath, s.rawSql)
         case t: TestNode => ident(t, t.originPath, t.rawSql)
@@ -257,11 +258,24 @@ object Artifacts {
       val givenAll: Seq[(String, UnitFixture)] =
         (u.given.view.filterKeys(k => !u.givenFixtures.contains(k))
           .mapValues(DictRows(_)).toSeq ++ u.givenFixtures.toSeq).sortBy(_._1)
+      // reference UnitTestOverrides (unit_test_definition.py:40-44):
+      // null when no override is set, matching the dataclass default
+      val overrides: Seq[(String, String)] =
+        if (u.overrideVars.isEmpty && u.overrideEnvVars.isEmpty &&
+          u.overrideMacros.isEmpty) Seq("overrides" -> "null")
+        else {
+          def m(kv: Map[String, String]) =
+            obj(kv.toSeq.sortBy(_._1).map { case (k, v) => k -> q(v) })
+          Seq("overrides" -> obj(Seq(
+            "macros" -> m(u.overrideMacros),
+            "vars" -> m(u.overrideVars),
+            "env_vars" -> m(u.overrideEnvVars))))
+        }
       obj(metaIdent(u, "models/unit_tests.yml") ++ Seq(
         "model" -> q(u.model),
         "given" -> arr(givenAll.map { case (in, f) => obj(fixtureJson(Some(in), f)) }),
         "expect" -> obj(fixtureJson(None,
-          u.expectFixture.getOrElse(DictRows(u.expect)))),
+          u.expectFixture.getOrElse(DictRows(u.expect))))) ++ overrides ++ Seq(
         dependsOn(u)))
     }
     def section(rt: String): Seq[(String, Node)] =

@@ -753,6 +753,12 @@ final class Engine(
       Materializer.Result(sm.uniqueId, "success",
         rowsAffected = if (wh.exists(relationName(sm)))
           wh.rowCount(relationName(sm)) else -1L)
+    case pm: PythonModelNode =>
+      runHooks(pm.config.preHook)
+      PythonModel.run(this, pm)
+      runHooks(pm.config.postHook)
+      Materializer.Result(pm.uniqueId, "success",
+        rowsAffected = wh.rowCount(relationName(pm)))
     case m: ModelNode =>
       runHooks(m.config.preHook)
       if (m.config.contractEnforced)
@@ -1135,14 +1141,61 @@ final class Engine(
         else s"__utf_${namespace}_${u.name}_$refName"
       (refName, viewName, fixtureToDf(fixture))
     }.toSeq
-    val sql = Template.render(model.rawSql, renderContext(
+    val baseCtx = renderContext(
       resolveRef = name => fixtureViews.find(_._1 == name).map(_._2)
         .getOrElse(relationName(manifest.resolveRefSpec(name).get)),
       resolveSource = (s, t) => fixtureViews.find(_._1 == s"$s.$t").map(_._2)
         .getOrElse(relationName(manifest.resolveSource(s, t).get)),
-      thisRelation = relationName(model))
-      // fixture-scoped overrides shadow project vars / process env
-      .copy(vars = vars ++ u.overrideVars, envOverrides = u.overrideEnvVars))
+      thisRelation = relationName(model),
+      callerPackage = model.packageName)
+    // Macro overrides (reference `UnitTestOverrides.macros`,
+    // `unit_test_definition.py:40-44`, applied in
+    // `providers.py:1658-1699`): each overridden PROJECT JINJA MACRO's
+    // calls return the fixture value verbatim during this render — the
+    // override shadows the ordinary package-precedence resolution. A
+    // global (unqualified) key overrides unqualified calls and calls
+    // qualified with the root package; a `pkg.name` key overrides that
+    // exact qualified call (global wins when both match, reference
+    // :1693-1699). `is_incremental` is special-cased to the render's
+    // incremental flag (reference `parser/unit_tests.py:470-481`) —
+    // the only way to unit-test an incremental model's is_incremental
+    // branch deterministically.
+    val macroOverrides = u.overrideMacros - "is_incremental"
+    // Global (unqualified) keys win over package-qualified ones
+    // (reference :1693-1699), and a root-package key propagates to
+    // unqualified calls the same way the reference propagates a
+    // `dbt.`-qualified override to the global namespace (:1689-1691) —
+    // root project macros live under the engine's root package "graft".
+    def overrideFor(callName: String): Option[String] =
+      if (callName.contains(".")) {
+        val Array(p, m) = callName.split("\\.", 2)
+        (if (p == "graft" || p == model.packageName) macroOverrides.get(m)
+         else None).orElse(macroOverrides.get(callName))
+      } else macroOverrides.get(callName)
+        .orElse(macroOverrides.get(s"graft.$callName"))
+    val baseResolver = baseCtx.macroResolver
+    val overridingResolver: String => Option[Template.MacroDef] = name =>
+      overrideFor(name) match {
+        case Some(value) =>
+          val orig = baseResolver(name)
+          // keep the original signature so existing call sites bind;
+          // an override of an unknown macro accepts any args (the
+          // reference patches the ctx dict, which has no arity at all)
+          val params = orig.map(_.params).getOrElse(
+            (1 to 8).map(i => (s"__override_arg$i", Some("none"))))
+          Some(Template.MacroDef(name.split("\\.").last, params,
+            // the fixture value is LITERAL, never re-templated
+            "{% raw %}" + value + "{% endraw %}",
+            orig.map(_.pkg).getOrElse(model.packageName)))
+        case None => baseResolver(name)
+      }
+    val sql = Template.render(model.rawSql, baseCtx
+      // fixture-scoped overrides shadow project vars / process env /
+      // macro resolution
+      .copy(vars = vars ++ u.overrideVars, envOverrides = u.overrideEnvVars,
+        macroResolver = overridingResolver,
+        isIncremental = u.overrideMacros.get("is_incremental")
+          .exists(_.trim.equalsIgnoreCase("true"))))
     val expectDf = u.expectFixture.map(fixtureToDf)
       .getOrElse(rowsToDf(u.expect))
     val diff = Materializer.runUnitTest(spark, sql,
