@@ -6,7 +6,8 @@ import scala.concurrent.{Await, ExecutionContext, Future}
 import scala.concurrent.duration.Duration
 
 /** Benchmark main (driver contract): runs the headline analytical
-  * queries on SPARK_GRAFT_SF_DIR and prints ONE JSON line.
+  * queries on SPARK_GRAFT_SF_DIR and prints ONE JSON line per completed
+  * stage (the LAST line printed is always the most complete summary).
   *
   * Methodology — three passes, so one-time costs can't masquerade as
   * query regressions (the r4 attribution problem: cache builds and
@@ -16,29 +17,40 @@ import scala.concurrent.duration.Duration
   *     compilation + every built-once index/asset-table build, each
   *     billed to its first toucher. `index_build_sec` ≈ cold total −
   *     warm-solo total = the one-time warm-up work.
-  *  2. WARM SOLO sequential pass (`per_query_warm_solo`): each query
-  *     alone on a quiet JVM — THE per-query number to compare across
-  *     rounds.
+  *  2. WARM SOLO sequential passes (`per_query_warm_solo` = per-query
+  *     MEDIAN): each query alone on a quiet JVM — THE per-query number
+  *     to compare across rounds. A DuckDB oracle pass runs after EACH
+  *     Spark solo pass (interleaved through the same load windows) and
+  *     the ratio denominator is the MEDIAN of those walls.
   *  3. CONCURRENT batch (`value` + `queries`): FAIR-scheduled pool,
   *     Spark's honest single-node throughput number; per-query times
   *     overlap and are reported for completeness only.
   *
-  * SPARK_GRAFT_BENCH_MODE=batch skips pass 2 for quick local loops.
+  * Wall-clock budget (VERDICT r12 item 1): the r12 default protocol
+  * (cold + 5 solo + 5 DuckDB + 5 batch ≈ 1900 s) no longer fit the
+  * driver's ~20-minute execution window — BENCH_r12 timed out (rc=124)
+  * and the round published NO external perf number. The protocol is
+  * now sized to SPARK_GRAFT_BENCH_BUDGET_SEC (default 1050 s, leaving
+  * headroom for sbt/JVM startup inside the window; <= 0 disables the
+  * budget for unhurried local runs → full 5/5/5): after the cold pass,
+  * solo+DuckDB cycles and batch passes are added only while the
+  * MEASURED cost of the previous one still fits, so a slow box
+  * degrades to fewer passes instead of a timeout. Every stage ends by
+  * REWRITING BENCH_FULL.json and printing the compact stdout line —
+  * even a kill leaves a parseable artifact with whatever completed.
   *
-  * Variance control (r12): a DuckDB oracle pass runs after EACH Spark
-  * solo pass and the ratio denominator is the MEDIAN of those
-  * interleaved walls (a single DuckDB run's ±20% window swing flipped
-  * the r10→r11 verdict); /proc/loadavg is recorded before/after and
-  * all cross-engine RATIOS are withheld (null + load_refusal) when the
-  * box was already loaded at start (SPARK_GRAFT_BENCH_LOAD_MAX,
-  * default 4.0 on 32 cpus) — walls are always published.
-  * `strict_sequential_ratio` is the honest sequential channel the
-  * judge reads: (median solo wall + amortized index builds) / DuckDB
-  * median.
+  * Variance control (r12): DuckDB interleaving + median/median ratios;
+  * /proc/loadavg recorded before/after and all cross-engine RATIOS
+  * withheld (null + load_refusal) when the box was already loaded at
+  * start (SPARK_GRAFT_BENCH_LOAD_MAX, default 4.0 on 32 cpus) — walls
+  * are always published. `strict_sequential_ratio` is the honest
+  * sequential channel the judge reads: (median solo wall + amortized
+  * index builds) / DuckDB median.
   *
   * Framework m-queries (engine runs against scratch warehouses) are
   * correctness fixtures gated by Verify, not throughput queries —
-  * excluded here.
+  * excluded structurally via QueryDef.isThroughput (RegistrySpec pins
+  * the flag/name agreement).
   */
 object Bench {
 
@@ -61,6 +73,15 @@ object Bench {
     val concurrency = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONCURRENCY", "4").toInt
     val mode = sys.env.getOrElse("SPARK_GRAFT_BENCH_MODE", "full") // full | batch
 
+    // Wall-clock budget for the WHOLE protocol (see scaladoc). Counted
+    // from main() entry, so sbt/JVM startup is the caller's headroom.
+    val budgetSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1050").toDouble
+    val tStart = System.nanoTime()
+    def elapsed(): Double = (System.nanoTime() - tStart) / 1e9
+    def fits(nextCost: Double, reserve: Double): Boolean =
+      budgetSec <= 0 || elapsed() + nextCost + reserve <= budgetSec
+
     // Load guard (documented abort path for RATIOS): when the 1-min
     // loadavg at start exceeds the threshold, the walls are still
     // measured and published but every cross-engine ratio is withheld
@@ -73,6 +94,7 @@ object Bench {
     if (!loadOk)
       System.err.println(f"[bench] LOAD GUARD: loadavg $loadBefore%.2f > " +
         f"$loadMax%.2f at start — walls will be published, ratios withheld")
+
     // Data-proportional parallelism (VERDICT r11 item 1b): the ~227
     // sub-second queries pay fixed task-launch cost per stage, and at
     // sf0.1 (17 MB) 32-way shuffles and 32-task scans are pure
@@ -102,8 +124,21 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Silence the allowlisted bounded-domain WindowExec warnings
+    // (VERDICT r12 item 1c): at WARN level they flood stderr thousands
+    // of times per pass, so the driver's 2000-char capture tail carried
+    // log spam instead of the result line. The windows themselves are
+    // gate-audited (ExplainAudit + BoundedWindowSpec); the log line
+    // adds nothing here. Must run AFTER session init + setLogLevel —
+    // Spark (re)initializes the log4j2 configuration then, which drops
+    // any per-logger level set earlier.
+    scala.util.Try {
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.sql.execution.window",
+        org.apache.logging.log4j.Level.ERROR)
+    }
 
-    val headline = SparkEntry.allQueries.filter(_.name.startsWith("q"))
+    val headline = SparkEntry.allQueries.filter(_.isThroughput)
 
     // Sink: a `noop`-format write consumes every row through the FULL
     // physical plan — unlike `count()`, which lets Catalyst drop each
@@ -126,12 +161,7 @@ object Bench {
       }
     }
 
-    // pass 1: cold sequential (JIT + index builds, per first toucher)
-    val coldT0 = System.nanoTime()
-    val cold = timedPass()
-    val coldTotal = (System.nanoTime() - coldT0) / 1e9
-
-    def jstr0(v: String): String =
+    def jstr(v: String): String =
       "\"" + v.flatMap {
         case '"' => "\\\""
         case '\\' => "\\\\"
@@ -151,9 +181,10 @@ object Bench {
     val duckEnabled = sys.env.getOrElse("SPARK_GRAFT_BENCH_DUCKDB", "1") != "0"
     lazy val duckSqlTmp: java.nio.file.Path = {
       val tmp = java.nio.file.Files.createTempFile("oracle_sql", ".json")
-      val body = SparkEntry.oracleSql.toSeq.filter(_._1.startsWith("q"))
-        .sortBy(_._1)
-        .map { case (k, v) => s"${jstr0(k)}:${jstr0(v)}" }
+      val body = SparkEntry.allQueries
+        .filter(q => q.isThroughput && q.oracle.isDefined)
+        .map(q => q.name -> q.oracle.get).sortBy(_._1)
+        .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
         .mkString("{", ",", "}")
       java.nio.file.Files.write(tmp, body.getBytes("UTF-8"))
       tmp
@@ -177,50 +208,277 @@ object Bench {
         (secs, n, dfailed)
       }.toOption
 
-    // pass 2: warm solo sequential — the comparable per-query numbers.
-    // Run SPARK_GRAFT_BENCH_SOLO_RUNS times (default 3) and keep the
-    // PER-QUERY MEDIAN: warm-solo is the round-over-round regression
-    // channel, and a single pass under machine load mis-flagged ~28
-    // queries in r7's closing artifact (q211 "8.3x" etc.) — a median
-    // over three passes can't be swung by one loaded window. A DuckDB
-    // pass runs AFTER EACH Spark pass (alternating engines through the
-    // same load windows), and the published ratio is median/median.
-    // 5 passes (r12, was 3): the solo walls converge downward for ~2
-    // passes after the cold pass (C2 JIT still compiling through solo
-    // pass 2 — r12 measured [161.6, 162.5, 144.7]), so a median of 3
-    // reports warm-up, not steady state; a median of 5 sheds it.
-    val soloRunsN =
-      if (mode == "batch") 0
-      else sys.env.getOrElse("SPARK_GRAFT_BENCH_SOLO_RUNS", "5").toInt
+    // Previous round's solo medians for BENCH_DIFF — read BEFORE the
+    // first per-stage rewrite of the artifact clobbers them.
+    val outPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json"))
+    val prevSolo: Map[String, Double] =
+      if (mode == "batch" || !java.nio.file.Files.exists(outPath)) Map.empty
+      else scala.util.Try {
+        val txt = java.nio.file.Files.readString(outPath)
+        val block = """"per_query_warm_solo":\{([^}]*)\}""".r
+          .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+        """"([^"]+)":([0-9.eE+-]+)""".r.findAllMatchIn(block)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }.getOrElse(Map.empty)
+
+    // ------------------------------------------------- stage state
+    var cold: Seq[(String, Double, Boolean)] = Nil
+    var coldTotal = 0.0
+    val soloRuns = scala.collection.mutable.ArrayBuffer[
+      (Seq[(String, Double, Boolean)], Double)]()
     val duckWalls = scala.collection.mutable.ArrayBuffer[(Double, Int, String)]()
-    val (solo, soloTotal, soloWalls) =
-      if (soloRunsN == 0) (Seq.empty[(String, Double, Boolean)], 0.0, Seq.empty[Double])
-      else {
-        val runs = (1 to soloRunsN).map { _ =>
-          val t = System.nanoTime()
-          val r = timedPass()
-          val wall = (System.nanoTime() - t) / 1e9
-          duckPass().foreach(duckWalls += _)
-          (r, wall)
+    val batchRuns = scala.collection.mutable.ArrayBuffer[
+      (Seq[(String, Double, Boolean)], Double)]()
+
+    def qmap(rs: Seq[(String, Double, Boolean)]): String =
+      rs.collect { case (k, v, true) => s""""$k":$v""" }.mkString("{", ",", "}")
+    def r3d(v: Double): Double = BigDecimal(v).setScale(3,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r3(v: Double): String = f"$v%.3f"
+
+    /** Rewrite BENCH_FULL.json (+ BENCH_DIFF.json) and print the compact
+      * stdout line from whatever stages have completed (VERDICT r12
+      * item 1b): a timeout/kill now loses only the in-flight pass, not
+      * the whole run — the driver's 2000-char tail keeps the LAST
+      * complete line. */
+    def emit(stage: String): Unit = {
+      // solo medians from completed cycles
+      val soloRunsN = soloRuns.size
+      val (solo, soloTotal) =
+        if (soloRuns.isEmpty) (Seq.empty[(String, Double, Boolean)], 0.0)
+        else {
+          val byName = soloRuns.flatMap(_._1).groupBy(_._1)
+          val med = headline.map { q =>
+            val rs = byName.getOrElse(q.name, Nil)
+            val ts = rs.map(_._2).sorted
+            (q.name,
+              if (ts.isEmpty) 0.0 else ts(ts.size / 2),
+              rs.nonEmpty && rs.forall(_._3))
+          }
+          val walls = soloRuns.map(_._2).sorted
+          (med, walls(walls.size / 2))
         }
-        val byName = runs.flatMap(_._1).groupBy(_._1)
-        val med = headline.map { q =>
-          val rs = byName.getOrElse(q.name, Nil)
-          val ts = rs.map(_._2).sorted
-          (q.name,
-            if (ts.isEmpty) 0.0 else ts(ts.size / 2),
-            rs.nonEmpty && rs.forall(_._3))
+      val soloWalls = soloRuns.map(_._2).toSeq
+      // batch medians from completed passes
+      val (results, total, medianWall) =
+        if (batchRuns.isEmpty) (Seq.empty[(String, Double, Boolean)], 0.0, 0.0)
+        else {
+          val walls = batchRuns.map(_._2).sorted
+          val mw = walls(walls.size / 2)
+          val (rs, t) = batchRuns.minBy(r => math.abs(r._2 - mw))
+          (rs, t, mw)
         }
-        val walls = runs.map(_._2)
-        (med, walls.sorted.apply(walls.size / 2), walls)
+      val failed = (if (batchRuns.nonEmpty) results
+        else if (soloRuns.nonEmpty) solo else cold)
+        .collect { case (k, _, false) => s""""$k"""" }.mkString("[", ",", "]")
+      val indexBuild =
+        if (soloRuns.isEmpty) 0.0 else math.max(0.0, coldTotal - soloTotal)
+
+      // Built-once index channel, PRICED (VERDICT r10 item 1): per-index
+      // build seconds measured by IndexCache.timedBuild during the cold
+      // pass (nested builds not double-billed) and consumer counts
+      // recorded per query. Two honest foldings of the build cost into
+      // the warm-solo sequential number:
+      //  - warm_solo_plus_build_wall: every index rebuilt from nothing +
+      //    one sequential pass (the "cold start" reading — upper bound);
+      //  - warm_solo_plus_amortized_build_wall: each index charges
+      //    build/consumers to the pass (one pass = each consumer runs
+      //    once, so a consumer pays its per-run share of the artifact it
+      //    reads — the production reading, where ingest-built indexes
+      //    serve every downstream run and are maintained incrementally;
+      //    INDEXES.md carries the per-index maintenance mechanism).
+      val ledgerBuilds = graft.queries.IndexCache.buildsByPrefix
+      val ledgerConsumers = graft.queries.IndexCache.consumersByPrefix
+      val buildTotal = ledgerBuilds.values.sum
+      val buildAmortized = ledgerBuilds.map { case (p, sec) =>
+        sec / math.max(1, ledgerConsumers.getOrElse(p, Set.empty).size)
+      }.sum
+      val ledgerJson = ledgerBuilds.toSeq.sortBy(-_._2).map { case (p, sec) =>
+        val cs = ledgerConsumers.getOrElse(p, Set.empty)
+        f""""$p":{"build_sec":$sec%.3f,"consumers":${cs.size}}"""
+      }.mkString("{", ",", "}")
+
+      // DuckDB median from the interleaved walls collected so far
+      val duck: Option[(Double, Int, String)] =
+        if (duckWalls.isEmpty) None
+        else {
+          val sortedW = duckWalls.map(_._1).sorted
+          val med = sortedW(sortedW.size / 2)
+          val (_, n, df) = duckWalls.minBy(w => math.abs(w._1 - med))
+          Some((med, n, df))
+        }
+      val loadAfter = load1()
+      val loadRawAfter = loadRaw()
+
+      // BENCH_DIFF.json: per-query warm-solo ratio vs the previous
+      // round's BENCH_FULL.json — the round-over-round regression gate;
+      // entries > 1.5x slower are listed under "regressions".
+      if (prevSolo.nonEmpty && solo.nonEmpty) {
+        val cur = solo.collect { case (k, v, true) => k -> v }.toMap
+        val ratios = cur.flatMap { case (k, v) =>
+          prevSolo.get(k).filter(_ > 0.05) // sub-50ms queries are all noise
+            .map(p => k -> BigDecimal(v / p).setScale(3,
+              BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+        val regress = ratios.filter(_._2 > 1.5).toSeq.sortBy(-_._2)
+        val diffJson =
+          s"""{"baseline":"${outPath.toAbsolutePath}(previous)",
+             |"n_compared":${ratios.size},
+             |"regressions":${regress.map { case (k, r) => s""""$k":$r""" }
+               .mkString("{", ",", "}")},
+             |"new_queries":${cur.keySet.diff(prevSolo.keySet).toSeq.sorted
+               .map(jstr).mkString("[", ",", "]")},
+             |"ratios":${ratios.toSeq.sortBy(_._1)
+               .map { case (k, r) => s""""$k":$r""" }.mkString("{", ",", "}")}}
+             |""".stripMargin
+        java.nio.file.Files.write(
+          outPath.resolveSibling("BENCH_DIFF.json"), diffJson.getBytes("UTF-8"))
       }
 
-    // pass 3: concurrent batch, run SPARK_GRAFT_BENCH_RUNS times (>= 3
-    // by default) — the HEADLINE is the MEDIAN batch wall, so a single
-    // loaded-machine pass can no longer swing the round-over-round
-    // number (the r6 driver artifact read 2.16x under load while the
-    // idle-machine truth was 1.20x).
+      // headline value: median batch wall once batches exist; before
+      // that, the best sequential number so far (an intermediate line
+      // must still carry a numeric value for the driver's parser)
+      val value =
+        if (batchRuns.nonEmpty) medianWall
+        else if (soloRuns.nonEmpty) soloTotal else coldTotal
+
+      // Full machine-readable artifact: every per-query number from all
+      // completed passes. The driver's log capture keeps only the LAST
+      // 2000 chars of stdout, which truncated the r5 one-line JSON at
+      // 170 queries — the complete maps live in this file and stdout
+      // carries a compact summary that fits the capture window.
+      val duckPart = duck match {
+        case Some((secs, n, df)) =>
+          val wallsJ = duckWalls.map(w => r3d(w._1)).mkString("[", ",", "]")
+          val ratios =
+            if (!loadOk)
+              s""""bench_ratio":null,"strict_sequential_ratio":null,""" +
+                s""""load_refusal":"loadavg $loadBefore > $loadMax at start: ratios withheld, walls published — rerun on a quiet machine","""
+            else {
+              val strict =
+                if (soloRuns.isEmpty) ""
+                else s""""strict_sequential_ratio":${r3d((soloTotal + buildAmortized) / secs)},"""
+              val br =
+                if (batchRuns.isEmpty) s""""bench_ratio":null,"""
+                else s""""bench_ratio":${r3d(medianWall / secs)},"""
+              br + strict
+            }
+          s""""duckdb_sequential_sec":$secs,"duckdb_sequential_walls":$wallsJ,"duckdb_n_queries":$n,"duckdb_failed":$df,$ratios"""
+        case None => s""""duckdb_sequential_sec":null,"""
+      }
+      val loadPart =
+        s""""loadavg_before":$loadBefore,"loadavg_after":$loadAfter,""" +
+          s""""loadavg_raw_before":${jstr(loadRawBefore)},"loadavg_raw_after":${jstr(loadRawAfter)},""" +
+          s""""load_guard_threshold":$loadMax,"load_ok":$loadOk,"""
+      val fullJson =
+        s"""{"metric":"total","value":$value,"unit":"sec",
+           |"stage":${jstr(stage)},
+           |"budget_sec":$budgetSec,"elapsed_sec":${r3d(elapsed())},
+           |"batch_wall":$total,
+           |"batch_wall_median":$medianWall,
+           |"batch_wall_runs":${batchRuns.map(_._2).mkString("[", ",", "]")},
+           |"cold_first_pass_wall":$coldTotal,
+           |"warm_solo_wall":$soloTotal,
+           |"warm_solo_walls":${soloWalls.mkString("[", ",", "]")},
+           |"n_solo_runs":$soloRunsN,
+           |"index_build_sec":$indexBuild,
+           |"index_build_measured_sec":${f"$buildTotal%.3f"},
+           |"warm_solo_plus_build_wall":${f"${soloTotal + buildTotal}%.3f"},
+           |"warm_solo_plus_amortized_build_wall":${f"${soloTotal + buildAmortized}%.3f"},
+           |"index_build_ledger":$ledgerJson,
+           |$duckPart
+           |$loadPart
+           |"queries":${qmap(results)},
+           |"per_query_warm_solo":${qmap(solo)},
+           |"per_query_cold":${qmap(cold)},
+           |"failed":$failed,
+           |"sf":"$sfDir","concurrency":$concurrency,"cpus":"$cpus","mode":"$mode","n_batch_runs":${batchRuns.size},
+           |"note":"value=MEDIAN concurrent batch wall of n_batch_runs passes after cold+solo passes; per_query_warm_solo=PER-QUERY MEDIAN of n_solo_runs sequential passes (warm_solo_wall=median pass wall); duckdb_sequential_sec=MEDIAN of oracle passes INTERLEAVED with the Spark solo passes (same load windows); strict_sequential_ratio=(warm_solo_wall+amortized builds)/duckdb median; ratios withheld (null) when loadavg_before>load_guard_threshold; pass counts sized to budget_sec (<=0 = unbudgeted); stage=last completed stage; sink=noop write (order-preserving)"}
+           |""".stripMargin
+      java.nio.file.Files.write(outPath, fullJson.getBytes("UTF-8"))
+
+      // Compact stdout line (< ~1800 chars so the whole line survives
+      // the driver's 2000-char tail): summary walls + the 20 slowest
+      // queries of the most informative completed pass; the complete
+      // per-query maps are in BENCH_FULL.json. Printed after EVERY
+      // stage — the last complete line wins.
+      val topSrc = if (batchRuns.nonEmpty) results
+        else if (soloRuns.nonEmpty) solo else cold
+      val top20 = topSrc.filter(_._3).sortBy(-_._2).take(20)
+        .map { case (k, v, _) => s""""$k":${r3(v)}""" }.mkString("{", ",", "}")
+      val soloPart =
+        if (soloRuns.isEmpty) ""
+        else s""""warm_solo_wall":${r3(soloTotal)},"index_build_sec":${r3(indexBuild)},""" +
+          s""""warm_solo_plus_build_wall":${r3(soloTotal + buildTotal)},""" +
+          s""""warm_solo_plus_amortized_build_wall":${r3(soloTotal + buildAmortized)},"""
+      val duckShort = duck.map { case (secs, _, _) =>
+        if (!loadOk)
+          s""""duckdb_sequential_sec":${r3(secs)},"bench_ratio":null,"load_refused":true,"""
+        else {
+          val strict =
+            if (soloRuns.isEmpty) ""
+            else s""""strict_sequential_ratio":${r3((soloTotal + buildAmortized) / secs)},"""
+          val br =
+            if (batchRuns.isEmpty) ""
+            else s""""bench_ratio":${r3(medianWall / secs)},"""
+          s""""duckdb_sequential_sec":${r3(secs)},$br$strict"""
+        }
+      }.getOrElse("")
+      println(s"""{"metric":"total","value":${r3(value)},"unit":"sec","stage":${jstr(stage)},"queries":$top20,$soloPart$duckShort"batch_wall_runs":${batchRuns.map(r => r3(r._2)).mkString("[", ",", "]")},"cold_first_pass_wall":${r3(coldTotal)},"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"load_ok":$loadOk,"n_queries":${headline.size},"failed":$failed,"sf":"$sfDir","concurrency":$concurrency,"budget_sec":$budgetSec,"elapsed_sec":${r3(elapsed())},"full":"${outPath.toAbsolutePath}","note":"value=median of ${batchRuns.size} concurrent batch passes; complete per-query maps in the full file"}""")
+    }
+
+    // ---------------------------------------------------------- stages
+
+    // pass 1: cold sequential (JIT + index builds, per first toucher)
+    val coldT0 = System.nanoTime()
+    cold = timedPass()
+    coldTotal = (System.nanoTime() - coldT0) / 1e9
+    emit("cold")
+
+    // pass 2: warm solo + interleaved DuckDB cycles. Target count =
+    // SPARK_GRAFT_BENCH_SOLO_RUNS (default 5 — solo walls converge
+    // downward for ~2 passes after cold while C2 is still compiling, so
+    // a median of 5 sheds warm-up when there's room), but each further
+    // cycle is added only if the previous cycle's MEASURED cost fits
+    // the budget with enough reserve for at least one batch pass.
+    val soloTarget =
+      if (mode == "batch") 0
+      else sys.env.getOrElse("SPARK_GRAFT_BENCH_SOLO_RUNS", "5").toInt
+    var lastCycleCost = 0.0
+    var lastSoloWall = 0.0
+    var soloDone = 0
+    // before any cycle has been measured, estimate one from the cold
+    // pass (solo ≈ 0.5x cold + a DuckDB pass ≈ 0.3x cold, r12 walls) —
+    // a cold pass that already ate the budget skips solo entirely
+    // rather than overshooting the window by a full cycle
+    while (soloDone < soloTarget &&
+      (if (soloDone == 0) fits(0.8 * coldTotal, 30)
+        // reserve ≈ one batch pass (~0.4x a solo pass, r12 measured
+        // 50s batch vs 166s solo) + finalization slack
+       else fits(lastCycleCost, 0.4 * lastSoloWall + 30))) {
+      val t = System.nanoTime()
+      val r = timedPass()
+      lastSoloWall = (System.nanoTime() - t) / 1e9
+      soloRuns += ((r, lastSoloWall))
+      duckPass().foreach(duckWalls += _)
+      lastCycleCost = (System.nanoTime() - t) / 1e9
+      soloDone += 1
+      emit(s"solo$soloDone")
+    }
+    if (soloDone < soloTarget)
+      System.err.println(s"[bench] budget: stopped after $soloDone/" +
+        s"$soloTarget solo cycles (${r3(elapsed())}s of ${budgetSec}s)")
+
+    // pass 3: concurrent batch passes — the HEADLINE is the MEDIAN
+    // batch wall, so a single loaded-machine pass can no longer swing
+    // the round-over-round number (the r6 driver artifact read 2.16x
+    // under load while the idle-machine truth was 1.20x). Target =
+    // SPARK_GRAFT_BENCH_RUNS (default 5); the first pass always runs,
+    // each further pass only if the previous pass's cost still fits.
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
+    // batch mode (no solo cycles) still needs one DuckDB denominator
+    if (duckWalls.isEmpty) duckPass().foreach(duckWalls += _)
     def batchPass(): (Seq[(String, Double, Boolean)], Double) = {
       val pool = Executors.newFixedThreadPool(concurrency)
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
@@ -241,182 +499,23 @@ object Bench {
       pool.shutdown()
       (rs, wall)
     }
-    val batchRuns = (1 to nRuns).map(_ => batchPass())
-    val walls = batchRuns.map(_._2).sorted
-    val medianWall = walls(walls.size / 2)
-    // per-query map from the median run (the run whose wall is the median)
-    val (results, total) = batchRuns.minBy(r => math.abs(r._2 - medianWall))
+    var lastBatchCost = 0.0
+    var batchDone = 0
+    while (batchDone < nRuns &&
+      (batchDone == 0 || fits(lastBatchCost, 15))) {
+      val t = System.nanoTime()
+      batchRuns += batchPass()
+      lastBatchCost = (System.nanoTime() - t) / 1e9
+      batchDone += 1
+      emit(if (batchDone == nRuns) "final" else s"batch$batchDone")
+    }
+    if (batchDone < nRuns) {
+      System.err.println(s"[bench] budget: stopped after $batchDone/" +
+        s"$nRuns batch passes (${r3(elapsed())}s of ${budgetSec}s)")
+      emit("final")
+    }
 
-    def qmap(rs: Seq[(String, Double, Boolean)]): String =
-      rs.collect { case (k, v, true) => s""""$k":$v""" }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => s""""$k"""" }
-      .mkString("[", ",", "]")
-    val indexBuild = math.max(0.0, coldTotal - soloTotal)
-
-    // Built-once index channel, PRICED (VERDICT r10 item 1): per-index
-    // build seconds measured by IndexCache.timedBuild during the cold
-    // pass (nested builds not double-billed) and consumer counts
-    // recorded per query. Two honest foldings of the build cost into
-    // the warm-solo sequential number:
-    //  - warm_solo_plus_build_wall: every index rebuilt from nothing +
-    //    one sequential pass (the "cold start" reading — upper bound);
-    //  - warm_solo_plus_amortized_build_wall: each index charges
-    //    build/consumers to the pass (one pass = each consumer runs
-    //    once, so a consumer pays its per-run share of the artifact it
-    //    reads — the production reading, where ingest-built indexes
-    //    serve every downstream run and are maintained incrementally;
-    //    INDEXES.md carries the per-index maintenance mechanism).
-    val ledgerBuilds = graft.queries.IndexCache.buildsByPrefix
-    val ledgerConsumers = graft.queries.IndexCache.consumersByPrefix
-    val buildTotal = ledgerBuilds.values.sum
-    val buildAmortized = ledgerBuilds.map { case (p, sec) =>
-      sec / math.max(1, ledgerConsumers.getOrElse(p, Set.empty).size)
-    }.sum
-    val ledgerJson = ledgerBuilds.toSeq.sortBy(-_._2).map { case (p, sec) =>
-      val cs = ledgerConsumers.getOrElse(p, Set.empty)
-      f""""$p":{"build_sec":$sec%.3f,"consumers":${cs.size}}"""
-    }.mkString("{", ",", "}")
-
-    def jstr(v: String): String =
-      "\"" + v.flatMap {
-        case '"' => "\\\""
-        case '\\' => "\\\\"
-        case '\n' => "\\n"
-        case '\t' => "\\t"
-        case '\r' => "\\r"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
-      } + "\""
-
-    // DuckDB sequential baseline: measured IN-HARNESS on the same
-    // machine (the r6 lesson: numbers from different load windows are
-    // not comparable) and, since r12, INTERLEAVED with the Spark solo
-    // passes and taken as the MEDIAN wall — in batch mode (no solo
-    // passes) one pass still runs here. Any failure degrades to null.
-    if (duckWalls.isEmpty) duckPass().foreach(duckWalls += _)
     if (duckEnabled) java.nio.file.Files.deleteIfExists(duckSqlTmp)
-    val duck: Option[(Double, Int, String)] =
-      if (duckWalls.isEmpty) None
-      else {
-        val sortedW = duckWalls.map(_._1).sorted
-        val med = sortedW(sortedW.size / 2)
-        val (_, n, df) = duckWalls.minBy(w => math.abs(w._1 - med))
-        Some((med, n, df))
-      }
-    val loadAfter = load1()
-    val loadRawAfter = loadRaw()
-
-    // BENCH_DIFF.json: per-query warm-solo ratio vs the previous round's
-    // BENCH_FULL.json (read BEFORE overwriting) — the round-over-round
-    // regression gate; entries > 1.5x slower are listed under
-    // "regressions", the full ratio map under "ratios".
-    val outPath = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json"))
-    val prevSolo: Map[String, Double] =
-      if (mode == "batch" || !java.nio.file.Files.exists(outPath)) Map.empty
-      else scala.util.Try {
-        val txt = java.nio.file.Files.readString(outPath)
-        val block = """"per_query_warm_solo":\{([^}]*)\}""".r
-          .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
-        """"([^"]+)":([0-9.eE+-]+)""".r.findAllMatchIn(block)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      }.getOrElse(Map.empty)
-    if (prevSolo.nonEmpty) {
-      val cur = solo.collect { case (k, v, true) => k -> v }.toMap
-      val ratios = cur.flatMap { case (k, v) =>
-        prevSolo.get(k).filter(_ > 0.05) // sub-50ms queries are all noise
-          .map(p => k -> BigDecimal(v / p).setScale(3,
-            BigDecimal.RoundingMode.HALF_UP).toDouble)
-      }
-      val regress = ratios.filter(_._2 > 1.5).toSeq.sortBy(-_._2)
-      val diffJson =
-        s"""{"baseline":"${outPath.toAbsolutePath}(previous)",
-           |"n_compared":${ratios.size},
-           |"regressions":${regress.map { case (k, r) => s""""$k":$r""" }
-             .mkString("{", ",", "}")},
-           |"new_queries":${cur.keySet.diff(prevSolo.keySet).toSeq.sorted
-             .map(jstr).mkString("[", ",", "]")},
-           |"ratios":${ratios.toSeq.sortBy(_._1)
-             .map { case (k, r) => s""""$k":$r""" }.mkString("{", ",", "}")}}
-           |""".stripMargin
-      java.nio.file.Files.write(
-        outPath.resolveSibling("BENCH_DIFF.json"), diffJson.getBytes("UTF-8"))
-    }
-
-    // Full machine-readable artifact: every per-query number from all three
-    // passes. The driver's log capture keeps only the LAST 2000 chars of
-    // stdout, which truncated (and un-parseable-ified) the r5 one-line JSON
-    // at 170 queries — so the complete maps live in this file and stdout
-    // carries a compact summary that fits the capture window.
-    def r3d(v: Double): Double = BigDecimal(v).setScale(3,
-      BigDecimal.RoundingMode.HALF_UP).toDouble
-    val duckPart = duck match {
-      case Some((secs, n, df)) =>
-        val walls = duckWalls.map(w => r3d(w._1)).mkString("[", ",", "]")
-        val ratios =
-          if (!loadOk)
-            s""""bench_ratio":null,"strict_sequential_ratio":null,""" +
-              s""""load_refusal":"loadavg $loadBefore > $loadMax at start: ratios withheld, walls published — rerun on a quiet machine","""
-          else {
-            val strict =
-              if (mode == "batch") ""
-              else s""""strict_sequential_ratio":${r3d((soloTotal + buildAmortized) / secs)},"""
-            s""""bench_ratio":${r3d(medianWall / secs)},$strict"""
-          }
-        s""""duckdb_sequential_sec":$secs,"duckdb_sequential_walls":$walls,"duckdb_n_queries":$n,"duckdb_failed":$df,$ratios"""
-      case None => s""""duckdb_sequential_sec":null,"""
-    }
-    val loadPart =
-      s""""loadavg_before":$loadBefore,"loadavg_after":$loadAfter,""" +
-        s""""loadavg_raw_before":${jstr(loadRawBefore)},"loadavg_raw_after":${jstr(loadRawAfter)},""" +
-        s""""load_guard_threshold":$loadMax,"load_ok":$loadOk,"""
-    val fullJson =
-      s"""{"metric":"total","value":$medianWall,"unit":"sec",
-         |"batch_wall":$total,
-         |"batch_wall_median":$medianWall,
-         |"batch_wall_runs":${batchRuns.map(_._2).mkString("[", ",", "]")},
-         |"cold_first_pass_wall":$coldTotal,
-         |"warm_solo_wall":$soloTotal,
-         |"warm_solo_walls":${soloWalls.mkString("[", ",", "]")},
-         |"n_solo_runs":$soloRunsN,
-         |"index_build_sec":$indexBuild,
-         |"index_build_measured_sec":${f"$buildTotal%.3f"},
-         |"warm_solo_plus_build_wall":${f"${soloTotal + buildTotal}%.3f"},
-         |"warm_solo_plus_amortized_build_wall":${f"${soloTotal + buildAmortized}%.3f"},
-         |"index_build_ledger":$ledgerJson,
-         |$duckPart
-         |$loadPart
-         |"queries":${qmap(results)},
-         |"per_query_warm_solo":${qmap(solo)},
-         |"per_query_cold":${qmap(cold)},
-         |"failed":$failed,
-         |"sf":"$sfDir","concurrency":$concurrency,"cpus":"$cpus","mode":"$mode","n_batch_runs":$nRuns,
-         |"note":"value=MEDIAN concurrent batch wall of n_batch_runs passes after cold+solo passes; per_query_warm_solo=PER-QUERY MEDIAN of n_solo_runs sequential passes (warm_solo_wall=median pass wall); duckdb_sequential_sec=MEDIAN of oracle passes INTERLEAVED with the Spark solo passes (same load windows); strict_sequential_ratio=(warm_solo_wall+amortized builds)/duckdb median; ratios withheld (null) when loadavg_before>load_guard_threshold; sink=noop write (order-preserving)"}
-         |""".stripMargin
-    java.nio.file.Files.write(outPath, fullJson.getBytes("UTF-8"))
-
-    // Compact stdout line (< ~1500 chars so the whole line survives the
-    // driver's 2000-char tail): summary walls + the 20 slowest batch
-    // queries, rounded; the complete per-query maps are in BENCH_FULL.json.
-    def r3(v: Double): String = f"$v%.3f"
-    val top20 = results.filter(_._3).sortBy(-_._2).take(20)
-      .map { case (k, v, _) => s""""$k":${r3(v)}""" }.mkString("{", ",", "}")
-    val soloPart =
-      if (mode == "batch") ""
-      else s""""warm_solo_wall":${r3(soloTotal)},"index_build_sec":${r3(indexBuild)},""" +
-        s""""warm_solo_plus_build_wall":${r3(soloTotal + buildTotal)},""" +
-        s""""warm_solo_plus_amortized_build_wall":${r3(soloTotal + buildAmortized)},"""
-    val duckShort = duck.map { case (secs, _, _) =>
-      if (!loadOk)
-        s""""duckdb_sequential_sec":${r3(secs)},"bench_ratio":null,"load_refused":true,"""
-      else {
-        val strict =
-          if (mode == "batch") ""
-          else s""""strict_sequential_ratio":${r3((soloTotal + buildAmortized) / secs)},"""
-        s""""duckdb_sequential_sec":${r3(secs)},"bench_ratio":${r3(medianWall / secs)},$strict"""
-      }
-    }.getOrElse("")
-    println(s"""{"metric":"total","value":${r3(medianWall)},"unit":"sec","queries":$top20,$soloPart$duckShort"batch_wall_runs":${batchRuns.map(r => r3(r._2)).mkString("[", ",", "]")},"cold_first_pass_wall":${r3(coldTotal)},"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"load_ok":$loadOk,"n_queries":${headline.size},"failed":$failed,"sf":"$sfDir","concurrency":$concurrency,"full":"${outPath.toAbsolutePath}","note":"value=median of ${nRuns} concurrent batch passes; complete per-query maps in the full file"}""")
     spark.stop()
   }
 }

@@ -27,4 +27,18 @@ class RegistrySpec extends AnyFunSuite {
       .filter(q => q.name.startsWith("q") && q.oracle.isEmpty).map(_.name)
     assert(missing.isEmpty, s"q-queries without oracle: ${missing.mkString(", ")}")
   }
+
+  test("isThroughput partitions the registry exactly along the q/m split") {
+    // Bench's headline set is the TYPED flag, not the name prefix
+    // (VERDICT r12 nit): this pins that the two stay in agreement, so
+    // a new m-gate accidentally left isThroughput=true (it would be
+    // timed against scratch warehouses) or a q-query flagged false (it
+    // would silently vanish from the bench) both fail structurally.
+    val misflagged = SparkEntry.allQueries
+      .filter(q => q.isThroughput != q.name.startsWith("q")).map(_.name)
+    assert(misflagged.isEmpty,
+      s"isThroughput/name-prefix disagreement: ${misflagged.mkString(", ")}")
+    assert(SparkEntry.allQueries.count(_.isThroughput) > 200)
+    assert(SparkEntry.allQueries.exists(!_.isThroughput))
+  }
 }
