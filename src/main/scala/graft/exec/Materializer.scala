@@ -125,8 +125,30 @@ object Materializer {
       wh.writeTable(name, wh.spark.sql(renderedFull), partitionBy)
       return
     }
+    incrementalApply(wh, name, wh.spark.sql(renderedIncremental), strategy,
+      uniqueKey, onSchemaChange, partitionBy, incrementalPredicates,
+      mergeUpdateColumns, mergeExcludeColumns)
+  }
+
+  /** Apply an already-computed DELTA DataFrame to an existing relation
+    * under the given incremental strategy — the strategy engine behind
+    * [[incremental]] (SQL models pass `spark.sql(renderedIncremental)`)
+    * and the python-model incremental path (the subprocess's returned
+    * batch is the delta; reference python models support
+    * table/incremental, `models.py` + adapter submit path).
+    */
+  def incrementalApply(
+      wh: Warehouse,
+      name: String,
+      delta0: org.apache.spark.sql.DataFrame,
+      strategy: String,
+      uniqueKey: Seq[String],
+      onSchemaChange: String,
+      partitionBy: Seq[String],
+      incrementalPredicates: Seq[String] = Nil,
+      mergeUpdateColumns: Seq[String] = Nil,
+      mergeExcludeColumns: Seq[String] = Nil): Unit = {
     val target = wh.read(name)
-    val delta0 = wh.spark.sql(renderedIncremental)
     // the raw delta's column set, before alignSchemas null-pads it —
     // merge vs delete+insert diverge on columns the delta doesn't carry
     val deltaCols = delta0.columns.toSet

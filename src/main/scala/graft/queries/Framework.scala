@@ -3320,6 +3320,71 @@ object Framework {
       rows += (("downstream_sum",
         wh.read("down").collect()(0).getLong(0).toString))
       rows.toSeq.toDF("check_name", "result").orderBy("check_name")
+    },
+
+    // A28 INCREMENTAL python models (completes m51; reference python
+    // models support table/incremental — the incremental idiom reads a
+    // watermark from `dbt.this` under `dbt.is_incremental` and returns
+    // only the delta, which the adapter merges). The fixture's model
+    // tags every row it emits with the branch that produced it
+    // ("full" vs "delta"), so the final table PROVES the second run
+    // took the incremental branch and merged: carried row keeps
+    // origin=full, updated+inserted rows carry origin=delta. Inside
+    // the subprocess, dbt.this is registered as a view over the
+    // existing table's files, so the f-string max-watermark SQL works
+    // verbatim.
+    QueryDef(
+      "m52_python_incremental",
+      """SELECT * FROM (VALUES
+        |  ('run1_rows', '1:100:full|2:200:full'),
+        |  ('run2_rows', '1:150:delta|2:200:full|3:300:delta')
+        |) AS t(check_name, result)
+        |ORDER BY check_name""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val root = java.nio.file.Files.createTempDirectory("m52_proj")
+      scratchDirs.add(root.toFile)
+      def write(rel: String, content: String): Unit = {
+        val p = root.resolve(rel)
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.writeString(p, content): Unit
+      }
+      write("dbt_project.yml", "name: m52\n")
+      write("seeds/src.csv", "id,upd,amount\n1,1,100\n2,1,200\n")
+      write("models/m_pyinc.py",
+        """def model(dbt, session):
+          |    dbt.config(materialized="incremental", unique_key="id")
+          |    from pyspark.sql import functions as F
+          |    src = dbt.ref("src")
+          |    if dbt.is_incremental:
+          |        wm = session.sql(
+          |            f"SELECT max(upd) AS m FROM {dbt.this}").collect()[0][0]
+          |        src = src.filter(F.col("upd") > wm)
+          |    origin = "delta" if dbt.is_incremental else "full"
+          |    return src.withColumn("origin", F.lit(origin))
+          |""".stripMargin)
+      val whRoot = scratch()
+      def runOnce(): Unit = {
+        val eng = Engine.fromProject(s, root.toString, whRoot)
+        val results = eng.build()
+        require(results.forall(r => r.status == "success" || r.status == "pass"),
+          s"m52 build failed: ${results.filterNot(r =>
+            r.status == "success" || r.status == "pass").mkString("; ")}")
+      }
+      def snapshotRows(): String =
+        new Engine(s, Manifest(Map.empty), whRoot).wh.read("m_pyinc")
+          .orderBy("id").collect()
+          .map(r => s"${r.getAs[Int]("id")}:${r.getAs[Int]("amount")}:${r.getAs[String]("origin")}")
+          .mkString("|")
+      runOnce()
+      val run1 = snapshotRows()
+      // second batch: row 1 updated (upd 2), row 3 inserted (upd 2),
+      // row 2 untouched — the model's watermark filter must emit only
+      // the two upd>1 rows, and merge must carry row 2 by key
+      write("seeds/src.csv", "id,upd,amount\n1,2,150\n2,1,200\n3,2,300\n")
+      runOnce()
+      val run2 = snapshotRows()
+      Seq(("run1_rows", run1), ("run2_rows", run2))
+        .toDF("check_name", "result").orderBy("check_name")
     }
   )
 }

@@ -755,7 +755,8 @@ final class Engine(
           wh.rowCount(relationName(sm)) else -1L)
     case pm: PythonModelNode =>
       runHooks(pm.config.preHook)
-      PythonModel.run(this, pm)
+      PythonModel.run(this, pm,
+        fullRefresh = fullRefreshFlag || pm.config.fullRefresh)
       runHooks(pm.config.postHook)
       Materializer.Result(pm.uniqueId, "success",
         rowsAffected = wh.rowCount(relationName(pm)))

@@ -85,6 +85,7 @@ object PythonModel {
       |        self.config = _Config(spec.get("config", {}))
       |        self._vars = spec.get("vars", {})
       |        self.this = spec["this"]
+      |        self.is_incremental = spec.get("is_incremental", False)
       |    def _read(self, key):
       |        r = self._rel[key]
       |        df = session.read.format(r["fmt"]).load(*r["paths"])
@@ -97,6 +98,16 @@ object PythonModel {
       |        return self._read("source:" + src + "." + table)
       |    def var(self, key, default=None):
       |        return self._vars.get(key, default)
+      |
+      |# incremental runs register the EXISTING table under its relation
+      |# name, so `session.table(str(dbt.this))` / f-string SQL over
+      |# dbt.this work exactly like the reference's python runtime
+      |if spec.get("is_incremental"):
+      |    r = spec["relations"]["this"]
+      |    tdf = session.read.format(r["fmt"]).load(*r["paths"])
+      |    for c in r.get("drop", []):
+      |        tdf = tdf.drop(c)
+      |    tdf.createOrReplaceTempView(spec["this"])
       |
       |mspec = importlib.util.spec_from_file_location(
       |    "graft_python_model", spec["model_path"])
@@ -119,13 +130,23 @@ object PythonModel {
     } + "\""
 
   /** Execute the node's python body in the subprocess and commit its
-    * output as the node's table.
+    * output as the node's table — full write, or delta-apply through
+    * [[graft.exec.Materializer.incrementalApply]] when the node is
+    * incremental and the table exists (the model sees
+    * `dbt.is_incremental` and `dbt.this` resolves to the existing
+    * table inside the subprocess session, so the usual
+    * max-timestamp-watermark python idiom works verbatim).
     */
-  def run(engine: Engine, node: PythonModelNode): Unit = {
-    require(node.config.materialized == "table",
+  def run(engine: Engine, node: PythonModelNode,
+      fullRefresh: Boolean = false): Unit = {
+    require(node.config.materialized == "table" ||
+      node.config.materialized == "incremental",
       s"python model ${node.name}: materialized='${node.config.materialized}'" +
         " is not supported (the reference limits python models to" +
-        " table/incremental; this engine implements table)")
+        " table/incremental)")
+    val rel = engine.relationName(node)
+    val isIncremental = node.config.materialized == "incremental" &&
+      engine.wh.exists(rel) && !fullRefresh
     val work = java.nio.file.Files.createTempDirectory(s"pymodel_${node.name}_")
     try {
       // ref/source → (fmt, file paths, hidden columns); views have no
@@ -152,7 +173,14 @@ object PythonModel {
             throw new IllegalArgumentException(
               s"python model ${node.name}: unresolved source: $s.$t"))
           handle(s"source:$s.$t", n)
-        }
+        } ++ (if (isIncremental) {
+          // the existing table, registered in the subprocess session
+          // under the relation name so dbt.this is queryable
+          val (fmt, paths, drop) = engine.wh.physical(rel).get
+          Seq("this" -> s"""{"fmt":${jstr(fmt)},"paths":${paths.map(jstr)
+            .mkString("[", ",", "]")},"drop":${drop.map(jstr)
+            .mkString("[", ",", "]")}}""")
+        } else Nil)
       val modelPath = work.resolve("model.py")
       java.nio.file.Files.writeString(modelPath, node.code)
       val bootPath = work.resolve("bootstrap.py")
@@ -166,7 +194,8 @@ object PythonModel {
            |"master":"local[8]","shuffle":8,
            |"model_path":${jstr(modelPath.toString)},
            |"out":${jstr(outDir)},
-           |"this":${jstr(engine.relationName(node))},
+           |"this":${jstr(rel)},
+           |"is_incremental":$isIncremental,
            |"config":${jmap(extractConfig(node.code), quoteVals = true)},
            |"vars":${jmap(engine.vars, quoteVals = true)},
            |"relations":${jmap(relEntries, quoteVals = false)}}
@@ -181,12 +210,22 @@ object PythonModel {
         s"python model ${node.name}: subprocess exited $rc\n" +
           log.linesIterator.toSeq.takeRight(25).mkString("\n"))
       // commit through the ordinary versioned write path: read the
-      // subprocess output in THIS session and write it as the table
-      // (the copy is one pass over the model's own output — the
-      // upstream inputs were never copied)
+      // subprocess output in THIS session and write it as the table —
+      // or, on an incremental run, apply it as the DELTA under the
+      // configured strategy (the copy is one pass over the model's own
+      // output — the upstream inputs were never copied)
       val df = engine.spark.read.parquet(outDir)
-      engine.wh.writeTable(engine.relationName(node), df,
-        node.config.partitionBy)
+      if (isIncremental)
+        graft.exec.Materializer.incrementalApply(engine.wh, rel, df,
+          strategy = node.config.incrementalStrategy.getOrElse("merge"),
+          uniqueKey = node.config.uniqueKey,
+          onSchemaChange = node.config.onSchemaChange,
+          partitionBy = node.config.partitionBy,
+          incrementalPredicates = node.config.incrementalPredicates,
+          mergeUpdateColumns = node.config.mergeUpdateColumns,
+          mergeExcludeColumns = node.config.mergeExcludeColumns)
+      else
+        engine.wh.writeTable(rel, df, node.config.partitionBy)
     } finally {
       // best-effort scratch cleanup (output data has been committed)
       def rm(f: java.io.File): Unit = {

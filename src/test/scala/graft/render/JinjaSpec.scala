@@ -107,6 +107,22 @@ class JinjaSpec extends AnyFunSuite {
       Template.render("{{ 'abc' | no_such_filter }}", ctx))
   }
 
+  test("macro varargs/kwargs introspection (jinja2 catch_varargs/kwargs)") {
+    // extra positional args land in `varargs`, undeclared keyword args
+    // in `kwargs`, both always bound inside the body; extras passed to
+    // a macro that ignores them are silently accepted (Jinja2 semantics
+    // dbt_utils-style macros rely on)
+    val c = ctxWith(macros(
+      """{% macro fmt(first) %}{{ first }}|{{ varargs | join(',') }}|{{ kwargs['x'] }}{% endmacro %}"""))
+    assert(Template.render("{{ fmt('a', 'b', 'c', x='z') }}", c) === "a|b,c|z")
+    val c2 = ctxWith(macros("""{% macro ident(v) %}{{ v }}{% endmacro %}"""))
+    assert(Template.render("{{ ident(1, 2, 3, junk='y') }}", c2) === "1")
+    // empty when nothing extra is passed
+    val c3 = ctxWith(macros(
+      """{% macro probe(a) %}{{ varargs | length }}:{{ kwargs | length }}{% endmacro %}"""))
+    assert(Template.render("{{ probe(1) }}", c3) === "0:0")
+  }
+
   test("custom tests: a project macro serves `is my_test` predicates") {
     // the symmetric twin of custom filters (VERDICT r12 item 5): the
     // tested value arrives as the macro's first positional arg, extra
