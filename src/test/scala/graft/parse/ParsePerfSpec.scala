@@ -10,8 +10,23 @@ import java.nio.file.{Files, Paths}
   */
 class ParsePerfSpec extends AnyFunSuite {
 
+  /** These fixtures are 2k-50k FILES each; leaked, they accumulate
+    * into /tmp small-file forests that journal-pressure the filesystem
+    * and poison every subsequent write-path measurement on the box
+    * (r13: six leaked 50k-file trees degraded the 100x snapshot-apply
+    * wall 7s -> 63s with no code change). Always delete.
+    */
+  private def rmTree(dir: java.nio.file.Path): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(): Unit
+    }
+    rm(dir.toFile)
+  }
+
   test("parse 2000-model project under 5 seconds") {
     val dir = Files.createTempDirectory("perf2000")
+    try {
     Files.createDirectories(dir.resolve("models"))
     Files.writeString(dir.resolve("dbt_project.yml"), "name: perf\n")
     // mirror of the reference's 01_2000_simple_models: each model is a
@@ -31,6 +46,7 @@ class ParsePerfSpec extends AnyFunSuite {
     assert(proj.manifest.models.size === 2000)
     assert(order.size === 2000)
     assert(elapsed < 5.0, f"parse took $elapsed%.2f s, target < 5 s")
+    } finally rmTree(dir)
   }
 
   /** Monorepo-scale honesty for SURVEY A31: the "no partial parsing
@@ -41,6 +57,7 @@ class ParsePerfSpec extends AnyFunSuite {
     */
   private def fullParse(n: Int, budgetSec: Double): Unit = {
     val dir = Files.createTempDirectory(s"perf$n")
+    try {
     Files.createDirectories(dir.resolve("models"))
     Files.writeString(dir.resolve("dbt_project.yml"), "name: perf\n")
     (0 until n).foreach { i =>
@@ -59,6 +76,7 @@ class ParsePerfSpec extends AnyFunSuite {
     assert(elapsed < budgetSec,
       f"$n-model parse took $elapsed%.2f s (budget $budgetSec%.0f s) — " +
         "time to implement content-hash incremental re-parse (A31)")
+    } finally rmTree(dir)
   }
 
   test("parse 20k-model project under 5 seconds") { fullParse(20000, 5.0) }

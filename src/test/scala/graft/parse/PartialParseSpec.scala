@@ -370,19 +370,30 @@ class PartialParseSpec extends AnyFunSuite {
   }
 
   test("warm reparse of a 20k-model project is fast and reuse-complete") {
+    // 20k-file fixture: leaked copies accumulate into /tmp small-file
+    // forests that journal-pressure the filesystem and poison later
+    // write-path measurements (r13 lesson, see ParsePerfSpec) — delete.
     val dir = Files.createTempDirectory("pp20k")
-    Files.createDirectories(dir.resolve("models"))
-    Files.writeString(dir.resolve("dbt_project.yml"), "name: pp\n")
-    (0 until 20000).foreach { i =>
-      Files.writeString(dir.resolve(s"models/m_$i.sql"), s"SELECT $i AS id")
+    try {
+      Files.createDirectories(dir.resolve("models"))
+      Files.writeString(dir.resolve("dbt_project.yml"), "name: pp\n")
+      (0 until 20000).foreach { i =>
+        Files.writeString(dir.resolve(s"models/m_$i.sql"), s"SELECT $i AS id")
+      }
+      load(dir)
+      val t0 = System.nanoTime()
+      val p = load(dir)
+      val warmSec = (System.nanoTime() - t0) / 1e9
+      val st = stats(p)
+      info(f"warm 20k-model reparse: $warmSec%.2f s (parsed=${st.parsed}, reused=${st.reused})")
+      assert(st.parsed == 0 && st.reused == 20000)
+      assert(warmSec < 5.0)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(): Unit
+      }
+      rm(dir.toFile)
     }
-    load(dir)
-    val t0 = System.nanoTime()
-    val p = load(dir)
-    val warmSec = (System.nanoTime() - t0) / 1e9
-    val st = stats(p)
-    info(f"warm 20k-model reparse: $warmSec%.2f s (parsed=${st.parsed}, reused=${st.reused})")
-    assert(st.parsed == 0 && st.reused == 20000)
-    assert(warmSec < 5.0)
   }
 }
