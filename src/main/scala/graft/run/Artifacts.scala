@@ -155,7 +155,12 @@ object Artifacts {
         // v12 schema field; non-null makes the artifact defer-serveable
         "relation_name" -> relationNameOf(n).map(q).getOrElse("null"))
       val extra = n match {
-        case m: ModelNode => Seq("raw_code" -> q(m.rawSql)) ++
+        // v12 `language` field (reference components.py:210, default
+        // "sql"; python models carry "python")
+        case p: PythonModelNode =>
+          Seq("raw_code" -> q(p.code), "language" -> q("python"))
+        case m: ModelNode => Seq("raw_code" -> q(m.rawSql),
+          "language" -> q("sql")) ++
           (if (m.description.nonEmpty) Seq("description" -> q(m.description)) else Nil) ++
           (if (m.columns.nonEmpty) Seq("columns" -> obj(m.columns.map(c =>
             c.name -> obj(Seq("name" -> q(c.name)) ++
