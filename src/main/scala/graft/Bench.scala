@@ -39,9 +39,15 @@ import scala.concurrent.duration.Duration
   * FIRST solo cycle doubles as the cold pass (that is where indexes
   * build and per-query cold walls come from — a dedicated cold pass
   * would re-spend a third of the window and squeeze the warm-median
-  * channels down to single noisy samples). Every stage ends by
-  * REWRITING BENCH_FULL.json and printing the compact stdout line —
-  * even a kill leaves a parseable artifact with whatever completed.
+  * channels down to single noisy samples), an UN-TIMED JIT prewarm
+  * sweep at a tiny sibling SF runs before it (r14: a slow window's
+  * only cycle must not be JIT-cold — r13's official strict was a
+  * cold/duck 2.517 for exactly that reason), and the first two WARM
+  * cycles outrank the batch reservation so the strict channel gets a
+  * real median; `strict_is_cold` flags the degenerate case. Every
+  * stage ends by REWRITING BENCH_FULL.json and printing the compact
+  * stdout line — even a kill leaves a parseable artifact with
+  * whatever completed.
   *
   * Variance control (r12): DuckDB interleaving + median/median ratios;
   * /proc/loadavg recorded before/after and all cross-engine RATIOS
@@ -219,15 +225,21 @@ object Bench {
     // first per-stage rewrite of the artifact clobbers them.
     val outPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json"))
-    val prevSolo: Map[String, Double] =
-      if (mode == "batch" || !java.nio.file.Files.exists(outPath)) Map.empty
+    val (prevSolo: Map[String, Double], prevEstimator: String) =
+      if (mode == "batch" || !java.nio.file.Files.exists(outPath))
+        (Map.empty[String, Double], "")
       else scala.util.Try {
         val txt = java.nio.file.Files.readString(outPath)
         val block = """"per_query_warm_solo":\{([^}]*)\}""".r
           .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
-        """"([^"]+)":([0-9.eE+-]+)""".r.findAllMatchIn(block)
+        val m = """"([^"]+)":([0-9.eE+-]+)""".r.findAllMatchIn(block)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      }.getOrElse(Map.empty)
+        // estimator provenance (ADVICE r13): r13 switched the medians
+        // to LOWER medians; a ratio against a standard-median baseline
+        // is not apples-to-apples and must say so in the artifact.
+        val est = if (txt.contains("LOWER-MEDIAN")) "lower_median" else "median"
+        (m, est)
+      }.getOrElse((Map.empty[String, Double], ""))
 
     // ------------------------------------------------- stage state
     var cold: Seq[(String, Double, Boolean)] = Nil
@@ -237,6 +249,9 @@ object Bench {
     val duckWalls = scala.collection.mutable.ArrayBuffer[(Double, Int, String)]()
     val batchRuns = scala.collection.mutable.ArrayBuffer[
       (Seq[(String, Double, Boolean)], Double)]()
+    var warmDone = 0     // warm solo cycles completed (excludes merged cold)
+    var prewarmSec = 0.0 // un-timed JIT prewarm sweep cost (inside budget)
+    var prewarmN = 0
 
     def qmap(rs: Seq[(String, Double, Boolean)]): String =
       rs.collect { case (k, v, true) => s""""$k":$v""" }.mkString("{", ",", "}")
@@ -301,7 +316,9 @@ object Bench {
       //    reads — the production reading, where ingest-built indexes
       //    serve every downstream run and are maintained incrementally;
       //    INDEXES.md carries the per-index maintenance mechanism).
-      val ledgerBuilds = graft.queries.IndexCache.buildsByPrefix
+      // dir-sliced so the sf0.001 prewarm sweep's (tiny) index builds
+      // don't land in the measured dataset's ledger
+      val ledgerBuilds = graft.queries.IndexCache.buildsForDir(sfDir)
       val ledgerConsumers = graft.queries.IndexCache.consumersByPrefix
       val buildTotal = ledgerBuilds.values.sum
       val buildAmortized = ledgerBuilds.map { case (p, sec) =>
@@ -337,6 +354,9 @@ object Bench {
         val regress = ratios.filter(_._2 > 1.5).toSeq.sortBy(-_._2)
         val diffJson =
           s"""{"baseline":"${outPath.toAbsolutePath}(previous)",
+             |"estimator":"lower_median",
+             |"baseline_estimator":${jstr(prevEstimator)},
+             |"cross_estimator":${prevEstimator != "lower_median"},
              |"n_compared":${ratios.size},
              |"regressions":${regress.map { case (k, r) => s""""$k":$r""" }
                .mkString("{", ",", "}")},
@@ -369,9 +389,19 @@ object Bench {
               s""""bench_ratio":null,"strict_sequential_ratio":null,""" +
                 s""""load_refusal":"loadavg $loadBefore > $loadMax at start: ratios withheld, walls published — rerun on a quiet machine","""
             else {
+              // strict_is_cold (VERDICT r13 item 1c): when the budget
+              // admitted only the merged-cold cycle, the strict number
+              // is a cold/duck ratio — the artifact says so explicitly
+              // and publishes strict_warm_ratio:null instead of letting
+              // a JIT-dominated wall impersonate the warm channel.
               val strict =
                 if (soloRuns.isEmpty) ""
-                else s""""strict_sequential_ratio":${r3d((soloTotal + buildAmortized) / secs)},"""
+                else {
+                  val r = r3d((soloTotal + buildAmortized) / secs)
+                  s""""strict_sequential_ratio":$r,""" +
+                    s""""strict_is_cold":${warmDone == 0},""" +
+                    s""""strict_warm_ratio":${if (warmDone == 0) "null" else r.toString},"""
+                }
               val br =
                 if (batchRuns.isEmpty) s""""bench_ratio":null,"""
                 else s""""bench_ratio":${r3d(medianWall / secs)},"""
@@ -395,6 +425,8 @@ object Bench {
            |"warm_solo_wall":$soloTotal,
            |"warm_solo_walls":${soloWalls.mkString("[", ",", "]")},
            |"n_solo_runs":$soloRunsN,
+           |"n_warm_solo_runs":$warmDone,
+           |"prewarm_sec":${r3d(prewarmSec)},"prewarm_n_queries":$prewarmN,
            |"index_build_sec":$indexBuild,
            |"index_build_measured_sec":${f"$buildTotal%.3f"},
            |"warm_solo_plus_build_wall":${f"${soloTotal + buildTotal}%.3f"},
@@ -431,7 +463,8 @@ object Bench {
         else {
           val strict =
             if (soloRuns.isEmpty) ""
-            else s""""strict_sequential_ratio":${r3((soloTotal + buildAmortized) / secs)},"""
+            else s""""strict_sequential_ratio":${r3((soloTotal + buildAmortized) / secs)},""" +
+              s""""strict_is_cold":${warmDone == 0},"n_warm_solo_runs":$warmDone,"""
           val br =
             if (batchRuns.isEmpty) ""
             else s""""bench_ratio":${r3(medianWall / secs)},"""
@@ -465,6 +498,41 @@ object Bench {
       if (mode == "batch") 0
       else sys.env.getOrElse("SPARK_GRAFT_BENCH_SOLO_RUNS", "5").toInt
     val coldMerged = budgetSec > 0 && soloTarget > 0
+
+    // JIT PREWARM (VERDICT r13 item 1a): budgeted runs sweep the
+    // headline queries once at a TINY sibling SF (default sf0.001)
+    // before the first measured cycle — tens of seconds of C2/codegen
+    // compilation that would otherwise be billed to the merged cold
+    // cycle at the measured SF, where a slow driver window can afford
+    // only that one cycle and the official strict ratio becomes a
+    // cold/duck artifact (r13: 2.517 from a single JIT-dominated pass).
+    // The sweep is NOT timed into any wall; it spends budget (elapsed()
+    // counts it) and is capped at 25% of the budget so a pathological
+    // box degrades to a partial prewarm, never to a lost window.
+    // Unbudgeted runs keep their dedicated genuinely-cold pass instead.
+    val prewarmDir = sys.env.getOrElse("SPARK_GRAFT_BENCH_PREWARM_DIR", {
+      val p = java.nio.file.Paths.get(sfDir).toAbsolutePath
+      val sib = Option(p.getParent).map(_.resolve("sf0.001")).orNull
+      if (sib != null && java.nio.file.Files.isDirectory(sib) &&
+        sib.toString != p.toString) sib.toString else ""
+    })
+    if (coldMerged && prewarmDir.nonEmpty &&
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_PREWARM", "1") != "0") {
+      val cap = 0.25 * budgetSec
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < headline.size && elapsed() < cap) {
+        val q = headline(i)
+        try q.run(spark, prewarmDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () } // failures surface in the measured pass
+        i += 1
+      }
+      prewarmSec = (System.nanoTime() - t0) / 1e9
+      prewarmN = i
+      System.err.println(f"[bench] prewarm: $i/${headline.size} queries at " +
+        f"$prewarmDir in $prewarmSec%.1fs")
+    }
+
     if (!coldMerged) {
       val coldT0 = System.nanoTime()
       cold = timedPass()
@@ -473,7 +541,6 @@ object Bench {
     }
     var lastCycleCost = 0.0
     var lastSoloWall = 0.0
-    var warmDone = 0
     var cycles = 0
     def continueSolo(): Boolean =
       if (soloTarget == 0) false
@@ -483,6 +550,13 @@ object Bench {
       // 0.5x cold + a DuckDB pass ≈ 0.3x, r12 walls) — a cold pass
       // that already ate the budget skips solo rather than overshooting
       else if (cycles == 0) fits(0.8 * coldTotal, 30)
+      // the first TWO warm cycles outrank the batch reservation
+      // (VERDICT r13 item 1b): the strict channel needs >= 2 warm walls
+      // to be a median at all, while batch survives on a single pass —
+      // so until warmDone reaches 2, only finalization slack is held
+      // back. (Post-prewarm the cold cycle is already JIT-warm, so
+      // lastCycleCost is a good estimate of a warm cycle + duck pass.)
+      else if (warmDone < 2) fits(lastCycleCost, 20)
       // reserve ≈ one batch pass (~0.4x a solo pass, r12 measured 50s
       // batch vs 166s solo) + finalization slack
       else fits(lastCycleCost, 0.4 * lastSoloWall + 30)

@@ -213,6 +213,7 @@ object Selector {
     case s: graft.core.SeedNode => s.originPath
     case s: graft.core.SnapshotNode => s.originPath
     case t: graft.core.TestNode => t.originPath
+    case p: graft.core.PythonModelNode => p.originPath
     case _ => ""
   }
 

@@ -412,6 +412,12 @@ object ProjectLoader {
       .orElse(projCfg.get("name").map(_.toString)).toSeq ++
       (if (doc.size == 1) doc.keys.headOption else None)
     val profName = wanted.find(doc.contains).getOrElse(return None)
+    // profiles.yml scalars render through the reference's
+    // SecretRenderer (`config/renderer.py` ProfileRenderer):
+    // `{{ env_var(...) }}` resolves here — and this is one of the only
+    // two places a `DBT_ENV_SECRET_*` var is legal (substituted after
+    // the Jinja render so no filter can touch the value).
+    def rv(s: String): String = graft.render.Secrets.renderConfigValue(s)
     doc(profName) match {
       case m: java.util.Map[_, _] =>
         val pm = m.asScala.map { case (k, v) => k.toString -> (v: Any) }.toMap
@@ -424,14 +430,14 @@ object ProjectLoader {
                 case _ => Map.empty[String, Any]
               }
               tn.toString -> TargetDef(profName, tn.toString,
-                schema = fields.get("schema").map(_.toString),
-                threads = fields.get("threads").map(_.toString.toInt),
-                warehouse = fields.get("path").map(_.toString))
+                schema = fields.get("schema").map(v => rv(v.toString)),
+                threads = fields.get("threads").map(v => rv(v.toString).toInt),
+                warehouse = fields.get("path").map(v => rv(v.toString)))
             }.toMap
           case _ => Map.empty[String, TargetDef]
         }
         Some(ProfileDef(profName,
-          pm.get("target").map(_.toString)
+          pm.get("target").map(v => rv(v.toString))
             .getOrElse(outputs.keys.toSeq.sorted.headOption.getOrElse("default")),
           outputs))
       case _ => None
@@ -465,6 +471,7 @@ object ProjectLoader {
     case s: SeedNode => s.copy(packageName = pkg)
     case s: SnapshotNode => s.copy(packageName = pkg)
     case t: TestNode => t.copy(packageName = pkg)
+    case p: PythonModelNode => p.copy(packageName = pkg)
     case other => other // sources/exposures/… stay globally named
   }
 
@@ -664,6 +671,33 @@ object ProjectLoader {
         case None => parse(content)
       }
     }
+    // ---- unit-test fixture files (reference
+    // `core/dbt/parser/fixtures.py:23-43` FixtureParser over
+    // `<test-path>/fixtures` from `config/project.py:667-671`):
+    // tests/fixtures/*.csv|*.sql, fixture name = file stem; a
+    // `fixture: <name>` entry in a unit test's given/expect resolves
+    // to the file's contents (csv → rows, sql → query text).
+    val fixturesDir = root.resolve("tests").resolve("fixtures")
+    val fixtureFiles =
+      listFiles(fixturesDir, ".csv") ++ listFiles(fixturesDir, ".sql")
+    val fixtures: Map[String, String] =
+      fixtureFiles.map(f => stripExt(f) -> Files.readString(f)).toMap
+    def fixtureContent(name: String): String = fixtures.getOrElse(name,
+      throw new IllegalArgumentException(
+        s"File not found for fixture '$name' in unit tests (expected " +
+          s"${root.relativize(fixturesDir)}/$name.csv or .sql — reference " +
+          "parser/unit_tests.py _get_fixture ParsingError)"))
+    // fixture contents are an OUT-OF-FILE parse input of every schema
+    // doc that may reference them, so they join the A31 cache context:
+    // editing a fixture file invalidates (exactly) the schema-yml parse
+    // entries, mirroring the reference's fixture→unit-test file links
+    // (parser/unit_tests.py:289 get_fixture_file_rows source-file
+    // backlink). Projects with no fixture files keep ctx "" — their
+    // cache entries are untouched by this feature.
+    val fixturesCtx =
+      if (fixtures.isEmpty) ""
+      else stableStr(fixtures.toSeq.sortBy(_._1))
+
     // ---- schema YAML (sources + model metadata) anywhere under models/
     val schemaDocs = listFiles(root.resolve("models"), ".yml") ++
       listFiles(root.resolve("models"), ".yaml") ++
@@ -826,14 +860,23 @@ object ProjectLoader {
         case Some(us: java.util.List[_]) =>
           for (u <- us.asScala) {
             val um = u.asInstanceOf[java.util.Map[String, Any]].asScala
-            def fixtureOf(m: scala.collection.Map[String, Any]): UnitFixture =
+            def fixtureOf(m: scala.collection.Map[String, Any]): UnitFixture = {
+              // `fixture: <name>` (csv/sql formats only, reference
+              // `_validate_and_normalize_rows`) reads the named file
+              // under tests/fixtures/ instead of inline `rows:`
+              val fixtureRef = m.get("fixture").map(_.toString)
               m.get("format").map(_.toString).getOrElse("dict") match {
-                case "csv" => CsvRows(m.getOrElse("rows", "").toString)
-                case "sql" => SqlRows(m.getOrElse("rows", "").toString)
+                case "csv" =>
+                  CsvRows(fixtureRef.map(fixtureContent)
+                    .getOrElse(m.getOrElse("rows", "").toString))
+                case "sql" =>
+                  SqlRows(fixtureRef.map(fixtureContent)
+                    .getOrElse(m.getOrElse("rows", "").toString))
                 case _ => DictRows(m.getOrElse("rows", new java.util.ArrayList[Any]())
                   .asInstanceOf[java.util.List[_]].asScala.toSeq.map(r =>
                     r.asInstanceOf[java.util.Map[String, Any]].asScala.toMap))
               }
+            }
             // `input: ref('m')` / `input: source('s','t')` → fixture key
             def inputKey(v: String): String = {
               val srcs = Template.extractSources(s"{{ $v }}")
@@ -913,7 +956,7 @@ object ProjectLoader {
     // context), so ctx is empty: editing one yml reparses exactly that
     // yml; every other schema doc replays from the A31 cache.
     for (f <- schemaDocs.distinct) {
-      val out = cachedAs(f, "")(parseSchemaDoc)
+      val out = cachedAs(f, fixturesCtx)(parseSchemaDoc)
       nodes ++= out.nodes
       modelPatches ++= out.patches
       modelVersions ++= out.versions
@@ -997,6 +1040,7 @@ object ProjectLoader {
         (patchCols, patchTests, patchKw, patchDesc),
         modelTree.kwargsFor(dirSegs)))
       val fileNodes = cachedAs(f, ctx) { raw =>
+        graft.run.PythonModel.validate(name, raw)
         val kwargs = graft.run.PythonModel.extractConfig(raw)
         val merged =
           mergeKwargs(mergeKwargs(modelTree.kwargsFor(dirSegs), patchKw), kwargs)
@@ -1097,8 +1141,10 @@ object ProjectLoader {
         refs = Template.extractRefs(raw), sources = Template.extractSources(raw))
     }
 
-    // ---- singular tests
-    for (f <- listFiles(root.resolve("tests"), ".sql")) {
+    // ---- singular tests (tests/fixtures/*.sql are unit-test fixture
+    // FILES, not tests — the reference's FixtureParser claims them)
+    for (f <- listFiles(root.resolve("tests"), ".sql")
+        if !f.startsWith(fixturesDir)) {
       nodes += cachedAs(f, "") { raw =>
         val (kwargs, _) = Template.extractConfig(raw)
         TestNode(

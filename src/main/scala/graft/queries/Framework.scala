@@ -3385,6 +3385,132 @@ object Framework {
       val run2 = snapshotRows()
       Seq(("run1_rows", run1), ("run2_rows", run2))
         .toDF("check_name", "result").orderBy("check_name")
+    },
+
+    // A13 unit-test FIXTURE FILES (VERDICT r13 item 3; reference
+    // `core/dbt/parser/fixtures.py:23-43` FixtureParser over
+    // `tests/fixtures/` from `config/project.py:667-671`, looked up by
+    // `parser/unit_tests.py:332-341 _get_fixture` and linked into
+    // partial parsing via `:289 get_fixture_file_rows`): `format: csv,
+    // fixture: <name>` in given/expect reads tests/fixtures/<name>.csv
+    // (empty cells → NULL, reference :372-375); `format: sql` fixtures
+    // read the file as query text. Covers: given AND expect from csv
+    // fixture files, a sql fixture file, the missing-fixture parse
+    // error, fixture .sql files NOT becoming singular tests, and
+    // partial-parse invalidation on a fixture file edit.
+    QueryDef(
+      "m53_unit_fixture_files",
+      """SELECT * FROM (VALUES
+        |  ('cold_pass', 'pass'),
+        |  ('fixture_edit_fails_test', 'fail'),
+        |  ('fixture_edit_reparses', 'reparsed'),
+        |  ('missing_fixture', 'error_named'),
+        |  ('sql_fixture_pass', 'pass'),
+        |  ('sql_fixture_not_singular_test', 'absent'),
+        |  ('warm_skip', 'skipped')
+        |) AS t(check_name, result)
+        |ORDER BY check_name""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.parse.PartialParse
+      val root = java.nio.file.Files.createTempDirectory("m53_proj")
+      scratchDirs.add(root.toFile)
+      def write(rel: String, content: String): Unit = {
+        val p = root.resolve(rel)
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.writeString(p, content): Unit
+      }
+      write("dbt_project.yml", "name: m53\n")
+      write("seeds/src.csv", "id,name,amount\n9,zz,900\n")
+      write("models/m_fx.sql",
+        "SELECT id, upper(name) AS name_up, amount FROM {{ ref('src') }}")
+      // empty csv cells (row 2 amount) must land as NULL on both sides
+      write("tests/fixtures/fx_given.csv", "id,name,amount\n1,aa,10\n2,bb,\n")
+      write("tests/fixtures/fx_expect.csv", "id,name_up,amount\n1,AA,10\n2,BB,\n")
+      write("tests/fixtures/fx_sql_given.sql",
+        "SELECT 3 AS id, 'cc' AS name, 30 AS amount")
+      write("models/schema.yml",
+        """unit_tests:
+          |  - name: ut_csv_fixtures
+          |    model: m_fx
+          |    given:
+          |      - input: ref('src')
+          |        format: csv
+          |        fixture: fx_given
+          |    expect:
+          |      format: csv
+          |      fixture: fx_expect
+          |  - name: ut_sql_fixture
+          |    model: m_fx
+          |    given:
+          |      - input: ref('src')
+          |        format: sql
+          |        fixture: fx_sql_given
+          |    expect:
+          |      rows: [{id: 3, name_up: CC, amount: 30}]
+          |""".stripMargin)
+      val rows = scala.collection.mutable.ArrayBuffer[(String, String)]()
+      val whRoot = scratch()
+      val opts = PartialParse.Options(env = Map.empty)
+      def utStatus(results: Seq[graft.exec.Materializer.Result],
+          ut: String): String =
+        results.find(_.uniqueId.endsWith(ut))
+          .map(_.status).getOrElse("missing")
+      val eng1 = Engine.fromProject(s, root.toString, whRoot,
+        partialParse = Some(opts))
+      val res1 = eng1.build()
+      rows += (("cold_pass", utStatus(res1, "ut_csv_fixtures")))
+      rows += (("sql_fixture_pass", utStatus(res1, "ut_sql_fixture")))
+      // the fixture .sql file is fixture data, not a singular test
+      rows += (("sql_fixture_not_singular_test",
+        if (eng1.manifest.tests.values.exists(_.name == "fx_sql_given"))
+          "PARSED_AS_TEST" else "absent"))
+      // warm reload with nothing changed: full cache reuse
+      val p2 = graft.parse.ProjectLoader.load(root.toString, opts)
+      rows += (("warm_skip",
+        if (p2.partialStats.exists(_.skipped)) "skipped"
+        else s"ran:${p2.partialStats.map(_.parsed)}"))
+      // EDIT the expect fixture: the schema yml's bytes are unchanged,
+      // so a cache that ignores fixtures would serve the stale unit
+      // test (still passing); the ctx link must reparse the schema doc
+      // and the test must now FAIL against the new expectation
+      write("tests/fixtures/fx_expect.csv", "id,name_up,amount\n1,AA,99\n2,BB,\n")
+      val p3 = graft.parse.ProjectLoader.load(root.toString, opts)
+      rows += (("fixture_edit_reparses",
+        if (p3.partialStats.exists(st => !st.skipped && st.parsed > 0))
+          "reparsed" else s"stale:${p3.partialStats.map(_.parsed)}"))
+      val eng3 = Engine.fromProject(s, root.toString, whRoot,
+        partialParse = Some(opts))
+      rows += (("fixture_edit_fails_test",
+        utStatus(eng3.build(), "ut_csv_fixtures")))
+      // a `fixture:` naming no file is the reference's ParsingError
+      val root2 = java.nio.file.Files.createTempDirectory("m53_missing")
+      scratchDirs.add(root2.toFile)
+      def write2(rel: String, content: String): Unit = {
+        val p = root2.resolve(rel)
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.writeString(p, content): Unit
+      }
+      write2("dbt_project.yml", "name: m53b\n")
+      write2("models/m_b.sql", "SELECT 1 AS id")
+      write2("tests/fixtures/present.csv", "id\n1\n")
+      write2("models/schema.yml",
+        """unit_tests:
+          |  - name: ut_missing
+          |    model: m_b
+          |    given: []
+          |    expect:
+          |      format: csv
+          |      fixture: no_such_fixture
+          |""".stripMargin)
+      rows += (("missing_fixture",
+        try { Engine.fromProject(s, root2.toString, scratch()); "NO_ERROR" }
+        catch {
+          case e: Throwable if String.valueOf(e.getMessage)
+            .contains("File not found for fixture 'no_such_fixture'") =>
+            "error_named"
+          case e: Throwable => s"wrong_error:${e.getMessage.take(60)}"
+        }))
+      rows.toSeq.toDF("check_name", "result").orderBy("check_name")
     }
   )
 }

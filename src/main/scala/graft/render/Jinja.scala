@@ -1268,10 +1268,24 @@ object Jinja {
               s"undefined var: ${str(pos.head)}"))
         case "env_var" =>
           val k = str(pos.head)
-          ctx.envOverrides.get(k).orElse(sys.env.get(k)).map(JS(_))
-            .orElse(pos.lift(1))
-            .getOrElse(throw new IllegalArgumentException(
+          if (Secrets.isSecret(k)) {
+            // reference base.py:311-312: hard error outside
+            // profiles/packages rendering; inside, the render sees an
+            // opaque placeholder (secret.py:22-33) that
+            // Secrets.substitute resolves AFTER the render — Jinja can
+            // never touch the value itself
+            if (!ctx.secretContext)
+              throw new IllegalArgumentException(
+                "Secret env vars are allowed only in profiles.yml or " +
+                  s"packages.yml. Found '$k' referenced elsewhere.")
+            if (Secrets.get(k).isDefined) JS(Secrets.placeholder(k))
+            else pos.lift(1).getOrElse(throw new IllegalArgumentException(
               s"env_var $k is undefined"))
+          } else
+            ctx.envOverrides.get(k).orElse(sys.env.get(k)).map(JS(_))
+              .orElse(pos.lift(1))
+              .getOrElse(throw new IllegalArgumentException(
+                s"env_var $k is undefined"))
         case "is_incremental" => JB(ctx.isIncremental)
         case "local_md5" =>
           JS(java.security.MessageDigest.getInstance("MD5")
@@ -1440,14 +1454,26 @@ object Jinja {
       val params = m.params
       // Jinja2 varargs/kwargs introspection (VERDICT r12 missing-list
       // item 4): extra positional args land in `varargs`, keyword args
-      // not matching a declared param land in `kwargs` — both always
-      // bound inside the body, like jinja2.runtime.Macro with
-      // catch_varargs/catch_kwargs. A caller passing extras to a macro
-      // that never reads them matches Jinja2's behavior (silently
-      // accepted), which dbt_utils-style adapter macros rely on.
-      val varargs = jlist(pos.drop(params.length))
-      val kwargs = JM(kw.view.filterKeys(k =>
-        !params.exists(_._1 == k)).toMap)
+      // not matching a declared param land in `kwargs` — but ONLY when
+      // the macro body actually references those names
+      // (jinja2.runtime.Macro catch_varargs/catch_kwargs are
+      // body-dependent); a macro that never reads them raises a
+      // TypeError on extras, so a typo'd kwarg cannot silently vanish.
+      val extraPos = pos.drop(params.length)
+      if (extraPos.nonEmpty && !m.catchesVarargs)
+        throw new IllegalArgumentException(
+          s"macro ${m.name}: takes ${if (params.isEmpty) "no arguments"
+            else s"at most ${params.length} positional argument(s)"}, " +
+            s"got ${pos.length} (jinja2 TypeError — the body does not " +
+            "access varargs)")
+      val extraKw = kw.view.filterKeys(k => !params.exists(_._1 == k)).toMap
+      if (extraKw.nonEmpty && !m.catchesKwargs)
+        throw new IllegalArgumentException(
+          s"macro ${m.name}: unexpected keyword argument(s) " +
+            extraKw.keys.toSeq.sorted.mkString("'", "', '", "'") +
+            " (jinja2 TypeError — the body does not access kwargs)")
+      val varargs = jlist(extraPos)
+      val kwargs = JM(extraKw)
       // defaults evaluate as EXPRESSIONS ([] → empty list, 10 → int,
       // none → null); extractMacros strips quotes from string defaults,
       // so an unresolvable bare word falls back to its literal text

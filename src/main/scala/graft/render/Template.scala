@@ -39,7 +39,24 @@ object Template {
       body: String,
       /** owning package (A32 deps) — namespaces the macro as
         * `<pkg>.<name>` and drives package-precedence resolution. */
-      pkg: String = "graft")
+      pkg: String = "graft") {
+    /** Jinja2's catch_varargs/catch_kwargs are BODY-dependent
+      * (jinja2.runtime.Macro: extras are tolerated only when the
+      * macro body references the special `varargs`/`kwargs` names;
+      * otherwise a call with extras is a TypeError). Computed once at
+      * definition; a bare word-boundary scan matches jinja2's
+      * frame-analysis of Name nodes closely enough for template text.
+      */
+    lazy val catchesVarargs: Boolean =
+      body.contains("varargs") && MacroDef.varargsRe.findFirstIn(body).isDefined
+    lazy val catchesKwargs: Boolean =
+      body.contains("kwargs") && MacroDef.kwargsRe.findFirstIn(body).isDefined
+  }
+
+  object MacroDef {
+    private val varargsRe = """(?<![\w.])varargs\b""".r
+    private val kwargsRe = """(?<![\w.])kwargs\b""".r
+  }
 
   // signature group tolerates one level of call nesting and quoted
   // parens in defaults: f(xs=['a','b'], g=foo(1), s='(')
@@ -308,6 +325,11 @@ object Template {
         * overrides, A13).
         */
       envOverrides: Map[String, String] = Map.empty,
+      /** true ONLY while rendering profiles.yml / packages.yml —
+        * the sole contexts where `DBT_ENV_SECRET_*` env vars are
+        * legal (reference `context/secret.py`; elsewhere env_var
+        * raises SecretEnvVarLocationError). */
+      secretContext: Boolean = false,
       /** Macro lookup for calls in expression position — `{{ m(...) }}`
         * and package-qualified `{{ pkg.m(...) }}`. The engine installs
         * package-precedence resolution here (reference

@@ -614,6 +614,7 @@ object Cli {
       case s: SnapshotNode => s.originPath
       case t: TestNode => t.originPath
       case s: SourceNode => s.path
+      case p: PythonModelNode => p.originPath
       case _ => ""
     }
     def fqn: Seq[String] = {

@@ -1275,6 +1275,8 @@ final class Engine(
         id -> (n match {
           case m: ModelNode => m.copy(dependsOn = (m.dependsOn ++ extra).distinct)
           case s: SnapshotNode => s.copy(dependsOn = (s.dependsOn ++ extra).distinct)
+          case p: PythonModelNode => p.copy(dependsOn = (p.dependsOn ++ extra).distinct)
+          case sc: ScalaModelNode => sc.copy(dependsOn = (sc.dependsOn ++ extra).distinct)
           case other => other
         })
       case kv => kv

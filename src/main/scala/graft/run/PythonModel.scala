@@ -22,9 +22,11 @@ import graft.core.PythonModelNode
   * boundary through a driver — the bridge is O(model IO) at any scale,
   * and on a cluster the same spec would point at object-store paths.
   *
-  * Scope: `materialized='table'` (+ partition_by). The reference
-  * limits python models to table/incremental; incremental python
-  * models remain out of scope here and error loudly.
+  * Scope: `materialized='table'` and `'incremental'` (+ partition_by),
+  * matching the reference's limit. Incremental runs hand the model
+  * `dbt.is_incremental=True` and register the existing table under
+  * `dbt.this` in the subprocess session; the subprocess output is then
+  * applied as the DELTA through Materializer.incrementalApply.
   */
 object PythonModel {
 
@@ -52,6 +54,41 @@ object PythonModel {
       kwRe.findAllMatchIn(m.group(1)).map(k =>
         k.group(1) -> Option(k.group(2)).getOrElse(k.group(3).toLowerCase)))
       .toMap
+
+  /** Parse-time rejection of DYNAMIC call shapes — the reference's
+    * `verify_python_model_code` raises a parse error on any
+    * `dbt.ref`/`dbt.source`/`dbt.config` call whose arguments are not
+    * literals (`core/dbt/parser/models.py:60-101` — static extraction
+    * cannot see a variable, f-string or call result). After removing
+    * every literal-shaped match, a surviving call is dynamic by
+    * construction; for `dbt.config`, each kwarg must individually be a
+    * literal (the whole call can match the paren regex while carrying
+    * a non-literal value).
+    */
+  def validate(name: String, code: String): Unit = {
+    def snippet(s: String): String =
+      s.take(70).takeWhile(_ != '\n').trim
+    val noCfg = cfgRe.replaceAllIn(
+      srcRe.replaceAllIn(refRe.replaceAllIn(code, ""), ""),
+      m => {
+        // a config call survives only if every kwarg is literal-shaped
+        val args = m.group(1)
+        val rest = kwRe.replaceAllIn(args, "")
+        if (rest.forall(c => c == ',' || c.isWhitespace)) "" else
+          throw new IllegalArgumentException(
+            s"python model $name: dbt.config() argument is not a literal " +
+              "keyword (parsing is static; reference " +
+              "core/dbt/parser/models.py:60-101 verify_python_model_code): " +
+              snippet(m.matched))
+      })
+    val dynRe = """dbt\s*\.\s*(ref|source|config)\s*\(""".r
+    for (m <- dynRe.findFirstMatchIn(noCfg))
+      throw new IllegalArgumentException(
+        s"python model $name: dbt.${m.group(1)}() with non-literal " +
+          "arguments is not supported (parsing is static; reference " +
+          "core/dbt/parser/models.py:60-101 verify_python_model_code): " +
+          snippet(noCfg.substring(m.start)))
+  }
 
   /** The subprocess entry, written to a scratch file at run time. Reads
     * the spec JSON, builds the `dbt` shim, executes the user module's
@@ -150,8 +187,22 @@ object PythonModel {
     val work = java.nio.file.Files.createTempDirectory(s"pymodel_${node.name}_")
     try {
       // ref/source → (fmt, file paths, hidden columns); views have no
-      // files, so they are materialized into the scratch dir first
+      // files, so they are materialized into the scratch dir first.
+      // Ephemeral upstreams have NO relation at all (they exist only as
+      // inlined CTEs) — the reference rejects them explicitly
+      // (core/dbt/compilation.py: python models cannot ref ephemeral).
       def handle(key: String, n: graft.core.Node): (String, String) = {
+        n match {
+          case m: graft.core.ModelNode
+              if m.config.materialized == "ephemeral" =>
+            throw new IllegalArgumentException(
+              s"python model ${node.name}: cannot ref ephemeral model " +
+                s"'${m.name}' — ephemeral models are inlined CTEs with no " +
+                "relation a python runtime can read (reference: python " +
+                "models cannot be used with the ephemeral materialization " +
+                "or ref ephemeral nodes)")
+          case _ =>
+        }
         val rel = engine.relationName(n)
         val (fmt, paths, drop) = engine.wh.physical(rel).getOrElse {
           val dump = work.resolve(s"view_$rel").toString
@@ -175,8 +226,17 @@ object PythonModel {
           handle(s"source:$s.$t", n)
         } ++ (if (isIncremental) {
           // the existing table, registered in the subprocess session
-          // under the relation name so dbt.this is queryable
-          val (fmt, paths, drop) = engine.wh.physical(rel).get
+          // under the relation name so dbt.this is queryable; exists()
+          // can be true while physical() is None when the relation is a
+          // VIEW left behind by a materialization change (view →
+          // incremental between runs) — treat that as a loud error, not
+          // a NoSuchElementException
+          val (fmt, paths, drop) = engine.wh.physical(rel).getOrElse(
+            throw new IllegalStateException(
+              s"python model ${node.name}: incremental run found existing " +
+                s"relation '$rel' with no physical files (it is a view or " +
+                "catalog-only entry, likely a materialization change from " +
+                "view to incremental) — run with full_refresh to replace it"))
           Seq("this" -> s"""{"fmt":${jstr(fmt)},"paths":${paths.map(jstr)
             .mkString("[", ",", "]")},"drop":${drop.map(jstr)
             .mkString("[", ",", "]")}}""")

@@ -109,18 +109,38 @@ class JinjaSpec extends AnyFunSuite {
 
   test("macro varargs/kwargs introspection (jinja2 catch_varargs/kwargs)") {
     // extra positional args land in `varargs`, undeclared keyword args
-    // in `kwargs`, both always bound inside the body; extras passed to
-    // a macro that ignores them are silently accepted (Jinja2 semantics
-    // dbt_utils-style macros rely on)
+    // in `kwargs` — but ONLY when the body references those names
+    // (jinja2.runtime.Macro catch_varargs/catch_kwargs are
+    // body-dependent); a macro that never reads them raises a
+    // TypeError on extras (ADVICE r13: a typo'd kwarg must not
+    // silently vanish)
     val c = ctxWith(macros(
       """{% macro fmt(first) %}{{ first }}|{{ varargs | join(',') }}|{{ kwargs['x'] }}{% endmacro %}"""))
     assert(Template.render("{{ fmt('a', 'b', 'c', x='z') }}", c) === "a|b,c|z")
     val c2 = ctxWith(macros("""{% macro ident(v) %}{{ v }}{% endmacro %}"""))
-    assert(Template.render("{{ ident(1, 2, 3, junk='y') }}", c2) === "1")
+    val ePos = intercept[IllegalArgumentException] {
+      Template.render("{{ ident(1, 2, 3) }}", c2)
+    }
+    assert(ePos.getMessage.contains("at most 1 positional"))
+    val eKw = intercept[IllegalArgumentException] {
+      Template.render("{{ ident(1, junk='y') }}", c2)
+    }
+    assert(eKw.getMessage.contains("unexpected keyword argument"))
+    assert(eKw.getMessage.contains("junk"))
+    // a declared kwarg is of course still fine
+    assert(Template.render("{{ ident(v=7) }}", c2) === "7")
     // empty when nothing extra is passed
     val c3 = ctxWith(macros(
       """{% macro probe(a) %}{{ varargs | length }}:{{ kwargs | length }}{% endmacro %}"""))
     assert(Template.render("{{ probe(1) }}", c3) === "0:0")
+    // catching one of the two names does not excuse extras of the other
+    val c4 = ctxWith(macros(
+      """{% macro vonly(a) %}{{ varargs | length }}{% endmacro %}"""))
+    assert(Template.render("{{ vonly(1, 2, 3) }}", c4) === "2")
+    val eK4 = intercept[IllegalArgumentException] {
+      Template.render("{{ vonly(1, oops=1) }}", c4)
+    }
+    assert(eK4.getMessage.contains("unexpected keyword argument"))
   }
 
   test("custom tests: a project macro serves `is my_test` predicates") {

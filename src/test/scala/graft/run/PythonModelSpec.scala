@@ -94,6 +94,60 @@ class PythonModelSpec extends AnyFunSuite {
     }
   }
 
+  test("validate: dynamic call shapes fail at parse, naming the shape") {
+    // reference verify_python_model_code (models.py:60-101): any
+    // dbt.ref/source/config call the static extractor could not
+    // consume as a literal is a parse error, not a silent miss
+    def bad(code: String, shape: String): Unit = {
+      val e = intercept[IllegalArgumentException] {
+        PythonModel.validate("m", code)
+      }
+      assert(e.getMessage.contains(shape), s"message was: ${e.getMessage}")
+      assert(e.getMessage.contains("non-literal") ||
+        e.getMessage.contains("not a literal"))
+    }
+    bad("def model(dbt, session):\n    v = 'orders'\n    return dbt.ref(v)\n",
+      "dbt.ref()")
+    bad("def model(dbt, session):\n    return dbt.ref(f\"{name}\")\n",
+      "dbt.ref()")
+    bad("def model(dbt, session):\n    return dbt.source(s, 'events')\n",
+      "dbt.source()")
+    bad("def model(dbt, session):\n    dbt.config(materialized=mode())\n" +
+      "    return dbt.ref('src')\n", "dbt.config()")
+    // literal-only models (the m51 shapes) still pass
+    PythonModel.validate("m",
+      """def model(dbt, session):
+        |    dbt.config(materialized="incremental", unique_key='id')
+        |    a = dbt.ref("orders")
+        |    b = dbt.source('raw', 'events')
+        |    n = dbt.config.get("some_n", 3)  # runtime getter is fine
+        |    return a.join(b, "k")
+        |""".stripMargin)
+    // and the loader surfaces the error at project parse time
+    val dir = java.nio.file.Files.createTempDirectory("pymdyn")
+    try {
+      def write(rel: String, content: String): Unit = {
+        val p = dir.resolve(rel)
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.writeString(p, content): Unit
+      }
+      write("dbt_project.yml", "name: pymdyn\n")
+      write("models/py_dyn.py",
+        "def model(dbt, session):\n    v = 'x'\n    return dbt.ref(v)\n")
+      val e = intercept[IllegalArgumentException] {
+        graft.parse.ProjectLoader.load(dir.toString)
+      }
+      assert(e.getMessage.contains("py_dyn"))
+      assert(e.getMessage.contains("dbt.ref()"))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(): Unit
+      }
+      rm(dir.toFile)
+    }
+  }
+
   test("state checksums: body is the code, content folds config") {
     import graft.core.StateHash
     val a = PythonModelNode("m", "def model(dbt, session): return 1")
