@@ -56,7 +56,11 @@ object Deps {
           case Some(l: java.util.List[_]) => l.asScala.toSeq.map {
             case m: java.util.Map[_, _] =>
               val raw = m.asScala.map { case (k, v) => k.toString -> v }.toMap
-              val mm = raw.map { case (k, v) => k -> String.valueOf(v) }
+              // packages.yml scalars render like profiles.yml —
+              // the OTHER legal location for DBT_ENV_SECRET_* vars
+              // (reference PackageRenderer, config/renderer.py)
+              val mm = raw.map { case (k, v) =>
+                k -> graft.render.Secrets.renderConfigValue(String.valueOf(v)) }
               val name = mm.get("name")
               if (mm.contains("local")) PackageSpec("local", mm("local"), name)
               else if (mm.contains("tarball")) PackageSpec("tarball", mm("tarball"), name)

@@ -3511,6 +3511,105 @@ object Framework {
           case e: Throwable => s"wrong_error:${e.getMessage.take(60)}"
         }))
       rows.toSeq.toDF("check_name", "result").orderBy("check_name")
+    },
+
+    // `--warn-error-options` (VERDICT r13 item 5; reference
+    // `core/dbt/cli/option_types.py:46-66` WarnErrorOptionsType +
+    // dbt_common warn_or_error; test promotion
+    // `core/dbt/task/test.py:279-281`): include promotes a NAMED
+    // warning class to error while unlisted classes stay warnings;
+    // exclude exempts a class from `include: all`; silence suppresses
+    // a class entirely. Names are reference event class names,
+    // validated against the event table like the reference's
+    // ALL_EVENT_NAMES.
+    QueryDef(
+      "m54_warn_error_options",
+      """SELECT * FROM (VALUES
+        |  ('baseline', 'test=warn,ghost_warned=true'),
+        |  ('exclude_beats_include_all', 'test=warn'),
+        |  ('include_other_promotes', 'promoted:NoNodeForYamlKey'),
+        |  ('include_test_promotes', 'test=error,ghost_warned=true'),
+        |  ('silence_suppresses', 'test=warn,ghost_warned=false'),
+        |  ('unknown_name_rejected', 'rejected')
+        |) AS t(check_name, result)
+        |ORDER BY check_name""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.run.WarnErrorOptions
+      val root = java.nio.file.Files.createTempDirectory("m54_proj")
+      scratchDirs.add(root.toFile)
+      def write(rel: String, content: String): Unit = {
+        val p = root.resolve(rel)
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.writeString(p, content): Unit
+      }
+      write("dbt_project.yml", "name: m54\n")
+      write("seeds/src.csv", "id,v\n1,\n") // empty field -> NULL v
+      write("models/m_warn.sql", "SELECT id, v FROM {{ ref('src') }}")
+      write("models/schema.yml",
+        """models:
+          |  - name: m_warn
+          |    columns:
+          |      - name: v
+          |        data_tests:
+          |          - not_null:
+          |              severity: warn
+          |  - name: ghost_model
+          |    description: no sql file exists -> I058 NoNodeForYamlKey
+          |""".stripMargin)
+      val rows = scala.collection.mutable.ArrayBuffer[(String, String)]()
+      // capture warn events so "stays a warning" is observable
+      def withEvents[T](body: => T): (T, Seq[String]) = {
+        val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+        val (pf, ps, pl) = (graft.run.EventLog.format,
+          graft.run.EventLog.sink, graft.run.EventLog.minLevel)
+        graft.run.EventLog.format = "json"
+        graft.run.EventLog.minLevel = "warn"
+        graft.run.EventLog.sink = l => { seen.add(l); () }
+        try { val r = body; (r, scala.jdk.CollectionConverters
+          .IteratorHasAsScala(seen.iterator()).asScala.toSeq) }
+        finally {
+          graft.run.EventLog.format = pf
+          graft.run.EventLog.sink = ps
+          graft.run.EventLog.minLevel = pl
+        }
+      }
+      def runWith(weo: WarnErrorOptions): (String, Boolean) = {
+        val (status, events) = withEvents {
+          val eng = Engine.fromProject(s, root.toString, scratch(),
+            warnErrorOptions = weo)
+          eng.run(threads = 1)
+          eng.test().headOption.map(_.status).getOrElse("none")
+        }
+        (status, events.exists(_.contains("\"I058\"")))
+      }
+      val (st0, ghost0) = runWith(WarnErrorOptions.Empty)
+      rows += (("baseline", s"test=$st0,ghost_warned=$ghost0"))
+      val (st1, ghost1) = runWith(WarnErrorOptions(
+        include = Set("LogTestResult")))
+      rows += (("include_test_promotes", s"test=$st1,ghost_warned=$ghost1"))
+      // the OTHER class promotes at load; LogTestResult stays untouched
+      val promoted =
+        try { runWith(WarnErrorOptions(include = Set("NoNodeForYamlKey")))
+          "NO_ERROR" }
+        catch {
+          case e: Throwable if String.valueOf(e.getMessage)
+            .contains("NoNodeForYamlKey") => "promoted:NoNodeForYamlKey"
+          case e: Throwable => s"wrong:${String.valueOf(e.getMessage).take(50)}"
+        }
+      rows += (("include_other_promotes", promoted))
+      val (st3, ghost3) = runWith(WarnErrorOptions(
+        silence = Set("NoNodeForYamlKey")))
+      rows += (("silence_suppresses", s"test=$st3,ghost_warned=$ghost3"))
+      // exclude exempts LogTestResult from include: all (the I058 class
+      // is silenced so the blanket include cannot fail the load)
+      val (st4, _) = runWith(WarnErrorOptions(includeAll = true,
+        exclude = Set("LogTestResult"), silence = Set("NoNodeForYamlKey")))
+      rows += (("exclude_beats_include_all", s"test=$st4"))
+      rows += (("unknown_name_rejected",
+        try { WarnErrorOptions.parse("""{"include": ["NotARealEvent"]}"""); "accepted" }
+        catch { case e: Throwable
+          if String.valueOf(e.getMessage).contains("NotARealEvent") => "rejected" }))
+      rows.toSeq.toDF("check_name", "result").orderBy("check_name")
     }
   )
 }

@@ -36,7 +36,10 @@ object Artifacts {
       obj(Seq(
         "unique_id" -> q(r.uniqueId),
         "status" -> q(r.status),
-        "message" -> q(r.message),
+        // exception messages can carry rendered SQL — secret env var
+        // values are masked at the artifact boundary (reference
+        // dbt_common scrub_secrets on result messages)
+        "message" -> q(graft.render.Secrets.scrub(r.message)),
         "execution_time" -> r.elapsedSec.toString,
         // rows_affected rides in adapter_response, where the reference
         // adapter puts it (run-results v6 has no top-level slot for it)

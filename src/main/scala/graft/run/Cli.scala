@@ -150,6 +150,18 @@ object Cli {
 
     // profiles.yml: the selected output supplies warehouse path and
     // thread default when flags don't (flag > profile > fallback)
+    // --warn-error-options: selective include/exclude/silence lists
+    // (reference WarnErrorOptionsType); mutually exclusive with the
+    // blanket --warn-error, like the reference's CLI validation
+    val warnErrorOpts = opts.get("warn-error-options")
+      .orElse(sys.env.get("DBT_WARN_ERROR_OPTIONS")) match {
+      case Some(yamlStr) =>
+        if (opts.contains("warn-error"))
+          throw new IllegalArgumentException(
+            "--warn-error and --warn-error-options are mutually exclusive")
+        WarnErrorOptions.parse(yamlStr)
+      case None => WarnErrorOptions.Empty
+    }
     val targetName = opts.get("target")
     val targetDef =
       try graft.parse.ProjectLoader.resolveTarget(projectDir, targetName,
@@ -239,6 +251,7 @@ object Cli {
       try Engine.fromProject(spark, projectDir, warehouseDir, vars,
         emptyMode = opts.contains("empty"), target = targetName,
         warnError = opts.contains("warn-error"),
+        warnErrorOptions = warnErrorOpts,
         partialParse = Some(graft.parse.PartialParse.Options(
           enabled = if (opts.contains("no-partial-parse")) Some(false) else None,
           cliTargetPath = opts.get("target-path"))))
@@ -711,7 +724,8 @@ object Cli {
       |  [--target-path <dir>] [--threads N]
       |  [--select a b] [--exclude c] [--selector <name>] [--vars k=v,...] [--full-refresh]
       |  [--inline "<sql>"] [--limit N] [--empty] [--log-format text|json]
-      |  [--warn-error] [--fail-fast] [--quiet] [--profiles-dir <dir>]
+      |  [--warn-error] [--warn-error-options '{"include": ..., "exclude": ..., "silence": ...}']
+      |  [--fail-fast] [--quiet] [--profiles-dir <dir>]
       |  [--state <artifact-dir>] [--state-project <dir> [--state-warehouse <dir>]] [--defer] [--favor-state]
       |  [--indirect-selection eager|cautious|buildable|empty]
       |  ls [--resource-type model,seed,...] [--output selector|name|path|json] [--output-keys "name unique_id ..."]

@@ -42,6 +42,11 @@ final class Engine(
       * result — warn-severity tests, freshness warn thresholds — to
       * error, so CI treats them as failures. */
     val warnError: Boolean = false,
+    /** `--warn-error-options` (reference WarnErrorOptions): selective
+      * include/exclude/silence lists over reference event class names;
+      * supersedes the blanket `--warn-error` (which equals
+      * `include: all`). See [[WarnErrorOptions]]. */
+    val warnErrorOptions: WarnErrorOptions = WarnErrorOptions.Empty,
     /** Search roots for `{% include %}` / `{% extends %}` template
       * paths (fromProject passes the project dir). */
     val templateDirs: Seq[String] = Nil,
@@ -61,6 +66,13 @@ final class Engine(
     val targetDir: String = "target") {
 
   val wh = new Warehouse(spark, warehouseRoot)
+
+  /** warn-severity test results promote under --warn-error or an
+    * options include of the reference result event
+    * (`core/dbt/task/test.py:279-281`: `WARN_ERROR or
+    * WARN_ERROR_OPTIONS.includes("LogTestResult")`). */
+  private def promoteTestWarn: Boolean =
+    warnError || warnErrorOptions.includes("LogTestResult")
 
   // model SQL can call the graft native kernels (shingles, array_dot,
   // winnow_fingerprint, …) — same surface as
@@ -859,7 +871,7 @@ final class Engine(
       Materializer.Result(s.uniqueId, "success", rowsAffected = rows)
     case t: TestNode =>
       val (raw, failures) = Materializer.runTest(wh, t.copy(rawSql = compile(t)))
-      val status = if (warnError && raw == "warn") "error" else raw
+      val status = if (promoteTestWarn && raw == "warn") "error" else raw
       Materializer.Result(t.uniqueId, status, s"$failures failures",
         rowsAffected = failures)
     case u: UnitTestNode =>
@@ -1100,7 +1112,7 @@ final class Engine(
         case t: TestNode =>
           try {
             val (raw, failures) = Materializer.runTest(wh, t.copy(rawSql = compile(t)))
-            val status = if (warnError && raw == "warn") "error" else raw
+            val status = if (promoteTestWarn && raw == "warn") "error" else raw
             Materializer.Result(id, status, s"$failures failures",
               rowsAffected = failures, elapsedSec = (System.nanoTime() - t0) / 1e9)
           } catch {
@@ -1284,7 +1296,8 @@ final class Engine(
     val eng = new Engine(spark, augmented, warehouseRoot, vars, clock,
       runStartHooks = runStartHooks, runEndHooks = runEndHooks,
       namespace = namespace, macros = macros,
-      macrosByPackage = macrosByPackage)
+      macrosByPackage = macrosByPackage,
+      warnError = warnError, warnErrorOptions = warnErrorOptions)
     eng.run(select, threads = threads,
       resourceTypes = Set("model", "seed", "snapshot", "test", "unit_test"),
       indirectSelection = indirectSelection)
@@ -1326,7 +1339,11 @@ final class Engine(
       if (select.isEmpty) manifest.sources.keySet
       else Selector.select(manifest, dag, select)
     def finalStatus(raw: String): String =
-      if (warnError && raw == "warn") "error" else raw
+      // freshness warn thresholds promote under --warn-error or an
+      // options include of the reference result event (task pattern of
+      // test.py:279-281, freshness twin LogFreshnessResult)
+      if ((warnError || warnErrorOptions.includes("LogFreshnessResult")) &&
+        raw == "warn") "error" else raw
     val out = manifest.sources.values.filter(s => scope.contains(s.uniqueId)).flatMap { s =>
       s.loadedAtField match {
         case Some(f) =>
@@ -1466,6 +1483,7 @@ object Engine {
       emptyMode: Boolean = false,
       target: Option[String] = None,
       warnError: Boolean = false,
+      warnErrorOptions: WarnErrorOptions = WarnErrorOptions.Empty,
       /** `--target-path` CLI flag analog (beats env + project config). */
       targetPath: Option[String] = None,
       /** env lookup seam for DBT_TARGET_PATH (tests inject; default =
@@ -1500,10 +1518,15 @@ object Engine {
           "parsed" -> st.parsed, "reused" -> st.reused)
     }
     // deprecated project configs fire ONCE as structured warn events;
-    // --warn-error promotes the first to a hard DeprecationError
+    // --warn-error (or an options include of the deprecation's
+    // reference class name) promotes the first to a hard
+    // DeprecationError; an options silence suppresses it entirely
     // (reference deprecations.py + tests/functional/deprecations)
     proj.deprecations.foreach { case (n, c, m) =>
-      Deprecations.warn(n, c, m, warnError)
+      val refName = Events.nameForCode(c).getOrElse(n)
+      if (!warnErrorOptions.silenced(refName))
+        Deprecations.warn(n, c, m,
+          warnError || warnErrorOptions.includes(refName))
     }
     // I041 PartialParsingFile: one debug line per file delta
     proj.partialStats.filter(st => st.enabled && st.stateLoaded).foreach { st =>
@@ -1515,9 +1538,16 @@ object Engine {
         "code" -> "I041", "operation" -> "deleted", "path" -> f))
     }
     // parse-time warn advisories (I051 unused config path, I058 schema
-    // patch without a node, …) — plain warn events, not promotable
+    // patch without a node, …) — routed through warn_or_error so
+    // --warn-error (blanket, per the reference flag's own help text:
+    // "configurations with no associated models" etc.) or an options
+    // include promotes each class, and an options silence drops it
+    val effOpts =
+      if (warnError) warnErrorOptions.copy(includeAll = true)
+      else warnErrorOptions
     proj.warnings.foreach { case (event, code, msg) =>
-      EventLog.warn(event, "code" -> code, "msg" -> msg)
+      WarnErrorOptions.warnOrError(effOpts,
+        Events.nameForCode(code).getOrElse(event), event, code, msg)
     }
     // I056 UnusedTables: sources defined but referenced by no node
     locally {
@@ -1559,6 +1589,7 @@ object Engine {
       namespace = ns, macros = proj.macros,
       macrosByPackage = proj.macrosByPackage,
       target = targetDef, warnError = warnError,
+      warnErrorOptions = warnErrorOptions,
       templateDirs = Seq(projectDir),
       queryComment = proj.queryComment,
       quoting = proj.quoting,

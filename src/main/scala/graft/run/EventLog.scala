@@ -53,7 +53,10 @@ object EventLog {
     val ts = java.time.Instant.now().toString
     lazy val jsonLine = {
       val all = Seq("event" -> event, "ts" -> ts, "level" -> level) ++ fields
-      all.map { case (k, v) => s"${q(k)}: ${jval(v)}" }.mkString("{", ", ", "}")
+      // secret env var values never reach a log line (reference
+      // dbt_common scrub_secrets applied to every event message)
+      graft.render.Secrets.scrub(
+        all.map { case (k, v) => s"${q(k)}: ${jval(v)}" }.mkString("{", ", ", "}"))
     }
     // Re-read fileSink under fileLock so a concurrent closeLogFile can
     // never close the writer between capture and write.
@@ -64,7 +67,7 @@ object EventLog {
       if (format == "json") sink(jsonLine)
       else {
         val kv = fields.map { case (k, v) => s"$k=${String.valueOf(v)}" }.mkString(" ")
-        sink(s"$ts [$level] $event $kv")
+        sink(graft.render.Secrets.scrub(s"$ts [$level] $event $kv"))
       }
     }
   }

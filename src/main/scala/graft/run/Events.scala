@@ -321,6 +321,11 @@ object Events {
   def emittedCodes: Set[String] =
     table.collect { case r if r.status == Emitted => r.code }.toSet
 
+  /** reference event class name for a code (warn_error_options lists
+    * are keyed by these names, like the reference's ALL_EVENT_NAMES). */
+  def nameForCode(code: String): Option[String] =
+    table.find(_.code == code).map(_.name)
+
   /** EVENTS.md body — regenerate with `runMain graft.tools.EventsMd`. */
   def markdown: String = {
     val sb = new StringBuilder

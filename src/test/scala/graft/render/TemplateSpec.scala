@@ -156,4 +156,67 @@ class TemplateSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](
       Template.render("SELECT {{ load_result('other').rows_affected }}", c))
   }
+
+  test("secret env vars: profiles/packages only, placeholder indirection, masking") {
+    // reference SECRET_ENV_PREFIX semantics: base.py:311-312 (location
+    // error), secret.py:22-33 (placeholder), renderer.py:204-216
+    // (post-render substitution), base.py:571-579 (log masking)
+    Secrets.envSeam = Map("DBT_ENV_SECRET_TOKEN" -> "hunter2")
+    try {
+      // (1) model/macro context: hard error naming the var
+      val e = intercept[IllegalArgumentException] {
+        Template.render("{{ env_var('DBT_ENV_SECRET_TOKEN') }}", ctx)
+      }
+      assert(e.getMessage.contains(
+        "Secret env vars are allowed only in profiles.yml or packages.yml"))
+      assert(e.getMessage.contains("DBT_ENV_SECRET_TOKEN"))
+      assert(!e.getMessage.contains("hunter2"))
+      // (2) secret context: the RENDER sees only the placeholder —
+      // a filter cannot capture or transform the value...
+      val sctx = ctx.copy(secretContext = true)
+      val rendered = Template.render(
+        "token={{ env_var('DBT_ENV_SECRET_TOKEN') }}", sctx)
+      assert(!rendered.contains("hunter2"))
+      assert(rendered.contains("DBT_SECRET_START"))
+      // ...and substitution resolves it after the render
+      assert(Secrets.substitute(rendered) === "token=hunter2")
+      // the full config-value path (what profiles/packages use)
+      assert(Secrets.renderConfigValue(
+        "pre_{{ env_var('DBT_ENV_SECRET_TOKEN') }}") === "pre_hunter2")
+      // an upper filter manipulating the placeholder still never
+      // exposes the value (jinja2 only sees the opaque tag)
+      val filtered = Template.render(
+        "{{ env_var('DBT_ENV_SECRET_TOKEN') | replace('hunter', 'x') }}", sctx)
+      assert(!filtered.contains("hunter2"))
+      // non-secret env vars are untouched by the secret machinery
+      assert(Template.render("{{ env_var('GRAFT_NOT_SET', 'dflt') }}", ctx)
+        === "dflt")
+      // unset secret: default applies in secret contexts, named error otherwise
+      assert(Template.render(
+        "{{ env_var('DBT_ENV_SECRET_MISSING', 'd') }}", sctx) === "d")
+      // (3) masking: scrub removes both raw values and placeholders
+      assert(Secrets.scrub("select 'hunter2' as pw") === "select '*****' as pw")
+      assert(Secrets.scrub("x=" + Secrets.placeholder("DBT_ENV_SECRET_TOKEN"))
+        === "x=*****")
+      // ...and EventLog lines pass through scrub on both formats
+      val seen = scala.collection.mutable.ArrayBuffer[String]()
+      val (pf, ps, pl) = (graft.run.EventLog.format,
+        graft.run.EventLog.sink, graft.run.EventLog.minLevel)
+      try {
+        graft.run.EventLog.format = "json"
+        graft.run.EventLog.minLevel = "info"
+        graft.run.EventLog.sink = s => { seen += s; () }
+        graft.run.EventLog.info("boom", "msg" -> "failed near 'hunter2' token")
+        graft.run.EventLog.format = "text"
+        graft.run.EventLog.info("boom", "msg" -> "again hunter2")
+      } finally {
+        graft.run.EventLog.format = pf
+        graft.run.EventLog.sink = ps
+        graft.run.EventLog.minLevel = pl
+      }
+      assert(seen.size === 2)
+      assert(seen.forall(!_.contains("hunter2")), seen.mkString("\n"))
+      assert(seen.forall(_.contains("*****")))
+    } finally Secrets.envSeam = Map.empty
+  }
 }

@@ -199,4 +199,40 @@ class CliSpec extends AnyFunSuite {
     val e = ExposureNode("weekly_kpis")
     assert(Cli.lsLine(e, "selector", None) === "exposure:graft.weekly_kpis")
   }
+
+  test("--warn-error-options: YAML parse, aliases, validation, exclusivity") {
+    // reference WarnErrorOptionsType (cli/option_types.py:46-66):
+    // include 'all' | [names]; error/warn are exclusive aliases of
+    // include/exclude; names validate against the event-name table
+    val o = WarnErrorOptions.parse(
+      """{"include": "all", "exclude": ["NoNodeForYamlKey"], "silence": ["UnusedResourceConfigPath"]}""")
+    assert(o.includeAll)
+    assert(o.includes("LogTestResult"))
+    assert(!o.includes("NoNodeForYamlKey"), "exclude beats include: all")
+    assert(!o.includes("UnusedResourceConfigPath") &&
+      o.silenced("UnusedResourceConfigPath"))
+    // named include: only the listed class promotes
+    val n = WarnErrorOptions.parse("""{"include": ["LogTestResult"]}""")
+    assert(n.includes("LogTestResult") && !n.includes("NoNodeForYamlKey"))
+    // error/warn aliases map onto include/exclude
+    val a = WarnErrorOptions.parse(
+      """{"error": ["LogTestResult"], "warn": ["NoNodeForYamlKey"]}""")
+    assert(a.includes("LogTestResult") && a.exclude.contains("NoNodeForYamlKey"))
+    // primary + alias together is the reference's validation error
+    val both = intercept[IllegalArgumentException] {
+      WarnErrorOptions.parse("""{"include": "all", "error": ["LogTestResult"]}""")
+    }
+    assert(both.getMessage.contains("not both"))
+    // unknown event names are rejected (ALL_EVENT_NAMES analog)
+    val unk = intercept[IllegalArgumentException] {
+      WarnErrorOptions.parse("""{"include": ["Bogus"]}""")
+    }
+    assert(unk.getMessage.contains("Bogus"))
+    // the CLI string parses through parseOpts as one value
+    val opts = Cli.parseOpts(List("--warn-error-options",
+      """{"include": ["LogTestResult"]}"""))
+    assert(opts("warn-error-options") === """{"include": ["LogTestResult"]}""")
+    // empty/default
+    assert(WarnErrorOptions.parse("{}") === WarnErrorOptions.Empty)
+  }
 }

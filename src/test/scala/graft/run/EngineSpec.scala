@@ -152,6 +152,37 @@ class EngineSpec extends SparkSpec {
     assert(err.getMessage.contains("staging"))
   }
 
+  test("profiles.yml: env_var renders; secrets legal HERE but nowhere else") {
+    // reference ProfileRenderer/SecretRenderer (config/renderer.py):
+    // profiles.yml is one of the two legal DBT_ENV_SECRET_* locations;
+    // the same var in a model body is the base.py:311 parse error
+    graft.render.Secrets.envSeam = Map("DBT_ENV_SECRET_SCHEMA" -> "sekrit_s")
+    try {
+      val proj = baseProject +
+        ("dbt_project.yml" -> "name: demo\nprofile: demo_profile\n") +
+        ("profiles.yml" ->
+          """demo_profile:
+            |  target: dev
+            |  outputs:
+            |    dev:
+            |      schema: "{{ env_var('DBT_ENV_SECRET_SCHEMA') }}"
+            |""".stripMargin)
+      val eng = Engine.fromProject(spark, writeProject(proj), tmpDir("wh"))
+      assert(eng.namespace === "sekrit_s")
+      // the same env_var in a model body fails loudly at run
+      val proj2 = proj +
+        ("models/leak.sql" ->
+          "SELECT '{{ env_var(\"DBT_ENV_SECRET_SCHEMA\") }}' AS v")
+      val eng2 = Engine.fromProject(spark, writeProject(proj2), tmpDir("wh"))
+      val res = eng2.run(select = Seq("leak"))
+      assert(res.exists(r => r.status == "error" && r.message.contains(
+        "Secret env vars are allowed only in profiles.yml or packages.yml")),
+        res.mkString("\n"))
+      assert(res.forall(!_.message.contains("sekrit_s")),
+        "the secret value must never appear in a result message")
+    } finally graft.render.Secrets.envSeam = Map.empty
+  }
+
   test("generate_schema_name/alias_name overrides replace built-in naming") {
     val proj = baseProject +
       ("dbt_project.yml" ->
