@@ -542,7 +542,9 @@ object Bench {
     var lastCycleCost = 0.0
     var lastSoloWall = 0.0
     var cycles = 0
-    def continueSolo(): Boolean =
+    var skipDuck = false
+    def continueSolo(): Boolean = {
+      skipDuck = false
       if (soloTarget == 0) false
       else if (coldMerged && cycles == 0) true // the cold pass itself
       else if (warmDone >= soloTarget) false
@@ -556,10 +558,23 @@ object Bench {
       // so until warmDone reaches 2, only finalization slack is held
       // back. (Post-prewarm the cold cycle is already JIT-warm, so
       // lastCycleCost is a good estimate of a warm cycle + duck pass.)
-      else if (warmDone < 2) fits(lastCycleCost, 20)
+      else if (warmDone < 2) {
+        if (fits(lastCycleCost, 20)) true
+        else {
+          // the warm MEDIAN needs a second NUMERATOR more than a third
+          // denominator: when only the duck pass is what doesn't fit,
+          // run the solo pass alone — a duck wall from cycle 1 already
+          // anchors the denominator (r14: cycle 2 missed an 1100 s
+          // budget by ~8 s priced at solo+duck, while solo alone had
+          // 150 s of headroom)
+          skipDuck = duckWalls.nonEmpty && fits(lastSoloWall, 20)
+          skipDuck
+        }
+      }
       // reserve ≈ one batch pass (~0.4x a solo pass, r12 measured 50s
       // batch vs 166s solo) + finalization slack
       else fits(lastCycleCost, 0.4 * lastSoloWall + 30)
+    }
     while (continueSolo()) {
       val t = System.nanoTime()
       val r = timedPass()
@@ -573,7 +588,8 @@ object Bench {
       // 93/94 after the warm cycles) while eating time that buys batch
       // passes. The unbudgeted protocol never ducked the dedicated
       // cold pass either.
-      if (!(coldMerged && cycles == 0)) duckPass().foreach(duckWalls += _)
+      if (!(coldMerged && cycles == 0) && !skipDuck)
+        duckPass().foreach(duckWalls += _)
       lastCycleCost = (System.nanoTime() - t) / 1e9
       cycles += 1
       emit(if (coldMerged && cycles == 1) "cold" else s"solo$warmDone")

@@ -46,8 +46,10 @@ object PartialParse {
     * v3: data-only StateCodec encoding (v2 was JEP-290-filtered Java
     * serialization; a v2 file fails the magic check => cold parse).
     * v4: UnitTestNode grew overrideMacros (r13) — v3 files would fail
-    * arity decode anyway; the bump makes the miss a clean format check. */
-  val Format = 4
+    * arity decode anyway; the bump makes the miss a clean format check.
+    * v5: SchemaOut grew seedPatches/snapshotPatches (r14, seed/snapshot
+    * yml properties). */
+  val Format = 5
 
   val StateFileName = "partial_parse.bin"
 

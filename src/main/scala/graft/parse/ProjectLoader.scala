@@ -126,7 +126,14 @@ object ProjectLoader {
       nodes: Seq[Node],
       patches: Map[String, (Seq[ColumnInfo], Seq[GenericTestRef], Map[String, String], String)],
       versions: Map[String, (Set[Int], Option[Int])],
-      sourcePatches: Seq[SourcePatch])
+      sourcePatches: Seq[SourcePatch],
+      /** `seeds:` / `snapshots:` yml entries (reference
+        * schemas.py SeedParser/SnapshotParser patch path): same patch
+        * shape as models — columns+tests, config kwargs, description.
+        * Codec note: growing this class bumped the A31 state format
+        * (GFT5); stale caches cold-parse cleanly. */
+      seedPatches: Map[String, (Seq[ColumnInfo], Seq[GenericTestRef], Map[String, String], String)] = Map.empty,
+      snapshotPatches: Map[String, (Seq[ColumnInfo], Seq[GenericTestRef], Map[String, String], String)] = Map.empty)
 
   /** Deterministic rendering for cache-context hashing: Maps/Sets are
     * sorted (case-class toString leaks HashMap iteration order), case
@@ -710,14 +717,54 @@ object ProjectLoader {
       }
     var modelPatches = Map.empty[String,
       (Seq[ColumnInfo], Seq[GenericTestRef], Map[String, String], String)]
+    var seedPatches = Map.empty[String,
+      (Seq[ColumnInfo], Seq[GenericTestRef], Map[String, String], String)]
+    var snapshotPatches = Map.empty[String,
+      (Seq[ColumnInfo], Seq[GenericTestRef], Map[String, String], String)]
     def parseSchemaDoc(content: String): SchemaOut = {
       val snodes = scala.collection.mutable.ArrayBuffer[Node]()
       val ssrcPatches = scala.collection.mutable.ArrayBuffer[SourcePatch]()
       var spatches = Map.empty[String,
         (Seq[ColumnInfo], Seq[GenericTestRef], Map[String, String], String)]
       var sversions = Map.empty[String, (Set[Int], Option[Int])]
+      var sseedPatches = Map.empty[String,
+        (Seq[ColumnInfo], Seq[GenericTestRef], Map[String, String], String)]
+      var ssnapPatches = Map.empty[String,
+        (Seq[ColumnInfo], Seq[GenericTestRef], Map[String, String], String)]
       val doc = Option(yaml.load[java.util.Map[String, Any]](content))
         .map(_.asScala.toMap).getOrElse(Map.empty)
+      // `seeds:` / `snapshots:` property entries (reference
+      // parser/schemas.py — every resource type takes the same patch
+      // block: columns+tests, config, description). Same shape as
+      // modelPatches; applied at the seed/snapshot file parse.
+      def entryPatch(mm: scala.collection.Map[String, Any], what: String):
+          (Seq[ColumnInfo], Seq[GenericTestRef], Map[String, String], String) = {
+        val nm = mm("name").toString
+        val cols = mm.get("columns").map(_.asInstanceOf[java.util.List[_]].asScala.map { c =>
+          val cm = c.asInstanceOf[java.util.Map[String, Any]].asScala
+          ColumnInfo(
+            name = cm("name").toString,
+            dataType = cm.get("data_type").map(_.toString),
+            description = cm.get("description").map(_.toString).getOrElse(""),
+            tests = testsOf(cm, s"column ${cm("name")}"))
+        }.toSeq).getOrElse(Nil)
+        val entryTests = testsOf(mm, s"$what $nm")
+        val cfgKw = mm.get("config")
+          .map(_.asInstanceOf[java.util.Map[String, Any]]
+            .asScala.map { case (k, v) => k.toString -> stringify(v) }.toMap)
+          .getOrElse(Map.empty[String, String])
+        val desc = mm.get("description").map(_.toString).getOrElse("")
+        (cols, entryTests, cfgKw, desc)
+      }
+      for (key <- Seq("seeds", "snapshots")) doc.get(key) match {
+        case Some(es: java.util.List[_]) =>
+          for (e <- es.asScala) {
+            val mm = e.asInstanceOf[java.util.Map[String, Any]].asScala
+            val p = mm("name").toString -> entryPatch(mm, key.dropRight(1))
+            if (key == "seeds") sseedPatches += p else ssnapPatches += p
+          }
+        case _ =>
+      }
       doc.get("sources") match {
         case Some(ss: java.util.List[_]) =>
           for (s <- ss.asScala) {
@@ -950,7 +997,8 @@ object ProjectLoader {
           }
         case _ =>
       }
-      SchemaOut(snodes.toSeq, spatches, sversions, ssrcPatches.toSeq)
+      SchemaOut(snodes.toSeq, spatches, sversions, ssrcPatches.toSeq,
+        sseedPatches, ssnapPatches)
     }
     // A schema yml's parse is pure content → SchemaOut (no out-of-file
     // context), so ctx is empty: editing one yml reparses exactly that
@@ -961,6 +1009,8 @@ object ProjectLoader {
       modelPatches ++= out.patches
       modelVersions ++= out.versions
       sourcePatches ++= out.sourcePatches
+      seedPatches ++= out.seedPatches
+      snapshotPatches ++= out.snapshotPatches
     }
 
     // ---- model .sql files
@@ -1090,11 +1140,34 @@ object ProjectLoader {
 
     // ---- seeds
     for (f <- listFiles(root.resolve("seeds"), ".csv")) {
-      checkResourceName(stripExt(f), "seed")
-      nodes += cachedAs(f, stableStr(seedQuoteColumns)) { csv =>
-        SeedNode(name = stripExt(f), csv = csv,
-          config = NodeConfig(materialized = "seed"), originPath = relPath(f),
-          quoteColumns = seedQuoteColumns)
+      val sname = stripExt(f)
+      checkResourceName(sname, "seed")
+      // `seeds:` yml patch (reference SeedParser property path):
+      // config (column_types/delimiter/quote_columns/hooks/tags/…) +
+      // column tests. The patch slice joins the A31 cache context so
+      // editing the yml reparses exactly this seed.
+      val patch = seedPatches.getOrElse(sname,
+        (Nil, Nil, Map.empty[String, String], ""))
+      val (patchCols, patchTests, patchKw, _) = patch
+      nodes ++= cachedAs(f, stableStr((seedQuoteColumns, patch))) { csv =>
+        val cfg = configFromKwargs(patchKw).copy(materialized = "seed")
+        // column_types is a dict-valued config — "col=type;col2=type2"
+        // after stringify (same convention as grants/persist_docs)
+        val colTypes = patchKw.get("column_types").map(_.split(";").toSeq
+          .filter(_.contains("=")).map { kv =>
+            val Array(k, v) = kv.split("=", 2); k.trim -> v.trim
+          }.toMap).getOrElse(Map.empty[String, String])
+        val seedNode = SeedNode(name = sname, csv = csv,
+          delimiter = patchKw.getOrElse("delimiter", ","),
+          columnTypes = colTypes,
+          config = cfg,
+          originPath = relPath(f),
+          quoteColumns = patchKw.get("quote_columns").map(_.toBoolean)
+            .orElse(seedQuoteColumns))
+        val tests = patchCols.flatMap(c =>
+          c.tests.map(t => buildGenericTest(sname, Some(c.name), t))) ++
+          patchTests.map(t => buildGenericTest(sname, None, t))
+        (Seq[Node](seedNode) ++ tests).toList
       }
     }
 
@@ -1105,12 +1178,21 @@ object ProjectLoader {
     val snapshotBlockRe =
       """(?s)\{%-?\s*snapshot\s+(\w+)\s*-?%\}(.*?)\{%-?\s*endsnapshot\s*-?%\}""".r
     for (f <- listFiles(root.resolve("snapshots"), ".sql")) {
-      nodes ++= cachedAs(f, "") { fileRaw =>
+      // block names are only known after the parse, so the cache ctx
+      // carries ALL snapshot patches (editing a snapshots: yml entry
+      // reparses the snapshot files — they are few)
+      nodes ++= cachedAs(f, stableStr(snapshotPatches)) { fileRaw =>
         val blocks = snapshotBlockRe.findAllMatchIn(fileRaw)
           .map(m => m.group(1) -> m.group(2).trim).toSeq
         val entries = if (blocks.nonEmpty) blocks else Seq(stripExt(f) -> fileRaw)
         (for ((snapName, raw) <- entries) yield {
-          val (kwargs, _) = Template.extractConfig(raw)
+          // `snapshots:` yml patch merges UNDER the in-file config
+          // (yml < config block, the model cascade rule)
+          val (patchCols, patchTests, patchKw, _) =
+            snapshotPatches.getOrElse(snapName,
+              (Nil, Nil, Map.empty[String, String], ""))
+          val (fileKw, _) = Template.extractConfig(raw)
+          val kwargs = patchKw ++ fileKw
           val strategy = kwargs.getOrElse("strategy", "timestamp") match {
             case "timestamp" => TimestampStrategy(kwargs("updated_at"))
             case "check" =>
@@ -1121,15 +1203,34 @@ object ProjectLoader {
             // custom-strategy shape, simple_snapshot/fixtures.py:66-85)
             case other => CustomStrategy(other, kwargs)
           }
-          SnapshotNode(
+          val snap: Node = SnapshotNode(
             name = snapName, rawSql = raw,
             uniqueKey = kwargs.getOrElse("unique_key", "id").split(",").map(_.trim).toSeq,
             strategy = strategy,
             invalidateHardDeletes = kwargs.get("invalidate_hard_deletes").exists(_.toBoolean),
+            config = configFromKwargs(kwargs).copy(materialized = "snapshot"),
             refs = Template.extractRefs(raw), sources = Template.extractSources(raw),
-            originPath = relPath(f)): Node
-        }).toList
+            originPath = relPath(f))
+          Seq(snap) ++ patchCols.flatMap(c =>
+            c.tests.map(t => buildGenericTest(snapName, Some(c.name), t))) ++
+            patchTests.map(t => buildGenericTest(snapName, None, t))
+        }).flatten.toList
       }
+    }
+
+    // I058 NoNodeForYamlKey for seeds:/snapshots: entries naming no
+    // file/block (same reference warning as the models: path)
+    locally {
+      val seedNames = nodes.collect { case s: SeedNode => s.name }.toSet
+      val snapNames = nodes.collect { case s: SnapshotNode => s.name }.toSet
+      for (p <- seedPatches.keys.toSeq.sorted if !seedNames.contains(p))
+        parseWarnings.get() += (("no_node_for_yaml_key", "I058",
+          s"Did not find matching seed file for patch '$p' in a " +
+            "schema.yml — the entry is ignored."))
+      for (p <- snapshotPatches.keys.toSeq.sorted if !snapNames.contains(p))
+        parseWarnings.get() += (("no_node_for_yaml_key", "I058",
+          s"Did not find matching snapshot for patch '$p' in a " +
+            "schema.yml — the entry is ignored."))
     }
 
     // ---- analyses: compiled, never executed (reference NodeType.Analysis)

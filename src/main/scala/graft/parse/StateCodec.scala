@@ -25,7 +25,7 @@ import java.io.{DataInputStream, DataOutputStream, IOException}
 private[parse] object StateCodec {
 
   /** File magic + codec version; bumped with PartialParse.Format. */
-  val Magic: Int = 0x47465434 // "GFT4"
+  val Magic: Int = 0x47465435 // "GFT5" (SchemaOut grew seed/snapshot patches)
 
   /** The closed instantiation universe: every case class that can
     * appear in a cached parse result. Unlisted names fail decode. */

@@ -3610,6 +3610,96 @@ object Framework {
         catch { case e: Throwable
           if String.valueOf(e.getMessage).contains("NotARealEvent") => "rejected" }))
       rows.toSeq.toDF("check_name", "result").orderBy("check_name")
+    },
+
+    // A26 context surface completion (reference providers.py context
+    // members): relation VALUES from ref()/this (BaseRelation attribute
+    // surface — identifier/schema/database), the `model` and `graph`
+    // dicts, invocation_args_dict, sql_now, defer_relation,
+    // store_raw_result/load_result in a run-operation,
+    // try_or_compiler_error, and adapter.get_relation's found/missing
+    // split. All rendered INTO table contents so the oracle pins them.
+    QueryDef(
+      "m55_context_surface",
+      """SELECT * FROM (VALUES
+        |  ('adapter_rel', 'found=1,missing=1,nodefer=1'),
+        |  ('ctx_model', 'ctx_probe|table|default|current_timestamp()'),
+        |  ('graph_models', 'adapter_probe,ctx_probe,rel_probe'),
+        |  ('store_load', 'hello:3'),
+        |  ('this_attrs', 'rel_probe|default|1|src'),
+        |  ('try_ok', '42')
+        |) AS t(check_name, result)
+        |ORDER BY check_name""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val root = java.nio.file.Files.createTempDirectory("m55_proj")
+      scratchDirs.add(root.toFile)
+      def write(rel: String, content: String): Unit = {
+        val p = root.resolve(rel)
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.writeString(p, content): Unit
+      }
+      write("dbt_project.yml", "name: m55\n")
+      write("seeds/src.csv", "id,amount\n1,100\n2,200\n")
+      write("models/rel_probe.sql",
+        "{{ config(materialized='table') }}\n" +
+          "SELECT '{{ this.identifier }}' AS self_id, " +
+          "'{{ this.schema }}' AS self_schema, " +
+          "{% if this.database is none %}1{% else %}0{% endif %} AS db_none, " +
+          "'{{ ref('src').identifier }}' AS src_id " +
+          "FROM {{ ref('src') }} LIMIT 1")
+      write("models/ctx_probe.sql",
+        "{{ config(materialized='table') }}\n" +
+          "SELECT '{{ model.name }}' AS m_name, " +
+          "'{{ model.config.materialized }}' AS m_mat, " +
+          "'{{ invocation_args_dict.target }}' AS tgt, " +
+          "'{{ sql_now }}' AS now_fn")
+      write("models/adapter_probe.sql",
+        "{{ config(materialized='table') }}\n" +
+          "{% set r = adapter.get_relation(database=none, schema=none, identifier='src') %}\n" +
+          "{% set r2 = adapter.get_relation(database=none, schema=none, identifier='no_such_rel') %}\n" +
+          "SELECT {% if r is not none %}1{% else %}0{% endif %} AS found, " +
+          "{% if r2 is none %}1{% else %}0{% endif %} AS missing, " +
+          "{% if defer_relation is none %}1{% else %}0{% endif %} AS nodefer " +
+          "FROM {{ ref('src') }} LIMIT 1")
+      write("macros/ops.sql",
+        """{% macro twice(x) %}{{ return(x * 2) }}{% endmacro %}
+          |{% macro graph_scan() %}
+          |{% set names = [] %}
+          |{% for n in graph.nodes.values() %}{% if n.resource_type == 'model' %}{% do names.append(n.name) %}{% endif %}{% endfor %}
+          |SELECT '{{ names | sort | join(",") }}' AS model_names
+          |{% endmacro %}
+          |{% macro store_load_probe() %}
+          |{% do store_raw_result('x', message='hello', code='OK', rows_affected='3') %}
+          |SELECT '{{ load_result("x").message }}:{{ load_result("x").rows_affected }}' AS sr
+          |{% endmacro %}
+          |{% macro try_probe() %}
+          |SELECT {{ try_or_compiler_error('should not fire', twice, 21) }} AS tv
+          |{% endmacro %}
+          |""".stripMargin)
+      val whRoot = scratch()
+      val eng = Engine.fromProject(s, root.toString, whRoot)
+      val results = eng.build()
+      require(results.forall(r => r.status == "success" || r.status == "pass"),
+        s"m55 build failed: ${results.filterNot(r =>
+          r.status == "success" || r.status == "pass").mkString("; ")}")
+      val rows = scala.collection.mutable.ArrayBuffer[(String, String)]()
+      val wh = new Engine(s, Manifest(Map.empty), whRoot).wh
+      val rp = wh.read("rel_probe").collect()(0)
+      rows += (("this_attrs",
+        s"${rp.getString(0)}|${rp.getString(1)}|${rp.getInt(2)}|${rp.getString(3)}"))
+      val cp = wh.read("ctx_probe").collect()(0)
+      rows += (("ctx_model",
+        s"${cp.getString(0)}|${cp.getString(1)}|${cp.getString(2)}|${cp.getString(3)}"))
+      val ap = wh.read("adapter_probe").collect()(0)
+      rows += (("adapter_rel",
+        s"found=${ap.getInt(0)},missing=${ap.getInt(1)},nodefer=${ap.getInt(2)}"))
+      rows += (("graph_models",
+        eng.runOperation("graph_scan").head.collect()(0).getString(0)))
+      rows += (("store_load",
+        eng.runOperation("store_load_probe").head.collect()(0).getString(0)))
+      rows += (("try_ok",
+        String.valueOf(eng.runOperation("try_probe").head.collect()(0).get(0))))
+      rows.toSeq.toDF("check_name", "result").orderBy("check_name")
     }
   )
 }

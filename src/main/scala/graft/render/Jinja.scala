@@ -77,6 +77,18 @@ object Jinja {
   /** A callable bound by the renderer itself (`super()` inside an
     * overridden block); invoking it runs the closure. */
   final case class JThunk(f: () => JV) extends JV
+  /** A first-class RELATION value — what `ref()`/`source()`/`this`
+    * resolve to (reference BaseRelation,
+    * `core/dbt/adapters/base/relation.py`; the spark adapter's
+    * include-policy has `database=False`, so `.database` is none).
+    * `show()` renders the engine's flat physical name, byte-identical
+    * to the plain string these resolved to before, so every template
+    * that merely interpolates `{{ this }}` / `{{ ref('x') }}` is
+    * unchanged; the value additionally answers the attribute/method
+    * surface real macros use (`this.schema`, `ref('x').identifier`,
+    * `rel.include(schema=false)`, …). */
+  final case class JRel(identifier: String, schema: String,
+      typ: Option[String] = None) extends JV
 
   /** `{{ return(v) }}` inside a macro body — non-local exit carrying a
     * VALUE (so macros can return lists, not just text), caught at the
@@ -107,6 +119,7 @@ object Jinja {
     case n: JN => show(n)
     case JB(b) => if (b) "true" else "false"
     case JNull | JUndef(_) => "null"
+    case JRel(id, _, _) => jsonQuote(id)
     case JL(xs) => xs.map(toJsonString(_, sortKeys)).mkString("[", ", ", "]")
     case JM(m) =>
       (if (sortKeys) m.toSeq.sortBy(_._1) else m.toSeq)
@@ -139,6 +152,7 @@ object Jinja {
 
   private def toJava(v: JV, sortKeys: Boolean): Object = v match {
     case JS(s) => s
+    case JRel(id, _, _) => id
     case JN(n, true) =>
       if (n.isValidLong) java.lang.Long.valueOf(n.toLong) else n.toBigInt.bigInteger
     case JN(n, false) => java.lang.Double.valueOf(n.toDouble)
@@ -219,6 +233,7 @@ object Jinja {
     case JNs(a) =>
       a.toSeq.sortBy(_._1).map { case (k, v2) => s"$k: ${show(v2)}" }
         .mkString("<namespace ", ", ", ">")
+    case JRel(id, _, _) => id
     case JNull => ""
     case JUndef(_) => ""
     case jm: JMacro => s"<macro ${jm.m.name}>"
@@ -239,6 +254,7 @@ object Jinja {
     case JNull | JUndef(_) => false
     case _: JMacro => true
     case JThunk(_) => true
+    case _: JRel => true // python Relation objects are truthy
     case JNs(_) => true // python objects are truthy
   }
 
@@ -994,8 +1010,16 @@ object Jinja {
                 val (pos, kw) = parseArgs()
                 v = invokeMacro(jm, pos, kw)
               case None =>
-                val (args, _) = parseArgs()
-                v = methodCall(v, name, args)
+                v match {
+                  case r: JRel =>
+                    // relation METHODS take kwargs (incorporate(type=…),
+                    // include(schema=false), replace_path(identifier=…))
+                    val (pos, kw) = parseArgs()
+                    v = relMethod(r, name, pos, kw)
+                  case _ =>
+                    val (args, _) = parseArgs()
+                    v = methodCall(v, name, args)
+                }
             }
           } else v = attr(v, name)
         } else if (peek == '[') {
@@ -1025,6 +1049,19 @@ object Jinja {
     }
 
     private def attr(v: JV, name: String): JV = v match {
+      // BaseRelation attribute surface (reference relation.py): the
+      // spark adapter's include-policy has database=False, so
+      // `.database` is none, exactly like dbt-spark.
+      case JRel(id, schema, typ) => name match {
+        case "identifier" | "name" | "table" => JS(id)
+        case "schema" => if (schema.isEmpty) JNull else JS(schema)
+        case "database" => JNull
+        case "type" => typ.map(JS(_)).getOrElse(JNull)
+        case "is_table" => JB(typ.contains("table"))
+        case "is_view" => JB(typ.contains("view"))
+        case "is_cte" => JB(typ.contains("cte"))
+        case other => fail(s"no attribute `$other` on relation $id")
+      }
       case JM(m) => m.getOrElse(name,
         fail(s"no attribute `$name` on ${show(v)}"))
       case JNs(a) => a.getOrElse(name,
@@ -1033,7 +1070,33 @@ object Jinja {
       case _ => fail(s"no attribute `$name` on ${show(v)}")
     }
 
+    /** BaseRelation method surface (reference relation.py). On flat
+      * single-namespace storage, `include`/`exclude`/`quote` policies
+      * cannot change the rendered name, so they return the relation
+      * unchanged — matching what dbt-spark's database-less policy does
+      * for the database flag specifically.
+      */
+    private def relMethod(r: JRel, name: String, pos: Seq[JV],
+        kw: Map[String, JV]): JV = name match {
+      case "render" => JS(r.identifier)
+      case "include" | "exclude" | "quote" => r
+      case "incorporate" =>
+        kw.get("type").map(t => r.copy(typ = Some(str(t)))).getOrElse(r)
+      case "replace_path" =>
+        JRel(
+          kw.get("identifier").map(str).getOrElse(r.identifier),
+          kw.get("schema").map(str).getOrElse(r.schema),
+          r.typ)
+      case "without_identifier" => r.copy(identifier = "")
+      case "get" =>
+        val k = str(pos.head)
+        scala.util.Try(attr(r, k)).getOrElse(
+          pos.lift(1).orElse(kw.get("default")).getOrElse(JNull))
+      case other => fail(s"relation ${r.identifier} has no method `$other`")
+    }
+
     private def index(v: JV, idx: JV): JV = (v, idx) match {
+      case (r: JRel, key) => attr(r, show(key))
       case (JL(xs), JN(n, _)) =>
         val k = n.toInt
         val kk = if (k < 0) xs.length + k else k
@@ -1156,10 +1219,10 @@ object Jinja {
           if (name == "adapter" && peek == '.') {
             i += 1
             val m = word()
-            val (pos, _) = parseArgs()
+            val (pos, kw) = parseArgs()
             val api = ctx.adapterApi.getOrElse(throw new IllegalArgumentException(
               s"adapter.$m is not available in this render context"))
-            return api(m, pos)
+            return api(m, pos, kw)
           }
           // exceptions.raise_compiler_error / exceptions.warn
           if (name == "exceptions" && peek == '.') {
@@ -1211,12 +1274,27 @@ object Jinja {
       case "true" | "True" => JB(true)
       case "false" | "False" => JB(false)
       case "none" | "None" | "null" => JNull
-      case "this" => JS(ctx.thisRelation)
+      case "this" => ctx.relationFor(ctx.thisRelation)
       // render IS the execute phase here (no separate parse render);
       // reference `execute` context flag
       case "execute" => JB(true)
       // `thread_id` contextproperty (reference base.py:614-617)
       case "thread_id" => JS(Thread.currentThread().getName)
+      // `sql_now` contextproperty (reference providers.py:1369-1370 —
+      // adapter.date_function(); dbt-spark's is current_timestamp())
+      case "sql_now" => JS("current_timestamp()")
+      // `env` contextproperty — an alias for the target dict
+      // (reference providers.py:1225-1226 `def env: return self.target`)
+      case "env" => resolveName("target")
+      // `dbt_metadata_envs` (reference providers.py:851-852 →
+      // get_metadata_vars(): env vars with the DBT_ENV_CUSTOM_ENV_
+      // prefix, keyed by suffix). Unit-test env overrides shadow the
+      // process environment, same as env_var.
+      case "dbt_metadata_envs" =>
+        val pref = "DBT_ENV_CUSTOM_ENV_"
+        JM((sys.env ++ ctx.envOverrides).collect {
+          case (k, v) if k.startsWith(pref) => k.drop(pref.length) -> (JS(v): JV)
+        })
       // `flags` contextproperty (reference base.py:655-668): typed
       // booleans — a string "false" would be truthy in `{% if %}`
       case "flags" =>
@@ -1235,7 +1313,19 @@ object Jinja {
             "date" -> (JM(Map("__module" -> (JS("datetime.date"): JV))): JV)))))
       case _ =>
         scope.lookup(name)
+          // engine-installed rich values: graph, model,
+          // invocation_args_dict, defer_relation … — forced here when
+          // the engine installed them as thunks (lazy: building the
+          // graph dict must not happen per render, only per access)
+          .orElse(ctx.typedValues.get(name).map {
+            case JThunk(f) => f()
+            case v => v
+          })
           .orElse(ctx.builtins.get(name).map(JS(_)))
+          // macros are template-level names in Jinja2 — a bare
+          // reference yields the macro OBJECT (what
+          // `try_or_compiler_error('…', my_macro)` passes along)
+          .orElse(ctx.macroResolver(name).map(JMacro(_)))
           .getOrElse {
             // dotted builtins ("target.name") surface as a dict
             val pref = name + "."
@@ -1258,9 +1348,9 @@ object Jinja {
           val base = if (pos.length == 2) str(pos(1)) else str(pos.head)
           val pinned = kw.get("v").orElse(kw.get("version"))
             .map(v => s"$base.v${str(v)}").getOrElse(base)
-          JS(ctx.resolveRef(pinned))
+          ctx.relationFor(ctx.resolveRef(pinned))
         case "source" =>
-          JS(ctx.resolveSource(str(pos.head), str(pos(1))))
+          ctx.relationFor(ctx.resolveSource(str(pos.head), str(pos(1))))
         case "var" =>
           ctx.vars.get(str(pos.head)).map(JS(_))
             .orElse(pos.lift(1).orElse(kw.get("default")))
@@ -1287,6 +1377,54 @@ object Jinja {
               .getOrElse(throw new IllegalArgumentException(
                 s"env_var $k is undefined"))
         case "is_incremental" => JB(ctx.isIncremental)
+        // reference providers.py:948-954: call the function value, and
+        // on ANY exception re-raise as a compiler error carrying the
+        // caller's message
+        case "try_or_compiler_error" =>
+          val msg = str(pos.head)
+          val rest = pos.drop(2)
+          try pos(1) match {
+            case jm: JMacro => invokeMacro(jm, rest, kw - "message_if_exception")
+            case JThunk(f) => f()
+            case other => throw new IllegalArgumentException(
+              s"try_or_compiler_error: not callable: ${show(other)}")
+          } catch {
+            case mr: MacroReturn => throw mr // return() is control flow, not failure
+            case _: Exception =>
+              throw new IllegalArgumentException(s"compiler error: $msg")
+          }
+        // reference providers.py:869-911 store_result/store_raw_result:
+        // write a result slot the same render (or a post-hook) can
+        // load_result(). store_raw_result's extra fields ride along.
+        case "store_result" | "store_raw_result" =>
+          val sink = ctx.resultSink.getOrElse(throw new IllegalArgumentException(
+            s"$name is not available in this render context"))
+          val slot = str(pos.head)
+          def field(k: String, at: Int): Option[(String, String)] =
+            kw.get(k).orElse(pos.lift(at)).filter(_ != JNull).map(v => k -> str(v))
+          val fields = Map("status" -> "SUCCESS") ++
+            (if (name == "store_raw_result")
+              field("message", 1) ++ field("code", 2) ++ field("rows_affected", 3)
+            else field("response", 1).map { case (_, v) => "message" -> v })
+          sink(slot, fields)
+          JS("")
+        // reference providers.py:957-969: seed contexts only — the
+        // engine installs the parsed seed rows; anywhere else is the
+        // reference's LoadAgateTableNotSeedError
+        case "load_agate_table" =>
+          ctx.typedValues.getOrElse("__agate_table",
+            throw new IllegalArgumentException(
+              "can only load_agate_table for seeds (this context is not a seed)")) match {
+            case JThunk(f) => f()
+            case v => v
+          }
+        // deprecated in v0.18 in favor of adapter.dispatch — the
+        // reference raises unconditionally (providers.py:1373-1382)
+        case "adapter_macro" =>
+          throw new IllegalArgumentException(
+            "The \"adapter_macro\" macro has been deprecated. Instead, use " +
+              "the `adapter.dispatch` method to find a macro and call the " +
+              s"result. adapter_macro was called for: ${pos.headOption.map(str).getOrElse("")}")
         case "local_md5" =>
           JS(java.security.MessageDigest.getInstance("MD5")
             .digest(str(pos.head).getBytes("UTF-8")).map("%02x".format(_)).mkString)
@@ -1304,7 +1442,9 @@ object Jinja {
           JS("")
         case "load_result" =>
           val slot = str(pos.head)
-          ctx.results.get(slot) match {
+          // live slots first — a store_result in the SAME render must
+          // be loadable (reference sql_results is one mutable dict)
+          ctx.resultLookup.flatMap(f => f(slot)).orElse(ctx.results.get(slot)) match {
             case Some(fields) => JM(fields.map { case (k, v) => k -> (JS(v): JV) })
             case None => throw new IllegalArgumentException(
               s"load_result('$slot'): no such result slot")

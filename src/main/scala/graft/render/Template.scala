@@ -348,7 +348,7 @@ object Template {
         * handled by the engine grammar itself; everything else lands
         * here. None = no adapter metadata available.
         */
-      adapterApi: Option[(String, Seq[Jinja.JV]) => Jinja.JV] = None,
+      adapterApi: Option[(String, Seq[Jinja.JV], Map[String, Jinja.JV]) => Jinja.JV] = None,
       /** `{% include %}` / `{% extends %}` source loader: relative
         * template path → source text. The engine installs a
         * project-dir-rooted file loader; None = inheritance/include
@@ -359,7 +359,33 @@ object Template {
         * TYPED, because `{% if flags.FULL_REFRESH %}` must see a real
         * boolean; merged over the defaults the renderer provides.
         */
-      flags: Map[String, Jinja.JV] = Map.empty)
+      flags: Map[String, Jinja.JV] = Map.empty,
+      /** Rich context values resolved by bare name after locals and
+        * before string builtins — `graph`, `model`,
+        * `invocation_args_dict`, `defer_relation`, the seed context's
+        * agate table (reference providers.py contextproperties). The
+        * engine installs them; empty in parse-only contexts.
+        */
+      typedValues: Map[String, Jinja.JV] = Map.empty,
+      /** Wraps a resolved flat relation name into the typed relation
+        * value `ref`/`source`/`this` yield (reference: resolvers
+        * return BaseRelation objects, providers.py:498-583). Default
+        * keeps plain strings, so contexts built without an engine
+        * (unit specs, parse-only renders) behave exactly as before.
+        */
+      relationFor: String => Jinja.JV = Jinja.JS(_),
+      /** `store_result`/`store_raw_result` sink: (slot, fields) →
+        * persisted into the node's result registry so a later
+        * `load_result` in the SAME render (or a post-hook) sees it
+        * (reference providers.py:869-911). None = context members
+        * unavailable (parse-only contexts).
+        */
+      resultSink: Option[(String, Map[String, String]) => Unit] = None,
+      /** Live result-slot lookup consulted by `load_result` BEFORE the
+        * `results` snapshot — a slot stored mid-render via
+        * `store_result` must be loadable in the same render.
+        */
+      resultLookup: Option[String => Option[Map[String, String]]] = None)
 
   /** Render a model body to executable Spark SQL — the full block
     * engine ([[Jinja]]): nested if/for, general expressions, filters,

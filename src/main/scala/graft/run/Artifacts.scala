@@ -27,6 +27,16 @@ object Artifacts {
     fields.map { case (k, v) => s"${q(k)}: $v" }.mkString("{", ", ", "}")
   private def arr(items: Seq[String]): String = items.mkString("[", ", ", "]")
 
+  /** `metadata.env` on every artifact (reference
+    * `core/dbt/artifacts/schemas/base.py:60` BaseArtifactMetadata.env →
+    * get_metadata_vars): the DBT_ENV_CUSTOM_ENV_-prefixed environment,
+    * keyed by suffix — the run-annotation channel orchestration tools
+    * read back out of manifests.
+    */
+  private def metadataEnv: String = obj(
+    sys.env.toSeq.filter(_._1.startsWith("DBT_ENV_CUSTOM_ENV_")).sortBy(_._1)
+      .map { case (k, v) => k.stripPrefix("DBT_ENV_CUSTOM_ENV_") -> q(v) })
+
   def writeRunResults(
       path: String,
       results: Seq[Materializer.Result],
@@ -58,7 +68,8 @@ object Artifacts {
       "metadata" -> obj(Seq(
         "dbt_schema_version" -> q("https://schemas.getdbt.com/dbt/run-results/v6.json"),
         "generated_at" -> q(generatedAt.toInstant.toString),
-        "invocation_id" -> q(invocationId))),
+        "invocation_id" -> q(invocationId),
+        "env" -> metadataEnv)),
       "results" -> arr(items),
       "elapsed_time" -> results.map(_.elapsedSec).sum.toString,
       "args" -> obj(Nil)))
@@ -296,7 +307,8 @@ object Artifacts {
         "generated_at" -> q(generatedAt.toInstant.toString),
         "invocation_id" -> q(invocationId),
         "project_name" -> q("graft"),
-        "adapter_type" -> q("spark"))),
+        "adapter_type" -> q("spark"),
+        "env" -> metadataEnv)),
       "nodes" -> obj(execNodes.map { case (id, n) => id -> nodeJson(n) }),
       "sources" -> obj(section("source").map {
         case (id, s: SourceNode) => id -> sourceJson(s)
@@ -595,7 +607,8 @@ object Artifacts {
     val doc = obj(Seq(
       "metadata" -> obj(Seq(
         "dbt_schema_version" -> q("https://schemas.getdbt.com/dbt/catalog/v1.json"),
-        "generated_at" -> q(generatedAt.toInstant.toString))),
+        "generated_at" -> q(generatedAt.toInstant.toString),
+        "env" -> metadataEnv)),
       "nodes" -> obj(nodes),
       "sources" -> obj(Nil),
       "errors" -> "null"))
@@ -639,7 +652,8 @@ object Artifacts {
       "metadata" -> obj(Seq(
         "dbt_schema_version" -> q("https://schemas.getdbt.com/dbt/sources/v3.json"),
         "generated_at" -> q(generatedAt.toInstant.toString),
-        "invocation_id" -> q(invocationId))),
+        "invocation_id" -> q(invocationId),
+        "env" -> metadataEnv)),
       "results" -> arr(items),
       "elapsed_time" -> "0.0"))
     write(path, doc)

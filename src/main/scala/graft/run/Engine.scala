@@ -212,7 +212,16 @@ final class Engine(
       thisRelation: String = "",
       isIncremental: Boolean = false,
       results: Map[String, Map[String, String]] = Map.empty,
-      callerPackage: String = "graft"): Template.Context =
+      callerPackage: String = "graft",
+      /** The node being rendered, when there is one — drives the
+        * `model` / `defer_relation` context values and the seed
+        * context's `load_agate_table` (reference providers.py
+        * contextproperties on the node context). */
+      node: Option[Node] = None,
+      /** Result-registry id for `store_result`/`store_raw_result` and
+        * live `load_result` in this render (A27). None = read-only
+        * snapshot semantics, as before. */
+      resultsNodeId: Option[String] = None): Template.Context =
     Template.Context(resolveRef, resolveSource, thisRelation, vars,
       isIncremental, builtins = contextBuiltins, results = results,
       macroResolver = macroResolverFor(callerPackage),
@@ -220,7 +229,152 @@ final class Engine(
       adapterApi = Some(adapterCall),
       templateLoader = Some(loadTemplateFile),
       flags = Map(
-        "FULL_REFRESH" -> graft.render.Jinja.JB(currentFullRefresh)))
+        "FULL_REFRESH" -> graft.render.Jinja.JB(currentFullRefresh)),
+      typedValues = {
+        import graft.render.Jinja._
+        // THUNKED: the renderer forces these only on name access.
+        // Eager values here recurse — graphJV → nodeDictJV →
+        // relationName → (generate_*_name override render) →
+        // renderContext → graphJV, a StackOverflow.
+        Map[String, JV](
+          "graph" -> JThunk(() => graphJV),
+          // reference providers.py:1432-1434 — the ids selected by the
+          // in-flight invocation (selected_resources.SELECTED_RESOURCES)
+          "selected_resources" -> JThunk(() =>
+            jlist(selectedResources.toSeq.sorted.map(JS(_)))),
+          "invocation_args_dict" -> JThunk(() => JM(Map(
+            "which" -> JS("run"),
+            "full_refresh" -> JB(currentFullRefresh),
+            "profile" -> JS(contextBuiltins("target.profile_name")),
+            "target" -> JS(contextBuiltins("target.name")),
+            "threads" -> jint(contextBuiltins("target.threads").toLong))))) ++
+          node.map(n => "model" -> JThunk(() => nodeDictJV(n))) ++
+          node.map(n => "defer_relation" -> JThunk(() => deferRelationJV(n))) ++
+          node.collect { case s: SeedNode =>
+            "__agate_table" -> JThunk(() => agateTableJV(s)) }
+      },
+      relationFor = relationJV,
+      resultSink = resultsNodeId.map(id =>
+        (slot, fields) => storeResult(id, slot, fields)),
+      resultLookup = resultsNodeId.map(id =>
+        slot => Option(resultSlots.get(id)).flatMap(_.get(slot))))
+
+  /** Wrap a resolved flat relation name into the typed relation value
+    * templates see — `ref()`/`source()`/`this` yield BaseRelation
+    * objects in the reference (providers.py:498-583), so
+    * `this.schema` / `ref('x').identifier` must answer. Empty names
+    * (parse-only `this`) stay plain strings so `{% if this %}` keeps
+    * its falsy-empty behavior; `--empty` inline subqueries are SQL
+    * text, not relations.
+    */
+  def relationJV(name: String): graft.render.Jinja.JV = {
+    import graft.render.Jinja._
+    if (name.isEmpty || name.startsWith("(")) JS(name)
+    else if (name.startsWith("__dbt__cte__")) JRel(name, "", Some("cte"))
+    else JRel(name, contextBuiltins("target.schema"),
+      if (!wh.exists(name)) None
+      else Some(if (wh.isView(name)) "view" else "table"))
+  }
+
+  /** `model` context value — the node's dict (reference
+    * `self.model.to_dict()`, providers.py ModelContext.model). The
+    * fields real macros read: identity, config, tags, depends_on.
+    */
+  private def nodeDictJV(n: Node): graft.render.Jinja.JV = {
+    import graft.render.Jinja._
+    val cfg = n.config
+    JM(Map[String, JV](
+      "name" -> JS(n.name),
+      "unique_id" -> JS(n.uniqueId),
+      "resource_type" -> JS(n.resourceType),
+      "package_name" -> JS(n.packageName),
+      "alias" -> JS(relationName(n)),
+      "schema" -> JS(cfg.schema.getOrElse(contextBuiltins("target.schema"))),
+      "database" -> JNull,
+      "original_file_path" -> JS(n match {
+        case m: ModelNode => m.originPath
+        case s: SeedNode => s.originPath
+        case s: SnapshotNode => s.originPath
+        case t: TestNode => t.originPath
+        case p: PythonModelNode => p.originPath
+        case _ => ""
+      }),
+      "description" -> JS(n match {
+        case m: ModelNode => m.description
+        case _ => ""
+      }),
+      "tags" -> jlist(cfg.tags.toSeq.sorted.map(JS(_))),
+      "depends_on" -> JM(Map("nodes" -> jlist(n.dependsOn.map(JS(_))))),
+      "config" -> JM(Map[String, JV](
+        "materialized" -> JS(cfg.materialized),
+        "enabled" -> JB(cfg.enabled),
+        "alias" -> cfg.alias.map(JS(_): JV).getOrElse(JNull),
+        "schema" -> cfg.schema.map(JS(_): JV).getOrElse(JNull),
+        "tags" -> jlist(cfg.tags.toSeq.sorted.map(JS(_))),
+        "meta" -> JM(cfg.meta.map { case (k, v) => k -> (JS(v): JV) }),
+        "unique_key" -> jlist(cfg.uniqueKey.map(JS(_))),
+        "full_refresh" -> JB(cfg.fullRefresh)))))
+  }
+
+  /** `graph` context value (reference providers.py:1229-1320 —
+    * `manifest.flat_graph`): node id → node dict, for the codegen /
+    * run-operation idiom `{% for n in graph.nodes.values() %}`.
+    * Built once per engine (the manifest is immutable here).
+    */
+  lazy val graphJV: graft.render.Jinja.JV = {
+    import graft.render.Jinja._
+    def bucket(p: Node => Boolean): JV =
+      JM(manifest.nodes.collect {
+        case (id, n) if p(n) => id -> nodeDictJV(n)
+      })
+    val special = Set("source", "exposure", "metric", "semantic_model",
+      "saved_query", "group")
+    JM(Map(
+      "nodes" -> bucket(n => !special(n.resourceType)),
+      "sources" -> bucket(_.resourceType == "source"),
+      "exposures" -> bucket(_.resourceType == "exposure"),
+      "metrics" -> bucket(_.resourceType == "metric"),
+      "groups" -> bucket(_.resourceType == "group")))
+  }
+
+  /** `defer_relation` context value (reference providers.py:1565-1576):
+    * the production relation for THIS node from the --state/--defer
+    * source, or none when not deferring / not present there.
+    */
+  private def deferRelationJV(n: Node): graft.render.Jinja.JV = {
+    import graft.render.Jinja._
+    deferEngine match {
+      case Some(de) =>
+        val r = de.relationName(n)
+        if (de.wh.exists(r)) JRel(r, "", Some(if (de.wh.isView(r)) "view" else "table"))
+        else JNull
+      case None => deferArtifact.flatMap { case (rels, swh) =>
+        rels.get(n.uniqueId).filter(swh.exists)
+          .map(sr => JRel(sr, "", None): JV)
+      }.getOrElse(JNull)
+    }
+  }
+
+  /** `load_agate_table()` payload for seed contexts (reference
+    * providers.py:957-969): the parsed seed rows as a table value —
+    * `column_names` plus `rows` of per-column dicts, the shape macros
+    * iterate.
+    */
+  private def agateTableJV(s: SeedNode): graft.render.Jinja.JV = {
+    import graft.render.Jinja._
+    val lines = s.csv.split("\n").toSeq.map(_.stripSuffix("\r")).filter(_.nonEmpty)
+    val sep = java.util.regex.Pattern.quote(s.delimiter)
+    val header = lines.headOption.map(_.split(sep, -1).toSeq).getOrElse(Nil)
+    val rows = lines.drop(1).map { ln =>
+      val cells = ln.split(sep, -1).toSeq
+      JM(header.zipWithIndex.map { case (h, ix) =>
+        h -> (cells.lift(ix).map(JS(_): JV).getOrElse(JNull))
+      }.toMap): JV
+    }
+    JM(Map(
+      "column_names" -> jlist(header.map(JS(_))),
+      "rows" -> jlist(rows)))
+  }
 
   /** Project-dir-rooted loader for `{% include %}`/`{% extends %}`;
     * rejects path escapes.
@@ -239,23 +393,64 @@ final class Engine(
     * expose name/column/dtype, matching what dbt_utils-style macros
     * (`star`, `pivot`) read.
     */
-  private def adapterCall(method: String, args: Seq[graft.render.Jinja.JV]): graft.render.Jinja.JV = {
+  private def adapterCall(method: String, args: Seq[graft.render.Jinja.JV],
+      kw: Map[String, graft.render.Jinja.JV]): graft.render.Jinja.JV = {
     import graft.render.Jinja._
+    def relSchema(rel: String): org.apache.spark.sql.types.StructType =
+      if (wh.exists(rel)) wh.read(rel).schema else spark.table(rel).schema
+    def colDicts(rel: String): Seq[JV] =
+      relSchema(rel).fields.toSeq.map(f =>
+        JM(Map(
+          "name" -> JS(f.name), "column" -> JS(f.name),
+          "dtype" -> JS(f.dataType.simpleString),
+          "data_type" -> JS(f.dataType.simpleString),
+          "quoted" -> JS(s"`${f.name}`"))))
     method match {
       case "get_columns_in_relation" =>
-        val rel = graft.render.Jinja.show(args.head)
-        jlist(spark.table(rel).schema.fields.toSeq.map(f =>
-          JM(Map(
-            "name" -> JS(f.name), "column" -> JS(f.name),
-            "dtype" -> JS(f.dataType.simpleString),
-            "data_type" -> JS(f.dataType.simpleString),
-            "quoted" -> JS(s"`${f.name}`")))))
+        jlist(colDicts(graft.render.Jinja.show(args.head)))
       case "quote" =>
         // quoting.identifier=false: pass the name through unquoted
         // (reference column_quoting config surface)
         val raw = graft.render.Jinja.show(args.head)
         JS(if (quoting.getOrElse("identifier", true)) s"`$raw`" else raw)
       case "type" => JS("spark")
+      // reference BaseAdapter.get_relation(database, schema,
+      // identifier) / load_relation(relation): the cached-relation
+      // probe custom materializations open with. Flat namespace here —
+      // the identifier IS the physical name; database/schema operands
+      // cannot disambiguate further.
+      case "get_relation" =>
+        val name = kw.get("identifier").map(graft.render.Jinja.show)
+          .getOrElse(graft.render.Jinja.show(args.last))
+        if (wh.exists(name)) relationJV(name) else JNull
+      case "load_relation" =>
+        val name = kw.get("relation").map(graft.render.Jinja.show).getOrElse(graft.render.Jinja.show(args.head))
+        if (wh.exists(name)) relationJV(name) else JNull
+      // single-namespace warehouse: every schema "exists", and schema
+      // create/drop are no-ops (reference spark adapter treats schemas
+      // as namespaces too)
+      case "check_schema_exists" => JB(true)
+      case "create_schema" | "drop_schema" => JS("")
+      case "list_relations_without_caching" =>
+        jlist(wh.list.map(relationJV))
+      case "drop_relation" =>
+        val name = kw.get("relation").map(graft.render.Jinja.show).getOrElse(graft.render.Jinja.show(args.head))
+        if (wh.exists(name)) wh.drop(name)
+        JS("")
+      // reference BaseAdapter.get_missing_columns(from, to): columns
+      // in FROM absent from TO — the on_schema_change macro idiom
+      case "get_missing_columns" =>
+        val from = graft.render.Jinja.show(args.head)
+        val to = graft.render.Jinja.show(args(1))
+        val have = relSchema(to).fieldNames.toSet
+        jlist(colDicts(from).filter {
+          case JM(m) => !have(graft.render.Jinja.show(m("name")))
+          case _ => false
+        })
+      // type widening is a warehouse concern the parquet write path
+      // already handles (alignSchemas); the reference macro call is a
+      // legal no-op here
+      case "expand_target_column_types" | "expand_column_types" => JS("")
       case other =>
         throw new IllegalArgumentException(s"adapter.$other is not implemented")
     }
@@ -473,7 +668,7 @@ final class Engine(
           val cteName = s"__dbt__cte__$name"
           if (!ephemeralDeps.contains(cteName)) {
             ephemeralDeps(cteName) = "" // reserve slot (cycle-safe ordering)
-            ephemeralDeps(cteName) = renderBody(m.rawSql, relationName(m))
+            ephemeralDeps(cteName) = renderBody(m.rawSql, relationName(m), m)
           }
           cteName
         case Some(n) =>
@@ -499,10 +694,10 @@ final class Engine(
         case None => throw new IllegalArgumentException(s"unresolved source: $s.$t")
       }
 
-    def renderBody(sql: String, thisRel: String): String =
+    def renderBody(sql: String, thisRel: String, forNode: Node = node): String =
       Template.render(sql,
         renderContext(resolveRef, resolveSource, thisRel, isIncremental,
-          callerPackage = node.packageName))
+          callerPackage = node.packageName, node = Some(forNode)))
 
     val body = renderBody(raw, relationName(node))
     spliceCtes(body, ephemeralDeps.toSeq)
@@ -712,8 +907,28 @@ final class Engine(
     futures.foreach(_.get())
     pool.shutdown()
     pool.awaitTermination(60, TimeUnit.SECONDS)
-    // on-run-end hooks (reference `task/run.py:442-463`)
-    runHooks(runEndHooks)
+    // on-run-end hooks (reference `task/run.py:442-463`) — the context
+    // binds `results`: one dict per executed node (status/message/
+    // execution_time/node.unique_id), the audit-table upload idiom
+    locally {
+      import graft.render.Jinja._
+      val rs = results.asScala.toSeq
+      runHooks(runEndHooks, extra = Map(
+        "results" -> jlist(rs.map(r => JM(Map[String, JV](
+          "status" -> JS(r.status),
+          "message" -> JS(r.message),
+          "execution_time" -> JN(BigDecimal(r.elapsedSec), isInt = false),
+          "thread_id" -> JS("main"),
+          "adapter_response" ->
+            (if (r.rowsAffected >= 0)
+              JM(Map("rows_affected" -> (jint(r.rowsAffected): JV)))
+            else JM(Map.empty[String, JV])),
+          "node" -> JM(Map[String, JV](
+            "unique_id" -> JS(r.uniqueId),
+            "name" -> JS(manifest.nodes.values
+              .find(_.uniqueId == r.uniqueId).map(_.name)
+              .getOrElse(r.uniqueId.split('.').last))))))))))
+    }
     val out = results.asScala.toSeq
     // reference end-of-run block: Z021/Z024 one line per warn/error
     // result, Z030 EndOfRunSummary, Z023 StatsLine
@@ -759,21 +974,21 @@ final class Engine(
     */
   private def runNode(node: Node, fullRefreshFlag: Boolean): Materializer.Result = node match {
     case sm: ScalaModelNode =>
-      runHooks(sm.config.preHook)
+      runHooks(sm.config.preHook, forNode = Some(sm))
       ScalaModel.run(this, sm)
-      runHooks(sm.config.postHook)
+      runHooks(sm.config.postHook, forNode = Some(sm))
       Materializer.Result(sm.uniqueId, "success",
         rowsAffected = if (wh.exists(relationName(sm)))
           wh.rowCount(relationName(sm)) else -1L)
     case pm: PythonModelNode =>
-      runHooks(pm.config.preHook)
+      runHooks(pm.config.preHook, forNode = Some(pm))
       PythonModel.run(this, pm,
         fullRefresh = fullRefreshFlag || pm.config.fullRefresh)
-      runHooks(pm.config.postHook)
+      runHooks(pm.config.postHook, forNode = Some(pm))
       Materializer.Result(pm.uniqueId, "success",
         rowsAffected = wh.rowCount(relationName(pm)))
     case m: ModelNode =>
-      runHooks(m.config.preHook)
+      runHooks(m.config.preHook, forNode = Some(m))
       if (m.config.contractEnforced)
         Materializer.enforceContract(
           spark.sql(compile(m)), relationName(m), m.columns)
@@ -849,25 +1064,34 @@ final class Engine(
             else Map.empty)
       }
       runHooks(m.config.postHook,
-        Option(resultSlots.get(m.uniqueId)).getOrElse(Map.empty))
+        Option(resultSlots.get(m.uniqueId)).getOrElse(Map.empty),
+        forNode = Some(m))
       Materializer.Result(m.uniqueId, "success", rowsAffected = rows)
     case s: SeedNode =>
       // reference Q004 SeedHeader: the per-seed banner line
       EventLog.info("seed_header", "code" -> "Q004",
         "header" -> s"seed file ${s.originPath} -> ${relationName(s)}")
+      runHooks(s.config.preHook, forNode = Some(s))
       Materializer.seed(wh, s, relationName(s))
       val rows = wh.rowCount(relationName(s))
       storeResult(s.uniqueId, "main", Map("status" -> "SUCCESS",
         "relation" -> relationName(s),
         "rows_affected" -> rows.toString))
+      runHooks(s.config.postHook,
+        Option(resultSlots.get(s.uniqueId)).getOrElse(Map.empty),
+        forNode = Some(s))
       Materializer.Result(s.uniqueId, "success", rowsAffected = rows)
     case s: SnapshotNode =>
+      runHooks(s.config.preHook, forNode = Some(s))
       Materializer.snapshot(wh, relationName(s), compile(s),
         s.uniqueKey, resolveSnapshotStrategy(s), s.invalidateHardDeletes, clock)
       val rows = wh.rowCount(relationName(s))
       storeResult(s.uniqueId, "main", Map("status" -> "SUCCESS",
         "relation" -> relationName(s),
         "rows_affected" -> rows.toString))
+      runHooks(s.config.postHook,
+        Option(resultSlots.get(s.uniqueId)).getOrElse(Map.empty),
+        forNode = Some(s))
       Materializer.Result(s.uniqueId, "success", rowsAffected = rows)
     case t: TestNode =>
       val (raw, failures) = Materializer.runTest(wh, t.copy(rawSql = compile(t)))
@@ -1003,7 +1227,8 @@ final class Engine(
     var nStatements = 0
     Template.segmentMacroBody(bound).foreach {
       case Template.CallStatement(slot, fetch, sql) =>
-        val df = spark.sql(Template.render(sql, renderContext(results = opResults)))
+        val df = spark.sql(Template.render(sql, renderContext(results = opResults,
+          resultsNodeId = Some(opId))))
         nStatements += 1
         val fields = Map("status" -> "SUCCESS") ++ (if (fetch) {
           val rows = df.limit(10001).collect()
@@ -1014,7 +1239,8 @@ final class Engine(
         storeResult(opId, slot, fields)
         out += df
       case Template.SqlText(sql) =>
-        val rendered = Template.render(sql, renderContext(results = opResults))
+        val rendered = Template.render(sql, renderContext(results = opResults,
+          resultsNodeId = Some(opId)))
         val stmts = rendered.split(";").map(_.trim).filter(_.nonEmpty)
         nStatements += stmts.length
         out ++= stmts.map(spark.sql)
@@ -1043,7 +1269,8 @@ final class Engine(
       Option(resultSlots.get(m.uniqueId)).getOrElse(Map.empty)
     def ctx = {
       val base = renderContext(thisRelation = rel, results = matResults,
-        callerPackage = m.packageName)
+        callerPackage = m.packageName, node = Some(m),
+        resultsNodeId = Some(m.uniqueId))
       base.copy(builtins = base.builtins ++
         Map("sql" -> compiled, "model.name" -> m.name,
           "model.alias" -> rel, "model.schema" -> "") ++
@@ -1062,14 +1289,33 @@ final class Engine(
     }
   }
 
+  /** Node-level hooks render with the NODE's context (reference
+    * `context/providers.py` hook compilation: `this`, `model`,
+    * `target` are all in scope) — `GRANT … ON {{ this }}` /
+    * `ANALYZE TABLE {{ this }}` is the canonical post-hook idiom.
+    * on-run-start/end hooks pass no node (no `this` there, same as
+    * the reference).
+    */
   private def runHooks(hooks: Seq[String],
-      results: Map[String, Map[String, String]] = Map.empty): Unit =
+      results: Map[String, Map[String, String]] = Map.empty,
+      forNode: Option[Node] = None,
+      /** Extra context values for this hook batch — the on-run-end
+        * `results` list (reference task/run.py:442-463 safe_run_hooks
+        * context). */
+      extra: Map[String, graft.render.Jinja.JV] = Map.empty): Unit =
     hooks.zipWithIndex.foreach { case (h, i) =>
       // reference Q032/Q033 hook lines (LogHookStartLine/EndLine)
       val t0 = System.nanoTime()
       EventLog.info("log_hook_start_line", "code" -> "Q032",
         "statement" -> h.take(60), "index" -> (i + 1), "total" -> hooks.size)
-      spark.sql(Template.render(h, renderContext(results = results)))
+      val baseCtx = renderContext(results = results,
+        thisRelation = forNode.map(relationName).getOrElse(""),
+        node = forNode,
+        callerPackage = forNode.map(_.packageName).getOrElse("graft"),
+        resultsNodeId = forNode.map(_.uniqueId))
+      spark.sql(Template.render(h,
+        if (extra.isEmpty) baseCtx
+        else baseCtx.copy(typedValues = baseCtx.typedValues ++ extra)))
       EventLog.info("log_hook_end_line", "code" -> "Q033",
         "statement" -> h.take(60), "status" -> "OK",
         "index" -> (i + 1), "total" -> hooks.size,

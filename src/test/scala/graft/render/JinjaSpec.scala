@@ -442,11 +442,11 @@ class JinjaSpec extends AnyFunSuite {
         |{%- endfor -%}
         |{{ return(include_cols | join(', ')) }}
         |{% endmacro %}""".stripMargin
-    val fakeAdapter: (String, Seq[Jinja.JV]) => Jinja.JV = {
-      case ("get_columns_in_relation", Seq(Jinja.JS("rel_stg"))) =>
+    val fakeAdapter: (String, Seq[Jinja.JV], Map[String, Jinja.JV]) => Jinja.JV = {
+      case ("get_columns_in_relation", Seq(rel), _) if Jinja.show(rel) == "rel_stg" =>
         Jinja.jlist(Seq("Id", "Name", "Secret").map(n =>
           Jinja.JM(Map("column" -> Jinja.JS(n), "name" -> Jinja.JS(n)))))
-      case (m, a) => fail(s"unexpected adapter call $m($a)")
+      case (m, a, k) => fail(s"unexpected adapter call $m($a, $k)")
     }
     val c = ctxWith(macros(starDefs)).copy(adapterApi = Some(fakeAdapter))
     assert(Template.render(
@@ -802,5 +802,138 @@ class JinjaSpec extends AnyFunSuite {
       "{{ set([true, 1, 1.0, 2]) | list }}", ctx) === "[true, 2]")
     assert(Template.render(
       """{{ set(["true", true]) | list }}""", ctx) === "[true, true]")
+  }
+
+  // --- relation values (reference BaseRelation, relation.py) ---
+
+  private val relCtx = ctx.copy(relationFor = n =>
+    if (n.isEmpty) Jinja.JS("")
+    else Jinja.JRel(n, "main_schema",
+      if (n == "rel_built") Some("table") else None))
+
+  test("ref/source/this yield relation values; interpolation unchanged") {
+    assert(Template.render(
+      "SELECT * FROM {{ ref('a') }} JOIN {{ source('s', 't') }} ON 1=1",
+      relCtx) === "SELECT * FROM rel_a JOIN src_s_t ON 1=1")
+    assert(Template.render("{{ this }}", relCtx) === "this_table")
+  }
+
+  test("relation attributes: identifier/schema/database/type/is_table") {
+    assert(Template.render("{{ ref('a').identifier }}", relCtx) === "rel_a")
+    assert(Template.render("{{ this.schema }}", relCtx) === "main_schema")
+    // spark include-policy: database is none → renders empty, is none
+    assert(Template.render(
+      "{% if this.database is none %}nodb{% endif %}", relCtx) === "nodb")
+    assert(Template.render("{{ ref('built').type }}", relCtx) === "table")
+    assert(Template.render(
+      "{% if ref('built').is_table %}t{% endif %}", relCtx) === "t")
+    assert(Template.render(
+      "{% if not ref('a').is_view %}notview{% endif %}", relCtx) === "notview")
+  }
+
+  test("relation methods: render/include/incorporate/replace_path/get") {
+    assert(Template.render("{{ this.render() }}", relCtx) === "this_table")
+    assert(Template.render(
+      "{{ this.include(database=false) }}", relCtx) === "this_table")
+    assert(Template.render(
+      "{{ ref('a').incorporate(type='view').type }}", relCtx) === "view")
+    assert(Template.render(
+      "{{ this.replace_path(identifier='other').identifier }}", relCtx)
+      === "other")
+    assert(Template.render(
+      "{{ this.get('schema') }}", relCtx) === "main_schema")
+    assert(Template.render(
+      "{{ this.get('nope', 'fallback') }}", relCtx) === "fallback")
+  }
+
+  test("relation values compare and concatenate like their rendered name") {
+    assert(Template.render(
+      "{% if ref('a') == 'rel_a' %}eq{% endif %}", relCtx) === "eq")
+    assert(Template.render("{{ ref('a') ~ '__bak' }}", relCtx) === "rel_a__bak")
+    // set-held relation keeps the attribute surface
+    assert(Template.render(
+      "{% set r = ref('built') %}{{ r.identifier }}:{{ r.type }}", relCtx)
+      === "rel_built:table")
+  }
+
+  // --- new context members (providers.py) ---
+
+  test("try_or_compiler_error: success passes through, failure rewraps") {
+    val ms = macros(
+      "{% macro ok(x) %}{{ return(x * 2) }}{% endmacro %}",
+      "{% macro boom() %}{{ 1 // 0 }}{% endmacro %}")
+    val c = ctxWith(ms)
+    assert(Template.render(
+      "{% set m = ok %}{{ try_or_compiler_error('nope', m, 21) }}", c) === "42")
+    val e = intercept[IllegalArgumentException](Template.render(
+      "{% set m = boom %}{{ try_or_compiler_error('custom msg', m) }}", c))
+    assert(e.getMessage.contains("custom msg"))
+  }
+
+  test("store_result/store_raw_result write through the sink; load_result sees them live") {
+    val slots = scala.collection.mutable.Map[String, Map[String, String]]()
+    val c = ctx.copy(
+      resultSink = Some((slot, fields) => slots(slot) = fields),
+      resultLookup = Some(slots.get))
+    assert(Template.render(
+      "{% do store_raw_result('probe', message='done', code='OK', rows_affected='7') %}" +
+        "{{ load_result('probe').rows_affected }}", c) === "7")
+    assert(slots("probe")("message") === "done")
+    assert(slots("probe")("status") === "SUCCESS")
+    // plain store_result: second positional is the response message
+    assert(Template.render(
+      "{% do store_result('r2', 'all good') %}{{ load_result('r2').message }}",
+      c) === "all good")
+  }
+
+  test("store_result without a sink is a loud error (parse-only contexts)") {
+    val e = intercept[IllegalArgumentException](
+      Template.render("{% do store_result('x', 'm') %}", ctx))
+    assert(e.getMessage.contains("not available"))
+  }
+
+  test("sql_now / adapter_macro / dbt_metadata_envs") {
+    assert(Template.render("{{ sql_now }}", ctx) === "current_timestamp()")
+    val e = intercept[IllegalArgumentException](
+      Template.render("{{ adapter_macro('x') }}", ctx))
+    assert(e.getMessage.contains("deprecated"))
+    assert(e.getMessage.contains("adapter.dispatch"))
+    val c = ctx.copy(envOverrides = Map(
+      "DBT_ENV_CUSTOM_ENV_team" -> "data", "PLAIN" -> "no"))
+    assert(Template.render("{{ dbt_metadata_envs.team }}", c) === "data")
+    assert(Template.render(
+      "{% if 'PLAIN' not in dbt_metadata_envs %}clean{% endif %}", c) === "clean")
+  }
+
+  test("typedValues resolve by bare name after locals, before builtins") {
+    val c = ctx.copy(
+      typedValues = Map(
+        "model" -> Jinja.JM(Map(
+          "name" -> Jinja.JS("my_model"),
+          "config" -> Jinja.JM(Map("materialized" -> Jinja.JS("table"))))),
+        "defer_relation" -> Jinja.JNull),
+      builtins = Map("model" -> "SHADOWED"))
+    assert(Template.render("{{ model.name }}", c) === "my_model")
+    assert(Template.render("{{ model.config.materialized }}", c) === "table")
+    assert(Template.render(
+      "{% if defer_relation is none %}nodefer{% endif %}", c) === "nodefer")
+    // a local set still wins over the typed value
+    assert(Template.render(
+      "{% set model = 'local' %}{{ model }}", c) === "local")
+  }
+
+  test("load_agate_table: seed contexts only; rows iterate as dicts") {
+    val e = intercept[IllegalArgumentException](
+      Template.render("{{ load_agate_table() }}", ctx))
+    assert(e.getMessage.contains("seed"))
+    val c = ctx.copy(typedValues = Map("__agate_table" -> Jinja.JM(Map(
+      "column_names" -> Jinja.jlist(Seq(Jinja.JS("id"), Jinja.JS("v"))),
+      "rows" -> Jinja.jlist(Seq(
+        Jinja.JM(Map("id" -> Jinja.JS("1"), "v" -> Jinja.JS("a"))),
+        Jinja.JM(Map("id" -> Jinja.JS("2"), "v" -> Jinja.JS("b")))))))))
+    assert(Template.render(
+      "{% set t = load_agate_table() %}" +
+        "{{ t.column_names | join(',') }}:" +
+        "{% for r in t.rows %}{{ r.v }}{% endfor %}", c) === "id,v:ab")
   }
 }

@@ -1220,4 +1220,104 @@ class EngineSpec extends SparkSpec {
       assert(m.containsKey("event") && m.containsKey("level") && m.containsKey("ts"))
     }
   }
+
+  test("node hooks render with the node context: this/model resolve; seeds+snapshots run hooks") {
+    // the canonical post-hook idiom is `GRANT … ON {{ this }}` — here
+    // the hook materializes what it saw so the assertion can read it
+    val proj = Map(
+      "dbt_project.yml" -> "name: hooks\n",
+      "seeds/src.csv" -> "id,v\n1,a\n2,b\n",
+      "seeds/seeds.yml" ->
+        """seeds:
+          |  - name: src
+          |    config:
+          |      post_hook: "CREATE OR REPLACE TEMP VIEW seed_hook_probe AS SELECT '{{ this }}' AS rel"
+          |""".stripMargin,
+      "models/m1.sql" ->
+        """{{ config(materialized='table',
+          |   post_hook="CREATE OR REPLACE TEMP VIEW model_hook_probe AS SELECT '{{ this }}' AS rel, '{{ model.name }}' AS nm, '{{ this.schema }}' AS sch") }}
+          |SELECT * FROM {{ ref('src') }}""".stripMargin)
+    val eng = Engine.fromProject(spark, writeProject(proj), tmpDir("wh"))
+    val results = eng.run(threads = 1)
+    assert(results.forall(_.status == "success"),
+      results.filterNot(_.status == "success").mkString("; "))
+    val mh = spark.table("model_hook_probe").collect()(0)
+    assert(mh.getString(0) === "m1")
+    assert(mh.getString(1) === "m1")
+    assert(mh.getString(2) === "default")
+    assert(spark.table("seed_hook_probe").collect()(0).getString(0) === "src")
+  }
+
+  test("seed/snapshot yml properties: column_types, delimiter, column tests, snapshot strategy from yml") {
+    val proj = Map(
+      "dbt_project.yml" -> "name: seedyml\n",
+      // delimiter ';' and an empty pop cell (row 2) -> NULL after cast
+      "seeds/typed.csv" -> "id;pop;area\n1;100;2.5\n2;;3.5\n",
+      "seeds/seeds.yml" ->
+        """seeds:
+          |  - name: typed
+          |    config:
+          |      delimiter: ";"
+          |      column_types:
+          |        pop: bigint
+          |    columns:
+          |      - name: id
+          |        tests: [unique, not_null]
+          |      - name: pop
+          |        tests: [not_null]
+          |""".stripMargin,
+      // the snapshot block itself carries NO config — strategy,
+      // unique_key and updated_at all come from the snapshots: yml
+      "snapshots/snap.sql" ->
+        "{% snapshot snap_rows %}SELECT 1 AS id, TIMESTAMP '2000-01-01' AS upd{% endsnapshot %}",
+      "snapshots/snapshots.yml" ->
+        """snapshots:
+          |  - name: snap_rows
+          |    config:
+          |      strategy: timestamp
+          |      unique_key: id
+          |      updated_at: upd
+          |""".stripMargin)
+    val whRoot = tmpDir("wh")
+    val eng = Engine.fromProject(spark, writeProject(proj), whRoot)
+    val results = eng.build()
+    def statusOf(id: String): String =
+      results.find(_.uniqueId == id).map(_.status).getOrElse("missing")
+    assert(statusOf("seed.graft.typed") === "success")
+    assert(statusOf("snapshot.graft.snap_rows") === "success")
+    // read through a FRESH engine: build() materializes via its inner
+    // engine, so recovery-from-disk is the read path (the m-gate idiom)
+    val wh = new Engine(spark, graft.core.Manifest(Map.empty), whRoot).wh
+    // column_types applied: pop is bigint, empty cell -> null
+    val typed = wh.read("typed")
+    assert(typed.schema("pop").dataType === org.apache.spark.sql.types.LongType)
+    // yml column tests became test nodes: id tests pass, pop not_null fails
+    assert(statusOf("test.graft.unique_typed_id") === "pass")
+    assert(statusOf("test.graft.not_null_typed_id") === "pass")
+    assert(statusOf("test.graft.not_null_typed_pop") === "fail")
+    // snapshot table exists with SCD2 columns
+    val snap = wh.read("snap_rows")
+    assert(snap.columns.contains("dbt_valid_from"))
+    assert(snap.count() === 1)
+  }
+
+  test("on-run-end hooks see the results list; selected_resources resolves") {
+    val proj = Map(
+      "dbt_project.yml" ->
+        """name: runend
+          |on-run-end:
+          |  - "CREATE OR REPLACE TEMP VIEW run_end_probe AS SELECT {{ results | length }} AS n, '{% for r in results %}{{ r.node.name }}:{{ r.status }};{% endfor %}' AS summary, {{ selected_resources | length }} AS n_sel"
+          |""".stripMargin,
+      "models/a.sql" -> "SELECT 1 AS x",
+      "models/b.sql" -> "SELECT 2 AS y")
+    val eng = Engine.fromProject(spark, writeProject(proj), tmpDir("wh"))
+    val results = eng.run(threads = 1)
+    assert(results.count(_.status == "success") === 2)
+    val probe = spark.table("run_end_probe").collect()(0)
+    assert(probe.getInt(0) === 2)
+    val summary = probe.getString(1)
+    assert(summary.contains("a:success;"))
+    assert(summary.contains("b:success;"))
+    assert(probe.getInt(2) === 2)
+  }
 }
