@@ -1233,6 +1233,11 @@ object Jinja {
               case "raise_compiler_error" =>
                 throw new IllegalArgumentException(
                   s"compiler error: ${pos.headOption.map(str).getOrElse("")}")
+              case "raise_not_implemented" =>
+                // reference exceptions.raise_not_implemented (wrapped
+                // NotImplementedError) — the adapter-macro stub idiom
+                throw new UnsupportedOperationException(
+                  s"not implemented: ${pos.headOption.map(str).getOrElse("")}")
               case "warn" =>
                 // reference I061 JinjaLogWarning (exceptions.warn)
                 graft.run.EventLog.warn("jinja_log_warning", "code" -> "I061",
@@ -1377,6 +1382,10 @@ object Jinja {
               .getOrElse(throw new IllegalArgumentException(
                 s"env_var $k is undefined"))
         case "is_incremental" => JB(ctx.isIncremental)
+        // reference providers.py:944-945: render a STRING through the
+        // current context — the "jinja in a var/config value" idiom
+        case "render" if pos.nonEmpty =>
+          JS(Jinja.render(str(pos.head), ctx))
         // reference providers.py:948-954: call the function value, and
         // on ANY exception re-raise as a compiler error carrying the
         // caller's message

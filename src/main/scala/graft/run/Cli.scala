@@ -389,6 +389,12 @@ object Cli {
       if (results.exists(r => r.status == "error" || r.status == "fail")) sys.exit(1)
     }
 
+    // reference flags.WHICH / invocation_args_dict.which: the task name
+    engine.currentWhich = command match {
+      case "ls" => "list"
+      case "freshness" => "source-freshness"
+      case c => c
+    }
     command match {
       case "run" => report(inState(engine.run(select, exclude, threads,
         fullRefresh = opts.contains("full-refresh"),

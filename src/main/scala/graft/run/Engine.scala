@@ -206,6 +206,12 @@ final class Engine(
     */
   @volatile private var currentFullRefresh = false
 
+  /** The in-flight task name — `flags.WHICH` /
+    * `invocation_args_dict.which` (reference base.py flags property;
+    * Cli sets it, programmatic callers keep the "run" default).
+    */
+  @volatile var currentWhich: String = "run"
+
   def renderContext(
       resolveRef: String => String = defaultRefResolver,
       resolveSource: (String, String) => String = defaultSourceResolver,
@@ -229,7 +235,8 @@ final class Engine(
       adapterApi = Some(adapterCall),
       templateLoader = Some(loadTemplateFile),
       flags = Map(
-        "FULL_REFRESH" -> graft.render.Jinja.JB(currentFullRefresh)),
+        "FULL_REFRESH" -> graft.render.Jinja.JB(currentFullRefresh),
+        "WHICH" -> graft.render.Jinja.JS(currentWhich)),
       typedValues = {
         import graft.render.Jinja._
         // THUNKED: the renderer forces these only on name access.
@@ -243,7 +250,7 @@ final class Engine(
           "selected_resources" -> JThunk(() =>
             jlist(selectedResources.toSeq.sorted.map(JS(_)))),
           "invocation_args_dict" -> JThunk(() => JM(Map(
-            "which" -> JS("run"),
+            "which" -> JS(currentWhich),
             "full_refresh" -> JB(currentFullRefresh),
             "profile" -> JS(contextBuiltins("target.profile_name")),
             "target" -> JS(contextBuiltins("target.name")),

@@ -103,6 +103,41 @@ class PartialParseSpec extends AnyFunSuite {
     assert(p.manifest === cold.manifest)
   }
 
+  test("editing a seeds:/snapshots: yml entry reparses the seed/snapshot, not the models") {
+    val dir = mkProject()
+    Files.writeString(dir.resolve("seeds/seeds.yml"),
+      """seeds:
+        |  - name: s1
+        |    config:
+        |      column_types:
+        |        a: bigint
+        |""".stripMargin)
+    val p0 = load(dir)
+    assert(p0.manifest.seeds.values.find(_.name == "s1")
+      .map(_.columnTypes).contains(Map("a" -> "bigint")))
+    // widen the cast — the yml patch is part of the seed file's cache
+    // context, so a content-only cache must NOT serve the stale seed
+    Files.writeString(dir.resolve("seeds/seeds.yml"),
+      """seeds:
+        |  - name: s1
+        |    config:
+        |      column_types:
+        |        a: double
+        |""".stripMargin)
+    val p = load(dir)
+    val st = stats(p)
+    assert(st.changed === Seq("seeds/seeds.yml"))
+    assert(p.manifest.seeds.values.find(_.name == "s1")
+      .map(_.columnTypes).contains(Map("a" -> "double")))
+    // the seed reparsed; the model files replayed from state (yml +
+    // seed csv (+ snapshot file: its ctx carries ALL snapshot patches))
+    assert(st.parsed <= 3, s"expected yml+seed(+snapshot) only, got ${st.parsed}")
+    // byte-identical to a cold parse of the same tree
+    Files.delete(dir.resolve("target/partial_parse.bin"))
+    val cold = load(dir)
+    assert(p.manifest === cold.manifest)
+  }
+
   test("adding and deleting files is reported and reflected") {
     val dir = mkProject()
     load(dir)

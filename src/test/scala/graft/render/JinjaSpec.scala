@@ -922,6 +922,17 @@ class JinjaSpec extends AnyFunSuite {
       "{% set model = 'local' %}{{ model }}", c) === "local")
   }
 
+  test("render(): re-renders a string through the current context") {
+    // jinja-in-a-string must arrive via a variable — a `{{ … }}`
+    // literal inline would be cut at the first `}}` by the lexer,
+    // exactly like Jinja2's
+    assert(Template.render(
+      """{% set s = "{{ ref('a') }}" %}{{ render(s) }}""", ctx) === "rel_a")
+    assert(Template.render(
+      """{% set s = "{{ var('start') }}-end" %}{{ render(s) }}""",
+      ctx) === "2020-01-01-end")
+  }
+
   test("load_agate_table: seed contexts only; rows iterate as dicts") {
     val e = intercept[IllegalArgumentException](
       Template.render("{{ load_agate_table() }}", ctx))
