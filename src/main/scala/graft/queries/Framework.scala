@@ -3700,6 +3700,92 @@ object Framework {
       rows += (("try_ok",
         String.valueOf(eng.runOperation("try_probe").head.collect()(0).get(0))))
       rows.toSeq.toDF("check_name", "result").orderBy("check_name")
+    },
+
+    // Cross-database `dbt.*` macro namespace (render/CrossDb — the
+    // adapters-package global macros real projects call; the reference
+    // resolves them through the internal `dbt` namespace after project
+    // macros). The fixture renders the whole surface into table
+    // CONTENTS so the oracle pins each expansion's VALUE, plus the
+    // dispatch-override rule: a project `spark__type_string` beats the
+    // builtin, and an unqualified call falls through to the builtin at
+    // lowest precedence.
+    QueryDef(
+      "m56_cross_db_macros",
+      """SELECT * FROM (VALUES
+        |  ('agg', 'lg=x|x|x,anyflag=true,n=3'),
+        |  ('except_rows', '1'),
+        |  ('override', 'varchar(99)|int'),
+        |  ('scalar1', '2020-01-04|31|abc|12|b|2020-01-01'),
+        |  ('scalar2', 'null|lo|3|bbb|5|2020-02-29'),
+        |  ('scalar3', '7694f4a66316e53c8cdd9d9954bd611d|lit|true')
+        |) AS t(check_name, result)
+        |ORDER BY check_name""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val root = java.nio.file.Files.createTempDirectory("m56_proj")
+      scratchDirs.add(root.toFile)
+      def write(rel: String, content: String): Unit = {
+        val p = root.resolve(rel)
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.writeString(p, content): Unit
+      }
+      write("dbt_project.yml", "name: m56\n")
+      write("seeds/src.csv", "id,v,flag\n1,x,true\n2,x,false\n3,x,false\n")
+      // a project-level spark__ macro must beat the builtin (dispatch
+      // order); the unqualified call resolves the builtin as fallback
+      write("macros/overrides.sql",
+        "{% macro spark__type_string() %}varchar(99){% endmacro %}")
+      write("models/xscalar.sql",
+        """{{ config(materialized='table') }}
+          |SELECT
+          |  cast({{ dbt.dateadd('day', 3, "DATE '2020-01-01'") }} as date) AS d_add,
+          |  {{ dbt.datediff("DATE '2020-01-01'", "DATE '2020-02-01'", 'day') }} AS d_diff,
+          |  {{ dbt.concat(["'a'", "'b'", "'c'"]) }} AS cc,
+          |  cast('12' as {{ dbt.type_bigint() }}) AS big,
+          |  {{ dbt.split_part("'a-b-c'", "'-'", 2) }} AS sp,
+          |  cast({{ dbt.date_trunc('month', "DATE '2020-01-15'") }} as date) AS mt,
+          |  {{ dbt.safe_cast("'oops'", dbt.type_int()) }} AS sc,
+          |  {{ dbt.right("'hello'", 2) }} AS r2,
+          |  {{ dbt.position("'ll'", "'hello'") }} AS pos,
+          |  {{ dbt.replace("'aaa'", "'a'", "'b'") }} AS rep,
+          |  {{ dbt.length("'hello'") }} AS len,
+          |  cast({{ dbt.last_day("DATE '2020-02-10'", 'month') }} as date) AS ld,
+          |  {{ dbt.hash("'q'") }} AS h,
+          |  {{ dbt.string_literal('lit') }} AS sl,
+          |  {{ dbt.cast("'1'", dbt.type_boolean()) }} AS casted""".stripMargin)
+      write("models/xagg.sql",
+        "{{ config(materialized='table') }}\n" +
+          "SELECT {{ dbt.listagg('v', \"'|'\") }} AS lg, " +
+          "{{ dbt.bool_or('flag') }} AS anyflag, count(*) AS n " +
+          "FROM {{ ref('src') }}")
+      write("models/xset.sql",
+        "{{ config(materialized='table') }}\n" +
+          "SELECT 1 AS k {{ dbt.except() }} SELECT 2 AS k")
+      write("models/xover.sql",
+        "{{ config(materialized='table') }}\n" +
+          "SELECT '{{ dbt.type_string() }}' AS overridden, " +
+          "'{{ type_int() }}' AS fallback")
+      val whRoot = scratch()
+      val eng = Engine.fromProject(s, root.toString, whRoot)
+      val results = eng.build()
+      require(results.forall(r => r.status == "success" || r.status == "pass"),
+        s"m56 build failed: ${results.filterNot(r =>
+          r.status == "success" || r.status == "pass").mkString("; ")}")
+      val wh = new Engine(s, Manifest(Map.empty), whRoot).wh
+      val rows = scala.collection.mutable.ArrayBuffer[(String, String)]()
+      val sc = wh.read("xscalar").collect()(0)
+      def v(i: Int): String = String.valueOf(sc.get(i))
+      rows += (("scalar1", (0 to 5).map(v).mkString("|")))
+      rows += (("scalar2", (6 to 11).map(v).mkString("|")))
+      rows += (("scalar3", (12 to 14).map(v).mkString("|")))
+      val ag = wh.read("xagg").collect()(0)
+      rows += (("agg",
+        s"lg=${ag.getString(0)},anyflag=${ag.getBoolean(1)},n=${ag.getLong(2)}"))
+      rows += (("except_rows",
+        wh.read("xset").collect().map(_.getInt(0)).mkString(",")))
+      val ov = wh.read("xover").collect()(0)
+      rows += (("override", s"${ov.getString(0)}|${ov.getString(1)}"))
+      rows.toSeq.toDF("check_name", "result").orderBy("check_name")
     }
   )
 }

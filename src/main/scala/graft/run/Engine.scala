@@ -496,9 +496,19 @@ final class Engine(
       if (name.contains(".")) {
         val Array(p, m) = name.split("\\.", 2)
         macrosByPackage.get(p).flatMap(_.get(m))
+          // the built-in `dbt.*` cross-database namespace (CrossDb).
+          // The reference's dbt.X macros dispatch, so a project-level
+          // spark__X / default__X override wins before the builtin.
+          .orElse(if (p == "dbt")
+            macros.get(s"spark__$m").orElse(macros.get(s"default__$m"))
+              .orElse(graft.render.CrossDb.macros.get(m))
+          else None)
       } else
         macrosByPackage.get(callerPackage).flatMap(_.get(name))
           .orElse(macros.get(name))
+          // unqualified fallback, lowest precedence: the reference's
+          // internal dbt namespace is searched after all user packages
+          .orElse(graft.render.CrossDb.macros.get(name))
 
   // ------------------------------------------------- A27 result registry
 
