@@ -23,6 +23,8 @@ object ProjectLoader {
   final case class Project(
       name: String,
       vars: Map[String, String],
+      /** list/dict `vars:` entries, typed (scalars live in [[vars]]). */
+      varsTyped: Map[String, graft.render.Jinja.JV] = Map.empty,
       manifest: Manifest,
       onRunStart: Seq[String] = Nil,
       onRunEnd: Seq[String] = Nil,
@@ -98,6 +100,7 @@ object ProjectLoader {
   private final case class RawProject(
       name: String,
       vars: Map[String, String],
+      varsTyped: Map[String, graft.render.Jinja.JV],
       nodes: Seq[Node],
       onRunStart: Seq[String],
       onRunEnd: Seq[String],
@@ -330,6 +333,8 @@ object ProjectLoader {
 
     val mergedVars = pkgRaws.map(_._2.vars).foldLeft(Map.empty[String, String])(_ ++ _) ++
       rootRaw.vars
+    val mergedVarsTyped = pkgRaws.map(_._2.varsTyped)
+      .foldLeft(Map.empty[String, graft.render.Jinja.JV])(_ ++ _) ++ rootRaw.varsTyped
 
     // docs blocks: per-package maps for precedence, flat map for export
     val docsByPackage = pkgRaws.map { case (pkg, raw) => pkg -> raw.docs }.toMap +
@@ -362,7 +367,7 @@ object ProjectLoader {
     validateSemanticManifest(unlinked)
     val manifest = link(unlinked).copy(selectors = rootRaw.selectors,
       macroSources = flatMacros.map { case (k, d) => k -> d.body })
-    Project(rootRaw.name, mergedVars, manifest,
+    Project(rootRaw.name, mergedVars, mergedVarsTyped, manifest,
       onRunStart = rootRaw.onRunStart, onRunEnd = rootRaw.onRunEnd,
       macros = flatMacros,
       macrosByPackage = pkgMacros + ("graft" -> rootRaw.macros),
@@ -595,10 +600,23 @@ object ProjectLoader {
           .map(_.asScala.toMap).getOrElse(Map.empty)
       else Map.empty
     val projName = projCfg.getOrElse("name", "graft").toString
-    val vars = projCfg.get("vars") match {
+    // scalar vars go to the STRING map (checked first, so CLI --vars
+    // and unit-test overrides shadow them); list/dict vars go to the
+    // TYPED map only — their previous `toString` form ("[a, b]") was
+    // garbage for `{% for r in var('regions') %}` anyway
+    val (vars, varsTyped) = projCfg.get("vars") match {
       case Some(m: java.util.Map[_, _]) =>
-        m.asScala.map { case (k, v) => k.toString -> v.toString }.toMap
-      case _ => Map.empty[String, String]
+        val entries = m.asScala.toSeq.map { case (k, v) => k.toString -> v }
+        (entries.collect {
+          case (k, v) if !v.isInstanceOf[java.util.Map[_, _]] &&
+            !v.isInstanceOf[java.util.List[_]] => k -> String.valueOf(v)
+        }.toMap,
+          entries.collect {
+            case (k, v) if v.isInstanceOf[java.util.Map[_, _]] ||
+              v.isInstanceOf[java.util.List[_]] =>
+              k -> graft.render.Jinja.fromAny(v)
+          }.toMap)
+      case _ => (Map.empty[String, String], Map.empty[String, graft.render.Jinja.JV])
     }
     // own tree (top +keys and own-name scope) < root-project scoping;
     // per-directory subtrees resolve per model file below
@@ -1316,7 +1334,7 @@ object ProjectLoader {
         case _ => Map.empty[String, SelectorDef]
       }
 
-    RawProject(projName, vars, nodes.toSeq,
+    RawProject(projName, vars, varsTyped, nodes.toSeq,
       onRunStart = hookList("on-run-start"), onRunEnd = hookList("on-run-end"),
       macros = macros, selectors = selectorDefs, docs = docs,
       sourcePatches = sourcePatches.toSeq, queryComment = queryComment,

@@ -196,6 +196,11 @@ object Jinja {
   def fromYamlValue(s: String): JV = fromJava(
     new org.yaml.snakeyaml.Yaml().load[Object](s))
 
+  /** Typed value from an already-loaded YAML/JSON object tree (the
+    * project loader's `vars:` entries — lists/dicts must survive into
+    * `{% for r in var('regions') %}`). */
+  def fromAny(o: Any): JV = fromJava(o)
+
   /** python `yaml.safe_dump(default_flow_style=False)` parity shape. */
   def toYamlString(v: JV, sortKeys: Boolean): String = {
     val opts = new org.yaml.snakeyaml.DumperOptions()
@@ -1224,6 +1229,45 @@ object Jinja {
               s"adapter.$m is not available in this render context"))
             return api(m, pos, kw)
           }
+          // api.Relation / api.Column factories (reference
+          // providers.py:1214-1222: {"Relation": db_wrapper.Relation,
+          // "Column": adapter.Column}) — the custom-materialization
+          // idiom `api.Relation.create(schema=…, identifier=…)`
+          if (name == "api" && peek == '.') {
+            i += 1
+            val member = word()
+            if (peek != '.') fail(s"api.$member: expected a method call")
+            i += 1
+            val meth = word()
+            val (pos, kw) = parseArgs()
+            (member, meth) match {
+              case ("Relation", "create") =>
+                return JRel(
+                  kw.get("identifier").map(str).getOrElse(
+                    pos.lift(2).map(str).getOrElse("")),
+                  kw.get("schema").map(str).getOrElse(
+                    pos.lift(1).map(str).getOrElse("")),
+                  kw.get("type").map(str))
+              case ("Column", "create") =>
+                val cn = pos.headOption.orElse(kw.get("name")).map(str)
+                  .getOrElse(fail("api.Column.create: name required"))
+                val ct = pos.lift(1).orElse(kw.get("label_or_dtype")).map(str)
+                  .getOrElse("string")
+                return JM(Map(
+                  "name" -> JS(cn), "column" -> JS(cn),
+                  "dtype" -> JS(ct), "data_type" -> JS(ct),
+                  "quoted" -> JS(s"`$cn`")))
+              case ("Column", "translate_type") =>
+                // reference Column.translate_type: generic → dialect
+                val t = str(pos.head).toLowerCase
+                return JS(Map(
+                  "string" -> "string", "text" -> "string",
+                  "integer" -> "int", "float" -> "double",
+                  "numeric" -> "decimal(28, 6)", "boolean" -> "boolean",
+                  "timestamp" -> "timestamp").getOrElse(t, t))
+              case other => fail(s"api.${other._1}.${other._2} is not implemented")
+            }
+          }
           // exceptions.raise_compiler_error / exceptions.warn
           if (name == "exceptions" && peek == '.') {
             i += 1
@@ -1357,7 +1401,10 @@ object Jinja {
         case "source" =>
           ctx.relationFor(ctx.resolveSource(str(pos.head), str(pos(1))))
         case "var" =>
+          // string map first (scalars + unit-test overrides), then the
+          // TYPED map (list/dict vars — `{% for r in var('regions') %}`)
           ctx.vars.get(str(pos.head)).map(JS(_))
+            .orElse(ctx.typedVars.get(str(pos.head)))
             .orElse(pos.lift(1).orElse(kw.get("default")))
             .getOrElse(throw new IllegalArgumentException(
               s"undefined var: ${str(pos.head)}"))

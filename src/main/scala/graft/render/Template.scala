@@ -385,7 +385,12 @@ object Template {
         * `results` snapshot — a slot stored mid-render via
         * `store_result` must be loadable in the same render.
         */
-      resultLookup: Option[String => Option[Map[String, String]]] = None)
+      resultLookup: Option[String => Option[Map[String, String]]] = None,
+      /** TYPED vars — list/dict `vars:` entries that must survive into
+        * `{% for r in var('regions') %}`. Scalars stay in the string
+        * `vars` map (checked first, so unit-test overrides win).
+        */
+      typedVars: Map[String, Jinja.JV] = Map.empty)
 
   /** Render a model body to executable Spark SQL — the full block
     * engine ([[Jinja]]): nested if/for, general expressions, filters,

@@ -186,11 +186,21 @@ object Cli {
     val rawSelect = opts.get("select").map(_.split("\\s+").toSeq).getOrElse(Nil)
     val rawExclude = opts.get("exclude").map(_.split("\\s+").toSeq).getOrElse(Nil)
     val vars =
-      try opts.get("vars").map(_.split(",").map { kv =>
-        val Array(k, v) = kv.split("=", 2); k -> v
-      }.toMap).getOrElse(Map.empty)
+      try opts.get("vars").map { raw =>
+        // the reference form is a YAML dict ('{key: value}'); the
+        // legacy k=v,k2=v2 form stays accepted
+        if (raw.trim.startsWith("{")) {
+          import scala.jdk.CollectionConverters._
+          Option(new org.yaml.snakeyaml.Yaml()
+            .load[java.util.Map[String, Any]](raw))
+            .map(_.asScala.map { case (k, v) => k -> String.valueOf(v) }.toMap)
+            .getOrElse(Map.empty[String, String])
+        } else raw.split(",").map { kv =>
+          val Array(k, v) = kv.split("=", 2); k -> v
+        }.toMap
+      }.getOrElse(Map.empty)
       catch {
-        case _: MatchError =>
+        case _: MatchError | _: org.yaml.snakeyaml.error.YAMLException =>
           // reference A008 InvalidOptionYAML
           EventLog.error("invalid_option_yaml", "code" -> "A008",
             "option_name" -> "vars")

@@ -25,6 +25,9 @@ final class Engine(
     val warehouseRoot: String,
     val vars: Map[String, String] = Map.empty,
     val clock: Materializer.Clock = Materializer.systemClock,
+    /** list/dict `vars:` entries, typed (scalars live in [[vars]];
+      * Jinja's var() checks the string map first so overrides win). */
+    val typedVars: Map[String, graft.render.Jinja.JV] = Map.empty,
     val emptyMode: Boolean = false,
     val runStartHooks: Seq[String] = Nil,
     val runEndHooks: Seq[String] = Nil,
@@ -230,6 +233,7 @@ final class Engine(
       resultsNodeId: Option[String] = None): Template.Context =
     Template.Context(resolveRef, resolveSource, thisRelation, vars,
       isIncremental, builtins = contextBuiltins, results = results,
+      typedVars = typedVars,
       macroResolver = macroResolverFor(callerPackage),
       queryRunner = Some(sparkQueryRunner),
       adapterApi = Some(adapterCall),
@@ -1289,7 +1293,10 @@ final class Engine(
         callerPackage = m.packageName, node = Some(m),
         resultsNodeId = Some(m.uniqueId))
       base.copy(builtins = base.builtins ++
-        Map("sql" -> compiled, "model.name" -> m.name,
+        // reference binds BOTH `sql` and `compiled_code` (providers.py
+        // ModelContext — compiled_code is the newer name)
+        Map("sql" -> compiled, "compiled_code" -> compiled,
+          "model.name" -> m.name,
           "model.alias" -> rel, "model.schema" -> "") ++
         (if (wh.exists(rel)) Map("existing_relation" -> rel) else Map.empty))
     }
@@ -1847,6 +1854,7 @@ object Engine {
     val resolvedTarget = java.nio.file.Paths.get(projectDir).resolve(
       ProjectLoader.resolveTargetPath(targetPath, env, proj.targetPath)).toString
     new Engine(spark, proj.manifest, warehouseRoot, proj.vars ++ vars, clock,
+      typedVars = proj.varsTyped,
       emptyMode = emptyMode,
       runStartHooks = proj.onRunStart, runEndHooks = proj.onRunEnd,
       namespace = ns, macros = proj.macros,

@@ -933,6 +933,20 @@ class JinjaSpec extends AnyFunSuite {
       ctx) === "2020-01-01-end")
   }
 
+  test("api.Relation.create / api.Column factories") {
+    assert(Template.render(
+      "{% set r = api.Relation.create(database=none, schema='s', identifier='tbl', type='table') %}" +
+        "{{ r }}:{{ r.schema }}:{{ r.type }}:{% if r.is_table %}T{% endif %}",
+      ctx) === "tbl:s:table:T")
+    assert(Template.render(
+      "{% set c = api.Column.create('amount', 'bigint') %}{{ c.name }}:{{ c.dtype }}",
+      ctx) === "amount:bigint")
+    assert(Template.render(
+      "{{ api.Column.translate_type('numeric') }}", ctx) === "decimal(28, 6)")
+    assert(Template.render(
+      "{{ api.Column.translate_type('string') }}", ctx) === "string")
+  }
+
   test("load_agate_table: seed contexts only; rows iterate as dicts") {
     val e = intercept[IllegalArgumentException](
       Template.render("{{ load_agate_table() }}", ctx))

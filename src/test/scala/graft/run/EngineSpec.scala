@@ -1301,6 +1301,37 @@ class EngineSpec extends SparkSpec {
     assert(snap.count() === 1)
   }
 
+  test("typed vars: list/dict vars: entries iterate and index in templates") {
+    val proj = Map(
+      "dbt_project.yml" ->
+        """name: tvars
+          |vars:
+          |  cutoff: '2020-01-01'
+          |  regions: [emea, apac, amer]
+          |  limits:
+          |    emea: 10
+          |    apac: 20
+          |""".stripMargin,
+      "models/m1.sql" ->
+        """{{ config(materialized='table') }}
+          |SELECT
+          |  '{% for r in var('regions') %}{{ r }};{% endfor %}' AS all_regions,
+          |  {{ var('regions') | length }} AS n_regions,
+          |  {{ var('limits')['apac'] }} AS apac_limit,
+          |  '{{ var('cutoff') }}' AS cutoff""".stripMargin)
+    val whRoot = tmpDir("wh")
+    val eng = Engine.fromProject(spark, writeProject(proj), whRoot)
+    val results = eng.run(threads = 1)
+    assert(results.forall(_.status == "success"),
+      results.filterNot(_.status == "success").mkString("; "))
+    val wh = new Engine(spark, graft.core.Manifest(Map.empty), whRoot).wh
+    val row = wh.read("m1").collect()(0)
+    assert(row.getString(0) === "emea;apac;amer;")
+    assert(row.getInt(1) === 3)
+    assert(row.getInt(2) === 20)
+    assert(row.getString(3) === "2020-01-01")
+  }
+
   test("on-run-end hooks see the results list; selected_resources resolves") {
     val proj = Map(
       "dbt_project.yml" ->
