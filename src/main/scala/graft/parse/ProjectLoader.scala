@@ -331,10 +331,16 @@ object ProjectLoader {
     }
     val flatMacros = globalMacros ++ pkgFlat ++ qualified ++ rootRaw.macros
 
-    val mergedVars = pkgRaws.map(_._2.vars).foldLeft(Map.empty[String, String])(_ ++ _) ++
-      rootRaw.vars
-    val mergedVarsTyped = pkgRaws.map(_._2.varsTyped)
-      .foldLeft(Map.empty[String, graft.render.Jinja.JV])(_ ++ _) ++ rootRaw.varsTyped
+    // vars merge across packages then root, LAST project wins per key
+    // ACROSS BOTH maps — a root list/dict override must evict a
+    // package's scalar of the same name (and vice versa), or the
+    // string-map-first lookup would serve the shadowed value
+    val (mergedVars, mergedVarsTyped) =
+      (pkgRaws.map(_._2) :+ rootRaw).foldLeft(
+        (Map.empty[String, String], Map.empty[String, graft.render.Jinja.JV])) {
+        case ((mv, mt), r) =>
+          ((mv -- r.varsTyped.keys) ++ r.vars, (mt -- r.vars.keys) ++ r.varsTyped)
+      }
 
     // docs blocks: per-package maps for precedence, flat map for export
     val docsByPackage = pkgRaws.map { case (pkg, raw) => pkg -> raw.docs }.toMap +
@@ -726,10 +732,11 @@ object ProjectLoader {
     // ---- schema YAML (sources + model metadata) anywhere under models/
     val schemaDocs = listFiles(root.resolve("models"), ".yml") ++
       listFiles(root.resolve("models"), ".yaml") ++
-      listFiles(root, ".yml").filter { p =>
+      (listFiles(root, ".yml") ++ listFiles(root, ".yaml")).filter { p =>
         // root-level walk must not descend into installed packages
         // (each loads as its own RawProject) or pick up config files
         !p.startsWith(root.resolve("dbt_packages")) &&
+          !p.startsWith(root.resolve("models")) && // already listed above
           !Set("dbt_project.yml", "packages.yml", "package-lock.yml",
             "dependencies.yml", "selectors.yml", "profiles.yml")(p.getFileName.toString)
       }

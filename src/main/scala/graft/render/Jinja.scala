@@ -1232,8 +1232,11 @@ object Jinja {
           // api.Relation / api.Column factories (reference
           // providers.py:1214-1222: {"Relation": db_wrapper.Relation,
           // "Column": adapter.Column}) — the custom-materialization
-          // idiom `api.Relation.create(schema=…, identifier=…)`
-          if (name == "api" && peek == '.') {
+          // idiom `api.Relation.create(schema=…, identifier=…)`.
+          // A PACKAGE named `api` keeps its macros: pkg-qualified
+          // resolution wins when `api.<member>` names a real macro.
+          if (name == "api" && peek == '.' &&
+              ctx.macroResolver(s"api.${wordAt(i + 1)}").isEmpty) {
             i += 1
             val member = word()
             if (peek != '.') fail(s"api.$member: expected a method call")

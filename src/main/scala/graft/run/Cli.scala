@@ -185,20 +185,32 @@ object Cli {
       .orElse(targetDef.flatMap(_.threads)).getOrElse(4)
     val rawSelect = opts.get("select").map(_.split("\\s+").toSeq).getOrElse(Nil)
     val rawExclude = opts.get("exclude").map(_.split("\\s+").toSeq).getOrElse(Nil)
-    val vars =
+    val (vars, varsTyped) =
       try opts.get("vars").map { raw =>
         // the reference form is a YAML dict ('{key: value}'); the
-        // legacy k=v,k2=v2 form stays accepted
+        // legacy k=v,k2=v2 form stays accepted. List/dict VALUES go to
+        // the typed channel so `{% for r in var('regions') %}` works
+        // from the CLI exactly like from dbt_project.yml.
         if (raw.trim.startsWith("{")) {
           import scala.jdk.CollectionConverters._
-          Option(new org.yaml.snakeyaml.Yaml()
+          val entries = Option(new org.yaml.snakeyaml.Yaml()
             .load[java.util.Map[String, Any]](raw))
-            .map(_.asScala.map { case (k, v) => k -> String.valueOf(v) }.toMap)
-            .getOrElse(Map.empty[String, String])
-        } else raw.split(",").map { kv =>
+            .map(_.asScala.toSeq.map { case (k, v) => k.toString -> v })
+            .getOrElse(Nil)
+          (entries.collect {
+            case (k, v) if !v.isInstanceOf[java.util.Map[_, _]] &&
+              !v.isInstanceOf[java.util.List[_]] => k -> String.valueOf(v)
+          }.toMap,
+            entries.collect {
+              case (k, v) if v.isInstanceOf[java.util.Map[_, _]] ||
+                v.isInstanceOf[java.util.List[_]] =>
+                k -> graft.render.Jinja.fromAny(v)
+            }.toMap)
+        } else (raw.split(",").map { kv =>
           val Array(k, v) = kv.split("=", 2); k -> v
-        }.toMap
-      }.getOrElse(Map.empty)
+        }.toMap, Map.empty[String, graft.render.Jinja.JV])
+      }.getOrElse((Map.empty[String, String],
+        Map.empty[String, graft.render.Jinja.JV]))
       catch {
         case _: MatchError | _: org.yaml.snakeyaml.error.YAMLException =>
           // reference A008 InvalidOptionYAML
@@ -259,6 +271,7 @@ object Cli {
     // env, which beats the project `flags:` setting).
     val engine =
       try Engine.fromProject(spark, projectDir, warehouseDir, vars,
+        varsTyped = varsTyped,
         emptyMode = opts.contains("empty"), target = targetName,
         warnError = opts.contains("warn-error"),
         warnErrorOptions = warnErrorOpts,
@@ -308,7 +321,7 @@ object Cli {
     val stateEngine = opts.get("state-project").map { sp =>
       val swh = opts.getOrElse("state-warehouse",
         java.nio.file.Files.createTempDirectory("graft_state_wh").toString)
-      Engine.fromProject(spark, sp, swh, vars)
+      Engine.fromProject(spark, sp, swh, vars, varsTyped = varsTyped)
     }
     // reference `--state <artifact-dir>` (the CI pattern: only prod
     // artifacts are kept — `dbt build --state ./prod-artifacts`): the
@@ -576,7 +589,7 @@ object Cli {
         // this one — pointer clone by default, --deep copies data
         val stateWh = opts.getOrElse("state-warehouse",
           sys.error("clone needs --state-warehouse <dir>"))
-        val stateEng = Engine.fromProject(spark, projectDir, stateWh, vars)
+        val stateEng = Engine.fromProject(spark, projectDir, stateWh, vars, varsTyped = varsTyped)
         val names =
           (if (select.isEmpty) engine.ls(Nil, Nil) else engine.ls(select, exclude))
             .flatMap(id => engine.manifest.nodes.get(id))

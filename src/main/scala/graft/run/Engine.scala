@@ -278,11 +278,24 @@ final class Engine(
     * its falsy-empty behavior; `--empty` inline subqueries are SQL
     * text, not relations.
     */
+  /** Declared schema per flat relation name — a SOURCE's is its source
+    * name (the reference's source-schema default), a node with
+    * `schema:` config carries that. Everything else answers the target
+    * schema. Built once, lazily (source relationName never renders
+    * naming macros; config-schema nodes are rare).
+    */
+  private lazy val declaredSchemas: Map[String, String] =
+    manifest.nodes.values.collect {
+      case s: SourceNode => relationName(s) -> s.sourceName
+      case n if n.config.schema.isDefined => relationName(n) -> n.config.schema.get
+    }.toMap
+
   def relationJV(name: String): graft.render.Jinja.JV = {
     import graft.render.Jinja._
     if (name.isEmpty || name.startsWith("(")) JS(name)
     else if (name.startsWith("__dbt__cte__")) JRel(name, "", Some("cte"))
-    else JRel(name, contextBuiltins("target.schema"),
+    else JRel(name,
+      declaredSchemas.getOrElse(name, contextBuiltins("target.schema")),
       if (!wh.exists(name)) None
       else Some(if (wh.isView(name)) "view" else "table"))
   }
@@ -373,13 +386,34 @@ final class Engine(
     */
   private def agateTableJV(s: SeedNode): graft.render.Jinja.JV = {
     import graft.render.Jinja._
+    // quote-aware split, matching what the Spark CSV reader that seeds
+    // the table does with `"Doe, Jane"` cells ("" = escaped quote)
+    def cells(ln: String): Seq[String] = {
+      val out = Seq.newBuilder[String]
+      val cur = new StringBuilder
+      var inQ = false
+      var i = 0
+      val d = s.delimiter.headOption.getOrElse(',')
+      while (i < ln.length) {
+        val c = ln(i)
+        if (inQ) {
+          if (c == '"' && i + 1 < ln.length && ln(i + 1) == '"') { cur += '"'; i += 1 }
+          else if (c == '"') inQ = false
+          else cur += c
+        } else if (c == '"' && cur.isEmpty) inQ = true
+        else if (c == d) { out += cur.result(); cur.clear() }
+        else cur += c
+        i += 1
+      }
+      out += cur.result()
+      out.result()
+    }
     val lines = s.csv.split("\n").toSeq.map(_.stripSuffix("\r")).filter(_.nonEmpty)
-    val sep = java.util.regex.Pattern.quote(s.delimiter)
-    val header = lines.headOption.map(_.split(sep, -1).toSeq).getOrElse(Nil)
+    val header = lines.headOption.map(cells).getOrElse(Nil)
     val rows = lines.drop(1).map { ln =>
-      val cells = ln.split(sep, -1).toSeq
+      val cs = cells(ln)
       JM(header.zipWithIndex.map { case (h, ix) =>
-        h -> (cells.lift(ix).map(JS(_): JV).getOrElse(JNull))
+        h -> (cs.lift(ix).map(JS(_): JV).getOrElse(JNull))
       }.toMap): JV
     }
     JM(Map(
@@ -451,8 +485,14 @@ final class Engine(
       // reference BaseAdapter.get_missing_columns(from, to): columns
       // in FROM absent from TO — the on_schema_change macro idiom
       case "get_missing_columns" =>
-        val from = graft.render.Jinja.show(args.head)
-        val to = graft.render.Jinja.show(args(1))
+        val from = kw.get("from_relation").orElse(args.headOption)
+          .map(graft.render.Jinja.show).getOrElse(
+            throw new IllegalArgumentException(
+              "adapter.get_missing_columns: from_relation required"))
+        val to = kw.get("to_relation").orElse(args.lift(1))
+          .map(graft.render.Jinja.show).getOrElse(
+            throw new IllegalArgumentException(
+              "adapter.get_missing_columns: to_relation required"))
         val have = relSchema(to).fieldNames.toSet
         jlist(colDicts(from).filter {
           case JM(m) => !have(graft.render.Jinja.show(m("name")))
@@ -1294,10 +1334,9 @@ final class Engine(
         resultsNodeId = Some(m.uniqueId))
       base.copy(builtins = base.builtins ++
         // reference binds BOTH `sql` and `compiled_code` (providers.py
-        // ModelContext — compiled_code is the newer name)
-        Map("sql" -> compiled, "compiled_code" -> compiled,
-          "model.name" -> m.name,
-          "model.alias" -> rel, "model.schema" -> "") ++
+        // ModelContext — compiled_code is the newer name). The `model`
+        // dict itself comes from renderContext's typedValues (node=m).
+        Map("sql" -> compiled, "compiled_code" -> compiled) ++
         (if (wh.exists(rel)) Map("existing_relation" -> rel) else Map.empty))
     }
     Template.segmentMacroBody(mac.body).foreach {
@@ -1564,10 +1603,15 @@ final class Engine(
       case kv => kv
     })
     val eng = new Engine(spark, augmented, warehouseRoot, vars, clock,
+      typedVars = typedVars,
       runStartHooks = runStartHooks, runEndHooks = runEndHooks,
       namespace = namespace, macros = macros,
       macrosByPackage = macrosByPackage,
       warnError = warnError, warnErrorOptions = warnErrorOptions)
+    eng.currentWhich = currentWhich
+    eng.favorState = favorState
+    eng.deferEngine = deferEngine
+    eng.deferArtifact = deferArtifact
     eng.run(select, threads = threads,
       resourceTypes = Set("model", "seed", "snapshot", "test", "unit_test"),
       indirectSelection = indirectSelection)
@@ -1751,6 +1795,9 @@ object Engine {
       clock: Materializer.Clock = Materializer.systemClock,
       namespace: String = "",
       emptyMode: Boolean = false,
+      /** CLI --vars entries with list/dict values (YAML form). CLI
+        * vars beat project vars ACROSS both maps. */
+      varsTyped: Map[String, graft.render.Jinja.JV] = Map.empty,
       target: Option[String] = None,
       warnError: Boolean = false,
       warnErrorOptions: WarnErrorOptions = WarnErrorOptions.Empty,
@@ -1853,8 +1900,9 @@ object Engine {
       else targetDef.flatMap(_.schema).getOrElse("")
     val resolvedTarget = java.nio.file.Paths.get(projectDir).resolve(
       ProjectLoader.resolveTargetPath(targetPath, env, proj.targetPath)).toString
-    new Engine(spark, proj.manifest, warehouseRoot, proj.vars ++ vars, clock,
-      typedVars = proj.varsTyped,
+    new Engine(spark, proj.manifest, warehouseRoot,
+      (proj.vars -- varsTyped.keys) ++ vars, clock,
+      typedVars = (proj.varsTyped -- vars.keys) ++ varsTyped,
       emptyMode = emptyMode,
       runStartHooks = proj.onRunStart, runEndHooks = proj.onRunEnd,
       namespace = ns, macros = proj.macros,

@@ -1332,6 +1332,40 @@ class EngineSpec extends SparkSpec {
     assert(row.getString(3) === "2020-01-01")
   }
 
+  test("build() keeps typed vars/which; source().schema answers the source name") {
+    val proj = Map(
+      "dbt_project.yml" ->
+        """name: bprop
+          |vars:
+          |  regions: [emea, apac]
+          |""".stripMargin,
+      "models/sources.yml" ->
+        s"""sources:
+           |  - name: rawzone
+           |    tables:
+           |      - name: orders
+           |        path: $sf/orders.parquet
+           |""".stripMargin,
+      "models/m1.sql" ->
+        """{{ config(materialized='table') }}
+          |SELECT '{{ var('regions') | join(';') }}' AS regions,
+          |       '{{ flags.WHICH }}' AS which,
+          |       '{{ source('rawzone', 'orders').schema }}' AS src_schema
+          |FROM {{ source('rawzone', 'orders') }} LIMIT 1""".stripMargin)
+    val whRoot = tmpDir("wh")
+    val eng = Engine.fromProject(spark, writeProject(proj), whRoot)
+    eng.currentWhich = "build" // what Cli sets for the build command
+    val results = eng.build() // the INNER engine must inherit both
+    assert(results.forall(r => r.status == "success" || r.status == "pass"),
+      results.filterNot(r => r.status == "success" || r.status == "pass")
+        .mkString("; "))
+    val wh = new Engine(spark, graft.core.Manifest(Map.empty), whRoot).wh
+    val row = wh.read("m1").collect()(0)
+    assert(row.getString(0) === "emea;apac")
+    assert(row.getString(1) === "build")
+    assert(row.getString(2) === "rawzone")
+  }
+
   test("on-run-end hooks see the results list; selected_resources resolves") {
     val proj = Map(
       "dbt_project.yml" ->
