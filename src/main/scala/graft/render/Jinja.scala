@@ -201,6 +201,21 @@ object Jinja {
     * `{% for r in var('regions') %}`). */
   def fromAny(o: Any): JV = fromJava(o)
 
+  /** Jinja literal TEXT for a value — what run-operation's typed-arg
+    * binding injects into `{% set name = … %}` preambles. Round-trips
+    * through the expression parser (backslash escapes for quote and
+    * backslash are the parser's own). */
+  def toLiteral(v: JV): String = v match {
+    case JS(s) => "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    case n: JN => show(n)
+    case JB(b) => if (b) "true" else "false"
+    case JNull => "none"
+    case JL(xs) => xs.map(toLiteral).mkString("[", ", ", "]")
+    case JM(m) => m.map { case (k, x) =>
+      s"${toLiteral(JS(k))}: ${toLiteral(x)}" }.mkString("{", ", ", "}")
+    case other => toLiteral(JS(show(other)))
+  }
+
   /** python `yaml.safe_dump(default_flow_style=False)` parity shape. */
   def toYamlString(v: JV, sortKeys: Boolean): String = {
     val opts = new org.yaml.snakeyaml.DumperOptions()

@@ -183,6 +183,33 @@ object Template {
     * `{{ name }}` substitutions; unknown args and missing required
     * params are errors (reference kwargs validation).
     */
+  /** Typed run-operation arg binding: a `{% set name = <literal> %}`
+    * preamble prefixed to EVERY rendered segment of the macro body —
+    * unlike textual `{{ name }}` substitution, set-bindings reach
+    * for-loops/filters/indexing (`{% for s in schemas %}` with
+    * `--args '{schemas: [a, b]}'`, the grant-sweep idiom). Unknown
+    * args and missing required params validate like bindMacro.
+    */
+  def argPreamble(m: MacroDef, args: Map[String, Jinja.JV]): String = {
+    val unknown = args.keySet -- m.params.map(_._1).toSet
+    require(unknown.isEmpty, s"macro ${m.name}: unknown args ${unknown.mkString(",")}")
+    // a declared default is already Jinja literal TEXT when it reads
+    // as one (list/dict/number/bool/none); bare words were strings
+    def defaultLiteral(d: String): String = {
+      val t = d.trim
+      if (t.startsWith("[") || t.startsWith("{") ||
+        Set("none", "None", "true", "True", "false", "False")(t) ||
+        t.matches("-?\\d+(\\.\\d+)?")) t
+      else Jinja.toLiteral(Jinja.JS(d))
+    }
+    m.params.map { case (n, dflt) =>
+      val lit = args.get(n).map(Jinja.toLiteral)
+        .orElse(dflt.map(defaultLiteral)).getOrElse(
+          throw new IllegalArgumentException(s"macro ${m.name}: missing arg $n"))
+      s"{% set $n = $lit %}"
+    }.mkString
+  }
+
   def bindMacro(m: MacroDef, args: Map[String, String]): String = {
     val unknown = args.keySet -- m.params.map(_._1).toSet
     require(unknown.isEmpty, s"macro ${m.name}: unknown args ${unknown.mkString(",")}")

@@ -601,10 +601,30 @@ object Cli {
       case "run-operation" =>
         val macroName = args.tail.headOption.filterNot(_.startsWith("--"))
           .getOrElse(sys.error("run-operation <macro-name> required"))
-        val opArgs = opts.get("args").map(_.split(",").map { kv =>
-          val Array(k, v) = kv.split("=", 2); k -> v
-        }.toMap).getOrElse(Map.empty)
-        try engine.runOperation(macroName, opArgs)
+        // --args: YAML dict (reference form) or legacy k=v list;
+        // list/dict values bind typed (`{% for s in schemas %}` works)
+        val (opArgs, opTyped) = opts.get("args").map { raw =>
+          if (raw.trim.startsWith("{")) {
+            import scala.jdk.CollectionConverters._
+            val entries = Option(new org.yaml.snakeyaml.Yaml()
+              .load[java.util.Map[String, Any]](raw))
+              .map(_.asScala.toSeq.map { case (k, v) => k.toString -> v })
+              .getOrElse(Nil)
+            (entries.collect {
+              case (k, v) if !v.isInstanceOf[java.util.Map[_, _]] &&
+                !v.isInstanceOf[java.util.List[_]] => k -> String.valueOf(v)
+            }.toMap,
+              entries.collect {
+                case (k, v) if v.isInstanceOf[java.util.Map[_, _]] ||
+                  v.isInstanceOf[java.util.List[_]] =>
+                  k -> graft.render.Jinja.fromAny(v)
+              }.toMap)
+          } else (raw.split(",").map { kv =>
+            val Array(k, v) = kv.split("=", 2); k -> v
+          }.toMap, Map.empty[String, graft.render.Jinja.JV])
+        }.getOrElse((Map.empty[String, String],
+          Map.empty[String, graft.render.Jinja.JV]))
+        try engine.runOperation(macroName, opArgs, opTyped)
           .lastOption.foreach(_.show(truncate = false))
         catch {
           case e: Throwable =>

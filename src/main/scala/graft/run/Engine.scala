@@ -1276,19 +1276,27 @@ final class Engine(
     * literals unsupported — subset by design, SURVEY §7.4). Returns one
     * DataFrame per executed statement.
     */
-  def runOperation(name: String, args: Map[String, String] = Map.empty): Seq[DataFrame] = {
+  def runOperation(name: String, args: Map[String, String] = Map.empty,
+      /** `--args` entries with list/dict values (YAML form): bound as
+        * typed `{% set %}` preambles so `{% for s in schemas %}` works
+        * — the grant-sweep idiom. */
+      typedArgs: Map[String, graft.render.Jinja.JV] = Map.empty): Seq[DataFrame] = {
     val m = macroResolverFor("graft")(name).getOrElse(
       throw new IllegalArgumentException(s"unknown macro: $name"))
-    val bound = Template.bindMacro(m, args)
+    // set-preamble binding (prefixed to EVERY segment render — a set
+    // in one segment does not carry into the next)
+    val preamble = Template.argPreamble(m,
+      args.map { case (k, v) => k -> (graft.render.Jinja.JS(v): graft.render.Jinja.JV) } ++
+        typedArgs)
     val opId = s"operation.$name"
     resultSlots.remove(opId) // slots are per-invocation, never stale
     def opResults: Map[String, Map[String, String]] =
       Option(resultSlots.get(opId)).getOrElse(Map.empty)
     val out = scala.collection.mutable.ArrayBuffer[DataFrame]()
     var nStatements = 0
-    Template.segmentMacroBody(bound).foreach {
+    Template.segmentMacroBody(m.body).foreach {
       case Template.CallStatement(slot, fetch, sql) =>
-        val df = spark.sql(Template.render(sql, renderContext(results = opResults,
+        val df = spark.sql(Template.render(preamble + sql, renderContext(results = opResults,
           resultsNodeId = Some(opId))))
         nStatements += 1
         val fields = Map("status" -> "SUCCESS") ++ (if (fetch) {
@@ -1300,7 +1308,7 @@ final class Engine(
         storeResult(opId, slot, fields)
         out += df
       case Template.SqlText(sql) =>
-        val rendered = Template.render(sql, renderContext(results = opResults,
+        val rendered = Template.render(preamble + sql, renderContext(results = opResults,
           resultsNodeId = Some(opId)))
         val stmts = rendered.split(";").map(_.trim).filter(_.nonEmpty)
         nStatements += stmts.length

@@ -4,6 +4,7 @@ import graft.SparkSpec
 import graft.core._
 import graft.exec.Materializer
 import java.nio.file.{Files, Paths}
+import graft.render.Jinja
 
 /** End-to-end project runs against a temp warehouse — the equivalent of
   * the reference's tests/functional suites (project fixture + run_dbt +
@@ -1364,6 +1365,30 @@ class EngineSpec extends SparkSpec {
     assert(row.getString(0) === "emea;apac")
     assert(row.getString(1) === "build")
     assert(row.getString(2) === "rawzone")
+  }
+
+  test("run-operation typed args: a list arg drives a for-loop in the macro") {
+    val proj = Map(
+      "dbt_project.yml" -> "name: opargs\n",
+      "macros/sweep.sql" ->
+        """{% macro sweep(schemas, prefix='s') %}
+          |SELECT '{% for s in schemas %}{{ prefix }}_{{ s }}|{% endfor %}' AS granted,
+          |       {{ schemas | length }} AS n
+          |{% endmacro %}""".stripMargin)
+    val eng = Engine.fromProject(spark, writeProject(proj), tmpDir("wh"))
+    val df = eng.runOperation("sweep",
+      typedArgs = Map("schemas" -> Jinja.jlist(Seq(
+        Jinja.JS("a"), Jinja.JS("b"))))).head
+    val row = df.collect()(0)
+    assert(row.getString(0) === "s_a|s_b|")
+    assert(row.getInt(1) === 2)
+    // string args with quotes round-trip through toLiteral's escaping
+    // (Jinja-level; emitting them into SQL safely is the macro's job)
+    assert(graft.render.Template.render(
+      "{% set p = " + Jinja.toLiteral(Jinja.JS("it's")) + " %}" +
+        "{% if p == \"it's\" %}ok:{{ p }}{% endif %}",
+      graft.render.Template.Context(n => n, (a, b) => s"$a.$b", ""))
+      === "ok:it's")
   }
 
   test("on-run-end hooks see the results list; selected_resources resolves") {
