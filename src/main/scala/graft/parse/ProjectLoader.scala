@@ -533,9 +533,17 @@ object ProjectLoader {
   private[parse] def mergeKwargs(a: Map[String, String],
       b: Map[String, String]): Map[String, String] = {
     val tags = (a.get("tags").toSeq ++ b.get("tags").toSeq)
-      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty).distinct
+      .flatMap(_.split("[,\u0001]")).map(_.trim).filter(_.nonEmpty).distinct
     var merged = a ++ b
-    if (tags.nonEmpty) merged += ("tags" -> tags.mkString(","))
+    if (tags.nonEmpty) merged += ("tags" -> tags.mkString("\u0001"))
+    // hooks are APPENDING across config levels (reference
+    // MergeBehavior.Append for pre-hook/post-hook): outer level's
+    // hooks run first, then the inner level's
+    for (hk <- Seq("pre_hook", "post_hook")) {
+      val hooks = (a.get(hk).toSeq ++ b.get(hk).toSeq)
+        .flatMap(_.split('\u0001')).filter(_.nonEmpty)
+      if (hooks.nonEmpty) merged += (hk -> hooks.mkString("\u0001"))
+    }
     if (a.contains("grants") && b.contains("grants")) {
       val base = decodeDict(a("grants"))
         .map { case (k, v) => k.stripPrefix("+") -> v }
@@ -559,7 +567,14 @@ object ProjectLoader {
     case m: java.util.Map[_, _] =>
       val tree = m.asScala.toMap.map { case (k, v) => k.toString -> (v: Any) }
       val own = tree.collect {
-        case (k, v) if k.startsWith("+") => k.drop(1) -> stringify(v) }
+        case (k, v) if k.startsWith("+") =>
+          // dbt_project.yml spells hooks dashed (+pre-hook:); configs
+          // read the underscore form
+          (k.drop(1) match {
+            case "pre-hook" => "pre_hook"
+            case "post-hook" => "post_hook"
+            case other => other
+          }) -> stringify(v) }
       val kids = tree.collect {
         case (k, v: java.util.Map[_, _]) if !k.startsWith("+") =>
           k -> parseConfigTree(v)
@@ -1222,7 +1237,7 @@ object ProjectLoader {
             case "timestamp" => TimestampStrategy(kwargs("updated_at"))
             case "check" =>
               CheckStrategy(kwargs.get("check_cols").filterNot(_ == "all")
-                .map(_.split(",").map(_.trim).toSeq))
+                .map(_.split("[,\u0001]").map(_.trim).toSeq))
             // any other name = custom strategy: the engine resolves the
             // `snapshot_<name>_strategy` macro at run time (reference
             // custom-strategy shape, simple_snapshot/fixtures.py:66-85)
@@ -1230,7 +1245,7 @@ object ProjectLoader {
           }
           val snap: Node = SnapshotNode(
             name = snapName, rawSql = raw,
-            uniqueKey = kwargs.getOrElse("unique_key", "id").split(",").map(_.trim).toSeq,
+            uniqueKey = kwargs.getOrElse("unique_key", "id").split("[,\u0001]").map(_.trim).toSeq,
             strategy = strategy,
             invalidateHardDeletes = kwargs.get("invalidate_hard_deletes").exists(_.toBoolean),
             config = configFromKwargs(kwargs).copy(materialized = "snapshot"),
@@ -1763,7 +1778,8 @@ object ProjectLoader {
     "warn_if", "error_if", "fail_calc")
 
   private def stringify(v: Any): String = v match {
-    case l: java.util.List[_] => l.asScala.map(_.toString).mkString(",")
+    // \u0001-joined like parseKwargs lists: items may contain commas
+    case l: java.util.List[_] => l.asScala.map(_.toString).mkString("\u0001")
     // dict-valued configs (grants, persist_docs): `k=v1|v2;k2=v3` —
     // `|` separates list items so `,`-joined lists above stay distinct
     case m: java.util.Map[_, _] =>
@@ -1792,6 +1808,19 @@ object ProjectLoader {
     d.map { case (k, v) => s"$k=${v.mkString("|")}" }.mkString(";")
 
   /** kwargs (from `{{ config(...) }}` or YAML) → NodeConfig. */
+  /** Hook config values: a LIST splits on the kwarg list separator
+    * only (never on commas — hook SQL contains them); the dict form
+    * ({"sql": …, "transaction": …}) arrives through the dict encoding
+    * and unwraps to its sql entry (the reference runs it the same,
+    * transaction semantics being a warehouse-transaction concept
+    * Spark doesn't have). */
+  private def hookList(kw: Map[String, String], key: String): Seq[String] =
+    kw.get(key).map(_.split('\u0001').toSeq.map { h =>
+      if (h.startsWith("sql="))
+        h.stripPrefix("sql=").replaceAll("(?i);transaction=(true|false)\\s*$", "")
+      else h
+    }.filter(_.nonEmpty)).getOrElse(Nil)
+
   def configFromKwargs(kw: Map[String, String]): NodeConfig = {
     val base = NodeConfig()
     NodeConfig(
@@ -1805,26 +1834,26 @@ object ProjectLoader {
       // kept whole: predicates may contain commas
       incrementalPredicates = kw.get("incremental_predicates").map(Seq(_)).getOrElse(Nil),
       mergeUpdateColumns = kw.get("merge_update_columns")
-        .map(_.split(",").map(_.trim).toSeq).getOrElse(Nil),
+        .map(_.split("[,\u0001]").map(_.trim).toSeq).getOrElse(Nil),
       mergeExcludeColumns = kw.get("merge_exclude_columns")
-        .map(_.split(",").map(_.trim).toSeq).getOrElse(Nil),
-      uniqueKey = kw.get("unique_key").map(_.split(",").map(_.trim).toSeq).getOrElse(Nil),
+        .map(_.split("[,\u0001]").map(_.trim).toSeq).getOrElse(Nil),
+      uniqueKey = kw.get("unique_key").map(_.split("[,\u0001]").map(_.trim).toSeq).getOrElse(Nil),
       onSchemaChange = kw.getOrElse("on_schema_change", base.onSchemaChange),
       onConfigurationChange = kw.getOrElse("on_configuration_change", base.onConfigurationChange),
       fullRefresh = kw.get("full_refresh").exists(_.toBoolean),
-      preHook = kw.get("pre_hook").map(Seq(_)).getOrElse(Nil),
-      postHook = kw.get("post_hook").map(Seq(_)).getOrElse(Nil),
+      preHook = hookList(kw, "pre_hook"),
+      postHook = hookList(kw, "post_hook"),
       enabled = kw.get("enabled").forall(_.toBoolean),
       alias = kw.get("alias"),
       schema = kw.get("schema"),
       database = kw.get("database"),
-      tags = kw.get("tags").map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty),
+      tags = kw.get("tags").map(_.split("[,\u0001]").map(_.trim).toSet).getOrElse(Set.empty),
       group = kw.get("group"),
       access = kw.getOrElse("access", base.access),
-      partitionBy = kw.get("partition_by").map(_.split(",").map(_.trim).toSeq).getOrElse(Nil),
-      bucketBy = kw.get("bucket_by").map(_.split(",").map(_.trim).toSeq).getOrElse(Nil),
+      partitionBy = kw.get("partition_by").map(_.split("[,\u0001]").map(_.trim).toSeq).getOrElse(Nil),
+      bucketBy = kw.get("bucket_by").map(_.split("[,\u0001]").map(_.trim).toSeq).getOrElse(Nil),
       numBuckets = kw.get("num_buckets").map(_.toInt).getOrElse(0),
-      clusterBy = kw.get("cluster_by").map(_.split(",").map(_.trim).toSeq).getOrElse(Nil),
+      clusterBy = kw.get("cluster_by").map(_.split("[,\u0001]").map(_.trim).toSeq).getOrElse(Nil),
       fileFormat = kw.get("file_format"),
       contractEnforced = kw.get("contract_enforced").exists(_.toBoolean),
       // any `+priv` keys that survive to here had nothing to extend —

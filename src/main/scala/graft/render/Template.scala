@@ -276,7 +276,9 @@ object Template {
           else i += 1
         }
         i += 1
-        value ++= items.mkString(",")
+        // \u0001-joined: a list item may itself contain commas (hook
+        // SQL does); consumers split on [,\u0001] (scalar compat)
+        value ++= items.mkString("\u0001")
       } else if (i < s.length && s(i) == '{') {
         // dict value (grants / persist_docs): {'k': ['a','b'], 'k2': v}
         // → `k=a|b;k2=v` — the encoding ProjectLoader.decodeDict reads

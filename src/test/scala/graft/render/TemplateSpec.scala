@@ -38,8 +38,9 @@ class TemplateSpec extends AnyFunSuite {
   test("config extraction and removal") {
     val sql = "{{ config(materialized='incremental', unique_key='id', tags=['a','b'], full_refresh=true) }}\nSELECT 1"
     val (kw, rest) = Template.extractConfig(sql)
+    // list values join on u0001 (items may contain commas — hook SQL)
     assert(kw === Map("materialized" -> "incremental", "unique_key" -> "id",
-      "tags" -> "a,b", "full_refresh" -> "true"))
+      "tags" -> "a\u0001b", "full_refresh" -> "true"))
     assert(rest.trim === "SELECT 1")
     assert(Template.render(sql, ctx) === "SELECT 1")
   }

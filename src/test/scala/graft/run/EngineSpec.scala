@@ -1391,6 +1391,42 @@ class EngineSpec extends SparkSpec {
       === "ok:it's")
   }
 
+  test("hook lists survive commas; dashed +post-hook and dict hooks work") {
+    val proj = Map(
+      "dbt_project.yml" ->
+        """name: hookforms
+          |models:
+          |  +post-hook:
+          |    - "CREATE OR REPLACE TEMP VIEW hf_tree AS SELECT 'from tree, with comma' AS v"
+          |""".stripMargin,
+      // a LIST of two in-file pre-hooks, each containing commas —
+      // previously comma-joined into one broken statement
+      "models/m1.sql" ->
+        """{{ config(materialized='table',
+          |   pre_hook=["CREATE OR REPLACE TEMP VIEW hf_a AS SELECT 1 AS x, 2 AS y",
+          |             "CREATE OR REPLACE TEMP VIEW hf_b AS SELECT 3 AS x, 4 AS y"]) }}
+          |SELECT * FROM hf_a UNION ALL SELECT * FROM hf_b""".stripMargin,
+      // dict hook form via schema yml config
+      "models/schema.yml" ->
+        """models:
+          |  - name: m1
+          |    config:
+          |      post_hook:
+          |        sql: "CREATE OR REPLACE TEMP VIEW hf_dict AS SELECT 'dict,hook' AS v"
+          |        transaction: false
+          |""".stripMargin)
+    val whRoot = tmpDir("wh")
+    val eng = Engine.fromProject(spark, writeProject(proj), whRoot)
+    val results = eng.run(threads = 1)
+    assert(results.forall(_.status == "success"),
+      results.filterNot(_.status == "success").mkString("; "))
+    val wh = new Engine(spark, graft.core.Manifest(Map.empty), whRoot).wh
+    assert(wh.read("m1").count() === 2) // both pre-hook views existed
+    assert(spark.table("hf_dict").collect()(0).getString(0) === "dict,hook")
+    assert(spark.table("hf_tree").collect()(0).getString(0)
+      === "from tree, with comma")
+  }
+
   test("on-run-end hooks see the results list; selected_resources resolves") {
     val proj = Map(
       "dbt_project.yml" ->
