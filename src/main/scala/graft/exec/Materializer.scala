@@ -726,8 +726,10 @@ object Materializer {
     case "not_null" =>
       s"SELECT * FROM $relation WHERE $columnName IS NULL"
     case "accepted_values" =>
+      // yml lists arrive \u0001-joined (kwarg list encoding); direct
+      // callers may still pass comma strings
       val vals = kwargs.getOrElse("values", "")
-        .split(",").map(v => s"'${v.trim}'").mkString(", ")
+        .split("[,\\u0001]").map(v => s"'${v.trim}'").mkString(", ")
       s"""SELECT $columnName AS value_field, count(*) AS n_records
          |FROM $relation GROUP BY $columnName
          |HAVING $columnName NOT IN ($vals)""".stripMargin

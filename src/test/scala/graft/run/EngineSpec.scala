@@ -1391,6 +1391,28 @@ class EngineSpec extends SparkSpec {
       === "ok:it's")
   }
 
+  test("accepted_values with a MULTI-value yml list splits correctly") {
+    val proj = Map(
+      "dbt_project.yml" -> "name: av\n",
+      "seeds/st.csv" -> "id,status\n1,O\n2,F\n3,P\n",
+      "models/schema.yml" ->
+        """seeds:
+          |  - name: st
+          |    columns:
+          |      - name: status
+          |        data_tests:
+          |          - accepted_values:
+          |              values: [O, F]
+          |""".stripMargin)
+    val eng = Engine.fromProject(spark, writeProject(proj), tmpDir("wh"))
+    val results = eng.build()
+    val t = results.find(_.uniqueId.startsWith("test.graft.accepted_values"))
+      .getOrElse(fail(s"no accepted_values result in ${results.map(_.uniqueId)}"))
+    // exactly ONE failing row (P); a broken list split would fail all 3
+    assert(t.status === "fail")
+    assert(t.rowsAffected === 1L, s"expected 1 failure, got ${t.rowsAffected}")
+  }
+
   test("hook lists survive commas; dashed +post-hook and dict hooks work") {
     val proj = Map(
       "dbt_project.yml" ->
