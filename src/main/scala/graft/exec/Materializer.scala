@@ -726,10 +726,13 @@ object Materializer {
     case "not_null" =>
       s"SELECT * FROM $relation WHERE $columnName IS NULL"
     case "accepted_values" =>
-      // yml lists arrive \u0001-joined (kwarg list encoding); direct
-      // callers may still pass comma strings
-      val vals = kwargs.getOrElse("values", "")
-        .split("[,\\u0001]").map(v => s"'${v.trim}'").mkString(", ")
+      // yml lists arrive \u0001-joined (kwarg list encoding) and the
+      // ITEMS may contain commas; comma-split only the legacy direct
+      // form that never saw the encoder
+      val raw = kwargs.getOrElse("values", "")
+      val items = if (raw.indexOf('\u0001') >= 0) raw.split('\u0001')
+        else raw.split(",")
+      val vals = items.map(v => s"'${v.trim}'").mkString(", ")
       s"""SELECT $columnName AS value_field, count(*) AS n_records
          |FROM $relation GROUP BY $columnName
          |HAVING $columnName NOT IN ($vals)""".stripMargin

@@ -1778,8 +1778,13 @@ object ProjectLoader {
     "warn_if", "error_if", "fail_calc")
 
   private def stringify(v: Any): String = v match {
-    // \u0001-joined like parseKwargs lists: items may contain commas
-    case l: java.util.List[_] => l.asScala.map(_.toString).mkString("\u0001")
+    // \u0001-joined like parseKwargs lists: items may contain commas.
+    // Dict ITEMS (the list-of-dict hook form) recurse through the dict
+    // encoding so hookList can unwrap their sql.
+    case l: java.util.List[_] => l.asScala.map {
+      case m: java.util.Map[_, _] => stringify(m)
+      case o => o.toString
+    }.mkString("\u0001")
     // dict-valued configs (grants, persist_docs): `k=v1|v2;k2=v3` —
     // `|` separates list items so `,`-joined lists above stay distinct
     case m: java.util.Map[_, _] =>
@@ -1814,11 +1819,14 @@ object ProjectLoader {
     * and unwraps to its sql entry (the reference runs it the same,
     * transaction semantics being a warehouse-transaction concept
     * Spark doesn't have). */
+  // dict hooks carry exactly sql + transaction; either key order
+  // (snakeyaml preserves yml order, so both occur in the wild)
+  private val hookDictRe =
+    "(?s)^(?:transaction=(?:true|false);)?sql=(.*?)(?:;transaction=(?:true|false))?$".r
   private def hookList(kw: Map[String, String], key: String): Seq[String] =
-    kw.get(key).map(_.split('\u0001').toSeq.map { h =>
-      if (h.startsWith("sql="))
-        h.stripPrefix("sql=").replaceAll("(?i);transaction=(true|false)\\s*$", "")
-      else h
+    kw.get(key).map(_.split('\u0001').toSeq.map {
+      case hookDictRe(sql) => sql
+      case h => h
     }.filter(_.nonEmpty)).getOrElse(Nil)
 
   def configFromKwargs(kw: Map[String, String]): NodeConfig = {
@@ -1831,8 +1839,9 @@ object ProjectLoader {
           s"microbatch:${kw.getOrElse("event_time", "event_time")}"
         case s => s
       },
-      // kept whole: predicates may contain commas
-      incrementalPredicates = kw.get("incremental_predicates").map(Seq(_)).getOrElse(Nil),
+      // split on the list separator ONLY (predicates contain commas)
+      incrementalPredicates = kw.get("incremental_predicates")
+        .map(_.split('\u0001').toSeq.filter(_.nonEmpty)).getOrElse(Nil),
       mergeUpdateColumns = kw.get("merge_update_columns")
         .map(_.split("[,\u0001]").map(_.trim).toSeq).getOrElse(Nil),
       mergeExcludeColumns = kw.get("merge_exclude_columns")

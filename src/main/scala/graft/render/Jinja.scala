@@ -737,8 +737,9 @@ object Jinja {
       case For(v, iterSrc, body) =>
         val items = eval(iterSrc, ctx, scope, depth) match {
           case JL(xs) => xs
-          // comma-list compatibility: vars hold "a,b,c" strings
-          case JS(s) => s.split(",").toSeq.map(x => JS(x.trim))
+          // list compatibility: vars hold "a,b,c" strings; kwarg
+          // lists arrive joined on the \u0001 list separator
+          case JS(s) => s.split("[,\u0001]").toSeq.map(x => JS(x.trim))
           case JM(m) => m.keys.toSeq.map(JS(_))
           case other => throw new IllegalArgumentException(
             s"jinja: cannot iterate ${show(other)}")

@@ -272,6 +272,35 @@ object Template {
             while (i < s.length && s(i) != q) { item += s(i); i += 1 }
             i += 1
             items += item.toString
+          } else if (s(i) == '{') {
+            // dict ITEM (the list-of-dicts hook form): encode through
+            // the dict entry shape `k=v;k2=v2` — hookList unwraps it
+            i += 1
+            val entries = scala.collection.mutable.ArrayBuffer[String]()
+            while (i < s.length && s(i) != '}') {
+              skipWs()
+              if (s(i) == '\'' || s(i) == '"') {
+                val dq = s(i); i += 1
+                val dk = new StringBuilder
+                while (i < s.length && s(i) != dq) { dk += s(i); i += 1 }
+                i += 1
+                skipWs()
+                if (i < s.length && s(i) == ':') i += 1
+                skipWs()
+                val dv = new StringBuilder
+                if (i < s.length && (s(i) == '\'' || s(i) == '"')) {
+                  val vq = s(i); i += 1
+                  while (i < s.length && s(i) != vq) { dv += s(i); i += 1 }
+                  i += 1
+                } else {
+                  while (i < s.length && s(i) != ',' && s(i) != '}') { dv += s(i); i += 1 }
+                }
+                entries += s"${dk.toString}=${dv.toString.trim}"
+              } else if (s(i) == ',') i += 1
+              else i += 1
+            }
+            i += 1
+            items += entries.mkString(";")
           } else if (s(i) == ',') i += 1
           else i += 1
         }

@@ -41,6 +41,47 @@ object Cli {
     }
   }
 
+
+  /** `--vars` / `--args` value: the reference's YAML-dict form
+    * ('{key: value}') or the legacy k=v,k2=v2 list. Returns
+    * (string entries, typed entries). With scalarsTyped, YAML scalars
+    * bind typed too (run-operation args: `dry_run: false` must be a
+    * real boolean in `{% if %}`); otherwise scalars stay strings
+    * (vars: the string map is the override-shadowing channel).
+    * Malformed input = the reference's A008 InvalidOptionYAML.
+    */
+  private def parseVarFlag(raw: String, optionName: String,
+      scalarsTyped: Boolean): (Map[String, String], Map[String, graft.render.Jinja.JV]) =
+    try {
+      if (raw.trim.startsWith("{")) {
+        import scala.jdk.CollectionConverters._
+        val entries = Option(new org.yaml.snakeyaml.Yaml()
+          .load[java.util.Map[String, Any]](raw))
+          .map(_.asScala.toSeq.map { case (k, v) => k.toString -> v })
+          .getOrElse(Nil)
+        def composite(v: Any): Boolean =
+          v.isInstanceOf[java.util.Map[_, _]] || v.isInstanceOf[java.util.List[_]]
+        if (scalarsTyped)
+          (Map.empty,
+            entries.map { case (k, v) => k -> graft.render.Jinja.fromAny(v) }.toMap)
+        else
+          (entries.collect {
+            case (k, v) if !composite(v) => k -> String.valueOf(v)
+          }.toMap,
+            entries.collect {
+              case (k, v) if composite(v) => k -> graft.render.Jinja.fromAny(v)
+            }.toMap)
+      } else (raw.split(",").map { kv =>
+        val Array(k, v) = kv.split("=", 2); k -> v
+      }.toMap, Map.empty[String, graft.render.Jinja.JV])
+    } catch {
+      case _: MatchError | _: org.yaml.snakeyaml.error.YAMLException =>
+        // reference A008 InvalidOptionYAML
+        EventLog.error("invalid_option_yaml", "code" -> "A008",
+          "option_name" -> optionName)
+        sys.exit(2)
+    }
+
   private def mainImpl(command: String, args: Array[String],
       opts: Map[String, String]): Unit = {
     val projectDir = opts.getOrElse("project",
@@ -185,39 +226,10 @@ object Cli {
       .orElse(targetDef.flatMap(_.threads)).getOrElse(4)
     val rawSelect = opts.get("select").map(_.split("\\s+").toSeq).getOrElse(Nil)
     val rawExclude = opts.get("exclude").map(_.split("\\s+").toSeq).getOrElse(Nil)
-    val (vars, varsTyped) =
-      try opts.get("vars").map { raw =>
-        // the reference form is a YAML dict ('{key: value}'); the
-        // legacy k=v,k2=v2 form stays accepted. List/dict VALUES go to
-        // the typed channel so `{% for r in var('regions') %}` works
-        // from the CLI exactly like from dbt_project.yml.
-        if (raw.trim.startsWith("{")) {
-          import scala.jdk.CollectionConverters._
-          val entries = Option(new org.yaml.snakeyaml.Yaml()
-            .load[java.util.Map[String, Any]](raw))
-            .map(_.asScala.toSeq.map { case (k, v) => k.toString -> v })
-            .getOrElse(Nil)
-          (entries.collect {
-            case (k, v) if !v.isInstanceOf[java.util.Map[_, _]] &&
-              !v.isInstanceOf[java.util.List[_]] => k -> String.valueOf(v)
-          }.toMap,
-            entries.collect {
-              case (k, v) if v.isInstanceOf[java.util.Map[_, _]] ||
-                v.isInstanceOf[java.util.List[_]] =>
-                k -> graft.render.Jinja.fromAny(v)
-            }.toMap)
-        } else (raw.split(",").map { kv =>
-          val Array(k, v) = kv.split("=", 2); k -> v
-        }.toMap, Map.empty[String, graft.render.Jinja.JV])
-      }.getOrElse((Map.empty[String, String],
+    val (vars, varsTyped) = opts.get("vars")
+      .map(parseVarFlag(_, "vars", scalarsTyped = false))
+      .getOrElse((Map.empty[String, String],
         Map.empty[String, graft.render.Jinja.JV]))
-      catch {
-        case _: MatchError | _: org.yaml.snakeyaml.error.YAMLException =>
-          // reference A008 InvalidOptionYAML
-          EventLog.error("invalid_option_yaml", "code" -> "A008",
-            "option_name" -> "vars")
-          sys.exit(2)
-      }
 
     // --log-format/--log-level/--quiet were applied in main() before
     // the spark-free commands; `quiet` also filters the result echo
@@ -601,29 +613,12 @@ object Cli {
       case "run-operation" =>
         val macroName = args.tail.headOption.filterNot(_.startsWith("--"))
           .getOrElse(sys.error("run-operation <macro-name> required"))
-        // --args: YAML dict (reference form) or legacy k=v list;
-        // list/dict values bind typed (`{% for s in schemas %}` works)
-        val (opArgs, opTyped) = opts.get("args").map { raw =>
-          if (raw.trim.startsWith("{")) {
-            import scala.jdk.CollectionConverters._
-            val entries = Option(new org.yaml.snakeyaml.Yaml()
-              .load[java.util.Map[String, Any]](raw))
-              .map(_.asScala.toSeq.map { case (k, v) => k.toString -> v })
-              .getOrElse(Nil)
-            (entries.collect {
-              case (k, v) if !v.isInstanceOf[java.util.Map[_, _]] &&
-                !v.isInstanceOf[java.util.List[_]] => k -> String.valueOf(v)
-            }.toMap,
-              entries.collect {
-                case (k, v) if v.isInstanceOf[java.util.Map[_, _]] ||
-                  v.isInstanceOf[java.util.List[_]] =>
-                  k -> graft.render.Jinja.fromAny(v)
-              }.toMap)
-          } else (raw.split(",").map { kv =>
-            val Array(k, v) = kv.split("=", 2); k -> v
-          }.toMap, Map.empty[String, graft.render.Jinja.JV])
-        }.getOrElse((Map.empty[String, String],
-          Map.empty[String, graft.render.Jinja.JV]))
+        // --args: YAML dict (reference form; scalars bind TYPED so
+        // `dry_run: false` is a real boolean) or legacy k=v list
+        val (opArgs, opTyped) = opts.get("args")
+          .map(parseVarFlag(_, "args", scalarsTyped = true))
+          .getOrElse((Map.empty[String, String],
+            Map.empty[String, graft.render.Jinja.JV]))
         try engine.runOperation(macroName, opArgs, opTyped)
           .lastOption.foreach(_.show(truncate = false))
         catch {

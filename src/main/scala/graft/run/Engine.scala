@@ -1610,12 +1610,20 @@ final class Engine(
         })
       case kv => kv
     })
+    // EVERY constructor param carries over — build() differs from the
+    // outer engine ONLY in its test-gating-augmented manifest (a
+    // dropped param here silently changes build semantics: r14's
+    // review caught typedVars, then target/emptyMode/templateDirs/
+    // queryComment/quoting/targetDir)
     val eng = new Engine(spark, augmented, warehouseRoot, vars, clock,
-      typedVars = typedVars,
+      typedVars = typedVars, emptyMode = emptyMode,
       runStartHooks = runStartHooks, runEndHooks = runEndHooks,
       namespace = namespace, macros = macros,
       macrosByPackage = macrosByPackage,
-      warnError = warnError, warnErrorOptions = warnErrorOptions)
+      target = target,
+      warnError = warnError, warnErrorOptions = warnErrorOptions,
+      templateDirs = templateDirs, queryComment = queryComment,
+      quoting = quoting, targetDir = targetDir)
     eng.currentWhich = currentWhich
     eng.favorState = favorState
     eng.deferEngine = deferEngine

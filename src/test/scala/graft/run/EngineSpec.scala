@@ -1428,15 +1428,21 @@ class EngineSpec extends SparkSpec {
           |   pre_hook=["CREATE OR REPLACE TEMP VIEW hf_a AS SELECT 1 AS x, 2 AS y",
           |             "CREATE OR REPLACE TEMP VIEW hf_b AS SELECT 3 AS x, 4 AS y"]) }}
           |SELECT * FROM hf_a UNION ALL SELECT * FROM hf_b""".stripMargin,
-      // dict hook form via schema yml config
+      // dict hook form via schema yml config — transaction listed
+      // FIRST (key order is preserved by yaml; both orders must work),
+      // plus the list-of-dicts form
       "models/schema.yml" ->
         """models:
           |  - name: m1
           |    config:
           |      post_hook:
-          |        sql: "CREATE OR REPLACE TEMP VIEW hf_dict AS SELECT 'dict,hook' AS v"
           |        transaction: false
-          |""".stripMargin)
+          |        sql: "CREATE OR REPLACE TEMP VIEW hf_dict AS SELECT 'dict,hook' AS v"
+          |  - name: m2
+          |""".stripMargin,
+      "models/m2.sql" ->
+        """{{ config(materialized='table', pre_hook=[{"sql": "CREATE OR REPLACE TEMP VIEW hf_ld AS SELECT 'list-of-dicts' AS v", "transaction": false}]) }}
+          |SELECT * FROM hf_ld""".stripMargin)
     val whRoot = tmpDir("wh")
     val eng = Engine.fromProject(spark, writeProject(proj), whRoot)
     val results = eng.run(threads = 1)
@@ -1447,6 +1453,7 @@ class EngineSpec extends SparkSpec {
     assert(spark.table("hf_dict").collect()(0).getString(0) === "dict,hook")
     assert(spark.table("hf_tree").collect()(0).getString(0)
       === "from tree, with comma")
+    assert(wh.read("m2").collect()(0).getString(0) === "list-of-dicts")
   }
 
   test("on-run-end hooks see the results list; selected_resources resolves") {
