@@ -10,8 +10,16 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpec.session
 
-  def tmpDir(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(prefix).toString
+  /** Scratch dirs register for JVM-exit cleanup — leaked /tmp scratch
+    * journal-pressures the filesystem and skews every later
+    * measurement (r13 runbook: 600k leaked files degraded bench solo
+    * walls 172→256 s with no code change; r14 found ~95k leaked from
+    * spec runs alone). */
+  def tmpDir(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix)
+    SparkSpec.scratch.add(d.toFile)
+    d.toString
+  }
 }
 
 object SparkSpec {
@@ -22,4 +30,26 @@ object SparkSpec {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
+
+  private[graft] val scratch =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.io.File]()
+
+  /** Register a suite-created scratch path for JVM-exit cleanup and
+    * pass it through — the one-liner every spec's createTempDirectory
+    * wraps in. */
+  def registerScratch(p: java.nio.file.Path): java.nio.file.Path = {
+    scratch.add(p.toFile)
+    p
+  }
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      scratch.forEach { root =>
+        def rm(f: java.io.File): Unit = {
+          val children = f.listFiles()
+          if (children != null) children.foreach(rm)
+          f.delete(): Unit
+        }
+        rm(root)
+      }))
+  }
 }

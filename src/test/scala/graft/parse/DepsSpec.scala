@@ -57,8 +57,8 @@ class DepsSpec extends SparkSpec {
   }
 
   test("local package: install, load, run — macros namespace correctly") {
-    val pkgDir = Files.createTempDirectory("dep_pkg")
-    val root = Files.createTempDirectory("dep_root")
+    val pkgDir = graft.SparkSpec.registerScratch(Files.createTempDirectory("dep_pkg"))
+    val root = graft.SparkSpec.registerScratch(Files.createTempDirectory("dep_root"))
     writePackage(pkgDir)
     writeRoot(root, s"local: $pkgDir")
 
@@ -93,12 +93,12 @@ class DepsSpec extends SparkSpec {
   }
 
   test("tarball package: extract, install, load") {
-    val pkgDir = Files.createTempDirectory("dep_pkg_tar")
+    val pkgDir = graft.SparkSpec.registerScratch(Files.createTempDirectory("dep_pkg_tar"))
     writePackage(pkgDir)
-    val tarGz = Files.createTempDirectory("dep_tars").resolve("util_pkg.tar.gz")
+    val tarGz = graft.SparkSpec.registerScratch(Files.createTempDirectory("dep_tars")).resolve("util_pkg.tar.gz")
     makeTarGz(pkgDir, tarGz)
 
-    val root = Files.createTempDirectory("dep_root_tar")
+    val root = graft.SparkSpec.registerScratch(Files.createTempDirectory("dep_root_tar"))
     writeRoot(root, s"tarball: $tarGz")
     val installed = Deps.install(root.toString)
     assert(installed.map(_.name) === Seq("util_pkg"))
@@ -111,9 +111,9 @@ class DepsSpec extends SparkSpec {
   }
 
   test("duplicate model names across packages are a hard error") {
-    val pkgDir = Files.createTempDirectory("dep_pkg_dup")
+    val pkgDir = graft.SparkSpec.registerScratch(Files.createTempDirectory("dep_pkg_dup"))
     writePackage(pkgDir)
-    val root = Files.createTempDirectory("dep_root_dup")
+    val root = graft.SparkSpec.registerScratch(Files.createTempDirectory("dep_root_dup"))
     writeRoot(root, s"local: $pkgDir")
     // root model with the SAME name as the packaged one
     write(root, "models/pkg_base.sql", "SELECT 1 AS x")
@@ -123,9 +123,9 @@ class DepsSpec extends SparkSpec {
   }
 
   test("root project scopes package configs: models: <pkg>: +key") {
-    val pkgDir = Files.createTempDirectory("dep_pkg_scope")
+    val pkgDir = graft.SparkSpec.registerScratch(Files.createTempDirectory("dep_pkg_scope"))
     writePackage(pkgDir)
-    val root = Files.createTempDirectory("dep_root_scope")
+    val root = graft.SparkSpec.registerScratch(Files.createTempDirectory("dep_root_scope"))
     writeRoot(root, s"local: $pkgDir")
     // root project forces the packaged model to materialize as a table
     // and tags it; root's own models keep their own configs
@@ -147,7 +147,7 @@ class DepsSpec extends SparkSpec {
   }
 
   test("per-directory config tree: deeper scopes win, siblings isolated") {
-    val root = Files.createTempDirectory("cfg_tree")
+    val root = graft.SparkSpec.registerScratch(Files.createTempDirectory("cfg_tree"))
     write(root, "dbt_project.yml",
       """name: treeproj
         |models:
@@ -180,7 +180,7 @@ class DepsSpec extends SparkSpec {
   }
 
   test("deps without packages.yml is a no-op; hub entries refused without a mirror") {
-    val root = Files.createTempDirectory("dep_root_none")
+    val root = graft.SparkSpec.registerScratch(Files.createTempDirectory("dep_root_none"))
     write(root, "dbt_project.yml", "name: lonely\n")
     assert(Deps.install(root.toString) === Nil)
     write(root, "packages.yml",
@@ -197,10 +197,10 @@ class DepsSpec extends SparkSpec {
     * tree proves which version won resolution.
     */
   private def mkRegistry(versions: Map[String, Seq[String]]): Path = {
-    val reg = Files.createTempDirectory("dep_registry")
+    val reg = graft.SparkSpec.registerScratch(Files.createTempDirectory("dep_registry"))
     versions.foreach { case (pkg, vs) =>
       vs.foreach { v =>
-        val tree = Files.createTempDirectory("dep_reg_pkg")
+        val tree = graft.SparkSpec.registerScratch(Files.createTempDirectory("dep_reg_pkg"))
         writePackage(tree)
         write(tree, "macros/version.sql",
           s"{% macro pkg_version() %}$v{% endmacro %}")
@@ -214,7 +214,7 @@ class DepsSpec extends SparkSpec {
 
   test("hub package from a local registry mirror: semver range picks highest in range") {
     val reg = mkRegistry(Map("org/util_pkg" -> Seq("0.8.0", "0.8.5", "0.9.0")))
-    val root = Files.createTempDirectory("dep_root_hub")
+    val root = graft.SparkSpec.registerScratch(Files.createTempDirectory("dep_root_hub"))
     writeRoot(root,
       "package: org/util_pkg\n    version: [\">=0.8.0\", \"<0.9.0\"]")
     val installed = Deps.install(root.toString, hubUrl = Some(reg.toString))
@@ -233,7 +233,7 @@ class DepsSpec extends SparkSpec {
   test("prereleases are excluded unless requested or explicitly pinned") {
     val reg = mkRegistry(Map("org/util_pkg" -> Seq("0.9.0", "1.0.0-rc.1")))
     def rootWith(entry: String): Path = {
-      val root = Files.createTempDirectory("dep_root_pre")
+      val root = graft.SparkSpec.registerScratch(Files.createTempDirectory("dep_root_pre"))
       writeRoot(root, entry)
       root
     }
@@ -252,7 +252,7 @@ class DepsSpec extends SparkSpec {
   test("transitive hub deps install and ranges merge across dependents") {
     val reg = mkRegistry(Map("org/util_pkg" -> Seq("0.8.0", "0.8.5", "0.9.0")))
     // base_pkg depends on util_pkg with its own range
-    val baseTree = Files.createTempDirectory("dep_base_pkg")
+    val baseTree = graft.SparkSpec.registerScratch(Files.createTempDirectory("dep_base_pkg"))
     write(baseTree, "dbt_project.yml", "name: base_pkg\n")
     write(baseTree, "macros/base.sql", "{% macro base_m() %}1=1{% endmacro %}")
     write(baseTree, "packages.yml",
@@ -261,7 +261,7 @@ class DepsSpec extends SparkSpec {
     Files.createDirectories(baseDir)
     makeTarGz(baseTree, baseDir.resolve("1.0.0.tar.gz"))
 
-    val root = Files.createTempDirectory("dep_root_trans")
+    val root = graft.SparkSpec.registerScratch(Files.createTempDirectory("dep_root_trans"))
     writeRoot(root, "package: org/base_pkg\n    version: \">=1.0.0\"")
     // root ALSO constrains util_pkg from below; merged range -> 0.8.5
     write(root, "packages.yml",
@@ -290,10 +290,10 @@ class DepsSpec extends SparkSpec {
   }
 
   test("a dependency shadowing the root project name is a hard error") {
-    val pkgDir = Files.createTempDirectory("dep_pkg_shadow")
+    val pkgDir = graft.SparkSpec.registerScratch(Files.createTempDirectory("dep_pkg_shadow"))
     writePackage(pkgDir)
     write(pkgDir, "dbt_project.yml", "name: deps_root\n")
-    val root = Files.createTempDirectory("dep_root_shadow")
+    val root = graft.SparkSpec.registerScratch(Files.createTempDirectory("dep_root_shadow"))
     writeRoot(root, s"local: $pkgDir")
     val e = intercept[IllegalArgumentException](Deps.install(root.toString))
     assert(e.getMessage.contains("deps_root"))

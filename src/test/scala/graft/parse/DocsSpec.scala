@@ -19,7 +19,7 @@ class DocsSpec extends AnyFunSuite {
   }
 
   private def mkProject(): Path = {
-    val root = Files.createTempDirectory("docs_proj")
+    val root = graft.SparkSpec.registerScratch(Files.createTempDirectory("docs_proj"))
     write(root, "dbt_project.yml", "name: docsproj\n")
     write(root, "models/overview.md",
       """{% docs orders_doc %}
@@ -96,7 +96,7 @@ class DocsSpec extends AnyFunSuite {
   test("resolved descriptions land in the manifest artifact") {
     val root = mkProject()
     val proj = ProjectLoader.load(root.toString)
-    val out = Files.createTempDirectory("docs_art").resolve("manifest.json")
+    val out = graft.SparkSpec.registerScratch(Files.createTempDirectory("docs_art")).resolve("manifest.json")
     graft.run.Artifacts.writeManifest(out.toString, proj.manifest,
       new java.sql.Timestamp(0), "test-invocation")
     val json = Files.readString(out)

@@ -13,7 +13,7 @@ import java.nio.file.{Files, Path}
 class PartialParseSpec extends AnyFunSuite {
 
   private def mkProject(nModels: Int = 6): Path = {
-    val dir = Files.createTempDirectory("pp_proj")
+    val dir = graft.SparkSpec.registerScratch(Files.createTempDirectory("pp_proj"))
     Files.createDirectories(dir.resolve("models"))
     Files.createDirectories(dir.resolve("seeds"))
     Files.createDirectories(dir.resolve("snapshots"))
@@ -259,7 +259,7 @@ class PartialParseSpec extends AnyFunSuite {
     // readState degrade — either way warm reuse silently dies and every
     // run cold-parses. A full-surface project must round-trip with
     // parsed == 0 on the second load.
-    val dir = Files.createTempDirectory("pp_sink")
+    val dir = graft.SparkSpec.registerScratch(Files.createTempDirectory("pp_sink"))
     def put(rel: String, c: String): Unit = {
       val p = dir.resolve(rel)
       Files.createDirectories(p.getParent)
@@ -390,7 +390,7 @@ class PartialParseSpec extends AnyFunSuite {
   }
 
   test("v3 codec: a stream naming an unlisted class is rejected (no gadget surface)") {
-    val dir = Files.createTempDirectory("pp_evil")
+    val dir = graft.SparkSpec.registerScratch(Files.createTempDirectory("pp_evil"))
     val path = dir.resolve("partial_parse.bin")
     val out = new java.io.DataOutputStream(Files.newOutputStream(path))
     out.writeInt(0x47465433) // correct magic
@@ -408,7 +408,7 @@ class PartialParseSpec extends AnyFunSuite {
     // 20k-file fixture: leaked copies accumulate into /tmp small-file
     // forests that journal-pressure the filesystem and poison later
     // write-path measurements (r13 lesson, see ParsePerfSpec) — delete.
-    val dir = Files.createTempDirectory("pp20k")
+    val dir = graft.SparkSpec.registerScratch(Files.createTempDirectory("pp20k"))
     try {
       Files.createDirectories(dir.resolve("models"))
       Files.writeString(dir.resolve("dbt_project.yml"), "name: pp\n")

@@ -88,7 +88,7 @@ class PlanSpec extends SparkSpec {
   test("partitioned warehouse tables prune partitions at the scan") {
     import org.apache.spark.sql.functions._
     val wh = new graft.exec.Warehouse(spark,
-      java.nio.file.Files.createTempDirectory("plan_wh").toString)
+      graft.SparkSpec.registerScratch(java.nio.file.Files.createTempDirectory("plan_wh")).toString)
     wh.writeTable("events_part",
       graft.Tables.load(spark, sf, "events")
         .withColumn("day", to_date(col("ts"))),

@@ -35,8 +35,8 @@ class CliSpec extends AnyFunSuite {
   }
 
   test("profiles-dir flag beats the project-dir profiles.yml") {
-    val proj = java.nio.file.Files.createTempDirectory("cli_proj")
-    val profs = java.nio.file.Files.createTempDirectory("cli_profs")
+    val proj = graft.SparkSpec.registerScratch(java.nio.file.Files.createTempDirectory("cli_proj"))
+    val profs = graft.SparkSpec.registerScratch(java.nio.file.Files.createTempDirectory("cli_profs"))
     java.nio.file.Files.writeString(proj.resolve("dbt_project.yml"), "name: p1\n")
     java.nio.file.Files.writeString(proj.resolve("profiles.yml"),
       """p1:
@@ -83,7 +83,7 @@ class CliSpec extends AnyFunSuite {
   }
 
   test("docs server: serves generated files, 404s outside the root") {
-    val dir = java.nio.file.Files.createTempDirectory("docs_srv")
+    val dir = graft.SparkSpec.registerScratch(java.nio.file.Files.createTempDirectory("docs_srv"))
     java.nio.file.Files.writeString(dir.resolve("index.html"), "<html>lineage</html>")
     java.nio.file.Files.writeString(dir.resolve("catalog.json"), "{\"nodes\":{}}")
     val server = DocsServer.serve(dir.toString, 0)
@@ -141,7 +141,7 @@ class CliSpec extends AnyFunSuite {
     // console is quiet (minLevel=error) and in text mode
     val captured = scala.collection.mutable.ArrayBuffer.empty[String]
     val (f0, s0, l0) = (EventLog.format, EventLog.sink, EventLog.minLevel)
-    val dir = java.nio.file.Files.createTempDirectory("graft_logs")
+    val dir = graft.SparkSpec.registerScratch(java.nio.file.Files.createTempDirectory("graft_logs"))
     val logFile = dir.resolve("logs/dbt.log")
     try {
       EventLog.format = "text"; EventLog.sink = captured += _

@@ -25,7 +25,7 @@ class DocsConsumerSpec extends SparkSpec {
   }
 
   private def mkProject(): java.nio.file.Path = {
-    val root = Files.createTempDirectory("docs_site_proj")
+    val root = graft.SparkSpec.registerScratch(Files.createTempDirectory("docs_site_proj"))
     def write(rel: String, content: String): Unit = {
       val p = root.resolve(rel)
       Files.createDirectories(p.getParent)
@@ -41,9 +41,9 @@ class DocsConsumerSpec extends SparkSpec {
   test("dbt docs app skeleton serves and its startup endpoints resolve") {
     val root = mkProject()
     val eng = Engine.fromProject(spark, root.toString,
-      Files.createTempDirectory("docs_site_wh").toString)
+      graft.SparkSpec.registerScratch(Files.createTempDirectory("docs_site_wh")).toString)
     assert(eng.run().forall(_.status == "success"))
-    val target = Files.createTempDirectory("docs_site_target").toString
+    val target = graft.SparkSpec.registerScratch(Files.createTempDirectory("docs_site_target")).toString
     eng.writeDocsArtifacts(target)
     Artifacts.writeLineageHtml(s"$target/lineage.html", eng.manifest)
 
@@ -74,9 +74,9 @@ class DocsConsumerSpec extends SparkSpec {
   test("static_index.html inlines both artifacts (the --static variant)") {
     val root = mkProject()
     val eng = Engine.fromProject(spark, root.toString,
-      Files.createTempDirectory("docs_static_wh").toString)
+      graft.SparkSpec.registerScratch(Files.createTempDirectory("docs_static_wh")).toString)
     assert(eng.run().forall(_.status == "success"))
-    val target = Files.createTempDirectory("docs_static_target").toString
+    val target = graft.SparkSpec.registerScratch(Files.createTempDirectory("docs_static_target")).toString
     eng.writeDocsArtifacts(target)
     val static = Files.readString(java.nio.file.Paths.get(s"$target/static_index.html"))
     assert(!static.contains("MANIFEST.JSON INLINE DATA"),

@@ -86,7 +86,7 @@ class EventsSpec extends AnyFunSuite {
   test("runtime smoke: a failing run emits the coded lifecycle set") {
     // the cheap end-to-end: one project with a passing model, a failing
     // test and a skipped dependent covers start/result/skip/summary
-    val root = java.nio.file.Files.createTempDirectory("events_smoke")
+    val root = graft.SparkSpec.registerScratch(java.nio.file.Files.createTempDirectory("events_smoke"))
     def write(rel: String, content: String): Unit = {
       val p = root.resolve(rel)
       java.nio.file.Files.createDirectories(p.getParent)
@@ -110,7 +110,7 @@ class EventsSpec extends AnyFunSuite {
       EventLog.sink = s => captured.synchronized { captured += s; () }
       val spark = graft.SparkSpec.session
       val eng = Engine.fromProject(spark, root.toString,
-        java.nio.file.Files.createTempDirectory("events_wh").toString)
+        graft.SparkSpec.registerScratch(java.nio.file.Files.createTempDirectory("events_wh")).toString)
       eng.build()
       val re = """"code": "([A-Z]\d{3})"""".r
       captured.flatMap(l => re.findFirstMatchIn(l).map(_.group(1))).toSet

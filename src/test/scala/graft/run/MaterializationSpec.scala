@@ -32,7 +32,7 @@ class MaterializationSpec extends SparkSpec {
   }
 
   test("custom table materialization via statement('main') + create_table_as") {
-    val root = Files.createTempDirectory("mat_custom")
+    val root = graft.SparkSpec.registerScratch(Files.createTempDirectory("mat_custom"))
     baseProject(root)
     write(root, "macros/my_mat.sql",
       """{% materialization plain_table, default %}
@@ -54,7 +54,7 @@ class MaterializationSpec extends SparkSpec {
   }
 
   test("custom view materialization via create_view_as") {
-    val root = Files.createTempDirectory("mat_view")
+    val root = graft.SparkSpec.registerScratch(Files.createTempDirectory("mat_view"))
     baseProject(root)
     write(root, "macros/my_view_mat.sql",
       """{% materialization lazy_view, default %}
@@ -72,7 +72,7 @@ class MaterializationSpec extends SparkSpec {
   }
 
   test("adapter-specific materialization beats default; unknown still errors") {
-    val root = Files.createTempDirectory("mat_adapter")
+    val root = graft.SparkSpec.registerScratch(Files.createTempDirectory("mat_adapter"))
     baseProject(root)
     write(root, "macros/mats.sql",
       """{% materialization pick_me, default %}
@@ -100,7 +100,7 @@ class MaterializationSpec extends SparkSpec {
   }
 
   test("a package can ship a materialization; post-hook reads statement results") {
-    val pkg = Files.createTempDirectory("mat_pkg")
+    val pkg = graft.SparkSpec.registerScratch(Files.createTempDirectory("mat_pkg"))
     write(pkg, "dbt_project.yml", "name: mat_pkg\n")
     write(pkg, "macros/pkg_mat.sql",
       """{% materialization audit_table, default %}
@@ -109,7 +109,7 @@ class MaterializationSpec extends SparkSpec {
         |  {% endcall %}
         |{% endmaterialization %}""".stripMargin)
 
-    val root = Files.createTempDirectory("mat_root")
+    val root = graft.SparkSpec.registerScratch(Files.createTempDirectory("mat_root"))
     baseProject(root)
     write(root, "packages.yml", s"packages:\n  - local: $pkg\n")
     write(root, "models/mat_audit.sql",

@@ -46,7 +46,7 @@ class PythonModelSpec extends AnyFunSuite {
   }
 
   test("project loader: .py file parses, config cascades, deps link") {
-    val dir = java.nio.file.Files.createTempDirectory("pymspec")
+    val dir = graft.SparkSpec.registerScratch(java.nio.file.Files.createTempDirectory("pymspec"))
     try {
       def write(rel: String, content: String): Unit = {
         val p = dir.resolve(rel)
@@ -124,7 +124,7 @@ class PythonModelSpec extends AnyFunSuite {
         |    return a.join(b, "k")
         |""".stripMargin)
     // and the loader surfaces the error at project parse time
-    val dir = java.nio.file.Files.createTempDirectory("pymdyn")
+    val dir = graft.SparkSpec.registerScratch(java.nio.file.Files.createTempDirectory("pymdyn"))
     try {
       def write(rel: String, content: String): Unit = {
         val p = dir.resolve(rel)
