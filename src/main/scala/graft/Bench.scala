@@ -54,8 +54,18 @@ import scala.concurrent.duration.Duration
   * withheld (null + load_refusal) when the box was already loaded at
   * start (SPARK_GRAFT_BENCH_LOAD_MAX, default 4.0 on 32 cpus) — walls
   * are always published. `strict_sequential_ratio` is the honest
-  * sequential channel the judge reads: (median solo wall + amortized
-  * index builds) / DuckDB median.
+  * sequential channel the judge reads: LOWER MEDIAN over the
+  * strict-wall pool / DuckDB lower median, where the pool holds EVERY
+  * post-prewarm solo wall (r14 weather-proofing: the merged first pass
+  * joins raw once the JIT prewarm completed — it is warm-class, and
+  * its wall already contains the full index builds; each warm cycle
+  * joins as wall + amortized builds). A single wall is not an
+  * estimator: BENCH_r14's only warm cycle ran under loadavg 3.2→7.6
+  * and read 412 s while the same run's post-prewarm first pass read
+  * 242.9 s — the pool median absorbs exactly that. The companion
+  * `strict_query_ratio` (median over queries of warm-solo/duck
+  * per-query lower-medians) is contention-immune entirely: no single
+  * wall can move it.
   *
   * Framework m-queries (engine runs against scratch warehouses) are
   * correctness fixtures gated by Verify, not throughput queries —
@@ -92,8 +102,12 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1100").toDouble
     val tStart = System.nanoTime()
     def elapsed(): Double = (System.nanoTime() - tStart) / 1e9
+    // admission prices carry a 1.15 safety factor: on a box whose load
+    // is rising, the next pass reliably runs OVER the previous pass's
+    // wall (r14: +2% budget bust; r15 smoke on a loaded box: +7%) —
+    // underestimating here is the one direction the budget cannot absorb
     def fits(nextCost: Double, reserve: Double): Boolean =
-      budgetSec <= 0 || elapsed() + nextCost + reserve <= budgetSec
+      budgetSec <= 0 || elapsed() + 1.15 * nextCost + reserve <= budgetSec
 
     // Load guard (documented abort path for RATIOS): when the 1-min
     // loadavg at start exceeds the threshold, the walls are still
@@ -202,7 +216,7 @@ object Bench {
       java.nio.file.Files.write(tmp, body.getBytes("UTF-8"))
       tmp
     }
-    def duckPass(): Option[(Double, Int, String)] =
+    def duckPass(): Option[(Double, Int, String, Map[String, Double])] =
       if (!duckEnabled) None
       else scala.util.Try {
         val script = Seq("tools/bench_duckdb.py", "/root/repo/tools/bench_duckdb.py")
@@ -218,7 +232,15 @@ object Bench {
           .findFirstMatchIn(out).get.group(1).toInt
         val dfailed = """"failed":\s*(\[[^\]]*\])""".r
           .findFirstMatchIn(out).map(_.group(1)).getOrElse("[]")
-        (secs, n, dfailed)
+        // per-query oracle walls feed strict_query_ratio (VERDICT r14
+        // item 1b): a contention-robust companion where one bad wall
+        // cannot dominate the strict channel
+        val perQ = """"per_query":\s*\{([^}]*)\}""".r
+          .findFirstMatchIn(out).map(_.group(1)).map { body =>
+            """"([^"]+)":\s*([0-9.eE+-]+)""".r.findAllMatchIn(body)
+              .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          }.getOrElse(Map.empty[String, Double])
+        (secs, n, dfailed, perQ)
       }.toOption
 
     // Previous round's solo medians for BENCH_DIFF — read BEFORE the
@@ -246,12 +268,20 @@ object Bench {
     var coldTotal = 0.0
     val soloRuns = scala.collection.mutable.ArrayBuffer[
       (Seq[(String, Double, Boolean)], Double)]()
-    val duckWalls = scala.collection.mutable.ArrayBuffer[(Double, Int, String)]()
+    val duckWalls = scala.collection.mutable.ArrayBuffer[
+      (Double, Int, String, Map[String, Double])]()
     val batchRuns = scala.collection.mutable.ArrayBuffer[
       (Seq[(String, Double, Boolean)], Double)]()
     var warmDone = 0     // warm solo cycles completed (excludes merged cold)
     var prewarmSec = 0.0 // un-timed JIT prewarm sweep cost (inside budget)
     var prewarmN = 0
+    // VERDICT r14 item 1a: after a COMPLETED prewarm sweep the merged
+    // first pass is warm-class (JIT/codegen already compiled) — its
+    // wall joins the strict pool; these flags make that decision
+    // visible to emit() and the artifact
+    var prewarmComplete = false
+    var mergedCold = false  // the first solo cycle doubled as the cold pass
+    var coldIsSolo = false  // degenerate: cold pass copied into soloRuns
 
     def qmap(rs: Seq[(String, Double, Boolean)]): String =
       rs.collect { case (k, v, true) => s""""$k":$v""" }.mkString("{", ",", "}")
@@ -335,9 +365,38 @@ object Bench {
         else {
           val sortedW = duckWalls.map(_._1).sorted
           val med = sortedW((sortedW.size - 1) / 2) // lower median (same rule as the Spark side)
-          val (_, n, df) = duckWalls.minBy(w => math.abs(w._1 - med))
+          val (_, n, df, _) = duckWalls.minBy(w => math.abs(w._1 - med))
           Some((med, n, df))
         }
+      // per-query duck lower-medians across the interleaved passes
+      val duckPerQuery: Map[String, Double] =
+        if (duckWalls.isEmpty) Map.empty
+        else duckWalls.flatMap(_._4.toSeq).groupBy(_._1).map { case (k, vs) =>
+          val ts = vs.map(_._2).sorted
+          k -> ts((ts.size - 1) / 2)
+        }
+
+      // STRICT WALL POOL (VERDICT r14 item 1a): every post-prewarm solo
+      // wall is warm-class. After a COMPLETED prewarm sweep, the merged
+      // first pass is JIT/codegen-warm — its wall joins the pool RAW
+      // (it contains the full index builds, which upper-bounds the
+      // amortized share the warm entries add back); each warm solo wall
+      // joins as wall + amortized builds. strict_sequential_ratio =
+      // LOWER MEDIAN over the pool / duck lower median — the estimator
+      // the per-query channel already uses, so one contended wall
+      // (r14: a 412 s warm cycle under loadavg 3.2→7.6, vs 242.9 s for
+      // the same run's post-prewarm first pass) can no longer be the
+      // sole strict numerator.
+      val strictPool: Seq[Double] =
+        (if (mergedCold && prewarmComplete && !coldIsSolo && coldTotal > 0)
+          Seq(coldTotal) else Nil) ++
+          soloRuns.map(_._2 + buildAmortized)
+      val strictWall: Option[Double] =
+        if (strictPool.isEmpty) None
+        else { val s = strictPool.sorted; Some(s((s.size - 1) / 2)) }
+      // the pool is cold-only when there was no prewarm AND no warm
+      // cycle — only then is strict a cold/duck artifact
+      val strictIsCold = warmDone == 0 && !(mergedCold && prewarmComplete)
       val loadAfter = load1()
       val loadRawAfter = loadRaw()
 
@@ -389,19 +448,40 @@ object Bench {
               s""""bench_ratio":null,"strict_sequential_ratio":null,""" +
                 s""""load_refusal":"loadavg $loadBefore > $loadMax at start: ratios withheld, walls published — rerun on a quiet machine","""
             else {
-              // strict_is_cold (VERDICT r13 item 1c): when the budget
-              // admitted only the merged-cold cycle, the strict number
-              // is a cold/duck ratio — the artifact says so explicitly
+              // strict_is_cold (VERDICT r13 item 1c): only when the
+              // pool is a single UN-prewarmed cold wall is strict a
+              // cold/duck artifact — the artifact says so explicitly
               // and publishes strict_warm_ratio:null instead of letting
               // a JIT-dominated wall impersonate the warm channel.
-              val strict =
-                if (soloRuns.isEmpty) ""
-                else {
-                  val r = r3d((soloTotal + buildAmortized) / secs)
+              val strict = strictWall match {
+                case None => ""
+                case Some(sw) =>
+                  val r = r3d(sw / secs)
+                  // strict_query_ratio (VERDICT r14 item 1b): median
+                  // over queries of (spark warm-solo / duck), both
+                  // sides per-query lower-medians from the same
+                  // windows — a contention spike on one wall moves
+                  // this companion not at all. Denominators < 50 ms
+                  // measure Spark's fixed per-query job-launch
+                  // overhead rather than engine throughput at this
+                  // toy SF, so the headline companion floors them;
+                  // the unfloored median is published alongside.
+                  val spq = solo.collect { case (k, v, true) if v > 0 => k -> v }
+                  val qr = spq.flatMap { case (k, v) =>
+                    duckPerQuery.get(k).filter(_ >= 0.05).map(d => v / d) }.sorted
+                  val qrAll = spq.flatMap { case (k, v) =>
+                    duckPerQuery.get(k).filter(_ > 0).map(d => v / d) }.sorted
+                  def medOf(xs: Seq[Double]): String =
+                    if (xs.isEmpty) "null" else r3d(xs((xs.size - 1) / 2)).toString
                   s""""strict_sequential_ratio":$r,""" +
-                    s""""strict_is_cold":${warmDone == 0},""" +
-                    s""""strict_warm_ratio":${if (warmDone == 0) "null" else r.toString},"""
-                }
+                    s""""strict_is_cold":$strictIsCold,""" +
+                    s""""strict_warm_ratio":${if (strictIsCold) "null" else r.toString},""" +
+                    s""""strict_wall_pool":${strictPool.map(r3d).mkString("[", ",", "]")},""" +
+                    s""""strict_first_pass_warm_class":${mergedCold && prewarmComplete},""" +
+                    s""""strict_query_ratio":${medOf(qr)},""" +
+                    s""""strict_query_ratio_n":${qr.size},""" +
+                    s""""strict_query_ratio_all":${medOf(qrAll)},"""
+              }
               val br =
                 if (batchRuns.isEmpty) s""""bench_ratio":null,"""
                 else s""""bench_ratio":${r3d(medianWall / secs)},"""
@@ -439,7 +519,7 @@ object Bench {
            |"per_query_cold":${qmap(cold)},
            |"failed":$failed,
            |"sf":"$sfDir","concurrency":$concurrency,"cpus":"$cpus","mode":"$mode","n_batch_runs":${batchRuns.size},
-           |"note":"value=LOWER-MEDIAN concurrent batch wall of n_batch_runs passes after cold+solo passes; per_query_warm_solo=PER-QUERY LOWER-MEDIAN of n_solo_runs sequential passes (warm_solo_wall=lower-median pass wall); duckdb_sequential_sec=LOWER-MEDIAN of oracle passes INTERLEAVED with the Spark solo passes (same load windows); strict_sequential_ratio=(warm_solo_wall+amortized builds)/duckdb median; ratios withheld (null) when loadavg_before>load_guard_threshold; pass counts sized to budget_sec (<=0 = unbudgeted); stage=last completed stage; sink=noop write (order-preserving)"}
+           |"note":"value=LOWER-MEDIAN concurrent batch wall of n_batch_runs passes after cold+solo passes; per_query_warm_solo=PER-QUERY LOWER-MEDIAN of n_solo_runs sequential passes (warm_solo_wall=lower-median pass wall); duckdb_sequential_sec=LOWER-MEDIAN of oracle passes INTERLEAVED with the Spark solo passes (same load windows); strict_sequential_ratio=LOWER-MEDIAN over strict_wall_pool/duckdb median, where the pool holds every post-prewarm solo wall: the merged first pass raw when the JIT prewarm COMPLETED (it is warm-class and already contains the full index builds) plus each warm solo wall+amortized builds; strict_query_ratio=median over queries of (spark warm-solo lower-median / duckdb per-query lower-median) with sub-50ms duck denominators floored out (they time fixed per-job overhead at toy SF, not throughput; _all=unfloored) — the contention-robust companion, one bad wall cannot move it; ratios withheld (null) when loadavg_before>load_guard_threshold; pass counts sized to budget_sec (<=0 = unbudgeted); stage=last completed stage; sink=noop write (order-preserving)"}
            |""".stripMargin
       java.nio.file.Files.write(outPath, fullJson.getBytes("UTF-8"))
 
@@ -461,10 +541,13 @@ object Bench {
         if (!loadOk)
           s""""duckdb_sequential_sec":${r3(secs)},"bench_ratio":null,"load_refused":true,"""
         else {
-          val strict =
-            if (soloRuns.isEmpty) ""
-            else s""""strict_sequential_ratio":${r3((soloTotal + buildAmortized) / secs)},""" +
-              s""""strict_is_cold":${warmDone == 0},"n_warm_solo_runs":$warmDone,"""
+          val strict = strictWall match {
+            case None => ""
+            case Some(sw) =>
+              s""""strict_sequential_ratio":${r3(sw / secs)},""" +
+                s""""strict_is_cold":$strictIsCold,"n_warm_solo_runs":$warmDone,""" +
+                s""""strict_pool_n":${strictPool.size},"""
+          }
           val br =
             if (batchRuns.isEmpty) ""
             else s""""bench_ratio":${r3(medianWall / secs)},"""
@@ -498,6 +581,7 @@ object Bench {
       if (mode == "batch") 0
       else sys.env.getOrElse("SPARK_GRAFT_BENCH_SOLO_RUNS", "5").toInt
     val coldMerged = budgetSec > 0 && soloTarget > 0
+    mergedCold = coldMerged
 
     // JIT PREWARM (VERDICT r13 item 1a): budgeted runs sweep the
     // headline queries once at a TINY sibling SF (default sf0.001)
@@ -529,8 +613,11 @@ object Bench {
       }
       prewarmSec = (System.nanoTime() - t0) / 1e9
       prewarmN = i
+      // only a COMPLETE sweep makes the merged first pass warm-class —
+      // a capped partial prewarm leaves later queries JIT-cold
+      prewarmComplete = headline.nonEmpty && i >= headline.size
       System.err.println(f"[bench] prewarm: $i/${headline.size} queries at " +
-        f"$prewarmDir in $prewarmSec%.1fs")
+        f"$prewarmDir in $prewarmSec%.1fs (complete=$prewarmComplete)")
     }
 
     if (!coldMerged) {
@@ -559,7 +646,10 @@ object Bench {
       // back. (Post-prewarm the cold cycle is already JIT-warm, so
       // lastCycleCost is a good estimate of a warm cycle + duck pass.)
       else if (warmDone < 2) {
-        if (fits(lastCycleCost, 20)) true
+        // finalization reserve 35 s (was 20: BENCH_r14 overran its
+        // 1100 s budget by ~2% — the last admitted pass ran slightly
+        // over its estimate and emit()+stop() ate the rest)
+        if (fits(lastCycleCost, 35)) true
         else {
           // the warm MEDIAN needs a second NUMERATOR more than a third
           // denominator: when only the duck pass is what doesn't fit,
@@ -567,7 +657,7 @@ object Bench {
           // anchors the denominator (r14: cycle 2 missed an 1100 s
           // budget by ~8 s priced at solo+duck, while solo alone had
           // 150 s of headroom)
-          skipDuck = duckWalls.nonEmpty && fits(lastSoloWall, 20)
+          skipDuck = duckWalls.nonEmpty && fits(lastSoloWall, 35)
           skipDuck
         }
       }
@@ -597,8 +687,10 @@ object Bench {
     // single-cycle degenerate case: the cold cycle is also the only
     // solo sample (index builds are then inside the solo wall — the
     // conservative direction for the strict ratio)
-    if (coldMerged && cycles > 0 && soloRuns.isEmpty)
+    if (coldMerged && cycles > 0 && soloRuns.isEmpty) {
       soloRuns += ((cold, coldTotal))
+      coldIsSolo = true // keep the strict pool from double-counting it
+    }
     if (soloTarget > 0 && warmDone < soloTarget)
       System.err.println(s"[bench] budget: stopped after $warmDone/" +
         s"$soloTarget warm solo cycles (${r3(elapsed())}s of ${budgetSec}s)")
@@ -634,8 +726,11 @@ object Bench {
     }
     var lastBatchCost = 0.0
     var batchDone = 0
+    // finalization reserve 45 s (was 15): covers the admitted pass
+    // overrunning its own estimate under rising load + the final
+    // emit()/artifact rewrite/spark.stop — the r14 ~22 s budget bust
     while (batchDone < nRuns &&
-      (batchDone == 0 || fits(lastBatchCost, 15))) {
+      (batchDone == 0 || fits(lastBatchCost, 45))) {
       val t = System.nanoTime()
       batchRuns += batchPass()
       lastBatchCost = (System.nanoTime() - t) / 1e9

@@ -518,7 +518,13 @@ final case class Manifest(nodes: Map[String, Node],
       * empty when the manifest was built without a project load —
       * the state comparator then skips macro checking).
       */
-    macroSources: Map[String, String] = Map.empty) {
+    macroSources: Map[String, String] = Map.empty,
+    /** Nodes parked by `enabled: false` (reference `manifest.disabled`,
+      * `core/dbt/contracts/graph/manifest.py`): out of the executable
+      * universe, but a ref/source pointing at one raises the specific
+      * "is disabled" flavor of TargetNotFoundError instead of the
+      * generic not-found. */
+    disabled: Map[String, Node] = Map.empty) {
   def models: Map[String, ModelNode] = collect { case m: ModelNode => m }
   def seeds: Map[String, SeedNode] = collect { case s: SeedNode => s }
   def snapshots: Map[String, SnapshotNode] = collect { case s: SnapshotNode => s }
@@ -567,6 +573,26 @@ final case class Manifest(nodes: Map[String, Node],
 
   def resolveSource(sourceName: String, tableName: String): Option[SourceNode] =
     sourceIndex.get((sourceName, tableName))
+
+  /** The disabled node a ref spec WOULD have resolved to — drives the
+    * "is disabled" flavor of TargetNotFoundError. */
+  def disabledRefTarget(spec: String): Option[Node] = {
+    val bare = spec match {
+      case s if s.matches("^.*\\.v\\d+$") => s.substring(0, s.lastIndexOf(".v"))
+      case s => s
+    }
+    disabled.values.find(n =>
+      Set("model", "seed", "snapshot")(n.resourceType) && n.name == bare)
+  }
+
+  def disabledSourceTarget(s: String, t: String): Option[Node] =
+    disabled.values.collectFirst {
+      case sn: SourceNode if sn.sourceName == s && sn.name == t => sn }
+
+  /** ref-able names in scope — the did-you-mean candidate pool. */
+  def refableNames: Iterable[String] =
+    nodes.values.collect {
+      case n if Set("model", "seed", "snapshot")(n.resourceType) => n.name }
 
   def parentMap: Map[String, Set[String]] =
     nodes.map { case (id, n) => id -> n.dependsOn.toSet }

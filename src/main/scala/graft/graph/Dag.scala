@@ -36,8 +36,21 @@ final case class Dag(parents: Map[String, Set[String]]) {
       }
     }
     if (out.size != parents.size) {
+      // walk an actual cycle among the stuck nodes so the error names
+      // the PATH, reference-style (`core/dbt/compilation.py:128-135`:
+      // "Found a cycle: a --> b --> a"), not just the member set
       val stuck = parents.keySet -- out
-      throw new IllegalStateException(s"dependency cycle among: ${stuck.toSeq.sorted.mkString(", ")}")
+      val start = stuck.toSeq.min
+      val seen = scala.collection.mutable.LinkedHashSet[String]()
+      var cur = start
+      while (!seen.contains(cur)) {
+        seen += cur
+        // follow any in-cycle parent edge (stuck nodes all have one)
+        cur = parents.getOrElse(cur, Set.empty).filter(stuck)
+          .toSeq.sorted.headOption.getOrElse(cur)
+      }
+      val path = seen.toSeq.dropWhile(_ != cur) :+ cur
+      throw graft.core.Errors.foundCycle(path)
     }
     out.toSeq
   }

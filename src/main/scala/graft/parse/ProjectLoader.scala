@@ -308,13 +308,34 @@ object ProjectLoader {
           case n => n
         }
     }
-    val allNodes = rootRaw.nodes ++ taggedPkgNodes
+    val allNodesRaw = rootRaw.nodes ++ taggedPkgNodes
+    // `enabled: false` parks a node in manifest.disabled (reference
+    // `manifest.py` add_disabled): it leaves the executable universe —
+    // never scheduled, excluded from duplicate checks — and a ref to it
+    // raises the "is disabled" TargetNotFoundError flavor. A test whose
+    // target is disabled is disabled transitively (reference
+    // schedules tests only over enabled nodes).
+    val (enabledNodes0, disabledNodes0) = allNodesRaw.partition(_.config.enabled)
+    val disabledRefable = disabledNodes0.collect {
+      case n if Set("model", "seed", "snapshot")(n.resourceType) => n.name }.toSet
+    val disabledSources = disabledNodes0.collect {
+      case s: SourceNode => (s.sourceName, s.name) }.toSet
+    val (transitivelyDisabled, allNodes) = enabledNodes0.partition {
+      case t: TestNode =>
+        t.refs.exists(r => disabledRefable(r.split("\\.v\\d+$")(0))) ||
+          t.sources.exists(disabledSources)
+      case _ => false
+    }
+    val disabledNodes = disabledNodes0 ++ transitivelyDisabled
     // global name uniqueness for ref-able nodes across packages
+    // (reference DuplicateResourceNameError, exceptions.py:1240)
     val refable = allNodes.filter(n => Set("model", "seed", "snapshot")(n.resourceType))
       .filterNot { case m: ModelNode => m.version.isDefined; case _ => false }
-    val dups = refable.groupBy(_.name).filter(_._2.size > 1).keys.toSeq.sorted
-    require(dups.isEmpty,
-      s"duplicate model/seed/snapshot name(s) across packages: ${dups.mkString(", ")}")
+    refable.groupBy(_.name).filter(_._2.size > 1).toSeq.sortBy(_._1)
+      .headOption.foreach { case (_, ns) =>
+        val sorted = ns.sortBy(_.uniqueId)
+        throw graft.core.Errors.duplicateResourceName(sorted(0), sorted(1))
+      }
 
     val pkgMacros: Map[String, Map[String, Template.MacroDef]] =
       pkgRaws.map { case (pkg, raw) =>
@@ -368,7 +389,8 @@ object ProjectLoader {
 
     // semantic validation runs BEFORE link so its specific errors win
     // over link's generic unresolved-dependency errors
-    val unlinked = Manifest(docResolved.map(n => n.uniqueId -> n).toMap)
+    val unlinked = Manifest(docResolved.map(n => n.uniqueId -> n).toMap,
+      disabled = disabledNodes.map(n => n.uniqueId -> n).toMap)
     validateGroupsAndAccess(unlinked)
     validateSemanticManifest(unlinked)
     val manifest = link(unlinked).copy(selectors = rootRaw.selectors,
@@ -525,6 +547,16 @@ object ProjectLoader {
       }.toMap)
   }
 
+  /** Dashed hook spellings (`pre-hook:`/`post-hook:`) are
+    * reference-legal aliases wherever a config block appears
+    * (dbt_project.yml, yml patch `config:` entries); configs read the
+    * underscore form. */
+  private[parse] def normalizeHookKey(k: String): String = k match {
+    case "pre-hook" => "pre_hook"
+    case "post-hook" => "post_hook"
+    case other => other
+  }
+
   /** Per-key override, except `tags` (union), `grants` (DictKeyAppend —
     * the deeper level's `+priv` keys extend, bare keys clobber) and
     * `persist_docs` (dict update) — reference MergeBehavior
@@ -570,11 +602,7 @@ object ProjectLoader {
         case (k, v) if k.startsWith("+") =>
           // dbt_project.yml spells hooks dashed (+pre-hook:); configs
           // read the underscore form
-          (k.drop(1) match {
-            case "pre-hook" => "pre_hook"
-            case "post-hook" => "post_hook"
-            case other => other
-          }) -> stringify(v) }
+          normalizeHookKey(k.drop(1)) -> stringify(v) }
       val kids = tree.collect {
         case (k, v: java.util.Map[_, _]) if !k.startsWith("+") =>
           k -> parseConfigTree(v)
@@ -789,9 +817,13 @@ object ProjectLoader {
             tests = testsOf(cm, s"column ${cm("name")}"))
         }.toSeq).getOrElse(Nil)
         val entryTests = testsOf(mm, s"$what $nm")
+        // the dashed hook spellings (`pre-hook:`) are reference-legal
+        // aliases everywhere a config block appears; normalize like
+        // parseConfigTree so configFromKwargs doesn't drop them
         val cfgKw = mm.get("config")
           .map(_.asInstanceOf[java.util.Map[String, Any]]
-            .asScala.map { case (k, v) => k.toString -> stringify(v) }.toMap)
+            .asScala.map { case (k, v) =>
+              normalizeHookKey(k.toString) -> stringify(v) }.toMap)
           .getOrElse(Map.empty[String, String])
         val desc = mm.get("description").map(_.toString).getOrElse("")
         (cols, entryTests, cfgKw, desc)
@@ -913,7 +945,8 @@ object ProjectLoader {
             val modelTests = testsOf(mm, s"model $mname")
             val cfgKw = mm.get("config")
               .map(_.asInstanceOf[java.util.Map[String, Any]]
-                .asScala.map { case (k, v) => k.toString -> stringify(v) }.toMap)
+                .asScala.map { case (k, v) =>
+                  normalizeHookKey(k.toString) -> stringify(v) }.toMap)
               .getOrElse(Map.empty[String, String])
             val desc = mm.get("description").map(_.toString).getOrElse("")
             // deprecation_date rides the patch kwargs (configFromKwargs
@@ -921,7 +954,13 @@ object ProjectLoader {
             val depKw = mm.get("deprecation_date")
               .map(d => Map("deprecation_date" -> d.toString))
               .getOrElse(Map.empty)
-            spatches += mname -> ((cols, modelTests, cfgKw ++ depKw, desc))
+            // access/group are TOP-LEVEL model properties in the
+            // reference schema (nodes.py ModelNode.access; group
+            // predates its config: spelling) — accept both spellings,
+            // top-level winning over config:
+            val accKw = Seq("access", "group")
+              .flatMap(k => mm.get(k).map(v => k -> v.toString)).toMap
+            spatches += mname -> ((cols, modelTests, cfgKw ++ depKw ++ accKw, desc))
             // model versions (reference versioned-model YAML):
             //   versions: [{v: 1}, {v: 2}]  latest_version: 2
             // files are named <name>_v<N>.sql
@@ -1232,7 +1271,11 @@ object ProjectLoader {
             snapshotPatches.getOrElse(snapName,
               (Nil, Nil, Map.empty[String, String], ""))
           val (fileKw, _) = Template.extractConfig(raw)
-          val kwargs = patchKw ++ fileKw
+          // mergeKwargs, not `++`: hooks/tags APPEND across config
+          // levels (reference MergeBehavior.Append) — a post_hook in
+          // both the snapshots: yml and the in-file config block runs
+          // both, yml level first (ADVICE r14)
+          val kwargs = mergeKwargs(patchKw, fileKw)
           val strategy = kwargs.getOrElse("strategy", "timestamp") match {
             case "timestamp" => TimestampStrategy(kwargs("updated_at"))
             case "check" =>
@@ -1480,27 +1523,36 @@ object ProjectLoader {
     * `name.v<N>` resolves to that version, plain names to the latest.
     */
   def link(m: Manifest): Manifest = {
-    def deps(refs: Seq[String], sources: Seq[(String, String)], existing: Seq[String]): Seq[String] = {
+    // reference TargetNotFoundError (exceptions.py:826-869): the node,
+    // the target kind, whether the target exists-but-disabled, and (an
+    // engine extension) a nearest-name suggestion
+    def deps(node: Node, refs: Seq[String], sources: Seq[(String, String)],
+        existing: Seq[String]): Seq[String] = {
       val refIds = refs.map(r => m.resolveRefSpec(r).map(_.uniqueId)
-        .getOrElse(throw new IllegalArgumentException(s"unresolved ref: $r")))
+        .getOrElse(throw graft.core.Errors.targetNotFound(node, r, "node",
+          disabled = Some(m.disabledRefTarget(r).isDefined),
+          candidates = m.refableNames)))
       val srcIds = sources.map { case (s, t) => m.resolveSource(s, t).map(_.uniqueId)
-        .getOrElse(throw new IllegalArgumentException(s"unresolved source: $s.$t")) }
+        .getOrElse(throw graft.core.Errors.targetNotFound(node, s"$s.$t", "source",
+          disabled = Some(m.disabledSourceTarget(s, t).isDefined))) }
       (existing ++ refIds ++ srcIds).distinct
     }
-    def metricIds(names: Seq[String]): Seq[String] = names.map { mn =>
+    def metricIds(node: Node, names: Seq[String]): Seq[String] = names.map { mn =>
       m.nodes.values.collectFirst { case n: MetricNode if n.name == mn => n.uniqueId }
-        .getOrElse(throw new IllegalArgumentException(s"unresolved metric: $mn"))
+        .getOrElse(throw graft.core.Errors.targetNotFound(node, mn, "metric",
+          disabled = Some(false),
+          candidates = m.nodes.values.collect { case n: MetricNode => n.name }))
     }
-    Manifest(m.nodes.map {
-      case (id, n: ModelNode) => id -> n.copy(dependsOn = deps(n.refs, n.sources, n.dependsOn))
-      case (id, n: PythonModelNode) => id -> n.copy(dependsOn = deps(n.refs, n.sources, n.dependsOn))
-      case (id, n: SnapshotNode) => id -> n.copy(dependsOn = deps(n.refs, n.sources, n.dependsOn))
-      case (id, n: TestNode) => id -> n.copy(dependsOn = deps(n.refs, n.sources, n.dependsOn))
-      case (id, n: ExposureNode) => id -> n.copy(dependsOn = deps(n.refs, Nil, n.dependsOn))
-      case (id, n: MetricNode) => id -> n.copy(dependsOn = deps(Seq(n.model), Nil, n.dependsOn))
-      case (id, n: SemanticModelNode) => id -> n.copy(dependsOn = deps(Seq(n.model), Nil, n.dependsOn))
-      case (id, n: SavedQueryNode) => id -> n.copy(dependsOn = (n.dependsOn ++ metricIds(n.metrics)).distinct)
-      case (id, n: UnitTestNode) => id -> n.copy(dependsOn = deps(Seq(n.model), Nil, n.dependsOn))
+    m.copy(nodes = m.nodes.map {
+      case (id, n: ModelNode) => id -> n.copy(dependsOn = deps(n, n.refs, n.sources, n.dependsOn))
+      case (id, n: PythonModelNode) => id -> n.copy(dependsOn = deps(n, n.refs, n.sources, n.dependsOn))
+      case (id, n: SnapshotNode) => id -> n.copy(dependsOn = deps(n, n.refs, n.sources, n.dependsOn))
+      case (id, n: TestNode) => id -> n.copy(dependsOn = deps(n, n.refs, n.sources, n.dependsOn))
+      case (id, n: ExposureNode) => id -> n.copy(dependsOn = deps(n, n.refs, Nil, n.dependsOn))
+      case (id, n: MetricNode) => id -> n.copy(dependsOn = deps(n, Seq(n.model), Nil, n.dependsOn))
+      case (id, n: SemanticModelNode) => id -> n.copy(dependsOn = deps(n, Seq(n.model), Nil, n.dependsOn))
+      case (id, n: SavedQueryNode) => id -> n.copy(dependsOn = (n.dependsOn ++ metricIds(n, n.metrics)).distinct)
+      case (id, n: UnitTestNode) => id -> n.copy(dependsOn = deps(n, Seq(n.model), Nil, n.dependsOn))
       case (id, n) => id -> n
     })
   }

@@ -3786,6 +3786,219 @@ object Framework {
       val ov = wh.read("xover").collect()(0)
       rows += (("override", s"${ov.getString(0)}|${ov.getString(1)}"))
       rows.toSeq.toDF("check_name", "result").orderBy("check_name")
+    },
+
+    // Exception-surface parity (VERDICT r15 item 2; reference
+    // `core/dbt/exceptions.py` — the messages users debug against):
+    // seven misconfigured projects, each driven into its SPECIFIC
+    // reference-text error. The result strings classify the caught
+    // message by its reference phrases; ERRORS.md carries the full
+    // class inventory and ErrorsSpec pins the exact texts.
+    QueryDef(
+      "m57_error_surface",
+      """SELECT * FROM (VALUES
+        |  ('ambiguous_alias', 'database-representation/both-ids'),
+        |  ('cycle', 'found-a-cycle/closed/3-hops'),
+        |  ('dup_resource', 'two-models/ref-name/both-ids'),
+        |  ('private_ref', 'attempted-to-reference/private/finance-group'),
+        |  ('ref_disabled', 'is-disabled'),
+        |  ('ref_not_found', 'not-found/suggests:stg_orders'),
+        |  ('src_not_found', 'source-not-found')
+        |) AS t(check_name, result)
+        |ORDER BY check_name""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      def mkProj(tag: String, files: Map[String, String]): String = {
+        val root = java.nio.file.Files.createTempDirectory(s"m57_$tag")
+        scratchDirs.add(root.toFile)
+        files.foreach { case (rel, content) =>
+          val p = root.resolve(rel)
+          java.nio.file.Files.createDirectories(p.getParent)
+          java.nio.file.Files.writeString(p, content): Unit
+        }
+        root.toString
+      }
+      def errOf(body: => Unit): String =
+        try { body; "NO-ERROR" }
+        catch { case e: Throwable => String.valueOf(e.getMessage) }
+      val rows = scala.collection.mutable.ArrayBuffer[(String, String)]()
+
+      // 1. DuplicateResourceNameError: two models named dm
+      val mDup = errOf(Engine.fromProject(s, mkProj("dup", Map(
+        "dbt_project.yml" -> "name: m57a\n",
+        "models/dm.sql" -> "SELECT 1 AS x",
+        "models/sub/dm.sql" -> "SELECT 2 AS x")), scratch()))
+      rows += (("dup_resource",
+        if (mDup.contains("dbt found two models with the name \"dm\"") &&
+          mDup.contains("when looking for ref(\"dm\")") &&
+          mDup.contains("model.graft.dm")) "two-models/ref-name/both-ids"
+        else s"unexpected:$mDup"))
+
+      // 2. TargetNotFoundError (+ nearest-name suggestion extension)
+      val mRef = errOf(Engine.fromProject(s, mkProj("ref", Map(
+        "dbt_project.yml" -> "name: m57b\n",
+        "models/stg_orders.sql" -> "SELECT 1 AS x",
+        "models/rpt.sql" -> "SELECT * FROM {{ ref('stg_order') }}")), scratch()))
+      rows += (("ref_not_found",
+        if (mRef.contains("Model 'model.graft.rpt'") &&
+          mRef.contains("depends on a node named 'stg_order' which was not found") &&
+          mRef.contains("Did you mean 'stg_orders'?")) "not-found/suggests:stg_orders"
+        else s"unexpected:$mRef"))
+
+      // 3. TargetNotFoundError, is-disabled flavor (enabled: false)
+      val mDis = errOf(Engine.fromProject(s, mkProj("dis", Map(
+        "dbt_project.yml" -> "name: m57c\n",
+        "models/parked.sql" -> "{{ config(enabled=false) }}\nSELECT 1 AS x",
+        "models/uses.sql" -> "SELECT * FROM {{ ref('parked') }}")), scratch()))
+      rows += (("ref_disabled",
+        if (mDis.contains("depends on a node named 'parked'") &&
+          mDis.contains("which is disabled")) "is-disabled"
+        else s"unexpected:$mDis"))
+
+      // 4. the cycle error: a <-> b, reference "Found a cycle: ..."
+      // (raised at engine link, before any scheduling)
+      val mCyc = errOf(Engine.fromProject(s, mkProj("cyc", Map(
+        "dbt_project.yml" -> "name: m57d\n",
+        "models/ca.sql" -> "SELECT * FROM {{ ref('cb') }}",
+        "models/cb.sql" -> "SELECT * FROM {{ ref('ca') }}")), scratch()))
+      val hops = mCyc.split(" --> ", -1).length - 1
+      rows += (("cycle",
+        if (mCyc.startsWith("Found a cycle: ") && hops == 2 &&
+          mCyc.contains("model.graft.ca") && mCyc.contains("model.graft.cb"))
+          "found-a-cycle/closed/3-hops"
+        else s"unexpected:$mCyc"))
+
+      // 5. DbtReferenceError: private model referenced across groups
+      val mPriv = errOf {
+        val eng = Engine.fromProject(s, mkProj("priv", Map(
+          "dbt_project.yml" -> "name: m57e\n",
+          "models/groups.yml" ->
+            """groups:
+              |  - name: finance
+              |    owner: {name: fin}
+              |  - name: marketing
+              |    owner: {name: mkt}
+              |models:
+              |  - name: sec
+              |    access: private
+              |    group: finance
+              |  - name: leak
+              |    group: marketing
+              |""".stripMargin,
+          "models/sec.sql" -> "SELECT 1 AS x",
+          "models/leak.sql" -> "SELECT * FROM {{ ref('sec') }}")), scratch())
+        // compile throws; run() would capture it as a node-result error
+        val leak = eng.manifest.nodes.values.find(_.name == "leak").get
+        eng.compile(leak): Unit
+      }
+      rows += (("private_ref",
+        if (mPriv.contains("attempted to reference node model.graft.sec") &&
+          mPriv.contains("is private to the 'finance' group"))
+          "attempted-to-reference/private/finance-group"
+        else s"unexpected:$mPriv"))
+
+      // 6. AmbiguousAliasError: two models sharing one alias
+      val mAmb = errOf {
+        val eng = Engine.fromProject(s, mkProj("amb", Map(
+          "dbt_project.yml" -> "name: m57f\n",
+          "models/a1.sql" -> "{{ config(alias='shared') }}\nSELECT 1 AS x",
+          "models/a2.sql" -> "{{ config(alias='shared') }}\nSELECT 2 AS x")), scratch())
+        eng.run(): Unit
+      }
+      rows += (("ambiguous_alias",
+        if (mAmb.contains("dbt found two resources with the database representation \"shared\"") &&
+          mAmb.contains("model.graft.a1") && mAmb.contains("model.graft.a2"))
+          "database-representation/both-ids"
+        else s"unexpected:$mAmb"))
+
+      // 7. TargetNotFoundError, source flavor
+      val mSrc = errOf(Engine.fromProject(s, mkProj("src", Map(
+        "dbt_project.yml" -> "name: m57g\n",
+        "models/sources.yml" ->
+          s"""sources:
+             |  - name: main
+             |    tables:
+             |      - name: orders
+             |        path: $dir/orders.parquet
+             |""".stripMargin,
+        "models/uses_src.sql" ->
+          "SELECT * FROM {{ source('main', 'nope') }}")), scratch()))
+      rows += (("src_not_found",
+        if (mSrc.contains("depends on a source named 'main.nope'") &&
+          mSrc.contains("was not found")) "source-not-found"
+        else s"unexpected:$mSrc"))
+
+      rows.toSeq.toDF("check_name", "result").orderBy("check_name")
+    },
+
+    // --full-refresh (VERDICT r15 item 3; reference cli/params.py
+    // full_refresh + tests/functional/materializations incremental
+    // full_refresh path): an incremental model appends across two
+    // batches, then a fullRefresh run REBUILDS it from the current
+    // source only — the incremental state is discarded. The oracle
+    // derives all three phase counts from orders in closed form.
+    QueryDef(
+      "m58_full_refresh",
+      """WITH b1 AS (SELECT o_orderkey AS id FROM orders WHERE o_orderkey % 2 = 0),
+        |     b2 AS (SELECT o_orderkey AS id FROM orders WHERE o_orderkey % 2 = 1)
+        |SELECT * FROM (VALUES
+        |  ('p1_initial',     (SELECT CAST(COUNT(*) AS BIGINT) FROM b1), 'b1'),
+        |  ('p2_incremental', (SELECT CAST(COUNT(*) AS BIGINT) FROM b1) +
+        |                     (SELECT CAST(COUNT(*) AS BIGINT) FROM b2), 'b1,b2'),
+        |  ('p3_full_refresh',(SELECT CAST(COUNT(*) AS BIGINT) FROM b2), 'b2')
+        |) AS t(phase, n_rows, batches)
+        |ORDER BY phase""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val root = java.nio.file.Files.createTempDirectory("m58_proj")
+      scratchDirs.add(root.toFile)
+      val srcDir = java.nio.file.Files.createTempDirectory("m58_src")
+      scratchDirs.add(srcDir.toFile)
+      def write(rel: String, content: String): Unit = {
+        val p = root.resolve(rel)
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.writeString(p, content): Unit
+      }
+      write("dbt_project.yml", "name: m58\n")
+      write("models/sources.yml",
+        s"""sources:
+           |  - name: main
+           |    tables:
+           |      - name: feed
+           |        path: $srcDir/feed.parquet
+           |""".stripMargin)
+      write("models/inc.sql",
+        """{{ config(materialized='incremental', incremental_strategy='append') }}
+          |SELECT id, batch FROM {{ source('main', 'feed') }}
+          |{% if is_incremental() %}
+          |WHERE batch NOT IN (SELECT DISTINCT batch FROM {{ this }})
+          |{% endif %}""".stripMargin)
+      val orders = graft.Tables.load(s, dir, "orders")
+      def writeBatch(tag: String, parity: Int): Unit =
+        orders.filter(col("o_orderkey") % 2 === parity)
+          .select(col("o_orderkey").as("id"), lit(tag).as("batch"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$srcDir/feed.parquet")
+      val whDir = scratch()
+      val rows = scala.collection.mutable.ArrayBuffer[(String, Long, String)]()
+      def snapshotPhase(name: String): Unit = {
+        val t = new Engine(s, Manifest(Map.empty), whDir).wh.read("inc")
+        rows += ((name, t.count(),
+          t.select("batch").distinct().collect().map(_.getString(0)).sorted.mkString(",")))
+      }
+      writeBatch("b1", 0)
+      require(Engine.fromProject(s, root.toString, whDir).run()
+        .forall(_.status == "success"), "m58 run 1 failed")
+      snapshotPhase("p1_initial")
+      writeBatch("b2", 1)
+      val r2 = Engine.fromProject(s, root.toString, whDir).run()
+      require(r2.forall(_.status == "success"),
+        s"m58 run 2 failed: ${r2.filterNot(_.status == "success")
+          .map(r => s"${r.uniqueId}: ${r.message}").mkString("; ")}")
+      snapshotPhase("p2_incremental")
+      // same source, --full-refresh: the model rebuilds from b2 only
+      require(Engine.fromProject(s, root.toString, whDir)
+        .run(fullRefresh = true).forall(_.status == "success"),
+        "m58 full-refresh run failed")
+      snapshotPhase("p3_full_refresh")
+      rows.toSeq.toDF("phase", "n_rows", "batches").orderBy("phase")
     }
   )
 }

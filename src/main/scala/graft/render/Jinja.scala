@@ -206,7 +206,29 @@ object Jinja {
     * through the expression parser (backslash escapes for quote and
     * backslash are the parser's own). */
   def toLiteral(v: JV): String = v match {
-    case JS(s) => "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    case JS(s) =>
+      def quote(x: String) = "'" + x.replace("\\", "\\\\").replace("'", "\\'") + "'"
+      // `%}` / `{{` / `{%` / `}}` / `#}` inside the string would
+      // terminate the surrounding `{% set %}` tag at the TEXT level
+      // before the expression parser ever sees the quotes (ADVICE r14:
+      // --args '{msg: "100%}"}' truncated the set tag and leaked the
+      // remainder into the rendered SQL) — split each pair across a
+      // `~` concat so the rendered tag stays well-formed.
+      val danger = Set("%}", "{{", "{%", "}}", "#}")
+      if (danger.exists(s.contains)) {
+        val parts = scala.collection.mutable.ArrayBuffer[String]()
+        val sb = new StringBuilder
+        var i = 0
+        while (i < s.length) {
+          sb += s(i)
+          if (i + 1 < s.length && danger.contains(s.substring(i, i + 2))) {
+            parts += sb.toString; sb.clear()
+          }
+          i += 1
+        }
+        if (sb.nonEmpty) parts += sb.toString
+        parts.map(quote).mkString("(", " ~ ", ")")
+      } else quote(s)
     case n: JN => show(n)
     case JB(b) => if (b) "true" else "false"
     case JNull => "none"
@@ -1392,8 +1414,15 @@ object Jinja {
           .orElse(ctx.builtins.get(name).map(JS(_)))
           // macros are template-level names in Jinja2 — a bare
           // reference yields the macro OBJECT (what
-          // `try_or_compiler_error('…', my_macro)` passes along)
-          .orElse(ctx.macroResolver(name).map(JMacro(_)))
+          // `try_or_compiler_error('…', my_macro)` passes along).
+          // CrossDb builtins are EXCLUDED here: their names are common
+          // words (length, date, replace, hash, …) and in jinja2 a bare
+          // `{% if date %}` on an undefined name is falsy — only
+          // user/project macros are template-level names; the builtin
+          // dbt namespace stays reachable via call syntax (ADVICE r14).
+          .orElse(ctx.macroResolver(name)
+            .filterNot(m => CrossDb.macros.get(name).exists(_ eq m))
+            .map(JMacro(_)))
           .getOrElse {
             // dotted builtins ("target.name") surface as a dict
             val pref = name + "."
@@ -1425,8 +1454,15 @@ object Jinja {
           ctx.vars.get(str(pos.head)).map(JS(_))
             .orElse(ctx.typedVars.get(str(pos.head)))
             .orElse(pos.lift(1).orElse(kw.get("default")))
-            .getOrElse(throw new IllegalArgumentException(
-              s"undefined var: ${str(pos.head)}"))
+            .getOrElse {
+              // reference RequiredVarNotFoundError (exceptions.py:322):
+              // names the missing var and lists what WAS supplied
+              val supplied = ctx.vars.keys.toSeq.sorted
+                .map(k => s""""$k": "${ctx.vars(k)}"""").mkString("{", ", ", "}")
+              throw new IllegalArgumentException(
+                s"Required var '${str(pos.head)}' not found in config:\n" +
+                  s"Vars supplied to <Configuration> = $supplied")
+            }
         case "env_var" =>
           val k = str(pos.head)
           if (Secrets.isSecret(k)) {
@@ -1441,12 +1477,12 @@ object Jinja {
                   s"packages.yml. Found '$k' referenced elsewhere.")
             if (Secrets.get(k).isDefined) JS(Secrets.placeholder(k))
             else pos.lift(1).getOrElse(throw new IllegalArgumentException(
-              s"env_var $k is undefined"))
+              s"Env var required but not provided: '$k'"))
           } else
             ctx.envOverrides.get(k).orElse(sys.env.get(k)).map(JS(_))
               .orElse(pos.lift(1))
               .getOrElse(throw new IllegalArgumentException(
-                s"env_var $k is undefined"))
+                s"Env var required but not provided: '$k'"))
         case "is_incremental" => JB(ctx.isIncremental)
         // reference providers.py:944-945: render a STRING through the
         // current context — the "jinja in a var/config value" idiom

@@ -19,8 +19,16 @@ import org.apache.spark.sql.SparkSession
   */
 object Cli {
 
+  /** Engine version line (reference `dbt --version`): tracks the
+    * reference release whose artifact schemas + behavior this engine
+    * mirrors (manifest v12 / run_results v6 era). */
+  val version = "graft 1.9.0"
+
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) { println(usage); sys.exit(2) }
+    if (args.contains("--version") || args.head == "version") {
+      println(version); return
+    }
     val (command, rest) = normalizeCommand(args)
     val opts = parseOpts(rest)
     // logging seams FIRST so even spark-free commands (deps/init/clean)
@@ -436,11 +444,17 @@ object Cli {
         failFast = opts.contains("fail-fast"),
         indirectSelection = indirect)))
       case "seed" => report(inState(engine.run(select, exclude, threads,
-        resourceTypes = Set("seed"))))
+        resourceTypes = Set("seed"),
+        fullRefresh = opts.contains("full-refresh"))))
       case "snapshot" => report(inState(engine.run(select, exclude, threads,
         resourceTypes = Set("snapshot"))))
-      case "test" => report(inState(engine.test(select, threads)))
-      case "build" => report(inState(engine.build(select, threads)))
+      case "test" => report(inState(engine.test(select, threads,
+        storeFailures = opts.contains("store-failures"))))
+      case "build" =>
+        engine.forceStoreFailures = opts.contains("store-failures")
+        report(inState(engine.build(select, threads,
+          indirectSelection = indirect,
+          fullRefresh = opts.contains("full-refresh"))))
       case "ls" =>
         // reference `dbt ls` (core/dbt/task/list.py): --resource-type
         // filters; --output selector|name|path|json (default selector,
@@ -454,8 +468,13 @@ object Cli {
         def resType(id: String): String =
           engine.manifest.nodes.get(id).map(_.resourceType)
             .getOrElse(id.takeWhile(_ != '.'))
+        // --exclude-resource-type (reference params.py): subtractive
+        // twin of --resource-type
+        val exTypes = opts.get("exclude-resource-type")
+          .map(_.split("[,\\s]+").filter(_.nonEmpty).toSet)
+          .getOrElse(Set.empty[String])
         val ids = inState(engine.ls(select, exclude, indirect))
-          .filter(id => types.forall(_(resType(id))))
+          .filter(id => types.forall(_(resType(id))) && !exTypes(resType(id)))
         val mode = opts.getOrElse("output", "selector")
         val keys = opts.get("output-keys")
           .map(_.split("[,\\s]+").filter(_.nonEmpty).toSet)
@@ -749,7 +768,20 @@ object Cli {
       rest match {
         case Nil => acc
         case flag :: tail if flag.startsWith("--") =>
-          val key = flag.drop(2)
+          // reference spelling aliases (cli/params.py): --project-dir
+          // is the reference's name for our --project; --models/--model
+          // are the deprecated list/ls spellings of --select
+          val key = flag.drop(2) match {
+            case "project-dir" => "project"
+            case "models" | "model" => "select"
+            // --defer-state names a state dir used for defer only; the
+            // engine's single --state dir serves both selection and
+            // defer, so the reference spelling folds into it
+            case "defer-state" => "state"
+            case "resource-types" => "resource-type"
+            case "exclude-resource-types" => "exclude-resource-type"
+            case other => other
+          }
           tail match {
             case v :: t2 if !v.startsWith("--") =>
               // greedily absorb space-separated values (for --select a b)

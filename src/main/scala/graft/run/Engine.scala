@@ -124,6 +124,9 @@ final class Engine(
     * current invocation, even when a stale local build exists.
     */
   @volatile var favorState: Boolean = false
+  /** `--store-failures` (reference cli/params.py): force the config on
+    * for every test this invocation (test + build paths). */
+  @volatile var forceStoreFailures: Boolean = false
 
   /** Ids selected by the in-flight run (reference
     * selected_resources.SELECTED_RESOURCES) — favor-state consults it.
@@ -180,6 +183,11 @@ final class Engine(
     spark.sparkContext.setJobDescription(null)
 
   private val dag = Dag.fromManifest(manifest)
+  // eager cycle check (reference `compilation.py:188-191` raises
+  // "Found a cycle: ..." at link): the scheduler's depth-score
+  // recursion must never see a cycle — unchecked it overflows the
+  // stack instead of naming the path
+  locally { dag.topoSort: Unit }
   private val runStartedAt = clock()
   val invocationId: String = java.util.UUID.randomUUID().toString
 
@@ -721,10 +729,11 @@ final class Engine(
       manifest.resolveRefSpec(name) match {
         case Some(m: ModelNode)
             if m.config.access == "private" && m.config.group != node.config.group =>
-          // A24 access enforcement (reference providers.py:525-544)
-          throw new IllegalArgumentException(
-            s"ref to private model '$name' (group ${m.config.group.getOrElse("-")}) " +
-              s"from group ${node.config.group.getOrElse("-")} is not allowed")
+          // A24 access enforcement (reference providers.py:525-544);
+          // message = reference DbtReferenceError (exceptions.py:665-678)
+          throw graft.core.Errors.referenceNotAllowed(
+            node.uniqueId, m.uniqueId, "private",
+            m.config.group.getOrElse("-"))
         case Some(m: ModelNode) if m.config.materialized == "ephemeral" =>
           val cteName = s"__dbt__cte__$name"
           if (!ephemeralDeps.contains(cteName)) {
@@ -743,7 +752,13 @@ final class Engine(
               (favorState && !selectedResources.contains(n.uniqueId)))
             deferResolve(n, rel)
           if (emptyMode) s"(SELECT * FROM $rel LIMIT 0) __empty_$rel" else rel
-        case None => throw new IllegalArgumentException(s"unresolved ref: $name")
+        case None =>
+          // reference TargetNotFoundError (exceptions.py:826-869) with
+          // the is-disabled flavor when the target is parked in
+          // manifest.disabled, plus a nearest-name suggestion
+          throw graft.core.Errors.targetNotFound(node, name, "node",
+            disabled = Some(manifest.disabledRefTarget(name).isDefined),
+            candidates = manifest.refableNames)
       }
     }
 
@@ -752,7 +767,9 @@ final class Engine(
         case Some(src) =>
           val rel = relationName(src)
           if (emptyMode) s"(SELECT * FROM $rel LIMIT 0) __empty_$rel" else rel
-        case None => throw new IllegalArgumentException(s"unresolved source: $s.$t")
+        case None =>
+          throw graft.core.Errors.targetNotFound(node, s"$s.$t", "source",
+            disabled = Some(manifest.disabledSourceTarget(s, t).isDefined))
       }
 
     def renderBody(sql: String, thisRel: String, forNode: Node = node): String =
@@ -784,6 +801,24 @@ final class Engine(
     * completion order. `resourceTypes` filters what executes (run vs
     * test vs build); dependencies still gate scheduling.
     */
+  /** AmbiguousAliasError (reference `exceptions.py:1138-1156`, raised
+    * by the manifest duplicate check at parse): two enabled
+    * materializable nodes whose database representation (relationName)
+    * collides — e.g. two models configured with the same `alias`.
+    * Checked once per engine, at first run/build (relationName needs
+    * the engine's macro context, so the check cannot live in the
+    * loader). */
+  private lazy val uniqueRelationsChecked: Unit = {
+    val materializable = manifest.nodes.values.filter(n =>
+      Set("model", "seed", "snapshot")(n.resourceType) &&
+        n.config.materialized != "ephemeral")
+    materializable.groupBy(relationName).filter(_._2.size > 1)
+      .toSeq.sortBy(_._1).headOption.foreach { case (rel, ns) =>
+        val sorted = ns.toSeq.sortBy(_.uniqueId)
+        throw graft.core.Errors.ambiguousAlias(sorted(0), sorted(1), rel)
+      }
+  }
+
   def run(
       select: Seq[String] = Nil,
       exclude: Seq[String] = Nil,
@@ -794,6 +829,7 @@ final class Engine(
       indirectSelection: String = "eager"): Seq[Materializer.Result] = {
 
     currentFullRefresh = fullRefresh
+    uniqueRelationsChecked
     val selected0 = Selector.select(manifest, dag, select, exclude, indirectSelection)
     // executing a node requires its ancestors' relations to exist; the
     // reference expects them pre-built unless selected — here sources
@@ -1154,7 +1190,9 @@ final class Engine(
         Option(resultSlots.get(s.uniqueId)).getOrElse(Map.empty),
         forNode = Some(s))
       Materializer.Result(s.uniqueId, "success", rowsAffected = rows)
-    case t: TestNode =>
+    case t0n: TestNode =>
+      val t = if (forceStoreFailures)
+        t0n.copy(config = t0n.config.copy(storeFailures = true)) else t0n
       val (raw, failures) = Materializer.runTest(wh, t.copy(rawSql = compile(t)))
       val status = if (promoteTestWarn && raw == "warn") "error" else raw
       Materializer.Result(t.uniqueId, status, s"$failures failures",
@@ -1179,10 +1217,21 @@ final class Engine(
   private def resolveSnapshotStrategy(node: SnapshotNode): SnapshotStrategy =
     node.strategy match {
       case CustomStrategy(stratName, kw) =>
-        val sep = "\u0001"
+        // \u0001 is the kwarg-LIST join separator in the config
+        // encoding, so it can legally appear inside a value and must
+        // not double as the 3-way strat split (ADVICE r14) — \u0002 is
+        // reserved nowhere in the encoding
+        val sep = "\u0002"
         def q(v: String) = "'" + v.replace("'", "\\'") + "'"
+        // decode \u0001-joined list values into Jinja list literals so
+        // a macro reading config['check_cols'] sees a real list and
+        // \u0001 never reaches the rendered SQL
+        def lit(v: String): String =
+          if (v.contains("\u0001"))
+            v.split('\u0001').map(q).mkString("[", ", ", "]")
+          else q(v)
         val cfg = kw.toSeq.sortBy(_._1)
-          .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ", ", "}")
+          .map { case (k, v) => s"${q(k)}: ${lit(v)}" }.mkString("{", ", ", "}")
         val tpl =
           s"{% set strat = snapshot_${stratName}_strategy(${q(node.name)}, " +
             s"'t', 's', $cfg, ${wh.exists(relationName(node))}) %}" +
@@ -1394,7 +1443,8 @@ final class Engine(
     }
 
   /** `dbt test`: data tests (+ unit tests) only. */
-  def test(select: Seq[String] = Nil, threads: Int = 4): Seq[Materializer.Result] = {
+  def test(select: Seq[String] = Nil, threads: Int = 4,
+      storeFailures: Boolean = false): Seq[Materializer.Result] = {
     val selected = Selector.select(manifest, dag, select)
       .filter(id => manifest.nodes.get(id).exists(n =>
         n.resourceType == "test" || n.resourceType == "unit_test"))
@@ -1406,7 +1456,7 @@ final class Engine(
     val out = try {
       val futures = selected.toSeq.sorted.zipWithIndex.map { case (id, i) =>
         pool.submit(new java.util.concurrent.Callable[Materializer.Result] {
-          def call(): Materializer.Result = runOneTest(id, i, total)
+          def call(): Materializer.Result = runOneTest(id, i, total, storeFailures)
         })
       }
       futures.map(_.get())
@@ -1422,11 +1472,16 @@ final class Engine(
     out
   }
 
-  private def runOneTest(id: String, i: Int, total: Int): Materializer.Result = {
+  private def runOneTest(id: String, i: Int, total: Int,
+      storeFailures: Boolean = false): Materializer.Result = {
       val t0 = System.nanoTime()
       applyQueryComment(manifest.nodes(id))
       val r = try manifest.nodes(id) match {
-        case t: TestNode =>
+        case t0n: TestNode =>
+          // --store-failures (reference cli/params.py store_failures):
+          // the CLI flag forces the config on for every selected test
+          val t = if (storeFailures || forceStoreFailures)
+            t0n.copy(config = t0n.config.copy(storeFailures = true)) else t0n
           try {
             val (raw, failures) = Materializer.runTest(wh, t.copy(rawSql = compile(t)))
             val status = if (promoteTestWarn && raw == "warn") "error" else raw
@@ -1594,7 +1649,8 @@ final class Engine(
     * descendants because the test node raises.
     */
   def build(select: Seq[String] = Nil, threads: Int = 4,
-      indirectSelection: String = "eager"): Seq[Materializer.Result] = {
+      indirectSelection: String = "eager",
+      fullRefresh: Boolean = false): Seq[Materializer.Result] = {
     // augment: each non-test child of a tested node also depends on the test
     val testsByParent = manifest.tests.values.flatMap(t =>
       t.dependsOn.map(p => p -> t.uniqueId)).groupBy(_._1)
@@ -1626,10 +1682,12 @@ final class Engine(
       quoting = quoting, targetDir = targetDir)
     eng.currentWhich = currentWhich
     eng.favorState = favorState
+    eng.forceStoreFailures = forceStoreFailures
     eng.deferEngine = deferEngine
     eng.deferArtifact = deferArtifact
     eng.run(select, threads = threads,
       resourceTypes = Set("model", "seed", "snapshot", "test", "unit_test"),
+      fullRefresh = fullRefresh,
       indirectSelection = indirectSelection)
   }
 

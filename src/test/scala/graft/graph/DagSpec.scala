@@ -26,11 +26,16 @@ class DagSpec extends AnyFunSuite {
     assert(idx("d") < idx("e"))
   }
 
-  test("cycle detection") {
+  test("cycle detection names the path (reference compilation.py:128-135)") {
     val cyc = Manifest(Seq(
       model("x", Seq("y")), model("y", Seq("x")))
       .map(n => n.uniqueId -> (n: Node)).toMap)
-    assertThrows[IllegalStateException](Dag.fromManifest(cyc).topoSort)
+    val e = intercept[RuntimeException](Dag.fromManifest(cyc).topoSort)
+    assert(e.getMessage.startsWith("Found a cycle: "))
+    // a closed a --> b --> a walk naming both members
+    assert(e.getMessage.split(" --> ").length === 3)
+    assert(e.getMessage.contains("model.graft.x") &&
+      e.getMessage.contains("model.graft.y"))
   }
 
   test("ancestors / descendants") {

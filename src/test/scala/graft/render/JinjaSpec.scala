@@ -961,4 +961,38 @@ class JinjaSpec extends AnyFunSuite {
         "{{ t.column_names | join(',') }}:" +
         "{% for r in t.rows %}{{ r.v }}{% endfor %}", c) === "id,v:ab")
   }
+
+  test("toLiteral splits tag-terminator sequences so {% set %} stays well-formed (ADVICE r14)") {
+    for (s <- Seq("100%}", "a{{b}}c", "x{%y", "pre#}post", "{{", "%}", "plain")) {
+      val lit = Jinja.toLiteral(Jinja.JS(s))
+      assert(Template.render(s"{% set m = $lit %}[{{ m }}]", ctx) === s"[$s]",
+        s"round-trip failed for $s via $lit")
+    }
+    // nested inside lists and dict values too
+    val lst = Jinja.toLiteral(Jinja.jlist(Seq(Jinja.JS("a%}b"), Jinja.JS("c"))))
+    assert(Template.render(s"{% set m = $lst %}{{ m | join('/') }}", ctx) === "a%}b/c")
+  }
+
+  test("CrossDb builtins are call-only, not bare-name variables (ADVICE r14)") {
+    // an engine-shaped resolver: user macros first, CrossDb fallback last
+    val user = macros("{% macro date() %}userdate{% endmacro %}")
+    val engineCtx = ctxWith(Map.empty).copy(
+      macroResolver = n => CrossDb.macros.get(n))
+    // bare names colliding with builtin macro names stay falsy/undefined
+    // (jinja2: `{% if date %}` on an unset name takes the else branch)
+    assert(Template.render(
+      "{% if date %}T{% else %}F{% endif %}", engineCtx) === "F")
+    assert(Template.render(
+      "{% if length %}T{% else %}F{% endif %}", engineCtx) === "F")
+    // call syntax still reaches the builtin
+    assert(Template.render("{{ length('x') }}", engineCtx) === "length(x)")
+    assert(Template.render("{{ replace('c', 'a', 'b') }}", engineCtx)
+      === "replace(c, a, b)")
+    // a USER macro with a colliding name IS a template-level name
+    val userCtx = ctxWith(user).copy(
+      macroResolver = n => user.get(n).orElse(CrossDb.macros.get(n)))
+    assert(Template.render(
+      "{% if date %}T{% else %}F{% endif %}", userCtx) === "T")
+    assert(Template.render("{{ date() }}", userCtx) === "userdate")
+  }
 }

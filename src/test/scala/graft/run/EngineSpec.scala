@@ -1222,6 +1222,66 @@ class EngineSpec extends SparkSpec {
     }
   }
 
+  test("dashed hook keys in yml patches; snapshot yml+file hooks append; custom strategy list config (ADVICE r14)") {
+    val proj = Map(
+      "dbt_project.yml" -> "name: hookfix\n",
+      "seeds/s1.csv" -> "id,v\n1,a\n",
+      // dashed `post-hook:` spelling inside a seeds: yml config block
+      // (reference-legal alias) must reach configFromKwargs
+      "seeds/seeds.yml" ->
+        """seeds:
+          |  - name: s1
+          |    config:
+          |      post-hook: "CREATE OR REPLACE TEMP VIEW dash_seed_hook AS SELECT 1 AS x"
+          |""".stripMargin,
+      // hooks defined in BOTH the snapshots: yml and the in-file config
+      // block APPEND (MergeBehavior.Append), yml level first
+      "snapshots/snap.sql" ->
+        """{% snapshot hs %}
+          |{{ config(strategy='listcheck', unique_key='id', updated_at='upd',
+          |   check_cols=['v', 'w'],
+          |   post_hook='CREATE OR REPLACE TEMP VIEW snap_hook_file AS SELECT 1 AS x') }}
+          |SELECT 1 AS id, 'a' AS v, 'b' AS w, TIMESTAMP '2000-01-01' AS upd
+          |{% endsnapshot %}""".stripMargin,
+      "snapshots/snapshots.yml" ->
+        """snapshots:
+          |  - name: hs
+          |    config:
+          |      post-hook: "CREATE OR REPLACE TEMP VIEW snap_hook_yml AS SELECT 1 AS x"
+          |""".stripMargin,
+      // custom strategy whose config carries a LIST value: the macro
+      // must see check_cols as a real list (not a separator-joined
+      // string), and the engine's 3-way strat split must survive
+      "macros/listcheck.sql" ->
+        """{% macro snapshot_listcheck_strategy(node, snapshotted_rel, current_rel, config, target_exists) %}
+          |{% set cols = config['check_cols'] %}
+          |{{ return({
+          |  'updated_at': config['updated_at'],
+          |  'row_changed': current_rel ~ '.' ~ cols[0] ~ ' <> ' ~ snapshotted_rel ~ '.' ~ cols[0]
+          |    ~ ' OR ' ~ current_rel ~ '.' ~ cols[1] ~ ' <> ' ~ snapshotted_rel ~ '.' ~ cols[1],
+          |  'scd_id': "md5(concat_ws('|', cast(id as string), cast(upd as string)))"
+          |}) }}
+          |{% endmacro %}""".stripMargin)
+    val whRoot = tmpDir("wh")
+    val eng = Engine.fromProject(spark, writeProject(proj), whRoot)
+    val results = eng.build()
+    assert(results.forall(r => r.status == "success" || r.status == "pass"),
+      results.filterNot(r => r.status == "success" || r.status == "pass").mkString("; "))
+    // dashed seed hook ran
+    assert(spark.table("dash_seed_hook").count() === 1)
+    // BOTH snapshot hooks ran: the yml-level one and the in-file one
+    assert(spark.table("snap_hook_yml").count() === 1)
+    assert(spark.table("snap_hook_file").count() === 1)
+    // the strategy resolved: row_changed used both list elements
+    // (read through a fresh engine — build() materializes via its
+    // inner engine, so recovery-from-disk is the read path)
+    val snap = new Engine(spark, graft.core.Manifest(Map.empty), whRoot).wh.read("hs")
+    assert(snap.count() === 1)
+    spark.sql("DROP VIEW IF EXISTS dash_seed_hook")
+    spark.sql("DROP VIEW IF EXISTS snap_hook_yml")
+    spark.sql("DROP VIEW IF EXISTS snap_hook_file")
+  }
+
   test("node hooks render with the node context: this/model resolve; seeds+snapshots run hooks") {
     // the canonical post-hook idiom is `GRANT … ON {{ this }}` — here
     // the hook materializes what it saw so the assertion can read it

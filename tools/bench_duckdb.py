@@ -26,15 +26,19 @@ def main():
     with open(oracle_path) as f:
         oracles = json.load(f)
     failed = []
+    per_query = {}
     t0 = time.time()
     for name, sql in sorted(oracles.items()):
+        q0 = time.time()
         try:
             con.execute(sql).fetchall()
         except Exception:
             failed.append(name)
+        per_query[name] = round(time.time() - q0, 4)
     total = time.time() - t0
     print(json.dumps({"seconds": round(total, 3),
-                      "n": len(oracles), "failed": failed}))
+                      "n": len(oracles), "failed": failed,
+                      "per_query": per_query}))
 
 
 if __name__ == "__main__":
