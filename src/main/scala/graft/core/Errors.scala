@@ -114,6 +114,35 @@ object Errors {
   def foundCycle(cycle: Seq[String]): RuntimeException =
     new RuntimeException(s"Found a cycle: ${cycle.mkString(" --> ")}")
 
+  /** DuplicateMacroNameError (`core/dbt/exceptions.py:486-509`): two
+    * macros with one name in one namespace (here: same package — the
+    * cross-package case resolves by namespace precedence). */
+  def duplicateMacroName(name: String, namespace: String,
+      path1: String, path2: String): CompilationError =
+    new CompilationError(
+      s"""dbt found two macros with the name "$name" in the namespace "$namespace". """ +
+        "Since these macros have the same name and exist in the same " +
+        "namespace, dbt will be unable to decide which to call. To fix this, " +
+        s"change the name of one of these macros:\n" +
+        s"- macro.$namespace.$name ($path1)\n- macro.$namespace.$name ($path2)")
+
+  /** DuplicatePatchPathError (`core/dbt/exceptions.py:1217-1238`,
+    * raised at `parser/schemas.py:694` — "patches can't be
+    * overwritten"): one resource described by two schema-yml entries.
+    * The fix-it tail mirrors dbt-common's `_fix_dupe_msg`. */
+  def duplicatePatchPath(name: String, path1: String, path2: String): CompilationError = {
+    val fix =
+      if (path1 == path2)
+        s"remove one of the resource entries for $name in this file:\n - $path1\n"
+      else
+        s"remove the resource entry for $name in one of these files:\n" +
+          s" - $path1\n - $path2\n"
+    new CompilationError(
+      s"dbt found two schema.yml entries for the same resource named $name. " +
+        "Resources and their associated columns may only be described a " +
+        s"single time. To fix this, $fix")
+  }
+
   /** DbtReferenceError (`core/dbt/exceptions.py:665-678`): a ref to a
     * node whose access level forbids it from this scope. `access` is
     * "private" (scope = group) or "protected" (scope = package). */

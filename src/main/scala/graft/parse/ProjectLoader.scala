@@ -637,7 +637,15 @@ object ProjectLoader {
       extraModelDefaults: ConfigTree = ConfigTree(),
       rootKey: String = "",
       psession: Option[PartialParse.Session] = None): RawProject = {
-    val yaml = new org.yaml.snakeyaml.Yaml()
+    // duplicate mapping keys are a hard parse error (reference
+    // DuplicateYamlKeyError via dbt_common's checked loader) — a yml
+    // with two `models:` sections silently loses the first one under
+    // a lenient loader
+    val yaml = {
+      val lo = new org.yaml.snakeyaml.LoaderOptions()
+      lo.setAllowDuplicateKeys(false)
+      new org.yaml.snakeyaml.Yaml(lo)
+    }
     parseDeprecations.get().clear()
     parseWarnings.get().clear()
 
@@ -799,8 +807,17 @@ object ProjectLoader {
         (Seq[ColumnInfo], Seq[GenericTestRef], Map[String, String], String)]
       var ssnapPatches = Map.empty[String,
         (Seq[ColumnInfo], Seq[GenericTestRef], Map[String, String], String)]
-      val doc = Option(yaml.load[java.util.Map[String, Any]](content))
-        .map(_.asScala.toMap).getOrElse(Map.empty)
+      val doc =
+        try Option(yaml.load[java.util.Map[String, Any]](content))
+          .map(_.asScala.toMap).getOrElse(Map.empty)
+        catch {
+          case e: org.yaml.snakeyaml.constructor.DuplicateKeyException =>
+            // reference DuplicateYamlKeyError text shape
+            val key = Option(e.getProblem).map(
+              _.replace("found duplicate key ", "")).getOrElse("?")
+            throw new graft.core.Errors.CompilationError(
+              s"Duplicate '$key' key found in yaml file")
+        }
       // `seeds:` / `snapshots:` property entries (reference
       // parser/schemas.py — every resource type takes the same patch
       // block: columns+tests, config, description). Same shape as
@@ -1082,9 +1099,22 @@ object ProjectLoader {
     // A schema yml's parse is pure content → SchemaOut (no out-of-file
     // context), so ctx is empty: editing one yml reparses exactly that
     // yml; every other schema doc replays from the A31 cache.
+    // patches can't be overwritten (reference `parser/schemas.py:694`
+    // DuplicatePatchPathError): one resource described in two yml FILES
+    // is a hard error with the reference text. (Two entries inside ONE
+    // file collapse in that file's Map — last-wins, a documented
+    // leniency; the cross-file case is the one real projects hit.)
+    val patchOrigin = scala.collection.mutable.Map[String, String]()
     for (f <- schemaDocs.distinct) {
       val out = cachedAs(f, fixturesCtx)(parseSchemaDoc)
       nodes ++= out.nodes
+      for (n <- (out.patches.keys ++ out.seedPatches.keys ++
+          out.snapshotPatches.keys).toSeq.sorted)
+        patchOrigin.get(n) match {
+          case Some(prev) =>
+            throw graft.core.Errors.duplicatePatchPath(n, relPath(f), prev)
+          case None => patchOrigin(n) = relPath(f)
+        }
       modelPatches ++= out.patches
       modelVersions ++= out.versions
       sourcePatches ++= out.sourcePatches
@@ -1362,9 +1392,22 @@ object ProjectLoader {
     // macro file's MacroDefs — the special-override pre-scan above
     // reads them back via oldData to detect ref/source/config/
     // generate_*_name redefinitions across invocations.
-    val macros = listFiles(root.resolve("macros"), ".sql")
-      .flatMap(f => cachedAs(f, "")(c => Template.extractMacros(c).toList))
-      .map(m => m.name -> m).toMap
+    val macroDefsByFile = listFiles(root.resolve("macros"), ".sql")
+      .map(f => relPath(f) -> cachedAs(f, "")(c => Template.extractMacros(c).toList))
+    // same-namespace duplicate macro names are a hard error (reference
+    // DuplicateMacroNameError, exceptions.py:486-509): a last-wins map
+    // would silently call whichever file sorted later
+    locally {
+      val seen = scala.collection.mutable.Map[String, String]()
+      for ((path, ms) <- macroDefsByFile; m <- ms)
+        seen.get(m.name) match {
+          case Some(prev) =>
+            throw graft.core.Errors.duplicateMacroName(m.name,
+              projName, path, prev)
+          case None => seen(m.name) = path
+        }
+    }
+    val macros = macroDefsByFile.flatMap(_._2).map(m => m.name -> m).toMap
 
     // ---- docs blocks from .md files (reference `core/dbt/parser/docs.py`:
     // every resource path is scanned for markdown docs blocks)

@@ -428,7 +428,10 @@ object Cli {
         results.filter(r => r.status == "error" || r.status == "fail")
       else results
       shown.foreach(r => println(f"${r.status.toUpperCase}%-8s ${r.uniqueId} (${r.elapsedSec}%.2fs) ${r.message}"))
-      engine.writeArtifacts(targetDir, results)
+      // --no-write-json (reference p.write_json): skip the artifact
+      // writes for this invocation; artifacts from prior runs stay
+      if (!opts.contains("no-write-json"))
+        engine.writeArtifacts(targetDir, results)
       if (results.exists(r => r.status == "error" || r.status == "fail")) sys.exit(1)
     }
 

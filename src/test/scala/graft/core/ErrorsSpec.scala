@@ -99,10 +99,10 @@ class ErrorsSpec extends AnyFunSuite {
     for (r <- rows if r.disposition == "n/a" || r.disposition == "gap")
       assert(r.detail.length >= 10, s"${r.cls}: reason too thin: '${r.detail}'")
     // the gap list must stay short — each entry is work, not a dumping
-    // ground (7 at r15: duplicate-yaml-key, the three duplicate-macro/
-    // patch shapes, duplicate-alias-keys, patch-target,
-    // versioned/unversioned)
-    assert(rows.count(_.disposition == "gap") <= 7,
+    // ground (3 at r15 after closing patch-target, duplicate-patch,
+    // duplicate-yaml-key and duplicate-macro-name: macro-patch dupes,
+    // duplicate-alias-keys, versioned/unversioned)
+    assert(rows.count(_.disposition == "gap") <= 3,
       "gap rows grew — close them instead of cataloguing them")
   }
 
@@ -152,6 +152,28 @@ class ErrorsSpec extends AnyFunSuite {
         "'finance' group.")
     val p = Errors.referenceNotAllowed("model.a.x", "model.b.y", "protected", "b")
     assert(p.getMessage.endsWith("is protected to the 'b' package."))
+  }
+
+  test("DuplicateMacroNameError text (exceptions.py:486-509)") {
+    val e = Errors.duplicateMacroName("my_macro", "proj",
+      "macros/a.sql", "macros/b.sql")
+    assert(e.getMessage.startsWith(
+      "dbt found two macros with the name \"my_macro\" in the namespace \"proj\"."))
+    assert(e.getMessage.contains("dbt will be unable to decide which to call"))
+    assert(e.getMessage.contains("- macro.proj.my_macro (macros/a.sql)"))
+    assert(e.getMessage.contains("- macro.proj.my_macro (macros/b.sql)"))
+  }
+
+  test("DuplicatePatchPathError text (exceptions.py:1217-1238)") {
+    val same = Errors.duplicatePatchPath("orders", "models/a.yml", "models/a.yml")
+    assert(same.getMessage.startsWith(
+      "dbt found two schema.yml entries for the same resource named orders."))
+    assert(same.getMessage.endsWith(
+      "remove one of the resource entries for orders in this file:\n - models/a.yml\n"))
+    val diff = Errors.duplicatePatchPath("orders", "models/a.yml", "models/b.yml")
+    assert(diff.getMessage.contains(
+      "remove the resource entry for orders in one of these files:\n" +
+        " - models/a.yml\n - models/b.yml\n"))
   }
 
   test("cycle text (compilation.py:188-191)") {

@@ -288,6 +288,7 @@ class CliSpec extends AnyFunSuite {
     ("--fail-fast", "exists", "fail-fast"),
     ("--quiet", "exists", "quiet"),
     ("--no-partial-parse", "exists", "no-partial-parse"),
+    ("--no-write-json", "exists", "no-write-json"),
     ("--defer", "exists", "defer"),
     ("--favor-state", "exists", "favor-state"),
     // ---- n/a rows, each with its architectural reason ----
@@ -307,7 +308,8 @@ class CliSpec extends AnyFunSuite {
     ("--profile", "n/a", "profiles.yml is keyed by the project name; selecting a different profile entry has no engine use case yet"),
     ("--deprecated-defer", "n/a", "deprecated spelling in the reference itself"),
     ("--deprecated-favor-state", "n/a", "deprecated spelling in the reference itself"),
-    ("--deprecated-state", "n/a", "deprecated spelling in the reference itself"))
+    ("--deprecated-state", "n/a", "deprecated spelling in the reference itself"),
+    ("--show", "n/a", "the seed/build inline preview duplicates the first-class `show` command, which is wired (--inline/--limit)"))
 
   test("reference CLI flag matrix: exists keys are read, aliases normalize, n/a rows carry reasons") {
     val cliSrc = java.nio.file.Files.readString(

@@ -1222,6 +1222,37 @@ class EngineSpec extends SparkSpec {
     }
   }
 
+  test("duplicate macro names and duplicate yaml keys are hard parse errors") {
+    val dupMacro = Map(
+      "dbt_project.yml" -> "name: dm\n",
+      "models/m.sql" -> "SELECT 1 AS x",
+      "macros/a.sql" -> "{% macro pick() %}1{% endmacro %}",
+      "macros/b.sql" -> "{% macro pick() %}2{% endmacro %}")
+    val e1 = intercept[IllegalArgumentException](
+      Engine.fromProject(spark, writeProject(dupMacro), tmpDir("wh")))
+    assert(e1.getMessage.contains("dbt found two macros with the name \"pick\""))
+    val dupKey = Map(
+      "dbt_project.yml" -> "name: dk\n",
+      "models/m.sql" -> "SELECT 1 AS x",
+      "models/s.yml" -> "models:\n  - name: m\nmodels:\n  - name: m\n")
+    val e2 = intercept[IllegalArgumentException](
+      Engine.fromProject(spark, writeProject(dupKey), tmpDir("wh")))
+    assert(e2.getMessage.contains("key found in yaml file"))
+  }
+
+  test("two schema.yml files patching one model raise DuplicatePatchPathError (schemas.py:694)") {
+    val proj = Map(
+      "dbt_project.yml" -> "name: duppatch\n",
+      "models/m.sql" -> "SELECT 1 AS x",
+      "models/one.yml" -> "models:\n  - name: m\n    description: a\n",
+      "models/two.yml" -> "models:\n  - name: m\n    description: b\n")
+    val e = intercept[IllegalArgumentException](
+      Engine.fromProject(spark, writeProject(proj), tmpDir("wh")))
+    assert(e.getMessage.contains(
+      "dbt found two schema.yml entries for the same resource named m"))
+    assert(e.getMessage.contains("one of these files"))
+  }
+
   test("dashed hook keys in yml patches; snapshot yml+file hooks append; custom strategy list config (ADVICE r14)") {
     val proj = Map(
       "dbt_project.yml" -> "name: hookfix\n",
