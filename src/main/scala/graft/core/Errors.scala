@@ -114,6 +114,19 @@ object Errors {
   def foundCycle(cycle: Seq[String]): RuntimeException =
     new RuntimeException(s"Found a cycle: ${cycle.mkString(" --> ")}")
 
+  /** DuplicateVersionedUnversionedError (`core/dbt/exceptions.py:
+    * 1292-1310`): a versioned model family plus an unversioned model
+    * sharing one name — unpinned refs would be ambiguous. */
+  def duplicateVersionedUnversioned(versioned: Node, unversioned: Node): ParsingError =
+    new ParsingError(
+      s"""dbt found versioned and unversioned models with the name "${versioned.name}".
+         |
+         |Since these resources have the same name, dbt will be unable to find the correct resource
+         |when looking for ref('${versioned.name}').
+         |
+         |To fix this, change the name of the unversioned resource
+         |${unversioned.uniqueId} (${pathOf(unversioned)})""".stripMargin)
+
   /** DuplicateMacroNameError (`core/dbt/exceptions.py:486-509`): two
     * macros with one name in one namespace (here: same package — the
     * cross-package case resolves by namespace precedence). */

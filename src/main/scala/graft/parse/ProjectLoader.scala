@@ -336,6 +336,21 @@ object ProjectLoader {
         val sorted = ns.sortBy(_.uniqueId)
         throw graft.core.Errors.duplicateResourceName(sorted(0), sorted(1))
       }
+    // a versioned family + an unversioned model of the same name is its
+    // own reference error (DuplicateVersionedUnversionedError,
+    // exceptions.py:1292): unpinned refs would be ambiguous between the
+    // family's latest and the standalone model
+    locally {
+      val versionedByName = allNodes.collect {
+        case m: ModelNode if m.version.isDefined => m
+      }.groupBy(_.name)
+      refable.collect { case m: ModelNode => m }
+        .sortBy(_.uniqueId)
+        .flatMap(un => versionedByName.get(un.name).map(v => (v.head, un)))
+        .headOption.foreach { case (v, un) =>
+          throw graft.core.Errors.duplicateVersionedUnversioned(v, un)
+        }
+    }
 
     val pkgMacros: Map[String, Map[String, Template.MacroDef]] =
       pkgRaws.map { case (pkg, raw) =>
@@ -431,7 +446,8 @@ object ProjectLoader {
     * back to the project name, then to a single-profile file.
     */
   def loadProfile(projectDir: String,
-      profilesDir: Option[String] = None): Option[ProfileDef] = {
+      profilesDir: Option[String] = None,
+      profileName: Option[String] = None): Option[ProfileDef] = {
     val yaml = new org.yaml.snakeyaml.Yaml()
     val root = Paths.get(projectDir)
     // precedence: --profiles-dir flag > DBT_PROFILES_DIR > project dir
@@ -448,9 +464,17 @@ object ProjectLoader {
         Option(yaml.load[java.util.Map[String, Any]](Files.readString(projFile)))
           .map(_.asScala.toMap).getOrElse(Map.empty)
       else Map.empty
-    val wanted = projCfg.get("profile").map(_.toString)
-      .orElse(projCfg.get("name").map(_.toString)).toSeq ++
+    // --profile beats dbt_project.yml's profile: key (reference
+    // cli/params.py profile option)
+    val wanted = profileName.toSeq ++
+      projCfg.get("profile").map(_.toString)
+        .orElse(projCfg.get("name").map(_.toString)).toSeq ++
       (if (doc.size == 1) doc.keys.headOption else None)
+    // an explicitly named profile that is absent is a hard error
+    // (reference DbtProfileError: "Could not find profile named ...")
+    profileName.foreach(pn => require(doc.contains(pn),
+      s"Could not find profile named '$pn' in profiles.yml " +
+        s"(has: ${doc.keys.toSeq.sorted.mkString(", ")})"))
     val profName = wanted.find(doc.contains).getOrElse(return None)
     // profiles.yml scalars render through the reference's
     // SecretRenderer (`config/renderer.py` ProfileRenderer):
@@ -490,8 +514,9 @@ object ProjectLoader {
     * one with no profiles.yml at all is too.
     */
   def resolveTarget(projectDir: String, target: Option[String],
-      profilesDir: Option[String] = None): Option[TargetDef] =
-    loadProfile(projectDir, profilesDir) match {
+      profilesDir: Option[String] = None,
+      profileName: Option[String] = None): Option[TargetDef] =
+    loadProfile(projectDir, profilesDir, profileName) match {
       case Some(p) =>
         val tn = target.getOrElse(p.defaultTarget)
         val td = p.outputs.get(tn)
@@ -557,6 +582,20 @@ object ProjectLoader {
     case other => other
   }
 
+  /** Normalize config keys and REJECT alias collisions — both
+    * spellings of one canonical key in a single block (reference
+    * DuplicateAliasError, `exceptions.py:914-929`: `Got duplicate
+    * keys: (pre-hook, pre_hook) all map to "pre_hook"`). */
+  private[parse] def normalizedCfgKeys(pairs: Seq[(String, String)]): Map[String, String] = {
+    val normed = pairs.map { case (k, v) => (normalizeHookKey(k), k, v) }
+    normed.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (canon, vs) =>
+      if (vs.size > 1)
+        throw new graft.core.Errors.CompilationError(
+          s"""Got duplicate keys: (${vs.map(_._2).sorted.mkString(", ")}) all map to "$canon"""")
+    }
+    normed.map(t => t._1 -> t._3).toMap
+  }
+
   /** Per-key override, except `tags` (union), `grants` (DictKeyAppend —
     * the deeper level's `+priv` keys extend, bare keys clobber) and
     * `persist_docs` (dict update) — reference MergeBehavior
@@ -598,11 +637,11 @@ object ProjectLoader {
   private def parseConfigTree(raw: Any): ConfigTree = raw match {
     case m: java.util.Map[_, _] =>
       val tree = m.asScala.toMap.map { case (k, v) => k.toString -> (v: Any) }
-      val own = tree.collect {
+      val own = normalizedCfgKeys(tree.toSeq.collect {
         case (k, v) if k.startsWith("+") =>
           // dbt_project.yml spells hooks dashed (+pre-hook:); configs
-          // read the underscore form
-          normalizeHookKey(k.drop(1)) -> stringify(v) }
+          // read the underscore form (alias collisions reject)
+          k.drop(1) -> stringify(v) })
       val kids = tree.collect {
         case (k, v: java.util.Map[_, _]) if !k.startsWith("+") =>
           k -> parseConfigTree(v)
@@ -838,9 +877,8 @@ object ProjectLoader {
         // aliases everywhere a config block appears; normalize like
         // parseConfigTree so configFromKwargs doesn't drop them
         val cfgKw = mm.get("config")
-          .map(_.asInstanceOf[java.util.Map[String, Any]]
-            .asScala.map { case (k, v) =>
-              normalizeHookKey(k.toString) -> stringify(v) }.toMap)
+          .map(c => normalizedCfgKeys(c.asInstanceOf[java.util.Map[String, Any]]
+            .asScala.toSeq.map { case (k, v) => k.toString -> stringify(v) }))
           .getOrElse(Map.empty[String, String])
         val desc = mm.get("description").map(_.toString).getOrElse("")
         (cols, entryTests, cfgKw, desc)
@@ -961,9 +999,8 @@ object ProjectLoader {
             }.toSeq).getOrElse(Nil)
             val modelTests = testsOf(mm, s"model $mname")
             val cfgKw = mm.get("config")
-              .map(_.asInstanceOf[java.util.Map[String, Any]]
-                .asScala.map { case (k, v) =>
-                  normalizeHookKey(k.toString) -> stringify(v) }.toMap)
+              .map(c => normalizedCfgKeys(c.asInstanceOf[java.util.Map[String, Any]]
+                .asScala.toSeq.map { case (k, v) => k.toString -> stringify(v) }))
               .getOrElse(Map.empty[String, String])
             val desc = mm.get("description").map(_.toString).getOrElse("")
             // deprecation_date rides the patch kwargs (configFromKwargs

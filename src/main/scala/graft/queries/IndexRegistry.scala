@@ -79,6 +79,10 @@ object IndexRegistry {
       "undirected co-purchase edge list (distinct src/dst part pairs)",
       "additive by construction: new orders contribute new edges via one " +
         "delta self-join, merged distinct"),
+    IndexDef("prdeg", "Ext3.coDegrees",
+      "node out-degrees over predges (one row per part)",
+      "node-sized degree aggregate; deltas ride the predges delta " +
+        "(sum-merge per src)"),
     IndexDef("imgassets", "Ext2 via Multimodal.imageAssetsFromDocuments",
       "decoded PNG asset table (pixels + typed metadata)",
       "decode-at-ingest artifact: new assets decode independently (append)"),

@@ -214,7 +214,7 @@ object Cli {
     val targetName = opts.get("target")
     val targetDef =
       try graft.parse.ProjectLoader.resolveTarget(projectDir, targetName,
-        opts.get("profiles-dir"))
+        opts.get("profiles-dir"), opts.get("profile"))
       catch {
         case e: Throwable =>
           // reference A011 LogDbtProfileError

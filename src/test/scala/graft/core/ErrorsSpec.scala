@@ -98,12 +98,11 @@ class ErrorsSpec extends AnyFunSuite {
   test("n/a and gap rows carry a reason") {
     for (r <- rows if r.disposition == "n/a" || r.disposition == "gap")
       assert(r.detail.length >= 10, s"${r.cls}: reason too thin: '${r.detail}'")
-    // the gap list must stay short — each entry is work, not a dumping
-    // ground (3 at r15 after closing patch-target, duplicate-patch,
-    // duplicate-yaml-key and duplicate-macro-name: macro-patch dupes,
-    // duplicate-alias-keys, versioned/unversioned)
-    assert(rows.count(_.disposition == "gap") <= 3,
-      "gap rows grew — close them instead of cataloguing them")
+    // the gap list is EMPTY as of r15 — every reference exception class
+    // is either emitted (reference-text or engine-error) or n/a with an
+    // architectural reason; keep it that way
+    assert(rows.count(_.disposition == "gap") === 0,
+      "gap rows appeared — close them instead of cataloguing them")
   }
 
   // ---- exact reference texts from the factories --------------------
@@ -152,6 +151,18 @@ class ErrorsSpec extends AnyFunSuite {
         "'finance' group.")
     val p = Errors.referenceNotAllowed("model.a.x", "model.b.y", "protected", "b")
     assert(p.getMessage.endsWith("is protected to the 'b' package."))
+  }
+
+  test("DuplicateVersionedUnversionedError text (exceptions.py:1292-1310)") {
+    val versioned = ModelNode("orders", "SELECT 1", version = Some(2),
+      originPath = "models/orders_v2.sql")
+    val un = ModelNode("orders", "SELECT 2", originPath = "models/orders.sql")
+    val e = Errors.duplicateVersionedUnversioned(versioned, un)
+    assert(e.getMessage.startsWith(
+      "dbt found versioned and unversioned models with the name \"orders\"."))
+    assert(e.getMessage.contains("when looking for ref('orders')."))
+    assert(e.getMessage.contains(
+      "change the name of the unversioned resource\nmodel.graft.orders (models/orders.sql)"))
   }
 
   test("DuplicateMacroNameError text (exceptions.py:486-509)") {

@@ -300,18 +300,19 @@ class PlanSpec extends SparkSpec {
   test("q140: pagerank releases every cache; result is the localized top-k") {
     // construction runs the 3 fixed-point rounds (each persisted +
     // forced) and the top-20 is pinned locally, so every PER-RUN cache
-    // (degrees, round ranks) is released before the query returns
-    // (r5 advice: repeated bench runs must not accumulate executor
-    // memory). The co-purchase EDGE table is the one deliberate
-    // exception since r7: it joins the built-once session index cache
-    // (the coPairs/IVF convention), so the FIRST run may add at most
-    // that single entry and a SECOND run must add none.
+    // (round ranks) is released before the query returns (r5 advice:
+    // repeated bench runs must not accumulate executor memory). The
+    // co-purchase EDGE table and its DEGREE table are the two
+    // deliberate exceptions (built-once session indexes predges +
+    // prdeg, the coPairs/IVF convention — r15 moved degrees into the
+    // ledger so per-query cost is the 3 rounds only), so the FIRST run
+    // may add at most those two entries and a SECOND run must add none.
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val df = SparkEntry.queries("q140_part_pagerank")(spark, sf)
     assert(df.count() === 20)
     val afterFirst = spark.sparkContext.getPersistentRDDs.keySet
-    assert((afterFirst -- before).size <= 1,
-      s"q140 may cache only the edge index: ${(afterFirst -- before).mkString(",")}")
+    assert((afterFirst -- before).size <= 2,
+      s"q140 may cache only the edge+degree indexes: ${(afterFirst -- before).mkString(",")}")
     assert(SparkEntry.queries("q140_part_pagerank")(spark, sf).count() === 20)
     val afterSecond = spark.sparkContext.getPersistentRDDs.keySet
     assert((afterSecond -- afterFirst).isEmpty,

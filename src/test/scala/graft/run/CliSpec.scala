@@ -305,7 +305,7 @@ class CliSpec extends AnyFunSuite {
     ("--log-file-max-bytes", "n/a", "log rotation is delegated to the host; the engine writes one file per invocation"),
     ("--printer-width", "n/a", "no interactive progress printer; output is event lines"),
     ("--record-timing-info", "n/a", "per-node timing is always recorded in run_results.json"),
-    ("--profile", "n/a", "profiles.yml is keyed by the project name; selecting a different profile entry has no engine use case yet"),
+    ("--profile", "exists", "profile"),
     ("--deprecated-defer", "n/a", "deprecated spelling in the reference itself"),
     ("--deprecated-favor-state", "n/a", "deprecated spelling in the reference itself"),
     ("--deprecated-state", "n/a", "deprecated spelling in the reference itself"),
@@ -334,6 +334,34 @@ class CliSpec extends AnyFunSuite {
     // loud diff next audit, not a silent omission)
     assert(flagAudit.map(_._1).distinct.size === flagAudit.size)
     assert(flagAudit.size >= 57)
+  }
+
+  test("--profile selects a named profiles.yml entry; a missing name is a hard error") {
+    val proj = graft.SparkSpec.registerScratch(
+      java.nio.file.Files.createTempDirectory("cli_profsel"))
+    java.nio.file.Files.writeString(proj.resolve("dbt_project.yml"), "name: p1\n")
+    java.nio.file.Files.writeString(proj.resolve("profiles.yml"),
+      """p1:
+        |  target: local
+        |  outputs:
+        |    local:
+        |      schema: main_schema
+        |alt:
+        |  target: other
+        |  outputs:
+        |    other:
+        |      schema: alt_schema
+        |""".stripMargin)
+    import graft.parse.ProjectLoader
+    // default: keyed by project name
+    assert(ProjectLoader.resolveTarget(proj.toString, None)
+      .get.schema === Some("main_schema"))
+    // --profile overrides the project-name keying
+    assert(ProjectLoader.resolveTarget(proj.toString, None, None, Some("alt"))
+      .get.schema === Some("alt_schema"))
+    val e = intercept[IllegalArgumentException](
+      ProjectLoader.resolveTarget(proj.toString, None, None, Some("nope")))
+    assert(e.getMessage.contains("Could not find profile named 'nope'"))
   }
 
   test("alias spellings normalize to engine keys in parseOpts") {

@@ -1222,6 +1222,31 @@ class EngineSpec extends SparkSpec {
     }
   }
 
+  test("alias-collision config keys and versioned+unversioned name clashes are parse errors") {
+    val aliasDup = Map(
+      "dbt_project.yml" -> "name: ad\n",
+      "models/m.sql" -> "SELECT 1 AS x",
+      "models/s.yml" ->
+        ("models:\n  - name: m\n    config:\n" +
+          "      pre-hook: \"SELECT 1\"\n      pre_hook: \"SELECT 2\"\n"))
+    val e1 = intercept[IllegalArgumentException](
+      Engine.fromProject(spark, writeProject(aliasDup), tmpDir("wh")))
+    assert(e1.getMessage ===
+      "Got duplicate keys: (pre-hook, pre_hook) all map to \"pre_hook\"")
+    val verUnver = Map(
+      "dbt_project.yml" -> "name: vu\n",
+      "models/fam.sql" -> "SELECT 1 AS x",
+      "models/fam_v1.sql" -> "SELECT 1 AS x",
+      "models/fam_v2.sql" -> "SELECT 2 AS x",
+      "models/s.yml" ->
+        ("models:\n  - name: fam\n    latest_version: 2\n" +
+          "    versions:\n      - v: 1\n      - v: 2\n"))
+    val e2 = intercept[IllegalArgumentException](
+      Engine.fromProject(spark, writeProject(verUnver), tmpDir("wh")))
+    assert(e2.getMessage.contains(
+      "dbt found versioned and unversioned models with the name \"fam\""))
+  }
+
   test("duplicate macro names and duplicate yaml keys are hard parse errors") {
     val dupMacro = Map(
       "dbt_project.yml" -> "name: dm\n",
