@@ -524,7 +524,12 @@ final case class Manifest(nodes: Map[String, Node],
       * universe, but a ref/source pointing at one raises the specific
       * "is disabled" flavor of TargetNotFoundError instead of the
       * generic not-found. */
-    disabled: Map[String, Node] = Map.empty) {
+    disabled: Map[String, Node] = Map.empty,
+    /** Packages whose dbt_project.yml sets `restrict-access: true` —
+      * their `access: protected` models reject refs from other
+      * packages (reference `manifest.is_invalid_protected_ref`,
+      * `contracts/graph/manifest.py:1451`). */
+    restrictedPackages: Set[String] = Set.empty) {
   def models: Map[String, ModelNode] = collect { case m: ModelNode => m }
   def seeds: Map[String, SeedNode] = collect { case s: SeedNode => s }
   def snapshots: Map[String, SnapshotNode] = collect { case s: SnapshotNode => s }

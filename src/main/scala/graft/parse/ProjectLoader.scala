@@ -119,7 +119,11 @@ object ProjectLoader {
         * honored, reference ConfigTargetPathDeprecation). */
       targetPath: Option[String] = None,
       /** `quoting:` config (database/schema/identifier booleans). */
-      quoting: Map[String, Boolean] = Map.empty)
+      quoting: Map[String, Boolean] = Map.empty,
+      /** `restrict-access:` (reference dbt_project.yml key): when true,
+        * this package's `access: protected` models reject refs from
+        * OTHER packages (manifest.is_invalid_protected_ref). */
+      restrictAccess: Boolean = false)
 
   /** One schema yml's parse output (A31 cache unit): the nodes it
     * defines plus the side maps that feed MODEL file parsing — a model
@@ -405,7 +409,9 @@ object ProjectLoader {
     // semantic validation runs BEFORE link so its specific errors win
     // over link's generic unresolved-dependency errors
     val unlinked = Manifest(docResolved.map(n => n.uniqueId -> n).toMap,
-      disabled = disabledNodes.map(n => n.uniqueId -> n).toMap)
+      disabled = disabledNodes.map(n => n.uniqueId -> n).toMap,
+      restrictedPackages = pkgRaws.collect {
+        case (pkg, raw) if raw.restrictAccess => pkg }.toSet)
     validateGroupsAndAccess(unlinked)
     validateSemanticManifest(unlinked)
     val manifest = link(unlinked).copy(selectors = rootRaw.selectors,
@@ -1486,7 +1492,8 @@ object ProjectLoader {
       deprecations = deprecations.toSeq ++ parseDeprecations.get().distinct,
       warnings = parseWarnings.get().distinct.toSeq,
       targetPath = targetPath,
-      quoting = quoting)
+      quoting = quoting,
+      restrictAccess = projCfg.get("restrict-access").exists(_.toString.toBoolean))
   }
 
   private val docsBlockRe =

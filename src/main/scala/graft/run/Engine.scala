@@ -734,6 +734,15 @@ final class Engine(
           throw graft.core.Errors.referenceNotAllowed(
             node.uniqueId, m.uniqueId, "private",
             m.config.group.getOrElse("-"))
+        case Some(m: ModelNode)
+            if m.config.access == "protected" &&
+              m.packageName != node.packageName &&
+              manifest.restrictedPackages(m.packageName) =>
+          // protected = package scope, enforced only when the target
+          // package declares restrict-access: true (reference
+          // manifest.is_invalid_protected_ref, manifest.py:1451)
+          throw graft.core.Errors.referenceNotAllowed(
+            node.uniqueId, m.uniqueId, "protected", m.packageName)
         case Some(m: ModelNode) if m.config.materialized == "ephemeral" =>
           val cteName = s"__dbt__cte__$name"
           if (!ephemeralDeps.contains(cteName)) {

@@ -785,6 +785,29 @@ class EngineSpec extends SparkSpec {
     assert(e.getMessage.contains("private"))
   }
 
+  test("protected access enforces package scope only under restrict-access (manifest.py:1451)") {
+    def proj(restrict: Boolean) = Map(
+      "dbt_project.yml" -> "name: rootp\n",
+      "dbt_packages/extpkg/dbt_project.yml" ->
+        s"name: extpkg\nrestrict-access: $restrict\n",
+      "dbt_packages/extpkg/models/guarded.sql" ->
+        "{{ config(access='protected') }}\nSELECT 1 AS x",
+      "models/uses.sql" -> "SELECT * FROM {{ ref('guarded') }}")
+    // restrict-access: true -> cross-package ref raises the reference
+    // DbtReferenceError with package scope
+    val engR = Engine.fromProject(spark, writeProject(proj(true)), tmpDir("wh"))
+    val uses = engR.manifest.nodes.values.find(_.name == "uses").get
+    val e = intercept[IllegalArgumentException](engR.compile(uses))
+    assert(e.getMessage ===
+      "Node model.graft.uses attempted to reference node model.extpkg.guarded, " +
+        "which is not allowed because the referenced node is protected to the " +
+        "'extpkg' package.")
+    // without restrict-access the same ref compiles (reference default)
+    val engOk = Engine.fromProject(spark, writeProject(proj(false)), tmpDir("wh"))
+    val uses2 = engOk.manifest.nodes.values.find(_.name == "uses").get
+    assert(engOk.compile(uses2).contains("guarded"))
+  }
+
   test("analyses compile but never materialize") {
     val proj = baseProject + ("analyses/an_orders.sql" ->
       "SELECT count(*) FROM {{ ref('stg_orders') }}")
