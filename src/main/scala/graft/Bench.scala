@@ -512,6 +512,8 @@ object Bench {
            |"warm_solo_plus_build_wall":${f"${soloTotal + buildTotal}%.3f"},
            |"warm_solo_plus_amortized_build_wall":${f"${soloTotal + buildAmortized}%.3f"},
            |"index_build_ledger":$ledgerJson,
+           |"duckdb_per_query":${duckPerQuery.toSeq.sortBy(_._1)
+             .map { case (k, v) => s""""$k":${r3d(v)}""" }.mkString("{", ",", "}")},
            |$duckPart
            |$loadPart
            |"queries":${qmap(results)},

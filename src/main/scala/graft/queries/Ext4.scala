@@ -585,13 +585,21 @@ object Ext4 {
         .agg(
           min(when(col("cum") >= expr("(n + 19) div 20"), col("price"))).as("p05"),
           min(when(col("cum") >= expr("(19 * n + 19) div 20"), col("price"))).as("p95"))
-      base.join(broadcast(cuts), "flag")
+      // winsorize from the HISTOGRAM, not the raw rows (r15): every
+      // output term is a function of (flag, price, count) — sum(w) =
+      // Σ clamp(price)·c, clamp counts = Σ c over the tail buckets —
+      // so the second full scan + row-level broadcast join collapse to
+      // a domain-sized pass over the same hist shuffle the cuts
+      // already consumed (AQE reuses the exchange). Decimal × long is
+      // exact; values are bit-identical to the per-row formulation.
+      hist.join(broadcast(cuts.withColumnRenamed("flag", "cflag")),
+          col("flag") === col("cflag"))
         .select(col("flag"), col("n"), col("p05"), col("p95"),
-          greatest(col("p05"), least(col("p95"), col("price"))).as("w"),
-          when(col("price") < col("p05"), 1L).otherwise(0L).as("lo"),
-          when(col("price") > col("p95"), 1L).otherwise(0L).as("hi"))
+          (greatest(col("p05"), least(col("p95"), col("price"))) * col("c")).as("wsum"),
+          when(col("price") < col("p05"), col("c")).otherwise(0L).as("lo"),
+          when(col("price") > col("p95"), col("c")).otherwise(0L).as("hi"))
         .groupBy("flag", "n", "p05", "p95")
-        .agg(round(sum("w").cast("double") / col("n"), 4).as("mean_winsorized"),
+        .agg(round(sum("wsum").cast("double") / col("n"), 4).as("mean_winsorized"),
           sum("lo").cast("long").as("n_clamped_low"),
           sum("hi").cast("long").as("n_clamped_high"))
         .select(col("flag"), col("n").cast("long").as("n"),

@@ -352,7 +352,10 @@ object Artifacts {
           "select" -> arr(s.select.map(q)),
           "exclude" -> arr(s.exclude.map(q)),
           "description" -> q(s.description))) }),
-      "disabled" -> obj(Nil),
+      // reference manifest `disabled` section: unique_id -> LIST of
+      // parked node dicts (enabled:false nodes live here, not in nodes)
+      "disabled" -> obj(manifest.disabled.toSeq.sortBy(_._1).map {
+        case (id, n) => id -> arr(Seq(nodeJson(n))) }),
       "parent_map" -> obj(manifest.parentMap.toSeq.sortBy(_._1).map {
         case (id, ps) => id -> arr(ps.toSeq.sorted.map(q)) }),
       "child_map" -> obj(manifest.nodes.keys.toSeq.sorted.map { id =>

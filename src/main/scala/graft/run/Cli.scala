@@ -550,9 +550,17 @@ object Cli {
             "In a future version of dbt, the `source freshness` command " +
               "will start running `on-run-start` and `on-run-end` hooks " +
               "by default. It does not run them today.")
-        engine.sourceFreshness(select).toSeq.sortBy(_._1).foreach {
+        val fresh = engine.sourceFreshness(select)
+        fresh.toSeq.sortBy(_._1).foreach {
           case (id, (status, age)) => println(f"$status%-6s $id age=${age}%.0fs")
         }
+        // the standalone freshness artifact (reference task/freshness.py
+        // writes sources.json; -o/--output relocates it)
+        if (!opts.contains("no-write-json")) {
+          val outPath = opts.getOrElse("output", s"$targetDir/sources.json")
+          engine.writeFreshnessArtifact(outPath, fresh)
+        }
+        if (fresh.values.exists(_._1 == "error")) sys.exit(1)
       case "retry" => report(engine.retry(s"$targetDir/run_results.json", threads))
       case "parse" =>
         // manifest without executing anything (reference `dbt parse`)

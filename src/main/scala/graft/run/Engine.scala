@@ -1731,6 +1731,13 @@ final class Engine(
     * `task/freshness.py` metadata path, where a `filter` is an error
     * because there is no query to filter).
     */
+  /** Write the sources v3 artifact for a freshness result set —
+    * `dbt source freshness` writes this standalone (reference
+    * task/freshness.py), at `--output` when given. */
+  def writeFreshnessArtifact(path: String,
+      fresh: Map[String, (String, Double)]): Unit =
+    Artifacts.writeSources(path, fresh, runStartedAt, invocationId)
+
   def sourceFreshness(select: Seq[String] = Nil): Map[String, (String, Double)] = {
     val scope: Set[String] =
       if (select.isEmpty) manifest.sources.keySet
