@@ -116,7 +116,12 @@ object SoloProfile {
       val warms = (1 to reps).map(_ => drain(q)).sorted
       val after = snap()
       // wait for straggling listener events before reading counters
-      spark.sparkContext.listenerBus.waitUntilEmpty()
+      // (listenerBus is private[spark]; reach it reflectively, else settle)
+      scala.util.Try {
+        val sc = spark.sparkContext
+        val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+        bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+      }.getOrElse(Thread.sleep(200))
       val med = warms((warms.size - 1) / 2)
       val dJobs = (after._1 - before._1).toDouble / reps
       val dStages = (after._2 - before._2).toDouble / reps
