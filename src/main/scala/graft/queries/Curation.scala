@@ -1157,15 +1157,20 @@ object Curation {
         lit("l_suppkey"), col("l_suppkey"))).as(Seq("key_col", "key_val")))
       val cnt = kv.groupBy("key_col", "key_val")
         .agg(count(lit(1)).cast("long").as("c"))
-      cnt.withColumn("max_c",
-          max("c").over(Window.partitionBy("key_col")))
-        .groupBy("key_col").agg(
+      // r15 optimization (guide §2.4): the hottest key is MIN(key_val)
+      // among the argmax rows — a lexicographic max of struct(c,
+      // -key_val) computes it inside the SAME hash aggregate, so the
+      // per-family MAX window (an extra exchange to |families|=3
+      // partitions + a full WindowExec pass over the key table) is
+      // gone. Values are bit-identical: max struct = (max c, and among
+      // ties max(-key_val) = min key_val).
+      cnt.groupBy("key_col").agg(
           sum("c").cast("long").as("n_rows"),
           count(lit(1)).cast("long").as("n_keys"),
           max("c").cast("long").as("max_cnt"),
           expr("(max(c) * count(*) * 1000000) div sum(c)").cast("long")
             .as("skew_e6"),
-          min(when(col("c") === col("max_c"), col("key_val")))
+          (-max(struct(col("c"), (-col("key_val")).as("nk")))("nk"))
             .as("hottest_key"))
         .orderBy("key_col")
     },

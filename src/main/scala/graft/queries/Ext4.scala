@@ -577,22 +577,31 @@ object Ext4 {
       // sort doesn't become a one-task straggler at scale.
       // percentile_disc(p) = min{v : cum(v) >= ceil(p·n)} — identical
       // to the rank-k row value the oracle computes.
+      // winsorize from the HISTOGRAM, not the raw rows (r15): every
+      // output term is a function of (flag, price, count) — sum(w) =
+      // Σ clamp(price)·c, clamp counts = Σ c over the tail buckets.
+      // r15 optimization pass 2 (guide §1.2/§5): the cuts branch and
+      // the winsorize branch are two CONSUMERS of the same histogram;
+      // without a persist Catalyst re-derives the scan + groupBy for
+      // each (the measured plan carried two full lineitem subtrees).
+      // The hist is domain-bounded (|flags| × |distinct prices|), so
+      // it persists within the query, both branches read the cache,
+      // and the per-flag totals come from a 3-row aggregate broadcast
+      // back instead of a second whole-partition window frame. The
+      // ≤|flags|-row result pins locally so the cache releases before
+      // returning (q140's pattern). Decimal × long is exact; values
+      // are bit-identical to the per-row formulation.
       val hist = base.groupBy("flag", "price").agg(count(lit(1)).as("c"))
-      val cum = hist.select(col("flag"), col("price"),
-        sum("c").over(Window.partitionBy("flag").orderBy("price")).as("cum"),
-        sum("c").over(Window.partitionBy("flag")).as("n"))
+        .persist()
+      val totals = hist.groupBy("flag").agg(sum("c").as("n"))
+      val cum = hist.join(broadcast(totals), "flag")
+        .select(col("flag"), col("price"), col("n"),
+          sum("c").over(Window.partitionBy("flag").orderBy("price")).as("cum"))
       val cuts = cum.groupBy("flag", "n")
         .agg(
           min(when(col("cum") >= expr("(n + 19) div 20"), col("price"))).as("p05"),
           min(when(col("cum") >= expr("(19 * n + 19) div 20"), col("price"))).as("p95"))
-      // winsorize from the HISTOGRAM, not the raw rows (r15): every
-      // output term is a function of (flag, price, count) — sum(w) =
-      // Σ clamp(price)·c, clamp counts = Σ c over the tail buckets —
-      // so the second full scan + row-level broadcast join collapse to
-      // a domain-sized pass over the same hist shuffle the cuts
-      // already consumed (AQE reuses the exchange). Decimal × long is
-      // exact; values are bit-identical to the per-row formulation.
-      hist.join(broadcast(cuts.withColumnRenamed("flag", "cflag")),
+      val res = hist.join(broadcast(cuts.withColumnRenamed("flag", "cflag")),
           col("flag") === col("cflag"))
         .select(col("flag"), col("n"), col("p05"), col("p95"),
           (greatest(col("p05"), least(col("p95"), col("price"))) * col("c")).as("wsum"),
@@ -607,6 +616,10 @@ object Ext4 {
           col("mean_winsorized").cast("double").as("mean_winsorized"),
           col("n_clamped_low"), col("n_clamped_high"))
         .orderBy("flag")
+      val rows = res.collect().toSeq
+      val schema = res.schema
+      hist.unpersist()
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
     },
 
     // Zipf's-law fit over the token frequency spectrum: OLS of

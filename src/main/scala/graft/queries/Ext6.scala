@@ -637,46 +637,62 @@ object Ext6 {
         |       CAST(ROUND(MAX(CASE WHEN rk = 2 THEN m END), 4) AS DOUBLE) AS ci_lo,
         |       CAST(ROUND(MAX(CASE WHEN rk = 31 THEN m END), 4) AS DOUBLE) AS ci_hi
         |FROM means CROSS JOIN pooled""".stripMargin) { (s, dir) =>
+      // r15 optimization (guide §2.3/§2.4): all 32 replicate (Σw·cents,
+      // Σw) pairs ride ONE scan as 64 aggregate expressions — the
+      // previous double explode blew 150k orders into 4.8M rows feeding
+      // a 32-group shuffle, and the `pooled` branch re-ran that whole
+      // subtree a second time (2 scans, 2 explode pipelines). Now: one
+      // projection computes the 8 md5 digests + 32 inverse-CDF weights
+      // per row (identical hash convention — same values as the oracle),
+      // one global HashAggregate partial-aggregates them per partition,
+      // and the 32-replicate order statistics come from sort_array over
+      // the 1-row result (struct(m, b) sorts exactly like the oracle's
+      // ROW_NUMBER ORDER BY m, b). The input repartition spreads the
+      // 1.2M md5 evaluations across the cores — the sf files are single
+      // row-group parquet, so the raw scan is one task (guide §2.5
+      // unsplittable input); at 100 TB the ingest layout splits anyway.
       val o = Tables.load(s, dir, "orders")
         .select(col("o_orderkey"), round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
-      // hash ONCE per (row, group of 4 replicates), then slice the four
-      // 8-hex windows — 8 md5 evaluations per row instead of 32 (the
-      // oracle computes identical values; only the Spark evaluation
-      // count changes)
-      val draws = o.withColumn("g", explode(sequence(lit(0), lit(7))))
-        .withColumn("h",
+        .repartition(s.sparkContext.defaultParallelism)
+      val withH = (0 until 8).foldLeft(o) { (df, g) =>
+        df.withColumn(s"h$g",
           md5(concat(col("o_orderkey").cast("string"), lit("#"),
-            col("g").cast("string"))))
-        .withColumn("j", explode(sequence(lit(0), lit(3))))
-        .withColumn("b", col("g") * 4 + col("j"))
-        .withColumn("u",
-          (expr("cast(conv(substring(h, 1 + 8 * j, 8), 16, 10) as bigint)") + 1)
-            / lit(4294967296.0))
-      val w = when(col("u") < 0.36787944117144233, 0)
-        .when(col("u") < 0.7357588823428847, 1)
-        .when(col("u") < 0.9196986029286058, 2)
-        .when(col("u") < 0.9810118431238462, 3)
-        .when(col("u") < 0.9963401531726563, 4)
-        .when(col("u") < 0.9994058151824183, 5)
-        .when(col("u") < 0.9999167588507119, 6)
-        .when(col("u") < 0.9999897508033253, 7)
-        .otherwise(8)
-      val reps = draws.withColumn("w", w)
-        .groupBy("b")
-        .agg(sum(col("w") * col("cents")).cast("long").as("swc"),
-          sum("w").cast("long").as("sw"))
-      val means = reps
-        .select(col("b"), (col("swc").cast("double") / col("sw").cast("double") / 100).as("m"))
-        .withColumn("rk", row_number().over(
-          Window.orderBy(col("m"), col("b"))))
-      val pooled = reps.agg(sum("swc").cast("long").as("tswc"),
-        sum("sw").cast("long").as("tsw"))
-      means.crossJoin(broadcast(pooled))
-        .agg(count(lit(1)).cast("long").as("n_replicates"),
-          round(max("tswc").cast("double") / max("tsw").cast("double") / 100, 4)
-            .cast("double").as("pooled_mean"),
-          round(max(when(col("rk") === 2, col("m"))), 4).cast("double").as("ci_lo"),
-          round(max(when(col("rk") === 31, col("m"))), 4).cast("double").as("ci_hi"))
+            lit(g).cast("string"))))
+      }
+      def wOf(g: Int, j: Int) = {
+        val u = (expr(s"cast(conv(substring(h$g, ${1 + 8 * j}, 8), 16, 10) as bigint)") + 1) /
+          lit(4294967296.0)
+        when(u < 0.36787944117144233, 0)
+          .when(u < 0.7357588823428847, 1)
+          .when(u < 0.9196986029286058, 2)
+          .when(u < 0.9810118431238462, 3)
+          .when(u < 0.9963401531726563, 4)
+          .when(u < 0.9994058151824183, 5)
+          .when(u < 0.9999167588507119, 6)
+          .when(u < 0.9999897508033253, 7)
+          .otherwise(8)
+      }
+      val wide = withH.select(col("cents") +:
+        (0 until 32).map(b => wOf(b / 4, b % 4).as(s"w$b")): _*)
+      val aggs = (0 until 32).flatMap(b => Seq(
+        sum(col(s"w$b") * col("cents")).cast("long").as(s"swc$b"),
+        sum(col(s"w$b")).cast("long").as(s"sw$b")))
+      val one = wide.agg(aggs.head, aggs.tail: _*)
+      // replicate means as a 32-element array on the single result row;
+      // sort_array(struct(m, b)) == the oracle's ORDER BY m, b
+      val ms = array((0 until 32).map(b => struct(
+        (col(s"swc$b").cast("double") / col(s"sw$b").cast("double") / 100).as("m"),
+        lit(b).as("b"))): _*)
+      val sortedMs = sort_array(ms)
+      val tswc = (0 until 32).map(b => col(s"swc$b")).reduce(_ + _)
+      val tsw = (0 until 32).map(b => col(s"sw$b")).reduce(_ + _)
+      one.select(
+        size(filter(ms, x => x.getField("m").isNotNull)).cast("long")
+          .as("n_replicates"),
+        round(tswc.cast("double") / tsw.cast("double") / 100, 4)
+          .cast("double").as("pooled_mean"),
+        round(element_at(sortedMs, 2).getField("m"), 4).cast("double").as("ci_lo"),
+        round(element_at(sortedMs, 31).getField("m"), 4).cast("double").as("ci_hi"))
     },
 
     // Association rules over the co-purchase pair cache: directed

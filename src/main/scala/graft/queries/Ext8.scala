@@ -48,14 +48,22 @@ object Ext8 {
         |)
         |SELECT CAST(rk AS BIGINT) AS rk, phrase, n_docs, n_occurrences
         |FROM rk ORDER BY rk""".stripMargin) { (s, dir) =>
-      val p = Tables.load(s, dir, "documents")
-        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos0", "w")))
-        .select(col("doc_id"), col("w"), (col("pos0") + 1).as("pos"))
-      val tri = p.as("a")
-        .join(p.as("b"), expr("b.doc_id = a.doc_id AND b.pos = a.pos + 1"))
-        .join(p.as("c"), expr("c.doc_id = a.doc_id AND c.pos = a.pos + 2"))
-        .select(col("a.doc_id").as("doc_id"),
-          concat_ws(" ", col("a.w"), col("b.w"), col("c.w")).as("phrase"))
+      // r15 optimization (guide §3.3/§2.4): consecutive positions of one
+      // document live in one ARRAY after split — the 3-token phrases are
+      // a sliding window over that array, so the two positional
+      // self-joins (each a full shuffle of the exploded token table)
+      // collapse to one per-row transform + explode. Values identical:
+      // transform enumerates exactly the (pos, pos+1, pos+2) triples the
+      // position-equijoin produced. At 100 TB the posting-list form
+      // still exists for SERVING a phrase (index-driven probe); the full
+      // trigram STATS sweep this query computes is cheapest as the
+      // array slide — no token-table shuffle at all.
+      val tri = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"), explode(expr(
+          "CASE WHEN size(ws) >= 3 THEN transform(sequence(0, size(ws) - 3), " +
+            "i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])) " +
+            "ELSE array() END")).as("phrase"))
       val agg = tri.groupBy("phrase")
         .agg(count(lit(1)).cast("long").as("n_occurrences"),
           countDistinct("doc_id").cast("long").as("n_docs"))
