@@ -1122,7 +1122,8 @@ object Curation {
     // hash aggregates: per-key counts, then per-family rollup with
     // max/mean load ratio (fixed-point 1e6, exact integer arithmetic)
     // and the hottest key (min key among argmax — deterministic
-    // tie-break via a windowed max, no arg_max whose tie rules differ
+    // tie-break via max(struct(c, -key_val)) inside the hash aggregate,
+    // no arg_max whose tie rules differ
     // between engines). 100 TB: this is a map-side-combined count —
     // the audit costs one pass and two shuffles no matter how skewed
     // the data is, which is the point: you can always afford to look.

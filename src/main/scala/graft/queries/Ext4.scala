@@ -616,9 +616,10 @@ object Ext4 {
           col("mean_winsorized").cast("double").as("mean_winsorized"),
           col("n_clamped_low"), col("n_clamped_high"))
         .orderBy("flag")
-      val rows = res.collect().toSeq
+      val rows =
+        try res.collect().toSeq
+        finally hist.unpersist()
       val schema = res.schema
-      hist.unpersist()
       s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
     },
 

@@ -47,8 +47,6 @@ object ExplainAudit {
       "per-price aggregate: p_retailprice is a fixed cents grid (~100k values max)"),
     "q176_ks_drift" -> BoundedDomain(1, 50000L,
       "n_chars histogram: bounded document-length domain"),
-    "q199_poisson_bootstrap" -> BoundedDomain(1, 64L,
-      "32-replicate bootstrap aggregate (b in 0..31)"),
     "q206_discrete_hazard" -> BoundedDomain(1, 2000L,
       "tenure-week histogram: calendar-bounded"),
     "q208_stratified_exact_split" -> BoundedDomain(1, 200L,
