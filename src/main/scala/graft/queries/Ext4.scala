@@ -413,12 +413,24 @@ object Ext4 {
         .filter(col("p_partkey") <= 20)
         .select(col("p_partkey").as("k"), lit(0L).as("d"))
       // visited = union of the persisted per-round frontiers (≤ 9), so
-      // each round costs ONE action (the new-frontier count); the
-      // anti-join evaluates against already-cached rounds
+      // each round costs ONE action; the anti-join evaluates against
+      // already-cached rounds. r16 (guide §1.2): every row of round r
+      // has d == r by construction, so the final GROUP BY d is just
+      // (count, min k, max k) PER ROUND — folded into the round's own
+      // materializing action (was: a separate union + groupBy + collect
+      // tail after the loop). The traversal itself is unchanged.
       val kept = scala.collection.mutable.Buffer(seeds.persist())
       var frontier = kept.head
       var round = 0
-      var n = frontier.count()
+      def roundStats(df: org.apache.spark.sql.DataFrame) = {
+        val r = df.agg(count(lit(1)).cast("long"),
+          min("k").cast("long"), max("k").cast("long")).collect()(0)
+        (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1),
+          if (r.isNullAt(2)) 0L else r.getLong(2))
+      }
+      val stats = scala.collection.mutable.Buffer[(Long, Long, Long, Long)]()
+      var (n, mn, mx) = roundStats(frontier)
+      if (n > 0) stats += ((round.toLong, n, mn, mx))
       while (n > 0 && round < 8) {
         val visitedKeys = kept.map(_.select(col("k").as("vk")))
           .reduce(_ unionByName _)
@@ -427,25 +439,21 @@ object Ext4 {
           .distinct()
           .join(visitedKeys, col("k") === col("vk"), "left_anti")
           .persist()
-        n = next.count()
-        if (n > 0) kept += next
+        val s3 = roundStats(next)
+        n = s3._1
+        if (n > 0) { kept += next; stats += ((round + 1L, n, s3._2, s3._3)) }
         frontier = next
         round += 1
       }
-      val visited = kept.reduce(_ unionByName _)
-      val agg = visited.groupBy("d")
-        .agg(count(lit(1)).cast("long").as("n_parts"),
-          min("k").cast("long").as("min_part"),
-          max("k").cast("long").as("max_part"))
-        .select(col("d").cast("long").as("dist"), col("n_parts"),
-          col("min_part"), col("max_part"))
-        .orderBy("dist")
       // ≤ 9 rows: pin locally, release every cached round (the shared
-      // edge index stays — it is the session cache, not per-run state)
-      val rows = agg.collect().toSeq
-      val schema = agg.schema
+      // edge index stays — it is the session cache, not per-run state);
+      // the terminal empty frontier is not in `kept` — release it too
+      if (n == 0) frontier.unpersist()
       kept.foreach(_.unpersist())
-      s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
+      import s.implicits._
+      s.sparkContext.parallelize(stats.toSeq, 1)
+        .toDF("dist", "n_parts", "min_part", "max_part")
+        .orderBy("dist")
     },
 
     // Jaro–Winkler record linkage over noun-blocked part names — the

@@ -272,8 +272,14 @@ object Ext8 {
           w2 * round(d6(col("nd")) / col("n"), 4).cast(DecimalType(12, 6)) -
           w3 * round(d6(col("chars")) / col("n"), 4).cast(DecimalType(12, 6))).as("score"),
         when(col("lang") === "en", 1).otherwise(0).as("pos"))
+      // r16 (guide §5, the q182 pattern): the score histogram feeds the
+      // prefix-sum kernel's min/max pass and the bucketed pipeline —
+      // each re-derived the tokenize+groupBy subtree without a persist.
+      // The AUC report is 1 row, so it pins locally and the cache
+      // releases before returning.
       val g = sc.groupBy("score")
         .agg(count(lit(1)).cast("long").as("c"), sum("pos").cast("long").as("cpos"))
+        .persist()
       // rank prefix over the score histogram via the distributed
       // two-pass prefix sum — the score domain is data-dependent
       // (a DECIMAL formula of doc stats), so treat it as unbounded
@@ -283,10 +289,14 @@ object Ext8 {
       val agg = r.agg(sum("cpos").cast("long").as("npos"),
         sum(col("c") - col("cpos")).cast("long").as("nneg"),
         sum(col("cpos") * (lit(2) * col("lo") + col("c") - 1)).cast("long").as("ranksum2"))
-      agg.select(col("npos").as("n_positive"), col("nneg").as("n_negative"),
+      val res = agg.select(col("npos").as("n_positive"), col("nneg").as("n_negative"),
         round((col("ranksum2") - col("npos") * (col("npos") + 1)).cast("double") /
           (lit(2) * col("npos") * col("nneg")).cast("double"), 6)
           .cast("double").as("auc"))
+      val rows =
+        try res.collect().toSeq
+        finally g.unpersist()
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), res.schema)
     },
 
     // RFM segmentation: recency/frequency/monetary quintiles per
@@ -314,12 +324,19 @@ object Ext8 {
         |       CAST(COUNT(*) AS BIGINT) AS n_customers,
         |       CAST(SUM(cents) AS BIGINT) AS total_cents
         |FROM q GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      // r16 (guide §5, the q182 pattern): the customer rollup feeds the
+      // rank pipeline, the kernel's per-metric min/max pass AND the
+      // final rank join-back — three full derivations of the same
+      // orders aggregate without a persist. The segment report is
+      // ≤ 125 rows, so it pins locally and the cache releases before
+      // returning.
       val cust = Tables.load(s, dir, "orders")
         .groupBy("o_custkey")
         .agg(datediff(lit("2001-09-01").cast("timestamp"), max("o_orderdate"))
           .cast("long").as("rec_days"),
           count(lit(1)).cast("long").as("freq"),
           sum(round(col("o_totalprice") * 100, 0).cast("long")).cast("long").as("cents"))
+        .persist()
       // NTILE over the customer dimension WITHOUT a single-partition
       // window: all three exact distributed ranks in ONE tall pipeline
       // (Dist.rangedRanks — explode to (metric, value, custkey),
@@ -336,10 +353,15 @@ object Ext8 {
         Dist.ntileFromRank(col("rrank"), col("__n"), 5).as("r"),
         Dist.ntileFromRank(col("frank"), col("__n"), 5).as("f"),
         Dist.ntileFromRank(col("mrank"), col("__n"), 5).as("m"))
-      q.groupBy((col("r") * 100 + col("f") * 10 + col("m")).cast("long").as("segment"))
+      val res = q
+        .groupBy((col("r") * 100 + col("f") * 10 + col("m")).cast("long").as("segment"))
         .agg(count(lit(1)).cast("long").as("n_customers"),
           sum("cents").cast("long").as("total_cents"))
         .orderBy("segment")
+      val rows =
+        try res.collect().toSeq
+        finally cust.unpersist()
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), res.schema)
     },
 
     // Term burstiness (Fano factor): variance-to-mean ratio of a
@@ -492,11 +514,17 @@ object Ext8 {
       val w1 = lit(BigDecimal("0.016")).cast(DecimalType(12, 6))
       val w2 = lit(BigDecimal("2.5")).cast(DecimalType(12, 6))
       val w3 = lit(BigDecimal("0.3")).cast(DecimalType(12, 6))
+      // r16 (guide §5, the q182 pattern): the tokenize+groupBy score
+      // frame feeds the rank kernel's min/max pass, the rank pipeline
+      // AND the NTILE total — three corpus-scale derivations without a
+      // persist. The gains table is 10 rows, so it pins locally and
+      // the cache releases before returning.
       val sc = f.select(col("doc_id"),
         (w0 + w1 * col("n") +
           w2 * round(d6(col("nd")) / col("n"), 4).cast(DecimalType(12, 6)) -
           w3 * round(d6(col("chars")) / col("n"), 4).cast(DecimalType(12, 6))).as("score"),
         when(col("lang") === "en", 1).otherwise(0).as("pos"))
+        .persist()
       // decile via exact distributed rank (score DESC = negated
       // micro-unit key; DECIMAL(12,6)×1e6 is integral) — no
       // single-partition window over the corpus. The later cum_pos
@@ -509,13 +537,17 @@ object Ext8 {
       val g = dec.groupBy("decile")
         .agg(count(lit(1)).cast("long").as("n_docs"), sum("pos").cast("long").as("n_pos"))
       val t = g.agg(sum("n_pos").cast("long").as("total_pos"))
-      g.crossJoin(broadcast(t))
+      val res = g.crossJoin(broadcast(t))
         .withColumn("cum_pos", sum("n_pos").over(Window.orderBy("decile")).cast("long"))
         .select(col("decile").cast("long").as("decile"), col("n_docs"), col("n_pos"),
           col("cum_pos"),
           round(col("cum_pos").cast("double") / col("total_pos").cast("double"), 6)
             .cast("double").as("cum_capture"))
         .orderBy("decile")
+      val rows =
+        try res.collect().toSeq
+        finally sc.unpersist()
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), res.schema)
     },
 
     // U-shaped (position-based) multi-touch attribution, completing

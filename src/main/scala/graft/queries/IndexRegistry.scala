@@ -63,7 +63,13 @@ object IndexRegistry {
     IndexDef("cc02", "TextOps.dedupComponents",
       "connected near-dup components (union-find over the pair table)",
       "recomputed from the MAINTAINED pair index (pointer-jumping passes " +
-        "are pair-count-bounded); q48/q57/q97 read the components"),
+        "are pair-count-bounded); q48/q97 read the components"),
+    IndexDef("ccsurv", "Ext2 (q57 pipeline)",
+      "connected near-dup components over the exact-dedup survivors " +
+        "(min-label fixpoint over survivor-pairs)",
+      "recomputed from the MAINTAINED survivor-pair index exactly like " +
+        "cc02 from `pairs`; rounds are pair-count-bounded, survivors " +
+        "change only by append"),
     IndexDef("exact-kept", "Ext2 (q57 pipeline)",
       "exact-dedup survivor set (first doc per normalized-text hash)",
       "hash-keyed: a new batch md5-joins the survivor set, O(batch) merge"),

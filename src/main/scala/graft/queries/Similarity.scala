@@ -314,17 +314,24 @@ object Similarity {
     val key = IndexCache.key("pq", s, dir)
     IndexCache.noteAccess(key)
     val hit = pqCache.get(key)
-    if (hit != null) { repin(key, hit._2, hit._4); hit }
+    if (hit != null) { repin(key, hit._1, hit._2, hit._3, hit._4); hit }
     else IndexCache.buildLock.synchronized {
       val again = pqCache.get(key)
       if (again != null) again
       else IndexCache.timedBuild(key) {
         val embD = embDouble(s, dir)
-        val (cb0, codes0raw) = pqSubspace(embD, 0, 1, 32)
-        val (cb1, codes1raw) = pqSubspace(embD, 1, 33, 64)
+        val (cb0raw, codes0raw) = pqSubspace(embD, 0, 1, 32)
+        val (cb1raw, codes1raw) = pqSubspace(embD, 1, 33, 64)
         val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        // r16: the CODEBOOKS persist too — they are half the registered
+        // artifact ("PQ codebooks + codes"), and unpersisted they made
+        // q73/q82 re-run the whole training sweep (seed assign + Lloyd
+        // mean + re-assign) on every execution. 16 rows per subspace.
+        val cb0 = cb0raw.persist(lvl)
+        val cb1 = cb1raw.persist(lvl)
         val codes0 = codes0raw.persist(lvl)
         val codes1 = codes1raw.persist(lvl)
+        cb0.count(); cb1.count()
         codes0.count(); codes1.count() // the "train + encode" step, once
         val built = (cb0, codes0, cb1, codes1)
         pqCache.put(key, built)

@@ -41,6 +41,8 @@ object SoloProfile {
       .config("spark.scheduler.mode", "FAIR")
       .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -111,17 +113,19 @@ object SoloProfile {
         java.nio.file.Files.write(
           java.nio.file.Paths.get(d, s"${q.name}.txt"), plan.getBytes("UTF-8"))
       }
-      val cold = drain(q)
-      val before = snap()
-      val warms = (1 to reps).map(_ => drain(q)).sorted
-      val after = snap()
       // wait for straggling listener events before reading counters
       // (listenerBus is private[spark]; reach it reflectively, else settle)
-      scala.util.Try {
+      def settle(): Unit = scala.util.Try {
         val sc = spark.sparkContext
         val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
         bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
       }.getOrElse(Thread.sleep(200))
+      val cold = drain(q)
+      settle() // else the cold pass's stage events leak into the warm window
+      val before = snap()
+      val warms = (1 to reps).map(_ => drain(q)).sorted
+      settle()
+      val after = snap()
       val med = warms((warms.size - 1) / 2)
       val dJobs = (after._1 - before._1).toDouble / reps
       val dStages = (after._2 - before._2).toDouble / reps

@@ -485,13 +485,16 @@ class PlanSpec extends SparkSpec {
       assert(p.contains("Window"), s"$q: $p")
       assert(!p.contains("CartesianProduct"), s"$q: $p")
     }
-    // every downstream branch reads the persisted vocabulary
-    // (InMemoryTableScan); the FileScan lines in the text are the
-    // cached relation printing its own provenance, not live scans
+    // r16: q168's distributed work is ONE fact scan + map-side-combined
+    // rollup to the bounded (flag, quantity) vocabulary; the med/mad/
+    // outlier cascade is exact integer arithmetic over the collected
+    // ≤150-row vocabulary, so the returned plan is the pinned local
+    // result — assert the plan carries no join/window machinery at all
+    // (the cascade no longer schedules 23 jobs of 150-row joins).
     val p = plan("q168_mad_outliers")
-    assert(p.split("InMemoryTableScan").length > 3,
-      "med/mad/outlier branches all read the cache: " + p)
     assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), "no window in the pinned-result plan: " + p)
+    assert(!p.contains("SortMergeJoin"), "no join in the pinned-result plan: " + p)
   }
 
   test("q169/q170: orphan matrix anti-joins and KMV algebra stay equi-join only") {
