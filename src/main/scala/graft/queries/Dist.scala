@@ -47,7 +47,18 @@ object Dist {
     * range is safe as long as the span itself doesn't overflow).
     */
   def rangedPrefixSum(df: DataFrame, v: Column, tie: Column,
-      value: Column, out: String): DataFrame = {
+      value: Column, out: String): DataFrame =
+    rangedPrefixSumCore(df, v, tie, value, out)._1
+
+  /** The shared kernel. Returns (result, per-bucket totals) — the
+    * totals frame is the ≤[[Buckets]]-row aggregate behind the offsets
+    * pass, exposed so consumers needing the GRAND total (NTILE's n)
+    * can take it metadata-scale instead of re-deriving the whole input
+    * subtree with a fresh `df.agg(count)` (r16: that was a third
+    * corpus-scale pass in q215/q218).
+    */
+  private def rangedPrefixSumCore(df: DataFrame, v: Column, tie: Column,
+      value: Column, out: String): (DataFrame, DataFrame) = {
     val b = s"__b_$out"; val lo = s"__lo_$out"; val hi = s"__hi_$out"
     val lc = s"__lc_$out"; val off = s"__off_$out"; val vc = s"__v_$out"
     val tc = s"__t_$out"; val wc = s"__w_$out"
@@ -68,13 +79,17 @@ object Dist {
       sum(wc).over(Window.partitionBy(b).orderBy(vc, tc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     // pass 2: bucket offsets — ≤ Buckets rows; the ordered window here
-    // sweeps THAT tiny aggregate, then broadcasts back
-    val offsets = bucketed.groupBy(b).agg(sum(wc).as(wc))
+    // sweeps THAT tiny aggregate, then broadcasts back. (Its exchange
+    // hash-partitions on the same key as pass 1's window shuffle, so
+    // ReuseExchange computes `bucketed` once for both.)
+    val totals = bucketed.groupBy(b).agg(sum(wc).as(wc))
+    val offsets = totals
       .select(col(b), coalesce(sum(wc).over(Window.orderBy(b)
         .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as(off))
-    local.join(broadcast(offsets), b)
+    val res = local.join(broadcast(offsets), b)
       .withColumn(out, col(lc) + col(off))
       .drop(b, lc, off, vc, tc, wc)
+    (res, totals.select(col(wc).as("__bucket_total")))
   }
 
   /** Exact global `ROW_NUMBER() OVER (ORDER BY v, tie)` — requires
@@ -82,6 +97,16 @@ object Dist {
     */
   def rangedRank(df: DataFrame, v: Column, tie: Column, out: String): DataFrame =
     rangedPrefixSum(df, v, tie, lit(1L), out)
+
+  /** [[rangedRank]] plus the TOTAL row count as a column (`totalOut`),
+    * taken from the kernel's own bucket-totals aggregate.
+    */
+  def rangedRankWithTotal(df: DataFrame, v: Column, tie: Column,
+      out: String, totalOut: String): DataFrame = {
+    val (ranked, totals) = rangedPrefixSumCore(df, v, tie, lit(1L), out)
+    ranked.crossJoin(broadcast(
+      totals.agg(sum("__bucket_total").cast("long").as(totalOut))))
+  }
 
   /** Several exact global ranks over DIFFERENT orderings in ONE
     * pipeline (the RFM shape: rank by recency AND frequency AND
@@ -94,13 +119,34 @@ object Dist {
     * integral; metric expressions are negated by the caller for DESC.
     */
   def rangedRanks(df: DataFrame, tie: Column,
-      metrics: Seq[(Column, String)]): DataFrame = {
+      metrics: Seq[(Column, String)]): DataFrame =
+    rangedRanks(df, tie, metrics, Nil, "")
+
+  /** As [[rangedRanks]], optionally CARRYING payload columns through
+    * the tall pipeline (attached to the metric-0 rows, reassembled by
+    * the same per-`tie` aggregate that pivots the ranks) and emitting
+    * the TOTAL row count from the kernel's own metadata-scale offsets
+    * aggregate. r16: the previous shape joined the ranks back to `df`
+    * and counted `df` separately — with the min/max pass that made
+    * FOUR derivations of the caller's input aggregate per run; this
+    * one has the structural minimum of two (range pass + ranked pass).
+    */
+  def rangedRanks(df: DataFrame, tie: Column,
+      metrics: Seq[(Column, String)],
+      payload: Seq[(Column, String)], totalOut: String): DataFrame = {
     val tall = df
-      .select(tie.cast("long").as("__t"),
+      .select((tie.cast("long").as("__t") +:
         explode(array(metrics.zipWithIndex.map { case ((v, _), i) =>
           struct(lit(i).as("m"), v.cast("long").as("v"))
-        }: _*)).as("__mv"))
-      .select(col("__t"), col("__mv.m").as("__m"), col("__mv.v").as("__v"))
+        }: _*)).as("__mv") +:
+        payload.map { case (c, name) => c.as(name) }): _*)
+      .select((col("__t") +: col("__mv.m").as("__m") +:
+        col("__mv.v").as("__v") +:
+        // payload rides only the metric-0 copy — null elsewhere, so the
+        // shuffle carries |payload| values once per input row, not once
+        // per (row, metric)
+        payload.map { case (_, name) =>
+          when(col("__m") === 0, col(name)).as(name) }): _*)
     // per-metric key range: |metrics| rows, broadcast back
     val mm = tall.groupBy("__m").agg(min("__v").as("__lo"), max("__v").as("__hi"))
     val bucketed = tall.join(broadcast(mm), "__m")
@@ -110,19 +156,22 @@ object Dist {
     val local = bucketed.withColumn("__lr",
       sum(lit(1L)).over(Window.partitionBy("__m", "__b").orderBy("__v", "__t")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val offsets = bucketed.groupBy("__m", "__b").agg(count(lit(1)).as("__c"))
+    val totals = bucketed.groupBy("__m", "__b").agg(count(lit(1)).as("__c"))
+    val offsets = totals
       .select(col("__m"), col("__b"),
         coalesce(sum("__c").over(Window.partitionBy("__m").orderBy("__b")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("__off"))
+    val rankCols =
+      metrics.zipWithIndex.map { case ((_, out), i) =>
+        max(when(col("__m") === i, col("__lr") + col("__off"))).as(out)
+      } ++
+        payload.map { case (_, name) => max(col(name)).as(name) }
     val wide = local.join(broadcast(offsets), Seq("__m", "__b"))
       .groupBy("__t")
-      .agg(metrics.head match { case (_, out0) =>
-          max(when(col("__m") === 0, col("__lr") + col("__off"))).as(out0)
-        },
-        metrics.zipWithIndex.tail.map { case ((_, out), i) =>
-          max(when(col("__m") === i, col("__lr") + col("__off"))).as(out)
-        }: _*)
-    df.withColumn("__t", tie.cast("long")).join(wide, "__t").drop("__t")
+      .agg(rankCols.head, rankCols.tail: _*)
+    if (totalOut.isEmpty) wide
+    else wide.crossJoin(broadcast(totals
+      .agg(sum(when(col("__m") === 0, col("__c"))).cast("long").as(totalOut))))
   }
 
   /** SQL `NTILE(k)` bucket from a 1-based rank and the total row count

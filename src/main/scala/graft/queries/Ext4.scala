@@ -576,9 +576,20 @@ object Ext4 {
         |       CAST(SUM(hi) AS BIGINT) AS n_clamped_high
         |FROM wins GROUP BY flag, n, p05, p95
         |ORDER BY flag""".stripMargin) { (s, dir) =>
+      // r16 (guide §2.3 "narrower types"): the histogram keys, window
+      // sums, clamp comparisons and weighted sums all run on LONG
+      // ten-thousandths-of-a-unit instead of DECIMAL(20,4). The
+      // conversion still goes THROUGH the decimal cast (decimal ×
+      // 10000 is exact, fits long: price ≤ ~1.1e5 → ≤ 1.1e9), so every
+      // group key, order statistic and clamp decision is the same
+      // exact rational as before; outputs divide back by 1e4 in double
+      // (one correctly-rounded step, same value as the decimal→double
+      // cast — both are nearest-double of the same rational; the long
+      // sums stay < 2^53 so toDouble is exact).
       val base = Tables.load(s, dir, "lineitem")
         .select(col("l_returnflag").as("flag"),
-          col("l_extendedprice").cast(DecimalType(20, 4)).as("price"))
+          (col("l_extendedprice").cast(DecimalType(20, 4)) * 10000)
+            .cast("long").as("price"))
       // order statistics from the VALUE HISTOGRAM: the cumulative
       // window runs over (flag, distinct price) rows — a bounded
       // domain (TPC-H prices) — never over raw rows, so the per-group
@@ -616,11 +627,13 @@ object Ext4 {
           when(col("price") < col("p05"), col("c")).otherwise(0L).as("lo"),
           when(col("price") > col("p95"), col("c")).otherwise(0L).as("hi"))
         .groupBy("flag", "n", "p05", "p95")
-        .agg(round(sum("wsum").cast("double") / col("n"), 4).as("mean_winsorized"),
+        .agg(round((sum("wsum").cast("double") / 10000.0) / col("n"), 4)
+          .as("mean_winsorized"),
           sum("lo").cast("long").as("n_clamped_low"),
           sum("hi").cast("long").as("n_clamped_high"))
         .select(col("flag"), col("n").cast("long").as("n"),
-          col("p05").cast("double").as("p05"), col("p95").cast("double").as("p95"),
+          (col("p05").cast("double") / 10000.0).cast("double").as("p05"),
+          (col("p95").cast("double") / 10000.0).cast("double").as("p95"),
           col("mean_winsorized").cast("double").as("mean_winsorized"),
           col("n_clamped_low"), col("n_clamped_high"))
         .orderBy("flag")

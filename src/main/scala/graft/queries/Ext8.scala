@@ -272,14 +272,8 @@ object Ext8 {
           w2 * round(d6(col("nd")) / col("n"), 4).cast(DecimalType(12, 6)) -
           w3 * round(d6(col("chars")) / col("n"), 4).cast(DecimalType(12, 6))).as("score"),
         when(col("lang") === "en", 1).otherwise(0).as("pos"))
-      // r16 (guide §5, the q182 pattern): the score histogram feeds the
-      // prefix-sum kernel's min/max pass and the bucketed pipeline —
-      // each re-derived the tokenize+groupBy subtree without a persist.
-      // The AUC report is 1 row, so it pins locally and the cache
-      // releases before returning.
       val g = sc.groupBy("score")
         .agg(count(lit(1)).cast("long").as("c"), sum("pos").cast("long").as("cpos"))
-        .persist()
       // rank prefix over the score histogram via the distributed
       // two-pass prefix sum — the score domain is data-dependent
       // (a DECIMAL formula of doc stats), so treat it as unbounded
@@ -289,14 +283,10 @@ object Ext8 {
       val agg = r.agg(sum("cpos").cast("long").as("npos"),
         sum(col("c") - col("cpos")).cast("long").as("nneg"),
         sum(col("cpos") * (lit(2) * col("lo") + col("c") - 1)).cast("long").as("ranksum2"))
-      val res = agg.select(col("npos").as("n_positive"), col("nneg").as("n_negative"),
+      agg.select(col("npos").as("n_positive"), col("nneg").as("n_negative"),
         round((col("ranksum2") - col("npos") * (col("npos") + 1)).cast("double") /
           (lit(2) * col("npos") * col("nneg")).cast("double"), 6)
           .cast("double").as("auc"))
-      val rows =
-        try res.collect().toSeq
-        finally g.unpersist()
-      s.createDataFrame(s.sparkContext.parallelize(rows, 1), res.schema)
     },
 
     // RFM segmentation: recency/frequency/monetary quintiles per
@@ -324,19 +314,22 @@ object Ext8 {
         |       CAST(COUNT(*) AS BIGINT) AS n_customers,
         |       CAST(SUM(cents) AS BIGINT) AS total_cents
         |FROM q GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
-      // r16 (guide §5, the q182 pattern): the customer rollup feeds the
-      // rank pipeline, the kernel's per-metric min/max pass AND the
-      // final rank join-back — three full derivations of the same
-      // orders aggregate without a persist. The segment report is
-      // ≤ 125 rows, so it pins locally and the cache releases before
-      // returning.
+      // r16 (guide §1.2/§2.3): the customer rollup used to feed the
+      // rank pipeline, the kernel's per-metric min/max pass, the final
+      // rank JOIN-BACK and a separate count — four derivations of the
+      // same orders aggregate per run. The kernel now carries `cents`
+      // through its own tall pipeline (metric-0 rows) and emits n from
+      // its metadata-scale offsets aggregate, so the rollup derives
+      // exactly twice (range pass + ranked pass) — the structural
+      // minimum for a range-bucketed rank. (A persist was tried first
+      // and REGRESSED: caching the 8-partition rollup defeated AQE
+      // coalescing downstream — 17→24 jobs.)
       val cust = Tables.load(s, dir, "orders")
         .groupBy("o_custkey")
         .agg(datediff(lit("2001-09-01").cast("timestamp"), max("o_orderdate"))
           .cast("long").as("rec_days"),
           count(lit(1)).cast("long").as("freq"),
           sum(round(col("o_totalprice") * 100, 0).cast("long")).cast("long").as("cents"))
-        .persist()
       // NTILE over the customer dimension WITHOUT a single-partition
       // window: all three exact distributed ranks in ONE tall pipeline
       // (Dist.rangedRanks — explode to (metric, value, custkey),
@@ -347,21 +340,16 @@ object Ext8 {
       val ranked = Dist.rangedRanks(cust, col("o_custkey"), Seq(
         (col("rec_days"), "rrank"),
         (-col("freq"), "frank"),
-        (-col("cents"), "mrank")))
-      val n = cust.agg(count(lit(1)).cast("long").as("__n"))
-      val q = ranked.crossJoin(broadcast(n)).select(col("cents"),
+        (-col("cents"), "mrank")),
+        Seq((col("cents"), "cents")), "__n")
+      val q = ranked.select(col("cents"),
         Dist.ntileFromRank(col("rrank"), col("__n"), 5).as("r"),
         Dist.ntileFromRank(col("frank"), col("__n"), 5).as("f"),
         Dist.ntileFromRank(col("mrank"), col("__n"), 5).as("m"))
-      val res = q
-        .groupBy((col("r") * 100 + col("f") * 10 + col("m")).cast("long").as("segment"))
+      q.groupBy((col("r") * 100 + col("f") * 10 + col("m")).cast("long").as("segment"))
         .agg(count(lit(1)).cast("long").as("n_customers"),
           sum("cents").cast("long").as("total_cents"))
         .orderBy("segment")
-      val rows =
-        try res.collect().toSeq
-        finally cust.unpersist()
-      s.createDataFrame(s.sparkContext.parallelize(rows, 1), res.schema)
     },
 
     // Term burstiness (Fano factor): variance-to-mean ratio of a
@@ -514,40 +502,35 @@ object Ext8 {
       val w1 = lit(BigDecimal("0.016")).cast(DecimalType(12, 6))
       val w2 = lit(BigDecimal("2.5")).cast(DecimalType(12, 6))
       val w3 = lit(BigDecimal("0.3")).cast(DecimalType(12, 6))
-      // r16 (guide §5, the q182 pattern): the tokenize+groupBy score
-      // frame feeds the rank kernel's min/max pass, the rank pipeline
-      // AND the NTILE total — three corpus-scale derivations without a
-      // persist. The gains table is 10 rows, so it pins locally and
-      // the cache releases before returning.
       val sc = f.select(col("doc_id"),
         (w0 + w1 * col("n") +
           w2 * round(d6(col("nd")) / col("n"), 4).cast(DecimalType(12, 6)) -
           w3 * round(d6(col("chars")) / col("n"), 4).cast(DecimalType(12, 6))).as("score"),
         when(col("lang") === "en", 1).otherwise(0).as("pos"))
-        .persist()
       // decile via exact distributed rank (score DESC = negated
       // micro-unit key; DECIMAL(12,6)×1e6 is integral) — no
       // single-partition window over the corpus. The later cum_pos
-      // sweep runs over the 10-row decile aggregate.
-      val ranked = Dist.rangedRank(sc,
-        -(col("score") * lit(1000000)).cast("long"), col("doc_id"), "rk")
-      val nAll = sc.agg(count(lit(1)).cast("long").as("__n"))
-      val dec = ranked.crossJoin(broadcast(nAll)).select(col("pos"),
+      // sweep runs over the 10-row decile aggregate. r16: the NTILE
+      // total comes from the rank kernel's own metadata-scale offsets
+      // aggregate (rangedRankWithTotal) instead of a fresh sc.agg —
+      // that was a third corpus-scale derivation of the tokenize
+      // pipeline per run. (A persist of `sc` was tried first and
+      // REGRESSED: 17→39 jobs — caching the 8-partition frame defeated
+      // AQE coalescing downstream.)
+      val ranked = Dist.rangedRankWithTotal(sc,
+        -(col("score") * lit(1000000)).cast("long"), col("doc_id"), "rk", "__n")
+      val dec = ranked.select(col("pos"),
         Dist.ntileFromRank(col("rk"), col("__n"), 10).as("decile"))
       val g = dec.groupBy("decile")
         .agg(count(lit(1)).cast("long").as("n_docs"), sum("pos").cast("long").as("n_pos"))
       val t = g.agg(sum("n_pos").cast("long").as("total_pos"))
-      val res = g.crossJoin(broadcast(t))
+      g.crossJoin(broadcast(t))
         .withColumn("cum_pos", sum("n_pos").over(Window.orderBy("decile")).cast("long"))
         .select(col("decile").cast("long").as("decile"), col("n_docs"), col("n_pos"),
           col("cum_pos"),
           round(col("cum_pos").cast("double") / col("total_pos").cast("double"), 6)
             .cast("double").as("cum_capture"))
         .orderBy("decile")
-      val rows =
-        try res.collect().toSeq
-        finally sc.unpersist()
-      s.createDataFrame(s.sparkContext.parallelize(rows, 1), res.schema)
     },
 
     // U-shaped (position-based) multi-touch attribution, completing

@@ -63,6 +63,21 @@ object TextOps {
     * first-builders of different indexes serialize, which only affects
     * the one warm-up pass.
     */
+  /** JVM-exit cleanup for connected-components scratch rounds (the
+    * Framework.scratch discipline). */
+  private[queries] val ccScratchDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.io.File]()
+  private[queries] lazy val ccScratchHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      ccScratchDirs.forEach { root =>
+        def rm(f: java.io.File): Unit = {
+          val children = f.listFiles()
+          if (children != null) children.foreach(rm)
+          f.delete(): Unit
+        }
+        rm(root)
+      }))
+
   private[queries] def cachedIndex(key: String)(
       build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     IndexCache.noteAccess(key)
@@ -223,7 +238,13 @@ object TextOps {
   private[queries] def connectedComponents(
       pairs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val spark = pairs.sparkSession
+    // scratch rounds must outlive the returned (lazy) labels frame —
+    // consumers read the final round's parquet — so cleanup registers
+    // for JVM exit (the Framework.scratch discipline; leaked rounds
+    // journal-pressure /tmp and skew later measurements, r13 runbook)
     val ckRoot = java.nio.file.Files.createTempDirectory("graft-cc").toString
+    TextOps.ccScratchHook
+    TextOps.ccScratchDirs.add(new java.io.File(ckRoot))
     def materialize(df: org.apache.spark.sql.DataFrame,
         name: String): org.apache.spark.sql.DataFrame = {
       df.write.mode("overwrite").parquet(s"$ckRoot/$name")

@@ -50,11 +50,9 @@ object ExplainAudit {
     "q206_discrete_hazard" -> BoundedDomain(1, 2000L,
       "tenure-week histogram: calendar-bounded"),
     "q208_stratified_exact_split" -> BoundedDomain(1, 200L,
-      "one row per language stratum: bounded strata set"))
-    // q218_gains_table left the list in r16: its cum_pos sweep (an
-    // unpartitioned window over the 10-row decile aggregate) now runs
-    // inside the pinned sub-plan (persist + bounded collect), so the
-    // returned plan the audit walks carries no window node.
+      "one row per language stratum: bounded strata set"),
+    "q218_gains_table" -> BoundedDomain(1, 16L,
+      "decile aggregate: NTILE(10) output domain, <= 10 rows"))
 
   private def hasLimit(p: SparkPlan): Boolean = p.collectFirst {
     case _: GlobalLimitExec => true
