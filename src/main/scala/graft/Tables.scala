@@ -32,6 +32,32 @@ object Tables {
         if (name == "events") loadEvents(spark, sfDir)
         else spark.read.parquet(s"$sfDir/$name.parquet"))
 
+  /** Spread a TINY scan across the cores before heavy per-row work.
+    *
+    * The driver's test tables are single-row-group parquet, so a scan
+    * is one task and everything pipelined into it (expression-heavy
+    * projections, partial aggregates) runs serially (guide §2.5
+    * "unsplittable input" — the documented remedy is "repartition
+    * immediately after the read"). The repartition is gated on the
+    * TABLE'S BYTES, not on core count: it fires only when the whole
+    * table is smaller than ~one scan split per core (cores × 16 MB —
+    * the same data-proportional rule the bench derives
+    * spark.sql.shuffle.partitions from), so at production scale the
+    * branch never fires and no full-table reshuffle ever enters a
+    * 100 TB plan; when it does fire, the reshuffled payload is by
+    * construction tiny. Callers place it AFTER pushdown-eligible
+    * filters so PushedFilters are unaffected.
+    */
+  def spreadTiny(spark: SparkSession, sfDir: String, name: String,
+      df: DataFrame): DataFrame = {
+    val f = new java.io.File(s"$sfDir/$name.parquet")
+    val bytes = if (f.isFile) f.length
+      else Option(f.listFiles()).getOrElse(Array.empty).map(_.length).sum
+    val cores = spark.sparkContext.defaultParallelism
+    if (bytes > cores.toLong * (16L << 20)) df
+    else df.repartition(cores)
+  }
+
   /** `events.ts` has shipped in two physical forms across data drops:
     * parquet TIMESTAMP(NANOS) (rejected by Spark's vectorized reader —
     * read as long via the legacy conf, then truncate to micros, the same

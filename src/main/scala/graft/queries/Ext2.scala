@@ -1102,9 +1102,16 @@ object Ext2 {
       var rank = deg.select(col("src").as("node"),
         lit(100000000L / n).as("r"))
       for (_ <- 1 to 3) {
-        val shares = rank.join(deg, col("node") === col("src"))
+        // r16: BROADCAST the node-sized rank/share table explicitly —
+        // AQE's size estimate for the chained round subtree let the
+        // join plan flip so a round's probe ran in the ONE coalesced
+        // rank partition (stage-profiled: 2 serial ~400 ms single-task
+        // stages); with the hint every round probes the cached edge
+        // partitions in parallel. Node-sized side ≪ edges at any scale
+        // (it is the Pregel message table).
+        val shares = rank.join(broadcast(deg), col("node") === col("src"))
           .select(col("node"), expr("r div deg").as("share"))
-        rank = edges.join(shares, edges("src") === shares("node"))
+        rank = edges.join(broadcast(shares), edges("src") === shares("node"))
           .groupBy(col("dst"))
           .agg(sum("share").as("s"))
           .select(col("dst").as("node"),

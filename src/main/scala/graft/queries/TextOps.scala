@@ -1065,12 +1065,16 @@ object TextOps {
         .map(i => when(substring(col("hq"), i, 1) =!= substring(col("hi"), i, 1), 1)
           .otherwise(0))
         .reduce(_ + _)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("qid").orderBy(col("hamming"), col("nid"))
+      // r16 (guide §2.4): nearest neighbor = min(struct(hamming, nid))
+      // per qid — a map-side-combined hash aggregate (the cellRanks /
+      // q141 argmax discipline) instead of a row_number window, which
+      // cost an extra sort exchange over the candidate set. Identical
+      // pick: min struct = ORDER BY hamming, nid LIMIT 1.
       val best = cand.join(sq, "qid").join(si, "nid")
         .select(col("qid"), col("nid"), hamming.cast("long").as("hamming"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+        .groupBy("qid")
+        .agg(min(struct(col("hamming"), col("nid"))).as("s"))
+        .select(col("qid"), col("s.nid").as("nid"), col("s.hamming").as("hamming"))
       batch.select(col("doc_id"))
         .join(best.select(col("qid").as("doc_id"), col("nid"), col("hamming")),
           Seq("doc_id"), "left")

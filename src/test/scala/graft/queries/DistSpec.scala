@@ -88,8 +88,36 @@ class DistSpec extends SparkSpec {
       .withColumn("r1", row_number().over(Window.orderBy(col("v"), col("id"))).cast("long"))
       .withColumn("r2", row_number().over(Window.orderBy(col("w").desc, col("id"))).cast("long"))
       .select("id", "r1", "r2")
+    // r16 contract: the kernel returns one row per tie value keyed
+    // `__t` (callers carry payload columns instead of joining back)
     val got = Dist.rangedRanks(df, col("id"), Seq(
-      (col("v"), "r1"), (-col("w"), "r2"))).select("id", "r1", "r2")
+        (col("v"), "r1"), (-col("w"), "r2")))
+      .select(col("__t").as("id"), col("r1"), col("r2"))
+    assert(got.except(expected).isEmpty && expected.except(got).isEmpty)
+  }
+
+  test("rangedRanks payload carry + total == join-back + count (r16)") {
+    val df = sample.withColumn("w", (col("id") * 7L) % 13L)
+      .withColumn("pay", col("id") * 1000L + col("v"))
+    val n = df.count()
+    val expected = df
+      .withColumn("r1", row_number().over(Window.orderBy(col("v"), col("id"))).cast("long"))
+      .select(col("id"), col("r1"), col("pay"), lit(n).as("__n"))
+    val got = Dist.rangedRanks(df, col("id"), Seq((col("v"), "r1")),
+        Seq((col("pay"), "pay")), "__n")
+      .select(col("__t").as("id"), col("r1"), col("pay"), col("__n"))
+    assert(got.except(expected).isEmpty && expected.except(got).isEmpty)
+  }
+
+  test("rangedRankWithTotal: total column == COUNT(*) (r16)") {
+    val df = sample
+    val n = df.count()
+    val expected = df.withColumn("rk",
+      row_number().over(Window.orderBy("v", "id")).cast("long"))
+      .withColumn("__n", lit(n))
+      .select("v", "id", "rk", "__n")
+    val got = Dist.rangedRankWithTotal(df, col("v"), col("id"), "rk", "__n")
+      .select("v", "id", "rk", "__n")
     assert(got.except(expected).isEmpty && expected.except(got).isEmpty)
   }
 
