@@ -32,31 +32,13 @@ object Tables {
         if (name == "events") loadEvents(spark, sfDir)
         else spark.read.parquet(s"$sfDir/$name.parquet"))
 
-  /** Spread a TINY scan across the cores before heavy per-row work.
-    *
-    * The driver's test tables are single-row-group parquet, so a scan
-    * is one task and everything pipelined into it (expression-heavy
-    * projections, partial aggregates) runs serially (guide §2.5
-    * "unsplittable input" — the documented remedy is "repartition
-    * immediately after the read"). The repartition is gated on the
-    * TABLE'S BYTES, not on core count: it fires only when the whole
-    * table is smaller than ~one scan split per core (cores × 16 MB —
-    * the same data-proportional rule the bench derives
-    * spark.sql.shuffle.partitions from), so at production scale the
-    * branch never fires and no full-table reshuffle ever enters a
-    * 100 TB plan; when it does fire, the reshuffled payload is by
-    * construction tiny. Callers place it AFTER pushdown-eligible
-    * filters so PushedFilters are unaffected.
-    */
-  def spreadTiny(spark: SparkSession, sfDir: String, name: String,
-      df: DataFrame): DataFrame = {
-    val f = new java.io.File(s"$sfDir/$name.parquet")
-    val bytes = if (f.isFile) f.length
-      else Option(f.listFiles()).getOrElse(Array.empty).map(_.length).sum
-    val cores = spark.sparkContext.defaultParallelism
-    if (bytes > cores.toLong * (16L << 20)) df
-    else df.repartition(cores)
-  }
+  // r16 note: a `spreadTiny` helper (repartition a sub-16MB/core scan
+  // before heavy pipelined work — the guide §2.5 unsplittable-input
+  // remedy) was implemented, applied to 6 serial-scan queries and
+  // MEASURED AS A REGRESSION on every one of them (q02 1.20→1.52 s,
+  // taskSec 1.7→10.4): the shuffle write is itself serialized through
+  // the single scan task, so it adds work without unlocking the
+  // pipeline. Kept out; see OPTIMIZATION_r16.md "measured dead ends".
 
   /** `events.ts` has shipped in two physical forms across data drops:
     * parquet TIMESTAMP(NANOS) (rejected by Spark's vectorized reader —

@@ -1151,12 +1151,7 @@ object Curation {
         |         AS skew_e6,
         |       MIN(CASE WHEN c = max_c THEN key_val END) AS hottest_key
         |FROM w GROUP BY key_col ORDER BY key_col""".stripMargin) { (s, dir) =>
-      // r16: spread the single-row-group scan before the 3-way explode
-      // + partial count (they pipelined serially into the one scan
-      // task; no-op at scale — Tables.spreadTiny)
-      val li = Tables.spreadTiny(s, dir, "lineitem",
-        Tables.load(s, dir, "lineitem")
-          .select("l_orderkey", "l_partkey", "l_suppkey"))
+      val li = Tables.load(s, dir, "lineitem")
       val kv = li.select(explode(map(
         lit("l_orderkey"), col("l_orderkey"),
         lit("l_partkey"), col("l_partkey"),

@@ -538,12 +538,8 @@ object Ext3 {
         |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY bucket_wk""".stripMargin) { (s, dir) =>
-      // r16: spread the single-row-group lineitem scan before the
-      // broadcast-join probe + decimal partial aggregate (serial in the
-      // scan task otherwise; no-op at scale — Tables.spreadTiny)
-      val li = Tables.spreadTiny(s, dir, "lineitem",
-        Tables.load(s, dir, "lineitem")
-          .select("l_orderkey", "l_shipdate", "l_extendedprice"))
+      val li = Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_shipdate", "l_extendedprice")
       val o = Tables.load(s, dir, "orders").select("o_orderkey", "o_orderdate")
       li.join(o, col("l_orderkey") === col("o_orderkey"))
         .groupBy(greatest(least(expr("datediff(l_shipdate, o_orderdate) div 7"), lit(8)), lit(0))

@@ -764,11 +764,7 @@ object Ext8 {
         |       CAST(ROUND(CAST(n_repeat AS DOUBLE) / CAST(n_buyers AS DOUBLE), 6) AS DOUBLE) AS reorder_rate
         |FROM p WHERE n_buyers >= 5
         |ORDER BY reorder_rate DESC, partkey LIMIT 15""".stripMargin) { (s, dir) =>
-      // r16: spread the single-row-group lineitem scan before the
-      // broadcast-join probe + distinct partial aggregate (serial in
-      // the scan task otherwise; no-op at scale — Tables.spreadTiny)
-      val cp = Tables.spreadTiny(s, dir, "lineitem",
-          Tables.load(s, dir, "lineitem").select("l_orderkey", "l_partkey"))
+      val cp = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_partkey")
         .join(Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey"),
           col("o_orderkey") === col("l_orderkey"))
         .groupBy("o_custkey", "l_partkey")

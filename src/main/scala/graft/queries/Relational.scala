@@ -66,14 +66,8 @@ object Relational {
         |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
-      // r16: the sf test files are single-row-group parquet, so the
-      // scan + decimal partial aggregation ran serially in one task
-      // (guide §2.5); spreadTiny fans the tiny table across the cores
-      // and is a no-op at production scale (see Tables.spreadTiny).
-      // All aggregates are decimal/long — order-independent, so the
-      // reshuffle cannot move a bit of the output.
-      Tables.spreadTiny(s, dir, "lineitem", Tables.load(s, dir, "lineitem")
-        .filter(col("l_shipdate") <= lit("1998-09-01 00:00:00").cast("timestamp")))
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-01 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           dsum(col("l_quantity")).as("sum_qty"),
@@ -230,11 +224,7 @@ object Relational {
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY returnflag, linestatus""".stripMargin) { (s, dir) =>
-      // r16: spread the single-row-group scan before the rollup's
-      // 3-way Expand + decimal partial aggregate (serial in the scan
-      // task otherwise; no-op at scale — Tables.spreadTiny)
-      Tables.spreadTiny(s, dir, "lineitem", Tables.load(s, dir, "lineitem")
-        .select("l_returnflag", "l_linestatus", "l_quantity"))
+      Tables.load(s, dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
         .agg(dsum(col("l_quantity")).as("sum_qty"))
         .select(

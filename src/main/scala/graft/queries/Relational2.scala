@@ -95,11 +95,8 @@ object Relational2 {
       // aggregate in one pass forces an Expand (2 projections of every
       // input row through the shuffle). This shape map-side-partials
       // the distinct instead: strictly less shuffled data, same result.
-      // r16: spread the single-row-group scan before the distinct's
-      // partial aggregate (serial in the scan task otherwise; no-op at
-      // scale — Tables.spreadTiny)
-      Tables.spreadTiny(s, dir, "lineitem", Tables.load(s, dir, "lineitem")
-        .select("l_returnflag", "l_orderkey")).distinct()
+      Tables.load(s, dir, "lineitem")
+        .select("l_returnflag", "l_orderkey").distinct()
         .groupBy("l_returnflag")
         .agg(
           approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
